@@ -1,0 +1,146 @@
+package graft.fgac
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Registry.Q
+import graft.Tables
+
+/** The reference's FGAC surface re-expressed over the test-data star
+  * schema. Mapping: `customer` plays `healthcare_db.patients`
+  * (PII-bearing dimension; `c_acctbal` stands in for `ssn`,
+  * `c_mktsegment` for `state`), `orders` plays `healthcare_db.claims`
+  * (fact granted in full).
+  *
+  * Reference behaviors mirrored query-by-query:
+  *  - row filter `state in ('Texas','New York')` →
+  *    `c_mktsegment IN ('BUILDING','AUTOMOBILE')`
+  *    (producer_iceberg_datalake_setup.sh:282)
+  *  - column filter "all columns except ssn" → all except `c_acctbal`
+  *    (producer_iceberg_datalake_setup.sh:278)
+  *  - team1 reads filtered patients + claims, team2 is denied
+  *    patients (consumer_emr_on_eks_setup.sh:300-340, 476-494)
+  *  - resource links `rl_patients`/`rl_claims`
+  *    (consumer_emr_on_eks_setup.sh:9-10)
+  *  - the consumer join query (consumer_emr_on_eks_setup.sh:412).
+  */
+object FgacQueries {
+
+  private val RowFilter = "c_mktsegment IN ('BUILDING','AUTOMOBILE')"
+  private val VisibleCols =
+    Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+  private def principals = Seq(
+    Principal("analyst_row", grants = Map(
+      "customer" -> TablePolicy("customer", rowFilter = Some(RowFilter)))),
+    Principal("analyst_col", grants = Map(
+      "customer" -> TablePolicy("customer",
+        allowedColumns = Some(VisibleCols)))),
+    Principal("analyst_cell", grants = Map(
+      "customer" -> TablePolicy("customer", rowFilter = Some(RowFilter),
+        allowedColumns = Some(VisibleCols)))),
+    Principal("analyst_mask", grants = Map(
+      "customer" -> TablePolicy("customer", masks = Map(
+        "c_name"    -> "md5(c_name)",
+        "c_acctbal" -> "CAST(-1.0 AS DOUBLE)")))),
+    Principal("team1", grants = Map(
+      "customer" -> TablePolicy("customer", rowFilter = Some(RowFilter),
+        allowedColumns = Some(VisibleCols),
+        masks = Map("c_name" -> "md5(c_name)")),
+      "orders" -> TablePolicy("orders"))),
+    Principal("team2", grants = Map(
+      "orders" -> TablePolicy("orders"))),
+    Principal("consumer",
+      grants = Map("customer" ->
+        TablePolicy("customer", rowFilter = Some(RowFilter))),
+      links = Map("rl_customer" -> "customer"))
+  )
+
+  /** Register governed tables + principals (idempotent per session).
+    * Raw data lives under hidden views only [[FgacRule]] references;
+    * the public names `customer`/`orders`/`rl_customer` are resolved
+    * exclusively by the rule, which injects the caller's policy. */
+  def setup(s: SparkSession, dir: String): Unit = {
+    val customer = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    customer.createOrReplaceTempView(SecureCatalog.rawViewName("customer"))
+    orders.createOrReplaceTempView(SecureCatalog.rawViewName("orders"))
+    SecureCatalog.governTable("customer", customer.columns.toIndexedSeq)
+    SecureCatalog.governTable("orders", orders.columns.toIndexedSeq)
+    principals.foreach(SecureCatalog.register)
+  }
+
+  /** Run `body` as `who`, restoring the session's ambient principal. */
+  def asPrincipal[A](s: SparkSession, who: String)(body: => A): A = {
+    s.conf.set(SecureCatalog.PrincipalConf, who)
+    try body
+    finally s.conf.set(SecureCatalog.PrincipalConf, "")
+  }
+
+  private def governedSql(who: String, sql: String): Q = (s, dir) => {
+    setup(s, dir)
+    asPrincipal(s, who)(s.sql(sql))
+  }
+
+  private val fullScan = "SELECT * FROM customer ORDER BY c_custkey"
+
+  /** team2's denied read (consumer_emr_on_eks_setup.sh:476-494): the
+    * reference's job catches the access error and reports it; we
+    * surface the decision as a row. */
+  private val deny: Q = (s, dir) => {
+    setup(s, dir)
+    import s.implicits._
+    val outcome =
+      try {
+        asPrincipal(s, "team2")(s.sql("SELECT * FROM customer").collect())
+        "UNEXPECTED_ALLOW"
+      } catch {
+        case t: Throwable if causeChain(t).exists(_.isInstanceOf[AccessDeniedException]) =>
+          "DENIED"
+      }
+    Seq(("team2", "customer", outcome)).toDF("principal", "table", "decision")
+  }
+
+  private def causeChain(t: Throwable): List[Throwable] =
+    if (t == null) Nil else t :: causeChain(t.getCause)
+
+  /** The reference's consumer join (consumer_emr_on_eks_setup.sh:412)
+    * through two governed tables. Catalyst broadcast-joins the
+    * filtered dimension automatically at scale. */
+  private val joinSql =
+    """SELECT p.c_mktsegment, c.o_orderkey, c.o_orderdate, p.c_name,
+      |       c.o_totalprice, c.o_orderstatus
+      |FROM orders c JOIN customer p ON c.o_custkey = p.c_custkey
+      |ORDER BY p.c_mktsegment, c.o_orderdate, c.o_orderkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "fgac_row_filter"    -> governedSql("analyst_row", fullScan),
+    "fgac_col_filter"    -> governedSql("analyst_col", fullScan),
+    "fgac_cell_filter"   -> governedSql("analyst_cell", fullScan),
+    "fgac_mask"          -> governedSql("analyst_mask", fullScan),
+    "fgac_join"          -> governedSql("team1", joinSql),
+    "fgac_deny"          -> deny,
+    "fgac_resource_link" -> governedSql("consumer",
+      "SELECT * FROM rl_customer ORDER BY c_custkey")
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fgac_row_filter" ->
+      s"SELECT * FROM customer WHERE $RowFilter ORDER BY c_custkey",
+    "fgac_col_filter" ->
+      s"SELECT ${VisibleCols.mkString(", ")} FROM customer ORDER BY c_custkey",
+    "fgac_cell_filter" ->
+      s"SELECT ${VisibleCols.mkString(", ")} FROM customer WHERE $RowFilter ORDER BY c_custkey",
+    "fgac_mask" ->
+      """SELECT c_custkey, md5(c_name) AS c_name, c_nationkey,
+        | CAST(-1.0 AS DOUBLE) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fgac_join" ->
+      s"""SELECT p.c_mktsegment, c.o_orderkey, c.o_orderdate,
+         | md5(p.c_name) AS c_name, c.o_totalprice, c.o_orderstatus
+         |FROM orders c
+         |JOIN (SELECT * FROM customer WHERE $RowFilter) p
+         |  ON c.o_custkey = p.c_custkey
+         |ORDER BY p.c_mktsegment, c.o_orderdate, c.o_orderkey""".stripMargin,
+    "fgac_resource_link" ->
+      s"SELECT * FROM customer WHERE $RowFilter ORDER BY c_custkey"
+  )
+}

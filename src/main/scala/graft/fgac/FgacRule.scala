@@ -1,0 +1,84 @@
+package graft.fgac
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Catalyst-level FGAC enforcement (the Databricks-Lakeguard-style
+  * design, see PAPERS.md): governed relation *names* are resolved by
+  * this rule, not the session catalog, so the secured plan is in
+  * place before any star expansion or column resolution happens.
+  * A governed name resolves to
+  *
+  *   SubqueryAlias(name, Project(maskedVisibleCols,
+  *     Filter(rowPredicate, rawRelation)))
+  *
+  * which makes `spark.sql("SELECT * FROM patients")` transparently
+  * governed — exactly the UX of the reference, where the EMR-on-EKS
+  * secure query engine applies Lake Formation cell filters before
+  * user code sees rows
+  * (/root/reference/consumer_account_setup/consumer_emr_on_eks_setup.sh:388-420).
+  *
+  * Because the rewrite only adds Filter/Project *expressions*,
+  * Catalyst pushdown then moves them into the parquet scan: row-group
+  * pruning and column pruning still apply, and FGAC adds zero
+  * shuffles at 100 TB.
+  *
+  * The raw data is registered under a hidden view name (local-mode
+  * stand-in for the producer's storage credentials, which in the
+  * reference only the Lake Formation data-access role can use —
+  * producer_iceberg_datalake_setup.sh:96-101).
+  */
+case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
+    plan.transformUp {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size == 1 &&
+            SecureCatalog.isVisibleName(u.multipartIdentifier.head) =>
+        val name = u.multipartIdentifier.head.toLowerCase
+        val target = SecureCatalog.resolveLink(name)
+        val raw = u.copy(multipartIdentifier =
+          Seq(SecureCatalog.rawViewName(target)))
+        if (who.isEmpty) SubqueryAlias(name, raw) // admin / ungoverned session
+        else SecureCatalog.authorize(who, name) match {
+          case None         => SubqueryAlias(name, raw)
+          case Some(policy) => SubqueryAlias(name, secured(policy, raw))
+        }
+    }
+  }
+
+  /** Filter (against raw row) → mask → project, matching Lake
+    * Formation data-cells-filter evaluation order. */
+  private def secured(policy: TablePolicy, raw: LogicalPlan): LogicalPlan = {
+    val filtered = policy.rowFilter match {
+      case Some(p) => Filter(CatalystSqlParser.parseExpression(p), raw)
+      case None    => raw
+    }
+    policy.allowedColumns match {
+      case None if policy.masks.isEmpty => filtered
+      case _ =>
+        val visible = policy.allowedColumns
+          .getOrElse(SecureCatalog.columnsOf(policy.table))
+        val projList: Seq[NamedExpression] = visible.map { c =>
+          policy.masks.get(c) match {
+            case Some(m) => Alias(CatalystSqlParser.parseExpression(m), c)()
+            case None    => UnresolvedAttribute.quoted(c)
+          }
+        }
+        Project(projList, filtered)
+    }
+  }
+}
+
+/** Registered via `SparkSession.builder().withExtensions(...)` or the
+  * `spark.sql.extensions` conf — the same wiring the reference uses
+  * for Iceberg's extensions (consumer_emr_on_eks_setup.sh:440). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectResolutionRule(FgacRule(_))
+}

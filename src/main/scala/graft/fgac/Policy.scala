@@ -1,0 +1,102 @@
+package graft.fgac
+
+/** Declarative fine-grained access control model, re-expressing AWS
+  * Lake Formation's data-cells-filter semantics as plain data.
+  *
+  * Reference semantics being modeled (all in
+  * /root/reference/producer_account_setup/producer_iceberg_datalake_setup.sh):
+  *   - row filter `"FilterExpression": "state in ('Texas', 'New York')"`
+  *     (line 282)
+  *   - column filter `ColumnNames: [all columns except "ssn"]`
+  *     (line 278)
+  *   - the two combined in one policy = a "data cells filter"
+  *     (`patients_column_row_filter`, lines 271-291)
+  *   - grants per principal, with deny-by-default (consumer team2 has
+  *     no grant on patients → access denied,
+  *     /root/reference/consumer_account_setup/consumer_emr_on_eks_setup.sh:476-494)
+  *   - resource links aliasing a governed table into a consumer
+  *     namespace (`rl_patients`, `rl_claims`,
+  *     consumer_emr_on_eks_setup.sh:9-10, 407-412).
+  *
+  * Policies are *data*; enforcement is a Catalyst rewrite (see
+  * [[FgacRule]]) so Spark's optimizer still pushes the injected
+  * filter/projection into the scan — FGAC costs no extra shuffle and
+  * keeps parquet row-group pruning + column pruning at 100 TB scale.
+  */
+final case class TablePolicy(
+    table: String,
+    /** SQL predicate evaluated against the raw (pre-projection) row,
+      * exactly like Lake Formation's `RowFilter.FilterExpression`. */
+    rowFilter: Option[String] = None,
+    /** Visible columns; None = all. Like `TableData.ColumnNames`. */
+    allowedColumns: Option[Seq[String]] = None,
+    /** column -> SQL masking expression (evaluated pre-projection).
+      * Lake Formation has no masking; Lakeguard-style engines do, and
+      * it falls out of the same rewrite for free. */
+    masks: Map[String, String] = Map.empty)
+
+final case class Principal(
+    name: String,
+    /** table name -> policy. Absence of a governed table here = deny. */
+    grants: Map[String, TablePolicy] = Map.empty,
+    /** resource-link name -> governed table name. */
+    links: Map[String, String] = Map.empty)
+
+/** Deny-by-default violation (team2 querying patients in the ref). */
+final class AccessDeniedException(msg: String)
+    extends RuntimeException(msg)
+
+/** JVM-wide policy registry (local-mode stand-in for the Lake
+  * Formation service; on a cluster this would be a driver-side
+  * catalog fetched once per session). */
+object SecureCatalog {
+  /** Session conf key carrying the active principal, the analog of
+    * the job execution role in the reference
+    * (consumer_emr_on_eks_setup.sh:434 `--execution-role-arn`). */
+  val PrincipalConf = "spark.graft.principal"
+
+  /** Hidden raw-data view for a governed table; only [[FgacRule]]
+    * references it (the local-mode analog of the producer's
+    * storage-credentials boundary). */
+  def rawViewName(table: String): String = s"__graft_raw_${table.toLowerCase}"
+
+  private val governed =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]() // name -> columns
+  private val links =
+    new java.util.concurrent.ConcurrentHashMap[String, String]() // link -> table
+  private val principals =
+    new java.util.concurrent.ConcurrentHashMap[String, Principal]()
+
+  def governTable(name: String, columns: Seq[String]): Unit =
+    governed.put(name.toLowerCase, columns)
+  def isGoverned(name: String): Boolean = governed.containsKey(name.toLowerCase)
+  def columnsOf(name: String): Seq[String] =
+    Option(governed.get(name.toLowerCase)).getOrElse(Seq.empty)
+  def register(p: Principal): Unit = {
+    principals.put(p.name, p)
+    p.links.foreach { case (l, t) => links.put(l.toLowerCase, t.toLowerCase) }
+  }
+  def principal(name: String): Option[Principal] = Option(principals.get(name))
+
+  /** Names [[FgacRule]] intercepts: governed tables + resource links. */
+  def isVisibleName(name: String): Boolean = {
+    val lower = name.toLowerCase
+    isGoverned(lower) || links.containsKey(lower)
+  }
+  /** A resource link resolves to its target governed table. */
+  def resolveLink(name: String): String =
+    Option(links.get(name.toLowerCase)).getOrElse(name.toLowerCase)
+
+  /** Resolve what `principalName` may see of relation `relName`.
+    * Returns None when the relation is not governed (no rewrite);
+    * throws when governed but not granted (deny-by-default). */
+  def authorize(principalName: String, relName: String): Option[TablePolicy] = {
+    val p = principal(principalName).getOrElse(
+      throw new AccessDeniedException(s"unknown principal '$principalName'"))
+    val target = resolveLink(relName)
+    if (!isGoverned(target)) None
+    else Some(p.grants.getOrElse(target,
+      throw new AccessDeniedException(
+        s"principal '${p.name}' has no SELECT grant on governed table '$target'")))
+  }
+}

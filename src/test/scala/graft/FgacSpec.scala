@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fgac._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = Tables.session("local[4]")
+  val sf = "/root/testdata/sf0.001"
+}
+
+class FgacSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  test("row filter keeps only granted segments") {
+    val df = SparkEntry.queries("fgac_row_filter")(spark, sf)
+    val segs = df.select("c_mktsegment").distinct().collect().map(_.getString(0))
+    assert(segs.nonEmpty && segs.forall(Set("BUILDING", "AUTOMOBILE")))
+    assert(df.columns.contains("c_acctbal"), "row-only policy keeps all columns")
+  }
+
+  test("column filter hides the PII column") {
+    val df = SparkEntry.queries("fgac_col_filter")(spark, sf)
+    assert(df.columns.toSet == Set("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    assert(df.count() == Tables.customer(spark, sf).count(), "no row filtering")
+  }
+
+  test("cell filter = row ∩ column") {
+    val df = SparkEntry.queries("fgac_cell_filter")(spark, sf)
+    assert(!df.columns.contains("c_acctbal"))
+    val segs = df.select("c_mktsegment").distinct().collect().map(_.getString(0))
+    assert(segs.forall(Set("BUILDING", "AUTOMOBILE")))
+  }
+
+  test("mask rewrites values, keeps schema") {
+    val df = SparkEntry.queries("fgac_mask")(spark, sf)
+    val row = df.filter(df("c_custkey") === 1).collect().head
+    assert(row.getAs[String]("c_name").matches("[0-9a-f]{32}"))
+    assert(row.getAs[Double]("c_acctbal") == -1.0)
+  }
+
+  test("governed join matches manual enforcement") {
+    val df = SparkEntry.queries("fgac_join")(spark, sf)
+    val expected = {
+      val c = Enforcer.secure(
+        Tables.customer(spark, sf),
+        TablePolicy("customer",
+          rowFilter = Some("c_mktsegment IN ('BUILDING','AUTOMOBILE')")))
+      val o = Tables.orders(spark, sf)
+      o.join(c, o("o_custkey") === c("c_custkey")).count()
+    }
+    assert(df.count() == expected && expected > 0)
+  }
+
+  test("deny-by-default for ungranted governed table") {
+    val df = SparkEntry.queries("fgac_deny")(spark, sf)
+    assert(df.collect().head.getAs[String]("decision") == "DENIED")
+  }
+
+  test("resource link resolves to target policy") {
+    val link = SparkEntry.queries("fgac_resource_link")(spark, sf)
+    val direct = SparkEntry.queries("fgac_row_filter")(spark, sf)
+    assert(link.count() == direct.count() && link.count() > 0)
+  }
+
+  test("ungoverned session (no principal) sees raw data") {
+    FgacQueries.setup(spark, sf)
+    assert(spark.sql("SELECT * FROM customer").count() ==
+      Tables.customer(spark, sf).count())
+  }
+
+  test("FGAC filter pushes into the parquet scan") {
+    FgacQueries.setup(spark, sf)
+    val plan = FgacQueries.asPrincipal(spark, "analyst_cell") {
+      spark.sql("SELECT * FROM customer").queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("c_mktsegment"), s"filter not pushed:\n$plan")
+  }
+}
+
+class AnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  test("q1_agg aggregates match a direct computation") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length > 0 && rows.length <= 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter("l_shipdate <= timestamp'1998-09-02 00:00:00'").count()
+    assert(total == expected)
+  }
+}
