@@ -11,6 +11,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Analytics.queries ++
+      operators.Relational.queries ++
       fgac.FgacQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -18,5 +19,6 @@ object SparkEntry {
     * "rows-only") get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Analytics.oracles ++
+      operators.Relational.oracles ++
       fgac.FgacQueries.oracles
 }

@@ -1,0 +1,450 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Registry.Q
+import graft.Tables
+
+/** Relational suite q2–q22 (SURVEY.md §2 "Relational analytics").
+  * Determinism protocol as in [[Analytics]]: decimal-exact money
+  * sums, double division only on exact inputs, total ORDER BY.
+  *
+  * Scale notes are per-query in Scaladoc; the common theme is: let
+  * the small side broadcast (region/nation/supplier/part are dims),
+  * keep aggregates partial-aggregatable, and never force a shuffle
+  * the plan doesn't need.
+  */
+object Relational {
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+  private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  /** Selective filter + multi-way join (TPC-H Q5 shape). nation and
+    * region broadcast (tiny dims); the only shuffle is the final
+    * group-by on n_name. */
+  private val q2: Q = (s, d) => {
+    val li = Tables.lineitem(s, d); val su = Tables.supplier(s, d)
+    val na = Tables.nation(s, d); val re = Tables.region(s, d)
+    li.join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(na, su("s_nationkey") === na("n_nationkey"))
+      .join(re, na("n_regionkey") === re("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("decimal(18,6)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Fact⋈dim with an explicit broadcast hint — at 100 TB the
+    * customer dim at TPC-H ratio is still broadcastable per executor
+    * vs shuffling the orders fact. */
+  private val q3: Q = (s, d) => {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec4(col("o_totalprice"))).cast("decimal(18,4)").as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** EXISTS via left-semi: no row multiplication, shuffle carries
+    * only the join key. */
+  private val q4: Q = (s, d) => {
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** NOT EXISTS via left-anti. */
+  private val q5: Q = (s, d) => {
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Ranking + running window per supplier: one shuffle on the
+    * partition key; running decimal sum is exact (order-insensitive
+    * correctness, order-sensitive evaluation pinned by a total sort
+    * key within the partition). */
+  private val q6: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        sum(dec4(col("l_quantity")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(18,4)").as("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** ROLLUP hierarchical totals; sentinel 'ALL' instead of NULL so
+    * the result needs no null-ordering agreement with the oracle. */
+  private val q7: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec4(col("l_quantity"))).cast("decimal(18,4)").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** CUBE over two dims, same sentinel trick. */
+  private val q8: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec4(col("o_totalprice"))).cast("decimal(18,4)").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("total"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** Per-group top-k via ranking window — shuffle on the group key
+    * only; with AQE a partial top-k (limit pushdown) applies
+    * map-side. Tie-broken on the unique order key. */
+  private val q9: Q = (s, d) => {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  /** Exact percentiles per group (quantile_cont semantics). Exact
+    * percentile needs per-group sort; at 100 TB switch the SLA to
+    * approx_percentile (t-digest) — kept exact here to match the
+    * oracle, q22 covers the sketched path. */
+  private val q10: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Multi-column distinct = hash aggregate, partial-aggregatable. */
+  private val q11: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Scalar subquery: filter the fact against a global aggregate.
+    * The 1-row aggregate broadcasts; threshold is decimal-exact then
+    * compared in double. */
+  private val q12: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val thr = o.agg(
+      (sum(dec4(col("o_totalprice"))).cast("double") /
+        count(lit(1)).cast("double")).as("__thr"))
+    o.crossJoin(broadcast(thr))
+      .filter(col("o_totalprice") > col("__thr"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** IN (subquery) as a left-semi join on the filtered dim. */
+  private val q13: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val b = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    o.join(broadcast(b), o("o_custkey") === b("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** UNION ALL of homogeneous projections — no shuffle at all. */
+  private val q14: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        lit("customer").as("src"))
+    val su = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+        lit("supplier").as("src"))
+    c.unionByName(su).orderBy(col("src"), col("id"))
+  }
+
+  /** Conditional aggregation: CASE folded into the aggregate, stays
+    * in one whole-stage-codegen pass over the scan. */
+  private val q15: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val disc = col("l_discount") > 0.05
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(disc, dec4(col("l_quantity")))
+          .otherwise(dec4(lit(0)))).cast("decimal(18,4)").as("qty_highdisc"),
+        sum(when(!disc, dec4(col("l_quantity")))
+          .otherwise(dec4(lit(0)))).cast("decimal(18,4)").as("qty_lowdisc"),
+        count(when(disc, lit(1))).as("n_highdisc"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** String function pipeline — all codegen'd builtins. */
+  private val q16: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("label"),
+        substring(col("p_name"), 1, 8).as("name_head"),
+        col("p_type").like("%BRASS%").as("is_brass"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time function pipeline. */
+  private val q17: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_mon"),
+        expr("o_orderdate + INTERVAL 3 MONTH").as("due_date"),
+        datediff(lit("2002-01-01").cast("timestamp").cast("date"),
+          col("o_orderdate").cast("date")).as("age_days"))
+      .orderBy(col("o_orderkey"))
+
+  /** HAVING: post-aggregation filter against a relative threshold
+    * (scales with SF instead of hard-coding a count). */
+  private val q18: Q = (s, d) => {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    val na = Tables.nation(s, d)
+    val total = o.agg(count(lit(1)).cast("double").as("__total"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(na), c("c_nationkey") === na("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_orders") >= col("__total") / 50.0)
+      .select(col("n_name"), col("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** As-of join via [[AsOfJoin]] (union + running window, one
+    * shuffle): latest event at-or-before each order date per user. */
+  private val q19: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val e = Tables.events(s, d)
+    AsOfJoin(
+      left = o, leftKey = col("o_custkey"), leftTime = col("o_orderdate"),
+      right = e, rightKey = e("user_id"), rightTime = e("ts"),
+      rightSeq = e("event_id"),
+      rightVals = Seq("ev_ts" -> e("ts"), "ev_value" -> e("value")))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Range join via [[RangeJoin]] (bucket-quantized equi-join):
+    * clicks in the hour before each purchase, per user. */
+  private val q20: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"), col("value").as("c_value"))
+    val matched = RangeJoin.bucketed(
+      left = purchases, leftKey = col("p_uid"),
+      lo = expr("p_ts - INTERVAL 1 HOUR"), hi = col("p_ts"),
+      right = clicks, rightKey = col("c_uid"), rightTs = col("c_ts"),
+      bucketSeconds = 3600L)
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec6(col("c_value"))).cast("decimal(18,6)").as("v"))
+    purchases.join(matched, Seq("p_id"), "left")
+      .select(col("p_id"), coalesce(col("n"), lit(0L)).as("n_clicks"),
+        coalesce(col("v"), dec6(lit(0)).cast("decimal(18,6)")).as("click_value"))
+      .orderBy(col("p_id"))
+  }
+
+  /** Explicit GROUPING SETS (via SQL — the DataFrame rollup/cube
+    * cover the common cases, this covers the general one). */
+  private val q21: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS n
+        |FROM v_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** HLL sketch distinct-count — the 100 TB path for q11-style
+    * questions (fixed-size sketch, map-side combinable). Approximate
+    * → rows-only check; the ScalaTest spec asserts the error bound
+    * against the exact count. */
+  private val q22: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, Q] = Map(
+    "q2_join_filter" -> q2, "q3_broadcast_join" -> q3,
+    "q4_semi_join" -> q4, "q5_anti_join" -> q5, "q6_window" -> q6,
+    "q7_rollup" -> q7, "q8_cube" -> q8, "q9_topk" -> q9,
+    "q10_percentile" -> q10, "q11_distinct" -> q11,
+    "q12_scalar_subquery" -> q12, "q13_in_subquery" -> q13,
+    "q14_union_all" -> q14, "q15_case_agg" -> q15,
+    "q16_string_funcs" -> q16, "q17_date_funcs" -> q17,
+    "q18_having" -> q18, "q19_asof_join" -> q19,
+    "q20_range_join" -> q20, "q21_grouping_sets" -> q21,
+    "q22_approx_distinct" -> q22)
+
+  val oracles: Map[String, String] = Map(
+    "q2_join_filter" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_broadcast_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q7_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q8_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        | coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q9_topk" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+        | SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+    "q10_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS p25,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q11_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q12_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q13_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q14_union_all" ->
+      """SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+        |ORDER BY src, id""".stripMargin,
+    "q15_case_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4))
+        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS qty_highdisc,
+        | CAST(SUM(CASE WHEN NOT (l_discount > 0.05) THEN CAST(l_quantity AS DECIMAL(18,4))
+        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS qty_lowdisc,
+        | COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_highdisc,
+        | COUNT(*) AS n_total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q16_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_up,
+        | CAST(length(p_name) AS INT) AS name_len,
+        | concat(p_brand, '/', p_type) AS label,
+        | substring(p_name, 1, 8) AS name_head,
+        | p_type LIKE '%BRASS%' AS is_brass
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q17_date_funcs" ->
+      """SELECT o_orderkey, date_trunc('month', o_orderdate) AS order_month,
+        | CAST(year(o_orderdate) AS INT) AS order_year,
+        | CAST(month(o_orderdate) AS INT) AS order_mon,
+        | o_orderdate + INTERVAL 3 MONTH AS due_date,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q18_having" ->
+      """SELECT n_name, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |HAVING COUNT(*) >= (SELECT COUNT(*) FROM orders) / 50.0
+        |ORDER BY n_name""".stripMargin,
+    "q19_asof_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, ev_ts, ev_value FROM (
+        | SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+        |  CAST(e.ts AS TIMESTAMP) AS ev_ts, e.value AS ev_value,
+        |  ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+        |    ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        | FROM orders o LEFT JOIN events e
+        |   ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "q20_range_join" ->
+      """SELECT p.event_id AS p_id,
+        | COUNT(c.event_id) AS n_clicks,
+        | CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,6))), 0) AS DECIMAL(18,6)) AS click_value
+        |FROM events p LEFT JOIN events c
+        |  ON c.event_type = 'click' AND c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "q21_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+}

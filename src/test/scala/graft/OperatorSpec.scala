@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, RangeJoin}
+
+class OperatorSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  test("asof join picks latest right row at-or-before left time") {
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b"), (2L, 50L, "c"))
+      .toDF("k", "t", "tag")
+      .select($"k", timestamp_micros($"t" * 1000000L).as("t"), $"tag")
+    val right = Seq((1L, 100L, 10.0, 1L), (1L, 200L, 20.0, 2L),
+      (1L, 100L, 30.0, 3L), (2L, 60L, 40.0, 4L))
+      .toDF("k", "t", "v", "seq")
+      .select($"k", timestamp_micros($"t" * 1000000L).as("t"), $"v", $"seq")
+    val out = AsOfJoin(left, left("k"), left("t"),
+      right, right("k"), right("t"), right("seq"),
+      Seq("v" -> right("v")))
+      .orderBy("k", "t").collect()
+    // k=1 t=100: events at t=100 (seq 1 and 3) tie → max seq wins = 30.0
+    assert(out(0).getAs[Double]("v") == 30.0)
+    // k=1 t=250: latest ≤ 250 is t=200 → 20.0
+    assert(out(1).getAs[Double]("v") == 20.0)
+    // k=2 t=50: no event ≤ 50 → null
+    assert(out(2).isNullAt(out(2).fieldIndex("v")))
+  }
+
+  test("bucketed range join equals naive non-equi join") {
+    val e = Tables.events(spark, sf)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_uid"), $"ts".as("p_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_uid"), $"ts".as("c_ts"))
+    val bucketed = RangeJoin.bucketed(p, $"p_uid",
+      expr("p_ts - INTERVAL 1 HOUR"), $"p_ts", c, $"c_uid", $"c_ts", 3600L)
+      .select("p_id", "c_id")
+    val naive = p.join(c, $"c_uid" === $"p_uid" &&
+      $"c_ts" >= expr("p_ts - INTERVAL 1 HOUR") && $"c_ts" < $"p_ts")
+      .select("p_id", "c_id")
+    assert(bucketed.count() == naive.count())
+    assert(bucketed.except(naive).count() == 0 && naive.except(bucketed).count() == 0)
+    assert(naive.count() > 0, "test should exercise non-empty matches")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = SparkEntry.queries("q22_approx_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("relational queries return sane shapes at sf0.001") {
+    val expected = Map("q3_broadcast_join" -> 5, "q11_distinct" -> 15)
+    expected.foreach { case (name, n) =>
+      assert(SparkEntry.queries(name)(spark, sf).count() == n, name)
+    }
+    // at sf0.001 only 10 suppliers exist, so not every ASIA nation
+    // is represented — just require non-empty
+    val q2n = SparkEntry.queries("q2_join_filter")(spark, sf).count()
+    assert(q2n >= 1 && q2n <= 5)
+    assert(SparkEntry.queries("q9_topk")(spark, sf).count() == 15) // 5 segs × 3
+  }
+}

@@ -42,6 +42,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             if list(want.columns) != list(got.columns):
                 print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
                 n_fail += 1
+            elif list(want.dtypes) != list(got.dtypes):
+                diff = [(c, str(want[c].dtype), str(got[c].dtype))
+                        for c in want.columns if want[c].dtype != got[c].dtype]
+                print(f"FAIL {name}: dtypes differ (col, want, got): {diff}")
+                n_fail += 1
             elif len(want) != len(got):
                 print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
                 n_fail += 1
