@@ -12,7 +12,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Analytics.queries ++
       operators.Relational.queries ++
-      fgac.FgacQueries.queries
+      fgac.FgacQueries.queries ++
+      dedup.Dedup.queries ++
+      text.TextAnalysis.queries ++
+      multimodal.Multimodal.queries ++
+      streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (see SURVEY.md §2
@@ -20,5 +24,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Analytics.oracles ++
       operators.Relational.oracles ++
-      fgac.FgacQueries.oracles
+      fgac.FgacQueries.oracles ++
+      dedup.Dedup.oracles ++
+      text.TextAnalysis.oracles ++
+      multimodal.Multimodal.oracles ++
+      streaming.StreamingOps.oracles
 }

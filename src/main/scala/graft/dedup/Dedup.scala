@@ -1,0 +1,196 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Registry.Q
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over `documents` (SURVEY.md §2 "Dedup").
+  *
+  * Scale design (100 TB): document *text* is only ever scanned once,
+  * map-side, to produce fixed-size derived keys (md5, minhash sigs,
+  * simhash). Every shuffle carries hashes/ids, never bodies. The
+  * exact-Jaccard queries use `source` as a blocking key (the analog
+  * of a crawl/domain partition); the unblocked scale path is
+  * MinHash-LSH whose candidate set is verified with exact Jaccard.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash; the shuffle key is 16 bytes
+    * regardless of document size. Keep-first = min(doc_id). */
+  private val exact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("content_md5"))
+      .orderBy(col("keep_id"))
+
+  /** doc_id, source, distinct 3-gram shingle set. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .withColumn("sh", shingles3("w"))
+      .select(col("doc_id"), col("source"), col("sh"))
+
+  /** Exact n-gram Jaccard pairs (≥ 0.8) within a `source` block.
+    * O(block²) compares — correct at any SF but only tractable
+    * because blocks are bounded; the unblocked path is [[minhashLsh]]. */
+  private val ngramJaccard: Q = (s, d) => {
+    val sh = shingled(s, d)
+    val a = sh.select(col("doc_id").as("doc_a"), col("source"),
+      col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"),
+      col("source").as("source_b"), col("sh").as("sh_b"))
+    a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val NumHashes = 128
+  private val Bands = 32
+  private val RowsPerBand = NumHashes / Bands
+
+  /** MinHash signatures + LSH banding over the *whole* corpus, then
+    * exact-Jaccard verification of the candidates — the standard
+    * 100 TB near-dup pipeline:
+    *   1. explode shingles → (doc, shingle): one map-side pass;
+    *   2. 128 min-aggregates (partial-aggregatable, shuffle carries
+    *      128 longs per doc);
+    *   3. band → bucket join: only docs sharing a band bucket are
+    *      compared (≈ pairs with J ≥ τ, P[miss] < 1e-7 at J=0.8 with
+    *      32 bands × 4 rows);
+    *   4. exact verify on the candidate set only.
+    * Skew note: a pathological bucket (boilerplate) is bounded by
+    * count and would be salted/capped in production; candidates are
+    * deduped before verification. */
+  private val minhashLsh: Q = (s, d) => {
+    val sh = shingled(s, d).filter(size(col("sh")) > 0)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sigCols: Seq[Column] = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"s$i"))
+    val sigs = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candidates = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    withSets
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup: 64-bit sketch per doc (map-side only), then
+    * 16-bit-band LSH join and hamming ≤ 3 verification. By
+    * pigeonhole, hamming ≤ 3 over 4 bands guarantees ≥ 1 identical
+    * band, so banding loses nothing. Rows-only (bit-level hashing
+    * isn't reasonably SQL-expressible); OperatorSpec verifies against
+    * a brute-force hamming join. */
+  private val simhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"), simhash64("w").as("sim"))
+    val bands = docs.select(col("doc_id"), col("sim"),
+      explode(expr(
+        """transform(sequence(0, 3), b ->
+          |  struct(b AS band, (shiftright(sim, b * 16) & 65535) AS bv))"""
+          .stripMargin)).as("bb"))
+      .select(col("doc_id"), col("sim"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+    bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (≥ 0.4), blocked by
+    * `label` (the cluster/coarse-quantizer id — at 100 TB this is
+    * the IVF cell). Norms precomputed once per vector. */
+  private val embedding: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("nrm", l2norm(col("v")))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> exact,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhash,
+    "dedup_embedding" -> embedding)
+
+  private val ShingleCte =
+    """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') w
+      |           FROM documents),
+      | s AS (SELECT doc_id, source,
+      |   CASE WHEN len(w) >= 3 THEN
+      |     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                    for i in range(1, len(w) - 1)])
+      |   ELSE [] END AS sh FROM t)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        | md5(text) AS content_md5
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$ShingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The LSH pipeline's *output contract* is exact: every pair with
+    // true Jaccard ≥ 0.8 (banding P[miss] < 1e-7 at the threshold,
+    // deterministic for a fixed dataset — verified locally).
+    "dedup_minhash_lsh" ->
+      s"""$ShingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

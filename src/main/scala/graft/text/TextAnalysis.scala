@@ -1,0 +1,138 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.Registry.Q
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2 "Text
+  * analysis"). All are single-pass, map-side-only column pipelines —
+  * at 100 TB they run at scan speed with zero shuffles (the ORDER BY
+  * exists only for the deterministic oracle compare).
+  */
+object TextAnalysis {
+
+  /** Token counting: whitespace tokens + a byte-level BPE-ish
+    * estimate (chars/4, the usual LLM rule of thumb). */
+  private val tokensQ: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_ws_tokens"),
+        length(col("text")).as("n_chars_obs"),
+        ceil(length(col("text")) / 4.0).cast("int").as("est_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Quality scoring: stopword ratio, mean token length, and a
+    * composite score — all exact integer ratios in double. */
+  private val quality: Q = (s, d) => {
+    val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("n_stop",
+        size(expr(s"filter(w, t -> t IN ($inList))")))
+      .withColumn("sum_len",
+        expr("aggregate(w, 0, (acc, t) -> acc + length(t))"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double"))
+          .as("stop_ratio"),
+        (col("sum_len").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_tok_len"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double") * 0.5 +
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5)
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "los", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "un"),
+    "zh" -> Seq("de", "shi", "le"))
+
+  /** Language ID by marker-word counts with a fixed precedence
+    * arg-max (en > es > de > fr > zh). The synthetic corpus is an
+    * English-ish word soup, so this exercises the mechanics (and its
+    * oracle) rather than real recall. */
+  private val langid: Q = (s, d) => {
+    var df = Tables.documents(s, d).withColumn("w", tokens(col("text")))
+    LangMarkers.foreach { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      df = df.withColumn(s"c_$lang",
+        size(expr(s"filter(w, t -> t IN ($inList))")))
+    }
+    val langs = LangMarkers.map(_._1)
+    val guess = expr(langs.map { l =>
+      val geq = langs.filterNot(_ == l).map(o => s"c_$l >= c_$o").mkString(" AND ")
+      s"WHEN $geq THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END"))
+    df.select((Seq(col("doc_id")) ++ langs.map(l => col(s"c_$l")) ++
+        Seq(guess.as("lang_guess"),
+          (guess === col("lang")).as("matches_label"))): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: polynomial rolling hash (mod 1e9+7)
+    * + winnowing-style min window hash. Rows-only (char-fold hashing
+    * isn't reasonably SQL-expressible); OperatorSpec pins exact
+    * values. */
+  private val fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        polyFingerprint("text").as("poly_fp"),
+        minWindowHash("text").as("min_window_hash"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> tokensQ,
+    "text_quality" -> quality,
+    "text_langid" -> langid,
+    "text_fingerprint" -> fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(lower(text), ' ')) AS INT) AS n_ws_tokens,
+        | CAST(length(text) AS INT) AS n_chars_obs,
+        | CAST(ceil(length(text) / 4.0) AS INT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents),
+        | x AS (SELECT doc_id,
+        |   len(w) AS n_tokens,
+        |   len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+        |   list_sum(list_transform(w, t -> length(t))) AS sum_len FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        | CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        | CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+        | CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 +
+        |   least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 AS quality_score
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "text_langid" -> {
+      val langs = LangMarkers.map(_._1)
+      val counts = LangMarkers.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(w, t -> t IN ($inList))) AS INT) AS c_$lang"
+      }.mkString(",\n   ")
+      val guess = langs.map { l =>
+        val geq = langs.filterNot(_ == l).map(o => s"c_$l >= c_$o").mkString(" AND ")
+        s"WHEN $geq THEN '$l'"
+      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') w
+         |           FROM documents),
+         | x AS (SELECT doc_id, lang,
+         |   $counts FROM t)
+         |SELECT doc_id, ${langs.map(l => s"c_$l").mkString(", ")},
+         | $guess AS lang_guess,
+         | ($guess = lang) AS matches_label
+         |FROM x ORDER BY doc_id""".stripMargin
+    })
+}

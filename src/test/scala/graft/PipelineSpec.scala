@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+
+/** Specs for the LLM-pipeline operators (dedup / text / multimodal). */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  test("minhash-LSH finds exactly the true Jaccard>=0.8 pairs (full space)") {
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the whole corpus
+    val sh = Tables.documents(spark, sf)
+      .withColumn("w", TextFunctions.tokens(col("text")))
+      .withColumn("sh", TextFunctions.shingles3("w"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    val a = sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    val brute = a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("j", TextFunctions.jaccard($"sh_a", $"sh_b"))
+      .filter($"j" >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "corpus should contain near-duplicates")
+  }
+
+  test("simhash banding finds exactly the hamming<=3 pairs") {
+    val banded = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, sf)
+      .withColumn("w", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), TextFunctions.simhash64("w").as("sim"))
+    val a = docs.select($"doc_id".as("doc_a"), $"sim".as("sim_a"))
+    val b = docs.select($"doc_id".as("doc_b"), $"sim".as("sim_b"))
+    val brute = a.join(b, $"doc_a" < $"doc_b")
+      .filter(expr("bit_count(sim_a ^ sim_b) <= 3"))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("polynomial fingerprint matches a reference implementation") {
+    val row = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        TextFunctions.polyFingerprint("text").as("fp"))
+      .orderBy("doc_id").head()
+    val text = row.getAs[String]("text")
+    var h = 7L
+    text.foreach(c => h = math.floorMod(h * 31 + c.toInt, 1000000007L))
+    assert(row.getAs[Long]("fp") == h)
+  }
+
+  test("langid marker counts are consistent and guess is deterministic") {
+    val df = SparkEntry.queries("text_langid")(spark, sf)
+    assert(df.count() == Tables.documents(spark, sf).count())
+    val langs = df.select("lang_guess").distinct().collect().map(_.getString(0))
+    assert(langs.forall(Set("en", "es", "de", "fr", "zh")))
+  }
+
+  test("multimodal features carry the payload contract through mapPartitions") {
+    val feats = SparkEntry.queries("mm_features")(spark, sf)
+    val joined = feats.join(Tables.documents(spark, sf), "doc_id")
+    // payload = 4-byte magic + utf8 text
+    assert(joined.filter($"f_len" =!= ($"n_chars" + 4)).count() == 0)
+    assert(feats.filter($"f_mean_byte" < 32 || $"f_mean_byte" > 127).count() == 0)
+  }
+}
+
+/** Runs the streaming transformations through real streaming queries
+  * (memory sink, synchronous processAllAvailable). */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  // The file stream source wants a directory; stage the single
+  // events file into one (test data itself is read-only).
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def streamEvents = {
+    val batchSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val raw = spark.readStream.schema(batchSchema).parquet(streamDir)
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  test("windowed aggregation agrees between batch and streaming") {
+    val q = streaming.StreamingOps.windowAgg(streamEvents)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_out")
+    val batch = streaming.StreamingOps.windowAgg(Tables.events(spark, sf))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0)
+  }
+
+  test("flatMapGroupsWithState sessionization agrees with batch formulation") {
+    val q = streaming.Sessionize.streaming(streamEvents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_out")
+    val batch = streaming.StreamingOps.sessionizeBatch(Tables.events(spark, sf))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
+
+  test("streaming dedup (dropDuplicates) agrees with batch distinct") {
+    val deduped = streamEvents
+      .select(col("user_id"), col("event_type"),
+        window(col("ts"), "5 minutes").getField("start").as("w_start"))
+      .dropDuplicates("user_id", "event_type", "w_start")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup_out")
+    val batch = streaming.StreamingOps.dedupBatch(Tables.events(spark, sf))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+  }
+}
