@@ -13,6 +13,7 @@ object SparkEntry {
     operators.Analytics.queries ++
       operators.Relational.queries ++
       fgac.FgacQueries.queries ++
+      ann.Ann.queries ++
       dedup.Dedup.queries ++
       text.TextAnalysis.queries ++
       multimodal.Multimodal.queries ++
@@ -25,6 +26,7 @@ object SparkEntry {
     operators.Analytics.oracles ++
       operators.Relational.oracles ++
       fgac.FgacQueries.oracles ++
+      ann.Ann.oracles ++
       dedup.Dedup.oracles ++
       text.TextAnalysis.oracles ++
       multimodal.Multimodal.oracles ++

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exact: Set[(Long, Long)] = pairs("ann_bruteforce")
+
+  test("bruteforce returns k ranked neighbors per query") {
+    val df = SparkEntry.queries("ann_bruteforce")(spark, sf)
+    assert(df.count() == 10 * 5)
+    val ranks = df.groupBy("q_id").count().collect()
+    assert(ranks.forall(_.getLong(1) == 5))
+  }
+
+  test("LSH recall@5 against exact top-5") {
+    val got = pairs("ann_lsh")
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"ann_lsh recall@5 = $recall%.2f")
+    assert(recall >= 0.5, f"recall too low: $recall%.2f")
+  }
+
+  test("IVF recall@5 against exact top-5") {
+    val got = pairs("ann_ivf")
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"ann_ivf recall@5 = $recall%.2f")
+    assert(recall >= 0.3, f"recall too low: $recall%.2f")
+  }
+}
