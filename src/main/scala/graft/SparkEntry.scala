@@ -13,6 +13,7 @@ object SparkEntry {
     operators.Analytics.queries ++
       operators.Relational.queries ++
       fgac.FgacQueries.queries ++
+      lakehouse.LakeQueries.queries ++
       ann.Ann.queries ++
       dedup.Dedup.queries ++
       text.TextAnalysis.queries ++
@@ -26,6 +27,7 @@ object SparkEntry {
     operators.Analytics.oracles ++
       operators.Relational.oracles ++
       fgac.FgacQueries.oracles ++
+      lakehouse.LakeQueries.oracles ++
       ann.Ann.oracles ++
       dedup.Dedup.oracles ++
       text.TextAnalysis.oracles ++

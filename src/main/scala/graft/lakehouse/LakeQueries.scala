@@ -1,0 +1,151 @@
+package graft.lakehouse
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Registry.Q
+import graft.Tables
+
+/** The reference's Iceberg DML surface
+  * (`producer_iceberg_datalake_setup.sh:203-236` runs MERGE / UPDATE /
+  * DELETE / time-travel demos against the governed tables) re-expressed
+  * over [[GraftTable]]. Each query materializes a throwaway table under
+  * `java.io.tmpdir` from the driver's parquet, applies the DML, and
+  * returns the resulting table state with a total ORDER BY — so every
+  * one of these is oracled end-state-equal against DuckDB, not just
+  * rows-only.
+  */
+object LakeQueries {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString
+
+  /** MERGE (upsert): base = even custkeys; source = custkeys % 3 == 0
+    * with bumped balance and a MERGED segment. Matched rows replaced,
+    * unmatched source rows inserted. */
+  private val merge: Q = (s, dir) => {
+    val customer = Tables.customer(s, dir)
+    val base = customer.filter(col("c_custkey") % 2 === 0)
+    val source = customer
+      .filter(col("c_custkey") % 3 === 0)
+      .select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + 1000.0).as("c_acctbal"),
+        lit("MERGED").as("c_mktsegment"))
+    val t = GraftTable.create(s, tmp("lake_merge"), base)
+    t.merge(source, "c_custkey")
+    t.read().orderBy("c_custkey")
+  }
+
+  private val delete: Q = (s, dir) => {
+    val t = GraftTable.create(s, tmp("lake_delete"), Tables.orders(s, dir))
+    t.delete("o_orderstatus = 'F'")
+    t.read().orderBy("o_orderkey")
+  }
+
+  private val update: Q = (s, dir) => {
+    val t = GraftTable.create(s, tmp("lake_update"), Tables.orders(s, dir))
+    t.update(Map("o_totalprice" -> "o_totalprice * 2.0"),
+      "o_orderpriority = '1-URGENT'")
+    t.read().orderBy("o_orderkey")
+  }
+
+  /** Create with odd orderkeys (snapshot 1), append evens (snapshot 2),
+    * then time-travel back: the result is exactly the odd set. */
+  private val timeTravel: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_tt"),
+      orders.filter(col("o_orderkey") % 2 === 1))
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    t.readAt(1).orderBy("o_orderkey")
+  }
+
+  /** Add a `tier` column mid-stream: rows written before the column
+    * existed read back NULL for it. */
+  private val schemaEvolution: Q = (s, dir) => {
+    val customer = Tables.customer(s, dir)
+    val t = GraftTable.create(s, tmp("lake_evo"),
+      customer.filter(col("c_custkey") % 2 === 0))
+    t.appendEvolved(
+      customer.filter(col("c_custkey") % 2 === 1)
+        .withColumn("tier", concat(lit("T"), (col("c_custkey") % 3).cast("string"))))
+    t.read().orderBy("c_custkey")
+  }
+
+  /** Three appends (orderkey mod 3 = 0, 1, 2); the incremental read
+    * from snapshot 2 to 3 yields exactly the third batch. */
+  private val incremental: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_inc"),
+      orders.filter(col("o_orderkey") % 3 === 0))
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))
+    t.append(orders.filter(col("o_orderkey") % 3 === 2))
+    t.incrementalRead(2, 3).orderBy("o_orderkey")
+  }
+
+  /** Four small appends then compact to 4 files: data unchanged. */
+  private val compaction: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_cmp"),
+      orders.filter(col("o_orderkey") % 4 === 0))
+    (1 to 3).foreach(i => t.append(orders.filter(col("o_orderkey") % 4 === i)))
+    val before = t.currentSnapshot.files.size
+    t.compact(4)
+    require(t.currentSnapshot.files.size <= math.min(before, 4),
+      "compaction must not grow the file count")
+    t.read().orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "lake_merge"            -> merge,
+    "lake_delete"           -> delete,
+    "lake_update"           -> update,
+    "lake_time_travel"      -> timeTravel,
+    "lake_schema_evolution" -> schemaEvolution,
+    "lake_incremental"      -> incremental,
+    "lake_compaction"       -> compaction
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lake_merge" ->
+      """WITH base AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+        |src AS (SELECT c_custkey, c_name, c_nationkey,
+        |               c_acctbal + 1000.0 AS c_acctbal,
+        |               'MERGED' AS c_mktsegment
+        |        FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT b.c_custkey,
+        |       CASE WHEN s.c_custkey IS NULL THEN b.c_name ELSE s.c_name END AS c_name,
+        |       CASE WHEN s.c_custkey IS NULL THEN b.c_nationkey ELSE s.c_nationkey END AS c_nationkey,
+        |       CASE WHEN s.c_custkey IS NULL THEN b.c_acctbal ELSE s.c_acctbal END AS c_acctbal,
+        |       CASE WHEN s.c_custkey IS NULL THEN b.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment
+        |FROM base b LEFT JOIN src s ON b.c_custkey = s.c_custkey
+        |UNION ALL
+        |SELECT s.* FROM src s WHERE NOT EXISTS
+        |  (SELECT 1 FROM base b WHERE b.c_custkey = s.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "lake_delete" ->
+      "SELECT * FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey",
+    "lake_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |       THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_time_travel" ->
+      "SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey",
+    "lake_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |       CAST(NULL AS VARCHAR) AS tier
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |       'T' || CAST(c_custkey % 3 AS VARCHAR) AS tier
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin,
+    "lake_incremental" ->
+      "SELECT * FROM orders WHERE o_orderkey % 3 = 2 ORDER BY o_orderkey",
+    "lake_compaction" ->
+      "SELECT * FROM orders ORDER BY o_orderkey"
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lakehouse.{GraftTable, LakeQueries}
+
+class LakehouseSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  private def freshTable(rows: Seq[(Long, String, Double)]): GraftTable =
+    GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString,
+      rows.toDF("k", "tag", "v"))
+
+  test("append accumulates and snapshots are immutable") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    assert(t.currentSnapshotId == 2)
+    assert(t.read().count() == 3)
+    assert(t.readAt(1).count() == 2)
+  }
+
+  test("delete is copy-on-write: untouched files carry forward") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.append(Seq((3L, "c", 3.0), (4L, "d", 4.0)).toDF("k", "tag", "v"))
+    val before = t.currentSnapshot.files.toSet
+    t.delete("k = 4") // only the second commit's file contains k=4
+    val after = t.currentSnapshot.files.toSet
+    assert((before intersect after).nonEmpty,
+      "files without matching rows must be carried forward by reference")
+    assert(t.read().select("k").as[Long].collect().sorted.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("update rewrites matching rows only") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.update(Map("v" -> "v * 10"), "k = 2")
+    val got = t.read().orderBy("k").select("v").as[Double].collect()
+    assert(got.sameElements(Array(1.0, 20.0)))
+  }
+
+  test("merge upserts: matched replaced, unmatched inserted") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.merge(Seq((2L, "B", 20.0), (3L, "C", 30.0)).toDF("k", "tag", "v"), "k")
+    val got = t.read().orderBy("k").collect()
+    assert(got.map(_.getLong(0)).sameElements(Array(1L, 2L, 3L)))
+    assert(got(1).getString(1) == "B" && got(1).getDouble(2) == 20.0)
+    assert(got(2).getString(1) == "C")
+  }
+
+  test("schema evolution: old rows read NULL for the added column") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    t.appendEvolved(Seq((2L, "b", 2.0, "x")).toDF("k", "tag", "v", "extra"))
+    val got = t.read().orderBy("k").collect()
+    assert(got(0).isNullAt(got(0).fieldIndex("extra")))
+    assert(got(1).getString(got(1).fieldIndex("extra")) == "x")
+    // time travel predates the column entirely
+    assert(!t.readAt(1).columns.contains("extra"))
+  }
+
+  test("incremental read returns exactly the delta") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    val delta = t.incrementalRead(1, 3).select("k").as[Long].collect().sorted
+    assert(delta.sameElements(Array(2L, 3L)))
+  }
+
+  test("compaction shrinks file count, preserves data") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    (2 to 5).foreach(i => t.append(Seq((i.toLong, "x", i.toDouble)).toDF("k", "tag", "v")))
+    val before = t.currentSnapshot.files.size
+    t.compact(1)
+    assert(t.currentSnapshot.files.size == 1 && before > 1)
+    assert(t.read().count() == 5)
+  }
+
+  test("lake queries run at sf0.001 with plausible shapes") {
+    val n = Tables.orders(spark, sf).count()
+    assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
+    assert(LakeQueries.queries("lake_compaction")(spark, sf).count() == n)
+    val evo = LakeQueries.queries("lake_schema_evolution")(spark, sf)
+    assert(evo.columns.contains("tier"))
+    assert(evo.filter(col("tier").isNull).count() > 0)
+  }
+}
