@@ -54,4 +54,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Fan a narrow input out to the session's parallelism before a
+    * CPU-heavy per-row pipeline. The local test parquet is one small
+    * file = one input split, which would serialize hashing/shingling
+    * on a single core; on a cluster the scan already has thousands of
+    * splits and this is a no-op (guarded, not an unconditional
+    * shuffle). */
+  def parallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -25,7 +25,7 @@ object Ann {
   private val NumQueries = 10
 
   private def corpus(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.parallel(Tables.embeddings(s, d))
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", l2norm(col("v")))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))

@@ -28,10 +28,8 @@ object Dedup {
 
   /** doc_id, source, distinct 3-gram shingle set. */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("w", tokens(col("text")))
-      .withColumn("sh", shingles3("w"))
-      .select(col("doc_id"), col("source"), col("sh"))
+    Tables.parallel(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), shingles3(col("text")).as("sh"))
 
   /** Exact n-gram Jaccard pairs (≥ 0.8) within a `source` block.
     * O(block²) compares — correct at any SF but only tractable
@@ -56,28 +54,31 @@ object Dedup {
   /** MinHash signatures + LSH banding over the *whole* corpus, then
     * exact-Jaccard verification of the candidates — the standard
     * 100 TB near-dup pipeline:
-    *   1. explode shingles → (doc, shingle): one map-side pass;
-    *   2. 128 min-aggregates (partial-aggregatable, shuffle carries
-    *      128 longs per doc);
-    *   3. band → bucket join: only docs sharing a band bucket are
+    *   1. 128 minhashes per doc in ONE map-side projection over the
+    *      shingle array (no explode, no groupBy — signature building
+    *      is a zero-shuffle scan);
+    *   2. band → bucket join: only docs sharing a band bucket are
     *      compared (≈ pairs with J ≥ τ, P[miss] < 1e-7 at J=0.8 with
     *      32 bands × 4 rows);
-    *   4. exact verify on the candidate set only.
+    *   3. exact verify on the candidate set only.
     * Skew note: a pathological bucket (boilerplate) is bounded by
     * count and would be salted/capped in production; candidates are
     * deduped before verification. */
   private val minhashLsh: Q = (s, d) => {
     val sh = shingled(s, d).filter(size(col("sh")) > 0)
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val sigCols: Seq[Column] = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"s$i"))
-    val sigs = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val bands = sigs.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bb"))
+    // Map-side signatures: 128 minhashes per doc computed in one
+    // projection over the shingle array — no explode, no groupBy, so
+    // signature building is a zero-shuffle scan. The tiny signature
+    // relation (doc_id + 128 longs ≈ 1 KB/doc, independent of doc
+    // size) is cached because the LSH self-join consumes it twice;
+    // at 100 TB this cache is the thing worth keeping, never the text.
+    val sigs = sh.select(col("doc_id"), minhash128(col("sh")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, ${Bands - 1}), b -> named_struct(
+         |  'band', b,
+         |  'bh', xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))"""
+        .stripMargin)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val candidates = bands.alias("x")
       .join(bands.alias("y"),
@@ -102,9 +103,8 @@ object Dedup {
     * isn't reasonably SQL-expressible); OperatorSpec verifies against
     * a brute-force hamming join. */
   private val simhash: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .withColumn("w", tokens(col("text")))
-      .select(col("doc_id"), simhash64("w").as("sim"))
+    val docs = Tables.parallel(Tables.documents(s, d))
+      .select(col("doc_id"), simhash64("text").as("sim"))
     val bands = docs.select(col("doc_id"), col("sim"),
       explode(expr(
         """transform(sequence(0, 3), b ->
@@ -128,7 +128,7 @@ object Dedup {
     * `label` (the cluster/coarse-quantizer id — at 100 TB this is
     * the IVF cell). Norms precomputed once per vector. */
   private val embedding: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.parallel(Tables.embeddings(s, d))
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", l2norm(col("v")))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))

@@ -79,6 +79,8 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * `spark.sql.extensions` conf — the same wiring the reference uses
   * for Iceberg's extensions (consumer_emr_on_eks_setup.sh:440). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(FgacRule(_))
+    graft.functions.NativeExprs.registrations.foreach(e.injectFunction)
+  }
 }

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hashing/similarity hot loops.
+  *
+  * Spark's higher-order functions (`transform`, `aggregate`,
+  * `array_intersect`) are `CodegenFallback`: every lambda application
+  * is an interpreted expression-tree walk with per-element boxing. For
+  * the dedup kernels that means ~40 µs per hash — the MinHash
+  * signature stage alone (128 hashes × ~50 shingles × corpus) ran 37 s
+  * at sf0.1. These expressions do the same math in a tight JVM loop
+  * over the columnar `ArrayData` (no boxing, no per-element dispatch),
+  * which brings the kernels to scan speed; at 100 TB they are the
+  * difference between a CPU-bound cluster and an I/O-bound one.
+  *
+  * Registered under `graft_*` SQL names by [[graft.fgac.GraftExtensions]]
+  * (`injectFunction`), so they work from SQL and from
+  * `functions.call_function` alike.
+  */
+object NativeExprs {
+
+  @inline private def hashString(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** 128-wide MinHash signature of a distinct-string array: element k
+    * is min over the array of xxhash64(x, seed = k). One pass per
+    * element, all mins updated in registers. */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val e = arr.getUTF8String(i)
+          var k = 0
+          while (k < numHashes) {
+            val h = hashString(e, k)
+            if (h < mins(k)) mins(k) = h
+            k += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 64-bit SimHash of a token array: per bit, sum ±1 by the token
+    * hash's bit, take the sign. Single pass, 64 counters. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = hashString(arr.getUTF8String(i), 42L)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var sim = 0L
+      var j = 0
+      while (j < 64) {
+        if (counts(j) >= 0) sim |= (1L << j)
+        j += 1
+      }
+      sim
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Exact Jaccard similarity of two string arrays treated as sets.
+    * NaN when both are empty (matches `0/0` in double division, which
+    * the HOF formulation produced). */
+  case class JaccardSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaccard"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val xs = new java.util.HashSet[UTF8String](math.max(8, x.numElements() * 2))
+      var i = 0
+      while (i < x.numElements()) {
+        if (!x.isNullAt(i)) xs.add(x.getUTF8String(i))
+        i += 1
+      }
+      val ys = new java.util.HashSet[UTF8String](math.max(8, y.numElements() * 2))
+      var inter = 0
+      i = 0
+      while (i < y.numElements()) {
+        if (!y.isNullAt(i)) {
+          val e = y.getUTF8String(i)
+          if (ys.add(e) && xs.contains(e)) inter += 1
+        }
+        i += 1
+      }
+      val union = xs.size + ys.size - inter
+      inter.toDouble / union.toDouble // 0/0 => NaN, as before
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** Dot product of two double arrays, sequential accumulation (same
+    * IEEE evaluation order as the `aggregate(zip_with(...))` fold it
+    * replaces, so results are bit-identical). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[NativeExprs.type].getName, null, name, usage, "")
+
+  /** (identifier, info, builder) triples for
+    * `SparkSessionExtensions.injectFunction`. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (FunctionIdentifier("graft_minhash128"),
+      info("graft_minhash128", "128-wide MinHash signature of a string array"),
+      (args: Seq[Expression]) => MinHashSignature(args.head, 128)),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard", "exact Jaccard similarity of two string arrays"),
+      (args: Seq[Expression]) => JaccardSim(args(0), args(1))),
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "dot product of two double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+}

@@ -16,25 +16,37 @@ object TextFunctions {
   /** Whitespace tokens of the lowercased text. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Distinct word 3-gram shingles of the token-array column named
-    * `w`; empty for docs under 3 tokens. */
-  def shingles3(w: String): Column = expr(
-    s"""CASE WHEN size($w) >= 3 THEN
-       |  array_distinct(transform(sequence(0, size($w) - 3),
-       |    i -> concat($w[i], ' ', $w[i+1], ' ', $w[i+2])))
-       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+  /** Let-binding: evaluate `c` exactly once and hand it to `f` as a
+    * lambda variable. Without this, the optimizer inlines a computed
+    * column into every expression that references it — a projection
+    * `w = split(text)` referenced k times becomes k split() calls
+    * *per row* after CollapseProject / filter pushdown (measured 100×
+    * on the shingle pipeline). A lambda variable is bound once per
+    * row, so `transform(array(c), x -> f(x))[1]` is a safe `let`. */
+  def bind(c: Column, f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** Distinct word 3-gram shingles of `text`; empty for docs under 3
+    * tokens. Tokenization is bound once (see [[bind]]). */
+  def shingles3(text: Column): Column =
+    bind(tokens(text), w =>
+      when(size(w) >= 3,
+        array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+            element_at(w, i + 3)))))
+        .otherwise(array().cast("array<string>")))
 
   /** 64-bit SimHash over the token multiset: per bit, sum +1/-1 by
     * the token hash's bit, take the sign. Pure map-side (no shuffle);
-    * O(64·T) per doc inside whole-stage codegen. */
-  def simhash64(tokensCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 63), i ->
-       |    IF(aggregate(transform($tokensCol, t -> xxhash64(t)),
-       |         CAST(0 AS BIGINT),
-       |         (acc, h) -> acc + IF((shiftright(h, i) & 1) = 1, 1, -1)) >= 0,
-       |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-       |  CAST(0 AS BIGINT), (a, x) -> a | x)""".stripMargin)
+    * single native pass per doc ([[NativeExprs.SimHash64]]). */
+  def simhash64(textCol: String): Column =
+    call_function("graft_simhash64", tokens(col(textCol)))
+
+  /** 128-wide MinHash signature of a string-set array
+    * ([[NativeExprs.MinHashSignature]]): one native pass, no explode,
+    * no shuffle. */
+  def minhash128(shingleSet: Column): Column =
+    call_function("graft_minhash128", shingleSet)
 
   /** Polynomial rolling fingerprint of the full text, mod 1e9+7
     * (ANSI-safe: intermediate stays well under Long.MaxValue). */
@@ -52,16 +64,14 @@ object TextFunctions {
 
   /** Exact Jaccard similarity of two (distinct-element) arrays, as a
     * double — integer set sizes divided in double, so the value is
-    * bit-identical across engines. */
+    * bit-identical across engines ([[NativeExprs.JaccardSim]]). */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    call_function("graft_jaccard", a, b)
 
-  /** Dot product of two double arrays via a sequential fold (matches
-    * a scalar loop's evaluation order). */
+  /** Dot product of two double arrays, sequential accumulation
+    * ([[NativeExprs.DotProduct]] — same IEEE order as a scalar loop). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

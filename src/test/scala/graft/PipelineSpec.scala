@@ -14,8 +14,7 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute force over the whole corpus
     val sh = Tables.documents(spark, sf)
-      .withColumn("w", TextFunctions.tokens(col("text")))
-      .withColumn("sh", TextFunctions.shingles3("w"))
+      .withColumn("sh", TextFunctions.shingles3(col("text")))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
     val a = sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
@@ -32,8 +31,7 @@ class PipelineSpec extends AnyFunSuite {
     val banded = SparkEntry.queries("dedup_simhash")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = Tables.documents(spark, sf)
-      .withColumn("w", TextFunctions.tokens(col("text")))
-      .select(col("doc_id"), TextFunctions.simhash64("w").as("sim"))
+      .select(col("doc_id"), TextFunctions.simhash64("text").as("sim"))
     val a = docs.select($"doc_id".as("doc_a"), $"sim".as("sim_a"))
     val b = docs.select($"doc_id".as("doc_b"), $"sim".as("sim_b"))
     val brute = a.join(b, $"doc_a" < $"doc_b")
