@@ -33,15 +33,21 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs (≥ 0.8) within a `source` block.
     * O(block²) compares — correct at any SF but only tractable
-    * because blocks are bounded; the unblocked path is [[minhashLsh]]. */
+    * because blocks are bounded; the unblocked path is [[minhashLsh]].
+    * Shingles are xxhash64'd and sorted ONCE per document so the
+    * per-pair compare is a primitive merge walk
+    * ([[graft.functions.NativeExprs.JaccardSortedLong]]) — the pair
+    * count is the quadratic term, so per-pair cost is what matters. */
   private val ngramJaccard: Q = (s, d) => {
-    val sh = shingled(s, d)
+    val sh = shingled(s, d).select(col("doc_id"), col("source"),
+      array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("source"),
-      col("sh").as("sh_a"))
+      col("shh").as("shh_a"))
     val b = sh.select(col("doc_id").as("doc_b"),
-      col("source").as("source_b"), col("sh").as("sh_b"))
+      col("source").as("source_b"), col("shh").as("shh_b"))
     a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
-      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("j", call_function("graft_jaccard_sorted",
+        col("shh_a"), col("shh_b")))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("j"))
       .orderBy(col("doc_a"), col("doc_b"))

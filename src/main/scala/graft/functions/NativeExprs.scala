@@ -132,6 +132,39 @@ object NativeExprs {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** Jaccard similarity of two SORTED distinct long arrays via a
+    * merge walk — no hashing, no allocation per pair. Used for the
+    * O(block²) exact-Jaccard joins: shingles are hashed to 64-bit and
+    * sorted once per document, so the per-pair cost drops to ~|A|+|B|
+    * primitive compares. NaN when both are empty (0/0, as the HOF
+    * formulation produced). */
+  case class JaccardSortedLong(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaccard_sorted"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements()
+      val ny = y.numElements()
+      var i = 0
+      var j = 0
+      var inter = 0
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { inter += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      inter.toDouble / (nx + ny - inter).toDouble // 0/0 => NaN
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   /** Dot product of two double arrays, sequential accumulation (same
     * IEEE evaluation order as the `aggregate(zip_with(...))` fold it
     * replaces, so results are bit-identical). */
@@ -172,6 +205,10 @@ object NativeExprs {
     (FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", "exact Jaccard similarity of two string arrays"),
       (args: Seq[Expression]) => JaccardSim(args(0), args(1))),
+    (FunctionIdentifier("graft_jaccard_sorted"),
+      info("graft_jaccard_sorted",
+        "Jaccard similarity of two sorted distinct bigint arrays"),
+      (args: Seq[Expression]) => JaccardSortedLong(args(0), args(1))),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot", "dot product of two double arrays"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

@@ -58,9 +58,12 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** NOT EXISTS via left-anti. */
+  /** NOT EXISTS via left-anti: customers with no urgent order (the
+    * unfiltered variant is vacuously empty on this data — every
+    * customer has orders — so it wouldn't exercise the operator). */
   private val q5: Q = (s, d) => {
-    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
@@ -334,7 +337,9 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "q5_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q6_window" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
