@@ -18,7 +18,8 @@ object SparkEntry {
       dedup.Dedup.queries ++
       text.TextAnalysis.queries ++
       multimodal.Multimodal.queries ++
-      streaming.StreamingOps.queries
+      streaming.StreamingOps.queries ++
+      sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (see SURVEY.md §2
@@ -32,5 +33,6 @@ object SparkEntry {
       dedup.Dedup.oracles ++
       text.TextAnalysis.oracles ++
       multimodal.Multimodal.oracles ++
-      streaming.StreamingOps.oracles
+      streaming.StreamingOps.oracles ++
+      sources.Sources.oracles
 }

@@ -73,9 +73,59 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Batched "resize": every 4th byte of the payload survives — the
+    * STUB stands in for an image rescale kernel; the contract (binary
+    * in, binary out, size metadata in ordinary columns so downstream
+    * filters need not touch bytes) is the real design. */
+  private val resize: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val src: Dataset[(Long, Array[Byte])] = payloads(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
+        // --- STUB RESIZE (deterministic fake: 4x downsample) -------
+        val out = bytes.indices.collect { case i if i % 4 == 0 => bytes(i) }.toArray
+        // -----------------------------------------------------------
+        (id, bytes.length, out.length, out)
+      }
+    }.toDF("doc_id", "orig_bytes", "resized_bytes", "resized_payload")
+      .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: treat the payload as fixed-16-byte "frames" and
+    * keep every 4th — one output row per sampled frame (flat-mapped
+    * per partition, so a long video fans out without ever
+    * materializing all frames on the driver). */
+  private val framesample: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val FrameBytes = 16
+    val Stride = 4
+    val src: Dataset[(Long, Array[Byte])] = payloads(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { batch =>
+      batch.flatMap { case (id, bytes) =>
+        val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
+        (0 until nFrames by Stride).iterator.map { idx =>
+          // --- STUB FRAME DECODE (length-only fake) ----------------
+          val len = math.min(FrameBytes, bytes.length - idx * FrameBytes)
+          // ---------------------------------------------------------
+          (id, idx, len)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_len")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_metadata" -> metadata,
-    "mm_features" -> features)
+    "mm_features" -> features,
+    "mm_resize" -> resize,
+    "mm_framesample" -> framesample)
 
   val oracles: Map[String, String] = Map(
     // independent reconstruction of the payload contract
@@ -84,5 +134,21 @@ object Multimodal {
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
         |   WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
         | CAST(octet_length(encode(text)) + 4 AS INT) AS payload_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the 4x-downsample size contract, reconstructed arithmetically
+    "mm_resize" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) + 4 AS INT) AS orig_bytes,
+        | CAST(ceil((octet_length(encode(text)) + 4) / 4.0) AS INT) AS resized_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // every 4th 16-byte frame; the trailing frame is short
+    "mm_framesample" ->
+      """WITH p AS (SELECT doc_id, octet_length(encode(text)) + 4 AS nb
+        |           FROM documents),
+        |f AS (SELECT doc_id, nb,
+        |        unnest(range(0, CAST(ceil(nb / 16.0) AS INT), 4)) AS frame_idx
+        |      FROM p)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(least(16, nb - frame_idx * 16) AS INT) AS frame_len
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
 }

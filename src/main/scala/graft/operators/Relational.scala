@@ -303,6 +303,21 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Salted skew join (see [[SkewJoin]]): lineitem ⋈ orders with the
+    * hot-key spread over 8 salts. Result is identical to the plain
+    * join — the salt changes only the physical row routing. */
+  private val q23: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    SkewJoin.salted(
+      big = li, bigKey = "l_orderkey",
+      bigUnique = col("l_orderkey") * 8 + col("l_linenumber"),
+      small = o, smallKey = "o_orderkey", numSalts = 8)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q2_join_filter" -> q2, "q3_broadcast_join" -> q3,
     "q4_semi_join" -> q4, "q5_anti_join" -> q5, "q6_window" -> q6,
@@ -313,7 +328,7 @@ object Relational {
     "q16_string_funcs" -> q16, "q17_date_funcs" -> q17,
     "q18_having" -> q18, "q19_asof_join" -> q19,
     "q20_range_join" -> q20, "q21_grouping_sets" -> q21,
-    "q22_approx_distinct" -> q22)
+    "q22_approx_distinct" -> q22, "q23_salted_join" -> q23)
 
   val oracles: Map[String, String] = Map(
     "q2_join_filter" ->
@@ -451,5 +466,10 @@ object Relational {
         | count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q23_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | o_custkey, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.Registry.Q
+import graft.Tables
+
+/** Ingest/egress layer (SURVEY.md §2 "Sources & sinks").
+  *
+  * The reference lands data into its lakehouse via SQL INSERTs over
+  * files (producer_iceberg_datalake_setup.sh:118-150); a user of the
+  * engine additionally needs file-format ingest and partitioned
+  * egress. Rules that hold at 100 TB:
+  *
+  *  - **Schema is always explicit.** `inferSchema` is a full extra
+  *    pass over the data before the real read; at scale that doubles
+  *    the scan bill. Readers here take a `StructType` (or derive it
+  *    from a reference table once, driver-side).
+  *  - **CSV/JSON are ingest formats, not storage formats.** They are
+  *    row-oriented and unsplittable when compressed with gzip; the
+  *    roundtrip queries exist to prove lossless ingest, after which
+  *    data lives in parquet (columnar, splittable, stats-bearing).
+  *  - **Egress is partitioned.** `writePartitioned` lays out
+  *    `col=value/` directories so downstream scans prune partitions
+  *    (the reference's Iceberg tables are partitioned the same way —
+  *    producer_iceberg_datalake_setup.sh:130).
+  */
+object Sources {
+
+  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").csv(path)
+
+  def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Hive-style partitioned parquet: one directory per partition
+    * value; readers prune directories before touching any file. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString
+
+  /** customer → CSV → back, schema-enforced: proves lossless text
+    * ingest (Spark writes doubles in shortest-round-trip form). */
+  private val csvRoundtrip: Q = (s, d) => {
+    val customer = Tables.customer(s, d)
+    val dir = tmp("src_csv")
+    writeCsv(customer, dir)
+    readCsv(s, dir, customer.schema).orderBy("c_custkey")
+  }
+
+  /** orders → JSONL → back (timestamps survive at second granularity,
+    * which this corpus uses; sub-second media would move via parquet). */
+  private val jsonRoundtrip: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val dir = tmp("src_json")
+    writeJsonl(orders, dir)
+    readJsonl(s, dir, orders.schema).orderBy("o_orderkey")
+  }
+
+  /** orders → parquet partitioned by o_orderstatus → filtered read.
+    * The filter on the partition column is answered from directory
+    * names alone (PartitionFilters in the scan; SourcesSpec asserts
+    * no data files outside the matching partition are listed). */
+  private val partitionedSink: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val dir = tmp("src_part")
+    writePartitioned(orders, dir, Seq("o_orderstatus"))
+    s.read.parquet(dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(orders.columns.map(col): _*) // restore original column order
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "src_csv_roundtrip" -> csvRoundtrip,
+    "src_json_roundtrip" -> jsonRoundtrip,
+    "src_partitioned_sink" -> partitionedSink)
+
+  val oracles: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+    "src_json_roundtrip" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
+    "src_partitioned_sink" ->
+      "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey")
+}

@@ -60,6 +60,27 @@ object StreamingOps {
         window(col("ts"), "5 minutes").getField("start").as("w_start"))
       .distinct()
 
+  /** Stream-stream join: each purchase matched to the same user's
+    * clicks in the preceding hour (click attribution). The time-range
+    * predicate is what makes this watermark-boundable in streaming —
+    * state for a click can be dropped once the watermark passes
+    * `c_ts + 1 hour`. `purchases`/`clicks` may be batch frames or two
+    * `readStream`s with watermarks (StreamingSpec runs both). */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"),
+      col("user_id").as("p_uid"), col("ts").as("p_ts"))
+    val c = clicks.select(col("event_id").as("c_id"),
+      col("user_id").as("c_uid"), col("ts").as("c_ts"))
+    p.join(c, col("p_uid") === col("c_uid") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") < col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_uid").as("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
+  private def byType(events: DataFrame, t: String): DataFrame =
+    events.filter(col("event_type") === t)
+
   private val windowAggQ: Q = (s, d) =>
     windowAgg(Tables.events(s, d))
       .orderBy(col("w_start"), col("event_type"))
@@ -72,10 +93,17 @@ object StreamingOps {
     dedupBatch(Tables.events(s, d))
       .orderBy(col("user_id"), col("event_type"), col("w_start"))
 
+  private val joinQ: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    clickAttribution(byType(e, "purchase"), byType(e, "click"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_window_agg" -> windowAggQ,
     "stream_sessionize" -> sessionizeQ,
-    "stream_dedup_state" -> dedupQ)
+    "stream_dedup_state" -> dedupQ,
+    "stream_join" -> joinQ)
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" ->
@@ -104,5 +132,15 @@ object StreamingOps {
     "stream_dedup_state" ->
       """SELECT DISTINCT user_id, event_type,
         | time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start
-        |FROM events ORDER BY user_id, event_type, w_start""".stripMargin)
+        |FROM events ORDER BY user_id, event_type, w_start""".stripMargin,
+    "stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        | p.user_id AS user_id,
+        | CAST(p.ts AS TIMESTAMP) AS p_ts, CAST(c.ts AS TIMESTAMP) AS c_ts
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        | AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+        |ORDER BY p_id, c_id""".stripMargin)
 }

@@ -113,6 +113,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("stream-stream join (click attribution) agrees with batch") {
+    val p = streamEvents.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+    val c = streamEvents.filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+    val q = streaming.StreamingOps.clickAttribution(p, c)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("join_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("join_out")
+    val be = Tables.events(spark, sf)
+    val batch = streaming.StreamingOps.clickAttribution(
+      be.filter(col("event_type") === "purchase"),
+      be.filter(col("event_type") === "click"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
   test("streaming dedup (dropDuplicates) agrees with batch distinct") {
     val deduped = streamEvents
       .select(col("user_id"), col("event_type"),
