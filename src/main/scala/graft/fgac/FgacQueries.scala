@@ -51,7 +51,12 @@ object FgacQueries {
     Principal("consumer",
       grants = Map("customer" ->
         TablePolicy("customer", rowFilter = Some(RowFilter))),
-      links = Map("rl_customer" -> "customer"))
+      links = Map("rl_customer" -> "customer")),
+    // LF-Tags model: granted on the "pii" tag, not on any table name;
+    // covers every table carrying the tag (here: customer).
+    Principal("tag_analyst", tagGrants = Map(
+      "pii" -> TablePolicy("", rowFilter = Some(RowFilter),
+        masks = Map("c_acctbal" -> "CAST(-1.0 AS DOUBLE)"))))
   )
 
   /** Register governed tables + principals (idempotent per session).
@@ -65,6 +70,7 @@ object FgacQueries {
     orders.createOrReplaceTempView(SecureCatalog.rawViewName("orders"))
     SecureCatalog.governTable("customer", customer.columns.toIndexedSeq)
     SecureCatalog.governTable("orders", orders.columns.toIndexedSeq)
+    SecureCatalog.tagTable("customer", Set("pii"))
     principals.foreach(SecureCatalog.register)
   }
 
@@ -119,7 +125,8 @@ object FgacQueries {
     "fgac_join"          -> governedSql("team1", joinSql),
     "fgac_deny"          -> deny,
     "fgac_resource_link" -> governedSql("consumer",
-      "SELECT * FROM rl_customer ORDER BY c_custkey")
+      "SELECT * FROM rl_customer ORDER BY c_custkey"),
+    "fgac_tag_policy"    -> governedSql("tag_analyst", fullScan)
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,6 +148,10 @@ object FgacQueries {
          |  ON c.o_custkey = p.c_custkey
          |ORDER BY p.c_mktsegment, c.o_orderdate, c.o_orderkey""".stripMargin,
     "fgac_resource_link" ->
-      s"SELECT * FROM customer WHERE $RowFilter ORDER BY c_custkey"
+      s"SELECT * FROM customer WHERE $RowFilter ORDER BY c_custkey",
+    "fgac_tag_policy" ->
+      s"""SELECT c_custkey, c_name, c_nationkey,
+         | CAST(-1.0 AS DOUBLE) AS c_acctbal, c_mktsegment
+         |FROM customer WHERE $RowFilter ORDER BY c_custkey""".stripMargin
   )
 }

@@ -40,7 +40,12 @@ final case class Principal(
     /** table name -> policy. Absence of a governed table here = deny. */
     grants: Map[String, TablePolicy] = Map.empty,
     /** resource-link name -> governed table name. */
-    links: Map[String, String] = Map.empty)
+    links: Map[String, String] = Map.empty,
+    /** tag -> policy: the LF-Tags model — grant once by tag, every
+      * table carrying the tag is covered. A direct table grant wins
+      * over a tag grant (most-specific). The policy's `table` field
+      * is rebound to the concrete table at authorization time. */
+    tagGrants: Map[String, TablePolicy] = Map.empty)
 
 /** Deny-by-default violation (team2 querying patients in the ref). */
 final class AccessDeniedException(msg: String)
@@ -66,12 +71,18 @@ object SecureCatalog {
     new java.util.concurrent.ConcurrentHashMap[String, String]() // link -> table
   private val principals =
     new java.util.concurrent.ConcurrentHashMap[String, Principal]()
+  private val tableTags =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]() // table -> tags
 
   def governTable(name: String, columns: Seq[String]): Unit =
     governed.put(name.toLowerCase, columns)
   def isGoverned(name: String): Boolean = governed.containsKey(name.toLowerCase)
   def columnsOf(name: String): Seq[String] =
     Option(governed.get(name.toLowerCase)).getOrElse(Seq.empty)
+  def tagTable(name: String, tags: Set[String]): Unit =
+    tableTags.put(name.toLowerCase, tags)
+  def tagsOf(name: String): Set[String] =
+    Option(tableTags.get(name.toLowerCase)).getOrElse(Set.empty)
   def register(p: Principal): Unit = {
     principals.put(p.name, p)
     p.links.foreach { case (l, t) => links.put(l.toLowerCase, t.toLowerCase) }
@@ -95,8 +106,13 @@ object SecureCatalog {
       throw new AccessDeniedException(s"unknown principal '$principalName'"))
     val target = resolveLink(relName)
     if (!isGoverned(target)) None
-    else Some(p.grants.getOrElse(target,
-      throw new AccessDeniedException(
-        s"principal '${p.name}' has no SELECT grant on governed table '$target'")))
+    else p.grants.get(target)
+      .orElse(
+        // tag grants, most specific first is table grant (above);
+        // among tags, deterministic by tag name
+        tagsOf(target).toSeq.sorted.flatMap(p.tagGrants.get).headOption
+          .map(_.copy(table = target)))
+      .orElse(throw new AccessDeniedException(
+        s"principal '${p.name}' has no SELECT grant on governed table '$target'"))
   }
 }

@@ -13,7 +13,8 @@ final case class Snapshot(
     parent: Long,
     op: String,
     schema: StructType,
-    files: Seq[String])
+    files: Seq[String],
+    partitionCols: Seq[String] = Nil)
 
 /** Iceberg-equivalent lakehouse table format on plain parquet
   * (ref: the governed Iceberg tables the sample provisions in
@@ -78,17 +79,33 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       parent = one("parent").toLong,
       op = one("op"),
       schema = DataType.fromJson(one("schema")).asInstanceOf[StructType],
-      files = kv.collect { case ("file", v) => v })
+      files = kv.collect { case ("file", v) => v },
+      partitionCols = kv.collectFirst { case ("partcols", v) => v }
+        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
   }
 
   def currentSnapshot: Snapshot = snapshot(currentSnapshotId)
 
-  private def commit(op: String, schema: StructType, files: Seq[String]): Long = {
+  /** All live snapshots, oldest first. */
+  def snapshots: Seq[Snapshot] =
+    if (!fs.exists(metaDir)) Nil
+    else fs.listStatus(metaDir)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("snap-") && n.endsWith(".meta") =>
+        n.stripPrefix("snap-").stripSuffix(".meta").toLong
+      }
+      .sorted
+      .map(snapshot)
+      .toSeq
+
+  private def commit(op: String, schema: StructType, files: Seq[String],
+      partitionCols: Seq[String] = Nil): Long = {
     val id = currentSnapshotId + 1
     val body = new StringBuilder
     body ++= s"parent=${id - 1}\n"
     body ++= s"op=$op\n"
     body ++= s"schema=${schema.json}\n"
+    body ++= s"partcols=${partitionCols.mkString(",")}\n"
     files.foreach(f => body ++= s"file=$f\n")
     val tmp = new Path(metaDir, f"snap-$id%05d.meta.tmp")
     val out = fs.create(tmp, true)
@@ -107,13 +124,46 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * added surface NULL for it (parquet reads are by-name). */
   def readAt(id: Long): DataFrame = {
     val snap = snapshot(id)
-    readFiles(snap.schema, snap.files)
+    readFiles(snap.schema, snap.files, snap.partitionCols)
   }
 
-  private def readFiles(schema: StructType, files: Seq[String]): DataFrame =
+  /** Partition-pruned read: keep only data files whose hive-style
+    * path carries `partCol=v` for some `v` in `values`. The pruning
+    * decision is made on the manifest alone — O(#files) driver-side,
+    * no storage listing, no file opens — which is the Iceberg-style
+    * metadata win this format exists for: at 100 TB a query for one
+    * partition reads that partition, not the directory tree. */
+  def readPruned(partCol: String, values: Set[String]): DataFrame = {
+    val snap = currentSnapshot
+    require(snap.partitionCols.contains(partCol),
+      s"$partCol is not a partition column of ${snap.partitionCols}")
+    val wanted = values.map(v => s"$partCol=$v")
+    val kept = snap.files.filter(f =>
+      new Path(f).toUri.getPath.split("/").exists(wanted.contains))
+    readFiles(snap.schema, kept, snap.partitionCols)
+  }
+
+  private def readFiles(schema: StructType, files: Seq[String],
+      partitionCols: Seq[String] = Nil): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else if (partitionCols.isEmpty)
+      spark.read.schema(schema).parquet(files: _*)
+    else {
+      // Partition values live in the directory names under each
+      // commit dir; `basePath` must be the commit dir for Spark to
+      // reconstitute them, so group files per commit and union.
+      files.groupBy(commitDirOf).toSeq.sortBy(_._1).map { case (base, fs) =>
+        spark.read.option("basePath", base).schema(schema).parquet(fs: _*)
+      }.reduce(_.unionByName(_))
+    }
+
+  private def commitDirOf(file: String): String = {
+    var p = new Path(file).getParent
+    while (p != null && !p.getName.startsWith("commit-")) p = p.getParent
+    require(p != null, s"file outside a commit dir: $file")
+    p.toString
+  }
 
   /** Incremental read: rows in data files added after `fromId` up to
     * and including `toId` (append-style commits; a CDC feed over
@@ -121,28 +171,36 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def incrementalRead(fromId: Long, toId: Long): DataFrame = {
     val from = snapshot(fromId).files.toSet
     val to = snapshot(toId)
-    readFiles(to.schema, to.files.filterNot(from))
+    readFiles(to.schema, to.files.filterNot(from), to.partitionCols)
   }
 
   // ---- writes ------------------------------------------------------
 
-  private def writeData(df: DataFrame, commitId: Long): Seq[String] = {
+  private def writeData(df: DataFrame, commitId: Long,
+      partitionCols: Seq[String] = Nil): Seq[String] = {
     val dir = new Path(root, f"data/commit-$commitId%05d")
-    df.write.mode("overwrite").parquet(dir.toString)
-    fs.listStatus(dir)
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .map(_.toString)
-      .sorted
-      .toSeq
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dir.toString)
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        out += p.toString
+    }
+    out.result().sorted
   }
 
-  def append(df: DataFrame): Long = {
+  def append(df: DataFrame): Long = append(df, Nil)
+
+  private[lakehouse] def append(df: DataFrame, createPartitionCols: Seq[String]): Long = {
     val snap = if (currentSnapshotId == 0) None else Some(currentSnapshot)
     val schema = snap.map(_.schema).getOrElse(df.schema)
+    val parts = snap.map(_.partitionCols).getOrElse(createPartitionCols)
     val id = currentSnapshotId + 1
-    val files = writeData(df.select(schema.fieldNames.map(col): _*), id)
-    commit("append", schema, snap.map(_.files).getOrElse(Nil) ++ files)
+    val files = writeData(df.select(schema.fieldNames.map(col): _*), id, parts)
+    commit("append", schema, snap.map(_.files).getOrElse(Nil) ++ files, parts)
   }
 
   /** Append rows whose schema adds columns: the table schema evolves
@@ -153,13 +211,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val added = df.schema.fields.filterNot(f => snap.schema.fieldNames.contains(f.name))
     val schema = StructType(snap.schema.fields ++ added.map(_.copy(nullable = true)))
     val id = currentSnapshotId + 1
-    val files = writeData(df, id)
-    commit("append", schema, snap.files ++ files)
+    val files = writeData(df, id, snap.partitionCols)
+    commit("append", schema, snap.files ++ files, snap.partitionCols)
   }
 
   def overwrite(df: DataFrame): Long = {
+    val snap = currentSnapshot
     val id = currentSnapshotId + 1
-    commit("overwrite", df.schema, writeData(df, id))
+    commit("overwrite", df.schema,
+      writeData(df, id, snap.partitionCols), snap.partitionCols)
   }
 
   // ---- copy-on-write DML -------------------------------------------
@@ -172,7 +232,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * (Iceberg prunes with manifest min/max stats first; the scan here
     * is the exact fallback and still reads only the scanned columns.) */
   private def affectedFiles(snap: Snapshot, hit: DataFrame => DataFrame): Set[String] =
-    hit(readFiles(snap.schema, snap.files).withColumn("_graft_file", input_file_name()))
+    hit(readFiles(snap.schema, snap.files, snap.partitionCols)
+      .withColumn("_graft_file", input_file_name()))
       .select("_graft_file")
       .distinct()
       .collect()
@@ -190,8 +251,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val id = currentSnapshotId + 1
     val newFiles =
       if (rewrite.isEmpty) Nil
-      else writeData(readFiles(snap.schema, rewrite).filter(not(p)), id)
-    commit("delete", snap.schema, keep ++ newFiles)
+      else writeData(
+        readFiles(snap.schema, rewrite, snap.partitionCols).filter(not(p)),
+        id, snap.partitionCols)
+    commit("delete", snap.schema, keep ++ newFiles, snap.partitionCols)
   }
 
   /** UPDATE t SET col = expr, ... WHERE pred (copy-on-write). */
@@ -203,16 +266,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val newFiles =
       if (rewrite.isEmpty) Nil
       else {
-        val updated = readFiles(snap.schema, rewrite).select(
+        val updated = readFiles(snap.schema, rewrite, snap.partitionCols).select(
           snap.schema.fieldNames.map { c =>
             assignments.get(c) match {
               case Some(e) => when(p, expr(e)).otherwise(col(c)).cast(snap.schema(c).dataType).as(c)
               case None    => col(c)
             }
           }: _*)
-        writeData(updated, id)
+        writeData(updated, id, snap.partitionCols)
       }
-    commit("update", snap.schema, keep ++ newFiles)
+    commit("update", snap.schema, keep ++ newFiles, snap.partitionCols)
   }
 
   /** MERGE INTO t USING source ON t.key = s.key
@@ -239,7 +302,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val updated =
       if (rewrite.isEmpty) None
       else Some(
-        readFiles(snap.schema, rewrite)
+        readFiles(snap.schema, rewrite, snap.partitionCols)
           .join(marked, Seq(key), "left")
           .select(cols.map { c =>
             if (c == key) col(c)
@@ -247,10 +310,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
               .otherwise(col(c)).as(c)
           }: _*))
     val inserted = source
-      .join(readFiles(snap.schema, snap.files).select(key), Seq(key), "left_anti")
+      .join(readFiles(snap.schema, snap.files, snap.partitionCols)
+        .select(key), Seq(key), "left_anti")
       .select(cols.map(col): _*)
     val newData = updated.map(_.unionByName(inserted)).getOrElse(inserted)
-    commit("merge", snap.schema, keep ++ writeData(newData, id))
+    commit("merge", snap.schema,
+      keep ++ writeData(newData, id, snap.partitionCols), snap.partitionCols)
   }
 
   /** Small-file compaction: rewrite the whole file set into
@@ -261,16 +326,41 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val snap = currentSnapshot
     val id = currentSnapshotId + 1
     commit("compact", snap.schema,
-      writeData(readFiles(snap.schema, snap.files).repartition(numFiles), id))
+      writeData(
+        readFiles(snap.schema, snap.files, snap.partitionCols)
+          .repartition(numFiles),
+        id, snap.partitionCols),
+      snap.partitionCols)
+  }
+
+  /** Expire all snapshots but the newest `keepLast`, physically
+    * deleting data files no surviving snapshot references (Iceberg's
+    * `expireSnapshots` — the operation that keeps time travel from
+    * meaning infinite storage). */
+  def expireSnapshots(keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val current = currentSnapshotId
+    val cutoff = current - keepLast + 1
+    if (cutoff <= 1) return
+    val keepIds = (cutoff to current).toSeq
+    val live = keepIds.flatMap(snapshot(_).files).toSet
+    (1L until cutoff).foreach { id =>
+      snapshot(id).files.filterNot(live).foreach { f =>
+        fs.delete(new Path(f), false)
+      }
+      fs.delete(snapPath(id), false)
+    }
   }
 }
 
 object GraftTable {
-  /** Create a new table at `root` seeded with `df` (snapshot 1). */
-  def create(spark: SparkSession, root: String, df: DataFrame): GraftTable = {
+  /** Create a new table at `root` seeded with `df` (snapshot 1),
+    * optionally hive-partitioned by `partitionBy`. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): GraftTable = {
     val t = new GraftTable(spark, root)
     require(t.currentSnapshotId == 0, s"table already exists at $root")
-    t.append(df)
+    t.append(df, partitionBy)
     t
   }
 

@@ -97,6 +97,31 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Hive-partitioned table; the read for one status touches only
+    * that partition's files — pruned on the manifest alone. */
+  private val partitioned: Q = (s, dir) => {
+    val t = GraftTable.create(s, tmp("lake_part"), Tables.orders(s, dir),
+      partitionBy = Seq("o_orderstatus"))
+    val pruned = t.readPruned("o_orderstatus", Set("F"))
+    require(pruned.inputFiles.length < t.currentSnapshot.files.size,
+      "pruned read must touch a strict subset of data files")
+    pruned.select(Tables.orders(s, dir).columns.map(col): _*)
+      .orderBy("o_orderkey")
+  }
+
+  /** Three snapshots, expire to the latest: data intact, history and
+    * orphaned files physically gone. */
+  private val expire: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_exp"),
+      orders.filter(col("o_orderkey") % 3 === 0))
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))
+    t.delete("o_orderkey % 3 = 0")
+    t.expireSnapshots(keepLast = 1)
+    require(t.snapshots.map(_.id) == Seq(3L), "history must be expired")
+    t.read().orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "lake_merge"            -> merge,
     "lake_delete"           -> delete,
@@ -104,7 +129,9 @@ object LakeQueries {
     "lake_time_travel"      -> timeTravel,
     "lake_schema_evolution" -> schemaEvolution,
     "lake_incremental"      -> incremental,
-    "lake_compaction"       -> compaction
+    "lake_compaction"       -> compaction,
+    "lake_partitioned"      -> partitioned,
+    "lake_expire"           -> expire
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +173,10 @@ object LakeQueries {
     "lake_incremental" ->
       "SELECT * FROM orders WHERE o_orderkey % 3 = 2 ORDER BY o_orderkey",
     "lake_compaction" ->
-      "SELECT * FROM orders ORDER BY o_orderkey"
+      "SELECT * FROM orders ORDER BY o_orderkey",
+    "lake_partitioned" ->
+      "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
+    "lake_expire" ->
+      "SELECT * FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey"
   )
 }

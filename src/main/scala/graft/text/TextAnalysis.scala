@@ -12,14 +12,17 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
-  /** Token counting: whitespace tokens + a byte-level BPE-ish
-    * estimate (chars/4, the usual LLM rule of thumb). */
+  /** Token counting: whitespace tokens, a BPE-ish regex segmentation
+    * (word runs and single punctuation marks — the pre-tokenizer shape
+    * GPT-style BPEs use), and the chars/4 rule-of-thumb estimate. */
   private val tokensQ: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("w", tokens(col("text")))
       .select(
         col("doc_id"),
         size(col("w")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))
+          .as("n_re_tokens"),
         length(col("text")).as("n_chars_obs"),
         ceil(length(col("text")) / 4.0).cast("int").as("est_bpe_tokens"))
       .orderBy(col("doc_id"))
@@ -101,6 +104,7 @@ object TextAnalysis {
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(lower(text), ' ')) AS INT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_re_tokens,
         | CAST(length(text) AS INT) AS n_chars_obs,
         | CAST(ceil(length(text) / 4.0) AS INT) AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,

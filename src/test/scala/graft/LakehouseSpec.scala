@@ -77,6 +77,37 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().count() == 5)
   }
 
+  test("partitioned table prunes by manifest and DML preserves partitioning") {
+    val df = Seq((1L, "F", 1.0), (2L, "O", 2.0), (3L, "F", 3.0), (4L, "P", 4.0))
+      .toDF("k", "status", "v")
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_part").toString, df,
+      partitionBy = Seq("status"))
+    val pruned = t.readPruned("status", Set("F"))
+    assert(pruned.select("k").as[Long].collect().sorted.sameElements(Array(1L, 3L)))
+    assert(pruned.inputFiles.length < t.currentSnapshot.files.size)
+    // copy-on-write DML keeps the hive layout
+    t.delete("k = 3")
+    assert(t.currentSnapshot.partitionCols == Seq("status"))
+    assert(t.readPruned("status", Set("F")).select("k").as[Long].collect()
+      .sameElements(Array(1L)))
+    assert(t.read().count() == 3)
+  }
+
+  test("expireSnapshots drops history and orphaned files, keeps data") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))
+    t.overwrite(Seq((9L, "z", 9.0)).toDF("k", "tag", "v"))
+    val orphans = t.snapshot(1).files
+    t.expireSnapshots(keepLast = 1)
+    assert(t.snapshots.map(_.id) == Seq(3L))
+    assert(t.read().select("k").as[Long].collect().sameElements(Array(9L)))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    orphans.foreach(f =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(f)), s"orphan survived: $f"))
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
