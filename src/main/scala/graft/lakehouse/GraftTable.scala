@@ -333,6 +333,32 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       snap.partitionCols)
   }
 
+  /** Dynamic partition overwrite (Iceberg's `REPLACE WHERE` /
+    * Spark's `partitionOverwriteMode=dynamic`): replace exactly the
+    * partitions present in `df`, carry every other partition's files
+    * forward by reference. The replaced-partition set is discovered
+    * from `df` itself with one distinct on the (tiny) partition
+    * columns. Partition values must be hive-path-representable
+    * (string/integral — true of any sane partition scheme). */
+  def overwritePartitions(df: DataFrame): Long = {
+    val snap = currentSnapshot
+    require(snap.partitionCols.nonEmpty, "table is not partitioned")
+    val parts = snap.partitionCols
+    val replaced: Set[Seq[String]] = df.select(parts.map(col): _*)
+      .distinct().collect()
+      .map(r => parts.indices.map(i => s"${parts(i)}=${r.get(i)}"))
+      .toSet
+    val keep = snap.files.filterNot { f =>
+      val segs = new Path(f).toUri.getPath.split("/").toSet
+      replaced.exists(_.forall(segs.contains))
+    }
+    val id = currentSnapshotId + 1
+    commit("overwrite_partitions", snap.schema,
+      keep ++ writeData(df.select(snap.schema.fieldNames.map(col): _*),
+        id, parts),
+      parts)
+  }
+
   /** Expire all snapshots but the newest `keepLast`, physically
     * deleting data files no surviving snapshot references (Iceberg's
     * `expireSnapshots` — the operation that keeps time travel from

@@ -109,6 +109,22 @@ object LakeQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Dynamic partition overwrite: rewrite only the 'F' partition
+    * (prices doubled), other partitions carried forward untouched. */
+  private val overwritePartition: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_dpo"), orders,
+      partitionBy = Seq("o_orderstatus"))
+    val before = t.currentSnapshot.files.toSet
+    t.overwritePartitions(
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0))
+    val after = t.currentSnapshot.files.toSet
+    require((before intersect after).nonEmpty,
+      "untouched partitions must carry forward by reference")
+    t.read().select(orders.columns.map(col): _*).orderBy("o_orderkey")
+  }
+
   /** Three snapshots, expire to the latest: data intact, history and
     * orphaned files physically gone. */
   private val expire: Q = (s, dir) => {
@@ -131,7 +147,8 @@ object LakeQueries {
     "lake_incremental"      -> incremental,
     "lake_compaction"       -> compaction,
     "lake_partitioned"      -> partitioned,
-    "lake_expire"           -> expire
+    "lake_expire"           -> expire,
+    "lake_overwrite_partition" -> overwritePartition
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,6 +194,12 @@ object LakeQueries {
     "lake_partitioned" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
     "lake_expire" ->
-      "SELECT * FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey"
+      "SELECT * FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey",
+    "lake_overwrite_partition" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        | o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

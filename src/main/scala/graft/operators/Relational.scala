@@ -303,6 +303,20 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** PIVOT: order counts per priority × status. The pivot values are
+    * given explicitly — at scale an unlisted pivot needs a separate
+    * distinct pass first, so production pivots always enumerate. */
+  private val q24: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
   /** Salted skew join (see [[SkewJoin]]): lineitem ⋈ orders with the
     * hot-key spread over 8 salts. Result is identical to the plain
     * join — the salt changes only the physical row routing. */
@@ -328,7 +342,8 @@ object Relational {
     "q16_string_funcs" -> q16, "q17_date_funcs" -> q17,
     "q18_having" -> q18, "q19_asof_join" -> q19,
     "q20_range_join" -> q20, "q21_grouping_sets" -> q21,
-    "q22_approx_distinct" -> q22, "q23_salted_join" -> q23)
+    "q22_approx_distinct" -> q22, "q23_salted_join" -> q23,
+    "q24_pivot" -> q24)
 
   val oracles: Map[String, String] = Map(
     "q2_join_filter" ->
@@ -471,5 +486,12 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | o_custkey, o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q24_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        | COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        | COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }

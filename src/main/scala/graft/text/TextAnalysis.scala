@@ -94,11 +94,28 @@ object TextAnalysis {
         minWindowHash("text").as("min_window_hash"))
       .orderBy(col("doc_id"))
 
+  /** Denylist-term redaction — the PII-scrub shape (regex match →
+    * replace → count), exercised with terms that exist in this corpus
+    * since it contains no digits/emails. Pure map-side; at 100 TB it
+    * runs at scan speed and the regex compiles once per codegen'd
+    * task, not per row. */
+  private val redact: Q = (s, d) => {
+    val pattern = "\\b(customer|key)\\b"
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_replace(col("text"), pattern, "[REDACTED]").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+          .as("n_redactions"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> tokensQ,
     "text_quality" -> quality,
     "text_langid" -> langid,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_redact" -> redact)
 
   val oracles: Map[String, String] = Map(
     "text_tokens" ->
@@ -120,6 +137,12 @@ object TextAnalysis {
         | CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 +
         |   least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 AS quality_score
         |FROM x ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(text, '\b(customer|key)\b', '[REDACTED]', 'g') AS redacted,
+        | CAST(len(regexp_extract_all(text, '\b(customer|key)\b')) AS INT)
+        |   AS n_redactions
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" -> {
       val langs = LangMarkers.map(_._1)
       val counts = LangMarkers.map { case (lang, words) =>
