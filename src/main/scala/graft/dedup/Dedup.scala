@@ -26,10 +26,13 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"), col("content_md5"))
       .orderBy(col("keep_id"))
 
-  /** doc_id, source, distinct 3-gram shingle set. */
+  /** doc_id, source, sorted distinct hashed 3-gram shingle set —
+    * one native pass over the text ([[graft.functions.NativeExprs.ShingleHashes]]);
+    * shingle strings are never materialized. */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.parallel(Tables.documents(s, d))
-      .select(col("doc_id"), col("source"), shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), col("source"),
+        call_function("graft_shingle_hashes", col("text")).as("sh"))
 
   /** Exact n-gram Jaccard pairs (≥ 0.8) within a `source` block.
     * O(block²) compares — correct at any SF but only tractable
@@ -39,12 +42,11 @@ object Dedup {
     * ([[graft.functions.NativeExprs.JaccardSortedLong]]) — the pair
     * count is the quadratic term, so per-pair cost is what matters. */
   private val ngramJaccard: Q = (s, d) => {
-    val sh = shingled(s, d).select(col("doc_id"), col("source"),
-      array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"))
+    val sh = shingled(s, d)
     val a = sh.select(col("doc_id").as("doc_a"), col("source"),
-      col("shh").as("shh_a"))
+      col("sh").as("shh_a"))
     val b = sh.select(col("doc_id").as("doc_b"),
-      col("source").as("source_b"), col("shh").as("shh_b"))
+      col("source").as("source_b"), col("sh").as("shh_b"))
     a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
       .withColumn("j", call_function("graft_jaccard_sorted",
         col("shh_a"), col("shh_b")))
@@ -78,7 +80,8 @@ object Dedup {
     // relation (doc_id + 128 longs ≈ 1 KB/doc, independent of doc
     // size) is cached because the LSH self-join consumes it twice;
     // at 100 TB this cache is the thing worth keeping, never the text.
-    val sigs = sh.select(col("doc_id"), minhash128(col("sh")).as("sig"))
+    val sigs = sh.select(col("doc_id"),
+      call_function("graft_minhash128_long", col("sh")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"), explode(expr(
       s"""transform(sequence(0, ${Bands - 1}), b -> named_struct(
@@ -96,7 +99,8 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
     withSets
-      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("j", call_function("graft_jaccard_sorted",
+        col("sh_a"), col("sh_b")))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("j"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -29,6 +29,82 @@ object NativeExprs {
   @inline private def hashString(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
+  /** Sorted distinct xxhash64'd word-3-gram shingles of a text
+    * column, in one native pass: lowercase → split(" ") → per-window
+    * hash-chain of the three token hashes → dedup → sort. Replaces a
+    * four-stage HOF pipeline (split/transform/array_distinct/
+    * array_sort, each interpreted); downstream set ops use
+    * [[JaccardSortedLong]] and [[MinHashFromHashes]] so shingle
+    * *strings* are never materialized at all — at 100 TB the corpus
+    * text is read once and only fixed-size longs ever leave the scan.
+    * Token split matches `split(lower(text), ' ')` (empties kept). */
+  case class ShingleHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hashes"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toLowerCase.toString
+        .split(" ", -1)
+      if (toks.length < 3) return new GenericArrayData(Array.emptyLongArray)
+      val th = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        val u = UTF8String.fromString(toks(i))
+        th(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        i += 1
+      }
+      val out = new Array[Long](toks.length - 2)
+      i = 0
+      while (i < out.length) {
+        out(i) = XXH64.hashLong(th(i + 2), XXH64.hashLong(th(i + 1), th(i)))
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      // dedup in place (sorted)
+      var n = 0
+      i = 0
+      while (i < out.length) {
+        if (n == 0 || out(i) != out(n - 1)) { out(n) = out(i); n += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, n))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 128-wide MinHash signature over already-hashed shingles: element
+    * k is min over the array of xxhash64(h, seed = k). Pairs with
+    * [[ShingleHashes]]. */
+  case class MinHashFromHashes(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_long"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var k = 0
+        while (k < numHashes) {
+          val hk = XXH64.hashLong(h, k)
+          if (hk < mins(k)) mins(k) = hk
+          k += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 128-wide MinHash signature of a distinct-string array: element k
     * is min over the array of xxhash64(x, seed = k). One pass per
     * element, all mins updated in registers. */
@@ -205,6 +281,14 @@ object NativeExprs {
     (FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", "exact Jaccard similarity of two string arrays"),
       (args: Seq[Expression]) => JaccardSim(args(0), args(1))),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "sorted distinct hashed word-3-gram shingles of a text column"),
+      (args: Seq[Expression]) => ShingleHashes(args.head)),
+    (FunctionIdentifier("graft_minhash128_long"),
+      info("graft_minhash128_long",
+        "128-wide MinHash signature over hashed shingles"),
+      (args: Seq[Expression]) => MinHashFromHashes(args.head, 128)),
     (FunctionIdentifier("graft_jaccard_sorted"),
       info("graft_jaccard_sorted",
         "Jaccard similarity of two sorted distinct bigint arrays"),

@@ -177,9 +177,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   // ---- writes ------------------------------------------------------
 
   private def writeData(df: DataFrame, commitId: Long,
-      partitionCols: Seq[String] = Nil): Seq[String] = {
+      partitionCols: Seq[String] = Nil, widen: Boolean = true): Seq[String] = {
     val dir = new Path(root, f"data/commit-$commitId%05d")
-    val w = df.write.mode("overwrite")
+    // A rewrite sourced from one or two input files would otherwise
+    // serialize the whole write on one core (local small-file reads
+    // arrive as a single split); on a cluster the input is already
+    // wide and this is a no-op. compact() opts out — its output file
+    // count is the caller's explicit choice.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (widen && df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val w = wide.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir.toString)
     val it = fs.listFiles(dir, true)
@@ -329,7 +337,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       writeData(
         readFiles(snap.schema, snap.files, snap.partitionCols)
           .repartition(numFiles),
-        id, snap.partitionCols),
+        id, snap.partitionCols, widen = false),
       snap.partitionCols)
   }
 
