@@ -117,7 +117,30 @@ object FgacQueries {
       |FROM orders c JOIN customer p ON c.o_custkey = p.c_custkey
       |ORDER BY p.c_mktsegment, c.o_orderdate, c.o_orderkey""".stripMargin
 
+  /** FGAC over a lakehouse table — the reference's actual
+    * composition (Lake Formation policies on Iceberg tables): a
+    * [[graft.lakehouse.GraftTable]] is registered as the governed
+    * relation, DML runs against the table, and the principal's read
+    * sees the policy-filtered view of the *current snapshot*. */
+  private val lakehouseGoverned: Q = (s, dir) => {
+    val t = graft.lakehouse.GraftTable.create(s,
+      java.nio.file.Files.createTempDirectory("graft_fgac_lake").toString,
+      Tables.customer(s, dir))
+    // governed-side DML before the read: bump every BUILDING balance
+    t.update(Map("c_acctbal" -> "c_acctbal + 50.0"),
+      "c_mktsegment = 'BUILDING'")
+    t.read().createOrReplaceTempView(SecureCatalog.rawViewName("gov_customer"))
+    SecureCatalog.governTable("gov_customer", t.read().columns.toIndexedSeq)
+    SecureCatalog.register(Principal("lake_analyst", grants = Map(
+      "gov_customer" -> TablePolicy("gov_customer",
+        rowFilter = Some(RowFilter),
+        allowedColumns = Some(Seq("c_custkey", "c_acctbal", "c_mktsegment"))))))
+    asPrincipal(s, "lake_analyst")(
+      s.sql("SELECT * FROM gov_customer ORDER BY c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "fgac_lakehouse"     -> lakehouseGoverned,
     "fgac_row_filter"    -> governedSql("analyst_row", fullScan),
     "fgac_col_filter"    -> governedSql("analyst_col", fullScan),
     "fgac_cell_filter"   -> governedSql("analyst_cell", fullScan),
@@ -152,6 +175,12 @@ object FgacQueries {
     "fgac_tag_policy" ->
       s"""SELECT c_custkey, c_name, c_nationkey,
          | CAST(-1.0 AS DOUBLE) AS c_acctbal, c_mktsegment
+         |FROM customer WHERE $RowFilter ORDER BY c_custkey""".stripMargin,
+    "fgac_lakehouse" ->
+      s"""SELECT c_custkey,
+         | CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 50.0
+         |      ELSE c_acctbal END AS c_acctbal,
+         | c_mktsegment
          |FROM customer WHERE $RowFilter ORDER BY c_custkey""".stripMargin
   )
 }

@@ -69,6 +69,26 @@ class FgacSpec extends AnyFunSuite {
       Tables.customer(spark, sf).count())
   }
 
+  test("tag grant covers tagged tables; direct grant wins over tag") {
+    val viaTag = SparkEntry.queries("fgac_tag_policy")(spark, sf)
+    val row = viaTag.filter(viaTag("c_custkey").isNotNull).collect().head
+    assert(row.getAs[Double]("c_acctbal") == -1.0, "tag mask applied")
+    val segs = viaTag.select("c_mktsegment").distinct().collect().map(_.getString(0))
+    assert(segs.forall(Set("BUILDING", "AUTOMOBILE")), "tag row filter applied")
+    // a principal with BOTH a direct grant and a tag grant gets the
+    // direct policy (most specific)
+    FgacQueries.setup(spark, sf)
+    SecureCatalog.register(Principal("both",
+      grants = Map("customer" -> TablePolicy("customer")), // unrestricted
+      tagGrants = Map("pii" -> TablePolicy("",
+        rowFilter = Some("c_mktsegment = 'NONEXISTENT'")))))
+    val n = FgacQueries.asPrincipal(spark, "both") {
+      spark.sql("SELECT * FROM customer").count()
+    }
+    assert(n == Tables.customer(spark, sf).count(),
+      "direct grant must take precedence over tag grant")
+  }
+
   test("FGAC filter pushes into the parquet scan") {
     FgacQueries.setup(spark, sf)
     val plan = FgacQueries.asPrincipal(spark, "analyst_cell") {
