@@ -332,7 +332,29 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Moment statistics with deterministic results: stddev/variance
+    * over doubles is shuffle-order-dependent, so the moments are
+    * accumulated as EXACT decimal sums (order-independent) and the
+    * final formula is evaluated in double on those exact inputs —
+    * bit-identical across engines and cluster layouts. */
+  private val q25: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val x = col("l_quantity").cast("decimal(18,4)")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_q"),
+        sum((x * x).cast("decimal(18,8)")).cast("double").as("sumsq_q"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("sum_q") / col("n").cast("double")).as("mean_q"),
+        sqrt((col("sumsq_q") - col("sum_q") * col("sum_q") / col("n").cast("double")) /
+          (col("n").cast("double") - 1.0)).as("stddev_q"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q25_stats" -> q25,
     "q2_join_filter" -> q2, "q3_broadcast_join" -> q3,
     "q4_semi_join" -> q4, "q5_anti_join" -> q5, "q6_window" -> q6,
     "q7_rollup" -> q7, "q8_cube" -> q8, "q9_topk" -> q9,
@@ -487,6 +509,18 @@ object Relational {
         | o_custkey, o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q25_stats" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_q,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) *
+        |                CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,8)))
+        |       AS DOUBLE) AS sumsq_q
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | sum_q / CAST(n AS DOUBLE) AS mean_q,
+        | sqrt((sumsq_q - sum_q * sum_q / CAST(n AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) - 1.0)) AS stddev_q
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q24_pivot" ->
       """SELECT o_orderpriority,
         | COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,

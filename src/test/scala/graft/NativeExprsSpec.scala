@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+
+/** Parity/invariant checks for the native expressions, on real data. */
+class NativeExprsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  test("native functions are callable from plain SQL (injectFunction)") {
+    val r = spark.sql(
+      """SELECT graft_jaccard(array('a','b'), array('b','c')) AS j,
+        |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       size(graft_minhash128(array('x'))) AS m,
+        |       graft_simhash64(array('x','y')) AS sh""".stripMargin)
+      .collect().head
+    assert(math.abs(r.getAs[Double]("j") - 1.0 / 3.0) < 1e-15)
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Int]("m") == 128)
+  }
+
+  test("hashed shingles agree with string shingles in count and jaccard") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    // counts agree (no hash collisions on this corpus)
+    val cnt = docs.select(
+      size(TextFunctions.shingles3(col("text"))).as("ns"),
+      size(call_function("graft_shingle_hashes", col("text"))).as("nh"))
+    assert(cnt.filter($"ns" =!= $"nh").count() == 0)
+    // pairwise jaccard identical through either representation
+    val sh = docs.select(col("doc_id"),
+      TextFunctions.shingles3(col("text")).as("s"),
+      call_function("graft_shingle_hashes", col("text")).as("h"))
+    val pairs = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .limit(5000)
+      .select(
+        TextFunctions.jaccard($"a.s", $"b.s").as("js"),
+        call_function("graft_jaccard_sorted", $"a.h", $"b.h").as("jh"))
+    assert(pairs.filter(!($"js" === $"jh") &&
+      !(isnan($"js") && isnan($"jh"))).count() == 0)
+  }
+
+  test("graft_dot matches the HOF fold bit-for-bit") {
+    val e = Tables.embeddings(spark, sf).limit(100)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val hof = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    assert(e.select((TextFunctions.dot(col("v"), col("v")) === hof).as("eq"))
+      .filter(!col("eq")).count() == 0)
+  }
+
+  test("jaccard edge cases: empty arrays -> NaN, disjoint -> 0, equal -> 1") {
+    val r = spark.sql(
+      """SELECT graft_jaccard(array(), array()) AS e,
+        |  graft_jaccard(array('a'), array('b')) AS d,
+        |  graft_jaccard(array('a','b'), array('b','a')) AS s,
+        |  graft_jaccard_sorted(CAST(array() AS ARRAY<BIGINT>),
+        |                       CAST(array() AS ARRAY<BIGINT>)) AS es""".stripMargin)
+      .collect().head
+    assert(r.getAs[Double]("e").isNaN && r.getAs[Double]("es").isNaN)
+    assert(r.getAs[Double]("d") == 0.0 && r.getAs[Double]("s") == 1.0)
+  }
+}
