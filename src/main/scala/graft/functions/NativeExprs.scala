@@ -89,12 +89,14 @@ object NativeExprs {
       val mins = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < n) {
-        val h = arr.getLong(i)
-        var k = 0
-        while (k < numHashes) {
-          val hk = XXH64.hashLong(h, k)
-          if (hk < mins(k)) mins(k) = hk
-          k += 1
+        if (!arr.isNullAt(i)) {
+          val h = arr.getLong(i)
+          var k = 0
+          while (k < numHashes) {
+            val hk = XXH64.hashLong(h, k)
+            if (hk < mins(k)) mins(k) = hk
+            k += 1
+          }
         }
         i += 1
       }
@@ -185,23 +187,29 @@ object NativeExprs {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val xs = new java.util.HashSet[UTF8String](math.max(8, x.numElements() * 2))
+      var hasNullX = false
+      var hasNullY = false
       var i = 0
       while (i < x.numElements()) {
-        if (!x.isNullAt(i)) xs.add(x.getUTF8String(i))
+        if (x.isNullAt(i)) hasNullX = true else xs.add(x.getUTF8String(i))
         i += 1
       }
       val ys = new java.util.HashSet[UTF8String](math.max(8, y.numElements() * 2))
       var inter = 0
       i = 0
       while (i < y.numElements()) {
-        if (!y.isNullAt(i)) {
+        if (y.isNullAt(i)) hasNullY = true
+        else {
           val e = y.getUTF8String(i)
           if (ys.add(e) && xs.contains(e)) inter += 1
         }
         i += 1
       }
-      val union = xs.size + ys.size - inter
-      inter.toDouble / union.toDouble // 0/0 => NaN, as before
+      // NULL counts as a set member, as in array_intersect/array_union
+      if (hasNullX && hasNullY) inter += 1
+      val union = xs.size + (if (hasNullX) 1 else 0) +
+        ys.size + (if (hasNullY) 1 else 0) - inter
+      inter.toDouble / union.toDouble // 0/0 => NaN
     }
 
     override protected def withNewChildrenInternal(
@@ -227,14 +235,26 @@ object NativeExprs {
       var i = 0
       var j = 0
       var inter = 0
+      var nullX = 0
+      var nullY = 0
       while (i < nx && j < ny) {
-        val xv = x.getLong(i)
-        val yv = y.getLong(j)
-        if (xv == yv) { inter += 1; i += 1; j += 1 }
-        else if (xv < yv) i += 1
-        else j += 1
+        if (x.isNullAt(i)) { nullX += 1; i += 1 }
+        else if (y.isNullAt(j)) { nullY += 1; j += 1 }
+        else {
+          val xv = x.getLong(i)
+          val yv = y.getLong(j)
+          if (xv == yv) { inter += 1; i += 1; j += 1 }
+          else if (xv < yv) i += 1
+          else j += 1
+        }
       }
-      inter.toDouble / (nx + ny - inter).toDouble // 0/0 => NaN
+      while (i < nx) { if (x.isNullAt(i)) nullX += 1; i += 1 }
+      while (j < ny) { if (y.isNullAt(j)) nullY += 1; j += 1 }
+      // defensive: NULL slots (never produced by graft_shingle_hashes)
+      // are excluded from both sets
+      val ex = nx - nullX
+      val ey = ny - nullY
+      inter.toDouble / (ex + ey - inter).toDouble // 0/0 => NaN
     }
 
     override protected def withNewChildrenInternal(
@@ -243,7 +263,9 @@ object NativeExprs {
 
   /** Dot product of two double arrays, sequential accumulation (same
     * IEEE evaluation order as the `aggregate(zip_with(...))` fold it
-    * replaces, so results are bit-identical). */
+    * replaces, so results are bit-identical — including the NULL
+    * result for length mismatches or NULL elements, which the fold
+    * produced via zip_with padding). */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
@@ -252,10 +274,12 @@ object NativeExprs {
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getDouble(i) * y.getDouble(i)
         i += 1
       }

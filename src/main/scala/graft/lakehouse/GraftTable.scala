@@ -59,7 +59,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     else
       fs.listStatus(metaDir)
         .map(_.getPath.getName)
-        .collect { case n if n.startsWith("snap-") =>
+        .collect { case n if n.startsWith("snap-") && n.endsWith(".meta") =>
           n.stripPrefix("snap-").stripSuffix(".meta").toLong
         }
         .foldLeft(0L)(math.max)
@@ -111,7 +111,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val out = fs.create(tmp, true)
     try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    fs.rename(tmp, snapPath(id)) // atomic publish
+    require(fs.rename(tmp, snapPath(id)), // atomic publish
+      s"commit $id failed: could not publish manifest")
     id
   }
 
@@ -137,7 +138,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val snap = currentSnapshot
     require(snap.partitionCols.contains(partCol),
       s"$partCol is not a partition column of ${snap.partitionCols}")
-    val wanted = values.map(v => s"$partCol=$v")
+    val wanted = values.map(v => hiveSegment(partCol, v))
     val kept = snap.files.filter(f =>
       new Path(f).toUri.getPath.split("/").exists(wanted.contains))
     readFiles(snap.schema, kept, snap.partitionCols)
@@ -157,6 +158,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         spark.read.option("basePath", base).schema(schema).parquet(fs: _*)
       }.reduce(_.unionByName(_))
     }
+
+  /** A `col=value` path segment exactly as Spark's hive-style writer
+    * lays it out (escaped; NULL becomes the default-partition dir). */
+  private def hiveSegment(col: String, value: Any): String = {
+    val v =
+      if (value == null) "__HIVE_DEFAULT_PARTITION__"
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(value.toString)
+    s"$col=$v"
+  }
 
   private def commitDirOf(file: String): String = {
     var p = new Path(file).getParent
@@ -260,7 +271,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val newFiles =
       if (rewrite.isEmpty) Nil
       else writeData(
-        readFiles(snap.schema, rewrite, snap.partitionCols).filter(not(p)),
+        // NULL-predicate rows must survive a DELETE (SQL semantics):
+        // not(NULL) is NULL and would silently drop them from
+        // rewritten files only.
+        readFiles(snap.schema, rewrite, snap.partitionCols)
+          .filter(not(coalesce(p, lit(false)))),
         id, snap.partitionCols)
     commit("delete", snap.schema, keep ++ newFiles, snap.partitionCols)
   }
@@ -354,7 +369,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val parts = snap.partitionCols
     val replaced: Set[Seq[String]] = df.select(parts.map(col): _*)
       .distinct().collect()
-      .map(r => parts.indices.map(i => s"${parts(i)}=${r.get(i)}"))
+      .map(r => parts.indices.map(i => hiveSegment(parts(i), r.get(i))))
       .toSet
     val keep = snap.files.filterNot { f =>
       val segs = new Path(f).toUri.getPath.split("/").toSet
@@ -373,16 +388,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * meaning infinite storage). */
   def expireSnapshots(keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val current = currentSnapshotId
-    val cutoff = current - keepLast + 1
-    if (cutoff <= 1) return
-    val keepIds = (cutoff to current).toSeq
-    val live = keepIds.flatMap(snapshot(_).files).toSet
-    (1L until cutoff).foreach { id =>
-      snapshot(id).files.filterNot(live).foreach { f =>
-        fs.delete(new Path(f), false)
-      }
-      fs.delete(snapPath(id), false)
+    val all = snapshots // only manifests that still exist
+    val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    if (expired.isEmpty) return
+    val live = kept.flatMap(_.files).toSet
+    expired.foreach { snap =>
+      snap.files.filterNot(live).foreach(f => fs.delete(new Path(f), false))
+      fs.delete(snapPath(snap.id), false)
     }
   }
 }

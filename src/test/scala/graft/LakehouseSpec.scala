@@ -108,6 +108,27 @@ class LakehouseSpec extends AnyFunSuite {
       assert(!fs.exists(new org.apache.hadoop.fs.Path(f)), s"orphan survived: $f"))
   }
 
+  test("delete keeps NULL-predicate rows (SQL semantics)") {
+    val df = Seq((1L, Some("x"), 1.0), (2L, None, 2.0), (3L, Some("y"), 3.0))
+      .toDF("k", "tag", "v")
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_nulldel").toString, df)
+    t.delete("tag = 'x'")
+    // row 2 has tag NULL → predicate NULL → must NOT be deleted
+    val kept = t.read().select("k").as[Long].collect().sorted
+    assert(kept.sameElements(Array(2L, 3L)), s"got ${kept.toList}")
+  }
+
+  test("expireSnapshots is repeatable and commit survives tmp leftovers") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))
+    t.expireSnapshots(1)
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    t.expireSnapshots(1) // second expiry must not touch missing manifests
+    assert(t.read().count() == 3)
+    assert(t.snapshots.map(_.id) == Seq(3L))
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
