@@ -138,10 +138,70 @@ object Ann {
     topK(s, cand)
   }
 
+  /** Element-wise decimal-exact mean vector per cell (deterministic
+    * across shuffle layouts, unlike a double mean). */
+  private def cellMeans(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,18)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, s -> s.m)").as("c_v"))
+      .withColumn("c_nrm", l2norm(col("c_v")))
+
+  /** Nearest-centroid assignment by cosine; deterministic tie-break
+    * on cell id. Centroids broadcast — at 100 TB assignment is one
+    * scan of the corpus against a few-KB broadcast, no shuffle. */
+  private def assign(c: DataFrame, cent: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cell").asc)
+    c.crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosine(col("v"), col("c_v"), col("nrm"), col("c_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
+  }
+
+  private val KmeansCells = 10
+  private val KmeansIters = 3
+
+  /** IVF with a trained coarse quantizer: deterministic Lloyd
+    * iterations (init = the k lowest vec_ids, decimal-exact means),
+    * then probe the 3 nearest cells — the honest version of [[ivf]],
+    * which reuses the dataset's `label` as a given quantizer.
+    * Per-round cost: iters × (broadcast-assign scan + tiny mean agg);
+    * at scale the quantizer trains on a sample, not the full corpus.
+    * Approximate → rows-only; AnnSpec measures recall. */
+  private val ivfKmeans: Q = (s, d) => {
+    val c = corpus(s, d)
+    var cent = c.filter(col("vec_id") < KmeansCells)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("c_v"))
+      .withColumn("c_nrm", l2norm(col("c_v")))
+    for (_ <- 1 to KmeansIters)
+      cent = cellMeans(assign(c, cent))
+    val assigned = assign(c, cent)
+    val q = queriesDf(c)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        cosine(col("q_v"), col("c_v"), col("q_nrm"), col("c_nrm")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("c_cos").desc, col("cell").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("cell"))
+    val cand = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("v"), col("q_v"), col("nrm"), col("q_nrm")))
+    topK(s, cand)
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> bruteforce,
     "ann_lsh" -> lsh,
-    "ann_ivf" -> ivf)
+    "ann_ivf" -> ivf,
+    "ann_ivf_kmeans" -> ivfKmeans)
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" ->

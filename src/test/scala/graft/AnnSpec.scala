@@ -32,4 +32,12 @@ class AnnSpec extends AnyFunSuite {
     info(f"ann_ivf recall@5 = $recall%.2f")
     assert(recall >= 0.3, f"recall too low: $recall%.2f")
   }
+
+  test("k-means IVF recall@5 against exact top-5") {
+    val got = pairs("ann_ivf_kmeans")
+    assert(got.nonEmpty)
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"ann_ivf_kmeans recall@5 = $recall%.2f")
+    assert(recall >= 0.3, f"recall too low: $recall%.2f")
+  }
 }
