@@ -193,9 +193,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // A rewrite sourced from one or two input files would otherwise
     // serialize the whole write on one core (local small-file reads
     // arrive as a single split); on a cluster the input is already
-    // wide and this is a no-op. compact() opts out — its output file
-    // count is the caller's explicit choice.
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    // wide and this is a no-op. Capped at 8-way: full session
+    // parallelism just multiplies manifest entries and small files
+    // for the write sizes a single commit sees. compact() opts out —
+    // its output file count is the caller's explicit choice.
+    val par = math.min(8, df.sparkSession.sparkContext.defaultParallelism)
     val wide =
       if (widen && df.rdd.getNumPartitions < par) df.repartition(par) else df
     val w = wide.write.mode("overwrite")
@@ -380,6 +382,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       keep ++ writeData(df.select(snap.schema.fieldNames.map(col): _*),
         id, parts),
       parts)
+  }
+
+  /** Roll the table back to snapshot `id`: a NEW commit whose file
+    * list and schema are those of the old snapshot (Iceberg's
+    * rollback — history is preserved, nothing is deleted, and the
+    * bad commits remain inspectable via time travel). */
+  def rollback(id: Long): Long = {
+    val snap = snapshot(id)
+    commit("rollback", snap.schema, snap.files, snap.partitionCols)
   }
 
   /** Expire all snapshots but the newest `keepLast`, physically

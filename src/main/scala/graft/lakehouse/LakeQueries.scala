@@ -125,6 +125,19 @@ object LakeQueries {
     t.read().select(orders.columns.map(col): _*).orderBy("o_orderkey")
   }
 
+  /** Bad write then rollback: current state equals snapshot 1, and
+    * the rolled-back commit stays in history for inspection. */
+  private val rollback: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_rb"),
+      orders.filter(col("o_orderkey") % 2 === 0))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1)) // the "bad" write
+    t.rollback(1)
+    require(t.currentSnapshotId == 3 && t.readAt(2).count() > t.read().count(),
+      "rollback must preserve history as a new commit")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Three snapshots, expire to the latest: data intact, history and
     * orphaned files physically gone. */
   private val expire: Q = (s, dir) => {
@@ -148,7 +161,8 @@ object LakeQueries {
     "lake_compaction"       -> compaction,
     "lake_partitioned"      -> partitioned,
     "lake_expire"           -> expire,
-    "lake_overwrite_partition" -> overwritePartition
+    "lake_overwrite_partition" -> overwritePartition,
+    "lake_rollback"         -> rollback
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,6 +214,8 @@ object LakeQueries {
         | CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0
         |      ELSE o_totalprice END AS o_totalprice,
         | o_orderdate, o_orderpriority
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_rollback" ->
+      "SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"
   )
 }
