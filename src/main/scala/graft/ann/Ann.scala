@@ -106,40 +106,9 @@ object Ann {
     topK(s, cand)
   }
 
-  /** IVF: per-cell centroids (decimal-exact elementwise means so the
-    * index is run-deterministic), probe the 3 nearest cells.
-    * Approximate → rows-only; AnnSpec measures recall. */
-  private val ivf: Q = (s, d) => {
-    val c = corpus(s, d)
-    // centroids: element-wise mean per label (posexplode → exact
-    // decimal mean per dim → reassemble ordered)
-    val cent = c.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("x").cast("decimal(28,18)")).cast("double") /
-        count(lit(1)).cast("double")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("c_label"),
-        expr("transform(pm, s -> s.m)").as("c_v"))
-      .withColumn("c_nrm", l2norm(col("c_v")))
-    val q = queriesDf(c)
-    // probe the 3 nearest centroids per query (10×10 tiny cross join)
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("c_cos",
-        cosine(col("q_v"), col("c_v"), col("q_nrm"), col("c_nrm")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-          .orderBy(col("c_cos").desc, col("c_label").asc)))
-      .filter(col("rk") <= 3)
-      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_label"))
-    val cand = c.join(probes, col("label") === col("c_label") &&
-        col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("v"), col("q_v"), col("nrm"), col("q_nrm")))
-    topK(s, cand)
-  }
-
   /** Element-wise decimal-exact mean vector per cell (deterministic
-    * across shuffle layouts, unlike a double mean). */
+    * across shuffle layouts, unlike a double mean). One shuffle on
+    * (cell, pos) with map-side partial aggregation. */
   private def cellMeans(assigned: DataFrame): DataFrame =
     assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
@@ -150,40 +119,10 @@ object Ann {
       .select(col("cell"), expr("transform(pm, s -> s.m)").as("c_v"))
       .withColumn("c_nrm", l2norm(col("c_v")))
 
-  /** Nearest-centroid assignment by cosine; deterministic tie-break
-    * on cell id. Centroids broadcast — at 100 TB assignment is one
-    * scan of the corpus against a few-KB broadcast, no shuffle. */
-  private def assign(c: DataFrame, cent: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cell").asc)
-    c.crossJoin(broadcast(cent))
-      .withColumn("c_cos", cosine(col("v"), col("c_v"), col("nrm"), col("c_nrm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
-  }
-
-  private val KmeansCells = 10
-  private val KmeansIters = 3
-
-  /** IVF with a trained coarse quantizer: deterministic Lloyd
-    * iterations (init = the k lowest vec_ids, decimal-exact means),
-    * then probe the 3 nearest cells — the honest version of [[ivf]],
-    * which reuses the dataset's `label` as a given quantizer.
-    * Per-round cost: iters × (broadcast-assign scan + tiny mean agg);
-    * at scale the quantizer trains on a sample, not the full corpus.
-    * Approximate → rows-only; AnnSpec measures recall. */
-  private val ivfKmeans: Q = (s, d) => {
-    val c = corpus(s, d)
-    var cent = c.filter(col("vec_id") < KmeansCells)
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("c_v"))
-      .withColumn("c_nrm", l2norm(col("c_v")))
-    for (_ <- 1 to KmeansIters)
-      cent = cellMeans(assign(c, cent))
-    val assigned = assign(c, cent)
-    val q = queriesDf(c)
-    val probes = q.crossJoin(broadcast(cent))
+  /** The 3 nearest centroids per query from a centroid relation
+    * (tiny: Q x k rows; deterministic tie-break on cell). */
+  private def probeTop3(q: DataFrame, cent: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cent))
       .withColumn("c_cos",
         cosine(col("q_v"), col("c_v"), col("q_nrm"), col("c_nrm")))
       .withColumn("rk", row_number().over(
@@ -191,7 +130,89 @@ object Ann {
           .orderBy(col("c_cos").desc, col("cell").asc)))
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("q_v"), col("q_nrm"), col("cell"))
-    val cand = assigned.join(probes, Seq("cell"))
+
+  /** IVF with the dataset's `label` as the given coarse quantizer:
+    * decimal-exact per-cell centroids, probe the 3 nearest cells.
+    * Approximate -> rows-only; AnnSpec measures recall (0.36 - the
+    * labels are a poor quantizer; see [[ivfKmeans]]). */
+  private val ivf: Q = (s, d) => {
+    val c = corpus(s, d)
+    val cent = cellMeans(c.withColumn("cell", col("label")))
+    val probes = probeTop3(queriesDf(c), cent)
+    val cand = c.join(broadcast(probes),
+        col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("v"), col("q_v"), col("nrm"), col("q_nrm")))
+    topK(s, cand)
+  }
+
+  /** A trained centroid held driver-side. The quantizer is a few KB
+    * of metadata (k x dim doubles) - keeping it as literals makes
+    * assignment and probing pure projections: k native dot products
+    * per row, zero joins, zero shuffles, and the Lloyd-iteration
+    * lineage never nests (each round collects k vectors and starts a
+    * fresh plan). Norms are computed with the same sequential fold as
+    * [[graft.functions.TextFunctions.l2norm]], so values are
+    * bit-identical to the distributed path. */
+  private final case class Centroid(cell: Int, v: Array[Double], nrm: Double)
+
+  private def mkCentroid(cell: Int, v: Array[Double]): Centroid = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    Centroid(cell, v, math.sqrt(acc))
+  }
+
+  private def litVec(v: Array[Double]): Column = array(v.map(lit).toIndexedSeq: _*)
+
+  /** argmax over literal centroids via lexicographic greatest on
+    * struct(cos, -cell): highest cosine wins, ties to lowest cell. */
+  private def assignCellCol(v: Column, nrm: Column, cent: Seq[Centroid]): Column =
+    greatest(cent.map(ct => struct(
+      (dot(v, litVec(ct.v)) / (nrm * lit(ct.nrm))).as("cos"),
+      lit(-ct.cell).as("negc"))): _*).getField("negc") * -1
+
+  /** Top-3 cells per row: ascending sort of struct(-cos, cell). */
+  private def probeCellsCol(qv: Column, qnrm: Column, cent: Seq[Centroid]): Column =
+    transform(
+      slice(array_sort(array(cent.map(ct => struct(
+        (-(dot(qv, litVec(ct.v)) / (qnrm * lit(ct.nrm)))).as("nc"),
+        lit(ct.cell).as("cell"))): _*)), 1, 3),
+      x => x.getField("cell"))
+
+  private val KmeansCells = 10
+  private val KmeansIters = 3
+
+  /** Deterministic Lloyd training: init = the k lowest vec_ids;
+    * each round is ONE zero-shuffle assignment projection plus the
+    * tiny cellMeans aggregate, collected back to the driver (at
+    * 100 TB the quantizer trains on a sample, not the full corpus). */
+  private def trainKmeans(c: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
+    def fromRows(rows: Array[org.apache.spark.sql.Row]): Seq[Centroid] =
+      rows.map(r => mkCentroid(r.getInt(0), r.getSeq[Double](1).toArray))
+        .toSeq.sortBy(_.cell)
+    var cent = fromRows(c.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("v")).collect())
+    for (_ <- 1 to iters)
+      cent = fromRows(
+        cellMeans(c.withColumn("cell", assignCellCol(col("v"), col("nrm"), cent)))
+          .select(col("cell").cast("int"), col("c_v")).collect())
+    cent
+  }
+
+  /** IVF with a trained coarse quantizer - the honest version of
+    * [[ivf]]. Search: assignment and probe-selection are projections
+    * against the literal centroids; the only shuffle is the
+    * broadcast-join of the ~3Q probe rows against the corpus (none
+    * for the corpus itself). Approximate -> rows-only; AnnSpec
+    * measures recall (0.90 vs 0.36 for label cells). */
+  private val ivfKmeans: Q = (s, d) => {
+    val c = corpus(s, d)
+    val cent = trainKmeans(c, KmeansCells, KmeansIters)
+    val assigned = c.withColumn("cell",
+      assignCellCol(col("v"), col("nrm"), cent))
+    val probes = queriesDf(c).select(col("q_id"), col("q_v"), col("q_nrm"),
+      explode(probeCellsCol(col("q_v"), col("q_nrm"), cent)).as("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("v"), col("q_v"), col("nrm"), col("q_nrm")))
     topK(s, cand)

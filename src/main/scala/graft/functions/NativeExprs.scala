@@ -235,26 +235,19 @@ object NativeExprs {
       var i = 0
       var j = 0
       var inter = 0
-      var nullX = 0
-      var nullY = 0
       while (i < nx && j < ny) {
-        if (x.isNullAt(i)) { nullX += 1; i += 1 }
-        else if (y.isNullAt(j)) { nullY += 1; j += 1 }
-        else {
-          val xv = x.getLong(i)
-          val yv = y.getLong(j)
-          if (xv == yv) { inter += 1; i += 1; j += 1 }
-          else if (xv < yv) i += 1
-          else j += 1
-        }
+        // inputs violating the sorted-distinct-non-null contract get
+        // NULL, not silently different math than graft_jaccard
+        if (x.isNullAt(i) || y.isNullAt(j)) return null
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { inter += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
       }
-      while (i < nx) { if (x.isNullAt(i)) nullX += 1; i += 1 }
-      while (j < ny) { if (y.isNullAt(j)) nullY += 1; j += 1 }
-      // defensive: NULL slots (never produced by graft_shingle_hashes)
-      // are excluded from both sets
-      val ex = nx - nullX
-      val ey = ny - nullY
-      inter.toDouble / (ex + ey - inter).toDouble // 0/0 => NaN
+      while (i < nx) { if (x.isNullAt(i)) return null; i += 1 }
+      while (j < ny) { if (y.isNullAt(j)) return null; j += 1 }
+      inter.toDouble / (nx + ny - inter).toDouble // 0/0 => NaN
     }
 
     override protected def withNewChildrenInternal(

@@ -120,9 +120,15 @@ class LakehouseSpec extends AnyFunSuite {
   }
 
   test("expireSnapshots is repeatable and commit survives tmp leftovers") {
-    val t = freshTable(Seq((1L, "a", 1.0)))
+    val dir = Files.createTempDirectory("graft_expire2")
+    val t = GraftTable.create(spark, dir.toString,
+      Seq((1L, "a", 1.0)).toDF("k", "tag", "v"))
     t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))
     t.expireSnapshots(1)
+    // a crashed commit leaves a .tmp manifest behind — the table must
+    // still parse snapshot ids (regression: "...meta.tmp".toLong)
+    Files.writeString(
+      dir.resolve("_graft_meta").resolve("snap-00099.meta.tmp"), "junk")
     t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
     t.expireSnapshots(1) // second expiry must not touch missing manifests
     assert(t.read().count() == 3)
