@@ -353,8 +353,24 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Set operations: customers with urgent orders INTERSECT customers
+    * with 'F' orders, minus (EXCEPT) the BUILDING segment. Both ops
+    * plan as aggregate+join under the hood — no special handling. */
+  private val q26: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    val finished = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"))
+    val building = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    urgent.intersect(finished).except(building)
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q25_stats" -> q25,
+    "q25_stats" -> q25, "q26_setops" -> q26,
     "q2_join_filter" -> q2, "q3_broadcast_join" -> q3,
     "q4_semi_join" -> q4, "q5_anti_join" -> q5, "q6_window" -> q6,
     "q7_rollup" -> q7, "q8_cube" -> q8, "q9_topk" -> q9,
@@ -509,6 +525,13 @@ object Relational {
         | o_custkey, o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q26_setops" ->
+      """SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
     "q25_stats" ->
       """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_q,
