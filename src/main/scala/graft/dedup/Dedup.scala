@@ -154,7 +154,27 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The canonical preprocessing funnel as ONE declarative plan:
+    * exact-dedup (keep first) → quality gate (≥ 20 tokens) →
+    * per-source corpus stats. Each stage is a narrow transformation
+    * over the previous one, so Catalyst fuses the whole funnel into
+    * two shuffles (dedup groupBy + final groupBy) regardless of how
+    * many logical stages the pipeline has. */
+  private val cleanCorpus: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val keepIds = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(keepIds, Seq("doc_id"), "left_semi")
+      .withColumn("ntok", size(tokens(col("text"))))
+      .filter(col("ntok") >= 20)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_clean_corpus" -> cleanCorpus,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -171,6 +191,14 @@ object Dedup {
       |   ELSE [] END AS sh FROM t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |k AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        |t AS (SELECT source,
+        |        CAST(len(string_split(lower(text), ' ')) AS INT) AS ntok
+        |      FROM k)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS sum_tokens
+        |FROM t WHERE ntok >= 20 GROUP BY source ORDER BY source""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | md5(text) AS content_md5

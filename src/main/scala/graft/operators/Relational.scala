@@ -369,8 +369,24 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Correlated scalar subquery: orders pricier than their own
+    * customer's average. Catalyst decorrelates this into an
+    * aggregate + join; the average is an exact decimal ratio so the
+    * boundary comparison is engine-independent. */
+  private val q27: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM v_orders o
+        |WHERE o_totalprice >
+        |  (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |          / COUNT(*)
+        |   FROM v_orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
-    "q25_stats" -> q25, "q26_setops" -> q26,
+    "q25_stats" -> q25, "q26_setops" -> q26, "q27_correlated" -> q27,
     "q2_join_filter" -> q2, "q3_broadcast_join" -> q3,
     "q4_semi_join" -> q4, "q5_anti_join" -> q5, "q6_window" -> q6,
     "q7_rollup" -> q7, "q8_cube" -> q8, "q9_topk" -> q9,
@@ -525,6 +541,14 @@ object Relational {
         | o_custkey, o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q27_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice >
+        |  (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |          / COUNT(*)
+        |   FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q26_setops" ->
       """SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |INTERSECT
