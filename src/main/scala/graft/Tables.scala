@@ -18,6 +18,7 @@ object Tables {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's
       // vectorized reader rejects; read as long, convert in events().

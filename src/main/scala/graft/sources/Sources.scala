@@ -82,10 +82,35 @@ object Sources {
       .orderBy("o_orderkey")
   }
 
+  /** Both sides of a fact⋈fact join written bucketed (and sorted) on
+    * the join key: the join plans with NO exchange on either side —
+    * the shuffle was paid once at write time and every subsequent
+    * join on that key is co-located. This is THE layout decision for
+    * a 100 TB fact table joined repeatedly on the same key.
+    * SourcesSpec asserts the shuffle-free plan with broadcast off. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  private val bucketedJoin: Q = (s, d) => {
+    writeBucketed(Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+      "g_orders", "o_orderkey", 8)
+    writeBucketed(Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      "g_lineitem", "l_orderkey", 8)
+    s.table("g_lineitem")
+      .join(s.table("g_orders"), col("l_orderkey") === col("o_orderkey"))
+      .drop("o_orderkey")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, Q] = Map(
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
-    "src_partitioned_sink" -> partitionedSink)
+    "src_partitioned_sink" -> partitionedSink,
+    "src_bucketed_join" -> bucketedJoin)
 
   val oracles: Map[String, String] = Map(
     "src_csv_roundtrip" ->
@@ -93,5 +118,10 @@ object Sources {
     "src_json_roundtrip" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "src_partitioned_sink" ->
-      "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey")
+      "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
+    "src_bucketed_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | o_custkey, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

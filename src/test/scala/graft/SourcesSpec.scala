@@ -43,6 +43,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(read.count() == expected)
   }
 
+  test("bucketed join plans without a shuffle on either side") {
+    Sources.writeBucketed(Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey")), "t_orders", "o_orderkey", 4)
+    Sources.writeBucketed(Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity")), "t_lineitem", "l_orderkey", 4)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("t_lineitem")
+        .join(spark.table("t_orders"), col("l_orderkey") === col("o_orderkey"))
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join must be shuffle-free:\n${j.queryExecution.executedPlan}")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("salted join equals plain join") {
     val plain = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
