@@ -88,10 +88,19 @@ object Sources {
     * join on that key is co-located. This is THE layout decision for
     * a 100 TB fact table joined repeatedly on the same key.
     * SourcesSpec asserts the shuffle-free plan with broadcast off. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    // the in-memory catalog forgets tables across JVMs but the
+    // warehouse directory persists — remove an orphaned location or
+    // CREATE TABLE refuses it
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   private val bucketedJoin: Q = (s, d) => {
     writeBucketed(Tables.orders(s, d)

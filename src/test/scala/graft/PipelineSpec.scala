@@ -113,6 +113,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("FGAC row filter composes with a streaming source") {
+    // Enforcer.secure rewrites the *plan*, so it applies to a
+    // readStream exactly as to a batch frame — governed streams for
+    // free, the composition a Lake-Formation-style engine needs.
+    val policy = fgac.TablePolicy("events",
+      rowFilter = Some("event_type = 'click'"),
+      allowedColumns = Some(Seq("event_id", "user_id", "event_type")))
+    val q = fgac.Enforcer.secure(streamEvents, policy)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gov_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gov_stream")
+    assert(streamed.columns.toSeq == Seq("event_id", "user_id", "event_type"))
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(streamed.count() == expected && expected > 0)
+  }
+
   test("stream-stream join (click attribution) agrees with batch") {
     val p = streamEvents.filter(col("event_type") === "purchase")
       .withWatermark("ts", "2 hours")
