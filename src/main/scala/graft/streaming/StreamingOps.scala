@@ -93,6 +93,26 @@ object StreamingOps {
     dedupBatch(Tables.events(s, d))
       .orderBy(col("user_id"), col("event_type"), col("w_start"))
 
+  /** Windowed leaderboard: top-3 users by decimal-exact spend per
+    * tumbling hour. In production streaming this runs as windowed agg
+    * (update mode) with the rank applied by the serving layer; the
+    * batch formulation here shares the exact semantics and oracle. */
+  def windowTopK(events: DataFrame, k: Int): DataFrame = {
+    val agg = events
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)").as("spend"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("spend"))
+    val w = Window.partitionBy(col("w_start"))
+      .orderBy(col("spend").desc, col("user_id").asc)
+    agg.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  private val topkQ: Q = (s, d) =>
+    windowTopK(Tables.events(s, d), 3)
+      .orderBy(col("w_start"), col("rk"))
+
   private val joinQ: Q = (s, d) => {
     val e = Tables.events(s, d)
     clickAttribution(byType(e, "purchase"), byType(e, "click"))
@@ -103,7 +123,8 @@ object StreamingOps {
     "stream_window_agg" -> windowAggQ,
     "stream_sessionize" -> sessionizeQ,
     "stream_dedup_state" -> dedupQ,
-    "stream_join" -> joinQ)
+    "stream_join" -> joinQ,
+    "stream_window_topk" -> topkQ)
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" ->
@@ -133,6 +154,16 @@ object StreamingOps {
       """SELECT DISTINCT user_id, event_type,
         | time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start
         |FROM events ORDER BY user_id, event_type, w_start""".stripMargin,
+    "stream_window_topk" ->
+      """WITH a AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |  user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS spend
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT w_start, user_id, spend,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY w_start
+        |    ORDER BY spend DESC, user_id ASC) AS INT) AS rk FROM a)
+        |SELECT w_start, user_id, spend, rk FROM r WHERE rk <= 3
+        |ORDER BY w_start, rk""".stripMargin,
     "stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id,
         | p.user_id AS user_id,

@@ -110,7 +110,24 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary: top-100 word bigrams by frequency. The
+    * explode→count shape is the vocabulary/BPE-training primitive; at
+    * 100 TB the groupBy is the only shuffle and partial aggregation
+    * collapses each task's counts before anything moves. */
+  private val ngramFreq: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(bind(tokens(col("text")), w =>
+        when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2), i =>
+            concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+          .otherwise(array().cast("array<string>")))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(100)
+
   val queries: Map[String, Q] = Map(
+    "text_ngram_freq" -> ngramFreq,
     "text_tokens" -> tokensQ,
     "text_quality" -> quality,
     "text_langid" -> langid,
@@ -118,6 +135,14 @@ object TextAnalysis {
     "text_redact" -> redact)
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_freq" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |b AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN
+        |        [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |        ELSE [] END) AS bigram
+        |      FROM t)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(lower(text), ' ')) AS INT) AS n_ws_tokens,
