@@ -166,10 +166,13 @@ object Ann {
 
   /** argmax over literal centroids via lexicographic greatest on
     * struct(cos, -cell): highest cosine wins, ties to lowest cell. */
-  private def assignCellCol(v: Column, nrm: Column, cent: Seq[Centroid]): Column =
-    greatest(cent.map(ct => struct(
+  private def assignCellCol(v: Column, nrm: Column, cent: Seq[Centroid]): Column = {
+    require(cent.nonEmpty, "no centroids")
+    if (cent.size == 1) lit(cent.head.cell) // greatest() needs >= 2 args
+    else greatest(cent.map(ct => struct(
       (dot(v, litVec(ct.v)) / (nrm * lit(ct.nrm))).as("cos"),
       lit(-ct.cell).as("negc"))): _*).getField("negc") * -1
+  }
 
   /** Top-3 cells per row: ascending sort of struct(-cos, cell). */
   private def probeCellsCol(qv: Column, qnrm: Column, cent: Seq[Centroid]): Column =
@@ -190,7 +193,9 @@ object Ann {
     def fromRows(rows: Array[org.apache.spark.sql.Row]): Seq[Centroid] =
       rows.map(r => mkCentroid(r.getInt(0), r.getSeq[Double](1).toArray))
         .toSeq.sortBy(_.cell)
-    var cent = fromRows(c.filter(col("vec_id") < k)
+    // init from the k lowest vec_ids actually present (robust to any
+    // id distribution, unlike a `vec_id < k` filter)
+    var cent = fromRows(c.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cell"), col("v")).collect())
     for (_ <- 1 to iters)
       cent = fromRows(

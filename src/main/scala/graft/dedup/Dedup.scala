@@ -156,16 +156,16 @@ object Dedup {
 
   /** The canonical preprocessing funnel as ONE declarative plan:
     * exact-dedup (keep first) → quality gate (≥ 20 tokens) →
-    * per-source corpus stats. Each stage is a narrow transformation
-    * over the previous one, so Catalyst fuses the whole funnel into
-    * two shuffles (dedup groupBy + final groupBy) regardless of how
-    * many logical stages the pipeline has. */
+    * per-source corpus stats. Keep-first is a row_number over a
+    * text-partitioned window rather than a groupBy+self-join, so the
+    * whole funnel is exactly two shuffles: one partition-by-content
+    * for the dedup, one for the final per-source aggregate. */
   private val cleanCorpus: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val keepIds = docs.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text")).orderBy(col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .withColumn("ntok", size(tokens(col("text"))))
       .filter(col("ntok") >= 20)
       .groupBy(col("source"))

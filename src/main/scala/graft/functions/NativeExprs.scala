@@ -226,6 +226,9 @@ object NativeExprs {
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_jaccard_sorted"
+    // eval returns NULL for contract-violating (null-containing)
+    // inputs even when the child expressions are non-nullable
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -263,6 +266,9 @@ object NativeExprs {
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
+    // eval returns NULL on length mismatch / null elements even when
+    // the child expressions are non-nullable
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]

@@ -26,15 +26,17 @@ object TextFunctions {
   def bind(c: Column, f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
-  /** Distinct word 3-gram shingles of `text`; empty for docs under 3
+  /** Space-joined word n-grams of `text`; empty for docs under n
     * tokens. Tokenization is bound once (see [[bind]]). */
-  def shingles3(text: Column): Column =
+  def wordNgrams(text: Column, n: Int): Column =
     bind(tokens(text), w =>
-      when(size(w) >= 3,
-        array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
-          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
-            element_at(w, i + 3)))))
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n), i =>
+          concat_ws(" ", (1 to n).map(o => element_at(w, i + o)): _*)))
         .otherwise(array().cast("array<string>")))
+
+  /** Distinct word 3-gram shingles of `text`. */
+  def shingles3(text: Column): Column = array_distinct(wordNgrams(text, 3))
 
   /** 64-bit SimHash over the token multiset: per bit, sum +1/-1 by
     * the token hash's bit, take the sign. Pure map-side (no shuffle);

@@ -116,11 +116,7 @@ object TextAnalysis {
     * collapses each task's counts before anything moves. */
   private val ngramFreq: Q = (s, d) =>
     Tables.documents(s, d)
-      .select(explode(bind(tokens(col("text")), w =>
-        when(size(w) >= 2,
-          transform(sequence(lit(0), size(w) - 2), i =>
-            concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
-          .otherwise(array().cast("array<string>")))).as("bigram"))
+      .select(explode(wordNgrams(col("text"), 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)

@@ -48,18 +48,29 @@ class SourcesSpec extends AnyFunSuite {
       .select(col("o_orderkey"), col("o_custkey")), "t_orders", "o_orderkey", 4)
     Sources.writeBucketed(Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_quantity")), "t_lineitem", "l_orderkey", 4)
-    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE wraps the plan in AdaptiveSparkPlanExec (a leaf), which
+      // would hide inner exchanges from collect and make this
+      // assertion vacuously pass — disable it for the check
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val j = spark.table("t_lineitem")
         .join(spark.table("t_orders"), col("l_orderkey") === col("o_orderkey"))
-      val shuffles = j.queryExecution.executedPlan.collect {
+      val plan = j.queryExecution.executedPlan
+      assert(!plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]),
+        "expected a non-adaptive plan for the shuffle assertion")
+      val shuffles = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
-      assert(shuffles.isEmpty,
-        s"bucketed join must be shuffle-free:\n${j.queryExecution.executedPlan}")
+      assert(shuffles.isEmpty, s"bucketed join must be shuffle-free:\n$plan")
       assert(j.count() > 0)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
   }
 
   test("salted join equals plain join") {
