@@ -173,8 +173,22 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Deterministic ~30% sample per document: keep rows whose content
+    * hash's first hex byte sorts below 0x4d. Hash-based sampling is
+    * the 100 TB method — `rand()` gives different rows on task retry
+    * or speculative execution; a content hash gives the same sample
+    * on every run, every engine, every retry. */
+  private val stratifiedSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(substring(md5(concat_ws("|", col("source"),
+        col("doc_id").cast("string"))), 1, 2) < "4d")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("source"))
+
   val queries: Map[String, Q] = Map(
     "pipeline_clean_corpus" -> cleanCorpus,
+    "pipeline_stratified_sample" -> stratifiedSample,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -191,6 +205,10 @@ object Dedup {
       |   ELSE [] END AS sh FROM t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_stratified_sample" ->
+      """SELECT source, COUNT(*) AS n_sampled FROM documents
+        |WHERE substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 2) < '4d'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |k AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
