@@ -23,11 +23,11 @@ object Analytics {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("decimal(18,4)"))
-          .cast("decimal(18,4)").as("sum_qty"),
+          .cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,4)"))
-          .cast("decimal(18,4)").as("sum_base_price"),
+          .cast("double").as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_disc_price"),
+          .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
         (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
           count(lit(1)).cast("double")).as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -41,9 +41,9 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem

@@ -31,7 +31,7 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(
         sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .cast("decimal(18,6)").as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }
@@ -45,7 +45,7 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(dec4(col("o_totalprice"))).cast("decimal(18,4)").as("total"))
+        sum(dec4(col("o_totalprice"))).cast("double").as("total"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -82,7 +82,7 @@ object Relational {
         row_number().over(w).as("rn"),
         sum(dec4(col("l_quantity")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("decimal(18,4)").as("running_qty"))
+          .cast("double").as("running_qty"))
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
@@ -93,7 +93,7 @@ object Relational {
     li.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec4(col("l_quantity"))).cast("decimal(18,4)").as("sum_qty"))
+        sum(dec4(col("l_quantity"))).cast("double").as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
@@ -107,7 +107,7 @@ object Relational {
     o.cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec4(col("o_totalprice"))).cast("decimal(18,4)").as("total"))
+        sum(dec4(col("o_totalprice"))).cast("double").as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
@@ -192,9 +192,9 @@ object Relational {
     li.groupBy(col("l_returnflag"))
       .agg(
         sum(when(disc, dec4(col("l_quantity")))
-          .otherwise(dec4(lit(0)))).cast("decimal(18,4)").as("qty_highdisc"),
+          .otherwise(dec4(lit(0)))).cast("double").as("qty_highdisc"),
         sum(when(!disc, dec4(col("l_quantity")))
-          .otherwise(dec4(lit(0)))).cast("decimal(18,4)").as("qty_lowdisc"),
+          .otherwise(dec4(lit(0)))).cast("double").as("qty_lowdisc"),
         count(when(disc, lit(1))).as("n_highdisc"),
         count(lit(1)).as("n_total"))
       .orderBy(col("l_returnflag"))
@@ -272,10 +272,10 @@ object Relational {
       bucketSeconds = 3600L)
       .groupBy(col("p_id"))
       .agg(count(lit(1)).as("n"),
-        sum(dec6(col("c_value"))).cast("decimal(18,6)").as("v"))
+        sum(dec6(col("c_value"))).cast("double").as("v"))
     purchases.join(matched, Seq("p_id"), "left")
       .select(col("p_id"), coalesce(col("n"), lit(0L)).as("n_clicks"),
-        coalesce(col("v"), dec6(lit(0)).cast("decimal(18,6)")).as("click_value"))
+        coalesce(col("v"), lit(0.0)).as("click_value"))
       .orderBy(col("p_id"))
   }
 
@@ -402,7 +402,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q2_join_filter" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -412,7 +412,7 @@ object Relational {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q3_broadcast_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q4_semi_join" ->
@@ -431,7 +431,7 @@ object Relational {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
         |   PARTITION BY l_suppkey
         |   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_qty
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
         |ORDER BY l_suppkey, rn""".stripMargin,
@@ -439,14 +439,14 @@ object Relational {
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         | coalesce(l_linestatus, 'ALL') AS l_linestatus,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q8_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         | coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q9_topk" ->
@@ -484,9 +484,9 @@ object Relational {
     "q15_case_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4))
-        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS qty_highdisc,
+        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_highdisc,
         | CAST(SUM(CASE WHEN NOT (l_discount > 0.05) THEN CAST(l_quantity AS DECIMAL(18,4))
-        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS qty_lowdisc,
+        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_lowdisc,
         | COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_highdisc,
         | COUNT(*) AS n_total
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -523,7 +523,7 @@ object Relational {
     "q20_range_join" ->
       """SELECT p.event_id AS p_id,
         | COUNT(c.event_id) AS n_clicks,
-        | CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,6))), 0) AS DECIMAL(18,6)) AS click_value
+        | CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,6))), 0) AS DOUBLE) AS click_value
         |FROM events p LEFT JOIN events c
         |  ON c.event_type = 'click' AND c.user_id = p.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts

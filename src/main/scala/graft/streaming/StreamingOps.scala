@@ -26,7 +26,7 @@ object StreamingOps {
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)"))
-          .cast("decimal(18,6)").as("v"))
+          .cast("double").as("v"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("v"))
 
@@ -107,6 +107,9 @@ object StreamingOps {
       .orderBy(col("spend").desc, col("user_id").asc)
     agg.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+      // rank on the exact decimal; only the OUTPUT column is double
+      // (driver-hash decimal normalization differs across engines).
+      .withColumn("spend", col("spend").cast("double"))
   }
 
   private val topkQ: Q = (s, d) =>
@@ -130,7 +133,7 @@ object StreamingOps {
     "stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
         | event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sessionize" ->
       """WITH x AS (
@@ -162,7 +165,8 @@ object StreamingOps {
         |r AS (SELECT w_start, user_id, spend,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY w_start
         |    ORDER BY spend DESC, user_id ASC) AS INT) AS rk FROM a)
-        |SELECT w_start, user_id, spend, rk FROM r WHERE rk <= 3
+        |SELECT w_start, user_id, CAST(spend AS DOUBLE) AS spend, rk
+        |FROM r WHERE rk <= 3
         |ORDER BY w_start, rk""".stripMargin,
     "stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id,
