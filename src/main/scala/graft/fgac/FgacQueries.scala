@@ -153,6 +153,12 @@ object FgacQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The deny decision is deterministic (team2 holds no customer
+    // grant), so the oracle is the constant decision row the query
+    // contract promises.
+    "fgac_deny" ->
+      """SELECT 'team2' AS principal, 'customer' AS "table",
+        | 'DENIED' AS decision""".stripMargin,
     "fgac_row_filter" ->
       s"SELECT * FROM customer WHERE $RowFilter ORDER BY c_custkey",
     "fgac_col_filter" ->

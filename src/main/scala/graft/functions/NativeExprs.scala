@@ -289,6 +289,76 @@ object NativeExprs {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  private val FpPrime = 1000000007L
+  private val FpSeed = 7L
+
+  /** Polynomial rolling fingerprint of a string, mod 1e9+7: h = 7;
+    * per code point, h = (h*31 + cp) mod p. Matches the DuckDB
+    * `list_reduce(ascii)` fold exactly (code points == bytes for
+    * ASCII corpora), so the result is oracle-comparable across
+    * engines — unlike xxhash64, whose seed/implementation is
+    * Spark-private. Replaces an interpreted `aggregate(split(...))`
+    * HOF fold (~1 lambda dispatch per char). */
+  case class PolyFingerprint(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_polyfp"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var h = FpSeed
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31 + cp) % FpPrime
+        i += Character.charCount(cp)
+      }
+      h
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Winnowing-style minimum window fingerprint: min over all
+    * `window`-code-point substrings of the [[PolyFingerprint]]
+    * polynomial hash; texts shorter than the window hash whole.
+    * O(window * n) primitive ops per row — native so the per-window
+    * fold never hits the interpreted HOF path. Same cross-engine
+    * contract as [[PolyFingerprint]]. */
+  case class PolyMinWindow(child: Expression, window: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_minwindow"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      var best = Long.MaxValue
+      var start = 0
+      val lastStart = n - window
+      if (lastStart < 0) {
+        var h = FpSeed
+        var i = 0
+        while (i < n) { h = (h * 31 + cps(i)) % FpPrime; i += 1 }
+        return h
+      }
+      while (start <= lastStart) {
+        var h = FpSeed
+        var i = start
+        val end = start + window
+        while (i < end) { h = (h * 31 + cps(i)) % FpPrime; i += 1 }
+        if (h < best) best = h
+        start += 1
+      }
+      best
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[NativeExprs.type].getName, null, name, usage, "")
 
@@ -318,5 +388,13 @@ object NativeExprs {
       (args: Seq[Expression]) => JaccardSortedLong(args(0), args(1))),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot", "dot product of two double arrays"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_polyfp"),
+      info("graft_polyfp",
+        "polynomial rolling fingerprint of a string, mod 1e9+7"),
+      (args: Seq[Expression]) => PolyFingerprint(args.head)),
+    (FunctionIdentifier("graft_minwindow8"),
+      info("graft_minwindow8",
+        "min polynomial hash over all 8-char windows of a string"),
+      (args: Seq[Expression]) => PolyMinWindow(args.head, 8)))
 }

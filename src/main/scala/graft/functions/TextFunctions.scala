@@ -51,18 +51,18 @@ object TextFunctions {
     call_function("graft_minhash128", shingleSet)
 
   /** Polynomial rolling fingerprint of the full text, mod 1e9+7
-    * (ANSI-safe: intermediate stays well under Long.MaxValue). */
-  def polyFingerprint(textCol: String): Column = expr(
-    s"""aggregate(split($textCol, ''), CAST(7 AS BIGINT),
-       |  (h, c) -> pmod(h * 31 + ascii(c), 1000000007))""".stripMargin)
+    * (ANSI-safe: intermediate stays well under Long.MaxValue). Native
+    * single pass ([[NativeExprs.PolyFingerprint]]); the fold is
+    * engine-portable, so a DuckDB oracle reproduces it exactly. */
+  def polyFingerprint(textCol: String): Column =
+    call_function("graft_polyfp", col(textCol))
 
   /** Minimum windowed substring hash (winnowing-style document
-    * fingerprint): min over all 8-char windows of xxhash64. */
-  def minWindowHash(textCol: String): Column = expr(
-    s"""IF(length($textCol) >= 8,
-       |  array_min(transform(sequence(1, length($textCol) - 7),
-       |    i -> xxhash64(substring($textCol, i, 8)))),
-       |  xxhash64($textCol))""".stripMargin)
+    * fingerprint): min over all 8-char windows of the polynomial
+    * hash ([[NativeExprs.PolyMinWindow]] — engine-portable, unlike
+    * xxhash64 whose seed is Spark-private). */
+  def minWindowHash(textCol: String): Column =
+    call_function("graft_minwindow8", col(textCol))
 
   /** Exact Jaccard similarity of two (distinct-element) arrays, as a
     * double — integer set sizes divided in double, so the value is

@@ -128,6 +128,22 @@ object Multimodal {
     "mm_framesample" -> framesample)
 
   val oracles: Map[String, String] = Map(
+    // The stub features are pure byte arithmetic over the payload
+    // (magic || utf8(text)): mean byte value, byte length, first
+    // byte. DuckDB reconstructs them from code points (== bytes for
+    // this ASCII corpus); the division is the same exact-int-over-
+    // exact-int IEEE op on both engines.
+    "mm_features" ->
+      """SELECT doc_id,
+        | CAST(list_sum(list_transform(string_split(
+        |   (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'PNG!'
+        |     WHEN 1 THEN 'JPG!' ELSE 'WAV!' END) || text, ''),
+        |   c -> ascii(c))) AS DOUBLE)
+        |   / CAST(octet_length(encode(text)) + 4 AS DOUBLE) AS f_mean_byte,
+        | CAST(octet_length(encode(text)) + 4 AS DOUBLE) AS f_len,
+        | CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 80
+        |   WHEN 1 THEN 74 ELSE 87 END AS DOUBLE) AS f_first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // independent reconstruction of the payload contract
     "mm_metadata" ->
       """SELECT doc_id,

@@ -83,9 +83,9 @@ object TextAnalysis {
   }
 
   /** Document fingerprinting: polynomial rolling hash (mod 1e9+7)
-    * + winnowing-style min window hash. Rows-only (char-fold hashing
-    * isn't reasonably SQL-expressible); OperatorSpec pins exact
-    * values. */
+    * + winnowing-style min window hash, both native single-pass
+    * kernels with an engine-portable fold — the DuckDB oracle
+    * reproduces them with `list_reduce` over `string_split`. */
   private val fingerprint: Q = (s, d) =>
     Tables.documents(s, d)
       .select(
@@ -163,6 +163,26 @@ object TextAnalysis {
         | regexp_replace(text, '\b(customer|key)\b', '[REDACTED]', 'g') AS redacted,
         | CAST(len(regexp_extract_all(text, '\b(customer|key)\b')) AS INT)
         |   AS n_redactions
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The polynomial fold (seed 7, base 31, mod 1e9+7) is reproduced
+    // exactly: DuckDB ascii() == code point == what the native kernel
+    // folds (corpus is ASCII; both engines agree on any BMP text).
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (h, c) -> (h * 31 + c) % 1000000007) AS poly_fp,
+        | CASE WHEN length(text) >= 8 THEN
+        |   list_min(list_transform(range(1, length(text) - 6), i ->
+        |     list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |         list_transform(string_split(text[CAST(i AS INT):CAST(i + 7 AS INT)], ''),
+        |           c -> CAST(ascii(c) AS BIGINT))),
+        |       (h, c) -> (h * 31 + c) % 1000000007)))
+        | ELSE
+        |   list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |       list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |     (h, c) -> (h * 31 + c) % 1000000007)
+        | END AS min_window_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" -> {
       val langs = LangMarkers.map(_._1)

@@ -51,6 +51,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getAs[Long]("fp") == h)
   }
 
+  test("min window hash matches a reference implementation") {
+    val row = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        TextFunctions.minWindowHash("text").as("mw"))
+      .orderBy("doc_id").head()
+    val text = row.getAs[String]("text")
+    def poly(s: String): Long = {
+      var h = 7L
+      s.foreach(c => h = math.floorMod(h * 31 + c.toInt, 1000000007L))
+      h
+    }
+    val expected =
+      if (text.length < 8) poly(text)
+      else (0 to text.length - 8).map(i => poly(text.substring(i, i + 8))).min
+    assert(row.getAs[Long]("mw") == expected)
+  }
+
   test("langid marker counts are consistent and guess is deterministic") {
     val df = SparkEntry.queries("text_langid")(spark, sf)
     assert(df.count() == Tables.documents(spark, sf).count())
