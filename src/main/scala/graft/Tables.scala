@@ -24,6 +24,14 @@ object Tables {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's
       // vectorized reader rejects; read as long, convert in events().
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Governed namespaces, mirroring the reference's configured
+      // catalog (`spark.sql.catalog.dev`,
+      // consumer_emr_on_eks_setup.sh:438-447): qualified names route
+      // through GovernedCatalog so FgacRule can enforce policy.
+      .config("spark.sql.catalog.gov",
+        classOf[graft.fgac.GovernedCatalog].getName)
+      .config("spark.sql.catalog.dev",
+        classOf[graft.fgac.GovernedCatalog].getName)
       .withExtensions(new graft.fgac.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

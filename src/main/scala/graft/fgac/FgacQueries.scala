@@ -139,8 +139,56 @@ object FgacQueries {
       s.sql("SELECT * FROM gov_customer ORDER BY c_custkey"))
   }
 
+  /** Namespace-qualified governance — the reference's only addressing
+    * mode: the consumer reads `dev.${CONSUMER_DATABASE}.${rl_patients}`
+    * through a configured catalog (consumer_emr_on_eks_setup.sh:407,
+    * 412, catalog conf :438-447). Exercises (a) a catalog-qualified
+    * resource link resolving to its governed target with the
+    * caller's policy applied, and (b) deny-by-default for a governed
+    * table in an ungranted namespace. A deny failure empties the
+    * result, so the oracle compare catches it. */
+  private val namespaceGoverned: Q = (s, dir) => {
+    // Catalog registration is a lazy per-name conf lookup, so the
+    // governed namespaces can be wired into any session at runtime —
+    // the local analog of the reference's --conf spark.sql.catalog.dev
+    // (consumer_emr_on_eks_setup.sh:438-447).
+    Seq("gov", "dev").foreach(c => s.conf.set(
+      s"spark.sql.catalog.$c", classOf[GovernedCatalog].getName))
+    val patients = Tables.customer(s, dir)
+    val accounts = Tables.orders(s, dir)
+    patients.createOrReplaceTempView(
+      SecureCatalog.rawViewName("gov.healthcare_db.patients"))
+    accounts.createOrReplaceTempView(
+      SecureCatalog.rawViewName("gov.finance_db.accounts"))
+    SecureCatalog.governTable("gov.healthcare_db.patients",
+      patients.columns.toIndexedSeq)
+    SecureCatalog.governTable("gov.finance_db.accounts",
+      accounts.columns.toIndexedSeq)
+    SecureCatalog.register(Principal("ns_consumer",
+      grants = Map("gov.healthcare_db.patients" ->
+        TablePolicy("gov.healthcare_db.patients",
+          rowFilter = Some(RowFilter),
+          allowedColumns = Some(VisibleCols))),
+      links = Map("dev.consumer_db.rl_patients" ->
+        "gov.healthcare_db.patients")))
+    val denied =
+      try {
+        asPrincipal(s, "ns_consumer")(
+          s.sql("SELECT * FROM gov.finance_db.accounts").collect())
+        false
+      } catch {
+        case t: Throwable
+            if causeChain(t).exists(_.isInstanceOf[AccessDeniedException]) =>
+          true
+      }
+    val res = asPrincipal(s, "ns_consumer")(s.sql(
+      "SELECT * FROM dev.consumer_db.rl_patients ORDER BY c_custkey"))
+    if (denied) res else res.limit(0)
+  }
+
   val queries: Map[String, Q] = Map(
     "fgac_lakehouse"     -> lakehouseGoverned,
+    "fgac_namespace"     -> namespaceGoverned,
     "fgac_row_filter"    -> governedSql("analyst_row", fullScan),
     "fgac_col_filter"    -> governedSql("analyst_col", fullScan),
     "fgac_cell_filter"   -> governedSql("analyst_cell", fullScan),
@@ -178,6 +226,8 @@ object FgacQueries {
          |ORDER BY p.c_mktsegment, c.o_orderdate, c.o_orderkey""".stripMargin,
     "fgac_resource_link" ->
       s"SELECT * FROM customer WHERE $RowFilter ORDER BY c_custkey",
+    "fgac_namespace" ->
+      s"SELECT ${VisibleCols.mkString(", ")} FROM customer WHERE $RowFilter ORDER BY c_custkey",
     "fgac_tag_policy" ->
       s"""SELECT c_custkey, c_name, c_nationkey,
          | CAST(-1.0 AS DOUBLE) AS c_acctbal, c_mktsegment

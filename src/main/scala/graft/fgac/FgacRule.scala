@@ -37,17 +37,22 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
     plan.transformUp {
+      // Both bare (`patients`) and namespace-qualified
+      // (`dev.healthcare_db.rl_patients`, the reference's only form —
+      // consumer_emr_on_eks_setup.sh:407-412) governed names resolve
+      // here; a qualified name that bypassed governance would be a
+      // policy hole, so interception keys on the full dotted name.
       case u: UnresolvedRelation
-          if u.multipartIdentifier.size == 1 &&
-            SecureCatalog.isVisibleName(u.multipartIdentifier.head) =>
-        val name = u.multipartIdentifier.head.toLowerCase
+          if SecureCatalog.isVisibleName(u.multipartIdentifier) =>
+        val parts = u.multipartIdentifier.map(_.toLowerCase)
+        val name = parts.mkString(".")
         val target = SecureCatalog.resolveLink(name)
         val raw = u.copy(multipartIdentifier =
           Seq(SecureCatalog.rawViewName(target)))
-        if (who.isEmpty) SubqueryAlias(name, raw) // admin / ungoverned session
+        if (who.isEmpty) SubqueryAlias(parts, raw) // admin / ungoverned session
         else SecureCatalog.authorize(who, name) match {
-          case None         => SubqueryAlias(name, raw)
-          case Some(policy) => SubqueryAlias(name, secured(policy, raw))
+          case None         => SubqueryAlias(parts, raw)
+          case Some(policy) => SubqueryAlias(parts, secured(policy, raw))
         }
     }
   }

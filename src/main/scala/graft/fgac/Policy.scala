@@ -62,8 +62,11 @@ object SecureCatalog {
 
   /** Hidden raw-data view for a governed table; only [[FgacRule]]
     * references it (the local-mode analog of the producer's
-    * storage-credentials boundary). */
-  def rawViewName(table: String): String = s"__graft_raw_${table.toLowerCase}"
+    * storage-credentials boundary). Namespace-qualified names
+    * (`catalog.db.table`) flatten their dots, since temp-view names
+    * are single-part. */
+  def rawViewName(table: String): String =
+    s"__graft_raw_${table.toLowerCase.replace('.', '_')}"
 
   private val governed =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]() // name -> columns
@@ -89,11 +92,18 @@ object SecureCatalog {
   }
   def principal(name: String): Option[Principal] = Option(principals.get(name))
 
-  /** Names [[FgacRule]] intercepts: governed tables + resource links. */
+  /** Names [[FgacRule]] intercepts: governed tables + resource links.
+    * Registry keys are canonical lowercase dotted names, so the same
+    * lookup serves `patients` and `dev.healthcare_db.rl_patients` —
+    * the reference addresses every governed table through a
+    * catalog-qualified name (consumer_emr_on_eks_setup.sh:407-412). */
   def isVisibleName(name: String): Boolean = {
     val lower = name.toLowerCase
     isGoverned(lower) || links.containsKey(lower)
   }
+  /** Multi-part form: `Seq("dev", "db", "t")` ≡ `"dev.db.t"`. */
+  def isVisibleName(parts: Seq[String]): Boolean =
+    isVisibleName(parts.mkString("."))
   /** A resource link resolves to its target governed table. */
   def resolveLink(name: String): String =
     Option(links.get(name.toLowerCase)).getOrElse(name.toLowerCase)

@@ -89,6 +89,21 @@ class FgacSpec extends AnyFunSuite {
       "direct grant must take precedence over tag grant")
   }
 
+  test("namespace-qualified names are governed: link read + deny") {
+    // fgac_namespace empties itself if the ungranted-namespace probe
+    // was NOT denied, so nonEmpty proves both paths.
+    val df = SparkEntry.queries("fgac_namespace")(spark, sf)
+    assert(df.columns.toSet ==
+      Set("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    val segs = df.select("c_mktsegment").distinct().collect().map(_.getString(0))
+    assert(segs.nonEmpty && segs.forall(Set("BUILDING", "AUTOMOBILE")))
+    // direct qualified read (not via link) is enforced too
+    val n = FgacQueries.asPrincipal(spark, "ns_consumer") {
+      spark.sql("SELECT * FROM gov.healthcare_db.patients").count()
+    }
+    assert(n == df.count())
+  }
+
   test("FGAC filter pushes into the parquet scan") {
     FgacQueries.setup(spark, sf)
     val plan = FgacQueries.asPrincipal(spark, "analyst_cell") {
