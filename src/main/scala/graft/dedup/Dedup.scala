@@ -28,11 +28,31 @@ object Dedup {
 
   /** doc_id, source, sorted distinct hashed 3-gram shingle set —
     * one native pass over the text ([[graft.functions.NativeExprs.ShingleHashes]]);
-    * shingle strings are never materialized. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.parallel(Tables.documents(s, d))
-      .select(col("doc_id"), col("source"),
-        call_function("graft_shingle_hashes", col("text")).as("sh"))
+    * shingle strings are never materialized.
+    *
+    * Null handling is deliberate: null texts are dropped by a plain
+    * scan-level filter, and the kernel input is `coalesce(text, '')`
+    * so the shingle column is *non-nullable*. Without that, the
+    * downstream self-joins' null-intolerant equalities make the
+    * optimizer infer `isnotnull(<kernel>)` and push it below the
+    * projection — evaluating the kernel twice per row per branch
+    * (the round-1/2 plan finding). With a non-nullable kernel the
+    * constraint folds to true and each branch evaluates it once.
+    *
+    * `minTokens` pre-filters on the raw token count *before* the
+    * kernel (3 tokens ⇔ ≥1 shingle), replacing a `size(sh) > 0`
+    * post-filter that had the same double-eval problem. */
+  private def shingled(s: SparkSession, d: String, minTokens: Int = 0): DataFrame = {
+    val base = Tables.parallel(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+    val pre =
+      if (minTokens > 0)
+        base.filter(size(split(lower(col("text")), " ")) >= minTokens)
+      else base
+    pre.select(col("doc_id"), col("source"),
+      call_function("graft_shingle_hashes",
+        coalesce(col("text"), lit(""))).as("sh"))
+  }
 
   /** Exact n-gram Jaccard pairs (≥ 0.8) within a `source` block.
     * O(block²) compares — correct at any SF but only tractable
@@ -73,7 +93,7 @@ object Dedup {
     * count and would be salted/capped in production; candidates are
     * deduped before verification. */
   private val minhashLsh: Q = (s, d) => {
-    val sh = shingled(s, d).filter(size(col("sh")) > 0)
+    val sh = shingled(s, d, minTokens = 3)
     // Map-side signatures: 128 minhashes per doc computed in one
     // projection over the shingle array — no explode, no groupBy, so
     // signature building is a zero-shuffle scan producing 1 KB/doc
@@ -114,8 +134,16 @@ object Dedup {
     * isn't reasonably SQL-expressible); OperatorSpec verifies against
     * a brute-force hamming join. */
   private val simhash: Q = (s, d) => {
+    // Same non-nullable kernel contract as [[shingled]]: null texts
+    // filtered at the scan, coalesce makes `sim` non-nullable so the
+    // band join infers no isnotnull(<kernel>) filter (which would
+    // re-evaluate the kernel per row per branch).
     val docs = Tables.parallel(Tables.documents(s, d))
-      .select(col("doc_id"), simhash64("text").as("sim"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        call_function("graft_simhash64",
+          graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))))
+          .as("sim"))
     val bands = docs.select(col("doc_id"), col("sim"),
       explode(expr(
         """transform(sequence(0, 3), b ->
@@ -156,16 +184,20 @@ object Dedup {
 
   /** The canonical preprocessing funnel as ONE declarative plan:
     * exact-dedup (keep first) → quality gate (≥ 20 tokens) →
-    * per-source corpus stats. Keep-first is a row_number over a
-    * text-partitioned window rather than a groupBy+self-join, so the
-    * whole funnel is exactly two shuffles: one partition-by-content
-    * for the dedup, one for the final per-source aggregate. */
+    * per-source corpus stats, in exactly two shuffles. Keep-first
+    * partitions the window by `xxhash64(text)` — an 8-byte shuffle/
+    * sort key instead of the document body — and keeps a row when the
+    * previous row in (text, doc_id) order has *different* text, which
+    * is min-doc_id-per-distinct-text even when two texts collide into
+    * one hash group. Full-text compares only happen between rows whose
+    * 64-bit hashes already tie. */
   private val cleanCorpus: Q = (s, d) => {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("text")).orderBy(col("doc_id").asc)
+      .partitionBy(col("h")).orderBy(col("text").asc, col("doc_id").asc)
     Tables.documents(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .withColumn("h", xxhash64(col("text")))
+      .withColumn("prev_text", lag(col("text"), 1).over(w))
+      .filter(col("prev_text").isNull || col("prev_text") =!= col("text"))
       .withColumn("ntok", size(tokens(col("text"))))
       .filter(col("ntok") >= 20)
       .groupBy(col("source"))
