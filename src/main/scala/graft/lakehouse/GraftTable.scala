@@ -213,6 +213,26 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     out.result().sorted
   }
 
+  /** Align `df` to `schema` by name AND type: identical types pass
+    * through, safely-widenable ones (INT→BIGINT, FLOAT→DOUBLE, …) are
+    * cast, anything else is rejected. Without the cast, an INT column
+    * appended into a BIGINT table would *commit* parquet whose
+    * physical types contradict the manifest schema — the write
+    * succeeds and later reads fail or misread (the round-2 ADVICE
+    * finding). Same upcast-only contract as Iceberg's write check. */
+  private def aligned(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fieldNames.toIndexedSeq.map { name =>
+      val field = schema(name)
+      val in = df.schema(name).dataType
+      if (in == field.dataType) col(name)
+      else if (org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(in, field.dataType))
+        col(name).cast(field.dataType).as(name)
+      else throw new IllegalArgumentException(
+        s"column '$name': ${in.simpleString} cannot be safely written " +
+          s"as table type ${field.dataType.simpleString}")
+    }: _*)
+
   def append(df: DataFrame): Long = append(df, Nil)
 
   private[lakehouse] def append(df: DataFrame, createPartitionCols: Seq[String]): Long = {
@@ -220,7 +240,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val schema = snap.map(_.schema).getOrElse(df.schema)
     val parts = snap.map(_.partitionCols).getOrElse(createPartitionCols)
     val id = currentSnapshotId + 1
-    val files = writeData(df.select(schema.fieldNames.map(col): _*), id, parts)
+    val files = writeData(aligned(df, schema), id, parts)
     commit("append", schema, snap.map(_.files).getOrElse(Nil) ++ files, parts)
   }
 
@@ -232,7 +252,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val added = df.schema.fields.filterNot(f => snap.schema.fieldNames.contains(f.name))
     val schema = StructType(snap.schema.fields ++ added.map(_.copy(nullable = true)))
     val id = currentSnapshotId + 1
-    val files = writeData(df, id, snap.partitionCols)
+    val files = writeData(aligned(df, schema), id, snap.partitionCols)
     commit("append", schema, snap.files ++ files, snap.partitionCols)
   }
 
@@ -316,12 +336,24 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val cols = snap.schema.fieldNames.toSeq
     require(source.columns.sorted.toSeq == cols.sorted,
       s"merge source schema ${source.columns.mkString(",")} != table ${cols.mkString(",")}")
-    val srcKeys = source.select(key).distinct()
+    val src = aligned(source, snap.schema)
+    // Iceberg/Delta cardinality rule: a source with two rows for one
+    // key would silently duplicate every matched target row through
+    // the left join below and insert both unmatched copies — fail the
+    // commit instead. One bounded aggregation over the (small) source;
+    // at scale this folds into the same scan as srcKeys.
+    val dup = src.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has duplicate rows for key '$key' " +
+        s"(e.g. $key=${dup.headOption.map(_.get(0)).orNull}): " +
+        "each target row must match at most one source row")
+    val srcKeys = src.select(key).distinct()
     val affected = affectedFiles(snap, _.join(srcKeys, Seq(key), "left_semi"))
     val (keep, rewrite) = partitionFiles(snap, affected)
     val id = currentSnapshotId + 1
 
-    val marked = source.select(
+    val marked = src.select(
       col(key) +: cols.filterNot(_ == key).map(c => col(c).as(s"_s_$c")) :+
         lit(true).as("_graft_matched"): _*)
     val updated =
@@ -334,7 +366,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
             else when(col("_graft_matched").isNotNull, col(s"_s_$c"))
               .otherwise(col(c)).as(c)
           }: _*))
-    val inserted = source
+    val inserted = src
       .join(readFiles(snap.schema, snap.files, snap.partitionCols)
         .select(key), Seq(key), "left_anti")
       .select(cols.map(col): _*)
@@ -379,8 +411,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     }
     val id = currentSnapshotId + 1
     commit("overwrite_partitions", snap.schema,
-      keep ++ writeData(df.select(snap.schema.fieldNames.map(col): _*),
-        id, parts),
+      keep ++ writeData(aligned(df, snap.schema), id, parts),
       parts)
   }
 

@@ -50,6 +50,29 @@ class LakehouseSpec extends AnyFunSuite {
     assert(got(2).getString(1) == "C")
   }
 
+  test("merge rejects a source with duplicate keys (cardinality rule)") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val dupSource =
+      Seq((2L, "B", 20.0), (2L, "B2", 21.0), (3L, "C", 30.0)).toDF("k", "tag", "v")
+    val e = intercept[IllegalArgumentException](t.merge(dupSource, "k"))
+    assert(e.getMessage.contains("duplicate"))
+    // the failed merge must not have committed anything
+    assert(t.currentSnapshotId == 1 && t.read().count() == 2)
+  }
+
+  test("append widens safe type mismatches and rejects unsafe ones") {
+    val t = freshTable(Seq((1L, "a", 1.0))) // k: BIGINT, v: DOUBLE
+    // INT k and FLOAT v upcast to the table types; committed files
+    // must read back through the manifest schema without error.
+    t.append(Seq((2, "b", 2.5f)).toDF("k", "tag", "v"))
+    val got = t.read().orderBy("k").select("v").as[Double].collect()
+    assert(got.sameElements(Array(1.0, 2.5)))
+    // a STRING column cannot be written as DOUBLE — reject, no commit
+    val bad = Seq((3L, "c", "not-a-number")).toDF("k", "tag", "v")
+    intercept[IllegalArgumentException](t.append(bad))
+    assert(t.currentSnapshotId == 2)
+  }
+
   test("schema evolution: old rows read NULL for the added column") {
     val t = freshTable(Seq((1L, "a", 1.0)))
     t.appendEvolved(Seq((2L, "b", 2.0, "x")).toDF("k", "tag", "v", "extra"))
