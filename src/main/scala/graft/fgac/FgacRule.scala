@@ -86,6 +86,7 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(FgacRule(_))
+    e.injectResolutionRule(graft.lakehouse.LakeSqlRule(_))
     graft.functions.NativeExprs.registrations.foreach(e.injectFunction)
   }
 }

@@ -214,24 +214,28 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   }
 
   /** Align `df` to `schema` by name AND type: identical types pass
-    * through, safely-widenable ones (INT→BIGINT, FLOAT→DOUBLE, …) are
-    * cast, anything else is rejected. Without the cast, an INT column
-    * appended into a BIGINT table would *commit* parquet whose
-    * physical types contradict the manifest schema — the write
-    * succeeds and later reads fail or misread (the round-2 ADVICE
-    * finding). Same upcast-only contract as Iceberg's write check. */
-  private def aligned(df: DataFrame, schema: StructType): DataFrame =
+    * through, ANSI-store-assignable ones (INT→BIGINT, FLOAT→DOUBLE,
+    * DECIMAL→DOUBLE, … with runtime overflow checks where narrowing)
+    * are cast, anything else (e.g. STRING→DOUBLE) is rejected.
+    * Without the cast, an INT column appended into a BIGINT table
+    * would *commit* parquet whose physical types contradict the
+    * manifest schema — the write succeeds and later reads fail or
+    * misread (the round-2 ADVICE finding). Same contract as Spark's
+    * `storeAssignmentPolicy=ANSI` / Iceberg's write check. */
+  private def aligned(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
     df.select(schema.fieldNames.toIndexedSeq.map { name =>
       val field = schema(name)
       val in = df.schema(name).dataType
       if (in == field.dataType) col(name)
-      else if (org.apache.spark.sql.catalyst.expressions.Cast
-          .canUpCast(in, field.dataType))
+      else if (Cast.canUpCast(in, field.dataType) ||
+          Cast.canANSIStoreAssign(in, field.dataType))
         col(name).cast(field.dataType).as(name)
       else throw new IllegalArgumentException(
         s"column '$name': ${in.simpleString} cannot be safely written " +
           s"as table type ${field.dataType.simpleString}")
     }: _*)
+  }
 
   def append(df: DataFrame): Long = append(df, Nil)
 
@@ -332,47 +336,147 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * At scale Catalyst/AQE picks broadcast vs shuffle join on its own.
     */
   def merge(source: DataFrame, key: String): Long = {
+    require(source.columns.sorted.toSeq ==
+        currentSnapshot.schema.fieldNames.sorted.toSeq,
+      s"merge source schema ${source.columns.mkString(",")} != table " +
+        currentSnapshot.schema.fieldNames.mkString(","))
+    merge(source, Seq(key), Seq(
+      MergeClause.Update(None, Map.empty),
+      MergeClause.Insert(None, Map.empty)))
+  }
+
+  /** Conditional multi-clause MERGE (see [[MergeClause]]): first
+    * matching clause wins per row. Source need only contain the key
+    * columns plus whatever the clauses reference (star update/insert
+    * clauses require the full table schema). Copy-on-write like the
+    * single-key form: only files containing key matches are
+    * rewritten; clause evaluation is one projection over the joined
+    * rewrite set, so the whole MERGE is the semi-join scan + one
+    * rewrite + one anti-join, no extra shuffles. */
+  def merge(source: DataFrame, keys: Seq[String],
+      clauses: Seq[MergeClause]): Long = {
     val snap = currentSnapshot
     val cols = snap.schema.fieldNames.toSeq
-    require(source.columns.sorted.toSeq == cols.sorted,
-      s"merge source schema ${source.columns.mkString(",")} != table ${cols.mkString(",")}")
-    val src = aligned(source, snap.schema)
+    require(keys.nonEmpty, "merge requires at least one key column")
+    require(keys.forall(source.columns.contains),
+      s"merge source lacks key column(s) ${keys.filterNot(source.columns.contains).mkString(",")}")
+    require(!cols.exists(_.startsWith(GraftTable.SrcPrefix)),
+      s"table columns may not start with reserved prefix '${GraftTable.SrcPrefix}'")
+    require(!source.columns.exists(_.startsWith("_graft")),
+      "merge source columns may not start with reserved prefix '_graft'")
+    val matchedClauses = clauses.filter {
+      case _: MergeClause.Insert => false
+      case _                     => true
+    }
+    val insertClauses = clauses.collect { case i: MergeClause.Insert => i }
+    val needsStar =
+      matchedClauses.exists { case MergeClause.Update(_, s) => s.isEmpty; case _ => false } ||
+        insertClauses.exists(_.values.isEmpty)
+    if (needsStar) require(cols.forall(source.columns.contains),
+      "UPDATE SET * / INSERT * requires the source to carry every table column")
+
     // Iceberg/Delta cardinality rule: a source with two rows for one
     // key would silently duplicate every matched target row through
-    // the left join below and insert both unmatched copies — fail the
-    // commit instead. One bounded aggregation over the (small) source;
-    // at scale this folds into the same scan as srcKeys.
-    val dup = src.groupBy(col(key)).count()
+    // the left join below — fail the commit instead. One bounded
+    // aggregation over the (small) source.
+    val dup = source.groupBy(keys.map(col): _*).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
-      s"merge source has duplicate rows for key '$key' " +
-        s"(e.g. $key=${dup.headOption.map(_.get(0)).orNull}): " +
+      s"merge source has duplicate rows for key(s) ${keys.mkString(",")} " +
+        s"(e.g. ${dup.headOption.map(r => keys.indices.map(r.get).mkString(",")).orNull}): " +
         "each target row must match at most one source row")
-    val srcKeys = src.select(key).distinct()
-    val affected = affectedFiles(snap, _.join(srcKeys, Seq(key), "left_semi"))
-    val (keep, rewrite) = partitionFiles(snap, affected)
+
+    // source columns enter the flat clause namespace as _src_<name>
+    val srcFlat = source.select(source.columns.toIndexedSeq.map(c =>
+      col(c).as(GraftTable.SrcPrefix + c)) :+
+      lit(true).as(GraftTable.MatchMarker): _*)
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val joinCond = keys.map(k =>
+      col(k) === col(GraftTable.SrcPrefix + k)).reduce(_ && _)
+
     val id = currentSnapshotId + 1
 
-    val marked = src.select(
-      col(key) +: cols.filterNot(_ == key).map(c => col(c).as(s"_s_$c")) :+
-        lit(true).as("_graft_matched"): _*)
-    val updated =
+    // a MERGE with no matched clauses touches no existing file
+    val (keep, rewrite) =
+      if (matchedClauses.isEmpty) (snap.files, Nil)
+      else partitionFiles(snap,
+        affectedFiles(snap, _.join(srcKeys, keys, "left_semi")))
+
+    val rewritten: Option[DataFrame] =
       if (rewrite.isEmpty) None
-      else Some(
-        readFiles(snap.schema, rewrite, snap.partitionCols)
-          .join(marked, Seq(key), "left")
+      else {
+        val joined = readFiles(snap.schema, rewrite, snap.partitionCols)
+          .join(srcFlat, joinCond, "left")
+        // first clause whose condition holds wins; -1 = keep row as-is
+        val winner = when(col(GraftTable.MatchMarker).isNotNull,
+          matchedClauses.zipWithIndex.foldRight(lit(-1): Column) {
+            case ((cl, i), els) =>
+              val c = (cl match {
+                case MergeClause.Update(cond, _) => cond
+                case MergeClause.Delete(cond)    => cond
+                case _: MergeClause.Insert       => None
+              }).map(expr).getOrElse(lit(true))
+              when(coalesce(c, lit(false)), lit(i)).otherwise(els)
+          }).otherwise(lit(-1))
+        val deleteIdx = matchedClauses.zipWithIndex.collect {
+          case (_: MergeClause.Delete, i) => i
+        }
+        val marked = joined.withColumn(GraftTable.WinnerCol, winner)
+        val kept =
+          if (deleteIdx.isEmpty) marked
+          else marked.filter(
+            !col(GraftTable.WinnerCol).isin(deleteIdx.map(Integer.valueOf): _*))
+        Some(kept.select(cols.map { c =>
+          matchedClauses.zipWithIndex.collect {
+            case (MergeClause.Update(_, set), i) =>
+              val v =
+                if (set.isEmpty) col(GraftTable.SrcPrefix + c)
+                else set.get(c).map(expr).getOrElse(col(c))
+              (i, v)
+          }.foldRight(col(c)) { case ((i, v), els) =>
+            when(col(GraftTable.WinnerCol) === i, v).otherwise(els)
+          }.as(c)
+        }: _*))
+      }
+
+    val inserted: Option[DataFrame] =
+      if (insertClauses.isEmpty) None
+      else {
+        val anti = source.join(
+          readFiles(snap.schema, snap.files, snap.partitionCols)
+            .select(keys.map(col): _*), keys, "left_anti")
+        val antiFlat = anti.select(anti.columns.toIndexedSeq.map(c =>
+          col(c).as(GraftTable.SrcPrefix + c)): _*)
+        val winner = insertClauses.zipWithIndex.foldRight(lit(-1): Column) {
+          case ((cl, i), els) =>
+            val c = cl.condition.map(expr).getOrElse(lit(true))
+            when(coalesce(c, lit(false)), lit(i)).otherwise(els)
+        }
+        Some(antiFlat.withColumn(GraftTable.WinnerCol, winner)
+          .filter(col(GraftTable.WinnerCol) =!= -1)
           .select(cols.map { c =>
-            if (c == key) col(c)
-            else when(col("_graft_matched").isNotNull, col(s"_s_$c"))
-              .otherwise(col(c)).as(c)
+            insertClauses.zipWithIndex.map { case (cl, i) =>
+              val v =
+                if (cl.values.isEmpty) col(GraftTable.SrcPrefix + c)
+                else cl.values.get(c).map(expr)
+                  .getOrElse(lit(null))
+              (i, v)
+            }.foldRight(lit(null): Column) { case ((i, v), els) =>
+              when(col(GraftTable.WinnerCol) === i, v).otherwise(els)
+            }.cast(snap.schema(c).dataType).as(c)
           }: _*))
-    val inserted = src
-      .join(readFiles(snap.schema, snap.files, snap.partitionCols)
-        .select(key), Seq(key), "left_anti")
-      .select(cols.map(col): _*)
-    val newData = updated.map(_.unionByName(inserted)).getOrElse(inserted)
+      }
+
+    val newData = (rewritten, inserted) match {
+      case (Some(u), Some(ins)) => Some(aligned(u, snap.schema)
+        .unionByName(aligned(ins, snap.schema)))
+      case (Some(u), None)      => Some(aligned(u, snap.schema))
+      case (None, Some(ins))    => Some(aligned(ins, snap.schema))
+      case (None, None)         => None
+    }
     commit("merge", snap.schema,
-      keep ++ writeData(newData, id, snap.partitionCols), snap.partitionCols)
+      keep ++ newData.map(writeData(_, id, snap.partitionCols)).getOrElse(Nil),
+      snap.partitionCols)
   }
 
   /** Small-file compaction: rewrite the whole file set into
@@ -442,6 +546,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 }
 
 object GraftTable {
+  /** Flat-namespace prefix for source columns in [[MergeClause]]
+    * conditions and value expressions. */
+  val SrcPrefix = "_src_"
+  private[lakehouse] val MatchMarker = SrcPrefix + "_graft_matched"
+  private[lakehouse] val WinnerCol = SrcPrefix + "_graft_winner"
+
   /** Create a new table at `root` seeded with `df` (snapshot 1),
     * optionally hive-partitioned by `partitionBy`. */
   def create(spark: SparkSession, root: String, df: DataFrame,

@@ -23,7 +23,9 @@ object LakeQueries {
 
   /** MERGE (upsert): base = even custkeys; source = custkeys % 3 == 0
     * with bumped balance and a MERGED segment. Matched rows replaced,
-    * unmatched source rows inserted. */
+    * unmatched source rows inserted. Issued as SQL — the reference's
+    * workflow is SQL-first (producer_iceberg_datalake_setup.sh:203-236)
+    * — routed to the table by [[LakeSqlRule]]. */
   private val merge: Q = (s, dir) => {
     val customer = Tables.customer(s, dir)
     val base = customer.filter(col("c_custkey") % 2 === 0)
@@ -34,20 +36,53 @@ object LakeQueries {
         (col("c_acctbal") + 1000.0).as("c_acctbal"),
         lit("MERGED").as("c_mktsegment"))
     val t = GraftTable.create(s, tmp("lake_merge"), base)
-    t.merge(source, "c_custkey")
+    LakeRegistry.register("lake_merge_t", t)
+    source.createOrReplaceTempView("lake_merge_src")
+    s.sql(
+      """MERGE INTO lake_merge_t t USING lake_merge_src s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    t.read().orderBy("c_custkey")
+  }
+
+  /** Conditional MERGE clauses (Iceberg semantics): first-match-wins
+    * across `WHEN MATCHED AND … DELETE`, a partial `UPDATE SET`, and
+    * a conditional `INSERT` from a partial source (key + one column). */
+  private val mergeClauses: Q = (s, dir) => {
+    val customer = Tables.customer(s, dir)
+    val t = GraftTable.create(s, tmp("lake_mc"),
+      customer.filter(col("c_custkey") % 2 === 0))
+    LakeRegistry.register("lake_mc_t", t)
+    customer.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .createOrReplaceTempView("lake_mc_src")
+    s.sql(
+      """MERGE INTO lake_mc_t t USING lake_mc_src s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET
+        |  c_acctbal = t.c_acctbal + s.c_acctbal,
+        |  c_mktsegment = 'BUMPED'
+        |WHEN NOT MATCHED AND s.c_acctbal > 0 THEN
+        |  INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+        |  VALUES (s.c_custkey, 'anon', -1, s.c_acctbal, 'NEW')""".stripMargin)
     t.read().orderBy("c_custkey")
   }
 
   private val delete: Q = (s, dir) => {
     val t = GraftTable.create(s, tmp("lake_delete"), Tables.orders(s, dir))
-    t.delete("o_orderstatus = 'F'")
+    LakeRegistry.register("lake_delete_t", t)
+    s.sql("DELETE FROM lake_delete_t WHERE o_orderstatus = 'F'")
     t.read().orderBy("o_orderkey")
   }
 
   private val update: Q = (s, dir) => {
     val t = GraftTable.create(s, tmp("lake_update"), Tables.orders(s, dir))
-    t.update(Map("o_totalprice" -> "o_totalprice * 2.0"),
-      "o_orderpriority = '1-URGENT'")
+    LakeRegistry.register("lake_update_t", t)
+    s.sql(
+      """UPDATE lake_update_t SET o_totalprice = o_totalprice * 2.0
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
     t.read().orderBy("o_orderkey")
   }
 
@@ -153,6 +188,7 @@ object LakeQueries {
 
   val queries: Map[String, Q] = Map(
     "lake_merge"            -> merge,
+    "lake_merge_clauses"    -> mergeClauses,
     "lake_delete"           -> delete,
     "lake_update"           -> update,
     "lake_time_travel"      -> timeTravel,
@@ -181,6 +217,26 @@ object LakeQueries {
         |UNION ALL
         |SELECT s.* FROM src s WHERE NOT EXISTS
         |  (SELECT 1 FROM base b WHERE b.c_custkey = s.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "lake_merge_clauses" ->
+      """WITH base AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+        |src AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+        |joined AS (
+        |  SELECT b.c_custkey, b.c_name, b.c_nationkey,
+        |    CASE WHEN s.c_custkey IS NOT NULL
+        |         THEN b.c_acctbal + s.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        |    CASE WHEN s.c_custkey IS NOT NULL
+        |         THEN 'BUMPED' ELSE b.c_mktsegment END AS c_mktsegment,
+        |    b.c_acctbal AS orig_bal, s.c_custkey AS sk
+        |  FROM base b LEFT JOIN src s ON b.c_custkey = s.c_custkey),
+        |kept AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM joined WHERE NOT (sk IS NOT NULL AND orig_bal < 0)),
+        |ins AS (
+        |  SELECT s.c_custkey, 'anon' AS c_name, CAST(-1 AS INT) AS c_nationkey,
+        |         s.c_acctbal, 'NEW' AS c_mktsegment
+        |  FROM src s WHERE s.c_custkey % 2 = 1 AND s.c_acctbal > 0)
+        |SELECT * FROM kept UNION ALL SELECT * FROM ins
         |ORDER BY c_custkey""".stripMargin,
     "lake_delete" ->
       "SELECT * FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey",

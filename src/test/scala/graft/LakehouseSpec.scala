@@ -73,6 +73,45 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.currentSnapshotId == 2)
   }
 
+  test("SQL DML front-end routes INSERT/UPDATE/DELETE/MERGE to the table") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    graft.lakehouse.LakeRegistry.register("sqldml_t", t)
+    spark.sql("INSERT INTO sqldml_t VALUES (3, 'c', 3.0)")
+    assert(t.read().count() == 3)
+    spark.sql("UPDATE sqldml_t SET v = v * 10 WHERE k = 2")
+    spark.sql("DELETE FROM sqldml_t WHERE k = 1")
+    Seq((2L, "B", 99.0), (4L, "d", 4.0)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("sqldml_src")
+    spark.sql(
+      """MERGE INTO sqldml_t t USING sqldml_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET tag = s.tag
+        |WHEN NOT MATCHED THEN INSERT (k, tag, v) VALUES (s.k, s.tag, s.v)
+        |""".stripMargin)
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((2L, "B", 20.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("conditional MERGE clauses: AND conditions, partial SET, DELETE") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", -5.0), (3L, "c", 3.0)))
+    graft.lakehouse.LakeRegistry.register("sqlmc_t", t)
+    Seq((1L, 10.0), (2L, 20.0), (4L, 40.0), (5L, -1.0))
+      .toDF("k", "delta").createOrReplaceTempView("sqlmc_src")
+    spark.sql(
+      """MERGE INTO sqlmc_t t USING sqlmc_src s ON t.k = s.k
+        |WHEN MATCHED AND t.v < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+        |WHEN NOT MATCHED AND s.delta > 0 THEN
+        |  INSERT (k, tag, v) VALUES (s.k, 'new', s.delta)
+        |""".stripMargin)
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // k=1 matched+updated, k=2 matched+deleted (v<0), k=3 untouched,
+    // k=4 inserted, k=5 filtered by the insert condition
+    assert(got.toSeq ==
+      Seq((1L, "a", 11.0), (3L, "c", 3.0), (4L, "new", 40.0)))
+  }
+
   test("schema evolution: old rows read NULL for the added column") {
     val t = freshTable(Seq((1L, "a", 1.0)))
     t.appendEvolved(Seq((2L, "b", 2.0, "x")).toDF("k", "tag", "v", "extra"))
