@@ -186,9 +186,50 @@ object FgacQueries {
     if (denied) res else res.limit(0)
   }
 
+  /** Write-path FGAC: Lake Formation grants read and write
+    * permissions separately; a filtered-SELECT principal must not be
+    * able to mutate the table, while a write-granted principal can —
+    * and both decisions surface as constant-contract rows (like
+    * [[deny]]), so the oracle is exact. Covers the API path (wrapped
+    * update) and the SQL DML path (DELETE via LakeSqlRule). */
+  private val writeDeny: Q = (s, dir) => {
+    import s.implicits._
+    val t = graft.lakehouse.GraftTable.create(s,
+      java.nio.file.Files.createTempDirectory("graft_fgac_wd").toString,
+      Tables.customer(s, dir))
+    t.read().createOrReplaceTempView(SecureCatalog.rawViewName("wd_customer"))
+    SecureCatalog.governTable("wd_customer", t.read().columns.toIndexedSeq)
+    SecureCatalog.register(Principal("wd_reader", grants = Map(
+      "wd_customer" -> TablePolicy("wd_customer",
+        rowFilter = Some(RowFilter)))))
+    SecureCatalog.register(Principal("wd_writer", grants = Map(
+      "wd_customer" -> TablePolicy("wd_customer", write = true))))
+    val gov = new GovernedGraftTable(t, "wd_customer", s)
+    graft.lakehouse.LakeRegistry.register("wd_customer", t)
+    def attempt(who: String, op: String)(body: => Unit): (String, String, String) = {
+      val outcome =
+        try { body; "ALLOWED" }
+        catch {
+          case e: Throwable
+              if causeChain(e).exists(_.isInstanceOf[AccessDeniedException]) =>
+            "DENIED"
+        }
+      (who, op, outcome)
+    }
+    val rows = Seq(
+      attempt("wd_reader", "update")(asPrincipal(s, "wd_reader")(
+        gov.update(Map("c_acctbal" -> "0.0"), "c_custkey = 1"))),
+      attempt("wd_reader", "sql_delete")(asPrincipal(s, "wd_reader")(
+        s.sql("DELETE FROM wd_customer WHERE c_custkey = 1"))),
+      attempt("wd_writer", "update")(asPrincipal(s, "wd_writer")(
+        gov.update(Map("c_acctbal" -> "c_acctbal"), "c_custkey = 1"))))
+    rows.toDF("principal", "op", "decision").orderBy("principal", "op")
+  }
+
   val queries: Map[String, Q] = Map(
     "fgac_lakehouse"     -> lakehouseGoverned,
     "fgac_namespace"     -> namespaceGoverned,
+    "fgac_write_deny"    -> writeDeny,
     "fgac_row_filter"    -> governedSql("analyst_row", fullScan),
     "fgac_col_filter"    -> governedSql("analyst_col", fullScan),
     "fgac_cell_filter"   -> governedSql("analyst_cell", fullScan),
@@ -207,6 +248,13 @@ object FgacQueries {
     "fgac_deny" ->
       """SELECT 'team2' AS principal, 'customer' AS "table",
         | 'DENIED' AS decision""".stripMargin,
+    "fgac_write_deny" ->
+      """SELECT * FROM (VALUES
+        | ('wd_reader', 'sql_delete', 'DENIED'),
+        | ('wd_reader', 'update', 'DENIED'),
+        | ('wd_writer', 'update', 'ALLOWED'))
+        | AS t(principal, op, decision)
+        |ORDER BY principal, op""".stripMargin,
     "fgac_row_filter" ->
       s"SELECT * FROM customer WHERE $RowFilter ORDER BY c_custkey",
     "fgac_col_filter" ->

@@ -85,8 +85,12 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * for Iceberg's extensions (consumer_emr_on_eks_setup.sh:440). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectResolutionRule(FgacRule(_))
+    // LakeSqlRule must run before FgacRule: a DML statement's target
+    // relation has to be lowered to a table command (with its write
+    // authorization) before the read-path rule rewrites the name into
+    // a secured scan.
     e.injectResolutionRule(graft.lakehouse.LakeSqlRule(_))
+    e.injectResolutionRule(FgacRule(_))
     graft.functions.NativeExprs.registrations.foreach(e.injectFunction)
   }
 }

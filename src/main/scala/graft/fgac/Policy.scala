@@ -33,7 +33,13 @@ final case class TablePolicy(
     /** column -> SQL masking expression (evaluated pre-projection).
       * Lake Formation has no masking; Lakeguard-style engines do, and
       * it falls out of the same rewrite for free. */
-    masks: Map[String, String] = Map.empty)
+    masks: Map[String, String] = Map.empty,
+    /** Write (DML) permission — Lake Formation grants SELECT and
+      * INSERT/DELETE/ALTER separately
+      * (producer_iceberg_datalake_setup.sh:215-262,
+      * consumer_emr_on_eks_setup.sh:294-335); a grant without `write`
+      * is read-only under the grant's filters. */
+    write: Boolean = false)
 
 final case class Principal(
     name: String,
@@ -107,6 +113,25 @@ object SecureCatalog {
   /** A resource link resolves to its target governed table. */
   def resolveLink(name: String): String =
     Option(links.get(name.toLowerCase)).getOrElse(name.toLowerCase)
+
+  /** Write-path authorization: DML on a governed table requires a
+    * grant with `write = true`. Ungoverned tables and ungoverned
+    * (admin) sessions pass; everything else is deny-by-default —
+    * without this, any principal that could *name* a table could
+    * mutate it regardless of its read grant. */
+  def authorizeWrite(principalName: String, relName: String, op: String): Unit = {
+    if (principalName.isEmpty) return // admin / ungoverned session
+    val target = resolveLink(relName)
+    if (!isGoverned(target)) return
+    val p = principal(principalName).getOrElse(
+      throw new AccessDeniedException(s"unknown principal '$principalName'"))
+    val pol = p.grants.get(target)
+      .orElse(tagsOf(target).toSeq.sorted.flatMap(p.tagGrants.get).headOption)
+    if (!pol.exists(_.write))
+      throw new AccessDeniedException(
+        s"principal '${p.name}' has no write grant on governed table " +
+          s"'$target' (attempted $op)")
+  }
 
   /** Resolve what `principalName` may see of relation `relName`.
     * Returns None when the relation is not governed (no rewrite);

@@ -48,15 +48,25 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Write-path FGAC composes with the SQL front-end: a registered
+    * name that is ALSO governed requires the session principal to
+    * hold a write grant (deny-by-default, like the Lake Formation
+    * INSERT/DELETE permissions the reference provisions). */
+  private def checkWrite(name: String, op: String): Unit =
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name, op)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d: DeleteFromTable =>
-      target(d.table).map { case (t, aliases, _) =>
+      target(d.table).map { case (t, aliases, name) =>
+        checkWrite(name, "DELETE")
         GraftDeleteCommand(t, unqualified(d.condition, aliases).sql)
           : LogicalPlan
       }.getOrElse(plan)
 
     case u: UpdateTable =>
-      target(u.table).map { case (t, aliases, _) =>
+      target(u.table).map { case (t, aliases, name) =>
+        checkWrite(name, "UPDATE")
         val sets = u.assignments.map { a =>
           attrName(a.key) -> unqualified(a.value, aliases).sql
         }.toMap
@@ -66,6 +76,7 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case m: MergeIntoTable =>
       target(m.targetTable).map { case (t, targetAliases, name) =>
+        checkWrite(name, "MERGE")
         if (m.notMatchedBySourceActions.nonEmpty)
           throw new UnsupportedOperationException(
             "WHEN NOT MATCHED BY SOURCE is not supported")
@@ -100,7 +111,8 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }.getOrElse(plan)
 
     case i: InsertIntoStatement =>
-      target(i.table).map { case (t, _, _) =>
+      target(i.table).map { case (t, _, name) =>
+        checkWrite(name, "INSERT")
         require(i.partitionSpec.isEmpty && i.userSpecifiedCols.isEmpty,
           "INSERT with a partition spec or column list is not supported")
         GraftInsertCommand(t, i.query, i.overwrite, i.byName): LogicalPlan

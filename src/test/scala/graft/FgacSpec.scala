@@ -104,6 +104,21 @@ class FgacSpec extends AnyFunSuite {
     assert(n == df.count())
   }
 
+  test("write-path FGAC: read grant does not imply write grant") {
+    val rows = SparkEntry.queries("fgac_write_deny")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("wd_reader", "sql_delete", "DENIED"),
+      ("wd_reader", "update", "DENIED"),
+      ("wd_writer", "update", "ALLOWED")))
+    // and the reader's read-side policy still filters
+    val filtered = FgacQueries.asPrincipal(spark, "wd_reader") {
+      spark.sql("SELECT * FROM wd_customer")
+        .select("c_mktsegment").distinct().collect().map(_.getString(0))
+    }
+    assert(filtered.nonEmpty && filtered.forall(Set("BUILDING", "AUTOMOBILE")))
+  }
+
   test("FGAC filter pushes into the parquet scan") {
     FgacQueries.setup(spark, sf)
     val plan = FgacQueries.asPrincipal(spark, "analyst_cell") {
