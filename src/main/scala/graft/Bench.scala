@@ -1,8 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: one JSON line with per-query seconds.
+  *
+  * Methodology: queries run in sorted-name order (stable across
+  * rounds, so deltas are comparable), after a whole-surface warmup
+  * pass at the smallest scale factor — a fresh JVM otherwise charges
+  * codegen/classloading to whichever queries happen to run first,
+  * which round 1/2 showed can swing individual numbers 2-5×.
+  * Failures are REPORTED, not swallowed: a failed query records its
+  * time-to-failure and lands in the "errors" field, so a regression
+  * can never masquerade as a speedup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,15 +29,40 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warmup: whole surface once at the smallest SF (codegen, class
+    // loading, shuffle service, parquet footer caches)
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP"))
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          errors += name -> esc(
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
