@@ -70,9 +70,14 @@ object Tables {
     * file = one input split, which would serialize hashing/shingling
     * on a single core; on a cluster the scan already has thousands of
     * splits and this is a no-op (guarded, not an unconditional
-    * shuffle). */
+    * shuffle). The guard is a plan-shape probe (no shuffle below +
+    * few input files, driver-side only) rather than
+    * `df.rdd.getNumPartitions`, which under AQE forces every
+    * upstream stage to execute just to answer the question. */
   def parallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (graft.lakehouse.GraftTable.isNarrow(df, target))
+      df.repartition(target)
+    else df
   }
 }

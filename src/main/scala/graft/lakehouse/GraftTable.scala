@@ -196,10 +196,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // wide and this is a no-op. Capped at 8-way: full session
     // parallelism just multiplies manifest entries and small files
     // for the write sizes a single commit sees. compact() opts out —
-    // its output file count is the caller's explicit choice.
+    // its output file count is the caller's explicit choice. The
+    // narrowness probe is plan-shaped (driver-side, no execution):
+    // a frame that already went through a shuffle sits at
+    // spark.sql.shuffle.partitions and needs no widening; a pure
+    // scan's width is its input file count. The previous
+    // `rdd.getNumPartitions` probe answered the same question by
+    // executing every upstream stage under AQE.
     val par = math.min(8, df.sparkSession.sparkContext.defaultParallelism)
     val wide =
-      if (widen && df.rdd.getNumPartitions < par) df.repartition(par) else df
+      if (widen && GraftTable.isNarrow(df, par)) df.repartition(par) else df
     val w = wide.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir.toString)
@@ -546,6 +552,24 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 }
 
 object GraftTable {
+  /** True when `df` would execute on fewer than `target` partitions:
+    * no shuffle anywhere in the physical plan (else it runs at
+    * spark.sql.shuffle.partitions) and fewer than `target` input
+    * files. Pure plan inspection — no job, unlike an
+    * `rdd.getNumPartitions` probe which under AQE materializes every
+    * upstream stage. */
+  private[graft] def isNarrow(df: DataFrame, target: Int): Boolean = {
+    val shuffled = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }
+    if (shuffled) false
+    else {
+      val nFiles = try df.inputFiles.length catch { case _: Throwable => target }
+      nFiles > 0 && nFiles < target
+    }
+  }
+
   /** Flat-namespace prefix for source columns in [[MergeClause]]
     * conditions and value expressions. */
   val SrcPrefix = "_src_"

@@ -33,6 +33,10 @@ object SkewJoin {
       big: DataFrame, bigKey: String, bigUnique: Column,
       small: DataFrame, smallKey: String,
       numSalts: Int): DataFrame = {
+    // the helper column would silently shadow (and then drop) a real
+    // input column of the same name
+    require(!(big.columns ++ small.columns).contains("_graft_salt"),
+      "inputs may not contain a column named '_graft_salt'")
     val b = big.withColumn("_graft_salt",
       pmod(xxhash64(bigUnique), lit(numSalts.toLong)).cast("int"))
     val sm = small.withColumn("_graft_salt",
