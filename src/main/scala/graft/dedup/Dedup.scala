@@ -130,9 +130,10 @@ object Dedup {
   /** SimHash near-dup: 64-bit sketch per doc (map-side only), then
     * 16-bit-band LSH join and hamming ≤ 3 verification. By
     * pigeonhole, hamming ≤ 3 over 4 bands guarantees ≥ 1 identical
-    * band, so banding loses nothing. Rows-only (bit-level hashing
-    * isn't reasonably SQL-expressible); OperatorSpec verifies against
-    * a brute-force hamming join. */
+    * band, so banding loses nothing — the oracle is therefore the
+    * brute-force hamming join over DuckDB's bit-exact FNV-1a
+    * reproduction of the same sketch; PipelineSpec additionally pins
+    * banded == brute in Spark. */
   private val simhash: Q = (s, d) => {
     // Same non-nullable kernel contract as [[shingled]]: null texts
     // filtered at the scan, coalesce makes `sim` non-nullable so the
@@ -275,6 +276,45 @@ object Dedup {
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Bit-exact reproduction of the simhash pipeline: FNV-1a token
+    // hashes in HUGEINT arithmetic (xor touches only the low byte, so
+    // it is expressible as subtract-add), per-bit sign aggregation,
+    // two's-complement fold back to BIGINT, brute-force hamming join
+    // (== the banded result by pigeonhole).
+    "dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents
+        |),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS HUGEINT))),
+        |      (hh, c) -> ((hh - (hh % 256) + CAST(xor(CAST(hh % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |    ) AS th
+        |  FROM t
+        |),
+        |bits AS (
+        |  SELECT doc_id, j.j AS j,
+        |    CASE WHEN SUM(CASE WHEN (h.th // (CAST(1 AS HUGEINT) << CAST(j.j AS INT))) % 2 = 1
+        |                       THEN 1 ELSE -1 END) >= 0
+        |         THEN CAST(1 AS HUGEINT) << CAST(j.j AS INT) ELSE CAST(0 AS HUGEINT) END AS bitval
+        |  FROM h, (SELECT unnest(range(0, 64)) AS j) j
+        |  GROUP BY doc_id, j.j
+        |),
+        |sims AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(bitval) % 18446744073709551616 -
+        |      CASE WHEN SUM(bitval) % 18446744073709551616 >= 9223372036854775808
+        |           THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
         |           FROM embeddings)

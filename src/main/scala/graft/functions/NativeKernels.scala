@@ -86,14 +86,33 @@ object NativeKernels {
     new GenericArrayData(mins)
   }
 
-  /** 64-bit SimHash of a token array. */
+  /** FNV-1a 64-bit over a string's bytes. Chosen over xxhash64 for
+    * the SimHash token hash because it is engine-portable: DuckDB
+    * reproduces it exactly with HUGEINT arithmetic, so the simhash
+    * pipeline is oracle-comparable end to end (xxhash64's
+    * seed/implementation is Spark-private). */
+  @inline private def fnv1a(s: UTF8String): Long = {
+    var h = 0xcbf29ce484222325L
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      h = (h ^ (b & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash of a token array (FNV-1a token hashes). */
   def simHash64(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = hashString(arr.getUTF8String(i), 42L)
+        val h = fnv1a(arr.getUTF8String(i))
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
