@@ -91,6 +91,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a secured scan.
     e.injectResolutionRule(graft.lakehouse.LakeSqlRule(_))
     e.injectResolutionRule(FgacRule(_))
+    // DDL must be claimed before analysis (ResolveSessionCatalog would
+    // otherwise grab CREATE TABLE … USING graft) — parser-level, the
+    // same point Iceberg's SQL extensions hook.
+    e.injectParser((session, parser) =>
+      new graft.lakehouse.GraftSqlParser(session, parser))
     graft.functions.NativeExprs.registrations.foreach(e.injectFunction)
   }
 }

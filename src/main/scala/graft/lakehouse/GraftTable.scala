@@ -46,6 +46,9 @@ final case class Snapshot(
   */
 final class GraftTable(val spark: SparkSession, rootStr: String) {
   private val root = new Path(rootStr)
+
+  /** The table's storage root (for DROP TABLE … PURGE and tooling). */
+  def location: String = root.toString
   private val fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val metaDir = new Path(root, "_graft_meta")
@@ -583,6 +586,19 @@ object GraftTable {
     val t = new GraftTable(spark, root)
     require(t.currentSnapshotId == 0, s"table already exists at $root")
     t.append(df, partitionBy)
+    t
+  }
+
+  /** Create a new EMPTY table at `root` — the SQL `CREATE TABLE`
+    * shape: snapshot 1 records the schema and partition spec but no
+    * data files; the first INSERT appends under them. */
+  def createEmpty(spark: SparkSession, root: String, schema: StructType,
+      partitionBy: Seq[String] = Nil): GraftTable = {
+    val t = new GraftTable(spark, root)
+    require(t.currentSnapshotId == 0, s"table already exists at $root")
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema"))
+    t.commit("create", schema, Nil, partitionBy)
     t
   }
 

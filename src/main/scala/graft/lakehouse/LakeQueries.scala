@@ -186,7 +186,37 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** The reference producer's whole DDL lifecycle in SQL alone
+    * (producer_iceberg_datalake_setup.sh:117-160): CREATE a
+    * partitioned table, load it with INSERT INTO … SELECT, derive a
+    * second table with CTAS, then join both through the SQL read
+    * path. Rerun-safe: names are re-registered onto fresh locations
+    * each run (Bench executes every query twice for warmup). */
+  private val sqlDdl: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("lake_ddl_src")
+    LakeRegistry.unregister("lake_ddl_t")
+    LakeRegistry.unregister("lake_ddl_hi")
+    s.sql(
+      s"""CREATE TABLE lake_ddl_t (
+         |  c_custkey BIGINT, c_name STRING, c_nationkey INT,
+         |  c_acctbal DOUBLE, c_mktsegment STRING)
+         |USING graft PARTITIONED BY (c_mktsegment)
+         |LOCATION '${tmp("lake_ddl")}'""".stripMargin)
+    s.sql("INSERT INTO lake_ddl_t SELECT * FROM lake_ddl_src")
+    s.sql(
+      s"""CREATE TABLE lake_ddl_hi USING graft
+         |LOCATION '${tmp("lake_ddl_hi")}'
+         |AS SELECT c_custkey, c_acctbal FROM lake_ddl_t
+         |WHERE c_acctbal > 5000""".stripMargin)
+    s.sql(
+      """SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_mktsegment,
+        |       h.c_acctbal
+        |FROM lake_ddl_t t JOIN lake_ddl_hi h ON t.c_custkey = h.c_custkey
+        |ORDER BY t.c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "lake_sql_ddl"          -> sqlDdl,
     "lake_merge"            -> merge,
     "lake_merge_clauses"    -> mergeClauses,
     "lake_delete"           -> delete,
@@ -202,6 +232,13 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_sql_ddl" ->
+      """WITH hi AS (SELECT c_custkey, c_acctbal FROM customer
+        |            WHERE c_acctbal > 5000)
+        |SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_mktsegment,
+        |       h.c_acctbal
+        |FROM customer c JOIN hi h ON c.c_custkey = h.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
     "lake_merge" ->
       """WITH base AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
         |src AS (SELECT c_custkey, c_name, c_nationkey,

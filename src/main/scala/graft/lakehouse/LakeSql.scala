@@ -1,11 +1,14 @@
 package graft.lakehouse
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** SQL DML front-end for [[GraftTable]] — the reference's workflow is
   * SQL-first (`INSERT INTO` producer_iceberg_datalake_setup.sh:143-160,
@@ -33,6 +36,7 @@ object LakeRegistry {
     tables.put(name.toLowerCase, table)
   def get(name: String): Option[GraftTable] =
     Option(tables.get(name.toLowerCase))
+  def unregister(name: String): Unit = tables.remove(name.toLowerCase)
 }
 
 case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -56,13 +60,36 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     graft.fgac.SecureCatalog.authorizeWrite(
       spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name, op)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    lowerCommand(plan).getOrElse(resolveReads(plan))
+
+  /** SQL reads over registered lakehouse names: an [[UnresolvedRelation]]
+    * that Spark's own catalog rules left unresolved (so no temp view or
+    * catalog table shadows it — built-in resolution runs earlier in the
+    * same batch iteration) resolves to the table's CURRENT snapshot.
+    * Governed names are skipped: [[graft.fgac.FgacRule]] owns those, so
+    * registering a governed table here cannot bypass its read policy.
+    * Resolution-time snapshot capture gives SQL reads the same snapshot
+    * isolation as [[GraftTable.read]]. */
+  private def resolveReads(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
+          !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
+          LakeRegistry.get(u.multipartIdentifier.head).isDefined =>
+        val name = u.multipartIdentifier.head.toLowerCase
+        val t = LakeRegistry.get(name).get
+        SubqueryAlias(name, t.read().queryExecution.analyzed)
+    }
+
+  /** DDL/DML statements addressed to a graft table, lowered to eager
+    * commands. None = not ours; fall through to [[resolveReads]]. */
+  private def lowerCommand(plan: LogicalPlan): Option[LogicalPlan] = plan match {
     case d: DeleteFromTable =>
       target(d.table).map { case (t, aliases, name) =>
         checkWrite(name, "DELETE")
         GraftDeleteCommand(t, unqualified(d.condition, aliases).sql)
           : LogicalPlan
-      }.getOrElse(plan)
+      }
 
     case u: UpdateTable =>
       target(u.table).map { case (t, aliases, name) =>
@@ -72,7 +99,7 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }.toMap
         val cond = u.condition.map(unqualified(_, aliases).sql).getOrElse("true")
         GraftUpdateCommand(t, sets, cond): LogicalPlan
-      }.getOrElse(plan)
+      }
 
     case m: MergeIntoTable =>
       target(m.targetTable).map { case (t, targetAliases, name) =>
@@ -108,7 +135,7 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               s"merge clause $other")
           }
         GraftMergeCommand(t, srcPlan, keys, clauses): LogicalPlan
-      }.getOrElse(plan)
+      }
 
     case i: InsertIntoStatement =>
       target(i.table).map { case (t, _, name) =>
@@ -116,9 +143,9 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         require(i.partitionSpec.isEmpty && i.userSpecifiedCols.isEmpty,
           "INSERT with a partition spec or column list is not supported")
         GraftInsertCommand(t, i.query, i.overwrite, i.byName): LogicalPlan
-      }.getOrElse(plan)
+      }
 
-    case _ => plan
+    case _ => None
   }
 
   private def attrName(e: Expression): String = e match {
@@ -214,6 +241,148 @@ case class GraftInsertCommand(@transient table: GraftTable,
         df0.toDF(names.toIndexedSeq: _*)
       }
     if (overwrite) table.overwrite(df) else table.append(df)
+    Seq.empty
+  }
+}
+
+/** SQL DDL for graft tables, lowered AT PARSE TIME. DDL cannot wait
+  * for the resolution batch: Spark's own `ResolveSessionCatalog` runs
+  * before injected resolution rules within each analyzer iteration and
+  * claims `CREATE TABLE … USING graft` for the session catalog, which
+  * fails looking up a "graft" DataSource. A parser extension sees the
+  * parsed plan first — the same interception point Iceberg's SQL
+  * extensions use for their DDL
+  * (the reference enables exactly that parser:
+  * consumer_emr_on_eks_setup.sh:438-447, IcebergSparkSessionExtensions).
+  * DML stays in [[LakeSqlRule]] — its targets resolve fine lazily. */
+object LakeDdl {
+  def lower(spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] =
+    plan match {
+      // CREATE TABLE … USING graft — the reference's producer flow is
+      // exactly this shape (`CREATE TABLE … PARTITIONED BY (city) …
+      // TBLPROPERTIES ('table_type'='ICEBERG')`,
+      // producer_iceberg_datalake_setup.sh:117-131).
+      case ct: CreateTable
+          if ct.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) =>
+        val name = identName(ct.name, "CREATE TABLE")
+        val schema = StructType(ct.columns.map(c =>
+          StructField(c.name, c.dataType, c.nullable)))
+        Some(GraftCreateTableCommand(name, schema,
+          partitionCols(ct.partitioning), location(spark, ct.tableSpec, name),
+          ct.ignoreIfExists))
+
+      case cta: CreateTableAsSelect
+          if cta.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) =>
+        val name = identName(cta.name, "CREATE TABLE AS SELECT")
+        Some(GraftCtasCommand(name, cta.query,
+          partitionCols(cta.partitioning), location(spark, cta.tableSpec, name),
+          cta.ignoreIfExists))
+
+      case DropTable(id: UnresolvedIdentifier, _, purge)
+          if id.nameParts.size == 1 &&
+            LakeRegistry.get(id.nameParts.head).isDefined =>
+        Some(GraftDropTableCommand(id.nameParts.head.toLowerCase, purge))
+
+      case _ => None
+    }
+
+  /** Single-part table name from a DDL identifier plan. */
+  private def identName(name: LogicalPlan, stmt: String): String = name match {
+    case id: UnresolvedIdentifier if id.nameParts.size == 1 =>
+      val n = id.nameParts.head.toLowerCase
+      require(!graft.fgac.SecureCatalog.isVisibleName(Seq(n)),
+        s"$stmt: '$n' is a governed name; create governed tables " +
+          "through SecureCatalog, not SQL DDL")
+      n
+    case other => throw new UnsupportedOperationException(
+      s"$stmt USING graft requires a single-part table name, got $other")
+  }
+
+  /** Identity partition columns (`PARTITIONED BY (col, …)`); bucket /
+    * truncate / temporal transforms are not part of the format. */
+  private def partitionCols(transforms: Seq[Transform]): Seq[String] =
+    transforms.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other — only identity " +
+          "(hive-style) partitioning is supported")
+    }
+
+  /** Explicit LOCATION, else a managed path under the session
+    * warehouse dir (pid-isolated in this repo's entry points). */
+  private def location(spark: SparkSession, spec: TableSpecBase,
+      name: String): String =
+    spec.location.getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        s"/graft/$name")
+}
+
+/** Delegating parser that lowers graft DDL straight out of the
+  * parser; everything else passes through untouched. */
+class GraftSqlParser(spark: SparkSession,
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = delegate.parsePlan(sqlText)
+    LakeDdl.lower(spark, plan).getOrElse(plan)
+  }
+  override def parseExpression(s: String) = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String) =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String) =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String) = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String) = delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String) = delegate.parseTableSchema(s)
+  override def parseDataType(s: String) = delegate.parseDataType(s)
+}
+
+case class GraftCreateTableCommand(name: String, tableSchema: StructType,
+    partitionBy: Seq[String], root: String, ignoreIfExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (LakeRegistry.get(name).isDefined) {
+      if (!ignoreIfExists)
+        throw new IllegalArgumentException(s"table $name already exists")
+    } else {
+      LakeRegistry.register(name,
+        GraftTable.createEmpty(spark, root, tableSchema, partitionBy))
+    }
+    Seq.empty
+  }
+}
+
+case class GraftCtasCommand(name: String, @transient query: LogicalPlan,
+    partitionBy: Seq[String], root: String, ignoreIfExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (LakeRegistry.get(name).isDefined) {
+      if (!ignoreIfExists)
+        throw new IllegalArgumentException(s"table $name already exists")
+    } else {
+      val df = GraftSqlBridge.ofRows(spark, query)
+      LakeRegistry.register(name,
+        GraftTable.create(spark, root, df, partitionBy))
+    }
+    Seq.empty
+  }
+}
+
+/** DROP unregisters the name; PURGE also deletes the storage root
+  * (managed-table semantics — Iceberg's `DROP TABLE … PURGE`). */
+case class GraftDropTableCommand(name: String, purge: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeRegistry.get(name).foreach { t =>
+      LakeRegistry.unregister(name)
+      if (purge) {
+        val p = new Path(t.location)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
     Seq.empty
   }
 }

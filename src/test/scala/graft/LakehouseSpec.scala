@@ -112,6 +112,42 @@ class LakehouseSpec extends AnyFunSuite {
       Seq((1L, "a", 11.0), (3L, "c", 3.0), (4L, "new", 40.0)))
   }
 
+  test("SQL DDL: CREATE TABLE / CTAS / SELECT / DROP lifecycle") {
+    val loc = Files.createTempDirectory("graft_ddl").toString
+    val loc2 = Files.createTempDirectory("graft_ddl2").toString
+    spark.sql(
+      s"""CREATE TABLE sqlddl_t (k BIGINT, tag STRING, v DOUBLE)
+         |USING graft PARTITIONED BY (tag) LOCATION '$loc'""".stripMargin)
+    // empty table is readable with the declared schema
+    val empty = spark.sql("SELECT * FROM sqlddl_t")
+    assert(empty.columns.toSeq == Seq("k", "tag", "v") && empty.count() == 0)
+    spark.sql("INSERT INTO sqlddl_t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0)")
+    // partition spec came from DDL: files are hive-laid-out by tag
+    val t = graft.lakehouse.LakeRegistry.get("sqlddl_t").get
+    assert(t.currentSnapshot.partitionCols == Seq("tag"))
+    assert(t.currentSnapshot.files.forall(_.contains("tag=")))
+    // IF NOT EXISTS is a no-op; plain re-create is an error
+    spark.sql(s"CREATE TABLE IF NOT EXISTS sqlddl_t (x INT) USING graft LOCATION '$loc'")
+    assert(intercept[Exception](
+      spark.sql(s"CREATE TABLE sqlddl_t (x INT) USING graft LOCATION '$loc'"))
+      .getMessage.contains("already exists"))
+    // CTAS reads through the SQL read path
+    spark.sql(
+      s"""CREATE TABLE sqlddl_hi USING graft LOCATION '$loc2'
+         |AS SELECT k, v FROM sqlddl_t WHERE v >= 2.0""".stripMargin)
+    val joined = spark.sql(
+      """SELECT t.k, t.tag, h.v FROM sqlddl_t t
+        |JOIN sqlddl_hi h ON t.k = h.k ORDER BY t.k""".stripMargin).collect()
+    assert(joined.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // DROP unregisters; PURGE deletes storage
+    spark.sql("DROP TABLE sqlddl_hi PURGE")
+    assert(graft.lakehouse.LakeRegistry.get("sqlddl_hi").isEmpty)
+    assert(!new java.io.File(loc2, "_graft_meta").exists())
+    spark.sql("DROP TABLE sqlddl_t")
+    assert(graft.lakehouse.LakeRegistry.get("sqlddl_t").isEmpty)
+    assert(new java.io.File(loc, "_graft_meta").exists()) // no purge: files stay
+  }
+
   test("schema evolution: old rows read NULL for the added column") {
     val t = freshTable(Seq((1L, "a", 1.0)))
     t.appendEvolved(Seq((2L, "b", 2.0, "x")).toDF("k", "tag", "v", "extra"))
