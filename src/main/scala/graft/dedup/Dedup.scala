@@ -183,6 +183,91 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Benchmark decontamination — the training-corpus hygiene step
+    * every LLM pipeline runs: drop (here: count) corpus documents that
+    * share any 8-token n-gram with a held-out benchmark set (the
+    * standard n-gram-overlap decontamination rule). `source = 'src0'`
+    * stands in for the benchmark partition.
+    *
+    * Scale shape: grams are xxhash64'd in the same projection that
+    * builds them, so every shuffle key is 8 bytes, never text; the
+    * benchmark gram set (eval suites are tiny next to a 100 TB corpus)
+    * is broadcast, so the contamination probe adds zero shuffles to
+    * the corpus side beyond the doc_id distinct. A 64-bit gram-hash
+    * collision could over-flag one doc (P ≈ n²/2⁶⁴); acceptable for a
+    * filter whose false-positive cost is dropping one document. */
+  private val decontaminate: Q = (s, d) => {
+    val docs = Tables.parallel(Tables.documents(s, d))
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(wordNgrams(coalesce(col("text"), lit("")), 8)).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+    val bench = grams.filter(col("source") === "src0")
+      .select(col("gh")).distinct()
+    val contaminated = grams.filter(col("source") =!= "src0")
+      .join(broadcast(bench), "gh")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    docs.filter(col("source") =!= "src0")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  /** Connected components over a near-duplicate graph — the step
+    * after pair generation in a real dedup pipeline (keep one doc per
+    * *cluster*, not per pair). Components via iterative min-label
+    * propagation to a fixpoint; each round is one shuffle, rounds =
+    * graph diameter (near-dup clusters are shallow; a 100 TB
+    * deployment with adversarial chain-shaped clusters would switch
+    * to alternating large-star/small-star contraction for O(log n)
+    * rounds). The driver-side loop only reads a per-round count.
+    * Component id = min vec_id in the component, so output is
+    * deterministic and SQL-oracle-able (recursive CTE). */
+  def componentLabels(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val undirected = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = vertices.select(col("id"), col("id").as("comp")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = undirected
+        .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .select(col("a").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(prop)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") < col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    undirected.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters over the embedding-cosine graph (τ = 0.3,
+    * blocked by `label` like [[embedding]]). */
+  private val components: Q = (s, d) => {
+    val e = Tables.parallel(Tables.embeddings(s, d))
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("nrm", l2norm(col("v")))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val pairs = a.join(b,
+        col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("cos") >= 0.3)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    componentLabels(e.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("comp").cast("bigint").as("component"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The canonical preprocessing funnel as ONE declarative plan:
     * exact-dedup (keep first) → quality gate (≥ 20 tokens) →
     * per-source corpus stats, in exactly two shuffles. Keep-first
@@ -226,7 +311,9 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
-    "dedup_embedding" -> embedding)
+    "dedup_embedding" -> embedding,
+    "dedup_decontaminate" -> decontaminate,
+    "dedup_components" -> components)
 
   private val ShingleCte =
     """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') w
@@ -321,5 +408,41 @@ object Dedup {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // Same 8-gram definition, string-keyed (the hash join key is an
+    // internal optimization the output doesn't depend on).
+    "dedup_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        |             FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        unnest(CASE WHEN len(w) >= 8 THEN
+        |          list_transform(range(1, len(w) - 6),
+        |            i -> array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))
+        |          ELSE [] END) AS gram
+        |      FROM tok),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        |         WHERE g.source <> 'src0')
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_contaminated
+        |FROM documents d LEFT JOIN cont c USING (doc_id)
+        |WHERE d.source <> 'src0'
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // Components = min reachable vec_id, via transitive closure.
+    "dedup_components" ->
+      """WITH RECURSIVE ev AS (SELECT vec_id, label,
+        |        CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |p AS (SELECT a.vec_id a, b.vec_id b FROM ev a JOIN ev b
+        |      ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach AS (SELECT a AS n, b AS m FROM e
+        |          UNION
+        |          SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
+        |SELECT v.vec_id,
+        |       CAST(least(v.vec_id, coalesce(min(r.m), v.vec_id)) AS BIGINT)
+        |         AS component
+        |FROM ev v LEFT JOIN reach r ON r.n = v.vec_id
+        |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin)
 }

@@ -64,6 +64,22 @@ object TextFunctions {
   def minWindowHash(textCol: String): Column =
     call_function("graft_minwindow8", col(textCol))
 
+  /** Longest run of equal adjacent elements in a SORTED array — i.e.
+    * the max multiplicity of any element. One aggregate() pass; used
+    * by the repetition quality signals instead of a per-distinct-
+    * element rescan. 0 for an empty array. */
+  def maxRunLength(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc("prev").isNotNull && x === acc("prev"),
+          acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
   /** Exact Jaccard similarity of two (distinct-element) arrays, as a
     * double — integer set sizes divided in double, so the value is
     * bit-identical across engines ([[NativeExprs.JaccardSim]]). */

@@ -122,7 +122,29 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(100)
 
+  /** Repetition-based quality signals (the Gopher-rules shape):
+    * duplicate 3-gram fraction and the frequency share of the most
+    * common 2-gram. Entirely per-row higher-order-function work — a
+    * doc's score never leaves its partition, so at 100 TB this is a
+    * zero-shuffle scan. Max-multiplicity is computed as the longest
+    * run in the SORTED 2-gram array: one O(n log n) `array_sort` +
+    * one `aggregate` pass instead of a per-distinct-gram rescan. */
+  private val repetition: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("g3", wordNgrams(coalesce(col("text"), lit("")), 3))
+      .withColumn("g2", wordNgrams(coalesce(col("text"), lit("")), 2))
+      .select(
+        col("doc_id"),
+        size(col("g3")).as("n3"),
+        ((size(col("g3")) - size(array_distinct(col("g3")))).cast("double") /
+          greatest(size(col("g3")), lit(1)).cast("double")).as("dup3_frac"),
+        (maxRunLength(array_sort(col("g2"))).cast("double") /
+          greatest(size(col("g2")), lit(1)).cast("double")).as("top2_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_repetition" -> repetition,
     "text_ngram_freq" -> ngramFreq,
     "text_tokens" -> tokensQ,
     "text_quality" -> quality,
@@ -131,6 +153,29 @@ object TextAnalysis {
     "text_redact" -> redact)
 
   val oracles: Map[String, String] = Map(
+    // Max 2-gram multiplicity via per-distinct-gram rescans (the
+    // engine-side longest-run trick is an optimization the result
+    // doesn't depend on). Integer-over-integer division is the same
+    // IEEE op on both engines.
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |             FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+        |    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] ||
+        |         ' ' || w[CAST(i + 2 AS INT)]) ELSE [] END AS g3,
+        |  CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+        |    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])
+        |    ELSE [] END AS g2
+        |FROM tok)
+        |SELECT doc_id,
+        |  CAST(len(g3) AS INT) AS n3,
+        |  CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+        |    / CAST(greatest(len(g3), 1) AS DOUBLE) AS dup3_frac,
+        |  CAST(coalesce(list_max(list_transform(list_distinct(g2),
+        |         x -> len(list_filter(g2, y -> y = x)))), 0) AS DOUBLE)
+        |    / CAST(greatest(len(g2), 1) AS DOUBLE) AS top2_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
         |b AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN

@@ -40,6 +40,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
   }
 
+  test("connected components label each vertex with its component min") {
+    // 1-2-3 chain, 5-6 pair, 4 and 7 isolated
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = graft.dedup.Dedup.componentLabels(vertices, edges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("maxRunLength = max element multiplicity on sorted arrays") {
+    val got = Seq(
+      (1L, Seq("a", "b", "b", "b", "c", "c")),
+      (2L, Seq("x")),
+      (3L, Seq.empty[String]))
+      .toDF("id", "arr")
+      .select($"id", TextFunctions.maxRunLength(array_sort($"arr")).as("m"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(3L, 1L, 0L))
+  }
+
+  test("repetition signals detect a duplicated phrase") {
+    // "p q r p q r p q" repeats the 2-gram "p q" 3x (of 7) and
+    // duplicates 3-grams: 6 total, 3 distinct -> dup3_frac = 0.5
+    val df = Seq((0L, "p q r p q r p q")).toDF("doc_id", "text")
+      .withColumn("g3", TextFunctions.wordNgrams($"text", 3))
+      .withColumn("g2", TextFunctions.wordNgrams($"text", 2))
+      .select(
+        ((size($"g3") - size(array_distinct($"g3"))).cast("double") /
+          size($"g3")).as("dup3"),
+        (TextFunctions.maxRunLength(array_sort($"g2")).cast("double") /
+          size($"g2")).as("top2"))
+      .head()
+    assert(df.getDouble(0) == 0.5 && df.getDouble(1) == 3.0 / 7.0)
+  }
+
+  test("decontamination flags exactly the docs sharing an 8-gram") {
+    // benchmark doc shares its first 8 tokens with corpus doc 10 only
+    val bench = "a b c d e f g h tail"
+    val dirty = "prefix a b c d e f g h"
+    val clean = "a b c d e f g x y z"
+    val docs = Seq((1L, "src0", bench), (10L, "srcA", dirty),
+      (11L, "srcA", clean)).toDF("doc_id", "source", "text")
+    val grams = docs.select($"doc_id", $"source",
+      explode(TextFunctions.wordNgrams($"text", 8)).as("g"))
+      .select($"doc_id", $"source", xxhash64($"g").as("gh"))
+    val benchSet = grams.filter($"source" === "src0").select("gh").distinct()
+    val hit = grams.filter($"source" =!= "src0").join(benchSet, "gh")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(hit == Set(10L))
+  }
+
   test("polynomial fingerprint matches a reference implementation") {
     val row = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"),
