@@ -291,6 +291,29 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Sequence packing — the GPT-pretraining "concat and chunk" step:
+    * documents are concatenated in doc_id order within each `source`
+    * shard and split into fixed 2048-token context windows; each doc
+    * reports its token offset and the window span it lands in.
+    * Packing is per-shard by design (that's how sharded dataloaders
+    * consume it), so the prefix sum parallelizes across sources —
+    * one shuffle on `source`, no global ordering bottleneck at
+    * 100 TB. All arithmetic is integer (DIV), so the oracle is
+    * bit-exact. */
+  private val pack: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .withColumn("ntok", size(tokens(col("text"))))
+      .withColumn("start_tok",
+        coalesce(sum(col("ntok")).over(w), lit(0L)).cast("bigint"))
+      .select(col("doc_id"), col("source"), col("ntok"), col("start_tok"),
+        expr("start_tok DIV 2048").as("first_window"),
+        expr("(start_tok + greatest(ntok, 1) - 1) DIV 2048").as("last_window"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic ~30% sample per document: keep rows whose content
     * hash's first hex byte sorts below 0x4d. Hash-based sampling is
     * the 100 TB method — `rand()` gives different rows on task retry
@@ -307,6 +330,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "pipeline_clean_corpus" -> cleanCorpus,
     "pipeline_stratified_sample" -> stratifiedSample,
+    "pipeline_pack" -> pack,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -337,6 +361,19 @@ object Dedup {
         |      FROM k)
         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS sum_tokens
         |FROM t WHERE ntok >= 20 GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(lower(text), ' ')) AS INT) AS ntok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, ntok,
+        |  CAST(coalesce(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_tok
+        |  FROM t)
+        |SELECT doc_id, source, ntok, start_tok,
+        |  start_tok // 2048 AS first_window,
+        |  (start_tok + greatest(ntok, 1) - 1) // 2048 AS last_window
+        |FROM c ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | md5(text) AS content_md5

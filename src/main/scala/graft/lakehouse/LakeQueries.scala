@@ -215,8 +215,27 @@ object LakeQueries {
         |ORDER BY t.c_custkey""".stripMargin)
   }
 
+  /** Snapshot-history metadata surface (Iceberg's `table.snapshots` /
+    * `table.history` equivalent): a scripted create→append→delete
+    * sequence, then the manifest log as a DataFrame. Metadata comes
+    * from the driver-side manifest — O(#snapshots), no data files
+    * touched, exactly how Iceberg metadata tables answer at 100 TB. */
+  private val history: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_hist"),
+      orders.filter(col("o_orderkey") % 2 === 1))
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    t.delete("o_orderstatus = 'F'")
+    val cur = t.currentSnapshotId
+    t.snapshots.map(sn => (sn.id, sn.parent, sn.op, sn.id == cur))
+      .toDF("snapshot_id", "parent_id", "op", "is_current")
+      .orderBy("snapshot_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "lake_sql_ddl"          -> sqlDdl,
+    "lake_history"          -> history,
     "lake_merge"            -> merge,
     "lake_merge_clauses"    -> mergeClauses,
     "lake_delete"           -> delete,
@@ -232,6 +251,14 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The scripted history is fully determined by the DML sequence.
+    "lake_history" ->
+      """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+        |       CAST(parent_id AS BIGINT) AS parent_id, op, is_current
+        |FROM (VALUES (1, 0, 'append', false), (2, 1, 'append', false),
+        |             (3, 2, 'delete', true))
+        |  AS t(snapshot_id, parent_id, op, is_current)
+        |ORDER BY snapshot_id""".stripMargin,
     "lake_sql_ddl" ->
       """WITH hi AS (SELECT c_custkey, c_acctbal FROM customer
         |            WHERE c_acctbal > 5000)

@@ -385,7 +385,30 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Single-statement table profile (the Deequ/data-quality shape):
+    * row count, per-column null counts, exact distinct cardinalities,
+    * min/max — the stats a pipeline asserts on before training.
+    * Multiple exact COUNT(DISTINCT) makes Catalyst plan an Expand
+    * (rows × #distinct-aggs) — the exact-answer cost; the 100 TB
+    * daily-monitoring variant swaps in approx_count_distinct (HLL,
+    * single pass, see q22) and keeps this exact form for audits. */
+  private val q28: Q = (s, d) =>
+    Tables.orders(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("o_custkey"))).as("custkey_nulls"),
+      (count(lit(1)) - count(col("o_orderstatus"))).as("status_nulls"),
+      countDistinct(col("o_custkey")).as("custkey_distinct"),
+      countDistinct(col("o_orderstatus")).as("status_distinct"),
+      countDistinct(col("o_orderpriority")).as("priority_distinct"),
+      min(col("o_orderkey")).as("orderkey_min"),
+      max(col("o_orderkey")).as("orderkey_max"),
+      min(col("o_totalprice")).as("totalprice_min"),
+      max(col("o_totalprice")).as("totalprice_max"),
+      min(col("o_orderdate")).as("orderdate_min"),
+      max(col("o_orderdate")).as("orderdate_max"))
+
   val queries: Map[String, Q] = Map(
+    "q28_profile" -> q28,
     "q25_stats" -> q25, "q26_setops" -> q26, "q27_correlated" -> q27,
     "q2_join_filter" -> q2, "q3_broadcast_join" -> q3,
     "q4_semi_join" -> q4, "q5_anti_join" -> q5, "q6_window" -> q6,
@@ -400,6 +423,18 @@ object Relational {
     "q24_pivot" -> q24)
 
   val oracles: Map[String, String] = Map(
+    "q28_profile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(*) - count(o_custkey) AS BIGINT) AS custkey_nulls,
+        | CAST(count(*) - count(o_orderstatus) AS BIGINT) AS status_nulls,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+        | CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+        | CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS priority_distinct,
+        | min(o_orderkey) AS orderkey_min, max(o_orderkey) AS orderkey_max,
+        | min(o_totalprice) AS totalprice_min,
+        | max(o_totalprice) AS totalprice_max,
+        | min(o_orderdate) AS orderdate_min, max(o_orderdate) AS orderdate_max
+        |FROM orders""".stripMargin,
     "q2_join_filter" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

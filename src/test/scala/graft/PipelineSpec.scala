@@ -92,6 +92,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(hit == Set(10L))
   }
 
+  test("sequence packing offsets tile each source shard exactly") {
+    val rows = SparkEntry.queries("pipeline_pack")(spark, sf)
+      .select("source", "doc_id", "ntok", "start_tok", "first_window",
+        "last_window")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._2)
+      // each doc starts exactly where the previous one ended
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3)
+        case _ =>
+      }
+      // window span covers the doc's token range
+      sorted.foreach { d =>
+        assert(d._5 == d._4 / 2048 && d._6 == (d._4 + math.max(d._3, 1) - 1) / 2048)
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("polynomial fingerprint matches a reference implementation") {
     val row = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"),
