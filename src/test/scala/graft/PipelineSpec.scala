@@ -50,6 +50,18 @@ class PipelineSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("star contraction collapses a long path to one component") {
+    // a 64-chain is the adversarial diameter case for label
+    // propagation; star contraction must still converge (round cap
+    // inside componentLabels would throw otherwise)
+    val n = 64
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.dedup.Dedup.componentLabels(vertices, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n && got.forall(_._2 == 1L))
+  }
+
   test("maxRunLength = max element multiplicity on sorted arrays") {
     val got = Seq(
       (1L, Seq("a", "b", "b", "b", "c", "c")),
