@@ -122,7 +122,50 @@ object StreamingOps {
       .orderBy(col("p_id"), col("c_id"))
   }
 
+  /** Streaming ingest into the lakehouse — the reference's actual
+    * production shape (streams land in governed Iceberg tables; here
+    * readStream → foreachBatch → GraftTable.merge). Each micro-batch
+    * MERGEs on event_id, so ingest is IDEMPOTENT: a replayed or
+    * reprocessed event overwrites itself instead of duplicating —
+    * the standard exactly-once emulation for a streaming → table
+    * sink, and what makes the end state independent of batch
+    * boundaries (hence oracle-able). The run is a real Structured
+    * Streaming query (Trigger.AvailableNow over a staged multi-file
+    * source, maxFilesPerTrigger=1 ⇒ several distinct merge commits),
+    * and the table is pre-seeded with stale rows (value = -1) that
+    * the stream MUST overwrite for the oracle to match. */
+  private val lakeSinkQ: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.events(s, d)
+    // stage the source as 4 files so AvailableNow yields 4 batches
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_sink_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val staged = s.read.parquet(srcDir)
+    // pre-seed with stale values the merge must replace
+    val t = graft.lakehouse.GraftTable.create(s,
+      java.nio.file.Files.createTempDirectory("graft_stream_sink").toString,
+      events.filter(col("event_id") % 10 === 0)
+        .withColumn("value", lit(-1.0)))
+    val q = s.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        t.merge(batch.dropDuplicates("event_id"), "event_id"); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    t.read()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_lake_sink" -> lakeSinkQ,
     "stream_window_agg" -> windowAggQ,
     "stream_sessionize" -> sessionizeQ,
     "stream_dedup_state" -> dedupQ,
@@ -130,6 +173,11 @@ object StreamingOps {
     "stream_window_topk" -> topkQ)
 
   val oracles: Map[String, String] = Map(
+    // End state after idempotent merge = exactly the event set.
+    "stream_lake_sink" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
         | event_type, COUNT(*) AS n,
