@@ -269,11 +269,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     commit("append", schema, snap.files ++ files, snap.partitionCols)
   }
 
+  /** Replace all rows; the table schema is kept and `df` must align
+    * to it (same contract as [[append]] — an INSERT OVERWRITE that
+    * silently re-typed columns would defeat the typed-alignment
+    * check on every other write path). */
   def overwrite(df: DataFrame): Long = {
     val snap = currentSnapshot
     val id = currentSnapshotId + 1
-    commit("overwrite", df.schema,
-      writeData(df, id, snap.partitionCols), snap.partitionCols)
+    commit("overwrite", snap.schema,
+      writeData(aligned(df, snap.schema), id, snap.partitionCols),
+      snap.partitionCols)
   }
 
   // ---- copy-on-write DML -------------------------------------------
@@ -315,10 +320,26 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     commit("delete", snap.schema, keep ++ newFiles, snap.partitionCols)
   }
 
+  /** Resolve assignment / value-map keys against the table schema the
+    * way Spark SQL resolves identifiers: case-insensitively, erroring
+    * on a key that names no table column. Without this a case-mismatched
+    * `SET V = …` (column `v`) would silently no-op — the write still
+    * commits a rewrite snapshot with nothing changed. */
+  private def resolveAssignments(m: Map[String, String],
+      cols: Seq[String], what: String): Map[String, String] =
+    m.map { case (k, v) =>
+      cols.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what targets unknown column '$k' " +
+            s"(table columns: ${cols.mkString(", ")})")) -> v
+    }
+
   /** UPDATE t SET col = expr, ... WHERE pred (copy-on-write). */
-  def update(assignments: Map[String, String], predSql: String): Long = {
+  def update(assignments0: Map[String, String], predSql: String): Long = {
     val p = expr(predSql)
     val snap = currentSnapshot
+    val assignments = resolveAssignments(assignments0,
+      snap.schema.fieldNames.toSeq, "UPDATE SET")
     val (keep, rewrite) = partitionFiles(snap, affectedFiles(snap, _.filter(p)))
     val id = currentSnapshotId + 1
     val newFiles =
@@ -362,17 +383,29 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * rewritten; clause evaluation is one projection over the joined
     * rewrite set, so the whole MERGE is the semi-join scan + one
     * rewrite + one anti-join, no extra shuffles. */
-  def merge(source: DataFrame, keys: Seq[String],
-      clauses: Seq[MergeClause]): Long = {
+  def merge(source: DataFrame, keys0: Seq[String],
+      clauses0: Seq[MergeClause]): Long = {
     val snap = currentSnapshot
     val cols = snap.schema.fieldNames.toSeq
-    require(keys.nonEmpty, "merge requires at least one key column")
-    require(keys.forall(source.columns.contains),
-      s"merge source lacks key column(s) ${keys.filterNot(source.columns.contains).mkString(",")}")
+    require(keys0.nonEmpty, "merge requires at least one key column")
+    // resolve keys and clause assignment targets the way Spark SQL
+    // resolves identifiers: case-insensitively against the schema
+    val keys = keys0.map(k => cols.find(_.equalsIgnoreCase(k)).getOrElse(
+      throw new IllegalArgumentException(
+        s"merge key '$k' is not a table column (${cols.mkString(", ")})")))
+    require(keys.forall(k => source.columns.exists(_.equalsIgnoreCase(k))),
+      s"merge source lacks key column(s) ${keys.filterNot(k => source.columns.exists(_.equalsIgnoreCase(k))).mkString(",")}")
     require(!cols.exists(_.startsWith(GraftTable.SrcPrefix)),
       s"table columns may not start with reserved prefix '${GraftTable.SrcPrefix}'")
     require(!source.columns.exists(_.startsWith("_graft")),
       "merge source columns may not start with reserved prefix '_graft'")
+    val clauses = clauses0.map {
+      case MergeClause.Update(c, set) =>
+        MergeClause.Update(c, resolveAssignments(set, cols, "merge UPDATE SET"))
+      case MergeClause.Insert(c, values) =>
+        MergeClause.Insert(c, resolveAssignments(values, cols, "merge INSERT"))
+      case d => d
+    }
     val matchedClauses = clauses.filter {
       case _: MergeClause.Insert => false
       case _                     => true
@@ -384,16 +417,23 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     if (needsStar) require(cols.forall(source.columns.contains),
       "UPDATE SET * / INSERT * requires the source to carry every table column")
 
-    // Iceberg/Delta cardinality rule: a source with two rows for one
-    // key would silently duplicate every matched target row through
-    // the left join below — fail the commit instead. One bounded
-    // aggregation over the (small) source.
-    val dup = source.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"merge source has duplicate rows for key(s) ${keys.mkString(",")} " +
-        s"(e.g. ${dup.headOption.map(r => keys.indices.map(r.get).mkString(",")).orNull}): " +
-        "each target row must match at most one source row")
+    // Iceberg/Delta cardinality rule: TWO SOURCE ROWS MATCHING ONE
+    // TARGET ROW would silently duplicate it through the left join
+    // below — fail the commit instead. Duplicate keys among rows that
+    // match nothing are legal (each inserts, as in Iceberg), so the
+    // check is scoped by a semi-join on the target's key columns —
+    // a column-pruned scan, only keys shuffle.
+    if (matchedClauses.nonEmpty) {
+      val dup = source.select(keys.map(col): _*)
+        .join(readFiles(snap.schema, snap.files, snap.partitionCols)
+          .select(keys.map(col): _*), keys, "left_semi")
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_graft_cnt"))
+        .filter(col("_graft_cnt") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge source has duplicate rows for key(s) ${keys.mkString(",")} " +
+          s"(e.g. ${dup.headOption.map(r => keys.indices.map(r.get).mkString(",")).orNull}): " +
+          "each target row must match at most one source row")
+    }
 
     // source columns enter the flat clause namespace as _src_<name>
     val srcFlat = source.select(source.columns.toIndexedSeq.map(c =>
@@ -555,22 +595,22 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 }
 
 object GraftTable {
-  /** True when `df` would execute on fewer than `target` partitions:
-    * no shuffle anywhere in the physical plan (else it runs at
-    * spark.sql.shuffle.partitions) and fewer than `target` input
-    * files. Pure plan inspection — no job, unlike an
-    * `rdd.getNumPartitions` probe which under AQE materializes every
-    * upstream stage. */
+  /** True when `df` would execute on fewer than `target` partitions.
+    * Plans containing any Exchange are never "narrow": a shuffle runs
+    * at spark.sql.shuffle.partitions, and probing below a broadcast
+    * would materialize the broadcast job. For exchange-free plans the
+    * RDD partition count IS the answer and is computed driver-side
+    * (file listing + bin-packing — no job even under AQE, since query
+    * stages only form at exchange boundaries). A raw file count would
+    * misjudge both directions: 32 small files bin-pack into 1-2 scan
+    * splits (narrow, but `32 < 32` fails), and a 0-file local
+    * relation is maximally narrow. */
   private[graft] def isNarrow(df: DataFrame, target: Int): Boolean = {
-    val shuffled = df.queryExecution.sparkPlan.exists {
-      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+    val exchanged = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
       case _ => false
     }
-    if (shuffled) false
-    else {
-      val nFiles = try df.inputFiles.length catch { case _: Throwable => target }
-      nFiles > 0 && nFiles < target
-    }
+    !exchanged && df.rdd.getNumPartitions < target
   }
 
   /** Flat-namespace prefix for source columns in [[MergeClause]]

@@ -110,6 +110,10 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val (srcPlan, srcAliases) = m.sourceTable match {
           case SubqueryAlias(ident, child) =>
             (m.sourceTable, Set(ident.name.toLowerCase))
+          // unaliased `USING src_tbl`: SQL addresses source columns as
+          // `src_tbl.c`, so the table name itself is the alias
+          case u: UnresolvedRelation =>
+            (u: LogicalPlan, Set(u.multipartIdentifier.last.toLowerCase))
           case other => (other, Set.empty[String])
         }
         val keys = equiKeys(m.mergeCondition, name, targetAliases, srcAliases)
@@ -339,17 +343,34 @@ class GraftSqlParser(spark: SparkSession,
   override def parseDataType(s: String) = delegate.parseDataType(s)
 }
 
+/** Shared CREATE-path existence handling: the registry is in-memory,
+  * so "exists" must also consult storage — in a fresh session,
+  * `CREATE TABLE IF NOT EXISTS` over an existing location must
+  * re-register and no-op, not fail createEmpty's own guard. Returns
+  * true when creation should proceed. */
+private[lakehouse] object CreateGuard {
+  def shouldCreate(spark: SparkSession, name: String, root: String,
+      ignoreIfExists: Boolean): Boolean = {
+    val existing = LakeRegistry.get(name).orElse {
+      val onDisk = GraftTable.load(spark, root)
+      if (onDisk.currentSnapshotId > 0) {
+        LakeRegistry.register(name, onDisk)
+        Some(onDisk)
+      } else None
+    }
+    if (existing.isDefined && !ignoreIfExists)
+      throw new IllegalArgumentException(s"table $name already exists")
+    existing.isEmpty
+  }
+}
+
 case class GraftCreateTableCommand(name: String, tableSchema: StructType,
     partitionBy: Seq[String], root: String, ignoreIfExists: Boolean)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    if (LakeRegistry.get(name).isDefined) {
-      if (!ignoreIfExists)
-        throw new IllegalArgumentException(s"table $name already exists")
-    } else {
+    if (CreateGuard.shouldCreate(spark, name, root, ignoreIfExists))
       LakeRegistry.register(name,
         GraftTable.createEmpty(spark, root, tableSchema, partitionBy))
-    }
     Seq.empty
   }
 }
@@ -358,10 +379,7 @@ case class GraftCtasCommand(name: String, @transient query: LogicalPlan,
     partitionBy: Seq[String], root: String, ignoreIfExists: Boolean)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    if (LakeRegistry.get(name).isDefined) {
-      if (!ignoreIfExists)
-        throw new IllegalArgumentException(s"table $name already exists")
-    } else {
+    if (CreateGuard.shouldCreate(spark, name, root, ignoreIfExists)) {
       val df = GraftSqlBridge.ofRows(spark, query)
       LakeRegistry.register(name,
         GraftTable.create(spark, root, df, partitionBy))
@@ -371,10 +389,16 @@ case class GraftCtasCommand(name: String, @transient query: LogicalPlan,
 }
 
 /** DROP unregisters the name; PURGE also deletes the storage root
-  * (managed-table semantics — Iceberg's `DROP TABLE … PURGE`). */
+  * (managed-table semantics — Iceberg's `DROP TABLE … PURGE`).
+  * DROP is the most destructive write there is, so it goes through
+  * the same write-path FGAC gate as DELETE/UPDATE/MERGE/INSERT — a
+  * read-only principal must not be able to destroy a table it cannot
+  * modify. */
 case class GraftDropTableCommand(name: String, purge: Boolean)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name, "DROP")
     LakeRegistry.get(name).foreach { t =>
       LakeRegistry.unregister(name)
       if (purge) {

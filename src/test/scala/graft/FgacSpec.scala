@@ -119,6 +119,21 @@ class FgacSpec extends AnyFunSuite {
     assert(filtered.nonEmpty && filtered.forall(Set("BUILDING", "AUTOMOBILE")))
   }
 
+  test("DROP TABLE goes through write-path FGAC") {
+    SparkEntry.queries("fgac_write_deny")(spark, sf).collect() // sets up wd_customer
+    val e = intercept[Exception](FgacQueries.asPrincipal(spark, "wd_reader") {
+      spark.sql("DROP TABLE wd_customer PURGE")
+    })
+    assert(e.getMessage.contains("no write grant"),
+      s"read-only principal must not drop a governed table: $e")
+    assert(graft.lakehouse.LakeRegistry.get("wd_customer").isDefined,
+      "denied DROP must leave the table registered")
+    FgacQueries.asPrincipal(spark, "wd_writer") {
+      spark.sql("DROP TABLE wd_customer")
+    }
+    assert(graft.lakehouse.LakeRegistry.get("wd_customer").isEmpty)
+  }
+
   test("FGAC filter pushes into the parquet scan") {
     FgacQueries.setup(spark, sf)
     val plan = FgacQueries.asPrincipal(spark, "analyst_cell") {

@@ -112,6 +112,89 @@ class LakehouseSpec extends AnyFunSuite {
       Seq((1L, "a", 11.0), (3L, "c", 3.0), (4L, "new", 40.0)))
   }
 
+  test("assignments resolve case-insensitively; unknown columns rejected") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    graft.lakehouse.LakeRegistry.register("sqlci_t", t)
+    // Spark SQL is case-insensitive: SET V must hit column v, not no-op
+    spark.sql("UPDATE sqlci_t SET V = 42.0 WHERE K = 1")
+    assert(t.read().filter("k = 1").select("v").as[Double].head() == 42.0)
+    Seq((2L, "B", 20.0), (3L, "c", 3.0)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("sqlci_src")
+    spark.sql(
+      """MERGE INTO sqlci_t t USING sqlci_src s ON t.K = s.K
+        |WHEN MATCHED THEN UPDATE SET TAG = s.tag
+        |WHEN NOT MATCHED THEN INSERT (K, TAG, V) VALUES (s.k, s.tag, s.v)
+        |""".stripMargin)
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // k=3's key must be 3, not NULL (a case-missed INSERT (K,...) map
+    // would have silently inserted NULL for k)
+    assert(got.toSeq == Seq((1L, "a", 42.0), (2L, "B", 2.0), (3L, "c", 3.0)))
+    val e = intercept[IllegalArgumentException](
+      t.update(Map("nope" -> "1"), "true"))
+    assert(e.getMessage.contains("unknown column"))
+  }
+
+  test("MERGE with unaliased source: table-name-qualified refs resolve") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    graft.lakehouse.LakeRegistry.register("sqlua_t", t)
+    Seq((2L, "B", 20.0), (4L, "d", 4.0)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("sqlua_src")
+    spark.sql(
+      """MERGE INTO sqlua_t USING sqlua_src ON sqlua_t.k = sqlua_src.k
+        |WHEN MATCHED THEN UPDATE SET v = sqlua_src.v
+        |WHEN NOT MATCHED THEN
+        |  INSERT (k, tag, v) VALUES (sqlua_src.k, sqlua_src.tag, sqlua_src.v)
+        |""".stripMargin)
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 1.0), (2L, "b", 20.0), (4L, "d", 4.0)))
+  }
+
+  test("merge cardinality: duplicate insert-only keys allowed, matched dups rejected") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    // two source rows for k=5 match NO target row — both insert
+    // (Iceberg semantics); only multiple matches per target row fail
+    t.merge(Seq((5L, "x", 1.0), (5L, "y", 2.0), (1L, "A", 10.0))
+      .toDF("k", "tag", "v"), "k")
+    assert(t.read().count() == 3)
+    assert(t.read().filter("k = 1").select("tag").as[String].head() == "A")
+    val e = intercept[IllegalArgumentException](
+      t.merge(Seq((1L, "p", 1.0), (1L, "q", 2.0)).toDF("k", "tag", "v"), "k"))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("INSERT OVERWRITE keeps the table's schema and column types") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    graft.lakehouse.LakeRegistry.register("sqlow_t", t)
+    val schemaBefore = t.currentSnapshot.schema
+    // INT literals must be cast to the table's BIGINT/DOUBLE, and the
+    // committed schema must stay the table's, not the query's
+    spark.sql("INSERT OVERWRITE TABLE sqlow_t VALUES (2, 'b', 3)")
+    assert(t.currentSnapshot.schema == schemaBefore)
+    assert(t.read().select("v").as[Double].head() == 3.0)
+    intercept[IllegalArgumentException](
+      spark.sql("INSERT OVERWRITE TABLE sqlow_t VALUES (2, 'b', 'oops')"))
+  }
+
+  test("CREATE IF NOT EXISTS re-registers existing storage after a restart") {
+    val loc = Files.createTempDirectory("graft_fresh").toString
+    spark.sql(
+      s"CREATE TABLE sqlfr_t (k BIGINT, v DOUBLE) USING graft LOCATION '$loc'")
+    spark.sql("INSERT INTO sqlfr_t VALUES (1, 1.0)")
+    // simulate a fresh session: registry is in-memory, storage is not
+    graft.lakehouse.LakeRegistry.unregister("sqlfr_t")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS sqlfr_t (k BIGINT, v DOUBLE) " +
+      s"USING graft LOCATION '$loc'")
+    assert(graft.lakehouse.LakeRegistry.get("sqlfr_t").isDefined)
+    assert(spark.sql("SELECT * FROM sqlfr_t").count() == 1,
+      "IF NOT EXISTS over existing storage must re-register, not recreate")
+    graft.lakehouse.LakeRegistry.unregister("sqlfr_t")
+    assert(intercept[Exception](spark.sql(
+      s"CREATE TABLE sqlfr_t (k BIGINT, v DOUBLE) USING graft LOCATION '$loc'"))
+      .getMessage.contains("already exists"))
+  }
+
   test("SQL DDL: CREATE TABLE / CTAS / SELECT / DROP lifecycle") {
     val loc = Files.createTempDirectory("graft_ddl").toString
     val loc2 = Files.createTempDirectory("graft_ddl2").toString
