@@ -16,6 +16,14 @@ final case class Snapshot(
     files: Seq[String],
     partitionCols: Seq[String] = Nil)
 
+/** Another writer published a snapshot between this operation's
+  * snapshot capture and its commit (Iceberg's optimistic-concurrency
+  * conflict). Appends rebase and retry internally; row-level DML
+  * surfaces the conflict for the caller to re-run against the new
+  * current snapshot — its affected-file computation is stale. */
+final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
 /** Iceberg-equivalent lakehouse table format on plain parquet
   * (ref: the governed Iceberg tables the sample provisions in
   * `producer_account_setup/producer_iceberg_datalake_setup.sh:118-150`
@@ -40,9 +48,12 @@ final case class Snapshot(
   * row-group statistics for pruning. All paths go through the Hadoop
   * `FileSystem` API, so `root` may be HDFS/S3A in a cluster deployment.
   *
-  * Concurrency: a commit is "write manifest to a temp name, then
-  * atomic rename". Single-writer here; a multi-writer deployment would
-  * CAS the rename and retry on conflict (Iceberg's optimistic model).
+  * Concurrency: optimistic, Iceberg's model. Every commit names the
+  * snapshot it expects to build on; publishing is a compare-and-swap
+  * (per-root JVM lock + no-overwrite rename — see [[commit]]).
+  * Appends rebase and retry on conflict; row-level DML raises
+  * [[CommitConflictException]] for the caller to re-run, since its
+  * affected-file computation is stale.
   */
 final class GraftTable(val spark: SparkSession, rootStr: String) {
   private val root = new Path(rootStr)
@@ -101,21 +112,50 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       .map(snapshot)
       .toSeq
 
-  private def commit(op: String, schema: StructType, files: Seq[String],
-      partitionCols: Seq[String] = Nil): Long = {
-    val id = currentSnapshotId + 1
+  /** Publish snapshot `expectedParent + 1` — optimistic concurrency:
+    * the rename is the compare-and-swap (Hadoop `rename` fails when
+    * the destination exists, on local FS and HDFS alike), so of two
+    * writers publishing over the same parent exactly one wins and the
+    * other gets [[CommitConflictException]]. The tmp name is
+    * per-attempt unique so racing writers cannot clobber each other's
+    * in-flight manifest bytes. */
+  private[graft] def commit(op: String, schema: StructType,
+      files: Seq[String], partitionCols: Seq[String] = Nil,
+      expectedParent: Long): Long =
+    // In-process writers (multiple handles over one root) serialize
+    // here, making check-then-rename a true CAS within the JVM.
+    // Across processes the rename itself is the CAS — atomic
+    // no-overwrite on HDFS; object stores need a catalog/lock
+    // service, the same contract as Iceberg's HadoopTableOperations.
+    GraftTable.commitLock(root.toString).synchronized {
+      commitLocked(op, schema, files, partitionCols, expectedParent)
+    }
+
+  private def commitLocked(op: String, schema: StructType,
+      files: Seq[String], partitionCols: Seq[String],
+      expectedParent: Long): Long = {
+    val id = expectedParent + 1
+    if (currentSnapshotId != expectedParent)
+      throw new CommitConflictException(
+        s"commit over snapshot $expectedParent, but current is " +
+          s"$currentSnapshotId: another writer committed first")
     val body = new StringBuilder
     body ++= s"parent=${id - 1}\n"
     body ++= s"op=$op\n"
     body ++= s"schema=${schema.json}\n"
     body ++= s"partcols=${partitionCols.mkString(",")}\n"
     files.foreach(f => body ++= s"file=$f\n")
-    val tmp = new Path(metaDir, f"snap-$id%05d.meta.tmp")
+    val tmp = new Path(metaDir,
+      f"snap-$id%05d.meta.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    require(fs.rename(tmp, snapPath(id)), // atomic publish
-      s"commit $id failed: could not publish manifest")
+    if (!fs.rename(tmp, snapPath(id))) { // atomic publish
+      fs.delete(tmp, false)
+      throw new CommitConflictException(
+        s"commit $id lost the publish race: another writer's snapshot " +
+          "landed first")
+    }
     id
   }
 
@@ -192,7 +232,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
   private def writeData(df: DataFrame, commitId: Long,
       partitionCols: Seq[String] = Nil, widen: Boolean = true): Seq[String] = {
-    val dir = new Path(root, f"data/commit-$commitId%05d")
+    // per-attempt-unique dir: two concurrent writers aiming at the
+    // same commit id must never share (and mode=overwrite-clobber)
+    // one directory; manifests reference absolute file paths, so the
+    // id in the name is informational only
+    val dir = new Path(root, f"data/commit-$commitId%05d-" +
+      java.util.UUID.randomUUID.toString.take(8))
     // A rewrite sourced from one or two input files would otherwise
     // serialize the whole write on one core (local small-file reads
     // arrive as a single split); on a cluster the input is already
@@ -252,9 +297,48 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val snap = if (currentSnapshotId == 0) None else Some(currentSnapshot)
     val schema = snap.map(_.schema).getOrElse(df.schema)
     val parts = snap.map(_.partitionCols).getOrElse(createPartitionCols)
-    val id = currentSnapshotId + 1
-    val files = writeData(aligned(df, schema), id, parts)
-    commit("append", schema, snap.map(_.files).getOrElse(Nil) ++ files, parts)
+    val files = writeData(aligned(df, schema), currentSnapshotId + 1, parts)
+    appendCommit(files, schema, parts, snap.map(_.id).getOrElse(0L))
+  }
+
+  /** Append `df` as if this writer had captured snapshot `parent` and
+    * another writer committed in between — the deterministic stand-in
+    * for a racing writer (exercised by lake_concurrent and the spec);
+    * goes through the same rebase path a real race takes. */
+  private[graft] def appendFrom(df: DataFrame, parent: Long): Long = {
+    val base = snapshot(parent)
+    val files = writeData(aligned(df, base.schema),
+      currentSnapshotId + 1, base.partitionCols)
+    appendCommit(files, base.schema, base.partitionCols, parent)
+  }
+
+  /** Publish an append of `newFiles` over `parent`, rebasing onto the
+    * current snapshot when another writer committed first: appended
+    * files are valid regardless of what landed in between, so a
+    * rebase just re-lists them over the new base (Iceberg's
+    * fast-append retry — appends NEVER lose to concurrent appends).
+    * Aborts if the schema or partition spec changed underneath. */
+  @annotation.tailrec
+  private def appendCommit(newFiles: Seq[String], schema: StructType,
+      parts: Seq[String], parent: Long, attempts: Int = 8): Long = {
+    val base = if (parent == 0) Nil else snapshot(parent).files
+    val res =
+      try Right(commit("append", schema, base ++ newFiles, parts,
+        expectedParent = parent))
+      catch { case e: CommitConflictException =>
+        if (attempts <= 1) throw e
+        val cur = currentSnapshot
+        if (cur.schema != schema || cur.partitionCols != parts)
+          throw new CommitConflictException(
+            "append cannot rebase: schema or partition spec changed " +
+              "under the commit")
+        Left(cur.id)
+      }
+    res match {
+      case Right(id)        => id
+      case Left(newParent)  =>
+        appendCommit(newFiles, schema, parts, newParent, attempts - 1)
+    }
   }
 
   /** Append rows whose schema adds columns: the table schema evolves
@@ -266,7 +350,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val schema = StructType(snap.schema.fields ++ added.map(_.copy(nullable = true)))
     val id = currentSnapshotId + 1
     val files = writeData(aligned(df, schema), id, snap.partitionCols)
-    commit("append", schema, snap.files ++ files, snap.partitionCols)
+    commit("append", schema, snap.files ++ files, snap.partitionCols,
+      expectedParent = snap.id)
   }
 
   /** Replace all rows; the table schema is kept and `df` must align
@@ -278,7 +363,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val id = currentSnapshotId + 1
     commit("overwrite", snap.schema,
       writeData(aligned(df, snap.schema), id, snap.partitionCols),
-      snap.partitionCols)
+      snap.partitionCols, expectedParent = snap.id)
   }
 
   // ---- copy-on-write DML -------------------------------------------
@@ -317,7 +402,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         readFiles(snap.schema, rewrite, snap.partitionCols)
           .filter(not(coalesce(p, lit(false)))),
         id, snap.partitionCols)
-    commit("delete", snap.schema, keep ++ newFiles, snap.partitionCols)
+    commit("delete", snap.schema, keep ++ newFiles, snap.partitionCols,
+      expectedParent = snap.id)
   }
 
   /** Resolve assignment / value-map keys against the table schema the
@@ -354,7 +440,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
           }: _*)
         writeData(updated, id, snap.partitionCols)
       }
-    commit("update", snap.schema, keep ++ newFiles, snap.partitionCols)
+    commit("update", snap.schema, keep ++ newFiles, snap.partitionCols,
+      expectedParent = snap.id)
   }
 
   /** MERGE INTO t USING source ON t.key = s.key
@@ -525,7 +612,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     }
     commit("merge", snap.schema,
       keep ++ newData.map(writeData(_, id, snap.partitionCols)).getOrElse(Nil),
-      snap.partitionCols)
+      snap.partitionCols, expectedParent = snap.id)
   }
 
   /** Small-file compaction: rewrite the whole file set into
@@ -540,7 +627,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         readFiles(snap.schema, snap.files, snap.partitionCols)
           .repartition(numFiles),
         id, snap.partitionCols, widen = false),
-      snap.partitionCols)
+      snap.partitionCols, expectedParent = snap.id)
   }
 
   /** Dynamic partition overwrite (Iceberg's `REPLACE WHERE` /
@@ -565,7 +652,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val id = currentSnapshotId + 1
     commit("overwrite_partitions", snap.schema,
       keep ++ writeData(aligned(df, snap.schema), id, parts),
-      parts)
+      parts, expectedParent = snap.id)
   }
 
   /** Roll the table back to snapshot `id`: a NEW commit whose file
@@ -573,8 +660,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * rollback — history is preserved, nothing is deleted, and the
     * bad commits remain inspectable via time travel). */
   def rollback(id: Long): Long = {
+    val cur = currentSnapshotId
     val snap = snapshot(id)
-    commit("rollback", snap.schema, snap.files, snap.partitionCols)
+    commit("rollback", snap.schema, snap.files, snap.partitionCols,
+      expectedParent = cur)
   }
 
   /** Expire all snapshots but the newest `keepLast`, physically
@@ -595,6 +684,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 }
 
 object GraftTable {
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLock(root: String): Object =
+    commitLocks.computeIfAbsent(root, _ => new Object)
+
   /** True when `df` would execute on fewer than `target` partitions.
     * Plans containing any Exchange are never "narrow": a shuffle runs
     * at spark.sql.shuffle.partitions, and probing below a broadcast
@@ -638,7 +732,7 @@ object GraftTable {
     require(t.currentSnapshotId == 0, s"table already exists at $root")
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the table schema"))
-    t.commit("create", schema, Nil, partitionBy)
+    t.commit("create", schema, Nil, partitionBy, expectedParent = 0L)
     t
   }
 

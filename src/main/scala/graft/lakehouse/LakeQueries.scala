@@ -233,7 +233,52 @@ object LakeQueries {
       .orderBy("snapshot_id")
   }
 
+  /** Optimistic concurrency, Iceberg's model, as a scripted decision
+    * matrix (constant-oracled like fgac_write_deny): two writer
+    * handles over one table root race their commits. A second
+    * writer's append based on a stale snapshot must REBASE (fast-
+    * append retry — both writers' rows survive, no lost update); a
+    * whole round of appends all based on the same snapshot must all
+    * land; a DML commit built on a stale snapshot must surface
+    * CONFLICT (its affected-file computation no longer describes the
+    * table) rather than publish. */
+  private val concurrent: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    def part(m: Long) = orders.filter(col("o_orderkey") % 8 === m)
+    val t1 = GraftTable.create(s, tmp("lake_conc"), part(0)) // snap 1
+    val t2 = GraftTable.load(s, t1.location) // second writer handle
+    t1.append(part(1)) // snap 2
+    // t2 based its work on snapshot 1; t1 already advanced → rebase
+    t2.appendFrom(part(2), parent = 1L) // snap 3
+    val counts03 = (0L to 2L).map(part(_).count()).sum
+    val rebased =
+      if (t2.currentSnapshotId == 3 && t2.read().count() == counts03)
+        "REBASED" else "LOST_UPDATE"
+    // a whole round of writers all racing from the same snapshot
+    t1.appendFrom(part(3), parent = 3L) // no conflict  → snap 4
+    t2.appendFrom(part(4), parent = 3L) // one rebase   → snap 5
+    t1.appendFrom(part(5), parent = 3L) // two rebases  → snap 6
+    val counts06 = (0L to 5L).map(part(_).count()).sum
+    val allIn =
+      if (t1.currentSnapshotId == 6 && t1.read().count() == counts06)
+        "ALL_COMMITTED" else "LOST_UPDATE"
+    // stale DML: this commit, if published, would wipe the table —
+    // the conflict check must reject it and leave the table intact
+    val snap = t2.currentSnapshot
+    val staleDml =
+      try {
+        t2.commit("delete", snap.schema, Nil, Nil, expectedParent = 1L)
+        "COMMITTED"
+      } catch { case _: CommitConflictException => "CONFLICT" }
+    require(t1.read().count() == counts06, "stale DML must not publish")
+    Seq(("concurrent_appends", allIn), ("stale_append", rebased),
+      ("stale_dml", staleDml))
+      .toDF("scenario", "outcome").orderBy("scenario")
+  }
+
   val queries: Map[String, Q] = Map(
+    "lake_concurrent"       -> concurrent,
     "lake_sql_ddl"          -> sqlDdl,
     "lake_history"          -> history,
     "lake_merge"            -> merge,
@@ -251,6 +296,15 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The race script is deterministic; the decision matrix is the
+    // whole contract (row counts are require()d inside the query).
+    "lake_concurrent" ->
+      """SELECT * FROM (VALUES
+        |  ('concurrent_appends', 'ALL_COMMITTED'),
+        |  ('stale_append', 'REBASED'),
+        |  ('stale_dml', 'CONFLICT'))
+        |  AS t(scenario, outcome)
+        |ORDER BY scenario""".stripMargin,
     // The scripted history is fully determined by the DML sequence.
     "lake_history" ->
       """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,

@@ -112,6 +112,32 @@ class LakehouseSpec extends AnyFunSuite {
       Seq((1L, "a", 11.0), (3L, "c", 3.0), (4L, "new", 40.0)))
   }
 
+  test("optimistic concurrency: real racing appends all land, stale DML conflicts") {
+    val t = freshTable(Seq((0L, "seed", 0.0)))
+    val writers = (1 to 4).map(_ =>
+      GraftTable.load(spark, t.location))
+    // four writer handles appending through real threads — the
+    // interleaving is arbitrary, the invariant is not: every append
+    // must land (rebase on conflict), none may be lost
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fs = writers.zipWithIndex.map { case (w, i) =>
+        Future(w.append(Seq((i + 1L, s"w$i", i * 1.0)).toDF("k", "tag", "v")))
+      }
+      Await.result(Future.sequence(fs), scala.concurrent.duration.Duration(180, "s"))
+    } finally pool.shutdown()
+    assert(t.currentSnapshotId == 5, "each append = one commit")
+    assert(t.read().select("k").as[Long].collect().sorted
+      .sameElements(Array(0L, 1L, 2L, 3L, 4L)), "no append may be lost")
+    // a DML commit built on a stale snapshot must conflict, not publish
+    val snap = t.currentSnapshot
+    intercept[graft.lakehouse.CommitConflictException](
+      t.commit("delete", snap.schema, Nil, Nil, expectedParent = 2L))
+    assert(t.currentSnapshotId == 5 && t.read().count() == 5)
+  }
+
   test("assignments resolve case-insensitively; unknown columns rejected") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
     graft.lakehouse.LakeRegistry.register("sqlci_t", t)
