@@ -78,8 +78,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         }
         .foldLeft(0L)(math.max)
 
-  def snapshot(id: Long): Snapshot = {
-    val in = fs.open(snapPath(id))
+  def snapshot(id: Long): Snapshot = parseManifest(snapPath(id), id)
+
+  private def parseManifest(path: Path, id: Long): Snapshot = {
+    val in = fs.open(path)
     val text =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
@@ -664,6 +666,69 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val snap = snapshot(id)
     commit("rollback", snap.schema, snap.files, snap.partitionCols,
       expectedParent = cur)
+  }
+
+  // ---- write-audit-publish (staged commits) ------------------------
+
+  private def stagedPath(token: String) = new Path(metaDir, s"staged-$token.meta")
+
+  /** Stage an append WITHOUT publishing (Iceberg's write-audit-publish,
+    * the `spark.wap.id` staged-commit workflow): data files are
+    * written and recorded in a staged manifest, but the current
+    * snapshot is untouched — no reader sees staged rows. Returns the
+    * token the audit step passes to [[readStaged]] and then
+    * [[publish]] or [[abandon]]. Staged manifests are named
+    * `staged-<token>`, so snapshot listing and expiry never see them. */
+  def stageAppend(df: DataFrame): String = {
+    val snap = currentSnapshot
+    val token = java.util.UUID.randomUUID.toString.take(12)
+    val files = writeData(aligned(df, snap.schema),
+      currentSnapshotId + 1, snap.partitionCols)
+    val body = new StringBuilder
+    body ++= s"parent=${snap.id}\n"
+    body ++= s"op=staged\n"
+    body ++= s"schema=${snap.schema.json}\n"
+    body ++= s"partcols=${snap.partitionCols.mkString(",")}\n"
+    files.foreach(f => body ++= s"file=$f\n")
+    val out = fs.create(stagedPath(token), false) // token is unique
+    try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    token
+  }
+
+  private def stagedSnapshot(token: String): Snapshot =
+    parseManifest(stagedPath(token), 0L)
+
+  /** The table as it WOULD read after publishing `token` — the audit
+    * step's input: current snapshot plus the staged files. */
+  def readStaged(token: String): DataFrame = {
+    val st = stagedSnapshot(token)
+    val cur = currentSnapshot
+    readFiles(cur.schema, cur.files ++ st.files, cur.partitionCols)
+  }
+
+  /** Publish a staged append onto the CURRENT snapshot (Iceberg's
+    * cherry-pick): append-shaped, so commits that landed since the
+    * stage are fine — the publish rebases like any append. Aborts if
+    * the schema or partition spec changed since staging. */
+  def publish(token: String): Long = {
+    val st = stagedSnapshot(token)
+    val cur = currentSnapshot
+    if (cur.schema != st.schema || cur.partitionCols != st.partitionCols)
+      throw new CommitConflictException(
+        "cannot publish staged commit: schema or partition spec " +
+          "changed since staging")
+    val id = appendCommit(st.files, cur.schema, cur.partitionCols, cur.id)
+    fs.delete(stagedPath(token), false)
+    id
+  }
+
+  /** Drop a staged commit that failed its audit: staged data files
+    * and manifest are physically removed; the table never saw them. */
+  def abandon(token: String): Unit = {
+    val st = stagedSnapshot(token)
+    st.files.foreach(f => fs.delete(new Path(f), false))
+    fs.delete(stagedPath(token), false)
   }
 
   /** Expire all snapshots but the newest `keepLast`, physically

@@ -277,8 +277,35 @@ object LakeQueries {
       .toDF("scenario", "outcome").orderBy("scenario")
   }
 
+  /** Write-audit-publish (Iceberg's staged-commit workflow, the
+    * production pattern for gating data quality before readers see a
+    * batch): batch 1 stages, passes its audit, publishes; batch 2
+    * (poisoned: negated prices) stages, fails the audit, is
+    * abandoned — the table's history never contains it. The final
+    * state is exactly base + the audited batch. */
+  private val wap: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_wap"),
+      orders.filter(col("o_orderstatus") === "O"))
+    val tok1 = t.stageAppend(orders.filter(col("o_orderstatus") === "F"))
+    require(t.read().count() < t.readStaged(tok1).count(),
+      "staged rows must be invisible before publish")
+    require(t.readStaged(tok1).filter(col("o_totalprice") <= 0).count() == 0,
+      "audit of the good batch must pass")
+    t.publish(tok1)
+    val tok2 = t.stageAppend(orders.filter(col("o_orderstatus") === "P")
+      .withColumn("o_totalprice", -col("o_totalprice")))
+    require(t.readStaged(tok2).filter(col("o_totalprice") < 0).count() > 0,
+      "audit of the poisoned batch must fail")
+    t.abandon(tok2)
+    require(t.snapshots.size == 2,
+      "an abandoned stage must leave no commit behind")
+    t.read().orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "lake_concurrent"       -> concurrent,
+    "lake_wap"              -> wap,
     "lake_sql_ddl"          -> sqlDdl,
     "lake_history"          -> history,
     "lake_merge"            -> merge,
@@ -305,6 +332,10 @@ object LakeQueries {
         |  ('stale_dml', 'CONFLICT'))
         |  AS t(scenario, outcome)
         |ORDER BY scenario""".stripMargin,
+    // Final state = base + the one batch that survived its audit.
+    "lake_wap" ->
+      """SELECT * FROM orders WHERE o_orderstatus IN ('O', 'F')
+        |ORDER BY o_orderkey""".stripMargin,
     // The scripted history is fully determined by the DML sequence.
     "lake_history" ->
       """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,

@@ -138,6 +138,24 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.currentSnapshotId == 5 && t.read().count() == 5)
   }
 
+  test("write-audit-publish: staged rows invisible, publish rebases, abandon cleans") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    val tok = t.stageAppend(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))
+    assert(t.read().count() == 1 && t.currentSnapshotId == 1,
+      "staged rows must not be visible and must not commit")
+    assert(t.readStaged(tok).count() == 2, "audit sees the would-be state")
+    // a commit lands between stage and publish → publish must rebase
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    t.publish(tok)
+    assert(t.read().select("k").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 3L)))
+    val tok2 = t.stageAppend(Seq((9L, "x", 9.0)).toDF("k", "tag", "v"))
+    val stagedFiles = t.read().inputFiles.length
+    t.abandon(tok2)
+    assert(t.read().count() == 3 && t.snapshots.size == 3)
+    intercept[Exception](t.readStaged(tok2)) // manifest gone
+  }
+
   test("assignments resolve case-insensitively; unknown columns rejected") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
     graft.lakehouse.LakeRegistry.register("sqlci_t", t)
