@@ -57,12 +57,37 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    // Cap error payload so a mass failure can't push the metric line
+    // past the harness's stdout-tail capture window.
+    val errJson = errors.take(5)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.take(80) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+
+    // Headline subset: the representative / most expensive query per
+    // family. The metric line must stay well under the ~2000-char
+    // stdout tail the harness captures (the full 80+-query map is
+    // ~2.6 KB and was never parseable in rounds 1-3), so the full
+    // per-query map goes out first on its own line and the ONE
+    // compact metric line goes out last.
+    val headline = Seq(
+      "q1_agg", "q3_broadcast_join", "q6_window", "q23_salted_join",
+      "fgac_join", "fgac_lakehouse", "lake_merge", "lake_compaction",
+      "lake_sql_ddl", "lake_wap", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_components", "ann_bruteforce",
+      "ann_ivf_kmeans", "pipeline_clean_corpus", "pipeline_pack",
+      "text_ngram_freq", "mm_features", "stream_window_agg",
+      "stream_lake_sink", "src_bucketed_join", "src_json_roundtrip")
+    val resMap = results.toMap
+    val hq = headline.filter(resMap.contains)
+      .map(k => "\"" + k + "\":" + fmt(resMap(k)))
+      .mkString("{", ",", "}")
+
+    println(s"""{"detail":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$hq,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
