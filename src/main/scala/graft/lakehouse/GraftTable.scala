@@ -115,9 +115,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       .toSeq
 
   /** Publish snapshot `expectedParent + 1` — optimistic concurrency:
-    * the rename is the compare-and-swap (Hadoop `rename` fails when
-    * the destination exists, on local FS and HDFS alike), so of two
-    * writers publishing over the same parent exactly one wins and the
+    * the publish is a compare-and-swap (no-overwrite `rename` on
+    * HDFS; atomic `link(2)` on local FS, where rename silently
+    * replaces — see [[publishNoOverwrite]]), so of two writers
+    * publishing over the same parent exactly one wins and the
     * other gets [[CommitConflictException]]. The tmp name is
     * per-attempt unique so racing writers cannot clobber each other's
     * in-flight manifest bytes. */
@@ -125,10 +126,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       files: Seq[String], partitionCols: Seq[String] = Nil,
       expectedParent: Long): Long =
     // In-process writers (multiple handles over one root) serialize
-    // here, making check-then-rename a true CAS within the JVM.
-    // Across processes the rename itself is the CAS — atomic
-    // no-overwrite on HDFS; object stores need a catalog/lock
-    // service, the same contract as Iceberg's HadoopTableOperations.
+    // here, making check-then-publish a true CAS within the JVM.
+    // Across processes publishNoOverwrite is the CAS — atomic
+    // no-overwrite rename on HDFS, atomic link(2) on local FS;
+    // object stores need a catalog/lock service, the same contract
+    // as Iceberg's HadoopTableOperations.
     GraftTable.commitLock(root.toString).synchronized {
       commitLocked(op, schema, files, partitionCols, expectedParent)
     }
@@ -152,7 +154,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val out = fs.create(tmp, true)
     try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, snapPath(id))) { // atomic publish
+    if (!publishNoOverwrite(tmp, snapPath(id))) { // atomic publish
       fs.delete(tmp, false)
       throw new CommitConflictException(
         s"commit $id lost the publish race: another writer's snapshot " +
@@ -160,6 +162,33 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     }
     id
   }
+
+  /** Move `tmp` to `dest` iff `dest` does not exist, atomically with
+    * respect to concurrent publishers in OTHER OS processes.
+    *
+    * HDFS `rename` is contractually atomic no-overwrite, so it is the
+    * CAS there. Hadoop's LocalFileSystem rename, however, bottoms out
+    * in POSIX rename(2), which silently REPLACES an existing
+    * destination — two processes committing over the same parent
+    * would both "succeed" and one manifest would be lost. For
+    * file:// roots the publish is therefore `link(2)`
+    * (Files.createLink), which atomically fails with EEXIST when the
+    * destination is already present. */
+  private[graft] def publishNoOverwrite(tmp: Path, dest: Path): Boolean =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case _ => fs.rename(tmp, dest)
+    }
 
   // ---- reads -------------------------------------------------------
 
@@ -422,6 +451,28 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
             s"(table columns: ${cols.mkString(", ")})")) -> v
     }
 
+  /** The resolved type of expression `e` against `df` — analysis
+    * only, nothing executes. */
+  private def resolvedType(df: DataFrame, e: Column) =
+    df.select(e.as("_t")).schema.head.dataType
+
+  /** ANSI store-assignment check for a clause value expression — the
+    * same `canUpCast`/`canANSIStoreAssign` contract [[aligned]]
+    * enforces on whole-DataFrame writes. Without it a lenient
+    * `.cast` lets a type-incompatible SET / INSERT value (e.g. a
+    * string into a DOUBLE column) silently commit NULL instead of
+    * failing the write (round-3 ADVICE). */
+  private def checkedCast(v: Column, vType: org.apache.spark.sql.types.DataType,
+      target: org.apache.spark.sql.types.DataType, what: String): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    if (vType == target) v
+    else if (Cast.canUpCast(vType, target) ||
+        Cast.canANSIStoreAssign(vType, target)) v.cast(target)
+    else throw new IllegalArgumentException(
+      s"$what: ${vType.simpleString} cannot be safely written as " +
+        s"column type ${target.simpleString}")
+  }
+
   /** UPDATE t SET col = expr, ... WHERE pred (copy-on-write). */
   def update(assignments0: Map[String, String], predSql: String): Long = {
     val p = expr(predSql)
@@ -433,10 +484,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val newFiles =
       if (rewrite.isEmpty) Nil
       else {
-        val updated = readFiles(snap.schema, rewrite, snap.partitionCols).select(
+        val base = readFiles(snap.schema, rewrite, snap.partitionCols)
+        val updated = base.select(
           snap.schema.fieldNames.map { c =>
             assignments.get(c) match {
-              case Some(e) => when(p, expr(e)).otherwise(col(c)).cast(snap.schema(c).dataType).as(c)
+              case Some(e) =>
+                val v = checkedCast(expr(e), resolvedType(base, expr(e)),
+                  snap.schema(c).dataType, s"UPDATE SET $c")
+                when(p, v).otherwise(col(c)).as(c)
               case None    => col(c)
             }
           }: _*)
@@ -593,15 +648,18 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         Some(antiFlat.withColumn(GraftTable.WinnerCol, winner)
           .filter(col(GraftTable.WinnerCol) =!= -1)
           .select(cols.map { c =>
+            val target = snap.schema(c).dataType
             insertClauses.zipWithIndex.map { case (cl, i) =>
               val v =
                 if (cl.values.isEmpty) col(GraftTable.SrcPrefix + c)
-                else cl.values.get(c).map(expr)
-                  .getOrElse(lit(null))
+                else cl.values.get(c).map { e =>
+                  checkedCast(expr(e), resolvedType(antiFlat, expr(e)),
+                    target, s"MERGE INSERT $c")
+                }.getOrElse(lit(null))
               (i, v)
             }.foldRight(lit(null): Column) { case ((i, v), els) =>
               when(col(GraftTable.WinnerCol) === i, v).otherwise(els)
-            }.cast(snap.schema(c).dataType).as(c)
+            }.cast(target).as(c)
           }: _*))
       }
 

@@ -199,6 +199,23 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (l.last.toLowerCase != r.last.toLowerCase)
           throw new UnsupportedOperationException(
             s"MERGE ON must equate same-named columns, got ${a.sql} = ${b.sql}")
+        // One side must reference the target, the other the source —
+        // otherwise a degenerate condition (`ON t.k = t.k`,
+        // unqualified `k = k`, or equalities over unrelated
+        // qualifiers) would silently become a wrong-keyed MERGE
+        // (round-3 ADVICE).
+        def qual(parts: Seq[String]): Option[String] =
+          if (parts.size >= 2) Some(parts.init.last.toLowerCase) else None
+        val (ql, qr) = (qual(l), qual(r))
+        val (lTgt, rTgt) =
+          (ql.exists(targetAliases), qr.exists(targetAliases))
+        val (lSrc, rSrc) = (ql.exists(srcAliases), qr.exists(srcAliases))
+        val valid =
+          if (srcAliases.nonEmpty) (lTgt && rSrc) || (lSrc && rTgt)
+          else (lTgt && !rTgt) || (rTgt && !lTgt)
+        if (!valid) throw new UnsupportedOperationException(
+          s"MERGE INTO $name: each ON equality must compare a target " +
+            s"column with a source column, got ${a.sql} = ${b.sql}")
         l.last
       case other => throw new UnsupportedOperationException(
         s"MERGE INTO $name: ON must be a conjunction of column " +
@@ -284,10 +301,24 @@ object LakeDdl {
 
       case DropTable(id: UnresolvedIdentifier, _, purge)
           if id.nameParts.size == 1 &&
-            LakeRegistry.get(id.nameParts.head).isDefined =>
+            claimDrop(spark, id.nameParts.head.toLowerCase) =>
         Some(GraftDropTableCommand(id.nameParts.head.toLowerCase, purge))
 
       case _ => None
+    }
+
+  /** DROP mirrors [[CreateGuard]]: the registry is in-memory, so in a
+    * fresh session an on-disk graft table must be probed at its
+    * managed location and re-registered before DROP can claim it —
+    * otherwise the statement falls through to the Spark session
+    * catalog and errors with table-not-found (round-3 ADVICE). */
+  private def claimDrop(spark: SparkSession, name: String): Boolean =
+    LakeRegistry.get(name).isDefined || {
+      val root = spark.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + s"/graft/$name"
+      val onDisk = GraftTable.load(spark, root)
+      onDisk.currentSnapshotId > 0 &&
+        { LakeRegistry.register(name, onDisk); true }
     }
 
   /** Single-part table name from a DDL identifier plan. */

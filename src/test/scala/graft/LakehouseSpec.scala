@@ -112,6 +112,55 @@ class LakehouseSpec extends AnyFunSuite {
       Seq((1L, "a", 11.0), (3L, "c", 3.0), (4L, "new", 40.0)))
   }
 
+  test("UPDATE / MERGE INSERT values get the ANSI store-assignment check") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    // a string literal cannot be stored into DOUBLE v — must reject,
+    // not silently commit NULL via a lenient cast
+    intercept[IllegalArgumentException](
+      t.update(Map("v" -> "'oops'"), "k = 1"))
+    assert(t.currentSnapshotId == 1)
+    // same contract through the SQL MERGE INSERT clause values
+    graft.lakehouse.LakeRegistry.register("ansi_t", t)
+    Seq((9L, "x")).toDF("k", "tag").createOrReplaceTempView("ansi_src")
+    intercept[IllegalArgumentException](spark.sql(
+      """MERGE INTO ansi_t t USING ansi_src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, tag, v) VALUES (s.k, s.tag, 'bad')
+        |""".stripMargin))
+    assert(t.currentSnapshotId == 1)
+    // while a safe widening (INT literal into DOUBLE) still works
+    spark.sql(
+      """MERGE INTO ansi_t t USING ansi_src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, tag, v) VALUES (s.k, s.tag, 7)
+        |""".stripMargin)
+    assert(t.read().filter($"k" === 9L && $"v" === 7.0).count() == 1)
+  }
+
+  test("MERGE ON must join target to source (degenerate keys rejected)") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    graft.lakehouse.LakeRegistry.register("onchk_t", t)
+    Seq((1L, "z", 9.0)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("onchk_src")
+    for (cond <- Seq("t.k = t.k", "k = k", "s.k = s.k"))
+      intercept[UnsupportedOperationException](spark.sql(
+        s"""MERGE INTO onchk_t t USING onchk_src s ON $cond
+           |WHEN MATCHED THEN UPDATE SET *
+           |""".stripMargin))
+    assert(t.currentSnapshotId == 1)
+  }
+
+  test("DROP TABLE claims an on-disk table unknown to the registry") {
+    val name = "dropprobe_t"
+    val root = spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + s"/graft/$name"
+    spark.sql(s"CREATE TABLE $name (k BIGINT, v DOUBLE) USING graft")
+    spark.sql(s"INSERT INTO $name VALUES (1, 1.0)")
+    // simulate a fresh session: the in-memory registry forgot the name
+    graft.lakehouse.LakeRegistry.unregister(name)
+    spark.sql(s"DROP TABLE $name PURGE") // must probe storage, not error
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root.stripPrefix("file:"))))
+  }
+
   test("optimistic concurrency: real racing appends all land, stale DML conflicts") {
     val t = freshTable(Seq((0L, "seed", 0.0)))
     val writers = (1 to 4).map(_ =>
@@ -342,6 +391,32 @@ class LakehouseSpec extends AnyFunSuite {
     // row 2 has tag NULL → predicate NULL → must NOT be deleted
     val kept = t.read().select("k").as[Long].collect().sorted
     assert(kept.sameElements(Array(2L, 3L)), s"got ${kept.toList}")
+  }
+
+  test("publish is a no-overwrite CAS on local FS (cross-process safety)") {
+    // POSIX rename(2) replaces an existing destination, so the local
+    // publish must be link(2)-based: simulate another OS process
+    // having already published the same snapshot id and assert the
+    // loser neither wins nor clobbers the winner's manifest bytes.
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    val meta = java.nio.file.Paths.get(t.location, "_graft_meta")
+    val winner = meta.resolve("snap-00099.meta")
+    Files.write(winner, "winner".getBytes)
+    val tmp = meta.resolve("snap-00099.meta.attempt2.tmp")
+    Files.write(tmp, "loser".getBytes)
+    assert(!t.publishNoOverwrite(
+      new org.apache.hadoop.fs.Path(tmp.toUri),
+      new org.apache.hadoop.fs.Path(winner.toUri)))
+    assert(new String(Files.readAllBytes(winner)) == "winner")
+    // and with no pre-existing destination the publish succeeds
+    val dest2 = meta.resolve("snap-00100.meta")
+    val tmp2 = meta.resolve("snap-00100.meta.attempt1.tmp")
+    Files.write(tmp2, "published".getBytes)
+    assert(t.publishNoOverwrite(
+      new org.apache.hadoop.fs.Path(tmp2.toUri),
+      new org.apache.hadoop.fs.Path(dest2.toUri)))
+    assert(new String(Files.readAllBytes(dest2)) == "published")
+    assert(!Files.exists(tmp2))
   }
 
   test("expireSnapshots is repeatable and commit survives tmp leftovers") {
