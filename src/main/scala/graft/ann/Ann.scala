@@ -81,8 +81,9 @@ object Ann {
 
   /** Sign-random-projection LSH. Recall is tuned by (tables, bits):
     * 16×4 gives ≳0.9 recall@5 at cos≈0.4 on random data; memory
-    * scales linearly with tables. Approximate → rows-only; AnnSpec
-    * measures recall against [[bruteforce]]. */
+    * scales linearly with tables. Deterministic planes → exact DuckDB
+    * oracle (the ±1 plane literals are embedded in the generated
+    * SQL); AnnSpec additionally measures recall vs [[bruteforce]]. */
   private val lsh: Q = (s, d) => {
     val c = corpus(s, d)
     val sigd = c.select(
@@ -133,8 +134,9 @@ object Ann {
 
   /** IVF with the dataset's `label` as the given coarse quantizer:
     * decimal-exact per-cell centroids, probe the 3 nearest cells.
-    * Approximate -> rows-only; AnnSpec measures recall (0.36 - the
-    * labels are a poor quantizer; see [[ivfKmeans]]). */
+    * Fully deterministic -> exact DuckDB oracle (decimal-exact means
+    * reproduce bit-identically in SQL); AnnSpec measures recall
+    * (0.36 - the labels are a poor quantizer; see [[ivfKmeans]]). */
   private val ivf: Q = (s, d) => {
     val c = corpus(s, d)
     val cent = cellMeans(c.withColumn("cell", col("label")))
@@ -208,9 +210,9 @@ object Ann {
     * [[ivf]]. Search: assignment and probe-selection are projections
     * against the literal centroids; the only shuffle is the
     * broadcast-join of the ~3Q probe rows against the corpus (none
-    * for the corpus itself). Approximate -> rows-only; AnnSpec
-    * measures recall (0.90 vs 0.36 for label cells). */
-  private val ivfKmeans: Q = (s, d) => {
+    * for the corpus itself). AnnSpec measures recall (0.90 vs 0.36
+    * for label cells). */
+  private[graft] def ivfKmeansTopK(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
     val cent = trainKmeans(c, KmeansCells, KmeansIters)
     val assigned = c.withColumn("cell",
@@ -223,23 +225,117 @@ object Ann {
     topK(s, cand)
   }
 
+  /** The driver-gated form of [[ivfKmeansTopK]]: three Lloyd
+    * iterations cannot reasonably unroll into one DuckDB statement,
+    * so the oracled output is a decision row — the exact-result
+    * cardinality (DuckDB recomputes it from the brute-force top-k)
+    * plus a recall@5 >= 0.8 verdict the oracle expects TRUE. The
+    * whole computation is deterministic (decimal-exact means,
+    * deterministic init and tie-breaks), so a recall regression
+    * flips the flag and fails the hash gate. */
+  private val ivfKmeans: Q = (s, d) => {
+    val approx = ivfKmeansTopK(s, d).select(col("q_id"), col("neighbor_id"))
+    val exact = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+    hits.agg(count(lit(1)).as("n_hit"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select(col("n_exact"),
+        (col("n_hit") >= col("n_exact") * 0.8).as("recall_ge_080"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> bruteforce,
     "ann_lsh" -> lsh,
     "ann_ivf" -> ivf,
     "ann_ivf_kmeans" -> ivfKmeans)
 
+  // ---- DuckDB oracles ---------------------------------------------
+
+  /** The exact top-k as DuckDB CTEs, shared by the brute-force oracle
+    * and the k-means decision-row oracle. */
+  private def bruteforceCtes: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       | q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < $NumQueries),
+       | s AS (SELECT q.q_id, e.vec_id,
+       |   list_cosine_similarity(e.v, q.q_v) AS cos
+       |  FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+       | r AS (SELECT q_id, vec_id,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |     ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+       |  FROM s)""".stripMargin
+
+  /** `[1,-1,…]` literal for plane (t, b) — the SAME array the Spark
+    * side hashes with, so the oracle reproduces the buckets exactly. */
+  private def planeLit(t: Int, b: Int): String =
+    planes(t)(b).map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+
+  private def sigSql(t: Int): String =
+    (0 until LshBits).map(b =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(t, b)}) >= 0 " +
+        s"THEN ${1 << b} ELSE 0 END)").mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" ->
+      s"""$bruteforceCtes
+         |SELECT q_id, vec_id AS neighbor_id, rank FROM r
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // Bit-exact replica of the LSH pipeline: the deterministic ±1
+    // hyperplanes are embedded as literals, bucket signatures and the
+    // band join reproduce in SQL, candidates rank by cosine.
+    "ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         | q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < $NumQueries),
-         | s AS (SELECT q.q_id, e.vec_id,
-         |   list_cosine_similarity(e.v, q.q_v) AS cos
-         |  FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+         | sg AS (SELECT vec_id, v,
+         |   [${(0 until LshTables).map(sigSql).mkString(",")}] AS sigs FROM e),
+         | cb AS (SELECT vec_id, v, UNNEST(range($LshTables)) AS t,
+         |   UNNEST(sigs) AS sig FROM sg),
+         | qb AS (SELECT vec_id AS q_id, t, sig FROM cb
+         |   WHERE vec_id < $NumQueries),
+         | cand AS (SELECT DISTINCT qb.q_id, cb.vec_id
+         |  FROM cb JOIN qb ON cb.t = qb.t AND cb.sig = qb.sig
+         |    AND cb.vec_id <> qb.q_id),
+         | s AS (SELECT c.q_id, c.vec_id,
+         |   list_cosine_similarity(e1.v, e2.v) AS cos
+         |  FROM cand c JOIN e e1 ON e1.vec_id = c.vec_id
+         |   JOIN e e2 ON e2.vec_id = c.q_id),
          | r AS (SELECT q_id, vec_id,
          |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-         |     ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
-         |  FROM s)
+         |     ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM s)
          |SELECT q_id, vec_id AS neighbor_id, rank FROM r
-         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // Bit-exact replica of the label-cell IVF: decimal(28,18)-exact
+    // centroid means reproduce Spark's decimal aggregation, then the
+    // same top-3 probe and top-k rank.
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+         |   FROM embeddings),
+         | ex AS (SELECT label AS cell, UNNEST(v) AS x,
+         |   UNNEST(range(1, len(v)+1)) AS pos FROM e),
+         | cm AS (SELECT cell, pos,
+         |   CAST(SUM(CAST(x AS DECIMAL(28,18))) AS DOUBLE)
+         |     / CAST(COUNT(*) AS DOUBLE) AS m
+         |  FROM ex GROUP BY cell, pos),
+         | cent AS (SELECT cell, list(m ORDER BY pos) AS c_v
+         |  FROM cm GROUP BY cell),
+         | q AS (SELECT vec_id AS q_id, v AS q_v FROM e
+         |   WHERE vec_id < $NumQueries),
+         | pr AS (SELECT q_id, q_v, cell,
+         |   ROW_NUMBER() OVER (PARTITION BY q_id
+         |     ORDER BY list_cosine_similarity(q_v, c_v) DESC, cell ASC) AS rk
+         |  FROM q CROSS JOIN cent),
+         | probes AS (SELECT q_id, q_v, cell FROM pr WHERE rk <= 3),
+         | s AS (SELECT p.q_id, e.vec_id,
+         |   list_cosine_similarity(e.v, p.q_v) AS cos
+         |  FROM e JOIN probes p ON e.label = p.cell AND e.vec_id <> p.q_id),
+         | r AS (SELECT q_id, vec_id,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |     ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM s)
+         |SELECT q_id, vec_id AS neighbor_id, rank FROM r
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // Decision-row oracle: DuckDB recomputes the exact-result
+    // cardinality and expects the recall@5 >= 0.8 verdict TRUE.
+    "ann_ivf_kmeans" ->
+      s"""$bruteforceCtes
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         | true AS recall_ge_080
+         |FROM r WHERE rank <= $K""".stripMargin)
 }

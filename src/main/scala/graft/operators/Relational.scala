@@ -293,14 +293,19 @@ object Relational {
   }
 
   /** HLL sketch distinct-count — the 100 TB path for q11-style
-    * questions (fixed-size sketch, map-side combinable). Approximate
-    * → rows-only check; the ScalaTest spec asserts the error bound
-    * against the exact count. */
+    * questions (fixed-size sketch, map-side combinable). The sketch
+    * value itself is engine-specific, so the oracled output is the
+    * exact count plus a within-5%-tolerance verdict on the sketch:
+    * DuckDB recomputes the exact count and expects the verdict TRUE,
+    * turning the old rows-only smoke into a real accuracy gate. */
   private val q22: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /** PIVOT: order counts per priority × status. The pivot values are
@@ -571,6 +576,12 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q22_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | true AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q23_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | o_custkey, o_orderstatus

@@ -34,10 +34,19 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("k-means IVF recall@5 against exact top-5") {
-    val got = pairs("ann_ivf_kmeans")
+    val got = graft.ann.Ann.ivfKmeansTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.nonEmpty)
     val recall = (got & exact).size.toDouble / exact.size
     info(f"ann_ivf_kmeans recall@5 = $recall%.2f")
     assert(recall >= 0.3, f"recall too low: $recall%.2f")
+  }
+
+  test("k-means IVF decision row reports recall over threshold") {
+    val r = SparkEntry.queries("ann_ivf_kmeans")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_exact") == 10L * 5)
+    assert(r.head.getAs[Boolean]("recall_ge_080"))
   }
 }

@@ -47,11 +47,11 @@ class OperatorSpec extends AnyFunSuite {
 
   test("approx_count_distinct within 5% of exact") {
     val rows = SparkEntry.queries("q22_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx=$approx exact=$exact")
+      assert(r.getAs[Boolean]("approx_within_5pct"),
+        s"sketch out of tolerance for ${r.getAs[String]("l_returnflag")}: " +
+          s"exact=${r.getAs[Long]("exact_parts")}")
     }
   }
 
