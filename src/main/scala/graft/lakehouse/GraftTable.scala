@@ -7,6 +7,16 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
+/** Per-column min/max/null-count for one data file, harvested from
+  * the parquet footer at commit time (Iceberg manifest-style).
+  * `kind` is "n" for numerically-ordered values (ints, floats, dates
+  * and timestamps as their underlying day/micro numbers) and "s" for
+  * strings; `mn`/`mx` are canonical string renderings, None when the
+  * file holds no non-null value (or the stat was withheld — long
+  * strings, unsupported types). */
+final case class ColStat(kind: String, mn: Option[String],
+    mx: Option[String], nulls: Long)
+
 /** An immutable-snapshot view of a [[GraftTable]]. */
 final case class Snapshot(
     id: Long,
@@ -14,7 +24,8 @@ final case class Snapshot(
     op: String,
     schema: StructType,
     files: Seq[String],
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    stats: Map[String, Map[String, ColStat]] = Map.empty)
 
 /** Another writer published a snapshot between this operation's
   * snapshot capture and its commit (Iceberg's optimistic-concurrency
@@ -97,7 +108,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       schema = DataType.fromJson(one("schema")).asInstanceOf[StructType],
       files = kv.collect { case ("file", v) => v },
       partitionCols = kv.collectFirst { case ("partcols", v) => v }
-        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
+      stats = kv.collect { case ("fstat", v) => FileStatsJson.parse(v) }
+        .flatten.toMap)
   }
 
   def currentSnapshot: Snapshot = snapshot(currentSnapshotId)
@@ -143,12 +156,27 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       throw new CommitConflictException(
         s"commit over snapshot $expectedParent, but current is " +
           s"$currentSnapshotId: another writer committed first")
+    // Per-file column stats: carried forward by reference for files
+    // already in the parent snapshot (they are immutable), harvested
+    // from the parquet footer for files new in this commit — the
+    // Iceberg manifest model, so a query can prune files without
+    // opening them.
+    val parentStats =
+      if (expectedParent > 0) snapshot(expectedParent).stats
+      else Map.empty[String, Map[String, ColStat]]
+    val stats = files.map { f =>
+      f -> parentStats.getOrElse(f, harvestStats(f, schema))
+    }.toMap
     val body = new StringBuilder
     body ++= s"parent=${id - 1}\n"
     body ++= s"op=$op\n"
     body ++= s"schema=${schema.json}\n"
     body ++= s"partcols=${partitionCols.mkString(",")}\n"
-    files.foreach(f => body ++= s"file=$f\n")
+    files.foreach { f =>
+      body ++= s"file=$f\n"
+      val cs = stats.getOrElse(f, Map.empty)
+      if (cs.nonEmpty) body ++= s"fstat=${FileStatsJson.render(f, cs)}\n"
+    }
     val tmp = new Path(metaDir,
       f"snap-$id%05d.meta.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
@@ -804,6 +832,235 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       fs.delete(snapPath(snap.id), false)
     }
   }
+
+  // ---- column-stats data skipping ---------------------------------
+
+  /** Harvest per-column min/max/null-count for one data file from its
+    * parquet footer (merged across row groups). Driver-side, one
+    * footer read per NEW file per commit — the same cost point where
+    * Iceberg builds its manifests. Unsupported column types (and
+    * strings longer than 64 chars, which would bloat the manifest and
+    * whose truncation is not a valid bound) simply record no bound —
+    * pruning stays conservative. Any footer trouble degrades to "no
+    * stats", never a failed commit. */
+  private def harvestStats(file: String,
+      schema: StructType): Map[String, ColStat] =
+    try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.io.api.Binary
+      import org.apache.spark.sql.types._
+      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(file), spark.sparkContext.hadoopConfiguration))
+      try {
+        val acc = scala.collection.mutable.Map.empty[String,
+          (String, Option[(String, String)], Long)] // kind, (mn,mx), nulls
+        reader.getFooter.getBlocks.forEach { block =>
+          block.getColumns.forEach { cc =>
+            val name = cc.getPath.toDotString
+            byName.get(name).foreach { dt =>
+              val st = cc.getStatistics
+              if (st != null) {
+                val nulls = math.max(0L, st.getNumNulls)
+                val bound: Option[(String, String, String)] = // kind, mn, mx
+                  if (!st.hasNonNullValue) None
+                  else (dt, st.genericGetMin, st.genericGetMax) match {
+                    case (ByteType | ShortType | IntegerType | LongType |
+                          DateType | TimestampType | TimestampNTZType,
+                          mn: Number, mx: Number) =>
+                      Some(("n", mn.toString, mx.toString))
+                    case (FloatType | DoubleType, mn: Number, mx: Number) =>
+                      Some(("n", BigDecimal(mn.doubleValue).toString,
+                        BigDecimal(mx.doubleValue).toString))
+                    case (StringType, mn: Binary, mx: Binary) =>
+                      val (a, b) =
+                        (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                      if (a.length <= 64 && b.length <= 64) Some(("s", a, b))
+                      else None
+                    case _ => None
+                  }
+                acc.get(name) match {
+                  case None =>
+                    acc(name) = bound match {
+                      case Some((k, mn, mx)) => (k, Some((mn, mx)), nulls)
+                      case None => (kindOf(dt), None, nulls)
+                    }
+                  case Some((k, prev, pn)) =>
+                    val merged = (prev, bound) match {
+                      case (Some((pmn, pmx)), Some((_, mn, mx))) =>
+                        Some((minOf(k, pmn, mn), maxOf(k, pmx, mx)))
+                      case _ => None // any block without bounds → no bounds
+                    }
+                    acc(name) = (k, merged, pn + nulls)
+                }
+              }
+            }
+          }
+        }
+        acc.map { case (c, (k, b, n)) =>
+          c -> ColStat(k, b.map(_._1), b.map(_._2), n)
+        }.toMap
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def kindOf(dt: DataType): String = dt match {
+    case _: org.apache.spark.sql.types.StringType => "s"
+    case _ => "n"
+  }
+
+  private def cmp(kind: String, a: String, b: String): Int =
+    if (kind == "s") a.compareTo(b) else BigDecimal(a).compare(BigDecimal(b))
+
+  private def minOf(k: String, a: String, b: String) =
+    if (cmp(k, a, b) <= 0) a else b
+  private def maxOf(k: String, a: String, b: String) =
+    if (cmp(k, a, b) >= 0) a else b
+
+  /** The files of the current snapshot that could contain a row
+    * matching `filterSql`, decided on the manifest's column stats
+    * alone — no file opens, O(#files × #conjuncts) driver-side. The
+    * filter is split into AND-ed `col <op> literal` conjuncts; every
+    * other predicate shape is ignored (conservative). A file is
+    * skipped only when some conjunct provably matches none of its
+    * values: comparisons are null-rejecting, so files whose non-null
+    * range misses the literal cannot contribute rows. */
+  private[graft] def pruneByStats(snap: Snapshot,
+      filterSql: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+      BinaryComparison, EqualTo => CEq, GreaterThan => CGt,
+      GreaterThanOrEqual => CGe, LessThan => CLt, LessThanOrEqual => CLe,
+      Literal => CLit}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types._
+
+    def litRepr(l: CLit): Option[(String, String)] = // (kind, canonical)
+      if (l.value == null) None
+      else l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType =>
+          Some(("n", l.value.toString))
+        case FloatType | DoubleType =>
+          Some(("n", BigDecimal(l.value.toString).toString))
+        case dt: DecimalType =>
+          Some(("n", l.value.asInstanceOf[
+            org.apache.spark.sql.types.Decimal].toBigDecimal.toString))
+        case StringType => Some(("s", l.value.toString))
+        case _ => None
+      }
+
+    // (column, op, kind, literal) with op ∈ {=, <, <=, >, >=},
+    // normalized to "column op literal"
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[(String, String, String, String)] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case bc: BinaryComparison =>
+        val op = bc match {
+          case _: CEq => "="
+          case _: CLt => "<"
+          case _: CLe => "<="
+          case _: CGt => ">"
+          case _: CGe => ">="
+          case _ => return Nil
+        }
+        def flip(o: String) = o match {
+          case "<" => ">"
+          case "<=" => ">="
+          case ">" => "<"
+          case ">=" => "<="
+          case x => x
+        }
+        (bc.left, bc.right) match {
+          case (a: UnresolvedAttribute, l: CLit) =>
+            litRepr(l).map(kv =>
+              (a.nameParts.last.toLowerCase, op, kv._1, kv._2)).toSeq
+          case (l: CLit, a: UnresolvedAttribute) =>
+            litRepr(l).map(kv =>
+              (a.nameParts.last.toLowerCase, flip(op), kv._1, kv._2)).toSeq
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+
+    val preds = conjuncts(
+      spark.sessionState.sqlParser.parseExpression(filterSql))
+    if (preds.isEmpty) return snap.files
+
+    // String order caveat: Spark compares strings by UTF-8 binary
+    // order, Java by UTF-16 code units — identical on ASCII, divergent
+    // on supplementary planes. Prune strings only when everything
+    // involved is ASCII.
+    def ascii(s: String) = s.forall(_ < 128)
+
+    snap.files.filter { f =>
+      val cs = snap.stats.getOrElse(f, Map.empty)
+      preds.forall { case (c, op, k, v) =>
+        cs.get(c) match {
+          case Some(ColStat(sk, Some(mn), Some(mx), _))
+              if sk == k && (k == "n" || (ascii(v) && ascii(mn) && ascii(mx))) =>
+            op match { // keep unless provably disjoint
+              case "="  => cmp(k, v, mn) >= 0 && cmp(k, v, mx) <= 0
+              case "<"  => cmp(k, mn, v) < 0
+              case "<=" => cmp(k, mn, v) <= 0
+              case ">"  => cmp(k, mx, v) > 0
+              case ">=" => cmp(k, mx, v) >= 0
+            }
+          case _ => true // no usable stat → cannot prune
+        }
+      }
+    }
+  }
+
+  /** Stats-pruned read (Iceberg-style data skipping): file elimination
+    * happens on the manifest, then the residual filter still applies —
+    * correctness never depends on the stats, they only shrink the
+    * scan. At 100 TB with date-clustered ingest this is the difference
+    * between scanning a day and scanning the table. */
+  def readWhere(filterSql: String): DataFrame = {
+    val snap = currentSnapshot
+    readFiles(snap.schema, pruneByStats(snap, filterSql),
+      snap.partitionCols).filter(expr(filterSql))
+  }
+}
+
+/** Compact single-line JSON codec for per-file column stats manifest
+  * lines (`fstat=`). Jackson (on Spark's classpath) handles string
+  * escaping, so arbitrary min/max string values cannot corrupt the
+  * line-oriented manifest. */
+private[lakehouse] object FileStatsJson {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  private val mapper = new ObjectMapper()
+
+  def render(file: String, cols: Map[String, ColStat]): String = {
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("f", file)
+    val c = rootNode.putObject("c")
+    cols.foreach { case (name, st) =>
+      val o = c.putObject(name)
+      o.put("k", st.kind)
+      st.mn.foreach(o.put("mn", _))
+      st.mx.foreach(o.put("mx", _))
+      o.put("nl", st.nulls)
+    }
+    mapper.writeValueAsString(rootNode)
+  }
+
+  def parse(json: String): Option[(String, Map[String, ColStat])] =
+    try {
+      val n = mapper.readTree(json)
+      val cols = scala.collection.mutable.Map.empty[String, ColStat]
+      val it = n.get("c").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val o = e.getValue
+        cols(e.getKey) = ColStat(
+          o.get("k").asText,
+          Option(o.get("mn")).map(_.asText),
+          Option(o.get("mx")).map(_.asText),
+          o.get("nl").asLong)
+      }
+      Some(n.get("f").asText -> cols.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 object GraftTable {

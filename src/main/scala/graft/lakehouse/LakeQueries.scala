@@ -186,6 +186,29 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Stats-based data skipping (Iceberg's min/max pruning): three
+    * date-ranged ingest batches leave each data file with a tight
+    * `o_orderdate` range in the manifest; the 1996+ read must prove a
+    * strict file subset ON THE MANIFEST ALONE (no file opens), then
+    * the residual filter makes correctness independent of the stats.
+    * At 100 TB with time-clustered ingest this is the scan-a-day vs
+    * scan-the-table difference. */
+  private val skipping: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    val t = GraftTable.create(s, tmp("lake_skip"),
+      orders.filter(upTo("1994-01-01")))
+    t.append(orders.filter(!upTo("1994-01-01") && upTo("1996-01-01")))
+    t.append(orders.filter(!upTo("1996-01-01")))
+    val snap = t.currentSnapshot
+    val pred = "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+    val pruned = t.pruneByStats(snap, pred)
+    require(pruned.nonEmpty && pruned.size < snap.files.size,
+      s"stats must prune a strict file subset " +
+        s"(${pruned.size} of ${snap.files.size})")
+    t.readWhere(pred).orderBy("o_orderkey")
+  }
+
   /** The reference producer's whole DDL lifecycle in SQL alone
     * (producer_iceberg_datalake_setup.sh:117-160): CREATE a
     * partitioned table, load it with INSERT INTO … SELECT, derive a
@@ -317,6 +340,7 @@ object LakeQueries {
     "lake_incremental"      -> incremental,
     "lake_compaction"       -> compaction,
     "lake_partitioned"      -> partitioned,
+    "lake_skipping"         -> skipping,
     "lake_expire"           -> expire,
     "lake_overwrite_partition" -> overwritePartition,
     "lake_rollback"         -> rollback
@@ -412,6 +436,10 @@ object LakeQueries {
       "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_partitioned" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
+    "lake_skipping" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_expire" ->
       "SELECT * FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey",
     "lake_overwrite_partition" ->

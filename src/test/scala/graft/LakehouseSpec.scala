@@ -393,6 +393,30 @@ class LakehouseSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(2L, 3L)), s"got ${kept.toList}")
   }
 
+  test("stats skipping: manifest min/max prunes files, results unchanged") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.append(Seq((10L, "c", 3.0), (11L, "d", 4.0)).toDF("k", "tag", "v"))
+    t.append(Seq((20L, "e", 5.0)).toDF("k", "tag", "v"))
+    val snap = t.currentSnapshot
+    assert(snap.stats.nonEmpty, "commit must harvest footer stats")
+    // numeric range prunes the [1,2] and [20,20] files
+    val pruned = t.pruneByStats(snap, "k >= 10 AND k < 20")
+    assert(pruned.nonEmpty && pruned.size < snap.files.size)
+    val got = t.readWhere("k >= 10 AND k < 20")
+      .orderBy("k").select("k").as[Long].collect()
+    assert(got.sameElements(Array(10L, 11L)))
+    // string equality prunes on min/max too
+    assert(t.pruneByStats(snap, "tag = 'e'").size < snap.files.size)
+    // shapes stats cannot decide prune nothing (conservative)
+    assert(t.pruneByStats(snap, "k % 2 = 0").size == snap.files.size)
+    // stats survive copy-on-write DML: rewritten files get fresh stats
+    t.delete("k = 11")
+    val snap2 = t.currentSnapshot
+    assert(t.pruneByStats(snap2, "k >= 20").size < snap2.files.size)
+    assert(t.readWhere("k >= 10").orderBy("k").select("k").as[Long]
+      .collect().sameElements(Array(10L, 20L)))
+  }
+
   test("publish is a no-overwrite CAS on local FS (cross-process safety)") {
     // POSIX rename(2) replaces an existing destination, so the local
     // publish must be link(2)-based: simulate another OS process
