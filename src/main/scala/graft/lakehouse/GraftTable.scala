@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
 final case class ColStat(kind: String, mn: Option[String],
     mx: Option[String], nulls: Long)
 
+/** A merge-on-read equality delete: rows matching `pred` are deleted
+  * from every data file whose add-sequence is LOWER than `seq`
+  * (Iceberg's sequence-number rule — rows appended after the delete
+  * are untouched even when they match). */
+final case class DeletePred(seq: Long, pred: String)
+
 /** An immutable-snapshot view of a [[GraftTable]]. */
 final case class Snapshot(
     id: Long,
@@ -25,7 +31,9 @@ final case class Snapshot(
     schema: StructType,
     files: Seq[String],
     partitionCols: Seq[String] = Nil,
-    stats: Map[String, Map[String, ColStat]] = Map.empty)
+    stats: Map[String, Map[String, ColStat]] = Map.empty,
+    dels: Seq[DeletePred] = Nil,
+    fileSeq: Map[String, Long] = Map.empty)
 
 /** Another writer published a snapshot between this operation's
   * snapshot capture and its commit (Iceberg's optimistic-concurrency
@@ -110,7 +118,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       partitionCols = kv.collectFirst { case ("partcols", v) => v }
         .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
       stats = kv.collect { case ("fstat", v) => FileStatsJson.parse(v) }
-        .flatten.toMap)
+        .flatten.toMap,
+      dels = kv.collect { case ("dpred", v) => FileStatsJson.parseDel(v) }
+        .flatten,
+      fileSeq = kv.collect { case ("fseq", v) =>
+        val i = v.indexOf('\t')
+        v.substring(i + 1) -> v.substring(0, i).toLong
+      }.toMap)
   }
 
   def currentSnapshot: Snapshot = snapshot(currentSnapshotId)
@@ -137,7 +151,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * in-flight manifest bytes. */
   private[graft] def commit(op: String, schema: StructType,
       files: Seq[String], partitionCols: Seq[String] = Nil,
-      expectedParent: Long): Long =
+      expectedParent: Long, delsOverride: Option[Seq[DeletePred]] = None,
+      refSnap: Option[Snapshot] = None): Long =
     // In-process writers (multiple handles over one root) serialize
     // here, making check-then-publish a true CAS within the JVM.
     // Across processes publishNoOverwrite is the CAS — atomic
@@ -145,28 +160,35 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // object stores need a catalog/lock service, the same contract
     // as Iceberg's HadoopTableOperations.
     GraftTable.commitLock(root.toString).synchronized {
-      commitLocked(op, schema, files, partitionCols, expectedParent)
+      commitLocked(op, schema, files, partitionCols, expectedParent,
+        delsOverride, refSnap)
     }
 
   private def commitLocked(op: String, schema: StructType,
       files: Seq[String], partitionCols: Seq[String],
-      expectedParent: Long): Long = {
+      expectedParent: Long, delsOverride: Option[Seq[DeletePred]],
+      refSnap: Option[Snapshot]): Long = {
     val id = expectedParent + 1
     if (currentSnapshotId != expectedParent)
       throw new CommitConflictException(
         s"commit over snapshot $expectedParent, but current is " +
           s"$currentSnapshotId: another writer committed first")
-    // Per-file column stats: carried forward by reference for files
-    // already in the parent snapshot (they are immutable), harvested
-    // from the parquet footer for files new in this commit — the
-    // Iceberg manifest model, so a query can prune files without
-    // opening them.
-    val parentStats =
-      if (expectedParent > 0) snapshot(expectedParent).stats
-      else Map.empty[String, Map[String, ColStat]]
+    // Carried-forward metadata comes from `refSnap` (rollback passes
+    // the snapshot being restored) or the parent. Per-file column
+    // stats are carried by reference for files already known (they
+    // are immutable) and harvested from the parquet footer for files
+    // new in this commit — the Iceberg manifest model, so a query can
+    // prune files without opening them. Add-sequences likewise: a
+    // carried file keeps its sequence, a new file is sequenced at
+    // this commit (the anchor for merge-on-read delete scoping).
+    val ref = refSnap.orElse(
+      if (expectedParent > 0) Some(snapshot(expectedParent)) else None)
+    val refStats = ref.map(_.stats).getOrElse(Map.empty)
+    val refSeq = ref.map(_.fileSeq).getOrElse(Map.empty)
     val stats = files.map { f =>
-      f -> parentStats.getOrElse(f, harvestStats(f, schema))
+      f -> refStats.getOrElse(f, harvestStats(f, schema))
     }.toMap
+    val dels = delsOverride.getOrElse(ref.map(_.dels).getOrElse(Nil))
     val body = new StringBuilder
     body ++= s"parent=${id - 1}\n"
     body ++= s"op=$op\n"
@@ -174,9 +196,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     body ++= s"partcols=${partitionCols.mkString(",")}\n"
     files.foreach { f =>
       body ++= s"file=$f\n"
+      body ++= s"fseq=${refSeq.getOrElse(f, id)}\t$f\n"
       val cs = stats.getOrElse(f, Map.empty)
       if (cs.nonEmpty) body ++= s"fstat=${FileStatsJson.render(f, cs)}\n"
     }
+    dels.foreach(d => body ++= s"dpred=${FileStatsJson.renderDel(d)}\n")
     val tmp = new Path(metaDir,
       f"snap-$id%05d.meta.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
@@ -227,8 +251,28 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * added surface NULL for it (parquet reads are by-name). */
   def readAt(id: Long): DataFrame = {
     val snap = snapshot(id)
-    readFiles(snap.schema, snap.files, snap.partitionCols)
+    morRead(snap, snap.files)
   }
+
+  /** Read `files` under `snap`, applying merge-on-read deletes. Files
+    * group by the set of delete predicates that scope to them (a
+    * delete applies only to files with a LOWER add-sequence); each
+    * group reads once with its combined anti-filter, groups union.
+    * Deletes are null-rejecting like SQL DELETE: a row whose
+    * predicate evaluates NULL survives. With no pending deletes this
+    * is exactly the plain scan. */
+  private def morRead(snap: Snapshot, files: Seq[String]): DataFrame =
+    if (snap.dels.isEmpty) readFiles(snap.schema, files, snap.partitionCols)
+    else files
+      .groupBy(f => snap.dels.filter(_.seq > snap.fileSeq.getOrElse(f, 0L)))
+      .toSeq.sortBy(_._2.headOption.getOrElse(""))
+      .map { case (preds, fs) =>
+        preds.foldLeft(readFiles(snap.schema, fs, snap.partitionCols)) {
+          (df, p) => df.filter(not(coalesce(expr(p.pred), lit(false))))
+        }
+      }
+      .reduceOption(_.unionByName(_))
+      .getOrElse(readFiles(snap.schema, Nil, snap.partitionCols))
 
   /** Partition-pruned read: keep only data files whose hive-style
     * path carries `partCol=v` for some `v` in `values`. The pruning
@@ -243,7 +287,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val wanted = values.map(v => hiveSegment(partCol, v))
     val kept = snap.files.filter(f =>
       new Path(f).toUri.getPath.split("/").exists(wanted.contains))
-    readFiles(snap.schema, kept, snap.partitionCols)
+    morRead(snap, kept)
   }
 
   private def readFiles(schema: StructType, files: Seq[String],
@@ -420,9 +464,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def overwrite(df: DataFrame): Long = {
     val snap = currentSnapshot
     val id = currentSnapshotId + 1
+    // a full overwrite replaces every row, so pending merge-on-read
+    // deletes have nothing left to apply to — clear them
     commit("overwrite", snap.schema,
       writeData(aligned(df, snap.schema), id, snap.partitionCols),
-      snap.partitionCols, expectedParent = snap.id)
+      snap.partitionCols, expectedParent = snap.id,
+      delsOverride = Some(Nil))
   }
 
   // ---- copy-on-write DML -------------------------------------------
@@ -447,9 +494,35 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     snap.files.partition(f => !affected(normalize(f)))
 
   /** DELETE FROM t WHERE pred — rewrites only files containing hits. */
+  /** Merge-on-read DELETE (Iceberg's equality-delete path): commits a
+    * delete predicate scoped to the current files' sequences — O(1),
+    * no data scan, no rewrite. Reads anti-filter scoped files until
+    * [[compact]] materializes. At 100 TB this is the difference
+    * between a metadata commit and rewriting terabytes for a
+    * predicate touching most files. Rows appended AFTER the delete
+    * are out of scope even when they match (sequence rule). */
+  def deleteMoR(predSql: String): Long = {
+    val snap = currentSnapshot
+    // resolve the predicate against the snapshot schema NOW — a typo
+    // must fail this commit, not some future read
+    readFiles(snap.schema, Nil, snap.partitionCols).filter(expr(predSql))
+    commit("delete-mor", snap.schema, snap.files, snap.partitionCols,
+      expectedParent = snap.id,
+      delsOverride = Some(snap.dels :+ DeletePred(snap.id + 1, predSql)))
+  }
+
+  /** Copy-on-write row DML computes affected files with a plain scan;
+    * pending merge-on-read deletes would silently resurrect deleted
+    * rows through the rewrite. Materialize first. */
+  private def requireNoMorDels(snap: Snapshot, what: String): Unit =
+    require(snap.dels.isEmpty,
+      s"$what: table has pending merge-on-read deletes; run compact() " +
+        "to materialize them before copy-on-write row DML")
+
   def delete(predSql: String): Long = {
     val p = expr(predSql)
     val snap = currentSnapshot
+    requireNoMorDels(snap, "DELETE")
     val (keep, rewrite) = partitionFiles(snap, affectedFiles(snap, _.filter(p)))
     val id = currentSnapshotId + 1
     val newFiles =
@@ -505,6 +578,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def update(assignments0: Map[String, String], predSql: String): Long = {
     val p = expr(predSql)
     val snap = currentSnapshot
+    requireNoMorDels(snap, "UPDATE")
     val assignments = resolveAssignments(assignments0,
       snap.schema.fieldNames.toSeq, "UPDATE SET")
     val (keep, rewrite) = partitionFiles(snap, affectedFiles(snap, _.filter(p)))
@@ -558,6 +632,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def merge(source: DataFrame, keys0: Seq[String],
       clauses0: Seq[MergeClause]): Long = {
     val snap = currentSnapshot
+    requireNoMorDels(snap, "MERGE")
     val cols = snap.schema.fieldNames.toSeq
     require(keys0.nonEmpty, "merge requires at least one key column")
     // resolve keys and clause assignment targets the way Spark SQL
@@ -710,12 +785,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def compact(numFiles: Int): Long = {
     val snap = currentSnapshot
     val id = currentSnapshotId + 1
+    // compaction also MATERIALIZES pending merge-on-read deletes:
+    // the rewrite reads through morRead, so deleted rows drop out of
+    // the new files and the delete predicates clear
     commit("compact", snap.schema,
       writeData(
-        readFiles(snap.schema, snap.files, snap.partitionCols)
-          .repartition(numFiles),
+        morRead(snap, snap.files).repartition(numFiles),
         id, snap.partitionCols, widen = false),
-      snap.partitionCols, expectedParent = snap.id)
+      snap.partitionCols, expectedParent = snap.id,
+      delsOverride = Some(Nil))
   }
 
   /** Dynamic partition overwrite (Iceberg's `REPLACE WHERE` /
@@ -750,8 +828,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def rollback(id: Long): Long = {
     val cur = currentSnapshotId
     val snap = snapshot(id)
+    // restore the old snapshot's delete set and file sequences along
+    // with its file list — rolling back past a delete-mor must
+    // un-delete, and past an append must re-scope
     commit("rollback", snap.schema, snap.files, snap.partitionCols,
-      expectedParent = cur)
+      expectedParent = cur, delsOverride = Some(snap.dels),
+      refSnap = Some(snap))
   }
 
   // ---- write-audit-publish (staged commits) ------------------------
@@ -790,7 +872,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def readStaged(token: String): DataFrame = {
     val st = stagedSnapshot(token)
     val cur = currentSnapshot
-    readFiles(cur.schema, cur.files ++ st.files, cur.partitionCols)
+    // current files go through the merge-on-read filter; staged files
+    // are newer than any pending delete, so they read raw
+    morRead(cur, cur.files)
+      .unionByName(readFiles(cur.schema, st.files, cur.partitionCols))
   }
 
   /** Publish a staged append onto the CURRENT snapshot (Iceberg's
@@ -1018,8 +1103,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * between scanning a day and scanning the table. */
   def readWhere(filterSql: String): DataFrame = {
     val snap = currentSnapshot
-    readFiles(snap.schema, pruneByStats(snap, filterSql),
-      snap.partitionCols).filter(expr(filterSql))
+    morRead(snap, pruneByStats(snap, filterSql)).filter(expr(filterSql))
   }
 }
 
@@ -1060,6 +1144,19 @@ private[lakehouse] object FileStatsJson {
           o.get("nl").asLong)
       }
       Some(n.get("f").asText -> cols.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def renderDel(d: DeletePred): String = {
+    val o = mapper.createObjectNode()
+    o.put("s", d.seq)
+    o.put("p", d.pred)
+    mapper.writeValueAsString(o)
+  }
+
+  def parseDel(json: String): Option[DeletePred] =
+    try {
+      val n = mapper.readTree(json)
+      Some(DeletePred(n.get("s").asLong, n.get("p").asText))
     } catch { case scala.util.control.NonFatal(_) => None }
 }
 

@@ -186,6 +186,32 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Merge-on-read DELETE (Iceberg's equality-delete path): the
+    * delete is an O(1) metadata commit — NO data files are rewritten
+    * (require()d below) — and reads anti-filter the scoped files.
+    * Sequence rule: rows appended AFTER the delete survive even when
+    * they match the predicate. Compaction then materializes: deleted
+    * rows drop out of the rewritten files, predicates clear, and the
+    * final state is identical before and after — which is what the
+    * oracle checks. */
+  private val morDelete: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_mor"),
+      orders.filter(col("o_orderkey") % 3 === 0))
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))
+    val before = t.currentSnapshot.files
+    t.deleteMoR("o_orderstatus = 'F'")
+    require(t.currentSnapshot.files == before,
+      "merge-on-read delete must not rewrite any data file")
+    // appended after the delete: its 'F' rows are out of scope
+    t.append(orders.filter(col("o_orderkey") % 3 === 2))
+    val live = t.read().count()
+    t.compact(4) // materialize
+    require(t.currentSnapshot.dels.isEmpty && t.read().count() == live,
+      "compaction must materialize deletes without changing the data")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Stats-based data skipping (Iceberg's min/max pruning): three
     * date-ranged ingest batches leave each data file with a tight
     * `o_orderdate` range in the manifest; the 1996+ read must prove a
@@ -341,6 +367,7 @@ object LakeQueries {
     "lake_compaction"       -> compaction,
     "lake_partitioned"      -> partitioned,
     "lake_skipping"         -> skipping,
+    "lake_mor_delete"       -> morDelete,
     "lake_expire"           -> expire,
     "lake_overwrite_partition" -> overwritePartition,
     "lake_rollback"         -> rollback
@@ -439,6 +466,12 @@ object LakeQueries {
     "lake_skipping" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    // batches 0 and 1 lose their 'F' rows to the scoped delete; batch
+    // 2 was appended after it and keeps everything
+    "lake_mor_delete" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey % 3 = 2 OR o_orderstatus <> 'F'
         |ORDER BY o_orderkey""".stripMargin,
     "lake_expire" ->
       "SELECT * FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey",

@@ -393,6 +393,43 @@ class LakehouseSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(2L, 3L)), s"got ${kept.toList}")
   }
 
+  test("merge-on-read delete: O(1) commit, sequence scoping, materialize") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", -1.0)))
+    val filesBefore = t.currentSnapshot.files
+    t.deleteMoR("v < 0")
+    // no rewrite happened, but the row is gone from reads
+    assert(t.currentSnapshot.files == filesBefore)
+    assert(t.read().select("k").as[Long].collect().sameElements(Array(1L)))
+    // time travel still sees it
+    assert(t.readAt(1).count() == 2)
+    // sequence rule: a matching row appended AFTER the delete survives
+    t.append(Seq((3L, "c", -5.0)).toDF("k", "tag", "v"))
+    assert(t.read().orderBy("k").select("k").as[Long].collect()
+      .sameElements(Array(1L, 3L)))
+    // NULL predicate rows survive (SQL DELETE semantics)
+    val t2 = freshTable(Seq((1L, "a", 1.0)))
+    t2.appendEvolved(Seq((2L, "b", 2.0, "x")).toDF("k", "tag", "v", "extra"))
+    t2.deleteMoR("extra = 'x'") // row 1 has NULL extra → survives
+    assert(t2.read().count() == 1)
+    // copy-on-write DML is rejected until materialized
+    intercept[IllegalArgumentException](t.delete("k = 1"))
+    intercept[IllegalArgumentException](t.update(Map("v" -> "0.0"), "k = 1"))
+    // compaction materializes: same data, cleared predicates
+    val live = t.read().orderBy("k").collect().map(_.getLong(0))
+    t.compact(2)
+    assert(t.currentSnapshot.dels.isEmpty)
+    assert(t.read().orderBy("k").collect().map(_.getLong(0))
+      .sameElements(live))
+    t.delete("k = 1") // COW DML allowed again
+    assert(t.read().select("k").as[Long].collect().sameElements(Array(3L)))
+    // rollback to the pre-compaction snapshot restores the delete set
+    val t3 = freshTable(Seq((10L, "z", -2.0), (11L, "y", 2.0)))
+    t3.deleteMoR("v < 0") // snap 2
+    t3.compact(1) // snap 3: materialized
+    t3.rollback(2) // snap 4: delete predicate active again
+    assert(t3.currentSnapshot.dels.nonEmpty && t3.read().count() == 1)
+  }
+
   test("stats skipping: manifest min/max prunes files, results unchanged") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
     t.append(Seq((10L, "c", 3.0), (11L, "d", 4.0)).toDF("k", "tag", "v"))
