@@ -86,6 +86,36 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   // ---- metadata ----------------------------------------------------
 
   private def snapPath(id: Long) = new Path(metaDir, f"snap-$id%05d.meta")
+  private def propsPath = new Path(metaDir, "table.properties")
+
+  /** Table-level properties (the TBLPROPERTIES of Iceberg DDL, e.g.
+    * `write.delete.mode`), persisted once at create time. */
+  def properties: Map[String, String] =
+    if (!fs.exists(propsPath)) Map.empty
+    else {
+      val in = fs.open(propsPath)
+      val text =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.contains('=')).map { line =>
+        val i = line.indexOf('=')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+    }
+
+  private[lakehouse] def setProperties(props: Map[String, String]): Unit =
+    if (props.nonEmpty) {
+      val out = fs.create(propsPath, true)
+      try out.write(props.map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** `copy-on-write` (default) rewrites affected files on DELETE;
+    * `merge-on-read` commits a scoped delete predicate instead
+    * (Iceberg's `write.delete.mode` table property). */
+  def deleteMode: String =
+    properties.getOrElse("write.delete.mode", "copy-on-write")
 
   def currentSnapshotId: Long =
     if (!fs.exists(metaDir)) 0L

@@ -73,6 +73,22 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * isolation as [[GraftTable.read]]. */
   private def resolveReads(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
+      // SELECT … FROM t VERSION AS OF n — Iceberg-style SQL time
+      // travel, resolved to the named snapshot. TIMESTAMP AS OF is
+      // not supported (snapshots carry no wall-clock in this format):
+      // fail loudly rather than silently reading current.
+      case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: UnresolvedRelation, ts, version)
+          if u.multipartIdentifier.size == 1 &&
+            !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
+            LakeRegistry.get(u.multipartIdentifier.head).isDefined =>
+        val name = u.multipartIdentifier.head.toLowerCase
+        val t = LakeRegistry.get(name).get
+        val v = version.getOrElse(throw new UnsupportedOperationException(
+          s"graft table $name supports VERSION AS OF only " +
+            "(snapshots are not timestamped)"))
+        SubqueryAlias(name, t.readAt(v.toLong).queryExecution.analyzed)
+
       case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
           !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
           LakeRegistry.get(u.multipartIdentifier.head).isDefined =>
@@ -227,7 +243,12 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 case class GraftDeleteCommand(@transient table: GraftTable, cond: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    table.delete(cond); Seq.empty
+    // Iceberg's write.delete.mode: merge-on-read tables commit a
+    // scoped delete predicate (no rewrite); copy-on-write rewrites
+    // the affected files.
+    if (table.deleteMode == "merge-on-read") table.deleteMoR(cond)
+    else table.delete(cond)
+    Seq.empty
   }
 }
 
@@ -290,14 +311,14 @@ object LakeDdl {
           StructField(c.name, c.dataType, c.nullable)))
         Some(GraftCreateTableCommand(name, schema,
           partitionCols(ct.partitioning), location(spark, ct.tableSpec, name),
-          ct.ignoreIfExists))
+          ct.ignoreIfExists, tableProps(ct.tableSpec)))
 
       case cta: CreateTableAsSelect
           if cta.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) =>
         val name = identName(cta.name, "CREATE TABLE AS SELECT")
         Some(GraftCtasCommand(name, cta.query,
           partitionCols(cta.partitioning), location(spark, cta.tableSpec, name),
-          cta.ignoreIfExists))
+          cta.ignoreIfExists, tableProps(cta.tableSpec)))
 
       case DropTable(id: UnresolvedIdentifier, _, purge)
           if id.nameParts.size == 1 &&
@@ -351,6 +372,25 @@ object LakeDdl {
     spec.location.getOrElse(
       spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
         s"/graft/$name")
+
+  /** TBLPROPERTIES, validated: only properties the engine actually
+    * honors are accepted — silently persisting an unknown knob would
+    * fake capabilities. */
+  private def tableProps(spec: TableSpecBase): Map[String, String] = {
+    val known = Map(
+      "write.delete.mode" -> Set("copy-on-write", "merge-on-read"))
+    spec.properties.foreach { case (k, v) =>
+      known.get(k) match {
+        case None => throw new UnsupportedOperationException(
+          s"unsupported table property '$k' " +
+            s"(supported: ${known.keys.mkString(", ")})")
+        case Some(vals) => require(vals.contains(v),
+          s"table property '$k' must be one of ${vals.mkString(", ")}, " +
+            s"got '$v'")
+      }
+    }
+    spec.properties
+  }
 }
 
 /** Delegating parser that lowers graft DDL straight out of the
@@ -396,24 +436,29 @@ private[lakehouse] object CreateGuard {
 }
 
 case class GraftCreateTableCommand(name: String, tableSchema: StructType,
-    partitionBy: Seq[String], root: String, ignoreIfExists: Boolean)
+    partitionBy: Seq[String], root: String, ignoreIfExists: Boolean,
+    props: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    if (CreateGuard.shouldCreate(spark, name, root, ignoreIfExists))
-      LakeRegistry.register(name,
-        GraftTable.createEmpty(spark, root, tableSchema, partitionBy))
+    if (CreateGuard.shouldCreate(spark, name, root, ignoreIfExists)) {
+      val t = GraftTable.createEmpty(spark, root, tableSchema, partitionBy)
+      t.setProperties(props)
+      LakeRegistry.register(name, t)
+    }
     Seq.empty
   }
 }
 
 case class GraftCtasCommand(name: String, @transient query: LogicalPlan,
-    partitionBy: Seq[String], root: String, ignoreIfExists: Boolean)
+    partitionBy: Seq[String], root: String, ignoreIfExists: Boolean,
+    props: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (CreateGuard.shouldCreate(spark, name, root, ignoreIfExists)) {
       val df = GraftSqlBridge.ofRows(spark, query)
-      LakeRegistry.register(name,
-        GraftTable.create(spark, root, df, partitionBy))
+      val t = GraftTable.create(spark, root, df, partitionBy)
+      t.setProperties(props)
+      LakeRegistry.register(name, t)
     }
     Seq.empty
   }

@@ -393,6 +393,40 @@ class LakehouseSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(2L, 3L)), s"got ${kept.toList}")
   }
 
+  test("TBLPROPERTIES write.delete.mode=merge-on-read routes SQL DELETE") {
+    val loc = Files.createTempDirectory("graft_morsql").toString
+    spark.sql(
+      s"""CREATE TABLE morsql_t (k BIGINT, v DOUBLE) USING graft
+         |TBLPROPERTIES ('write.delete.mode'='merge-on-read')
+         |LOCATION '$loc'""".stripMargin)
+    spark.sql("INSERT INTO morsql_t VALUES (1, 1.0), (2, -1.0)")
+    val t = graft.lakehouse.LakeRegistry.get("morsql_t").get
+    assert(t.deleteMode == "merge-on-read")
+    val files = t.currentSnapshot.files
+    spark.sql("DELETE FROM morsql_t WHERE v < 0")
+    assert(t.currentSnapshot.files == files, "MoR DELETE must not rewrite")
+    assert(t.currentSnapshot.dels.nonEmpty)
+    assert(spark.sql("SELECT k FROM morsql_t").as[Long].collect()
+      .sameElements(Array(1L)))
+    // unsupported properties are rejected at parse time, not persisted
+    intercept[Exception](spark.sql(
+      "CREATE TABLE badprop_t (k INT) USING graft " +
+        "TBLPROPERTIES ('write.format'='orc')"))
+  }
+
+  test("SQL time travel: VERSION AS OF reads the named snapshot") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))
+    graft.lakehouse.LakeRegistry.register("tt_t", t)
+    assert(spark.sql("SELECT count(*) FROM tt_t VERSION AS OF 1")
+      .as[Long].head() == 1L)
+    assert(spark.sql("SELECT count(*) FROM tt_t VERSION AS OF 2")
+      .as[Long].head() == 2L)
+    // snapshots carry no wall-clock: TIMESTAMP AS OF must fail loudly
+    intercept[Exception](spark.sql(
+      "SELECT * FROM tt_t TIMESTAMP AS OF '2020-01-01'").collect())
+  }
+
   test("merge-on-read delete: O(1) commit, sequence scoping, materialize") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", -1.0)))
     val filesBefore = t.currentSnapshot.files
