@@ -367,9 +367,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("source"))
 
+  /** Training-mixture sampling — the data-mixing step of a pretraining
+    * pipeline ("2.5 epochs of books, half of web, a quarter of the
+    * rest"): each document materializes `floor(w)` copies plus one
+    * more when its content hash falls under the fractional weight.
+    * Entirely map-side (hash, CASE, explode are row-local; the only
+    * shuffle is the reporting aggregate — in a real pipeline the
+    * exploded rows stream straight to the writer), and hash-based so
+    * the mixture is identical on every run, retry, and engine —
+    * which is what makes the DuckDB oracle exact. Weights live in a
+    * literal CASE: at 100 TB a mixture config is metadata, never a
+    * join. */
+  private val mix: Q = (s, d) => {
+    val h4 = substring(md5(concat_ws("|", col("source"),
+      col("doc_id").cast("string"))), 1, 4)
+    def frac(threshold: String) = when(h4 < threshold, 1).otherwise(0)
+    val copies =
+      when(col("source") === "src0", lit(2) + frac("8000")) // w = 2.5
+        .when(col("source") === "src1", lit(1))             // w = 1.0
+        .when(col("source") === "src2", frac("8000"))       // w = 0.5
+        .otherwise(frac("4000"))                            // w = 0.25
+    Tables.documents(s, d)
+      .withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), col("n_copies"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_clean_corpus" -> cleanCorpus,
     "pipeline_stratified_sample" -> stratifiedSample,
+    "pipeline_mix" -> mix,
     "pipeline_pack" -> pack,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -393,6 +424,22 @@ object Dedup {
       """SELECT source, COUNT(*) AS n_sampled FROM documents
         |WHERE substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 2) < '4d'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 4) h4
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    CASE WHEN source = 'src0'
+        |           THEN 2 + CASE WHEN h4 < '8000' THEN 1 ELSE 0 END
+        |         WHEN source = 'src1' THEN 1
+        |         WHEN source = 'src2'
+        |           THEN CASE WHEN h4 < '8000' THEN 1 ELSE 0 END
+        |         ELSE CASE WHEN h4 < '4000' THEN 1 ELSE 0 END
+        |    END AS n FROM d),
+        |e AS (SELECT doc_id, source FROM c, UNNEST(range(n)))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |k AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),

@@ -26,16 +26,25 @@ final class GovernedGraftTable(
     SecureCatalog.authorizeWrite(principal, tableName, op)
 
   /** Policy-filtered view of the current snapshot (read grants). */
-  def read(): DataFrame = {
-    val raw = underlying.read()
+  def read(): DataFrame = secured(underlying.read())
+
+  /** Stats-pruned read — same read-policy enforcement as [[read]]:
+    * file skipping only shrinks the scan, the policy still applies. */
+  def readWhere(filterSql: String): DataFrame =
+    secured(underlying.readWhere(filterSql))
+
+  private def secured(raw: DataFrame): DataFrame =
     if (principal.isEmpty) raw
     else SecureCatalog.authorize(principal, tableName)
       .map(Enforcer.secure(raw, _)).getOrElse(raw)
-  }
 
   def append(df: DataFrame): Long = { checkWrite("INSERT"); underlying.append(df) }
   def overwrite(df: DataFrame): Long = { checkWrite("OVERWRITE"); underlying.overwrite(df) }
   def delete(predSql: String): Long = { checkWrite("DELETE"); underlying.delete(predSql) }
+  /** Merge-on-read DELETE is still a DELETE for authorization. */
+  def deleteMoR(predSql: String): Long = {
+    checkWrite("DELETE"); underlying.deleteMoR(predSql)
+  }
   def update(assignments: Map[String, String], predSql: String): Long = {
     checkWrite("UPDATE"); underlying.update(assignments, predSql)
   }

@@ -117,6 +117,13 @@ class FgacSpec extends AnyFunSuite {
         .select("c_mktsegment").distinct().collect().map(_.getString(0))
     }
     assert(filtered.nonEmpty && filtered.forall(Set("BUILDING", "AUTOMOBILE")))
+    // merge-on-read delete is still a DELETE for authorization
+    val gt = new graft.fgac.GovernedGraftTable(
+      graft.lakehouse.LakeRegistry.get("wd_customer").get, "wd_customer", spark)
+    val e = intercept[Exception](FgacQueries.asPrincipal(spark, "wd_reader") {
+      gt.deleteMoR("c_custkey = 1")
+    })
+    assert(e.getMessage.contains("no write grant"))
   }
 
   test("DROP TABLE goes through write-path FGAC") {

@@ -9,6 +9,21 @@ class PipelineSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
   import spark.implicits._
 
+  test("mixture sampling: upsampled epochs and downsampled fractions") {
+    val rows = SparkEntry.queries("pipeline_mix")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val perSrc = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0 at w=2.5: every doc twice plus a hash-chosen fraction again
+    val (rows0, docs0) = rows("src0")
+    assert(docs0 == perSrc("src0") && rows0 >= 2 * docs0 && rows0 <= 3 * docs0)
+    // src1 at w=1.0: exactly one copy of everything
+    assert(rows("src1") == ((perSrc("src1"), perSrc("src1"))))
+    // src2 at w=0.5: a strict subset, one copy each
+    val (rows2, docs2) = rows("src2")
+    assert(rows2 == docs2 && docs2 > 0 && docs2 < perSrc("src2"))
+  }
+
   test("minhash-LSH finds exactly the true Jaccard>=0.8 pairs (full space)") {
     val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
