@@ -164,8 +164,46 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming read FROM the lakehouse (Iceberg's append-only
+    * streaming read, the reverse of [[lakeSinkQ]]): the table's
+    * data-file log IS the stream — each append commit lands immutable
+    * files in a fresh commit dir, so a file-stream source over the
+    * data glob sees exactly the appended batches, in commit order,
+    * with no listing of already-processed files (the file source
+    * checkpoints what it has seen — at 100 TB the incremental list is
+    * O(new files), matching Iceberg's incremental-scan planning).
+    * Restriction, same as Iceberg's: valid over APPEND commits only —
+    * a rewrite (compaction/DML) would re-surface rewritten rows;
+    * [[GraftTable]] time-travel covers those instead. The aggregate
+    * runs in complete mode into a memory sink, drained by
+    * AvailableNow. */
+  private val lakeSourceQ: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.events(s, d)
+    val t = graft.lakehouse.GraftTable.create(s,
+      java.nio.file.Files.createTempDirectory("graft_stream_src").toString,
+      events.filter(col("event_id") % 4 === 0))
+    t.append(events.filter(col("event_id") % 4 === 1))
+    t.append(events.filter(col("event_id") % 4 === 2))
+    val stream = s.readStream.schema(t.currentSnapshot.schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(s"${t.location}/data/*")
+    val qn = "lake_source_agg_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val q = stream
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("total_value"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn).orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_lake_sink" -> lakeSinkQ,
+    "stream_lake_source" -> lakeSourceQ,
     "stream_window_agg" -> windowAggQ,
     "stream_sessionize" -> sessionizeQ,
     "stream_dedup_state" -> dedupQ,
@@ -178,6 +216,12 @@ object StreamingOps {
       """SELECT user_id, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the three appended quarters of the event log, aggregated
+    "stream_lake_source" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id % 4 IN (0, 1, 2)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
         | event_type, COUNT(*) AS n,

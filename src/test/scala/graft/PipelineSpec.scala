@@ -206,6 +206,31 @@ class StreamingSpec extends AnyFunSuite {
     raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  test("lakehouse streaming source is incremental: a drain sees only new commits") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_lss").toString,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "tag", "v"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lss_ck").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val q = spark.readStream.schema(t.currentSnapshot.schema)
+        .parquet(s"${t.location}/data/*")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= b.select("k").as[Long].collect() }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen.sorted == Seq(1L, 2L))
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    drain() // same checkpoint: only the new commit's rows arrive
+    assert(seen.sorted == Seq(1L, 2L, 3L))
+  }
+
   test("windowed aggregation agrees between batch and streaming") {
     val q = streaming.StreamingOps.windowAgg(streamEvents)
       .writeStream.outputMode("complete")
