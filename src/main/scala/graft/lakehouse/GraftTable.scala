@@ -215,8 +215,27 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       if (expectedParent > 0) Some(snapshot(expectedParent)) else None)
     val refStats = ref.map(_.stats).getOrElse(Map.empty)
     val refSeq = ref.map(_.fileSeq).getOrElse(Map.empty)
+    // footer reads for NEW files run on a bounded pool — a wide
+    // append's commit latency is ceil(n/8) footer round-trips, not n
+    // sequential ones (Iceberg parallelizes its manifest stats the
+    // same way)
+    val newFiles = files.filterNot(refStats.contains)
+    val harvested: Map[String, Map[String, ColStat]] =
+      if (newFiles.sizeIs <= 1)
+        newFiles.map(f => f -> harvestStats(f, schema)).toMap
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(8, newFiles.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(newFiles.map { f =>
+            (() => f -> harvestStats(f, schema)):
+              java.util.concurrent.Callable[(String, Map[String, ColStat])]
+          }.asJava).asScala.map(_.get).toMap
+        } finally pool.shutdown()
+      }
     val stats = files.map { f =>
-      f -> refStats.getOrElse(f, harvestStats(f, schema))
+      f -> refStats.getOrElse(f, harvested.getOrElse(f, Map.empty))
     }.toMap
     val dels = delsOverride.getOrElse(ref.map(_.dels).getOrElse(Nil))
     val body = new StringBuilder
