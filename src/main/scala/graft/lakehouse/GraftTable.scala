@@ -23,7 +23,11 @@ final case class ColStat(kind: String, mn: Option[String],
   * are untouched even when they match). */
 final case class DeletePred(seq: Long, pred: String)
 
-/** An immutable-snapshot view of a [[GraftTable]]. */
+/** An immutable-snapshot view of a [[GraftTable]]. `fileRows` carries
+  * the per-file record count harvested from the parquet footer at
+  * commit time (absent when the footer was unreadable) — the manifest
+  * datum that lets metadata queries answer COUNT-shaped questions
+  * with zero data-file reads. */
 final case class Snapshot(
     id: Long,
     parent: Long,
@@ -33,7 +37,8 @@ final case class Snapshot(
     partitionCols: Seq[String] = Nil,
     stats: Map[String, Map[String, ColStat]] = Map.empty,
     dels: Seq[DeletePred] = Nil,
-    fileSeq: Map[String, Long] = Map.empty)
+    fileSeq: Map[String, Long] = Map.empty,
+    fileRows: Map[String, Long] = Map.empty)
 
 /** Another writer published a snapshot between this operation's
   * snapshot capture and its commit (Iceberg's optimistic-concurrency
@@ -87,6 +92,123 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
   private def snapPath(id: Long) = new Path(metaDir, f"snap-$id%05d.meta")
   private def propsPath = new Path(metaDir, "table.properties")
+  private def refsPath = new Path(metaDir, "refs")
+
+  // ---- refs (branches and tags, Iceberg's named references) --------
+
+  /** Named refs: name -> (kind, snapshot id), kind ∈ {branch, tag}.
+    * The refs file is materialized only when the first branch/tag is
+    * created; without it the table is the plain linear chain whose
+    * head is the highest snapshot id (every pre-refs table reads
+    * unchanged). Branches are movable heads that commits advance;
+    * tags are immutable bookmarks. */
+  def refs: Map[String, (String, Long)] =
+    if (!fs.exists(refsPath)) Map.empty
+    else {
+      val in = fs.open(refsPath)
+      val text =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.contains('=')).map { line =>
+        val i = line.indexOf('=')
+        val j = line.indexOf('\t')
+        line.substring(i + 1, j) -> (line.substring(0, i),
+          line.substring(j + 1).toLong)
+      }.toMap
+    }
+
+  /** The snapshot id ref `name` points at. For a table with no refs
+    * file only `main` resolves — to the highest snapshot id. */
+  def headOf(name: String): Long = {
+    val r = refs
+    if (r.isEmpty) {
+      require(name == GraftTable.MainBranch,
+        s"ref '$name' does not exist (table has no refs)")
+      maxSnapshotId
+    } else r.get(name) match {
+      case Some((_, id)) => id
+      case None => throw new IllegalArgumentException(
+        s"ref '$name' does not exist (refs: ${r.keys.mkString(", ")})")
+    }
+  }
+
+  /** Rewrite the refs file. Caller holds the commit lock; the write
+    * is tmp+rename so readers never see a torn file. Cross-process
+    * ref moves need a catalog/lock service — the same contract as
+    * Iceberg's HadoopTableOperations (the manifest CAS still bounds
+    * the damage to a stale ref, never a torn snapshot). */
+  private def writeRefs(r: Map[String, (String, Long)]): Unit = {
+    val tmp = new Path(metaDir,
+      s"refs.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(r.toSeq.sortBy(_._1).map { case (n, (k, id)) =>
+      s"$k=$n\t$id"
+    }.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(refsPath, false)
+    if (!fs.rename(tmp, refsPath))
+      throw new IllegalStateException("failed to publish refs file")
+  }
+
+  /** Materialize the refs file if absent (pinning `main` where it is
+    * now) and add `name` as a branch/tag at snapshot `at`. */
+  private def createRef(kind: String, name: String, at: Long): Unit =
+    GraftTable.commitLock(root.toString).synchronized {
+      require(fs.exists(snapPath(at)), s"snapshot $at does not exist")
+      val base =
+        if (refs.isEmpty)
+          Map(GraftTable.MainBranch -> ("branch", maxSnapshotId))
+        else refs
+      require(!base.contains(name), s"ref '$name' already exists")
+      require(name != GraftTable.MainBranch, "main is reserved")
+      writeRefs(base + (name -> (kind, at)))
+    }
+
+  /** Create a branch at snapshot `at` (default: current main head).
+    * Writes via [[appendToBranch]] advance only this branch; `main`
+    * readers never see them until [[fastForward]] publishes. */
+  def createBranch(name: String, at: Long = -1L): Unit =
+    createRef("branch", name,
+      if (at < 0) headOf(GraftTable.MainBranch) else at)
+
+  /** Create an immutable tag at snapshot `at` (default: current main
+    * head) — a named time-travel bookmark that [[expireSnapshots]]
+    * will never expire out from under you. */
+  def createTag(name: String, at: Long = -1L): Unit =
+    createRef("tag", name,
+      if (at < 0) headOf(GraftTable.MainBranch) else at)
+
+  /** Drop a branch or tag. `main` cannot be dropped. */
+  def dropRef(name: String): Unit =
+    GraftTable.commitLock(root.toString).synchronized {
+      require(name != GraftTable.MainBranch, "main cannot be dropped")
+      val r = refs
+      require(r.contains(name), s"ref '$name' does not exist")
+      writeRefs(r - name)
+    }
+
+  /** Read the table as of ref `name` (branch or tag). */
+  def readRef(name: String): DataFrame = readAt(headOf(name))
+
+  /** Fast-forward branch `target` to branch/tag `source`'s head —
+    * Iceberg's `fast_forward` publish step: legal only when the
+    * target head is an ancestor of the source head (nothing on the
+    * target would be abandoned). The branch-then-fast-forward pair is
+    * the audit-gated publish workflow at table granularity. */
+  def fastForward(target: String, source: String): Unit =
+    GraftTable.commitLock(root.toString).synchronized {
+      val r = refs
+      require(r.get(target).exists(_._1 == "branch"),
+        s"fast-forward target '$target' must be an existing branch")
+      val to = headOf(source)
+      var cur = to
+      val from = headOf(target)
+      while (cur > from && cur > 0) cur = snapshot(cur).parent
+      require(cur == from,
+        s"cannot fast-forward $target ($from) to $source ($to): " +
+          "target head is not an ancestor of source head")
+      writeRefs(r + (target -> ("branch", to)))
+    }
 
   /** Table-level properties (the TBLPROPERTIES of Iceberg DDL, e.g.
     * `write.delete.mode`), persisted once at create time. */
@@ -117,7 +239,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def deleteMode: String =
     properties.getOrElse("write.delete.mode", "copy-on-write")
 
-  def currentSnapshotId: Long =
+  /** Highest snapshot id on disk — the id allocator. Equals the main
+    * head for a refs-less (linear) table. */
+  private def maxSnapshotId: Long =
     if (!fs.exists(metaDir)) 0L
     else
       fs.listStatus(metaDir)
@@ -126,6 +250,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
           n.stripPrefix("snap-").stripSuffix(".meta").toLong
         }
         .foldLeft(0L)(math.max)
+
+  /** The `main` branch head (what readers see). */
+  def currentSnapshotId: Long =
+    if (!fs.exists(refsPath)) maxSnapshotId
+    else headOf(GraftTable.MainBranch)
 
   def snapshot(id: Long): Snapshot = parseManifest(snapPath(id), id)
 
@@ -152,6 +281,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       dels = kv.collect { case ("dpred", v) => FileStatsJson.parseDel(v) }
         .flatten,
       fileSeq = kv.collect { case ("fseq", v) =>
+        val i = v.indexOf('\t')
+        v.substring(i + 1) -> v.substring(0, i).toLong
+      }.toMap,
+      fileRows = kv.collect { case ("frows", v) =>
         val i = v.indexOf('\t')
         v.substring(i + 1) -> v.substring(0, i).toLong
       }.toMap)
@@ -182,7 +315,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   private[graft] def commit(op: String, schema: StructType,
       files: Seq[String], partitionCols: Seq[String] = Nil,
       expectedParent: Long, delsOverride: Option[Seq[DeletePred]] = None,
-      refSnap: Option[Snapshot] = None): Long =
+      refSnap: Option[Snapshot] = None,
+      branch: String = GraftTable.MainBranch): Long =
     // In-process writers (multiple handles over one root) serialize
     // here, making check-then-publish a true CAS within the JVM.
     // Across processes publishNoOverwrite is the CAS — atomic
@@ -191,18 +325,22 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // as Iceberg's HadoopTableOperations.
     GraftTable.commitLock(root.toString).synchronized {
       commitLocked(op, schema, files, partitionCols, expectedParent,
-        delsOverride, refSnap)
+        delsOverride, refSnap, branch)
     }
 
   private def commitLocked(op: String, schema: StructType,
       files: Seq[String], partitionCols: Seq[String],
       expectedParent: Long, delsOverride: Option[Seq[DeletePred]],
-      refSnap: Option[Snapshot]): Long = {
-    val id = expectedParent + 1
-    if (currentSnapshotId != expectedParent)
+      refSnap: Option[Snapshot], branch: String): Long = {
+    refs.get(branch).foreach { case (kind, _) =>
+      require(kind == "branch", s"cannot commit to $kind '$branch'")
+    }
+    val head = headOf(branch)
+    if (head != expectedParent)
       throw new CommitConflictException(
-        s"commit over snapshot $expectedParent, but current is " +
-          s"$currentSnapshotId: another writer committed first")
+        s"commit over snapshot $expectedParent, but $branch head is " +
+          s"$head: another writer committed first")
+    val id = maxSnapshotId + 1
     // Carried-forward metadata comes from `refSnap` (rollback passes
     // the snapshot being restored) or the parent. Per-file column
     // stats are carried by reference for files already known (they
@@ -215,53 +353,76 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       if (expectedParent > 0) Some(snapshot(expectedParent)) else None)
     val refStats = ref.map(_.stats).getOrElse(Map.empty)
     val refSeq = ref.map(_.fileSeq).getOrElse(Map.empty)
+    val refRows = ref.map(_.fileRows).getOrElse(Map.empty)
     // footer reads for NEW files run on a bounded pool — a wide
     // append's commit latency is ceil(n/8) footer round-trips, not n
     // sequential ones (Iceberg parallelizes its manifest stats the
-    // same way)
+    // same way). One footer read yields both the column bounds and
+    // the record count; known files carry both by reference (data
+    // files are immutable).
     val newFiles = files.filterNot(refStats.contains)
-    val harvested: Map[String, Map[String, ColStat]] =
+    val harvested: Map[String, (Option[Long], Map[String, ColStat])] =
       if (newFiles.sizeIs <= 1)
-        newFiles.map(f => f -> harvestStats(f, schema)).toMap
+        newFiles.map(f => f -> harvestFooter(f, schema)).toMap
       else {
         val pool = java.util.concurrent.Executors
           .newFixedThreadPool(math.min(8, newFiles.size))
         try {
           import scala.jdk.CollectionConverters._
           pool.invokeAll(newFiles.map { f =>
-            (() => f -> harvestStats(f, schema)):
-              java.util.concurrent.Callable[(String, Map[String, ColStat])]
+            (() => f -> harvestFooter(f, schema)): java.util.concurrent
+              .Callable[(String, (Option[Long], Map[String, ColStat]))]
           }.asJava).asScala.map(_.get).toMap
         } finally pool.shutdown()
       }
     val stats = files.map { f =>
-      f -> refStats.getOrElse(f, harvested.getOrElse(f, Map.empty))
+      f -> refStats.getOrElse(f, harvested.get(f).map(_._2)
+        .getOrElse(Map.empty))
+    }.toMap
+    val rows: Map[String, Long] = files.flatMap { f =>
+      refRows.get(f).orElse(harvested.get(f).flatMap(_._1)).map(f -> _)
     }.toMap
     val dels = delsOverride.getOrElse(ref.map(_.dels).getOrElse(Nil))
-    val body = new StringBuilder
-    body ++= s"parent=${id - 1}\n"
-    body ++= s"op=$op\n"
-    body ++= s"schema=${schema.json}\n"
-    body ++= s"partcols=${partitionCols.mkString(",")}\n"
-    files.foreach { f =>
-      body ++= s"file=$f\n"
-      body ++= s"fseq=${refSeq.getOrElse(f, id)}\t$f\n"
-      val cs = stats.getOrElse(f, Map.empty)
-      if (cs.nonEmpty) body ++= s"fstat=${FileStatsJson.render(f, cs)}\n"
+    def bodyFor(id: Long): String = {
+      val body = new StringBuilder
+      body ++= s"parent=$expectedParent\n"
+      body ++= s"op=$op\n"
+      body ++= s"schema=${schema.json}\n"
+      body ++= s"partcols=${partitionCols.mkString(",")}\n"
+      files.foreach { f =>
+        body ++= s"file=$f\n"
+        body ++= s"fseq=${refSeq.getOrElse(f, id)}\t$f\n"
+        rows.get(f).foreach(n => body ++= s"frows=$n\t$f\n")
+        val cs = stats.getOrElse(f, Map.empty)
+        if (cs.nonEmpty) body ++= s"fstat=${FileStatsJson.render(f, cs)}\n"
+      }
+      dels.foreach(d => body ++= s"dpred=${FileStatsJson.renderDel(d)}\n")
+      body.toString
     }
-    dels.foreach(d => body ++= s"dpred=${FileStatsJson.renderDel(d)}\n")
-    val tmp = new Path(metaDir,
-      f"snap-$id%05d.meta.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!publishNoOverwrite(tmp, snapPath(id))) { // atomic publish
+    // Publish loop: the snapshot id is a table-global allocation
+    // (branches share one id space), so losing the id race to a
+    // commit on ANOTHER branch is not a conflict — re-allocate and
+    // re-publish. Losing because OUR branch head moved is.
+    var attempt = id
+    while (true) {
+      val tmp = new Path(metaDir, f"snap-$attempt%05d.meta." +
+        s"${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bodyFor(attempt).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (publishNoOverwrite(tmp, snapPath(attempt))) { // atomic publish
+        if (fs.exists(refsPath))
+          writeRefs(refs + (branch -> ("branch", attempt)))
+        return attempt
+      }
       fs.delete(tmp, false)
-      throw new CommitConflictException(
-        s"commit $id lost the publish race: another writer's snapshot " +
-          "landed first")
+      if (headOf(branch) != expectedParent)
+        throw new CommitConflictException(
+          s"commit $attempt lost the publish race: another writer's " +
+            "snapshot landed first")
+      attempt = maxSnapshotId + 1
     }
-    id
+    throw new IllegalStateException("unreachable")
   }
 
   /** Move `tmp` to `dest` iff `dest` does not exist, atomically with
@@ -472,14 +633,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * Aborts if the schema or partition spec changed underneath. */
   @annotation.tailrec
   private def appendCommit(newFiles: Seq[String], schema: StructType,
-      parts: Seq[String], parent: Long, attempts: Int = 8): Long = {
+      parts: Seq[String], parent: Long, attempts: Int = 8,
+      branch: String = GraftTable.MainBranch): Long = {
     val base = if (parent == 0) Nil else snapshot(parent).files
     val res =
       try Right(commit("append", schema, base ++ newFiles, parts,
-        expectedParent = parent))
+        expectedParent = parent, branch = branch))
       catch { case e: CommitConflictException =>
         if (attempts <= 1) throw e
-        val cur = currentSnapshot
+        val cur = snapshot(headOf(branch))
         if (cur.schema != schema || cur.partitionCols != parts)
           throw new CommitConflictException(
             "append cannot rebase: schema or partition spec changed " +
@@ -489,8 +651,21 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     res match {
       case Right(id)        => id
       case Left(newParent)  =>
-        appendCommit(newFiles, schema, parts, newParent, attempts - 1)
+        appendCommit(newFiles, schema, parts, newParent, attempts - 1,
+          branch)
     }
+  }
+
+  /** Append to a named branch (Iceberg's branch writes, the WAP
+    * workflow at table granularity): data lands on the branch head,
+    * `main` readers never see it until [[fastForward]] publishes.
+    * Same fast-append rebase semantics as [[append]]. */
+  def appendToBranch(df: DataFrame, branch: String): Long = {
+    val head = snapshot(headOf(branch))
+    val files = writeData(aligned(df, head.schema),
+      maxSnapshotId + 1, head.partitionCols)
+    appendCommit(files, head.schema, head.partitionCols, head.id,
+      branch = branch)
   }
 
   /** Append rows whose schema adds columns: the table schema evolves
@@ -830,17 +1005,30 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   /** Small-file compaction: rewrite the whole file set into
     * `numFiles` files; data is unchanged, snapshot history preserved.
     * (A production pass would bin-pack per partition instead of a
-    * global repartition.) */
-  def compact(numFiles: Int): Long = {
+    * global repartition.)
+    *
+    * With `sortBy`, the rewrite range-partitions on the sort columns
+    * and sorts within each output file (Iceberg's sort-order rewrite
+    * / `rewrite_data_files(strategy => 'sort')`): output files then
+    * cover DISJOINT ranges of the sort key, so the manifest's min/max
+    * bounds turn from useless (every file spans the whole domain) to
+    * surgical — the clustering pass that makes [[readWhere]] data
+    * skipping actually skip. At 100 TB this is how a slowly-written,
+    * arrival-ordered table becomes range-readable without an index. */
+  def compact(numFiles: Int, sortBy: Seq[String] = Nil): Long = {
     val snap = currentSnapshot
     val id = currentSnapshotId + 1
     // compaction also MATERIALIZES pending merge-on-read deletes:
     // the rewrite reads through morRead, so deleted rows drop out of
     // the new files and the delete predicates clear
+    val base = morRead(snap, snap.files)
+    val arranged =
+      if (sortBy.isEmpty) base.repartition(numFiles)
+      else base
+        .repartitionByRange(numFiles, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
     commit("compact", snap.schema,
-      writeData(
-        morRead(snap, snap.files).repartition(numFiles),
-        id, snap.partitionCols, widen = false),
+      writeData(arranged, id, snap.partitionCols, widen = false),
       snap.partitionCols, expectedParent = snap.id,
       delsOverride = Some(Nil))
   }
@@ -958,9 +1146,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def expireSnapshots(keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = snapshots // only manifests that still exist
-    val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    // snapshots a branch or tag points at are retained regardless of
+    // age (Iceberg's rule: refs protect their snapshots from expiry)
+    val pinned = refs.values.map(_._2).toSet
+    val (old, kept0) = all.splitAt(math.max(0, all.size - keepLast))
+    val (protected0, expired) = old.partition(s => pinned(s.id))
     if (expired.isEmpty) return
-    val live = kept.flatMap(_.files).toSet
+    val live = (kept0 ++ protected0).flatMap(_.files).toSet
     expired.foreach { snap =>
       snap.files.filterNot(live).foreach(f => fs.delete(new Path(f), false))
       fs.delete(snapPath(snap.id), false)
@@ -969,16 +1161,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
   // ---- column-stats data skipping ---------------------------------
 
-  /** Harvest per-column min/max/null-count for one data file from its
-    * parquet footer (merged across row groups). Driver-side, one
-    * footer read per NEW file per commit — the same cost point where
-    * Iceberg builds its manifests. Unsupported column types (and
-    * strings longer than 64 chars, which would bloat the manifest and
-    * whose truncation is not a valid bound) simply record no bound —
-    * pruning stays conservative. Any footer trouble degrades to "no
-    * stats", never a failed commit. */
-  private def harvestStats(file: String,
-      schema: StructType): Map[String, ColStat] =
+  /** Harvest the record count and per-column min/max/null-count for
+    * one data file from its parquet footer (merged across row
+    * groups). Driver-side, one footer read per NEW file per commit —
+    * the same cost point where Iceberg builds its manifests.
+    * Unsupported column types (and strings longer than 64 chars,
+    * which would bloat the manifest and whose truncation is not a
+    * valid bound) simply record no bound — pruning stays
+    * conservative. Any footer trouble degrades to "no stats", never
+    * a failed commit. */
+  private def harvestFooter(file: String,
+      schema: StructType): (Option[Long], Map[String, ColStat]) =
     try {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -990,7 +1183,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       try {
         val acc = scala.collection.mutable.Map.empty[String,
           (String, Option[(String, String)], Long)] // kind, (mn,mx), nulls
+        var rowCount = 0L
         reader.getFooter.getBlocks.forEach { block =>
+          rowCount += block.getRowCount
           block.getColumns.forEach { cc =>
             val name = cc.getPath.toDotString
             byName.get(name).foreach { dt =>
@@ -1032,11 +1227,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
             }
           }
         }
-        acc.map { case (c, (k, b, n)) =>
+        (Some(rowCount), acc.map { case (c, (k, b, n)) =>
           c -> ColStat(k, b.map(_._1), b.map(_._2), n)
-        }.toMap
+        }.toMap)
       } finally reader.close()
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
 
   private def kindOf(dt: DataType): String = dt match {
     case _: org.apache.spark.sql.types.StringType => "s"
@@ -1154,6 +1349,74 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val snap = currentSnapshot
     morRead(snap, pruneByStats(snap, filterSql)).filter(expr(filterSql))
   }
+
+  // ---- metadata tables ----------------------------------------------
+
+  /** Iceberg's `table.files` metadata table: one row per data file of
+    * the current snapshot — path, add-sequence, record count (from
+    * the manifest's footer harvest; NULL if the footer was
+    * unreadable), and the hive partition segment the file sits under.
+    * Answered from the driver-side manifest alone: O(#files), zero
+    * storage listing, zero data-file opens — at 100 TB an operator
+    * inspects a million-file table without touching a byte of data. */
+  def filesMetadata: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val snap = currentSnapshot
+    val rows = snap.files.map { f =>
+      Row(f, snap.fileSeq.getOrElse(f, snap.id),
+        snap.fileRows.get(f).map(java.lang.Long.valueOf).orNull,
+        partitionSegment(snap, f).orNull)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("file", org.apache.spark.sql.types.StringType, false),
+      StructField("seq", org.apache.spark.sql.types.LongType, false),
+      StructField("rows", org.apache.spark.sql.types.LongType, true),
+      StructField("partition", org.apache.spark.sql.types.StringType, true))))
+  }
+
+  /** Iceberg's `table.partitions` metadata table: per partition value,
+    * the file count and record count of the current snapshot, straight
+    * off the manifest (like Iceberg, record counts describe the data
+    * files as written — pending merge-on-read deletes are tracked
+    * separately and not subtracted here). `row_count` is NULL if any
+    * file in the partition is missing its footer count. */
+  def partitionsMetadata: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val snap = currentSnapshot
+    require(snap.partitionCols.nonEmpty, "table is not partitioned")
+    val grouped = snap.files.groupBy(f =>
+      partitionSegment(snap, f).getOrElse(
+        throw new IllegalStateException(s"file outside a partition dir: $f")))
+    val rows = grouped.toSeq.sortBy(_._1).map { case (seg, fs) =>
+      val values = seg.split("/").map { kv =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(kv.substring(kv.indexOf('=') + 1))
+      }
+      val counts = fs.map(snap.fileRows.get)
+      val total =
+        if (counts.forall(_.isDefined))
+          java.lang.Long.valueOf(counts.flatten.sum)
+        else null
+      Row.fromSeq(values.toSeq ++ Seq(fs.size.toLong, total))
+    }
+    spark.createDataFrame(rows.asJava, StructType(
+      snap.partitionCols.map(c =>
+        StructField(c, org.apache.spark.sql.types.StringType, true)) ++ Seq(
+        StructField("file_count", org.apache.spark.sql.types.LongType, false),
+        StructField("row_count", org.apache.spark.sql.types.LongType, true))))
+  }
+
+  /** The hive-style `col=v[/col2=v2…]` segment of a data file's path,
+    * None for an unpartitioned table. */
+  private def partitionSegment(snap: Snapshot, file: String): Option[String] =
+    if (snap.partitionCols.isEmpty) None
+    else {
+      val segs = new Path(file).toUri.getPath.split("/")
+      val parts = snap.partitionCols.flatMap(c =>
+        segs.find(_.startsWith(s"$c=")))
+      if (parts.size == snap.partitionCols.size) Some(parts.mkString("/"))
+      else None
+    }
 }
 
 /** Compact single-line JSON codec for per-file column stats manifest
@@ -1232,6 +1495,9 @@ object GraftTable {
     }
     !exchanged && df.rdd.getNumPartitions < target
   }
+
+  /** The default branch every table is born with. */
+  val MainBranch = "main"
 
   /** Flat-namespace prefix for source columns in [[MergeClause]]
     * conditions and value expressions. */

@@ -235,6 +235,83 @@ object LakeQueries {
     t.readWhere(pred).orderBy("o_orderkey")
   }
 
+  /** Branches and tags (Iceberg refs): the initial load is tagged
+    * `v1` (immutable bookmark); an `ingest` branch takes two appends
+    * that `main` readers never see (require()d); fast-forward then
+    * publishes the branch — the WAP workflow at branch granularity,
+    * with every intermediate state still time-travelable. The oracle
+    * pins the published end state; the isolation and tag-stability
+    * decisions are require()d inside. */
+  private val branch: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    def part(m: Long) = orders.filter(col("o_orderkey") % 4 === m)
+    val t = GraftTable.create(s, tmp("lake_br"), part(0)) // snap 1
+    t.createTag("v1")
+    t.createBranch("ingest")
+    t.appendToBranch(part(1), "ingest")
+    t.appendToBranch(part(2), "ingest")
+    require(t.read().count() == part(0).count(),
+      "branch writes must be invisible on main")
+    require(t.readRef("ingest").count() ==
+      (0L to 2L).map(part(_).count()).sum,
+      "the branch must accumulate its own appends")
+    t.fastForward("main", "ingest")
+    require(t.readRef("v1").count() == part(0).count(),
+      "the tag must still read the initial load after fast-forward")
+    t.read().orderBy("o_orderkey")
+  }
+
+  /** Metadata tables (Iceberg's `table.files` / `table.partitions`):
+    * per-partition file and record counts answered from the
+    * DRIVER-SIDE MANIFEST ALONE — the footer-harvested record counts
+    * ride in each commit, so this query plans zero data-file scans.
+    * At 100 TB an operator asks "how big is each partition" without
+    * reading a byte of data. The oracle recomputes the counts the
+    * slow way (GROUP BY over the actual rows), pinning the manifest
+    * numbers to the data. */
+  private val metadata: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_meta"),
+      orders.filter(col("o_orderkey") % 2 === 0),
+      partitionBy = Seq("o_orderstatus"))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1))
+    val files = t.filesMetadata
+    require(files.filter(col("rows").isNull).count() == 0,
+      "every data file must carry a footer record count")
+    val parts = t.partitionsMetadata
+    require(parts.count() == 3 &&
+      parts.filter(col("row_count").isNull).count() == 0,
+      "partition metadata must cover all three statuses with counts")
+    parts.select(col("o_orderstatus"), col("row_count"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Sort-ordered compaction (Iceberg's sort-strategy
+    * `rewrite_data_files`): three arrival-ordered appends leave every
+    * file spanning the whole `o_orderdate` domain, so min/max skipping
+    * prunes NOTHING — require()d below. The sort-compaction
+    * range-clusters the table on the date; the same predicate then
+    * prunes a strict file subset on the manifest alone. This is the
+    * clustering pass that turns a 100 TB arrival-ordered table
+    * range-readable without an index. */
+  private val sortCompact: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_sc"),
+      orders.filter(col("o_orderkey") % 3 === 0))
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))
+    t.append(orders.filter(col("o_orderkey") % 3 === 2))
+    val pred = "o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'"
+    val before = t.pruneByStats(t.currentSnapshot, pred)
+    require(before.size == t.currentSnapshot.files.size,
+      "arrival-ordered files span the full date range — nothing prunes")
+    t.compact(6, sortBy = Seq("o_orderdate"))
+    val snap = t.currentSnapshot
+    val after = t.pruneByStats(snap, pred)
+    require(after.nonEmpty && after.size < snap.files.size,
+      s"sort-clustered files must prune (${after.size}/${snap.files.size})")
+    t.readWhere(pred).orderBy("o_orderkey")
+  }
+
   /** The reference producer's whole DDL lifecycle in SQL alone
     * (producer_iceberg_datalake_setup.sh:117-160): CREATE a
     * partitioned table, load it with INSERT INTO … SELECT, derive a
@@ -367,6 +444,9 @@ object LakeQueries {
     "lake_compaction"       -> compaction,
     "lake_partitioned"      -> partitioned,
     "lake_skipping"         -> skipping,
+    "lake_metadata"         -> metadata,
+    "lake_sort_compact"     -> sortCompact,
+    "lake_branch"           -> branch,
     "lake_mor_delete"       -> morDelete,
     "lake_expire"           -> expire,
     "lake_overwrite_partition" -> overwritePartition,
@@ -466,6 +546,20 @@ object LakeQueries {
     "lake_skipping" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    // the fast-forwarded main = initial load + both branch appends
+    "lake_branch" ->
+      """SELECT * FROM orders WHERE o_orderkey % 4 <= 2
+        |ORDER BY o_orderkey""".stripMargin,
+    // the manifest's per-partition record counts must equal the
+    // GROUP BY recomputed from the actual rows
+    "lake_metadata" ->
+      """SELECT o_orderstatus, count(*) AS row_count
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "lake_sort_compact" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-06-01'
         |ORDER BY o_orderkey""".stripMargin,
     // batches 0 and 1 lose their 'F' rows to the scoped delete; batch
     // 2 was appended after it and keeps everything

@@ -530,6 +530,86 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.snapshots.map(_.id) == Seq(3L))
   }
 
+  test("metadata tables answer from the manifest: files, partitions") {
+    val dir = Files.createTempDirectory("graft_meta").toString
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0))
+        .toDF("k", "tag", "v"),
+      partitionBy = Seq("tag"))
+    t.append(Seq((4L, "x", 4.0)).toDF("k", "tag", "v"))
+    val files = t.filesMetadata.collect()
+    assert(files.length == t.currentSnapshot.files.size)
+    assert(files.forall(!_.isNullAt(2)), "every file carries a row count")
+    assert(files.map(_.getLong(2)).sum == 4)
+    val parts = t.partitionsMetadata.orderBy("tag").collect()
+    assert(parts.map(_.getString(0)).toSeq == Seq("x", "y"))
+    assert(parts.map(_.getLong(parts.head.length - 1)).toSeq == Seq(3L, 1L))
+    // row counts survive carry-forward through an unrelated delete
+    t.delete("k = 4")
+    assert(t.filesMetadata.collect().forall(!_.isNullAt(2)))
+  }
+
+  test("sort-ordered compaction clusters files so stats pruning bites") {
+    val dir = Files.createTempDirectory("graft_sortc").toString
+    // three appends, each hash-partitioned on g=k%7 so every data
+    // file spans the whole k domain (arrival order ≠ key order)
+    def batch(m: Long) = (m until 300L by 3)
+      .map(k => (k, k % 7, s"r$k")).toDF("k", "g", "tag")
+      .repartition(4, col("g"))
+    val t = GraftTable.create(spark, dir, batch(0))
+    t.append(batch(1))
+    t.append(batch(2))
+    val pred = "k >= 250"
+    assert(t.pruneByStats(t.currentSnapshot, pred).size ==
+      t.currentSnapshot.files.size, "interleaved files cannot prune")
+    t.compact(5, sortBy = Seq("k"))
+    val snap = t.currentSnapshot
+    val pruned = t.pruneByStats(snap, pred)
+    assert(pruned.nonEmpty && pruned.size < snap.files.size,
+      s"range-clustered files must prune: ${pruned.size}/${snap.files.size}")
+    // data unchanged, read correct through the pruned path
+    assert(t.readWhere(pred).count() == 50)
+    assert(t.read().count() == 300)
+  }
+
+  test("branches: isolated writes, fast-forward publish, guarded ff") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0))) // snap 1
+    t.createBranch("dev")
+    t.appendToBranch(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"), "dev")
+    t.appendToBranch(Seq((4L, "d", 4.0)).toDF("k", "tag", "v"), "dev")
+    assert(t.read().count() == 2, "main must not see branch writes")
+    assert(t.readRef("dev").count() == 4)
+    assert(t.currentSnapshotId == 1)
+    t.fastForward("main", "dev")
+    assert(t.read().count() == 4)
+    // diverge: a second branch from snapshot 1 is now BEHIND main —
+    // fast-forwarding it backwards must be rejected
+    t.createBranch("stale", at = 1L)
+    t.appendToBranch(Seq((9L, "z", 9.0)).toDF("k", "tag", "v"), "stale")
+    intercept[IllegalArgumentException](t.fastForward("main", "stale"))
+    assert(t.read().count() == 4, "a rejected ff must change nothing")
+    // branch appends rebase like main appends: two handles racing on dev
+    val t2 = lakehouse.GraftTable.load(spark, t.location)
+    t.appendToBranch(Seq((5L, "e", 5.0)).toDF("k", "tag", "v"), "dev")
+    t2.appendToBranch(Seq((6L, "f", 6.0)).toDF("k", "tag", "v"), "dev")
+    assert(t.readRef("dev").count() == 6, "racing branch appends all land")
+  }
+
+  test("tags are immutable bookmarks and survive snapshot expiry") {
+    val t = freshTable(Seq((1L, "a", 1.0))) // snap 1
+    t.createTag("v1")
+    intercept[IllegalArgumentException](
+      t.appendToBranch(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"), "v1"))
+    t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    t.expireSnapshots(keepLast = 1)
+    // the tagged snapshot and its files must have been protected
+    assert(t.readRef("v1").count() == 1)
+    assert(t.read().count() == 3)
+    t.dropRef("v1")
+    intercept[IllegalArgumentException](t.readRef("v1"))
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
