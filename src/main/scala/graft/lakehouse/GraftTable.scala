@@ -492,6 +492,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * partition reads that partition, not the directory tree. */
   def readPruned(partCol: String, values: Set[String]): DataFrame = {
     val snap = currentSnapshot
+    require(PartField.allIdentity(snap.partitionCols),
+      "readPruned addresses identity partitions; transform-partitioned " +
+        "tables prune through readWhere on the raw column")
     require(snap.partitionCols.contains(partCol),
       s"$partCol is not a partition column of ${snap.partitionCols}")
     val wanted = values.map(v => hiveSegment(partCol, v))
@@ -504,7 +507,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       partitionCols: Seq[String] = Nil): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else if (partitionCols.isEmpty)
+    else if (partitionCols.isEmpty ||
+        !PartField.allIdentity(partitionCols))
+      // unpartitioned, or a transform spec (whose data files keep
+      // every raw column — the derived dirs are metadata only)
       spark.read.schema(schema).parquet(files: _*)
     else {
       // Partition values live in the directory names under each
@@ -567,9 +573,25 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val par = math.min(8, df.sparkSession.sparkContext.defaultParallelism)
     val wide =
       if (widen && GraftTable.isNarrow(df, par)) df.repartition(par) else df
-    val w = wide.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(dir.toString)
+    // identity specs lay out hive-style (partition values live in the
+    // dirs, reads reconstitute via basePath); transform specs derive
+    // throwaway _gp_i dir columns and keep every raw column in the
+    // data files (hidden partitioning — the user never sees the
+    // derived value)
+    val w =
+      if (partitionCols.isEmpty)
+        wide.write.mode("overwrite")
+      else if (PartField.allIdentity(partitionCols))
+        wide.write.mode("overwrite").partitionBy(partitionCols: _*)
+      else {
+        val spec = PartField.parseAll(partitionCols)
+        spec.zipWithIndex.foldLeft(wide) { case (d, (f, i)) =>
+          d.withColumn(PartField.dirCol(i),
+            f.toColumn(wide.schema(f.col).dataType))
+        }.write.mode("overwrite")
+          .partitionBy(spec.indices.map(PartField.dirCol): _*)
+      }
+    w.parquet(dir.toString)
     val it = fs.listFiles(dir, true)
     val out = Seq.newBuilder[String]
     while (it.hasNext) {
@@ -1044,9 +1066,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val snap = currentSnapshot
     require(snap.partitionCols.nonEmpty, "table is not partitioned")
     val parts = snap.partitionCols
-    val replaced: Set[Seq[String]] = df.select(parts.map(col): _*)
+    // the replaced-partition set is the distinct DERIVED values of
+    // df's rows — for identity specs the columns themselves, for
+    // transform specs the transform output (hidden partitioning:
+    // the caller never computes partition values)
+    val spec = PartField.parseAll(parts)
+    val dirNames =
+      if (PartField.allIdentity(parts)) parts
+      else spec.indices.map(PartField.dirCol)
+    val replaced: Set[Seq[String]] = df
+      .select(spec.map(f =>
+        f.toColumn(df.schema(f.col).dataType).cast("string")): _*)
       .distinct().collect()
-      .map(r => parts.indices.map(i => hiveSegment(parts(i), r.get(i))))
+      .map(r => dirNames.indices.map(i => hiveSegment(dirNames(i), r.get(i))))
       .toSet
     val keep = snap.files.filterNot { f =>
       val segs = new Path(f).toUri.getPath.split("/").toSet
@@ -1347,8 +1379,21 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * between scanning a day and scanning the table. */
   def readWhere(filterSql: String): DataFrame = {
     val snap = currentSnapshot
-    morRead(snap, pruneByStats(snap, filterSql)).filter(expr(filterSql))
+    val kept = pruneByStats(snap, filterSql).toSet &
+      prunePartitions(snap, filterSql).toSet
+    morRead(snap, snap.files.filter(kept)).filter(expr(filterSql))
   }
+
+  /** The files of the current snapshot whose partition directories
+    * could contain a row matching `filterSql` — hidden-partitioning
+    * pruning: predicates on the RAW column map onto the transformed
+    * partition values (month/day/year monotonically, bucket by
+    * equality hash placement), decided on manifest paths alone. */
+  private[graft] def prunePartitions(snap: Snapshot,
+      filterSql: String): Seq[String] =
+    if (snap.partitionCols.isEmpty) snap.files
+    else PartField.pruneFiles(spark,
+      PartField.parseAll(snap.partitionCols), snap.files, filterSql)
 
   // ---- metadata tables ----------------------------------------------
 
@@ -1400,21 +1445,25 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       Row.fromSeq(values.toSeq ++ Seq(fs.size.toLong, total))
     }
     spark.createDataFrame(rows.asJava, StructType(
-      snap.partitionCols.map(c =>
-        StructField(c, org.apache.spark.sql.types.StringType, true)) ++ Seq(
+      PartField.parseAll(snap.partitionCols).map(f =>
+        StructField(f.displayName,
+          org.apache.spark.sql.types.StringType, true)) ++ Seq(
         StructField("file_count", org.apache.spark.sql.types.LongType, false),
         StructField("row_count", org.apache.spark.sql.types.LongType, true))))
   }
 
-  /** The hive-style `col=v[/col2=v2…]` segment of a data file's path,
-    * None for an unpartitioned table. */
+  /** The hive-style `col=v[/col2=v2…]` segment of a data file's path
+    * (derived `_gp_i=` dirs for transform specs), None for an
+    * unpartitioned table. */
   private def partitionSegment(snap: Snapshot, file: String): Option[String] =
     if (snap.partitionCols.isEmpty) None
     else {
+      val dirNames =
+        if (PartField.allIdentity(snap.partitionCols)) snap.partitionCols
+        else snap.partitionCols.indices.map(PartField.dirCol)
       val segs = new Path(file).toUri.getPath.split("/")
-      val parts = snap.partitionCols.flatMap(c =>
-        segs.find(_.startsWith(s"$c=")))
-      if (parts.size == snap.partitionCols.size) Some(parts.mkString("/"))
+      val parts = dirNames.flatMap(c => segs.find(_.startsWith(s"$c=")))
+      if (parts.size == dirNames.size) Some(parts.mkString("/"))
       else None
     }
 }
@@ -1522,8 +1571,9 @@ object GraftTable {
       partitionBy: Seq[String] = Nil): GraftTable = {
     val t = new GraftTable(spark, root)
     require(t.currentSnapshotId == 0, s"table already exists at $root")
-    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c is not in the table schema"))
+    PartField.parseAll(partitionBy).foreach(f =>
+      require(schema.fieldNames.contains(f.col),
+        s"partition source column ${f.col} is not in the table schema"))
     t.commit("create", schema, Nil, partitionBy, expectedParent = 0L)
     t
   }

@@ -235,6 +235,33 @@ object LakeQueries {
     t.readWhere(pred).orderBy("o_orderkey")
   }
 
+  /** Hidden partitioning (Iceberg partition transforms): the table
+    * partitions by `year(o_orderdate)` × `bucket[4](o_custkey)` —
+    * derived values the user NEVER writes or filters on. Predicates
+    * on the raw columns prune partition directories on the manifest
+    * alone: the date range keeps only matching years (require()d
+    * strict subset), the key equality hashes into one bucket
+    * (require()d, and require()d lossless against a full scan). At
+    * 100 TB this removes the classic failure where someone forgets
+    * to filter the redundant month column and scans the world. */
+  private val hiddenPartition: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_hp"), orders,
+      partitionBy = Seq("year(o_orderdate)", "bucket[4](o_custkey)"))
+    val snap = t.currentSnapshot
+    val datePred = "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'"
+    val byDate = t.prunePartitions(snap, datePred)
+    require(byDate.nonEmpty && byDate.size < snap.files.size,
+      s"year transform must prune (${byDate.size}/${snap.files.size})")
+    val byKey = t.prunePartitions(snap, "o_custkey = 7")
+    require(byKey.size < snap.files.size,
+      s"bucket transform must prune (${byKey.size}/${snap.files.size})")
+    require(t.readWhere("o_custkey = 7").count() ==
+      orders.filter(col("o_custkey") === 7).count(),
+      "bucket pruning must not lose rows")
+    t.readWhere(datePred).orderBy("o_orderkey")
+  }
+
   /** Branches and tags (Iceberg refs): the initial load is tagged
     * `v1` (immutable bookmark); an `ingest` branch takes two appends
     * that `main` readers never see (require()d); fast-forward then
@@ -447,6 +474,7 @@ object LakeQueries {
     "lake_metadata"         -> metadata,
     "lake_sort_compact"     -> sortCompact,
     "lake_branch"           -> branch,
+    "lake_hidden_partition" -> hiddenPartition,
     "lake_mor_delete"       -> morDelete,
     "lake_expire"           -> expire,
     "lake_overwrite_partition" -> overwritePartition,
@@ -546,6 +574,10 @@ object LakeQueries {
     "lake_skipping" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "lake_hidden_partition" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
         |ORDER BY o_orderkey""".stripMargin,
     // the fast-forwarded main = initial load + both branch appends
     "lake_branch" ->

@@ -354,15 +354,33 @@ object LakeDdl {
       s"$stmt USING graft requires a single-part table name, got $other")
   }
 
-  /** Identity partition columns (`PARTITIONED BY (col, …)`); bucket /
-    * truncate / temporal transforms are not part of the format. */
+  /** Partition spec from `PARTITIONED BY (…)`: identity columns plus
+    * Iceberg's hidden-partitioning transforms — `years/months/days`,
+    * `bucket(n, col)`, `truncate(w, col)` — rendered into
+    * [[PartField]]'s serialized forms. */
   private def partitionCols(transforms: Seq[Transform]): Seq[String] =
-    transforms.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
+    transforms.map { t =>
+      def ref: String = {
+        require(t.references.length == 1,
+          s"partition transform ${t.name} must reference one column")
         t.references.head.fieldNames.mkString(".")
-      case other => throw new UnsupportedOperationException(
-        s"unsupported partition transform $other — only identity " +
-          "(hive-style) partitioning is supported")
+      }
+      def param: Int = t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.toString.toInt
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"partition transform ${t.name} needs an integer argument"))
+      t.name match {
+        case "identity"          => ref
+        case "years"  | "year"   => s"year($ref)"
+        case "months" | "month"  => s"month($ref)"
+        case "days"   | "day"    => s"day($ref)"
+        case "bucket"            => s"bucket[$param]($ref)"
+        case "truncate"          => s"truncate[$param]($ref)"
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform $other (supported: identity, " +
+            "years, months, days, bucket(n, col), truncate(w, col))")
+      }
     }
 
   /** Explicit LOCATION, else a managed path under the session

@@ -1,0 +1,248 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One field of a table's partition spec — Iceberg's hidden
+  * partitioning (ref: the reference's Iceberg tables partition with
+  * transforms the engine, not the user, maintains;
+  * `producer_iceberg_datalake_setup.sh:117-131` uses identity
+  * `PARTITIONED BY (city)`, and the Iceberg engine underneath also
+  * offers `year/month/day/bucket/truncate`). The user writes and
+  * queries the RAW column; the table derives the partition value at
+  * write time and maps raw-column predicates back onto partition
+  * directories at plan time, so nobody ever inserts a redundant
+  * "month" column or remembers to filter on it.
+  *
+  * Serialized forms (the manifest's `partcols` entries):
+  * `colname` (identity), `year(col)`, `month(col)`, `day(col)`,
+  * `bucket[N](col)`, `truncate[W](col)`.
+  *
+  * Temporal values render as zero-padded `yyyy[-MM[-dd]]` strings, so
+  * their lexicographic order IS chronological order and range
+  * predicates prune directories with plain string compares. Bucket
+  * values are `pmod(xxhash64(col), N)` — the same expression Spark
+  * evaluates distributed at write time is evaluated driver-side on
+  * the predicate literal at prune time.
+  */
+sealed trait PartField {
+  def col: String
+
+  /** Serialized manifest form. */
+  def render: String
+
+  /** Human-readable name for metadata tables / derived dir columns. */
+  def displayName: String
+
+  /** The derived partition value as a Spark Column over the raw data.
+    * `dt` is the raw column's type — bucket normalizes integral
+    * columns to LONG before hashing so the driver-side literal hash
+    * at prune time agrees with the distributed hash at write time
+    * (xxhash64 of INT 7 and LONG 7 differ). */
+  def toColumn(dt: DataType): Column
+
+  /** The partition value a literal raw-column value falls into; None
+    * when this transform cannot place the literal (unsupported type). */
+  def ofLiteral(value: Any, dt: DataType): Option[String]
+
+  /** Whether the transform preserves ordering (so range predicates on
+    * the raw column translate to range predicates on the partition
+    * value). Bucket does not; equality still prunes there. */
+  def monotonic: Boolean
+}
+
+object PartField {
+
+  final case class Identity(col: String) extends PartField {
+    def render = col
+    def displayName = col
+    def toColumn(dt: DataType) = org.apache.spark.sql.functions.col(col)
+    def ofLiteral(value: Any, dt: DataType) = Some(value.toString)
+    def monotonic = true
+  }
+
+  /** year/month/day truncation of a DATE/TIMESTAMP column. */
+  final case class Temporal(unit: String, col: String) extends PartField {
+    private val pattern = unit match {
+      case "year"  => "yyyy"
+      case "month" => "yyyy-MM"
+      case "day"   => "yyyy-MM-dd"
+    }
+    def render = s"$unit($col)"
+    def displayName = s"${unit}_$col"
+    def toColumn(dt: DataType) =
+      date_format(org.apache.spark.sql.functions.col(col), pattern)
+    def monotonic = true
+
+    def ofLiteral(value: Any, dt: DataType): Option[String] = {
+      val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern)
+      dt match {
+        case DateType => // days since epoch
+          Some(java.time.LocalDate.ofEpochDay(
+            value.asInstanceOf[Number].longValue).format(fmt))
+        case TimestampType | TimestampNTZType => // micros since epoch
+          Some(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(value.asInstanceOf[Number].longValue, 1000000L),
+            0, java.time.ZoneOffset.UTC).format(fmt))
+        case _ => None
+      }
+    }
+  }
+
+  /** Hash bucket: `pmod(xxhash64(col), n)`. Only equality predicates
+    * prune (hash order is meaningless). Integral columns hash as
+    * LONG on both sides; strings as-is; other literal types refuse
+    * to prune rather than risk a hash-representation mismatch. */
+  final case class Bucket(n: Int, col: String) extends PartField {
+    def render = s"bucket[$n]($col)"
+    def displayName = s"bucket${n}_$col"
+    def toColumn(dt: DataType) = {
+      val c = org.apache.spark.sql.functions.col(col)
+      val normalized = dt match {
+        case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+        case _ => c
+      }
+      pmod(xxhash64(normalized), lit(n.toLong)).cast("string")
+    }
+    def monotonic = false
+
+    def ofLiteral(value: Any, dt: DataType): Option[String] = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val normalized: Option[Literal] = dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(Literal(value.asInstanceOf[Number].longValue, LongType))
+        case StringType => Some(Literal.create(value, dt))
+        case _ => None
+      }
+      normalized.flatMap { l =>
+        try {
+          val h = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+          Some(java.lang.Math.floorMod(h, n.toLong).toString)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** Leading-substring truncation of a STRING column. Monotonic, so
+    * both equality and range predicates prune. */
+  final case class Truncate(w: Int, col: String) extends PartField {
+    def render = s"truncate[$w]($col)"
+    def displayName = s"truncate${w}_$col"
+    def toColumn(dt: DataType) =
+      substring(org.apache.spark.sql.functions.col(col), 1, w)
+    def monotonic = true
+
+    def ofLiteral(value: Any, dt: DataType): Option[String] = dt match {
+      case StringType => Some(value.toString.take(w))
+      case _          => None
+    }
+  }
+
+  private val WithParam = """^(bucket|truncate)\[(\d+)\]\((\w+)\)$""".r
+  private val Plain     = """^(year|month|day)\((\w+)\)$""".r
+
+  /** Parse one `partcols` manifest entry / `partitionBy` argument. */
+  def parse(s: String): PartField = s.trim match {
+    case WithParam("bucket", n, c)   => Bucket(n.toInt, c)
+    case WithParam("truncate", w, c) => Truncate(w.toInt, c)
+    case Plain(unit, c)              => Temporal(unit, c)
+    case name =>
+      require(!name.contains("(") && name.nonEmpty,
+        s"unsupported partition transform '$s' (supported: identity, " +
+          "year(col), month(col), day(col), bucket[n](col), " +
+          "truncate[w](col))")
+      Identity(name)
+  }
+
+  def parseAll(cols: Seq[String]): Seq[PartField] = cols.map(parse)
+
+  /** True when every field is identity — the hive-style layout whose
+    * partition values live only in directory names (reads reconstitute
+    * them via basePath). Transform specs keep every raw column in the
+    * data files, so their reads ignore directories entirely. */
+  def allIdentity(cols: Seq[String]): Boolean =
+    cols.forall(!_.contains("("))
+
+  /** Directory-column name for field `i` of a transform spec. */
+  def dirCol(i: Int): String = s"_gp_$i"
+
+  /** Prune `files` to those whose partition directories could contain
+    * a row matching `filterSql` — driver-side, manifest paths only.
+    * Reuses the stats-pruner's conjunct extraction contract: only
+    * AND-ed `col <op> literal` conjuncts prune; everything else is
+    * conservative. */
+  def pruneFiles(spark: org.apache.spark.sql.SparkSession,
+      spec: Seq[PartField], files: Seq[String],
+      filterSql: String): Seq[String] = {
+    val conjuncts = extractConjuncts(spark, filterSql)
+    if (conjuncts.isEmpty) return files
+    files.filter { f =>
+      val segs = new org.apache.hadoop.fs.Path(f).toUri.getPath.split("/")
+      spec.zipWithIndex.forall { case (field, i) =>
+        val dirName =
+          if (allIdentity(spec.map(_.render))) field.col else dirCol(i)
+        segs.find(_.startsWith(s"$dirName=")).forall { seg =>
+          val dirVal = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils
+            .unescapePathName(seg.substring(dirName.length + 1))
+          conjuncts.filter(_._1 == field.col.toLowerCase).forall {
+            case (_, op, value, dt) =>
+              field.ofLiteral(value, dt) match {
+                case None => true // cannot place the literal → keep
+                case Some(pv) => op match {
+                  case "="              => dirVal == pv
+                  // truncation is monotonic non-strict: a file whose
+                  // partition equals the literal's partition may still
+                  // hold matching rows, so bounds stay inclusive
+                  case "<" | "<=" if field.monotonic => dirVal <= pv
+                  case ">" | ">=" if field.monotonic => dirVal >= pv
+                  case _ => true // bucket + range, etc. → keep
+                }
+              }
+          }
+        }
+      }
+    }
+  }
+
+  /** AND-ed `col <op> literal` conjuncts of `filterSql`, with the raw
+    * literal value and type (for transform placement). */
+  private def extractConjuncts(spark: org.apache.spark.sql.SparkSession,
+      filterSql: String): Seq[(String, String, Any, DataType)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+      BinaryComparison, EqualTo => CEq, GreaterThan => CGt,
+      GreaterThanOrEqual => CGe, LessThan => CLt, LessThanOrEqual => CLe,
+      Literal => CLit}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+    def walk(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[(String, String, Any, DataType)] = e match {
+      case CAnd(l, r) => walk(l) ++ walk(r)
+      case bc: BinaryComparison =>
+        val op = bc match {
+          case _: CEq => "="
+          case _: CLt => "<"
+          case _: CLe => "<="
+          case _: CGt => ">"
+          case _: CGe => ">="
+          case _ => return Nil
+        }
+        def flip(o: String) = o match {
+          case "<" => ">"; case "<=" => ">="
+          case ">" => "<"; case ">=" => "<="
+          case x => x
+        }
+        (bc.left, bc.right) match {
+          case (a: UnresolvedAttribute, l: CLit) if l.value != null =>
+            Seq((a.nameParts.last.toLowerCase, op, l.value, l.dataType))
+          case (l: CLit, a: UnresolvedAttribute) if l.value != null =>
+            Seq((a.nameParts.last.toLowerCase, flip(op), l.value, l.dataType))
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    try walk(spark.sessionState.sqlParser.parseExpression(filterSql))
+    catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+}

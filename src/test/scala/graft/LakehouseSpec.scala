@@ -610,6 +610,62 @@ class LakehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.readRef("v1"))
   }
 
+  test("hidden partitioning: transforms derive dirs, raw predicates prune") {
+    val dir = Files.createTempDirectory("graft_hp").toString
+    val rows = (0L until 120L).map { i =>
+      (i, java.sql.Timestamp.valueOf(
+        f"${2020 + (i % 3)}%d-${1 + (i % 12)}%02d-15 00:00:00"), s"u${i % 10}")
+    }.toDF("k", "ts", "user")
+    val t = GraftTable.create(spark, dir, rows,
+      partitionBy = Seq("month(ts)", "bucket[4](k)"))
+    // raw columns all present in the data files; read round-trips
+    assert(t.read().columns.toSeq == Seq("k", "ts", "user"))
+    assert(t.read().count() == 120)
+    // month pruning from a raw timestamp predicate
+    val snap = t.currentSnapshot
+    val p = t.prunePartitions(snap, "ts >= TIMESTAMP '2022-06-01 00:00:00'")
+    assert(p.nonEmpty && p.size < snap.files.size)
+    assert(t.readWhere("ts >= TIMESTAMP '2022-06-01 00:00:00'").count() ==
+      rows.filter(col("ts") >= lit("2022-06-01")).count())
+    // bucket pruning from a raw key equality, lossless (INT literal
+    // must hash like the LONG column — the type-normalization trap)
+    val b = t.prunePartitions(snap, "k = 17")
+    assert(b.size < snap.files.size)
+    assert(t.readWhere("k = 17").count() == 1)
+    // DML + compaction keep the spec: delete one user, re-cluster
+    t.delete("user = 'u3'")
+    assert(t.read().count() == 108)
+    t.compact(4)
+    assert(t.read().count() == 108)
+    assert(t.currentSnapshot.partitionCols ==
+      Seq("month(ts)", "bucket[4](k)"))
+    // partition metadata surfaces the derived values by display name
+    val pm = t.partitionsMetadata
+    assert(pm.columns.toSeq ==
+      Seq("month_ts", "bucket4_k", "file_count", "row_count"))
+    assert(pm.agg(sum("row_count")).head.getLong(0) == 108)
+  }
+
+  test("SQL DDL accepts transform PARTITIONED BY (hidden partitioning)") {
+    val loc = Files.createTempDirectory("graft_hpddl").toString
+    graft.lakehouse.LakeRegistry.unregister("hp_ddl_t")
+    spark.sql(
+      s"""CREATE TABLE hp_ddl_t (k BIGINT, ts TIMESTAMP, v DOUBLE)
+         |USING graft PARTITIONED BY (months(ts), bucket(4, k))
+         |LOCATION '$loc'""".stripMargin)
+    spark.sql(
+      """INSERT INTO hp_ddl_t VALUES
+        |(1, TIMESTAMP '2021-03-05 00:00:00', 1.5),
+        |(2, TIMESTAMP '2021-04-05 00:00:00', 2.5)""".stripMargin)
+    val t = graft.lakehouse.LakeRegistry.get("hp_ddl_t").get
+    assert(t.currentSnapshot.partitionCols ==
+      Seq("month(ts)", "bucket[4](k)"))
+    assert(spark.sql("SELECT * FROM hp_ddl_t").count() == 2)
+    val pruned = t.prunePartitions(t.currentSnapshot,
+      "ts >= TIMESTAMP '2021-04-01 00:00:00'")
+    assert(pruned.size < t.currentSnapshot.files.size)
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
