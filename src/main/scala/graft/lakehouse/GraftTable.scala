@@ -28,6 +28,12 @@ final case class DeletePred(seq: Long, pred: String)
   * commit time (absent when the footer was unreadable) — the manifest
   * datum that lets metadata queries answer COUNT-shaped questions
   * with zero data-file reads. */
+/** A column rename at commit `seq`: data files with a LOWER
+  * add-sequence store the column under `from` and read through an
+  * alias (the name-mapping analog of Iceberg's field-id-based column
+  * resolution — old files never rewrite for a rename). */
+final case class Rename(seq: Long, from: String, to: String)
+
 final case class Snapshot(
     id: Long,
     parent: Long,
@@ -38,7 +44,16 @@ final case class Snapshot(
     stats: Map[String, Map[String, ColStat]] = Map.empty,
     dels: Seq[DeletePred] = Nil,
     fileSeq: Map[String, Long] = Map.empty,
-    fileRows: Map[String, Long] = Map.empty)
+    fileRows: Map[String, Long] = Map.empty,
+    renames: Seq[Rename] = Nil) {
+
+  /** The physical (write-time) name of current column `name` in a
+    * data file added at sequence `fseq`: renames that happened after
+    * the file was written are unwound newest-first. */
+  def physicalName(name: String, fseq: Long): String =
+    renames.filter(_.seq > fseq).reverseIterator
+      .foldLeft(name)((n, r) => if (r.to == n) r.from else n)
+}
 
 /** Another writer published a snapshot between this operation's
   * snapshot capture and its commit (Iceberg's optimistic-concurrency
@@ -287,7 +302,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       fileRows = kv.collect { case ("frows", v) =>
         val i = v.indexOf('\t')
         v.substring(i + 1) -> v.substring(0, i).toLong
-      }.toMap)
+      }.toMap,
+      renames = kv.collect { case ("rename", v) =>
+        val parts = v.split("\t", 3)
+        Rename(parts(0).toLong, parts(1), parts(2))
+      })
   }
 
   def currentSnapshot: Snapshot = snapshot(currentSnapshotId)
@@ -316,7 +335,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       files: Seq[String], partitionCols: Seq[String] = Nil,
       expectedParent: Long, delsOverride: Option[Seq[DeletePred]] = None,
       refSnap: Option[Snapshot] = None,
-      branch: String = GraftTable.MainBranch): Long =
+      branch: String = GraftTable.MainBranch,
+      renamesOverride: Option[Seq[Rename]] = None): Long =
     // In-process writers (multiple handles over one root) serialize
     // here, making check-then-publish a true CAS within the JVM.
     // Across processes publishNoOverwrite is the CAS — atomic
@@ -325,13 +345,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // as Iceberg's HadoopTableOperations.
     GraftTable.commitLock(root.toString).synchronized {
       commitLocked(op, schema, files, partitionCols, expectedParent,
-        delsOverride, refSnap, branch)
+        delsOverride, refSnap, branch, renamesOverride)
     }
 
   private def commitLocked(op: String, schema: StructType,
       files: Seq[String], partitionCols: Seq[String],
       expectedParent: Long, delsOverride: Option[Seq[DeletePred]],
-      refSnap: Option[Snapshot], branch: String): Long = {
+      refSnap: Option[Snapshot], branch: String,
+      renamesOverride: Option[Seq[Rename]]): Long = {
     refs.get(branch).foreach { case (kind, _) =>
       require(kind == "branch", s"cannot commit to $kind '$branch'")
     }
@@ -383,6 +404,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       refRows.get(f).orElse(harvested.get(f).flatMap(_._1)).map(f -> _)
     }.toMap
     val dels = delsOverride.getOrElse(ref.map(_.dels).getOrElse(Nil))
+    val renames =
+      renamesOverride.getOrElse(ref.map(_.renames).getOrElse(Nil))
     def bodyFor(id: Long): String = {
       val body = new StringBuilder
       body ++= s"parent=$expectedParent\n"
@@ -397,6 +420,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         if (cs.nonEmpty) body ++= s"fstat=${FileStatsJson.render(f, cs)}\n"
       }
       dels.foreach(d => body ++= s"dpred=${FileStatsJson.renderDel(d)}\n")
+      // seq -1 marks "this commit": stamped with the id actually
+      // published (branches share one id allocator, so the caller
+      // cannot predict it)
+      renames.foreach(r => body ++=
+        s"rename=${if (r.seq < 0) id else r.seq}\t${r.from}\t${r.to}\n")
       body.toString
     }
     // Publish loop: the snapshot id is a table-global allocation
@@ -472,17 +500,42 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * predicate evaluates NULL survives. With no pending deletes this
     * is exactly the plain scan. */
   private def morRead(snap: Snapshot, files: Seq[String]): DataFrame =
-    if (snap.dels.isEmpty) readFiles(snap.schema, files, snap.partitionCols)
+    if (snap.dels.isEmpty) readFilesMapped(snap, files)
     else files
       .groupBy(f => snap.dels.filter(_.seq > snap.fileSeq.getOrElse(f, 0L)))
       .toSeq.sortBy(_._2.headOption.getOrElse(""))
       .map { case (preds, fs) =>
-        preds.foldLeft(readFiles(snap.schema, fs, snap.partitionCols)) {
+        preds.foldLeft(readFilesMapped(snap, fs)) {
           (df, p) => df.filter(not(coalesce(expr(p.pred), lit(false))))
         }
       }
       .reduceOption(_.unionByName(_))
       .getOrElse(readFiles(snap.schema, Nil, snap.partitionCols))
+
+  /** Read `files` under `snap`, resolving renamed columns: each file
+    * reads under its WRITE-TIME physical names (files group by name
+    * epoch — one read per distinct mapping, not per file) and aliases
+    * to the current schema. Rename-free tables take the plain path
+    * untouched. */
+  private def readFilesMapped(snap: Snapshot, files: Seq[String]): DataFrame =
+    if (snap.renames.isEmpty)
+      readFiles(snap.schema, files, snap.partitionCols)
+    else {
+      val names = snap.schema.fieldNames.toSeq
+      files.groupBy { f =>
+        val fseq = snap.fileSeq.getOrElse(f, snap.id)
+        names.map(n => snap.physicalName(n, fseq))
+      }.toSeq.sortBy(_._2.headOption.getOrElse("")).map {
+        case (physNames, fs) =>
+          val physSchema = StructType(snap.schema.fields.zip(physNames)
+            .map { case (fld, pn) => fld.copy(name = pn) })
+          readFiles(physSchema, fs, snap.partitionCols)
+            .select(names.zip(physNames).map { case (cur, pn) =>
+              col(pn).as(cur)
+            }.toIndexedSeq: _*)
+      }.reduceOption(_.unionByName(_))
+        .getOrElse(readFiles(snap.schema, Nil, snap.partitionCols))
+    }
 
   /** Partition-pruned read: keep only data files whose hive-style
     * path carries `partCol=v` for some `v` in `values`. The pruning
@@ -544,7 +597,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def incrementalRead(fromId: Long, toId: Long): DataFrame = {
     val from = snapshot(fromId).files.toSet
     val to = snapshot(toId)
-    readFiles(to.schema, to.files.filterNot(from), to.partitionCols)
+    readFilesMapped(to, to.files.filterNot(from))
   }
 
   // ---- writes ------------------------------------------------------
@@ -703,6 +756,81 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       expectedParent = snap.id)
   }
 
+  // ---- schema evolution (ALTER TABLE) -------------------------------
+
+  /** ALTER TABLE ADD COLUMNS — a METADATA-ONLY commit: the schema
+    * gains nullable fields, no data file is touched, and every
+    * existing row reads NULL for the new columns (parquet reads are
+    * by-name). At 100 TB adding a column costs one manifest write. */
+  def addColumns(cols: Seq[StructField]): Long = {
+    val snap = currentSnapshot
+    cols.foreach { f =>
+      require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"column '${f.name}' already exists")
+      // a name retired by RENAME or DROP may still exist PHYSICALLY
+      // in live files — re-adding it would resurrect those bytes into
+      // the new column (Iceberg avoids this with field ids; the name
+      // mapping must refuse)
+      require(!snap.renames.exists(r =>
+          r.from.equalsIgnoreCase(f.name) || r.to.equalsIgnoreCase(f.name)),
+        s"column name '${f.name}' was previously renamed or dropped and " +
+          "may still exist in live data files; compact() first")
+    }
+    commit("evolve-add",
+      StructType(snap.schema.fields ++ cols.map(_.copy(nullable = true))),
+      snap.files, snap.partitionCols, expectedParent = snap.id)
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only: the schema loses the
+    * field; by-name reads simply stop projecting it (the bytes stay
+    * in old files until compaction rewrites them, exactly Iceberg).
+    * Partition source columns cannot be dropped. */
+  def dropColumn(name: String): Long = {
+    val snap = currentSnapshot
+    requireNoMorDels(snap, "DROP COLUMN")
+    val resolved = snap.schema.fieldNames
+      .find(_.equalsIgnoreCase(name)).getOrElse(throw
+        new IllegalArgumentException(s"column '$name' does not exist"))
+    require(snap.schema.fieldNames.length > 1,
+      "cannot drop the only column")
+    require(!PartField.parseAll(snap.partitionCols)
+        .exists(_.col.equalsIgnoreCase(resolved)),
+      s"cannot drop partition source column '$resolved'")
+    // a tombstone rename retires the name: its bytes remain in old
+    // files, and addColumns refuses to reuse the name until a rewrite
+    commit("evolve-drop",
+      StructType(snap.schema.fields.filterNot(_.name == resolved)),
+      snap.files, snap.partitionCols, expectedParent = snap.id,
+      renamesOverride = Some(snap.renames :+
+        Rename(-1L, resolved, s"__graft_dropped_$resolved")))
+  }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only: a [[Rename]] record
+    * scoped to this commit's sequence rides in the manifest, and
+    * files written earlier read the column under its write-time name
+    * through an epoch-grouped alias (see [[readFilesMapped]]) — the
+    * name-mapping equivalent of Iceberg's field ids, so a rename
+    * never rewrites data. Partition source columns cannot be renamed;
+    * pending merge-on-read deletes must be materialized first (their
+    * predicates reference the old name). */
+  def renameColumn(from: String, to: String): Long = {
+    val snap = currentSnapshot
+    requireNoMorDels(snap, "RENAME COLUMN")
+    val resolved = snap.schema.fieldNames
+      .find(_.equalsIgnoreCase(from)).getOrElse(throw
+        new IllegalArgumentException(s"column '$from' does not exist"))
+    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column '$to' already exists")
+    require(!PartField.parseAll(snap.partitionCols)
+        .exists(_.col.equalsIgnoreCase(resolved)),
+      s"cannot rename partition source column '$resolved'")
+    commit("evolve-rename",
+      StructType(snap.schema.fields.map(f =>
+        if (f.name == resolved) f.copy(name = to) else f)),
+      snap.files, snap.partitionCols, expectedParent = snap.id,
+      renamesOverride = Some(snap.renames :+ Rename(-1L, resolved, to)))
+  }
+
   /** Replace all rows; the table schema is kept and `df` must align
     * to it (same contract as [[append]] — an INSERT OVERWRITE that
     * silently re-typed columns would defeat the typed-alignment
@@ -711,11 +839,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val snap = currentSnapshot
     val id = currentSnapshotId + 1
     // a full overwrite replaces every row, so pending merge-on-read
-    // deletes have nothing left to apply to — clear them
+    // deletes and the rename log have nothing left to apply to
     commit("overwrite", snap.schema,
       writeData(aligned(df, snap.schema), id, snap.partitionCols),
       snap.partitionCols, expectedParent = snap.id,
-      delsOverride = Some(Nil))
+      delsOverride = Some(Nil), renamesOverride = Some(Nil))
   }
 
   // ---- copy-on-write DML -------------------------------------------
@@ -728,7 +856,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * (Iceberg prunes with manifest min/max stats first; the scan here
     * is the exact fallback and still reads only the scanned columns.) */
   private def affectedFiles(snap: Snapshot, hit: DataFrame => DataFrame): Set[String] =
-    hit(readFiles(snap.schema, snap.files, snap.partitionCols)
+    hit(readFilesMapped(snap, snap.files)
       .withColumn("_graft_file", input_file_name()))
       .select("_graft_file")
       .distinct()
@@ -777,7 +905,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         // NULL-predicate rows must survive a DELETE (SQL semantics):
         // not(NULL) is NULL and would silently drop them from
         // rewritten files only.
-        readFiles(snap.schema, rewrite, snap.partitionCols)
+        readFilesMapped(snap, rewrite)
           .filter(not(coalesce(p, lit(false)))),
         id, snap.partitionCols)
     commit("delete", snap.schema, keep ++ newFiles, snap.partitionCols,
@@ -832,7 +960,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val newFiles =
       if (rewrite.isEmpty) Nil
       else {
-        val base = readFiles(snap.schema, rewrite, snap.partitionCols)
+        val base = readFilesMapped(snap, rewrite)
         val updated = base.select(
           snap.schema.fieldNames.map { c =>
             assignments.get(c) match {
@@ -918,7 +1046,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // a column-pruned scan, only keys shuffle.
     if (matchedClauses.nonEmpty) {
       val dup = source.select(keys.map(col): _*)
-        .join(readFiles(snap.schema, snap.files, snap.partitionCols)
+        .join(readFilesMapped(snap, snap.files)
           .select(keys.map(col): _*), keys, "left_semi")
         .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_graft_cnt"))
         .filter(col("_graft_cnt") > 1).limit(1).collect()
@@ -947,7 +1075,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val rewritten: Option[DataFrame] =
       if (rewrite.isEmpty) None
       else {
-        val joined = readFiles(snap.schema, rewrite, snap.partitionCols)
+        val joined = readFilesMapped(snap, rewrite)
           .join(srcFlat, joinCond, "left")
         // first clause whose condition holds wins; -1 = keep row as-is
         val winner = when(col(GraftTable.MatchMarker).isNotNull,
@@ -985,7 +1113,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       if (insertClauses.isEmpty) None
       else {
         val anti = source.join(
-          readFiles(snap.schema, snap.files, snap.partitionCols)
+          readFilesMapped(snap, snap.files)
             .select(keys.map(col): _*), keys, "left_anti")
         val antiFlat = anti.select(anti.columns.toIndexedSeq.map(c =>
           col(c).as(GraftTable.SrcPrefix + c)): _*)
@@ -1049,10 +1177,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       else base
         .repartitionByRange(numFiles, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
+    // the rewrite lands every row in fresh files under CURRENT column
+    // names, so the rename log clears too (retired names are reusable
+    // again — no live file carries their bytes)
     commit("compact", snap.schema,
       writeData(arranged, id, snap.partitionCols, widen = false),
       snap.partitionCols, expectedParent = snap.id,
-      delsOverride = Some(Nil))
+      delsOverride = Some(Nil), renamesOverride = Some(Nil))
   }
 
   /** Dynamic partition overwrite (Iceberg's `REPLACE WHERE` /

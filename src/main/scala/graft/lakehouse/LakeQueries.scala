@@ -235,6 +235,31 @@ object LakeQueries {
     t.readWhere(pred).orderBy("o_orderkey")
   }
 
+  /** ALTER TABLE schema evolution as SQL (Iceberg's full surface, not
+    * just add-column): ADD COLUMNS is a metadata-only commit (old
+    * rows read NULL), RENAME COLUMN maps old files' write-time names
+    * through an epoch alias (no rewrite — Iceberg's field-id
+    * resolution, done with a scoped name mapping), DROP COLUMN
+    * retires the name metadata-only. The final SELECT crosses two
+    * name epochs and three schema versions in one scan. */
+  private val alter: Q = (s, dir) => {
+    val customer = Tables.customer(s, dir)
+    val t = GraftTable.create(s, tmp("lake_alt"),
+      customer.filter(col("c_custkey") % 2 === 0))
+    LakeRegistry.register("lake_alt_t", t)
+    s.sql("ALTER TABLE lake_alt_t ADD COLUMNS (tier STRING)")
+    customer.filter(col("c_custkey") % 2 === 1)
+      .withColumn("tier",
+        concat(lit("T"), (col("c_custkey") % 3).cast("string")))
+      .createOrReplaceTempView("lake_alt_src")
+    s.sql("INSERT INTO lake_alt_t SELECT * FROM lake_alt_src")
+    s.sql("ALTER TABLE lake_alt_t RENAME COLUMN c_mktsegment TO segment")
+    s.sql("ALTER TABLE lake_alt_t DROP COLUMN c_name")
+    require(t.currentSnapshot.op == "evolve-drop" &&
+      t.snapshots.size == 5, "three ALTERs + two writes = five commits")
+    s.sql("SELECT * FROM lake_alt_t").orderBy("c_custkey")
+  }
+
   /** Hidden partitioning (Iceberg partition transforms): the table
     * partitions by `year(o_orderdate)` × `bucket[4](o_custkey)` —
     * derived values the user NEVER writes or filters on. Predicates
@@ -475,6 +500,7 @@ object LakeQueries {
     "lake_sort_compact"     -> sortCompact,
     "lake_branch"           -> branch,
     "lake_hidden_partition" -> hiddenPartition,
+    "lake_alter"            -> alter,
     "lake_mor_delete"       -> morDelete,
     "lake_expire"           -> expire,
     "lake_overwrite_partition" -> overwritePartition,
@@ -575,6 +601,19 @@ object LakeQueries {
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |ORDER BY o_orderkey""".stripMargin,
+    // two name epochs: even custkeys wrote (…, c_mktsegment) pre-ALTER
+    // and read NULL tier; odd custkeys wrote post-ADD with tier; the
+    // rename + drop then reshape both epochs in metadata only
+    "lake_alter" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |       c_mktsegment AS segment, CAST(NULL AS VARCHAR) AS tier
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_nationkey, c_acctbal,
+        |       c_mktsegment AS segment,
+        |       'T' || CAST(c_custkey % 3 AS VARCHAR) AS tier
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin,
     "lake_hidden_partition" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-07-01'

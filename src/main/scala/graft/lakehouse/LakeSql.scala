@@ -325,8 +325,52 @@ object LakeDdl {
             claimDrop(spark, id.nameParts.head.toLowerCase) =>
         Some(GraftDropTableCommand(id.nameParts.head.toLowerCase, purge))
 
+      // ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN —
+      // schema evolution as SQL (Iceberg's ALTER TABLE surface).
+      // Claimed only for names this engine manages; everything else
+      // falls through to Spark.
+      case ac: AddColumns =>
+        claimAlter(spark, ac.table).map { name =>
+          val cols = ac.columnsToAdd.map { c =>
+            require(c.path.isEmpty,
+              "ADD COLUMNS into nested structs is not supported")
+            StructField(c.colName, c.dataType, nullable = true)
+          }
+          GraftAlterCommand(name, "ADD COLUMNS", _.addColumns(cols))
+        }
+
+      case rc: RenameColumn =>
+        claimAlter(spark, rc.table).map { name =>
+          require(rc.column.name.size == 1,
+            "RENAME COLUMN on nested fields is not supported")
+          GraftAlterCommand(name, "RENAME COLUMN",
+            _.renameColumn(rc.column.name.head, rc.newName))
+        }
+
+      case dc: DropColumns =>
+        claimAlter(spark, dc.table).map { name =>
+          val cols = dc.columnsToDrop.map { c =>
+            require(c.name.size == 1,
+              "DROP COLUMN on nested fields is not supported")
+            c.name.head
+          }
+          GraftAlterCommand(name, "DROP COLUMN",
+            t => cols.foreach(t.dropColumn))
+        }
+
       case _ => None
     }
+
+  /** Claim an ALTER target: a single-part name that is registered (or
+    * probes as an on-disk managed table, mirroring [[claimDrop]]). */
+  private def claimAlter(spark: SparkSession,
+      table: LogicalPlan): Option[String] = table match {
+    case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if ut.multipartIdentifier.size == 1 &&
+          claimDrop(spark, ut.multipartIdentifier.head.toLowerCase) =>
+      Some(ut.multipartIdentifier.head.toLowerCase)
+    case _ => None
+  }
 
   /** DROP mirrors [[CreateGuard]]: the registry is in-memory, so in a
     * fresh session an on-disk graft table must be probed at its
@@ -488,6 +532,20 @@ case class GraftCtasCommand(name: String, @transient query: LogicalPlan,
   * the same write-path FGAC gate as DELETE/UPDATE/MERGE/INSERT — a
   * read-only principal must not be able to destroy a table it cannot
   * modify. */
+/** ALTER TABLE schema evolution, gated by write-path FGAC like every
+  * other mutation (changing a table's shape is a write). */
+case class GraftAlterCommand(name: String, op: String,
+    alter: GraftTable => Unit) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      s"ALTER ($op)")
+    alter(LakeRegistry.get(name).getOrElse(throw new IllegalStateException(
+      s"table $name vanished from the registry")))
+    Seq.empty
+  }
+}
+
 case class GraftDropTableCommand(name: String, purge: Boolean)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {

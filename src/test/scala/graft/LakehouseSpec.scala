@@ -666,6 +666,56 @@ class LakehouseSpec extends AnyFunSuite {
     assert(pruned.size < t.currentSnapshot.files.size)
   }
 
+  test("rename column: old files alias through, history keeps old name") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.renameColumn("v", "score")
+    assert(t.read().columns.toSeq == Seq("k", "tag", "score"))
+    assert(t.read().orderBy("k").select("score").as[Double].collect()
+      .toSeq == Seq(1.0, 2.0))
+    // new epoch writes under the new name; both epochs scan together
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "score"))
+    assert(t.read().count() == 3)
+    // DML through the new name rewrites old-epoch files correctly
+    t.update(Map("score" -> "score * 10"), "k = 1")
+    assert(t.read().orderBy("k").select("score").as[Double].collect()
+      .toSeq == Seq(10.0, 2.0, 3.0))
+    // time travel shows the old snapshot under its old schema
+    assert(t.readAt(1).columns.toSeq == Seq("k", "tag", "v"))
+    // stats-pruned read stays correct across epochs (old files' stats
+    // are keyed by the physical name → conservative keep)
+    assert(t.readWhere("score >= 3.0").count() == 2)
+  }
+
+  test("drop column: metadata-only, name retired until a rewrite") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val files = t.currentSnapshot.files
+    t.dropColumn("tag")
+    assert(t.currentSnapshot.files == files, "drop must not rewrite data")
+    assert(t.read().columns.toSeq == Seq("k", "v"))
+    // re-adding the name would resurrect old bytes — refused
+    val e = intercept[IllegalArgumentException](
+      t.addColumns(Seq(StructField("tag", StringType))))
+    assert(e.getMessage.contains("renamed or dropped"))
+    // a full rewrite clears the retirement; the new column reads NULL
+    t.compact(1)
+    t.addColumns(Seq(StructField("tag", StringType)))
+    assert(t.read().filter(col("tag").isNotNull).count() == 0)
+    // guards: partition sources and last column are protected
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+  }
+
+  test("SQL ALTER TABLE evolves a registered table, FGAC-gated") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    graft.lakehouse.LakeRegistry.register("alter_sql_t", t)
+    spark.sql("ALTER TABLE alter_sql_t ADD COLUMNS (note STRING)")
+    spark.sql("ALTER TABLE alter_sql_t RENAME COLUMN tag TO label")
+    spark.sql("ALTER TABLE alter_sql_t DROP COLUMN v")
+    assert(spark.sql("SELECT * FROM alter_sql_t").columns.toSeq ==
+      Seq("k", "label", "note"))
+    assert(spark.sql("SELECT label FROM alter_sql_t").head.getString(0) == "a")
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
