@@ -624,24 +624,39 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // `rdd.getNumPartitions` probe answered the same question by
     // executing every upstream stage under AQE.
     val par = math.min(8, df.sparkSession.sparkContext.defaultParallelism)
-    val wide =
-      if (widen && GraftTable.isNarrow(df, par)) df.repartition(par) else df
     // identity specs lay out hive-style (partition values live in the
     // dirs, reads reconstitute via basePath); transform specs derive
     // throwaway _gp_i dir columns and keep every raw column in the
     // data files (hidden partitioning — the user never sees the
-    // derived value)
+    // derived value). Partitioned writes CLUSTER by the partition
+    // value first (Iceberg's hash write-distribution): without it
+    // every task writes every directory and a P-partition write
+    // explodes into tasks×P small files — the commit's footer
+    // harvest and every later scan pay for that forever. A single
+    // hot partition serializing into one task is the known tradeoff
+    // (production Iceberg offers range/none modes for skew).
+    // widen=false (compaction) opts out: the caller owns the layout.
     val w =
-      if (partitionCols.isEmpty)
+      if (partitionCols.isEmpty) {
+        val wide =
+          if (widen && GraftTable.isNarrow(df, par)) df.repartition(par)
+          else df
         wide.write.mode("overwrite")
-      else if (PartField.allIdentity(partitionCols))
-        wide.write.mode("overwrite").partitionBy(partitionCols: _*)
-      else {
+      } else if (PartField.allIdentity(partitionCols)) {
+        val clustered =
+          if (widen) df.repartition(par, partitionCols.map(col): _*)
+          else df
+        clustered.write.mode("overwrite").partitionBy(partitionCols: _*)
+      } else {
         val spec = PartField.parseAll(partitionCols)
-        spec.zipWithIndex.foldLeft(wide) { case (d, (f, i)) =>
+        val derived = spec.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
           d.withColumn(PartField.dirCol(i),
-            f.toColumn(wide.schema(f.col).dataType))
-        }.write.mode("overwrite")
+            f.toColumn(df.schema(f.col).dataType))
+        }
+        val dirCols = spec.indices.map(i => col(PartField.dirCol(i)))
+        val clustered =
+          if (widen) derived.repartition(par, dirCols: _*) else derived
+        clustered.write.mode("overwrite")
           .partitionBy(spec.indices.map(PartField.dirCol): _*)
       }
     w.parquet(dir.toString)
@@ -851,18 +866,29 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   /** `file:/x` vs `file:///x` vs plain `/x` all normalize to `/x`. */
   private def normalize(p: String): String = new Path(p).toUri.getPath
 
-  /** The data files that contain at least one row matching `hit` —
-    * one distributed pass, shipping only distinct file names back.
-    * (Iceberg prunes with manifest min/max stats first; the scan here
-    * is the exact fallback and still reads only the scanned columns.) */
-  private def affectedFiles(snap: Snapshot, hit: DataFrame => DataFrame): Set[String] =
-    hit(readFilesMapped(snap, snap.files)
+  /** The data files among `candidates` that contain at least one row
+    * matching `hit` — one distributed pass, shipping only distinct
+    * file names back. Callers with a SQL predicate narrow
+    * `candidates` with manifest stats + partition pruning FIRST
+    * (Iceberg's order), so a DELETE touching one day of a 100 TB
+    * table scans that day's candidate files, not the table. */
+  private def affectedFiles(snap: Snapshot, candidates: Seq[String],
+      hit: DataFrame => DataFrame): Set[String] =
+    hit(readFilesMapped(snap, candidates)
       .withColumn("_graft_file", input_file_name()))
       .select("_graft_file")
       .distinct()
       .collect()
       .map(r => normalize(r.getString(0)))
       .toSet
+
+  /** Manifest-only candidate set for a row-level predicate: files
+    * whose column stats AND partition values could match. */
+  private def dmlCandidates(snap: Snapshot, predSql: String): Seq[String] = {
+    val kept = pruneByStats(snap, predSql).toSet &
+      prunePartitions(snap, predSql).toSet
+    snap.files.filter(kept)
+  }
 
   private def partitionFiles(snap: Snapshot, affected: Set[String]) =
     snap.files.partition(f => !affected(normalize(f)))
@@ -897,7 +923,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val p = expr(predSql)
     val snap = currentSnapshot
     requireNoMorDels(snap, "DELETE")
-    val (keep, rewrite) = partitionFiles(snap, affectedFiles(snap, _.filter(p)))
+    val (keep, rewrite) = partitionFiles(snap,
+      affectedFiles(snap, dmlCandidates(snap, predSql), _.filter(p)))
     val id = currentSnapshotId + 1
     val newFiles =
       if (rewrite.isEmpty) Nil
@@ -955,7 +982,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     requireNoMorDels(snap, "UPDATE")
     val assignments = resolveAssignments(assignments0,
       snap.schema.fieldNames.toSeq, "UPDATE SET")
-    val (keep, rewrite) = partitionFiles(snap, affectedFiles(snap, _.filter(p)))
+    val (keep, rewrite) = partitionFiles(snap,
+      affectedFiles(snap, dmlCandidates(snap, predSql), _.filter(p)))
     val id = currentSnapshotId + 1
     val newFiles =
       if (rewrite.isEmpty) Nil
@@ -1070,7 +1098,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val (keep, rewrite) =
       if (matchedClauses.isEmpty) (snap.files, Nil)
       else partitionFiles(snap,
-        affectedFiles(snap, _.join(srcKeys, keys, "left_semi")))
+        affectedFiles(snap, snap.files,
+          _.join(srcKeys, keys, "left_semi")))
 
     val rewritten: Option[DataFrame] =
       if (rewrite.isEmpty) None

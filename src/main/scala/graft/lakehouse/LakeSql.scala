@@ -87,7 +87,10 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val v = version.getOrElse(throw new UnsupportedOperationException(
           s"graft table $name supports VERSION AS OF only " +
             "(snapshots are not timestamped)"))
-        SubqueryAlias(name, t.readAt(v.toLong).queryExecution.analyzed)
+        // numeric → snapshot id; anything else → branch/tag name
+        // (Iceberg's `VERSION AS OF 'ref'`)
+        val id = v.toLongOption.getOrElse(t.headOf(v))
+        SubqueryAlias(name, t.readAt(id).queryExecution.analyzed)
 
       case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
           !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&

@@ -716,6 +716,40 @@ class LakehouseSpec extends AnyFunSuite {
     assert(spark.sql("SELECT label FROM alter_sql_t").head.getString(0) == "a")
   }
 
+  test("SQL VERSION AS OF accepts branch and tag names") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    graft.lakehouse.LakeRegistry.register("ref_ttl_t", t)
+    t.createTag("first")
+    t.createBranch("dev")
+    t.appendToBranch(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"), "dev")
+    assert(spark.sql("SELECT * FROM ref_ttl_t VERSION AS OF 'dev'")
+      .count() == 2)
+    assert(spark.sql("SELECT * FROM ref_ttl_t VERSION AS OF 'first'")
+      .count() == 1)
+    assert(spark.sql("SELECT * FROM ref_ttl_t").count() == 1)
+  }
+
+  test("DML discovery scans only stats-candidate files") {
+    // range-clustered table: a DELETE on the tail must carry the
+    // head files forward by reference (they were never candidates)
+    val dir = Files.createTempDirectory("graft_dmlprune").toString
+    val t = GraftTable.create(spark, dir,
+      (0L until 300L).map(k => (k, s"r$k")).toDF("k", "tag"))
+    t.compact(6, sortBy = Seq("k"))
+    val before = t.currentSnapshot.files.toSet
+    val candidates = before.size
+    t.delete("k >= 280")
+    val after = t.currentSnapshot.files.toSet
+    assert((before intersect after).size >= candidates - 2,
+      "non-candidate files must survive by reference")
+    assert(t.read().count() == 280)
+    // an UPDATE whose predicate misses every file's range is a no-op
+    // commit that rewrites nothing
+    val files2 = t.currentSnapshot.files.toSet
+    t.update(Map("tag" -> "'x'"), "k >= 5000")
+    assert(t.currentSnapshot.files.toSet == files2)
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
