@@ -1193,8 +1193,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * bounds turn from useless (every file spans the whole domain) to
     * surgical — the clustering pass that makes [[readWhere]] data
     * skipping actually skip. At 100 TB this is how a slowly-written,
-    * arrival-ordered table becomes range-readable without an index. */
-  def compact(numFiles: Int, sortBy: Seq[String] = Nil): Long = {
+    * arrival-ordered table becomes range-readable without an index.
+    *
+    * With `zorderBy`, the rewrite clusters on a Z-VALUE interleaving
+    * the bits of every named column (Delta's `OPTIMIZE ZORDER BY`,
+    * Iceberg's `sort_order => 'zorder(…)'`): each output file covers
+    * a small hyper-rectangle of the combined space, so predicates on
+    * ANY of the dimensions skip files — the multi-dimensional
+    * clustering a single sort order cannot give. Column ranges for
+    * the bit scaling come from the manifest's stats when complete
+    * (no extra pass), else one tiny min/max aggregate. */
+  def compact(numFiles: Int, sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Long = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "choose sortBy or zorderBy, not both")
     val snap = currentSnapshot
     val id = currentSnapshotId + 1
     // compaction also MATERIALIZES pending merge-on-read deletes:
@@ -1202,7 +1214,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // the new files and the delete predicates clear
     val base = morRead(snap, snap.files)
     val arranged =
-      if (sortBy.isEmpty) base.repartition(numFiles)
+      if (zorderBy.nonEmpty) {
+        val z = zValue(snap, base, zorderBy)
+        base.withColumn(GraftTable.ZCol, z)
+          .repartitionByRange(numFiles, col(GraftTable.ZCol))
+          .sortWithinPartitions(GraftTable.ZCol)
+          .drop(GraftTable.ZCol)
+      }
+      else if (sortBy.isEmpty) base.repartition(numFiles)
       else base
         .repartitionByRange(numFiles, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
@@ -1213,6 +1232,69 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       writeData(arranged, id, snap.partitionCols, widen = false),
       snap.partitionCols, expectedParent = snap.id,
       delsOverride = Some(Nil), renamesOverride = Some(Nil))
+  }
+
+  /** The Morton z-value of `cols` as a Column: each column scales to
+    * 16 bits against its table-wide [min, max] (from the manifest's
+    * merged per-file stats when every file carries them — no data
+    * pass — else one min/max aggregate), then the bits interleave.
+    * NULLs sort first (scaled 0). Numeric, date and timestamp
+    * columns are supported. */
+  private def zValue(snap: Snapshot, base: DataFrame,
+      cols: Seq[String]): Column = {
+    import org.apache.spark.sql.types._
+    cols.foreach { c =>
+      val dt = snap.schema(c).dataType
+      require(dt.isInstanceOf[NumericType] || dt == DateType ||
+        dt == TimestampType || dt == TimestampNTZType,
+        s"zorder column '$c' must be numeric or temporal, is " +
+          dt.simpleString)
+    }
+    // a column normalized to the numeric form the manifest stats use
+    // (days for dates, micros for timestamps, plain value otherwise)
+    def norm(c: String): Column = snap.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c)).cast("double")
+      // NTZ micros == the parquet footer numbers under the UTC
+      // session this engine pins (unix_micros takes TIMESTAMP only)
+      case TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast("double")
+      case DateType => col(c).cast("int").cast("double")
+      case _ => col(c).cast("double")
+    }
+    // table-wide bounds: manifest stats if complete, else one agg
+    // over the SAME normalized form
+    val fromStats: Option[Seq[(Double, Double)]] = {
+      val per = cols.map { c =>
+        val bounds = snap.files.map(f =>
+          snap.stats.getOrElse(f, Map.empty).get(c.toLowerCase)
+            .orElse(snap.stats.getOrElse(f, Map.empty).get(c)))
+        if (bounds.exists(b => b.isEmpty || b.get.mn.isEmpty)) None
+        else Some((bounds.flatMap(_.get.mn).map(BigDecimal(_)).min,
+          bounds.flatMap(_.get.mx).map(BigDecimal(_)).max))
+      }
+      if (per.forall(_.isDefined))
+        Some(per.map(b => (b.get._1.toDouble, b.get._2.toDouble)))
+      else None
+    }
+    val bounds: Seq[(Double, Double)] = fromStats.getOrElse {
+      val row = base.select(cols.flatMap(c =>
+        Seq(min(norm(c)), max(norm(c)))): _*).head()
+      cols.indices.map(i =>
+        (if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i),
+          if (row.isNullAt(2 * i + 1)) 1.0 else row.getDouble(2 * i + 1)))
+    }
+    val scaled: Seq[Column] = cols.zip(bounds).map { case (c, (mn, mx)) =>
+      val span = if (mx > mn) mx - mn else 1.0
+      (coalesce(
+        least(greatest((norm(c) - lit(mn)) / lit(span), lit(0.0)), lit(1.0)),
+        lit(0.0)) * lit(65535.0)).cast("long")
+    }
+    val k = scaled.size
+    (0 until 16).flatMap { i =>
+      scaled.zipWithIndex.map { case (s, j) =>
+        shiftleft(shiftright(s, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_.bitwiseOR(_))
   }
 
   /** Dynamic partition overwrite (Iceberg's `REPLACE WHERE` /
@@ -1707,6 +1789,9 @@ object GraftTable {
 
   /** The default branch every table is born with. */
   val MainBranch = "main"
+
+  /** Throwaway z-value column used during a zorder compaction. */
+  private[lakehouse] val ZCol = "_graft_zvalue"
 
   /** Flat-namespace prefix for source columns in [[MergeClause]]
     * conditions and value expressions. */

@@ -364,6 +364,37 @@ object LakeQueries {
     t.readWhere(pred).orderBy("o_orderkey")
   }
 
+  /** Z-order compaction (Delta's `OPTIMIZE … ZORDER BY`, Iceberg's
+    * zorder rewrite strategy), issued as the SQL maintenance command:
+    * after three arrival-ordered appends neither a date nor a price
+    * predicate can skip a single file (require()d); interleaving the
+    * bits of both columns clusters each output file into a small
+    * rectangle of (orderdate × totalprice) space, so predicates on
+    * EITHER dimension prune — what no single sort order gives. The
+    * oracle pins the 2-D filtered read. */
+  private val zorder: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_zo"),
+      orders.filter(col("o_orderkey") % 3 === 0))
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))
+    t.append(orders.filter(col("o_orderkey") % 3 === 2))
+    LakeRegistry.register("lake_zo_t", t)
+    val datePred = "o_orderdate >= TIMESTAMP '1999-07-01 00:00:00'"
+    val pricePred = "o_totalprice <= 100000.0"
+    val before = t.currentSnapshot
+    require(t.pruneByStats(before, datePred).size == before.files.size &&
+      t.pruneByStats(before, pricePred).size == before.files.size,
+      "arrival-ordered files span both domains — nothing prunes")
+    s.sql("OPTIMIZE lake_zo_t FILES 16 ZORDER BY (o_orderdate, o_totalprice)")
+    val snap = t.currentSnapshot
+    val byDate = t.pruneByStats(snap, datePred)
+    val byPrice = t.pruneByStats(snap, pricePred)
+    require(byDate.size < snap.files.size && byPrice.size < snap.files.size,
+      s"z-order must prune on both dimensions " +
+        s"(date ${byDate.size}, price ${byPrice.size} of ${snap.files.size})")
+    t.readWhere(s"$datePred AND $pricePred").orderBy("o_orderkey")
+  }
+
   /** The reference producer's whole DDL lifecycle in SQL alone
     * (producer_iceberg_datalake_setup.sh:117-160): CREATE a
     * partitioned table, load it with INSERT INTO … SELECT, derive a
@@ -498,6 +529,7 @@ object LakeQueries {
     "lake_skipping"         -> skipping,
     "lake_metadata"         -> metadata,
     "lake_sort_compact"     -> sortCompact,
+    "lake_zorder"           -> zorder,
     "lake_branch"           -> branch,
     "lake_hidden_partition" -> hiddenPartition,
     "lake_alter"            -> alter,
@@ -631,6 +663,11 @@ object LakeQueries {
     "lake_sort_compact" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "lake_zorder" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+        |  AND o_totalprice <= 100000.0
         |ORDER BY o_orderkey""".stripMargin,
     // batches 0 and 1 lose their 'F' rows to the scoped delete; batch
     // 2 was appended after it and keeps everything

@@ -380,7 +380,7 @@ object LakeDdl {
     * managed location and re-registered before DROP can claim it —
     * otherwise the statement falls through to the Spark session
     * catalog and errors with table-not-found (round-3 ADVICE). */
-  private def claimDrop(spark: SparkSession, name: String): Boolean =
+  private[lakehouse] def claimDrop(spark: SparkSession, name: String): Boolean =
     LakeRegistry.get(name).isDefined || {
       val root = spark.conf.get("spark.sql.warehouse.dir")
         .stripSuffix("/") + s"/graft/$name"
@@ -458,15 +458,79 @@ object LakeDdl {
   }
 }
 
+/** Table-maintenance statements with no Spark grammar — parsed from
+  * the raw SQL text before the delegate would reject them (the same
+  * trick Delta's parser uses for OPTIMIZE/VACUUM):
+  *
+  * {{{
+  *   OPTIMIZE t [FILES n] [SORT BY (c, …) | ZORDER BY (c, …)]
+  *   VACUUM t RETAIN n SNAPSHOTS
+  * }}}
+  *
+  * OPTIMIZE is [[GraftTable.compact]] (bin-pack / sort / z-order
+  * rewrite); VACUUM is [[GraftTable.expireSnapshots]]. Claimed only
+  * for names this engine manages. */
+object LakeMaintenance {
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?(?:\s+(SORT|ZORDER)\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+SNAPSHOTS\s*;?\s*""".r
+
+  def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case Optimize(name, files, mode, cols)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        val n = Option(files).map(_.toInt).getOrElse(8)
+        val colSeq = Option(cols).toSeq.flatMap(
+          _.split(",").map(_.trim).filter(_.nonEmpty))
+        require(colSeq.nonEmpty == (mode != null),
+          "SORT BY / ZORDER BY needs a non-empty column list")
+        Some(GraftOptimizeCommand(name.toLowerCase, n,
+          Option(mode).map(_.toUpperCase).getOrElse(""), colSeq))
+      case Vacuum(name, keep)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftVacuumCommand(name.toLowerCase, keep.toInt))
+      case _ => None
+    }
+}
+
+case class GraftOptimizeCommand(name: String, files: Int, mode: String,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "OPTIMIZE")
+    val t = LakeRegistry.get(name).get
+    mode match {
+      case "SORT"   => t.compact(files, sortBy = cols)
+      case "ZORDER" => t.compact(files, zorderBy = cols)
+      case _        => t.compact(files)
+    }
+    Seq.empty
+  }
+}
+
+case class GraftVacuumCommand(name: String, keep: Int)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "VACUUM")
+    LakeRegistry.get(name).get.expireSnapshots(keep)
+    Seq.empty
+  }
+}
+
 /** Delegating parser that lowers graft DDL straight out of the
   * parser; everything else passes through untouched. */
 class GraftSqlParser(spark: SparkSession,
     delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan = {
-    val plan = delegate.parsePlan(sqlText)
-    LakeDdl.lower(spark, plan).getOrElse(plan)
-  }
+  override def parsePlan(sqlText: String): LogicalPlan =
+    LakeMaintenance.parse(spark, sqlText).getOrElse {
+      val plan = delegate.parsePlan(sqlText)
+      LakeDdl.lower(spark, plan).getOrElse(plan)
+    }
   override def parseExpression(s: String) = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)
   override def parseFunctionIdentifier(s: String) =
