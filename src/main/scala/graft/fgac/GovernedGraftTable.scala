@@ -54,4 +54,23 @@ final class GovernedGraftTable(
   def merge(source: DataFrame, keys: Seq[String], clauses: Seq[MergeClause]): Long = {
     checkWrite("MERGE"); underlying.merge(source, keys, clauses)
   }
+
+  // schema evolution and maintenance are writes too: reshaping or
+  // rewriting a table a principal can only SELECT from is denied
+  def addColumns(cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    checkWrite("ALTER"); underlying.addColumns(cols)
+  }
+  def dropColumn(name: String): Long = {
+    checkWrite("ALTER"); underlying.dropColumn(name)
+  }
+  def renameColumn(from: String, to: String): Long = {
+    checkWrite("ALTER"); underlying.renameColumn(from, to)
+  }
+  def compact(numFiles: Int, sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Long = {
+    checkWrite("OPTIMIZE"); underlying.compact(numFiles, sortBy, zorderBy)
+  }
+  def expireSnapshots(keepLast: Int): Unit = {
+    checkWrite("VACUUM"); underlying.expireSnapshots(keepLast)
+  }
 }

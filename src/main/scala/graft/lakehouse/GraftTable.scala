@@ -45,7 +45,8 @@ final case class Snapshot(
     dels: Seq[DeletePred] = Nil,
     fileSeq: Map[String, Long] = Map.empty,
     fileRows: Map[String, Long] = Map.empty,
-    renames: Seq[Rename] = Nil) {
+    renames: Seq[Rename] = Nil,
+    specHist: Seq[(Long, Seq[String])] = Nil) {
 
   /** The physical (write-time) name of current column `name` in a
     * data file added at sequence `fseq`: renames that happened after
@@ -53,6 +54,15 @@ final case class Snapshot(
   def physicalName(name: String, fseq: Long): String =
     renames.filter(_.seq > fseq).reverseIterator
       .foldLeft(name)((n, r) => if (r.to == n) r.from else n)
+
+  /** The partition spec a file added at sequence `fseq` was written
+    * under (Iceberg's per-file spec-id): the latest spec-history
+    * entry at or before `fseq`; `partitionCols` when the table never
+    * evolved its spec. */
+  def specAt(fseq: Long): Seq[String] =
+    if (specHist.isEmpty) partitionCols
+    else specHist.filter(_._1 <= fseq).lastOption
+      .map(_._2).getOrElse(Nil)
 }
 
 /** Another writer published a snapshot between this operation's
@@ -306,6 +316,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       renames = kv.collect { case ("rename", v) =>
         val parts = v.split("\t", 3)
         Rename(parts(0).toLong, parts(1), parts(2))
+      },
+      specHist = kv.collect { case ("spechist", v) =>
+        val i = v.indexOf('\t')
+        (v.substring(0, i).toLong,
+          v.substring(i + 1).split(",").toSeq.filter(_.nonEmpty))
       })
   }
 
@@ -336,7 +351,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       expectedParent: Long, delsOverride: Option[Seq[DeletePred]] = None,
       refSnap: Option[Snapshot] = None,
       branch: String = GraftTable.MainBranch,
-      renamesOverride: Option[Seq[Rename]] = None): Long =
+      renamesOverride: Option[Seq[Rename]] = None,
+      specHistOverride: Option[Seq[(Long, Seq[String])]] = None): Long =
     // In-process writers (multiple handles over one root) serialize
     // here, making check-then-publish a true CAS within the JVM.
     // Across processes publishNoOverwrite is the CAS — atomic
@@ -345,14 +361,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // as Iceberg's HadoopTableOperations.
     GraftTable.commitLock(root.toString).synchronized {
       commitLocked(op, schema, files, partitionCols, expectedParent,
-        delsOverride, refSnap, branch, renamesOverride)
+        delsOverride, refSnap, branch, renamesOverride, specHistOverride)
     }
 
   private def commitLocked(op: String, schema: StructType,
       files: Seq[String], partitionCols: Seq[String],
       expectedParent: Long, delsOverride: Option[Seq[DeletePred]],
       refSnap: Option[Snapshot], branch: String,
-      renamesOverride: Option[Seq[Rename]]): Long = {
+      renamesOverride: Option[Seq[Rename]],
+      specHistOverride: Option[Seq[(Long, Seq[String])]]): Long = {
     refs.get(branch).foreach { case (kind, _) =>
       require(kind == "branch", s"cannot commit to $kind '$branch'")
     }
@@ -406,6 +423,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val dels = delsOverride.getOrElse(ref.map(_.dels).getOrElse(Nil))
     val renames =
       renamesOverride.getOrElse(ref.map(_.renames).getOrElse(Nil))
+    val specHist =
+      specHistOverride.getOrElse(ref.map(_.specHist).getOrElse(Nil))
     def bodyFor(id: Long): String = {
       val body = new StringBuilder
       body ++= s"parent=$expectedParent\n"
@@ -425,6 +444,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       // cannot predict it)
       renames.foreach(r => body ++=
         s"rename=${if (r.seq < 0) id else r.seq}\t${r.from}\t${r.to}\n")
+      specHist.foreach { case (seq, spec) => body ++=
+        s"spechist=${if (seq < 0) id else seq}\t${spec.mkString(",")}\n" }
       body.toString
     }
     // Publish loop: the snapshot id is a table-global allocation
@@ -846,6 +867,37 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       renamesOverride = Some(snap.renames :+ Rename(-1L, resolved, to)))
   }
 
+  /** Partition spec evolution (Iceberg's headline "change the
+    * partitioning without rewriting a byte"): a METADATA-ONLY commit
+    * records the new spec; files already written keep their old
+    * layout and are pruned under the spec they were written with
+    * ([[Snapshot.specAt]], Iceberg's per-file spec-id), while new
+    * writes land under the new spec. Restricted to DATA-COMPLETE
+    * specs — empty or transform specs, whose data files retain every
+    * raw column — because a hive-identity file physically lacks its
+    * partition column and could not survive a spec change. (Wrap an
+    * identity need as `truncate`/`bucket`, or create the table with
+    * the transform spec outright.) */
+  def updatePartitionSpec(newSpec: Seq[String]): Long = {
+    val snap = currentSnapshot
+    def dataComplete(spec: Seq[String]) =
+      spec.isEmpty || !PartField.allIdentity(spec)
+    require(dataComplete(snap.partitionCols),
+      "cannot evolve away from a hive-identity spec: its data files " +
+        "do not contain the partition column")
+    require(dataComplete(newSpec),
+      "evolved specs must be empty or transform specs (data-complete)")
+    PartField.parseAll(newSpec).foreach(f =>
+      require(snap.schema.fieldNames.contains(f.col),
+        s"partition source column ${f.col} is not in the table schema"))
+    val hist =
+      if (snap.specHist.nonEmpty) snap.specHist
+      else Seq((0L, snap.partitionCols))
+    commit("evolve-partition", snap.schema, snap.files, newSpec,
+      expectedParent = snap.id,
+      specHistOverride = Some(hist :+ ((-1L, newSpec))))
+  }
+
   /** Replace all rows; the table schema is kept and `df` must align
     * to it (same contract as [[append]] — an INSERT OVERWRITE that
     * silently re-typed columns would defeat the typed-alignment
@@ -858,7 +910,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     commit("overwrite", snap.schema,
       writeData(aligned(df, snap.schema), id, snap.partitionCols),
       snap.partitionCols, expectedParent = snap.id,
-      delsOverride = Some(Nil), renamesOverride = Some(Nil))
+      delsOverride = Some(Nil), renamesOverride = Some(Nil),
+      specHistOverride = Some(Nil))
   }
 
   // ---- copy-on-write DML -------------------------------------------
@@ -1231,7 +1284,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     commit("compact", snap.schema,
       writeData(arranged, id, snap.partitionCols, widen = false),
       snap.partitionCols, expectedParent = snap.id,
-      delsOverride = Some(Nil), renamesOverride = Some(Nil))
+      delsOverride = Some(Nil), renamesOverride = Some(Nil),
+      specHistOverride = Some(Nil))
   }
 
   /** The Morton z-value of `cols` as a Column: each column scales to
@@ -1633,9 +1687,22 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * equality hash placement), decided on manifest paths alone. */
   private[graft] def prunePartitions(snap: Snapshot,
       filterSql: String): Seq[String] =
-    if (snap.partitionCols.isEmpty) snap.files
-    else PartField.pruneFiles(spark,
-      PartField.parseAll(snap.partitionCols), snap.files, filterSql)
+    if (snap.partitionCols.isEmpty && snap.specHist.isEmpty) snap.files
+    else if (snap.specHist.isEmpty)
+      PartField.pruneFiles(spark,
+        PartField.parseAll(snap.partitionCols), snap.files, filterSql)
+    else {
+      // evolved table: each file prunes under the spec it was
+      // written with (Iceberg's per-file spec-id)
+      val keep = snap.files
+        .groupBy(f => snap.specAt(snap.fileSeq.getOrElse(f, snap.id)))
+        .flatMap { case (spec, fs) =>
+          if (spec.isEmpty) fs
+          else PartField.pruneFiles(spark,
+            PartField.parseAll(spec), fs, filterSql)
+        }.toSet
+      snap.files.filter(keep)
+    }
 
   // ---- metadata tables ----------------------------------------------
 
@@ -1671,20 +1738,26 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     import scala.jdk.CollectionConverters._
     val snap = currentSnapshot
     require(snap.partitionCols.nonEmpty, "table is not partitioned")
-    val grouped = snap.files.groupBy(f =>
-      partitionSegment(snap, f).getOrElse(
-        throw new IllegalStateException(s"file outside a partition dir: $f")))
-    val rows = grouped.toSeq.sortBy(_._1).map { case (seg, fs) =>
-      val values = seg.split("/").map { kv =>
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(kv.substring(kv.indexOf('=') + 1))
-      }
-      val counts = fs.map(snap.fileRows.get)
-      val total =
-        if (counts.forall(_.isDefined))
-          java.lang.Long.valueOf(counts.flatten.sum)
-        else null
-      Row.fromSeq(values.toSeq ++ Seq(fs.size.toLong, total))
+    // files written under an OLDER spec (partition evolution) carry
+    // no current-spec segment: they aggregate under NULL partition
+    // values, like Iceberg's partitions table across spec ids
+    val grouped = snap.files.groupBy(f => partitionSegment(snap, f))
+    val nParts = snap.partitionCols.size
+    val rows = grouped.toSeq.sortBy(_._1.getOrElse("")).map {
+      case (seg, fs) =>
+        val values: Seq[Any] = seg match {
+          case Some(s) => s.split("/").toSeq.map { kv =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(kv.substring(kv.indexOf('=') + 1))
+          }
+          case None => Seq.fill[Any](nParts)(null)
+        }
+        val counts = fs.map(snap.fileRows.get)
+        val total =
+          if (counts.forall(_.isDefined))
+            java.lang.Long.valueOf(counts.flatten.sum)
+          else null
+        Row.fromSeq(values ++ Seq(fs.size.toLong, total))
     }
     spark.createDataFrame(rows.asJava, StructType(
       PartField.parseAll(snap.partitionCols).map(f =>

@@ -235,6 +235,34 @@ object LakeQueries {
     t.readWhere(pred).orderBy("o_orderkey")
   }
 
+  /** Partition spec evolution (Iceberg's "change the partitioning
+    * without rewriting a byte"): the table starts UNPARTITIONED
+    * (early small-table days), then evolves to `year(o_orderdate)`
+    * in a metadata-only commit — require()d zero file changes — and
+    * only data appended afterwards lands in year directories. A date
+    * predicate then prunes per file under the spec each file was
+    * written with (old files conservatively kept, new files pruned
+    * by year — require()d in between the two counts). */
+  private val partitionEvolution: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    val t = GraftTable.create(s, tmp("lake_pe"),
+      orders.filter(upTo("1997-01-01")))
+    val filesBefore = t.currentSnapshot.files
+    t.updatePartitionSpec(Seq("year(o_orderdate)"))
+    require(t.currentSnapshot.files == filesBefore,
+      "spec evolution must be a metadata-only commit")
+    t.append(orders.filter(!upTo("1997-01-01")))
+    val snap = t.currentSnapshot
+    val pred = "o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'"
+    val pruned = t.prunePartitions(snap, pred)
+    require(pruned.size < snap.files.size &&
+      pruned.size >= filesBefore.size,
+      s"old files keep (no dirs), post-evolution years prune " +
+        s"(${pruned.size} of ${snap.files.size})")
+    t.readWhere(pred).orderBy("o_orderkey")
+  }
+
   /** ALTER TABLE schema evolution as SQL (Iceberg's full surface, not
     * just add-column): ADD COLUMNS is a metadata-only commit (old
     * rows read NULL), RENAME COLUMN maps old files' write-time names
@@ -532,6 +560,7 @@ object LakeQueries {
     "lake_zorder"           -> zorder,
     "lake_branch"           -> branch,
     "lake_hidden_partition" -> hiddenPartition,
+    "lake_partition_evolution" -> partitionEvolution,
     "lake_alter"            -> alter,
     "lake_mor_delete"       -> morDelete,
     "lake_expire"           -> expire,
@@ -649,6 +678,10 @@ object LakeQueries {
     "lake_hidden_partition" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "lake_partition_evolution" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
         |ORDER BY o_orderkey""".stripMargin,
     // the fast-forwarded main = initial load + both branch appends
     "lake_branch" ->

@@ -778,6 +778,35 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.snapshots.map(_.id) == Seq(3L))
   }
 
+  test("partition spec evolution: per-file specs, DML across epochs") {
+    val dir = Files.createTempDirectory("graft_pe").toString
+    val t = GraftTable.create(spark, dir,
+      (0L until 100L).map(k => (k, k % 10, s"r$k")).toDF("k", "g", "tag"))
+    t.updatePartitionSpec(Seq("bucket[4](g)"))
+    t.append((100L until 200L).map(k => (k, k % 10, s"r$k"))
+      .toDF("k", "g", "tag"))
+    assert(t.read().count() == 200)
+    // equality on g prunes only post-evolution files
+    val snap = t.currentSnapshot
+    val pruned = t.prunePartitions(snap, "g = 3")
+    assert(pruned.size < snap.files.size)
+    assert(t.readWhere("g = 3").count() == 20)
+    // DML crosses both epochs; rewritten files land under the new spec
+    t.delete("g = 7")
+    assert(t.read().count() == 180)
+    // hive-identity tables refuse evolution (files lack the column)
+    val t2 = GraftTable.create(spark,
+      Files.createTempDirectory("graft_pe2").toString,
+      Seq((1L, "x", 1.0)).toDF("k", "tag", "v"), partitionBy = Seq("tag"))
+    intercept[IllegalArgumentException](
+      t2.updatePartitionSpec(Seq("bucket[4](k)")))
+    // evolution back to unpartitioned is legal and reads stay whole
+    t.updatePartitionSpec(Nil)
+    t.append((200L until 210L).map(k => (k, k % 10, s"r$k"))
+      .toDF("k", "g", "tag"))
+    assert(t.read().count() == 190)
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
