@@ -225,6 +225,104 @@ object Ann {
     topK(s, cand)
   }
 
+  // ---- product quantization ---------------------------------------
+
+  private val PqM = 8            // subspaces
+  private val PqK = 16           // centroids per subspace (4-bit codes)
+  private val PqSub = Dim / PqM  // dims per subspace
+  private val PqRerank = 100     // ADC candidates re-ranked exactly
+
+  /** Subvector m of a (normalized) vector column (slice is 1-based). */
+  private def subCol(v: Column, m: Int): Column =
+    slice(v, m * PqSub + 1, PqSub)
+
+  /** argmin-L2 assignment against literal centroids: minimizing
+    * ||x−c||² over fixed-norm x is maximizing dot(x,c) − ||c||²/2. */
+  private def assignL2Col(v: Column, cent: Seq[Centroid]): Column =
+    if (cent.size == 1) lit(cent.head.cell)
+    else greatest(cent.map(ct => struct(
+      (dot(v, litVec(ct.v)) - lit(ct.nrm * ct.nrm / 2)).as("score"),
+      lit(-ct.cell).as("negc"))): _*).getField("negc") * -1
+
+  /** Deterministic per-subspace Lloyd training (L2, the PQ metric):
+    * same shape as [[trainKmeans]] — zero-shuffle assignment
+    * projection + tiny decimal-exact mean aggregate per round; the
+    * codebook is a few KB of driver-side literals. At 100 TB the
+    * codebooks train on a sample. */
+  private def trainPqSub(sub: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
+    def fromRows(rows: Array[org.apache.spark.sql.Row]): Seq[Centroid] =
+      rows.map(r => mkCentroid(r.getInt(0), r.getSeq[Double](1).toArray))
+        .toSeq.sortBy(_.cell)
+    var cent = fromRows(sub.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("int").as("cell"), col("sv")).collect())
+    for (_ <- 1 to iters)
+      cent = fromRows(
+        cellMeans(sub.select(col("sv").as("v"),
+          assignL2Col(col("sv"), cent).as("cell")))
+          .select(col("cell").cast("int"), col("c_v")).collect())
+    cent
+  }
+
+  /** Product quantization with asymmetric-distance search — the tier
+    * that makes 100 TB vector search feasible: after training, the
+    * corpus carries M=4 small ints per vector instead of 64 doubles
+    * (the candidate scan below touches ONLY `vec_id` + codes; the
+    * full vectors rejoin for the final 50-candidate re-rank).
+    * Vectors are L2-normalized first so dot decomposes per subspace:
+    * cos(q,v) ≈ Σ_m dot(q_m, codebook_m[code_m]) — the ADC score,
+    * evaluated as a literal-codebook expression, zero shuffles. */
+  private[graft] def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+    val books: Seq[Seq[Centroid]] = (0 until PqM).map { m =>
+      trainPqSub(c.select(col("vec_id"), subCol(col("vn"), m).as("sv")),
+        PqK, KmeansIters)
+    }
+    // the compression step: corpus → (vec_id, code0..codeM)
+    val codes = c.select(col("vec_id") +: (0 until PqM).map(m =>
+      assignL2Col(subCol(col("vn"), m), books(m)).as(s"code$m")): _*)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("q_vn"))
+    // ADC: per subspace, look the code up in the literal codebook
+    val adc = (0 until PqM).map { m =>
+      books(m).foldRight(lit(0.0)) { (ct, els) =>
+        when(col(s"code$m") === ct.cell,
+          dot(subCol(col("q_vn"), m), litVec(ct.v))).otherwise(els)
+      }
+    }.reduce(_ + _)
+    val ranked = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").desc, col("vec_id").asc)))
+      .filter(col("rk") <= PqRerank)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank of Q×50 candidates: only now do full vectors join
+    val rer = ranked
+      .join(c.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(c.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm"))), Seq("q_id"))
+      .withColumn("cos",
+        cosine(col("v"), col("q_v"), col("nrm"), col("q_nrm")))
+    topK(s, rer)
+  }
+
+  /** Driver-gated decision row, like [[ivfKmeans]]: per-subspace
+    * Lloyd training cannot unroll into one SQL statement, so the
+    * oracle pins the exact-result cardinality and a recall@5 >= 0.8
+    * verdict (deterministic end to end — a regression flips it). */
+  private val pq: Q = (s, d) => {
+    val approx = pqTopK(s, d).select(col("q_id"), col("neighbor_id"))
+    val exact = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+    hits.agg(count(lit(1)).as("n_hit"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select(col("n_exact"),
+        (col("n_hit") >= col("n_exact") * 0.8).as("recall_ge_080"))
+  }
+
   /** The driver-gated form of [[ivfKmeansTopK]]: three Lloyd
     * iterations cannot reasonably unroll into one DuckDB statement,
     * so the oracled output is a decision row — the exact-result
@@ -247,7 +345,8 @@ object Ann {
     "ann_bruteforce" -> bruteforce,
     "ann_lsh" -> lsh,
     "ann_ivf" -> ivf,
-    "ann_ivf_kmeans" -> ivfKmeans)
+    "ann_ivf_kmeans" -> ivfKmeans,
+    "ann_pq" -> pq)
 
   // ---- DuckDB oracles ---------------------------------------------
 
@@ -334,6 +433,11 @@ object Ann {
     // Decision-row oracle: DuckDB recomputes the exact-result
     // cardinality and expects the recall@5 >= 0.8 verdict TRUE.
     "ann_ivf_kmeans" ->
+      s"""$bruteforceCtes
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         | true AS recall_ge_080
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "ann_pq" ->
       s"""$bruteforceCtes
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
          | true AS recall_ge_080

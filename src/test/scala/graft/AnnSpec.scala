@@ -43,6 +43,23 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"recall too low: $recall%.2f")
   }
 
+  test("PQ recall@5 against exact top-5 (ADC + exact re-rank)") {
+    val got = graft.ann.Ann.pqTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"ann_pq recall@5 = $recall%.2f")
+    assert(recall >= 0.5, f"recall too low: $recall%.2f")
+  }
+
+  test("PQ decision row reports recall over threshold") {
+    val r = SparkEntry.queries("ann_pq")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_exact") == 10L * 5)
+    assert(r.head.getAs[Boolean]("recall_ge_080"))
+  }
+
   test("k-means IVF decision row reports recall over threshold") {
     val r = SparkEntry.queries("ann_ivf_kmeans")(spark, sf).collect()
     assert(r.length == 1)
