@@ -81,12 +81,21 @@ final class CommitConflictException(msg: String)
   *
   * Layout under `root`:
   * {{{
-  *   data/commit-00001/part-*.parquet     immutable data files
-  *   _graft_meta/snap-00001.meta          one manifest per snapshot
+  *   data/commit-00001-xxxx/part-*.parquet  immutable data files
+  *                                          (hive dirs for identity
+  *                                          specs, _gp_i dirs for
+  *                                          transform specs)
+  *   _graft_meta/snap-00001.meta            one manifest per snapshot
+  *   _graft_meta/refs                       branch/tag heads (only
+  *                                          once a ref is created)
+  *   _graft_meta/staged-<token>.meta        write-audit-publish stages
+  *   _graft_meta/table.properties           TBLPROPERTIES
   * }}}
   *
   * A snapshot is a manifest: the list of data files plus the schema
-  * current at commit time. Commits are copy-on-write, Iceberg-style:
+  * current at commit time, per-file add-sequences, footer-harvested
+  * column bounds and record counts, pending merge-on-read delete
+  * predicates, the column-rename log, and the partition-spec history. Commits are copy-on-write, Iceberg-style:
   * DELETE / UPDATE / MERGE first compute the *affected file set* (the
   * data files that actually contain matching rows, discovered with a
   * distributed scan over `input_file_name`), rewrite only those files,

@@ -141,6 +141,36 @@ class FgacSpec extends AnyFunSuite {
     assert(graft.lakehouse.LakeRegistry.get("wd_customer").isEmpty)
   }
 
+  test("maintenance and ALTER SQL go through write-path FGAC") {
+    SparkEntry.queries("fgac_write_deny")(spark, sf).collect() // wd_customer
+    for (stmt <- Seq(
+        "OPTIMIZE wd_customer FILES 2",
+        "VACUUM wd_customer RETAIN 1 SNAPSHOTS",
+        "ALTER TABLE wd_customer ADD COLUMNS (note STRING)")) {
+      val e = intercept[Exception](FgacQueries.asPrincipal(spark, "wd_reader") {
+        spark.sql(stmt)
+      })
+      assert(e.getMessage.contains("no write grant"),
+        s"read-only principal must be denied: $stmt → $e")
+    }
+    FgacQueries.asPrincipal(spark, "wd_writer") {
+      spark.sql("OPTIMIZE wd_customer FILES 2")
+    }
+    assert(graft.lakehouse.LakeRegistry.get("wd_customer").get
+      .currentSnapshot.op == "compact")
+  }
+
+  test("stats-pruned lakehouse read pushes the residual filter") {
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_rw_plan").toString,
+      Tables.orders(spark, sf))
+    val plan = t.readWhere("o_totalprice <= 100000.0")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("o_totalprice"),
+      s"residual filter must reach the parquet scan:\n$plan")
+  }
+
   test("FGAC filter pushes into the parquet scan") {
     FgacQueries.setup(spark, sf)
     val plan = FgacQueries.asPrincipal(spark, "analyst_cell") {
