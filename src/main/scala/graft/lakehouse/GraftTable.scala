@@ -1586,16 +1586,21 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   /** The files of the current snapshot that could contain a row
     * matching `filterSql`, decided on the manifest's column stats
     * alone — no file opens, O(#files × #conjuncts) driver-side. The
-    * filter is split into AND-ed `col <op> literal` conjuncts; every
-    * other predicate shape is ignored (conservative). A file is
-    * skipped only when some conjunct provably matches none of its
-    * values: comparisons are null-rejecting, so files whose non-null
-    * range misses the literal cannot contribute rows. */
+    * filter is split into AND-ed conjuncts of the prunable shapes —
+    * `col <op> literal`, `col IN (literals)`, `col IS [NOT] NULL` —
+    * and every other predicate shape is ignored (conservative). A
+    * file is skipped only when some conjunct provably matches none
+    * of its values: comparisons and IN are null-rejecting, so files
+    * whose non-null range misses every literal cannot contribute
+    * rows; IS NULL skips files whose null count is zero; IS NOT NULL
+    * skips files that are provably all-null (null count == record
+    * count). */
   private[graft] def pruneByStats(snap: Snapshot,
       filterSql: String): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
       BinaryComparison, EqualTo => CEq, GreaterThan => CGt,
-      GreaterThanOrEqual => CGe, LessThan => CLt, LessThanOrEqual => CLe,
+      GreaterThanOrEqual => CGe, In => CIn, IsNotNull => CIsNotNull,
+      IsNull => CIsNull, LessThan => CLt, LessThanOrEqual => CLe,
       Literal => CLit}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.types._
@@ -1615,11 +1620,28 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         case _ => None
       }
 
-    // (column, op, kind, literal) with op ∈ {=, <, <=, >, >=},
-    // normalized to "column op literal"
+    // (column, op, kind, literals): op ∈ {=, <, <=, >, >=} carries
+    // one literal, "in" carries the value list, "isnull"/"isnotnull"
+    // carry none
     def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Seq[(String, String, String, String)] = e match {
+        : Seq[(String, String, String, Seq[String])] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case CIsNull(a: UnresolvedAttribute) =>
+        Seq((a.nameParts.last.toLowerCase, "isnull", "", Nil))
+      case CIsNotNull(a: UnresolvedAttribute) =>
+        Seq((a.nameParts.last.toLowerCase, "isnotnull", "", Nil))
+      case CIn(a: UnresolvedAttribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[CLit]) =>
+        val reprs = vs.map(v => litRepr(v.asInstanceOf[CLit]))
+        // a NULL in the list matches nothing extra (IN is
+        // null-rejecting); an unrepresentable literal blocks pruning
+        if (reprs.exists(r => r.isEmpty)) Nil
+        else {
+          val kinds = reprs.flatten.map(_._1).distinct
+          if (kinds.size != 1) Nil
+          else Seq((a.nameParts.last.toLowerCase, "in", kinds.head,
+            reprs.flatten.map(_._2)))
+        }
       case bc: BinaryComparison =>
         val op = bc match {
           case _: CEq => "="
@@ -1639,10 +1661,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         (bc.left, bc.right) match {
           case (a: UnresolvedAttribute, l: CLit) =>
             litRepr(l).map(kv =>
-              (a.nameParts.last.toLowerCase, op, kv._1, kv._2)).toSeq
+              (a.nameParts.last.toLowerCase, op, kv._1, Seq(kv._2))).toSeq
           case (l: CLit, a: UnresolvedAttribute) =>
             litRepr(l).map(kv =>
-              (a.nameParts.last.toLowerCase, flip(op), kv._1, kv._2)).toSeq
+              (a.nameParts.last.toLowerCase, flip(op), kv._1, Seq(kv._2))).toSeq
           case _ => Nil
         }
       case _ => Nil
@@ -1660,18 +1682,33 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
     snap.files.filter { f =>
       val cs = snap.stats.getOrElse(f, Map.empty)
-      preds.forall { case (c, op, k, v) =>
-        cs.get(c) match {
-          case Some(ColStat(sk, Some(mn), Some(mx), _))
-              if sk == k && (k == "n" || (ascii(v) && ascii(mn) && ascii(mx))) =>
-            op match { // keep unless provably disjoint
-              case "="  => cmp(k, v, mn) >= 0 && cmp(k, v, mx) <= 0
-              case "<"  => cmp(k, mn, v) < 0
-              case "<=" => cmp(k, mn, v) <= 0
-              case ">"  => cmp(k, mx, v) > 0
-              case ">=" => cmp(k, mx, v) >= 0
+      preds.forall { case (c, op, k, vs) =>
+        op match {
+          case "isnull" => // skip only files with provably no nulls
+            cs.get(c).forall(_.nulls > 0)
+          case "isnotnull" => // skip only provably all-null files
+            val allNull = (cs.get(c), snap.fileRows.get(f)) match {
+              case (Some(st), Some(rows)) => rows > 0 && st.nulls >= rows
+              case _ => false
             }
-          case _ => true // no usable stat → cannot prune
+            !allNull
+          case _ =>
+            cs.get(c) match {
+              case Some(ColStat(sk, Some(mn), Some(mx), _)) if sk == k &&
+                  (k == "n" ||
+                    (vs ++ Seq(mn, mx)).forall(ascii)) =>
+                op match { // keep unless provably disjoint
+                  case "="  =>
+                    cmp(k, vs.head, mn) >= 0 && cmp(k, vs.head, mx) <= 0
+                  case "in" => vs.exists(v =>
+                    cmp(k, v, mn) >= 0 && cmp(k, v, mx) <= 0)
+                  case "<"  => cmp(k, mn, vs.head) < 0
+                  case "<=" => cmp(k, mn, vs.head) <= 0
+                  case ">"  => cmp(k, mx, vs.head) > 0
+                  case ">=" => cmp(k, mx, vs.head) >= 0
+                }
+              case _ => true // no usable stat → cannot prune
+            }
         }
       }
     }

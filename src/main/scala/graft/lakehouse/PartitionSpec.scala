@@ -187,7 +187,12 @@ object PartField {
             .ExternalCatalogUtils
             .unescapePathName(seg.substring(dirName.length + 1))
           conjuncts.filter(_._1 == field.col.toLowerCase).forall {
-            case (_, op, value, dt) =>
+            case (_, "in", values, _) =>
+              // keep if ANY listed value lands in this partition; an
+              // unplaceable literal blocks pruning for the whole list
+              val placed = values.map { case (v, dt) => field.ofLiteral(v, dt) }
+              placed.exists(_.isEmpty) || placed.flatten.contains(dirVal)
+            case (_, op, Seq((value, dt)), _) =>
               field.ofLiteral(value, dt) match {
                 case None => true // cannot place the literal → keep
                 case Some(pv) => op match {
@@ -200,25 +205,36 @@ object PartField {
                   case _ => true // bucket + range, etc. → keep
                 }
               }
+            case _ => true
           }
         }
       }
     }
   }
 
-  /** AND-ed `col <op> literal` conjuncts of `filterSql`, with the raw
-    * literal value and type (for transform placement). */
+  /** AND-ed prunable conjuncts of `filterSql` — `col <op> literal`
+    * (one value) and `col IN (literals)` (op "in", all values) — with
+    * raw literal values and types (for transform placement). The
+    * fourth element disambiguates overloads only. */
   private def extractConjuncts(spark: org.apache.spark.sql.SparkSession,
-      filterSql: String): Seq[(String, String, Any, DataType)] = {
+      filterSql: String): Seq[(String, String, Seq[(Any, DataType)], Unit)] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
       BinaryComparison, EqualTo => CEq, GreaterThan => CGt,
-      GreaterThanOrEqual => CGe, LessThan => CLt, LessThanOrEqual => CLe,
-      Literal => CLit}
+      GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt,
+      LessThanOrEqual => CLe, Literal => CLit}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 
     def walk(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Seq[(String, String, Any, DataType)] = e match {
+        : Seq[(String, String, Seq[(Any, DataType)], Unit)] = e match {
       case CAnd(l, r) => walk(l) ++ walk(r)
+      case CIn(a: UnresolvedAttribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[CLit]) =>
+        // NULLs in the list match nothing (IN is null-rejecting)
+        val vals = vs.collect {
+          case l: CLit if l.value != null => (l.value: Any, l.dataType)
+        }
+        if (vals.isEmpty) Nil
+        else Seq((a.nameParts.last.toLowerCase, "in", vals, ()))
       case bc: BinaryComparison =>
         val op = bc match {
           case _: CEq => "="
@@ -235,9 +251,11 @@ object PartField {
         }
         (bc.left, bc.right) match {
           case (a: UnresolvedAttribute, l: CLit) if l.value != null =>
-            Seq((a.nameParts.last.toLowerCase, op, l.value, l.dataType))
+            Seq((a.nameParts.last.toLowerCase, op,
+              Seq((l.value, l.dataType)), ()))
           case (l: CLit, a: UnresolvedAttribute) if l.value != null =>
-            Seq((a.nameParts.last.toLowerCase, flip(op), l.value, l.dataType))
+            Seq((a.nameParts.last.toLowerCase, flip(op),
+              Seq((l.value, l.dataType)), ()))
           case _ => Nil
         }
       case _ => Nil

@@ -807,6 +807,35 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().count() == 190)
   }
 
+  test("stats pruning handles IN, IS NULL, IS NOT NULL conjuncts") {
+    val dir = Files.createTempDirectory("graft_instats").toString
+    // file 1: k 0..99, tag non-null; file 2: k 100..199, tag all NULL
+    val t = GraftTable.create(spark, dir,
+      (0L until 100L).map(k => (k, s"t$k")).toDF("k", "tag"))
+    t.append(spark.range(100, 200).toDF("k")
+      .withColumn("tag", lit(null).cast("string")))
+    val snap = t.currentSnapshot
+    val total = snap.files.size
+    // IN entirely inside file 2's range skips file 1
+    val in = t.pruneByStats(snap, "k IN (150, 160, 170)")
+    assert(in.size < total && in.nonEmpty)
+    assert(t.readWhere("k IN (150, 160, 170)").count() == 3)
+    // IS NULL skips the no-null file; IS NOT NULL skips the all-null file
+    val isNull = t.pruneByStats(snap, "tag IS NULL")
+    val notNull = t.pruneByStats(snap, "tag IS NOT NULL")
+    assert(isNull.size < total && notNull.size < total)
+    assert(t.readWhere("tag IS NULL").count() == 100)
+    assert(t.readWhere("tag IS NOT NULL").count() == 100)
+    // IN prunes bucket partitions too (hidden partitioning)
+    val dir2 = Files.createTempDirectory("graft_inpart").toString
+    val t2 = GraftTable.create(spark, dir2,
+      (0L until 200L).map(k => (k, s"r$k")).toDF("k", "tag"),
+      partitionBy = Seq("bucket[8](k)"))
+    val p = t2.prunePartitions(t2.currentSnapshot, "k IN (5, 6)")
+    assert(p.size < t2.currentSnapshot.files.size)
+    assert(t2.readWhere("k IN (5, 6)").count() == 2)
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
