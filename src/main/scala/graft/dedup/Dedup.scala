@@ -397,7 +397,31 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Deterministic training-order shuffle — the last step before a
+    * dataloader sees the corpus: each document hashes to a shard and
+    * a within-shard sort key, giving a reproducible global
+    * permutation without a global sort. Positions are per-shard
+    * (that is how sharded loaders consume data), so the only wide
+    * operation is one hash-partitioned window per shard — no
+    * single-partition global ORDER BY bottleneck at 100 TB. Hash is
+    * md5 (engine-portable), salted by an epoch tag so re-shuffling
+    * per epoch is a literal change, and retry/speculation-safe
+    * (unlike rand()). */
+  private val shuffleQ: Q = (s, d) => {
+    val key = md5(concat_ws("|",
+      col("doc_id").cast("string"), lit("epoch0")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), key.as("key"))
+      .withColumn("shard", ascii(substring(col("key"), 1, 1)) % 4)
+      .withColumn("position", row_number().over(w).cast("bigint"))
+      .select(col("shard"), col("position"), col("doc_id"))
+      .orderBy(col("shard"), col("position"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_shuffle" -> shuffleQ,
     "pipeline_clean_corpus" -> cleanCorpus,
     "pipeline_stratified_sample" -> stratifiedSample,
     "pipeline_mix" -> mix,
@@ -420,6 +444,18 @@ object Dedup {
       |   ELSE [] END AS sh FROM t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same md5 shard + sort-key permutation, recomputed in SQL
+    "pipeline_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  md5(CAST(doc_id AS VARCHAR) || '|epoch0') AS key
+        |  FROM documents),
+        |s AS (SELECT doc_id, key,
+        |  ascii(substr(key, 1, 1)) % 4 AS shard FROM k)
+        |SELECT shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY key, doc_id) AS BIGINT) AS position,
+        |  doc_id
+        |FROM s ORDER BY shard, position""".stripMargin,
     "pipeline_stratified_sample" ->
       """SELECT source, COUNT(*) AS n_sampled FROM documents
         |WHERE substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 2) < '4d'

@@ -38,6 +38,8 @@ final case class Snapshot(
     id: Long,
     parent: Long,
     op: String,
+    /** Commit wall-clock, epoch millis (0 for pre-timestamp manifests). */
+    ts: Long = 0L,
     schema: StructType,
     files: Seq[String],
     partitionCols: Seq[String] = Nil,
@@ -306,6 +308,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       id = id,
       parent = one("parent").toLong,
       op = one("op"),
+      ts = kv.collectFirst { case ("ts", v) => v.toLong }.getOrElse(0L),
       schema = DataType.fromJson(one("schema")).asInstanceOf[StructType],
       files = kv.collect { case ("file", v) => v },
       partitionCols = kv.collectFirst { case ("partcols", v) => v }
@@ -438,6 +441,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       val body = new StringBuilder
       body ++= s"parent=$expectedParent\n"
       body ++= s"op=$op\n"
+      body ++= s"ts=${System.currentTimeMillis()}\n"
       body ++= s"schema=${schema.json}\n"
       body ++= s"partcols=${partitionCols.mkString(",")}\n"
       files.foreach { f =>
@@ -520,6 +524,24 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def readAt(id: Long): DataFrame = {
     val snap = snapshot(id)
     morRead(snap, snap.files)
+  }
+
+  /** Wall-clock time travel (Iceberg's `TIMESTAMP AS OF`): the
+    * latest MAIN-lineage snapshot committed at or before `millis`
+    * (branch commits are not main history). Commit timestamps are
+    * informational metadata — correctness still keys off snapshot
+    * ids; this is the operator-facing "what did the table look like
+    * yesterday" surface. */
+  def readAsOfTimestamp(millis: Long): DataFrame = {
+    var id = currentSnapshotId
+    while (id > 0) {
+      val s = snapshot(id)
+      if (s.ts > 0 && s.ts <= millis) return morRead(s, s.files)
+      id = s.parent
+    }
+    throw new IllegalArgumentException(
+      s"no snapshot committed at or before epoch-millis $millis " +
+        "(pre-timestamp manifests cannot time-travel by wall clock)")
   }
 
   /** Read `files` under `snap`, applying merge-on-read deletes. Files

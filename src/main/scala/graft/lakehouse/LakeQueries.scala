@@ -96,6 +96,23 @@ object LakeQueries {
     t.readAt(1).orderBy("o_orderkey")
   }
 
+  /** Wall-clock time travel (Iceberg's TIMESTAMP AS OF): read the
+    * table as of an instant strictly before the second commit — the
+    * content is exactly snapshot 1, deterministic even though the
+    * clock is not. Commit timestamps are informational manifest
+    * metadata; ids stay the correctness anchor. */
+  private val timeTravelTs: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_tts"),
+      orders.filter(col("o_orderkey") % 2 === 1))
+    Thread.sleep(5) // clocks are ms-resolution; keep the commits apart
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val cutoff = t.snapshot(2).ts - 1
+    require(t.snapshot(1).ts <= cutoff,
+      "commit timestamps must order with the commits")
+    t.readAsOfTimestamp(cutoff).orderBy("o_orderkey")
+  }
+
   /** Add a `tier` column mid-stream: rows written before the column
     * existed read back NULL for it. */
   private val schemaEvolution: Q = (s, dir) => {
@@ -550,6 +567,7 @@ object LakeQueries {
     "lake_delete"           -> delete,
     "lake_update"           -> update,
     "lake_time_travel"      -> timeTravel,
+    "lake_time_travel_ts"   -> timeTravelTs,
     "lake_schema_evolution" -> schemaEvolution,
     "lake_incremental"      -> incremental,
     "lake_compaction"       -> compaction,
@@ -642,6 +660,8 @@ object LakeQueries {
         |  o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "lake_time_travel" ->
+      "SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey",
+    "lake_time_travel_ts" ->
       "SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey",
     "lake_schema_evolution" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,

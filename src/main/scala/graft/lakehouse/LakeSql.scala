@@ -73,10 +73,8 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * isolation as [[GraftTable.read]]. */
   private def resolveReads(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
-      // SELECT … FROM t VERSION AS OF n — Iceberg-style SQL time
-      // travel, resolved to the named snapshot. TIMESTAMP AS OF is
-      // not supported (snapshots carry no wall-clock in this format):
-      // fail loudly rather than silently reading current.
+      // SELECT … FROM t VERSION AS OF <id|'ref'> / TIMESTAMP AS OF
+      // <literal> — Iceberg-style SQL time travel.
       case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
           u: UnresolvedRelation, ts, version)
           if u.multipartIdentifier.size == 1 &&
@@ -84,13 +82,17 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             LakeRegistry.get(u.multipartIdentifier.head).isDefined =>
         val name = u.multipartIdentifier.head.toLowerCase
         val t = LakeRegistry.get(name).get
-        val v = version.getOrElse(throw new UnsupportedOperationException(
-          s"graft table $name supports VERSION AS OF only " +
-            "(snapshots are not timestamped)"))
-        // numeric → snapshot id; anything else → branch/tag name
-        // (Iceberg's `VERSION AS OF 'ref'`)
-        val id = v.toLongOption.getOrElse(t.headOf(v))
-        SubqueryAlias(name, t.readAt(id).queryExecution.analyzed)
+        val df = (version, ts) match {
+          case (Some(v), _) =>
+            // numeric → snapshot id; anything else → branch/tag name
+            // (Iceberg's `VERSION AS OF 'ref'`)
+            t.readAt(v.toLongOption.getOrElse(t.headOf(v)))
+          case (None, Some(tsExpr)) =>
+            t.readAsOfTimestamp(tsMillis(tsExpr))
+          case _ => throw new UnsupportedOperationException(
+            s"time travel on $name needs VERSION AS OF or TIMESTAMP AS OF")
+        }
+        SubqueryAlias(name, df.queryExecution.analyzed)
 
       case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
           !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
@@ -99,6 +101,25 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val t = LakeRegistry.get(name).get
         SubqueryAlias(name, t.read().queryExecution.analyzed)
     }
+
+  /** Epoch millis of a `TIMESTAMP AS OF` literal: TIMESTAMP literals
+    * carry UTC micros; bare strings are interpreted in the SESSION
+    * time zone (matching how Spark would cast them). Anything
+    * non-literal fails loudly. */
+  private def tsMillis(e: Expression): Long = e match {
+    case l: Literal
+        if l.dataType == org.apache.spark.sql.types.TimestampType =>
+      l.value.asInstanceOf[Long] / 1000L
+    case l: Literal
+        if l.dataType == org.apache.spark.sql.types.StringType =>
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      java.time.LocalDateTime
+        .parse(l.value.toString.replace(' ', 'T'))
+        .atZone(zone).toInstant.toEpochMilli
+    case other => throw new UnsupportedOperationException(
+      s"TIMESTAMP AS OF requires a timestamp or string literal, got $other")
+  }
 
   /** DDL/DML statements addressed to a graft table, lowered to eager
     * commands. None = not ours; fall through to [[resolveReads]]. */

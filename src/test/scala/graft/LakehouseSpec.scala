@@ -716,6 +716,28 @@ class LakehouseSpec extends AnyFunSuite {
     assert(spark.sql("SELECT label FROM alter_sql_t").head.getString(0) == "a")
   }
 
+  test("TIMESTAMP AS OF reads the latest snapshot at or before the instant") {
+    val t = freshTable(Seq((1L, "a", 1.0))) // snap 1
+    Thread.sleep(5)
+    t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v")) // snap 2
+    val cutoff = t.snapshot(2).ts - 1
+    assert(t.readAsOfTimestamp(cutoff).count() == 1)
+    assert(t.readAsOfTimestamp(System.currentTimeMillis()).count() == 2)
+    intercept[IllegalArgumentException](
+      t.readAsOfTimestamp(t.snapshot(1).ts - 10000))
+    // SQL surface: a timestamp literal in the (UTC) session zone
+    graft.lakehouse.LakeRegistry.register("ts_ttl_t", t)
+    val lit1 = java.time.Instant.ofEpochMilli(cutoff)
+      .atZone(java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone))
+      .toLocalDateTime.toString.replace('T', ' ')
+    assert(spark.sql(
+      s"SELECT * FROM ts_ttl_t TIMESTAMP AS OF '$lit1'").count() == 1)
+    assert(spark.sql(
+      s"SELECT * FROM ts_ttl_t TIMESTAMP AS OF TIMESTAMP '$lit1'")
+      .count() == 1)
+  }
+
   test("SQL VERSION AS OF accepts branch and tag names") {
     val t = freshTable(Seq((1L, "a", 1.0)))
     graft.lakehouse.LakeRegistry.register("ref_ttl_t", t)
