@@ -265,12 +265,13 @@ object Ann {
 
   /** Product quantization with asymmetric-distance search — the tier
     * that makes 100 TB vector search feasible: after training, the
-    * corpus carries M=4 small ints per vector instead of 64 doubles
-    * (the candidate scan below touches ONLY `vec_id` + codes; the
-    * full vectors rejoin for the final 50-candidate re-rank).
-    * Vectors are L2-normalized first so dot decomposes per subspace:
-    * cos(q,v) ≈ Σ_m dot(q_m, codebook_m[code_m]) — the ADC score,
-    * evaluated as a literal-codebook expression, zero shuffles. */
+    * corpus carries [[PqM]] 4-bit codes per vector instead of 64
+    * doubles (the candidate scan below touches ONLY `vec_id` +
+    * codes; the full vectors rejoin for the final [[PqRerank]]-
+    * candidate re-rank). Vectors are L2-normalized first so dot
+    * decomposes per subspace: cos(q,v) ≈ Σ_m dot(q_m,
+    * codebook_m[code_m]) — the ADC score, evaluated as a
+    * literal-codebook expression, zero shuffles. */
   private[graft] def pqTopK(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
       .withColumn("vn", transform(col("v"), x => x / col("nrm")))

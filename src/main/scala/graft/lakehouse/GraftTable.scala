@@ -13,7 +13,9 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * and timestamps as their underlying day/micro numbers) and "s" for
   * strings; `mn`/`mx` are canonical string renderings, None when the
   * file holds no non-null value (or the stat was withheld — long
-  * strings, unsupported types). */
+  * strings, unsupported types). `nulls` is -1 when the writer did
+  * not record a null count — "unknown", which pruning must treat as
+  * "may contain anything". */
 final case class ColStat(kind: String, mn: Option[String],
     mx: Option[String], nulls: Long)
 
@@ -168,11 +170,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     }
   }
 
-  /** Rewrite the refs file. Caller holds the commit lock; the write
-    * is tmp+rename so readers never see a torn file. Cross-process
-    * ref moves need a catalog/lock service — the same contract as
-    * Iceberg's HadoopTableOperations (the manifest CAS still bounds
-    * the damage to a stale ref, never a torn snapshot). */
+  /** Rewrite the refs file. Caller holds the commit lock. The
+    * replacement must be ATOMIC — a reader finding the file missing
+    * would fall back to "main = highest snapshot id" and could see an
+    * unpublished branch head — so local filesystems replace via
+    * nio ATOMIC_MOVE (POSIX rename over an existing destination);
+    * elsewhere the delete+rename window is the documented reason ref
+    * moves need a catalog/lock service across processes, the same
+    * contract as Iceberg's HadoopTableOperations (the manifest CAS
+    * still bounds the damage to a stale ref, never a torn snapshot). */
   private def writeRefs(r: Map[String, (String, Long)]): Unit = {
     val tmp = new Path(metaDir,
       s"refs.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
@@ -181,9 +187,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       s"$k=$n\t$id"
     }.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(refsPath, false)
-    if (!fs.rename(tmp, refsPath))
-      throw new IllegalStateException("failed to publish refs file")
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(refsPath.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case _ =>
+        fs.delete(refsPath, false)
+        if (!fs.rename(tmp, refsPath))
+          throw new IllegalStateException("failed to publish refs file")
+    }
   }
 
   /** Materialize the refs file if absent (pinning `main` where it is
@@ -464,9 +480,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // Publish loop: the snapshot id is a table-global allocation
     // (branches share one id space), so losing the id race to a
     // commit on ANOTHER branch is not a conflict — re-allocate and
-    // re-publish. Losing because OUR branch head moved is.
+    // re-publish. Losing because OUR branch head moved is. Bounded:
+    // a rename that keeps failing WITHOUT anyone else landing a
+    // snapshot is a filesystem problem, not a race — surface it
+    // instead of spinning under the commit lock.
     var attempt = id
-    while (true) {
+    var remaining = 16
+    while (remaining > 0) {
+      remaining -= 1
       val tmp = new Path(metaDir, f"snap-$attempt%05d.meta." +
         s"${java.util.UUID.randomUUID.toString.take(8)}.tmp")
       val out = fs.create(tmp, true)
@@ -484,7 +505,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
             "snapshot landed first")
       attempt = maxSnapshotId + 1
     }
-    throw new IllegalStateException("unreachable")
+    throw new IllegalStateException(
+      s"publish of snapshot $attempt failed repeatedly with no " +
+        "competing commit — filesystem refuses the rename")
   }
 
   /** Move `tmp` to `dest` iff `dest` does not exist, atomically with
@@ -1328,6 +1351,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   private def zValue(snap: Snapshot, base: DataFrame,
       cols: Seq[String]): Column = {
     import org.apache.spark.sql.types._
+    // 16 bits × k columns must fit a positive long (shiftleft wraps
+    // mod 64 — silently scrambled clustering, not an error)
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zorder takes 2-4 columns, got ${cols.size}")
     cols.foreach { c =>
       val dt = snap.schema(c).dataType
       require(dt.isInstanceOf[NumericType] || dt == DateType ||
@@ -1550,7 +1577,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
             byName.get(name).foreach { dt =>
               val st = cc.getStatistics
               if (st != null) {
-                val nulls = math.max(0L, st.getNumNulls)
+                // parquet reports "null count not recorded" as unset;
+                // -1 marks it unknown (≠ "provably zero nulls")
+                val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
                 val bound: Option[(String, String, String)] = // kind, mn, mx
                   if (!st.hasNonNullValue) None
                   else (dt, st.genericGetMin, st.genericGetMax) match {
@@ -1580,7 +1609,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
                         Some((minOf(k, pmn, mn), maxOf(k, pmx, mx)))
                       case _ => None // any block without bounds → no bounds
                     }
-                    acc(name) = (k, merged, pn + nulls)
+                    // any block with an unknown null count poisons
+                    // the file's total to unknown
+                    val mergedNulls =
+                      if (pn < 0 || nulls < 0) -1L else pn + nulls
+                    acc(name) = (k, merged, mergedNulls)
                 }
               }
             }
@@ -1706,11 +1739,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       val cs = snap.stats.getOrElse(f, Map.empty)
       preds.forall { case (c, op, k, vs) =>
         op match {
-          case "isnull" => // skip only files with provably no nulls
-            cs.get(c).forall(_.nulls > 0)
+          case "isnull" => // skip only files with PROVABLY no nulls
+            cs.get(c).forall(_.nulls != 0) // -1 (unknown) keeps
           case "isnotnull" => // skip only provably all-null files
             val allNull = (cs.get(c), snap.fileRows.get(f)) match {
-              case (Some(st), Some(rows)) => rows > 0 && st.nulls >= rows
+              case (Some(st), Some(rows)) =>
+                st.nulls >= 0 && rows > 0 && st.nulls >= rows
               case _ => false
             }
             !allNull
@@ -1757,8 +1791,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       filterSql: String): Seq[String] =
     if (snap.partitionCols.isEmpty && snap.specHist.isEmpty) snap.files
     else if (snap.specHist.isEmpty)
-      PartField.pruneFiles(spark,
-        PartField.parseAll(snap.partitionCols), snap.files, filterSql)
+      PartField.pruneFiles(spark, PartField.parseAll(snap.partitionCols),
+        snap.schema, snap.files, filterSql)
     else {
       // evolved table: each file prunes under the spec it was
       // written with (Iceberg's per-file spec-id)
@@ -1766,8 +1800,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         .groupBy(f => snap.specAt(snap.fileSeq.getOrElse(f, snap.id)))
         .flatMap { case (spec, fs) =>
           if (spec.isEmpty) fs
-          else PartField.pruneFiles(spark,
-            PartField.parseAll(spec), fs, filterSql)
+          else PartField.pruneFiles(spark, PartField.parseAll(spec),
+            snap.schema, fs, filterSql)
         }.toSet
       snap.files.filter(keep)
     }

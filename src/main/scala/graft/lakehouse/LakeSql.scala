@@ -114,9 +114,11 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if l.dataType == org.apache.spark.sql.types.StringType =>
       val zone = java.time.ZoneId.of(
         spark.sessionState.conf.sessionLocalTimeZone)
-      java.time.LocalDateTime
-        .parse(l.value.toString.replace(' ', 'T'))
-        .atZone(zone).toInstant.toEpochMilli
+      val s = l.value.toString.replace(' ', 'T')
+      val ldt = // date-only form means midnight (Iceberg convention)
+        if (s.contains('T')) java.time.LocalDateTime.parse(s)
+        else java.time.LocalDate.parse(s).atStartOfDay()
+      ldt.atZone(zone).toInstant.toEpochMilli
     case other => throw new UnsupportedOperationException(
       s"TIMESTAMP AS OF requires a timestamp or string literal, got $other")
   }

@@ -24,7 +24,10 @@ import org.apache.spark.sql.types._
   * predicates prune directories with plain string compares. Bucket
   * values are `pmod(xxhash64(col), N)` — the same expression Spark
   * evaluates distributed at write time is evaluated driver-side on
-  * the predicate literal at prune time.
+  * the predicate literal at prune time. Literal placement is
+  * deliberately strict about types: a literal whose type does not
+  * provably render and order like the directory value refuses to
+  * prune (conservative keep) rather than risk dropping rows.
   */
 sealed trait PartField {
   def col: String
@@ -42,9 +45,14 @@ sealed trait PartField {
     * (xxhash64 of INT 7 and LONG 7 differ). */
   def toColumn(dt: DataType): Column
 
-  /** The partition value a literal raw-column value falls into; None
-    * when this transform cannot place the literal (unsupported type). */
-  def ofLiteral(value: Any, dt: DataType): Option[String]
+  /** The partition value a literal raw-column value falls into, plus
+    * how rendered values compare for RANGE predicates: "n" = numeric,
+    * "s" = lexicographic (valid because the rendering is
+    * fixed-width/zero-padded or plain text), "x" = equality only.
+    * None when this transform cannot place the literal — wrong type
+    * family vs the column (`colDt`), unsupported type — in which
+    * case pruning must keep the file. */
+  def ofLiteral(value: Any, dt: DataType, colDt: DataType): Option[(String, String)]
 
   /** Whether the transform preserves ordering (so range predicates on
     * the raw column translate to range predicates on the partition
@@ -54,12 +62,34 @@ sealed trait PartField {
 
 object PartField {
 
+  private def isIntegral(dt: DataType) = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Raw column as the partition value (hive-style). Placement only
+    * for type pairs whose rendering provably matches what the hive
+    * writer put in the directory name: integral (numeric compare —
+    * "10" < "2" lexicographically!), string (lexicographic), date
+    * (ISO rendering, lexicographic == chronological). Timestamps,
+    * floats and decimals refuse: their dir renderings are
+    * formatter- and timezone-dependent. */
   final case class Identity(col: String) extends PartField {
     def render = col
     def displayName = col
     def toColumn(dt: DataType) = org.apache.spark.sql.functions.col(col)
-    def ofLiteral(value: Any, dt: DataType) = Some(value.toString)
     def monotonic = true
+
+    def ofLiteral(value: Any, dt: DataType, colDt: DataType) =
+      (dt, colDt) match {
+        case (a, b) if isIntegral(a) && isIntegral(b) =>
+          Some((value.toString, "n"))
+        case (StringType, StringType) => Some((value.toString, "s"))
+        case (DateType, DateType) =>
+          Some((java.time.LocalDate.ofEpochDay(
+            value.asInstanceOf[Number].longValue).toString, "s"))
+        case _ => None
+      }
   }
 
   /** year/month/day truncation of a DATE/TIMESTAMP column. */
@@ -75,50 +105,50 @@ object PartField {
       date_format(org.apache.spark.sql.functions.col(col), pattern)
     def monotonic = true
 
-    def ofLiteral(value: Any, dt: DataType): Option[String] = {
+    def ofLiteral(value: Any, dt: DataType,
+        colDt: DataType): Option[(String, String)] = {
       val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern)
       dt match {
         case DateType => // days since epoch
-          Some(java.time.LocalDate.ofEpochDay(
-            value.asInstanceOf[Number].longValue).format(fmt))
+          Some((java.time.LocalDate.ofEpochDay(
+            value.asInstanceOf[Number].longValue).format(fmt), "s"))
         case TimestampType | TimestampNTZType => // micros since epoch
-          Some(java.time.LocalDateTime.ofEpochSecond(
+          Some((java.time.LocalDateTime.ofEpochSecond(
             Math.floorDiv(value.asInstanceOf[Number].longValue, 1000000L),
-            0, java.time.ZoneOffset.UTC).format(fmt))
+            0, java.time.ZoneOffset.UTC).format(fmt), "s"))
         case _ => None
       }
     }
   }
 
   /** Hash bucket: `pmod(xxhash64(col), n)`. Only equality predicates
-    * prune (hash order is meaningless). Integral columns hash as
-    * LONG on both sides; strings as-is; other literal types refuse
-    * to prune rather than risk a hash-representation mismatch. */
+    * prune (hash order is meaningless — kind "x"). The literal must
+    * be in the COLUMN's type family: a string literal against a
+    * BIGINT column (Spark would coerce the comparison) hashes
+    * differently than the long value, so it refuses to place. */
   final case class Bucket(n: Int, col: String) extends PartField {
     def render = s"bucket[$n]($col)"
     def displayName = s"bucket${n}_$col"
     def toColumn(dt: DataType) = {
       val c = org.apache.spark.sql.functions.col(col)
-      val normalized = dt match {
-        case ByteType | ShortType | IntegerType | LongType => c.cast("long")
-        case _ => c
-      }
+      val normalized = if (isIntegral(dt)) c.cast("long") else c
       pmod(xxhash64(normalized), lit(n.toLong)).cast("string")
     }
     def monotonic = false
 
-    def ofLiteral(value: Any, dt: DataType): Option[String] = {
+    def ofLiteral(value: Any, dt: DataType,
+        colDt: DataType): Option[(String, String)] = {
       import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-      val normalized: Option[Literal] = dt match {
-        case ByteType | ShortType | IntegerType | LongType =>
+      val normalized: Option[Literal] = (dt, colDt) match {
+        case (a, b) if isIntegral(a) && isIntegral(b) =>
           Some(Literal(value.asInstanceOf[Number].longValue, LongType))
-        case StringType => Some(Literal.create(value, dt))
+        case (StringType, StringType) => Some(Literal.create(value, dt))
         case _ => None
       }
       normalized.flatMap { l =>
         try {
           val h = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
-          Some(java.lang.Math.floorMod(h, n.toLong).toString)
+          Some((java.lang.Math.floorMod(h, n.toLong).toString, "x"))
         } catch { case scala.util.control.NonFatal(_) => None }
       }
     }
@@ -133,9 +163,10 @@ object PartField {
       substring(org.apache.spark.sql.functions.col(col), 1, w)
     def monotonic = true
 
-    def ofLiteral(value: Any, dt: DataType): Option[String] = dt match {
-      case StringType => Some(value.toString.take(w))
-      case _          => None
+    def ofLiteral(value: Any, dt: DataType,
+        colDt: DataType): Option[(String, String)] = (dt, colDt) match {
+      case (StringType, StringType) => Some((value.toString.take(w), "s"))
+      case _                        => None
     }
   }
 
@@ -167,45 +198,76 @@ object PartField {
   /** Directory-column name for field `i` of a transform spec. */
   def dirCol(i: Int): String = s"_gp_$i"
 
+  private val NullDir =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+
+  /** Compare rendered partition values under kind `k`; None = not
+    * comparable (unparseable numeric, non-ASCII strings — Spark
+    * orders strings by UTF-8 bytes, Java by UTF-16 units) → keep. */
+  private def cmpVals(k: String, a: String, b: String): Option[Int] =
+    k match {
+      case "n" =>
+        try Some(BigDecimal(a).compare(BigDecimal(b)))
+        catch { case _: NumberFormatException => None }
+      case "s" if a.forall(_ < 128) && b.forall(_ < 128) =>
+        Some(a.compareTo(b))
+      case _ => None
+    }
+
   /** Prune `files` to those whose partition directories could contain
     * a row matching `filterSql` — driver-side, manifest paths only.
-    * Reuses the stats-pruner's conjunct extraction contract: only
-    * AND-ed `col <op> literal` conjuncts prune; everything else is
-    * conservative. */
+    * `schema` supplies the raw column types so literal placement can
+    * verify type families. Only AND-ed `col <op> literal` /
+    * `col IN (…)` conjuncts prune; everything else is conservative.
+    * All prunable conjuncts are null-rejecting, so a file in the
+    * NULL partition (`__HIVE_DEFAULT_PARTITION__`) provably matches
+    * none of them and is skipped outright. */
   def pruneFiles(spark: org.apache.spark.sql.SparkSession,
-      spec: Seq[PartField], files: Seq[String],
+      spec: Seq[PartField], schema: StructType, files: Seq[String],
       filterSql: String): Seq[String] = {
     val conjuncts = extractConjuncts(spark, filterSql)
     if (conjuncts.isEmpty) return files
+    val identityLayout = allIdentity(spec.map(_.render))
+    val fields = spec.zipWithIndex.map { case (field, i) =>
+      val dirName = if (identityLayout) field.col else dirCol(i)
+      val colDt = schema.fields
+        .find(_.name.equalsIgnoreCase(field.col)).map(_.dataType)
+      (field, dirName, colDt,
+        conjuncts.filter(_._1 == field.col.toLowerCase))
+    }.filter(_._4.nonEmpty)
+    if (fields.isEmpty) return files
+
     files.filter { f =>
       val segs = new org.apache.hadoop.fs.Path(f).toUri.getPath.split("/")
-      spec.zipWithIndex.forall { case (field, i) =>
-        val dirName =
-          if (allIdentity(spec.map(_.render))) field.col else dirCol(i)
+      fields.forall { case (field, dirName, colDt, preds) =>
         segs.find(_.startsWith(s"$dirName=")).forall { seg =>
           val dirVal = org.apache.spark.sql.catalyst.catalog
             .ExternalCatalogUtils
             .unescapePathName(seg.substring(dirName.length + 1))
-          conjuncts.filter(_._1 == field.col.toLowerCase).forall {
-            case (_, "in", values, _) =>
-              // keep if ANY listed value lands in this partition; an
-              // unplaceable literal blocks pruning for the whole list
-              val placed = values.map { case (v, dt) => field.ofLiteral(v, dt) }
-              placed.exists(_.isEmpty) || placed.flatten.contains(dirVal)
-            case (_, op, Seq((value, dt)), _) =>
-              field.ofLiteral(value, dt) match {
-                case None => true // cannot place the literal → keep
-                case Some(pv) => op match {
-                  case "="              => dirVal == pv
-                  // truncation is monotonic non-strict: a file whose
-                  // partition equals the literal's partition may still
-                  // hold matching rows, so bounds stay inclusive
-                  case "<" | "<=" if field.monotonic => dirVal <= pv
-                  case ">" | ">=" if field.monotonic => dirVal >= pv
-                  case _ => true // bucket + range, etc. → keep
+          if (dirVal == NullDir) false // null-rejecting conjuncts
+          else preds.forall { case (_, op, values, _) =>
+            val placed = values.map { case (v, dt) =>
+              colDt.flatMap(cd => field.ofLiteral(v, dt, cd))
+            }
+            if (placed.exists(_.isEmpty)) true // cannot place → keep
+            else op match {
+              case "in" | "=" => placed.flatten.exists(_._1 == dirVal)
+              case _ if field.monotonic =>
+                val (pv, kind) = placed.head.get
+                cmpVals(kind, dirVal, pv) match {
+                  case None => true
+                  // truncation is monotonic non-strict: a partition
+                  // equal to the literal's partition may still hold
+                  // matching rows, so bounds stay inclusive
+                  case Some(c) => op match {
+                    case "<" | "<=" => c <= 0
+                    case ">" | ">=" => c >= 0
+                    case _          => true
+                  }
                 }
-              }
-            case _ => true
+              case _ => true // bucket + range, etc. → keep
+            }
           }
         }
       }

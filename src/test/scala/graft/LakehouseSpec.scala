@@ -858,6 +858,50 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t2.readWhere("k IN (5, 6)").count() == 2)
   }
 
+  test("identity partition pruning is type-aware: ints, dates, coercions") {
+    // INT identity partitions 0..11: a lexicographic compare would
+    // prune dir "10" against ">= 2" and silently drop rows
+    val dir = Files.createTempDirectory("graft_idint").toString
+    val t = GraftTable.create(spark, dir,
+      (0L until 120L).map(k => (k, (k % 12).toInt)).toDF("k", "g"),
+      partitionBy = Seq("g"))
+    assert(t.readWhere("g >= 2").count() == 100)
+    val p = t.prunePartitions(t.currentSnapshot, "g >= 2")
+    assert(p.size < t.currentSnapshot.files.size, "dirs 0,1 must prune")
+    assert(t.readWhere("g IN (10, 11)").count() == 20)
+    // DATE identity partitions: the literal arrives as days-since-
+    // epoch and must render back to the ISO dir value
+    val dir2 = Files.createTempDirectory("graft_iddate").toString
+    val t2 = GraftTable.create(spark, dir2,
+      (0 until 30).map(i => (i.toLong, java.sql.Date.valueOf(
+        f"2021-01-${1 + i % 3}%02d"))).toDF("k", "d"),
+      partitionBy = Seq("d"))
+    assert(t2.readWhere("d = DATE '2021-01-02'").count() == 10)
+    val p2 = t2.prunePartitions(t2.currentSnapshot, "d = DATE '2021-01-02'")
+    assert(p2.size < t2.currentSnapshot.files.size)
+    assert(t2.readWhere("d >= DATE '2021-01-02'").count() == 20)
+    // a string literal against an INT identity partition refuses to
+    // prune (Spark coerces the comparison; renderings may not match)
+    assert(t.prunePartitions(t.currentSnapshot, "g = '3'").size ==
+      t.currentSnapshot.files.size)
+    assert(t.readWhere("g = '3'").count() == 10)
+  }
+
+  test("bucket pruning refuses literals outside the column's type family") {
+    val dir = Files.createTempDirectory("graft_bcoerce").toString
+    val t = GraftTable.create(spark, dir,
+      (0L until 100L).map(k => (k, s"r$k")).toDF("k", "tag"),
+      partitionBy = Seq("bucket[8](k)"))
+    val snap = t.currentSnapshot
+    // string literal vs BIGINT column: hashing "5" would pick the
+    // wrong bucket — must keep everything instead
+    assert(t.prunePartitions(snap, "k = '5'").size == snap.files.size)
+    assert(t.readWhere("k = '5'").count() == 1)
+    // typed literal still prunes
+    assert(t.prunePartitions(snap, "k = 5").size < snap.files.size)
+    assert(t.readWhere("k = 5").count() == 1)
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
