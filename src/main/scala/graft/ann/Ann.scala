@@ -237,30 +237,67 @@ object Ann {
     slice(v, m * PqSub + 1, PqSub)
 
   /** argmin-L2 assignment against literal centroids: minimizing
-    * ||x−c||² over fixed-norm x is maximizing dot(x,c) − ||c||²/2. */
+    * ||x−c||² over fixed-norm x is maximizing dot(x,c) − ||c||²/2.
+    * Formulated as scores-array + array_position (first index of the
+    * max → ties to the lowest cell, `cent` is cell-sorted) because
+    * struct-field aliases are stripped inside lambda contexts and
+    * this expression must work under [[assignL2Sub]]'s let-binding. */
   private def assignL2Col(v: Column, cent: Seq[Centroid]): Column =
     if (cent.size == 1) lit(cent.head.cell)
-    else greatest(cent.map(ct => struct(
-      (dot(v, litVec(ct.v)) - lit(ct.nrm * ct.nrm / 2)).as("score"),
-      lit(-ct.cell).as("negc"))): _*).getField("negc") * -1
+    else graft.functions.TextFunctions.bind(
+      array(cent.map(ct =>
+        dot(v, litVec(ct.v)) - lit(ct.nrm * ct.nrm / 2)): _*),
+      scores => element_at(
+        array(cent.map(ct => lit(ct.cell)): _*),
+        array_position(scores, array_max(scores)).cast("int")))
 
-  /** Deterministic per-subspace Lloyd training (L2, the PQ metric):
-    * same shape as [[trainKmeans]] — zero-shuffle assignment
-    * projection + tiny decimal-exact mean aggregate per round; the
-    * codebook is a few KB of driver-side literals. At 100 TB the
-    * codebooks train on a sample. */
-  private def trainPqSub(sub: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
-    def fromRows(rows: Array[org.apache.spark.sql.Row]): Seq[Centroid] =
-      rows.map(r => mkCentroid(r.getInt(0), r.getSeq[Double](1).toArray))
+  /** Assignment for subspace `m`: the subvector slice is let-bound
+    * (see [[graft.functions.TextFunctions.bind]]) so it is carved out
+    * of `vn` once per row, not once per centroid branch — the
+    * optimizer would otherwise inline the slice() into all K dots. */
+  private def assignL2Sub(vn: Column, m: Int, cent: Seq[Centroid]): Column =
+    graft.functions.TextFunctions.bind(subCol(vn, m),
+      sv => assignL2Col(sv, cent))
+
+  /** Deterministic Lloyd training of ALL [[PqM]] per-subspace
+    * codebooks jointly (L2, the PQ metric): each round is ONE
+    * assignment projection + ONE decimal-exact mean aggregate keyed
+    * by (subspace, cell, pos) — one pass over the corpus per round
+    * regardless of M, not M separate trainings. The codebooks are a
+    * few KB of driver-side literals; at 100 TB they train on a
+    * sample. */
+  private def trainPqBooks(c: DataFrame, iters: Int): Seq[Seq[Centroid]] = {
+    val initRows = c.orderBy(col("vec_id")).limit(PqK)
+      .select(col("vec_id").cast("int").as("cell"), col("vn")).collect()
+    var books: Seq[Seq[Centroid]] = (0 until PqM).map { m =>
+      initRows.map(r => mkCentroid(r.getInt(0),
+        r.getSeq[Double](1).slice(m * PqSub, (m + 1) * PqSub).toArray))
         .toSeq.sortBy(_.cell)
-    var cent = fromRows(sub.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").cast("int").as("cell"), col("sv")).collect())
-    for (_ <- 1 to iters)
-      cent = fromRows(
-        cellMeans(sub.select(col("sv").as("v"),
-          assignL2Col(col("sv"), cent).as("cell")))
-          .select(col("cell").cast("int"), col("c_v")).collect())
-    cent
+    }
+    for (_ <- 1 to iters) {
+      val codesArr = array((0 until PqM).map(m =>
+        assignL2Sub(col("vn"), m, books(m))): _*)
+      val rows = c.select(codesArr.as("codes"),
+          posexplode(col("vn")).as(Seq("gpos", "x")))
+        .select(
+          expr(s"CAST(gpos DIV $PqSub AS INT)").as("m"),
+          pmod(col("gpos"), lit(PqSub)).as("pos"),
+          expr(s"codes[gpos DIV $PqSub]").as("cell"), // 0-based SQL index
+          col("x"))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg((sum(col("x").cast("decimal(28,18)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean"))
+        .collect()
+      books = (0 until PqM).map { m =>
+        rows.filter(_.getInt(0) == m)
+          .groupBy(_.getInt(1)).toSeq
+          .map { case (cell, rs) =>
+            mkCentroid(cell,
+              rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+          }.sortBy(_.cell)
+      }
+    }
+    books
   }
 
   /** Product quantization with asymmetric-distance search — the tier
@@ -273,27 +310,40 @@ object Ann {
     * codebook_m[code_m]) — the ADC score, evaluated as a
     * literal-codebook expression, zero shuffles. */
   private[graft] def pqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val c = corpus(s, d)
       .withColumn("vn", transform(col("v"), x => x / col("nrm")))
-    val books: Seq[Seq[Centroid]] = (0 until PqM).map { m =>
-      trainPqSub(c.select(col("vec_id"), subCol(col("vn"), m).as("sv")),
-        PqK, KmeansIters)
-    }
-    // the compression step: corpus → (vec_id, code0..codeM)
-    val codes = c.select(col("vec_id") +: (0 until PqM).map(m =>
-      assignL2Col(subCol(col("vn"), m), books(m)).as(s"code$m")): _*)
-    val q = c.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("vn").as("q_vn"))
-    // ADC: per subspace, look the code up in the literal codebook
-    val adc = (0 until PqM).map { m =>
-      books(m).foldRight(lit(0.0)) { (ct, els) =>
-        when(col(s"code$m") === ct.cell,
-          dot(subCol(col("q_vn"), m), litVec(ct.v))).otherwise(els)
+    val books = trainPqBooks(c, KmeansIters)
+    // the compression step: corpus → (vec_id, codes[PqM])
+    val codes = c.select(col("vec_id"),
+      array((0 until PqM).map(m =>
+        assignL2Sub(col("vn"), m, books(m))): _*).as("codes"))
+    // ADC lookup table, computed driver-side from the (tiny, by
+    // definition) query set: Q × M × K partial dot products. The
+    // corpus side of the join carries ONLY codes — this join + sum
+    // IS the asymmetric-distance scan, and the LUT broadcast is a
+    // few KB no matter how big the corpus is.
+    val qRows = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("vn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lut = qRows.toSeq.flatMap { case (qId, qvn) =>
+      (0 until PqM).flatMap { m =>
+        books(m).map { ct =>
+          var acc = 0.0
+          var i = 0
+          while (i < PqSub) { acc += qvn(m * PqSub + i) * ct.v(i); i += 1 }
+          (qId, m, ct.cell, acc)
+        }
       }
-    }.reduce(_ + _)
-    val ranked = codes.crossJoin(broadcast(q))
+    }.toDF("q_id", "m", "code", "partial")
+    val ranked = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc", adc)
+      .groupBy(col("q_id"), col("vec_id"))
+      // decimal-exact sum: double accumulation order would vary with
+      // shuffle arrival and could jitter ranks at the re-rank boundary
+      .agg(sum(col("partial").cast("decimal(28,18)")).as("adc"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
           .orderBy(col("adc").desc, col("vec_id").asc)))
