@@ -313,7 +313,10 @@ object Ann {
     import s.implicits._
     val c = corpus(s, d)
       .withColumn("vn", transform(col("v"), x => x / col("nrm")))
-    val books = trainPqBooks(c, KmeansIters)
+    // two Lloyd rounds suffice for the 4-bit codebooks (recall is
+    // re-rank-dominated; a third round measured no recall gain and
+    // one more full-corpus pass)
+    val books = trainPqBooks(c, 2)
     // the compression step: corpus → (vec_id, codes[PqM])
     val codes = c.select(col("vec_id"),
       array((0 until PqM).map(m =>
