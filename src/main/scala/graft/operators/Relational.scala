@@ -412,7 +412,34 @@ object Relational {
       min(col("o_orderdate")).as("orderdate_min"),
       max(col("o_orderdate")).as("orderdate_max"))
 
+  /** Time-interval RANGE window — 30-day rolling spend per customer
+    * (the sliding-window analytic a rows-frame cannot express: the
+    * frame is bounded by VALUE distance on the order timestamp, so
+    * same-day ties enter the frame together and the result is
+    * order-independent). The sum accumulates in decimal so both
+    * engines are exact; only the output column is double. One
+    * shuffle on the partition key, frame evaluation streams within
+    * each sorted partition — no self-join, which is how this is
+    * still one pass at 100 TB. */
+  private val q29: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      // seconds since epoch as the RANGE axis (interval frames need
+      // a numeric order column in the DataFrame API; NTZ timestamps
+      // do not cast to long directly)
+      .orderBy(unix_micros(col("o_orderdate").cast("timestamp")) / 1000000L)
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(s, d)
+      .withColumn("spend_30d",
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+          .cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("spend_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q29_interval_window" -> q29,
     "q28_profile" -> q28,
     "q25_stats" -> q25, "q26_setops" -> q26, "q27_correlated" -> q27,
     "q2_join_filter" -> q2, "q3_broadcast_join" -> q3,
@@ -428,6 +455,13 @@ object Relational {
     "q24_pivot" -> q24)
 
   val oracles: Map[String, String] = Map(
+    "q29_interval_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS spend_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q28_profile" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(count(*) - count(o_custkey) AS BIGINT) AS custkey_nulls,
