@@ -25,17 +25,17 @@ final case class ColStat(kind: String, mn: Option[String],
   * are untouched even when they match). */
 final case class DeletePred(seq: Long, pred: String)
 
-/** An immutable-snapshot view of a [[GraftTable]]. `fileRows` carries
-  * the per-file record count harvested from the parquet footer at
-  * commit time (absent when the footer was unreadable) — the manifest
-  * datum that lets metadata queries answer COUNT-shaped questions
-  * with zero data-file reads. */
 /** A column rename at commit `seq`: data files with a LOWER
   * add-sequence store the column under `from` and read through an
   * alias (the name-mapping analog of Iceberg's field-id-based column
   * resolution — old files never rewrite for a rename). */
 final case class Rename(seq: Long, from: String, to: String)
 
+/** An immutable-snapshot view of a [[GraftTable]]. `fileRows` carries
+  * the per-file record count harvested from the parquet footer at
+  * commit time (absent when the footer was unreadable) — the manifest
+  * datum that lets metadata queries answer COUNT-shaped questions
+  * with zero data-file reads. */
 final case class Snapshot(
     id: Long,
     parent: Long,
@@ -206,6 +206,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * now) and add `name` as a branch/tag at snapshot `at`. */
   private def createRef(kind: String, name: String, at: Long): Unit =
     GraftTable.commitLock(root.toString).synchronized {
+      // the refs file is line/tab-delimited: an unvalidated name with
+      // a tab or newline would corrupt it and brick every later read
+      require(name.nonEmpty && name.forall(c =>
+          c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+        s"ref name '$name' must match [A-Za-z0-9._-]+")
       require(fs.exists(snapPath(at)), s"snapshot $at does not exist")
       val base =
         if (refs.isEmpty)
@@ -255,12 +260,24 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       val to = headOf(source)
       var cur = to
       val from = headOf(target)
-      while (cur > from && cur > 0) cur = snapshot(cur).parent
+      // ancestry walk tolerates expired intermediate manifests: if the
+      // chain cannot be proven (a snapshot between the heads was
+      // expired), refuse with a clear error instead of crashing
+      while (cur > from && cur > 0) cur = parentOf(cur).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot fast-forward $target ($from) to $source ($to): " +
+            s"snapshot $cur between the heads has been expired, " +
+            "ancestry cannot be proven"))
       require(cur == from,
         s"cannot fast-forward $target ($from) to $source ($to): " +
           "target head is not an ancestor of source head")
       writeRefs(r + (target -> ("branch", to)))
     }
+
+  /** Parent id of snapshot `id`, None when its manifest has been
+    * expired (history walks must degrade, not crash). */
+  private def parentOf(id: Long): Option[Long] =
+    if (!fs.exists(snapPath(id))) None else Some(snapshot(id).parent)
 
   /** Table-level properties (the TBLPROPERTIES of Iceberg DDL, e.g.
     * `write.delete.mode`), persisted once at create time. */
@@ -557,14 +574,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * yesterday" surface. */
   def readAsOfTimestamp(millis: Long): DataFrame = {
     var id = currentSnapshotId
-    while (id > 0) {
+    while (id > 0 && fs.exists(snapPath(id))) {
       val s = snapshot(id)
       if (s.ts > 0 && s.ts <= millis) return morRead(s, s.files)
       id = s.parent
     }
     throw new IllegalArgumentException(
-      s"no snapshot committed at or before epoch-millis $millis " +
-        "(pre-timestamp manifests cannot time-travel by wall clock)")
+      s"no live snapshot committed at or before epoch-millis $millis " +
+        "(expired or pre-timestamp history cannot time-travel by " +
+        "wall clock)")
   }
 
   /** Read `files` under `snap`, applying merge-on-read deletes. Files
@@ -835,10 +853,21 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
   /** Append rows whose schema adds columns: the table schema evolves
     * to the union (existing fields keep their position and type; new
-    * fields append). Older files read back NULL for the new columns. */
+    * fields append). Older files read back NULL for the new columns.
+    * The added names go through the same guards as [[addColumns]] —
+    * case-insensitive resolution and the retired-name check, so an
+    * evolved append cannot resurrect dropped/renamed column bytes or
+    * commit a case-duplicate column. */
   def appendEvolved(df: DataFrame): Long = {
     val snap = currentSnapshot
-    val added = df.schema.fields.filterNot(f => snap.schema.fieldNames.contains(f.name))
+    val added = df.schema.fields.filterNot(f =>
+      snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    added.foreach { f =>
+      require(!snap.renames.exists(r =>
+          r.from.equalsIgnoreCase(f.name) || r.to.equalsIgnoreCase(f.name)),
+        s"column name '${f.name}' was previously renamed or dropped and " +
+          "may still exist in live data files; compact() first")
+    }
     val schema = StructType(snap.schema.fields ++ added.map(_.copy(nullable = true)))
     val id = currentSnapshotId + 1
     val files = writeData(aligned(df, schema), id, snap.partitionCols)
@@ -911,6 +940,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         new IllegalArgumentException(s"column '$from' does not exist"))
     require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"column '$to' already exists")
+    // same retirement rule as addColumns: renaming INTO a name that
+    // still exists physically in live files would make the stats /
+    // physical-name mapping consult the wrong column's bytes
+    require(!snap.renames.exists(r =>
+        r.from.equalsIgnoreCase(to) || r.to.equalsIgnoreCase(to)),
+      s"column name '$to' was previously renamed or dropped and may " +
+        "still exist in live data files; compact() first")
     require(!PartField.parseAll(snap.partitionCols)
         .exists(_.col.equalsIgnoreCase(resolved)),
       s"cannot rename partition source column '$resolved'")
@@ -970,8 +1006,22 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
   // ---- copy-on-write DML -------------------------------------------
 
-  /** `file:/x` vs `file:///x` vs plain `/x` all normalize to `/x`. */
+  /** `file:/x` vs `file:///x` vs plain `/x` all normalize to `/x`.
+    * For MANIFEST paths (raw, as listed from the filesystem). */
   private def normalize(p: String): String = new Path(p).toUri.getPath
+
+  /** `input_file_name()` returns the URL-ENCODED path
+    * (PartitionedFile.urlEncodedPath since Spark 3.4) while manifest
+    * paths are raw — a hive dir `tag=NOT%3DSPECIFIED` arrives as
+    * `tag=NOT%253DSPECIFIED` and a root with a space as `%20`
+    * (probe-verified on 4.1.2). Without decoding, the affected-file
+    * comparison matches nothing and copy-on-write DML silently
+    * commits a no-change snapshot. */
+  private def decodeScanPath(p: String): String =
+    try {
+      val path = new java.net.URI(p).getPath
+      if (path != null) path else normalize(p)
+    } catch { case _: java.net.URISyntaxException => normalize(p) }
 
   /** The data files among `candidates` that contain at least one row
     * matching `hit` — one distributed pass, shipping only distinct
@@ -986,7 +1036,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       .select("_graft_file")
       .distinct()
       .collect()
-      .map(r => normalize(r.getString(0)))
+      .map(r => decodeScanPath(r.getString(0)))
       .toSet
 
   /** Manifest-only candidate set for a row-level predicate: files
@@ -1321,7 +1371,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // the new files and the delete predicates clear
     val base = morRead(snap, snap.files)
     val arranged =
-      if (zorderBy.nonEmpty) {
+      if (zorderBy.nonEmpty && snap.files.nonEmpty) {
         val z = zValue(snap, base, zorderBy)
         base.withColumn(GraftTable.ZCol, z)
           .repartitionByRange(numFiles, col(GraftTable.ZCol))
@@ -1419,6 +1469,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def overwritePartitions(df: DataFrame): Long = {
     val snap = currentSnapshot
     require(snap.partitionCols.nonEmpty, "table is not partitioned")
+    // replaced-partition matching is by current-spec directory
+    // segments; a file written under an OLDER spec spans many current
+    // partitions and would wrongly survive whole — rewrite first
+    require(snap.specHist.isEmpty || snap.files.forall(f =>
+        snap.specAt(snap.fileSeq.getOrElse(f, snap.id)) ==
+          snap.partitionCols),
+      "dynamic partition overwrite needs every file under the current " +
+        "partition spec; compact() after a spec evolution first")
     val parts = snap.partitionCols
     // the replaced-partition set is the distinct DERIVED values of
     // df's rows — for identity specs the columns themselves, for

@@ -902,6 +902,70 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.readWhere("k = 5").count() == 1)
   }
 
+  test("DML matches files whose paths need URL encoding") {
+    // input_file_name() returns the URL-encoded path; the manifest
+    // stores the raw one — without decoding, affected-file discovery
+    // matched nothing and DML silently committed a no-change snapshot
+    val dir = Files.createTempDirectory("graft enc spec").toString // space!
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "NOT=SPECIFIED", 1.0), (2L, "plain", 2.0), (3L, "a b#c", 3.0))
+        .toDF("k", "tag", "v"), partitionBy = Seq("tag"))
+    t.delete("tag = 'NOT=SPECIFIED'")
+    assert(t.read().count() == 2, "delete must hit the escaped partition")
+    t.update(Map("v" -> "v * 10"), "k = 3")
+    assert(t.read().filter(col("k") === 3)
+      .select("v").as[Double].head() == 30.0)
+    t.merge(Seq((2L, "plain", 22.0)).toDF("k", "tag", "v"), "k")
+    assert(t.read().filter(col("k") === 2)
+      .select("v").as[Double].head() == 22.0)
+  }
+
+  test("retired column names cannot come back through any evolution door") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    t.renameColumn("v", "score")
+    // renaming another column INTO the retired name is refused
+    intercept[IllegalArgumentException](t.renameColumn("tag", "v"))
+    // appendEvolved goes through the same guards as addColumns
+    intercept[IllegalArgumentException](
+      t.appendEvolved(Seq((2L, "b", 2.0, "ghost"))
+        .toDF("k", "tag", "score", "v")))
+    // a case-duplicate column cannot sneak in: 'TAG' resolves to the
+    // existing 'tag' (not a new field) and the write then fails
+    // loudly on the case-mismatched frame instead of committing
+    val before = t.read().columns.toSeq
+    intercept[Exception](
+      t.appendEvolved(Seq((2L, "b", 2.0)).toDF("k", "TAG", "score")))
+    assert(t.read().columns.toSeq == before)
+    // invalid ref names cannot corrupt the line-oriented refs file
+    intercept[IllegalArgumentException](t.createBranch("bad\tname"))
+  }
+
+  test("spec evolution restricts dynamic overwrite; expiry degrades walks") {
+    val dir = Files.createTempDirectory("graft_pe3").toString
+    val t = GraftTable.create(spark, dir,
+      (0L until 50L).map(k => (k, k % 5)).toDF("k", "g"))
+    t.updatePartitionSpec(Seq("bucket[4](g)"))
+    t.append((50L until 100L).map(k => (k, k % 5)).toDF("k", "g"))
+    // pre-evolution files span all buckets: overwrite must refuse
+    val e = intercept[IllegalArgumentException](
+      t.overwritePartitions((0L until 10L).map(k => (k, 1L)).toDF("k", "g")))
+    assert(e.getMessage.contains("compact"))
+    t.compact(4)
+    t.overwritePartitions((0L until 10L).map(k => (k, 1L)).toDF("k", "g"))
+    assert(t.read().count() == 100 - 20 + 10)
+    // zorder on an empty table must not crash
+    val t2 = GraftTable.createEmpty(spark,
+      Files.createTempDirectory("graft_zoe").toString,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType))))
+    t2.compact(4, zorderBy = Seq("a", "b"))
+    assert(t2.read().count() == 0)
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
