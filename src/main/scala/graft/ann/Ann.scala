@@ -367,8 +367,14 @@ object Ann {
     * Lloyd training cannot unroll into one SQL statement, so the
     * oracle pins the exact-result cardinality and a recall@5 >= 0.8
     * verdict (deterministic end to end — a regression flips it). */
-  private val pq: Q = (s, d) => {
-    val approx = pqTopK(s, d).select(col("q_id"), col("neighbor_id"))
+  /** Shared driver-gated decision row for the trained-quantizer
+    * tiers (their Lloyd training cannot unroll into one SQL
+    * statement): exact-result cardinality + a recall@5 >= 0.8
+    * verdict the oracle expects TRUE — deterministic end to end, so
+    * a recall regression flips the flag and fails the hash gate. */
+  private def recallGate(s: SparkSession, d: String,
+      approxTopK: DataFrame): DataFrame = {
+    val approx = approxTopK.select(col("q_id"), col("neighbor_id"))
     val exact = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
     hits.agg(count(lit(1)).as("n_hit"))
@@ -377,23 +383,9 @@ object Ann {
         (col("n_hit") >= col("n_exact") * 0.8).as("recall_ge_080"))
   }
 
-  /** The driver-gated form of [[ivfKmeansTopK]]: three Lloyd
-    * iterations cannot reasonably unroll into one DuckDB statement,
-    * so the oracled output is a decision row — the exact-result
-    * cardinality (DuckDB recomputes it from the brute-force top-k)
-    * plus a recall@5 >= 0.8 verdict the oracle expects TRUE. The
-    * whole computation is deterministic (decimal-exact means,
-    * deterministic init and tie-breaks), so a recall regression
-    * flips the flag and fails the hash gate. */
-  private val ivfKmeans: Q = (s, d) => {
-    val approx = ivfKmeansTopK(s, d).select(col("q_id"), col("neighbor_id"))
-    val exact = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
-    val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-    hits.agg(count(lit(1)).as("n_hit"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-      .select(col("n_exact"),
-        (col("n_hit") >= col("n_exact") * 0.8).as("recall_ge_080"))
-  }
+  private val pq: Q = (s, d) => recallGate(s, d, pqTopK(s, d))
+
+  private val ivfKmeans: Q = (s, d) => recallGate(s, d, ivfKmeansTopK(s, d))
 
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> bruteforce,

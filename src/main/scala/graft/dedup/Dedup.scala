@@ -62,7 +62,12 @@ object Dedup {
     * ([[graft.functions.NativeExprs.JaccardSortedLong]]) — the pair
     * count is the quadratic term, so per-pair cost is what matters. */
   private val ngramJaccard: Q = (s, d) => {
-    val sh = shingled(s, d)
+    // minTokens = 3 ⇔ at least one shingle: without it, two
+    // shingle-less docs in one source block score 0/0 = NaN, which
+    // PASSES `j >= 0.8` under NaN-is-largest comparison semantics
+    // and emits garbage "near-duplicates" (latent on this corpus —
+    // min 10 tokens — real on any other)
+    val sh = shingled(s, d, minTokens = 3)
     val a = sh.select(col("doc_id").as("doc_a"), col("source"),
       col("sh").as("shh_a"))
     val b = sh.select(col("doc_id").as("doc_b"),
@@ -167,21 +172,29 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs (≥ 0.4), blocked by
     * `label` (the cluster/coarse-quantizer id — at 100 TB this is
     * the IVF cell). Norms precomputed once per vector. */
-  private val embedding: Q = (s, d) => {
-    val e = Tables.parallel(Tables.embeddings(s, d))
+  /** The embeddings corpus with precomputed norms. */
+  private def embCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.parallel(Tables.embeddings(s, d))
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", l2norm(col("v")))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+
+  /** Ordered same-label pairs with cosine >= `tau` — the IVF-cell-
+    * blocked near-dup join [[embedding]] and [[components]] share
+    * (norms precomputed, label equi-join, a < b dedup). */
+  private def cosinePairs(e: DataFrame, tau: Double): DataFrame = {
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
       col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= tau)
       .select(col("vec_a"), col("vec_b"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  private val embedding: Q = (s, d) =>
+    cosinePairs(embCorpus(s, d), 0.4).orderBy(col("vec_a"), col("vec_b"))
 
   /** Benchmark decontamination — the training-corpus hygiene step
     * every LLM pipeline runs: drop (here: count) corpus documents that
@@ -290,18 +303,8 @@ object Dedup {
   /** Near-dup clusters over the embedding-cosine graph (τ = 0.3,
     * blocked by `label` like [[embedding]]). */
   private val components: Q = (s, d) => {
-    val e = Tables.parallel(Tables.embeddings(s, d))
-      .withColumn("v", col("embedding").cast("array<double>"))
-      .withColumn("nrm", l2norm(col("v")))
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
-    val a = e.select(col("vec_id").as("vec_a"), col("label"),
-      col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-      col("v").as("v_b"), col("nrm").as("n_b"))
-    val pairs = a.join(b,
-        col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
-      .filter(col("cos") >= 0.3)
+    val e = embCorpus(s, d)
+    val pairs = cosinePairs(e, 0.3)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
     componentLabels(e.select(col("vec_id").as("id")), pairs)
       .select(col("id").as("vec_id"), col("comp").cast("bigint").as("component"))
@@ -361,6 +364,10 @@ object Dedup {
     * on every run, every engine, every retry. */
   private val stratifiedSample: Q = (s, d) =>
     Tables.documents(s, d)
+      // concat_ws silently SKIPS nulls while the oracle's `||`
+      // null-propagates — exclude null-source rows explicitly so both
+      // engines agree on any corpus, not just this one
+      .filter(col("source").isNotNull)
       .filter(substring(md5(concat_ws("|", col("source"),
         col("doc_id").cast("string"))), 1, 2) < "4d")
       .groupBy(col("source"))
@@ -388,6 +395,7 @@ object Dedup {
         .when(col("source") === "src2", frac("8000"))       // w = 0.5
         .otherwise(frac("4000"))                            // w = 0.25
     Tables.documents(s, d)
+      .filter(col("source").isNotNull) // match the oracle's null `||`
       .withColumn("n_copies", copies)
       .filter(col("n_copies") > 0)
       .withColumn("epoch", explode(sequence(lit(1), col("n_copies"))))
@@ -434,14 +442,16 @@ object Dedup {
     "dedup_decontaminate" -> decontaminate,
     "dedup_components" -> components)
 
+  // Docs under 3 tokens (or with NULL text) carry no shingles and are
+  // excluded outright — mirroring the Spark side's minTokens = 3
+  // pre-filter, so neither engine can emit 0/0 = NaN "similarities".
   private val ShingleCte =
     """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') w
       |           FROM documents),
       | s AS (SELECT doc_id, source,
-      |   CASE WHEN len(w) >= 3 THEN
-      |     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |                    for i in range(1, len(w) - 1)])
-      |   ELSE [] END AS sh FROM t)""".stripMargin
+      |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                  for i in range(1, len(w) - 1)]) AS sh
+      |   FROM t WHERE len(w) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the same md5 shard + sort-key permutation, recomputed in SQL

@@ -26,14 +26,19 @@ object TextFunctions {
   def bind(c: Column, f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
+  /** Space-joined word n-grams of a TOKEN ARRAY column; empty under n
+    * tokens. For callers that already bound the tokens (computing
+    * several n-gram orders from one tokenization). */
+  def ngramsOfTokens(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (1 to n).map(o => element_at(w, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Space-joined word n-grams of `text`; empty for docs under n
     * tokens. Tokenization is bound once (see [[bind]]). */
   def wordNgrams(text: Column, n: Int): Column =
-    bind(tokens(text), w =>
-      when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n), i =>
-          concat_ws(" ", (1 to n).map(o => element_at(w, i + o)): _*)))
-        .otherwise(array().cast("array<string>")))
+    bind(tokens(text), w => ngramsOfTokens(w, n))
 
   /** Distinct word 3-gram shingles of `text`. */
   def shingles3(text: Column): Column = array_distinct(wordNgrams(text, 3))

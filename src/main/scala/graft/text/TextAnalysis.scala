@@ -130,16 +130,28 @@ object TextAnalysis {
     * run in the SORTED 2-gram array: one O(n log n) `array_sort` +
     * one `aggregate` pass instead of a per-distinct-gram rescan. */
   private val repetition: Q = (s, d) => {
+    // one tokenization, one 3-gram build, one sorted 2-gram build per
+    // row: everything nests in let-bindings inside ONE projection,
+    // because any column referenced twice across projections gets
+    // inlined (recomputed) by CollapseProject. The metrics come back
+    // as a homogeneous double array (struct field names do not
+    // survive lambda contexts).
+    val metrics = bind(tokens(coalesce(col("text"), lit(""))), w =>
+      bind(ngramsOfTokens(w, 3), g3 =>
+        bind(array_sort(ngramsOfTokens(w, 2)), g2s =>
+          array(
+            size(g3).cast("double"),
+            (size(g3) - size(array_distinct(g3))).cast("double") /
+              greatest(size(g3), lit(1)).cast("double"),
+            maxRunLength(g2s).cast("double") /
+              greatest(size(g2s), lit(1)).cast("double")))))
     Tables.documents(s, d)
-      .withColumn("g3", wordNgrams(coalesce(col("text"), lit("")), 3))
-      .withColumn("g2", wordNgrams(coalesce(col("text"), lit("")), 2))
+      .select(col("doc_id"), metrics.as("m"))
       .select(
         col("doc_id"),
-        size(col("g3")).as("n3"),
-        ((size(col("g3")) - size(array_distinct(col("g3")))).cast("double") /
-          greatest(size(col("g3")), lit(1)).cast("double")).as("dup3_frac"),
-        (maxRunLength(array_sort(col("g2"))).cast("double") /
-          greatest(size(col("g2")), lit(1)).cast("double")).as("top2_frac"))
+        element_at(col("m"), 1).cast("int").as("n3"),
+        element_at(col("m"), 2).as("dup3_frac"),
+        element_at(col("m"), 3).as("top2_frac"))
       .orderBy(col("doc_id"))
   }
 

@@ -244,16 +244,36 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("flatMapGroupsWithState sessionization agrees with batch formulation") {
-    val q = streaming.Sessionize.streaming(streamEvents)
+    // two time-split files, one micro-batch each: sessions spanning
+    // the batch boundary must MERGE (the open tail lives in state
+    // across batches — the bug class where each batch restarts
+    // session ids and double-emits)
+    val events = Tables.events(spark, sf)
+    val split = events.agg(
+      expr("percentile_approx(CAST(ts AS DOUBLE), 0.5)")).head.getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess2").toString
+    events.filter(col("ts").cast("double") <= split)
+      .repartition(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // file-source ordering is by mod time
+    events.filter(col("ts").cast("double") > split)
+      .repartition(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = streaming.Sessionize.streaming(src)
       .writeStream.outputMode("append")
       .format("memory").queryName("sess_out").start()
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("sess_out")
-    val batch = streaming.StreamingOps.sessionizeBatch(Tables.events(spark, sf))
-    assert(streamed.count() == batch.count())
-    assert(streamed.except(batch).count() == 0 &&
-      batch.except(streamed).count() == 0)
-    assert(streamed.count() > 0)
+    // the zero-delay watermark ends at max(ts): every session whose
+    // gap horizon passed is closed and emitted; later tails stay
+    // open in state (production semantics — never emitted early)
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val batch = streaming.StreamingOps.sessionizeBatch(events)
+    val closed = batch.filter(
+      col("t_end") + expr("INTERVAL 30 MINUTES") <= lit(maxTs))
+    assert(streamed.count() > 0 && streamed.count() == closed.count())
+    assert(streamed.except(closed).count() == 0 &&
+      closed.except(streamed).count() == 0)
   }
 
   test("FGAC row filter composes with a streaming source") {
