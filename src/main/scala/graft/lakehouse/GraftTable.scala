@@ -693,6 +693,48 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     readFilesMapped(to, to.files.filterNot(from))
   }
 
+  /** The data files added on `(fromId, toId]`, enumerated from the
+    * manifests alone — the planning primitive behind the streaming
+    * source ([[graft.streaming.GraftLakeSource]]): per micro-batch
+    * this opens the two endpoint manifests plus one per intermediate
+    * commit (to validate lineage), never lists storage, and never
+    * touches files committed before `fromId` — O(new) planning at any
+    * table size, Iceberg's incremental-scan contract. `fromId = 0`
+    * means "from before the first snapshot". The walk REQUIRES an
+    * append-only lineage (create/append ops): a replace commit
+    * (compaction, DML) rewrites rows into new files and would
+    * re-surface them as if appended, so it poisons the range —
+    * Iceberg's streaming read refuses those snapshots the same way.
+    * Pre-parsed intermediate snapshots can be supplied via `known` so
+    * a long-lived caller (the streaming source) pays each manifest
+    * parse once, not once per batch. */
+  private[graft] def appendedFilesBetween(fromId: Long, toId: Long,
+      known: Long => Option[Snapshot] = _ => None): (Snapshot, Seq[String]) = {
+    def snapOf(id: Long): Snapshot = known(id).getOrElse(snapshot(id))
+    val to = snapOf(toId)
+    var cur = to
+    while (cur.id != fromId) {
+      require(cur.op == "create" || cur.op == "append",
+        s"snapshot ${cur.id} is op '${cur.op}': incremental/streaming " +
+          "reads are defined over append-only lineage (rewrites would " +
+          "re-surface already-delivered rows)")
+      if (cur.parent == 0L) {
+        require(fromId == 0L,
+          s"snapshot $fromId is not an ancestor of $toId")
+        return (to, to.files)
+      }
+      cur = snapOf(cur.parent)
+    }
+    val base = cur.files.toSet
+    (to, to.files.filterNot(base))
+  }
+
+  /** Read `files` under `snap` (rename mapping applied) — the
+    * package-private scan the streaming source builds micro-batch
+    * frames from. */
+  private[graft] def readCommitted(snap: Snapshot, files: Seq[String]): DataFrame =
+    readFilesMapped(snap, files)
+
   // ---- writes ------------------------------------------------------
 
   private def writeData(df: DataFrame, commitId: Long,

@@ -165,18 +165,20 @@ object StreamingOps {
   }
 
   /** Streaming read FROM the lakehouse (Iceberg's append-only
-    * streaming read, the reverse of [[lakeSinkQ]]): the table's
-    * data-file log IS the stream — each append commit lands immutable
-    * files in a fresh commit dir, so a file-stream source over the
-    * data glob sees exactly the appended batches, in commit order,
-    * with no listing of already-processed files (the file source
-    * checkpoints what it has seen — at 100 TB the incremental list is
-    * O(new files), matching Iceberg's incremental-scan planning).
-    * Restriction, same as Iceberg's: valid over APPEND commits only —
-    * a rewrite (compaction/DML) would re-surface rewritten rows;
-    * [[GraftTable]] time-travel covers those instead. The aggregate
-    * runs in complete mode into a memory sink, drained by
-    * AvailableNow. */
+    * streaming read, the reverse of [[lakeSinkQ]]), through
+    * [[GraftLakeSource]]: offsets are snapshot ids and each
+    * micro-batch's file set comes from the COMMIT MANIFESTS — one
+    * head-pointer read plus the endpoint manifests per batch,
+    * O(new files), with no directory listing and no seen-files diff
+    * (Spark's FileStreamSource re-lists the full glob every batch —
+    * the 100 TB bottleneck this source exists to avoid; see the
+    * GraftLakeSource scaladoc). `maxCommitsPerTrigger=1` makes the
+    * drain replay the table's three commits as three micro-batches,
+    * in commit order. Restriction, same as Iceberg's: valid over
+    * APPEND commits only — a rewrite (compaction/DML) fails the
+    * stream rather than re-surfacing rewritten rows; [[GraftTable]]
+    * time-travel covers those instead. The aggregate runs in
+    * complete mode into a memory sink, drained by AvailableNow. */
   private val lakeSourceQ: Q = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
     val events = Tables.events(s, d)
@@ -185,9 +187,9 @@ object StreamingOps {
       events.filter(col("event_id") % 4 === 0))
     t.append(events.filter(col("event_id") % 4 === 1))
     t.append(events.filter(col("event_id") % 4 === 2))
-    val stream = s.readStream.schema(t.currentSnapshot.schema)
-      .option("maxFilesPerTrigger", 4)
-      .parquet(s"${t.location}/data/*")
+    val stream = s.readStream.format("graft-lake")
+      .option("maxCommitsPerTrigger", 1)
+      .load(t.location)
     val qn = "lake_source_agg_" +
       java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val q = stream

@@ -215,8 +215,7 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_lss_ck").toString
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
     def drain(): Unit = {
-      val q = spark.readStream.schema(t.currentSnapshot.schema)
-        .parquet(s"${t.location}/data/*")
+      val q = spark.readStream.format("graft-lake").load(t.location)
         .writeStream.option("checkpointLocation", ckpt)
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           seen.synchronized { seen ++= b.select("k").as[Long].collect() }; ()
@@ -229,6 +228,64 @@ class StreamingSpec extends AnyFunSuite {
     t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
     drain() // same checkpoint: only the new commit's rows arrive
     assert(seen.sorted == Seq(1L, 2L, 3L))
+  }
+
+  test("lake source plans batches from the manifest log, one per commit, " +
+      "ignoring uncommitted files") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_mlog").toString,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    t.append(Seq((3L, 30.0)).toDF("k", "v"))
+    t.append(Seq((4L, 40.0), (5L, 50.0)).toDF("k", "v"))
+    // Per-batch enumeration comes from the manifests: the (from, to]
+    // diff of each commit is exactly that commit's file set.
+    val commitFiles = t.snapshots.map(_.files.toSet)
+    for (i <- 1 until commitFiles.length) {
+      val (_, files) = t.appendedFilesBetween(i.toLong, i.toLong + 1)
+      assert(files.toSet == commitFiles(i) -- commitFiles(i - 1),
+        s"batch ($i, ${i + 1}] must enumerate commit ${i + 1}'s manifest diff")
+    }
+    // Plant an orphan parquet in the data dir (a failed writer's
+    // leftovers). A glob-listing source would ingest it; the
+    // manifest-driven source must not.
+    val commitDir = new java.io.File(s"${t.location}/data")
+      .listFiles().filter(_.isDirectory).head
+    Seq((99L, 99.0)).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$commitDir/orphan")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var batches = 0
+    val q = spark.readStream.format("graft-lake")
+      .option("maxCommitsPerTrigger", 1).load(t.location)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = b.select("k").as[Long].collect()
+        seen.synchronized { seen ++= ks; if (ks.nonEmpty) batches += 1 }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.sorted == Seq(1L, 2L, 3L, 4L, 5L), "orphan must be invisible")
+    assert(batches == 3,
+      "maxCommitsPerTrigger=1 must replay the 3 commits as 3 micro-batches")
+  }
+
+  test("lake source refuses a rewrite commit instead of re-surfacing rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_mrw").toString,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    t.append(Seq((3L, 3.0)).toDF("k", "v"))
+    t.compact(1)
+    val q = spark.readStream.format("graft-lake").load(t.location)
+      .writeStream.format("noop")
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(ex.getMessage.contains("append-only"),
+      s"expected the append-only lineage failure, got: ${ex.getMessage}")
   }
 
   test("windowed aggregation agrees between batch and streaming") {
