@@ -339,20 +339,31 @@ object Ann {
         }
       }
     }.toDF("q_id", "m", "code", "partial")
-    val ranked = codes
+    val adcScores = codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
       .join(broadcast(lut), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       // decimal-exact sum: double accumulation order would vary with
       // shuffle arrival and could jitter ranks at the re-rank boundary
-      .agg(sum(col("partial").cast("decimal(28,18)")).as("adc"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-          .orderBy(col("adc").desc, col("vec_id").asc)))
-      .filter(col("rk") <= PqRerank)
-      .select(col("q_id"), col("vec_id"))
-    // exact re-rank of Q×50 candidates: only now do full vectors join
+      // (the decimal→double rendering below is deterministic)
+      .agg(sum(col("partial").cast("decimal(28,18)")).cast("double").as("adc"))
+    // bounded top-PqRerank per query via the partial-aggregating
+    // top-k: each map task keeps a PqRerank-deep buffer and the
+    // shuffle carries Q×PqRerank rows per partition — a ranking
+    // window here would instead sort the ENTIRE corpus's ADC scores
+    // for one query inside one task (the per-query single-task
+    // bottleneck at 100 TB).
+    val ranked = adcScores
+      .select(col("q_id"), col("vec_id"), col("adc"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, a) => Scored(id, a) }
+      .agg(new TopKAggregator(PqRerank).toColumn.name("top"))
+      .flatMap { case (q, top) => top.map(sc => (q, sc.id)) }
+      .toDF("q_id", "vec_id")
+    // exact re-rank of Q×PqRerank candidates: only now do full
+    // vectors join
     val rer = ranked
       .join(c.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
       .join(broadcast(c.filter(col("vec_id") < NumQueries)
@@ -363,10 +374,6 @@ object Ann {
     topK(s, rer)
   }
 
-  /** Driver-gated decision row, like [[ivfKmeans]]: per-subspace
-    * Lloyd training cannot unroll into one SQL statement, so the
-    * oracle pins the exact-result cardinality and a recall@5 >= 0.8
-    * verdict (deterministic end to end — a regression flips it). */
   /** Shared driver-gated decision row for the trained-quantizer
     * tiers (their Lloyd training cannot unroll into one SQL
     * statement): exact-result cardinality + a recall@5 >= 0.8

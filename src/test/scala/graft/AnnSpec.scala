@@ -53,6 +53,19 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall too low: $recall%.2f")
   }
 
+  test("PQ rerank selection carries no ranking window (bounded top-k only)") {
+    // The ADC candidate cut must go through the partial-aggregating
+    // TopKAggregator: a row_number window over partitionBy(q_id)
+    // would sort the full corpus's scores for one query in one task.
+    val plan = graft.ann.Ann.pqTopK(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      s"pqTopK plan must not contain a Window operator, found: $windows")
+  }
+
   test("PQ decision row reports recall over threshold") {
     val r = SparkEntry.queries("ann_pq")(spark, sf).collect()
     assert(r.length == 1)
