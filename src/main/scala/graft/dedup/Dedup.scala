@@ -55,8 +55,10 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs (≥ 0.8) within a `source` block.
-    * O(block²) compares — correct at any SF but only tractable
-    * because blocks are bounded; the unblocked path is [[minhashLsh]].
+    * O(block²) compares for blocks up to [[MaxBlock]] docs; an
+    * OVERSIZED block is routed through the LSH candidate path
+    * ([[lshCandidates]]) instead of silently going quadratic — the
+    * bound is enforced in [[ngramJaccardPairs]], not just declared.
     * Shingles are xxhash64'd and sorted ONCE per document so the
     * per-pair compare is a primitive merge walk
     * ([[graft.functions.NativeExprs.JaccardSortedLong]]) — the pair
@@ -67,18 +69,51 @@ object Dedup {
     // PASSES `j >= 0.8` under NaN-is-largest comparison semantics
     // and emits garbage "near-duplicates" (latent on this corpus —
     // min 10 tokens — real on any other)
-    val sh = shingled(s, d, minTokens = 3)
-    val a = sh.select(col("doc_id").as("doc_a"), col("source"),
+    ngramJaccardPairs(shingled(s, d, minTokens = 3), MaxBlock)
+  }
+
+  /** All-pairs exact Jaccard within blocks of ≤ `maxBlock` docs;
+    * larger blocks switch to LSH candidate generation + exact verify
+    * (per-pair miss probability < 1e-7 at J ≥ 0.8 with 32×4 banding),
+    * so no block can force O(block²) compares. Block sizes come from
+    * one tiny count aggregate, broadcast back onto the docs. */
+  private[graft] def ngramJaccardPairs(sh: DataFrame, maxBlock: Int): DataFrame = {
+    val sizes = sh.groupBy(col("source"))
+      .agg(count(lit(1)).as("block_n"))
+    val tagged = sh.join(broadcast(sizes), "source")
+    val small = tagged.filter(col("block_n") <= maxBlock)
+    val big = tagged.filter(col("block_n") > maxBlock)
+    val a = small.select(col("doc_id").as("doc_a"), col("source"),
       col("sh").as("shh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"),
+    val b = small.select(col("doc_id").as("doc_b"),
       col("source").as("source_b"), col("sh").as("shh_b"))
-    a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+    val exactPairs = a
+      .join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shh_a"), col("shh_b"))
+    // Oversized blocks: LSH banding keyed by (source, band, bucket) —
+    // candidates never cross a block boundary, and the bucket cap
+    // bounds boilerplate inside the block too.
+    val lshPairs = lshCandidates(
+        big.select(col("doc_id"), col("source").as("block"), col("sh")),
+        MaxBucket)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("shh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shh_a"), col("shh_b"))
+    exactPairs.union(lshPairs)
       .withColumn("j", call_function("graft_jaccard_sorted",
         col("shh_a"), col("shh_b")))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("j"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Exact all-pairs is tractable to ~2k docs/block (≤ 2M compares);
+    * beyond that the LSH route wins on any hardware. */
+  private val MaxBlock = 2000
+
+  /** A band bucket with more than this many docs is boilerplate
+    * territory: cap its candidate generation via representatives. */
+  private val MaxBucket = 64
 
   private val NumHashes = 128
   private val Bands = 32
@@ -94,33 +129,14 @@ object Dedup {
     *      compared (≈ pairs with J ≥ τ, P[miss] < 1e-7 at J=0.8 with
     *      32 bands × 4 rows);
     *   3. exact verify on the candidate set only.
-    * Skew note: a pathological bucket (boilerplate) is bounded by
-    * count and would be salted/capped in production; candidates are
-    * deduped before verification. */
+    * Skew note: a pathological bucket (boilerplate) IS bounded —
+    * [[lshCandidates]] caps each band bucket at [[MaxBucket]]
+    * representatives, so a b-doc bucket yields O(b·cap) candidate
+    * pairs, never b². */
   private val minhashLsh: Q = (s, d) => {
     val sh = shingled(s, d, minTokens = 3)
-    // Map-side signatures: 128 minhashes per doc computed in one
-    // projection over the shingle array — no explode, no groupBy, so
-    // signature building is a zero-shuffle scan producing 1 KB/doc
-    // regardless of document size.
-    // Signatures are cheap enough native-side that the self-join just
-    // recomputes them per branch — no persist, so nothing leaks or
-    // goes stale across invocations. A 100 TB deployment would
-    // checkpoint the signature relation explicitly between stages.
-    val sigs = sh.select(col("doc_id"),
-      call_function("graft_minhash128_long", col("sh")).as("sig"))
-    val bands = sigs.select(col("doc_id"), explode(expr(
-      s"""transform(sequence(0, ${Bands - 1}), b -> named_struct(
-         |  'band', b,
-         |  'bh', xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))"""
-        .stripMargin)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val candidates = bands.alias("x")
-      .join(bands.alias("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val candidates = lshCandidates(
+      sh.select(col("doc_id"), lit("").as("block"), col("sh")), MaxBucket)
     val withSets = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -130,6 +146,59 @@ object Dedup {
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("j"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** LSH candidate pairs with an enforced bucket cap, from a
+    * `(doc_id, block, sh)` relation (`block` scopes candidates — a
+    * constant for whole-corpus dedup, `source` for blocked dedup).
+    *
+    * Map-side signatures: 128 minhashes per doc computed in one
+    * projection over the shingle array — no explode, no groupBy, so
+    * signature building is a zero-shuffle scan producing 1 KB/doc
+    * regardless of document size. Signatures are cheap enough
+    * native-side that both consumers below just recompute them per
+    * branch — no persist, so nothing leaks or goes stale across
+    * invocations. A 100 TB deployment would checkpoint the signature
+    * relation explicitly between stages.
+    *
+    * Bucket cap: a self-join of a b-doc band bucket emits b²
+    * candidate pairs — a single boilerplate bucket (every page's
+    * cookie banner) turns the candidate step quadratic at web scale.
+    * Instead, each bucket elects its `maxBucket` LOWEST doc_ids as
+    * representatives via [[graft.functions.BoundedMinK]] (an O(cap)
+    * partial-aggregation buffer — the full bucket membership never
+    * sits in one task), and candidates are (rep, member) pairs:
+    * O(b·cap) per bucket. For buckets ≤ cap every member is a
+    * representative, which is exactly the all-pairs self-join — the
+    * cap changes NOTHING until a bucket actually overflows. Oversized
+    * buckets stay internally connected through the shared reps, so a
+    * true dup cluster bigger than the cap still lands in one
+    * connected component downstream. */
+  private[graft] def lshCandidates(shBlocks: DataFrame,
+      maxBucket: Int): DataFrame = {
+    import shBlocks.sparkSession.implicits._
+    val sigs = shBlocks.select(col("doc_id"), col("block"),
+      call_function("graft_minhash128_long", col("sh")).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("block"), explode(expr(
+      s"""transform(sequence(0, ${Bands - 1}), b -> named_struct(
+         |  'band', b,
+         |  'bh', xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))"""
+        .stripMargin)).as("bb"))
+      .select(col("doc_id"), col("block"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val reps = bands
+      .select(col("block"), col("band"), col("bh"), col("doc_id"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .mapValues(_._4)
+      .agg(new graft.functions.BoundedMinK(maxBucket).toColumn.name("reps"))
+      .flatMap { case ((blk, band, bh), rs) => rs.map(r => (blk, band, bh, r)) }
+      .toDF("r_block", "r_band", "r_bh", "rep")
+    bands.join(reps,
+        col("block") === col("r_block") && col("band") === col("r_band") &&
+          col("bh") === col("r_bh") && col("rep") < col("doc_id"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** SimHash near-dup: 64-bit sketch per doc (map-side only), then

@@ -40,3 +40,30 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 }
+
+/** Bounded k-smallest aggregator over longs — same O(k)-buffer
+  * partial-aggregation shape as [[TopKAggregator]]. Used to pick a
+  * bucket's `k` lowest ids as its representatives
+  * ([[graft.dedup.Dedup]]'s LSH bucket cap) without ever
+  * materializing the full bucket membership in one place. */
+class BoundedMinK(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+
+  override def zero: List[Long] = Nil
+
+  override def reduce(buf: List[Long], a: Long): List[Long] = insert(buf, a)
+
+  override def merge(b1: List[Long], b2: List[Long]): List[Long] =
+    b2.foldLeft(b1)(insert)
+
+  private def insert(buf: List[Long], a: Long): List[Long] = {
+    val merged = (a :: buf).sorted
+    if (merged.size > k) merged.take(k) else merged
+  }
+
+  override def finish(r: List[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[List[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

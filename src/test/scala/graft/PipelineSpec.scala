@@ -42,6 +42,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "corpus should contain near-duplicates")
   }
 
+  test("LSH bucket cap bounds a boilerplate bucket's candidates " +
+      "while keeping the cluster connected") {
+    // 1000 identical docs: every band hashes them into ONE bucket, so
+    // uncapped candidate generation would emit 1000*999/2 = 499500
+    // pairs. With cap=8 the bucket elects its 8 lowest doc_ids as
+    // representatives: sum over reps r of (999 - r) = 7964 pairs.
+    val n = 1000
+    val cap = 8
+    val sh = spark.range(n).select(col("id").as("doc_id"),
+      lit("").as("block"),
+      expr("transform(sequence(1, 8), x -> cast(x * 1234567 as bigint))")
+        .as("sh"))
+    val cand = graft.dedup.Dedup.lshCandidates(sh, cap)
+    assert(cand.count() == (0 until cap).map(r => n - 1 - r).sum)
+    // every doc still appears in >=1 pair: the dup cluster stays one
+    // connected component downstream
+    val touched = cand.select(col("doc_a").as("d"))
+      .union(cand.select(col("doc_b").as("d"))).distinct().count()
+    assert(touched == n)
+    // below the cap the semantics are untouched all-pairs
+    val small = spark.range(5).select(col("id").as("doc_id"),
+      lit("").as("block"),
+      expr("transform(sequence(1, 8), x -> cast(x * 7654321 as bigint))")
+        .as("sh"))
+    assert(graft.dedup.Dedup.lshCandidates(small, cap).count() == 10)
+  }
+
+  test("oversized ngram block routes through LSH and still finds its dups") {
+    // 30 docs in one source with maxBlock=10: the block must NOT take
+    // the all-pairs path; its one true dup pair must still surface
+    // via the LSH route.
+    val distinct = (0 until 28).map(i =>
+      (i.toLong, "big", s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val dupText = "the quick brown fox jumps over the lazy dog repeatedly"
+    val docs = (distinct ++ Seq((100L, "big", dupText), (101L, "big", dupText)))
+      .toDF("doc_id", "source", "text")
+    val sh = docs.select(col("doc_id"), col("source"),
+      call_function("graft_shingle_hashes", col("text")).as("sh"))
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(sh, maxBlock = 10)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L)), s"got $pairs")
+    // with the bound above the block size, the exact path finds the same
+    val exact = graft.dedup.Dedup.ngramJaccardPairs(sh, maxBlock = 1000)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == pairs)
+  }
+
   test("simhash banding finds exactly the hamming<=3 pairs") {
     val banded = SparkEntry.queries("dedup_simhash")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
