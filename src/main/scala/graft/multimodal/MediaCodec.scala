@@ -1,0 +1,198 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Real, pure-JVM media codecs for the multimodal operators.
+  *
+  * The test corpus has no media files, so payloads are SYNTHESIZED —
+  * but unlike the former byte-arithmetic stub, they are genuine PNG
+  * (via `javax.imageio`, gray + truecolor) and WAV (RIFF/PCM16)
+  * files any external tool can open, and the read path genuinely
+  * DECODES them: `ImageIO.read` for pixels, RIFF chunk-walk for
+  * samples, header-only parses for metadata. What makes the operators
+  * oracle-able is that the synthesized CONTENT follows closed-form
+  * formulas in `doc_id` ([[grayAt]], [[rgbAt]], [[sampleAt]]), so
+  * DuckDB reproduces the decoded statistics arithmetically — which
+  * also pins, end to end, that encode→decode round-trips bit-exactly.
+  *
+  * Everything here is executor-side code invoked from
+  * `mapPartitions` batches; it holds no Spark dependency.
+  */
+object MediaCodec {
+
+  // ---- deterministic content formulas (shared with the oracles) ----
+
+  def widthOf(id: Long): Int = 16 + (id % 9).toInt
+  def heightOf(id: Long): Int = 12 + (id % 7).toInt
+
+  def grayAt(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** (r, g, b) channels of the truecolor variant. */
+  def rgbAt(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 31 + x * 7 + y * 13) % 256).toInt,
+    ((id * 37 + x * 11 + y * 17) % 256).toInt,
+    ((id * 41 + x * 13 + y * 19) % 256).toInt)
+
+  def numSamplesOf(id: Long): Int = 64 + (id % 9).toInt * 16
+
+  /** Signed PCM16 sample i. */
+  def sampleAt(id: Long, i: Int): Int =
+    (((id * 131 + i * 17) % 65536) - 32768).toInt
+
+  val WavSampleRate = 8000
+
+  // ---- encoders (payload synthesis) --------------------------------
+
+  def encodeGrayPng(id: Long): Array[Byte] = {
+    val (w, h) = (widthOf(id), heightOf(id))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, grayAt(id, x, y))
+    toPng(img)
+  }
+
+  def encodeRgbPng(id: Long): Array[Byte] = {
+    val (w, h) = (widthOf(id), heightOf(id))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgbAt(id, x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    toPng(img)
+  }
+
+  /** Encode an arbitrary channel-value matrix (the shape
+    * [[decodeImage]] returns) back to PNG — the resize re-encode
+    * path. */
+  def encodeImage(w: Int, h: Int, channels: Int,
+      value: (Int, Int, Int) => Int): Array[Byte] = {
+    if (channels == 1) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        raster.setSample(x, y, 0, value(x, y, 0))
+      toPng(img)
+    } else {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y,
+          (value(x, y, 0) << 16) | (value(x, y, 1) << 8) | value(x, y, 2))
+      toPng(img)
+    }
+  }
+
+  private def toPng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", out), "no PNG writer available")
+    out.toByteArray
+  }
+
+  /** A canonical 44-byte-header RIFF/WAVE file: PCM16, mono,
+    * [[WavSampleRate]] Hz, little-endian samples. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = numSamplesOf(id)
+    val dataBytes = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(WavSampleRate)
+      .putInt(WavSampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { buf.putShort(sampleAt(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  // ---- header-only metadata (the cheap pre-decode pass) ------------
+
+  /** `(fmt, dim1, dim2)`: png → (width, height) from the IHDR chunk;
+    * wav → (n_samples, sample_rate) from the fmt/data chunks. Reads
+    * ONLY the header bytes — the point of metadata-before-decode
+    * pruning is that a filter on dimensions never touches pixel
+    * data. */
+  def sniff(bytes: Array[Byte]): (String, Int, Int) =
+    if (isPng(bytes)) {
+      // IHDR is mandated first: width/height big-endian at 16/20
+      val bb = java.nio.ByteBuffer.wrap(bytes, 16, 8)
+      ("png", bb.getInt, bb.getInt)
+    } else if (isWav(bytes)) {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12 // past RIFF....WAVE
+      var rate = 0
+      var bits = 16
+      var dataLen = -1
+      while (dataLen < 0 && pos + 8 <= bytes.length) {
+        val tag = new String(bytes, pos, 4, "US-ASCII")
+        val len = bb.getInt(pos + 4)
+        if (tag == "fmt ") {
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22).toInt
+        } else if (tag == "data") dataLen = len
+        pos += 8 + len + (len & 1)
+      }
+      require(dataLen >= 0, "WAV payload has no data chunk")
+      ("wav", dataLen / (bits / 8), rate)
+    } else
+      throw new IllegalArgumentException(
+        "unrecognized media payload (not PNG or RIFF/WAVE)")
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 33 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G'
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E'
+
+  // ---- full decode -------------------------------------------------
+
+  /** Decode an image payload to a channel-value matrix accessor:
+    * `(width, height, channels, value(x, y, c))`. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Int, (Int, Int, Int) => Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode payload")
+    val gray = img.getColorModel.getNumComponents == 1
+    if (gray) {
+      val raster = img.getRaster
+      (img.getWidth, img.getHeight, 1, (x, y, _) => raster.getSample(x, y, 0))
+    } else
+      (img.getWidth, img.getHeight, 3, (x, y, c) => {
+        val px = img.getRGB(x, y)
+        c match {
+          case 0 => (px >> 16) & 0xff
+          case 1 => (px >> 8) & 0xff
+          case _ => px & 0xff
+        }
+      })
+  }
+
+  /** Decode a WAV payload to its PCM16 samples. */
+  def decodeWav(bytes: Array[Byte]): Array[Int] = {
+    val (_, n, _) = sniff(bytes)
+    // data chunk offset: canonical 44-byte header for our writer, but
+    // walk the chunks so any standard PCM16 file decodes
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var dataPos = -1
+    while (dataPos < 0) {
+      val tag = new String(bytes, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      if (tag == "data") dataPos = pos + 8
+      else pos += 8 + len + (len & 1)
+    }
+    Array.tabulate(n)(i => bb.getShort(dataPos + i * 2).toInt)
+  }
+}

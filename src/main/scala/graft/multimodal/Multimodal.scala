@@ -1,123 +1,154 @@
 package graft.multimodal
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.Registry.Q
 import graft.Tables
 
-/** Multimodal column plumbing (SURVEY.md §2 "Multimodal").
-  *
-  * Media libraries aren't in this container, so the *decode* step is
-  * a clearly-marked deterministic stub — but the Spark-side design is
-  * the real thing:
-  *  - payloads are opaque `binary` columns in parquet (never decoded
-  *    during scans that don't need them — column pruning skips the
-  *    bytes entirely);
-  *  - typed metadata (format, byte size) lives in ordinary columns,
-  *    so filters prune *before* any decode;
+/** Multimodal column operators (SURVEY.md §2 "Multimodal") over REAL
+  * media payloads: deterministic PNG images (gray + truecolor,
+  * encoded and decoded with `javax.imageio`) and RIFF/WAVE audio
+  * (PCM16, manual chunk-walk decode) — see [[MediaCodec]]. The
+  * Spark-side design is the production shape:
+  *  - payloads are opaque `binary` columns (never decoded by scans
+  *    that don't need them — column pruning skips the bytes);
+  *  - metadata comes from a HEADER-ONLY parse (PNG IHDR / RIFF fmt
+  *    chunk), so dimension/duration filters prune before any pixel
+  *    or sample is touched;
   *  - decode/feature-extract runs batched per partition
-  *    (`mapPartitions`), amortizing per-batch model/codec setup the
-  *    way a real image decoder or embedding model would be loaded
-  *    once per executor-partition, not per row.
+  *    (`mapPartitions`), amortizing codec setup per
+  *    executor-partition, not per row.
   *
-  * Payloads are synthesized deterministically from `documents.text`
-  * (a magic prefix + utf-8 bytes) since the test corpus has no real
-  * media.
+  * The synthesized content follows closed-form formulas in `doc_id`,
+  * which is what makes genuinely-decoded statistics DuckDB-oracle-able
+  * — and simultaneously pins that encode→decode round-trips
+  * bit-exactly (a lossy or shifted codec path would fail the hash
+  * gate on every row).
   */
 object Multimodal {
 
-  private def payloads(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.documents(s, d)
-      .withColumn("magic",
-        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'PNG!' WHEN 1 THEN 'JPG!' ELSE 'WAV!' END"))
-      .withColumn("payload", concat(col("magic"), col("text")).cast("binary"))
-
-  /** Metadata extraction: sniff the format from the payload's magic
-    * bytes, record byte size — pure column expressions over the
-    * binary column. */
-  private val metadata: Q = (s, d) =>
-    payloads(s, d)
-      .select(
-        col("doc_id"),
-        // decode(...) of the first 4 payload bytes = format sniff
-        expr("CASE decode(CAST(substring(payload, 1, 4) AS BINARY), 'UTF-8') " +
-          "WHEN 'PNG!' THEN 'png' WHEN 'JPG!' THEN 'jpg' ELSE 'wav' END")
-          .as("fmt"),
-        length(col("payload")).as("payload_bytes"))
-      .orderBy(col("doc_id"))
-
-  /** Feature extraction over the binary column, batched per
-    * partition. The per-element "decoder" below is the STUB — in
-    * production it would be an image/audio codec + model invoked on
-    * the whole batch; everything around it (schema, partition-level
-    * batching, opaque-binary transport) is real and tested. */
-  private val features: Q = (s, d) => {
-    val spark = s
-    import spark.implicits._
-    val src: Dataset[(Long, Array[Byte])] = payloads(s, d)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-    src.mapPartitions { batch =>
-      // batch-level setup happens once per partition (codec/model load)
-      batch.map { case (id, bytes) =>
-        // --- STUB DECODER (deterministic fake) -------------------
-        // real impl: decode image/audio, run feature extractor
-        val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-        val meanByte = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-        val f1 = bytes.length.toDouble
-        val f2 = if (bytes.nonEmpty) (bytes.head & 0xff).toDouble else 0.0
-        // ---------------------------------------------------------
-        (id, meanByte, f1, f2)
-      }
-    }.toDF("doc_id", "f_mean_byte", "f_len", "f_first_byte")
-      .orderBy(col("doc_id"))
-  }
-
-  /** Batched "resize": every 4th byte of the payload survives — the
-    * STUB stands in for an image rescale kernel; the contract (binary
-    * in, binary out, size metadata in ordinary columns so downstream
-    * filters need not touch bytes) is the real design. */
-  private val resize: Q = (s, d) => {
-    val spark = s
-    import spark.implicits._
-    val src: Dataset[(Long, Array[Byte])] = payloads(s, d)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-    src.mapPartitions { batch =>
-      batch.map { case (id, bytes) =>
-        // --- STUB RESIZE (deterministic fake: 4x downsample) -------
-        val out = bytes.indices.collect { case i if i % 4 == 0 => bytes(i) }.toArray
-        // -----------------------------------------------------------
-        (id, bytes.length, out.length, out)
-      }
-    }.toDF("doc_id", "orig_bytes", "resized_bytes", "resized_payload")
-      .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Frame sampling: treat the payload as fixed-16-byte "frames" and
-    * keep every 4th — one output row per sampled frame (flat-mapped
-    * per partition, so a long video fans out without ever
-    * materializing all frames on the driver). */
-  private val framesample: Q = (s, d) => {
-    val spark = s
-    import spark.implicits._
-    val FrameBytes = 16
-    val Stride = 4
-    val src: Dataset[(Long, Array[Byte])] = payloads(s, d)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-    src.mapPartitions { batch =>
-      batch.flatMap { case (id, bytes) =>
-        val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
-        (0 until nFrames by Stride).iterator.map { idx =>
-          // --- STUB FRAME DECODE (length-only fake) ----------------
-          val len = math.min(FrameBytes, bytes.length - idx * FrameBytes)
-          // ---------------------------------------------------------
-          (id, idx, len)
+  /** `(doc_id, payload)` with real media bytes: doc_id%3 = 0 → gray
+    * PNG, 1 → RGB PNG, 2 → WAV. Synthesis is executor-side
+    * (mapPartitions) — the driver never holds payloads. */
+  private def payloads(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val bytes = (id % 3) match {
+            case 0 => MediaCodec.encodeGrayPng(id)
+            case 1 => MediaCodec.encodeRgbPng(id)
+            case _ => MediaCodec.encodeWav(id)
+          }
+          (id, bytes)
         }
       }
-    }.toDF("doc_id", "frame_idx", "frame_len")
+  }
+
+  /** Metadata extraction WITHOUT decode: sniff the real magic bytes,
+    * read png dimensions from the IHDR chunk / wav sample count and
+    * rate from the fmt+data chunks. Touches only header bytes. */
+  private val metadata: Q = (s, d) => {
+    import s.implicits._
+    payloads(s, d).mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (fmt, d1, d2) = MediaCodec.sniff(bytes)
+        (id, fmt, d1, d2)
+      }
+    }.toDF("doc_id", "fmt", "dim1", "dim2")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Full decode + feature extraction: mean channel value over the
+    * decoded pixels (images) or mean amplitude over the decoded PCM
+    * samples (audio). Integer-exact sums, one double division — the
+    * oracle reproduces the same arithmetic. */
+  private val features: Q = (s, d) => {
+    import s.implicits._
+    payloads(s, d).mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (fmt, _, _) = MediaCodec.sniff(bytes)
+        if (fmt == "png") {
+          val (w, h, ch, v) = MediaCodec.decodeImage(bytes)
+          var sum = 0L
+          for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+            sum += v(x, y, c)
+          val n = w * h * ch
+          (id, fmt, n, sum.toDouble / n)
+        } else {
+          val ss = MediaCodec.decodeWav(bytes)
+          val sum = ss.foldLeft(0L)(_ + _)
+          (id, fmt, ss.length, sum.toDouble / ss.length)
+        }
+      }
+    }.toDF("doc_id", "fmt", "n_vals", "mean_val")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Resize: decode the real pixels, 2× nearest-neighbor downsample
+    * (out(x,y) = in(2x,2y)), RE-ENCODE to PNG, and report statistics
+    * of the re-decoded result — so the oracle match pins the full
+    * decode→resize→encode→decode loop. Audio analog: keep every 2nd
+    * sample. */
+  private val resize: Q = (s, d) => {
+    import s.implicits._
+    payloads(s, d).mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (fmt, _, _) = MediaCodec.sniff(bytes)
+        if (fmt == "png") {
+          val (w, h, ch, v) = MediaCodec.decodeImage(bytes)
+          val (nw, nh) = ((w + 1) / 2, (h + 1) / 2)
+          val resized = MediaCodec.encodeImage(nw, nh, ch,
+            (x, y, c) => v(2 * x, 2 * y, c))
+          val (w2, h2, ch2, v2) = MediaCodec.decodeImage(resized)
+          var sum = 0L
+          for (y <- 0 until h2; x <- 0 until w2; c <- 0 until ch2)
+            sum += v2(x, y, c)
+          (id, fmt, w, h, w2, h2, sum.toDouble / (w2 * h2 * ch2))
+        } else {
+          val ss = MediaCodec.decodeWav(bytes)
+          val kept = Array.tabulate((ss.length + 1) / 2)(i => ss(2 * i))
+          val sum = kept.foldLeft(0L)(_ + _)
+          (id, fmt, ss.length, MediaCodec.WavSampleRate,
+            kept.length, MediaCodec.WavSampleRate,
+            sum.toDouble / kept.length)
+        }
+      }
+    }.toDF("doc_id", "fmt", "dim1", "dim2", "new_dim1", "new_dim2", "new_mean")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling over decoded content: for images a "frame" is a
+    * pixel row (every 4th row's mean), for audio a 32-sample window
+    * (every 4th window's mean, last window short) — one output row
+    * per sampled frame, flat-mapped per partition so a long payload
+    * fans out without materializing all frames anywhere. */
+  private val framesample: Q = (s, d) => {
+    import s.implicits._
+    payloads(s, d).mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val (fmt, _, _) = MediaCodec.sniff(bytes)
+        if (fmt == "png") {
+          val (w, h, ch, v) = MediaCodec.decodeImage(bytes)
+          (0 until h by 4).iterator.map { y =>
+            var sum = 0L
+            for (x <- 0 until w; c <- 0 until ch) sum += v(x, y, c)
+            (id, y, sum.toDouble / (w * ch))
+          }
+        } else {
+          val ss = MediaCodec.decodeWav(bytes)
+          val frames = (ss.length + 31) / 32
+          (0 until frames by 4).iterator.map { f =>
+            val from = f * 32
+            val until = math.min(ss.length, from + 32)
+            var sum = 0L
+            var i = from
+            while (i < until) { sum += ss(i); i += 1 }
+            (id, f, sum.toDouble / (until - from))
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_mean")
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
@@ -127,44 +158,86 @@ object Multimodal {
     "mm_resize" -> resize,
     "mm_framesample" -> framesample)
 
+  // ---- DuckDB oracles ----------------------------------------------
+  // The oracles reconstruct the decoded statistics from the content
+  // formulas (MediaCodec.grayAt/rgbAt/sampleAt) — an off-by-one in
+  // the codec path, a gamma shift, or a lossy re-encode would
+  // hash-fail every row.
+
+  /** Shared per-doc geometry CTE. */
+  private val geomCte =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h,
+      |    64 + (doc_id % 9) * 16 AS n,
+      |    CAST(doc_id % 3 AS INT) AS k
+      |  FROM documents)""".stripMargin
+
+  private def graySum(x: String, y: String) =
+    s"(doc_id*31 + ($x)*7 + ($y)*13) % 256"
+  private def rgbSum(x: String, y: String) =
+    s"(doc_id*31 + ($x)*7 + ($y)*13) % 256 + " +
+      s"(doc_id*37 + ($x)*11 + ($y)*17) % 256 + " +
+      s"(doc_id*41 + ($x)*13 + ($y)*19) % 256"
+  private def wavSample(i: String) =
+    s"(doc_id*131 + ($i)*17) % 65536 - 32768"
+
   val oracles: Map[String, String] = Map(
-    // The stub features are pure byte arithmetic over the payload
-    // (magic || utf8(text)): mean byte value, byte length, first
-    // byte. DuckDB reconstructs them from code points (== bytes for
-    // this ASCII corpus); the division is the same exact-int-over-
-    // exact-int IEEE op on both engines.
-    "mm_features" ->
-      """SELECT doc_id,
-        | CAST(list_sum(list_transform(string_split(
-        |   (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'PNG!'
-        |     WHEN 1 THEN 'JPG!' ELSE 'WAV!' END) || text, ''),
-        |   c -> ascii(c))) AS DOUBLE)
-        |   / CAST(octet_length(encode(text)) + 4 AS DOUBLE) AS f_mean_byte,
-        | CAST(octet_length(encode(text)) + 4 AS DOUBLE) AS f_len,
-        | CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 80
-        |   WHEN 1 THEN 74 ELSE 87 END AS DOUBLE) AS f_first_byte
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // independent reconstruction of the payload contract
     "mm_metadata" ->
-      """SELECT doc_id,
-        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
-        |   WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
-        | CAST(octet_length(encode(text)) + 4 AS INT) AS payload_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // the 4x-downsample size contract, reconstructed arithmetically
+      s"""$geomCte
+         |SELECT doc_id,
+         | CASE WHEN k = 2 THEN 'wav' ELSE 'png' END AS fmt,
+         | CAST(CASE WHEN k = 2 THEN n ELSE w END AS INT) AS dim1,
+         | CAST(CASE WHEN k = 2 THEN 8000 ELSE h END AS INT) AS dim2
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      s"""$geomCte
+         |SELECT doc_id,
+         | CASE WHEN k = 2 THEN 'wav' ELSE 'png' END AS fmt,
+         | CAST(CASE WHEN k = 0 THEN w*h WHEN k = 1 THEN w*h*3 ELSE n END AS INT) AS n_vals,
+         | CASE WHEN k = 0 THEN CAST(list_sum(flatten(list_transform(range(h),
+         |        y -> list_transform(range(w), x -> ${graySum("x", "y")})))) AS DOUBLE) / (w*h)
+         |      WHEN k = 1 THEN CAST(list_sum(flatten(list_transform(range(h),
+         |        y -> list_transform(range(w), x -> ${rgbSum("x", "y")})))) AS DOUBLE) / (w*h*3)
+         |      ELSE CAST(list_sum(list_transform(range(n),
+         |        i -> ${wavSample("i")})) AS DOUBLE) / n
+         | END AS mean_val
+         |FROM m ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
-      """SELECT doc_id,
-        | CAST(octet_length(encode(text)) + 4 AS INT) AS orig_bytes,
-        | CAST(ceil((octet_length(encode(text)) + 4) / 4.0) AS INT) AS resized_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // every 4th 16-byte frame; the trailing frame is short
+      s"""$geomCte,
+         |m2 AS (SELECT *, (w+1)//2 AS nw, (h+1)//2 AS nh, (n+1)//2 AS nn FROM m)
+         |SELECT doc_id,
+         | CASE WHEN k = 2 THEN 'wav' ELSE 'png' END AS fmt,
+         | CAST(CASE WHEN k = 2 THEN n ELSE w END AS INT) AS dim1,
+         | CAST(CASE WHEN k = 2 THEN 8000 ELSE h END AS INT) AS dim2,
+         | CAST(CASE WHEN k = 2 THEN nn ELSE nw END AS INT) AS new_dim1,
+         | CAST(CASE WHEN k = 2 THEN 8000 ELSE nh END AS INT) AS new_dim2,
+         | CASE WHEN k = 0 THEN CAST(list_sum(flatten(list_transform(range(nh),
+         |        y -> list_transform(range(nw), x -> ${graySum("2*x", "2*y")})))) AS DOUBLE) / (nw*nh)
+         |      WHEN k = 1 THEN CAST(list_sum(flatten(list_transform(range(nh),
+         |        y -> list_transform(range(nw), x -> ${rgbSum("2*x", "2*y")})))) AS DOUBLE) / (nw*nh*3)
+         |      ELSE CAST(list_sum(list_transform(range(nn),
+         |        i -> ${wavSample("2*i")})) AS DOUBLE) / nn
+         | END AS new_mean
+         |FROM m2 ORDER BY doc_id""".stripMargin,
     "mm_framesample" ->
-      """WITH p AS (SELECT doc_id, octet_length(encode(text)) + 4 AS nb
-        |           FROM documents),
-        |f AS (SELECT doc_id, nb,
-        |        unnest(range(0, CAST(ceil(nb / 16.0) AS INT), 4)) AS frame_idx
-        |      FROM p)
-        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-        |       CAST(least(16, nb - frame_idx * 16) AS INT) AS frame_len
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+      s"""$geomCte,
+         |png AS (SELECT doc_id, w, k, unnest(range(0, h, 4)) AS y FROM m WHERE k < 2),
+         |pngf AS (
+         |  SELECT doc_id, CAST(y AS INT) AS frame_idx,
+         |   CASE WHEN k = 0 THEN CAST(list_sum(list_transform(range(w),
+         |          x -> ${graySum("x", "y")})) AS DOUBLE) / w
+         |        ELSE CAST(list_sum(list_transform(range(w),
+         |          x -> ${rgbSum("x", "y")})) AS DOUBLE) / (w*3)
+         |   END AS frame_mean
+         |  FROM png),
+         |wav AS (SELECT doc_id, n, unnest(range(0, (n+31)//32, 4)) AS f FROM m WHERE k = 2),
+         |wavf AS (
+         |  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         |   CAST(list_sum(list_transform(range(f*32, least(n, f*32+32)),
+         |     i -> ${wavSample("i")})) AS DOUBLE)
+         |     / (least(n, f*32+32) - f*32) AS frame_mean
+         |  FROM wav)
+         |SELECT * FROM pngf UNION ALL SELECT * FROM wavf
+         |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -225,12 +225,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(langs.forall(Set("en", "es", "de", "fr", "zh")))
   }
 
-  test("multimodal features carry the payload contract through mapPartitions") {
+  test("multimodal payloads are real PNG/WAV and decode matches the formulas") {
+    import graft.multimodal.MediaCodec
+    // RGB png round-trip: encode → ImageIO decode → per-pixel equality
+    val id = 7L // id%3==1 → rgb
+    val (w, h, ch, v) = MediaCodec.decodeImage(MediaCodec.encodeRgbPng(id))
+    assert((w, h, ch) == ((MediaCodec.widthOf(id), MediaCodec.heightOf(id), 3)))
+    val (r, g, b) = MediaCodec.rgbAt(id, 3, 5)
+    assert((v(3, 5, 0), v(3, 5, 1), v(3, 5, 2)) == ((r, g, b)))
+    // gray png: raster samples, not getRGB (which would gamma-shift)
+    val gid = 6L
+    val gpng = MediaCodec.encodeGrayPng(gid)
+    val (gw, gh, gch, gv) = MediaCodec.decodeImage(gpng)
+    assert(gch == 1 && gv(2, 2, 0) == MediaCodec.grayAt(gid, 2, 2))
+    // wav: RIFF chunk-walk decode returns the exact PCM16 samples
+    val wid = 8L
+    val wav = MediaCodec.encodeWav(wid)
+    val ss = MediaCodec.decodeWav(wav)
+    assert(ss.length == MediaCodec.numSamplesOf(wid))
+    assert(ss(5) == MediaCodec.sampleAt(wid, 5))
+    // header-only sniff reads dims without decoding
+    assert(MediaCodec.sniff(gpng) == (("png", gw, gh)))
+    assert(MediaCodec.sniff(wav) == (("wav", ss.length, 8000)))
+    // the query surface decodes for real across the corpus
     val feats = SparkEntry.queries("mm_features")(spark, sf)
-    val joined = feats.join(Tables.documents(spark, sf), "doc_id")
-    // payload = 4-byte magic + utf8 text
-    assert(joined.filter($"f_len" =!= ($"n_chars" + 4)).count() == 0)
-    assert(feats.filter($"f_mean_byte" < 32 || $"f_mean_byte" > 127).count() == 0)
+    assert(feats.filter($"fmt" === "wav").count() > 0)
+    assert(feats.filter($"fmt" === "png" &&
+      ($"mean_val" < 0 || $"mean_val" > 255)).count() == 0)
   }
 }
 
