@@ -25,6 +25,11 @@ final case class ColStat(kind: String, mn: Option[String],
   * are untouched even when they match). */
 final case class DeletePred(seq: Long, pred: String)
 
+/** The ancestry-walk header of one manifest — what timestamp travel
+  * needs per step (see [[GraftTable.headerCache]]). */
+private[lakehouse] final case class SnapHeader(parent: Long, ts: Long,
+    op: String)
+
 /** A column rename at commit `seq`: data files with a LOWER
   * add-sequence store the column under `from` and read through an
   * alias (the name-mapping analog of Iceberg's field-id-based column
@@ -174,11 +179,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * replacement must be ATOMIC — a reader finding the file missing
     * would fall back to "main = highest snapshot id" and could see an
     * unpublished branch head — so local filesystems replace via
-    * nio ATOMIC_MOVE (POSIX rename over an existing destination);
-    * elsewhere the delete+rename window is the documented reason ref
-    * moves need a catalog/lock service across processes, the same
-    * contract as Iceberg's HadoopTableOperations (the manifest CAS
-    * still bounds the damage to a stale ref, never a torn snapshot). */
+    * nio ATOMIC_MOVE (POSIX rename over an existing destination).
+    * CROSS-PROCESS CAVEAT: once a refs file exists, head check +
+    * snapshot publish + refs rewrite are not one atomic step across
+    * processes — two processes committing to the same branch can both
+    * pass the head check, publish DISTINCT snapshot ids (the snap-file
+    * CAS allocates per-id, so neither publish fails), and the later
+    * writeRefs silently drops the earlier commit from the branch
+    * lineage: a LOST COMMIT, not just a stale ref. Branch/ref commits
+    * therefore require a single-process writer or an external
+    * lock/catalog service — the same contract as Iceberg's
+    * HadoopTableOperations, which documents HDFS-only safety and
+    * points object stores at a metastore lock. Refs-LESS tables (the
+    * default linear history) keep the full snap-file CAS safety:
+    * there the manifest publish itself is the head pointer. */
   private def writeRefs(r: Map[String, (String, Long)]): Unit = {
     val tmp = new Path(metaDir,
       s"refs.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
@@ -216,8 +230,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         if (refs.isEmpty)
           Map(GraftTable.MainBranch -> ("branch", maxSnapshotId))
         else refs
-      require(!base.contains(name), s"ref '$name' already exists")
+      // reserved-name check FIRST: base always contains 'main', so
+      // the duplicate check would otherwise shadow it with the
+      // misleading "ref 'main' already exists"
       require(name != GraftTable.MainBranch, "main is reserved")
+      require(!base.contains(name), s"ref '$name' already exists")
       writeRefs(base + (name -> (kind, at)))
     }
 
@@ -328,6 +345,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def snapshot(id: Long): Snapshot = parseManifest(snapPath(id), id)
 
   private def parseManifest(path: Path, id: Long): Snapshot = {
+    GraftTable.manifestReads.incrementAndGet()
     val in = fs.open(path)
     val text =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
@@ -571,18 +589,61 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * (branch commits are not main history). Commit timestamps are
     * informational metadata — correctness still keys off snapshot
     * ids; this is the operator-facing "what did the table look like
-    * yesterday" surface. */
+    * yesterday" surface. The ancestry walk reads cached headers
+    * ([[header]]) — only the chosen snapshot gets a full manifest
+    * parse, so a long history costs one bounded prefix read per
+    * not-yet-cached step, once per JVM. */
   def readAsOfTimestamp(millis: Long): DataFrame = {
     var id = currentSnapshotId
-    while (id > 0 && fs.exists(snapPath(id))) {
-      val s = snapshot(id)
-      if (s.ts > 0 && s.ts <= millis) return morRead(s, s.files)
-      id = s.parent
+    while (id > 0) {
+      header(id) match {
+        case Some(hd) =>
+          if (hd.ts > 0 && hd.ts <= millis) return readAt(id)
+          id = hd.parent
+        case None => id = 0 // expired out from under the walk
+      }
     }
     throw new IllegalArgumentException(
       s"no live snapshot committed at or before epoch-millis $millis " +
         "(expired or pre-timestamp history cannot time-travel by " +
         "wall clock)")
+  }
+
+  /** The (parent, ts, op) header of snapshot `id`, None if its
+    * manifest no longer exists. Cache-first; a miss reads a BOUNDED
+    * prefix of the manifest — parent/op/ts are the first lines the
+    * committer writes, so the walk never streams the file list or
+    * stats (which dominate manifest size at scale). */
+  private def header(id: Long): Option[SnapHeader] = {
+    val cache = GraftTable.headerCache(root.toString)
+    Option(cache.get(id)).orElse {
+      if (!fs.exists(snapPath(id))) None
+      else {
+        GraftTable.manifestReads.incrementAndGet()
+        val in = fs.open(snapPath(id))
+        val text =
+          try {
+            val buf = new Array[Byte](4096)
+            val n = in.readNBytes(buf, 0, buf.length)
+            new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8)
+          } finally in.close()
+        val kv = text.linesIterator.flatMap { line =>
+          val i = line.indexOf('=')
+          if (i < 0) None else Some(line.substring(0, i) -> line.substring(i + 1))
+        }.toMap
+        // parent/op/ts sit in the first ~100 bytes of our layout; a
+        // manifest that doesn't match it falls back to the full parse
+        val hd = (for (p <- kv.get("parent"); op <- kv.get("op"))
+          yield SnapHeader(p.toLong,
+            kv.get("ts").map(_.toLong).getOrElse(0L), op))
+          .getOrElse {
+            val s = snapshot(id)
+            SnapHeader(s.parent, s.ts, s.op)
+          }
+        cache.put(id, hd)
+        Some(hd)
+      }
+    }
   }
 
   /** Read `files` under `snap`, applying merge-on-read deletes. Files
@@ -712,20 +773,30 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       known: Long => Option[Snapshot] = _ => None): (Snapshot, Seq[String]) = {
     def snapOf(id: Long): Snapshot = known(id).getOrElse(snapshot(id))
     val to = snapOf(toId)
-    var cur = to
-    while (cur.id != fromId) {
-      require(cur.op == "create" || cur.op == "append",
-        s"snapshot ${cur.id} is op '${cur.op}': incremental/streaming " +
+    // Lineage validation walks cached HEADERS ([[header]]) — only the
+    // two endpoints are parsed in full; intermediate commits cost a
+    // bounded prefix read each, once per JVM.
+    var id = toId
+    var hd = SnapHeader(to.parent, to.ts, to.op)
+    var reachedBase = false
+    while (id != fromId && !reachedBase) {
+      require(hd.op == "create" || hd.op == "append",
+        s"snapshot $id is op '${hd.op}': incremental/streaming " +
           "reads are defined over append-only lineage (rewrites would " +
           "re-surface already-delivered rows)")
-      if (cur.parent == 0L) {
+      if (hd.parent == 0L) {
         require(fromId == 0L,
           s"snapshot $fromId is not an ancestor of $toId")
-        return (to, to.files)
+        reachedBase = true
+      } else {
+        id = hd.parent
+        if (id != fromId)
+          hd = header(id).getOrElse(throw new IllegalArgumentException(
+            s"snapshot $id in range ($fromId, $toId] has been expired"))
       }
-      cur = snapOf(cur.parent)
     }
-    val base = cur.files.toSet
+    val base =
+      if (fromId == 0L) Set.empty[String] else snapOf(fromId).files.toSet
     (to, to.files.filterNot(base))
   }
 
@@ -1435,7 +1506,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   }
 
   /** The Morton z-value of `cols` as a Column: each column scales to
-    * 16 bits against its table-wide [min, max] (from the manifest's
+    * 15 bits against its table-wide [min, max] (from the manifest's
     * merged per-file stats when every file carries them — no data
     * pass — else one min/max aggregate), then the bits interleave.
     * NULLs sort first (scaled 0). Numeric, date and timestamp
@@ -1443,8 +1514,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   private def zValue(snap: Snapshot, base: DataFrame,
       cols: Seq[String]): Column = {
     import org.apache.spark.sql.types._
-    // 16 bits × k columns must fit a positive long (shiftleft wraps
-    // mod 64 — silently scrambled clustering, not an error)
+    // 15 bits × k columns must fit a POSITIVE long, sign bit excluded
+    // (shiftleft wraps mod 64 — silently scrambled clustering, not an
+    // error; see the interleave comment below)
     require(cols.size >= 2 && cols.size <= 4,
       s"zorder takes 2-4 columns, got ${cols.size}")
     cols.foreach { c =>
@@ -1491,10 +1563,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       val span = if (mx > mn) mx - mn else 1.0
       (coalesce(
         least(greatest((norm(c) - lit(mn)) / lit(span), lit(0.0)), lit(1.0)),
-        lit(0.0)) * lit(65535.0)).cast("long")
+        lit(0.0)) * lit(32767.0)).cast("long")
     }
     val k = scaled.size
-    (0 until 16).flatMap { i =>
+    // 15 bits per column: the top interleaved position is
+    // 14*4 + 3 = 59 even at k=4, comfortably below the long's sign
+    // bit. 16 bits would put column 4's MSB at position 63 — rows in
+    // the upper half of its domain got NEGATIVE z-values, wrapping
+    // one range partition across the signed boundary (clustering
+    // quality, not correctness).
+    (0 until 15).flatMap { i =>
       scaled.zipWithIndex.map { case (s, j) =>
         shiftleft(shiftright(s, i).bitwiseAND(lit(1L)), i * k + j)
       }
@@ -1639,9 +1717,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val (protected0, expired) = old.partition(s => pinned(s.id))
     if (expired.isEmpty) return
     val live = (kept0 ++ protected0).flatMap(_.files).toSet
+    val cache = GraftTable.headerCache(root.toString)
     expired.foreach { snap =>
       snap.files.filterNot(live).foreach(f => fs.delete(new Path(f), false))
       fs.delete(snapPath(snap.id), false)
+      cache.remove(snap.id)
     }
   }
 
@@ -2043,6 +2123,27 @@ object GraftTable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def commitLock(root: String): Object =
     commitLocks.computeIfAbsent(root, _ => new Object)
+
+  /** Per-root cache of manifest HEADERS (parent, ts, op) — the
+    * ancestry walk behind timestamp travel reads these instead of
+    * opening one manifest per step. Manifests are immutable once
+    * published, so a cached header never goes stale;
+    * [[GraftTable.expireSnapshots]] evicts deleted ids. This is the
+    * compact analog of Iceberg's snapshot-log (which lives in the
+    * single table-metadata file): O(1) amortized header cost per
+    * snapshot per JVM instead of O(history) manifest opens per
+    * timestamp query. */
+  private val headerCaches = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[Long, SnapHeader]]()
+  private[lakehouse] def headerCache(
+      root: String): java.util.concurrent.ConcurrentHashMap[Long, SnapHeader] =
+    headerCaches.computeIfAbsent(root,
+      _ => new java.util.concurrent.ConcurrentHashMap[Long, SnapHeader]())
+
+  /** Manifest-open counter (full parses + header prefix reads) —
+    * lets specs assert the I/O shape of metadata walks. */
+  private[graft] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong()
 
   /** True when `df` would execute on fewer than `target` partitions.
     * Plans containing any Exchange are never "narrow": a shuffle runs

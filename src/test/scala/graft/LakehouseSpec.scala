@@ -716,6 +716,45 @@ class LakehouseSpec extends AnyFunSuite {
     assert(spark.sql("SELECT label FROM alter_sql_t").head.getString(0) == "a")
   }
 
+  test("temporal pruning renders TIMESTAMP literals in the session zone") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+    try {
+      val df = Seq(
+        (1L, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-03-01T20:00:00Z"))),
+        (2L, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-03-02T20:00:00Z"))))
+        .toDF("k", "ts")
+      val t = GraftTable.create(spark,
+        Files.createTempDirectory("graft_tz").toString, df, Seq("day(ts)"))
+      // Sydney (UTC+11) puts both instants on the NEXT calendar day
+      // vs UTC, so write-time dirs are 03-02/03-03. A UTC-rendered
+      // literal would map to the nonexistent 03-01 dir, prune away
+      // every candidate file, and the DELETE would silently no-op.
+      t.delete("ts = TIMESTAMP'2024-03-02 07:00:00'") // = 03-01T20:00Z
+      assert(t.read().select("k").as[Long].collect().toSeq == Seq(2L),
+        "session-zone literal placement must reach the matching row")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("timestamp travel walks cached headers, not one manifest per step") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    for (i <- 2L to 6L) {
+      Thread.sleep(3)
+      t.append(Seq((i, "x", i.toDouble)).toDF("k", "tag", "v"))
+    }
+    val cutoff = t.snapshot(3).ts // walk must descend 6 -> 3
+    val first = t.readAsOfTimestamp(cutoff).count()
+    val warm = GraftTable.manifestReads.get()
+    val second = t.readAsOfTimestamp(cutoff).count()
+    val opens = GraftTable.manifestReads.get() - warm
+    assert(first == second && second == 3)
+    // warm cache: the whole ancestry walk costs ZERO manifest opens;
+    // only the chosen snapshot's full parse (readAt) remains
+    assert(opens <= 1, s"expected <=1 manifest open on a warm walk, got $opens")
+  }
+
   test("TIMESTAMP AS OF reads the latest snapshot at or before the instant") {
     val t = freshTable(Seq((1L, "a", 1.0))) // snap 1
     Thread.sleep(5)
