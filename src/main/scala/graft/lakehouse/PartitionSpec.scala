@@ -51,8 +51,15 @@ sealed trait PartField {
     * fixed-width/zero-padded or plain text), "x" = equality only.
     * None when this transform cannot place the literal — wrong type
     * family vs the column (`colDt`), unsupported type — in which
-    * case pruning must keep the file. */
-  def ofLiteral(value: Any, dt: DataType, colDt: DataType): Option[(String, String)]
+    * case pruning must keep the file. `zone` is the SESSION time
+    * zone: write-time dirs come from `date_format`, which renders
+    * TIMESTAMP instants in the session zone, so literal placement
+    * must use the same zone or temporal pruning maps a literal to
+    * the wrong directory (and a DELETE could silently keep matching
+    * rows). Writer and reader sessions must agree on the zone, the
+    * same contract as Hive's zoned-timestamp partitioning. */
+  def ofLiteral(value: Any, dt: DataType, colDt: DataType,
+      zone: java.time.ZoneId): Option[(String, String)]
 
   /** Whether the transform preserves ordering (so range predicates on
     * the raw column translate to range predicates on the partition
@@ -80,12 +87,14 @@ object PartField {
     def toColumn(dt: DataType) = org.apache.spark.sql.functions.col(col)
     def monotonic = true
 
-    def ofLiteral(value: Any, dt: DataType, colDt: DataType) =
+    def ofLiteral(value: Any, dt: DataType, colDt: DataType,
+        zone: java.time.ZoneId) =
       (dt, colDt) match {
         case (a, b) if isIntegral(a) && isIntegral(b) =>
           Some((value.toString, "n"))
         case (StringType, StringType) => Some((value.toString, "s"))
         case (DateType, DateType) =>
+          // DATE is zone-free: epoch-day renders the same everywhere
           Some((java.time.LocalDate.ofEpochDay(
             value.asInstanceOf[Number].longValue).toString, "s"))
         case _ => None
@@ -105,14 +114,21 @@ object PartField {
       date_format(org.apache.spark.sql.functions.col(col), pattern)
     def monotonic = true
 
-    def ofLiteral(value: Any, dt: DataType,
-        colDt: DataType): Option[(String, String)] = {
+    def ofLiteral(value: Any, dt: DataType, colDt: DataType,
+        zone: java.time.ZoneId): Option[(String, String)] = {
       val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern)
       dt match {
-        case DateType => // days since epoch
+        case DateType => // days since epoch, zone-free
           Some((java.time.LocalDate.ofEpochDay(
             value.asInstanceOf[Number].longValue).format(fmt), "s"))
-        case TimestampType | TimestampNTZType => // micros since epoch
+        case TimestampType => // instant micros: render in the SESSION
+          // zone, matching the write-time date_format() rendering —
+          // a hardcoded UTC here maps literals to the wrong day/month
+          // dir under any non-UTC session (and DML would no-op)
+          Some((java.time.Instant.ofEpochSecond(
+            Math.floorDiv(value.asInstanceOf[Number].longValue, 1000000L))
+            .atZone(zone).toLocalDateTime.format(fmt), "s"))
+        case TimestampNTZType => // wall-clock micros, zone-free
           Some((java.time.LocalDateTime.ofEpochSecond(
             Math.floorDiv(value.asInstanceOf[Number].longValue, 1000000L),
             0, java.time.ZoneOffset.UTC).format(fmt), "s"))
@@ -136,8 +152,8 @@ object PartField {
     }
     def monotonic = false
 
-    def ofLiteral(value: Any, dt: DataType,
-        colDt: DataType): Option[(String, String)] = {
+    def ofLiteral(value: Any, dt: DataType, colDt: DataType,
+        zone: java.time.ZoneId): Option[(String, String)] = {
       import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
       val normalized: Option[Literal] = (dt, colDt) match {
         case (a, b) if isIntegral(a) && isIntegral(b) =>
@@ -163,8 +179,8 @@ object PartField {
       substring(org.apache.spark.sql.functions.col(col), 1, w)
     def monotonic = true
 
-    def ofLiteral(value: Any, dt: DataType,
-        colDt: DataType): Option[(String, String)] = (dt, colDt) match {
+    def ofLiteral(value: Any, dt: DataType, colDt: DataType,
+        zone: java.time.ZoneId): Option[(String, String)] = (dt, colDt) match {
       case (StringType, StringType) => Some((value.toString.take(w), "s"))
       case _                        => None
     }
@@ -228,6 +244,9 @@ object PartField {
       filterSql: String): Seq[String] = {
     val conjuncts = extractConjuncts(spark, filterSql)
     if (conjuncts.isEmpty) return files
+    // the zone date_format() rendered TIMESTAMP dirs in at write time
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
     val identityLayout = allIdentity(spec.map(_.render))
     val fields = spec.zipWithIndex.map { case (field, i) =>
       val dirName = if (identityLayout) field.col else dirCol(i)
@@ -248,7 +267,7 @@ object PartField {
           if (dirVal == NullDir) false // null-rejecting conjuncts
           else preds.forall { case (_, op, values, _) =>
             val placed = values.map { case (v, dt) =>
-              colDt.flatMap(cd => field.ofLiteral(v, dt, cd))
+              colDt.flatMap(cd => field.ofLiteral(v, dt, cd, zone))
             }
             if (placed.exists(_.isEmpty)) true // cannot place → keep
             else op match {
