@@ -55,7 +55,11 @@ final case class Snapshot(
     fileSeq: Map[String, Long] = Map.empty,
     fileRows: Map[String, Long] = Map.empty,
     renames: Seq[Rename] = Nil,
-    specHist: Seq[(Long, Seq[String])] = Nil) {
+    specHist: Seq[(Long, Seq[String])] = Nil,
+    /** Streaming-sink transaction watermark carried BY this commit
+      * (Delta's `txn` action): (appId, batchId) recorded atomically
+      * with the data so a replayed micro-batch is detectable. */
+    txn: Option[(String, Long)] = None) {
 
   /** The physical (write-time) name of current column `name` in a
     * data file added at sequence `fseq`: renames that happened after
@@ -130,6 +134,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   private val fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val metaDir = new Path(root, "_graft_meta")
+
+  /** Streaming-sink transaction marker stamped onto the NEXT commit
+    * made through THIS handle (the Delta `txn` pattern):
+    * [[graft.streaming.GraftLakeSink]] sets it right before its
+    * merge/append so the (appId, batchId) watermark publishes
+    * ATOMICALLY with the data — surviving retries of the commit CAS,
+    * cleared by the sink when the batch completes. A sink uses a
+    * dedicated handle, so unrelated commits never pick it up. */
+  @volatile private[graft] var pendingTxn: Option[(String, Long)] = None
 
   // ---- metadata ----------------------------------------------------
 
@@ -384,6 +397,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         val i = v.indexOf('\t')
         (v.substring(0, i).toLong,
           v.substring(i + 1).split(",").toSeq.filter(_.nonEmpty))
+      },
+      txn = kv.collectFirst { case ("txn", v) =>
+        val i = v.indexOf('\t')
+        (v.substring(0, i), v.substring(i + 1).toLong)
       })
   }
 
@@ -495,6 +512,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       body ++= s"ts=${System.currentTimeMillis()}\n"
       body ++= s"schema=${schema.json}\n"
       body ++= s"partcols=${partitionCols.mkString(",")}\n"
+      pendingTxn.foreach { case (app, b) => body ++= s"txn=$app\t$b\n" }
       files.foreach { f =>
         body ++= s"file=$f\n"
         body ++= s"fseq=${refSeq.getOrElse(f, id)}\t$f\n"
@@ -805,6 +823,25 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * frames from. */
   private[graft] def readCommitted(snap: Snapshot, files: Seq[String]): DataFrame =
     readFilesMapped(snap, files)
+
+  /** The newest batch id `appId` has durably committed on main
+    * lineage (the Delta `txn` lookup): walk the ancestry until a
+    * commit carrying this app's txn marker is found. The walk is
+    * O(commits since that app's last write) — for a live streaming
+    * sink that is the last one or two commits; the one full-history
+    * walk happens on the FIRST batch after a restart against a table
+    * this app never wrote (and stops at the create commit). */
+  private[graft] def lastTxn(appId: String): Option[Long] = {
+    var id = currentSnapshotId
+    while (id > 0 && fs.exists(snapPath(id))) {
+      val s = snapshot(id)
+      s.txn match {
+        case Some((app, b)) if app == appId => return Some(b)
+        case _ => id = s.parent
+      }
+    }
+    None
+  }
 
   // ---- writes ------------------------------------------------------
 

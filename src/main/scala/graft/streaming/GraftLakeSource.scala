@@ -5,10 +5,13 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{
   Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{
+  Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftlake.StreamShim
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{
+  DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.lakehouse.{GraftTable, Snapshot}
@@ -128,12 +131,65 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
   override def toString: String = s"GraftLakeSource[$tablePath]"
 }
 
-/** `spark.readStream.format("graft-lake").load(tableRoot)` — v1
-  * stream-source registration (META-INF/services carries the
-  * short name). Options: `maxCommitsPerTrigger` (default: drain all
-  * available). */
+/** Exactly-once streaming sink INTO a lake table — the other half of
+  * the `graft-lake` format (`df.writeStream.format("graft-lake")
+  * .option("mergeKeys", "k1,k2").start(tableRoot)`).
+  *
+  * Exactly-once: Structured Streaming re-delivers the last micro-batch
+  * after a crash, so an at-least-once sink duplicates rows. Each batch
+  * here commits with an (appId, batchId) transaction marker IN the
+  * manifest — the same publish CAS that lands the data lands the
+  * watermark (Delta's `txn` action) — and a replayed batch whose id is
+  * at or below the durable watermark is skipped. The appId defaults to
+  * the checkpoint location, which IS the batch-id authority; an
+  * explicit `txnAppId` option overrides (e.g. several queries feeding
+  * one table from distinct checkpoints).
+  *
+  * With `mergeKeys`, each batch MERGEs (update-or-insert, in-batch
+  * duplicates collapsed keep-latest-arbitrary via dropDuplicates) —
+  * idempotent by key on TOP of the txn guard, so even cross-query
+  * duplicate events converge. Without, each batch appends (txn guard
+  * alone carries exactly-once). The incoming micro-batch frame is
+  * re-wrapped as a batch plan and persisted across MERGE's multiple
+  * actions, then unpersisted. */
+final class GraftLakeSink(spark: SparkSession, tablePath: String,
+    mergeKeys: Seq[String], appId: String) extends Sink {
+
+  // dedicated handle: pendingTxn must never leak onto other writers
+  private val table = GraftTable.load(spark, tablePath)
+  private var watermark: Option[Long] = None
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (watermark.isEmpty) watermark = table.lastTxn(appId)
+    if (watermark.exists(_ >= batchId)) return // replayed: already durable
+    val batch = StreamShim.asBatch(data)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      table.pendingTxn = Some((appId, batchId))
+      if (mergeKeys.nonEmpty)
+        table.merge(batch.dropDuplicates(mergeKeys), mergeKeys,
+          Seq(graft.lakehouse.MergeClause.Update(None, Map.empty),
+            graft.lakehouse.MergeClause.Insert(None, Map.empty)))
+      else table.append(batch)
+      watermark = Some(batchId)
+    } finally {
+      table.pendingTxn = None
+      batch.unpersist()
+    }
+  }
+
+  override def toString: String = s"GraftLakeSink[$tablePath]"
+}
+
+/** `spark.readStream.format("graft-lake").load(tableRoot)` /
+  * `df.writeStream.format("graft-lake").start(tableRoot)` — v1
+  * stream source+sink registration (META-INF/services carries the
+  * short name). Source options: `maxCommitsPerTrigger` (default:
+  * drain all available). Sink options: `mergeKeys` (comma-separated;
+  * absent = append mode), `txnAppId` (default: the checkpoint
+  * location). */
 final class GraftLakeStreamProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
 
@@ -154,4 +210,17 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
     new GraftLakeSource(ctx.sparkSession, pathOf(parameters),
       parameters.get("maxCommitsPerTrigger").map(_.toLong)
         .getOrElse(Long.MaxValue >> 1))
+
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink =
+    new GraftLakeSink(ctx.sparkSession, pathOf(parameters),
+      parameters.get("mergeKeys").map(_.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+      parameters.get("txnAppId")
+        .orElse(parameters.get("checkpointLocation").map("ckpt:" + _))
+        // no checkpoint = nothing to recover after restart; a
+        // per-sink id avoids two anonymous queries colliding on one
+        // shared watermark (which would silently drop their batches)
+        .getOrElse("anon:" + java.util.UUID.randomUUID))
 }

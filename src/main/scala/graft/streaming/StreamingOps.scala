@@ -123,17 +123,18 @@ object StreamingOps {
   }
 
   /** Streaming ingest into the lakehouse — the reference's actual
-    * production shape (streams land in governed Iceberg tables; here
-    * readStream → foreachBatch → GraftTable.merge). Each micro-batch
-    * MERGEs on event_id, so ingest is IDEMPOTENT: a replayed or
-    * reprocessed event overwrites itself instead of duplicating —
-    * the standard exactly-once emulation for a streaming → table
-    * sink, and what makes the end state independent of batch
-    * boundaries (hence oracle-able). The run is a real Structured
-    * Streaming query (Trigger.AvailableNow over a staged multi-file
-    * source, maxFilesPerTrigger=1 ⇒ several distinct merge commits),
-    * and the table is pre-seeded with stale rows (value = -1) that
-    * the stream MUST overwrite for the oracle to match. */
+    * production shape (streams land in governed Iceberg tables),
+    * through the FIRST-CLASS `graft-lake` sink ([[GraftLakeSink]]):
+    * each micro-batch MERGEs on event_id AND commits an
+    * (appId, batchId) transaction watermark atomically with the data,
+    * so ingest is exactly-once (a crash-replayed batch is detected
+    * and skipped) and idempotent by key on top — the end state is
+    * independent of batch boundaries (hence oracle-able). The run is
+    * a real Structured Streaming query (Trigger.AvailableNow over a
+    * staged multi-file source, maxFilesPerTrigger=1 ⇒ several
+    * distinct merge commits), and the table is pre-seeded with stale
+    * rows (value = -1) that the stream MUST overwrite for the oracle
+    * to match. */
   private val lakeSinkQ: Q = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
     val events = Tables.events(s, d)
@@ -149,12 +150,12 @@ object StreamingOps {
         .withColumn("value", lit(-1.0)))
     val q = s.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        t.merge(batch.dropDuplicates("event_id"), "event_id"); ()
-      }
+      .writeStream.format("graft-lake")
+      .option("mergeKeys", "event_id")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_stream_sink_ck").toString)
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start(t.location)
     q.awaitTermination()
     t.read()
       .groupBy(col("user_id"))

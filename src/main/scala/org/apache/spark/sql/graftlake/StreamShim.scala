@@ -26,6 +26,16 @@ object StreamShim {
       classic.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Re-wrap a sink's incoming micro-batch frame as a plain BATCH
+    * DataFrame (`isStreaming = false`), so table operations that run
+    * several actions over it (MERGE's probe + rewrite + anti-join)
+    * can execute it like any other frame. Same physical plan, lazy. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[ClassicDataset[_]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** An empty streaming micro-batch with `schema` (a source must
     * still return a well-formed frame for a no-new-data range). */
   def emptyMicroBatch(spark: SparkSession, schema: StructType): DataFrame = {

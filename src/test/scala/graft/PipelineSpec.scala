@@ -340,6 +340,60 @@ class StreamingSpec extends AnyFunSuite {
       "maxCommitsPerTrigger=1 must replay the 3 commits as 3 micro-batches")
   }
 
+  test("lake sink txn watermark makes batch replay exactly-once") {
+    import spark.implicits._
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_sinktx").toString,
+      Seq((1L, 1.0)).toDF("k", "v"))
+    val b0 = Seq((2L, 2.0)).toDF("k", "v")
+    val sink = new graft.streaming.GraftLakeSink(spark, t.location, Nil, "appA")
+    sink.addBatch(0, b0)
+    sink.addBatch(0, b0) // same-process replay: skipped
+    assert(t.read().count() == 2)
+    // crash restart: a FRESH sink recovers the watermark from the
+    // manifest txn marker, not from process memory
+    val sink2 = new graft.streaming.GraftLakeSink(spark, t.location, Nil, "appA")
+    sink2.addBatch(0, b0) // replay across restart: still skipped
+    assert(t.read().count() == 2)
+    sink2.addBatch(1, Seq((3L, 3.0)).toDF("k", "v"))
+    assert(t.read().count() == 3)
+    assert(t.lastTxn("appA").contains(1L))
+    // a different app id keeps its own watermark
+    new graft.streaming.GraftLakeSink(spark, t.location, Nil, "appB")
+      .addBatch(0, Seq((4L, 4.0)).toDF("k", "v"))
+    assert(t.read().count() == 4)
+    assert(t.lastTxn("appA").contains(1L) && t.lastTxn("appB").contains(0L))
+  }
+
+  test("writeStream format graft-lake merges batches through the sink") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_sinkq_src").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    // pre-seed k=1 stale; the merge must overwrite it
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_sinkq").toString,
+      Seq((1L, -1.0)).toDF("k", "v"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sinkq_ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.schema(t.currentSnapshot.schema)
+        .parquet(srcDir)
+        .writeStream.format("graft-lake")
+        .option("mergeKeys", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(t.location)
+      q.awaitTermination()
+    }
+    drain()
+    val got = t.read().orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0)))
+    drain() // same checkpoint: no new files, no new commits
+    assert(t.read().count() == 2)
+  }
+
   test("lake source refuses a rewrite commit instead of re-surfacing rows") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
