@@ -231,40 +231,51 @@ object Ann {
   private val PqK = 16           // centroids per subspace (4-bit codes)
   private val PqSub = Dim / PqM  // dims per subspace
   private val PqRerank = 100     // ADC candidates re-ranked exactly
+  private val PqSalt = 32        // stage-1 fanout of the rerank cut
 
   /** Subvector m of a (normalized) vector column (slice is 1-based). */
   private def subCol(v: Column, m: Int): Column =
     slice(v, m * PqSub + 1, PqSub)
 
-  /** argmin-L2 assignment against literal centroids: minimizing
-    * ||x−c||² over fixed-norm x is maximizing dot(x,c) − ||c||²/2.
-    * Formulated as scores-array + array_position (first index of the
-    * max → ties to the lowest cell, `cent` is cell-sorted) because
-    * struct-field aliases are stripped inside lambda contexts and
-    * this expression must work under [[assignL2Sub]]'s let-binding. */
-  private def assignL2Col(v: Column, cent: Seq[Centroid]): Column =
-    if (cent.size == 1) lit(cent.head.cell)
-    else graft.functions.TextFunctions.bind(
-      array(cent.map(ct =>
-        dot(v, litVec(ct.v)) - lit(ct.nrm * ct.nrm / 2)): _*),
-      scores => element_at(
-        array(cent.map(ct => lit(ct.cell)): _*),
-        array_position(scores, array_max(scores)).cast("int")))
+  /** The joint codebooks as a (tiny, broadcastable) RELATION:
+    * one row per (subspace, cell) with the sub-centroid vector and
+    * its ||c||²/2. Assignment and training join against THIS instead
+    * of unrolling M×K literal arrays into expressions — the previous
+    * literal form spent ~5 s per invocation in ANALYSIS AND CODEGEN
+    * alone (measured flat from sf0.001 to sf0.1: plan cost, not data
+    * cost) — the same lesson as round 4's relational ADC. */
+  private def codebooksDf(s: SparkSession,
+      books: Seq[Seq[Centroid]]): DataFrame = {
+    import s.implicits._
+    books.zipWithIndex.flatMap { case (bk, m) =>
+      bk.map(ct => (m, ct.cell, ct.v, ct.nrm * ct.nrm / 2))
+    }.toDF("m", "cell", "c_v", "half")
+  }
 
-  /** Assignment for subspace `m`: the subvector slice is let-bound
-    * (see [[graft.functions.TextFunctions.bind]]) so it is carved out
-    * of `vn` once per row, not once per centroid branch — the
-    * optimizer would otherwise inline the slice() into all K dots. */
-  private def assignL2Sub(vn: Column, m: Int, cent: Seq[Centroid]): Column =
-    graft.functions.TextFunctions.bind(subCol(vn, m),
-      sv => assignL2Col(sv, cent))
+  /** Relational argmin-L2 PQ assignment: corpus × broadcast codebooks
+    * (M×K = 128 rows per vector), score = dot(subvec, c) − ||c||²/2
+    * (minimizing ||x−c||² over fixed x is maximizing that), argmax
+    * per (vec_id, m) via lexicographic max(struct(score, −cell)) —
+    * highest score wins, ties to the LOWEST cell, exactly the
+    * semantics of the previous first-index-of-max literal form, so
+    * codes are bit-identical. Two small shuffles, all codegen'd. */
+  private def relationalCodes(c: DataFrame, centDf: DataFrame): DataFrame =
+    c.select(col("vec_id"), col("vn"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("score",
+        dot(slice(col("vn"), col("m") * PqSub + 1, lit(PqSub)), col("c_v"))
+          - col("half"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max(struct(col("score"), (-col("cell")).as("negc"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        (-col("best.negc")).cast("int").as("code"))
 
   /** Deterministic Lloyd training of ALL [[PqM]] per-subspace
     * codebooks jointly (L2, the PQ metric): each round is ONE
-    * assignment projection + ONE decimal-exact mean aggregate keyed
-    * by (subspace, cell, pos) — one pass over the corpus per round
-    * regardless of M, not M separate trainings. The codebooks are a
-    * few KB of driver-side literals; at 100 TB they train on a
+    * relational assignment plus ONE decimal-exact mean aggregate
+    * keyed by (subspace, cell, pos) — one pass over the corpus per
+    * round regardless of M, not M separate trainings. The codebooks
+    * are a few KB of driver-side rows; at 100 TB they train on a
     * sample. */
   private def trainPqBooks(c: DataFrame, iters: Int): Seq[Seq[Centroid]] = {
     val initRows = c.orderBy(col("vec_id")).limit(PqK)
@@ -275,16 +286,18 @@ object Ann {
         .toSeq.sortBy(_.cell)
     }
     for (_ <- 1 to iters) {
-      val codesArr = array((0 until PqM).map(m =>
-        assignL2Sub(col("vn"), m, books(m))): _*)
-      val rows = c.select(codesArr.as("codes"),
+      // (vec_id, m, code) joins the exploded sub-values on
+      // (vec_id, m): same decimal sums per (m, cell, pos) as the old
+      // single-projection form — order-independent, bit-identical
+      val perSub = relationalCodes(c, codebooksDf(c.sparkSession, books))
+      val rows = c.select(col("vec_id"),
           posexplode(col("vn")).as(Seq("gpos", "x")))
-        .select(
+        .select(col("vec_id"),
           expr(s"CAST(gpos DIV $PqSub AS INT)").as("m"),
           pmod(col("gpos"), lit(PqSub)).as("pos"),
-          expr(s"codes[gpos DIV $PqSub]").as("cell"), // 0-based SQL index
           col("x"))
-        .groupBy(col("m"), col("cell"), col("pos"))
+        .join(broadcast(perSub), Seq("vec_id", "m"))
+        .groupBy(col("m"), col("code"), col("pos"))
         .agg((sum(col("x").cast("decimal(28,18)")).cast("double") /
           count(lit(1)).cast("double")).as("mean"))
         .collect()
@@ -317,10 +330,9 @@ object Ann {
     // re-rank-dominated; a third round measured no recall gain and
     // one more full-corpus pass)
     val books = trainPqBooks(c, 2)
-    // the compression step: corpus → (vec_id, codes[PqM])
-    val codes = c.select(col("vec_id"),
-      array((0 until PqM).map(m =>
-        assignL2Sub(col("vn"), m, books(m))): _*).as("codes"))
+    // the compression step: corpus → (vec_id, m, code) — 8 four-bit
+    // codes per vector, via the relational assignment
+    val codes = relationalCodes(c, codebooksDf(s, books))
     // ADC lookup table, computed driver-side from the (tiny, by
     // definition) query set: Q × M × K partial dot products. The
     // corpus side of the join carries ONLY codes — this join + sum
@@ -340,7 +352,6 @@ object Ann {
       }
     }.toDF("q_id", "m", "code", "partial")
     val adcScores = codes
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
       .join(broadcast(lut), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -348,20 +359,29 @@ object Ann {
       // shuffle arrival and could jitter ranks at the re-rank boundary
       // (the decimal→double rendering below is deterministic)
       .agg(sum(col("partial").cast("decimal(28,18)")).cast("double").as("adc"))
-    // bounded top-PqRerank per query via the partial-aggregating
-    // top-k: each map task keeps a PqRerank-deep buffer and the
-    // shuffle carries Q×PqRerank rows per partition — a ranking
-    // window here would instead sort the ENTIRE corpus's ADC scores
-    // for one query inside one task (the per-query single-task
-    // bottleneck at 100 TB).
+    // Bounded top-PqRerank per query via SALTED two-level ranking: a
+    // plain row_number over partitionBy(q_id) would sort the ENTIRE
+    // corpus's ADC scores for one query inside one task (the
+    // per-query single-task bottleneck at 100 TB). Stage 1 ranks
+    // within (q_id, salt) — PqSalt parallel bounded sorts per query —
+    // and keeps PqRerank rows per salt; every true global top-100 row
+    // survives its salt group. Stage 2 ranks the ≤ PqSalt×PqRerank
+    // survivors per query — input bounded by CONSTRUCTION, never by
+    // corpus size. All codegen'd relational ops, no object
+    // aggregation on the hot path.
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("salt"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
     val ranked = adcScores
-      .select(col("q_id"), col("vec_id"), col("adc"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, id, a) => Scored(id, a) }
-      .agg(new TopKAggregator(PqRerank).toColumn.name("top"))
-      .flatMap { case (q, top) => top.map(sc => (q, sc.id)) }
-      .toDF("q_id", "vec_id")
+      .withColumn("salt", pmod(col("vec_id"), lit(PqSalt)))
+      .withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= PqRerank)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= PqRerank)
+      .select(col("q_id"), col("vec_id"))
     // exact re-rank of Q×PqRerank candidates: only now do full
     // vectors join
     val rer = ranked

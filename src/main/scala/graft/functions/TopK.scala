@@ -22,18 +22,22 @@ class TopKAggregator(k: Int)
 
   override def zero: List[Scored] = Nil
 
+  // Amortized pruning: appends are O(1) and the buffer is sorted +
+  // truncated only when it doubles past k, so n inserts cost
+  // O(n log k) total instead of O(n·k log k) (a per-insert re-sort
+  // measurably dominated the PQ rerank at k=100). The buffer bound
+  // stays O(k).
   override def reduce(buf: List[Scored], a: Scored): List[Scored] =
-    insert(buf, a)
+    prune(a :: buf)
 
   override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] =
-    b2.foldLeft(b1)(insert)
+    prune(b1 ::: b2)
 
-  private def insert(buf: List[Scored], a: Scored): List[Scored] = {
-    val merged = (a :: buf).sorted(ord)
-    if (merged.size > k) merged.take(k) else merged
-  }
+  private def prune(buf: List[Scored]): List[Scored] =
+    if (buf.lengthCompare(2 * k) <= 0) buf else buf.sorted(ord).take(k)
 
-  override def finish(r: List[Scored]): Seq[Scored] = r.sorted(ord)
+  override def finish(r: List[Scored]): Seq[Scored] =
+    r.sorted(ord).take(k)
 
   override def bufferEncoder: Encoder[List[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
@@ -50,17 +54,17 @@ class BoundedMinK(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
 
   override def zero: List[Long] = Nil
 
-  override def reduce(buf: List[Long], a: Long): List[Long] = insert(buf, a)
+  // same amortized-pruning shape as [[TopKAggregator]]
+  override def reduce(buf: List[Long], a: Long): List[Long] =
+    prune(a :: buf)
 
   override def merge(b1: List[Long], b2: List[Long]): List[Long] =
-    b2.foldLeft(b1)(insert)
+    prune(b1 ::: b2)
 
-  private def insert(buf: List[Long], a: Long): List[Long] = {
-    val merged = (a :: buf).sorted
-    if (merged.size > k) merged.take(k) else merged
-  }
+  private def prune(buf: List[Long]): List[Long] =
+    if (buf.lengthCompare(2 * k) <= 0) buf else buf.sorted.take(k)
 
-  override def finish(r: List[Long]): Seq[Long] = r
+  override def finish(r: List[Long]): Seq[Long] = r.sorted.take(k)
 
   override def bufferEncoder: Encoder[List[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()

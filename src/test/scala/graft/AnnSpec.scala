@@ -53,17 +53,23 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall too low: $recall%.2f")
   }
 
-  test("PQ rerank selection carries no ranking window (bounded top-k only)") {
-    // The ADC candidate cut must go through the partial-aggregating
-    // TopKAggregator: a row_number window over partitionBy(q_id)
-    // would sort the full corpus's scores for one query in one task.
+  test("PQ rerank: no window sorts the full corpus in one task per query") {
+    // The ADC candidate cut is a salted two-level rank: the INNERMOST
+    // window (the only one that sees the unreduced corpus scores)
+    // must partition by (q_id, salt); a window partitioned by q_id
+    // alone may only run above a stage-1 rank filter.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LW}
     val plan = graft.ann.Ann.pqTopK(spark, sf)
       .queryExecution.optimizedPlan
-    val windows = plan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    val windows = plan.collect { case w: LW => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val inner = w.child.collectFirst { case x: LW => x }.isDefined ||
+        w.child.collectFirst { case f: Filter
+          if f.condition.references.exists(_.name == "rk1") => f }.isDefined
+      assert(w.partitionSpec.size >= 2 || inner,
+        s"corpus-facing window must salt its partitioning: $w")
     }
-    assert(windows.isEmpty,
-      s"pqTopK plan must not contain a Window operator, found: $windows")
   }
 
   test("PQ decision row reports recall over threshold") {
