@@ -7,10 +7,14 @@ import org.apache.spark.sql.SparkSession
   * rounds, so deltas are comparable), after a whole-surface warmup
   * pass at the smallest scale factor — a fresh JVM otherwise charges
   * codegen/classloading to whichever queries happen to run first,
-  * which round 1/2 showed can swing individual numbers 2-5×.
-  * Failures are REPORTED, not swallowed: a failed query records its
-  * time-to-failure and lands in the "errors" field, so a regression
-  * can never masquerade as a speedup.
+  * which round 1/2 showed can swing individual numbers 2-5×. Each
+  * query runs SPARK_GRAFT_REPS times (default 2) in interleaved
+  * whole-suite rounds and reports the per-query MEDIAN: write-heavy
+  * scripted demos (multi-commit tables, streaming sinks) showed ±27%
+  * single-run variance in rounds 3/4, which polluted round-over-round
+  * deltas. Failures are REPORTED, not swallowed: a failed run records
+  * its time-to-failure and lands in the "errors" field, so a
+  * regression can never masquerade as a speedup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,7 +41,13 @@ object Bench {
       case c => c.toString
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_ONLY=q1,q2 narrows the suite (targeted warm timing)
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(f) =>
+        val want = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.keys.toSeq.sorted.filter(want)
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     // warmup: whole surface once at the smallest SF (codegen, class
     // loading, shuffle service, parquet footer caches)
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP"))
@@ -46,17 +56,26 @@ object Bench {
         catch { case _: Throwable => () }
       }
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = names.map { name =>
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch {
         case e: Throwable =>
-          errors += name -> esc(
-            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+          errors.getOrElseUpdate(name, esc(
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples.updateWith(name)(o => Some(dt :: o.getOrElse(Nil)))
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val results = names.map(n => n -> median(samples(n)))
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -86,8 +105,8 @@ object Bench {
       .map(k => "\"" + k + "\":" + fmt(resMap(k)))
       .mkString("{", ",", "}")
 
-    println(s"""{"detail":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$hq,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"detail":$qs,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"queries":$hq,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
