@@ -187,11 +187,17 @@ object Ann {
   private val KmeansCells = 10
   private val KmeansIters = 3
 
-  /** Deterministic Lloyd training: init = the k lowest vec_ids;
-    * each round is ONE zero-shuffle assignment projection plus the
-    * tiny cellMeans aggregate, collected back to the driver (at
-    * 100 TB the quantizer trains on a sample, not the full corpus). */
+  /** Deterministic Lloyd training: init = the k lowest vec_ids; each
+    * round assigns RELATIONALLY (corpus × broadcast centroid relation
+    * → lexicographic argmax per vector — the literal-expression form
+    * re-spent ~1 s of analysis+codegen per round, the same plan-cost
+    * lesson as PQ) and aggregates decimal-exact cell means, collected
+    * back to the driver (at 100 TB the quantizer trains on a sample,
+    * not the full corpus). The SEARCH-time assignment stays the
+    * zero-shuffle literal projection ([[assignCellCol]]) — built
+    * once, scanning the full corpus with no join. */
   private def trainKmeans(c: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
+    import c.sparkSession.implicits._
     def fromRows(rows: Array[org.apache.spark.sql.Row]): Seq[Centroid] =
       rows.map(r => mkCentroid(r.getInt(0), r.getSeq[Double](1).toArray))
         .toSeq.sortBy(_.cell)
@@ -199,10 +205,21 @@ object Ann {
     // id distribution, unlike a `vec_id < k` filter)
     var cent = fromRows(c.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cell"), col("v")).collect())
-    for (_ <- 1 to iters)
-      cent = fromRows(
-        cellMeans(c.withColumn("cell", assignCellCol(col("v"), col("nrm"), cent)))
-          .select(col("cell").cast("int"), col("c_v")).collect())
+    for (_ <- 1 to iters) {
+      val centDf = cent.map(ct => (ct.cell, ct.v, ct.nrm))
+        .toDF("cent_cell", "cent_v", "cent_nrm")
+      val assigned = c.crossJoin(broadcast(centDf))
+        .withColumn("a_cos",
+          cosine(col("v"), col("cent_v"), col("nrm"), col("cent_nrm")))
+        .groupBy(col("vec_id"))
+        // v is identical across a vector's k candidate rows, so
+        // first(v) is deterministic
+        .agg(max(struct(col("a_cos"), (-col("cent_cell")).as("negc")))
+          .as("best"), first(col("v")).as("v"))
+        .select((-col("best.negc")).cast("int").as("cell"), col("v"))
+      cent = fromRows(cellMeans(assigned)
+        .select(col("cell").cast("int"), col("c_v")).collect())
+    }
     cent
   }
 
