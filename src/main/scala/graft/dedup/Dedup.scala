@@ -497,12 +497,47 @@ object Dedup {
       .orderBy(col("shard"), col("position"))
   }
 
+  /** Per-source document cap (RefinedWeb-style corpus shaping): keep
+    * the [[SourceCap]] highest-quality docs per source, quality being
+    * the text_quality composite score, ties to the lowest doc_id.
+    * Selection is the bounded partial top-k ([[graft.functions
+    * .TopKAggregator]]): each map task keeps a cap-deep buffer per
+    * source and the shuffle carries cap rows per (source, partition)
+    * — a 10-billion-doc source never funnels through one task the
+    * way a rank-window cap would. */
+  private val SourceCap = 15
+  private val sourceCapQ: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val inList = Seq("the", "a", "of", "and", "to")
+      .map(w => s"'$w'").mkString(", ")
+    val scored = Tables.documents(s, d)
+      .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("n_stop",
+        size(expr(s"filter(w, t -> t IN ($inList))")))
+      .select(col("source"), col("doc_id"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double") * 0.5 +
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5)
+          .as("q"))
+    scored.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, q) => Scored(id, q) }
+      .agg(new TopKAggregator(SourceCap).toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.zipWithIndex.map { case (t, i) => (src, t.id, i + 1) }
+      }
+      .toDF("source", "doc_id", "rank")
+      .orderBy(col("source"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_shuffle" -> shuffleQ,
     "pipeline_clean_corpus" -> cleanCorpus,
     "pipeline_stratified_sample" -> stratifiedSample,
     "pipeline_mix" -> mix,
     "pipeline_pack" -> pack,
+    "pipeline_source_cap" -> sourceCapQ,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -524,6 +559,23 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     // the same md5 shard + sort-key permutation, recomputed in SQL
+    // same composite score as text_quality; ranking mirrors the
+    // (score desc, doc_id asc) tie-break of the bounded top-k
+    "pipeline_source_cap" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             string_split(lower(text), ' ') w FROM documents),
+        |x AS (SELECT source, doc_id,
+        |  len(w) AS n_tokens,
+        |  len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to')))
+        |    AS n_stop FROM t),
+        |r AS (SELECT source, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 +
+        |      least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 DESC,
+        |    doc_id ASC) AS INT) AS rank
+        |  FROM x)
+        |SELECT source, doc_id, rank FROM r WHERE rank <= 15
+        |ORDER BY source, rank""".stripMargin,
     "pipeline_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |  md5(CAST(doc_id AS VARCHAR) || '|epoch0') AS key

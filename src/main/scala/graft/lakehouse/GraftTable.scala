@@ -772,6 +772,44 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     readFilesMapped(to, to.files.filterNot(from))
   }
 
+  /** Net row-level changelog between two snapshots (the CDC surface —
+    * Iceberg's `create_changelog_view` with net changes): rows
+    * present at `toId` but not `fromId` tagged `_change_type =
+    * 'insert'`, the reverse tagged `'delete'`. An UPDATE therefore
+    * surfaces as delete+insert of the changed row, and rows that
+    * merely rode along a copy-on-write rewrite cancel out.
+    *
+    * Scale shape: computed from the FILE diff, not the table — files
+    * carried across the range never read (at 100 TB a day's changelog
+    * reads the day's rewritten files, not the table), and the
+    * exceptAll pair that nets rewrite survivors is the standard
+    * changelog compute (one hash shuffle over only the diffed files'
+    * rows). This is exact because final = carried + added and initial
+    * = carried + removed, so the carried multiset cancels:
+    * final∖initial = added∖removed.
+    *
+    * Restrictions (same contract as Iceberg's changelog): unevolved
+    * schema across the range (changelog identity is the full row) and
+    * no pending merge-on-read deletes at the endpoints (materialize
+    * first). */
+  def changes(fromId: Long, toId: Long): DataFrame = {
+    val from = snapshot(fromId)
+    val to = snapshot(toId)
+    require(from.schema == to.schema,
+      "changelog across a schema evolution is undefined (row identity " +
+        "is the full row); read the sides separately")
+    require(from.dels.isEmpty && to.dels.isEmpty,
+      "changelog endpoints must carry no pending merge-on-read " +
+        "deletes: materialize them first")
+    val fromSet = from.files.toSet
+    val toSet = to.files.toSet
+    val ins = readFilesMapped(to, to.files.filterNot(fromSet))
+    val del = readFilesMapped(from, from.files.filterNot(toSet))
+    ins.exceptAll(del).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+  }
+
   /** The data files added on `(fromId, toId]`, enumerated from the
     * manifests alone — the planning primitive behind the streaming
     * source ([[graft.streaming.GraftLakeSource]]): per micro-batch

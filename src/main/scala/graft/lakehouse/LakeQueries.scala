@@ -136,6 +136,26 @@ object LakeQueries {
     t.incrementalRead(2, 3).orderBy("o_orderkey")
   }
 
+  /** CDC: append + DELETE + UPDATE against a 3-column orders table,
+    * then the net changelog from the initial snapshot to head
+    * ([[GraftTable.changes]]): appended-then-surviving rows and
+    * updated rows' new images surface as inserts, deleted rows and
+    * updated rows' old images as deletes; rows that only rode along
+    * copy-on-write rewrites cancel. The oracle replays the same DML
+    * in SQL and nets with EXCEPT ALL. */
+  private val cdc: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_cdc"),
+      orders.filter(col("o_orderkey") % 4 < 3))
+    t.append(orders.filter(col("o_orderkey") % 4 === 3))
+    t.delete("o_orderkey % 10 = 0")
+    t.update(Map("o_totalprice" -> "0.0"),
+      "o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    t.changes(1, t.currentSnapshotId)
+      .orderBy(col("_change_type"), col("o_orderkey"))
+  }
+
   /** Four small appends then compact to 4 files: data unchanged. */
   private val compaction: Q = (s, dir) => {
     val orders = Tables.orders(s, dir)
@@ -570,6 +590,7 @@ object LakeQueries {
     "lake_time_travel_ts"   -> timeTravelTs,
     "lake_schema_evolution" -> schemaEvolution,
     "lake_incremental"      -> incremental,
+    "lake_cdc"              -> cdc,
     "lake_compaction"       -> compaction,
     "lake_partitioned"      -> partitioned,
     "lake_skipping"         -> skipping,
@@ -674,6 +695,25 @@ object LakeQueries {
         |ORDER BY c_custkey""".stripMargin,
     "lake_incremental" ->
       "SELECT * FROM orders WHERE o_orderkey % 3 = 2 ORDER BY o_orderkey",
+    // replay the DML in SQL; net changelog = symmetric EXCEPT ALL
+    "lake_cdc" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 < 3),
+        |s2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 < 3 OR o_orderkey % 4 = 3),
+        |s3 AS (SELECT * FROM s2 WHERE NOT (o_orderkey % 10 = 0)),
+        |s4 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+        |         THEN 0.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM s3),
+        |ins AS (SELECT * FROM s4 EXCEPT ALL SELECT * FROM base),
+        |del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM s4)
+        |SELECT *, 'insert' AS _change_type FROM ins
+        |UNION ALL SELECT *, 'delete' AS _change_type FROM del
+        |ORDER BY _change_type, o_orderkey""".stripMargin,
     "lake_compaction" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_partitioned" ->

@@ -716,6 +716,22 @@ class LakehouseSpec extends AnyFunSuite {
     assert(spark.sql("SELECT label FROM alter_sql_t").head.getString(0) == "a")
   }
 
+  test("changelog nets rewrite survivors: update = one delete + one insert") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    t.update(Map("v" -> "99.0"), "k = 2")
+    val rows = t.changes(1, t.currentSnapshotId)
+      .select("_change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // rows 1 and 3 rode along the copy-on-write rewrite and must
+    // cancel; only row 2's old and new images surface
+    assert(rows == Set(("delete", 2L, 2.0), ("insert", 2L, 99.0)))
+    // schema evolution across the range is refused, not misreported
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+      "note", org.apache.spark.sql.types.StringType)))
+    intercept[IllegalArgumentException](
+      t.changes(1, t.currentSnapshotId).collect())
+  }
+
   test("temporal pruning renders TIMESTAMP literals in the session zone") {
     val prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
