@@ -204,9 +204,54 @@ object StreamingOps {
     s.table(qn).orderBy(col("event_type"))
   }
 
+  /** Lake-to-lake streaming pipeline — source AND sink halves of the
+    * `graft-lake` format in one continuous dataflow (the production
+    * medallion shape: bronze table → transform → silver table).
+    * The source replays the bronze table's commits from its manifest
+    * log; the transform filters to purchases and derives a spend
+    * column; the sink MERGEs into silver with an atomic txn
+    * watermark. End state = the transform of bronze's content,
+    * independent of batch boundaries — exactly what the oracle
+    * replays over the raw events. */
+  private val lakePipelineQ: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.events(s, d)
+    val bronze = graft.lakehouse.GraftTable.create(s,
+      java.nio.file.Files.createTempDirectory("graft_pipe_bronze").toString,
+      events.filter(col("event_id") % 3 === 0))
+    bronze.append(events.filter(col("event_id") % 3 === 1))
+    bronze.append(events.filter(col("event_id") % 3 === 2))
+    val silver = graft.lakehouse.GraftTable.create(s,
+      java.nio.file.Files.createTempDirectory("graft_pipe_silver").toString,
+      // seed with stale spend the merged stream must overwrite
+      events.filter(col("event_type") === "purchase" &&
+          col("event_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(-1.0).as("spend")))
+    val q = s.readStream.format("graft-lake")
+      .option("maxCommitsPerTrigger", 1).load(bronze.location)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("value") * 2).as("spend"))
+      .writeStream.format("graft-lake")
+      .option("mergeKeys", "event_id")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_pipe_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start(silver.location)
+    q.awaitTermination()
+    silver.read()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("spend").cast("decimal(18,6)")).cast("double")
+          .as("total_spend"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_lake_sink" -> lakeSinkQ,
     "stream_lake_source" -> lakeSourceQ,
+    "stream_lake_pipeline" -> lakePipelineQ,
     "stream_window_agg" -> windowAggQ,
     "stream_sessionize" -> sessionizeQ,
     "stream_dedup_state" -> dedupQ,
@@ -219,6 +264,13 @@ object StreamingOps {
       """SELECT user_id, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // silver = purchases with doubled-value spend, per user
+    "stream_lake_pipeline" ->
+      """SELECT user_id, COUNT(*) AS n_purchases,
+        | CAST(SUM(CAST(value * 2 AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS total_spend
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the three appended quarters of the event log, aggregated
     "stream_lake_source" ->
       """SELECT event_type, COUNT(*) AS n_events,
