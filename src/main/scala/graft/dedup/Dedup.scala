@@ -165,18 +165,19 @@ object Dedup {
     * candidate pairs — a single boilerplate bucket (every page's
     * cookie banner) turns the candidate step quadratic at web scale.
     * Instead, each bucket elects its `maxBucket` LOWEST doc_ids as
-    * representatives via [[graft.functions.BoundedMinK]] (an O(cap)
-    * partial-aggregation buffer — the full bucket membership never
-    * sits in one task), and candidates are (rep, member) pairs:
-    * O(b·cap) per bucket. For buckets ≤ cap every member is a
-    * representative, which is exactly the all-pairs self-join — the
-    * cap changes NOTHING until a bucket actually overflows. Oversized
-    * buckets stay internally connected through the shared reps, so a
-    * true dup cluster bigger than the cap still lands in one
-    * connected component downstream. */
+    * representatives via a SALTED two-level rank (stage 1 ranks
+    * within (bucket, salt) — parallel bounded sorts whose outputs
+    * are ≤ cap rows each; stage 2 ranks the ≤ RepSalt·cap survivors
+    * — input bounded by construction, so no window ever sorts a full
+    * boilerplate bucket in one task), and candidates are
+    * (rep, member) pairs: O(b·cap) per bucket. For buckets ≤ cap
+    * every member is a representative, which is exactly the
+    * all-pairs self-join — the cap changes NOTHING until a bucket
+    * actually overflows. Oversized buckets stay internally connected
+    * through the shared reps, so a true dup cluster bigger than the
+    * cap still lands in one connected component downstream. */
   private[graft] def lshCandidates(shBlocks: DataFrame,
       maxBucket: Int): DataFrame = {
-    import shBlocks.sparkSession.implicits._
     val sigs = shBlocks.select(col("doc_id"), col("block"),
       call_function("graft_minhash128_long", col("sh")).as("sig"))
     val bands = sigs.select(col("doc_id"), col("block"), explode(expr(
@@ -186,20 +187,29 @@ object Dedup {
         .stripMargin)).as("bb"))
       .select(col("doc_id"), col("block"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"), col("band"), col("bh"), col("salt"))
+      .orderBy(col("doc_id").asc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"), col("band"), col("bh"))
+      .orderBy(col("doc_id").asc)
     val reps = bands
-      .select(col("block"), col("band"), col("bh"), col("doc_id"))
-      .as[(String, Int, Long, Long)]
-      .groupByKey(t => (t._1, t._2, t._3))
-      .mapValues(_._4)
-      .agg(new graft.functions.BoundedMinK(maxBucket).toColumn.name("reps"))
-      .flatMap { case ((blk, band, bh), rs) => rs.map(r => (blk, band, bh, r)) }
-      .toDF("r_block", "r_band", "r_bh", "rep")
+      .withColumn("salt", pmod(col("doc_id"), lit(RepSalt)))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= maxBucket)
+      .withColumn("r2", row_number().over(w2))
+      .filter(col("r2") <= maxBucket)
+      .select(col("block").as("r_block"), col("band").as("r_band"),
+        col("bh").as("r_bh"), col("doc_id").as("rep"))
     bands.join(reps,
         col("block") === col("r_block") && col("band") === col("r_band") &&
           col("bh") === col("r_bh") && col("rep") < col("doc_id"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Stage-1 fanout of the rep selection. */
+  private val RepSalt = 16
 
   /** SimHash near-dup: 64-bit sketch per doc (map-side only), then
     * 16-bit-band LSH join and hamming ≤ 3 verification. By

@@ -44,30 +44,3 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 }
-
-/** Bounded k-smallest aggregator over longs — same O(k)-buffer
-  * partial-aggregation shape as [[TopKAggregator]]. Used to pick a
-  * bucket's `k` lowest ids as its representatives
-  * ([[graft.dedup.Dedup]]'s LSH bucket cap) without ever
-  * materializing the full bucket membership in one place. */
-class BoundedMinK(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
-
-  override def zero: List[Long] = Nil
-
-  // same amortized-pruning shape as [[TopKAggregator]]
-  override def reduce(buf: List[Long], a: Long): List[Long] =
-    prune(a :: buf)
-
-  override def merge(b1: List[Long], b2: List[Long]): List[Long] =
-    prune(b1 ::: b2)
-
-  private def prune(buf: List[Long]): List[Long] =
-    if (buf.lengthCompare(2 * k) <= 0) buf else buf.sorted.take(k)
-
-  override def finish(r: List[Long]): Seq[Long] = r.sorted.take(k)
-
-  override def bufferEncoder: Encoder[List[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
-  override def outputEncoder: Encoder[Seq[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-}
