@@ -307,6 +307,52 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Decontamination via a broadcast BLOOM FILTER — the shape that
+    * wins when even the benchmark's distinct-gram set is too big to
+    * broadcast as a join relation: the driver builds a 64 KB bitset
+    * from the benchmark grams (4 probes/element — the reference set
+    * is small by definition; the CORPUS never collects) and the
+    * corpus side becomes a pure map-side `graft_bloom_contains`
+    * filter — no shuffle, no join, each gram tests 4 bits. Bloom
+    * candidates are then verified EXACTLY (join against the true
+    * gram set, candidates only), the same verify-after-sketch
+    * discipline as minhash→Jaccard. The decision row proves the
+    * sketch contract: zero false negatives (structural bloom
+    * property), false-positive docs within 1% of the corpus, and the
+    * exact contaminated count for the oracle. */
+  private val bloomDecontaminate: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.parallel(Tables.documents(s, d))
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(wordNgrams(coalesce(col("text"), lit("")), 8)).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+    val benchHashes = grams.filter(col("source") === "src0")
+      .select(col("gh")).distinct().as[Long].collect()
+    val bloom = new Array[Byte](64 * 1024)
+    benchHashes.foreach(h =>
+      graft.functions.NativeKernels.bloomAdd(bloom, h))
+    val candidates = grams.filter(col("source") =!= "src0")
+      .filter(call_function("graft_bloom_contains", lit(bloom), col("gh")))
+    // exact verify of candidates only
+    val bench = grams.filter(col("source") === "src0")
+      .select(col("gh")).distinct()
+    val exact = candidates.join(broadcast(bench), "gh")
+      .select(col("doc_id")).distinct()
+    val flagged = candidates.select(col("doc_id")).distinct()
+    val missed = grams.filter(col("source") =!= "src0")
+      .join(broadcast(bench), "gh").select(col("doc_id")).distinct()
+      .join(flagged, Seq("doc_id"), "left_anti")
+    flagged.agg(count(lit(1)).as("n_flagged"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+      .crossJoin(docs.filter(col("source") =!= "src0")
+        .agg(count(lit(1)).as("n_docs")))
+      .select(col("n_exact"),
+        (col("n_missed") === 0).as("no_false_negatives"),
+        ((col("n_flagged") - col("n_exact")).cast("double") <=
+          col("n_docs").cast("double") * 0.01).as("fp_bounded"))
+  }
+
   /** Connected components over a near-duplicate graph — the step
     * after pair generation in a real dedup pipeline (keep one doc per
     * *cluster*, not per pair). Alternating LARGE-STAR / SMALL-STAR
@@ -554,6 +600,7 @@ object Dedup {
     "dedup_simhash" -> simhash,
     "dedup_embedding" -> embedding,
     "dedup_decontaminate" -> decontaminate,
+    "dedup_bloom" -> bloomDecontaminate,
     "dedup_components" -> components)
 
   // Docs under 3 tokens (or with NULL text) carry no shingles and are
@@ -730,6 +777,23 @@ object Dedup {
         |FROM documents d LEFT JOIN cont c USING (doc_id)
         |WHERE d.source <> 'src0'
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // the exact contaminated-doc count (the bloom flags a superset
+    // the query verifies exactly; both booleans are the contract)
+    "dedup_bloom" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        |             FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        unnest(CASE WHEN len(w) >= 8 THEN
+        |          list_transform(range(1, len(w) - 6),
+        |            i -> array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))
+        |          ELSE [] END) AS gram
+        |      FROM tok),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        |         WHERE g.source <> 'src0')
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |       TRUE AS no_false_negatives, TRUE AS fp_bounded
+        |FROM cont""".stripMargin,
     // Components = min reachable vec_id, via transitive closure.
     "dedup_components" ->
       """WITH RECURSIVE ev AS (SELECT vec_id, label,

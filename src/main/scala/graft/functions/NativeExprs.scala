@@ -222,6 +222,26 @@ object NativeExprs {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** Bloom-filter membership of a 64-bit element hash against a
+    * binary filter column (normally an 8–64 KB literal broadcast in
+    * the plan): true iff all [[NativeKernels.BloomProbes]] probe bits
+    * are set. The decontamination shape this enables at 100 TB: the
+    * corpus side tests a few-KB bitset per gram — a map-side filter —
+    * instead of shuffling every gram into a join against the
+    * reference set. */
+  case class BloomMightContain(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_contains"
+    override protected def nullSafeEval(b: Any, h: Any): Any =
+      NativeKernels.bloomContains(
+        b.asInstanceOf[Array[Byte]], h.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.bloomContains($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[NativeExprs.type].getName, null, name, usage, "")
 
@@ -259,5 +279,9 @@ object NativeExprs {
     (FunctionIdentifier("graft_minwindow8"),
       info("graft_minwindow8",
         "min polynomial hash over all 8-char windows of a string"),
-      (args: Seq[Expression]) => PolyMinWindow(args.head, 8)))
+      (args: Seq[Expression]) => PolyMinWindow(args.head, 8)),
+    (FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "bloom membership of a bigint hash against a binary filter"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
 }

@@ -234,4 +234,42 @@ object NativeKernels {
     }
     best
   }
+
+  /** Bloom probe count (fixed — part of the filter's wire format). */
+  final val BloomProbes = 4
+
+  /** Bit index of probe `i` for element-hash `h` in an `mBits`-wide
+    * bloom filter: Kirsch–Mitzenhauer double hashing
+    * g_i(h) = h + i·h2, with h2 forced odd so the probe stride is
+    * coprime with the power-of-two width. */
+  def bloomBit(h: Long, i: Int, mBits: Long): Long = {
+    val h2 = ((h >>> 33) * 0xff51afd7ed558ccdL) | 1L
+    java.lang.Long.remainderUnsigned(h + i.toLong * h2, mBits)
+  }
+
+  /** Set `h`'s probe bits (driver-side builder). */
+  def bloomAdd(bloom: Array[Byte], h: Long): Unit = {
+    val m = bloom.length.toLong * 8L
+    var i = 0
+    while (i < BloomProbes) {
+      val b = bloomBit(h, i, m)
+      bloom((b >>> 3).toInt) =
+        (bloom((b >>> 3).toInt) | (1 << (b & 7L).toInt)).toByte
+      i += 1
+    }
+  }
+
+  /** Membership test: true iff every probe bit is set (no false
+    * negatives by construction; false positives bounded by the
+    * filter's bits-per-element). */
+  def bloomContains(bloom: Array[Byte], h: Long): Boolean = {
+    val m = bloom.length.toLong * 8L
+    var i = 0
+    while (i < BloomProbes) {
+      val b = bloomBit(h, i, m)
+      if ((bloom((b >>> 3).toInt) & (1 << (b & 7L).toInt)) == 0) return false
+      i += 1
+    }
+    true
+  }
 }

@@ -91,6 +91,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact == pairs)
   }
 
+  test("bloom kernel: zero false negatives, calibrated false positives") {
+    import graft.functions.NativeKernels
+    val bloom = new Array[Byte](1024) // 8192 bits, 500 elems, k=4
+    val added = (0 until 500).map(i => i * 2654435761L + 12345)
+    added.foreach(h => NativeKernels.bloomAdd(bloom, h))
+    assert(added.forall(NativeKernels.bloomContains(bloom, _)),
+      "bloom may never false-negative an added element")
+    val absent = (0 until 10000).map(i => -(i * 40503L + 7))
+    val fp = absent.count(NativeKernels.bloomContains(bloom, _))
+    // theoretical FP ≈ (1-e^(-kn/m))^k ≈ 0.22% → ~22 of 10000
+    assert(fp < 200, s"false-positive rate implausibly high: $fp/10000")
+    // the SQL surface agrees with the kernel
+    val viaSql = spark.range(0, 500)
+      .select(call_function("graft_bloom_contains", lit(bloom),
+        expr("id * 2654435761 + 12345")).as("hit"))
+      .filter(!$"hit").count()
+    assert(viaSql == 0)
+  }
+
   test("simhash banding finds exactly the hamming<=3 pairs") {
     val banded = SparkEntry.queries("dedup_simhash")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
