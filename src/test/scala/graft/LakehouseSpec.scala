@@ -719,12 +719,29 @@ class LakehouseSpec extends AnyFunSuite {
   test("changelog nets rewrite survivors: update = one delete + one insert") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
     t.update(Map("v" -> "99.0"), "k = 2")
-    val rows = t.changes(1, t.currentSnapshotId)
+    val cdc = t.changes(1, t.currentSnapshotId)
+    val rows = cdc
       .select("_change_type", "k", "v").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     // rows 1 and 3 rode along the copy-on-write rewrite and must
     // cancel; only row 2's old and new images surface
     assert(rows == Set(("delete", 2L, 2.0), ("insert", 2L, 99.0)))
+    // plan proof: files carried unchanged across the range are NEVER
+    // scanned — the changelog reads the file DIFF only
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val carried = t.snapshot(1).files.map(norm).toSet
+      .intersect(t.snapshot(t.currentSnapshotId).files.map(norm).toSet)
+    assert(carried.nonEmpty, "update must carry at least one file")
+    val scanned = cdc.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.map(norm).toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten.toSet
+    assert(scanned.nonEmpty && scanned.intersect(carried).isEmpty,
+      s"changelog scanned carried files: ${scanned.intersect(carried)}")
     // schema evolution across the range is refused, not misreported
     t.addColumns(Seq(org.apache.spark.sql.types.StructField(
       "note", org.apache.spark.sql.types.StringType)))

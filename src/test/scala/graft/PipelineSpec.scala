@@ -413,6 +413,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("FGAC policy governs the manifest-log lake source") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_govsrc").toString,
+      Seq((1L, "TX", 100.0), (2L, "CA", 200.0), (3L, "TX", 300.0))
+        .toDF("k", "state", "v"))
+    t.append(Seq((4L, "CA", 400.0), (5L, "TX", 500.0))
+      .toDF("k", "state", "v"))
+    // row filter on a column the principal cannot even see, plus a
+    // mask — Enforcer rewrites the PLAN, so the same policy governs
+    // the streaming read with zero extra machinery
+    val policy = fgac.TablePolicy("lake",
+      rowFilter = Some("state = 'TX'"),
+      allowedColumns = Some(Seq("k", "v")),
+      masks = Map("v" -> "CAST(-1.0 AS DOUBLE)"))
+    val q = fgac.Enforcer.secure(
+        spark.readStream.format("graft-lake").load(t.location), policy)
+      .writeStream.format("memory").queryName("gov_lake_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("gov_lake_stream")
+    assert(streamed.columns.toSeq == Seq("k", "v"))
+    assert(streamed.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, -1.0), (3L, -1.0), (5L, -1.0)))
+  }
+
   test("lake source refuses a rewrite commit instead of re-surfacing rows") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
