@@ -58,24 +58,35 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // (time, succeeded) per rep: a partially-failing query medians
+    // over its SUCCESSFUL runs only — mixing time-to-failure into the
+    // median would report a number that is neither a runtime nor a
+    // failure time (the errors field still flags it); a query that
+    // failed EVERY rep reports its median time-to-failure.
+    val samples = scala.collection.mutable.Map.empty[String, List[(Double, Boolean)]]
     for (_ <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch {
-        case e: Throwable =>
-          errors.getOrElseUpdate(name, esc(
-            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
-      }
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name, esc(
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
-      samples.updateWith(name)(o => Some(dt :: o.getOrElse(Nil)))
+      samples.updateWith(name)(o => Some((dt, ok) :: o.getOrElse(Nil)))
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
-    val results = names.map(n => n -> median(samples(n)))
+    val results = names.map { n =>
+      val all = samples(n)
+      val good = all.collect { case (t, true) => t }
+      n -> median(if (good.nonEmpty) good else all.map(_._1))
+    }
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -313,7 +313,12 @@ object Ann {
           expr(s"CAST(gpos DIV $PqSub AS INT)").as("m"),
           pmod(col("gpos"), lit(PqSub)).as("pos"),
           col("x"))
-        .join(broadcast(perSub), Seq("vec_id", "m"))
+        // plain equi-join: perSub is CORPUS-sized (N×M rows) — a
+        // broadcast hint here would collect it to the driver every
+        // round and cliff at the broadcast limit; the shuffle join is
+        // the scalable shape (and AQE may still elect to broadcast
+        // when it is actually small)
+        .join(perSub, Seq("vec_id", "m"))
         .groupBy(col("m"), col("code"), col("pos"))
         .agg((sum(col("x").cast("decimal(28,18)")).cast("double") /
           count(lit(1)).cast("double")).as("mean"))
@@ -376,28 +381,14 @@ object Ann {
       // shuffle arrival and could jitter ranks at the re-rank boundary
       // (the decimal→double rendering below is deterministic)
       .agg(sum(col("partial").cast("decimal(28,18)")).cast("double").as("adc"))
-    // Bounded top-PqRerank per query via SALTED two-level ranking: a
-    // plain row_number over partitionBy(q_id) would sort the ENTIRE
-    // corpus's ADC scores for one query inside one task (the
-    // per-query single-task bottleneck at 100 TB). Stage 1 ranks
-    // within (q_id, salt) — PqSalt parallel bounded sorts per query —
-    // and keeps PqRerank rows per salt; every true global top-100 row
-    // survives its salt group. Stage 2 ranks the ≤ PqSalt×PqRerank
-    // survivors per query — input bounded by CONSTRUCTION, never by
-    // corpus size. All codegen'd relational ops, no object
-    // aggregation on the hot path.
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"), col("salt"))
-      .orderBy(col("adc").desc, col("vec_id").asc)
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("adc").desc, col("vec_id").asc)
-    val ranked = adcScores
-      .withColumn("salt", pmod(col("vec_id"), lit(PqSalt)))
-      .withColumn("rk1", row_number().over(w1))
-      .filter(col("rk1") <= PqRerank)
-      .withColumn("rk", row_number().over(w2))
-      .filter(col("rk") <= PqRerank)
+    // Bounded top-PqRerank per query via the salted two-level rank
+    // ([[graft.functions.SaltedRank]]): a plain row_number over
+    // partitionBy(q_id) would sort the ENTIRE corpus's ADC scores for
+    // one query inside one task (the per-query single-task bottleneck
+    // at 100 TB).
+    val ranked = graft.functions.SaltedRank.topKPerGroup(adcScores,
+        Seq(col("q_id")), Seq(col("adc").desc, col("vec_id").asc),
+        PqRerank, col("vec_id"), PqSalt)
       .select(col("q_id"), col("vec_id"))
     // exact re-rank of Q×PqRerank candidates: only now do full
     // vectors join

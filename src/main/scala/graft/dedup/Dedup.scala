@@ -173,9 +173,16 @@ object Dedup {
     * (rep, member) pairs: O(b·cap) per bucket. For buckets ≤ cap
     * every member is a representative, which is exactly the
     * all-pairs self-join — the cap changes NOTHING until a bucket
-    * actually overflows. Oversized buckets stay internally connected
-    * through the shared reps, so a true dup cluster bigger than the
-    * cap still lands in one connected component downstream. */
+    * actually overflows. For an OVERFLOWING bucket the emitted pair
+    * LIST is intentionally partial — a pair of non-representatives
+    * sharing only that bucket is not generated — which is the cap's
+    * explicit trade: the preserved guarantee is CLUSTER CONNECTIVITY
+    * (every member pairs with the shared reps, so a true dup cluster
+    * bigger than the cap still lands in one connected component for
+    * [[components]]-level dedup), not pair-level completeness inside
+    * boilerplate buckets. The DuckDB oracles stay exact because no
+    * test-corpus bucket overflows; at web scale partial pair lists
+    * inside boilerplate buckets are the intended behavior. */
   private[graft] def lshCandidates(shBlocks: DataFrame,
       maxBucket: Int): DataFrame = {
     val sigs = shBlocks.select(col("doc_id"), col("block"),
@@ -187,18 +194,9 @@ object Dedup {
         .stripMargin)).as("bb"))
       .select(col("doc_id"), col("block"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("block"), col("band"), col("bh"), col("salt"))
-      .orderBy(col("doc_id").asc)
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("block"), col("band"), col("bh"))
-      .orderBy(col("doc_id").asc)
-    val reps = bands
-      .withColumn("salt", pmod(col("doc_id"), lit(RepSalt)))
-      .withColumn("r1", row_number().over(w1))
-      .filter(col("r1") <= maxBucket)
-      .withColumn("r2", row_number().over(w2))
-      .filter(col("r2") <= maxBucket)
+    val reps = graft.functions.SaltedRank.topKPerGroup(bands,
+        Seq(col("block"), col("band"), col("bh")),
+        Seq(col("doc_id").asc), maxBucket, col("doc_id"), RepSalt)
       .select(col("block").as("r_block"), col("band").as("r_band"),
         col("bh").as("r_bh"), col("doc_id").as("rep"))
     bands.join(reps,
@@ -328,20 +326,26 @@ object Dedup {
       .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
     val benchHashes = grams.filter(col("source") === "src0")
       .select(col("gh")).distinct().as[Long].collect()
-    val bloom = new Array[Byte](64 * 1024)
+    // sized from the reference set: 16 bits/element (FP ≈ 0.24% per
+    // gram at 4 probes) with a 64 KB floor — a fixed size would let
+    // the per-gram FP rate explode as the benchmark grows
+    val bloom = new Array[Byte](
+      math.max(64 * 1024, benchHashes.length * 2))
     benchHashes.foreach(h =>
       graft.functions.NativeKernels.bloomAdd(bloom, h))
-    val candidates = grams.filter(col("source") =!= "src0")
+    val flagged = grams.filter(col("source") =!= "src0")
       .filter(call_function("graft_bloom_contains", lit(bloom), col("gh")))
-    // exact verify of candidates only
+      .select(col("doc_id")).distinct()
+    // The exact overlap both yields the decision row's n_exact and
+    // proves the zero-false-negative property against the flags. In
+    // production this join runs over the bloom CANDIDATES only (the
+    // map-side filter's whole point); here it must cover the full
+    // corpus because the decision row REPORTS the true count.
     val bench = grams.filter(col("source") === "src0")
       .select(col("gh")).distinct()
-    val exact = candidates.join(broadcast(bench), "gh")
-      .select(col("doc_id")).distinct()
-    val flagged = candidates.select(col("doc_id")).distinct()
-    val missed = grams.filter(col("source") =!= "src0")
+    val exact = grams.filter(col("source") =!= "src0")
       .join(broadcast(bench), "gh").select(col("doc_id")).distinct()
-      .join(flagged, Seq("doc_id"), "left_anti")
+    val missed = exact.join(flagged, Seq("doc_id"), "left_anti")
     flagged.agg(count(lit(1)).as("n_flagged"))
       .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
       .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
@@ -568,7 +572,15 @@ object Dedup {
     val inList = Seq("the", "a", "of", "and", "to")
       .map(w => s"'$w'").mkString(", ")
     val scored = Tables.documents(s, d)
+      // degenerate-input guard (same class as shingled()'s minTokens):
+      // NULL text would NPE the primitive-Double encoder and a
+      // 0-token doc scores 0/0 = NaN, which DuckDB ranks FIRST and
+      // Spark's ordering ranks LAST — silent divergence. Excluding
+      // both on BOTH sides keeps the engines aligned (latent on this
+      // min-10-token corpus, real on any other).
+      .filter(col("text").isNotNull)
       .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("w")) >= 1)
       .withColumn("n_tokens", size(col("w")))
       .withColumn("n_stop",
         size(expr(s"filter(w, t -> t IN ($inList))")))
@@ -620,7 +632,8 @@ object Dedup {
     // (score desc, doc_id asc) tie-break of the bounded top-k
     "pipeline_source_cap" ->
       """WITH t AS (SELECT source, doc_id,
-        |             string_split(lower(text), ' ') w FROM documents),
+        |             string_split(lower(text), ' ') w FROM documents
+        |           WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) >= 1),
         |x AS (SELECT source, doc_id,
         |  len(w) AS n_tokens,
         |  len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to')))

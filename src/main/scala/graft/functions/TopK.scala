@@ -1,7 +1,32 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions.{col, lit, pmod, row_number}
+
+/** Salted two-level bounded rank — the relational "top k per group"
+  * that never sorts a full group in one task: stage 1 ranks within
+  * (group, salt) — `fanout` parallel bounded sorts whose outputs are
+  * ≤ k rows each (every true global top-k row survives its salt
+  * group, since dropping it there would need k better rows in the
+  * SAME salt) — and stage 2 ranks the ≤ fanout·k survivors per
+  * group, input bounded by CONSTRUCTION, never by group size. All
+  * codegen'd window ops: no object aggregation, no typed-encoder
+  * serialization on the hot path. Used by the PQ rerank cut and the
+  * LSH bucket-representative election. */
+object SaltedRank {
+  def topKPerGroup(df: DataFrame, group: Seq[Column],
+      order: Seq[Column], k: Int, saltOn: Column, fanout: Int): DataFrame = {
+    val w1 = Window.partitionBy(group :+ col("_salt"): _*).orderBy(order: _*)
+    val w2 = Window.partitionBy(group: _*).orderBy(order: _*)
+    df.withColumn("_salt", pmod(saltOn, lit(fanout)))
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= k)
+      .withColumn("_r2", row_number().over(w2))
+      .filter(col("_r2") <= k)
+      .drop("_salt", "_r1", "_r2")
+  }
+}
 
 /** Bounded top-k aggregator: keeps the k highest-scoring elements
   * (score desc, id asc tie-break).

@@ -26,9 +26,10 @@ final case class ColStat(kind: String, mn: Option[String],
 final case class DeletePred(seq: Long, pred: String)
 
 /** The ancestry-walk header of one manifest — what timestamp travel
-  * needs per step (see [[GraftTable.headerCache]]). */
+  * and the sink's txn lookup need per step (see
+  * [[GraftTable.headerCache]]). */
 private[lakehouse] final case class SnapHeader(parent: Long, ts: Long,
-    op: String)
+    op: String, txn: Option[(String, Long)] = None)
 
 /** A column rename at commit `seq`: data files with a LOWER
   * add-sequence store the column under `from` and read through an
@@ -510,9 +511,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       body ++= s"parent=$expectedParent\n"
       body ++= s"op=$op\n"
       body ++= s"ts=${System.currentTimeMillis()}\n"
+      // txn sits BEFORE the (arbitrarily long) schema json so it is
+      // always within the header prefix that [[header]] reads
+      pendingTxn.foreach { case (app, b) => body ++= s"txn=$app\t$b\n" }
       body ++= s"schema=${schema.json}\n"
       body ++= s"partcols=${partitionCols.mkString(",")}\n"
-      pendingTxn.foreach { case (app, b) => body ++= s"txn=$app\t$b\n" }
       files.foreach { f =>
         body ++= s"file=$f\n"
         body ++= s"fseq=${refSeq.getOrElse(f, id)}\t$f\n"
@@ -649,14 +652,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
           val i = line.indexOf('=')
           if (i < 0) None else Some(line.substring(0, i) -> line.substring(i + 1))
         }.toMap
-        // parent/op/ts sit in the first ~100 bytes of our layout; a
-        // manifest that doesn't match it falls back to the full parse
+        // parent/op/ts/txn sit in the first ~200 bytes of our layout
+        // (before the schema json); a manifest that doesn't match it
+        // falls back to the full parse
         val hd = (for (p <- kv.get("parent"); op <- kv.get("op"))
           yield SnapHeader(p.toLong,
-            kv.get("ts").map(_.toLong).getOrElse(0L), op))
+            kv.get("ts").map(_.toLong).getOrElse(0L), op,
+            kv.get("txn").map { v =>
+              val i = v.indexOf('\t')
+              (v.substring(0, i), v.substring(i + 1).toLong)
+            }))
           .getOrElse {
             val s = snapshot(id)
-            SnapHeader(s.parent, s.ts, s.op)
+            SnapHeader(s.parent, s.ts, s.op, s.txn)
           }
         cache.put(id, hd)
         Some(hd)
@@ -862,20 +870,43 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   private[graft] def readCommitted(snap: Snapshot, files: Seq[String]): DataFrame =
     readFilesMapped(snap, files)
 
+  /** Head discovery for a long-lived streaming reader that already
+    * knows the head was at least `after`: refs tables read the (one,
+    * tiny) refs file; refs-LESS tables PROBE forward with
+    * `exists(snap-(h+1))` instead of listing the whole metaDir the
+    * way [[currentSnapshotId]]→maxSnapshotId does — O(new commits +
+    * 1) existence checks per poll vs O(history) listing entries,
+    * which at 100k commits is the per-trigger metadata bottleneck
+    * just moved from the data dir to the meta dir. Sound because
+    * refs-less ids are dense and monotonic (the id allocator), and
+    * expiry deletes old snapshots, never the head. */
+  private[graft] def streamHead(after: Long): Long =
+    if (fs.exists(refsPath)) currentSnapshotId
+    else {
+      var h = math.max(after, 0L)
+      while (fs.exists(snapPath(h + 1))) h += 1
+      h
+    }
+
   /** The newest batch id `appId` has durably committed on main
     * lineage (the Delta `txn` lookup): walk the ancestry until a
-    * commit carrying this app's txn marker is found. The walk is
-    * O(commits since that app's last write) — for a live streaming
-    * sink that is the last one or two commits; the one full-history
-    * walk happens on the FIRST batch after a restart against a table
-    * this app never wrote (and stops at the create commit). */
+    * commit carrying this app's txn marker is found. The walk reads
+    * cached HEADERS ([[header]] — the txn line sits before the schema
+    * json, inside the bounded prefix), so steps cost a ~4 KB read
+    * once per JVM, never a full manifest parse: for a live sink the
+    * marker is in the last commit or two, and even the one
+    * full-history walk on a cold restart against a table this app
+    * never wrote is prefix-reads only. */
   private[graft] def lastTxn(appId: String): Option[Long] = {
     var id = currentSnapshotId
-    while (id > 0 && fs.exists(snapPath(id))) {
-      val s = snapshot(id)
-      s.txn match {
-        case Some((app, b)) if app == appId => return Some(b)
-        case _ => id = s.parent
+    while (id > 0) {
+      header(id) match {
+        case Some(hd) =>
+          hd.txn match {
+            case Some((app, b)) if app == appId => return Some(b)
+            case _ => id = hd.parent
+          }
+        case None => id = 0
       }
     }
     None

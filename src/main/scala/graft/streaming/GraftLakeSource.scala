@@ -74,11 +74,19 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
     * stops there even if writers keep committing. */
   private var availableNowHead: Option[Long] = None
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowHead = Some(table.currentSnapshotId)
+  /** Monotonic high-water mark for head discovery: each poll PROBES
+    * forward from here ([[GraftTable.streamHead]]) instead of listing
+    * the metadata dir — O(new commits + 1) existence checks per
+    * trigger on a refs-less table, however long its history. */
+  private var knownHead: Long = pinned.id
 
-  private def head: Long =
-    availableNowHead.getOrElse(table.currentSnapshotId)
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(head)
+
+  private def head: Long = availableNowHead.getOrElse {
+    knownHead = table.streamHead(knownHead)
+    knownHead
+  }
 
   private def valueOf(o: OffsetV2): Long = o match {
     case null => 0L

@@ -66,7 +66,7 @@ class AnnSpec extends AnyFunSuite {
     windows.foreach { w =>
       val inner = w.child.collectFirst { case x: LW => x }.isDefined ||
         w.child.collectFirst { case f: Filter
-          if f.condition.references.exists(_.name == "rk1") => f }.isDefined
+          if f.condition.references.exists(_.name == "_r1") => f }.isDefined
       assert(w.partitionSpec.size >= 2 || inner,
         s"corpus-facing window must salt its partitioning: $w")
     }
