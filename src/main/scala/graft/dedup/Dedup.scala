@@ -136,7 +136,8 @@ object Dedup {
   private val minhashLsh: Q = (s, d) => {
     val sh = shingled(s, d, minTokens = 3)
     val candidates = lshCandidates(
-      sh.select(col("doc_id"), lit("").as("block"), col("sh")), MaxBucket)
+      sh.select(col("doc_id"), lit("").as("block"), col("sh")), MaxBucket,
+      assertExact = true)
     val withSets = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -180,11 +181,14 @@ object Dedup {
     * (every member pairs with the shared reps, so a true dup cluster
     * bigger than the cap still lands in one connected component for
     * [[components]]-level dedup), not pair-level completeness inside
-    * boilerplate buckets. The DuckDB oracles stay exact because no
-    * test-corpus bucket overflows; at web scale partial pair lists
-    * inside boilerplate buckets are the intended behavior. */
+    * boilerplate buckets. At web scale partial pair lists inside
+    * boilerplate buckets are the intended behavior; a query whose
+    * oracle is EXACT must pass `assertExact = true`, which proves at
+    * runtime (one tiny count over 8-byte band keys) that no bucket
+    * overflowed on this corpus — the exactness claim is then a
+    * checked invariant, not a comment's promise. */
   private[graft] def lshCandidates(shBlocks: DataFrame,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, assertExact: Boolean = false): DataFrame = {
     val sigs = shBlocks.select(col("doc_id"), col("block"),
       call_function("graft_minhash128_long", col("sh")).as("sig"))
     val bands = sigs.select(col("doc_id"), col("block"), explode(expr(
@@ -194,6 +198,9 @@ object Dedup {
         .stripMargin)).as("bb"))
       .select(col("doc_id"), col("block"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
+    if (assertExact)
+      requireNoBucketOverflow(bands,
+        Seq(col("block"), col("band"), col("bh")), maxBucket, "lshCandidates")
     val reps = graft.functions.SaltedRank.topKPerGroup(bands,
         Seq(col("block"), col("band"), col("bh")),
         Seq(col("doc_id").asc), maxBucket, col("doc_id"), RepSalt)
@@ -206,6 +213,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Runtime proof that a capped candidate path lost nothing: fails
+    * when any band bucket holds more than `maxBucket` docs. Used ONLY
+    * by queries whose oracle is exact (dedup_minhash_lsh,
+    * dedup_simhash) — the blocked/production paths keep the silent
+    * cap, which is their documented contract. Cost: one aggregate
+    * over fixed-size band keys (never text), cheap next to the
+    * candidate join it guards. */
+  private def requireNoBucketOverflow(bands: DataFrame, keys: Seq[Column],
+      maxBucket: Int, what: String): Unit = {
+    val over = bands.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).limit(1).count()
+    require(over == 0L,
+      s"$what: a band bucket exceeds $maxBucket docs on this corpus; " +
+        "the capped candidate list would be partial vs the exact oracle")
+  }
+
   /** Stage-1 fanout of the rep selection. */
   private val RepSalt = 16
 
@@ -215,7 +238,18 @@ object Dedup {
     * band, so banding loses nothing — the oracle is therefore the
     * brute-force hamming join over DuckDB's bit-exact FNV-1a
     * reproduction of the same sketch; PipelineSpec additionally pins
-    * banded == brute in Spark. */
+    * banded == brute in Spark.
+    *
+    * The band join is CAPPED like [[lshCandidates]]: each (band, bv)
+    * bucket elects its [[MaxBucket]] lowest doc_ids as reps via the
+    * salted rank and candidates are (rep, member) pairs — a
+    * boilerplate cluster of b identical sketches emits O(4·b·cap)
+    * rows, never the ~4·b² of a raw self-join (the round-5 verdict's
+    * remaining quadratic cliff). Buckets ≤ cap are unchanged
+    * (every member is a rep = all pairs); overflowing buckets trade
+    * pair completeness for cluster connectivity exactly as minhash
+    * does, and the exact-oracle invariant is runtime-checked by
+    * [[requireNoBucketOverflow]]. */
   private val simhash: Q = (s, d) => {
     // Same non-nullable kernel contract as [[shingled]]: null texts
     // filtered at the scan, coalesce makes `sim` non-nullable so the
@@ -227,6 +261,14 @@ object Dedup {
         call_function("graft_simhash64",
           graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))))
           .as("sim"))
+    simhashPairs(docs, MaxBucket, assertExact = true)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Capped banded hamming-≤3 pairs from a `(doc_id, sim)` relation;
+    * see [[simhash]] for the cap semantics. */
+  private[graft] def simhashPairs(docs: DataFrame, maxBucket: Int,
+      assertExact: Boolean = false): DataFrame = {
     val bands = docs.select(col("doc_id"), col("sim"),
       explode(expr(
         """transform(sequence(0, 3), b ->
@@ -234,16 +276,24 @@ object Dedup {
           .stripMargin)).as("bb"))
       .select(col("doc_id"), col("sim"), col("bb.band").as("band"),
         col("bb.bv").as("bv"))
-    bands.alias("x").join(bands.alias("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+    if (assertExact)
+      requireNoBucketOverflow(bands,
+        Seq(col("band"), col("bv")), maxBucket, "simhashPairs")
+    val reps = graft.functions.SaltedRank.topKPerGroup(
+        bands.select(col("doc_id"), col("sim"), col("band"), col("bv")),
+        Seq(col("band"), col("bv")),
+        Seq(col("doc_id").asc), maxBucket, col("doc_id"), RepSalt)
+      .select(col("band").as("r_band"), col("bv").as("r_bv"),
+        col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    bands.join(reps,
+        col("band") === col("r_band") && col("bv") === col("r_bv") &&
+          col("doc_a") < col("doc_id"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"),
+        col("sim_a"), col("sim").as("sim_b"))
       .distinct()
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Embedding-cosine near-duplicate pairs (≥ 0.4), blocked by
@@ -333,8 +383,18 @@ object Dedup {
       math.max(64 * 1024, benchHashes.length * 2))
     benchHashes.foreach(h =>
       graft.functions.NativeKernels.bloomAdd(bloom, h))
+    // The bitset travels as a BROADCAST, not a plan literal: the
+    // expression serializes a handle, executors fetch the blocks once
+    // per JVM. A `lit(bloom)` would re-ship the bitset inside every
+    // task binary and bake it into the plan fingerprint — at the 10⁸-
+    // gram scale this operator exists for, that is a ~200 MB literal.
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    def bloomHit(c: Column): Column =
+      org.apache.spark.sql.GraftSqlBridge.columnOf(
+        graft.functions.NativeExprs.BloomBroadcastContains(bloomBc,
+          org.apache.spark.sql.GraftSqlBridge.expressionOf(c)))
     val flagged = grams.filter(col("source") =!= "src0")
-      .filter(call_function("graft_bloom_contains", lit(bloom), col("gh")))
+      .filter(bloomHit(col("gh")))
       .select(col("doc_id")).distinct()
     // The exact overlap both yields the decision row's n_exact and
     // proves the zero-false-negative property against the flags. In
@@ -346,15 +406,25 @@ object Dedup {
     val exact = grams.filter(col("source") =!= "src0")
       .join(broadcast(bench), "gh").select(col("doc_id")).distinct()
     val missed = exact.join(flagged, Seq("doc_id"), "left_anti")
-    flagged.agg(count(lit(1)).as("n_flagged"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+    // FP bound is PER GRAM — the unit the filter is actually sized in
+    // (16 bits/element ⇒ ~0.24% FP per probe; 0.5% leaves 2× slack).
+    // A per-DOC bound is not scale-invariant: a doc with g grams is
+    // falsely flagged with probability ≈ g·0.24%, so any corpus of
+    // ≥5-gram docs would blow a 1%-of-docs bound the moment the
+    // reference set outgrows the 64 KB floor that hides the effect at
+    // test scale.
+    val corpusGh = grams.filter(col("source") =!= "src0")
+      .select(col("gh")).distinct()
+    val fpGrams = corpusGh.join(broadcast(bench), Seq("gh"), "left_anti")
+      .filter(bloomHit(col("gh")))
+    exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
-      .crossJoin(docs.filter(col("source") =!= "src0")
-        .agg(count(lit(1)).as("n_docs")))
+      .crossJoin(fpGrams.agg(count(lit(1)).as("n_fp_grams")))
+      .crossJoin(corpusGh.agg(count(lit(1)).as("n_grams")))
       .select(col("n_exact"),
         (col("n_missed") === 0).as("no_false_negatives"),
-        ((col("n_flagged") - col("n_exact")).cast("double") <=
-          col("n_docs").cast("double") * 0.01).as("fp_bounded"))
+        (col("n_fp_grams").cast("double") <=
+          col("n_grams").cast("double") * 0.005).as("fp_bounded"))
   }
 
   /** Connected components over a near-duplicate graph — the step
@@ -560,24 +630,27 @@ object Dedup {
   /** Per-source document cap (RefinedWeb-style corpus shaping): keep
     * the [[SourceCap]] highest-quality docs per source, quality being
     * the text_quality composite score, ties to the lowest doc_id.
-    * Selection is the bounded partial top-k ([[graft.functions
-    * .TopKAggregator]]): each map task keeps a cap-deep buffer per
-    * source and the shuffle carries cap rows per (source, partition)
-    * — a 10-billion-doc source never funnels through one task the
-    * way a rank-window cap would. */
+    * Selection is [[graft.functions.SaltedRank.topKPerGroupRanked]]:
+    * stage 1 ranks within (source, salt) — parallel bounded sorts of
+    * ≤ cap survivors each — and stage 2 ranks the ≤ fanout·cap
+    * survivors, so a 10-billion-doc source never funnels through one
+    * task the way a plain rank-window cap would, and the whole plan
+    * stays codegen'd windows. (A typed TopKAggregator computes the
+    * same cut but pays the object-aggregation/ExpressionEncoder plan
+    * constant on the FULL corpus path — the exact cost profiled and
+    * purged from LSH rep election in round 5; the aggregator remains
+    * right only post-pruning on bounded inputs, see
+    * [[graft.ann.Ann]].) */
   private val SourceCap = 15
   private val sourceCapQ: Q = (s, d) => {
-    import s.implicits._
-    import graft.functions.{Scored, TopKAggregator}
     val inList = Seq("the", "a", "of", "and", "to")
       .map(w => s"'$w'").mkString(", ")
     val scored = Tables.documents(s, d)
       // degenerate-input guard (same class as shingled()'s minTokens):
-      // NULL text would NPE the primitive-Double encoder and a
-      // 0-token doc scores 0/0 = NaN, which DuckDB ranks FIRST and
+      // a 0-token doc scores 0/0 = NaN, which DuckDB ranks FIRST and
       // Spark's ordering ranks LAST — silent divergence. Excluding
-      // both on BOTH sides keeps the engines aligned (latent on this
-      // min-10-token corpus, real on any other).
+      // NULL/empty text on BOTH sides keeps the engines aligned
+      // (latent on this min-10-token corpus, real on any other).
       .filter(col("text").isNotNull)
       .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
       .filter(size(col("w")) >= 1)
@@ -588,14 +661,11 @@ object Dedup {
         (col("n_stop").cast("double") / col("n_tokens").cast("double") * 0.5 +
           least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5)
           .as("q"))
-    scored.as[(String, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, id, q) => Scored(id, q) }
-      .agg(new TopKAggregator(SourceCap).toColumn.name("top"))
-      .flatMap { case (src, top) =>
-        top.zipWithIndex.map { case (t, i) => (src, t.id, i + 1) }
-      }
-      .toDF("source", "doc_id", "rank")
+    val (top, rankCol) = graft.functions.SaltedRank.topKPerGroupRanked(
+      scored, Seq(col("source")),
+      Seq(col("q").desc, col("doc_id").asc), SourceCap,
+      col("doc_id"), RepSalt)
+    top.select(col("source"), col("doc_id"), col(rankCol).as("rank"))
       .orderBy(col("source"), col("rank"))
   }
 

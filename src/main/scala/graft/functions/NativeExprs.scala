@@ -242,6 +242,37 @@ object NativeExprs {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** Bloom membership against a bitset held as a SparkContext
+    * BROADCAST, not a plan literal. [[BloomMightContain]] takes the
+    * bitset as a column — which in practice means a byte-array
+    * literal baked into the expression tree: fine at the 64 KB floor,
+    * a cliff at the sizes bloom exists for (16 bits/element ⇒ a
+    * ~200 MB literal at 10⁸ reference grams, re-serialized with
+    * every task binary and hashed into every plan fingerprint). Here
+    * the expression carries only the broadcast HANDLE (a few bytes in
+    * the serialized plan); executors fetch the bitset blocks once per
+    * JVM via the torrent broadcast, exactly like a broadcast-hash-join
+    * relation. Not SQL-registered — a FunctionBuilder only composes
+    * child Expressions and a broadcast is session state, so the typed
+    * [[graft.dedup.Dedup]] call site constructs it directly. */
+  case class BloomBroadcastContains(
+      bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_contains_bcast"
+    override protected def nullSafeEval(h: Any): Any =
+      NativeKernels.bloomContains(bcast.value, h.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftBloomBc", bcast,
+        "org.apache.spark.broadcast.Broadcast")
+      defineCodeGen(ctx, ev, c =>
+        s"$K.bloomContains((byte[])$ref.value(), $c)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[NativeExprs.type].getName, null, name, usage, "")
 

@@ -15,16 +15,42 @@ import org.apache.spark.sql.functions.{col, lit, pmod, row_number}
   * serialization on the hot path. Used by the PQ rerank cut and the
   * LSH bucket-representative election. */
 object SaltedRank {
+  /** First name in `base`, `base0`, `base1`, … not already a column of
+    * the input — a caller whose DataFrame happens to carry `_salt` or
+    * `_r1` must not have it clobbered and silently dropped. */
+  private def fresh(base: String, avoid: Set[String]): String = {
+    var n = base
+    var i = 0
+    while (avoid(n)) { n = s"$base$i"; i += 1 }
+    n
+  }
+
   def topKPerGroup(df: DataFrame, group: Seq[Column],
       order: Seq[Column], k: Int, saltOn: Column, fanout: Int): DataFrame = {
-    val w1 = Window.partitionBy(group :+ col("_salt"): _*).orderBy(order: _*)
+    val (out, rank) = topKPerGroupRanked(df, group, order, k, saltOn, fanout)
+    out.drop(rank)
+  }
+
+  /** Like [[topKPerGroup]] but keeps the final within-group rank
+    * (1-based, dense by construction of row_number) and returns its
+    * column name — for callers whose OUTPUT is the ranking itself
+    * (per-source quality caps), so they need no third window. */
+  def topKPerGroupRanked(df: DataFrame, group: Seq[Column],
+      order: Seq[Column], k: Int, saltOn: Column,
+      fanout: Int): (DataFrame, String) = {
+    val taken = df.columns.toSet
+    val saltC = fresh("_salt", taken)
+    val r1 = fresh("_r1", taken)
+    val r2 = fresh("_r2", taken)
+    val w1 = Window.partitionBy(group :+ col(saltC): _*).orderBy(order: _*)
     val w2 = Window.partitionBy(group: _*).orderBy(order: _*)
-    df.withColumn("_salt", pmod(saltOn, lit(fanout)))
-      .withColumn("_r1", row_number().over(w1))
-      .filter(col("_r1") <= k)
-      .withColumn("_r2", row_number().over(w2))
-      .filter(col("_r2") <= k)
-      .drop("_salt", "_r1", "_r2")
+    val out = df.withColumn(saltC, pmod(saltOn, lit(fanout)))
+      .withColumn(r1, row_number().over(w1))
+      .filter(col(r1) <= k)
+      .withColumn(r2, row_number().over(w2))
+      .filter(col(r2) <= k)
+      .drop(saltC, r1)
+    (out, r2)
   }
 }
 

@@ -12,4 +12,13 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ⇄ Expression converters (`ExpressionUtils` is
+    * `private[sql]`): the one way to use a custom Expression that a
+    * FunctionBuilder cannot construct — e.g. one carrying a Broadcast
+    * handle, which is session state, not a child Expression. */
+  def columnOf(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expressionOf(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -110,6 +110,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSql == 0)
   }
 
+  test("simhash band cap bounds a boilerplate bucket's candidates " +
+      "while keeping the cluster connected") {
+    // 1000 identical sketches: all 4 bands of every doc collide, so a
+    // raw band self-join would emit 4 * 1000*999/2 rows before
+    // distinct. With cap=8 each band elects the same 8 lowest doc_ids
+    // as reps, so distinct pairs = sum over reps r of (999 - r).
+    val n = 1000
+    val cap = 8
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit(577777L).as("sim"))
+    val pairs = graft.dedup.Dedup.simhashPairs(docs, cap)
+    assert(pairs.count() == (0 until cap).map(r => n - 1 - r).sum)
+    val touched = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+    assert(touched == n, "identical docs must stay one connected cluster")
+    // below the cap the semantics are untouched all-pairs
+    val small = spark.range(5).select(col("id").as("doc_id"),
+      lit(99L).as("sim"))
+    assert(graft.dedup.Dedup.simhashPairs(small, cap).count() == 10)
+    // the oracle-exact query path REFUSES an overflowing bucket
+    // rather than silently returning a partial pair list
+    val ex = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.simhashPairs(docs, cap, assertExact = true).count()
+    }
+    assert(ex.getMessage.contains("band bucket exceeds"))
+  }
+
+  test("bloom decontamination plan carries no bitset literal") {
+    // The bitset must travel as a broadcast handle: a byte-array
+    // literal in the expression tree is re-serialized with every task
+    // binary (a ~200 MB plan constant at the 10^8-gram scale the
+    // operator exists for).
+    val df = SparkEntry.queries("dedup_bloom")(spark, sf)
+    val bigLits = df.queryExecution.analyzed
+      .collect { case p => p }.flatMap(_.expressions).flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType == org.apache.spark.sql.types.BinaryType &&
+            l.value != null &&
+            l.value.asInstanceOf[Array[Byte]].length > 1024 => l
+    })
+    assert(bigLits.isEmpty, s"found ${bigLits.size} multi-KB binary literals")
+    // and the collapsed row still proves the sketch contract
+    val row = df.head()
+    assert(row.getAs[Boolean]("no_false_negatives"))
+    assert(row.getAs[Boolean]("fp_bounded"))
+  }
+
+  test("source cap ranks via codegen'd windows, not object aggregation") {
+    val df = SparkEntry.queries("pipeline_source_cap")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      "per-source cap must not pay the typed-aggregator plan constant")
+    // rank column semantics preserved from the typed-agg formulation
+    val top = df.filter(col("source") === "src0").collect()
+    assert(top.nonEmpty && top.map(_.getAs[Int]("rank")).min == 1)
+    assert(top.length <= 15)
+  }
+
+  test("SaltedRank leaves caller columns named _salt/_r1/_r2 intact") {
+    import graft.functions.SaltedRank
+    val df = spark.range(10).select(col("id"), (col("id") % 3).as("g"),
+      lit("keep-me").as("_salt"), col("id").as("_r1"))
+    val out = SaltedRank.topKPerGroup(df, Seq(col("g")),
+      Seq(col("id").asc), 2, col("id"), 4)
+    assert(out.columns.toSeq == Seq("id", "g", "_salt", "_r1"))
+    assert(out.select("_salt").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("keep-me"))
+    assert(out.count() == 6)
+  }
+
   test("simhash banding finds exactly the hamming<=3 pairs") {
     val banded = SparkEntry.queries("dedup_simhash")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
