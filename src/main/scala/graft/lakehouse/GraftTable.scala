@@ -100,7 +100,9 @@ final class CommitConflictException(msg: String)
   *                                          specs, _gp_i dirs for
   *                                          transform specs)
   *   _graft_meta/snap-00001.meta            one manifest per snapshot
-  *   _graft_meta/refs                       branch/tag heads (only
+  *   _graft_meta/refs.00001                 branch/tag heads, one
+  *                                          immutable CAS-published
+  *                                          version per mutation (only
   *                                          once a ref is created)
   *   _graft_meta/staged-<token>.meta        write-audit-publish stages
   *   _graft_meta/table.properties           TBLPROPERTIES
@@ -149,30 +151,52 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
   private def snapPath(id: Long) = new Path(metaDir, f"snap-$id%05d.meta")
   private def propsPath = new Path(metaDir, "table.properties")
-  private def refsPath = new Path(metaDir, "refs")
 
   // ---- refs (branches and tags, Iceberg's named references) --------
 
+  private def refsFile(v: Long) = new Path(metaDir, f"refs.$v%05d")
+
+  /** Last refs version this handle observed — a probe floor, never
+    * trusted as current (another process may have published more). */
+  @volatile private var refsVersionHint = 0L
+
+  /** Highest published refs version, 0 = the table has no refs.
+    * Forward probe from the hint (same pattern as streaming head
+    * discovery): the common case costs one existence check, never a
+    * directory listing. */
+  private def currentRefsVersion: Long = {
+    var v = refsVersionHint
+    while (fs.exists(refsFile(v + 1))) v += 1
+    refsVersionHint = v
+    v
+  }
+
   /** Named refs: name -> (kind, snapshot id), kind ∈ {branch, tag}.
-    * The refs file is materialized only when the first branch/tag is
-    * created; without it the table is the plain linear chain whose
+    * Refs versions are materialized only when the first branch/tag is
+    * created; without one the table is the plain linear chain whose
     * head is the highest snapshot id (every pre-refs table reads
     * unchanged). Branches are movable heads that commits advance;
     * tags are immutable bookmarks. */
-  def refs: Map[String, (String, Long)] =
-    if (!fs.exists(refsPath)) Map.empty
+  def refs: Map[String, (String, Long)] = refsWithVersion._1
+
+  /** (refs, version read): every mutation must use the PAIRED read so
+    * its [[writeRefs]] CAS can detect a concurrent publisher. */
+  private def refsWithVersion: (Map[String, (String, Long)], Long) = {
+    val v = currentRefsVersion
+    if (v == 0) (Map.empty, 0L)
     else {
-      val in = fs.open(refsPath)
+      val in = fs.open(refsFile(v))
       val text =
         try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
-      text.linesIterator.filter(_.contains('=')).map { line =>
+      (text.linesIterator.filter(_.contains('=')).map { line =>
         val i = line.indexOf('=')
         val j = line.indexOf('\t')
         line.substring(i + 1, j) -> (line.substring(0, i),
           line.substring(j + 1).toLong)
-      }.toMap
+      }.toMap, v)
     }
+  }
 
   /** The snapshot id ref `name` points at. For a table with no refs
     * file only `main` resolves — to the highest snapshot id. */
@@ -189,25 +213,26 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     }
   }
 
-  /** Rewrite the refs file. Caller holds the commit lock. The
-    * replacement must be ATOMIC — a reader finding the file missing
-    * would fall back to "main = highest snapshot id" and could see an
-    * unpublished branch head — so local filesystems replace via
-    * nio ATOMIC_MOVE (POSIX rename over an existing destination).
-    * CROSS-PROCESS CAVEAT: once a refs file exists, head check +
-    * snapshot publish + refs rewrite are not one atomic step across
-    * processes — two processes committing to the same branch can both
-    * pass the head check, publish DISTINCT snapshot ids (the snap-file
-    * CAS allocates per-id, so neither publish fails), and the later
-    * writeRefs silently drops the earlier commit from the branch
-    * lineage: a LOST COMMIT, not just a stale ref. Branch/ref commits
-    * therefore require a single-process writer or an external
-    * lock/catalog service — the same contract as Iceberg's
-    * HadoopTableOperations, which documents HDFS-only safety and
-    * points object stores at a metastore lock. Refs-LESS tables (the
-    * default linear history) keep the full snap-file CAS safety:
-    * there the manifest publish itself is the head pointer. */
-  private def writeRefs(r: Map[String, (String, Long)]): Unit = {
+  /** Publish refs version `expectedVersion + 1` via the same
+    * no-overwrite CAS as snapshot manifests ([[publishNoOverwrite]]:
+    * `link(2)` on local FS, no-overwrite rename on HDFS). A version
+    * that already exists means another writer published since
+    * `expectedVersion` was read — the mutation is REJECTED with
+    * [[CommitConflictException]] for the caller to re-read and retry.
+    * The pre-round-6 design rewrote a single refs file in place,
+    * which let two processes committing to the same branch both pass
+    * the head check and the later rewrite silently DROP the earlier
+    * commit from the branch lineage (a lost commit, not a stale ref);
+    * versioned CAS turns that silent loss into a retryable conflict —
+    * the exact evolution Iceberg made from HadoopTableOperations'
+    * in-place metadata to versioned `vN.metadata.json` + commit CAS.
+    * Readers resolve the highest version, so a published version is
+    * immediately visible and never replaced. In-process writers
+    * additionally serialize on the commit lock; the CAS is the
+    * cross-process guarantee. */
+  private def writeRefs(r: Map[String, (String, Long)],
+      expectedVersion: Long): Unit = {
+    val next = expectedVersion + 1
     val tmp = new Path(metaDir,
       s"refs.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
@@ -215,20 +240,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       s"$k=$n\t$id"
     }.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    fs match {
-      case _: org.apache.hadoop.fs.LocalFileSystem |
-           _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(refsPath.toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      case _ =>
-        fs.delete(refsPath, false)
-        if (!fs.rename(tmp, refsPath))
-          throw new IllegalStateException("failed to publish refs file")
+    if (!publishNoOverwrite(tmp, refsFile(next))) {
+      fs.delete(tmp, false)
+      throw new CommitConflictException(
+        s"refs version $next was already published by another writer; " +
+          "re-read the refs and retry the operation")
     }
+    refsVersionHint = next
   }
+
+  /** Test seam for the cross-process refs race: a raw CAS publish
+    * from an explicitly-staled (refs, version) pair. */
+  private[graft] def casRefsForTest(r: Map[String, (String, Long)],
+      expectedVersion: Long): Unit = writeRefs(r, expectedVersion)
+  private[graft] def refsVersionForTest: Long = currentRefsVersion
 
   /** Materialize the refs file if absent (pinning `main` where it is
     * now) and add `name` as a branch/tag at snapshot `at`. */
@@ -240,16 +265,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
           c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
         s"ref name '$name' must match [A-Za-z0-9._-]+")
       require(fs.exists(snapPath(at)), s"snapshot $at does not exist")
+      val (r0, v) = refsWithVersion
       val base =
-        if (refs.isEmpty)
+        if (r0.isEmpty)
           Map(GraftTable.MainBranch -> ("branch", maxSnapshotId))
-        else refs
+        else r0
       // reserved-name check FIRST: base always contains 'main', so
       // the duplicate check would otherwise shadow it with the
       // misleading "ref 'main' already exists"
       require(name != GraftTable.MainBranch, "main is reserved")
       require(!base.contains(name), s"ref '$name' already exists")
-      writeRefs(base + (name -> (kind, at)))
+      writeRefs(base + (name -> (kind, at)), v)
     }
 
   /** Create a branch at snapshot `at` (default: current main head).
@@ -270,9 +296,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def dropRef(name: String): Unit =
     GraftTable.commitLock(root.toString).synchronized {
       require(name != GraftTable.MainBranch, "main cannot be dropped")
-      val r = refs
+      val (r, v) = refsWithVersion
       require(r.contains(name), s"ref '$name' does not exist")
-      writeRefs(r - name)
+      writeRefs(r - name, v)
     }
 
   /** Read the table as of ref `name` (branch or tag). */
@@ -285,7 +311,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * the audit-gated publish workflow at table granularity. */
   def fastForward(target: String, source: String): Unit =
     GraftTable.commitLock(root.toString).synchronized {
-      val r = refs
+      val (r, v) = refsWithVersion
       require(r.get(target).exists(_._1 == "branch"),
         s"fast-forward target '$target' must be an existing branch")
       val to = headOf(source)
@@ -302,7 +328,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       require(cur == from,
         s"cannot fast-forward $target ($from) to $source ($to): " +
           "target head is not an ancestor of source head")
-      writeRefs(r + (target -> ("branch", to)))
+      writeRefs(r + (target -> ("branch", to)), v)
     }
 
   /** Parent id of snapshot `id`, None when its manifest has been
@@ -353,7 +379,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
   /** The `main` branch head (what readers see). */
   def currentSnapshotId: Long =
-    if (!fs.exists(refsPath)) maxSnapshotId
+    if (currentRefsVersion == 0) maxSnapshotId
     else headOf(GraftTable.MainBranch)
 
   def snapshot(id: Long): Snapshot = parseManifest(snapPath(id), id)
@@ -550,8 +576,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       try out.write(bodyFor(attempt).getBytes(StandardCharsets.UTF_8))
       finally out.close()
       if (publishNoOverwrite(tmp, snapPath(attempt))) { // atomic publish
-        if (fs.exists(refsPath))
-          writeRefs(refs + (branch -> ("branch", attempt)))
+        advanceRefHead(branch, attempt, expectedParent)
         return attempt
       }
       fs.delete(tmp, false)
@@ -564,6 +589,38 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     throw new IllegalStateException(
       s"publish of snapshot $attempt failed repeatedly with no " +
         "competing commit — filesystem refuses the rename")
+  }
+
+  /** Advance `branch` to `snap` after its manifest published. The
+    * refs CAS closes the old cross-process lost-commit window: a
+    * conflict from a commit on ANOTHER ref is absorbed by re-reading
+    * and retrying (their update and ours compose), while OUR branch
+    * head having moved means a concurrent writer's commit landed on
+    * this branch first — that surfaces as [[CommitConflictException]]
+    * (the published manifest is left unreferenced, like any failed
+    * optimistic commit) instead of silently dropping the other
+    * writer's snapshot from the lineage. No-op for refs-less tables,
+    * where the manifest publish itself is the head pointer. */
+  private def advanceRefHead(branch: String, snap: Long,
+      expectedParent: Long): Unit = {
+    var remaining = 16
+    while (remaining > 0) {
+      remaining -= 1
+      val (r, v) = refsWithVersion
+      if (v == 0) return
+      val head = r.get(branch).map(_._2).getOrElse(
+        throw new CommitConflictException(
+          s"branch $branch was dropped while snapshot $snap published"))
+      if (head != expectedParent)
+        throw new CommitConflictException(
+          s"branch $branch advanced to $head while snapshot $snap " +
+            s"published over parent $expectedParent: commit lost the race")
+      try { writeRefs(r + (branch -> ("branch", snap)), v); return }
+      catch { case _: CommitConflictException => () } // other ref; retry
+    }
+    throw new IllegalStateException(
+      s"refs CAS for branch $branch failed repeatedly without this " +
+        "branch's head moving — filesystem refuses the publish")
   }
 
   /** Move `tmp` to `dest` iff `dest` does not exist, atomically with
@@ -881,7 +938,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * refs-less ids are dense and monotonic (the id allocator), and
     * expiry deletes old snapshots, never the head. */
   private[graft] def streamHead(after: Long): Long =
-    if (fs.exists(refsPath)) currentSnapshotId
+    if (currentRefsVersion > 0) currentSnapshotId
     else {
       var h = math.max(after, 0L)
       while (fs.exists(snapPath(h + 1))) h += 1

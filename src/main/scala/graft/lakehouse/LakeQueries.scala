@@ -156,6 +156,29 @@ object LakeQueries {
       .orderBy(col("_change_type"), col("o_orderkey"))
   }
 
+  /** The same CDC scenario driven ENTIRELY through SQL: DML via
+    * [[LakeSqlRule]], changelog via the `table_changes` TVF
+    * ([[LakeChanges]]) composed under an ordinary ORDER BY — proving
+    * the net-changelog surface is reachable without touching the
+    * Scala API (Iceberg users get `create_changelog_view`; this is
+    * the TVF equivalent). Same oracle as lake_cdc. */
+  private val cdcSql: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_cdc_sql"),
+      orders.filter(col("o_orderkey") % 4 < 3))
+    LakeRegistry.register("lake_cdc_sql_t", t)
+    orders.filter(col("o_orderkey") % 4 === 3)
+      .createOrReplaceTempView("lake_cdc_sql_src")
+    s.sql("INSERT INTO lake_cdc_sql_t SELECT * FROM lake_cdc_sql_src")
+    s.sql("DELETE FROM lake_cdc_sql_t WHERE o_orderkey % 10 = 0")
+    s.sql("UPDATE lake_cdc_sql_t SET o_totalprice = 0.0 " +
+      "WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    s.sql(s"""SELECT * FROM table_changes('lake_cdc_sql_t', 1,
+             |  ${t.currentSnapshotId})
+             |ORDER BY _change_type, o_orderkey""".stripMargin)
+  }
+
   /** Four small appends then compact to 4 files: data unchanged. */
   private val compaction: Q = (s, dir) => {
     val orders = Tables.orders(s, dir)
@@ -591,6 +614,7 @@ object LakeQueries {
     "lake_schema_evolution" -> schemaEvolution,
     "lake_incremental"      -> incremental,
     "lake_cdc"              -> cdc,
+    "lake_cdc_sql"          -> cdcSql,
     "lake_compaction"       -> compaction,
     "lake_partitioned"      -> partitioned,
     "lake_skipping"         -> skipping,
@@ -697,6 +721,25 @@ object LakeQueries {
       "SELECT * FROM orders WHERE o_orderkey % 3 = 2 ORDER BY o_orderkey",
     // replay the DML in SQL; net changelog = symmetric EXCEPT ALL
     "lake_cdc" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 < 3),
+        |s2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 < 3 OR o_orderkey % 4 = 3),
+        |s3 AS (SELECT * FROM s2 WHERE NOT (o_orderkey % 10 = 0)),
+        |s4 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+        |         THEN 0.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM s3),
+        |ins AS (SELECT * FROM s4 EXCEPT ALL SELECT * FROM base),
+        |del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM s4)
+        |SELECT *, 'insert' AS _change_type FROM ins
+        |UNION ALL SELECT *, 'delete' AS _change_type FROM del
+        |ORDER BY _change_type, o_orderkey""".stripMargin,
+    // identical scenario to lake_cdc, driven through SQL end to end
+    "lake_cdc_sql" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice
         |  FROM orders WHERE o_orderkey % 4 < 3),

@@ -544,6 +544,55 @@ case class GraftVacuumCommand(name: String, keep: Int)
   }
 }
 
+/** SQL surface for the net changelog — the `table_changes` table-
+  * valued function, composable anywhere a relation can appear:
+  *
+  * {{{ SELECT * FROM table_changes('t', from_snapshot, to_snapshot) }}}
+  *
+  * Iceberg exposes the same capability as the `create_changelog_view`
+  * procedure; a TVF is the more SQL-native shape (no session-state
+  * view side effect) and lowers directly onto [[GraftTable.changes]]
+  * — the manifest-file-diff compute, so the SQL surface inherits the
+  * carried-files-never-read scale property.
+  *
+  * Claimed at PARSE time like [[LakeDdl]]: Spark's own
+  * `ResolveFunctions` rule runs before injected resolution rules
+  * inside the analyzer batch and fails an unknown TVF eagerly, so an
+  * analyzer rule never gets the chance to claim it. Args must be
+  * literals (a changelog endpoint is metadata, not data). */
+object LakeChanges {
+  def resolve(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("table_changes") =>
+        val (name, from, to) = tvf.functionArgs match {
+          case Seq(Literal(n, org.apache.spark.sql.types.StringType),
+              f: Literal, t: Literal)
+              if n != null && integral(f) && integral(t) =>
+            (n.toString.toLowerCase,
+              f.value.toString.toLong, t.value.toString.toLong)
+          case _ => throw new UnsupportedOperationException(
+            "table_changes requires literal arguments: " +
+              "table_changes('name', from_snapshot_id, to_snapshot_id)")
+        }
+        // Governed names read through FgacRule with policies applied;
+        // a changelog that bypassed row/column policy would be a leak.
+        require(!graft.fgac.SecureCatalog.isVisibleName(Seq(name)),
+          s"table_changes on governed name '$name' is not supported; " +
+            "read the governed table, not its changelog")
+        val t = LakeRegistry.get(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"table_changes: '$name' is not a registered graft table"))
+        SubqueryAlias(name, t.changes(from, to).queryExecution.analyzed)
+    }
+
+  private def integral(l: Literal): Boolean = l.dataType match {
+    case org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType => l.value != null
+    case _ => false
+  }
+}
+
 /** Delegating parser that lowers graft DDL straight out of the
   * parser; everything else passes through untouched. */
 class GraftSqlParser(spark: SparkSession,
@@ -552,7 +601,7 @@ class GraftSqlParser(spark: SparkSession,
   override def parsePlan(sqlText: String): LogicalPlan =
     LakeMaintenance.parse(spark, sqlText).getOrElse {
       val plan = delegate.parsePlan(sqlText)
-      LakeDdl.lower(spark, plan).getOrElse(plan)
+      LakeDdl.lower(spark, plan).getOrElse(LakeChanges.resolve(spark, plan))
     }
   override def parseExpression(s: String) = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)

@@ -91,6 +91,24 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** The LOSSY path: encode the truecolor content formula as baseline
+    * JPEG via `javax.imageio`'s built-in writer (default quality).
+    * Real multimodal corpora are JPEG-dominated; unlike the PNG path
+    * the decoded pixels only APPROXIMATE [[rgbAt]], so the query
+    * contract is a tolerance bound, not bit-exactness
+    * (see Multimodal.mm_jpeg). */
+  def encodeJpeg(id: Long): Array[Byte] = {
+    val (w, h) = (widthOf(id), heightOf(id))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgbAt(id, x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "jpg", out), "no JPEG writer available")
+    out.toByteArray
+  }
+
   /** A canonical 44-byte-header RIFF/WAVE file: PCM16, mono,
     * [[WavSampleRate]] Hz, little-endian samples. */
   def encodeWav(id: Long): Array[Byte] = {
@@ -115,16 +133,40 @@ object MediaCodec {
 
   // ---- header-only metadata (the cheap pre-decode pass) ------------
 
-  /** `(fmt, dim1, dim2)`: png → (width, height) from the IHDR chunk;
-    * wav → (n_samples, sample_rate) from the fmt/data chunks. Reads
-    * ONLY the header bytes — the point of metadata-before-decode
-    * pruning is that a filter on dimensions never touches pixel
-    * data. */
+  /** `(fmt, dim1, dim2)`: png/jpeg → (width, height) from the IHDR
+    * chunk / SOF marker; wav → (n_samples, sample_rate) from the
+    * fmt/data chunks. Reads ONLY the header bytes — the point of
+    * metadata-before-decode pruning is that a filter on dimensions
+    * never touches pixel data. Malformed headers (negative or
+    * truncated chunk lengths — which would otherwise walk `pos`
+    * backwards or loop) fail fast with IllegalArgumentException:
+    * media columns are UNTRUSTED corpus bytes, so the header walk
+    * must terminate on any input. */
   def sniff(bytes: Array[Byte]): (String, Int, Int) =
     if (isPng(bytes)) {
       // IHDR is mandated first: width/height big-endian at 16/20
       val bb = java.nio.ByteBuffer.wrap(bytes, 16, 8)
       ("png", bb.getInt, bb.getInt)
+    } else if (isJpeg(bytes)) {
+      // segment walk to the first frame header (SOF0..SOF15 minus
+      // the non-frame C4/C8/CC): height/width big-endian at +5/+7
+      var pos = 2
+      var dims: (Int, Int) = null
+      while (dims == null) {
+        require(pos + 4 <= bytes.length, "truncated JPEG header")
+        require((bytes(pos) & 0xff) == 0xff, "malformed JPEG marker")
+        val marker = bytes(pos + 1) & 0xff
+        val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        require(len >= 2, "malformed JPEG segment length")
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          require(pos + 9 <= bytes.length, "truncated JPEG SOF segment")
+          val h = ((bytes(pos + 5) & 0xff) << 8) | (bytes(pos + 6) & 0xff)
+          val w = ((bytes(pos + 7) & 0xff) << 8) | (bytes(pos + 8) & 0xff)
+          dims = (w, h)
+        } else pos += 2 + len
+      }
+      ("jpeg", dims._1, dims._2)
     } else if (isWav(bytes)) {
       val bb = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -135,21 +177,28 @@ object MediaCodec {
       while (dataLen < 0 && pos + 8 <= bytes.length) {
         val tag = new String(bytes, pos, 4, "US-ASCII")
         val len = bb.getInt(pos + 4)
+        require(len >= 0, "malformed WAV chunk length")
         if (tag == "fmt ") {
+          require(pos + 24 <= bytes.length, "truncated WAV fmt chunk")
           rate = bb.getInt(pos + 12)
           bits = bb.getShort(pos + 22).toInt
+          require(bits > 0 && bits % 8 == 0, "malformed WAV bit depth")
         } else if (tag == "data") dataLen = len
-        pos += 8 + len + (len & 1)
+        pos += 8 + len + (len & 1) // len >= 0 ⇒ strictly monotonic
       }
       require(dataLen >= 0, "WAV payload has no data chunk")
       ("wav", dataLen / (bits / 8), rate)
     } else
       throw new IllegalArgumentException(
-        "unrecognized media payload (not PNG or RIFF/WAVE)")
+        "unrecognized media payload (not PNG, JPEG or RIFF/WAVE)")
 
   private def isPng(b: Array[Byte]): Boolean =
     b.length > 33 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
       b(2) == 'N' && b(3) == 'G'
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
 
   private def isWav(b: Array[Byte]): Boolean =
     b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
@@ -188,10 +237,12 @@ object MediaCodec {
     var pos = 12
     var dataPos = -1
     while (dataPos < 0) {
+      require(pos + 8 <= bytes.length, "WAV payload has no data chunk")
       val tag = new String(bytes, pos, 4, "US-ASCII")
       val len = bb.getInt(pos + 4)
+      require(len >= 0, "malformed WAV chunk length")
       if (tag == "data") dataPos = pos + 8
-      else pos += 8 + len + (len & 1)
+      else pos += 8 + len + (len & 1) // len >= 0 ⇒ strictly monotonic
     }
     Array.tabulate(n)(i => bb.getShort(dataPos + i * 2).toInt)
   }

@@ -152,11 +152,52 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** The LOSSY decode path — real multimodal corpora are
+    * JPEG-dominated, and lossy breaks the bit-exact oracle the PNG/WAV
+    * queries rely on, so the contract here is a tolerance-bounded
+    * DECISION ROW (the ann_pq recall-gate pattern): encode the
+    * truecolor content formula as baseline JPEG, header-sniff the SOF
+    * dimensions, fully decode, and compare pixels against the
+    * closed-form [[MediaCodec.rgbAt]]. The row proves (1) every doc's
+    * sniffed AND decoded dimensions match the formula, (2) the mean
+    * absolute per-channel error stays under [[JpegErrBound]]
+    * (empirically 12–27 on this high-frequency mod-256 pattern at the
+    * default writer quality; 40 leaves ~50% margin), and (3) the path
+    * is genuinely lossy (min error > 1 — a silently-swapped lossless
+    * codec would be caught, not celebrated). */
+  private val JpegErrBound = 40.0
+  private val jpeg: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 1) // the truecolor cohort
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val bytes = MediaCodec.encodeJpeg(id)
+          val (fmt, sw, sh) = MediaCodec.sniff(bytes)
+          val (w, h, ch, v) = MediaCodec.decodeImage(bytes)
+          val dimsOk = fmt == "jpeg" && sw == w && sh == h && ch == 3 &&
+            w == MediaCodec.widthOf(id) && h == MediaCodec.heightOf(id)
+          var err = 0L
+          for (y <- 0 until h; x <- 0 until w) {
+            val (r, g, b) = MediaCodec.rgbAt(id, x, y)
+            err += math.abs(v(x, y, 0) - r) +
+              math.abs(v(x, y, 1) - g) + math.abs(v(x, y, 2) - b)
+          }
+          (id, dimsOk, err.toDouble / (w * h * 3))
+        }
+      }.toDF("doc_id", "dims_ok", "mean_err")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bool_and(dims_ok)").as("dims_ok"),
+        (max(col("mean_err")) <= JpegErrBound).as("err_bounded"),
+        (min(col("mean_err")) > 1.0).as("lossy"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_metadata" -> metadata,
     "mm_features" -> features,
     "mm_resize" -> resize,
-    "mm_framesample" -> framesample)
+    "mm_framesample" -> framesample,
+    "mm_jpeg" -> jpeg)
 
   // ---- DuckDB oracles ----------------------------------------------
   // The oracles reconstruct the decoded statistics from the content
@@ -183,6 +224,13 @@ object Multimodal {
     s"(doc_id*131 + ($i)*17) % 65536 - 32768"
 
   val oracles: Map[String, String] = Map(
+    // Decision-row oracle: the count is exact (the truecolor cohort);
+    // the three booleans are the tolerance contract the Spark side
+    // must prove (dims bit-exact, error bounded, path genuinely lossy).
+    "mm_jpeg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS dims_ok, TRUE AS err_bounded, TRUE AS lossy
+        |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
     "mm_metadata" ->
       s"""$geomCte
          |SELECT doc_id,

@@ -227,8 +227,25 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
         .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
       parameters.get("txnAppId")
         .orElse(parameters.get("checkpointLocation").map("ckpt:" + _))
-        // no checkpoint = nothing to recover after restart; a
-        // per-sink id avoids two anonymous queries colliding on one
-        // shared watermark (which would silently drop their batches)
-        .getOrElse("anon:" + java.util.UUID.randomUUID))
+        .getOrElse {
+          // A query checkpointed via the SESSION-level conf replays
+          // its last batch after restart, but the sink's parameters
+          // carry no checkpointLocation — a fresh anonymous id every
+          // (re)start would never match the stored watermark and the
+          // replay would DUPLICATE. Refuse instead of silently
+          // downgrading exactly-once.
+          require(!ctx.sparkSession.conf
+              .getOption("spark.sql.streaming.checkpointLocation")
+              .exists(_.nonEmpty),
+            "graft-lake sink: this query checkpoints through the " +
+              "session-level spark.sql.streaming.checkpointLocation, " +
+              "which the sink cannot observe — batch replay after a " +
+              "restart would duplicate under a fresh anonymous id. " +
+              "Pass .option(\"txnAppId\", ...) or " +
+              ".option(\"checkpointLocation\", ...) on the writeStream.")
+          // genuinely checkpoint-less: nothing replays after restart;
+          // a per-sink id avoids two anonymous queries colliding on
+          // one shared watermark (which would silently drop batches)
+          "anon:" + java.util.UUID.randomUUID
+        })
 }

@@ -595,6 +595,34 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.readRef("dev").count() == 6, "racing branch appends all land")
   }
 
+  test("refs CAS rejects a stale publisher instead of dropping a commit") {
+    // Simulate the CROSS-PROCESS interleave (in-process writers
+    // serialize on the commit lock, so the race is driven through the
+    // CAS seam): two writers read the same refs version, both try to
+    // advance branch 'dev'. Pre-round-6 the second rewrite silently
+    // REPLACED the first — a lost commit; now the loser must get
+    // CommitConflictException and the winner's head must survive.
+    val t = freshTable(Seq((1L, "a", 1.0))) // snap 1
+    t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v")) // snap 2
+    t.createBranch("dev", at = 1L)
+    val staleVersion = t.refsVersionForTest
+    val staleRefs = t.refs
+    // writer 1 wins the CAS
+    t.casRefsForTest(staleRefs + ("dev" -> ("branch", 2L)), staleVersion)
+    // writer 2, publishing from the SAME stale version, must conflict
+    val ex = intercept[lakehouse.CommitConflictException] {
+      t.casRefsForTest(staleRefs + ("dev" -> ("branch", 1L)), staleVersion)
+    }
+    assert(ex.getMessage.contains("refs version"))
+    assert(t.headOf("dev") == 2L, "winner's head must survive the race")
+    // every mutation published an immutable version — the lineage is
+    // auditable, nothing was rewritten in place
+    assert(t.refsVersionForTest == staleVersion + 1)
+    // and the ordinary single-writer path still works end to end
+    t.appendToBranch(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"), "dev")
+    assert(t.readRef("dev").count() == 3)
+  }
+
   test("tags are immutable bookmarks and survive snapshot expiry") {
     val t = freshTable(Seq((1L, "a", 1.0))) // snap 1
     t.createTag("v1")
@@ -608,6 +636,33 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().count() == 3)
     t.dropRef("v1")
     intercept[IllegalArgumentException](t.readRef("v1"))
+  }
+
+  test("table_changes TVF composes in SQL and validates its arguments") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0))) // snap 1
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))     // snap 2
+    t.delete("k = 1")                                       // snap 3
+    lakehouse.LakeRegistry.register("tvf_t", t)
+    try {
+      // composes under projection + filter like any relation
+      val rows = spark.sql(
+        "SELECT k, _change_type FROM table_changes('tvf_t', 1, 3) " +
+          "WHERE _change_type = 'insert' ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((3L, "insert")))
+      val del = spark.sql(
+        "SELECT count(*) FROM table_changes('tvf_t', 1, 3) " +
+          "WHERE _change_type = 'delete'").head().getLong(0)
+      assert(del == 1L)
+      // non-literal / wrong-arity args fail loudly
+      intercept[UnsupportedOperationException](
+        spark.sql("SELECT * FROM table_changes('tvf_t', 1)"))
+      intercept[UnsupportedOperationException](
+        spark.sql("SELECT * FROM table_changes('tvf_t', 1 + 1, 3)"))
+      // unregistered names fail with a clear error
+      intercept[IllegalArgumentException](
+        spark.sql("SELECT * FROM table_changes('no_such_table', 1, 2)"))
+    } finally lakehouse.LakeRegistry.unregister("tvf_t")
   }
 
   test("hidden partitioning: transforms derive dirs, raw predicates prune") {

@@ -342,6 +342,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.filter($"fmt" === "png" &&
       ($"mean_val" < 0 || $"mean_val" > 255)).count() == 0)
   }
+
+  test("jpeg sniffs/decodes within the lossy tolerance; malformed WAV fails fast") {
+    import graft.multimodal.MediaCodec
+    val id = 10L // truecolor cohort
+    val jpg = MediaCodec.encodeJpeg(id)
+    // header-only SOF walk agrees with the full decode
+    assert(MediaCodec.sniff(jpg) ==
+      (("jpeg", MediaCodec.widthOf(id), MediaCodec.heightOf(id))))
+    val (w, h, ch, v) = MediaCodec.decodeImage(jpg)
+    assert((w, h, ch) == ((MediaCodec.widthOf(id), MediaCodec.heightOf(id), 3)))
+    // lossy but bounded: mean abs error in the calibrated band
+    var err = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = MediaCodec.rgbAt(id, x, y)
+      err += math.abs(v(x, y, 0) - r) +
+        math.abs(v(x, y, 1) - g) + math.abs(v(x, y, 2) - b)
+    }
+    val meanErr = err.toDouble / (w * h * 3)
+    assert(meanErr > 1.0 && meanErr <= 40.0, s"meanErr=$meanErr")
+    // hostile input: a negative RIFF chunk length must fail, not walk
+    // pos backwards into an infinite loop
+    val bad = MediaCodec.encodeWav(8L).clone()
+    bad(16) = -1; bad(17) = -1; bad(18) = -1; bad(19) = -1
+    val ex = intercept[IllegalArgumentException](MediaCodec.sniff(bad))
+    assert(ex.getMessage.contains("malformed WAV"))
+    // and the decision-row query proves the contract corpus-wide
+    val row = SparkEntry.queries("mm_jpeg")(spark, sf).head()
+    assert(row.getAs[Boolean]("dims_ok") && row.getAs[Boolean]("err_bounded")
+      && row.getAs[Boolean]("lossy"))
+  }
 }
 
 /** Runs the streaming transformations through real streaming queries
