@@ -183,10 +183,12 @@ object Dedup {
     * [[components]]-level dedup), not pair-level completeness inside
     * boilerplate buckets. At web scale partial pair lists inside
     * boilerplate buckets are the intended behavior; a query whose
-    * oracle is EXACT must pass `assertExact = true`, which proves at
-    * runtime (one tiny count over 8-byte band keys) that no bucket
-    * overflowed on this corpus — the exactness claim is then a
-    * checked invariant, not a comment's promise. */
+    * oracle is EXACT passes `assertExact = true`, which CHECKS at
+    * runtime (one tiny count over 8-byte band keys) whether any
+    * bucket overflowed on this corpus — zero overflow proves the
+    * capped output identical to all-pairs where the oracle runs;
+    * overflow logs the loss loudly and continues capped
+    * ([[checkBucketOverflow]]). */
   private[graft] def lshCandidates(shBlocks: DataFrame,
       maxBucket: Int, assertExact: Boolean = false): DataFrame = {
     val sigs = shBlocks.select(col("doc_id"), col("block"),
@@ -199,7 +201,7 @@ object Dedup {
       .select(col("doc_id"), col("block"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
     if (assertExact)
-      requireNoBucketOverflow(bands,
+      checkBucketOverflow(bands,
         Seq(col("block"), col("band"), col("bh")), maxBucket, "lshCandidates")
     val reps = graft.functions.SaltedRank.topKPerGroup(bands,
         Seq(col("block"), col("band"), col("bh")),
@@ -213,20 +215,36 @@ object Dedup {
       .distinct()
   }
 
-  /** Runtime proof that a capped candidate path lost nothing: fails
-    * when any band bucket holds more than `maxBucket` docs. Used ONLY
-    * by queries whose oracle is exact (dedup_minhash_lsh,
-    * dedup_simhash) — the blocked/production paths keep the silent
-    * cap, which is their documented contract. Cost: one aggregate
-    * over fixed-size band keys (never text), cheap next to the
-    * candidate join it guards. */
-  private def requireNoBucketOverflow(bands: DataFrame, keys: Seq[Column],
-      maxBucket: Int, what: String): Unit = {
-    val over = bands.groupBy(keys: _*).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket).limit(1).count()
-    require(over == 0L,
-      s"$what: a band bucket exceeds $maxBucket docs on this corpus; " +
-        "the capped candidate list would be partial vs the exact oracle")
+  /** Runtime check that the capped candidate path lost nothing on
+    * THIS corpus: when no band bucket exceeds `maxBucket`, the capped
+    * output is provably identical to all-pairs (the cap changes
+    * nothing below the cap), which is what makes the exact DuckDB
+    * oracles sound where they run. An overflow LOGS — loudly, with
+    * the bucket count and worst size — and the query continues with
+    * the capped pair list: buckets necessarily outgrow any fixed cap
+    * as the corpus grows (simhash band values are only 16 bits, so
+    * occupancy rises linearly even without boilerplate), and a
+    * hard failure would brick every at-scale run to defend an oracle
+    * that only executes at small scale. The capped list's preserved
+    * guarantee is cluster connectivity through shared reps — the
+    * documented web-scale contract of [[lshCandidates]]. Returns the
+    * number of overflowing buckets so specs can pin both regimes.
+    * Cost: one aggregate over fixed-size band keys (never text),
+    * cheap next to the candidate join it feeds. */
+  private def checkBucketOverflow(bands: DataFrame, keys: Seq[Column],
+      maxBucket: Int, what: String): Long = {
+    val row = bands.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > maxBucket, 1).otherwise(0)).as("over"),
+        max(col("n")).as("worst")).head()
+    val over = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (over > 0)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"$what: $over band buckets exceed $maxBucket docs " +
+          s"(worst ${row.get(1)}); the pair list is capped to " +
+          "representatives in those buckets (cluster connectivity " +
+          "preserved, pair-level completeness not) — the exact-oracle " +
+          "contract holds only on corpora with zero overflow")
+    over
   }
 
   /** Stage-1 fanout of the rep selection. */
@@ -248,8 +266,11 @@ object Dedup {
     * remaining quadratic cliff). Buckets ≤ cap are unchanged
     * (every member is a rep = all pairs); overflowing buckets trade
     * pair completeness for cluster connectivity exactly as minhash
-    * does, and the exact-oracle invariant is runtime-checked by
-    * [[requireNoBucketOverflow]]. */
+    * does, and the exact-oracle invariant is runtime-checked (zero
+    * overflow proven where the oracle runs, logged loss beyond) by
+    * [[checkBucketOverflow]] — simhash reaches overflow earlier than
+    * minhash because its band values are 16-bit, so bucket occupancy
+    * grows linearly with corpus size even without boilerplate. */
   private val simhash: Q = (s, d) => {
     // Same non-nullable kernel contract as [[shingled]]: null texts
     // filtered at the scan, coalesce makes `sim` non-nullable so the
@@ -277,7 +298,7 @@ object Dedup {
       .select(col("doc_id"), col("sim"), col("bb.band").as("band"),
         col("bb.bv").as("bv"))
     if (assertExact)
-      requireNoBucketOverflow(bands,
+      checkBucketOverflow(bands,
         Seq(col("band"), col("bv")), maxBucket, "simhashPairs")
     val reps = graft.functions.SaltedRank.topKPerGroup(
         bands.select(col("doc_id"), col("sim"), col("band"), col("bv")),

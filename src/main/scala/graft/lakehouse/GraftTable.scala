@@ -53,6 +53,13 @@ final case class Snapshot(
     partitionCols: Seq[String] = Nil,
     stats: Map[String, Map[String, ColStat]] = Map.empty,
     dels: Seq[DeletePred] = Nil,
+    /** Position-delete files (Iceberg v2's other delete shape): each
+      * is a parquet of (_file, _pos) tombstones naming exact rows of
+      * exact DATA FILES — no sequence scoping needed, a file appended
+      * later simply has no tombstones. Emitted by fine-grained DML
+      * ([[GraftTable.deleteMoRPos]]); cleared when [[GraftTable.compact]]
+      * materializes. */
+    posDels: Seq[String] = Nil,
     fileSeq: Map[String, Long] = Map.empty,
     fileRows: Map[String, Long] = Map.empty,
     renames: Seq[Rename] = Nil,
@@ -365,6 +372,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def deleteMode: String =
     properties.getOrElse("write.delete.mode", "copy-on-write")
 
+  /** Under merge-on-read: `equality` (default) commits the predicate
+    * itself; `position` scans candidates once and commits (file, row)
+    * tombstones — Iceberg v2's two delete-file shapes. */
+  def deleteStyle: String =
+    properties.getOrElse("write.delete.style", "equality")
+
   /** Highest snapshot id on disk — the id allocator. Equals the main
     * head for a refs-less (linear) table. */
   private def maxSnapshotId: Long =
@@ -408,6 +421,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         .flatten.toMap,
       dels = kv.collect { case ("dpred", v) => FileStatsJson.parseDel(v) }
         .flatten,
+      posDels = kv.collect { case ("pdel", v) => v },
       fileSeq = kv.collect { case ("fseq", v) =>
         val i = v.indexOf('\t')
         v.substring(i + 1) -> v.substring(0, i).toLong
@@ -459,7 +473,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       refSnap: Option[Snapshot] = None,
       branch: String = GraftTable.MainBranch,
       renamesOverride: Option[Seq[Rename]] = None,
-      specHistOverride: Option[Seq[(Long, Seq[String])]] = None): Long =
+      specHistOverride: Option[Seq[(Long, Seq[String])]] = None,
+      posDelsOverride: Option[Seq[String]] = None): Long =
     // In-process writers (multiple handles over one root) serialize
     // here, making check-then-publish a true CAS within the JVM.
     // Across processes publishNoOverwrite is the CAS — atomic
@@ -468,7 +483,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // as Iceberg's HadoopTableOperations.
     GraftTable.commitLock(root.toString).synchronized {
       commitLocked(op, schema, files, partitionCols, expectedParent,
-        delsOverride, refSnap, branch, renamesOverride, specHistOverride)
+        delsOverride, refSnap, branch, renamesOverride, specHistOverride,
+        posDelsOverride)
     }
 
   private def commitLocked(op: String, schema: StructType,
@@ -476,7 +492,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       expectedParent: Long, delsOverride: Option[Seq[DeletePred]],
       refSnap: Option[Snapshot], branch: String,
       renamesOverride: Option[Seq[Rename]],
-      specHistOverride: Option[Seq[(Long, Seq[String])]]): Long = {
+      specHistOverride: Option[Seq[(Long, Seq[String])]],
+      posDelsOverride: Option[Seq[String]]): Long = {
     refs.get(branch).foreach { case (kind, _) =>
       require(kind == "branch", s"cannot commit to $kind '$branch'")
     }
@@ -528,6 +545,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       refRows.get(f).orElse(harvested.get(f).flatMap(_._1)).map(f -> _)
     }.toMap
     val dels = delsOverride.getOrElse(ref.map(_.dels).getOrElse(Nil))
+    val posDels =
+      posDelsOverride.getOrElse(ref.map(_.posDels).getOrElse(Nil))
     val renames =
       renamesOverride.getOrElse(ref.map(_.renames).getOrElse(Nil))
     val specHist =
@@ -550,6 +569,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         if (cs.nonEmpty) body ++= s"fstat=${FileStatsJson.render(f, cs)}\n"
       }
       dels.foreach(d => body ++= s"dpred=${FileStatsJson.renderDel(d)}\n")
+      posDels.foreach(p => body ++= s"pdel=$p\n")
       // seq -1 marks "this commit": stamped with the id actually
       // published (branches share one id allocator, so the caller
       // cannot predict it)
@@ -734,20 +754,71 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * delete applies only to files with a LOWER add-sequence); each
     * group reads once with its combined anti-filter, groups union.
     * Deletes are null-rejecting like SQL DELETE: a row whose
-    * predicate evaluates NULL survives. With no pending deletes this
-    * is exactly the plain scan. */
+    * predicate evaluates NULL survives. POSITION deletes then apply
+    * as one broadcast anti-join on (file, row position) over the
+    * union — tombstones name exact rows of exact files, so rows of
+    * un-tombstoned files pass through the join untouched and files
+    * appended after the delete need no scoping at all. With no
+    * pending deletes this is exactly the plain scan. */
   private def morRead(snap: Snapshot, files: Seq[String]): DataFrame =
-    if (snap.dels.isEmpty) readFilesMapped(snap, files)
-    else files
-      .groupBy(f => snap.dels.filter(_.seq > snap.fileSeq.getOrElse(f, 0L)))
-      .toSeq.sortBy(_._2.headOption.getOrElse(""))
-      .map { case (preds, fs) =>
-        preds.foldLeft(readFilesMapped(snap, fs)) {
-          (df, p) => df.filter(not(coalesce(expr(p.pred), lit(false))))
+    if (snap.dels.isEmpty && snap.posDels.isEmpty)
+      readFilesMapped(snap, files)
+    else {
+      // position deletes must see the leaf scans' metadata columns —
+      // renamed-column alias stacks would hide them; a rename lands as
+      // a rewrite-free metadata commit, so requiring compaction first
+      // is the same contract copy-on-write DML already has
+      require(snap.posDels.isEmpty || snap.renames.isEmpty,
+        "position deletes under renamed columns: compact() first")
+      def leaf(fs: Seq[String]): DataFrame =
+        if (snap.posDels.isEmpty) readFilesMapped(snap, fs)
+        else readFilesPos(snap.schema, fs, snap.partitionCols)
+      val eq = files
+        .groupBy(f => snap.dels.filter(_.seq > snap.fileSeq.getOrElse(f, 0L)))
+        .toSeq.sortBy(_._2.headOption.getOrElse(""))
+        .map { case (preds, fs) =>
+          preds.foldLeft(leaf(fs)) {
+            (df, p) => df.filter(not(coalesce(expr(p.pred), lit(false))))
+          }
         }
+        .reduceOption(_.unionByName(_))
+        .getOrElse(leaf(Nil))
+      if (snap.posDels.isEmpty) eq
+      else {
+        val tomb = spark.read.parquet(snap.posDels: _*)
+          .select(col("_file"), col("_pos"))
+        eq.join(broadcast(tomb),
+            col(GraftTable.PosFileCol) === col("_file") &&
+              col(GraftTable.PosIdxCol) === col("_pos"),
+            "left_anti")
+          .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
       }
-      .reduceOption(_.unionByName(_))
-      .getOrElse(readFiles(snap.schema, Nil, snap.partitionCols))
+    }
+
+  /** [[readFiles]] with each leaf scan carrying its hidden metadata
+    * (file path + row index) as real columns — the join key of the
+    * position-delete anti-join. Selected at the LEAF because Spark's
+    * `_metadata` resolves only directly against a file-source
+    * relation, not through projections or unions. */
+  private def readFilesPos(schema: StructType, files: Seq[String],
+      partitionCols: Seq[String]): DataFrame = {
+    def pos(df: DataFrame): DataFrame = df.select(col("*"),
+      col("_metadata.file_path").as(GraftTable.PosFileCol),
+      col("_metadata.row_index").as(GraftTable.PosIdxCol))
+    if (files.isEmpty) {
+      val withMeta = StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(
+          GraftTable.PosFileCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          GraftTable.PosIdxCol, org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withMeta)
+    } else if (partitionCols.isEmpty || !PartField.allIdentity(partitionCols))
+      pos(spark.read.schema(schema).parquet(files: _*))
+    else
+      files.groupBy(commitDirOf).toSeq.sortBy(_._1).map { case (base, fs) =>
+        pos(spark.read.option("basePath", base).schema(schema).parquet(fs: _*))
+      }.reduce(_.unionByName(_))
+  }
 
   /** Read `files` under `snap`, resolving renamed columns: each file
     * reads under its WRITE-TIME physical names (files group by name
@@ -863,7 +934,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     require(from.schema == to.schema,
       "changelog across a schema evolution is undefined (row identity " +
         "is the full row); read the sides separately")
-    require(from.dels.isEmpty && to.dels.isEmpty,
+    require(from.dels.isEmpty && to.dels.isEmpty &&
+        from.posDels.isEmpty && to.posDels.isEmpty,
       "changelog endpoints must carry no pending merge-on-read " +
         "deletes: materialize them first")
     val fromSet = from.files.toSet
@@ -1277,7 +1349,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       writeData(aligned(df, snap.schema), id, snap.partitionCols),
       snap.partitionCols, expectedParent = snap.id,
       delsOverride = Some(Nil), renamesOverride = Some(Nil),
-      specHistOverride = Some(Nil))
+      specHistOverride = Some(Nil), posDelsOverride = Some(Nil))
   }
 
   // ---- copy-on-write DML -------------------------------------------
@@ -1344,11 +1416,46 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       delsOverride = Some(snap.dels :+ DeletePred(snap.id + 1, predSql)))
   }
 
+  /** Merge-on-read DELETE with POSITION tombstones (Iceberg v2's
+    * position deletes — what fine-grained DML emits at scale): scan
+    * only the stats-candidate files, record each matching row as a
+    * (data file, row index) pair in a tombstone parquet, commit
+    * metadata-only. Compared to the equality path this PAYS a
+    * candidate scan at delete time but makes every later READ
+    * predicate-free — a broadcast anti-join on an 12-byte-wide
+    * tombstone relation instead of evaluating the delete predicate
+    * per row per scan until compaction; the economic crossover is
+    * deletes that are read many times before materialization, the
+    * common case for a slowly-deleting 100 TB table. No sequence
+    * scoping: tombstones name exact rows of exact files, so later
+    * appends are untouched by construction. Needs no rewrite — the
+    * data file set is unchanged (require()d in the spec). */
+  def deleteMoRPos(predSql: String): Long = {
+    val snap = currentSnapshot
+    require(snap.renames.isEmpty,
+      "position deletes under renamed columns: compact() first")
+    val cands = dmlCandidates(snap, predSql)
+    val dir = new Path(root, f"data/commit-${snap.id + 1}%05d-pdel-" +
+      java.util.UUID.randomUUID.toString.take(8))
+    readFilesPos(snap.schema, cands, snap.partitionCols)
+      .filter(expr(predSql))
+      .select(col(GraftTable.PosFileCol).as("_file"),
+        col(GraftTable.PosIdxCol).as("_pos"))
+      .write.parquet(dir.toString)
+    val tombs = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    commit("delete-mor", snap.schema, snap.files, snap.partitionCols,
+      expectedParent = snap.id,
+      posDelsOverride = Some(snap.posDels ++ tombs))
+  }
+
   /** Copy-on-write row DML computes affected files with a plain scan;
-    * pending merge-on-read deletes would silently resurrect deleted
-    * rows through the rewrite. Materialize first. */
+    * pending merge-on-read deletes (equality or position) would
+    * silently resurrect deleted rows through the rewrite.
+    * Materialize first. */
   private def requireNoMorDels(snap: Snapshot, what: String): Unit =
-    require(snap.dels.isEmpty,
+    require(snap.dels.isEmpty && snap.posDels.isEmpty,
       s"$what: table has pending merge-on-read deletes; run compact() " +
         "to materialize them before copy-on-write row DML")
 
@@ -1665,7 +1772,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       writeData(arranged, id, snap.partitionCols, widen = false),
       snap.partitionCols, expectedParent = snap.id,
       delsOverride = Some(Nil), renamesOverride = Some(Nil),
-      specHistOverride = Some(Nil))
+      specHistOverride = Some(Nil), posDelsOverride = Some(Nil))
   }
 
   /** The Morton z-value of `cols` as a Column: each column scales to
@@ -1797,7 +1904,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // un-delete, and past an append must re-scope
     commit("rollback", snap.schema, snap.files, snap.partitionCols,
       expectedParent = cur, delsOverride = Some(snap.dels),
-      refSnap = Some(snap))
+      refSnap = Some(snap), posDelsOverride = Some(snap.posDels))
   }
 
   // ---- write-audit-publish (staged commits) ------------------------
@@ -2282,6 +2389,11 @@ private[lakehouse] object FileStatsJson {
 }
 
 object GraftTable {
+  /** Internal column names threading leaf-scan metadata (file path,
+    * row index) to the position-delete anti-join. */
+  private[lakehouse] val PosFileCol = "_gpd_file"
+  private[lakehouse] val PosIdxCol = "_gpd_pos"
+
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def commitLock(root: String): Object =

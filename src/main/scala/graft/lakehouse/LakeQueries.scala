@@ -272,6 +272,42 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Position-delete merge-on-read (Iceberg v2's second delete shape,
+    * what fine-grained DML emits at scale): DELETEs against a
+    * `write.delete.style=position` table land as (file, row index)
+    * tombstone parquet — the data file set is require()d unchanged —
+    * and reads drop exactly the tombstoned rows through a broadcast
+    * anti-join (predicate-free, unlike the equality path which
+    * re-evaluates its predicate on every scan). Two successive
+    * deletes stack tombstones; a post-delete append is untouched by
+    * construction (tombstones name files, not sequences); compaction
+    * materializes and clears. DML driven via SQL end to end. */
+  private val posDelete: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_pdel"),
+      orders.filter(col("o_orderkey") % 3 === 0))
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "position"))
+    LakeRegistry.register("lake_pdel_t", t)
+    val before = t.currentSnapshot.files
+    s.sql("DELETE FROM lake_pdel_t WHERE o_orderstatus = 'F'")
+    s.sql("DELETE FROM lake_pdel_t WHERE o_totalprice < 10000.0")
+    require(t.currentSnapshot.files == before,
+      "position delete must not rewrite any data file")
+    require(t.currentSnapshot.posDels.nonEmpty &&
+      t.currentSnapshot.dels.isEmpty,
+      "position style must emit tombstone files, not predicates")
+    // appended after the deletes: untouched even where it matches
+    t.append(orders.filter(col("o_orderkey") % 3 === 2))
+    val live = t.read().count()
+    t.compact(4) // materialize
+    require(t.currentSnapshot.posDels.isEmpty && t.read().count() == live,
+      "compaction must materialize tombstones without changing the data")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Stats-based data skipping (Iceberg's min/max pruning): three
     * date-ranged ingest batches leave each data file with a tight
     * `o_orderdate` range in the manifest; the 1996+ read must prove a
@@ -626,6 +662,7 @@ object LakeQueries {
     "lake_partition_evolution" -> partitionEvolution,
     "lake_alter"            -> alter,
     "lake_mor_delete"       -> morDelete,
+    "lake_pos_delete"       -> posDelete,
     "lake_expire"           -> expire,
     "lake_overwrite_partition" -> overwritePartition,
     "lake_rollback"         -> rollback
@@ -757,6 +794,15 @@ object LakeQueries {
         |SELECT *, 'insert' AS _change_type FROM ins
         |UNION ALL SELECT *, 'delete' AS _change_type FROM del
         |ORDER BY _change_type, o_orderkey""".stripMargin,
+    // tombstoned rows drop from the %3<2 cohort; the post-delete
+    // append (%3=2) survives whole even where it matches
+    "lake_pos_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE (o_orderkey % 3 < 2
+        |       AND NOT (o_orderstatus = 'F')
+        |       AND NOT (o_totalprice < 10000.0))
+        |   OR o_orderkey % 3 = 2
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_compaction" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_partitioned" ->

@@ -269,11 +269,14 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 case class GraftDeleteCommand(@transient table: GraftTable, cond: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    // Iceberg's write.delete.mode: merge-on-read tables commit a
-    // scoped delete predicate (no rewrite); copy-on-write rewrites
-    // the affected files.
-    if (table.deleteMode == "merge-on-read") table.deleteMoR(cond)
-    else table.delete(cond)
+    // Iceberg's write.delete.mode: merge-on-read tables commit either
+    // a scoped delete predicate or position tombstones
+    // (write.delete.style) — no rewrite; copy-on-write rewrites the
+    // affected files.
+    if (table.deleteMode == "merge-on-read") {
+      if (table.deleteStyle == "position") table.deleteMoRPos(cond)
+      else table.deleteMoR(cond)
+    } else table.delete(cond)
     Seq.empty
   }
 }
@@ -466,7 +469,8 @@ object LakeDdl {
     * fake capabilities. */
   private def tableProps(spec: TableSpecBase): Map[String, String] = {
     val known = Map(
-      "write.delete.mode" -> Set("copy-on-write", "merge-on-read"))
+      "write.delete.mode" -> Set("copy-on-write", "merge-on-read"),
+      "write.delete.style" -> Set("equality", "position"))
     spec.properties.foreach { case (k, v) =>
       known.get(k) match {
         case None => throw new UnsupportedOperationException(

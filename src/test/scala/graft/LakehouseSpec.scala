@@ -595,6 +595,47 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.readRef("dev").count() == 6, "racing branch appends all land")
   }
 
+  test("position deletes: tombstones not rewrites, guards compose") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0))) // snap 1
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))     // snap 2
+    val before = t.currentSnapshot.files
+    t.deleteMoRPos("v <= 2.0")                              // snap 3
+    assert(t.currentSnapshot.files == before,
+      "position delete must not rewrite any data file")
+    assert(t.currentSnapshot.posDels.nonEmpty &&
+      t.currentSnapshot.dels.isEmpty)
+    assert(t.read().orderBy("k").as[(Long, String, Double)]
+      .collect().toSeq == Seq((3L, "c", 3.0)))
+    // copy-on-write DML refuses pending tombstones (its rewrite path
+    // would resurrect the deleted rows); changelog endpoints likewise
+    intercept[IllegalArgumentException](t.delete("k = 3"))
+    intercept[IllegalArgumentException](t.changes(1, t.currentSnapshotId))
+    // time travel to the pre-delete snapshot still sees every row
+    assert(t.readAt(2).count() == 3)
+    // rollback across the delete boundary restores/reapplies tombstones
+    val del = t.currentSnapshotId
+    t.rollback(2)
+    assert(t.read().count() == 3, "rollback past the delete un-deletes")
+    t.rollback(del)
+    assert(t.read().count() == 1, "rolling forward re-applies tombstones")
+    // compaction materializes and re-enables copy-on-write DML
+    t.compact(2)
+    assert(t.currentSnapshot.posDels.isEmpty && t.read().count() == 1)
+    t.delete("k = 3")
+    assert(t.read().count() == 0)
+    // hive-partitioned tables: tombstones anti-join through the
+    // basePath-grouped read
+    val dir = Files.createTempDirectory("graft_pdp").toString
+    val pt = GraftTable.create(spark, dir,
+      Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0))
+        .toDF("k", "tag", "v"), partitionBy = Seq("tag"))
+    val pf = pt.currentSnapshot.files
+    pt.deleteMoRPos("k = 1")
+    assert(pt.currentSnapshot.files == pf)
+    assert(pt.read().orderBy("k").select("k").as[Long]
+      .collect().toSeq == Seq(2L, 3L))
+  }
+
   test("refs CAS rejects a stale publisher instead of dropping a commit") {
     // Simulate the CROSS-PROCESS interleave (in-process writers
     // serialize on the commit lock, so the race is driven through the
