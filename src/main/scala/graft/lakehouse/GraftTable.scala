@@ -378,6 +378,18 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def deleteStyle: String =
     properties.getOrElse("write.delete.style", "equality")
 
+  /** `copy-on-write` (default) rewrites matched files on UPDATE;
+    * `merge-on-read` tombstones old images and appends new ones
+    * (Iceberg's `write.update.mode`). */
+  def updateMode: String =
+    properties.getOrElse("write.update.mode", "copy-on-write")
+
+  /** `copy-on-write` (default) rewrites matched files on MERGE;
+    * `merge-on-read` tombstones matched rows and appends post-clause
+    * images + inserts (Iceberg's `write.merge.mode`). */
+  def mergeMode: String =
+    properties.getOrElse("write.merge.mode", "copy-on-write")
+
   /** Highest snapshot id on disk — the id allocator. Equals the main
     * head for a refs-less (linear) table. */
   private def maxSnapshotId: Long =
@@ -763,37 +775,68 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   private def morRead(snap: Snapshot, files: Seq[String]): DataFrame =
     if (snap.dels.isEmpty && snap.posDels.isEmpty)
       readFilesMapped(snap, files)
-    else {
-      // position deletes must see the leaf scans' metadata columns —
-      // renamed-column alias stacks would hide them; a rename lands as
-      // a rewrite-free metadata commit, so requiring compaction first
-      // is the same contract copy-on-write DML already has
-      require(snap.posDels.isEmpty || snap.renames.isEmpty,
-        "position deletes under renamed columns: compact() first")
-      def leaf(fs: Seq[String]): DataFrame =
-        if (snap.posDels.isEmpty) readFilesMapped(snap, fs)
-        else readFilesPos(snap.schema, fs, snap.partitionCols)
-      val eq = files
+    else if (snap.posDels.isEmpty)
+      files
         .groupBy(f => snap.dels.filter(_.seq > snap.fileSeq.getOrElse(f, 0L)))
         .toSeq.sortBy(_._2.headOption.getOrElse(""))
         .map { case (preds, fs) =>
-          preds.foldLeft(leaf(fs)) {
+          preds.foldLeft(readFilesMapped(snap, fs)) {
             (df, p) => df.filter(not(coalesce(expr(p.pred), lit(false))))
           }
         }
         .reduceOption(_.unionByName(_))
-        .getOrElse(leaf(Nil))
-      if (snap.posDels.isEmpty) eq
-      else {
-        val tomb = spark.read.parquet(snap.posDels: _*)
-          .select(col("_file"), col("_pos"))
-        eq.join(broadcast(tomb),
-            col(GraftTable.PosFileCol) === col("_file") &&
-              col(GraftTable.PosIdxCol) === col("_pos"),
-            "left_anti")
-          .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
+        .getOrElse(readFiles(snap.schema, Nil, snap.partitionCols))
+    else morReadPos(snap, files)
+      .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
+
+  /** The LIVE view of `files` (equality deletes filtered, position
+    * tombstones anti-joined) with each surviving row still carrying
+    * its (file, row index) — what merge-on-read DML scans: matched
+    * rows must come from the view a reader would see (a row already
+    * tombstoned must not be matched again, let alone re-emitted as a
+    * new image), and their positions are exactly the tombstones the
+    * DML will commit. */
+  private def morReadPos(snap: Snapshot, files: Seq[String]): DataFrame = {
+    // position metadata must come from the leaf scans — renamed-column
+    // alias stacks would hide it; a rename lands as a rewrite-free
+    // metadata commit, so requiring compaction first is the same
+    // contract copy-on-write DML already has
+    require(snap.renames.isEmpty,
+      "position deletes under renamed columns: compact() first")
+    val eq = files
+      .groupBy(f => snap.dels.filter(_.seq > snap.fileSeq.getOrElse(f, 0L)))
+      .toSeq.sortBy(_._2.headOption.getOrElse(""))
+      .map { case (preds, fs) =>
+        preds.foldLeft(readFilesPos(snap.schema, fs, snap.partitionCols)) {
+          (df, p) => df.filter(not(coalesce(expr(p.pred), lit(false))))
+        }
       }
+      .reduceOption(_.unionByName(_))
+      .getOrElse(readFilesPos(snap.schema, Nil, snap.partitionCols))
+    if (snap.posDels.isEmpty) eq
+    else {
+      val tomb = spark.read.parquet(snap.posDels: _*)
+        .select(col("_file"), col("_pos"))
+      eq.join(broadcast(tomb),
+          col(GraftTable.PosFileCol) === col("_file") &&
+            col(GraftTable.PosIdxCol) === col("_pos"),
+          "left_anti")
     }
+  }
+
+  /** Write (file, pos) tombstones for every row of `rows` (which must
+    * carry the [[readFilesPos]] metadata columns) and return the
+    * tombstone file paths. */
+  private def writeTombstones(rows: DataFrame, commitId: Long): Seq[String] = {
+    val dir = new Path(root, f"data/commit-$commitId%05d-pdel-" +
+      java.util.UUID.randomUUID.toString.take(8))
+    rows.select(col(GraftTable.PosFileCol).as("_file"),
+        col(GraftTable.PosIdxCol).as("_pos"))
+      .write.parquet(dir.toString)
+    fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+  }
 
   /** [[readFiles]] with each leaf scan carrying its hidden metadata
     * (file path + row index) as real columns — the join key of the
@@ -1432,21 +1475,42 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * data file set is unchanged (require()d in the spec). */
   def deleteMoRPos(predSql: String): Long = {
     val snap = currentSnapshot
-    require(snap.renames.isEmpty,
-      "position deletes under renamed columns: compact() first")
-    val cands = dmlCandidates(snap, predSql)
-    val dir = new Path(root, f"data/commit-${snap.id + 1}%05d-pdel-" +
-      java.util.UUID.randomUUID.toString.take(8))
-    readFilesPos(snap.schema, cands, snap.partitionCols)
-      .filter(expr(predSql))
-      .select(col(GraftTable.PosFileCol).as("_file"),
-        col(GraftTable.PosIdxCol).as("_pos"))
-      .write.parquet(dir.toString)
-    val tombs = fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+    // scan the LIVE view: rows already tombstoned (or under a pending
+    // equality delete) must not be re-tombstoned
+    val tombs = writeTombstones(
+      morReadPos(snap, dmlCandidates(snap, predSql)).filter(expr(predSql)),
+      snap.id + 1)
     commit("delete-mor", snap.schema, snap.files, snap.partitionCols,
       expectedParent = snap.id,
+      posDelsOverride = Some(snap.posDels ++ tombs))
+  }
+
+  /** Merge-on-read UPDATE via position tombstones: the matched rows
+    * (scanned from the LIVE view, stats-candidate files only)
+    * tombstone their old images and append their new ones — at scale
+    * an UPDATE touching 0.1% of rows costs that 0.1% (tombstones +
+    * appended images), not a rewrite of every affected FILE the way
+    * copy-on-write does. Routed from SQL UPDATE when
+    * `write.update.mode=merge-on-read`. */
+  def updateMoRPos(assignments0: Map[String, String], predSql: String): Long = {
+    val p = expr(predSql)
+    val snap = currentSnapshot
+    val assignments = resolveAssignments(assignments0,
+      snap.schema.fieldNames.toSeq, "UPDATE SET")
+    val matching = morReadPos(snap, dmlCandidates(snap, predSql)).filter(p)
+    val id = snap.id + 1
+    val tombs = writeTombstones(matching, id)
+    val images = matching.select(snap.schema.fieldNames.map { c =>
+      assignments.get(c) match {
+        case Some(e) =>
+          checkedCast(expr(e), resolvedType(matching, expr(e)),
+            snap.schema(c).dataType, s"UPDATE SET $c").as(c)
+        case None => col(c)
+      }
+    }: _*)
+    commit("update-mor", snap.schema,
+      snap.files ++ writeData(images, id, snap.partitionCols),
+      snap.partitionCols, expectedParent = snap.id,
       posDelsOverride = Some(snap.posDels ++ tombs))
   }
 
@@ -1574,7 +1638,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def merge(source: DataFrame, keys0: Seq[String],
       clauses0: Seq[MergeClause]): Long = {
     val snap = currentSnapshot
-    requireNoMorDels(snap, "MERGE")
+    // merge-on-read MERGE reads the live view and rewrites nothing, so
+    // pending deletes (either shape) compose; copy-on-write must not
+    // rewrite through them
+    if (mergeMode != "merge-on-read") requireNoMorDels(snap, "MERGE")
     val cols = snap.schema.fieldNames.toSeq
     require(keys0.nonEmpty, "merge requires at least one key column")
     // resolve keys and clause assignment targets the way Spark SQL
@@ -1614,7 +1681,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // a column-pruned scan, only keys shuffle.
     if (matchedClauses.nonEmpty) {
       val dup = source.select(keys.map(col): _*)
-        .join(readFilesMapped(snap, snap.files)
+        .join(morRead(snap, snap.files)
           .select(keys.map(col): _*), keys, "left_semi")
         .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_graft_cnt"))
         .filter(col("_graft_cnt") > 1).limit(1).collect()
@@ -1634,55 +1701,41 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
     val id = currentSnapshotId + 1
 
-    // a MERGE with no matched clauses touches no existing file
-    val (keep, rewrite) =
-      if (matchedClauses.isEmpty) (snap.files, Nil)
-      else partitionFiles(snap,
-        affectedFiles(snap, snap.files,
-          _.join(srcKeys, keys, "left_semi")))
-
-    val rewritten: Option[DataFrame] =
-      if (rewrite.isEmpty) None
-      else {
-        val joined = readFilesMapped(snap, rewrite)
-          .join(srcFlat, joinCond, "left")
-        // first clause whose condition holds wins; -1 = keep row as-is
-        val winner = when(col(GraftTable.MatchMarker).isNotNull,
-          matchedClauses.zipWithIndex.foldRight(lit(-1): Column) {
-            case ((cl, i), els) =>
-              val c = (cl match {
-                case MergeClause.Update(cond, _) => cond
-                case MergeClause.Delete(cond)    => cond
-                case _: MergeClause.Insert       => None
-              }).map(expr).getOrElse(lit(true))
-              when(coalesce(c, lit(false)), lit(i)).otherwise(els)
-          }).otherwise(lit(-1))
-        val deleteIdx = matchedClauses.zipWithIndex.collect {
-          case (_: MergeClause.Delete, i) => i
-        }
-        val marked = joined.withColumn(GraftTable.WinnerCol, winner)
-        val kept =
-          if (deleteIdx.isEmpty) marked
-          else marked.filter(
-            !col(GraftTable.WinnerCol).isin(deleteIdx.map(Integer.valueOf): _*))
-        Some(kept.select(cols.map { c =>
-          matchedClauses.zipWithIndex.collect {
-            case (MergeClause.Update(_, set), i) =>
-              val v =
-                if (set.isEmpty) col(GraftTable.SrcPrefix + c)
-                else set.get(c).map(expr).getOrElse(col(c))
-              (i, v)
-          }.foldRight(col(c)) { case ((i, v), els) =>
-            when(col(GraftTable.WinnerCol) === i, v).otherwise(els)
-          }.as(c)
-        }: _*))
-      }
+    // first matched clause whose condition holds wins; -1 = keep as-is
+    def winnerOver(matched: Column): Column =
+      when(matched,
+        matchedClauses.zipWithIndex.foldRight(lit(-1): Column) {
+          case ((cl, i), els) =>
+            val c = (cl match {
+              case MergeClause.Update(cond, _) => cond
+              case MergeClause.Delete(cond)    => cond
+              case _: MergeClause.Insert       => None
+            }).map(expr).getOrElse(lit(true))
+            when(coalesce(c, lit(false)), lit(i)).otherwise(els)
+        }).otherwise(lit(-1))
+    val deleteIdx = matchedClauses.zipWithIndex.collect {
+      case (_: MergeClause.Delete, i) => i
+    }
+    // post-clause image of each row (WinnerCol already attached);
+    // winner -1 falls through to the row's own columns
+    def postClause(df: DataFrame): DataFrame =
+      df.select(cols.map { c =>
+        matchedClauses.zipWithIndex.collect {
+          case (MergeClause.Update(_, set), i) =>
+            val v =
+              if (set.isEmpty) col(GraftTable.SrcPrefix + c)
+              else set.get(c).map(expr).getOrElse(col(c))
+            (i, v)
+        }.foldRight(col(c)) { case ((i, v), els) =>
+          when(col(GraftTable.WinnerCol) === i, v).otherwise(els)
+        }.as(c)
+      }: _*)
 
     val inserted: Option[DataFrame] =
       if (insertClauses.isEmpty) None
       else {
         val anti = source.join(
-          readFilesMapped(snap, snap.files)
+          morRead(snap, snap.files)
             .select(keys.map(col): _*), keys, "left_anti")
         val antiFlat = anti.select(anti.columns.toIndexedSeq.map(c =>
           col(c).as(GraftTable.SrcPrefix + c)): _*)
@@ -1709,16 +1762,81 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
           }: _*))
       }
 
-    val newData = (rewritten, inserted) match {
-      case (Some(u), Some(ins)) => Some(aligned(u, snap.schema)
-        .unionByName(aligned(ins, snap.schema)))
-      case (Some(u), None)      => Some(aligned(u, snap.schema))
-      case (None, Some(ins))    => Some(aligned(ins, snap.schema))
-      case (None, None)         => None
+    def committed(matched: Option[DataFrame], ins: Option[DataFrame],
+        keep: Seq[String], tombs: Seq[String]): Long = {
+      val newData = (matched, ins) match {
+        case (Some(u), Some(i)) => Some(aligned(u, snap.schema)
+          .unionByName(aligned(i, snap.schema)))
+        case (Some(u), None)    => Some(aligned(u, snap.schema))
+        case (None, Some(i))    => Some(aligned(i, snap.schema))
+        case (None, None)       => None
+      }
+      commit("merge", snap.schema,
+        keep ++ newData.map(writeData(_, id, snap.partitionCols)).getOrElse(Nil),
+        snap.partitionCols, expectedParent = snap.id,
+        posDelsOverride =
+          if (tombs.isEmpty) None else Some(snap.posDels ++ tombs))
     }
-    commit("merge", snap.schema,
-      keep ++ newData.map(writeData(_, id, snap.partitionCols)).getOrElse(Nil),
-      snap.partitionCols, expectedParent = snap.id)
+
+    if (mergeMode == "merge-on-read") {
+      // ---- merge-on-read: tombstone matched rows, append images ----
+      // What fine-grained MERGE at scale emits (Iceberg v2): matched
+      // rows — scanned from the LIVE view with positions, candidate
+      // files only — tombstone their old images; their post-clause
+      // new images and the unmatched inserts land as appended files.
+      // An upsert touching 0.1% of a 100 TB table costs tombstones +
+      // images for that 0.1%, where copy-on-write rewrites every FILE
+      // containing a match (write amplification ∝ file size, not
+      // match count). Read-side cost until compaction: the broadcast
+      // tombstone anti-join.
+      val cand =
+        if (matchedClauses.isEmpty) Seq.empty[String]
+        else {
+          val affected = affectedFiles(snap, snap.files,
+            _.join(srcKeys, keys, "left_semi"))
+          snap.files.filter(f => affected(normalize(f)))
+        }
+      val touched =
+        if (cand.isEmpty) None
+        else Some(morReadPos(snap, cand).join(srcFlat, joinCond, "inner")
+          .withColumn(GraftTable.WinnerCol, winnerOver(lit(true)))
+          .filter(col(GraftTable.WinnerCol) =!= -1))
+      val tombs = touched.map(writeTombstones(_, id)).getOrElse(Nil)
+      val images = touched.map { t =>
+        postClause(
+          if (deleteIdx.isEmpty) t
+          else t.filter(
+            !col(GraftTable.WinnerCol).isin(deleteIdx.map(Integer.valueOf): _*)))
+      }.filter(_ => matchedClauses.exists {
+        case _: MergeClause.Delete => false
+        case _                     => true
+      })
+      return committed(images, inserted, snap.files, tombs)
+    }
+
+    // ---- copy-on-write: rewrite every file containing a match ------
+    // a MERGE with no matched clauses touches no existing file
+    val (keep, rewrite) =
+      if (matchedClauses.isEmpty) (snap.files, Nil)
+      else partitionFiles(snap,
+        affectedFiles(snap, snap.files,
+          _.join(srcKeys, keys, "left_semi")))
+
+    val rewritten: Option[DataFrame] =
+      if (rewrite.isEmpty) None
+      else {
+        val joined = readFilesMapped(snap, rewrite)
+          .join(srcFlat, joinCond, "left")
+        val marked = joined.withColumn(GraftTable.WinnerCol,
+          winnerOver(col(GraftTable.MatchMarker).isNotNull))
+        val kept =
+          if (deleteIdx.isEmpty) marked
+          else marked.filter(
+            !col(GraftTable.WinnerCol).isin(deleteIdx.map(Integer.valueOf): _*))
+        Some(postClause(kept))
+      }
+
+    committed(rewritten, inserted, keep, Nil)
   }
 
   /** Small-file compaction: rewrite the whole file set into

@@ -308,6 +308,52 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Merge-on-read UPDATE and MERGE via position tombstones — the
+    * fine-grained write path at scale (Iceberg's `write.update.mode`
+    * / `write.merge.mode` = merge-on-read): an UPDATE tombstones its
+    * matched rows' old images and appends new ones; a MERGE
+    * tombstones matched rows, appends post-clause images plus
+    * unmatched inserts — in both cases every ORIGINAL data file is
+    * require()d to survive (write amplification ∝ matched rows, not
+    * file sizes). The MERGE exercises conditional DELETE, UPDATE with
+    * source references, and INSERT *, all through SQL; the MERGE also
+    * proves MoR DML COMPOSES with pending tombstones from the UPDATE
+    * (matched rows come from the live view). End state oracled via a
+    * SQL replay. */
+  private val posMerge: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_pmrg"),
+      orders.filter(col("o_orderkey") % 2 === 0))
+    t.setProperties(Map(
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read"))
+    LakeRegistry.register("lake_pmrg_t", t)
+    val before = t.currentSnapshot.files.toSet
+    s.sql("UPDATE lake_pmrg_t SET o_totalprice = o_totalprice * 2.0 " +
+      "WHERE o_orderstatus = 'O'")
+    require(before.subsetOf(t.currentSnapshot.files.toSet),
+      "merge-on-read UPDATE must keep every original data file")
+    require(t.currentSnapshot.posDels.nonEmpty,
+      "merge-on-read UPDATE must emit position tombstones")
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .createOrReplaceTempView("lake_pmrg_src")
+    val files2 = t.currentSnapshot.files.toSet
+    val tombs2 = t.currentSnapshot.posDels.size
+    s.sql(
+      """MERGE INTO lake_pmrg_t t USING lake_pmrg_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.o_totalprice < 100000.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
+        |  o_totalprice = s.o_totalprice
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(files2.subsetOf(t.currentSnapshot.files.toSet),
+      "merge-on-read MERGE must keep every pre-merge data file")
+    require(t.currentSnapshot.posDels.size > tombs2,
+      "merge-on-read MERGE must emit position tombstones for matches")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Stats-based data skipping (Iceberg's min/max pruning): three
     * date-ranged ingest batches leave each data file with a tight
     * `o_orderdate` range in the manifest; the 1996+ read must prove a
@@ -663,6 +709,7 @@ object LakeQueries {
     "lake_alter"            -> alter,
     "lake_mor_delete"       -> morDelete,
     "lake_pos_delete"       -> posDelete,
+    "lake_pos_merge"        -> posMerge,
     "lake_expire"           -> expire,
     "lake_overwrite_partition" -> overwritePartition,
     "lake_rollback"         -> rollback
@@ -794,6 +841,38 @@ object LakeQueries {
         |SELECT *, 'insert' AS _change_type FROM ins
         |UNION ALL SELECT *, 'delete' AS _change_type FROM del
         |ORDER BY _change_type, o_orderkey""".stripMargin,
+    // replay: MoR UPDATE doubles 'O' prices among evens, then the
+    // MERGE deletes matched cheap-source rows, restamps the rest to
+    // ('M', source price), and inserts the odd %3=0 keys
+    "lake_pos_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base),
+        |src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |merged AS (
+        |  SELECT u.o_orderkey,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN 'M'
+        |         ELSE u.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |         ELSE u.o_totalprice END AS o_totalprice,
+        |    CASE WHEN s.o_orderkey IS NOT NULL
+        |              AND s.o_totalprice < 100000.0
+        |         THEN 1 ELSE 0 END AS del
+        |  FROM upd u LEFT JOIN src s USING (o_orderkey)),
+        |ins AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM merged WHERE del = 0
+        |UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM ins
+        |ORDER BY o_orderkey""".stripMargin,
     // tombstoned rows drop from the %3<2 cohort; the post-delete
     // append (%3=2) survives whole even where it matches
     "lake_pos_delete" ->

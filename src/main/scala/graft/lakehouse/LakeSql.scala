@@ -284,7 +284,11 @@ case class GraftDeleteCommand(@transient table: GraftTable, cond: String)
 case class GraftUpdateCommand(@transient table: GraftTable,
     sets: Map[String, String], cond: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    table.update(sets, cond); Seq.empty
+    // Iceberg's write.update.mode: merge-on-read tombstones the old
+    // images and appends new ones; copy-on-write rewrites files.
+    if (table.updateMode == "merge-on-read") table.updateMoRPos(sets, cond)
+    else table.update(sets, cond)
+    Seq.empty
   }
 }
 
@@ -470,7 +474,9 @@ object LakeDdl {
   private def tableProps(spec: TableSpecBase): Map[String, String] = {
     val known = Map(
       "write.delete.mode" -> Set("copy-on-write", "merge-on-read"),
-      "write.delete.style" -> Set("equality", "position"))
+      "write.delete.style" -> Set("equality", "position"),
+      "write.update.mode" -> Set("copy-on-write", "merge-on-read"),
+      "write.merge.mode" -> Set("copy-on-write", "merge-on-read"))
     spec.properties.foreach { case (k, v) =>
       known.get(k) match {
         case None => throw new UnsupportedOperationException(
