@@ -817,7 +817,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     else {
       val tomb = spark.read.parquet(snap.posDels: _*)
         .select(col("_file"), col("_pos"))
-      eq.join(broadcast(tomb),
+      // broadcast only while the tombstone set is demonstrably small:
+      // a table that has absorbed heavy MoR DML can hold billions of
+      // (file, pos) rows, and forcing those through a driver-collected
+      // broadcast is an OOM. On-disk parquet size is the cheap,
+      // already-known proxy (paths dictionary-compress, so in-memory
+      // is larger — the 32 MB gate leaves that margin); beyond it the
+      // anti-join falls back to a plain shuffle join on the same keys.
+      val tombBytes = snap.posDels
+        .map(p => fs.getFileStatus(new Path(p)).getLen).sum
+      val tombHinted =
+        if (tombBytes <= GraftTable.PosDelBroadcastBytes) broadcast(tomb)
+        else tomb
+      eq.join(tombHinted,
           col(GraftTable.PosFileCol) === col("_file") &&
             col(GraftTable.PosIdxCol) === col("_pos"),
           "left_anti")
@@ -967,24 +979,81 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * = carried + removed, so the carried multiset cancels:
     * final∖initial = added∖removed.
     *
+    * Position deletes COMPOSE (they are what MoR UPDATE/MERGE emit,
+    * so a changelog that refused them would go dark exactly when the
+    * table is busiest): tombstone files are immutable and carried by
+    * reference, so the tombstone-file set diff names exactly the
+    * range's new (deletes) and undone (rollback re-inserts)
+    * positions; only the data files those positions name are read —
+    * carried files untouched by DML still cost nothing. Equality
+    * deletes remain excluded (their predicate scoping has no
+    * row-position identity to diff): materialize first.
+    *
     * Restrictions (same contract as Iceberg's changelog): unevolved
-    * schema across the range (changelog identity is the full row) and
-    * no pending merge-on-read deletes at the endpoints (materialize
-    * first). */
+    * schema across the range (changelog identity is the full row). */
   def changes(fromId: Long, toId: Long): DataFrame = {
     val from = snapshot(fromId)
     val to = snapshot(toId)
     require(from.schema == to.schema,
       "changelog across a schema evolution is undefined (row identity " +
         "is the full row); read the sides separately")
-    require(from.dels.isEmpty && to.dels.isEmpty &&
-        from.posDels.isEmpty && to.posDels.isEmpty,
-      "changelog endpoints must carry no pending merge-on-read " +
-        "deletes: materialize them first")
+    require(from.dels.isEmpty && to.dels.isEmpty,
+      "changelog endpoints must carry no pending equality deletes: " +
+        "materialize them first")
+    require(from.posDels.isEmpty && to.posDels.isEmpty ||
+        from.renames.isEmpty && to.renames.isEmpty,
+      "changelog over position deletes under renamed columns: " +
+        "compact() first")
     val fromSet = from.files.toSet
     val toSet = to.files.toSet
-    val ins = readFilesMapped(to, to.files.filterNot(fromSet))
-    val del = readFilesMapped(from, from.files.filterNot(toSet))
+    // live view of the files added (resp. removed) in-range, under the
+    // owning endpoint's tombstones — a file appended then partially
+    // tombstoned inside the range inserts only its surviving rows
+    def live(s: Snapshot, fs: Seq[String]): DataFrame =
+      if (s.posDels.isEmpty) readFilesMapped(s, fs)
+      else morReadPos(s, fs)
+        .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
+    var ins = live(to, to.files.filterNot(fromSet))
+    var del = live(from, from.files.filterNot(toSet))
+    // carried files change their live set only through the tombstone
+    // diff; tombstone files shared by both endpoints cancel without a
+    // read, and a (file, pos) re-tombstoned through a different file
+    // (rollback then re-delete) cancels in the bidirectional anti-join
+    val fromT = from.posDels.toSet
+    val toT = to.posDels.toSet
+    val newTFiles = to.posDels.filterNot(fromT)
+    val goneTFiles = from.posDels.filterNot(toT)
+    if (newTFiles.nonEmpty || goneTFiles.nonEmpty) {
+      def tombRows(fs: Seq[String]): DataFrame =
+        if (fs.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(
+              org.apache.spark.sql.types.StructField("_file",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("_pos",
+                org.apache.spark.sql.types.LongType))))
+        else spark.read.parquet(fs: _*).select(col("_file"), col("_pos"))
+      val newT = tombRows(newTFiles)
+        .join(tombRows(goneTFiles), Seq("_file", "_pos"), "left_anti")
+      val goneT = tombRows(goneTFiles)
+        .join(tombRows(newTFiles), Seq("_file", "_pos"), "left_anti")
+      // planning step: the diffed positions name exact data files —
+      // collect the (bounded: one path per file the range's DML
+      // touched) name set so only those files are scanned
+      val carried = toSet intersect fromSet
+      val touched = newT.select("_file").union(goneT.select("_file"))
+        .distinct().collect().map(_.getString(0)).toSeq
+        .filter(carried).sorted
+      if (touched.nonEmpty) {
+        val rowsPos = readFilesPos(to.schema, touched, to.partitionCols)
+        def at(t: DataFrame): DataFrame = rowsPos.join(t,
+            rowsPos(GraftTable.PosFileCol) === t("_file") &&
+              rowsPos(GraftTable.PosIdxCol) === t("_pos"), "left_semi")
+          .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
+        del = del.unionByName(at(newT))
+        ins = ins.unionByName(at(goneT))
+      }
+    }
     ins.exceptAll(del).withColumn("_change_type", lit("insert"))
       .unionByName(
         del.exceptAll(ins).withColumn("_change_type", lit("delete")))
@@ -2511,6 +2580,13 @@ object GraftTable {
     * row index) to the position-delete anti-join. */
   private[lakehouse] val PosFileCol = "_gpd_file"
   private[lakehouse] val PosIdxCol = "_gpd_pos"
+
+  /** On-disk tombstone bytes above which the position-delete
+    * anti-join stops broadcasting (overridable for tests via
+    * `graft.posdel.broadcast.bytes`). */
+  private[lakehouse] def PosDelBroadcastBytes: Long =
+    sys.props.get("graft.posdel.broadcast.bytes").map(_.toLong)
+      .getOrElse(32L * 1024 * 1024)
 
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()

@@ -179,6 +179,42 @@ object LakeQueries {
              |ORDER BY _change_type, o_orderkey""".stripMargin)
   }
 
+  /** The cdcSql scenario again but with MERGE-ON-READ DML (position
+    * tombstones): the changelog must compose with tombstones — they
+    * are what MoR UPDATE/MERGE emit, so a CDC feed that refused them
+    * would go dark exactly when the table is busiest. The changelog
+    * is computed from the tombstone-file diff (immutable, carried by
+    * reference, so shared files cancel without a read) + the appended
+    * files; carried files are read ONLY at their tombstoned
+    * positions. require()d in-query: no data file was rewritten by
+    * the DML, yet the TVF still reports every row-level change. Same
+    * oracle as lake_cdc. */
+  private val cdcMor: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_cdc_mor"),
+      orders.filter(col("o_orderkey") % 4 < 3))
+    t.setProperties(Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "position",
+      "write.update.mode" -> "merge-on-read"))
+    LakeRegistry.register("lake_cdc_mor_t", t)
+    orders.filter(col("o_orderkey") % 4 === 3)
+      .createOrReplaceTempView("lake_cdc_mor_src")
+    s.sql("INSERT INTO lake_cdc_mor_t SELECT * FROM lake_cdc_mor_src")
+    val files2 = t.currentSnapshot.files.toSet
+    s.sql("DELETE FROM lake_cdc_mor_t WHERE o_orderkey % 10 = 0")
+    s.sql("UPDATE lake_cdc_mor_t SET o_totalprice = 0.0 " +
+      "WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    require(files2.subsetOf(t.currentSnapshot.files.toSet),
+      "MoR DML must not rewrite any data file")
+    require(t.currentSnapshot.posDels.nonEmpty,
+      "MoR DML must leave pending position tombstones at the endpoint")
+    s.sql(s"""SELECT * FROM table_changes('lake_cdc_mor_t', 1,
+             |  ${t.currentSnapshotId})
+             |ORDER BY _change_type, o_orderkey""".stripMargin)
+  }
+
   /** Four small appends then compact to 4 files: data unchanged. */
   private val compaction: Q = (s, dir) => {
     val orders = Tables.orders(s, dir)
@@ -697,6 +733,7 @@ object LakeQueries {
     "lake_incremental"      -> incremental,
     "lake_cdc"              -> cdc,
     "lake_cdc_sql"          -> cdcSql,
+    "lake_cdc_mor"          -> cdcMor,
     "lake_compaction"       -> compaction,
     "lake_partitioned"      -> partitioned,
     "lake_skipping"         -> skipping,
@@ -824,6 +861,26 @@ object LakeQueries {
         |ORDER BY _change_type, o_orderkey""".stripMargin,
     // identical scenario to lake_cdc, driven through SQL end to end
     "lake_cdc_sql" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 < 3),
+        |s2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 < 3 OR o_orderkey % 4 = 3),
+        |s3 AS (SELECT * FROM s2 WHERE NOT (o_orderkey % 10 = 0)),
+        |s4 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+        |         THEN 0.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM s3),
+        |ins AS (SELECT * FROM s4 EXCEPT ALL SELECT * FROM base),
+        |del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM s4)
+        |SELECT *, 'insert' AS _change_type FROM ins
+        |UNION ALL SELECT *, 'delete' AS _change_type FROM del
+        |ORDER BY _change_type, o_orderkey""".stripMargin,
+    // identical DML semantics again — merge-on-read emits tombstones
+    // instead of rewrites, but the NET changelog is the same relation
+    "lake_cdc_mor" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice
         |  FROM orders WHERE o_orderkey % 4 < 3),

@@ -607,15 +607,29 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().orderBy("k").as[(Long, String, Double)]
       .collect().toSeq == Seq((3L, "c", 3.0)))
     // copy-on-write DML refuses pending tombstones (its rewrite path
-    // would resurrect the deleted rows); changelog endpoints likewise
+    // would resurrect the deleted rows)
     intercept[IllegalArgumentException](t.delete("k = 3"))
-    intercept[IllegalArgumentException](t.changes(1, t.currentSnapshotId))
+    // the changelog COMPOSES with tombstones: across (1, 3] the append
+    // inserts k=3 and the position delete deletes k=1,2 — the carried
+    // file is read only at its tombstoned positions
+    val chg = t.changes(1, t.currentSnapshotId)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(chg == Set(("insert", 3L), ("delete", 1L), ("delete", 2L)))
+    // and across (2, 3] the only change is the delete pair
+    assert(t.changes(2, t.currentSnapshotId)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet ==
+      Set(("delete", 1L), ("delete", 2L)))
     // time travel to the pre-delete snapshot still sees every row
     assert(t.readAt(2).count() == 3)
     // rollback across the delete boundary restores/reapplies tombstones
     val del = t.currentSnapshotId
     t.rollback(2)
     assert(t.read().count() == 3, "rollback past the delete un-deletes")
+    // the changelog reports a rollback's un-deletes as inserts (the
+    // undone-tombstone leg of the diff)
+    assert(t.changes(del, t.currentSnapshotId)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet ==
+      Set(("insert", 1L), ("insert", 2L)))
     t.rollback(del)
     assert(t.read().count() == 1, "rolling forward re-applies tombstones")
     // compaction materializes and re-enables copy-on-write DML
@@ -634,6 +648,34 @@ class LakehouseSpec extends AnyFunSuite {
     assert(pt.currentSnapshot.files == pf)
     assert(pt.read().orderBy("k").select("k").as[Long]
       .collect().toSeq == Seq(2L, 3L))
+  }
+
+  test("tombstone anti-join broadcasts only while the tombstone set is small") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    t.deleteMoRPos("k = 1")
+    // the decision is a HINT, read from the optimized plan's Join: small
+    // tombstone sets are pinned broadcast; past the byte gate the hint is
+    // withheld and AQE/stats pick the strategy (no driver-forced collect)
+    def broadcastHinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.hint.rightHint.exists(_.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+      }.contains(true)
+    assert(broadcastHinted(t.read()),
+      "a KB-scale tombstone set must take the broadcast anti-join")
+    val saved = sys.props.get("graft.posdel.broadcast.bytes")
+    try {
+      sys.props("graft.posdel.broadcast.bytes") = "0"
+      val df = t.read()
+      assert(!broadcastHinted(df),
+        "an oversized tombstone set must not be forced through a broadcast")
+      assert(df.orderBy("k").select("k").as[Long].collect().toSeq ==
+        Seq(2L, 3L), "the shuffle path must produce the same live view")
+    } finally saved match {
+      case Some(v) => sys.props("graft.posdel.broadcast.bytes") = v
+      case None    => sys.props.remove("graft.posdel.broadcast.bytes")
+    }
   }
 
   test("refs CAS rejects a stale publisher instead of dropping a commit") {
