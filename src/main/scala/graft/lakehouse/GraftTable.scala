@@ -1962,6 +1962,46 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       specHistOverride = Some(Nil), posDelsOverride = Some(Nil))
   }
 
+  /** Tombstone maintenance (Iceberg's `rewrite_position_delete_files`):
+    * merges the accumulated per-DML tombstone files into a compacted,
+    * `(_file, _pos)`-clustered set and drops tombstones whose data
+    * file is no longer live — METADATA-scale work (only tombstones are
+    * read and written; no data file is touched), which is the whole
+    * point: a MoR-heavy table grows one tombstone directory per DML
+    * statement, and reader-side anti-join cost is per tombstone FILE
+    * opened, not per tombstone. Clustering by `_file` also compresses
+    * the path dictionary hard. No-ops (returns the current id without
+    * a commit) when there is nothing to rewrite. */
+  def rewritePositionDeletes(targetBytes: Long = 8L * 1024 * 1024): Long = {
+    val snap = currentSnapshot
+    if (snap.posDels.isEmpty) return snap.id
+    val live = snap.files.toSet
+    val tombBytes = snap.posDels
+      .map(p => fs.getFileStatus(new Path(p)).getLen).sum
+    val parts = math.max(1, (tombBytes / math.max(1L, targetBytes)).toInt)
+    // (file, pos) rows are unique by construction (DML scans the live
+    // view, so a position is never re-tombstoned) — no distinct pass.
+    // The dangling filter is a broadcast semi-join against the live
+    // path set: file COUNT is manifest-scale even at 100 TB.
+    val liveDf = broadcast(
+      spark.createDataset(live.toSeq.sorted)(
+        org.apache.spark.sql.Encoders.STRING).toDF("_live_file"))
+    val kept = spark.read.parquet(snap.posDels: _*)
+      .select(col("_file"), col("_pos"))
+      .join(liveDf, col("_file") === col("_live_file"), "left_semi")
+      .repartition(parts, col("_file"))
+      .sortWithinPartitions(col("_file"), col("_pos"))
+    val id = snap.id + 1
+    val dir = new Path(root, f"data/commit-$id%05d-pdel-" +
+      java.util.UUID.randomUUID.toString.take(8))
+    kept.write.parquet(dir.toString)
+    val merged = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    commit("rewrite-pdel", snap.schema, snap.files, snap.partitionCols,
+      expectedParent = snap.id, posDelsOverride = Some(merged))
+  }
+
   /** The Morton z-value of `cols` as a Column: each column scales to
     * 15 bits against its table-wide [min, max] (from the manifest's
     * merged per-file stats when every file carries them — no data

@@ -387,6 +387,17 @@ object LakeQueries {
       "merge-on-read MERGE must keep every pre-merge data file")
     require(t.currentSnapshot.posDels.size > tombs2,
       "merge-on-read MERGE must emit position tombstones for matches")
+    // tombstone maintenance: merge the per-statement tombstone files
+    // into a clustered set (metadata-scale — no data file is read or
+    // written) and prove the live view is unchanged by construction
+    val beforeRewrite = t.currentSnapshot.posDels.size
+    val dataFiles = t.currentSnapshot.files
+    s.sql("OPTIMIZE lake_pmrg_t REWRITE DELETES")
+    require(t.currentSnapshot.files == dataFiles,
+      "tombstone rewrite must not touch any data file")
+    require(t.currentSnapshot.posDels.nonEmpty &&
+      t.currentSnapshot.posDels.size < beforeRewrite,
+      "tombstone rewrite must shrink the tombstone file set")
     t.read().orderBy("o_orderkey")
   }
 

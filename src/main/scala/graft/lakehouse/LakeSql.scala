@@ -497,13 +497,19 @@ object LakeDdl {
   *
   * {{{
   *   OPTIMIZE t [FILES n] [SORT BY (c, …) | ZORDER BY (c, …)]
+  *   OPTIMIZE t REWRITE DELETES
   *   VACUUM t RETAIN n SNAPSHOTS
   * }}}
   *
   * OPTIMIZE is [[GraftTable.compact]] (bin-pack / sort / z-order
-  * rewrite); VACUUM is [[GraftTable.expireSnapshots]]. Claimed only
-  * for names this engine manages. */
+  * rewrite); OPTIMIZE … REWRITE DELETES is
+  * [[GraftTable.rewritePositionDeletes]] (tombstone maintenance —
+  * Iceberg's `rewrite_position_delete_files` procedure); VACUUM is
+  * [[GraftTable.expireSnapshots]]. Claimed only for names this
+  * engine manages. */
 object LakeMaintenance {
+  private val RewriteDeletes =
+    """(?is)\s*OPTIMIZE\s+(\w+)\s+REWRITE\s+DELETES\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?(?:\s+(SORT|ZORDER)\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Vacuum =
@@ -511,6 +517,9 @@ object LakeMaintenance {
 
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
+      case RewriteDeletes(name)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftRewriteDeletesCommand(name.toLowerCase))
       case Optimize(name, files, mode, cols)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         val n = Option(files).map(_.toInt).getOrElse(8)
@@ -539,6 +548,17 @@ case class GraftOptimizeCommand(name: String, files: Int, mode: String,
       case "ZORDER" => t.compact(files, zorderBy = cols)
       case _        => t.compact(files)
     }
+    Seq.empty
+  }
+}
+
+case class GraftRewriteDeletesCommand(name: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "OPTIMIZE")
+    LakeRegistry.get(name).get.rewritePositionDeletes()
     Seq.empty
   }
 }

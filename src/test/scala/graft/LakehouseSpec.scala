@@ -678,6 +678,33 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("rewritePositionDeletes merges tombstone files; history survives") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)))
+    t.deleteMoRPos("k = 1")
+    t.deleteMoRPos("k = 3")
+    val preRewrite = t.currentSnapshotId
+    assert(t.currentSnapshot.posDels.size >= 2,
+      "each MoR statement leaves its own tombstone files")
+    val dataFiles = t.currentSnapshot.files
+    t.rewritePositionDeletes()
+    assert(t.currentSnapshot.files == dataFiles,
+      "tombstone maintenance must not touch data files")
+    assert(t.currentSnapshot.posDels.size == 1,
+      "KB-scale tombstones must merge to a single file")
+    assert(t.read().orderBy("k").select("k").as[Long].collect().toSeq ==
+      Seq(2L, 4L), "the live view must be unchanged by the rewrite")
+    // time travel to the pre-rewrite snapshot reads the old tombstones
+    assert(t.readAt(preRewrite).count() == 2)
+    // changelog across the rewrite is empty: same live rows, and the
+    // tombstone diff nets to nothing position-wise
+    assert(t.changes(preRewrite, t.currentSnapshotId).count() == 0)
+    // a tombstone-free table (compaction materialized) no-ops
+    t.compact(1)
+    val head = t.currentSnapshotId
+    assert(t.rewritePositionDeletes() == head && t.currentSnapshotId == head)
+  }
+
   test("refs CAS rejects a stale publisher instead of dropping a commit") {
     // Simulate the CROSS-PROCESS interleave (in-process writers
     // serialize on the commit lock, so the race is driven through the
