@@ -990,10 +990,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * row-position identity to diff): materialize first.
     *
     * Restrictions (same contract as Iceberg's changelog): unevolved
-    * schema across the range (changelog identity is the full row). */
+    * schema across the range (changelog identity is the full row).
+    *
+    * `fromId = 0` means "before the first snapshot": the whole live
+    * view surfaces as inserts (the streaming change feed's initial
+    * batch). */
   def changes(fromId: Long, toId: Long): DataFrame = {
-    val from = snapshot(fromId)
     val to = snapshot(toId)
+    val from =
+      if (fromId == 0L) to.copy(files = Nil, dels = Nil, posDels = Nil)
+      else snapshot(fromId)
     require(from.schema == to.schema,
       "changelog across a schema evolution is undefined (row identity " +
         "is the full row); read the sides separately")
@@ -1128,6 +1134,27 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       while (fs.exists(snapPath(h + 1))) h += 1
       h
     }
+
+  /** True when every commit on `(fromId, toId]` is a rewrite that
+    * provably preserves the live row multiset (compaction, tombstone
+    * maintenance): the streaming change feed skips such a batch
+    * without reading a byte — at 100 TB a nightly compaction would
+    * otherwise cost the CDC stream a full table diff whose net is
+    * empty by construction. Walks cached manifest headers (bounded
+    * prefix reads, once per JVM); any other shape — DML, rollback, an
+    * unreachable parent — returns false and the caller pays the real
+    * endpoint diff. */
+  private[graft] def rewriteOnlyRange(fromId: Long, toId: Long): Boolean = {
+    var id = toId
+    while (id > fromId) {
+      header(id) match {
+        case Some(h) if h.op == "compact" || h.op == "rewrite-pdel" =>
+          id = h.parent
+        case _ => return false
+      }
+    }
+    id == fromId
+  }
 
   /** The newest batch id `appId` has durably committed on main
     * lineage (the Delta `txn` lookup): walk the ancestry until a

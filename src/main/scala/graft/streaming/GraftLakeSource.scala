@@ -54,15 +54,21 @@ import graft.lakehouse.{GraftTable, Snapshot}
   * `isStreaming = true` stamp ([[StreamShim]]).
   */
 final class GraftLakeSource(spark: SparkSession, tablePath: String,
-    maxCommitsPerTrigger: Long) extends Source
+    maxCommitsPerTrigger: Long, changeFeed: Boolean = false) extends Source
     with SupportsTriggerAvailableNow {
 
   private val table = GraftTable.load(spark, tablePath)
   private val pinned: Snapshot = table.currentSnapshot
 
   /** Schema is pinned at stream start (Iceberg pins the snapshot
-    * schema the same way); [[getBatch]] re-checks per batch. */
-  override val schema: StructType = pinned.schema
+    * schema the same way); [[getBatch]] re-checks per batch. In
+    * change-feed mode the rows carry `_change_type` like the batch
+    * changelog. */
+  override val schema: StructType =
+    if (!changeFeed) pinned.schema
+    else StructType(pinned.schema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false))
 
   /** Manifests are immutable once published, so each parses at most
     * once per source lifetime; [[commit]] prunes delivered entries. */
@@ -116,7 +122,23 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
     val from = start.map(o => valueOf(o)).getOrElse(0L)
     val to = valueOf(end)
     if (to <= from) StreamShim.emptyMicroBatch(spark, schema)
-    else {
+    else if (changeFeed) {
+      // change-feed batches are the NET row-level changelog between
+      // the offset snapshots ([[GraftTable.changes]]) — deterministic
+      // on replay (both endpoints are immutable), and because the diff
+      // is endpoint-based, not lineage-walked, the feed survives
+      // compaction/rewrite commits mid-stream (carried rows net out)
+      // where the append-only path must refuse them. A range of ONLY
+      // rewrite commits is skipped header-cheap: net empty by
+      // construction, no table diff read.
+      if (table.rewriteOnlyRange(from, to))
+        return StreamShim.emptyMicroBatch(spark, schema)
+      val chg = table.changes(from, to)
+      require(chg.schema.fieldNames.sameElements(schema.fieldNames),
+        s"table schema evolved within ($from, $to]: restart the " +
+          "streaming query to pick up the new schema")
+      StreamShim.asMicroBatch(chg)
+    } else {
       val (toSnap, files) = table.appendedFilesBetween(from, to, cached)
       require(toSnap.schema == schema,
         s"table schema evolved at snapshot ${toSnap.id}: restart the " +
@@ -193,9 +215,11 @@ final class GraftLakeSink(spark: SparkSession, tablePath: String,
   * `df.writeStream.format("graft-lake").start(tableRoot)` — v1
   * stream source+sink registration (META-INF/services carries the
   * short name). Source options: `maxCommitsPerTrigger` (default:
-  * drain all available). Sink options: `mergeKeys` (comma-separated;
-  * absent = append mode), `txnAppId` (default: the checkpoint
-  * location). */
+  * drain all available); `readChangeFeed` (`true` = each micro-batch
+  * is the net row-level changelog between the offset snapshots,
+  * tagged `_change_type` — Delta's CDF surface over this table
+  * format). Sink options: `mergeKeys` (comma-separated; absent =
+  * append mode), `txnAppId` (default: the checkpoint location). */
 final class GraftLakeStreamProvider extends StreamSourceProvider
     with StreamSinkProvider with DataSourceRegister {
 
@@ -205,19 +229,28 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-lake source requires a table path: .load(<table root>)"))
 
+  private def isChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      GraftTable.load(ctx.sparkSession, pathOf(parameters))
-        .currentSnapshot.schema))
+    (shortName(), schema.getOrElse {
+      val base = GraftTable.load(ctx.sparkSession, pathOf(parameters))
+        .currentSnapshot.schema
+      if (!isChangeFeed(parameters)) base
+      else StructType(base.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false))
+    })
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftLakeSource(ctx.sparkSession, pathOf(parameters),
       parameters.get("maxCommitsPerTrigger").map(_.toLong)
-        .getOrElse(Long.MaxValue >> 1))
+        .getOrElse(Long.MaxValue >> 1),
+      changeFeed = isChangeFeed(parameters))
 
   override def createSink(ctx: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],

@@ -248,9 +248,48 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming CHANGE FEED (`readChangeFeed=true` — Delta CDF over
+    * this table format): each micro-batch is the net row-level
+    * changelog between its offset snapshots, tagged `_change_type`,
+    * so downstream consumers see row-level DML — including
+    * merge-on-read position-tombstone DELETE/UPDATE, which is what a
+    * busy table actually emits — not just appends. The history
+    * replayed commit-by-commit (`maxCommitsPerTrigger=1`): initial
+    * load as inserts, an append, a MoR delete, a MoR update
+    * (delete of the old image + insert of the new), and finally a
+    * tombstone-maintenance commit the feed must deliver as EMPTY
+    * without reading a byte ([[GraftTable.rewriteOnlyRange]] — a
+    * nightly compaction must not cost a CDC consumer a full-table
+    * diff). Oracle replays the four data batches in SQL. */
+  private val lakeCdcQ: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = graft.lakehouse.GraftTable.create(s,
+      java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString,
+      orders.filter(col("o_orderkey") % 4 < 3))                    // 1
+    t.append(orders.filter(col("o_orderkey") % 4 === 3))           // 2
+    t.deleteMoRPos("o_orderkey % 10 = 0")                          // 3
+    t.updateMoRPos(Map("o_totalprice" -> "0.0"),
+      "o_orderstatus = 'F' AND o_orderkey % 7 = 0")                // 4
+    t.rewritePositionDeletes()                                     // 5
+    val qn = "lake_cdc_feed_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val q = s.readStream.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .option("maxCommitsPerTrigger", 1)
+      .load(t.location)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn)
+      .orderBy(col("_change_type"), col("o_orderkey"), col("o_totalprice"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_lake_sink" -> lakeSinkQ,
     "stream_lake_source" -> lakeSourceQ,
+    "stream_lake_cdc" -> lakeCdcQ,
     "stream_lake_pipeline" -> lakePipelineQ,
     "stream_window_agg" -> windowAggQ,
     "stream_sessionize" -> sessionizeQ,
@@ -271,6 +310,32 @@ object StreamingOps {
         |   AS total_spend
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the per-commit change feed: initial cohort + append as inserts,
+    // the MoR delete's victims as deletes, the MoR update as old-image
+    // delete + new-image insert; the maintenance commit contributes
+    // nothing
+    "stream_lake_cdc" ->
+      """WITH b1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 < 3),
+        |b2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 = 3),
+        |d3 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 0),
+        |u4 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 0 AND o_orderstatus = 'F'
+        |    AND o_orderkey % 7 = 0)
+        |SELECT *, 'insert' AS _change_type FROM b1
+        |UNION ALL SELECT *, 'insert' AS _change_type FROM b2
+        |UNION ALL SELECT *, 'delete' AS _change_type FROM d3
+        |UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  'delete' AS _change_type FROM u4
+        |UNION ALL SELECT o_orderkey, o_orderstatus, 0.0 AS o_totalprice,
+        |  'insert' AS _change_type FROM u4
+        |ORDER BY _change_type, o_orderkey, o_totalprice""".stripMargin,
     // the three appended quarters of the event log, aggregated
     "stream_lake_source" ->
       """SELECT event_type, COUNT(*) AS n_events,

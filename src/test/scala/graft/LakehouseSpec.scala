@@ -699,6 +699,12 @@ class LakehouseSpec extends AnyFunSuite {
     // changelog across the rewrite is empty: same live rows, and the
     // tombstone diff nets to nothing position-wise
     assert(t.changes(preRewrite, t.currentSnapshotId).count() == 0)
+    // the change feed's header-cheap skip: maintenance-only ranges are
+    // provably net-empty, DML ranges are not
+    assert(t.rewriteOnlyRange(preRewrite, t.currentSnapshotId),
+      "a rewrite-pdel-only range must be skippable without a read")
+    assert(!t.rewriteOnlyRange(1, 2),
+      "a range containing DML must pay the real diff")
     // a tombstone-free table (compaction materialized) no-ops
     t.compact(1)
     val head = t.currentSnapshotId
