@@ -411,6 +411,104 @@ object Ann {
     topK(s, rer)
   }
 
+  // ---- IVF-PQ composite -------------------------------------------
+
+  private val IvfPqProbes = 3
+
+  /** IVF+PQ — the two-level composite that makes 100 TB vector search
+    * a pruning problem at BOTH ends (FAISS's IndexIVFPQ): the trained
+    * coarse quantizer routes each vector to a cell, PQ encodes the
+    * RESIDUAL `vn − cent(cell)` in [[PqM]] 4-bit codes (residuals
+    * carry only within-cell variance, so the shared 16-cell-per-
+    * subspace codebooks spend their budget on far less spread than
+    * raw-vector PQ), and a query scores only its probed cells' vectors
+    * by LUT lookup:
+    *
+    *   cos(q,v) = dot(qn, cent(cell)) + dot(qn, residual)
+    *            ≈ bias(q, cell) + Σ_m dot(qn_m, book_m[code_m])
+    *
+    * So where [[pqTopK]] ADC-scans the WHOLE corpus (N×M code rows
+    * joined to the LUT), this scans probes/nlist of it — the
+    * candidate-pair join against the broadcast probe relation is the
+    * IVF cut, and the rows it carries are (vec_id, cell, codes),
+    * never vectors. Full vectors rejoin only for the bounded exact
+    * re-rank. Both quantizers train relationally and land driver-side
+    * (a few KB; at 100 TB they train on a sample). */
+  private[graft] def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+    // coarse quantizer over the normalized corpus (unit norm ⇒ the
+    // cosine assignment is spherical k-means)
+    val coarse = trainKmeans(
+      c.select(col("vec_id"), col("vn").as("v"), lit(1.0).as("nrm")),
+      KmeansCells, KmeansIters)
+    val assigned = c.withColumn("cell",
+      assignCellCol(col("vn"), lit(1.0), coarse))
+    // residuals via a broadcast join against the tiny centroid
+    // relation — one zero-shuffle projection over the corpus
+    val centDf = coarse.map(ct => (ct.cell, ct.v))
+      .toDF("r_cell", "cent_v")
+    val resid = assigned
+      .join(broadcast(centDf), col("cell") === col("r_cell"))
+      .select(col("vec_id"),
+        zip_with(col("vn"), col("cent_v"), (a, b) => a - b).as("vn"))
+    val books = trainPqBooks(resid, 2)
+    val codes = relationalCodes(resid, codebooksDf(s, books))
+    // query-side metadata, all driver-computed from the (tiny by
+    // definition) query set: probed cells with their coarse-dot bias,
+    // and the residual-codebook ADC LUT — Q×probes + Q×M×K rows
+    // broadcast, invariant in corpus size
+    val qRows = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("vn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def ddot(a: Array[Double], b: Array[Double], off: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < b.length) { acc += a(off + i) * b(i); i += 1 }
+      acc
+    }
+    val probeRows = qRows.toSeq.flatMap { case (qId, qvn) =>
+      coarse.map { ct =>
+        val bias = ddot(qvn, ct.v, 0)
+        (qId, ct.cell, bias, bias / ct.nrm)
+      }.sortBy { case (_, cell, _, cos) => (-cos, cell) }
+        .take(IvfPqProbes)
+        .map { case (q, cell, bias, _) => (q, cell, bias) }
+    }.toDF("q_id", "p_cell", "bias")
+    val lut = qRows.toSeq.flatMap { case (qId, qvn) =>
+      (0 until PqM).flatMap { m =>
+        books(m).map(ct => (qId, m, ct.cell, ddot(qvn, ct.v, m * PqSub)))
+      }
+    }.toDF("q_id", "m", "code", "partial")
+    // the IVF cut: (q, vec) candidate pairs exist ONLY for probed
+    // cells, then the code join + LUT sum is the ADC scan
+    val cand = assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(probeRows), col("cell") === col("p_cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("bias"))
+    val adc = cand
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      // decimal-exact sum (shuffle-order-independent) + the per-group-
+      // constant bias: ranks at the re-rank boundary never jitter
+      .agg((first(col("bias")) +
+        sum(col("partial").cast("decimal(28,18)")).cast("double")).as("adc"))
+    val ranked = graft.functions.SaltedRank.topKPerGroup(adc,
+        Seq(col("q_id")), Seq(col("adc").desc, col("vec_id").asc),
+        PqRerank, col("vec_id"), PqSalt)
+      .select(col("q_id"), col("vec_id"))
+    val rer = ranked
+      .join(c.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(c.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm"))), Seq("q_id"))
+      .withColumn("cos",
+        cosine(col("v"), col("q_v"), col("nrm"), col("q_nrm")))
+    topK(s, rer)
+  }
+
   /** Shared driver-gated decision row for the trained-quantizer
     * tiers (their Lloyd training cannot unroll into one SQL
     * statement): exact-result cardinality + a recall@5 >= 0.8
@@ -431,12 +529,15 @@ object Ann {
 
   private val ivfKmeans: Q = (s, d) => recallGate(s, d, ivfKmeansTopK(s, d))
 
+  private val ivfPq: Q = (s, d) => recallGate(s, d, ivfPqTopK(s, d))
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> bruteforce,
     "ann_lsh" -> lsh,
     "ann_ivf" -> ivf,
     "ann_ivf_kmeans" -> ivfKmeans,
-    "ann_pq" -> pq)
+    "ann_pq" -> pq,
+    "ann_ivfpq" -> ivfPq)
 
   // ---- DuckDB oracles ---------------------------------------------
 
@@ -528,6 +629,11 @@ object Ann {
          | true AS recall_ge_080
          |FROM r WHERE rank <= $K""".stripMargin,
     "ann_pq" ->
+      s"""$bruteforceCtes
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         | true AS recall_ge_080
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "ann_ivfpq" ->
       s"""$bruteforceCtes
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
          | true AS recall_ge_080

@@ -53,6 +53,23 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall too low: $recall%.2f")
   }
 
+  test("IVF-PQ recall@5 against exact top-5 (probed cells + residual ADC)") {
+    val got = graft.ann.Ann.ivfPqTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"ann_ivfpq recall@5 = $recall%.2f")
+    assert(recall >= 0.5, f"recall too low: $recall%.2f")
+  }
+
+  test("IVF-PQ decision row reports recall over threshold") {
+    val r = SparkEntry.queries("ann_ivfpq")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_exact") == 10L * 5)
+    assert(r.head.getAs[Boolean]("recall_ge_080"))
+  }
+
   test("PQ rerank: no window sorts the full corpus in one task per query") {
     // The ADC candidate cut is a salted two-level rank: the INNERMOST
     // window (the only one that sees the unreduced corpus scores)
