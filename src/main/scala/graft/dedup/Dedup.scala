@@ -344,6 +344,59 @@ object Dedup {
   private val embedding: Q = (s, d) =>
     cosinePairs(embCorpus(s, d), 0.4).orderBy(col("vec_a"), col("vec_b"))
 
+  private val SemTau = 0.4
+
+  /** SemDeDup-style semantic dedup: [[embedding]] only DETECTS
+    * near-dup pairs; this applies the keep policy. Within each
+    * cluster (`label` — the pluggable coarse-quantizer cell; the
+    * trained version of the quantizer is ann_ivf_kmeans), score every
+    * vector by cosine to the decimal-exact cluster centroid, and DROP
+    * a vector iff a MORE CENTRAL one (higher centroid-cosine, ties to
+    * the lower vec_id) sits within τ of it — per near-dup
+    * neighborhood, the most representative member survives. No Lloyd
+    * rounds (cluster ids are given), so unlike the trained ANN tiers
+    * this keeps a full row-level oracle.
+    *
+    * Scale shape: the pairwise join is cluster-blocked — the
+    * SemDeDup contract is that cluster count grows with the corpus so
+    * cells stay bounded (an oversized cell would route through the
+    * capped-representative path exactly like the ngram blocks); the
+    * centroid relation is one row per cluster, broadcast; one shuffle
+    * for the means, one for the self-join. */
+  private val semantic: Q = (s, d) => {
+    val e = embCorpus(s, d)
+    // decimal-exact per-cluster centroid (shuffle-order-independent,
+    // so the oracle reproduces it bit-identically)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,18)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), expr("transform(pm, s -> s.m)").as("c_v"))
+      .withColumn("c_nrm", l2norm(col("c_v")))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .withColumn("c_cos",
+        cosine(col("v"), col("c_v"), col("nrm"), col("c_nrm")))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_cos"))
+    val b = scored.select(col("vec_id").as("b_id"),
+      col("label").as("b_label"), col("v").as("b_v"),
+      col("nrm").as("b_nrm"), col("c_cos").as("b_ccos"))
+    val dropped = scored.join(b,
+        col("label") === col("b_label") && col("vec_id") =!= col("b_id") &&
+          (col("b_ccos") > col("c_cos") ||
+            (col("b_ccos") === col("c_cos") && col("b_id") < col("vec_id"))))
+      .filter(cosine(col("v"), col("b_v"), col("nrm"), col("b_nrm")) >= SemTau)
+      .select(col("vec_id")).distinct()
+      .withColumn("drop", lit(true))
+    // c_cos stays internal: its last ULP differs from DuckDB's
+    // accumulation order, so only the verdict (which agrees — the
+    // compared values are far apart relative to 1 ULP) is output
+    scored.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("drop").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Benchmark decontamination — the training-corpus hygiene step
     * every LLM pipeline runs: drop (here: count) corpus documents that
     * share any 8-token n-gram with a held-out benchmark set (the
@@ -702,6 +755,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_embedding" -> embedding,
+    "dedup_semantic" -> semantic,
     "dedup_decontaminate" -> decontaminate,
     "dedup_bloom" -> bloomDecontaminate,
     "dedup_components" -> components)
@@ -861,6 +915,31 @@ object Dedup {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Decimal-exact centroids (same CTE shape as ann_ivf), then the
+    // keep rule replayed literally: drop iff a more-central same-
+    // cluster vector sits within tau.
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |ex AS (SELECT label, UNNEST(v) AS x,
+        |  UNNEST(range(1, len(v)+1)) AS pos FROM e),
+        |cm AS (SELECT label, pos,
+        |  CAST(SUM(CAST(x AS DECIMAL(28,18))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS m
+        | FROM ex GROUP BY label, pos),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS c_v
+        | FROM cm GROUP BY label),
+        |sc AS (SELECT e.vec_id, e.label, e.v,
+        |  list_cosine_similarity(e.v, c.c_v) AS c_cos
+        | FROM e JOIN cent c USING (label)),
+        |dr AS (SELECT DISTINCT a.vec_id
+        | FROM sc a JOIN sc b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  AND (b.c_cos > a.c_cos
+        |    OR (b.c_cos = a.c_cos AND b.vec_id < a.vec_id))
+        | WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+        |SELECT s.vec_id, s.label, dr.vec_id IS NULL AS kept
+        |FROM sc s LEFT JOIN dr ON s.vec_id = dr.vec_id
+        |ORDER BY s.vec_id""".stripMargin,
     // Same 8-gram definition, string-keyed (the hash join key is an
     // internal optimization the output doesn't depend on).
     "dedup_decontaminate" ->

@@ -155,8 +155,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style document quality filter (the rule shape of public
+    * web-corpus pipelines: word-count bounds, mean-word-length bounds,
+    * stopword presence, alphabetic-word fraction, duplicate-3-gram
+    * cap — the corpus is single-line, so line-level rules are
+    * vacuous here and omitted). Each rule is its own per-doc boolean
+    * VERDICT column and `keep` is their conjunction: per-rule drop
+    * rates fall out of a one-line aggregate downstream, which is what
+    * makes a 100 TB filtering run auditable. One tokenization pass
+    * inside a single let-bound projection (a column referenced across
+    * projections gets inlined per use by CollapseProject), zero
+    * shuffles — this runs at scan speed. */
+  private val gopherFilter: Q = (s, d) => {
+    val metrics = bind(tokens(coalesce(col("text"), lit(""))), w =>
+      bind(ngramsOfTokens(w, 3), g3 =>
+        array(
+          size(w).cast("double"),
+          aggregate(w, lit(0L), (a, t) => a + length(t)).cast("double") /
+            greatest(size(w), lit(1)).cast("double"),
+          size(array_distinct(filter(w,
+            t => t.isin(Stopwords: _*)))).cast("double"),
+          size(filter(w, t => t.rlike("^[a-z]+$"))).cast("double") /
+            greatest(size(w), lit(1)).cast("double"),
+          (size(g3) - size(array_distinct(g3))).cast("double") /
+            greatest(size(g3), lit(1)).cast("double"))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), metrics.as("m"))
+      .select(
+        col("doc_id"),
+        element_at(col("m"), 1).cast("int").as("n_words"),
+        element_at(col("m"), 2).as("mean_word_len"),
+        element_at(col("m"), 3).cast("int").as("n_stop_distinct"),
+        element_at(col("m"), 4).as("alpha_frac"),
+        element_at(col("m"), 5).as("dup3_frac"))
+      .select(
+        (col("*") +:
+          Seq(
+            col("n_words").between(50, 100000).as("r_wordcount"),
+            col("mean_word_len").between(3.0, 10.0).as("r_meanlen"),
+            (col("n_stop_distinct") >= 2).as("r_stopwords"),
+            (col("alpha_frac") >= 0.80).as("r_alpha"),
+            (col("dup3_frac") <= 0.30).as("r_dup3"))): _*)
+      .withColumn("keep",
+        col("r_wordcount") && col("r_meanlen") && col("r_stopwords") &&
+          col("r_alpha") && col("r_dup3"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_repetition" -> repetition,
+    "text_gopher_filter" -> gopherFilter,
     "text_ngram_freq" -> ngramFreq,
     "text_tokens" -> tokensQ,
     "text_quality" -> quality,
@@ -165,6 +213,41 @@ object TextAnalysis {
     "text_redact" -> redact)
 
   val oracles: Map[String, String] = Map(
+    // The same rule metrics via DuckDB list ops; integer-over-integer
+    // double division is the same IEEE op on both engines, so the
+    // verdicts compare exactly.
+    "text_gopher_filter" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |             FROM documents),
+        |g AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+        |    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] ||
+        |         ' ' || w[CAST(i + 2 AS INT)]) ELSE [] END AS g3
+        |FROM tok),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS INT) AS n_words,
+        |  CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+        |    / CAST(greatest(len(w), 1) AS DOUBLE) AS mean_word_len,
+        |  CAST(len(list_distinct(list_filter(w,
+        |    t -> t IN ('the', 'a', 'of', 'and', 'to')))) AS INT)
+        |    AS n_stop_distinct,
+        |  CAST(len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$')))
+        |      AS DOUBLE)
+        |    / CAST(greatest(len(w), 1) AS DOUBLE) AS alpha_frac,
+        |  CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+        |    / CAST(greatest(len(g3), 1) AS DOUBLE) AS dup3_frac
+        |FROM g)
+        |SELECT *,
+        |  (r_wordcount AND r_meanlen AND r_stopwords AND r_alpha
+        |    AND r_dup3) AS keep
+        |FROM (SELECT *,
+        |  n_words BETWEEN 50 AND 100000 AS r_wordcount,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_meanlen,
+        |  n_stop_distinct >= 2 AS r_stopwords,
+        |  alpha_frac >= 0.80 AS r_alpha,
+        |  dup3_frac <= 0.30 AS r_dup3
+        | FROM m)
+        |ORDER BY doc_id""".stripMargin,
     // Max 2-gram multiplicity via per-distinct-gram rescans (the
     // engine-side longest-run trick is an optimization the result
     // doesn't depend on). Integer-over-integer division is the same

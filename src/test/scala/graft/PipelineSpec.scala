@@ -226,6 +226,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(3L, 1L, 0L))
   }
 
+  test("semantic dedup keeps a representative per near-dup neighborhood") {
+    val df = SparkEntry.queries("dedup_semantic")(spark, sf).cache()
+    val total = df.count()
+    val kept = df.filter(col("kept")).count()
+    // discriminative at test scale: something is dropped, plenty kept
+    assert(kept > 0 && kept < total, s"kept=$kept of $total")
+    // no cluster is emptied: the most central member of any cluster
+    // has no more-central neighbor, so it always survives
+    val emptied = df.groupBy("label")
+      .agg(sum(col("kept").cast("int")).as("n_kept"))
+      .filter(col("n_kept") === 0).count()
+    assert(emptied == 0, "a cluster lost all members")
+    df.unpersist()
+  }
+
+  test("gopher filter verdicts are consistent and discriminative") {
+    val df = SparkEntry.queries("text_gopher_filter")(spark, sf).cache()
+    val bad = df.filter(col("keep") =!= (col("r_wordcount") &&
+      col("r_meanlen") && col("r_stopwords") && col("r_alpha") &&
+      col("r_dup3"))).count()
+    assert(bad == 0, "keep must be the conjunction of the rule verdicts")
+    val kept = df.filter(col("keep")).count()
+    assert(kept > 0 && kept < df.count())
+    df.unpersist()
+  }
+
   test("repetition signals detect a duplicated phrase") {
     // "p q r p q r p q" repeats the 2-gram "p q" 3x (of 7) and
     // duplicates 3-grams: 6 total, 3 distinct -> dup3_frac = 0.5
