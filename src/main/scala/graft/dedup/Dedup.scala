@@ -743,7 +743,85 @@ object Dedup {
       .orderBy(col("source"), col("rank"))
   }
 
+  private val TokenBudget = 1000L
+  private val BudgetBuckets = 1024
+
+  /** Per-source TOKEN-budget curation (the "data budget" shape:
+    * every training mix fixes tokens per source, not documents):
+    * greedy by quality — order docs by (score desc, doc_id asc) and
+    * keep while the running token total stays ≤ B. The naive plan is
+    * a full-corpus prefix-sum window partitioned only by `source` —
+    * the per-source single-task sort this codebase keeps purging —
+    * so the selection runs as a HISTOGRAM CUT instead, exact and
+    * scale-safe:
+    *
+    *  1. map-side: quantize each doc's score into one of
+    *     [[BudgetBuckets]] buckets; aggregate token sums per
+    *     (source, bucket) — a bounded relation (≤ sources×buckets);
+    *  2. prefix-sum token mass over the DESCENDING buckets (window
+    *     over ≤ [[BudgetBuckets]] rows per source — bounded, free)
+    *     and find the boundary bucket where the budget crosses;
+    *  3. docs in better buckets keep outright; docs in worse buckets
+    *     drop; ONLY the boundary bucket's docs (≈ corpus/buckets —
+    *     a heavy score-tie mass degrades this, the same caveat as any
+    *     equi-bucketed cut) pay an exact ranked prefix sum against
+    *     the leftover budget.
+    *
+    * The kept SET is bit-identical to the naive global greedy (the
+    * oracle replays exactly that with one SUM OVER), but no stage
+    * sorts more than a bucket. */
+  private val tokenBudgetQ: Q = (s, d) => {
+    val inList = Seq("the", "a", "of", "and", "to")
+      .map(w => s"'$w'").mkString(", ")
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      // same degenerate-input guard as sourceCapQ: a 0-token doc
+      // scores NaN and the engines rank NaN differently
+      .filter(col("text").isNotNull)
+      .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("w")) >= 1)
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("n_stop",
+        size(expr(s"filter(w, t -> t IN ($inList))")))
+      .select(col("source"), col("doc_id"),
+        ceil(length(col("text")) / 4.0).cast("long").as("tok"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double") * 0.5 +
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5)
+          .as("q"))
+      // score ∈ [0,1]: stop_ratio ≤ 1 and the length term caps at 1
+      .withColumn("bkt", least(floor(col("q") * BudgetBuckets),
+        lit(BudgetBuckets - 1)).cast("int"))
+    val hist = scored.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("tok")).as("btok"))
+      .withColumn("cum_incl", sum(col("btok")).over(
+        W.partitionBy(col("source")).orderBy(col("bkt").desc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    // boundary = the highest bucket whose inclusive cumulative mass
+    // exceeds the budget; absent (source fits entirely) ⇒ keep all
+    val cut = hist.filter(col("cum_incl") > TokenBudget)
+      .groupBy(col("source"))
+      .agg(max(struct(col("bkt"), (col("cum_incl") - col("btok"))
+        .as("cum_before"))).as("c"))
+      .select(col("source"), col("c.bkt").as("cut_bkt"),
+        (lit(TokenBudget) - col("c.cum_before")).as("remaining"))
+    val tagged = scored.join(broadcast(cut), Seq("source"), "left")
+    val keptOutright = tagged
+      .filter(col("cut_bkt").isNull || col("bkt") > col("cut_bkt"))
+    // only the boundary bucket pays an exact ranked prefix sum, over
+    // ≈ corpus/buckets docs per source
+    val boundary = tagged.filter(col("bkt") === col("cut_bkt"))
+      .withColumn("cum_in_bkt", sum(col("tok")).over(
+        W.partitionBy(col("source"))
+          .orderBy(col("q").desc, col("doc_id").asc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .filter(col("cum_in_bkt") <= col("remaining"))
+    keptOutright.select(col("source"), col("doc_id"), col("tok"))
+      .unionByName(boundary.select(col("source"), col("doc_id"), col("tok")))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_token_budget" -> tokenBudgetQ,
     "pipeline_shuffle" -> shuffleQ,
     "pipeline_clean_corpus" -> cleanCorpus,
     "pipeline_stratified_sample" -> stratifiedSample,
@@ -772,6 +850,26 @@ object Dedup {
       |   FROM t WHERE len(w) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the NAIVE global greedy (one SUM OVER per source) — the
+    // histogram-cut plan must reproduce its kept set exactly
+    "pipeline_token_budget" ->
+      """WITH t AS (SELECT source, doc_id, text,
+        |             string_split(lower(text), ' ') w FROM documents
+        |           WHERE text IS NOT NULL
+        |             AND len(string_split(lower(text), ' ')) >= 1),
+        |x AS (SELECT source, doc_id,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to')))
+        |      AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE) * 0.5 +
+        |  least(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.5 AS q
+        |FROM t),
+        |r AS (SELECT source, doc_id, tok,
+        |  SUM(tok) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |FROM x)
+        |SELECT source, doc_id, tok FROM r WHERE cum <= 1000
+        |ORDER BY source, doc_id""".stripMargin,
     // the same md5 shard + sort-key permutation, recomputed in SQL
     // same composite score as text_quality; ranking mirrors the
     // (score desc, doc_id asc) tie-break of the bounded top-k

@@ -226,6 +226,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(3L, 1L, 0L))
   }
 
+  test("token budget: kept token mass per source is under budget " +
+      "and the cut discriminates") {
+    val df = SparkEntry.queries("pipeline_token_budget")(spark, sf).cache()
+    val per = df.groupBy("source")
+      .agg(sum("tok").as("t"), count(lit(1)).as("n")).collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      assert(r.getAs[Long]("t") <= 1000L,
+        s"source ${r.get(0)} over budget: ${r.getAs[Long]("t")}")
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // something must actually be cut (the budget binds at test scale)
+    val total = Tables.documents(spark, sf).count()
+    assert(df.count() < total, "budget never bound — test is vacuous")
+    df.unpersist()
+  }
+
   test("semantic dedup keeps a representative per near-dup neighborhood") {
     val df = SparkEntry.queries("dedup_semantic")(spark, sf).cache()
     val total = df.count()
