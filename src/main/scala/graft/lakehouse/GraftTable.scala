@@ -1045,11 +1045,18 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         .join(tombRows(newTFiles), Seq("_file", "_pos"), "left_anti")
       // planning step: the diffed positions name exact data files —
       // collect the (bounded: one path per file the range's DML
-      // touched) name set so only those files are scanned
-      val carried = toSet intersect fromSet
+      // touched) name set so only those files are scanned. Tombstone
+      // `_file` values are in `_metadata.file_path` form (URL-encoded)
+      // while the manifest holds raw paths — and hadoop Path never
+      // percent-decodes — so membership tests in ENCODED space and
+      // maps back to the RAW path for the scan; comparing (or
+      // reading) the mismatched forms silently drops MoR deletes from
+      // the changelog on any path with an encodable character.
+      val rawByEnc = (toSet intersect fromSet).toSeq
+        .map(p => metaPath(p) -> p).toMap
       val touched = newT.select("_file").union(goneT.select("_file"))
         .distinct().collect().map(_.getString(0)).toSeq
-        .filter(carried).sorted
+        .flatMap(rawByEnc.get).sorted
       if (touched.nonEmpty) {
         val rowsPos = readFilesPos(to.schema, touched, to.partitionCols)
         def at(t: DataFrame): DataFrame = rowsPos.join(t,
@@ -1509,6 +1516,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       val path = new java.net.URI(p).getPath
       if (path != null) path else normalize(p)
     } catch { case _: java.net.URISyntaxException => normalize(p) }
+
+  /** A raw MANIFEST path rendered the way `_metadata.file_path`
+    * renders it (`new Path(p).toUri.toString` — URL-encoded, so a
+    * hive dir `tag=NOT%3DSPECIFIED` becomes `...NOT%253DSPECIFIED`
+    * and a root with a space gets `%20`). Tombstone `_file` values
+    * are recorded from `_metadata.file_path`, so every comparison of
+    * manifest paths against tombstone paths must pass the manifest
+    * side through THIS (the dual of [[decodeScanPath]]); comparing
+    * the two raw forms silently matches nothing on any path with an
+    * encodable character. */
+  private def metaPath(p: String): String = new Path(p).toUri.toString
 
   /** The data files among `candidates` that contain at least one row
     * matching `hit` — one distributed pass, shipping only distinct
@@ -2009,9 +2027,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // (file, pos) rows are unique by construction (DML scans the live
     // view, so a position is never re-tombstoned) — no distinct pass.
     // The dangling filter is a broadcast semi-join against the live
-    // path set: file COUNT is manifest-scale even at 100 TB.
+    // path set: file COUNT is manifest-scale even at 100 TB. The live
+    // side must be rendered in `_metadata.file_path` form
+    // ([[metaPath]] — tombstone `_file` values are recorded from it):
+    // raw manifest paths would mismatch any encodable character and
+    // this rewrite would drop LIVE tombstones as dangling,
+    // resurrecting their deleted rows.
     val liveDf = broadcast(
-      spark.createDataset(live.toSeq.sorted)(
+      spark.createDataset(live.toSeq.map(metaPath).sorted)(
         org.apache.spark.sql.Encoders.STRING).toDF("_live_file"))
     val kept = spark.read.parquet(snap.posDels: _*)
       .select(col("_file"), col("_pos"))
@@ -2240,10 +2263,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val (old, kept0) = all.splitAt(math.max(0, all.size - keepLast))
     val (protected0, expired) = old.partition(s => pinned(s.id))
     if (expired.isEmpty) return
-    val live = (kept0 ++ protected0).flatMap(_.files).toSet
+    // tombstone files are snapshot-referenced storage exactly like
+    // data files (each rewritePositionDeletes supersedes the whole
+    // previous set, so expired pre-rewrite tombstones would otherwise
+    // accumulate forever)
+    val live = (kept0 ++ protected0)
+      .flatMap(s => s.files ++ s.posDels).toSet
     val cache = GraftTable.headerCache(root.toString)
     expired.foreach { snap =>
-      snap.files.filterNot(live).foreach(f => fs.delete(new Path(f), false))
+      (snap.files ++ snap.posDels).filterNot(live)
+        .foreach(f => fs.delete(new Path(f), false))
       fs.delete(snapPath(snap.id), false)
       cache.remove(snap.id)
     }

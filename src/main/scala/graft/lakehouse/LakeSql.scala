@@ -630,8 +630,12 @@ class GraftSqlParser(spark: SparkSession,
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     LakeMaintenance.parse(spark, sqlText).getOrElse {
-      val plan = delegate.parsePlan(sqlText)
-      LakeDdl.lower(spark, plan).getOrElse(LakeChanges.resolve(spark, plan))
+      // resolve the table_changes TVF FIRST (a no-op without it):
+      // lowered DDL embeds its query subtree verbatim, so a CTAS over
+      // table_changes(...) would otherwise carry the unresolved TVF
+      // into analysis and fail as an unknown function
+      val plan = LakeChanges.resolve(spark, delegate.parsePlan(sqlText))
+      LakeDdl.lower(spark, plan).getOrElse(plan)
     }
   override def parseExpression(s: String) = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)

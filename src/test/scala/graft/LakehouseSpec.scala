@@ -678,6 +678,72 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("position deletes survive a table root with an encodable char") {
+    // _metadata.file_path is URL-ENCODED while manifest paths are
+    // raw: a root with a space exposes every raw-vs-encoded path
+    // comparison (regression: rewritePositionDeletes dropped ALL live
+    // tombstones as dangling, resurrecting the deleted rows; the
+    // changelog missed the MoR delete entirely)
+    val base = Files.createTempDirectory("graft enc")
+    val t = GraftTable.create(spark, base.toString + "/t dir",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("k", "tag", "v"))
+    t.deleteMoRPos("k = 2")
+    assert(t.read().orderBy("k").select("k").as[Long].collect().toSeq ==
+      Seq(1L, 3L))
+    val pre = t.currentSnapshotId
+    t.rewritePositionDeletes()
+    assert(t.currentSnapshot.posDels.nonEmpty,
+      "the live tombstone must survive the rewrite (not be dropped " +
+        "as dangling through the raw-vs-encoded mismatch)")
+    assert(t.read().orderBy("k").select("k").as[Long].collect().toSeq ==
+      Seq(1L, 3L), "deleted rows must stay deleted after maintenance")
+    // the changelog sees the MoR delete on the carried file
+    val chg = t.changes(1, pre)
+    assert(chg.filter(col("_change_type") === "delete").count() == 1,
+      "the change feed must surface the MoR delete under an " +
+        "encodable path")
+  }
+
+  test("expireSnapshots reclaims tombstone files of expired snapshots") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    t.deleteMoRPos("k = 1")
+    t.deleteMoRPos("k = 2")
+    val preRewriteTombs = t.currentSnapshot.posDels
+    t.rewritePositionDeletes() // supersedes both per-statement files
+    val mergedTombs = t.currentSnapshot.posDels
+    t.expireSnapshots(1)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    preRewriteTombs.foreach { p =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p)),
+        s"expired per-statement tombstone file must be deleted: $p")
+    }
+    mergedTombs.foreach { p =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(p)),
+        "the surviving snapshot's tombstones must remain")
+    }
+    assert(t.read().orderBy("k").select("k").as[Long].collect().toSeq ==
+      Seq(3L))
+  }
+
+  test("CTAS composes with the table_changes TVF") {
+    val loc = Files.createTempDirectory("graft_ctastvf").toString
+    val src = GraftTable.create(spark, loc + "/src",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "tag", "v"))
+    graft.lakehouse.LakeRegistry.register("ctas_tvf_src", src)
+    src.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    spark.sql(
+      s"""CREATE TABLE ctas_tvf_snap USING graft
+         |LOCATION '$loc/snap'
+         |AS SELECT k, _change_type FROM
+         |  table_changes('ctas_tvf_src', 1, 2)""".stripMargin)
+    val got = spark.sql("SELECT k, _change_type FROM ctas_tvf_snap")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((3L, "insert")),
+      "the lowered CTAS must resolve the TVF in its query subtree")
+  }
+
   test("rewritePositionDeletes merges tombstone files; history survives") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
       (4L, "d", 4.0)))
