@@ -439,10 +439,13 @@ object Ann {
     val c = corpus(s, d)
       .withColumn("vn", transform(col("v"), x => x / col("nrm")))
     // coarse quantizer over the normalized corpus (unit norm ⇒ the
-    // cosine assignment is spherical k-means)
+    // cosine assignment is spherical k-means). Two Lloyd rounds, not
+    // ivfKmeans' three: the PQ+rerank stack on top makes recall
+    // routing-dominated, and a third round measured no recall change
+    // for one more full-corpus pass
     val coarse = trainKmeans(
       c.select(col("vec_id"), col("vn").as("v"), lit(1.0).as("nrm")),
-      KmeansCells, KmeansIters)
+      KmeansCells, 2)
     val assigned = c.withColumn("cell",
       assignCellCol(col("vn"), lit(1.0), coarse))
     // residuals via a broadcast join against the tiny centroid

@@ -308,6 +308,26 @@ object Relational {
           col("exact_parts") * 0.05).as("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch MERGEABILITY — the property that actually matters at
+    * 100 TB: per-group Datasketches-HLL sketches built in one pass
+    * (`hll_sketch_agg`), then UNIONED (`hll_union_agg`) into a global
+    * estimate WITHOUT rescanning the data — the two-level rollup
+    * every sketch-backed dashboard runs (per-day sketches → any date
+    * range by merge). q22 gates one sketch's accuracy; this gates the
+    * merge path's. Oracled like q22: exact count + a within-5%
+    * verdict the oracle expects TRUE. */
+  private val q30: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val merged = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .crossJoin(merged)
+      .select(col("exact_parts"),
+        (abs(col("est") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("union_within_5pct"))
+  }
+
   /** PIVOT: order counts per priority × status. The pivot values are
     * given explicitly — at scale an unlisted pivot needs a separate
     * distinct pass first, so production pivots always enumerate. */
@@ -452,9 +472,13 @@ object Relational {
     "q18_having" -> q18, "q19_asof_join" -> q19,
     "q20_range_join" -> q20, "q21_grouping_sets" -> q21,
     "q22_approx_distinct" -> q22, "q23_salted_join" -> q23,
-    "q24_pivot" -> q24)
+    "q24_pivot" -> q24, "q30_sketch_union" -> q30)
 
   val oracles: Map[String, String] = Map(
+    "q30_sketch_union" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | true AS union_within_5pct
+        |FROM lineitem""".stripMargin,
     "q29_interval_window" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
