@@ -328,6 +328,28 @@ object Relational {
           col("exact_parts") * 0.05).as("union_within_5pct"))
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): hierarchy traversal —
+    * every part climbs a binary-heap tree (parent = key DIV 2, a
+    * synthetic but deterministic hierarchy; the corpus carries no
+    * parent-child column) from roots `p_partkey < 10`, labeling each
+    * node with its root and depth. Spark executes the recursion as an
+    * iterative loop of joins — one frontier⋈table join + union per
+    * level, the same shape as dedup_components' star contraction —
+    * so cost is O(depth) shuffles on the frontier, and at 100 TB the
+    * contract is a bounded-depth hierarchy (here: log₂ of the key
+    * space), not a bounded table. */
+  private val q31: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("part_h")
+    s.sql(
+      """WITH RECURSIVE h(part, root, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part_h WHERE p_partkey < 10
+        |  UNION ALL
+        |  SELECT c.p_partkey, h.root, h.depth + 1
+        |  FROM part_h c JOIN h ON c.p_partkey DIV 2 = h.part
+        |  WHERE c.p_partkey >= 10)
+        |SELECT part, root, depth FROM h ORDER BY part""".stripMargin)
+  }
+
   /** PIVOT: order counts per priority × status. The pivot values are
     * given explicitly — at scale an unlisted pivot needs a separate
     * distinct pass first, so production pivots always enumerate. */
@@ -472,9 +494,19 @@ object Relational {
     "q18_having" -> q18, "q19_asof_join" -> q19,
     "q20_range_join" -> q20, "q21_grouping_sets" -> q21,
     "q22_approx_distinct" -> q22, "q23_salted_join" -> q23,
-    "q24_pivot" -> q24, "q30_sketch_union" -> q30)
+    "q24_pivot" -> q24, "q30_sketch_union" -> q30,
+    "q31_recursive_cte" -> q31)
 
   val oracles: Map[String, String] = Map(
+    "q31_recursive_cte" ->
+      """WITH RECURSIVE h(part, root, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+        |  UNION ALL
+        |  SELECT c.p_partkey, h.root, h.depth + 1
+        |  FROM part c JOIN h ON c.p_partkey // 2 = h.part
+        |  WHERE c.p_partkey >= 10)
+        |SELECT part, root, CAST(depth AS INT) AS depth FROM h
+        |ORDER BY part""".stripMargin,
     "q30_sketch_union" ->
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         | true AS union_within_5pct

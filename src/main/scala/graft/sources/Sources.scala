@@ -68,6 +68,22 @@ object Sources {
     readJsonl(s, dir, orders.schema).orderBy("o_orderkey")
   }
 
+  /** lineitem → ORC → back. ORC is the other columnar,
+    * stats-bearing, splittable storage format Spark ships a native
+    * vectorized reader for (the Hive-ecosystem counterpart of
+    * parquet); a lossless roundtrip (decimals, dates, timestamps
+    * included) proves the engine can both ingest an ORC lake and
+    * serve one. Pushdown/pruning work the same as parquet (ORC
+    * carries per-stripe min/max), so the 100 TB story carries over
+    * unchanged. */
+  private val orcRoundtrip: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val dir = tmp("src_orc")
+    li.write.mode("overwrite").orc(dir)
+    s.read.schema(li.schema).orc(dir)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** orders → parquet partitioned by o_orderstatus → filtered read.
     * The filter on the partition column is answered from directory
     * names alone (PartitionFilters in the scan; SourcesSpec asserts
@@ -118,12 +134,15 @@ object Sources {
   val queries: Map[String, Q] = Map(
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
+    "src_orc_roundtrip" -> orcRoundtrip,
     "src_partitioned_sink" -> partitionedSink,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracles: Map[String, String] = Map(
     "src_csv_roundtrip" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+    "src_orc_roundtrip" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "src_json_roundtrip" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "src_partitioned_sink" ->
