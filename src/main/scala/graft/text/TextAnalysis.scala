@@ -202,9 +202,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-frequency rarity scoring (the word-frequency quality
+    * filter: a doc of vanishingly rare tokens is noise, one of only
+    * top-frequency tokens is boilerplate): token-level join against
+    * the corpus vocabulary, per-doc mean and min token frequency —
+    * integer-exact sums, double only at the final ratio, so the
+    * oracle compares bit-exactly. Scale shape: the vocabulary is an
+    * aggregate (one row per distinct token) consumed through a
+    * BROADCAST join, so the Zipf-skewed token key never shuffles
+    * ("the" would hot-spot any token-keyed exchange); at 100 TB the
+    * contract becomes a top-K vocabulary broadcast (frequency mass
+    * concentrates, OOV scores as rarest) — the corpus-side plan is
+    * identical. */
+  private val rarity: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(tokens(coalesce(col("text"), lit("")))).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("tf"))
+    toks.join(broadcast(vocab), Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("tf")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_tok_freq"),
+        min(col("tf")).as("min_tok_freq"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_repetition" -> repetition,
     "text_gopher_filter" -> gopherFilter,
+    "text_rarity" -> rarity,
     "text_ngram_freq" -> ngramFreq,
     "text_tokens" -> tokensQ,
     "text_quality" -> quality,
@@ -213,6 +241,19 @@ object TextAnalysis {
     "text_redact" -> redact)
 
   val oracles: Map[String, String] = Map(
+    // integer-exact frequency sums; the final ratio is the same IEEE
+    // division on both engines
+    "text_rarity" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |v AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY t)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_tok_freq,
+        |  CAST(MIN(tf) AS BIGINT) AS min_tok_freq
+        |FROM tok JOIN v USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The same rule metrics via DuckDB list ops; integer-over-integer
     // double division is the same IEEE op on both engines, so the
     // verdicts compare exactly.
