@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Registry.Q
 import graft.Tables
 
-/** Relational suite q2–q22 (SURVEY.md §2 "Relational analytics").
+/** Relational suite q2–q31 (SURVEY.md §2 "Relational analytics").
   * Determinism protocol as in [[Analytics]]: decimal-exact money
   * sums, double division only on exact inputs, total ORDER BY.
   *

@@ -269,6 +269,48 @@ class PipelineSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("gopher filter and rarity scorer plans have the claimed shape") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJ}
+    // gopher: a pure map-side scan — no exchange anywhere (the
+    // ORDER BY exists only for the oracle compare)
+    val gp = SparkEntry.queries("text_gopher_filter")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(gp.collect { case a: org.apache.spark.sql.catalyst.plans
+        .logical.Aggregate => a }.isEmpty &&
+      gp.collect { case j: LJ => j }.isEmpty,
+      "the gopher filter must stay a single-pass projection")
+    // rarity: the token-keyed join must be broadcast-hinted — a
+    // token-keyed exchange would hot-spot on Zipf skew
+    val rp = SparkEntry.queries("text_rarity")(spark, sf)
+      .queryExecution.optimizedPlan
+    val joins = rp.collect { case j: LJ => j }
+    assert(joins.nonEmpty && joins.forall(_.hint.rightHint.exists(
+      _.strategy.contains(org.apache.spark.sql.catalyst.plans.logical
+        .BROADCAST))),
+      "the vocabulary must join by broadcast, never a token shuffle")
+  }
+
+  test("token budget: no window ranks the unfiltered corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter,
+      Aggregate, Window => LW}
+    val plan = SparkEntry.queries("pipeline_token_budget")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LW => w }
+    assert(windows.nonEmpty)
+    // every window's input is bounded: either the per-(source,
+    // bucket) aggregate (≤ sources×1024 rows) or the boundary-bucket
+    // subset (a Filter on the cut below it)
+    windows.foreach { w =>
+      val bounded =
+        w.child.collectFirst { case a: Aggregate => a }.isDefined ||
+        w.child.collectFirst { case f: Filter
+          if f.condition.references.exists(_.name == "cut_bkt") => f
+        }.isDefined
+      assert(bounded,
+        s"window over an unbounded corpus slice: ${w.simpleString(3)}")
+    }
+  }
+
   test("repetition signals detect a duplicated phrase") {
     // "p q r p q r p q" repeats the 2-gram "p q" 3x (of 7) and
     // duplicates 3-grams: 6 total, 3 distinct -> dup3_frac = 0.5
