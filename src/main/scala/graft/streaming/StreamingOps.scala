@@ -81,6 +81,62 @@ object StreamingOps {
   private def byType(events: DataFrame, t: String): DataFrame =
     events.filter(col("event_type") === t)
 
+  /** LEFT OUTER click attribution — the other half of the
+    * stream-stream join matrix: purchases WITHOUT an attributable
+    * click must also surface (null-padded), which is what funnel
+    * analysis actually consumes. Streaming side: same watermarked
+    * time-interval join as [[clickAttribution]] with
+    * `"left_outer"`. */
+  def clickAttributionOuter(purchases: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"),
+      col("user_id").as("p_uid"), col("ts").as("p_ts"))
+    val c = clicks.select(col("event_id").as("c_id"),
+      col("user_id").as("c_uid"), col("ts").as("c_ts"))
+    p.join(c, col("p_uid") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"), "left_outer")
+      .select(col("p_id"), col("c_id"), col("p_uid").as("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
+  /** Batch replay of [[clickAttributionOuter]]'s STREAMING emission
+    * contract: matched pairs always emit; an unmatched purchase
+    * emits null-padded only once the watermark proves no future
+    * click can match (clicks satisfy c_ts < p_ts, so the bound is
+    * p_ts itself) — and the FINAL watermark is
+    * `min(max purchase ts, max click ts) − delay` (Spark's
+    * min-of-inputs multi-watermark policy), a function of the DATA,
+    * not the trigger schedule. That is exactly why the streaming
+    * result is batch-boundary-deterministic and oracle-able:
+    * purchases still inside the horizon at end-of-stream are
+    * retained in state and never emit, under any batching.
+    * StreamingSpec runs the real watermarked streaming query and
+    * proves it equal to this formulation. */
+  def clickAttributionOuterBatch(events: DataFrame,
+      delay: String = "2 hours"): DataFrame = {
+    val p = byType(events, "purchase")
+    val c = byType(events, "click")
+    val inner = clickAttribution(p, c)
+    val wm = p.agg(max(col("ts")).as("mp"))
+      .crossJoin(c.agg(max(col("ts")).as("mc")))
+      .select((least(col("mp"), col("mc")) -
+        expr(s"INTERVAL $delay")).as("__wm"))
+    val unmatched = p.select(col("event_id").as("p_id"),
+        col("user_id"), col("ts").as("p_ts"))
+      .join(inner.select(col("p_id")), Seq("p_id"), "left_anti")
+      .crossJoin(broadcast(wm))
+      .filter(col("p_ts") < col("__wm"))
+      .select(col("p_id"), lit(null).cast("bigint").as("c_id"),
+        col("user_id"), col("p_ts"),
+        lit(null).cast("timestamp").as("c_ts"))
+    inner.unionByName(unmatched)
+  }
+
+  private val outerJoinQ: Q = (s, d) =>
+    clickAttributionOuterBatch(Tables.events(s, d))
+      .orderBy(col("p_id"), col("c_id"))
+
   private val windowAggQ: Q = (s, d) =>
     windowAgg(Tables.events(s, d))
       .orderBy(col("w_start"), col("event_type"))
@@ -295,6 +351,7 @@ object StreamingOps {
     "stream_sessionize" -> sessionizeQ,
     "stream_dedup_state" -> dedupQ,
     "stream_join" -> joinQ,
+    "stream_outer_join" -> outerJoinQ,
     "stream_window_topk" -> topkQ)
 
   val oracles: Map[String, String] = Map(
@@ -389,5 +446,27 @@ object StreamingOps {
         | AND p.user_id = c.user_id
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
         | AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+        |ORDER BY p_id, c_id""".stripMargin,
+    // matched pairs + unmatched purchases the final watermark
+    // (min of both inputs' max ts, minus the delay) has released
+    "stream_outer_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+        |             CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_uid,
+        |        CAST(ts AS TIMESTAMP) AS c_ts FROM events
+        |      WHERE event_type = 'click'),
+        |m AS (SELECT p.p_id, c.c_id, p.user_id, p.p_ts, c.c_ts
+        |      FROM p JOIN c ON p.user_id = c.c_uid
+        |       AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |       AND c.c_ts < p.p_ts),
+        |wm AS (SELECT least((SELECT max(p_ts) FROM p),
+        |                    (SELECT max(c_ts) FROM c))
+        |         - INTERVAL 2 HOUR AS w),
+        |u AS (SELECT p.p_id, CAST(NULL AS BIGINT) AS c_id, p.user_id,
+        |        p.p_ts, CAST(NULL AS TIMESTAMP) AS c_ts
+        |      FROM p, wm WHERE p.p_ts < wm.w
+        |        AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id))
+        |SELECT * FROM m UNION ALL SELECT * FROM u
         |ORDER BY p_id, c_id""".stripMargin)
 }

@@ -726,6 +726,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER join matches the watermark-contract " +
+      "batch replay") {
+    val p = streamEvents.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+    val c = streamEvents.filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+    val q = streaming.StreamingOps.clickAttributionOuter(p, c)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_join_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("outer_join_out")
+    val batch = streaming.StreamingOps.clickAttributionOuterBatch(
+      Tables.events(spark, sf))
+    assert(batch.filter(col("c_id").isNull).count() > 0,
+      "the contract must release some null-padded purchases")
+    assert(streamed.count() == batch.count(),
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0,
+      "streaming emission must equal the watermark-contract replay")
+  }
+
   test("streaming dedup (dropDuplicates) agrees with batch distinct") {
     val deduped = streamEvents
       .select(col("user_id"), col("event_type"),
