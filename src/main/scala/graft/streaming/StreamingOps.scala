@@ -66,14 +66,21 @@ object StreamingOps {
     * state for a click can be dropped once the watermark passes
     * `c_ts + 1 hour`. `purchases`/`clicks` may be batch frames or two
     * `readStream`s with watermarks (StreamingSpec runs both). */
-  def clickAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    attributionJoin(purchases, clicks, "inner")
+
+  /** The shared attribution join body — ONE definition of the
+    * condition and naming so the inner and outer variants can never
+    * drift. */
+  private def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      joinType: String): DataFrame = {
     val p = purchases.select(col("event_id").as("p_id"),
       col("user_id").as("p_uid"), col("ts").as("p_ts"))
     val c = clicks.select(col("event_id").as("c_id"),
       col("user_id").as("c_uid"), col("ts").as("c_ts"))
     p.join(c, col("p_uid") === col("c_uid") &&
       col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-      col("c_ts") < col("p_ts"))
+      col("c_ts") < col("p_ts"), joinType)
       .select(col("p_id"), col("c_id"), col("p_uid").as("user_id"),
         col("p_ts"), col("c_ts"))
   }
@@ -88,17 +95,8 @@ object StreamingOps {
     * time-interval join as [[clickAttribution]] with
     * `"left_outer"`. */
   def clickAttributionOuter(purchases: DataFrame,
-      clicks: DataFrame): DataFrame = {
-    val p = purchases.select(col("event_id").as("p_id"),
-      col("user_id").as("p_uid"), col("ts").as("p_ts"))
-    val c = clicks.select(col("event_id").as("c_id"),
-      col("user_id").as("c_uid"), col("ts").as("c_ts"))
-    p.join(c, col("p_uid") === col("c_uid") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") < col("p_ts"), "left_outer")
-      .select(col("p_id"), col("c_id"), col("p_uid").as("user_id"),
-        col("p_ts"), col("c_ts"))
-  }
+      clicks: DataFrame): DataFrame =
+    attributionJoin(purchases, clicks, "left_outer")
 
   /** Batch replay of [[clickAttributionOuter]]'s STREAMING emission
     * contract: matched pairs always emit; an unmatched purchase
@@ -118,10 +116,16 @@ object StreamingOps {
     val p = byType(events, "purchase")
     val c = byType(events, "click")
     val inner = clickAttribution(p, c)
+    // an EMPTY input never advances its watermark, so the global
+    // min-of-inputs watermark stays at epoch and nothing is released
+    // — least() alone would skip the NULL max and wrongly release
+    // against the surviving side
     val wm = p.agg(max(col("ts")).as("mp"))
       .crossJoin(c.agg(max(col("ts")).as("mc")))
-      .select((least(col("mp"), col("mc")) -
-        expr(s"INTERVAL $delay")).as("__wm"))
+      .select(when(col("mp").isNull || col("mc").isNull,
+          lit(null).cast("timestamp"))
+        .otherwise(least(col("mp"), col("mc")) - expr(s"INTERVAL $delay"))
+        .as("__wm"))
     val unmatched = p.select(col("event_id").as("p_id"),
         col("user_id"), col("ts").as("p_ts"))
       .join(inner.select(col("p_id")), Seq("p_id"), "left_anti")
@@ -460,9 +464,12 @@ object StreamingOps {
         |      FROM p JOIN c ON p.user_id = c.c_uid
         |       AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
         |       AND c.c_ts < p.p_ts),
-        |wm AS (SELECT least((SELECT max(p_ts) FROM p),
+        |wm AS (SELECT CASE WHEN (SELECT max(p_ts) FROM p) IS NULL
+        |                     OR (SELECT max(c_ts) FROM c) IS NULL
+        |         THEN NULL
+        |         ELSE least((SELECT max(p_ts) FROM p),
         |                    (SELECT max(c_ts) FROM c))
-        |         - INTERVAL 2 HOUR AS w),
+        |              - INTERVAL 2 HOUR END AS w),
         |u AS (SELECT p.p_id, CAST(NULL AS BIGINT) AS c_id, p.user_id,
         |        p.p_ts, CAST(NULL AS TIMESTAMP) AS c_ts
         |      FROM p, wm WHERE p.p_ts < wm.w

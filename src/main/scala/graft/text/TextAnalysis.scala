@@ -215,9 +215,13 @@ object TextAnalysis {
     * concentrates, OOV scores as rarest) — the corpus-side plan is
     * identical. */
   private val rarity: Q = (s, d) => {
+    // NO coalesce here, deliberately: NULL text must propagate to
+    // zero token rows (explode of a null array) so the doc is ABSENT
+    // from the output — exactly what the oracle's unnest(NULL) does;
+    // coalescing to "" would emit a one-empty-token row the oracle
+    // doesn't have
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(tokens(coalesce(col("text"), lit("")))).as("t"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("tf"))
     toks.join(broadcast(vocab), Seq("t"))
       .groupBy(col("doc_id"))

@@ -297,16 +297,27 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan
     val windows = plan.collect { case w: LW => w }
     assert(windows.nonEmpty)
-    // every window's input is bounded: either the per-(source,
-    // bucket) aggregate (≤ sources×1024 rows) or the boundary-bucket
-    // subset (a Filter on the cut below it)
+    // every window's DIRECT input chain (walked through unary nodes
+    // only — a collectFirst over the whole subtree would accept an
+    // Aggregate buried under a join and miss the regression) must hit
+    // a bounding node before anything else: the per-(source, bucket)
+    // aggregate (≤ sources×1024 rows) or the boundary-bucket cut
+    def bounded(p: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case f: Filter
+          if f.condition.references.exists(_.name == "cut_bkt") => true
+      // the optimizer may fuse the boundary filter INTO the cut join
+      // condition (bkt = cut_bkt) — that join IS the bounding node
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(
+            _.references.exists(_.name == "cut_bkt")) => true
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode =>
+        bounded(u.child)
+      case _ => false
+    }
     windows.foreach { w =>
-      val bounded =
-        w.child.collectFirst { case a: Aggregate => a }.isDefined ||
-        w.child.collectFirst { case f: Filter
-          if f.condition.references.exists(_.name == "cut_bkt") => f
-        }.isDefined
-      assert(bounded,
+      assert(bounded(w.child),
         s"window over an unbounded corpus slice: ${w.simpleString(3)}")
     }
   }
