@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Registry.Q
 import graft.Tables
 
-/** Relational suite q2–q31 (SURVEY.md §2 "Relational analytics").
+/** Relational suite q2–q32 (SURVEY.md §2 "Relational analytics").
   * Determinism protocol as in [[Analytics]]: decimal-exact money
   * sums, double division only on exact inputs, total ORDER BY.
   *
@@ -350,6 +350,27 @@ object Relational {
         |SELECT part, root, depth FROM h ORDER BY part""".stripMargin)
   }
 
+  /** The offset/distribution window functions q6 doesn't cover:
+    * lag/lead (previous/next order per customer), ntile quartiles,
+    * and percent_rank — all over ONE window spec, so the whole
+    * projection shares a single shuffle+sort on the partition key
+    * (Spark fuses same-spec window functions into one Window node;
+    * mixing specs would stack sorts). Deterministic tie-break on the
+    * unique order key; gaps handled with explicit defaults so the
+    * oracle needs no null-ordering agreement. */
+  private val q32: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1, -1L).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1, -1L).over(w).as("next_order"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** PIVOT: order counts per priority × status. The pivot values are
     * given explicitly — at scale an unlisted pivot needs a separate
     * distinct pass first, so production pivots always enumerate. */
@@ -495,9 +516,19 @@ object Relational {
     "q20_range_join" -> q20, "q21_grouping_sets" -> q21,
     "q22_approx_distinct" -> q22, "q23_salted_join" -> q23,
     "q24_pivot" -> q24, "q30_sketch_union" -> q30,
-    "q31_recursive_cte" -> q31)
+    "q31_recursive_cte" -> q31, "q32_lead_lag" -> q32)
 
   val oracles: Map[String, String] = Map(
+    "q32_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_orderkey, 1, -1) OVER w AS prev_order,
+        | lead(o_orderkey, 1, -1) OVER w AS next_order,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | percent_rank() OVER w AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q31_recursive_cte" ->
       """WITH RECURSIVE h(part, root, depth) AS (
         |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
