@@ -156,11 +156,12 @@ object Dedup {
     * Map-side signatures: 128 minhashes per doc computed in one
     * projection over the shingle array — no explode, no groupBy, so
     * signature building is a zero-shuffle scan producing 1 KB/doc
-    * regardless of document size. Signatures are cheap enough
-    * native-side that both consumers below just recompute them per
-    * branch — no persist, so nothing leaks or goes stale across
-    * invocations. A 100 TB deployment would checkpoint the signature
-    * relation explicitly between stages.
+    * regardless of document size. The banded relation is persisted
+    * per invocation ([[OpCache]] — one live entry per call site), so
+    * the rep election, the overflow check's eager action, and the
+    * member-side join all read ONE computed copy of the signatures —
+    * the explicit between-stage checkpoint a 100 TB deployment of
+    * this pipeline would run anyway.
     *
     * Bucket cap: a self-join of a b-doc band bucket emits b²
     * candidate pairs — a single boilerplate bucket (every page's
@@ -193,19 +194,17 @@ object Dedup {
       maxBucket: Int, assertExact: Boolean = false): DataFrame = {
     val sigs = shBlocks.select(col("doc_id"), col("block"),
       call_function("graft_minhash128_long", col("sh")).as("sig"))
-    val bands = sigs.select(col("doc_id"), col("block"), explode(expr(
-      s"""transform(sequence(0, ${Bands - 1}), b -> named_struct(
-         |  'band', b,
-         |  'bh', xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))"""
-        .stripMargin)).as("bb"))
-      .select(col("doc_id"), col("block"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
-    if (assertExact)
-      checkBucketOverflow(bands,
-        Seq(col("block"), col("band"), col("bh")), maxBucket, "lshCandidates")
-    val reps = graft.functions.SaltedRank.topKPerGroup(bands,
+    val bands = OpCache.swap("lshCandidates",
+      sigs.select(col("doc_id"), col("block"), explode(expr(
+        s"""transform(sequence(0, ${Bands - 1}), b -> named_struct(
+           |  'band', b,
+           |  'bh', xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))"""
+          .stripMargin)).as("bb"))
+        .select(col("doc_id"), col("block"),
+          col("bb.band").as("band"), col("bb.bh").as("bh")))
+    val reps = cappedElection(bands, "lshCandidates",
         Seq(col("block"), col("band"), col("bh")),
-        Seq(col("doc_id").asc), maxBucket, col("doc_id"), RepSalt)
+        Seq(col("doc_id").asc), maxBucket, col("doc_id"), assertExact)
       .select(col("block").as("r_block"), col("band").as("r_band"),
         col("bh").as("r_bh"), col("doc_id").as("rep"))
     bands.join(reps,
@@ -229,14 +228,17 @@ object Dedup {
     * guarantee is cluster connectivity through shared reps — the
     * documented web-scale contract of [[lshCandidates]]. Returns the
     * number of overflowing buckets so specs can pin both regimes.
-    * Cost: one aggregate over fixed-size band keys (never text),
-    * cheap next to the candidate join it feeds. */
-  private def checkBucketOverflow(bands: DataFrame, keys: Seq[Column],
-      maxBucket: Int, what: String): Long = {
-    val row = bands.groupBy(keys: _*).agg(count(lit(1)).as("n"))
-      .agg(sum(when(col("n") > maxBucket, 1).otherwise(0)).as("over"),
-        max(col("n")).as("worst")).head()
-    val over = if (row.isNullAt(0)) 0L else row.getLong(0)
+    * Cost: near zero — the stats are DERIVED from the rep election
+    * itself ([[graft.functions.SaltedRank.topKPerGroupSized]] carries
+    * each bucket's exact total through its own two window jobs), so
+    * this is one filtered scan of the ≤cap-per-bucket rep relation,
+    * not a second aggregate over the full bands relation (the
+    * round-6 bench cost this replaces). */
+  private def checkBucketOverflow(reps: DataFrame, rank: String,
+      total: String, maxBucket: Int, what: String): Long = {
+    val row = reps.filter(col(rank) === 1 && col(total) > maxBucket)
+      .agg(count(lit(1)).as("over"), max(col(total)).as("worst")).head()
+    val over = row.getLong(0)
     if (over > 0)
       org.apache.log4j.Logger.getLogger(getClass).warn(
         s"$what: $over band buckets exceed $maxBucket docs " +
@@ -245,6 +247,47 @@ object Dedup {
           "preserved, pair-level completeness not) — the exact-oracle " +
           "contract holds only on corpora with zero overflow")
     over
+  }
+
+  /** One live cached relation per operator call-site: [[swap]]
+    * persists the new invocation's hot relation (MEMORY_AND_DISK) and
+    * unpersists the previous invocation's, so repeated query runs
+    * (Verify, bench reps) hold at most ONE cache entry per site
+    * instead of leaking one per invocation. The cache exists because
+    * the capped-candidate queries consume their band/scored relation
+    * from several subplans (the rep election, the eager overflow
+    * check, the member-side join) and Spark computes an unpersisted
+    * common subplan once PER consumer — at 100 TB this persist is the
+    * explicit between-stage checkpoint of the signature relation. */
+  private object OpCache {
+    private val live = scala.collection.concurrent.TrieMap[String, DataFrame]()
+    def swap(key: String, df: DataFrame): DataFrame = {
+      // Unpersist BEFORE persisting: the CacheManager keys entries by
+      // normalized plan, so a re-invocation with an identical plan
+      // (bench reps) would otherwise share the old entry and the
+      // deferred unpersist would silently evict the new cache too.
+      live.remove(key).foreach(old =>
+        scala.util.Try(old.unpersist(blocking = false)))
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      live.put(key, cached)
+      cached
+    }
+  }
+
+  /** The shared capped-representative election: top-`cap` rows per
+    * key group by `order`, elected via the salted rank, PERSISTED
+    * (the eager overflow check and the downstream candidate join both
+    * consume it — one computed copy), with the overflow stats derived
+    * from the election's own carried group totals when `assertExact`.
+    * Returns the rep relation with the bookkeeping columns dropped. */
+  private def cappedElection(relation: DataFrame, site: String,
+      keys: Seq[Column], order: Seq[Column], cap: Int, saltOn: Column,
+      assertExact: Boolean): DataFrame = {
+    val (elected0, rank, total) = graft.functions.SaltedRank.topKPerGroupSized(
+      relation, keys, order, cap, saltOn, RepSalt)
+    val elected = OpCache.swap(s"$site.reps", elected0)
+    if (assertExact) checkBucketOverflow(elected, rank, total, cap, site)
+    elected.drop(rank, total)
   }
 
   /** Stage-1 fanout of the rep selection. */
@@ -290,20 +333,17 @@ object Dedup {
     * see [[simhash]] for the cap semantics. */
   private[graft] def simhashPairs(docs: DataFrame, maxBucket: Int,
       assertExact: Boolean = false): DataFrame = {
-    val bands = docs.select(col("doc_id"), col("sim"),
-      explode(expr(
-        """transform(sequence(0, 3), b ->
-          |  struct(b AS band, (shiftright(sim, b * 16) & 65535) AS bv))"""
-          .stripMargin)).as("bb"))
-      .select(col("doc_id"), col("sim"), col("bb.band").as("band"),
-        col("bb.bv").as("bv"))
-    if (assertExact)
-      checkBucketOverflow(bands,
-        Seq(col("band"), col("bv")), maxBucket, "simhashPairs")
-    val reps = graft.functions.SaltedRank.topKPerGroup(
-        bands.select(col("doc_id"), col("sim"), col("band"), col("bv")),
+    val bands = OpCache.swap("simhashPairs",
+      docs.select(col("doc_id"), col("sim"),
+        explode(expr(
+          """transform(sequence(0, 3), b ->
+            |  struct(b AS band, (shiftright(sim, b * 16) & 65535) AS bv))"""
+            .stripMargin)).as("bb"))
+        .select(col("doc_id"), col("sim"), col("bb.band").as("band"),
+          col("bb.bv").as("bv")))
+    val reps = cappedElection(bands, "simhashPairs",
         Seq(col("band"), col("bv")),
-        Seq(col("doc_id").asc), maxBucket, col("doc_id"), RepSalt)
+        Seq(col("doc_id").asc), maxBucket, col("doc_id"), assertExact)
       .select(col("band").as("r_band"), col("bv").as("r_bv"),
         col("doc_id").as("doc_a"), col("sim").as("sim_a"))
     bands.join(reps,
@@ -357,14 +397,31 @@ object Dedup {
     * rounds (cluster ids are given), so unlike the trained ANN tiers
     * this keeps a full row-level oracle.
     *
-    * Scale shape: the pairwise join is cluster-blocked — the
-    * SemDeDup contract is that cluster count grows with the corpus so
-    * cells stay bounded (an oversized cell would route through the
-    * capped-representative path exactly like the ngram blocks); the
-    * centroid relation is one row per cluster, broadcast; one shuffle
-    * for the means, one for the self-join. */
-  private val semantic: Q = (s, d) => {
-    val e = embCorpus(s, d)
+    * Scale shape: the pairwise join is cluster-blocked, and the
+    * block size is ENFORCED, not assumed: the dropper (b) side of the
+    * join is capped at `cap` most-central members per cell, elected
+    * by the same salted rank as the LSH bucket reps, so one hot
+    * quantizer cell costs O(cell·cap) join rows, never cell². The
+    * cap is EXACT below itself — the drop rule only ever drops a
+    * vector because of a MORE CENTRAL one, and the elected reps are
+    * precisely the cell's top-`cap` by (centrality, id), so for cells
+    * ≤ cap the capped join is literally the full join (which is what
+    * keeps the row-level oracle sound where it runs; the overflow
+    * check proves that on every oracle corpus). For an OVERSIZED cell
+    * the trade is the documented one: a vector is dropped only if one
+    * of the cap most-central neighbors covers it — the keep-policy
+    * semantics (most-representative member survives) hold for every
+    * emitted verdict. The centroid relation is one row per cluster,
+    * broadcast; one shuffle for the means, one for the (capped)
+    * self-join. */
+  private val semantic: Q = (s, d) =>
+    semanticKept(embCorpus(s, d), SemTau, MaxBucket, assertExact = true)
+      .orderBy(col("vec_id"))
+
+  /** `(vec_id, label, kept)` verdicts for a `(vec_id, label, v, nrm)`
+    * corpus; see [[semantic]] for the cap semantics. */
+  private[graft] def semanticKept(e: DataFrame, tau: Double, cap: Int,
+      assertExact: Boolean = false): DataFrame = {
     // decimal-exact per-cluster centroid (shuffle-order-independent,
     // so the oracle reproduces it bit-identically)
     val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -375,18 +432,27 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label"), expr("transform(pm, s -> s.m)").as("c_v"))
       .withColumn("c_nrm", l2norm(col("c_v")))
-    val scored = e.join(broadcast(cent), Seq("label"))
-      .withColumn("c_cos",
-        cosine(col("v"), col("c_v"), col("nrm"), col("c_nrm")))
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_cos"))
-    val b = scored.select(col("vec_id").as("b_id"),
-      col("label").as("b_label"), col("v").as("b_v"),
-      col("nrm").as("b_nrm"), col("c_cos").as("b_ccos"))
+    val scored = OpCache.swap("semanticKept",
+      e.join(broadcast(cent), Seq("label"))
+        .withColumn("c_cos",
+          cosine(col("v"), col("c_v"), col("nrm"), col("c_nrm")))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+          col("c_cos")))
+    // Dropper side: the cell's `cap` most-central members. The
+    // election order IS the drop rule's centrality order, so every
+    // non-elected member ranks below every rep — capping loses only
+    // "dropped by a non-top-cap neighbor" events in oversized cells.
+    val b = cappedElection(scored, "semanticKept",
+        Seq(col("label")), Seq(col("c_cos").desc, col("vec_id").asc),
+        cap, col("vec_id"), assertExact)
+      .select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("v").as("b_v"), col("nrm").as("b_nrm"),
+        col("c_cos").as("b_ccos"))
     val dropped = scored.join(b,
         col("label") === col("b_label") && col("vec_id") =!= col("b_id") &&
           (col("b_ccos") > col("c_cos") ||
             (col("b_ccos") === col("c_cos") && col("b_id") < col("vec_id"))))
-      .filter(cosine(col("v"), col("b_v"), col("nrm"), col("b_nrm")) >= SemTau)
+      .filter(cosine(col("v"), col("b_v"), col("nrm"), col("b_nrm")) >= tau)
       .select(col("vec_id")).distinct()
       .withColumn("drop", lit(true))
     // c_cos stays internal: its last ULP differs from DuckDB's
@@ -394,7 +460,6 @@ object Dedup {
     // compared values are far apart relative to 1 ULP) is output
     scored.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"), col("drop").isNull.as("kept"))
-      .orderBy(col("vec_id"))
   }
 
   /** Benchmark decontamination — the training-corpus hygiene step

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
-import org.apache.spark.sql.functions.{col, lit, pmod, row_number}
+import org.apache.spark.sql.functions.{col, count, lit, pmod, row_number, sum, when}
 
 /** Salted two-level bounded rank — the relational "top k per group"
   * that never sorts a full group in one task: stage 1 ranks within
@@ -51,6 +51,45 @@ object SaltedRank {
       .filter(col(r2) <= k)
       .drop(saltC, r1)
     (out, r2)
+  }
+
+  /** Like [[topKPerGroupRanked]] but each surviving row additionally
+    * carries its group's TOTAL input row count, derived INSIDE the
+    * election's own two window jobs — so a caller that needs
+    * cap-overflow detection (did any group hold more than k rows?)
+    * pays no separate aggregate over the full input:
+    *   - stage 1 counts rows per (group, salt) in the same
+    *     partitioning its rank sorts by (one Exchange, one Sort;
+    *     the unordered count rides the sorted distribution);
+    *   - stage 2 sums those per-salt counts over each salt's rank-1
+    *     survivor — every nonempty salt group keeps exactly one
+    *     rank-1 row through the stage-1 filter, so the sum is the
+    *     exact group total even for groups whose rows were capped.
+    * Returns (survivors, finalRankCol, groupTotalCol); the total is
+    * a LongType column. */
+  def topKPerGroupSized(df: DataFrame, group: Seq[Column],
+      order: Seq[Column], k: Int, saltOn: Column,
+      fanout: Int): (DataFrame, String, String) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val taken = df.columns.toSet
+    val saltC = fresh("_salt", taken)
+    val r1 = fresh("_r1", taken)
+    val r2 = fresh("_r2", taken)
+    val ns = fresh("_ns", taken)
+    val nT = fresh("_n", taken)
+    val w1 = Window.partitionBy(group :+ col(saltC): _*).orderBy(order: _*)
+    val w1c = Window.partitionBy(group :+ col(saltC): _*)
+    val w2 = Window.partitionBy(group: _*).orderBy(order: _*)
+    val w2c = Window.partitionBy(group: _*)
+    val out = df.withColumn(saltC, pmod(saltOn, lit(fanout)))
+      .withColumn(ns, count(lit(1)).over(w1c))
+      .withColumn(r1, row_number().over(w1))
+      .filter(col(r1) <= k)
+      .withColumn(nT, sum(when(col(r1) === 1, col(ns))).over(w2c))
+      .withColumn(r2, row_number().over(w2))
+      .filter(col(r2) <= k)
+      .drop(saltC, r1, ns)
+    (out, r2, nT)
   }
 }
 

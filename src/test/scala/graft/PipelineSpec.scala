@@ -168,6 +168,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.length <= 15)
   }
 
+  test("topKPerGroupSized reports exact group totals under any salt skew") {
+    import graft.functions.SaltedRank
+    // worst case: every row lands in ONE salt group, so stage 1 drops
+    // 97 of 100 rows — the carried total must still be the true 100
+    val df = spark.range(100).select(col("id"), lit(1).as("g"))
+    val (out, rank, total) = SaltedRank.topKPerGroupSized(df,
+      Seq(col("g")), Seq(col("id").asc), 3, lit(7), 16)
+    val rows = out.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Long](total) == 100L))
+    assert(rows.map(_.getAs[Int](rank)).sorted.toSeq == Seq(1, 2, 3))
+    // spread salts: totals sum per-salt counts across rank-1 survivors
+    val (out2, _, total2) = SaltedRank.topKPerGroupSized(df,
+      Seq(col("g")), Seq(col("id").asc), 3, col("id"), 16)
+    assert(out2.collect().forall(_.getAs[Long](total2) == 100L))
+    // a group under the cap reports its own (smaller) total
+    val two = spark.range(105).select(col("id"),
+      (col("id") >= 100).cast("int").as("g"))
+    val (out3, _, total3) = SaltedRank.topKPerGroupSized(two,
+      Seq(col("g")), Seq(col("id").asc), 3, col("id"), 16)
+    val byG = out3.collect().groupBy(_.getAs[Int]("g"))
+    assert(byG(0).forall(_.getAs[Long](total3) == 100L))
+    assert(byG(1).forall(_.getAs[Long](total3) == 5L))
+  }
+
+  test("semantic dedup caps a one-hot cluster's dropper side at the " +
+      "most-central representatives") {
+    // 2-D unit vectors on one label: ids 0-3 hug the centroid, ids
+    // 9/10 sit 55-60 degrees out. tau=0.9 ~ 25.8 degrees, so with
+    // cap=4 the reps are exactly ids 0-3 and NOTHING within tau of
+    // id 10 is a rep — capped keeps it, uncapped drops it (id 9 is
+    // more central and 5 degrees away). That difference is the proof
+    // the dropper side really is routed through <=cap reps (bounded
+    // join rows per cell), not the full cell.
+    val angles = Seq(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 3.0,
+      9L -> 55.0, 10L -> 60.0)
+    val e = angles.toDF("vec_id", "deg")
+      .select(col("vec_id"), lit("cell").as("label"),
+        array(cos(radians(col("deg"))), sin(radians(col("deg"))))
+          .as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+    def kept(cap: Int): Map[Long, Boolean] =
+      graft.dedup.Dedup.semanticKept(e, tau = 0.9, cap = cap)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val capped = kept(4)
+    val full = kept(100)
+    // uncapped ground truth: most-central of 0-3 survives its tight
+    // cluster, 9 survives (nothing more central within tau), 10 is
+    // dropped by 9
+    assert(full(9L) && !full(10L))
+    assert(Seq(0L, 1L, 2L, 3L).count(full) == 1)
+    // capped: id 10's only coverer (id 9) is not among the 4 reps, so
+    // the cap changes exactly that one verdict — and nothing else
+    assert(capped(10L))
+    assert((capped - 10L) == (full - 10L))
+  }
+
   test("SaltedRank leaves caller columns named _salt/_r1/_r2 intact") {
     import graft.functions.SaltedRank
     val df = spark.range(10).select(col("id"), (col("id") % 3).as("g"),
