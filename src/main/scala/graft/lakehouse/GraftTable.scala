@@ -89,8 +89,11 @@ final case class Snapshot(
 /** Another writer published a snapshot between this operation's
   * snapshot capture and its commit (Iceberg's optimistic-concurrency
   * conflict). Appends rebase and retry internally; row-level DML
-  * surfaces the conflict for the caller to re-run against the new
-  * current snapshot — its affected-file computation is stale. */
+  * first validates the intervening commits against its own read/write
+  * file set ([[GraftTable.commitDml]]) and rebases when they are
+  * disjoint — this exception surfaces only on TRUE overlap (or
+  * metadata churn), for the caller to re-run against the new current
+  * snapshot. */
 final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
 
@@ -132,9 +135,11 @@ final class CommitConflictException(msg: String)
   * Concurrency: optimistic, Iceberg's model. Every commit names the
   * snapshot it expects to build on; publishing is a compare-and-swap
   * (per-root JVM lock + no-overwrite rename — see [[commit]]).
-  * Appends rebase and retry on conflict; row-level DML raises
-  * [[CommitConflictException]] for the caller to re-run, since its
-  * affected-file computation is stale.
+  * Appends rebase and retry on conflict; row-level DML validates the
+  * intervening commits against its read/write file set and rebases
+  * when disjoint ([[commitDml]] — Iceberg's partition/file-scoped
+  * conflict validation), raising [[CommitConflictException]] only on
+  * true overlap.
   */
 final class GraftTable(val spark: SparkSession, rootStr: String) {
   private val root = new Path(rootStr)
@@ -358,7 +363,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       }.toMap
     }
 
-  private[lakehouse] def setProperties(props: Map[String, String]): Unit =
+  private[graft] def setProperties(props: Map[String, String]): Unit =
     if (props.nonEmpty) {
       val out = fs.create(propsPath, true)
       try out.write(props.map { case (k, v) => s"$k=$v" }
@@ -389,6 +394,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * images + inserts (Iceberg's `write.merge.mode`). */
   def mergeMode: String =
     properties.getOrElse("write.merge.mode", "copy-on-write")
+
+  /** Row-level DML isolation for the rebase-on-conflict path
+    * (Iceberg's `write.delete/update/merge.isolation-level`, one knob
+    * here): `serializable` (default, Iceberg's) additionally rejects
+    * a rebase when files ADDED by intervening commits could contain
+    * rows matching this DML's predicate (manifest stats + partition
+    * pruning decide — conservative, never unsound); `snapshot` lets
+    * the DML apply to exactly the rows of its read snapshot and
+    * ignores concurrent appends. */
+  def dmlIsolation: String =
+    properties.getOrElse("write.dml.isolation-level", "serializable")
 
   /** Highest snapshot id on disk — the id allocator. Equals the main
     * head for a refs-less (linear) table. */
@@ -681,6 +697,128 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         }
       case _ => fs.rename(tmp, dest)
     }
+
+  /** Row-level DML commit with partition/file-scoped conflict
+    * validation and REBASE (Iceberg's `validate…`+retry model):
+    * instead of failing the moment the branch head moved, the lost
+    * race is re-examined against what the intervening commits
+    * actually touched, and when the sets are disjoint the same file
+    * delta is re-attached onto the new head. At 100 TB with
+    * per-partition ingest plus concurrent DML this is the difference
+    * between whole-table serialization of every DELETE/UPDATE/MERGE
+    * and writers only ever waiting on true overlap.
+    *
+    * - `readSet`: normalized data-file paths whose CONTENT this DML
+    *   read to compute its writes (CoW: the rewritten files; MoR: the
+    *   candidate files its tombstones name). Every one must still be
+    *   live at the new head — a concurrent rewrite/removal of any is
+    *   a real conflict (our rewrite would resurrect its rows, or our
+    *   tombstones would miss rows it moved).
+    * - `dropped`: normalized paths this DML removes from the file
+    *   list (⊆ readSet; empty for MoR).
+    * - `added` / `newTombs`: data / tombstone files this DML wrote —
+    *   file names are attempt-unique ([[writeData]]), so re-attaching
+    *   them to a different parent is safe.
+    * - `predSql`: the row filter, for the serializable-isolation
+    *   append check ([[dmlIsolation]]).
+    *
+    * Retries are bounded; exhaustion rethrows the conflict. */
+  private def commitDml(op: String, base: Snapshot,
+      readSet: Set[String], dropped: Set[String], added: Seq[String],
+      newTombs: Seq[String] = Nil, predSql: Option[String] = None,
+      branch: String = GraftTable.MainBranch): Long = {
+    var parent = base
+    var remaining = 8
+    while (true) {
+      val files = parent.files.filterNot(f => dropped(normalize(f))) ++ added
+      try {
+        return commit(op, base.schema, files, base.partitionCols,
+          expectedParent = parent.id,
+          posDelsOverride =
+            if (newTombs.isEmpty) None
+            else Some(parent.posDels ++ newTombs),
+          branch = branch)
+      } catch {
+        case e: CommitConflictException =>
+          remaining -= 1
+          if (remaining <= 0) throw e
+          val head = snapshot(headOf(branch))
+          if (head.id == parent.id) throw e // not a head race — rethrow
+          validateRebase(op, base, head, readSet, predSql)
+          parent = head
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Decide whether a DML computed against `base` may rebase onto
+    * concurrent `head`, throwing [[CommitConflictException]] with the
+    * precise reason when it may not. The checks, in order:
+    * table-shape freeze (schema / partition spec / renames / spec
+    * history unchanged — a rewrite computed under the old shape
+    * cannot be re-attached), no concurrent equality delete (its
+    * sequence scoping cannot cover this commit's files), concurrent
+    * position deletes must not target the read set (their rows would
+    * resurrect through a rewrite, or diverge through a second
+    * update), the read set must still be live, and — under
+    * serializable isolation — intervening commits must not have added
+    * files that could match the predicate (manifest stats + partition
+    * pruning; a file the stats cannot exclude counts as a conflict,
+    * so the check errs loud, never wrong). */
+  private def validateRebase(op: String, base: Snapshot, head: Snapshot,
+      readSet: Set[String], predSql: Option[String]): Unit = {
+    def conflict(why: String): Nothing =
+      throw new CommitConflictException(
+        s"$op computed over snapshot ${base.id} cannot rebase onto " +
+          s"concurrent head ${head.id}: $why")
+    if (head.schema != base.schema) conflict("schema changed concurrently")
+    if (head.partitionCols != base.partitionCols)
+      conflict("partition spec changed concurrently")
+    if (head.renames != base.renames) conflict("columns renamed concurrently")
+    if (head.specHist != base.specHist)
+      conflict("partition-spec history changed concurrently")
+    if (head.dels != base.dels)
+      conflict("a concurrent equality delete landed; its sequence " +
+        "scoping cannot cover this commit's files")
+    val baseTombs = base.posDels.toSet
+    if (!baseTombs.subsetOf(head.posDels.toSet))
+      conflict("tombstones were removed concurrently (rollback or " +
+        "compaction rewrote the delete files)")
+    val newTombs = head.posDels.filterNot(baseTombs)
+    if (newTombs.nonEmpty && readSet.nonEmpty) {
+      val hit = spark.read.parquet(newTombs: _*)
+        .select(col("_file")).distinct()
+        .collect().map(r => decodeScanPath(r.getString(0)))
+        .filter(readSet)
+      if (hit.nonEmpty)
+        conflict("concurrent position deletes target file(s) this " +
+          s"operation read for write (e.g. ${hit.head})")
+    }
+    val headLive = head.files.map(normalize).toSet
+    val gone = readSet.filterNot(headLive)
+    if (gone.nonEmpty)
+      conflict("file(s) read for write were concurrently rewritten " +
+        s"or removed (e.g. ${gone.head})")
+    if (dmlIsolation == "serializable") {
+      val baseLive = base.files.map(normalize).toSet
+      val addedBetween = headLive -- baseLive
+      if (addedBetween.nonEmpty) predSql match {
+        case Some(p) =>
+          val matching = dmlCandidates(head, p).map(normalize)
+            .filter(addedBetween)
+          if (matching.nonEmpty)
+            conflict("concurrently added file(s) may contain rows " +
+              s"matching the predicate (e.g. ${matching.head}); " +
+              "set write.dml.isolation-level=snapshot to scope DML " +
+              "to its read snapshot")
+        case None =>
+          conflict("data files were added concurrently and MERGE " +
+            "cannot prove them unmatched; set " +
+            "write.dml.isolation-level=snapshot to scope the merge " +
+            "to its read snapshot")
+      }
+    }
+  }
 
   // ---- reads -------------------------------------------------------
 
@@ -1587,16 +1725,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * scoping: tombstones name exact rows of exact files, so later
     * appends are untouched by construction. Needs no rewrite — the
     * data file set is unchanged (require()d in the spec). */
-  def deleteMoRPos(predSql: String): Long = {
-    val snap = currentSnapshot
+  def deleteMoRPos(predSql: String): Long =
+    deleteMoRPosAt(currentSnapshot, predSql)
+
+  /** [[deleteMoRPos]] against an explicit base snapshot — the
+    * deterministic seam for the rebase path, like [[deleteAt]]. */
+  private[graft] def deleteMoRPosAt(snap: Snapshot, predSql: String): Long = {
+    val cand = dmlCandidates(snap, predSql)
     // scan the LIVE view: rows already tombstoned (or under a pending
     // equality delete) must not be re-tombstoned
     val tombs = writeTombstones(
-      morReadPos(snap, dmlCandidates(snap, predSql)).filter(expr(predSql)),
-      snap.id + 1)
-    commit("delete-mor", snap.schema, snap.files, snap.partitionCols,
-      expectedParent = snap.id,
-      posDelsOverride = Some(snap.posDels ++ tombs))
+      morReadPos(snap, cand).filter(expr(predSql)), snap.id + 1)
+    commitDml("delete-mor", snap, cand.map(normalize).toSet, Set.empty,
+      Nil, newTombs = tombs, predSql = Some(predSql))
   }
 
   /** Merge-on-read UPDATE via position tombstones: the matched rows
@@ -1611,7 +1752,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val snap = currentSnapshot
     val assignments = resolveAssignments(assignments0,
       snap.schema.fieldNames.toSeq, "UPDATE SET")
-    val matching = morReadPos(snap, dmlCandidates(snap, predSql)).filter(p)
+    val cand = dmlCandidates(snap, predSql)
+    val matching = morReadPos(snap, cand).filter(p)
     val id = snap.id + 1
     val tombs = writeTombstones(matching, id)
     val images = matching.select(snap.schema.fieldNames.map { c =>
@@ -1622,10 +1764,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         case None => col(c)
       }
     }: _*)
-    commit("update-mor", snap.schema,
-      snap.files ++ writeData(images, id, snap.partitionCols),
-      snap.partitionCols, expectedParent = snap.id,
-      posDelsOverride = Some(snap.posDels ++ tombs))
+    commitDml("update-mor", snap, cand.map(normalize).toSet, Set.empty,
+      writeData(images, id, snap.partitionCols),
+      newTombs = tombs, predSql = Some(predSql))
   }
 
   /** Copy-on-write row DML computes affected files with a plain scan;
@@ -1637,11 +1778,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       s"$what: table has pending merge-on-read deletes; run compact() " +
         "to materialize them before copy-on-write row DML")
 
-  def delete(predSql: String): Long = {
+  def delete(predSql: String): Long = deleteAt(currentSnapshot, predSql)
+
+  /** [[delete]] computed against an explicit base snapshot — the
+    * deterministic seam for the rebase-on-conflict path: a caller
+    * holding a stale base reproduces "another writer committed while
+    * this DELETE scanned" without thread-timing luck. */
+  private[graft] def deleteAt(snap: Snapshot, predSql: String): Long = {
     val p = expr(predSql)
-    val snap = currentSnapshot
     requireNoMorDels(snap, "DELETE")
-    val (keep, rewrite) = partitionFiles(snap,
+    val (_, rewrite) = partitionFiles(snap,
       affectedFiles(snap, dmlCandidates(snap, predSql), _.filter(p)))
     val id = currentSnapshotId + 1
     val newFiles =
@@ -1653,8 +1799,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         readFilesMapped(snap, rewrite)
           .filter(not(coalesce(p, lit(false)))),
         id, snap.partitionCols)
-    commit("delete", snap.schema, keep ++ newFiles, snap.partitionCols,
-      expectedParent = snap.id)
+    val touched = rewrite.map(normalize).toSet
+    commitDml("delete", snap, touched, touched, newFiles,
+      predSql = Some(predSql))
   }
 
   /** Resolve assignment / value-map keys against the table schema the
@@ -1700,7 +1847,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     requireNoMorDels(snap, "UPDATE")
     val assignments = resolveAssignments(assignments0,
       snap.schema.fieldNames.toSeq, "UPDATE SET")
-    val (keep, rewrite) = partitionFiles(snap,
+    val (_, rewrite) = partitionFiles(snap,
       affectedFiles(snap, dmlCandidates(snap, predSql), _.filter(p)))
     val id = currentSnapshotId + 1
     val newFiles =
@@ -1719,8 +1866,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
           }: _*)
         writeData(updated, id, snap.partitionCols)
       }
-    commit("update", snap.schema, keep ++ newFiles, snap.partitionCols,
-      expectedParent = snap.id)
+    val touched = rewrite.map(normalize).toSet
+    commitDml("update", snap, touched, touched, newFiles,
+      predSql = Some(predSql))
   }
 
   /** MERGE INTO t USING source ON t.key = s.key
@@ -1877,7 +2025,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       }
 
     def committed(matched: Option[DataFrame], ins: Option[DataFrame],
-        keep: Seq[String], tombs: Seq[String]): Long = {
+        readSet: Set[String], dropped: Set[String],
+        tombs: Seq[String]): Long = {
       val newData = (matched, ins) match {
         case (Some(u), Some(i)) => Some(aligned(u, snap.schema)
           .unionByName(aligned(i, snap.schema)))
@@ -1885,11 +2034,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         case (None, Some(i))    => Some(aligned(i, snap.schema))
         case (None, None)       => None
       }
-      commit("merge", snap.schema,
-        keep ++ newData.map(writeData(_, id, snap.partitionCols)).getOrElse(Nil),
-        snap.partitionCols, expectedParent = snap.id,
-        posDelsOverride =
-          if (tombs.isEmpty) None else Some(snap.posDels ++ tombs))
+      commitDml("merge", snap, readSet, dropped,
+        newData.map(writeData(_, id, snap.partitionCols)).getOrElse(Nil),
+        newTombs = tombs)
     }
 
     if (mergeMode == "merge-on-read") {
@@ -1925,12 +2072,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         case _: MergeClause.Delete => false
         case _                     => true
       })
-      return committed(images, inserted, snap.files, tombs)
+      return committed(images, inserted, cand.map(normalize).toSet,
+        Set.empty, tombs)
     }
 
     // ---- copy-on-write: rewrite every file containing a match ------
     // a MERGE with no matched clauses touches no existing file
-    val (keep, rewrite) =
+    val (_, rewrite) =
       if (matchedClauses.isEmpty) (snap.files, Nil)
       else partitionFiles(snap,
         affectedFiles(snap, snap.files,
@@ -1950,7 +2098,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         Some(postClause(kept))
       }
 
-    committed(rewritten, inserted, keep, Nil)
+    committed(rewritten, inserted, rewrite.map(normalize).toSet,
+      rewrite.map(normalize).toSet, Nil)
   }
 
   /** Small-file compaction: rewrite the whole file set into

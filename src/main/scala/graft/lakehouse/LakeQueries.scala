@@ -698,8 +698,30 @@ object LakeQueries {
         "COMMITTED"
       } catch { case _: CommitConflictException => "CONFLICT" }
     require(t1.read().count() == counts06, "stale DML must not publish")
+    // partition-scoped DML conflict validation (Iceberg's): two
+    // DELETEs racing from the same base snapshot but touching
+    // DISJOINT partitions must BOTH land — the loser validates the
+    // intervening commit against its read/write file set (manifest
+    // partition pruning proves the winner's rewritten files cannot
+    // match the loser's predicate, even under the default
+    // serializable isolation) and rebases onto the new head. A pair
+    // touching the same files still conflicts — pinned in
+    // LakehouseSpec; the query records the user-visible outcome.
+    val shard = orders.withColumn("shard",
+      (col("o_orderkey") % 2 === 0).cast("string"))
+    val d1 = GraftTable.create(s, tmp("lake_conc_dml"), shard,
+      partitionBy = Seq("shard"))
+    val d2 = GraftTable.load(s, d1.location)
+    val cut = "o_totalprice < 150000" // partial: rewrites stay nonempty
+    val dmlBase = d1.currentSnapshot
+    val n1 = d1.delete(s"shard = 'true' AND $cut")  // writer 1 lands
+    val n2 = d2.deleteAt(dmlBase, s"shard = 'false' AND $cut") // stale
+    val disjointDml =
+      if (n2 > n1 && d1.read().count() ==
+          shard.filter(not(expr(cut))).count())
+        "BOTH_COMMITTED" else "LOST_DELETE"
     Seq(("concurrent_appends", allIn), ("stale_append", rebased),
-      ("stale_dml", staleDml))
+      ("stale_dml", staleDml), ("disjoint_dml", disjointDml))
       .toDF("scenario", "outcome").orderBy("scenario")
   }
 
@@ -769,6 +791,7 @@ object LakeQueries {
     "lake_concurrent" ->
       """SELECT * FROM (VALUES
         |  ('concurrent_appends', 'ALL_COMMITTED'),
+        |  ('disjoint_dml', 'BOTH_COMMITTED'),
         |  ('stale_append', 'REBASED'),
         |  ('stale_dml', 'CONFLICT'))
         |  AS t(scenario, outcome)

@@ -476,7 +476,8 @@ object LakeDdl {
       "write.delete.mode" -> Set("copy-on-write", "merge-on-read"),
       "write.delete.style" -> Set("equality", "position"),
       "write.update.mode" -> Set("copy-on-write", "merge-on-read"),
-      "write.merge.mode" -> Set("copy-on-write", "merge-on-read"))
+      "write.merge.mode" -> Set("copy-on-write", "merge-on-read"),
+      "write.dml.isolation-level" -> Set("serializable", "snapshot"))
     spec.properties.foreach { case (k, v) =>
       known.get(k) match {
         case None => throw new UnsupportedOperationException(

@@ -187,6 +187,65 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.currentSnapshotId == 5 && t.read().count() == 5)
   }
 
+  test("disjoint-partition DELETEs both commit via rebase; " +
+      "overlapping DML still conflicts") {
+    val dir = Files.createTempDirectory("graft_spec").toString
+    val t = GraftTable.create(spark,
+      dir,
+      Seq((1L, "p1", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0),
+        (4L, "p2", 4.0)).toDF("k", "tag", "v"),
+      partitionBy = Seq("tag"))
+    // writer B captures its base, then writer A lands first: B's
+    // commit is now stale — but the two deletes touch disjoint
+    // partitions (disjoint file sets), so B must REBASE and land,
+    // not throw (Iceberg's partition-scoped conflict validation)
+    val base = t.currentSnapshot
+    t.delete("k = 1")                  // writer A: partition p1
+    t.deleteAt(base, "k = 3")          // writer B, stale: partition p2
+    assert(t.read().select("k").as[Long].collect().sorted
+      .sameElements(Array(2L, 4L)), "both deletes must apply")
+    // overlapping writers: both rewrite the p1 file — the loser's
+    // read set is gone at the new head, a true conflict
+    val base2 = t.currentSnapshot
+    t.delete("k = 2")
+    val e = intercept[graft.lakehouse.CommitConflictException](
+      t.deleteAt(base2, "k = 2 AND v >= 0"))
+    assert(e.getMessage.contains("read for write"))
+    // serializable isolation: a concurrent append that may match the
+    // predicate blocks the rebase; snapshot isolation scopes the
+    // DELETE to its read snapshot and lets the new row survive
+    t.append(Seq((5L, "p2", 5.0)).toDF("k", "tag", "v"))
+    val base3 = t.currentSnapshot
+    t.append(Seq((6L, "p2", 6.0)).toDF("k", "tag", "v"))
+    intercept[graft.lakehouse.CommitConflictException](
+      t.deleteAt(base3, "k = 6"))
+    t.setProperties(t.properties +
+      ("write.dml.isolation-level" -> "snapshot"))
+    t.deleteAt(t.snapshot(base3.id), "k = 6")
+    assert(t.read().filter(col("k") === 6).count() == 1,
+      "snapshot isolation: the concurrently appended row is out of " +
+        "the stale DELETE's scope and must survive")
+  }
+
+  test("MoR position-delete rebase: disjoint targets compose, " +
+      "same-file tombstones conflict") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.append(Seq((3L, "c", 3.0), (4L, "d", 4.0)).toDF("k", "tag", "v"))
+    val base = t.currentSnapshot
+    t.deleteMoRPos("k = 1")            // tombstones the first file
+    t.deleteMoRPosAt(base, "k = 3")    // stale, targets the second file
+    assert(t.read().select("k").as[Long].collect().sorted
+      .sameElements(Array(2L, 4L)), "both MoR deletes must apply")
+    // overlap: both tombstone rows of the SAME file — the second
+    // writer may have tombstoned the same row; a second update would
+    // diverge, so file-level overlap is a true conflict
+    val base2 = t.currentSnapshot
+    t.deleteMoRPos("k = 2")
+    val e = intercept[graft.lakehouse.CommitConflictException](
+      t.deleteMoRPosAt(base2, "k = 2 AND v >= 0"))
+    assert(e.getMessage.contains("position deletes target"))
+  }
+
   test("write-audit-publish: staged rows invisible, publish rebases, abandon cleans") {
     val t = freshTable(Seq((1L, "a", 1.0)))
     val tok = t.stageAppend(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))
