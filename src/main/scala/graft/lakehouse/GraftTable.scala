@@ -2664,6 +2664,67 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     morRead(snap, snap.files.filter(kept)).filter(expr(filterSql))
   }
 
+  /** Runtime file pruning for a dim-filtered FACT JOIN — the shape
+    * Iceberg+Spark get from runtime filtering / dynamic partition
+    * pruning, where [[readWhere]] covers only hand-written static
+    * predicates: returns this table's rows whose `factKey` appears in
+    * `dim`'s `dimKey` column (the semi-join the fact side of a
+    * dim-filtered join reduces to), with the fact scan planned over
+    * ONLY the files whose manifest stats and partition values could
+    * hold one of the dim's join keys. The dim side of such a join is
+    * broadcast-sized by definition, so its distinct keys collect to
+    * the driver (bounded by `maxKeys`) and prune on the manifest
+    * alone — no fact file opens. On a bucket(n, factKey)-partitioned
+    * or factKey-sort-compacted fact table a k-key dim prunes the scan
+    * to O(k) files out of the whole table, which at 100 TB is the
+    * difference between reading the dimension's slice and reading
+    * everything.
+    *
+    * The collected keys never enter the row-side plan (a giant IN
+    * literal costs seconds of analysis/codegen): file elimination is
+    * driver-side, and the residual row filter is a broadcast
+    * LEFT SEMI join against the dim keys. Past `maxKeys` the method
+    * degrades to that semi-join un-pruned (same semantics, a loud
+    * log) rather than building an unbounded driver key list. */
+  def readWhereIn(factKey: String, dim: DataFrame, dimKey: String,
+      maxKeys: Int = 10000): DataFrame = {
+    val snap = currentSnapshot
+    require(snap.schema.fieldNames.exists(_.equalsIgnoreCase(factKey)),
+      s"readWhereIn: '$factKey' is not a table column")
+    val keyRel = dim.select(col(dimKey).as(factKey)).distinct()
+    def semi(base: DataFrame): DataFrame =
+      base.join(broadcast(keyRel), Seq(factKey), "left_semi")
+    val keys = keyRel.limit(maxKeys + 1).collect().map(_.get(0))
+    if (keys.length > maxKeys) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"readWhereIn($factKey): dim side exceeds $maxKeys distinct " +
+          "keys — runtime file pruning skipped, full-scan semi-join " +
+          "planned instead")
+      semi(morRead(snap, snap.files))
+    } else {
+      val kept = pruneByKeys(snap, factKey,
+        keys.filter(_ != null).toIndexedSeq).toSet
+      semi(morRead(snap, snap.files.filter(kept)))
+    }
+  }
+
+  /** The file subset [[readWhereIn]] plans for these join keys:
+    * manifest stats ∩ partition placement of `factKey IN (keys)` —
+    * exposed so queries/specs can require() the pruning they claim. */
+  private[graft] def pruneByKeys(snap: Snapshot, factKey: String,
+      keys: Seq[Any]): Seq[String] = {
+    if (keys.isEmpty) return Nil
+    // typed catalyst literals render correctly-quoted/tagged SQL
+    // (strings escaped, timestamps as TIMESTAMP '…'), so the pruning
+    // predicate round-trips through the same parser readWhere uses
+    val lits = keys.map(k =>
+      org.apache.spark.sql.catalyst.expressions.Literal(k).sql)
+    val predSql = s"$factKey IN (${lits.mkString(", ")})"
+    val kept = pruneByStats(snap, predSql).toSet &
+      prunePartitions(snap, predSql).toSet
+    snap.files.filter(kept)
+  }
+
   /** The files of the current snapshot whose partition directories
     * could contain a row matching `filterSql` — hidden-partitioning
     * pruning: predicates on the RAW column map onto the transformed

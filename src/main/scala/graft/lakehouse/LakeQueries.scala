@@ -424,6 +424,39 @@ object LakeQueries {
     t.readWhere(pred).orderBy("o_orderkey")
   }
 
+  /** Runtime file pruning for the dim-filtered fact join (the
+    * dynamic-partition-pruning shape; Iceberg+Spark's runtime
+    * filtering) — the reference's own governed fact⋈dim join
+    * (consumer_emr_on_eks_setup.sh:409-412) at warehouse scale. The
+    * fact table is hidden-partitioned `bucket[64](o_custkey)`; the
+    * dim side (the 10 richest customers — a deterministic total
+    * order, so every sf and engine agrees) collects to 10 join keys
+    * whose bucket placement prunes the fact scan to ≤10 of 64 bucket
+    * directories ON THE MANIFEST ALONE, require()d a strict subset at
+    * every sf (10 keys < 64 buckets by construction — this is the
+    * pitfall-proof form of the invariant). The residual semi-join
+    * keeps correctness independent of the pruning. */
+  private val runtimePrune: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val customer = Tables.customer(s, dir)
+    val t = GraftTable.create(s, tmp("lake_rtp"), orders,
+      partitionBy = Seq("bucket[64](o_custkey)"))
+    val dim = customer
+      .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(10)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val snap = t.currentSnapshot
+    val keys = dim.select("c_custkey").collect().map(_.get(0)).toIndexedSeq
+    val pruned = t.pruneByKeys(snap, "o_custkey", keys)
+    require(pruned.nonEmpty && pruned.size < snap.files.size,
+      s"dim join keys must prune a strict fact-file subset on the " +
+        s"manifest (${pruned.size} of ${snap.files.size})")
+    t.readWhereIn("o_custkey", dim, "c_custkey")
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("o_totalprice"), col("c_acctbal"))
+      .orderBy("o_orderkey")
+  }
+
   /** Partition spec evolution (Iceberg's "change the partitioning
     * without rewriting a byte"): the table starts UNPARTITIONED
     * (early small-table days), then evolves to `year(o_orderdate)`
@@ -770,6 +803,7 @@ object LakeQueries {
     "lake_compaction"       -> compaction,
     "lake_partitioned"      -> partitioned,
     "lake_skipping"         -> skipping,
+    "lake_runtime_prune"    -> runtimePrune,
     "lake_metadata"         -> metadata,
     "lake_sort_compact"     -> sortCompact,
     "lake_zorder"           -> zorder,
@@ -981,6 +1015,16 @@ object LakeQueries {
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |ORDER BY o_orderkey""".stripMargin,
+    // the fact side of the dim-filtered join, runtime-pruned on the
+    // Spark side (file skipping never changes the rows, only the scan)
+    "lake_runtime_prune" ->
+      """WITH dim AS (SELECT c_custkey, c_name, c_acctbal
+        |             FROM customer
+        |             ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+        |SELECT o.o_orderkey, o.o_custkey, d.c_name,
+        |       o.o_totalprice, d.c_acctbal
+        |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     // two name epochs: even custkeys wrote (…, c_mktsegment) pre-ALTER
     // and read NULL tier; odd custkeys wrote post-ADD with tier; the
     // rename + drop then reshape both epochs in metadata only

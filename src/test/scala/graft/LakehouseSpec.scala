@@ -227,6 +227,33 @@ class LakehouseSpec extends AnyFunSuite {
         "the stale DELETE's scope and must survive")
   }
 
+  test("readWhereIn prunes fact files by dim join keys, keeps " +
+      "semi-join semantics, degrades un-pruned past maxKeys") {
+    val dir = Files.createTempDirectory("graft_spec").toString
+    val df = (1L to 64L).map(k => (k, s"t$k", k * 1.0)).toDF("k", "tag", "v")
+    val t = GraftTable.create(spark, dir, df,
+      partitionBy = Seq("bucket[16](k)"))
+    val dim = Seq((3L, "x"), (17L, "y")).toDF("dk", "name")
+    val snap = t.currentSnapshot
+    val pruned = t.pruneByKeys(snap, "k", Seq(3L, 17L))
+    assert(pruned.nonEmpty && pruned.size < snap.files.size,
+      s"2 keys must hit <=2 of 16 bucket dirs (${pruned.size} of " +
+        s"${snap.files.size})")
+    val rows = t.readWhereIn("k", dim, "dk")
+      .select("k").as[Long].collect().sorted
+    assert(rows.sameElements(Array(3L, 17L)))
+    // past maxKeys: same rows, no pruning, loud log instead of an
+    // unbounded driver key collect
+    val rows2 = t.readWhereIn("k", dim, "dk", maxKeys = 1)
+      .select("k").as[Long].collect().sorted
+    assert(rows2.sameElements(Array(3L, 17L)))
+    // a dim with only null keys matches nothing (IN / semi-join are
+    // null-rejecting) and plans zero fact files
+    val nullDim = Seq[(Option[Long], String)]((None, "n"))
+      .toDF("dk", "name")
+    assert(t.readWhereIn("k", nullDim, "dk").count() == 0)
+  }
+
   test("MoR position-delete rebase: disjoint targets compose, " +
       "same-file tombstones conflict") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
