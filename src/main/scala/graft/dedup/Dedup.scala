@@ -249,27 +249,43 @@ object Dedup {
     over
   }
 
-  /** One live cached relation per operator call-site: [[swap]]
-    * persists the new invocation's hot relation (MEMORY_AND_DISK) and
-    * unpersists the previous invocation's, so repeated query runs
-    * (Verify, bench reps) hold at most ONE cache entry per site
-    * instead of leaking one per invocation. The cache exists because
-    * the capped-candidate queries consume their band/scored relation
-    * from several subplans (the rep election, the eager overflow
-    * check, the member-side join) and Spark computes an unpersisted
-    * common subplan once PER consumer — at 100 TB this persist is the
-    * explicit between-stage checkpoint of the signature relation. */
+  /** One live cached relation per (SparkSession, operator call-site):
+    * [[swap]] persists the new invocation's hot relation
+    * (MEMORY_AND_DISK) and unpersists the previous invocation's, so
+    * repeated query runs (Verify, bench reps) hold at most ONE cache
+    * entry per site instead of leaking one per invocation. The cache
+    * exists because the capped-candidate queries consume their
+    * band/scored relation from several subplans (the rep election,
+    * the eager overflow check, the member-side join) and Spark
+    * computes an unpersisted common subplan once PER consumer — at
+    * 100 TB this persist is the explicit between-stage checkpoint of
+    * the signature relation.
+    *
+    * Keying by session keeps independent SparkSessions in one JVM
+    * (parallel test suites, a notebook server) from evicting each
+    * other's in-flight cache; entries of STOPPED sessions are swept
+    * on every swap, so the map never pins a dead session or its
+    * blocks past the next dedup invocation. Within one session the
+    * one-computed-copy guarantee is per call-site: two concurrent
+    * invocations of the SAME operator in the SAME session may evict
+    * each other mid-flight — results stay correct (an evicted
+    * relation recomputes), the guarantee is just not concurrent,
+    * which matches the one-query-at-a-time driver contract. */
   private object OpCache {
-    private val live = scala.collection.concurrent.TrieMap[String, DataFrame]()
+    private val live =
+      scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
     def swap(key: String, df: DataFrame): DataFrame = {
+      val session = df.sparkSession
+      live.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(k => live.remove(k))
       // Unpersist BEFORE persisting: the CacheManager keys entries by
       // normalized plan, so a re-invocation with an identical plan
       // (bench reps) would otherwise share the old entry and the
       // deferred unpersist would silently evict the new cache too.
-      live.remove(key).foreach(old =>
+      live.remove((session, key)).foreach(old =>
         scala.util.Try(old.unpersist(blocking = false)))
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      live.put(key, cached)
+      live.put((session, key), cached)
       cached
     }
   }

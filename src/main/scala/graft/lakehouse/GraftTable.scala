@@ -395,16 +395,37 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def mergeMode: String =
     properties.getOrElse("write.merge.mode", "copy-on-write")
 
-  /** Row-level DML isolation for the rebase-on-conflict path
-    * (Iceberg's `write.delete/update/merge.isolation-level`, one knob
-    * here): `serializable` (default, Iceberg's) additionally rejects
-    * a rebase when files ADDED by intervening commits could contain
+  /** Row-level DML isolation for the rebase-on-conflict path:
+    * `serializable` (default, Iceberg's) additionally rejects a
+    * rebase when files ADDED by intervening commits could contain
     * rows matching this DML's predicate (manifest stats + partition
     * pruning decide — conservative, never unsound); `snapshot` lets
     * the DML apply to exactly the rows of its read snapshot and
-    * ignores concurrent appends. */
+    * ignores concurrent appends. The table-wide knob; per-operation
+    * overrides resolve through [[isolationFor]]. */
   def dmlIsolation: String =
     properties.getOrElse("write.dml.isolation-level", "serializable")
+
+  /** The isolation level governing ONE DML operation, resolved ONCE
+    * at DML entry and threaded through the retry loop ([[commitDml]]):
+    * Iceberg's per-operation `write.delete/update/merge
+    * .isolation-level` wins over the table-wide
+    * `write.dml.isolation-level`. Capturing the level up front keeps
+    * a concurrent `setProperties` from flipping the semantics of an
+    * in-flight DML between rebase retries — the level a statement
+    * runs under is the level in force when it started, like Iceberg
+    * binding its write options at operation build time. */
+  private def isolationFor(op: String): String = {
+    val props = properties
+    val family = op.takeWhile(_ != '-') // delete-mor → delete, etc.
+    val perOp = family match {
+      case "delete" | "update" | "merge" =>
+        props.get(s"write.$family.isolation-level")
+      case _ => None
+    }
+    perOp.getOrElse(
+      props.getOrElse("write.dml.isolation-level", "serializable"))
+  }
 
   /** Highest snapshot id on disk — the id allocator. Equals the main
     * head for a refs-less (linear) table. */
@@ -720,13 +741,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     *   file names are attempt-unique ([[writeData]]), so re-attaching
     *   them to a different parent is safe.
     * - `predSql`: the row filter, for the serializable-isolation
-    *   append check ([[dmlIsolation]]).
+    *   append check ([[isolationFor]], bound once at entry).
     *
     * Retries are bounded; exhaustion rethrows the conflict. */
   private def commitDml(op: String, base: Snapshot,
       readSet: Set[String], dropped: Set[String], added: Seq[String],
       newTombs: Seq[String] = Nil, predSql: Option[String] = None,
       branch: String = GraftTable.MainBranch): Long = {
+    // bound once at entry; a concurrent setProperties cannot flip the
+    // isolation semantics of an in-flight DML between retries
+    val isolation = isolationFor(op)
     var parent = base
     var remaining = 8
     while (true) {
@@ -744,7 +768,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
           if (remaining <= 0) throw e
           val head = snapshot(headOf(branch))
           if (head.id == parent.id) throw e // not a head race — rethrow
-          validateRebase(op, base, head, readSet, predSql)
+          validateRebase(op, base, head, readSet, predSql, isolation)
           parent = head
       }
     }
@@ -766,7 +790,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * pruning; a file the stats cannot exclude counts as a conflict,
     * so the check errs loud, never wrong). */
   private def validateRebase(op: String, base: Snapshot, head: Snapshot,
-      readSet: Set[String], predSql: Option[String]): Unit = {
+      readSet: Set[String], predSql: Option[String],
+      isolation: String): Unit = {
     def conflict(why: String): Nothing =
       throw new CommitConflictException(
         s"$op computed over snapshot ${base.id} cannot rebase onto " +
@@ -799,7 +824,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     if (gone.nonEmpty)
       conflict("file(s) read for write were concurrently rewritten " +
         s"or removed (e.g. ${gone.head})")
-    if (dmlIsolation == "serializable") {
+    if (isolation == "serializable") {
       val baseLive = base.files.map(normalize).toSet
       val addedBetween = headLive -- baseLive
       if (addedBetween.nonEmpty) predSql match {
@@ -1747,9 +1772,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * appended images), not a rewrite of every affected FILE the way
     * copy-on-write does. Routed from SQL UPDATE when
     * `write.update.mode=merge-on-read`. */
-  def updateMoRPos(assignments0: Map[String, String], predSql: String): Long = {
+  def updateMoRPos(assignments0: Map[String, String], predSql: String): Long =
+    updateMoRPosAt(currentSnapshot, assignments0, predSql)
+
+  /** [[updateMoRPos]] against an explicit base snapshot — the
+    * deterministic seam for the rebase path, like [[deleteAt]]: a
+    * caller holding a stale base reproduces "another writer committed
+    * while this UPDATE scanned" without thread-timing luck. */
+  private[graft] def updateMoRPosAt(snap: Snapshot,
+      assignments0: Map[String, String], predSql: String): Long = {
     val p = expr(predSql)
-    val snap = currentSnapshot
     val assignments = resolveAssignments(assignments0,
       snap.schema.fieldNames.toSeq, "UPDATE SET")
     val cand = dmlCandidates(snap, predSql)
@@ -1898,8 +1930,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * rewrite set, so the whole MERGE is the semi-join scan + one
     * rewrite + one anti-join, no extra shuffles. */
   def merge(source: DataFrame, keys0: Seq[String],
-      clauses0: Seq[MergeClause]): Long = {
-    val snap = currentSnapshot
+      clauses0: Seq[MergeClause]): Long =
+    mergeAt(currentSnapshot, source, keys0, clauses0)
+
+  /** [[merge]] computed against an explicit base snapshot — the
+    * deterministic seam for the rebase path, like [[deleteAt]]. */
+  private[graft] def mergeAt(snap: Snapshot, source: DataFrame,
+      keys0: Seq[String], clauses0: Seq[MergeClause]): Long = {
     // merge-on-read MERGE reads the live view and rewrites nothing, so
     // pending deletes (either shape) compose; copy-on-write must not
     // rewrite through them
@@ -2533,7 +2570,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * skips files that are provably all-null (null count == record
     * count). */
   private[graft] def pruneByStats(snap: Snapshot,
-      filterSql: String): Seq[String] = {
+      filterSql: String): Seq[String] =
+    pruneByStats(snap,
+      spark.sessionState.sqlParser.parseExpression(filterSql))
+
+  /** [[pruneByStats]] over an already-built Catalyst predicate —
+    * callers holding a typed expression (e.g. [[pruneByKeys]]) skip
+    * the SQL render/re-parse round-trip. */
+  private[graft] def pruneByStats(snap: Snapshot,
+      filter: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
       BinaryComparison, EqualTo => CEq, GreaterThan => CGt,
       GreaterThanOrEqual => CGe, In => CIn, IsNotNull => CIsNotNull,
@@ -2607,8 +2653,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       case _ => Nil
     }
 
-    val preds = conjuncts(
-      spark.sessionState.sqlParser.parseExpression(filterSql))
+    val preds = conjuncts(filter)
     if (preds.isEmpty) return snap.files
 
     // String order caveat: Spark compares strings by UTF-8 binary
@@ -2682,10 +2727,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     *
     * The collected keys never enter the row-side plan (a giant IN
     * literal costs seconds of analysis/codegen): file elimination is
-    * driver-side, and the residual row filter is a broadcast
-    * LEFT SEMI join against the dim keys. Past `maxKeys` the method
-    * degrades to that semi-join un-pruned (same semantics, a loud
-    * log) rather than building an unbounded driver key list. */
+    * driver-side against the typed key set directly (one Catalyst
+    * `In` handed to the manifest pruners — no SQL string round-trip),
+    * and the residual row filter is a broadcast LEFT SEMI join
+    * against the dim keys. Past `maxKeys` the method degrades to that
+    * semi-join un-pruned (same semantics, a loud log) rather than
+    * building an unbounded driver key list.
+    *
+    * NOTE this method runs a Spark job EAGERLY, at DataFrame
+    * construction — the dim-side distinct keys (bounded by
+    * `maxKeys`+1) collect to the driver before the fact plan is
+    * built, because file elimination must happen before the scan
+    * relation exists. Callers composing lazy plans should call this
+    * last; the cost is one job over the (broadcast-sized) dim. */
   def readWhereIn(factKey: String, dim: DataFrame, dimKey: String,
       maxKeys: Int = 10000): DataFrame = {
     val snap = currentSnapshot
@@ -2714,14 +2768,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   private[graft] def pruneByKeys(snap: Snapshot, factKey: String,
       keys: Seq[Any]): Seq[String] = {
     if (keys.isEmpty) return Nil
-    // typed catalyst literals render correctly-quoted/tagged SQL
-    // (strings escaped, timestamps as TIMESTAMP '…'), so the pruning
-    // predicate round-trips through the same parser readWhere uses
-    val lits = keys.map(k =>
-      org.apache.spark.sql.catalyst.expressions.Literal(k).sql)
-    val predSql = s"$factKey IN (${lits.mkString(", ")})"
-    val kept = pruneByStats(snap, predSql).toSet &
-      prunePartitions(snap, predSql).toSet
+    // the key set becomes ONE typed Catalyst In(attr, literals)
+    // handed straight to both pruners — no rendering of a
+    // 10k-literal SQL string and no driver-side re-parse of it
+    val in = org.apache.spark.sql.catalyst.expressions.In(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+        Seq(factKey)),
+      keys.map(k =>
+        org.apache.spark.sql.catalyst.expressions.Literal(k)))
+    val kept = pruneByStats(snap, in).toSet &
+      prunePartitions(snap, in).toSet
     snap.files.filter(kept)
   }
 
@@ -2731,11 +2787,21 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * partition values (month/day/year monotonically, bucket by
     * equality hash placement), decided on manifest paths alone. */
   private[graft] def prunePartitions(snap: Snapshot,
-      filterSql: String): Seq[String] =
+      filterSql: String): Seq[String] = {
+    val parsed =
+      try Some(spark.sessionState.sqlParser.parseExpression(filterSql))
+      catch { case scala.util.control.NonFatal(_) => None }
+    parsed.fold(snap.files)(e => prunePartitions(snap, e))
+  }
+
+  /** [[prunePartitions]] over an already-built Catalyst predicate. */
+  private[graft] def prunePartitions(snap: Snapshot,
+      filter: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] =
     if (snap.partitionCols.isEmpty && snap.specHist.isEmpty) snap.files
     else if (snap.specHist.isEmpty)
       PartField.pruneFiles(spark, PartField.parseAll(snap.partitionCols),
-        snap.schema, snap.files, filterSql)
+        snap.schema, snap.files, filter)
     else {
       // evolved table: each file prunes under the spec it was
       // written with (Iceberg's per-file spec-id)
@@ -2744,7 +2810,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         .flatMap { case (spec, fs) =>
           if (spec.isEmpty) fs
           else PartField.pruneFiles(spark, PartField.parseAll(spec),
-            snap.schema, fs, filterSql)
+            snap.schema, fs, filter)
         }.toSet
       snap.files.filter(keep)
     }

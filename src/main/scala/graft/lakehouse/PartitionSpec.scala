@@ -242,7 +242,20 @@ object PartField {
   def pruneFiles(spark: org.apache.spark.sql.SparkSession,
       spec: Seq[PartField], schema: StructType, files: Seq[String],
       filterSql: String): Seq[String] = {
-    val conjuncts = extractConjuncts(spark, filterSql)
+    val parsed =
+      try Some(spark.sessionState.sqlParser.parseExpression(filterSql))
+      catch { case scala.util.control.NonFatal(_) => None }
+    parsed.fold(files)(e => pruneFiles(spark, spec, schema, files, e))
+  }
+
+  /** [[pruneFiles]] over an already-built Catalyst expression —
+    * callers holding a typed predicate (e.g. a runtime-pruning key
+    * set) skip the SQL render/re-parse round-trip entirely. */
+  def pruneFiles(spark: org.apache.spark.sql.SparkSession,
+      spec: Seq[PartField], schema: StructType, files: Seq[String],
+      filter: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] = {
+    val conjuncts = extractConjuncts(filter)
     if (conjuncts.isEmpty) return files
     // the zone date_format() rendered TIMESTAMP dirs in at write time
     val zone = java.time.ZoneId.of(
@@ -293,12 +306,13 @@ object PartField {
     }
   }
 
-  /** AND-ed prunable conjuncts of `filterSql` — `col <op> literal`
+  /** AND-ed prunable conjuncts of `filter` — `col <op> literal`
     * (one value) and `col IN (literals)` (op "in", all values) — with
     * raw literal values and types (for transform placement). The
     * fourth element disambiguates overloads only. */
-  private def extractConjuncts(spark: org.apache.spark.sql.SparkSession,
-      filterSql: String): Seq[(String, String, Seq[(Any, DataType)], Unit)] = {
+  private def extractConjuncts(
+      filter: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, String, Seq[(Any, DataType)], Unit)] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
       BinaryComparison, EqualTo => CEq, GreaterThan => CGt,
       GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt,
@@ -341,7 +355,6 @@ object PartField {
         }
       case _ => Nil
     }
-    try walk(spark.sessionState.sqlParser.parseExpression(filterSql))
-    catch { case scala.util.control.NonFatal(_) => Nil }
+    walk(filter)
   }
 }
