@@ -49,19 +49,34 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** events.ts is nanosecond-precision in parquet; with
-    * `nanosAsLong` it arrives as a long which we truncate to
-    * microseconds (the data itself is µs-granular) so the rest of
-    * the engine sees a plain TimestampType. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = table(s, d, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** Normalize an events-shaped frame so the rest of the engine
+    * always sees `ts: TimestampType`, whatever encoding the parquet
+    * carries. The driver has shipped three over time:
+    *   - TIMESTAMP(NANOS): with `nanosAsLong` it arrives as a long
+    *     of nanoseconds — truncate to µs (the data is µs-granular);
+    *   - timestamp[us] with no timezone: Spark 4 reads
+    *     TIMESTAMP_NTZ — cast to TimestampType, exact because the
+    *     session timezone is pinned to UTC (so wall-clock == instant);
+    *   - plain TIMESTAMP: pass through.
+    * ONE normalizer for the whole engine — batch loader and the test
+    * suite's streaming source both call this, so a driver-side
+    * re-encoding can never split batch and streaming behavior again.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

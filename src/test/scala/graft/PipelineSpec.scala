@@ -546,7 +546,9 @@ class StreamingSpec extends AnyFunSuite {
   private def streamEvents = {
     val batchSchema = spark.read.parquet(s"$sf/events.parquet").schema
     val raw = spark.readStream.schema(batchSchema).parquet(streamDir)
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // SAME normalizer as the batch loader (Tables.events) — the
+    // driver has re-encoded events.ts across rounds; one seam.
+    Tables.normalizeTs(raw)
   }
 
   test("lakehouse streaming source is incremental: a drain sees only new commits") {
@@ -829,5 +831,38 @@ class StreamingSpec extends AnyFunSuite {
     val batch = streaming.StreamingOps.dedupBatch(Tables.events(spark, sf))
     assert(streamed.count() == batch.count())
     assert(streamed.except(batch).count() == 0)
+  }
+
+  test("NTZ-encoded events round-trip: the loader normalizer makes " +
+      "windowAgg/sessionize/attribution encoding-independent") {
+    // Write an events table whose ts is TIMESTAMP_NTZ (what a
+    // timezone-free timestamp[us] parquet reads back as in Spark 4)
+    // IN-TEST, so this coverage never depends on how the driver
+    // happens to encode /root/testdata in a given round.
+    val events = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toString
+    events.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(dir)
+    val raw = spark.read.parquet(dir)
+    assert(raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType,
+      "precondition: the rewritten table must read back as NTZ")
+    val ntz = Tables.normalizeTs(raw)
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // Every streaming-family transformation must agree with the
+    // TimestampType reference frame (UTC session ⇒ the cast is exact).
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "windowAgg" -> streaming.StreamingOps.windowAgg,
+      "sessionize" -> streaming.StreamingOps.sessionizeBatch,
+      "attribution" -> (e => streaming.StreamingOps.clickAttribution(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "click"))))
+    ops.foreach { case (name, op) =>
+      val a = op(ntz); val b = op(events)
+      assert(a.count() == b.count() && a.except(b).count() == 0 &&
+        b.except(a).count() == 0, s"$name disagrees under NTZ encoding")
+    }
   }
 }
