@@ -285,7 +285,11 @@ object Dedup {
       live.remove((session, key)).foreach(old =>
         scala.util.Try(old.unpersist(blocking = false)))
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      live.put((session, key), cached)
+      // put returns the value a concurrent swap raced in — unpersist
+      // it, or the loser's blocks stay pinned until session stop.
+      live.put((session, key), cached).foreach(prev =>
+        if (prev ne cached)
+          scala.util.Try(prev.unpersist(blocking = false)))
       cached
     }
   }

@@ -423,8 +423,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         props.get(s"write.$family.isolation-level")
       case _ => None
     }
-    perOp.getOrElse(
+    val level = perOp.getOrElse(
       props.getOrElse("write.dml.isolation-level", "serializable"))
+    // Iceberg's IsolationLevel.fromName throws on unknown names; a
+    // typo'd value silently degrading to snapshot semantics would be
+    // an unsound default.
+    if (level != "serializable" && level != "snapshot")
+      throw new IllegalArgumentException(
+        s"unknown isolation level '$level' for $family " +
+          "(expected serializable or snapshot)")
+    level
   }
 
   /** Highest snapshot id on disk — the id allocator. Equals the main

@@ -477,7 +477,12 @@ object LakeDdl {
       "write.delete.style" -> Set("equality", "position"),
       "write.update.mode" -> Set("copy-on-write", "merge-on-read"),
       "write.merge.mode" -> Set("copy-on-write", "merge-on-read"),
-      "write.dml.isolation-level" -> Set("serializable", "snapshot"))
+      "write.dml.isolation-level" -> Set("serializable", "snapshot"),
+      // per-operation overrides (beat the table-wide dml knob; see
+      // GraftTable.isolationFor) — Iceberg's write.<op>.isolation-level
+      "write.delete.isolation-level" -> Set("serializable", "snapshot"),
+      "write.update.isolation-level" -> Set("serializable", "snapshot"),
+      "write.merge.isolation-level" -> Set("serializable", "snapshot"))
     spec.properties.foreach { case (k, v) =>
       known.get(k) match {
         case None => throw new UnsupportedOperationException(

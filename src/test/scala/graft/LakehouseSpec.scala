@@ -227,6 +227,60 @@ class LakehouseSpec extends AnyFunSuite {
         "the stale DELETE's scope and must survive")
   }
 
+  test("per-operation isolation override beats the table-wide level, " +
+      "and unknown levels fail loud") {
+    val dir = Files.createTempDirectory("graft_spec").toString
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("k", "tag", "v"),
+      partitionBy = Seq("tag"))
+    // table-wide serializable (the default) with MERGE overridden to
+    // snapshot — Iceberg's write.merge.isolation-level
+    t.setProperties(t.properties +
+      ("write.merge.isolation-level" -> "snapshot"))
+    val base = t.currentSnapshot
+    t.append(Seq((3L, "p1", 3.0)).toDF("k", "tag", "v"))
+    // DELETE still runs under table-wide serializable: the concurrent
+    // append may match its predicate, so the rebase is refused
+    intercept[graft.lakehouse.CommitConflictException](
+      t.deleteAt(t.snapshot(base.id), "k = 3"))
+    // the MERGE from the same stale base lands under its per-op
+    // snapshot override (serializable refuses: MERGE carries no
+    // predicate, so it cannot prove concurrently added files unmatched)
+    t.mergeAt(t.snapshot(base.id),
+      Seq((1L, "p1", 10.0)).toDF("k", "tag", "v"), Seq("k"),
+      Seq(graft.lakehouse.MergeClause.Update(None, Map.empty),
+        graft.lakehouse.MergeClause.Insert(None, Map.empty)))
+    assert(t.read().filter(col("k") === 1 && col("v") === 10.0).count() == 1,
+      "the overridden merge must rebase and apply")
+    assert(t.read().filter(col("k") === 3).count() == 1,
+      "snapshot-scoped merge must keep the concurrently appended row")
+    // vice versa: table-wide snapshot with DELETE overridden to
+    // serializable — the per-op level must win in the strict direction too
+    t.setProperties(t.properties - "write.merge.isolation-level" +
+      ("write.dml.isolation-level" -> "snapshot") +
+      ("write.delete.isolation-level" -> "serializable"))
+    val base2 = t.currentSnapshot
+    t.append(Seq((4L, "p2", 4.0)).toDF("k", "tag", "v"))
+    intercept[graft.lakehouse.CommitConflictException](
+      t.deleteAt(t.snapshot(base2.id), "k = 4"))
+    // a typo'd level must throw at DML entry, not silently run under
+    // weaker snapshot semantics (Iceberg IsolationLevel.fromName)
+    t.setProperties(t.properties +
+      ("write.delete.isolation-level" -> "serialisable"))
+    val ex = intercept[IllegalArgumentException](t.delete("k = 2"))
+    assert(ex.getMessage.contains("unknown isolation level"))
+    // and the SQL front-end accepts the per-op keys (they were
+    // allowlist-rejected before, making the knob unreachable from DDL)
+    graft.lakehouse.LakeRegistry.unregister("iso_ddl_t")
+    spark.sql(
+      s"""CREATE TABLE iso_ddl_t (k BIGINT, v DOUBLE) USING graft
+         |LOCATION '$dir/iso_ddl_t'
+         |TBLPROPERTIES ('write.merge.isolation-level'='snapshot')"""
+        .stripMargin)
+    val ddlT = graft.lakehouse.LakeRegistry.get("iso_ddl_t").get
+    assert(ddlT.properties("write.merge.isolation-level") == "snapshot")
+  }
+
   test("readWhereIn prunes fact files by dim join keys, keeps " +
       "semi-join semantics, degrades un-pruned past maxKeys") {
     val dir = Files.createTempDirectory("graft_spec").toString
