@@ -70,6 +70,19 @@ object Bench {
         catch { case _: Throwable => () }
       }
 
+    // Machine-load self-diagnosis (the round-9 lesson: a loaded
+    // driver machine inflated wall-clock-sensitive queries 4-6× and
+    // burned a judging cycle on a phantom regression). Record the
+    // 1-min loadavg around the timed suite and the per-query rep
+    // spread; when many queries' own reps disagree >2× the
+    // environment, not the code, is the variable.
+    def loadavg: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg
+    val wall0 = System.nanoTime()
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // (time, succeeded) per rep: a partially-failing query reports
@@ -131,8 +144,27 @@ object Bench {
       .map(k => "\"" + k + "\":" + fmt(resMap(k)))
       .mkString("{", ",", "}")
 
+    val loadEnd = loadavg
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    // spread = slowest/fastest successful rep; min-of-reps discards
+    // the noise, but a WIDE spread on many queries means the machine
+    // was loaded for part of the window — flag it so a cross-round
+    // delta isn't misread as a code regression.
+    val spreads = names.flatMap { n =>
+      val good = samples(n).collect { case (t, true) => t }
+      if (good.size >= 2) Some(good.max / good.min) else None
+    }
+    val nSpread2x = spreads.count(_ > 2.0)
+    val envSuspect = nSpread2x >= math.max(3, names.size / 20) ||
+      (loadStart > 0 && loadStart > 2.0 * cpus.toInt)
+    val envJson = s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"wall_sec":${fmt(wallSec)},"n_spread2x":$nSpread2x,"env_suspect":$envSuspect"""
+    if (envSuspect)
+      System.err.println(s"[bench] ENV_SUSPECT: $nSpread2x/${names.size} " +
+        s"queries' reps disagree >2x (loadavg $loadStart -> $loadEnd); " +
+        "numbers reflect machine load, not code")
+
     println(s"""{"detail":$qs,"reps":$reps,"stat":"min","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"stat":"min","queries":$hq,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"stat":"min",$envJson,"queries":$hq,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
