@@ -134,7 +134,8 @@ object Bench {
     val headline = Seq(
       "q1_agg", "q3_broadcast_join", "q6_window", "q23_salted_join",
       "fgac_join", "fgac_lakehouse", "lake_merge", "lake_compaction",
-      "lake_sql_ddl", "lake_wap", "dedup_exact", "dedup_minhash_lsh",
+      "lake_sql_ddl", "lake_wap", "lake_bucketed_join",
+      "dedup_exact", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_components", "ann_bruteforce",
       "ann_ivf_kmeans", "pipeline_clean_corpus", "pipeline_pack",
       "text_ngram_freq", "mm_features", "stream_window_agg",

@@ -71,10 +71,18 @@ final case class Snapshot(
 
   /** The physical (write-time) name of current column `name` in a
     * data file added at sequence `fseq`: renames that happened after
-    * the file was written are unwound newest-first. */
+    * the file was written are unwound newest-first. `name` may be a
+    * one-level nested path (`outer.inner`); each rename record uses
+    * names CURRENT at its own epoch, so unwinding rewrites either the
+    * exact path or — for a rename of the outer struct itself — the
+    * path prefix. */
   def physicalName(name: String, fseq: Long): String =
     renames.filter(_.seq > fseq).reverseIterator
-      .foldLeft(name)((n, r) => if (r.to == n) r.from else n)
+      .foldLeft(name) { (n, r) =>
+        if (r.to == n) r.from
+        else if (n.startsWith(r.to + ".")) r.from + n.substring(r.to.length)
+        else n
+      }
 
   /** The partition spec a file added at sequence `fseq` was written
     * under (Iceberg's per-file spec-id): the latest spec-history
@@ -1055,17 +1063,58 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     if (snap.renames.isEmpty)
       readFiles(snap.schema, files, snap.partitionCols)
     else {
-      val names = snap.schema.fieldNames.toSeq
+      // the mapped name tree is one level deep: every top-level field,
+      // plus each struct field's immediate children (Iceberg evolves
+      // arbitrary depth via field ids; one level covers the dominant
+      // metadata-shape case and the recursion point is marked here)
+      val names: Seq[String] = snap.schema.fields.toSeq.flatMap { f =>
+        f.name +: (f.dataType match {
+          case st: StructType => st.fieldNames.toSeq.map(c => s"${f.name}.$c")
+          case _ => Nil
+        })
+      }
       files.groupBy { f =>
         val fseq = snap.fileSeq.getOrElse(f, snap.id)
         names.map(n => snap.physicalName(n, fseq))
       }.toSeq.sortBy(_._2.headOption.getOrElse("")).map {
         case (physNames, fs) =>
-          val physSchema = StructType(snap.schema.fields.zip(physNames)
-            .map { case (fld, pn) => fld.copy(name = pn) })
+          val phys = names.zip(physNames).toMap
+          // write-time schema of this epoch's files: rename every
+          // mapped name (outer and nested) back to its physical form
+          val physSchema = StructType(snap.schema.fields.map { fld =>
+            val pTop = phys(fld.name).takeWhile(_ != '.')
+            fld.dataType match {
+              case st: StructType =>
+                fld.copy(name = pTop, dataType = StructType(st.fields.map {
+                  c =>
+                    val pc = phys(s"${fld.name}.${c.name}")
+                    c.copy(name = pc.substring(pc.indexOf('.') + 1))
+                }))
+              case _ => fld.copy(name = pTop)
+            }
+          })
           readFiles(physSchema, fs, snap.partitionCols)
-            .select(names.zip(physNames).map { case (cur, pn) =>
-              col(pn).as(cur)
+            .select(snap.schema.fields.map { fld =>
+              val pTop = phys(fld.name).takeWhile(_ != '.')
+              fld.dataType match {
+                case st: StructType
+                    if st.fieldNames.exists { c =>
+                      val pc = phys(s"${fld.name}.$c")
+                      pc.substring(pc.indexOf('.') + 1) != c
+                    } =>
+                  // nested rename in this epoch: rebuild the struct
+                  // with children aliased to current names, preserving
+                  // outer NULLs (a bare struct() of null children would
+                  // resurrect a null struct as a row of nulls)
+                  val rebuilt = struct(st.fields.map { c =>
+                    val pc = phys(s"${fld.name}.${c.name}")
+                    col(s"`$pTop`.`${pc.substring(pc.indexOf('.') + 1)}`")
+                      .as(c.name)
+                  }.toIndexedSeq: _*)
+                  when(col(s"`$pTop`").isNull, lit(null).cast(st))
+                    .otherwise(rebuilt).as(fld.name)
+                case _ => col(s"`$pTop`").as(fld.name)
+              }
             }.toIndexedSeq: _*)
       }.reduceOption(_.unionByName(_))
         .getOrElse(readFiles(snap.schema, Nil, snap.partitionCols))
@@ -1542,26 +1591,85 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
   // ---- schema evolution (ALTER TABLE) -------------------------------
 
+  /** Resolve a possibly one-level-dotted column path against
+    * `schema`, case-insensitively, returning the CANONICAL dotted
+    * name. Throws when the outer part is not a struct or either part
+    * does not exist. */
+  private def resolvePath(schema: StructType, name: String,
+      mustExist: Boolean): Option[String] = {
+    val parts = name.split('.')
+    require(parts.length <= 2,
+      s"column path '$name' is too deep (one struct level supported)")
+    if (parts.length == 1) {
+      val found = schema.fieldNames.find(_.equalsIgnoreCase(name))
+      if (mustExist)
+        Some(found.getOrElse(throw new IllegalArgumentException(
+          s"column '$name' does not exist")))
+      else found
+    } else {
+      val outer = schema.fields.find(_.name.equalsIgnoreCase(parts(0)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"struct column '${parts(0)}' does not exist"))
+      val st = outer.dataType match {
+        case s: StructType => s
+        case other => throw new IllegalArgumentException(
+          s"column '${outer.name}' is $other, not a struct")
+      }
+      val inner = st.fieldNames.find(_.equalsIgnoreCase(parts(1)))
+      if (mustExist)
+        Some(s"${outer.name}.${inner.getOrElse(
+          throw new IllegalArgumentException(
+            s"field '${parts(1)}' does not exist in struct '${outer.name}'"))}")
+      else inner.map(i => s"${outer.name}.$i")
+    }
+  }
+
+  /** `schema` with struct column `outer`'s fields transformed. */
+  private def mapStruct(schema: StructType, outer: String)(
+      f: StructType => StructType): StructType =
+    StructType(schema.fields.map { fld =>
+      if (fld.name == outer)
+        fld.copy(dataType = f(fld.dataType.asInstanceOf[StructType]))
+      else fld
+    })
+
+  /** A name (dotted or plain) was retired by RENAME or DROP and may
+    * still exist physically in live files — reusing it would
+    * resurrect those bytes (Iceberg avoids this with field ids; the
+    * name mapping must refuse). */
+  private def requireNotRetired(snap: Snapshot, name: String): Unit =
+    require(!snap.renames.exists(r =>
+        r.from.equalsIgnoreCase(name) || r.to.equalsIgnoreCase(name)),
+      s"column name '$name' was previously renamed or dropped and " +
+        "may still exist in live data files; compact() first")
+
   /** ALTER TABLE ADD COLUMNS — a METADATA-ONLY commit: the schema
     * gains nullable fields, no data file is touched, and every
     * existing row reads NULL for the new columns (parquet reads are
-    * by-name). At 100 TB adding a column costs one manifest write. */
+    * by-name — including a field added INSIDE a struct, `a.b INT`,
+    * which old files' clipped nested schema surfaces as NULL). At
+    * 100 TB adding a column costs one manifest write. */
   def addColumns(cols: Seq[StructField]): Long = {
     val snap = currentSnapshot
-    cols.foreach { f =>
-      require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+    val newSchema = cols.foldLeft(snap.schema) { (schema, f) =>
+      require(resolvePath(schema, f.name, mustExist = false).isEmpty,
         s"column '${f.name}' already exists")
-      // a name retired by RENAME or DROP may still exist PHYSICALLY
-      // in live files — re-adding it would resurrect those bytes into
-      // the new column (Iceberg avoids this with field ids; the name
-      // mapping must refuse)
-      require(!snap.renames.exists(r =>
-          r.from.equalsIgnoreCase(f.name) || r.to.equalsIgnoreCase(f.name)),
-        s"column name '${f.name}' was previously renamed or dropped and " +
-          "may still exist in live data files; compact() first")
+      requireNotRetired(snap, f.name)
+      val parts = f.name.split('.')
+      if (parts.length == 1)
+        StructType(schema.fields :+ f.copy(nullable = true))
+      else {
+        // resolve the OUTER part only (inner is the new name)
+        val outer = schema.fields.find(_.name.equalsIgnoreCase(parts(0)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"struct column '${parts(0)}' does not exist"))
+        require(outer.dataType.isInstanceOf[StructType],
+          s"column '${outer.name}' is not a struct")
+        mapStruct(schema, outer.name)(st => StructType(st.fields :+
+          StructField(parts(1), f.dataType, nullable = true)))
+      }
     }
-    commit("evolve-add",
-      StructType(snap.schema.fields ++ cols.map(_.copy(nullable = true))),
+    commit("evolve-add", newSchema,
       snap.files, snap.partitionCols, expectedParent = snap.id)
   }
 
@@ -1572,21 +1680,33 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def dropColumn(name: String): Long = {
     val snap = currentSnapshot
     requireNoMorDels(snap, "DROP COLUMN")
-    val resolved = snap.schema.fieldNames
-      .find(_.equalsIgnoreCase(name)).getOrElse(throw
-        new IllegalArgumentException(s"column '$name' does not exist"))
-    require(snap.schema.fieldNames.length > 1,
-      "cannot drop the only column")
-    require(!PartField.parseAll(snap.partitionCols)
-        .exists(_.col.equalsIgnoreCase(resolved)),
-      s"cannot drop partition source column '$resolved'")
+    val resolved = resolvePath(snap.schema, name, mustExist = true).get
+    val parts = resolved.split('.')
+    val newSchema =
+      if (parts.length == 1) {
+        require(snap.schema.fieldNames.length > 1,
+          "cannot drop the only column")
+        require(!PartField.parseAll(snap.partitionCols)
+            .exists(_.col.equalsIgnoreCase(resolved)),
+          s"cannot drop partition source column '$resolved'")
+        StructType(snap.schema.fields.filterNot(_.name == resolved))
+      } else {
+        val st = snap.schema(parts(0)).dataType.asInstanceOf[StructType]
+        require(st.fields.length > 1,
+          s"cannot drop the only field of struct '${parts(0)}' " +
+            "(drop the struct column instead)")
+        mapStruct(snap.schema, parts(0))(s =>
+          StructType(s.fields.filterNot(_.name == parts(1))))
+      }
     // a tombstone rename retires the name: its bytes remain in old
     // files, and addColumns refuses to reuse the name until a rewrite
-    commit("evolve-drop",
-      StructType(snap.schema.fields.filterNot(_.name == resolved)),
+    val tombstone =
+      if (parts.length == 1) s"__graft_dropped_$resolved"
+      else s"${parts(0)}.__graft_dropped_${parts(1)}"
+    commit("evolve-drop", newSchema,
       snap.files, snap.partitionCols, expectedParent = snap.id,
       renamesOverride = Some(snap.renames :+
-        Rename(-1L, resolved, s"__graft_dropped_$resolved")))
+        Rename(-1L, resolved, tombstone)))
   }
 
   /** ALTER TABLE RENAME COLUMN — metadata-only: a [[Rename]] record
@@ -1600,26 +1720,33 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def renameColumn(from: String, to: String): Long = {
     val snap = currentSnapshot
     requireNoMorDels(snap, "RENAME COLUMN")
-    val resolved = snap.schema.fieldNames
-      .find(_.equalsIgnoreCase(from)).getOrElse(throw
-        new IllegalArgumentException(s"column '$from' does not exist"))
-    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
-      s"column '$to' already exists")
+    require(!to.contains('.'),
+      s"rename target '$to' must be a bare name (the field stays in " +
+        "its struct)")
+    val resolved = resolvePath(snap.schema, from, mustExist = true).get
+    val parts = resolved.split('.')
+    // the full dotted name the field will carry after the rename —
+    // collision and retirement checks run on that form
+    val target = if (parts.length == 1) to else s"${parts(0)}.$to"
+    require(resolvePath(snap.schema, target, mustExist = false).isEmpty,
+      s"column '$target' already exists")
     // same retirement rule as addColumns: renaming INTO a name that
     // still exists physically in live files would make the stats /
     // physical-name mapping consult the wrong column's bytes
-    require(!snap.renames.exists(r =>
-        r.from.equalsIgnoreCase(to) || r.to.equalsIgnoreCase(to)),
-      s"column name '$to' was previously renamed or dropped and may " +
-        "still exist in live data files; compact() first")
+    requireNotRetired(snap, target)
     require(!PartField.parseAll(snap.partitionCols)
         .exists(_.col.equalsIgnoreCase(resolved)),
       s"cannot rename partition source column '$resolved'")
-    commit("evolve-rename",
-      StructType(snap.schema.fields.map(f =>
-        if (f.name == resolved) f.copy(name = to) else f)),
+    val newSchema =
+      if (parts.length == 1)
+        StructType(snap.schema.fields.map(f =>
+          if (f.name == resolved) f.copy(name = to) else f))
+      else
+        mapStruct(snap.schema, parts(0))(st => StructType(st.fields.map(f =>
+          if (f.name == parts(1)) f.copy(name = to) else f)))
+    commit("evolve-rename", newSchema,
       snap.files, snap.partitionCols, expectedParent = snap.id,
-      renamesOverride = Some(snap.renames :+ Rename(-1L, resolved, to)))
+      renamesOverride = Some(snap.renames :+ Rename(-1L, resolved, target)))
   }
 
   /** Partition spec evolution (Iceberg's headline "change the

@@ -230,6 +230,44 @@ object LakeQueries {
 
   /** Hive-partitioned table; the read for one status touches only
     * that partition's files — pruned on the manifest alone. */
+  /** Storage-partitioned join: both sides written `bucket[8](custkey)`,
+    * read through the SPJ catalog ([[Spj]]) so the scan reports the
+    * stored layout and the join plans with ZERO Exchange on either
+    * side — proven in-query on the non-adaptive plan, then executed
+    * with the session's normal settings. The daily governed fact join
+    * (ref: consumer_emr_on_eks_setup.sh:407-412) at 100 TB is exactly
+    * this shape; skipping both shuffles is the whole win. */
+  private val bucketedJoin: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"))
+    val t1 = GraftTable.create(s, tmp("lake_bj_o"), orders,
+      partitionBy = Seq("bucket[8](o_custkey)"))
+    val t2 = GraftTable.create(s, tmp("lake_bj_c"), cust,
+      partitionBy = Seq("bucket[8](c_custkey)"))
+    val a = Spj.read(s, "lake_bj_orders", t1)
+    val b = Spj.read(s, "lake_bj_cust", t2)
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = a.join(b, col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      require(probe.isEmpty,
+        "bucketed lake join must plan with zero Exchange")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+    a.join(b, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+      .orderBy("o_orderkey")
+  }
+
   private val partitioned: Q = (s, dir) => {
     val t = GraftTable.create(s, tmp("lake_part"), Tables.orders(s, dir),
       partitionBy = Seq("o_orderstatus"))
@@ -508,6 +546,46 @@ object LakeQueries {
     require(t.currentSnapshot.op == "evolve-drop" &&
       t.snapshots.size == 5, "three ALTERs + two writes = five commits")
     s.sql("SELECT * FROM lake_alt_t").orderBy("c_custkey")
+  }
+
+  /** Nested-type schema evolution (Iceberg evolves struct fields in
+    * metadata only; this engine's sequence-scoped name mapping goes
+    * one struct level deep): three epochs of files — (1) struct
+    * `info{segment, bal}`, (2) after `ADD COLUMNS (info.tier)`, old
+    * files read NULL tier, (3) after `RENAME COLUMN info.bal TO
+    * balance` + `DROP COLUMN info.segment`, every epoch reads through
+    * the rename/drop without a byte rewritten. The final scan unions
+    * all three epochs under the current shape. */
+  private val alterNested: Q = (s, dir) => {
+    val customer = Tables.customer(s, dir)
+    def shaped(pred: org.apache.spark.sql.Column): DataFrame =
+      customer.filter(pred)
+      .select(col("c_custkey"),
+        struct(col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("bal")).as("info"))
+    val t = GraftTable.create(s, tmp("lake_altn"),
+      shaped(col("c_custkey") % 3 === 0))
+    LakeRegistry.register("lake_altn_t", t)
+    s.sql("ALTER TABLE lake_altn_t ADD COLUMNS (info.tier STRING)")
+    shaped(col("c_custkey") % 3 === 1)
+      .withColumn("info", struct(col("info.segment"), col("info.bal"),
+        concat(lit("T"), (col("c_custkey") % 3).cast("string")).as("tier")))
+      .createOrReplaceTempView("lake_altn_src1")
+    s.sql("INSERT INTO lake_altn_t SELECT * FROM lake_altn_src1")
+    s.sql("ALTER TABLE lake_altn_t RENAME COLUMN info.bal TO balance")
+    s.sql("ALTER TABLE lake_altn_t DROP COLUMN info.segment")
+    // epoch 3 writes under the final shape: info{balance, tier}
+    customer.filter(col("c_custkey") % 3 === 2)
+      .select(col("c_custkey"),
+        struct(col("c_acctbal").as("balance"),
+          lit("T9").as("tier")).as("info"))
+      .createOrReplaceTempView("lake_altn_src2")
+    s.sql("INSERT INTO lake_altn_t SELECT * FROM lake_altn_src2")
+    require(t.snapshots.size == 6,
+      "create + 3 ALTERs + 2 inserts = six commits")
+    s.sql(
+      """SELECT c_custkey, info.balance AS balance, info.tier AS tier
+        |FROM lake_altn_t""".stripMargin).orderBy("c_custkey")
   }
 
   /** Hidden partitioning (Iceberg partition transforms): the table
@@ -816,7 +894,9 @@ object LakeQueries {
     "lake_pos_merge"        -> posMerge,
     "lake_expire"           -> expire,
     "lake_overwrite_partition" -> overwritePartition,
-    "lake_rollback"         -> rollback
+    "lake_rollback"         -> rollback,
+    "lake_bucketed_join"    -> bucketedJoin,
+    "lake_alter_nested"     -> alterNested
   )
 
   val oracles: Map[String, String] = Map(
@@ -1080,6 +1160,25 @@ object LakeQueries {
         | o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "lake_rollback" ->
-      "SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"
+      "SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey",
+    "lake_bucketed_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    // epoch 1 (%3=0): written before info.tier existed → NULL tier;
+    // epoch 2 (%3=1): tier = 'T1' (custkey%3 of that epoch); epoch 3
+    // (%3=2): written post-rename/drop with constant tier 'T9'. bal
+    // reads as balance across all epochs via the nested name mapping.
+    "lake_alter_nested" ->
+      """SELECT c_custkey, c_acctbal AS balance,
+        |       CAST(NULL AS VARCHAR) AS tier
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, 'T1' FROM customer
+        |WHERE c_custkey % 3 = 1
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, 'T9' FROM customer
+        |WHERE c_custkey % 3 = 2
+        |ORDER BY c_custkey""".stripMargin
   )
 }

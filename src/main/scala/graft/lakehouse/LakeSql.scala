@@ -365,27 +365,29 @@ object LakeDdl {
       case ac: AddColumns =>
         claimAlter(spark, ac.table).map { name =>
           val cols = ac.columnsToAdd.map { c =>
-            require(c.path.isEmpty,
-              "ADD COLUMNS into nested structs is not supported")
-            StructField(c.colName, c.dataType, nullable = true)
+            val path = c.path.map(_.name).getOrElse(Nil)
+            require(path.size <= 1,
+              "ADD COLUMNS supports one struct level (outer.inner)")
+            StructField((path :+ c.colName).mkString("."),
+              c.dataType, nullable = true)
           }
           GraftAlterCommand(name, "ADD COLUMNS", _.addColumns(cols))
         }
 
       case rc: RenameColumn =>
         claimAlter(spark, rc.table).map { name =>
-          require(rc.column.name.size == 1,
-            "RENAME COLUMN on nested fields is not supported")
+          require(rc.column.name.size <= 2,
+            "RENAME COLUMN supports one struct level (outer.inner)")
           GraftAlterCommand(name, "RENAME COLUMN",
-            _.renameColumn(rc.column.name.head, rc.newName))
+            _.renameColumn(rc.column.name.mkString("."), rc.newName))
         }
 
       case dc: DropColumns =>
         claimAlter(spark, dc.table).map { name =>
           val cols = dc.columnsToDrop.map { c =>
-            require(c.name.size == 1,
-              "DROP COLUMN on nested fields is not supported")
-            c.name.head
+            require(c.name.size <= 2,
+              "DROP COLUMN supports one struct level (outer.inner)")
+            c.name.mkString(".")
           }
           GraftAlterCommand(name, "DROP COLUMN",
             t => cols.foreach(t.dropColumn))

@@ -1,0 +1,63 @@
+package org.apache.spark.sql.graftlake
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** The `private[sql]` touchpoints a DataSource-v2 batch reader needs
+  * to reuse Spark's own parquet decode path instead of reimplementing
+  * parquet→Catalyst conversion: `FileFormat.buildReaderWithPartitionValues`
+  * (the exact closure `FileSourceScanExec` serializes into its scan
+  * tasks) and the `PartitionedFile` descriptor it consumes. Lives
+  * under `org.apache.spark.sql` solely to satisfy those access
+  * qualifiers — the same pattern as [[StreamShim]].
+  */
+object ParquetReadShim {
+
+  /** A serializable per-file read function for parquet files of
+    * `dataSchema`, producing rows of `requiredSchema` (column-pruned
+    * scans pass the pruned schema; files missing a column surface
+    * NULL, by-name like the engine's `spark.read.schema` path).
+    *
+    * Built with the VECTORIZED reader OFF (flipped around the
+    * closure-build only): the vectorized path yields ColumnarBatch
+    * disguised as InternalRow, which is only consumable by an
+    * operator that knows to expect it; the row path is universally
+    * safe for a `PartitionReader[InternalRow]`. At 100 TB the
+    * columnar variant is the known upgrade — swap this closure for a
+    * `createColumnarReader` implementation, everything else stands.
+    */
+  def rowReadFunc(spark: SparkSession, dataSchema: StructType,
+      requiredSchema: StructType): PartitionedFile => Iterator[InternalRow] = {
+    val classic = spark.asInstanceOf[ClassicSession]
+    val key = "spark.sql.parquet.enableVectorizedReader"
+    val prev = classic.conf.get(key)
+    classic.conf.set(key, "false")
+    try {
+      new ParquetFileFormat().buildReaderWithPartitionValues(
+        sparkSession = classic,
+        dataSchema = dataSchema,
+        partitionSchema = new StructType(),
+        requiredSchema = requiredSchema,
+        filters = Nil,
+        options = Map.empty,
+        hadoopConf = classic.sessionState.newHadoopConf())
+    } finally classic.conf.set(key, prev)
+  }
+
+  /** Whole-file `PartitionedFile` (no partition-dir values: transform
+    * layouts keep every raw column in the data file). */
+  def wholeFile(path: String, fileSize: Long): PartitionedFile =
+    PartitionedFile(
+      partitionValues = InternalRow.empty,
+      filePath = SparkPath.fromPathString(path),
+      start = 0L,
+      length = fileSize,
+      locations = Array.empty,
+      modificationTime = 0L,
+      fileSize = fileSize)
+}
