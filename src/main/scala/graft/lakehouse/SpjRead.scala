@@ -255,9 +255,17 @@ final class LakeSpjScan(spark: SparkSession, snap: Snapshot,
   override def planInputPartitions(): Array[InputPartition] =
     groups.map { case (b, files) => LakeBucketSplit(b, files) }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // vectorized decode when the projected schema allows it (atomic
+    // types — the common analytic case); the row closure is the
+    // universal fallback. Decided once at plan time, driver-side.
+    val columnar = ParquetReadShim.columnarSupported(spark, required)
     new LakeSpjReaderFactory(
-      ParquetReadShim.rowReadFunc(spark, snap.schema, required))
+      ParquetReadShim.rowReadFunc(spark, snap.schema, required),
+      if (columnar)
+        Some(ParquetReadShim.columnarReadFunc(spark, snap.schema, required))
+      else None)
+  }
 }
 
 /** All files of one stored bucket value — the planner aligns splits
@@ -270,20 +278,36 @@ final case class LakeBucketSplit(bucketValue: Int,
 
 final class LakeSpjReaderFactory(
     readFile: org.apache.spark.sql.execution.datasources.PartitionedFile =>
-      Iterator[InternalRow])
+      Iterator[InternalRow],
+    readFileColumnar: Option[
+      org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
     extends PartitionReaderFactory {
-  override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] = {
-    val split = partition.asInstanceOf[LakeBucketSplit]
-    new PartitionReader[InternalRow] {
+
+  private def iterate[T](split: LakeBucketSplit,
+      f: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[T]): PartitionReader[T] =
+    new PartitionReader[T] {
       private val it = split.files.iterator.flatMap { case (path, len) =>
-        readFile(ParquetReadShim.wholeFile(path, len))
+        f(ParquetReadShim.wholeFile(path, len))
       }
-      private var row: InternalRow = _
+      private var cur: T = _
       override def next(): Boolean =
-        if (it.hasNext) { row = it.next(); true } else false
-      override def get(): InternalRow = row
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): T = cur
+      // per-file reader cleanup rides the task-completion listeners
+      // Spark's parquet closure registers itself
       override def close(): Unit = ()
     }
-  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    readFileColumnar.isDefined
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    iterate(partition.asInstanceOf[LakeBucketSplit], readFile)
+
+  override def createColumnarReader(partition: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    iterate(partition.asInstanceOf[LakeBucketSplit], readFileColumnar.get)
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /** The `private[sql]` touchpoints a DataSource-v2 batch reader needs
   * to reuse Spark's own parquet decode path instead of reimplementing
@@ -27,10 +28,10 @@ object ParquetReadShim {
     * closure-build only): the vectorized path yields ColumnarBatch
     * disguised as InternalRow, which is only consumable by an
     * operator that knows to expect it; the row path is universally
-    * safe for a `PartitionReader[InternalRow]`. At 100 TB the
-    * columnar variant is the known upgrade — swap this closure for a
-    * `createColumnarReader` implementation, everything else stands.
-    */
+    * safe for a `PartitionReader[InternalRow]`. Scans whose schema
+    * passes [[columnarSupported]] take [[columnarReadFunc]] instead —
+    * this closure is the fallback for types the vectorized reader
+    * cannot batch. */
   def rowReadFunc(spark: SparkSession, dataSchema: StructType,
       requiredSchema: StructType): PartitionedFile => Iterator[InternalRow] = {
     val classic = spark.asInstanceOf[ClassicSession]
@@ -46,6 +47,43 @@ object ParquetReadShim {
         filters = Nil,
         options = Map.empty,
         hadoopConf = classic.sessionState.newHadoopConf())
+    } finally classic.conf.set(key, prev)
+  }
+
+  /** Whether the vectorized parquet reader can serve `schema` whole
+    * (all atomic types) — the gate for [[columnarReadFunc]]. */
+  def columnarSupported(spark: SparkSession, schema: StructType): Boolean = {
+    val classic = spark.asInstanceOf[ClassicSession]
+    org.apache.spark.sql.execution.datasources.parquet.ParquetUtils
+      .isBatchReadSupportedForSchema(classic.sessionState.conf, schema)
+  }
+
+  /** The COLUMNAR variant of [[rowReadFunc]]: built with the
+    * vectorized reader forced ON, so each returned element is a
+    * `ColumnarBatch` (the closure's static type lies — the same
+    * contract `FileSourceScanExec` consumes). Callers must gate on
+    * [[columnarSupported]]; reader cleanup rides the task-completion
+    * listeners the closure registers itself. */
+  def columnarReadFunc(spark: SparkSession, dataSchema: StructType,
+      requiredSchema: StructType):
+      PartitionedFile => Iterator[ColumnarBatch] = {
+    val classic = spark.asInstanceOf[ClassicSession]
+    val key = "spark.sql.parquet.enableVectorizedReader"
+    val prev = classic.conf.get(key)
+    classic.conf.set(key, "true")
+    try {
+      val f = new ParquetFileFormat().buildReaderWithPartitionValues(
+        sparkSession = classic,
+        dataSchema = dataSchema,
+        partitionSchema = new StructType(),
+        requiredSchema = requiredSchema,
+        filters = Nil,
+        // with the vectorized reader on, ParquetFileFormat demands an
+        // explicit batch/row decision from its caller
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "true"),
+        hadoopConf = classic.sessionState.newHadoopConf())
+      pf => f(pf).asInstanceOf[Iterator[ColumnarBatch]]
     } finally classic.conf.set(key, prev)
   }
 
