@@ -197,13 +197,17 @@ final class LakeSpjTable(tableName: String, t: GraftTable)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeSpjScanBuilder(t.spark, snap, bucketField)
+    new LakeSpjScanBuilder(t, snap, bucketField)
 }
 
-final class LakeSpjScanBuilder(spark: SparkSession, snap: Snapshot,
+final class LakeSpjScanBuilder(t: GraftTable, snap: Snapshot,
     bucket: PartField.Bucket)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = snap.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve the table's field order; an empty projection (count(*))
@@ -215,27 +219,108 @@ final class LakeSpjScanBuilder(spark: SparkSession, snap: Snapshot,
       else StructType(Array(snap.schema.fields.head))
   }
 
-  override def build(): Scan = new LakeSpjScan(spark, snap, bucket, required)
+  /** Filters are consumed as SKIPPING hints only — every filter is
+    * returned as residual so Spark re-evaluates it row-side, and the
+    * scan uses the convertible subset to drop files whose manifest
+    * stats or partition value provably exclude them (Iceberg's
+    * model: metadata prunes, the engine filters). An equality on the
+    * bucket column prunes to ONE bucket's splits via the same
+    * driver-side literal hash the writer used. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => LakeSpjScanBuilder.toSql(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val predSql = pushed.flatMap(LakeSpjScanBuilder.toSql) match {
+      case Array() => None
+      case parts => Some(parts.mkString("(", ") AND (", ")"))
+    }
+    new LakeSpjScan(t, snap, bucket, required, predSql)
+  }
+}
+
+object LakeSpjScanBuilder {
+  import org.apache.spark.sql.sources._
+
+  /** Render the stats-prunable subset of v1 filters to SQL for the
+    * manifest pruners; None = not convertible (never pushed). Only
+    * top-level columns and literal types whose canonical text form
+    * round-trips exactly. */
+  private def litSql(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case b: Boolean => Some(b.toString)
+    case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
+    case _: Float | _: Double => Some(v.toString)
+    case d: java.math.BigDecimal => Some(d.toString)
+    case d: BigDecimal => Some(d.toString)
+    case _ => None // dates/timestamps/binary: zone/format pitfalls, skip
+  }
+  private def colRef(name: String): Option[String] =
+    if (name.contains('.') || name.contains('`')) None
+    else Some(s"`$name`")
+
+  def toSql(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) =>
+      for (c <- colRef(a); l <- litSql(v)) yield s"$c = $l"
+    case GreaterThan(a, v) =>
+      for (c <- colRef(a); l <- litSql(v)) yield s"$c > $l"
+    case GreaterThanOrEqual(a, v) =>
+      for (c <- colRef(a); l <- litSql(v)) yield s"$c >= $l"
+    case LessThan(a, v) =>
+      for (c <- colRef(a); l <- litSql(v)) yield s"$c < $l"
+    case LessThanOrEqual(a, v) =>
+      for (c <- colRef(a); l <- litSql(v)) yield s"$c <= $l"
+    case In(a, vs) if vs.nonEmpty =>
+      val ls = vs.map(litSql)
+      if (ls.forall(_.isDefined))
+        colRef(a).map(c => s"$c IN (${ls.flatten.mkString(", ")})")
+      else None
+    case IsNull(a) => colRef(a).map(c => s"$c IS NULL")
+    case IsNotNull(a) => colRef(a).map(c => s"$c IS NOT NULL")
+    case And(l, r) =>
+      for (ls <- toSql(l); rs <- toSql(r)) yield s"($ls) AND ($rs)"
+    case _ => None
+  }
 }
 
 /** The scan: groups the snapshot's files by stored bucket value and
   * reports the grouping as `KeyGroupedPartitioning`. Planning is
   * driver-side metadata only (path parsing + one `getFileStatus` per
   * file for split sizing — the same listing cost every scan pays). */
-final class LakeSpjScan(spark: SparkSession, snap: Snapshot,
-    bucket: PartField.Bucket, required: StructType)
+final class LakeSpjScan(t: GraftTable, snap: Snapshot,
+    bucket: PartField.Bucket, required: StructType,
+    predSql: Option[String])
     extends Scan with Batch with SupportsReportPartitioning {
+
+  private def spark: SparkSession = t.spark
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  override def description(): String =
+    s"graft-lake SPJ scan, bucket[${bucket.n}](${bucket.col})" +
+      predSql.map(p => s", skipping: $p").getOrElse("")
+
   private val dirPrefix = PartField.dirCol(0) + "="
 
-  /** (bucketValue, files+sizes), sorted by bucket value. */
+  /** (bucketValue, files+sizes), sorted by bucket value — over the
+    * stats/partition-pruned file subset when filters were pushed. */
   private lazy val groups: Array[(Int, Array[(String, Long)])] = {
-    val fs = new org.apache.hadoop.fs.Path(snap.files.head)
+    val files = predSql match {
+      case None => snap.files
+      case Some(p) =>
+        val kept = t.pruneByStats(snap, p).toSet &
+          t.prunePartitions(snap, p).toSet
+        snap.files.filter(kept)
+    }
+    if (files.isEmpty) Array.empty
+    else {
+    val fs = new org.apache.hadoop.fs.Path(files.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    snap.files
+    files
       .map { f =>
         val b = f.split('/').find(_.startsWith(dirPrefix)).getOrElse(
           throw new IllegalStateException(
@@ -246,6 +331,7 @@ final class LakeSpjScan(spark: SparkSession, snap: Snapshot,
       }
       .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toArray
       .sortBy(_._1)
+    }
   }
 
   override def outputPartitioning(): Partitioning =

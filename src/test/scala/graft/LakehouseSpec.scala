@@ -351,6 +351,18 @@ class LakehouseSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
     }
+    // pushed filters prune on the manifest alone: a bucket-column
+    // equality hashes to ONE bucket's splits; an impossible range
+    // prunes every file via stats (zero input partitions, no I/O)
+    val k = orders.select("o_custkey").head.getLong(0)
+    val one = a.filter(col("o_custkey") === k)
+    assert(one.rdd.getNumPartitions <= 1,
+      "bucket-column equality must scan at most one bucket")
+    assert(one.count() ==
+      orders.filter(col("o_custkey") === k).count() && one.count() > 0)
+    val none = a.filter(col("o_custkey") < 0L)
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0,
+      "stats must prune an impossible predicate to zero splits")
     // ineligible shapes refuse the fast path loudly
     val t3 = GraftTable.create(spark,
       Files.createTempDirectory("graft_spj3").toString,
