@@ -253,7 +253,12 @@ object LakeSpjScanBuilder {
     case s: String => Some("'" + s.replace("'", "''") + "'")
     case b: Boolean => Some(b.toString)
     case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
-    case _: Float | _: Double => Some(v.toString)
+    // non-finite values have no SQL literal form ("NaN" would parse
+    // as a column reference) — never push them
+    case f: java.lang.Float if java.lang.Float.isFinite(f) =>
+      Some(f.toString)
+    case d: java.lang.Double if java.lang.Double.isFinite(d) =>
+      Some(d.toString)
     case d: java.math.BigDecimal => Some(d.toString)
     case d: BigDecimal => Some(d.toString)
     case _ => None // dates/timestamps/binary: zone/format pitfalls, skip
