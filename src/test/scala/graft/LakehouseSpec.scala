@@ -372,6 +372,25 @@ class LakehouseSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("storage-partitioned"))
   }
 
+  test("FGAC policy composes with the SPJ read path") {
+    // Enforcer.secure rewrites the plan, so row filters and column
+    // allow-lists govern a storage-partitioned scan exactly as a
+    // plain one — the governed-fact-join-at-scale composition.
+    val cust = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spjgov").toString, cust,
+      partitionBy = Seq("bucket[4](c_custkey)"))
+    val secured = fgac.Enforcer.secure(
+      graft.lakehouse.Spj.read(spark, "spj_gov_cust", t),
+      fgac.TablePolicy("spj_gov_cust",
+        rowFilter = Some("c_acctbal > 5000"),
+        allowedColumns = Some(Seq("c_custkey", "c_acctbal"))))
+    assert(secured.columns.toSeq == Seq("c_custkey", "c_acctbal"))
+    assert(secured.count() ==
+      cust.filter(col("c_acctbal") > 5000).count() && secured.count() > 0)
+  }
+
   test("readWhereIn prunes fact files by dim join keys, keeps " +
       "semi-join semantics, degrades un-pruned past maxKeys") {
     val dir = Files.createTempDirectory("graft_spec").toString
