@@ -62,6 +62,12 @@ final case class Snapshot(
     posDels: Seq[String] = Nil,
     fileSeq: Map[String, Long] = Map.empty,
     fileRows: Map[String, Long] = Map.empty,
+    /** On-disk byte size per data file (Iceberg's
+      * `file_size_in_bytes`): lets planners size splits and gate
+      * broadcasts from the manifest alone — zero per-file RPCs at
+      * plan time. Absent for files committed by pre-size manifests
+      * (readers fall back to a live stat). */
+    fileSizes: Map[String, Long] = Map.empty,
     renames: Seq[Rename] = Nil,
     specHist: Seq[(Long, Seq[String])] = Nil,
     /** Streaming-sink transaction watermark carried BY this commit
@@ -495,6 +501,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         val i = v.indexOf('\t')
         v.substring(i + 1) -> v.substring(0, i).toLong
       }.toMap,
+      fileSizes = kv.collect { case ("fsize", v) =>
+        val i = v.indexOf('\t')
+        v.substring(i + 1) -> v.substring(0, i).toLong
+      }.toMap,
       renames = kv.collect { case ("rename", v) =>
         val parts = v.split("\t", 3)
         Rename(parts(0).toLong, parts(1), parts(2))
@@ -581,6 +591,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val refStats = ref.map(_.stats).getOrElse(Map.empty)
     val refSeq = ref.map(_.fileSeq).getOrElse(Map.empty)
     val refRows = ref.map(_.fileRows).getOrElse(Map.empty)
+    val refSizes = ref.map(_.fileSizes).getOrElse(Map.empty)
     // footer reads for NEW files run on a bounded pool — a wide
     // append's commit latency is ceil(n/8) footer round-trips, not n
     // sequential ones (Iceberg parallelizes its manifest stats the
@@ -588,7 +599,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // the record count; known files carry both by reference (data
     // files are immutable).
     val newFiles = files.filterNot(refStats.contains)
-    val harvested: Map[String, (Option[Long], Map[String, ColStat])] =
+    type Harvest = (Option[Long], Map[String, ColStat], Option[Long])
+    val harvested: Map[String, Harvest] =
       if (newFiles.sizeIs <= 1)
         newFiles.map(f => f -> harvestFooter(f, schema)).toMap
       else {
@@ -598,7 +610,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
           import scala.jdk.CollectionConverters._
           pool.invokeAll(newFiles.map { f =>
             (() => f -> harvestFooter(f, schema)): java.util.concurrent
-              .Callable[(String, (Option[Long], Map[String, ColStat]))]
+              .Callable[(String, Harvest)]
           }.asJava).asScala.map(_.get).toMap
         } finally pool.shutdown()
       }
@@ -608,6 +620,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     }.toMap
     val rows: Map[String, Long] = files.flatMap { f =>
       refRows.get(f).orElse(harvested.get(f).flatMap(_._1)).map(f -> _)
+    }.toMap
+    val sizes: Map[String, Long] = files.flatMap { f =>
+      refSizes.get(f).orElse(harvested.get(f).flatMap(_._3)).map(f -> _)
     }.toMap
     val dels = delsOverride.getOrElse(ref.map(_.dels).getOrElse(Nil))
     val posDels =
@@ -630,6 +645,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         body ++= s"file=$f\n"
         body ++= s"fseq=${refSeq.getOrElse(f, id)}\t$f\n"
         rows.get(f).foreach(n => body ++= s"frows=$n\t$f\n")
+        sizes.get(f).foreach(n => body ++= s"fsize=$n\t$f\n")
         val cs = stats.getOrElse(f, Map.empty)
         if (cs.nonEmpty) body ++= s"fstat=${FileStatsJson.render(f, cs)}\n"
       }
@@ -2610,16 +2626,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * valid bound) simply record no bound — pruning stays
     * conservative. Any footer trouble degrades to "no stats", never
     * a failed commit. */
-  private def harvestFooter(file: String,
-      schema: StructType): (Option[Long], Map[String, ColStat]) =
+  private def harvestFooter(file: String, schema: StructType)
+      : (Option[Long], Map[String, ColStat], Option[Long]) =
     try {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import org.apache.parquet.io.api.Binary
       import org.apache.spark.sql.types._
       val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new Path(file), spark.sparkContext.hadoopConfiguration))
+      val inFile = HadoopInputFile.fromPath(
+        new Path(file), spark.sparkContext.hadoopConfiguration)
+      // the input file already stat'ed for its length (the footer
+      // read needs it) — capture it for the manifest at zero cost
+      val fileLen = inFile.getLength
+      val reader = ParquetFileReader.open(inFile)
       try {
         val acc = scala.collection.mutable.Map.empty[String,
           (String, Option[(String, String)], Long)] // kind, (mn,mx), nulls
@@ -2675,9 +2695,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         }
         (Some(rowCount), acc.map { case (c, (k, b, n)) =>
           c -> ColStat(k, b.map(_._1), b.map(_._2), n)
-        }.toMap)
+        }.toMap, Some(fileLen))
       } finally reader.close()
-    } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
+    } catch {
+      case scala.util.control.NonFatal(_) => (None, Map.empty, None)
+    }
 
   private def kindOf(dt: DataType): String = dt match {
     case _: org.apache.spark.sql.types.StringType => "s"

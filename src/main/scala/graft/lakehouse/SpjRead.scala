@@ -323,7 +323,11 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
     }
     if (files.isEmpty) Array.empty
     else {
-    val fs = new org.apache.hadoop.fs.Path(files.head)
+    // split sizes come from the manifest (fileSizes, harvested at
+    // commit); the live stat is only a fallback for files committed
+    // by pre-size manifests — planning stays zero-RPC on current
+    // tables even at millions of files
+    lazy val fs = new org.apache.hadoop.fs.Path(files.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     files
       .map { f =>
@@ -331,7 +335,8 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
           throw new IllegalStateException(
             s"data file $f carries no ${dirPrefix}<v> layout directory"))
           .stripPrefix(dirPrefix).toInt
-        val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+        val len = snap.fileSizes.getOrElse(f,
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
         (b, (f, len))
       }
       .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toArray

@@ -372,6 +372,27 @@ class LakehouseSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("storage-partitioned"))
   }
 
+  test("manifests carry per-file sizes (harvested once, carried by " +
+      "reference) so planners never stat files") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    val snap = t.currentSnapshot
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(snap.fileSizes.contains),
+      "every data file must have a manifest-recorded size")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    snap.files.foreach { f =>
+      assert(snap.fileSizes(f) ==
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen,
+        s"manifest size must equal on-disk size for $f")
+    }
+    // a metadata-only commit carries the sizes forward by reference
+    t.delete("k = -1")
+    val snap2 = t.currentSnapshot
+    assert(snap2.files.forall(snap2.fileSizes.contains))
+  }
+
   test("FGAC policy composes with the SPJ read path") {
     // Enforcer.secure rewrites the plan, so row filters and column
     // allow-lists govern a storage-partitioned scan exactly as a
