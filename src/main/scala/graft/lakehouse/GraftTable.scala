@@ -60,6 +60,11 @@ final case class Snapshot(
       * ([[GraftTable.deleteMoRPos]]); cleared when [[GraftTable.compact]]
       * materializes. */
     posDels: Seq[String] = Nil,
+    /** On-disk byte size per position-delete file — feeds the
+      * broadcast-vs-shuffle gate of the tombstone anti-join without
+      * per-file stats at read time. Same carry-forward/fallback
+      * contract as [[fileSizes]]. */
+    posDelSizes: Map[String, Long] = Map.empty,
     fileSeq: Map[String, Long] = Map.empty,
     fileRows: Map[String, Long] = Map.empty,
     /** On-disk byte size per data file (Iceberg's
@@ -493,6 +498,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       dels = kv.collect { case ("dpred", v) => FileStatsJson.parseDel(v) }
         .flatten,
       posDels = kv.collect { case ("pdel", v) => v },
+      posDelSizes = kv.collect { case ("pdsz", v) =>
+        val i = v.indexOf('\t')
+        v.substring(i + 1) -> v.substring(0, i).toLong
+      }.toMap,
       fileSeq = kv.collect { case ("fseq", v) =>
         val i = v.indexOf('\t')
         v.substring(i + 1) -> v.substring(0, i).toLong
@@ -627,6 +636,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val dels = delsOverride.getOrElse(ref.map(_.dels).getOrElse(Nil))
     val posDels =
       posDelsOverride.getOrElse(ref.map(_.posDels).getOrElse(Nil))
+    // tombstone sizes: carried for known files, stat'ed ONCE at commit
+    // for files new in this commit (the committer just wrote them) —
+    // reads then gate their broadcast from the manifest alone
+    val refPdSizes = ref.map(_.posDelSizes).getOrElse(Map.empty)
+    val pdSizes: Map[String, Long] = posDels.flatMap { p =>
+      refPdSizes.get(p)
+        .orElse(
+          try Some(fs.getFileStatus(new Path(p)).getLen)
+          catch { case scala.util.control.NonFatal(_) => None })
+        .map(p -> _)
+    }.toMap
     val renames =
       renamesOverride.getOrElse(ref.map(_.renames).getOrElse(Nil))
     val specHist =
@@ -650,7 +670,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         if (cs.nonEmpty) body ++= s"fstat=${FileStatsJson.render(f, cs)}\n"
       }
       dels.foreach(d => body ++= s"dpred=${FileStatsJson.renderDel(d)}\n")
-      posDels.foreach(p => body ++= s"pdel=$p\n")
+      posDels.foreach { p =>
+        body ++= s"pdel=$p\n"
+        pdSizes.get(p).foreach(n => body ++= s"pdsz=$n\t$p\n")
+      }
       // seq -1 marks "this commit": stamped with the id actually
       // published (branches share one id allocator, so the caller
       // cannot predict it)
@@ -1020,7 +1043,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       // is larger — the 32 MB gate leaves that margin); beyond it the
       // anti-join falls back to a plain shuffle join on the same keys.
       val tombBytes = snap.posDels
-        .map(p => fs.getFileStatus(new Path(p)).getLen).sum
+        .map(p => snap.posDelSizes.getOrElse(p,
+          fs.getFileStatus(new Path(p)).getLen)).sum
       val tombHinted =
         if (tombBytes <= GraftTable.PosDelBroadcastBytes) broadcast(tomb)
         else tomb
