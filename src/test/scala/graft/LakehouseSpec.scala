@@ -363,6 +363,15 @@ class LakehouseSpec extends AnyFunSuite {
     val none = a.filter(col("o_custkey") < 0L)
     assert(none.rdd.getNumPartitions == 0 && none.count() == 0,
       "stats must prune an impossible predicate to zero splits")
+    // a FILTERED side joins correctly even when pruning leaves it
+    // with fewer bucket values than the other side (the planner pads
+    // the missing partitions rather than falling back to a shuffle)
+    val jf = a.filter(col("o_custkey") === k)
+      .join(b, col("o_custkey") === col("c_custkey"))
+    val nf = orders.filter(col("o_custkey") === k)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    assert(jf.count() == nf.count() && nf.count() > 0,
+      "pruned-side SPJ join must match the naive filtered join")
     // ineligible shapes refuse the fast path loudly
     val t3 = GraftTable.create(spark,
       Files.createTempDirectory("graft_spj3").toString,
