@@ -2740,16 +2740,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
   /** The files of the current snapshot that could contain a row
     * matching `filterSql`, decided on the manifest's column stats
-    * alone — no file opens, O(#files × #conjuncts) driver-side. The
-    * filter is split into AND-ed conjuncts of the prunable shapes —
-    * `col <op> literal`, `col IN (literals)`, `col IS [NOT] NULL` —
-    * and every other predicate shape is ignored (conservative). A
-    * file is skipped only when some conjunct provably matches none
-    * of its values: comparisons and IN are null-rejecting, so files
-    * whose non-null range misses every literal cannot contribute
-    * rows; IS NULL skips files whose null count is zero; IS NOT NULL
-    * skips files that are provably all-null (null count == record
-    * count). */
+    * alone — no file opens, O(#files × #predicates) driver-side. The
+    * filter is evaluated as a may-match tree: AND/OR combine
+    * recursively (a file survives an OR if EITHER arm may match),
+    * leaves are the prunable shapes — `col <op> literal`, `col IN
+    * (literals)`, `col IS [NOT] NULL` — and every other shape keeps
+    * the file (conservative). A file is skipped only when the tree
+    * proves no row can match: comparisons and IN are null-rejecting,
+    * so files whose non-null range misses every literal cannot
+    * contribute rows; IS NULL skips files whose null count is zero;
+    * IS NOT NULL skips files that are provably all-null (null count
+    * == record count). */
   private[graft] def pruneByStats(snap: Snapshot,
       filterSql: String): Seq[String] =
     pruneByStats(snap,
@@ -2765,7 +2766,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       BinaryComparison, EqualTo => CEq, GreaterThan => CGt,
       GreaterThanOrEqual => CGe, In => CIn, IsNotNull => CIsNotNull,
       IsNull => CIsNull, LessThan => CLt, LessThanOrEqual => CLe,
-      Literal => CLit}
+      Literal => CLit, Or => COr}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.types._
 
@@ -2786,34 +2787,33 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
     // (column, op, kind, literals): op ∈ {=, <, <=, >, >=} carries
     // one literal, "in" carries the value list, "isnull"/"isnotnull"
-    // carry none
-    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Seq[(String, String, String, Seq[String])] = e match {
-      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    // carry none; None = leaf shape the pruner cannot reason about
+    def leaf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[(String, String, String, Seq[String])] = e match {
       case CIsNull(a: UnresolvedAttribute) =>
-        Seq((a.nameParts.last.toLowerCase, "isnull", "", Nil))
+        Some((a.nameParts.last.toLowerCase, "isnull", "", Nil))
       case CIsNotNull(a: UnresolvedAttribute) =>
-        Seq((a.nameParts.last.toLowerCase, "isnotnull", "", Nil))
+        Some((a.nameParts.last.toLowerCase, "isnotnull", "", Nil))
       case CIn(a: UnresolvedAttribute, vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[CLit]) =>
         val reprs = vs.map(v => litRepr(v.asInstanceOf[CLit]))
         // a NULL in the list matches nothing extra (IN is
         // null-rejecting); an unrepresentable literal blocks pruning
-        if (reprs.exists(r => r.isEmpty)) Nil
+        if (reprs.exists(r => r.isEmpty)) None
         else {
           val kinds = reprs.flatten.map(_._1).distinct
-          if (kinds.size != 1) Nil
-          else Seq((a.nameParts.last.toLowerCase, "in", kinds.head,
+          if (kinds.size != 1) None
+          else Some((a.nameParts.last.toLowerCase, "in", kinds.head,
             reprs.flatten.map(_._2)))
         }
       case bc: BinaryComparison =>
         val op = bc match {
-          case _: CEq => "="
-          case _: CLt => "<"
-          case _: CLe => "<="
-          case _: CGt => ">"
-          case _: CGe => ">="
-          case _ => return Nil
+          case _: CEq => Some("=")
+          case _: CLt => Some("<")
+          case _: CLe => Some("<=")
+          case _: CGt => Some(">")
+          case _: CGe => Some(">=")
+          case _ => None
         }
         def flip(o: String) = o match {
           case "<" => ">"
@@ -2822,20 +2822,29 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
           case ">=" => "<="
           case x => x
         }
-        (bc.left, bc.right) match {
-          case (a: UnresolvedAttribute, l: CLit) =>
-            litRepr(l).map(kv =>
-              (a.nameParts.last.toLowerCase, op, kv._1, Seq(kv._2))).toSeq
-          case (l: CLit, a: UnresolvedAttribute) =>
-            litRepr(l).map(kv =>
-              (a.nameParts.last.toLowerCase, flip(op), kv._1, Seq(kv._2))).toSeq
-          case _ => Nil
+        op.flatMap { o =>
+          (bc.left, bc.right) match {
+            case (a: UnresolvedAttribute, l: CLit) =>
+              litRepr(l).map(kv =>
+                (a.nameParts.last.toLowerCase, o, kv._1, Seq(kv._2)))
+            case (l: CLit, a: UnresolvedAttribute) =>
+              litRepr(l).map(kv =>
+                (a.nameParts.last.toLowerCase, flip(o), kv._1, Seq(kv._2)))
+            case _ => None
+          }
         }
-      case _ => Nil
+      case _ => None
     }
 
-    val preds = conjuncts(filter)
-    if (preds.isEmpty) return snap.files
+    // cheap pre-pass: a filter with no understandable leaf prunes
+    // nothing — skip the per-file walk entirely
+    def hasLeaf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Boolean = e match {
+      case CAnd(l, r) => hasLeaf(l) || hasLeaf(r)
+      case COr(l, r) => hasLeaf(l) && hasLeaf(r) // an opaque OR arm keeps
+      case other => leaf(other).isDefined
+    }
+    if (!hasLeaf(filter)) return snap.files
 
     // String order caveat: Spark compares strings by UTF-8 binary
     // order, Java by UTF-16 code units — identical on ASCII, divergent
@@ -2845,7 +2854,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
     snap.files.filter { f =>
       val cs = snap.stats.getOrElse(f, Map.empty)
-      preds.forall { case (c, op, k, vs) =>
+      def leafMayMatch(c: String, op: String, k: String,
+          vs: Seq[String]): Boolean =
         op match {
           case "isnull" => // skip only files with PROVABLY no nulls
             cs.get(c).forall(_.nulls != 0) // -1 (unknown) keeps
@@ -2874,7 +2884,21 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
               case _ => true // no usable stat → cannot prune
             }
         }
+      // "May this file contain a matching row?" — sound under
+      // three-valued logic because every leaf is necessary-condition
+      // only: AND may match only if both sides may; OR may match if
+      // either side may; any shape the pruner cannot reason about
+      // (NOT, UDFs, arithmetic) keeps the file.
+      def mayMatch(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Boolean = e match {
+        case CAnd(l, r) => mayMatch(l) && mayMatch(r)
+        case COr(l, r) => mayMatch(l) || mayMatch(r)
+        case other => leaf(other) match {
+          case Some((c, op, k, vs)) => leafMayMatch(c, op, k, vs)
+          case None => true
+        }
       }
+      mayMatch(filter)
     }
   }
 

@@ -287,6 +287,8 @@ object LakeSpjScanBuilder {
     case IsNotNull(a) => colRef(a).map(c => s"$c IS NOT NULL")
     case And(l, r) =>
       for (ls <- toSql(l); rs <- toSql(r)) yield s"($ls) AND ($rs)"
+    case Or(l, r) =>
+      for (ls <- toSql(l); rs <- toSql(r)) yield s"($ls) OR ($rs)"
     case _ => None
   }
 }

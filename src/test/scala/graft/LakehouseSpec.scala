@@ -381,6 +381,25 @@ class LakehouseSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("storage-partitioned"))
   }
 
+  test("stats pruning evaluates OR as a union of may-match sets") {
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_or").toString,
+      (1L to 30L).map(k => (k, s"t$k", k * 1.0)).toDF("k", "tag", "v"))
+    t.compact(3, sortBy = Seq("k")) // 3 files with disjoint k ranges
+    val snap = t.currentSnapshot
+    assert(snap.files.size == 3)
+    val kept = t.pruneByStats(snap, "k <= 5 OR k >= 26")
+    assert(kept.size == 2,
+      s"OR of two range predicates must keep exactly the two edge " +
+        s"files (kept ${kept.size} of ${snap.files.size})")
+    // an arm the pruner cannot reason about keeps everything (sound)
+    assert(t.pruneByStats(snap, "k <= 5 OR v / v > 0").size == 3)
+    // AND still intersects below an OR
+    assert(t.pruneByStats(snap, "(k <= 5 OR k >= 26) AND k > 20").size == 1)
+    // end-to-end: rows equal the plain filter
+    assert(t.readWhere("k <= 5 OR k >= 26").count() == 10)
+  }
+
   test("manifests carry per-file sizes (harvested once, carried by " +
       "reference) so planners never stat files") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
