@@ -3035,13 +3035,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val rows = snap.files.map { f =>
       Row(f, snap.fileSeq.getOrElse(f, snap.id),
         snap.fileRows.get(f).map(java.lang.Long.valueOf).orNull,
-        partitionSegment(snap, f).orNull)
+        partitionSegment(snap, f).orNull,
+        snap.fileSizes.get(f).map(java.lang.Long.valueOf).orNull)
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("file", org.apache.spark.sql.types.StringType, false),
       StructField("seq", org.apache.spark.sql.types.LongType, false),
       StructField("rows", org.apache.spark.sql.types.LongType, true),
-      StructField("partition", org.apache.spark.sql.types.StringType, true))))
+      StructField("partition", org.apache.spark.sql.types.StringType, true),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType, true))))
   }
 
   /** Iceberg's `table.partitions` metadata table: per partition value,

@@ -462,6 +462,28 @@ object LakeQueries {
     t.readWhere(pred).orderBy("o_orderkey")
   }
 
+  /** Data skipping under a DISJUNCTIVE predicate: the may-match tree
+    * unions the two range arms, so the middle epoch's files — excluded
+    * by BOTH arms — are pruned while either edge epoch survives. The
+    * historical failure mode (an OR disabling pruning wholesale, full
+    * scan at 100 TB) is require()d away. */
+  private val skippingOr: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    val t = GraftTable.create(s, tmp("lake_skip_or"),
+      orders.filter(upTo("1994-01-01")))
+    t.append(orders.filter(!upTo("1994-01-01") && upTo("1996-01-01")))
+    t.append(orders.filter(!upTo("1996-01-01")))
+    val snap = t.currentSnapshot
+    val pred = "o_orderdate < TIMESTAMP '1994-01-01 00:00:00' OR " +
+      "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+    val pruned = t.pruneByStats(snap, pred)
+    require(pruned.nonEmpty && pruned.size < snap.files.size,
+      s"OR predicate must still prune a strict file subset " +
+        s"(${pruned.size} of ${snap.files.size})")
+    t.readWhere(pred).orderBy("o_orderkey")
+  }
+
   /** Runtime file pruning for the dim-filtered fact join (the
     * dynamic-partition-pruning shape; Iceberg+Spark's runtime
     * filtering) — the reference's own governed fact⋈dim join
@@ -896,7 +918,8 @@ object LakeQueries {
     "lake_overwrite_partition" -> overwritePartition,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
-    "lake_alter_nested"     -> alterNested
+    "lake_alter_nested"     -> alterNested,
+    "lake_skipping_or"      -> skippingOr
   )
 
   val oracles: Map[String, String] = Map(
@@ -1165,6 +1188,11 @@ object LakeQueries {
       """SELECT o.o_orderkey, o.o_custkey, c.c_name
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    "lake_skipping_or" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1994-01-01'
+        |   OR o_orderdate >= TIMESTAMP '1996-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
     // epoch 1 (%3=0): written before info.tier existed → NULL tier;
     // epoch 2 (%3=1): tier = 'T1' (custkey%3 of that epoch); epoch 3
     // (%3=2): written post-rename/drop with constant tier 'T9'. bal

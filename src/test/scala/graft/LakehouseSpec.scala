@@ -419,6 +419,9 @@ class LakehouseSpec extends AnyFunSuite {
     t.delete("k = -1")
     val snap2 = t.currentSnapshot
     assert(snap2.files.forall(snap2.fileSizes.contains))
+    // and the files metadata table surfaces them (Iceberg's
+    // file_size_in_bytes column)
+    assert(t.filesMetadata.filter(col("size_bytes").isNull).count() == 0)
   }
 
   test("FGAC policy composes with the SPJ read path") {
