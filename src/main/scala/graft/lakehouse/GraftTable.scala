@@ -2852,53 +2852,56 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // involved is ASCII.
     def ascii(s: String) = s.forall(_ < 128)
 
-    snap.files.filter { f =>
-      val cs = snap.stats.getOrElse(f, Map.empty)
-      def leafMayMatch(c: String, op: String, k: String,
-          vs: Seq[String]): Boolean =
-        op match {
-          case "isnull" => // skip only files with PROVABLY no nulls
-            cs.get(c).forall(_.nulls != 0) // -1 (unknown) keeps
-          case "isnotnull" => // skip only provably all-null files
-            val allNull = (cs.get(c), snap.fileRows.get(f)) match {
-              case (Some(st), Some(rows)) =>
-                st.nulls >= 0 && rows > 0 && st.nulls >= rows
-              case _ => false
-            }
-            !allNull
-          case _ =>
-            cs.get(c) match {
-              case Some(ColStat(sk, Some(mn), Some(mx), _)) if sk == k &&
-                  (k == "n" ||
-                    (vs ++ Seq(mn, mx)).forall(ascii)) =>
-                op match { // keep unless provably disjoint
-                  case "="  =>
-                    cmp(k, vs.head, mn) >= 0 && cmp(k, vs.head, mx) <= 0
-                  case "in" => vs.exists(v =>
-                    cmp(k, v, mn) >= 0 && cmp(k, v, mx) <= 0)
-                  case "<"  => cmp(k, mn, vs.head) < 0
-                  case "<=" => cmp(k, mn, vs.head) <= 0
-                  case ">"  => cmp(k, mx, vs.head) > 0
-                  case ">=" => cmp(k, mx, vs.head) >= 0
-                }
-              case _ => true // no usable stat → cannot prune
-            }
-        }
-      // "May this file contain a matching row?" — sound under
-      // three-valued logic because every leaf is necessary-condition
-      // only: AND may match only if both sides may; OR may match if
-      // either side may; any shape the pruner cannot reason about
-      // (NOT, UDFs, arithmetic) keeps the file.
-      def mayMatch(e: org.apache.spark.sql.catalyst.expressions.Expression)
-          : Boolean = e match {
-        case CAnd(l, r) => mayMatch(l) && mayMatch(r)
-        case COr(l, r) => mayMatch(l) || mayMatch(r)
-        case other => leaf(other) match {
-          case Some((c, op, k, vs)) => leafMayMatch(c, op, k, vs)
-          case None => true
-        }
+    // "May this file contain a matching row?" — sound under
+    // three-valued logic because every leaf is necessary-condition
+    // only: AND may match only if both sides may; OR may match if
+    // either side may; any shape the pruner cannot reason about
+    // (NOT, UDFs, arithmetic) keeps the file. The tree COMPILES ONCE
+    // into a per-file closure, so the per-file work is pure stat
+    // lookups — no expression re-walking at a million files.
+    type FileStats = (Map[String, ColStat], Option[Long]) // stats, rows
+    def compile(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : FileStats => Boolean = e match {
+      case CAnd(l, r) =>
+        val (cl, cr) = (compile(l), compile(r))
+        fs => cl(fs) && cr(fs)
+      case COr(l, r) =>
+        val (cl, cr) = (compile(l), compile(r))
+        fs => cl(fs) || cr(fs)
+      case other => leaf(other) match {
+        case None => _ => true
+        case Some((c, "isnull", _, _)) =>
+          // skip only files with PROVABLY no nulls (-1 unknown keeps)
+          fs => fs._1.get(c).forall(_.nulls != 0)
+        case Some((c, "isnotnull", _, _)) =>
+          // skip only provably all-null files
+          fs => !((fs._1.get(c), fs._2) match {
+            case (Some(st), Some(rows)) =>
+              st.nulls >= 0 && rows > 0 && st.nulls >= rows
+            case _ => false
+          })
+        case Some((c, op, k, vs)) =>
+          fs => fs._1.get(c) match {
+            case Some(ColStat(sk, Some(mn), Some(mx), _)) if sk == k &&
+                (k == "n" ||
+                  (vs ++ Seq(mn, mx)).forall(ascii)) =>
+              op match { // keep unless provably disjoint
+                case "="  =>
+                  cmp(k, vs.head, mn) >= 0 && cmp(k, vs.head, mx) <= 0
+                case "in" => vs.exists(v =>
+                  cmp(k, v, mn) >= 0 && cmp(k, v, mx) <= 0)
+                case "<"  => cmp(k, mn, vs.head) < 0
+                case "<=" => cmp(k, mn, vs.head) <= 0
+                case ">"  => cmp(k, mx, vs.head) > 0
+                case ">=" => cmp(k, mx, vs.head) >= 0
+              }
+            case _ => true // no usable stat → cannot prune
+          }
       }
-      mayMatch(filter)
+    }
+    val mayMatch = compile(filter)
+    snap.files.filter { f =>
+      mayMatch((snap.stats.getOrElse(f, Map.empty), snap.fileRows.get(f)))
     }
   }
 
