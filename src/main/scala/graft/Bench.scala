@@ -156,8 +156,13 @@ object Bench {
       if (good.size >= 2) Some(good.max / good.min) else None
     }
     val nSpread2x = spreads.count(_ > 2.0)
-    val envSuspect = nSpread2x >= math.max(3, names.size / 20) ||
-      (loadStart > 0 && loadStart > 2.0 * cpus.toInt)
+    // Thresholds match the real failure signature (a machine loaded
+    // for the whole window): pervasive spread (≥10% of queries) or a
+    // 1-min load above the core count. A handful of wide spreads on
+    // an idle box is ordinary in-suite neighbor noise that
+    // min-of-reps already discards — flagging it would cry wolf.
+    val envSuspect = nSpread2x >= math.max(5, names.size / 10) ||
+      (loadStart > 0 && loadStart > cpus.toInt)
     val envJson = s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"wall_sec":${fmt(wallSec)},"n_spread2x":$nSpread2x,"env_suspect":$envSuspect"""
     if (envSuspect)
       System.err.println(s"[bench] ENV_SUSPECT: $nSpread2x/${names.size} " +
