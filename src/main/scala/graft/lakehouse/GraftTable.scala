@@ -2368,6 +2368,43 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       specHistOverride = Some(Nil), posDelsOverride = Some(Nil))
   }
 
+  /** Binpack small-file compaction (Iceberg `rewrite_data_files`
+    * binpack strategy): rewrite ONLY the data files smaller than
+    * `smallBytes` — selected from the MANIFEST's recorded sizes, no
+    * storage listing — packing them into ~`smallBytes`-sized outputs,
+    * and carry every other file forward by reference. This is the
+    * routine-maintenance shape at 100 TB: streaming ingest leaves a
+    * trail of KB-scale commits, and full [[compact]] would rewrite
+    * terabytes of already-well-sized data to fix them. I/O is
+    * proportional to the SMALL files only.
+    *
+    * Pending merge-on-read deletes are refused (a rewritten row gets
+    * a NEW add-sequence, which would detach sequence-scoped equality
+    * deletes and orphan position tombstones; run [[compact]] to
+    * materialize them first). Renames are fine: new files land under
+    * current names with this commit's sequence, so the epoch mapping
+    * reads them unaliased — but the rename log must be RETAINED
+    * (files not rewritten still carry old physical names). A file
+    * with no recorded size (pre-size manifest) is conservatively
+    * treated as large. No-ops without a commit when fewer than two
+    * files qualify. */
+  def compactSmall(smallBytes: Long): Long = {
+    val snap = currentSnapshot
+    require(snap.dels.isEmpty && snap.posDels.isEmpty,
+      "binpack with pending merge-on-read deletes would detach their " +
+        "scoping; run compact() to materialize them first")
+    val (small, big) = snap.files.partition(f =>
+      snap.fileSizes.get(f).exists(_ < smallBytes))
+    if (small.size <= 1) return snap.id
+    val id = currentSnapshotId + 1
+    val totalBytes = small.flatMap(snap.fileSizes.get).sum
+    val n = math.max(1, (totalBytes / math.max(1L, smallBytes)).toInt)
+    val packed = readFilesMapped(snap, small).repartition(n)
+    commit("binpack", snap.schema,
+      big ++ writeData(packed, id, snap.partitionCols, widen = false),
+      snap.partitionCols, expectedParent = snap.id)
+  }
+
   /** Tombstone maintenance (Iceberg's `rewrite_position_delete_files`):
     * merges the accumulated per-DML tombstone files into a compacted,
     * `(_file, _pos)`-clustered set and drops tombstones whose data
@@ -2383,7 +2420,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     if (snap.posDels.isEmpty) return snap.id
     val live = snap.files.toSet
     val tombBytes = snap.posDels
-      .map(p => fs.getFileStatus(new Path(p)).getLen).sum
+      .map(p => snap.posDelSizes.getOrElse(p,
+        fs.getFileStatus(new Path(p)).getLen)).sum
     val parts = math.max(1, (tombBytes / math.max(1L, targetBytes)).toInt)
     // (file, pos) rows are unique by construction (DML scans the live
     // view, so a position is never re-tombstoned) — no distinct pass.

@@ -462,6 +462,33 @@ object LakeQueries {
     t.readWhere(pred).orderBy("o_orderkey")
   }
 
+  /** Binpack small-file maintenance: a well-sized base load plus a
+    * trail of small incremental appends (the streaming-ingest
+    * pathology), then `compactSmall` rewrites ONLY the sub-threshold
+    * files — the largest file is require()d to carry forward BY
+    * REFERENCE while the file count drops. Full compact() would
+    * rewrite everything; at 100 TB the difference is rewriting
+    * kilobytes vs terabytes for the same hygiene. */
+  private val binpack: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_bp"),
+      orders.filter(col("o_orderkey") % 4 === 0).coalesce(1))
+    (1 to 3).foreach(i =>
+      t.append(orders.filter(col("o_orderkey") % 4 === i)))
+    val snap0 = t.currentSnapshot
+    require(snap0.files.forall(snap0.fileSizes.contains),
+      "manifest must know every file's size")
+    val thr = snap0.files.flatMap(snap0.fileSizes.get).max
+    t.compactSmall(thr) // pack everything below the largest file
+    val snap1 = t.currentSnapshot
+    require(snap1.op == "binpack" &&
+      snap1.files.toSet.intersect(snap0.files.toSet).nonEmpty,
+      "the largest file must carry forward by reference")
+    require(snap1.files.size < snap0.files.size,
+      s"small files must merge (${snap0.files.size} -> ${snap1.files.size})")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Data skipping under a DISJUNCTIVE predicate: the may-match tree
     * unions the two range arms, so the middle epoch's files — excluded
     * by BOTH arms — are pruned while either edge epoch survives. The
@@ -919,7 +946,8 @@ object LakeQueries {
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_alter_nested"     -> alterNested,
-    "lake_skipping_or"      -> skippingOr
+    "lake_skipping_or"      -> skippingOr,
+    "lake_binpack"          -> binpack
   )
 
   val oracles: Map[String, String] = Map(
@@ -1193,6 +1221,10 @@ object LakeQueries {
         |WHERE o_orderdate < TIMESTAMP '1994-01-01'
         |   OR o_orderdate >= TIMESTAMP '1996-01-01'
         |ORDER BY o_orderkey""".stripMargin,
+    // base (%4=0) + three appends (%4=1,2,3) = the whole table; the
+    // binpack rewrite must preserve every row exactly
+    "lake_binpack" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
     // epoch 1 (%3=0): written before info.tier existed → NULL tier;
     // epoch 2 (%3=1): tier = 'T1' (custkey%3 of that epoch); epoch 3
     // (%3=2): written post-rename/drop with constant tier 'T9'. bal

@@ -381,6 +381,37 @@ class LakehouseSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("storage-partitioned"))
   }
 
+  test("binpack rewrites only sub-threshold files, composes with " +
+      "renames, refuses pending MoR deletes") {
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_bp").toString,
+      (1L to 1000L).map(k => (k, s"t$k", k * 1.0)).toDF("k", "tag", "v")
+        .coalesce(1))
+    (1 to 3).foreach(i => t.append(
+      Seq((1000L + i, "x", 0.0)).toDF("k", "tag", "v")))
+    t.renameColumn("v", "value") // epoch mapping must survive binpack
+    val snap0 = t.currentSnapshot
+    val thr = snap0.files.flatMap(snap0.fileSizes.get).max
+    t.compactSmall(thr)
+    val snap1 = t.currentSnapshot
+    assert(snap1.op == "binpack")
+    assert(snap1.files.toSet.intersect(snap0.files.toSet).nonEmpty,
+      "the large file must carry forward by reference")
+    assert(snap1.files.size < snap0.files.size)
+    assert(t.read().count() == 1003 &&
+      t.read().agg(sum(col("value"))).head.getDouble(0) ==
+        (1L to 1000L).map(_ * 1.0).sum,
+      "renamed column must read identically across old and packed files")
+    // no-op when fewer than two files qualify (no empty commit)
+    val before = t.currentSnapshotId
+    t.compactSmall(1L)
+    assert(t.currentSnapshotId == before)
+    // pending MoR deletes refuse (sequence scoping would detach)
+    t.deleteMoR("k = 2")
+    val ex = intercept[IllegalArgumentException](t.compactSmall(thr))
+    assert(ex.getMessage.contains("binpack"))
+  }
+
   test("stats pruning evaluates OR as a union of may-match sets") {
     val t = GraftTable.create(spark,
       Files.createTempDirectory("graft_or").toString,
