@@ -1099,10 +1099,40 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * epoch — one read per distinct mapping, not per file) and aliases
     * to the current schema. Rename-free tables take the plain path
     * untouched. */
-  private def readFilesMapped(snap: Snapshot, files: Seq[String]): DataFrame =
-    if (snap.renames.isEmpty)
+  private def readFilesMapped(snap: Snapshot, files: Seq[String]): DataFrame = {
+    // columns with an initial default: (name, default SQL, since) —
+    // a file sequenced at or before `since` predates the column and
+    // reads the default for EVERY row (the column cannot exist in it)
+    val defaulted: Seq[(String, String, Long)] =
+      snap.schema.fields.toSeq.flatMap { f =>
+        if (f.metadata.contains(GraftTable.DefaultSqlKey) &&
+            f.metadata.contains(GraftTable.DefaultSinceKey))
+          Some((f.name, f.metadata.getString(GraftTable.DefaultSqlKey),
+            f.metadata.getLong(GraftTable.DefaultSinceKey)))
+        else None
+      }
+    // the defaulted columns that apply to a file (it predates them)
+    def preAddOf(f: String): Seq[String] = {
+      val fseq = snap.fileSeq.getOrElse(f, snap.id)
+      defaulted.filter(_._3 >= fseq).map(_._1)
+    }
+    def applyDefaults(df: DataFrame, pre: Seq[String]): DataFrame =
+      defaulted.filter(d => pre.contains(d._1))
+        .foldLeft(df) { case (d, (c, sql, _)) =>
+          d.withColumn(c, expr(sql).cast(snap.schema(c).dataType))
+        }
+    if (snap.renames.isEmpty && defaulted.isEmpty)
       readFiles(snap.schema, files, snap.partitionCols)
-    else {
+    else if (snap.renames.isEmpty) {
+      // defaults only: group files into pre-/post-add epochs per
+      // defaulted column set (same epoch-union shape as renames)
+      files.groupBy(preAddOf)
+        .toSeq.sortBy(_._2.headOption.getOrElse("")).map { case (pre, fs) =>
+          applyDefaults(readFiles(snap.schema, fs, snap.partitionCols), pre)
+        }
+        .reduceOption(_.unionByName(_))
+        .getOrElse(readFiles(snap.schema, Nil, snap.partitionCols))
+    } else {
       // the mapped name tree is one level deep: every top-level field,
       // plus each struct field's immediate children (Iceberg evolves
       // arbitrary depth via field ids; one level covers the dominant
@@ -1115,9 +1145,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       }
       files.groupBy { f =>
         val fseq = snap.fileSeq.getOrElse(f, snap.id)
-        names.map(n => snap.physicalName(n, fseq))
+        (names.map(n => snap.physicalName(n, fseq)), preAddOf(f))
       }.toSeq.sortBy(_._2.headOption.getOrElse("")).map {
-        case (physNames, fs) =>
+        case ((physNames, pre), fs) =>
           val phys = names.zip(physNames).toMap
           // write-time schema of this epoch's files: rename every
           // mapped name (outer and nested) back to its physical form
@@ -1156,9 +1186,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
                 case _ => col(s"`$pTop`").as(fld.name)
               }
             }.toIndexedSeq: _*)
+            .transform(applyDefaults(_, pre))
       }.reduceOption(_.unionByName(_))
         .getOrElse(readFiles(snap.schema, Nil, snap.partitionCols))
     }
+  }
 
   /** Partition-pruned read: keep only data files whose hive-style
     * path carries `partCol=v` for some `v` in `values`. The pruning
@@ -1688,9 +1720,43 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * existing row reads NULL for the new columns (parquet reads are
     * by-name — including a field added INSIDE a struct, `a.b INT`,
     * which old files' clipped nested schema surfaces as NULL). At
-    * 100 TB adding a column costs one manifest write. */
-  def addColumns(cols: Seq[StructField]): Long = {
+    * 100 TB adding a column costs one manifest write.
+    *
+    * A field carrying [[GraftTable.DefaultSqlKey]] in its metadata
+    * declares an INITIAL DEFAULT (Iceberg v3's initial-default /
+    * `ADD COLUMNS (c INT DEFAULT <expr>)`): rows in files written
+    * BEFORE the column existed read the default instead of NULL,
+    * while rows appended after the ALTER keep exactly what was
+    * written — an explicit post-add NULL stays NULL. The boundary is
+    * the head snapshot id at ALTER time, compared against each file's
+    * add-sequence (the same sequence scoping equality deletes use).
+    * The default expression is validated here — it must parse, fold,
+    * and cast to the column type — so a bad DEFAULT fails the ALTER,
+    * not some future read. Top-level columns only. */
+  def addColumns(cols0: Seq[StructField]): Long = {
     val snap = currentSnapshot
+    val cols = cols0.map { f =>
+      if (!f.metadata.contains(GraftTable.DefaultSqlKey)) f
+      else {
+        require(!f.name.contains('.'),
+          s"DEFAULT on nested field '${f.name}' is not supported")
+        val sql = f.metadata.getString(GraftTable.DefaultSqlKey)
+        // must fold driver-side to a value of the column type
+        val checked =
+          try spark.sql(s"SELECT CAST(($sql) AS ${f.dataType.sql})").head
+          catch { case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"DEFAULT expression '$sql' for column '${f.name}' does " +
+                s"not evaluate as ${f.dataType.sql}: ${e.getMessage}")
+          }
+        require(!checked.isNullAt(0),
+          s"DEFAULT expression '$sql' for column '${f.name}' evaluates " +
+            "to NULL — omit the DEFAULT instead")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(GraftTable.DefaultSinceKey, snap.id).build())
+      }
+    }
     val newSchema = cols.foldLeft(snap.schema) { (schema, f) =>
       require(resolvePath(schema, f.name, mustExist = false).isEmpty,
         s"column '${f.name}' already exists")
@@ -3199,6 +3265,13 @@ object GraftTable {
   /** Internal column names threading leaf-scan metadata (file path,
     * row index) to the position-delete anti-join. */
   private[lakehouse] val PosFileCol = "_gpd_file"
+
+  /** Schema-metadata keys of a column's initial default (Iceberg v3):
+    * the default's original SQL text, and the head snapshot id when
+    * the column was added — files sequenced at or before it read the
+    * default. */
+  val DefaultSqlKey = "graft.initial-default"
+  private[lakehouse] val DefaultSinceKey = "graft.default-since"
   private[lakehouse] val PosIdxCol = "_gpd_pos"
 
   /** On-disk tombstone bytes above which the position-delete

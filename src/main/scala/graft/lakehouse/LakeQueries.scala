@@ -462,6 +462,31 @@ object LakeQueries {
     t.readWhere(pred).orderBy("o_orderkey")
   }
 
+  /** ADD COLUMN with an initial DEFAULT (Iceberg v3
+    * initial-defaults): rows in files written BEFORE the column
+    * existed read the default; rows appended after keep exactly what
+    * they wrote — an explicit post-add NULL stays NULL (the
+    * distinction the sequence-scoped boundary exists for; a naive
+    * whole-scan COALESCE would erase it). Metadata-only ALTER, no
+    * rewrite. */
+  private val addDefault: Q = (s, dir) => {
+    val customer = Tables.customer(s, dir)
+    val t = GraftTable.create(s, tmp("lake_def"),
+      customer.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_acctbal"))
+    LakeRegistry.register("lake_def_t", t)
+    s.sql("ALTER TABLE lake_def_t ADD COLUMNS " +
+      "(tier STRING DEFAULT 'STANDARD')")
+    customer.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("T"),
+            (col("c_custkey") % 3).cast("string"))).as("tier"))
+      .createOrReplaceTempView("lake_def_src")
+    s.sql("INSERT INTO lake_def_t SELECT * FROM lake_def_src")
+    s.sql("SELECT * FROM lake_def_t").orderBy("c_custkey")
+  }
+
   /** Binpack small-file maintenance: a well-sized base load plus a
     * trail of small incremental appends (the streaming-ingest
     * pathology), then `compactSmall` rewrites ONLY the sub-threshold
@@ -947,7 +972,8 @@ object LakeQueries {
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_alter_nested"     -> alterNested,
     "lake_skipping_or"      -> skippingOr,
-    "lake_binpack"          -> binpack
+    "lake_binpack"          -> binpack,
+    "lake_add_default"      -> addDefault
   )
 
   val oracles: Map[String, String] = Map(
@@ -1225,6 +1251,17 @@ object LakeQueries {
     // binpack rewrite must preserve every row exactly
     "lake_binpack" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    // pre-add rows (even custkeys) read the default; post-add rows
+    // keep their written values, including the explicit NULLs
+    "lake_add_default" ->
+      """SELECT c_custkey, c_name, c_acctbal, 'STANDARD' AS tier
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal,
+        |       CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |            ELSE 'T' || CAST(c_custkey % 3 AS VARCHAR) END
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin,
     // epoch 1 (%3=0): written before info.tier existed → NULL tier;
     // epoch 2 (%3=1): tier = 'T1' (custkey%3 of that epoch); epoch 3
     // (%3=2): written post-rename/drop with constant tier 'T9'. bal

@@ -368,8 +368,15 @@ object LakeDdl {
             val path = c.path.map(_.name).getOrElse(Nil)
             require(path.size <= 1,
               "ADD COLUMNS supports one struct level (outer.inner)")
+            // DEFAULT <expr> → Iceberg-v3-style initial default,
+            // carried in field metadata (GraftTable validates and
+            // scopes it to pre-add files)
+            val meta = c.default.fold(
+              org.apache.spark.sql.types.Metadata.empty)(d =>
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(GraftTable.DefaultSqlKey, d.originalSQL).build())
             StructField((path :+ c.colName).mkString("."),
-              c.dataType, nullable = true)
+              c.dataType, nullable = true, metadata = meta)
           }
           GraftAlterCommand(name, "ADD COLUMNS", _.addColumns(cols))
         }

@@ -381,6 +381,37 @@ class LakehouseSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("storage-partitioned"))
   }
 
+  test("initial defaults: pre-add files read the default, post-add " +
+      "NULLs stay NULL, rewrites materialize the value") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    def withDefault(name: String, sql: String) =
+      StructField(name, StringType, nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(GraftTable.DefaultSqlKey, sql).build())
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.addColumns(Seq(withDefault("tier", "'basic'")))
+    t.append(Seq((3L, "c", 3.0, "gold"), (4L, "d", 4.0, null))
+      .toDF("k", "tag", "v", "tier"))
+    def tiers: Map[Long, String] = t.read().select("k", "tier")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tiers(1L) == "basic" && tiers(2L) == "basic",
+      "pre-add rows must read the default")
+    assert(tiers(3L) == "gold" && tiers(4L) == null,
+      "post-add rows keep written values; explicit NULL stays NULL")
+    // a copy-on-write rewrite of a pre-add file must MATERIALIZE the
+    // default into the new file, not lose it to the new add-sequence
+    t.delete("k = 1")
+    assert(tiers(2L) == "basic",
+      "the rewritten survivor must keep its default")
+    // a default that cannot evaluate as the column type refuses at
+    // ALTER time, not at some future read
+    intercept[IllegalArgumentException](t.addColumns(Seq(
+      StructField("z", org.apache.spark.sql.types.IntegerType,
+        nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(GraftTable.DefaultSqlKey, "'abc'").build()))))
+  }
+
   test("binpack rewrites only sub-threshold files, composes with " +
       "renames, refuses pending MoR deletes") {
     val t = GraftTable.create(spark,
