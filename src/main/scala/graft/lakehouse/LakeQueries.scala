@@ -504,7 +504,8 @@ object LakeQueries {
     require(snap0.files.forall(snap0.fileSizes.contains),
       "manifest must know every file's size")
     val thr = snap0.files.flatMap(snap0.fileSizes.get).max
-    t.compactSmall(thr) // pack everything below the largest file
+    LakeRegistry.register("lake_bp_t", t)
+    s.sql(s"OPTIMIZE lake_bp_t BINPACK $thr") // pack sub-threshold files
     val snap1 = t.currentSnapshot
     require(snap1.op == "binpack" &&
       snap1.files.toSet.intersect(snap0.files.toSet).nonEmpty,

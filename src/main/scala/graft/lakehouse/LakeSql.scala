@@ -525,6 +525,8 @@ object LakeDdl {
 object LakeMaintenance {
   private val RewriteDeletes =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+REWRITE\s+DELETES\s*;?\s*""".r
+  private val Binpack =
+    """(?is)\s*OPTIMIZE\s+(\w+)\s+BINPACK\s+(\d+)\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?(?:\s+(SORT|ZORDER)\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Vacuum =
@@ -535,6 +537,12 @@ object LakeMaintenance {
       case RewriteDeletes(name)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRewriteDeletesCommand(name.toLowerCase))
+      // OPTIMIZE t BINPACK <bytes>: rewrite only files smaller than
+      // <bytes> (GraftTable.compactSmall) — the incremental
+      // maintenance form; plain OPTIMIZE rewrites everything
+      case Binpack(name, bytes)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftBinpackCommand(name.toLowerCase, bytes.toLong))
       case Optimize(name, files, mode, cols)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         val n = Option(files).map(_.toInt).getOrElse(8)
@@ -563,6 +571,17 @@ case class GraftOptimizeCommand(name: String, files: Int, mode: String,
       case "ZORDER" => t.compact(files, zorderBy = cols)
       case _        => t.compact(files)
     }
+    Seq.empty
+  }
+}
+
+case class GraftBinpackCommand(name: String, smallBytes: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "OPTIMIZE")
+    LakeRegistry.get(name).get.compactSmall(smallBytes)
     Seq.empty
   }
 }
