@@ -1562,6 +1562,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     import org.apache.spark.sql.catalyst.expressions.Cast
     df.select(schema.fieldNames.toIndexedSeq.map { name =>
       val field = schema(name)
+      if (!df.schema.fieldNames.contains(name)) {
+        // write-default (Iceberg v3's other default half): a writer
+        // omitting a DEFAULTed column writes the default value;
+        // omitting any other column stays an error
+        if (field.metadata.contains(GraftTable.DefaultSqlKey))
+          expr(field.metadata.getString(GraftTable.DefaultSqlKey))
+            .cast(field.dataType).as(name)
+        else throw new IllegalArgumentException(
+          s"column '$name' is missing from the written data and has " +
+            "no default")
+      } else {
       val in = df.schema(name).dataType
       if (in == field.dataType) col(name)
       else if (Cast.canUpCast(in, field.dataType) ||
@@ -1570,6 +1581,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       else throw new IllegalArgumentException(
         s"column '$name': ${in.simpleString} cannot be safely written " +
           s"as table type ${field.dataType.simpleString}")
+      }
     }: _*)
   }
 

@@ -403,6 +403,13 @@ class LakehouseSpec extends AnyFunSuite {
     t.delete("k = 1")
     assert(tiers(2L) == "basic",
       "the rewritten survivor must keep its default")
+    // write-default: a writer omitting the defaulted column writes
+    // the default value; omitting any other column stays an error
+    t.append(Seq((5L, "e", 5.0)).toDF("k", "tag", "v"))
+    assert(tiers(5L) == "basic",
+      "an append without the defaulted column must write the default")
+    intercept[IllegalArgumentException](
+      t.append(Seq((6L, 6.0)).toDF("k", "v")))
     // a default that cannot evaluate as the column type refuses at
     // ALTER time, not at some future read
     intercept[IllegalArgumentException](t.addColumns(Seq(
