@@ -730,10 +730,15 @@ object LakeQueries {
       orders.filter(col("o_orderkey") % 2 === 0),
       partitionBy = Seq("o_orderstatus"))
     t.append(orders.filter(col("o_orderkey") % 2 === 1))
-    val files = t.filesMetadata
+    LakeRegistry.register("lake_meta_t", t)
+    // the metadata tables via their SQL TVF surface (Iceberg's
+    // db.t.files / db.t.partitions equivalent)
+    val files = s.sql("SELECT * FROM lake_files('lake_meta_t')")
     require(files.filter(col("rows").isNull).count() == 0,
       "every data file must carry a footer record count")
-    val parts = t.partitionsMetadata
+    require(files.filter(col("size_bytes").isNull).count() == 0,
+      "every data file must carry a manifest-recorded size")
+    val parts = s.sql("SELECT * FROM lake_partitions('lake_meta_t')")
     require(parts.count() == 3 &&
       parts.filter(col("row_count").isNull).count() == 0,
       "partition metadata must cover all three statuses with counts")

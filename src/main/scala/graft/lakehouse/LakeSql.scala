@@ -648,6 +648,30 @@ object LakeChanges {
           throw new IllegalArgumentException(
             s"table_changes: '$name' is not a registered graft table"))
         SubqueryAlias(name, t.changes(from, to).queryExecution.analyzed)
+
+      // metadata tables as TVFs (Iceberg's `db.t.files` /
+      // `db.t.partitions` surface, in the TVF shape this engine
+      // already uses for the changelog): answered from the driver-side
+      // manifest — zero data-file opens, composable anywhere a
+      // relation can appear.
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("lake_files") ||
+            tvf.name.map(_.toLowerCase) == Seq("lake_partitions") =>
+        val fn = tvf.name.head.toLowerCase
+        val name = tvf.functionArgs match {
+          case Seq(Literal(n, org.apache.spark.sql.types.StringType))
+              if n != null => n.toString.toLowerCase
+          case _ => throw new UnsupportedOperationException(
+            s"$fn requires one literal argument: $fn('name')")
+        }
+        require(!graft.fgac.SecureCatalog.isVisibleName(Seq(name)),
+          s"$fn on governed name '$name' is not supported")
+        val t = LakeRegistry.get(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"$fn: '$name' is not a registered graft table"))
+        val df = if (fn == "lake_files") t.filesMetadata
+                 else t.partitionsMetadata
+        SubqueryAlias(name, df.queryExecution.analyzed)
     }
 
   private def integral(l: Literal): Boolean = l.dataType match {
