@@ -3165,6 +3165,27 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       StructField("size_bytes", org.apache.spark.sql.types.LongType, true))))
   }
 
+  /** Iceberg's `table.history`/`table.snapshots` metadata table: the
+    * commit lineage as a DataFrame — id, parent, operation, commit
+    * wall-clock, current flag. Driver-side manifest headers only,
+    * O(#snapshots). */
+  def historyMetadata: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val cur = currentSnapshotId
+    val rows = snapshots.map { sn =>
+      Row(sn.id, sn.parent, sn.op,
+        if (sn.ts > 0) java.lang.Long.valueOf(sn.ts) else null,
+        sn.id == cur)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("snapshot_id", org.apache.spark.sql.types.LongType, false),
+      StructField("parent_id", org.apache.spark.sql.types.LongType, false),
+      StructField("op", org.apache.spark.sql.types.StringType, false),
+      StructField("committed_at_ms", org.apache.spark.sql.types.LongType, true),
+      StructField("is_current", org.apache.spark.sql.types.BooleanType,
+        false))))
+  }
+
   /** Iceberg's `table.partitions` metadata table: per partition value,
     * the file count and record count of the current snapshot, straight
     * off the manifest (like Iceberg, record counts describe the data

@@ -838,16 +838,18 @@ object LakeQueries {
     * from the driver-side manifest — O(#snapshots), no data files
     * touched, exactly how Iceberg metadata tables answer at 100 TB. */
   private val history: Q = (s, dir) => {
-    import s.implicits._
     val orders = Tables.orders(s, dir)
     val t = GraftTable.create(s, tmp("lake_hist"),
       orders.filter(col("o_orderkey") % 2 === 1))
     t.append(orders.filter(col("o_orderkey") % 2 === 0))
     t.delete("o_orderstatus = 'F'")
-    val cur = t.currentSnapshotId
-    t.snapshots.map(sn => (sn.id, sn.parent, sn.op, sn.id == cur))
-      .toDF("snapshot_id", "parent_id", "op", "is_current")
-      .orderBy("snapshot_id")
+    LakeRegistry.register("lake_hist_t", t)
+    // the lineage via its SQL TVF surface (committed_at_ms is
+    // wall-clock — projected out for the deterministic oracle)
+    s.sql(
+      """SELECT snapshot_id, parent_id, op, is_current
+        |FROM lake_history('lake_hist_t')
+        |ORDER BY snapshot_id""".stripMargin)
   }
 
   /** Optimistic concurrency, Iceberg's model, as a scripted decision

@@ -655,8 +655,8 @@ object LakeChanges {
       // manifest — zero data-file opens, composable anywhere a
       // relation can appear.
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
-          if tvf.name.map(_.toLowerCase) == Seq("lake_files") ||
-            tvf.name.map(_.toLowerCase) == Seq("lake_partitions") =>
+          if Set("lake_files", "lake_partitions", "lake_history")
+            .contains(tvf.name.map(_.toLowerCase).mkString(".")) =>
         val fn = tvf.name.head.toLowerCase
         val name = tvf.functionArgs match {
           case Seq(Literal(n, org.apache.spark.sql.types.StringType))
@@ -669,8 +669,11 @@ object LakeChanges {
         val t = LakeRegistry.get(name).getOrElse(
           throw new IllegalArgumentException(
             s"$fn: '$name' is not a registered graft table"))
-        val df = if (fn == "lake_files") t.filesMetadata
-                 else t.partitionsMetadata
+        val df = fn match {
+          case "lake_files"      => t.filesMetadata
+          case "lake_partitions" => t.partitionsMetadata
+          case _                 => t.historyMetadata
+        }
         SubqueryAlias(name, df.queryExecution.analyzed)
     }
 
