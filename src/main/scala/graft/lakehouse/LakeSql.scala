@@ -340,8 +340,29 @@ object LakeDdl {
       case ct: CreateTable
           if ct.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) =>
         val name = identName(ct.name, "CREATE TABLE")
-        val schema = StructType(ct.columns.map(c =>
-          StructField(c.name, c.dataType, c.nullable)))
+        val schema = StructType(ct.columns.map { c =>
+          // DEFAULT <expr> at CREATE: pure write-default (every file
+          // postdates the column, so the initial-default boundary of
+          // ALTER-time defaults never applies). Validated here —
+          // parse/fold/cast — so a bad DEFAULT fails the CREATE.
+          val meta = c.defaultValue.fold(
+            org.apache.spark.sql.types.Metadata.empty) { d =>
+            val sql = d.originalSQL
+            val checked =
+              try spark.sql(s"SELECT CAST(($sql) AS ${c.dataType.sql})").head
+              catch { case scala.util.control.NonFatal(e) =>
+                throw new IllegalArgumentException(
+                  s"DEFAULT expression '$sql' for column '${c.name}' " +
+                    s"does not evaluate as ${c.dataType.sql}: ${e.getMessage}")
+              }
+            require(!checked.isNullAt(0),
+              s"DEFAULT expression '$sql' for column '${c.name}' " +
+                "evaluates to NULL — omit the DEFAULT instead")
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(GraftTable.DefaultSqlKey, sql).build()
+          }
+          StructField(c.name, c.dataType, c.nullable, metadata = meta)
+        })
         Some(GraftCreateTableCommand(name, schema,
           partitionCols(ct.partitioning), location(spark, ct.tableSpec, name),
           ct.ignoreIfExists, tableProps(ct.tableSpec)))

@@ -419,6 +419,24 @@ class LakehouseSpec extends AnyFunSuite {
           .putString(GraftTable.DefaultSqlKey, "'abc'").build()))))
   }
 
+  test("CREATE TABLE with DEFAULT columns acts as a write-default") {
+    val dir = Files.createTempDirectory("graft_ctdef").toString
+    graft.lakehouse.LakeRegistry.unregister("def_ct")
+    spark.sql(
+      s"""CREATE TABLE def_ct (k BIGINT, tier STRING DEFAULT 'basic')
+         |USING graft LOCATION '$dir/def_ct'""".stripMargin)
+    val t = graft.lakehouse.LakeRegistry.get("def_ct").get
+    t.append(Seq(Tuple1(1L)).toDF("k"))
+    t.append(Seq((2L, "gold")).toDF("k", "tier"))
+    val got = t.read().orderBy("k").collect()
+    assert(got(0).getString(1) == "basic" && got(1).getString(1) == "gold")
+    // a bad DEFAULT fails the CREATE, not some future write
+    val ex = intercept[IllegalArgumentException](spark.sql(
+      s"""CREATE TABLE def_bad (k BIGINT, z INT DEFAULT 'abc')
+         |USING graft LOCATION '$dir/def_bad'""".stripMargin))
+    assert(ex.getMessage.contains("DEFAULT"))
+  }
+
   test("binpack rewrites only sub-threshold files, composes with " +
       "renames, refuses pending MoR deletes") {
     val t = GraftTable.create(spark,
