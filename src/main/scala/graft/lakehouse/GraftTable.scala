@@ -1721,11 +1721,31 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * still exist physically in live files — reusing it would
     * resurrect those bytes (Iceberg avoids this with field ids; the
     * name mapping must refuse). */
-  private def requireNotRetired(snap: Snapshot, name: String): Unit =
-    require(!snap.renames.exists(r =>
-        r.from.equalsIgnoreCase(name) || r.to.equalsIgnoreCase(name)),
-      s"column name '$name' was previously renamed or dropped and " +
-        "may still exist in live data files; compact() first")
+  private def requireNotRetired(snap: Snapshot, name: String): Unit = {
+    // Rename records use names CURRENT at their own epoch, so the
+    // candidate must be unwound through the log newest-first (the
+    // same walk [[Snapshot.physicalName]] applies per-file) and every
+    // form it takes at ANY epoch checked — without this, dropping
+    // `info.x` then renaming `info`→`meta` would let `meta.x` pass
+    // (no record mentions it verbatim) while physicalName maps it
+    // back to `info.x` for old files, resurrecting the dropped bytes.
+    val forms = snap.renames.reverseIterator.foldLeft(List(name)) {
+      (acc, r) =>
+        val n = acc.head
+        val prev =
+          if (r.to.equalsIgnoreCase(n)) r.from
+          else if (n.toLowerCase.startsWith(r.to.toLowerCase + "."))
+            r.from + n.substring(r.to.length)
+          else n
+        prev :: acc
+    }
+    val hit = forms.distinct.filter(f => snap.renames.exists(r =>
+      r.from.equalsIgnoreCase(f) || r.to.equalsIgnoreCase(f)))
+    require(hit.isEmpty,
+      s"column name '$name' (physical form(s) ${hit.mkString(", ")}) " +
+        "was previously renamed or dropped and may still exist in " +
+        "live data files; compact() first")
+  }
 
   /** ALTER TABLE ADD COLUMNS — a METADATA-ONLY commit: the schema
     * gains nullable fields, no data file is touched, and every
@@ -1753,17 +1773,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         require(!f.name.contains('.'),
           s"DEFAULT on nested field '${f.name}' is not supported")
         val sql = f.metadata.getString(GraftTable.DefaultSqlKey)
-        // must fold driver-side to a value of the column type
-        val checked =
-          try spark.sql(s"SELECT CAST(($sql) AS ${f.dataType.sql})").head
-          catch { case scala.util.control.NonFatal(e) =>
-            throw new IllegalArgumentException(
-              s"DEFAULT expression '$sql' for column '${f.name}' does " +
-                s"not evaluate as ${f.dataType.sql}: ${e.getMessage}")
-          }
-        require(!checked.isNullAt(0),
-          s"DEFAULT expression '$sql' for column '${f.name}' evaluates " +
-            "to NULL — omit the DEFAULT instead")
+        // must fold driver-side to a constant of the column type
+        GraftTable.validateDefault(spark, sql, f.dataType, f.name)
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
           .putLong(GraftTable.DefaultSinceKey, snap.id).build())
@@ -3305,6 +3316,51 @@ object GraftTable {
     * default. */
   val DefaultSqlKey = "graft.initial-default"
   private[lakehouse] val DefaultSinceKey = "graft.default-since"
+
+  /** Validate a DEFAULT expression at DDL time: it must analyze, be
+    * FOLDABLE and DETERMINISTIC (Iceberg v3 restricts defaults to
+    * literal values — the default is re-evaluated from its SQL text
+    * at every scan and write, so `current_timestamp()`/`rand()`
+    * would make the same pre-add row read DIFFERENT values across
+    * queries), cast to the column type, and not evaluate to NULL. */
+  private[lakehouse] def validateDefault(spark: SparkSession,
+      sql: String, dt: DataType, colName: String): Unit = {
+    val df =
+      try spark.sql(s"SELECT CAST(($sql) AS ${dt.sql})")
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"DEFAULT expression '$sql' for column '$colName' does not " +
+            s"evaluate as ${dt.sql}: ${e.getMessage}")
+      }
+    val analyzed = df.queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.head match {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+          case e => e
+        }
+      case _ => return // unexpected shape: fall through to evaluation
+    }
+    // current_timestamp()/current_date()/current_user() are foldable
+    // (constant within ONE query) but fold to a different value per
+    // query — the CURRENT_LIKE tree pattern is their precise marker
+    val currentLike = analyzed.containsPattern(
+      org.apache.spark.sql.catalyst.trees.TreePattern.CURRENT_LIKE)
+    require(analyzed.deterministic && analyzed.foldable && !currentLike,
+      s"DEFAULT expression '$sql' for column '$colName' is not a " +
+        "constant (non-deterministic or query-time expressions like " +
+        "current_timestamp() or rand() would read differently on every " +
+        "scan) — use a literal value")
+    val checked =
+      try df.head
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"DEFAULT expression '$sql' for column '$colName' does not " +
+            s"evaluate as ${dt.sql}: ${e.getMessage}")
+      }
+    require(!checked.isNullAt(0),
+      s"DEFAULT expression '$sql' for column '$colName' evaluates " +
+        "to NULL — omit the DEFAULT instead")
+  }
   private[lakehouse] val PosIdxCol = "_gpd_pos"
 
   /** On-disk tombstone bytes above which the position-delete

@@ -348,16 +348,7 @@ object LakeDdl {
           val meta = c.defaultValue.fold(
             org.apache.spark.sql.types.Metadata.empty) { d =>
             val sql = d.originalSQL
-            val checked =
-              try spark.sql(s"SELECT CAST(($sql) AS ${c.dataType.sql})").head
-              catch { case scala.util.control.NonFatal(e) =>
-                throw new IllegalArgumentException(
-                  s"DEFAULT expression '$sql' for column '${c.name}' " +
-                    s"does not evaluate as ${c.dataType.sql}: ${e.getMessage}")
-              }
-            require(!checked.isNullAt(0),
-              s"DEFAULT expression '$sql' for column '${c.name}' " +
-                "evaluates to NULL — omit the DEFAULT instead")
+            GraftTable.validateDefault(spark, sql, c.dataType, c.name)
             new org.apache.spark.sql.types.MetadataBuilder()
               .putString(GraftTable.DefaultSqlKey, sql).build()
           }

@@ -90,6 +90,13 @@ object Spj {
     else if (snap.dels.nonEmpty) Some("pending equality deletes")
     else if (snap.posDels.nonEmpty) Some("pending position deletes")
     else if (snap.renames.nonEmpty) Some("column renames present")
+    else if (snap.schema.fields.exists(
+        _.metadata.contains(GraftTable.DefaultSinceKey)))
+      // the SPJ scan decodes files directly (no readFilesMapped-style
+      // default application), so pre-add rows would read NULL where
+      // GraftTable.read() returns the DEFAULT — a silently-different
+      // result; refuse instead
+      Some("columns with ALTER-added initial defaults present")
     else if (snap.specHist.nonEmpty &&
         snap.specHist.exists(_._2 != snap.partitionCols))
       Some("partition spec evolved across the file set")
@@ -250,7 +257,14 @@ object LakeSpjScanBuilder {
     * round-trips exactly. */
   private def litSql(v: Any): Option[String] = v match {
     case null => None
-    case s: String => Some("'" + s.replace("'", "''") + "'")
+    // the rendered predicate is RE-PARSED by Spark's SQL parser
+    // (pruneByStats/prunePartitions), which processes backslash
+    // escapes in string literals — a value containing `\` would
+    // round-trip to a DIFFERENT literal and pruning could skip files
+    // that hold matching rows. Refuse those (conservative: the filter
+    // is residual anyway, only the skipping hint is lost).
+    case s: String if !s.contains('\\') && !s.exists(_.isControl) =>
+      Some("'" + s.replace("'", "''") + "'")
     case b: Boolean => Some(b.toString)
     case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
     // non-finite values have no SQL literal form ("NaN" would parse

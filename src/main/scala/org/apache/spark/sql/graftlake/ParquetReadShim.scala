@@ -32,22 +32,32 @@ object ParquetReadShim {
     * passes [[columnarSupported]] take [[columnarReadFunc]] instead —
     * this closure is the fallback for types the vectorized reader
     * cannot batch. */
+  /** A clone of `spark` with the vectorized-reader conf pinned to
+    * `vectorized` — closure builds must NOT flip the conf on the
+    * SHARED session (a query planned concurrently during that window
+    * would observe the flipped value and hand a row consumer a
+    * ColumnarBatch iterator, or vice versa). `cloneSession` copies
+    * the session state (confs included) over the same SparkContext,
+    * so the pin is invisible to every other planner. */
+  private def pinnedSession(spark: SparkSession,
+      vectorized: Boolean): ClassicSession = {
+    val clone = spark.asInstanceOf[ClassicSession].cloneSession()
+    clone.conf.set("spark.sql.parquet.enableVectorizedReader",
+      vectorized.toString)
+    clone
+  }
+
   def rowReadFunc(spark: SparkSession, dataSchema: StructType,
       requiredSchema: StructType): PartitionedFile => Iterator[InternalRow] = {
-    val classic = spark.asInstanceOf[ClassicSession]
-    val key = "spark.sql.parquet.enableVectorizedReader"
-    val prev = classic.conf.get(key)
-    classic.conf.set(key, "false")
-    try {
-      new ParquetFileFormat().buildReaderWithPartitionValues(
-        sparkSession = classic,
-        dataSchema = dataSchema,
-        partitionSchema = new StructType(),
-        requiredSchema = requiredSchema,
-        filters = Nil,
-        options = Map.empty,
-        hadoopConf = classic.sessionState.newHadoopConf())
-    } finally classic.conf.set(key, prev)
+    val pinned = pinnedSession(spark, vectorized = false)
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = pinned,
+      dataSchema = dataSchema,
+      partitionSchema = new StructType(),
+      requiredSchema = requiredSchema,
+      filters = Nil,
+      options = Map.empty,
+      hadoopConf = pinned.sessionState.newHadoopConf())
   }
 
   /** Whether the vectorized parquet reader can serve `schema` whole
@@ -67,24 +77,19 @@ object ParquetReadShim {
   def columnarReadFunc(spark: SparkSession, dataSchema: StructType,
       requiredSchema: StructType):
       PartitionedFile => Iterator[ColumnarBatch] = {
-    val classic = spark.asInstanceOf[ClassicSession]
-    val key = "spark.sql.parquet.enableVectorizedReader"
-    val prev = classic.conf.get(key)
-    classic.conf.set(key, "true")
-    try {
-      val f = new ParquetFileFormat().buildReaderWithPartitionValues(
-        sparkSession = classic,
-        dataSchema = dataSchema,
-        partitionSchema = new StructType(),
-        requiredSchema = requiredSchema,
-        filters = Nil,
-        // with the vectorized reader on, ParquetFileFormat demands an
-        // explicit batch/row decision from its caller
-        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-          .OPTION_RETURNING_BATCH -> "true"),
-        hadoopConf = classic.sessionState.newHadoopConf())
-      pf => f(pf).asInstanceOf[Iterator[ColumnarBatch]]
-    } finally classic.conf.set(key, prev)
+    val pinned = pinnedSession(spark, vectorized = true)
+    val f = new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = pinned,
+      dataSchema = dataSchema,
+      partitionSchema = new StructType(),
+      requiredSchema = requiredSchema,
+      filters = Nil,
+      // with the vectorized reader on, ParquetFileFormat demands an
+      // explicit batch/row decision from its caller
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "true"),
+      hadoopConf = pinned.sessionState.newHadoopConf())
+    pf => f(pf).asInstanceOf[Iterator[ColumnarBatch]]
   }
 
   /** Whole-file `PartitionedFile` (no partition-dir values: transform

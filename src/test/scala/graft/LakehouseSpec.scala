@@ -1639,6 +1639,70 @@ class LakehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.createBranch("bad\tname"))
   }
 
+  test("retired-name check unwinds outer renames; DEFAULTs must be " +
+      "constants; SPJ refuses defaulted tables and backslash pushes") {
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField,
+      TimestampType}
+    // dropping info.x then renaming info->meta must not let meta.x
+    // back in: physicalName would map it to info.x for old files,
+    // resurrecting the dropped field's bytes
+    val rows = Seq((1L, ("a", 1.0))).toDF("k", "raw")
+      .select(col("k"),
+        struct(col("raw._1").as("x"), col("raw._2").as("b")).as("info"))
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_ret2").toString, rows)
+    t.dropColumn("info.x")
+    t.renameColumn("info", "meta")
+    val ex = intercept[IllegalArgumentException](
+      t.addColumns(Seq(StructField("meta.x", StringType))))
+    assert(ex.getMessage.contains("renamed or dropped"))
+
+    // non-deterministic / non-foldable DEFAULT expressions refuse at
+    // DDL time (they would re-evaluate differently on every scan)
+    def withDefault(dt: org.apache.spark.sql.types.DataType, sql: String) =
+      StructField("c", dt, nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(GraftTable.DefaultSqlKey, sql).build())
+    val t2 = freshTable(Seq((1L, "a", 1.0)))
+    val e1 = intercept[IllegalArgumentException](
+      t2.addColumns(Seq(withDefault(TimestampType, "current_timestamp()"))))
+    assert(e1.getMessage.contains("constant"))
+    val e2 = intercept[IllegalArgumentException](
+      t2.addColumns(Seq(withDefault(DoubleType, "rand()"))))
+    assert(e2.getMessage.contains("constant"))
+    t2.addColumns(Seq(withDefault(DoubleType, "1.5 + 1"))) // folds fine
+    assert(t2.read().select("c").head.getDouble(0) == 2.5)
+    val e3 = intercept[IllegalArgumentException](spark.sql(
+      s"""CREATE TABLE def_nd (k BIGINT, ts TIMESTAMP
+         |  DEFAULT current_timestamp())
+         |USING graft LOCATION
+         |'${Files.createTempDirectory("graft_nd")}/def_nd'""".stripMargin))
+    assert(e3.getMessage.contains("constant"))
+
+    // the SPJ path decodes files directly (no default application):
+    // a table with ALTER-added initial defaults must refuse it
+    val tb = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spjd").toString,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "tag"),
+      partitionBy = Seq("bucket[2](k)"))
+    tb.addColumns(Seq(withDefault(StringType, "'basic'")))
+    val e4 = intercept[UnsupportedOperationException](
+      graft.lakehouse.Spj.read(spark, "spj_defaulted", tb).count())
+    assert(e4.getMessage.contains("default"))
+
+    // a pushed string literal containing a backslash must not prune
+    // files (the re-parse would process the escape and skip a file
+    // that holds the matching row)
+    val tc = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spjbs").toString,
+      Seq((1L, "a\\tb"), (2L, "plain")).toDF("k", "tag"),
+      partitionBy = Seq("bucket[2](k)"))
+    val hit = graft.lakehouse.Spj.read(spark, "spj_backslash", tc)
+      .filter(col("tag") === "a\\tb")
+    assert(hit.count() == 1,
+      "backslash-bearing literal must survive the skipping path")
+  }
+
   test("spec evolution restricts dynamic overwrite; expiry degrades walks") {
     val dir = Files.createTempDirectory("graft_pe3").toString
     val t = GraftTable.create(spark, dir,
