@@ -249,23 +249,106 @@ object LakeQueries {
     val a = Spj.read(s, "lake_bj_orders", t1)
     val b = Spj.read(s, "lake_bj_cust", t2)
     val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
+      // the zero-Exchange proof runs UNDER the production AQE config:
+      // Spj.shuffles descends through the adaptive wrapper, so no
+      // conf has to be turned off to keep the plan honest
       val probe = a.join(b, col("o_custkey") === col("c_custkey"))
-        .queryExecution.executedPlan.collect {
-          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-        }
-      require(probe.isEmpty,
-        "bucketed lake join must plan with zero Exchange")
+      probe.count() // execute so AQE finalizes its plan
+      require(Spj.shuffles(probe).isEmpty,
+        "bucketed lake join must plan with zero Exchange under AQE")
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
-      s.conf.set("spark.sql.adaptive.enabled", oldAqe)
     }
     a.join(b, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
       .orderBy("o_orderkey")
+  }
+
+  /** Storage-partitioned join on a STRING bucket key — real governed
+    * corpora join on string document/patient ids, not synthetic
+    * BIGINTs (ref: the reference's `patient_id` join key,
+    * consumer_emr_on_eks_setup.sh:412, is an id column by nature).
+    * Both sides written `bucket[8](<string id>)`; the v2 `bucket`
+    * function's string bound form reproduces the write-time
+    * xxhash64-over-UTF8 law, and the join plans with zero Exchange
+    * under the production AQE config (require()d in-query). */
+  private val spjString: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        col("o_custkey").cast("string").as("o_cust_id"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("string").as("c_cust_id"),
+        col("c_name"))
+    val t1 = GraftTable.create(s, tmp("lake_spjs_o"), orders,
+      partitionBy = Seq("bucket[8](o_cust_id)"))
+    val t2 = GraftTable.create(s, tmp("lake_spjs_c"), cust,
+      partitionBy = Seq("bucket[8](c_cust_id)"))
+    val a = Spj.read(s, "lake_spjs_orders", t1)
+    val b = Spj.read(s, "lake_spjs_cust", t2)
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = a.join(b, col("o_cust_id") === col("c_cust_id"))
+      probe.count()
+      require(Spj.shuffles(probe).isEmpty,
+        "string-keyed bucketed join must plan with zero Exchange")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+    a.join(b, col("o_cust_id") === col("c_cust_id"))
+      .select(col("o_orderkey"), col("o_cust_id"), col("c_name"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Storage-partitioned join over a COMPOSITE spec — the production
+    * Iceberg layout `month(ts), bucket(k)`: prune on time, join on
+    * key. Both sides written `(month(o_orderdate), bucket[4](key))`.
+    * The registered result joins on the bucket key alone — a SUBSET
+    * of the partition keys (SPARK-44647) — under a time filter, and
+    * the in-query probe requires (a) zero Exchange under AQE and
+    * (b) the time predicate pruning month partitions on the manifest
+    * (fewer input files than the table holds). */
+  private val spjComposite: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val even = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val odd = orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("r_orderkey"),
+        col("o_custkey").as("r_custkey"),
+        col("o_orderdate").as("r_orderdate"))
+    val t1 = GraftTable.create(s, tmp("lake_spjc_e"), even,
+      partitionBy = Seq("month(o_orderdate)", "bucket[4](o_custkey)"))
+    val t2 = GraftTable.create(s, tmp("lake_spjc_o"), odd,
+      partitionBy = Seq("month(r_orderdate)", "bucket[4](r_custkey)"))
+    val a = Spj.read(s, "lake_spjc_even", t1)
+    val b = Spj.read(s, "lake_spjc_odd", t2)
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    val pruned = a.filter(col("o_orderdate") >= cutoff)
+    // one scan split per surviving (month, bucket) tuple — the time
+    // predicate must cut the split count, proving manifest pruning
+    require(pruned.rdd.getNumPartitions < a.rdd.getNumPartitions,
+      "the time predicate must prune month partitions on the manifest")
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = pruned.join(b, col("o_custkey") === col("r_custkey"))
+      probe.count()
+      require(Spj.shuffles(probe).isEmpty,
+        "subset-key composite join must plan with zero Exchange")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+    // sum over DECIMAL: exact and associative, so the result is
+    // independent of the shuffle-free plan's partial-agg order (a
+    // double sum would differ from the oracle in the last bits)
+    pruned.join(b, col("o_custkey") === col("r_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+      .orderBy("o_custkey")
   }
 
   private val partitioned: Q = (s, dir) => {
@@ -978,6 +1061,8 @@ object LakeQueries {
     "lake_overwrite_partition" -> overwritePartition,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
+    "lake_spj_string"       -> spjString,
+    "lake_spj_composite"    -> spjComposite,
     "lake_alter_nested"     -> alterNested,
     "lake_skipping_or"      -> skippingOr,
     "lake_binpack"          -> binpack,
@@ -1250,6 +1335,22 @@ object LakeQueries {
       """SELECT o.o_orderkey, o.o_custkey, c.c_name
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    "lake_spj_string" ->
+      """SELECT o.o_orderkey, CAST(o.o_custkey AS VARCHAR) AS o_cust_id,
+        |       c.c_name
+        |FROM orders o JOIN customer c
+        |  ON CAST(o.o_custkey AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "lake_spj_composite" ->
+      """SELECT e.o_custkey, count(*) AS pairs,
+        |       sum(CAST(e.o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM (SELECT o_custkey, o_totalprice FROM orders
+        |      WHERE o_orderkey % 2 = 0
+        |        AND o_orderdate >= TIMESTAMP '1997-01-01') e
+        |JOIN (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1) r
+        |  ON e.o_custkey = r.o_custkey
+        |GROUP BY e.o_custkey
+        |ORDER BY e.o_custkey""".stripMargin,
     "lake_skipping_or" ->
       """SELECT * FROM orders
         |WHERE o_orderdate < TIMESTAMP '1994-01-01'

@@ -12,8 +12,9 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.graftlake.ParquetReadShim
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Storage-partitioned join for graft-lake bucket layouts.
+/** Storage-partitioned join for graft-lake transform layouts.
   *
   * A lake table written `PARTITIONED BY (bucket[n](k))` already has
   * its rows hash-clustered on disk — every `_gp_0=<b>` directory
@@ -31,28 +32,39 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - [[LakeSpjCatalog]] — a `TableCatalog` + `FunctionCatalog`
   *    (registered as `graft_spj`). The FunctionCatalog half is
   *    load-bearing: Spark's `V2ScanPartitioning` rule only converts a
-  *    reported `bucket(n, k)` transform into a comparable
-  *    `TransformExpression` when the relation's catalog can resolve
-  *    the named function (Iceberg ships its SPJ the same way).
-  *  - [[GraftBucketFunction]] — the resolved `bucket` function, bound
-  *    to the engine's write-time layout law `pmod(xxhash64(long(k)), n)`
-  *    (PartitionSpec.Bucket.toColumn). Both sides resolving the SAME
-  *    canonical function is what makes the two partitionings
-  *    compatible to `KeyGroupedShuffleSpec`.
+  *    reported `bucket(n, k)` / `days(ts)` transform into a
+  *    comparable `TransformExpression` when the relation's catalog
+  *    can resolve the named function (Iceberg ships its SPJ the same
+  *    way).
+  *  - [[GraftBucketFunction]] / [[GraftTemporalFunction]] — the resolved
+  *    transform functions, bound to the engine's write-time layout
+  *    laws (`pmod(xxhash64(k), n)` with integral-to-LONG
+  *    normalization, session-zone day truncation —
+  *    PartitionSpec.Bucket/Temporal.toColumn). Both sides resolving
+  *    the SAME canonical function is what makes the two
+  *    partitionings compatible to `KeyGroupedShuffleSpec`.
   *  - [[LakeSpjTable]] / scan — reports
-  *    `KeyGroupedPartitioning(bucket(n, k), #buckets-present)` and
-  *    plans one `HasPartitionKey` split per bucket value, so the
-  *    planner aligns equal buckets pairwise instead of shuffling.
-  *    Rows decode through Spark's own parquet reader closure
-  *    ([[ParquetReadShim]]), with column pruning pushed down.
+  *    `KeyGroupedPartitioning(transforms, #partition-tuples-present)`
+  *    and plans one `HasPartitionKey` split per stored partition
+  *    tuple, so the planner aligns equal tuples pairwise instead of
+  *    shuffling. Rows decode through Spark's own parquet reader
+  *    closure ([[ParquetReadShim]]), with column pruning pushed down.
   *
-  * Eligibility is strict, checked at `loadTable`: a single
-  * `bucket[n](col)` partition field, no pending equality/position
-  * deletes, no renames, no partition-spec evolution — anything else
-  * must take the general `GraftTable.read()` path (loud error, never
-  * a silently-different result). Ref: the reference's repeated
-  * governed fact joins (consumer_emr_on_eks_setup.sh:407-412) are
-  * exactly this shape.
+  * Supported specs: any combination of `bucket[n](col)` (integral or
+  * string key column) and `day(col)` (DATE / TIMESTAMP / TIMESTAMP_NTZ)
+  * fields — the production Iceberg layout `days(ts), bucket(k)`
+  * (prune on time, join on key) included. With
+  * `allowJoinKeysSubsetOfPartitionKeys` on (set by [[Spj.enable]]),
+  * a join on the bucket key alone still plans shuffle-free while the
+  * day field keeps serving partition pruning.
+  *
+  * Eligibility is strict, checked at `loadTable`: supported transform
+  * fields only, no pending equality/position deletes, no renames, no
+  * ALTER-added initial defaults, no partition-spec evolution —
+  * anything else must take the general `GraftTable.read()` path (loud
+  * error, never a silently-different result). Ref: the reference's
+  * repeated governed fact joins (consumer_emr_on_eks_setup.sh:407-412)
+  * are exactly this shape.
   */
 object Spj {
   val CatalogName = "graft_spj"
@@ -63,51 +75,178 @@ object Spj {
     spark.conf.set(s"spark.sql.catalog.$CatalogName",
       classOf[LakeSpjCatalog].getName)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    // tolerate one side missing some bucket values (empty buckets):
-    // the planner fills the gap with empty partitions instead of
-    // falling back to a shuffle
+    // tolerate one side missing some partition values (empty
+    // partitions): the planner fills the gap with empty partitions
+    // instead of falling back to a shuffle
     spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
       "true")
+    // composite specs (days(ts), bucket(k)): the common join keys on
+    // the bucket column alone are a SUBSET of the partition keys —
+    // still shuffle-free, grouped on the common key (SPARK-44647).
+    // requireAllClusterKeysForCoPartition must come OFF for the
+    // subset to satisfy the join's co-partition requirement (the
+    // same pair of settings Iceberg's SPJ recipe prescribes).
+    spark.conf.set("spark.sql.sources.v2.bucketing" +
+      ".allowJoinKeysSubsetOfPartitionKeys.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
   }
 
   /** Read `t` through the SPJ catalog under `name`. The returned
-    * frame's scan reports the stored bucket layout; a join between
-    * two such frames on their bucket columns plans shuffle-free. */
+    * frame's scan reports the stored partition layout; a join between
+    * two such frames on their partition-source columns plans
+    * shuffle-free. */
   def read(spark: SparkSession, name: String, t: GraftTable): DataFrame = {
     enable(spark)
     LakeRegistry.register(name, t)
     spark.table(s"$CatalogName.$name")
   }
 
+  /** The SPJ view of `snap`'s partition fields, or the reason the
+    * spec cannot take the SPJ path. */
+  private[lakehouse] def spjFields(
+      snap: Snapshot): Either[String, Seq[SpjField]] = {
+    val fields = PartField.parseAll(snap.partitionCols)
+    if (fields.isEmpty)
+      return Left("table is unpartitioned")
+    def colType(c: String): Option[DataType] =
+      snap.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    val mapped = fields.zipWithIndex.map {
+      case (PartField.Bucket(n, c), i) => colType(c) match {
+        case Some(ByteType | ShortType | IntegerType | LongType |
+            StringType) =>
+          Right(SpjField.BucketField(n, c, i))
+        case Some(other) => Left(
+          s"bucket over ${other.simpleString} column '$c' is not " +
+            "SPJ-resolvable (integral and string keys only)")
+        case None => Left(s"bucket column '$c' missing from the schema")
+      }
+      case (PartField.Temporal(unit, c), i) => colType(c) match {
+        case Some(DateType | TimestampType | TimestampNTZType) =>
+          Right(SpjField.TemporalField(unit, c, i))
+        case Some(other) => Left(
+          s"$unit() over ${other.simpleString} column '$c' is not " +
+            "SPJ-resolvable")
+        case None => Left(s"$unit column '$c' missing from the schema")
+      }
+      case (f, _) => Left(
+        s"partition transform ${f.render} is not SPJ-supported " +
+          "(bucket[n](col), year/month/day(col) fields only)")
+    }
+    mapped.collectFirst { case Left(why) => why }
+      .toLeft(mapped.collect { case Right(f) => f })
+  }
+
+  /** Shuffle exchanges in `df`'s plan, descending through AQE's
+    * adaptive wrapper and materialized query stages — the zero-
+    * Exchange proof for SPJ plans UNDER the production AQE config
+    * (a plain `executedPlan.collect` sees only the opaque
+    * `AdaptiveSparkPlanExec` leaf). Execute the frame first so AQE
+    * has finalized; on an unexecuted frame this inspects the initial
+    * plan, which for SPJ is equally shuffle-free or not. */
+  def shuffles(df: DataFrame): Seq[String] = SpjProbe.shuffleNames(df)
+
   /** Why `t` cannot take the SPJ path right now, or None if it can. */
   def ineligibleReason(t: GraftTable): Option[String] = {
     val snap = t.currentSnapshot
-    val fields = PartField.parseAll(snap.partitionCols)
-    if (fields.size != 1 || !fields.head.isInstanceOf[PartField.Bucket])
-      Some(s"partition spec [${snap.partitionCols.mkString(", ")}] is not " +
-        "a single bucket[n](col) field")
-    else if (snap.files.isEmpty) Some("table has no data files")
-    else if (snap.dels.nonEmpty) Some("pending equality deletes")
-    else if (snap.posDels.nonEmpty) Some("pending position deletes")
-    else if (snap.renames.nonEmpty) Some("column renames present")
-    else if (snap.schema.fields.exists(
-        _.metadata.contains(GraftTable.DefaultSinceKey)))
-      // the SPJ scan decodes files directly (no readFilesMapped-style
-      // default application), so pre-add rows would read NULL where
-      // GraftTable.read() returns the DEFAULT — a silently-different
-      // result; refuse instead
-      Some("columns with ALTER-added initial defaults present")
-    else if (snap.specHist.nonEmpty &&
-        snap.specHist.exists(_._2 != snap.partitionCols))
-      Some("partition spec evolved across the file set")
-    else None
+    spjFields(snap).left.toOption
+      .orElse {
+        if (snap.files.isEmpty) Some("table has no data files")
+        else if (snap.dels.nonEmpty) Some("pending equality deletes")
+        else if (snap.posDels.nonEmpty) Some("pending position deletes")
+        else if (snap.renames.nonEmpty) Some("column renames present")
+        else if (snap.schema.fields.exists(
+            _.metadata.contains(GraftTable.DefaultSinceKey)))
+          // the SPJ scan decodes files directly (no readFilesMapped-
+          // style default application), so pre-add rows would read
+          // NULL where GraftTable.read() returns the DEFAULT — a
+          // silently-different result; refuse instead
+          Some("columns with ALTER-added initial defaults present")
+        else if (snap.specHist.nonEmpty &&
+            snap.specHist.exists(_._2 != snap.partitionCols))
+          Some("partition spec evolved across the file set")
+        else None
+      }
   }
 }
 
-/** `bucket(n, col)` as a catalog-resolvable v2 function. Bound form
-  * reproduces the write-time bucket law exactly; integral inputs
+private object SpjProbe
+    extends org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+  def shuffleNames(df: DataFrame): Seq[String] =
+    collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.nodeName
+    }
+}
+
+/** One SPJ-eligible partition field: its DataSource-v2 transform (the
+  * shape `V2ScanPartitioning` resolves through the catalog's
+  * functions), the partition-key datum type, and the parser from the
+  * stored `_gp_i=<v>` directory value back to that datum. The datum
+  * produced here must agree EXACTLY with what the bound function
+  * computes from the raw column — that identity is what lets the
+  * planner align splits of the two sides without reading a row. */
+private[lakehouse] sealed trait SpjField {
+  /** Position in the partition spec (the `_gp_<idx>` dir). */
+  def idx: Int
+  def transform: Transform
+  def keyType: DataType
+  /** Parse one unescaped directory value; null for the NULL dir. */
+  def parseDir(v: String): Any
+}
+
+private[lakehouse] object SpjField {
+  private val NullDir =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+
+  /** `bucket[n](col)`: dir value is the bucket ordinal. A NULL key
+    * still hashes (xxhash64 of nothing = the seed), so the NULL dir
+    * is impossible here — loud error, never a guessed bucket. */
+  final case class BucketField(n: Int, col: String, idx: Int)
+      extends SpjField {
+    def transform: Transform = Expressions.bucket(n, col)
+    def keyType: DataType = IntegerType
+    def parseDir(v: String): Any = {
+      require(v != NullDir,
+        s"bucket dir of '$col' cannot be the NULL partition")
+      v.toInt
+    }
+  }
+
+  /** `year/month/day(col)`: dir value is the zero-padded
+    * `yyyy[-MM[-dd]]` rendering (session zone for TIMESTAMP — the
+    * writer's contract, see [[PartField.Temporal]]); the
+    * partition-key datum is the Iceberg-compatible ordinal (years /
+    * months since 1970, epoch day as DATE), matching
+    * [[GraftTemporalFunction]]'s result. */
+  final case class TemporalField(unit: String, col: String, idx: Int)
+      extends SpjField {
+    def transform: Transform = unit match {
+      case "year"  => Expressions.years(col)
+      case "month" => Expressions.months(col)
+      case "day"   => Expressions.days(col)
+    }
+    def keyType: DataType =
+      if (unit == "day") DateType else IntegerType
+    def parseDir(v: String): Any =
+      if (v == NullDir) null
+      else unit match {
+        case "year" => v.toInt - 1970
+        case "month" =>
+          val Array(y, m) = v.split('-')
+          (y.toInt - 1970) * 12 + (m.toInt - 1)
+        case "day" => java.time.LocalDate.parse(v).toEpochDay.toInt
+      }
+  }
+}
+
+/** `bucket(n, col)` as a catalog-resolvable v2 function. Bound forms
+  * reproduce the write-time bucket law exactly: integral inputs
   * normalize to LONG before hashing (xxhash64 of INT 7 and LONG 7
-  * differ — same normalization as PartitionSpec.Bucket). */
+  * differ — same normalization as PartitionSpec.Bucket), string
+  * inputs hash their UTF-8 bytes. The canonical names are
+  * type-qualified so a long-keyed side never reports compatible with
+  * a string-keyed side (their hashes differ). */
 object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =
@@ -120,8 +259,11 @@ object GraftBucketFunction extends UnboundFunction {
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         new BucketLong
+      case StringType =>
+        new BucketString
       case other => throw new UnsupportedOperationException(
-        s"bucket over $other is not SPJ-resolvable (integral columns only)")
+        s"bucket over $other is not SPJ-resolvable " +
+          "(integral and string columns only)")
     }
   }
 
@@ -131,7 +273,7 @@ object GraftBucketFunction extends UnboundFunction {
       Array(IntegerType, LongType)
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
-    override def canonicalName(): String = "graft.bucket"
+    override def canonicalName(): String = "graft.bucket(long)"
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): Integer = {
       val n = input.getInt(0)
@@ -141,11 +283,89 @@ object GraftBucketFunction extends UnboundFunction {
       java.lang.Math.floorMod(h, n.toLong).toInt
     }
   }
+
+  private[lakehouse] final class BucketString
+      extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, StringType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket(string)"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      val s: UTF8String = input.getUTF8String(1)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(s, StringType, 42L)
+      java.lang.Math.floorMod(h, n.toLong).toInt
+    }
+  }
+}
+
+/** `years/months/days(col)` as catalog-resolvable v2 functions:
+  * truncation to the containing year/month/day, returned as the
+  * Iceberg-compatible ordinal (years / months since 1970; epoch day
+  * as DATE) — the same value [[SpjField.TemporalField]] parses back
+  * out of the `yyyy[-MM[-dd]]` dirs. TIMESTAMP binds capture the
+  * SESSION zone at plan time, matching the `date_format` rendering
+  * the writer used (writer and reader sessions must agree on the
+  * zone — the same contract the pruner documents on
+  * [[PartField.ofLiteral]]). */
+final class GraftTemporalFunction(unit: String) extends UnboundFunction {
+  // the v2 transform names are plural (days/months/years); graft's
+  // manifest forms are singular (day/month/year)
+  override def name(): String = unit + "s"
+  override def description(): String =
+    s"${unit}s(col): truncation to the containing $unit, as an ordinal"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"${unit}s expects (value), got $inputType")
+    inputType.fields(0).dataType match {
+      case dt @ (DateType | TimestampType | TimestampNTZType) =>
+        new GraftTemporalFunction.TemporalOrdinal(unit, dt,
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      case other => throw new UnsupportedOperationException(
+        s"${unit}s over $other is not SPJ-resolvable")
+    }
+  }
+}
+
+object GraftTemporalFunction {
+  val Years = new GraftTemporalFunction("year")
+  val Months = new GraftTemporalFunction("month")
+  val Days = new GraftTemporalFunction("day")
+
+  private[lakehouse] final class TemporalOrdinal(unit: String,
+      inputDt: DataType, zoneId: String) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(inputDt)
+    override def resultType(): DataType =
+      if (unit == "day") DateType else IntegerType
+    override def name(): String = unit + "s"
+    override def canonicalName(): String = s"graft.${unit}s"
+    override def produceResult(input: InternalRow): Integer = {
+      val d: java.time.LocalDate = inputDt match {
+        case DateType => java.time.LocalDate.ofEpochDay(input.getInt(0))
+        case TimestampType => // instant micros: SESSION-zone local date
+          java.time.Instant
+            .ofEpochSecond(Math.floorDiv(input.getLong(0), 1000000L))
+            .atZone(java.time.ZoneId.of(zoneId)).toLocalDate
+        case TimestampNTZType => // wall-clock micros, zone-free
+          java.time.LocalDate.ofEpochDay(Math.floorDiv(
+            Math.floorDiv(input.getLong(0), 1000000L), 86400L))
+      }
+      unit match {
+        case "year"  => d.getYear - 1970
+        case "month" => (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+        case "day"   => d.toEpochDay.toInt
+      }
+    }
+  }
 }
 
 /** The `graft_spj` catalog: resolves LakeRegistry names to SPJ-read
-  * tables and the `bucket` function for transform resolution. Pure
-  * read surface — DDL goes through the `USING graft` front-end. */
+  * tables and the transform functions for partitioning resolution.
+  * Pure read surface — DDL goes through the `USING graft` front-end. */
 class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = Spj.CatalogName
 
@@ -178,37 +398,43 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename via SQL")
 
+  private val functions: Map[String, UnboundFunction] = Map(
+    "bucket" -> GraftBucketFunction,
+    "years" -> GraftTemporalFunction.Years,
+    "months" -> GraftTemporalFunction.Months,
+    "days" -> GraftTemporalFunction.Days)
+
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(catalogName, ident.name)
+    functions.getOrElse(ident.name.toLowerCase,
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(catalogName, ident.name))
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "bucket"))
+    functions.keys.toArray.sorted.map(Identifier.of(Array.empty, _))
   override def functionExists(ident: Identifier): Boolean =
-    ident.name.equalsIgnoreCase("bucket")
+    functions.contains(ident.name.toLowerCase)
 }
 
-/** One SPJ-readable snapshot of a bucket-partitioned lake table. */
+/** One SPJ-readable snapshot of a transform-partitioned lake table. */
 final class LakeSpjTable(tableName: String, t: GraftTable)
     extends Table with SupportsRead {
   private val snap = t.currentSnapshot
-  private val bucketField =
-    PartField.parseAll(snap.partitionCols).head.asInstanceOf[PartField.Bucket]
+  private val fields = Spj.spjFields(snap)
+    .fold(why => throw new IllegalStateException(why), identity)
 
   override def name(): String = tableName
   override def schema(): StructType = snap.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def partitioning(): Array[Transform] =
-    Array(Expressions.bucket(bucketField.n, bucketField.col))
+    fields.map(_.transform).toArray
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeSpjScanBuilder(t, snap, bucketField)
+    new LakeSpjScanBuilder(t, snap, fields)
 }
 
 final class LakeSpjScanBuilder(t: GraftTable, snap: Snapshot,
-    bucket: PartField.Bucket)
+    fields: Seq[SpjField])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -230,9 +456,10 @@ final class LakeSpjScanBuilder(t: GraftTable, snap: Snapshot,
     * returned as residual so Spark re-evaluates it row-side, and the
     * scan uses the convertible subset to drop files whose manifest
     * stats or partition value provably exclude them (Iceberg's
-    * model: metadata prunes, the engine filters). An equality on the
+    * model: metadata prunes, the engine filters). An equality on a
     * bucket column prunes to ONE bucket's splits via the same
-    * driver-side literal hash the writer used. */
+    * driver-side literal hash the writer used; a range on a day
+    * column prunes day directories monotonically. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => LakeSpjScanBuilder.toSql(f).isDefined)
     filters
@@ -244,7 +471,7 @@ final class LakeSpjScanBuilder(t: GraftTable, snap: Snapshot,
       case Array() => None
       case parts => Some(parts.mkString("(", ") AND (", ")"))
     }
-    new LakeSpjScan(t, snap, bucket, required, predSql)
+    new LakeSpjScan(t, snap, fields, required, predSql)
   }
 }
 
@@ -275,7 +502,28 @@ object LakeSpjScanBuilder {
       Some(d.toString)
     case d: java.math.BigDecimal => Some(d.toString)
     case d: BigDecimal => Some(d.toString)
-    case _ => None // dates/timestamps/binary: zone/format pitfalls, skip
+    // datetimes render as typed SQL literals. Instants print their
+    // full-precision wall clock in the SESSION zone, the same zone
+    // `TIMESTAMP '...'` re-parses in — the literal round-trips to the
+    // same instant, so the time-range pruning the composite layout
+    // exists for (month(ts) dirs) actually fires.
+    case t: java.sql.Timestamp => Some(instantSql(t.toInstant))
+    case i: java.time.Instant => Some(instantSql(i))
+    // TIMESTAMP_NTZ filter values arrive as LocalDateTime: zone-free
+    // wall clock, renders without any zone math
+    case l: java.time.LocalDateTime =>
+      Some(s"TIMESTAMP_NTZ '${l.format(TsFmt)}'")
+    case d: java.sql.Date => Some(s"DATE '${d.toLocalDate}'")
+    case d: java.time.LocalDate => Some(s"DATE '$d'")
+    case _ => None // binary etc.: no exact literal form, skip
+  }
+
+  private val TsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+  private def instantSql(i: java.time.Instant): String = {
+    val zone = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    s"TIMESTAMP '${i.atZone(zone).toLocalDateTime.format(TsFmt)}'"
   }
   private def colRef(name: String): Option[String] =
     if (name.contains('.') || name.contains('`')) None
@@ -307,12 +555,12 @@ object LakeSpjScanBuilder {
   }
 }
 
-/** The scan: groups the snapshot's files by stored bucket value and
-  * reports the grouping as `KeyGroupedPartitioning`. Planning is
-  * driver-side metadata only (path parsing + one `getFileStatus` per
-  * file for split sizing — the same listing cost every scan pays). */
+/** The scan: groups the snapshot's files by stored partition tuple
+  * and reports the grouping as `KeyGroupedPartitioning`. Planning is
+  * driver-side metadata only (path parsing; split sizes come from the
+  * manifest). */
 final class LakeSpjScan(t: GraftTable, snap: Snapshot,
-    bucket: PartField.Bucket, required: StructType,
+    fields: Seq[SpjField], required: StructType,
     predSql: Option[String])
     extends Scan with Batch with SupportsReportPartitioning {
 
@@ -322,14 +570,12 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"graft-lake SPJ scan, bucket[${bucket.n}](${bucket.col})" +
+    s"graft-lake SPJ scan, [${snap.partitionCols.mkString(", ")}]" +
       predSql.map(p => s", skipping: $p").getOrElse("")
 
-  private val dirPrefix = PartField.dirCol(0) + "="
-
-  /** (bucketValue, files+sizes), sorted by bucket value — over the
-    * stats/partition-pruned file subset when filters were pushed. */
-  private lazy val groups: Array[(Int, Array[(String, Long)])] = {
+  /** (partitionTuple, files+sizes), deterministically ordered — over
+    * the stats/partition-pruned file subset when filters were pushed. */
+  private lazy val groups: Array[(Seq[Any], Array[(String, Long)])] = {
     val files = predSql match {
       case None => snap.files
       case Some(p) =>
@@ -347,25 +593,33 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     files
       .map { f =>
-        val b = f.split('/').find(_.startsWith(dirPrefix)).getOrElse(
-          throw new IllegalStateException(
-            s"data file $f carries no ${dirPrefix}<v> layout directory"))
-          .stripPrefix(dirPrefix).toInt
+        val segs = f.split('/')
+        val key: Seq[Any] = fields.map { fl =>
+          val prefix = PartField.dirCol(fl.idx) + "="
+          val seg = segs.find(_.startsWith(prefix)).getOrElse(
+            throw new IllegalStateException(
+              s"data file $f carries no $prefix<v> layout directory"))
+          fl.parseDir(org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils
+            .unescapePathName(seg.stripPrefix(prefix)))
+        }
         val len = snap.fileSizes.getOrElse(f,
           fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
-        (b, (f, len))
+        (key, (f, len))
       }
       .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toArray
-      .sortBy(_._1)
+      .sortBy(_._1.map(String.valueOf).mkString("|"))
     }
   }
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      Array(Expressions.bucket(bucket.n, bucket.col)), groups.length)
+      fields.map(_.transform.asInstanceOf[
+        org.apache.spark.sql.connector.expressions.Expression]).toArray,
+      groups.length)
 
   override def planInputPartitions(): Array[InputPartition] =
-    groups.map { case (b, files) => LakeBucketSplit(b, files) }
+    groups.map { case (key, files) => LakePartTupleSplit(key, files) }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // vectorized decode when the projected schema allows it (atomic
@@ -380,12 +634,12 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
   }
 }
 
-/** All files of one stored bucket value — the planner aligns splits
-  * of equal `partitionKey` across the two join sides. */
-final case class LakeBucketSplit(bucketValue: Int,
+/** All files of one stored partition tuple — the planner aligns
+  * splits of equal `partitionKey` across the two join sides. */
+final case class LakePartTupleSplit(key: Seq[Any],
     files: Array[(String, Long)])
     extends InputPartition with HasPartitionKey {
-  override def partitionKey(): InternalRow = InternalRow(bucketValue)
+  override def partitionKey(): InternalRow = InternalRow.fromSeq(key)
 }
 
 final class LakeSpjReaderFactory(
@@ -396,7 +650,7 @@ final class LakeSpjReaderFactory(
         Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
     extends PartitionReaderFactory {
 
-  private def iterate[T](split: LakeBucketSplit,
+  private def iterate[T](split: LakePartTupleSplit,
       f: org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[T]): PartitionReader[T] =
     new PartitionReader[T] {
@@ -417,9 +671,9 @@ final class LakeSpjReaderFactory(
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
-    iterate(partition.asInstanceOf[LakeBucketSplit], readFile)
+    iterate(partition.asInstanceOf[LakePartTupleSplit], readFile)
 
   override def createColumnarReader(partition: InputPartition):
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    iterate(partition.asInstanceOf[LakeBucketSplit], readFileColumnar.get)
+    iterate(partition.asInstanceOf[LakePartTupleSplit], readFileColumnar.get)
 }
