@@ -558,7 +558,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       branch: String = GraftTable.MainBranch,
       renamesOverride: Option[Seq[Rename]] = None,
       specHistOverride: Option[Seq[(Long, Seq[String])]] = None,
-      posDelsOverride: Option[Seq[String]] = None): Long =
+      posDelsOverride: Option[Seq[String]] = None,
+      sizesExtra: Map[String, Long] = Map.empty): Long =
     // In-process writers (multiple handles over one root) serialize
     // here, making check-then-publish a true CAS within the JVM.
     // Across processes publishNoOverwrite is the CAS — atomic
@@ -568,7 +569,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     GraftTable.commitLock(root.toString).synchronized {
       commitLocked(op, schema, files, partitionCols, expectedParent,
         delsOverride, refSnap, branch, renamesOverride, specHistOverride,
-        posDelsOverride)
+        posDelsOverride, sizesExtra)
     }
 
   private def commitLocked(op: String, schema: StructType,
@@ -577,7 +578,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       refSnap: Option[Snapshot], branch: String,
       renamesOverride: Option[Seq[Rename]],
       specHistOverride: Option[Seq[(Long, Seq[String])]],
-      posDelsOverride: Option[Seq[String]]): Long = {
+      posDelsOverride: Option[Seq[String]],
+      sizesExtra: Map[String, Long] = Map.empty): Long = {
     refs.get(branch).foreach { case (kind, _) =>
       require(kind == "branch", s"cannot commit to $kind '$branch'")
     }
@@ -631,7 +633,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       refRows.get(f).orElse(harvested.get(f).flatMap(_._1)).map(f -> _)
     }.toMap
     val sizes: Map[String, Long] = files.flatMap { f =>
-      refSizes.get(f).orElse(harvested.get(f).flatMap(_._3)).map(f -> _)
+      refSizes.get(f).orElse(sizesExtra.get(f))
+        .orElse(harvested.get(f).flatMap(_._3)).map(f -> _)
     }.toMap
     val dels = delsOverride.getOrElse(ref.map(_.dels).getOrElse(Nil))
     val posDels =
@@ -2198,8 +2201,27 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     mergeAt(currentSnapshot, source, keys0, clauses0)
 
   /** [[merge]] computed against an explicit base snapshot — the
-    * deterministic seam for the rebase path, like [[deleteAt]]. */
+    * deterministic seam for the rebase path, like [[deleteAt]].
+    * Translates the executor-raised cardinality violation (see
+    * [[GraftTable.MergeDupMarker]]) into the API's
+    * IllegalArgumentException; nothing was committed when it fires
+    * (the raise aborts the write before any manifest publish). */
   private[graft] def mergeAt(snap: Snapshot, source: DataFrame,
+      keys0: Seq[String], clauses0: Seq[MergeClause]): Long =
+    try mergeAtImpl(snap, source, keys0, clauses0)
+    catch {
+      case e: Throwable
+          if GraftTable.chainContains(e, GraftTable.MergeDupMarker) =>
+        val detail = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(20).map(_.getMessage)
+          .find(m => m != null && m.contains(GraftTable.MergeDupMarker))
+          .map(_.take(200)).getOrElse("")
+        throw new IllegalArgumentException(
+          "merge source has duplicate rows: each target row must " +
+            s"match at most one source row ($detail)", e)
+    }
+
+  private def mergeAtImpl(snap: Snapshot, source: DataFrame,
       keys0: Seq[String], clauses0: Seq[MergeClause]): Long = {
     // merge-on-read MERGE reads the live view and rewrites nothing, so
     // pending deletes (either shape) compose; copy-on-write must not
@@ -2239,34 +2261,40 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // Iceberg/Delta cardinality rule: TWO SOURCE ROWS MATCHING ONE
     // TARGET ROW would silently duplicate it through the left join
     // below — fail the commit instead. Duplicate keys among rows that
-    // match nothing are legal (each inserts, as in Iceberg), so the
-    // check is scoped by a semi-join on the target's key columns —
-    // a column-pruned scan, only keys shuffle.
-    if (matchedClauses.nonEmpty) {
-      val dup = source.select(keys.map(col): _*)
-        .join(morRead(snap, snap.files)
-          .select(keys.map(col): _*), keys, "left_semi")
-        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_graft_cnt"))
-        .filter(col("_graft_cnt") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"merge source has duplicate rows for key(s) ${keys.mkString(",")} " +
-          s"(e.g. ${dup.headOption.map(r => keys.indices.map(r.get).mkString(",")).orNull}): " +
-          "each target row must match at most one source row")
-    }
+    // match nothing are legal (each inserts, as in Iceberg). The
+    // check rides INSIDE the merge join itself: the source carries a
+    // per-key multiplicity (window count — its shuffle hash-clusters
+    // the source on the very keys the join needs, so it costs no
+    // extra exchange), and [[winnerOver]] raises from the executor
+    // the moment a MATCHED row carries multiplicity > 1. One pass —
+    // no separate keys-scan job over the target (which at 100 TB was
+    // a second full scan of the target's key columns per MERGE).
+    val dupGuard = matchedClauses.nonEmpty
 
     // source columns enter the flat clause namespace as _src_<name>
-    val srcFlat = source.select(source.columns.toIndexedSeq.map(c =>
-      col(c).as(GraftTable.SrcPrefix + c)) :+
-      lit(true).as(GraftTable.MatchMarker): _*)
+    val srcFlat = {
+      val base = source.select(source.columns.toIndexedSeq.map(c =>
+        col(c).as(GraftTable.SrcPrefix + c)) :+
+        lit(true).as(GraftTable.MatchMarker): _*)
+      if (!dupGuard) base
+      else base.withColumn(GraftTable.SrcCntCol,
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(
+            keys.map(k => col(GraftTable.SrcPrefix + k)): _*)))
+    }
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val joinCond = keys.map(k =>
       col(k) === col(GraftTable.SrcPrefix + k)).reduce(_ && _)
 
     val id = currentSnapshotId + 1
 
-    // first matched clause whose condition holds wins; -1 = keep as-is
-    def winnerOver(matched: Column): Column =
-      when(matched,
+    // first matched clause whose condition holds wins; -1 = keep
+    // as-is. A matched row whose source-key multiplicity exceeds 1
+    // raises the cardinality error right here, from the executor —
+    // winner evaluation is the first thing every matched row passes
+    // through, so no duplicate can slip into a rewrite or tombstone.
+    def winnerOver(matched: Column): Column = {
+      val base = when(matched,
         matchedClauses.zipWithIndex.foldRight(lit(-1): Column) {
           case ((cl, i), els) =>
             val c = (cl match {
@@ -2276,6 +2304,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
             }).map(expr).getOrElse(lit(true))
             when(coalesce(c, lit(false)), lit(i)).otherwise(els)
         }).otherwise(lit(-1))
+      if (!dupGuard) base
+      else when(matched && col(GraftTable.SrcCntCol) > 1,
+        raise_error(concat(
+          lit(s"${GraftTable.MergeDupMarker} key(s) [${keys.mkString(",")}] = ("),
+          concat_ws(",",
+            keys.map(k => col(GraftTable.SrcPrefix + k).cast("string")): _*),
+          lit(")"))).cast("int")).otherwise(base)
+    }
     val deleteIdx = matchedClauses.zipWithIndex.collect {
       case (_: MergeClause.Delete, i) => i
     }
@@ -2488,10 +2524,50 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val id = currentSnapshotId + 1
     val totalBytes = small.flatMap(snap.fileSizes.get).sum
     val n = math.max(1, (totalBytes / math.max(1L, smallBytes)).toInt)
-    val packed = readFilesMapped(snap, small).repartition(n)
+    // Partitioned tables pack PER PARTITION: the rewrite rides the
+    // normal write path's hash distribution (writeData widen=true
+    // clusters on the partition-derivation columns, SURVEY §6), so
+    // each partition's small rows land in one task → one output file
+    // per partition value. A round-robin repartition(n) here would
+    // spray every partition across all n tasks and the partitionBy
+    // writer would emit up to n×P files — binpack re-creating the
+    // small files it exists to remove. Known tradeoff, same as the
+    // write path: a hot partition packs into a single task/file.
+    // Unpartitioned tables keep the size-derived n-way split.
+    val packed =
+      if (snap.partitionCols.isEmpty)
+        readFilesMapped(snap, small).repartition(n)
+      else readFilesMapped(snap, small)
     commit("binpack", snap.schema,
-      big ++ writeData(packed, id, snap.partitionCols, widen = false),
+      big ++ writeData(packed, id, snap.partitionCols,
+        widen = snap.partitionCols.nonEmpty),
       snap.partitionCols, expectedParent = snap.id)
+  }
+
+  /** One-time size backfill for manifests written before per-file
+    * sizes were recorded: stat every data file missing a size in ONE
+    * distributed pass (executors issue the filesystem RPCs in
+    * parallel — on a million-file legacy table the driver never
+    * serializes a million `getFileStatus` calls) and publish a
+    * METADATA-ONLY commit carrying the sizes; every later plan then
+    * reads them from the manifest. No-op without a commit when the
+    * manifest is already complete. The SPJ read path invokes this
+    * automatically on first contact with a pre-size manifest. */
+  def backfillFileSizes(): Long = {
+    val snap = currentSnapshot
+    val missing = snap.files.filterNot(snap.fileSizes.contains)
+    if (missing.isEmpty) return snap.id
+    val sconf = org.apache.spark.sql.graftlake.HadoopConfShim
+      .serializable(spark.sparkContext.hadoopConfiguration)
+    val statted = spark.sparkContext
+      .parallelize(missing, math.max(1, math.min(missing.size,
+        spark.sparkContext.defaultParallelism)))
+      .map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        f -> p.getFileSystem(sconf.value).getFileStatus(p).getLen
+      }.collect().toMap
+    commit("backfill-sizes", snap.schema, snap.files, snap.partitionCols,
+      expectedParent = snap.id, sizesExtra = statted)
   }
 
   /** Tombstone maintenance (Iceberg's `rewrite_position_delete_files`):
@@ -3425,6 +3501,16 @@ object GraftTable {
   val SrcPrefix = "_src_"
   private[lakehouse] val MatchMarker = SrcPrefix + "_graft_matched"
   private[lakehouse] val WinnerCol = SrcPrefix + "_graft_winner"
+  private[lakehouse] val SrcCntCol = SrcPrefix + "_graft_scnt"
+
+  /** Marker embedded in the executor-raised MERGE cardinality error;
+    * [[GraftTable.mergeAt]] translates it to the API's
+    * IllegalArgumentException. */
+  private[lakehouse] val MergeDupMarker = "GRAFT_MERGE_DUPLICATE_SOURCE"
+
+  private[lakehouse] def chainContains(t: Throwable, marker: String): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20)
+      .exists(e => e.getMessage != null && e.getMessage.contains(marker))
 
   /** Create a new table at `root` seeded with `df` (snapshot 1),
     * optionally hive-partitioned by `partitionBy`. */

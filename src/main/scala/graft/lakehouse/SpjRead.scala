@@ -382,6 +382,13 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
         s"table '${ident.name}' cannot take the storage-partitioned " +
           s"read path: $why (use GraftTable.read())")
     }
+    // pre-size manifests (older format) would otherwise pay one
+    // driver-side getFileStatus per file at EVERY plan — backfill the
+    // sizes once (distributed pass + metadata-only commit) on first
+    // contact and plan from the manifest ever after
+    if (t.currentSnapshot.files.exists(
+        f => !t.currentSnapshot.fileSizes.contains(f)))
+      t.backfillFileSizes()
     new LakeSpjTable(ident.name, t)
   }
 

@@ -17,6 +17,16 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * under `org.apache.spark.sql` solely to satisfy those access
   * qualifiers — the same pattern as [[StreamShim]].
   */
+/** `SerializableConfiguration` is `private[spark]`; executor-side
+  * file stats (the size-backfill pass) need the session's Hadoop conf
+  * shipped into tasks. Same access-qualifier rationale as the rest of
+  * this package. */
+object HadoopConfShim {
+  def serializable(conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
+}
+
 object ParquetReadShim {
 
   /** A serializable per-file read function for parquet files of

@@ -644,6 +644,18 @@ class LakehouseSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       t.merge(Seq((1L, "p", 1.0), (1L, "q", 2.0)).toDF("k", "tag", "v"), "k"))
     assert(e.getMessage.contains("duplicate"))
+    // the failed merge must not have committed (the in-join raise
+    // aborts the write before any manifest publish)
+    val snapBefore = t.currentSnapshotId
+    assert(t.read().filter("k = 1").select("tag").as[String].head() == "A")
+    // merge-on-read mode goes through the tombstone path — the same
+    // in-join guard must fire there too
+    t.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    val e2 = intercept[IllegalArgumentException](
+      t.merge(Seq((1L, "p", 1.0), (1L, "q", 2.0)).toDF("k", "tag", "v"), "k"))
+    assert(e2.getMessage.contains("duplicate"))
+    assert(t.currentSnapshotId == snapBefore,
+      "failed MoR merge must not commit")
   }
 
   test("INSERT OVERWRITE keeps the table's schema and column types") {
@@ -1639,6 +1651,33 @@ class LakehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.createBranch("bad\tname"))
   }
 
+  test("binpack on a partitioned table keeps outputs partition-" +
+      "clustered: at most one packed file per partition value") {
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_bpp").toString,
+      (1L to 200L).map(k => (k, s"g${k % 4}", k * 1.0))
+        .toDF("k", "part", "v"),
+      partitionBy = Seq("part"))
+    // four more tiny appends, each spanning ALL partitions — the
+    // round-robin bug would respray these across every output task
+    (1 to 4).foreach(i => t.append(
+      (1L to 8L).map(k => (1000L * i + k, s"g${k % 4}", 0.0))
+        .toDF("k", "part", "v")))
+    val snap0 = t.currentSnapshot
+    val thr = snap0.files.flatMap(snap0.fileSizes.get).max + 1
+    t.compactSmall(thr)
+    val snap1 = t.currentSnapshot
+    assert(snap1.op == "binpack")
+    def partOf(f: String): String =
+      f.split('/').find(_.startsWith("part=")).getOrElse("?")
+    val perPart = snap1.files.groupBy(partOf).view.mapValues(_.size)
+    assert(perPart.values.forall(_ == 1),
+      s"each partition must pack to ONE file, got $perPart")
+    assert(t.read().count() == 200 + 4 * 8)
+    assert(t.read().agg(sum(col("v"))).head.getDouble(0) ==
+      (1L to 200L).map(_ * 1.0).sum)
+  }
+
   test("SPJ generalization: string bucket keys join shuffle-free " +
       "under AQE and match the naive join") {
     import graft.lakehouse.Spj
@@ -1768,6 +1807,37 @@ class LakehouseSpec extends AnyFunSuite {
     val ex = intercept[UnsupportedOperationException](
       Spj.read(spark, "spjt_trunc", tt).count())
     assert(ex.getMessage.contains("not SPJ-supported"))
+  }
+
+  test("SPJ read backfills pre-size manifests once: one metadata " +
+      "commit, then planning reads sizes from the manifest") {
+    import graft.lakehouse.Spj
+    val dir = Files.createTempDirectory("graft_bfs").toString
+    val t0 = GraftTable.create(spark, dir,
+      (1L to 100L).map(k => (k, k % 7)).toDF("k", "g"),
+      partitionBy = Seq("bucket[4](g)"))
+    // seed the OLD manifest format: strip the fsize lines in place
+    val metaDir = new java.io.File(dir, "_graft_meta")
+    val snapFile = metaDir.listFiles.filter(_.getName.startsWith("snap-"))
+      .maxBy(_.getName)
+    val stripped = scala.io.Source.fromFile(snapFile).getLines()
+      .filterNot(_.startsWith("fsize=")).mkString("\n") + "\n"
+    java.nio.file.Files.write(snapFile.toPath,
+      stripped.getBytes("UTF-8"))
+    val t = new GraftTable(spark, dir) // fresh handle, no caches
+    assert(t.currentSnapshot.fileSizes.isEmpty,
+      "seeded manifest must carry no sizes")
+    val before = t.currentSnapshotId
+    val df = Spj.read(spark, "spj_backfill", t)
+    assert(df.count() == 100)
+    val snap = t.currentSnapshot
+    assert(t.currentSnapshotId == before + 1 && snap.op == "backfill-sizes",
+      "first SPJ contact must publish exactly one backfill commit")
+    assert(snap.files.forall(snap.fileSizes.contains),
+      "the backfill must record a size for every data file")
+    // second read: manifest complete, no further commits
+    Spj.read(spark, "spj_backfill2", t).count()
+    assert(t.currentSnapshotId == before + 1)
   }
 
   test("retired-name check unwinds outer renames; DEFAULTs must be " +
