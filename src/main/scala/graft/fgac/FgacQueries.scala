@@ -226,7 +226,90 @@ object FgacQueries {
     rows.toDF("principal", "op", "decision").orderBy("principal", "op")
   }
 
+  /** WITH GRANT OPTION delegation — the reference's two-hop grant
+    * chain as a decision matrix (see [[SecureCatalog.regrant]]):
+    * the producer grants an admin a grantable filtered policy; the
+    * admin's NARROWED re-grant works and the delegate reads exactly
+    * the doubly-filtered intersection (require()d in-query); a
+    * widened re-grant and a re-grant from a non-grantable holder
+    * both refuse. */
+  private val grantChain: Q = (s, dir) => {
+    import s.implicits._
+    setup(s, dir)
+    SecureCatalog.register(Principal("gc_admin", grants = Map(
+      "customer" -> TablePolicy("customer", rowFilter = Some(RowFilter),
+        allowedColumns = Some(VisibleCols), grantable = true))))
+    def attempt(scenario: String)(body: => Unit): (String, String) = {
+      val outcome =
+        try { body; "ALLOWED" }
+        catch {
+          case t: Throwable if causeChain(t)
+              .exists(_.isInstanceOf[AccessDeniedException]) => "DENIED"
+        }
+      (scenario, outcome)
+    }
+    val narrowFilter = "c_nationkey % 2 = 0"
+    val rows = Seq(
+      attempt("1_narrowed_regrant") {
+        SecureCatalog.regrant("gc_admin", "gc_team", "customer",
+          TablePolicy("customer", rowFilter = Some(narrowFilter),
+            allowedColumns = Some(Seq("c_custkey", "c_mktsegment"))))
+      },
+      attempt("2_widened_regrant") {
+        SecureCatalog.regrant("gc_admin", "gc_team2", "customer",
+          TablePolicy("customer",
+            allowedColumns = Some(Seq("c_custkey", "c_acctbal"))))
+      },
+      attempt("3_non_grantable_regrant") {
+        SecureCatalog.regrant("gc_team", "gc_team3", "customer",
+          TablePolicy("customer"))
+      },
+      attempt("4_delegated_read_matches") {
+        val got = asPrincipal(s, "gc_team")(
+          s.sql("SELECT * FROM customer ORDER BY c_custkey"))
+        require(got.columns.toSeq == Seq("c_custkey", "c_mktsegment"),
+          s"delegated projection must be the narrowed columns, got " +
+            got.columns.mkString(","))
+        val expect = Tables.customer(s, dir)
+          .filter(org.apache.spark.sql.functions.expr(
+            s"($RowFilter) AND ($narrowFilter)"))
+          .select("c_custkey", "c_mktsegment")
+        require(got.count() == expect.count() &&
+            got.except(expect).isEmpty && expect.except(got).isEmpty,
+          "delegated read must equal the doubly-filtered intersection")
+      })
+    rows.toDF("scenario", "decision").orderBy("scenario")
+  }
+
+  /** DESCRIBE as a permission separate from SELECT
+    * (producer_iceberg_datalake_setup.sh:305): a DESCRIBE-only
+    * principal sees the column-filtered schema through SQL
+    * `DESCRIBE TABLE`, while any scan is denied (require()d
+    * in-query — a failed deny empties the result, so the oracle
+    * compare catches it). */
+  private val describeOnly: Q = (s, dir) => {
+    setup(s, dir)
+    SecureCatalog.register(Principal("desc_only", grants = Map(
+      "customer" -> TablePolicy("customer",
+        allowedColumns = Some(VisibleCols), selectable = false))))
+    val scanDenied =
+      try {
+        asPrincipal(s, "desc_only")(
+          s.sql("SELECT * FROM customer").collect())
+        false
+      } catch {
+        case t: Throwable if causeChain(t)
+            .exists(_.isInstanceOf[AccessDeniedException]) => true
+      }
+    val desc = asPrincipal(s, "desc_only")(
+      s.sql("DESCRIBE TABLE customer"))
+      .select("col_name", "data_type")
+    if (scanDenied) desc else desc.limit(0)
+  }
+
   val queries: Map[String, Q] = Map(
+    "fgac_grant_chain"   -> grantChain,
+    "fgac_describe"      -> describeOnly,
     "fgac_lakehouse"     -> lakehouseGoverned,
     "fgac_namespace"     -> namespaceGoverned,
     "fgac_write_deny"    -> writeDeny,
@@ -242,6 +325,21 @@ object FgacQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "fgac_grant_chain" ->
+      """SELECT * FROM (VALUES
+        | ('1_narrowed_regrant', 'ALLOWED'),
+        | ('2_widened_regrant', 'DENIED'),
+        | ('3_non_grantable_regrant', 'DENIED'),
+        | ('4_delegated_read_matches', 'ALLOWED'))
+        | AS t(scenario, decision)
+        |ORDER BY scenario""".stripMargin,
+    "fgac_describe" ->
+      """SELECT * FROM (VALUES
+        | ('c_custkey', 'bigint'),
+        | ('c_name', 'string'),
+        | ('c_nationkey', 'int'),
+        | ('c_mktsegment', 'string'))
+        | AS t(col_name, data_type)""".stripMargin,
     // The deny decision is deterministic (team2 holds no customer
     // grant), so the oracle is the constant decision row the query
     // contract promises.

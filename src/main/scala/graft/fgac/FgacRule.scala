@@ -37,6 +37,30 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
     plan.transformUp {
+      // DESCRIBE TABLE on a governed name answers from the POLICY,
+      // not the storage: any grant — SELECT or DESCRIBE-only
+      // (producer_iceberg_datalake_setup.sh:305 grants them
+      // separately) — yields the column-filtered schema as a local
+      // relation; no grant denies. The scan path below stays denied
+      // for DESCRIBE-only principals (SecureCatalog.authorize).
+      case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation
+          if describeTarget(d.relation).exists(
+            p => SecureCatalog.isVisibleName(p)) =>
+        val parts = describeTarget(d.relation).get.map(_.toLowerCase)
+        val name = parts.mkString(".")
+        val target = SecureCatalog.resolveLink(name)
+        val visible = SecureCatalog.describeColumns(who, name)
+        val rawSchema = spark.table(SecureCatalog.rawViewName(target)).schema
+        val rows = visible.map { c =>
+          val dt = rawSchema.fields.find(_.name.equalsIgnoreCase(c))
+            .map(_.dataType.simpleString).getOrElse("unknown")
+          org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(c),
+            org.apache.spark.unsafe.types.UTF8String.fromString(dt),
+            null)
+        }
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          d.output, rows)
       // Both bare (`patients`) and namespace-qualified
       // (`dev.healthcare_db.rl_patients`, the reference's only form —
       // consumer_emr_on_eks_setup.sh:407-412) governed names resolve
@@ -56,6 +80,16 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }
   }
+
+  /** The multipart name under a DESCRIBE target, whatever unresolved
+    * shape the parser produced for it. */
+  private def describeTarget(rel: LogicalPlan): Option[Seq[String]] =
+    rel match {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        Some(t.multipartIdentifier)
+      case u: UnresolvedRelation => Some(u.multipartIdentifier)
+      case _ => None
+    }
 
   /** Filter (against raw row) → mask → project, matching Lake
     * Formation data-cells-filter evaluation order. */

@@ -39,7 +39,21 @@ final case class TablePolicy(
       * (producer_iceberg_datalake_setup.sh:215-262,
       * consumer_emr_on_eks_setup.sh:294-335); a grant without `write`
       * is read-only under the grant's filters. */
-    write: Boolean = false)
+    write: Boolean = false,
+    /** WITH GRANT OPTION (the reference's cross-account topology:
+      * the producer grants the consumer ACCOUNT with
+      * `PermissionsWithGrantOption`,
+      * producer_iceberg_datalake_setup.sh:285-306, and the consumer
+      * admin re-scopes what it received to team roles,
+      * consumer_emr_on_eks_setup.sh:313-335). Only a grantable policy
+      * can be delegated via [[SecureCatalog.regrant]], and a re-grant
+      * can only NARROW. */
+    grantable: Boolean = false,
+    /** SELECT permission. `false` = a DESCRIBE-only grant (the
+      * reference grants DESCRIBE separately from SELECT,
+      * producer_iceberg_datalake_setup.sh:305): the principal sees
+      * the (column-filtered) schema, but any scan is denied. */
+    selectable: Boolean = true)
 
 final case class Principal(
     name: String,
@@ -135,7 +149,8 @@ object SecureCatalog {
 
   /** Resolve what `principalName` may see of relation `relName`.
     * Returns None when the relation is not governed (no rewrite);
-    * throws when governed but not granted (deny-by-default). */
+    * throws when governed but not granted, or granted DESCRIBE-only
+    * (deny-by-default — SELECT is what a scan needs). */
   def authorize(principalName: String, relName: String): Option[TablePolicy] = {
     val p = principal(principalName).getOrElse(
       throw new AccessDeniedException(s"unknown principal '$principalName'"))
@@ -147,7 +162,84 @@ object SecureCatalog {
         // among tags, deterministic by tag name
         tagsOf(target).toSeq.sorted.flatMap(p.tagGrants.get).headOption
           .map(_.copy(table = target)))
+      .map { pol =>
+        if (!pol.selectable) throw new AccessDeniedException(
+          s"principal '${p.name}' holds DESCRIBE but not SELECT on " +
+            s"governed table '$target' — schema is visible, data is not")
+        pol
+      }
       .orElse(throw new AccessDeniedException(
         s"principal '${p.name}' has no SELECT grant on governed table '$target'"))
+  }
+
+  /** DESCRIBE authorization: any grant — SELECT or DESCRIBE-only —
+    * exposes the schema, COLUMN-FILTERED by the grant (an analyst who
+    * cannot read `ssn` should not learn it exists from the catalog
+    * either). No grant = deny; admin / ungoverned names see all. */
+  def describeColumns(principalName: String, relName: String): Seq[String] = {
+    val target = resolveLink(relName)
+    if (principalName.isEmpty || !isGoverned(target)) return columnsOf(target)
+    val p = principal(principalName).getOrElse(
+      throw new AccessDeniedException(s"unknown principal '$principalName'"))
+    val pol = p.grants.get(target)
+      .orElse(tagsOf(target).toSeq.sorted.flatMap(p.tagGrants.get).headOption)
+      .getOrElse(throw new AccessDeniedException(
+        s"principal '${p.name}' has no grant on governed table '$target'"))
+    pol.allowedColumns.getOrElse(columnsOf(target))
+  }
+
+  /** WITH GRANT OPTION delegation — the reference's two-hop chain
+    * (producer grants the consumer account with grant option,
+    * producer_iceberg_datalake_setup.sh:285-306; the consumer admin
+    * re-grants filtered SELECT to team roles,
+    * consumer_emr_on_eks_setup.sh:313-335). A re-grant can only
+    * NARROW what the grantor holds:
+    *   - row filters AND-compose (the grantee sees the intersection),
+    *   - columns must be a subset of the delegated set (a request
+    *     outside it REFUSES rather than silently intersecting — the
+    *     admin should learn the policy is wrong, not ship it),
+    *   - masks union (the grantee inherits every mask and may add),
+    *   - write / grantable only if the delegating grant carries them.
+    * The grantee's resulting policy is registered (merged over any
+    * existing grants). */
+  def regrant(grantor: String, grantee: String, relName: String,
+      request: TablePolicy): Unit = {
+    val g = principal(grantor).getOrElse(
+      throw new AccessDeniedException(s"unknown principal '$grantor'"))
+    val target = resolveLink(relName)
+    require(isGoverned(target), s"'$target' is not a governed table")
+    val parent = g.grants.get(target).getOrElse(
+      throw new AccessDeniedException(
+        s"principal '$grantor' has no grant on '$target' to delegate"))
+    if (!parent.grantable)
+      throw new AccessDeniedException(
+        s"grant of '$grantor' on '$target' carries no GRANT OPTION")
+    val cols = (parent.allowedColumns, request.allowedColumns) match {
+      case (None, c)          => c
+      case (Some(p0), None)   => Some(p0) // child defaults to parent scope
+      case (Some(p0), Some(c)) =>
+        val outside = c.filterNot(x => p0.exists(_.equalsIgnoreCase(x)))
+        if (outside.nonEmpty) throw new AccessDeniedException(
+          s"re-grant widens column scope: [${outside.mkString(", ")}] " +
+            s"not in the grant delegated to '$grantor'")
+        Some(c)
+    }
+    if (request.write && !parent.write)
+      throw new AccessDeniedException(
+        s"re-grant widens permissions: '$grantor' holds no write grant " +
+          s"on '$target'")
+    if (request.selectable && !parent.selectable)
+      throw new AccessDeniedException(
+        s"re-grant widens permissions: '$grantor' holds DESCRIBE-only " +
+          s"on '$target'")
+    val rowFilter = (parent.rowFilter, request.rowFilter) match {
+      case (Some(a), Some(b)) => Some(s"($a) AND ($b)")
+      case (a, b)             => b.orElse(a)
+    }
+    val pol = TablePolicy(target, rowFilter, cols,
+      parent.masks ++ request.masks, write = request.write,
+      grantable = request.grantable, selectable = request.selectable)
+    val ge = principal(grantee).getOrElse(Principal(grantee))
+    register(ge.copy(grants = ge.grants + (target -> pol)))
   }
 }

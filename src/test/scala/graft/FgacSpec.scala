@@ -160,6 +160,60 @@ class FgacSpec extends AnyFunSuite {
       .currentSnapshot.op == "compact")
   }
 
+  test("grant-option delegation: narrow-only regrant, chain composes " +
+      "filters and masks, decision matrix matches") {
+    val df = SparkEntry.queries("fgac_grant_chain")(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("1_narrowed_regrant", "ALLOWED"),
+      ("2_widened_regrant", "DENIED"),
+      ("3_non_grantable_regrant", "DENIED"),
+      ("4_delegated_read_matches", "ALLOWED")))
+    // masks INHERIT through the chain: a parent mask survives a
+    // re-grant that does not mention it
+    FgacQueries.setup(spark, sf)
+    SecureCatalog.register(Principal("gcm_admin", grants = Map(
+      "customer" -> TablePolicy("customer",
+        masks = Map("c_name" -> "md5(c_name)"), grantable = true))))
+    SecureCatalog.regrant("gcm_admin", "gcm_team", "customer",
+      TablePolicy("customer", allowedColumns = Some(Seq("c_custkey", "c_name"))))
+    val masked = FgacQueries.asPrincipal(spark, "gcm_team")(
+      spark.sql("SELECT * FROM customer ORDER BY c_custkey LIMIT 5"))
+      .collect()
+    assert(masked.forall(_.getString(1).matches("[0-9a-f]{32}")),
+      "the delegated view must keep the parent's mask")
+    // a DESCRIBE-only parent cannot delegate SELECT
+    SecureCatalog.register(Principal("gcd_admin", grants = Map(
+      "customer" -> TablePolicy("customer", grantable = true,
+        selectable = false))))
+    intercept[AccessDeniedException](
+      SecureCatalog.regrant("gcd_admin", "gcd_team", "customer",
+        TablePolicy("customer")))
+  }
+
+  test("DESCRIBE permission is separate from SELECT") {
+    val df = SparkEntry.queries("fgac_describe")(spark, sf)
+    val cols = df.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cols == Map("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_mktsegment" -> "string"),
+      s"DESCRIBE-only principal sees the filtered schema, got $cols")
+    // a SELECT-granted principal's DESCRIBE is filtered the same way
+    val viaSelect = FgacQueries.asPrincipal(spark, "analyst_col")(
+      spark.sql("DESCRIBE TABLE customer")).collect().map(_.getString(0))
+    assert(!viaSelect.contains("c_acctbal"))
+    // no grant at all: DESCRIBE denies too
+    val denied =
+      try {
+        FgacQueries.asPrincipal(spark, "team2")(
+          spark.sql("DESCRIBE TABLE customer").collect())
+        false
+      } catch { case t: Throwable =>
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .exists(_.isInstanceOf[AccessDeniedException])
+      }
+    assert(denied, "ungranted DESCRIBE must deny")
+  }
+
   test("stats-pruned lakehouse read pushes the residual filter") {
     val t = graft.lakehouse.GraftTable.create(spark,
       java.nio.file.Files.createTempDirectory("graft_rw_plan").toString,
