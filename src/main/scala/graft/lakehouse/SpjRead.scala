@@ -112,17 +112,17 @@ object Spj {
       snap.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
     val mapped = fields.zipWithIndex.map {
       case (PartField.Bucket(n, c), i) => colType(c) match {
-        case Some(ByteType | ShortType | IntegerType | LongType |
-            StringType) =>
-          Right(SpjField.BucketField(n, c, i))
+        case Some(dt @ (ByteType | ShortType | IntegerType | LongType |
+            StringType)) =>
+          Right(SpjField.BucketField(n, c, i, dt))
         case Some(other) => Left(
           s"bucket over ${other.simpleString} column '$c' is not " +
             "SPJ-resolvable (integral and string keys only)")
         case None => Left(s"bucket column '$c' missing from the schema")
       }
       case (PartField.Temporal(unit, c), i) => colType(c) match {
-        case Some(DateType | TimestampType | TimestampNTZType) =>
-          Right(SpjField.TemporalField(unit, c, i))
+        case Some(dt @ (DateType | TimestampType | TimestampNTZType)) =>
+          Right(SpjField.TemporalField(unit, c, i, dt))
         case Some(other) => Left(
           s"$unit() over ${other.simpleString} column '$c' is not " +
             "SPJ-resolvable")
@@ -188,10 +188,18 @@ private object SpjProbe
 private[lakehouse] sealed trait SpjField {
   /** Position in the partition spec (the `_gp_<idx>` dir). */
   def idx: Int
+  /** The raw source column. */
+  def col: String
   def transform: Transform
   def keyType: DataType
   /** Parse one unescaped directory value; null for the NULL dir. */
   def parseDir(v: String): Any
+  /** The partition-key datum a raw-column literal (Catalyst internal
+    * representation, e.g. UTF8String / epoch-day Int / micros Long)
+    * maps to — computed through the SAME bound v2 function the
+    * planner resolves, so runtime-filter placement can never disagree
+    * with the layout law. None = cannot place exactly (keep). */
+  def ofLiteral(value: Any, dt: DataType, zoneId: String): Option[Any]
 }
 
 private[lakehouse] object SpjField {
@@ -202,8 +210,8 @@ private[lakehouse] object SpjField {
   /** `bucket[n](col)`: dir value is the bucket ordinal. A NULL key
     * still hashes (xxhash64 of nothing = the seed), so the NULL dir
     * is impossible here — loud error, never a guessed bucket. */
-  final case class BucketField(n: Int, col: String, idx: Int)
-      extends SpjField {
+  final case class BucketField(n: Int, col: String, idx: Int,
+      colDt: DataType) extends SpjField {
     def transform: Transform = Expressions.bucket(n, col)
     def keyType: DataType = IntegerType
     def parseDir(v: String): Any = {
@@ -211,6 +219,24 @@ private[lakehouse] object SpjField {
         s"bucket dir of '$col' cannot be the NULL partition")
       v.toInt
     }
+    private def integral(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def ofLiteral(value: Any, dt: DataType, zoneId: String): Option[Any] =
+      // the literal must be in the COLUMN's type family: a string
+      // literal against a BIGINT bucket column hashes differently
+      // than the long value it would coerce to, so placement refuses
+      // (conservative keep) rather than pruning live partitions
+      (dt, colDt) match {
+        case (a, b) if integral(a) && integral(b) =>
+          Some(new GraftBucketFunction.BucketLong().produceResult(
+            InternalRow(n, value.asInstanceOf[Number].longValue)))
+        case (StringType, StringType) =>
+          Some(new GraftBucketFunction.BucketString().produceResult(
+            InternalRow(n, value)))
+        case _ => None
+      }
   }
 
   /** `year/month/day(col)`: dir value is the zero-padded
@@ -219,7 +245,8 @@ private[lakehouse] object SpjField {
     * partition-key datum is the Iceberg-compatible ordinal (years /
     * months since 1970, epoch day as DATE), matching
     * [[GraftTemporalFunction]]'s result. */
-  final case class TemporalField(unit: String, col: String, idx: Int)
+  final case class TemporalField(unit: String, col: String, idx: Int,
+      colDt: DataType)
       extends SpjField {
     def transform: Transform = unit match {
       case "year"  => Expressions.years(col)
@@ -237,6 +264,13 @@ private[lakehouse] object SpjField {
           (y.toInt - 1970) * 12 + (m.toInt - 1)
         case "day" => java.time.LocalDate.parse(v).toEpochDay.toInt
       }
+    def ofLiteral(value: Any, dt: DataType, zoneId: String): Option[Any] =
+      // exact column-type match only: a DATE literal against a
+      // TIMESTAMP column (or vice versa) carries a different internal
+      // representation — refuse rather than mis-place
+      if (dt != colDt) None
+      else Some(new GraftTemporalFunction.TemporalOrdinal(unit, dt, zoneId)
+        .produceResult(InternalRow(value)))
   }
 }
 
@@ -565,13 +599,80 @@ object LakeSpjScanBuilder {
 /** The scan: groups the snapshot's files by stored partition tuple
   * and reports the grouping as `KeyGroupedPartitioning`. Planning is
   * driver-side metadata only (path parsing; split sizes come from the
-  * manifest). */
+  * manifest).
+  *
+  * Also implements [[SupportsRuntimeV2Filtering]] on the partition
+  * source columns: dynamic partition pruning hands the scan the
+  * OTHER join side's key values at execution time, and whole
+  * partition tuples whose bucket/temporal ordinal matches none of
+  * them are dropped before any file is opened — the
+  * dimension-filter-prunes-the-fact pattern that at 100 TB turns a
+  * full fact scan into |dim keys| buckets. Placement goes through
+  * the same bound v2 functions the planner resolves; a value that
+  * cannot be placed exactly disables pruning for that predicate
+  * (conservative keep — under-filtering is safe, the join still
+  * filters rows). */
 final class LakeSpjScan(t: GraftTable, snap: Snapshot,
     fields: Seq[SpjField], required: StructType,
     predSql: Option[String])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeV2Filtering {
 
   private def spark: SparkSession = t.spark
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns surviving column pruning: Spark resolves these
+    // against the scan relation's (pruned) output and would fail on
+    // a projected-away partition source; a pruned-out column cannot
+    // be a join key anyway
+    fields.filter(f =>
+        required.fieldNames.exists(_.equalsIgnoreCase(f.col)))
+      .map(f => Expressions.column(f.col)).toArray
+
+  /** field position (in `fields` order) → allowed partition-key
+    * values; a group survives iff every constrained position's key is
+    * in its allowed set. Populated by [[filter]]. */
+  @volatile private var runtimeKeep: Map[Int, Set[Any]] = Map.empty
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    predicates.foreach { p =>
+      val (ref, lits) = p.name() match {
+        case "IN" => p.children().toSeq match {
+          case (r: NamedReference) +: vs
+              if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal[_]]) =>
+            (Some(r), vs.map(_.asInstanceOf[Literal[_]]))
+          case _ => (None, Nil)
+        }
+        case "=" => p.children().toSeq match {
+          case Seq(r: NamedReference, v: Literal[_]) => (Some(r), Seq(v))
+          case Seq(v: Literal[_], r: NamedReference) => (Some(r), Seq(v))
+          case _ => (None, Nil)
+        }
+        case _ => (None, Nil)
+      }
+      for {
+        r <- ref
+        if r.fieldNames().length == 1
+        pos = fields.indexWhere(_.col.equalsIgnoreCase(r.fieldNames()(0)))
+        if pos >= 0
+      } {
+        val placed = lits.filter(_.value != null)
+          .map(l => fields(pos).ofLiteral(l.value, l.dataType, zone))
+        // one unplaceable literal disables pruning on this predicate
+        if (placed.nonEmpty && placed.forall(_.isDefined)) {
+          val allowed = placed.flatten.toSet
+          runtimeKeep = runtimeKeep.updatedWith(pos) {
+            case Some(prev) => Some(prev intersect allowed)
+            case None       => Some(allowed)
+          }
+        }
+      }
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -625,8 +726,19 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
         org.apache.spark.sql.connector.expressions.Expression]).toArray,
       groups.length)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    groups.map { case (key, files) => LakePartTupleSplit(key, files) }
+  override def planInputPartitions(): Array[InputPartition] = {
+    // runtime (DPP) pruning: IN / = on a partition source column is
+    // null-rejecting, so a group whose constrained key is null — or
+    // outside the allowed ordinals — provably holds no joining row
+    val kept =
+      if (runtimeKeep.isEmpty) groups
+      else groups.filter { case (key, _) =>
+        runtimeKeep.forall { case (pos, allowed) =>
+          key(pos) != null && allowed.contains(key(pos))
+        }
+      }
+    kept.map { case (key, files) => LakePartTupleSplit(key, files) }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // vectorized decode when the projected schema allows it (atomic

@@ -1809,6 +1809,69 @@ class LakehouseSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not SPJ-supported"))
   }
 
+  test("SPJ runtime filtering: DPP-style IN predicates drop whole " +
+      "partition tuples; unplaceable values keep everything") {
+    import graft.lakehouse.{LakeSpjScan, LakeSpjTable, Spj}
+    import org.apache.spark.sql.connector.expressions.{Expressions => VE}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.types.{DataType, LongType, StringType}
+    def v2lit(v: Any, dt: DataType) =
+      new org.apache.spark.sql.connector.expressions.Literal[Any] {
+        override def value(): Any = v
+        override def dataType(): DataType = dt
+      }
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_rtf").toString,
+      (1L to 200L).map(k => (k, k % 40, s"t$k")).toDF("k", "g", "tag"),
+      partitionBy = Seq("bucket[8](g)"))
+    Spj.enable(spark)
+    val scan = new LakeSpjTable("rtf", t)
+      .newScanBuilder(new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      .build().asInstanceOf[LakeSpjScan]
+    val before = scan.planInputPartitions().length
+    assert(before > 1)
+    // two g values hash to at most two buckets
+    scan.filter(Array(new Predicate("IN", Array(VE.column("g"),
+      v2lit(3L, LongType), v2lit(7L, LongType)))))
+    val after = scan.planInputPartitions().length
+    assert(after <= 2 && after < before,
+      s"IN on the bucket source must prune to its buckets ($before -> $after)")
+    // results complete: the surviving splits hold every g in {3,7} row
+    // (check via a fresh scan + the public read path)
+    val cnt = Spj.read(spark, "rtf_pub", t)
+      .filter(col("g").isin(3L, 7L)).count()
+    assert(cnt == (1L to 200L).count(k => k % 40 == 3 || k % 40 == 7))
+    // an unplaceable literal (type outside the column's family) must
+    // disable pruning for that predicate, not drop partitions
+    val scan2 = new LakeSpjTable("rtf", t)
+      .newScanBuilder(new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      .build().asInstanceOf[LakeSpjScan]
+    scan2.filter(Array(new Predicate("IN", Array(VE.column("g"),
+      v2lit(org.apache.spark.unsafe.types.UTF8String.fromString("3"),
+        StringType)))))
+    assert(scan2.planInputPartitions().length == before,
+      "unplaceable runtime values must keep every partition")
+
+    // end-to-end: a SELECTIVE broadcast dim filter reaches the fact
+    // scan as a dynamic-pruning runtime filter. The dim must be
+    // storage-backed — a literal Seq would constant-fold into a
+    // LocalRelation and DPP sees no selective predicate to reuse.
+    val dimPath = Files.createTempDirectory("graft_rtf_dim").toString
+    Seq((3L, "keep"), (7L, "keep"), (11L, "drop"), (13L, "drop"))
+      .toDF("d_g", "d_name").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("d_name") === "keep")
+    val fact = Spj.read(spark, "rtf_fact", t)
+    val j = fact.join(broadcast(dim), col("g") === col("d_g"))
+    val n = j.count()
+    assert(n == cnt, "DPP-filtered join must return every matching row")
+    val planStr = j.queryExecution.executedPlan.toString
+    assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
+      s"the fact scan must carry a dynamic-pruning runtime filter:\n" +
+        planStr.take(3000))
+  }
+
   test("SPJ read backfills pre-size manifests once: one metadata " +
       "commit, then planning reads sizes from the manifest") {
     import graft.lakehouse.Spj
