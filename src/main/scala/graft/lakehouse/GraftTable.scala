@@ -2245,12 +2245,30 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         MergeClause.Update(c, resolveAssignments(set, cols, "merge UPDATE SET"))
       case MergeClause.Insert(c, values) =>
         MergeClause.Insert(c, resolveAssignments(values, cols, "merge INSERT"))
+      case MergeClause.UpdateBySource(c, set) =>
+        require(set.nonEmpty,
+          "NOT MATCHED BY SOURCE UPDATE requires explicit SET " +
+            "assignments (there is no source row to star from)")
+        MergeClause.UpdateBySource(c, resolveAssignments(set, cols,
+          "merge NOT MATCHED BY SOURCE UPDATE SET"))
       case d => d
     }
     val matchedClauses = clauses.filter {
-      case _: MergeClause.Insert => false
-      case _                     => true
+      case _: MergeClause.Insert         => false
+      case _: MergeClause.UpdateBySource => false
+      case _: MergeClause.DeleteBySource => false
+      case _                             => true
     }
+    val bySourceClauses = clauses.filter {
+      case _: MergeClause.UpdateBySource => true
+      case _: MergeClause.DeleteBySource => true
+      case _                             => false
+    }
+    if (bySourceClauses.nonEmpty)
+      require(mergeMode != "merge-on-read",
+        "WHEN NOT MATCHED BY SOURCE is copy-on-write only (a " +
+          "merge-on-read pass would tombstone every unmatched row's " +
+          "position — run with write.merge.mode=copy-on-write)")
     val insertClauses = clauses.collect { case i: MergeClause.Insert => i }
     val needsStar =
       matchedClauses.exists { case MergeClause.Update(_, s) => s.isEmpty; case _ => false } ||
@@ -2294,16 +2312,30 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // winner evaluation is the first thing every matched row passes
     // through, so no duplicate can slip into a rewrite or tombstone.
     def winnerOver(matched: Column): Column = {
-      val base = when(matched,
+      val matchedFold =
         matchedClauses.zipWithIndex.foldRight(lit(-1): Column) {
           case ((cl, i), els) =>
             val c = (cl match {
               case MergeClause.Update(cond, _) => cond
               case MergeClause.Delete(cond)    => cond
-              case _: MergeClause.Insert       => None
+              case _                           => None
             }).map(expr).getOrElse(lit(true))
             when(coalesce(c, lit(false)), lit(i)).otherwise(els)
-        }).otherwise(lit(-1))
+        }
+      // NOT MATCHED BY SOURCE clauses fire on rows WITHOUT a match,
+      // indexed after the matched clauses in the shared winner space
+      val bySourceFold =
+        bySourceClauses.zipWithIndex.foldRight(lit(-1): Column) {
+          case ((cl, j), els) =>
+            val c = (cl match {
+              case MergeClause.UpdateBySource(cond, _) => cond
+              case MergeClause.DeleteBySource(cond)    => cond
+              case _                                   => None
+            }).map(expr).getOrElse(lit(true))
+            when(coalesce(c, lit(false)),
+              lit(matchedClauses.size + j)).otherwise(els)
+        }
+      val base = when(matched, matchedFold).otherwise(bySourceFold)
       if (!dupGuard) base
       else when(matched && col(GraftTable.SrcCntCol) > 1,
         raise_error(concat(
@@ -2314,18 +2346,23 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     }
     val deleteIdx = matchedClauses.zipWithIndex.collect {
       case (_: MergeClause.Delete, i) => i
+    } ++ bySourceClauses.zipWithIndex.collect {
+      case (_: MergeClause.DeleteBySource, j) => matchedClauses.size + j
     }
     // post-clause image of each row (WinnerCol already attached);
     // winner -1 falls through to the row's own columns
     def postClause(df: DataFrame): DataFrame =
       df.select(cols.map { c =>
-        matchedClauses.zipWithIndex.collect {
+        (matchedClauses.zipWithIndex.collect {
           case (MergeClause.Update(_, set), i) =>
             val v =
               if (set.isEmpty) col(GraftTable.SrcPrefix + c)
               else set.get(c).map(expr).getOrElse(col(c))
             (i, v)
-        }.foldRight(col(c)) { case ((i, v), els) =>
+        } ++ bySourceClauses.zipWithIndex.collect {
+          case (MergeClause.UpdateBySource(_, set), j) =>
+            (matchedClauses.size + j, set.get(c).map(expr).getOrElse(col(c)))
+        }).foldRight(col(c)) { case ((i, v), els) =>
           when(col(GraftTable.WinnerCol) === i, v).otherwise(els)
         }.as(c)
       }: _*)
@@ -2414,18 +2451,43 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     }
 
     // ---- copy-on-write: rewrite every file containing a match ------
-    // a MERGE with no matched clauses touches no existing file
+    // a MERGE with no matched and no by-source clauses touches no
+    // existing file. By-source clauses widen discovery to files
+    // holding UNMATCHED rows whose condition may fire (an
+    // unconditional clause = every file with any unmatched row).
+    val bySourceCond: Option[Column] =
+      if (bySourceClauses.isEmpty) None
+      else Some(bySourceClauses.collect {
+        case MergeClause.UpdateBySource(c, _) => c
+        case MergeClause.DeleteBySource(c)    => c
+      }.map(_.map(expr).getOrElse(lit(true))).reduce(_ || _))
     val (_, rewrite) =
-      if (matchedClauses.isEmpty) (snap.files, Nil)
+      if (matchedClauses.isEmpty && bySourceClauses.isEmpty)
+        (snap.files, Nil)
       else partitionFiles(snap,
-        affectedFiles(snap, snap.files,
-          _.join(srcKeys, keys, "left_semi")))
+        affectedFiles(snap, snap.files, df => bySourceCond match {
+          case None => df.join(srcKeys, keys, "left_semi")
+          case Some(bc) =>
+            val marked = srcKeys.withColumn("_graft_skm", lit(true))
+            df.join(marked, keys, "left").filter(
+              (col("_graft_skm").isNotNull && lit(matchedClauses.nonEmpty)) ||
+                (col("_graft_skm").isNull && bc))
+        }))
 
     val rewritten: Option[DataFrame] =
       if (rewrite.isEmpty) None
       else {
+        // with ONLY by-source clauses, matched rows pass through
+        // untouched — join against the DISTINCT key set so a
+        // duplicate-keyed source cannot duplicate them (no matched
+        // clause references source columns, so nothing is lost)
+        val right =
+          if (matchedClauses.nonEmpty) srcFlat
+          else srcKeys.select(keys.map(k =>
+            col(k).as(GraftTable.SrcPrefix + k)): _*)
+            .withColumn(GraftTable.MatchMarker, lit(true))
         val joined = readFilesMapped(snap, rewrite)
-          .join(srcFlat, joinCond, "left")
+          .join(right, joinCond, "left")
         val marked = joined.withColumn(GraftTable.WinnerCol,
           winnerOver(col(GraftTable.MatchMarker).isNotNull))
         val kept =

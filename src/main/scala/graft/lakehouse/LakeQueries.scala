@@ -266,6 +266,55 @@ object LakeQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Dynamic partition pruning through the SPJ scan
+    * ([[LakeSpjScan]]'s SupportsRuntimeV2Filtering): a selective
+    * parquet-backed dimension filter reaches the bucketed fact scan
+    * as a runtime IN filter, dropping whole bucket tuples before any
+    * file opens — at 100 TB the dim-prunes-the-fact pattern turns a
+    * full fact scan into |dim keys| buckets. The in-query require()
+    * proves the runtime filter is actually attached. */
+  private val spjDpp: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val t = GraftTable.create(s, tmp("lake_dpp"), orders,
+      partitionBy = Seq("bucket[8](o_custkey)"))
+    val fact = Spj.read(s, "lake_dpp_fact", t)
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def joined = fact.join(broadcast(dim),
+      col("o_custkey") === col("c_custkey"))
+    val probe = joined
+    probe.count() // execute so AQE finalizes and DPP materializes
+    require(probe.queryExecution.executedPlan.toString
+        .contains("RuntimeFilters: [dynamicpruning"),
+      "the fact scan must carry a dynamic-pruning runtime filter")
+    joined.select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
+  /** MERGE with `WHEN NOT MATCHED BY SOURCE` (Spark 3.4+/Delta/
+    * Iceberg): the synchronize-to-snapshot upsert — matched rows
+    * update, UNMATCHED TARGET rows (no source row) delete or mark
+    * stale, all through the SQL front-end. Copy-on-write; one rewrite
+    * pass covers matched and by-source rows together. */
+  private val mergeBySource: Q = (s, dir) => {
+    val customer = Tables.customer(s, dir)
+    val t = GraftTable.create(s, tmp("lake_mbs"), customer)
+    LakeRegistry.register("lake_mbs_t", t)
+    customer.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"))
+      .createOrReplaceTempView("lake_mbs_src")
+    s.sql(
+      """MERGE INTO lake_mbs_t t USING lake_mbs_src s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + 1000.0
+        |WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'STALE'
+        |""".stripMargin)
+    t.read().orderBy("c_custkey")
+  }
+
   /** Storage-partitioned join on a STRING bucket key — real governed
     * corpora join on string document/patient ids, not synthetic
     * BIGINTs (ref: the reference's `patient_id` join key,
@@ -1061,6 +1110,8 @@ object LakeQueries {
     "lake_overwrite_partition" -> overwritePartition,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
+    "lake_merge_source"     -> mergeBySource,
+    "lake_spj_dpp"          -> spjDpp,
     "lake_spj_string"       -> spjString,
     "lake_spj_composite"    -> spjComposite,
     "lake_alter_nested"     -> alterNested,
@@ -1335,6 +1386,22 @@ object LakeQueries {
       """SELECT o.o_orderkey, o.o_custkey, c.c_name
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    "lake_spj_dpp" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY o.o_orderkey""".stripMargin,
+    // matched (%3=0): balance bumped; unmatched negatives deleted;
+    // remaining unmatched marked STALE
+    "lake_merge_source" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000.0
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment
+        |       ELSE 'STALE' END AS c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 3 = 0 OR c_acctbal >= 0
+        |ORDER BY c_custkey""".stripMargin,
     "lake_spj_string" ->
       """SELECT o.o_orderkey, CAST(o.o_custkey AS VARCHAR) AS o_cust_id,
         |       c.c_name

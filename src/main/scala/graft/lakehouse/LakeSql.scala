@@ -146,9 +146,6 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable =>
       target(m.targetTable).map { case (t, targetAliases, name) =>
         checkWrite(name, "MERGE")
-        if (m.notMatchedBySourceActions.nonEmpty)
-          throw new UnsupportedOperationException(
-            "WHEN NOT MATCHED BY SOURCE is not supported")
         val (srcPlan, srcAliases) = m.sourceTable match {
           case SubqueryAlias(ident, child) =>
             (m.sourceTable, Set(ident.name.toLowerCase))
@@ -179,6 +176,17 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               MergeClause.Insert(cond.map(flat), Map.empty)
             case other => throw new UnsupportedOperationException(
               s"merge clause $other")
+          } ++ m.notMatchedBySourceActions.map {
+            // target rows with no source match: conditions/values may
+            // reference target columns only (the flat namespace makes
+            // a stray source ref fail resolution loudly)
+            case UpdateAction(cond, assigns, _) =>
+              MergeClause.UpdateBySource(cond.map(flat),
+                assigns.map(a => attrName(a.key) -> flat(a.value)).toMap)
+            case DeleteAction(cond) =>
+              MergeClause.DeleteBySource(cond.map(flat))
+            case other => throw new UnsupportedOperationException(
+              s"merge NOT MATCHED BY SOURCE clause $other")
           }
         GraftMergeCommand(t, srcPlan, keys, clauses): LogicalPlan
       }

@@ -31,4 +31,16 @@ object MergeClause {
     * columns only. */
   final case class Insert(condition: Option[String],
       values: Map[String, String]) extends MergeClause
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE SET …`
+    * (Spark 3.4+ / Delta / Iceberg): applies to TARGET rows with no
+    * source match; conditions and values reference target columns
+    * only. `set` must be explicit (there is no source row to star
+    * from). Copy-on-write only — merge-on-read refuses loudly. */
+  final case class UpdateBySource(condition: Option[String],
+      set: Map[String, String]) extends MergeClause
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE`. */
+  final case class DeleteBySource(condition: Option[String])
+      extends MergeClause
 }

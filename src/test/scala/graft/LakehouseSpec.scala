@@ -658,6 +658,39 @@ class LakehouseSpec extends AnyFunSuite {
       "failed MoR merge must not commit")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE updates/deletes unmatched " +
+      "target rows; duplicate sources cannot duplicate them; MoR refuses") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", -4.0)))
+    graft.lakehouse.LakeRegistry.register("mbs_t", t)
+    Seq((2L, 20.0)).toDF("k", "nv").createOrReplaceTempView("mbs_src")
+    spark.sql(
+      """MERGE INTO mbs_t t USING mbs_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED BY SOURCE AND t.v < 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'
+        |""".stripMargin)
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "stale", 1.0), (2L, "b", 20.0),
+      (3L, "stale", 3.0)),
+      s"matched updated, negatives deleted, others marked: ${got.toSeq}")
+    // by-source-only merge against a DUPLICATE-keyed source: matched
+    // rows stay as-is and must not duplicate through the join
+    val t2 = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t2.merge(Seq((1L, "x", 0.0), (1L, "y", 0.0)).toDF("k", "tag", "v"),
+      Seq("k"), Seq(graft.lakehouse.MergeClause.UpdateBySource(None, Map("tag" -> "'gone'"))))
+    val got2 = t2.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got2.toSeq == Seq((1L, "a"), (2L, "gone")))
+    // merge-on-read refuses by-source clauses loudly
+    t2.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    val e = intercept[IllegalArgumentException](
+      t2.merge(Seq((1L, "z", 0.0)).toDF("k", "tag", "v"), Seq("k"),
+        Seq(graft.lakehouse.MergeClause.DeleteBySource(None))))
+    assert(e.getMessage.contains("copy-on-write"))
+  }
+
   test("INSERT OVERWRITE keeps the table's schema and column types") {
     val t = freshTable(Seq((1L, "a", 1.0)))
     graft.lakehouse.LakeRegistry.register("sqlow_t", t)
