@@ -53,7 +53,13 @@ final case class TablePolicy(
       * reference grants DESCRIBE separately from SELECT,
       * producer_iceberg_datalake_setup.sh:305): the principal sees
       * the (column-filtered) schema, but any scan is denied. */
-    selectable: Boolean = true)
+    selectable: Boolean = true,
+    /** Who delegated this policy ([[SecureCatalog.regrant]]); None =
+      * a direct grant. A re-grant may only overwrite a previous
+      * delegation from the SAME grantor — never a direct grant or
+      * another grantor's delegation (that would let an unprivileged
+      * delegation path act as a revocation). */
+    grantor: Option[String] = None)
 
 final case class Principal(
     name: String,
@@ -232,14 +238,57 @@ object SecureCatalog {
       throw new AccessDeniedException(
         s"re-grant widens permissions: '$grantor' holds DESCRIBE-only " +
           s"on '$target'")
+    // masks can only NARROW further: the parent's masks are kept
+    // verbatim (a request mask on a parent-masked column would
+    // REPLACE it — an unmasking door), and a request mask may only
+    // cover delegated columns and reference delegated columns (masks
+    // evaluate against the RAW row, so an expression smuggling an
+    // undelegated column — cast(c_acctbal as string) — would
+    // exfiltrate it through a visible column).
+    request.masks.foreach { case (c, m) =>
+      if (parent.masks.keys.exists(_.equalsIgnoreCase(c)))
+        throw new AccessDeniedException(
+          s"re-grant may not replace the delegated mask on '$c'")
+      val visible = cols.getOrElse(columnsOf(target))
+      def inScope(name: String) =
+        visible.exists(_.equalsIgnoreCase(name))
+      if (!inScope(c))
+        throw new AccessDeniedException(
+          s"re-grant masks column '$c' outside the delegated set")
+      val refs =
+        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(m).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.nameParts.mkString(".")
+          }
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new AccessDeniedException(
+            s"re-grant mask on '$c' does not parse: ${e.getMessage}")
+        }
+      refs.filterNot(inScope).foreach { bad =>
+        throw new AccessDeniedException(
+          s"re-grant mask on '$c' references column '$bad' outside " +
+            "the delegated set")
+      }
+    }
     val rowFilter = (parent.rowFilter, request.rowFilter) match {
       case (Some(a), Some(b)) => Some(s"($a) AND ($b)")
       case (a, b)             => b.orElse(a)
     }
     val pol = TablePolicy(target, rowFilter, cols,
-      parent.masks ++ request.masks, write = request.write,
-      grantable = request.grantable, selectable = request.selectable)
+      request.masks ++ parent.masks, write = request.write,
+      grantable = request.grantable, selectable = request.selectable,
+      grantor = Some(grantor))
     val ge = principal(grantee).getOrElse(Principal(grantee))
+    // a delegation may refresh ITSELF (same grantor re-running) but
+    // never displace a direct grant or another grantor's delegation
+    ge.grants.get(target).foreach { existing =>
+      if (!existing.grantor.contains(grantor))
+        throw new AccessDeniedException(
+          s"'$grantee' already holds a grant on '$target' from " +
+            s"${existing.grantor.getOrElse("a direct grant")} — " +
+            "revoke it first")
+    }
     register(ge.copy(grants = ge.grants + (target -> pol)))
   }
 }

@@ -2221,6 +2221,25 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
             s"match at most one source row ($detail)", e)
     }
 
+  /** NOT MATCHED BY SOURCE clauses act on rows that HAVE no source
+    * row — a source reference there would silently evaluate to NULL
+    * through the left join (Spark/Delta/Iceberg reject it at
+    * analysis; so do we). */
+  private def requireTargetOnly(sql: String): Unit = {
+    val refs =
+      try spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => a.nameParts.head
+      }
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    refs.filter(_.toLowerCase.startsWith(GraftTable.SrcPrefix))
+      .foreach { bad =>
+        throw new IllegalArgumentException(
+          "NOT MATCHED BY SOURCE clauses may reference target columns " +
+            s"only (found source column '${bad.stripPrefix(GraftTable.SrcPrefix)}')")
+      }
+  }
+
   private def mergeAtImpl(snap: Snapshot, source: DataFrame,
       keys0: Seq[String], clauses0: Seq[MergeClause]): Long = {
     // merge-on-read MERGE reads the live view and rewrites nothing, so
@@ -2249,8 +2268,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         require(set.nonEmpty,
           "NOT MATCHED BY SOURCE UPDATE requires explicit SET " +
             "assignments (there is no source row to star from)")
+        (c.toSeq ++ set.values).foreach(requireTargetOnly)
         MergeClause.UpdateBySource(c, resolveAssignments(set, cols,
           "merge NOT MATCHED BY SOURCE UPDATE SET"))
+      case MergeClause.DeleteBySource(c) =>
+        c.foreach(requireTargetOnly)
+        MergeClause.DeleteBySource(c)
       case d => d
     }
     val matchedClauses = clauses.filter {

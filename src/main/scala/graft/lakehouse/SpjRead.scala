@@ -419,10 +419,15 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
     // pre-size manifests (older format) would otherwise pay one
     // driver-side getFileStatus per file at EVERY plan — backfill the
     // sizes once (distributed pass + metadata-only commit) on first
-    // contact and plan from the manifest ever after
-    if (t.currentSnapshot.files.exists(
-        f => !t.currentSnapshot.fileSizes.contains(f)))
-      t.backfillFileSizes()
+    // contact and plan from the manifest ever after. BEST-EFFORT on
+    // this READ path: on read-only storage, or when concurrent first
+    // readers race the publish CAS (one wins, the commit exists),
+    // the read proceeds on the per-file stat fallback instead of
+    // failing — the backfill is an optimization, never a gate.
+    val snap = t.currentSnapshot
+    if (snap.files.exists(f => !snap.fileSizes.contains(f)))
+      try t.backfillFileSizes()
+      catch { case scala.util.control.NonFatal(_) => () }
     new LakeSpjTable(ident.name, t)
   }
 

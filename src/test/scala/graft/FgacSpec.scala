@@ -189,6 +189,29 @@ class FgacSpec extends AnyFunSuite {
     intercept[AccessDeniedException](
       SecureCatalog.regrant("gcd_admin", "gcd_team", "customer",
         TablePolicy("customer")))
+    // a re-grant may not REPLACE a delegated mask (unmasking door)…
+    intercept[AccessDeniedException](
+      SecureCatalog.regrant("gcm_admin", "gcm_team2", "customer",
+        TablePolicy("customer", masks = Map("c_name" -> "c_name"))))
+    // …nor mask a visible column with an expression smuggling an
+    // undelegated one (masks evaluate against the RAW row)
+    SecureCatalog.register(Principal("gce_admin", grants = Map(
+      "customer" -> TablePolicy("customer",
+        allowedColumns = Some(Seq("c_custkey", "c_name")),
+        grantable = true))))
+    intercept[AccessDeniedException](
+      SecureCatalog.regrant("gce_admin", "gce_team", "customer",
+        TablePolicy("customer", masks =
+          Map("c_name" -> "cast(c_acctbal as string)"))))
+    // …nor displace a DIRECT grant or another grantor's delegation
+    SecureCatalog.register(Principal("gcx_team", grants = Map(
+      "customer" -> TablePolicy("customer"))))
+    intercept[AccessDeniedException](
+      SecureCatalog.regrant("gcm_admin", "gcx_team", "customer",
+        TablePolicy("customer", allowedColumns = Some(Seq("c_custkey")))))
+    // re-running the SAME delegation refreshes it (idempotent)
+    SecureCatalog.regrant("gcm_admin", "gcm_team", "customer",
+      TablePolicy("customer", allowedColumns = Some(Seq("c_custkey", "c_name"))))
   }
 
   test("DESCRIBE permission is separate from SELECT") {

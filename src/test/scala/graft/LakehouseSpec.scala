@@ -683,6 +683,14 @@ class LakehouseSpec extends AnyFunSuite {
     val got2 = t2.read().orderBy("k").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got2.toSeq == Seq((1L, "a"), (2L, "gone")))
+    // a by-source clause referencing a SOURCE column refuses at
+    // analysis (it would silently evaluate to NULL through the join)
+    val e0 = intercept[IllegalArgumentException](
+      spark.sql(
+        """MERGE INTO mbs_t t USING mbs_src s ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.nv
+          |""".stripMargin))
+    assert(e0.getMessage.contains("target columns only"))
     // merge-on-read refuses by-source clauses loudly
     t2.setProperties(Map("write.merge.mode" -> "merge-on-read"))
     val e = intercept[IllegalArgumentException](
