@@ -307,7 +307,95 @@ object FgacQueries {
     if (scanDenied) desc else desc.limit(0)
   }
 
+  /** Views × FGAC (the Lake Formation / Athena view model: consumers
+    * query through a view rather than the table). Decision matrix:
+    *  - DEFINER view ('security'='definer'): a principal with NO
+    *    grant on `customer` reads through it, and sees exactly the
+    *    view OWNER's filtered visibility (captured at CREATE — the
+    *    Athena/LF semantics where the view owner's rights apply);
+    *  - INVOKER view (default, Iceberg semantics): the same
+    *    principal is denied, because underlying tables re-authorize
+    *    as the QUERYING principal;
+    *  - a GOVERNED view requires its own grant (deny-by-default),
+    *    and the view-level policy narrows further on the view output;
+    *  - views are read-only — DML refuses;
+    *  - creating a view needs read rights on the underlying table. */
+  private val viewDecisions: Q = (s, dir) => {
+    import s.implicits._
+    setup(s, dir)
+    SecureCatalog.register(Principal("vw_owner", grants = Map(
+      "customer" -> TablePolicy("customer", rowFilter = Some(RowFilter),
+        allowedColumns = Some(VisibleCols)))))
+    SecureCatalog.register(Principal("vw_consumer"))
+    asPrincipal(s, "vw_owner") {
+      s.sql("""CREATE OR REPLACE VIEW fgac_v_definer
+              |TBLPROPERTIES('security'='definer')
+              |AS SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
+      s.sql("""CREATE OR REPLACE VIEW fgac_v_invoker
+              |AS SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
+    }
+    def attempt(scenario: String)(body: => Unit): (String, String) = {
+      val outcome =
+        try { body; "ALLOWED" }
+        catch {
+          case t: Throwable if causeChain(t)
+              .exists(_.isInstanceOf[AccessDeniedException]) => "DENIED"
+          case t: Throwable if causeChain(t)
+              .exists(_.isInstanceOf[UnsupportedOperationException]) =>
+            "REFUSED"
+        }
+      (scenario, outcome)
+    }
+    val ownerView = Tables.customer(s, dir)
+      .filter(org.apache.spark.sql.functions.expr(RowFilter))
+      .select("c_custkey", "c_mktsegment")
+    val rows = Seq(
+      attempt("1_definer_view_read") {
+        val got = asPrincipal(s, "vw_consumer")(s.sql(
+          "SELECT * FROM fgac_v_definer ORDER BY c_custkey"))
+        require(got.count() == ownerView.count() &&
+            got.except(ownerView).isEmpty,
+          "definer view must surface the OWNER's filtered visibility")
+      },
+      attempt("2_invoker_view_read") {
+        asPrincipal(s, "vw_consumer")(
+          s.sql("SELECT * FROM fgac_v_invoker").collect())
+      },
+      attempt("3_governed_view_ungranted") {
+        asPrincipal(s, "vw_owner")(s.sql(
+          """CREATE OR REPLACE VIEW fgac_v_gov
+            |TBLPROPERTIES('security'='definer')
+            |AS SELECT c_custkey, c_mktsegment FROM customer""".stripMargin))
+        SecureCatalog.governTable("fgac_v_gov",
+          Seq("c_custkey", "c_mktsegment"))
+        asPrincipal(s, "vw_consumer")(
+          s.sql("SELECT * FROM fgac_v_gov").collect())
+      },
+      attempt("4_governed_view_granted_narrowed") {
+        SecureCatalog.register(Principal("vw_consumer2", grants = Map(
+          "fgac_v_gov" -> TablePolicy("fgac_v_gov",
+            rowFilter = Some("c_custkey % 2 = 0")))))
+        val got = asPrincipal(s, "vw_consumer2")(s.sql(
+          "SELECT * FROM fgac_v_gov ORDER BY c_custkey"))
+        val expect = ownerView.filter("c_custkey % 2 = 0")
+        require(got.count() == expect.count() &&
+            got.except(expect).isEmpty,
+          "view-level policy must narrow the definer-filtered output")
+      },
+      attempt("5_view_write") {
+        s.sql("DELETE FROM fgac_v_definer WHERE c_custkey = 1")
+      },
+      attempt("6_create_without_read") {
+        asPrincipal(s, "team2")(s.sql(
+          """CREATE OR REPLACE VIEW fgac_v_stolen
+            |TBLPROPERTIES('security'='definer')
+            |AS SELECT * FROM customer""".stripMargin))
+      })
+    rows.toDF("scenario", "decision").orderBy("scenario")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fgac_view"          -> viewDecisions,
     "fgac_grant_chain"   -> grantChain,
     "fgac_describe"      -> describeOnly,
     "fgac_lakehouse"     -> lakehouseGoverned,
@@ -325,6 +413,16 @@ object FgacQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "fgac_view" ->
+      """SELECT * FROM (VALUES
+        | ('1_definer_view_read', 'ALLOWED'),
+        | ('2_invoker_view_read', 'DENIED'),
+        | ('3_governed_view_ungranted', 'DENIED'),
+        | ('4_governed_view_granted_narrowed', 'ALLOWED'),
+        | ('5_view_write', 'REFUSED'),
+        | ('6_create_without_read', 'DENIED'))
+        | AS t(scenario, decision)
+        |ORDER BY scenario""".stripMargin,
     "fgac_grant_chain" ->
       """SELECT * FROM (VALUES
         | ('1_narrowed_regrant', 'ALLOWED'),

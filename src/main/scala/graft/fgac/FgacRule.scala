@@ -50,10 +50,21 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val name = parts.mkString(".")
         val target = SecureCatalog.resolveLink(name)
         val visible = SecureCatalog.describeColumns(who, name)
-        val rawSchema = spark.table(SecureCatalog.rawViewName(target)).schema
+        // views have no raw storage view — types come from the
+        // schema captured at CREATE VIEW
+        val typeOf: String => String =
+          graft.lakehouse.ViewRegistry.get(target) match {
+            case Some(vd) => c =>
+              vd.outputColumns.find(_._1.equalsIgnoreCase(c))
+                .map(_._2).getOrElse("unknown")
+            case None =>
+              val rawSchema =
+                spark.table(SecureCatalog.rawViewName(target)).schema
+              c => rawSchema.fields.find(_.name.equalsIgnoreCase(c))
+                .map(_.dataType.simpleString).getOrElse("unknown")
+          }
         val rows = visible.map { c =>
-          val dt = rawSchema.fields.find(_.name.equalsIgnoreCase(c))
-            .map(_.dataType.simpleString).getOrElse("unknown")
+          val dt = typeOf(c)
           org.apache.spark.sql.catalyst.InternalRow(
             org.apache.spark.unsafe.types.UTF8String.fromString(c),
             org.apache.spark.unsafe.types.UTF8String.fromString(dt),
@@ -61,6 +72,16 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
           d.output, rows)
+      // Graft views expand INLINE (before the governed-table case: a
+      // governed view is also a visible name, and the table rewrite
+      // would point it at a raw view that does not exist). The
+      // expansion checks the view-level grant and resolves underlying
+      // governed names as the effective principal — the querying one
+      // for invoker views, the captured creator for definer views.
+      case u: UnresolvedRelation
+          if graft.lakehouse.ViewRegistry.isView(u.multipartIdentifier) =>
+        graft.lakehouse.ViewExpansion.expand(
+          spark, u.multipartIdentifier, who)
       // Both bare (`patients`) and namespace-qualified
       // (`dev.healthcare_db.rl_patients`, the reference's only form —
       // consumer_emr_on_eks_setup.sh:407-412) governed names resolve
@@ -68,16 +89,7 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // policy hole, so interception keys on the full dotted name.
       case u: UnresolvedRelation
           if SecureCatalog.isVisibleName(u.multipartIdentifier) =>
-        val parts = u.multipartIdentifier.map(_.toLowerCase)
-        val name = parts.mkString(".")
-        val target = SecureCatalog.resolveLink(name)
-        val raw = u.copy(multipartIdentifier =
-          Seq(SecureCatalog.rawViewName(target)))
-        if (who.isEmpty) SubqueryAlias(parts, raw) // admin / ungoverned session
-        else SecureCatalog.authorize(who, name) match {
-          case None         => SubqueryAlias(parts, raw)
-          case Some(policy) => SubqueryAlias(parts, secured(policy, raw))
-        }
+        FgacRule.resolveGoverned(u, who)
     }
   }
 
@@ -91,9 +103,32 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+}
+
+object FgacRule {
+
+  /** A governed relation NAME resolved for principal `who`: raw scan
+    * for admin/ungranted-ungoverned, secured scan under the policy
+    * otherwise (throws when governed-but-ungranted). Shared between
+    * the session rule above and [[graft.lakehouse.ViewExpansion]],
+    * which resolves a view's underlying names as the view's effective
+    * principal rather than the session's. */
+  def resolveGoverned(u: UnresolvedRelation, who: String): LogicalPlan = {
+    val parts = u.multipartIdentifier.map(_.toLowerCase)
+    val name = parts.mkString(".")
+    val target = SecureCatalog.resolveLink(name)
+    val raw = u.copy(multipartIdentifier =
+      Seq(SecureCatalog.rawViewName(target)))
+    if (who.isEmpty) SubqueryAlias(parts, raw) // admin / ungoverned session
+    else SecureCatalog.authorize(who, name) match {
+      case None         => SubqueryAlias(parts, raw)
+      case Some(policy) => SubqueryAlias(parts, securePlan(policy, raw))
+    }
+  }
+
   /** Filter (against raw row) → mask → project, matching Lake
     * Formation data-cells-filter evaluation order. */
-  private def secured(policy: TablePolicy, raw: LogicalPlan): LogicalPlan = {
+  def securePlan(policy: TablePolicy, raw: LogicalPlan): LogicalPlan = {
     val filtered = policy.rowFilter match {
       case Some(p) => Filter(CatalystSqlParser.parseExpression(p), raw)
       case None    => raw

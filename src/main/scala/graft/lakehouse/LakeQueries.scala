@@ -1076,7 +1076,53 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** SQL views over lake tables (the Iceberg-view surface): CREATE
+    * VIEW stores the query TEXT (late binding), CREATE OR REPLACE
+    * swaps the definition, views nest, `lake_views()` lists the
+    * catalog, DROP VIEW removes — and because reads expand inline,
+    * the final SELECT is one flat Catalyst tree (filters over the
+    * view reach the scan; pinned in LakehouseSpec). Ref workflow
+    * shape: producer_iceberg_datalake_setup.sh:203-236 (SQL-first
+    * access to governed Iceberg tables). */
+  private val view: Q = (s, dir) => {
+    val t1 = GraftTable.create(s, tmp("lake_view_o"),
+      Tables.orders(s, dir))
+    LakeRegistry.register("lake_view_orders", t1)
+    val t2 = GraftTable.create(s, tmp("lake_view_c"),
+      Tables.customer(s, dir))
+    LakeRegistry.register("lake_view_cust", t2)
+    // first definition is WRONG (missing the join); OR REPLACE fixes
+    // it — proving reads see the replacement, not the original
+    s.sql("""CREATE OR REPLACE VIEW lake_view_rev AS
+            |SELECT o_orderstatus AS status, 'ALL' AS segment,
+            |       count(*) AS n_orders, max(o_totalprice) AS max_price
+            |FROM lake_view_orders GROUP BY o_orderstatus""".stripMargin)
+    s.sql("""CREATE OR REPLACE VIEW lake_view_rev
+            |(segment, status, n_orders, max_price) AS
+            |SELECT c.c_mktsegment, o.o_orderstatus,
+            |       count(*), max(o.o_totalprice)
+            |FROM lake_view_orders o
+            |JOIN lake_view_cust c ON o.o_custkey = c.c_custkey
+            |GROUP BY c.c_mktsegment, o.o_orderstatus""".stripMargin)
+    // nested: a view over the view
+    s.sql("""CREATE OR REPLACE VIEW lake_view_open AS
+            |SELECT segment, n_orders, max_price FROM lake_view_rev
+            |WHERE status = 'O'""".stripMargin)
+    // catalog listing + DROP round-trip
+    s.sql("CREATE OR REPLACE VIEW lake_view_scratch AS SELECT 1 AS x")
+    require(s.sql("SELECT name FROM lake_views()").collect()
+        .map(_.getString(0)).toSet.contains("lake_view_scratch"),
+      "lake_views() must list the scratch view")
+    s.sql("DROP VIEW lake_view_scratch")
+    require(!s.sql("SELECT name FROM lake_views()").collect()
+        .map(_.getString(0)).toSet.contains("lake_view_scratch"),
+      "DROP VIEW must remove the view from the catalog")
+    s.sql("""SELECT segment, n_orders, max_price FROM lake_view_open
+            |ORDER BY segment""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "lake_view"             -> view,
     "lake_concurrent"       -> concurrent,
     "lake_wap"              -> wap,
     "lake_sql_ddl"          -> sqlDdl,
@@ -1121,6 +1167,15 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The replaced definition + nested filter, flattened: DuckDB
+    // computes the same join-aggregate over the source parquet.
+    "lake_view" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+        |       max(o.o_totalprice) AS max_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus = 'O'
+        |GROUP BY c.c_mktsegment
+        |ORDER BY segment""".stripMargin,
     // The race script is deterministic; the decision matrix is the
     // whole contract (row counts are require()d inside the query).
     "lake_concurrent" ->

@@ -48,6 +48,11 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         target(u).map { case (t, as, n) => (t, as + ident.name.toLowerCase, n) }
       case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
         val name = u.multipartIdentifier.head.toLowerCase
+        // DML addressed to a view must refuse crisply, not fall into
+        // relation resolution and fail as an unwritable subquery
+        if (ViewRegistry.get(name).isDefined)
+          throw new UnsupportedOperationException(
+            s"'$name' is a view; views are read-only")
         LakeRegistry.get(name).map((_, Set(name), name))
       case _ => None
     }
@@ -341,6 +346,25 @@ case class GraftInsertCommand(@transient table: GraftTable,
 object LakeDdl {
   def lower(spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] =
     plan match {
+      // CREATE [OR REPLACE] VIEW — all single-part persistent views
+      // are graft views ([[ViewRegistry]]); TEMPORARY views parse to
+      // a different node and keep Spark's session-catalog behavior.
+      case cv: CreateView if cv.child.isInstanceOf[UnresolvedIdentifier] &&
+          cv.child.asInstanceOf[UnresolvedIdentifier].nameParts.size == 1 &&
+          cv.originalText.isDefined =>
+        val name = cv.child.asInstanceOf[UnresolvedIdentifier]
+          .nameParts.head.toLowerCase
+        Some(GraftCreateViewCommand(name, cv.originalText.get,
+          cv.userSpecifiedColumns.map(_._1), cv.comment,
+          cv.properties, cv.replace, cv.allowExisting))
+      // DROP VIEW on a registered graft view; anything else (temp
+      // views, IF EXISTS on an absent name) keeps Spark's behavior
+      case dv: DropView if dv.child.isInstanceOf[UnresolvedIdentifier] &&
+          ViewRegistry.isView(
+            dv.child.asInstanceOf[UnresolvedIdentifier].nameParts) =>
+        Some(GraftDropViewCommand(
+          dv.child.asInstanceOf[UnresolvedIdentifier]
+            .nameParts.map(_.toLowerCase).mkString(".")))
       // CREATE TABLE … USING graft — the reference's producer flow is
       // exactly this shape (`CREATE TABLE … PARTITIONED BY (city) …
       // TBLPROPERTIES ('table_type'='ICEBERG')`,
@@ -695,6 +719,19 @@ object LakeChanges {
           case _                 => t.historyMetadata
         }
         SubqueryAlias(name, df.queryExecution.analyzed)
+
+      // view catalog listing (Iceberg's SHOW VIEWS surface, in the
+      // same TVF shape): pure registry metadata, zero data access
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("lake_views") =>
+        require(tvf.functionArgs.isEmpty, "lake_views takes no arguments")
+        val rows = ViewRegistry.list.map { vd =>
+          (vd.name, if (vd.definerSecurity) "definer" else "invoker",
+            vd.definer, vd.outputColumns.map(_._1).mkString(","), vd.sql)
+        }
+        val df = spark.createDataFrame(rows)
+          .toDF("name", "security", "definer", "columns", "view_sql")
+        SubqueryAlias("lake_views", df.queryExecution.analyzed)
     }
 
   private def integral(l: Literal): Boolean = l.dataType match {

@@ -1,0 +1,182 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+import graft.fgac.{FgacRule, SecureCatalog}
+
+/** Governed SQL views (the Iceberg-view / Lake Formation named-query
+  * surface): `CREATE [OR REPLACE] VIEW v [ (cols…) ] [TBLPROPERTIES
+  * ('security'='definer'|'invoker')] AS <query>` stores the QUERY
+  * TEXT (late binding, exactly Iceberg's view spec: the SQL
+  * representation is resolved at read time, so underlying schema
+  * evolution flows through — or fails loudly if the view no longer
+  * analyzes).
+  *
+  * Reads expand the view INLINE into the consuming plan
+  * ([[ViewExpansion]]), so at 100 TB a view costs nothing at runtime:
+  * Catalyst sees one flat tree, and a filter above the view lands in
+  * the parquet scan's PushedFilters like any other predicate
+  * (pinned in LakehouseSpec).
+  *
+  * Security composes with FGAC two ways:
+  *  - the view itself can be a governed resource
+  *    (`SecureCatalog.governTable(viewName, cols)` + grants), so a
+  *    policy — row filter, column filter, masks — applies to the
+  *    view's OUTPUT;
+  *  - `'security'='invoker'` (default, Iceberg semantics) resolves
+  *    the underlying governed tables as the QUERYING principal;
+  *    `'security'='definer'` (the Lake Formation / Athena view
+  *    model, where consumers query through the view owner's rights)
+  *    resolves them as the principal that CREATED the view — which
+  *    is captured at CREATE, never trusted from the request.
+  */
+final case class ViewDef(
+    name: String,
+    sql: String,
+    /** `CREATE VIEW v(a, b) AS …` rename list; empty = query names. */
+    columnAliases: Seq[String],
+    /** Query output column names captured at CREATE — the positional
+      * base the alias list maps over (late binding re-checks them). */
+    queryColumns: Seq[String],
+    /** Post-alias (name, simple type) — DESCRIBE answers from this. */
+    outputColumns: Seq[(String, String)],
+    /** Principal that created the view ("" = ungoverned session). */
+    definer: String,
+    /** true = resolve underlying tables as [[definer]]. */
+    definerSecurity: Boolean,
+    comment: Option[String],
+    properties: Map[String, String])
+
+object ViewRegistry {
+  private val views =
+    new java.util.concurrent.ConcurrentHashMap[String, ViewDef]()
+
+  def create(vd: ViewDef, replace: Boolean): Unit = {
+    val key = vd.name.toLowerCase
+    if (!replace && views.containsKey(key))
+      throw new IllegalArgumentException(
+        s"view '${vd.name}' already exists (use CREATE OR REPLACE VIEW)")
+    views.put(key, vd.copy(name = key))
+  }
+  def get(name: String): Option[ViewDef] =
+    Option(views.get(name.toLowerCase))
+  def isView(parts: Seq[String]): Boolean =
+    views.containsKey(parts.map(_.toLowerCase).mkString("."))
+  def drop(name: String): Boolean =
+    views.remove(name.toLowerCase) != null
+  def list: Seq[ViewDef] =
+    views.values.toArray(Array.empty[ViewDef]).toSeq.sortBy(_.name)
+}
+
+/** Inline view expansion. `who` is the QUERYING principal; nested
+  * views re-expand under the outer view's effective principal, each
+  * checking its own view-level grant — the SQL-standard chain. */
+object ViewExpansion {
+  private val MaxDepth = 16
+
+  def expand(spark: SparkSession, parts: Seq[String], who: String,
+      depth: Int = 0): LogicalPlan = {
+    val lowerParts = parts.map(_.toLowerCase)
+    val name = lowerParts.mkString(".")
+    if (depth >= MaxDepth)
+      throw new IllegalStateException(
+        s"view expansion exceeded depth $MaxDepth at '$name' — " +
+          "cyclic view definitions?")
+    val vd = ViewRegistry.get(name).getOrElse(
+      throw new IllegalArgumentException(s"'$name' is not a view"))
+    // view-level policy: a governed view authorizes like a governed
+    // table (throws when governed-but-ungranted; None when the view
+    // is not a governed resource)
+    val policy =
+      if (who.isEmpty) None else SecureCatalog.authorize(who, name)
+    // an ungoverned (admin) session bypasses — never downgrade admin
+    // to the definer's filtered visibility
+    val inner =
+      if (who.isEmpty) ""
+      else if (vd.definerSecurity) vd.definer
+      else who
+    val parsed = spark.sessionState.sqlParser.parsePlan(vd.sql)
+    val resolved = parsed.transformUp {
+      // nested views FIRST: a governed view is also a visible name,
+      // and the governed-table rewrite would point it at a raw view
+      // that does not exist
+      case u: UnresolvedRelation
+          if ViewRegistry.isView(u.multipartIdentifier) =>
+        expand(spark, u.multipartIdentifier, inner, depth + 1)
+      case u: UnresolvedRelation
+          if SecureCatalog.isVisibleName(u.multipartIdentifier) =>
+        FgacRule.resolveGoverned(u, inner)
+    }
+    val aliased =
+      if (vd.columnAliases.isEmpty) resolved
+      else Project(
+        vd.queryColumns.zip(vd.columnAliases).map { case (q, a) =>
+          Alias(UnresolvedAttribute.quoted(q), a)()
+        }, resolved)
+    val withPolicy =
+      policy.fold(aliased)(p => FgacRule.securePlan(p, aliased))
+    SubqueryAlias(lowerParts, withPolicy)
+  }
+}
+
+/** Eager CREATE VIEW. Analysis of the view query runs HERE, under the
+  * creating session's principal — so a creator who cannot read the
+  * underlying tables cannot create the view (SQL standard), and the
+  * output columns are captured for the alias list and DESCRIBE. */
+case class GraftCreateViewCommand(name: String, viewSql: String,
+    columnAliases: Seq[String], comment: Option[String],
+    properties: Map[String, String], replace: Boolean,
+    allowExisting: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val security =
+      properties.getOrElse("security", "invoker").toLowerCase
+    require(security == "invoker" || security == "definer",
+      s"CREATE VIEW: security property must be 'invoker' or " +
+        s"'definer', got '$security'")
+    if (ViewRegistry.get(name).isDefined && allowExisting)
+      return Seq.empty
+    require(LakeRegistry.get(name).isEmpty,
+      s"CREATE VIEW: '$name' names an existing graft table")
+    require(ViewRegistry.get(name).isDefined ||
+        !SecureCatalog.isVisibleName(Seq(name)),
+      s"CREATE VIEW: '$name' is a governed table name")
+    // the stored text must be a QUERY — a command smuggled into a
+    // view body would execute at every read
+    val parsed = spark.sessionState.sqlParser.parsePlan(viewSql)
+    require(!parsed.isInstanceOf[Command],
+      s"CREATE VIEW: view body must be a query, got " +
+        parsed.getClass.getSimpleName)
+    val schema = spark.sql(viewSql).schema
+    val cols = schema.fields.map(_.name).toSeq
+    if (columnAliases.nonEmpty) {
+      require(columnAliases.size == cols.size,
+        s"CREATE VIEW: ${columnAliases.size} column aliases for " +
+          s"${cols.size} query columns")
+      require(cols.map(_.toLowerCase).distinct.size == cols.size,
+        "CREATE VIEW with a column list requires distinct query " +
+          "output column names")
+    }
+    val outNames =
+      if (columnAliases.nonEmpty) columnAliases else cols
+    val outputColumns = outNames.zip(
+      schema.fields.map(_.dataType.simpleString).toSeq)
+    val definer = spark.conf.get(SecureCatalog.PrincipalConf, "")
+    ViewRegistry.create(
+      ViewDef(name, viewSql, columnAliases, cols, outputColumns,
+        definer, security == "definer", comment, properties),
+      replace)
+    Seq.empty
+  }
+}
+
+case class GraftDropViewCommand(name: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    ViewRegistry.drop(name)
+    Seq.empty
+  }
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, max}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.fgac._
 
@@ -255,6 +256,32 @@ class FgacSpec extends AnyFunSuite {
     }
     assert(plan.contains("PushedFilters: [") &&
       plan.contains("c_mktsegment"), s"filter not pushed:\n$plan")
+  }
+
+  test("fgac_view decision matrix: definer allows, invoker denies, " +
+      "governed views need their own grant") {
+    val got = SparkEntry.queries("fgac_view")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      "1_definer_view_read" -> "ALLOWED",
+      "2_invoker_view_read" -> "DENIED",
+      "3_governed_view_ungranted" -> "DENIED",
+      "4_governed_view_granted_narrowed" -> "ALLOWED",
+      "5_view_write" -> "REFUSED",
+      "6_create_without_read" -> "DENIED"))
+  }
+
+  test("lake_view matches the flattened join-aggregate") {
+    val df = SparkEntry.queries("lake_view")(spark, sf)
+    assert(df.columns.toSeq == Seq("segment", "n_orders", "max_price"))
+    val expect = Tables.orders(spark, sf)
+      .filter("o_orderstatus = 'O'")
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count("*").as("n_orders"),
+        max("o_totalprice").as("max_price"))
+    assert(df.count() == expect.count() && df.except(expect).isEmpty)
   }
 }
 

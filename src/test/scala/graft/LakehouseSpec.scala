@@ -2041,4 +2041,49 @@ class LakehouseSpec extends AnyFunSuite {
     assert(evo.columns.contains("tier"))
     assert(evo.filter(col("tier").isNull).count() > 0)
   }
+
+  test("views expand inline: filters over a view reach the scan, " +
+      "temp views are untouched, cycles and writes refuse") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "a", 3.0), (4L, "c", 4.0)))
+    graft.lakehouse.LakeRegistry.register("vspec_t", t)
+    spark.sql("""CREATE OR REPLACE VIEW vspec_v AS
+                |SELECT k, tag, v FROM vspec_t""".stripMargin)
+    // a predicate ABOVE the view must reach the parquet scan as a
+    // pushed filter — the whole point of inline expansion
+    val df = spark.sql("SELECT k FROM vspec_v WHERE k = 3")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s+", " ").contains("EqualTo(k,3)"),
+      s"view read must push the outer filter into the scan:\n$plan")
+    // late binding: the view sees rows appended AFTER creation
+    t.append(Seq((9L, "z", 9.0)).toDF("k", "tag", "v"))
+    assert(spark.sql("SELECT count(*) FROM vspec_v").head.getLong(0) == 5)
+    // TEMPORARY views keep Spark's native behavior end-to-end
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW vspec_tmp AS SELECT 7 AS x")
+    assert(spark.sql("SELECT x FROM vspec_tmp").head.getInt(0) == 7)
+    spark.sql("DROP VIEW vspec_tmp")
+    assert(graft.lakehouse.ViewRegistry.get("vspec_tmp").isEmpty)
+    // writes refuse crisply
+    val e = intercept[UnsupportedOperationException](
+      spark.sql("DELETE FROM vspec_v WHERE k = 1"))
+    assert(e.getMessage.contains("read-only"))
+    // a replace that makes the definition cyclic fails at READ with
+    // a depth error, not a stack overflow
+    spark.sql("CREATE OR REPLACE VIEW vspec_a AS SELECT * FROM vspec_v")
+    spark.sql("CREATE OR REPLACE VIEW vspec_b AS SELECT * FROM vspec_a")
+    graft.lakehouse.ViewRegistry.create(
+      graft.lakehouse.ViewDef("vspec_a", "SELECT * FROM vspec_b",
+        Nil, Nil, Nil, "", definerSecurity = false, None, Map.empty),
+      replace = true)
+    val c = intercept[Exception](spark.sql("SELECT * FROM vspec_b").collect())
+    assert(c.getMessage.contains("cyclic") ||
+      Option(c.getCause).exists(_.getMessage.contains("cyclic")))
+    // view names collide with nothing: CREATE VIEW over an existing
+    // table name refuses
+    val e2 = intercept[Exception](
+      spark.sql("CREATE VIEW vspec_t AS SELECT 1 AS x"))
+    assert(e2.getMessage.contains("existing graft table"))
+  }
 }
