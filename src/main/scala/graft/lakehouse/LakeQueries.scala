@@ -361,6 +361,11 @@ object LakeQueries {
     * (fewer input files than the table holds). */
   private val spjComposite: Q = (s, dir) => {
     val orders = Tables.orders(s, dir)
+      // the tail 20 months of the 80-month table: the scenario
+      // proves composite-spec pruning + subset-key SPJ identically
+      // at a quarter of the (month × bucket) file count — the bench
+      // otherwise spends its time writing tiny files
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
     val even = orders.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_totalprice"))
@@ -374,7 +379,7 @@ object LakeQueries {
       partitionBy = Seq("month(r_orderdate)", "bucket[4](r_custkey)"))
     val a = Spj.read(s, "lake_spjc_even", t1)
     val b = Spj.read(s, "lake_spjc_odd", t2)
-    val cutoff = lit("1997-01-01").cast("timestamp")
+    val cutoff = lit("2001-01-01").cast("timestamp")
     val pruned = a.filter(col("o_orderdate") >= cutoff)
     // one scan split per surviving (month, bucket) tuple — the time
     // predicate must cut the split count, proving manifest pruning
@@ -1121,7 +1126,31 @@ object LakeQueries {
             |ORDER BY segment""".stripMargin)
   }
 
+  /** Branch/tag DDL + the refs metadata table (Iceberg's `ALTER
+    * TABLE … CREATE BRANCH/TAG` and `db.t.refs`): a tag pins a
+    * snapshot immutably (time-travel by name), a branch is a movable
+    * head, DROP removes, and `lake_refs('t')` lists the named
+    * references from the refs file — zero data access. */
+  private val refsQ: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_refs"),
+      orders.filter(col("o_orderkey") % 2 === 0)) // snap 1
+    LakeRegistry.register("lake_refs_t", t)
+    s.sql("ALTER TABLE lake_refs_t CREATE TAG v1") // pins snap 1
+    t.append(orders.filter(col("o_orderkey") % 2 === 1)) // snap 2
+    s.sql("ALTER TABLE lake_refs_t CREATE BRANCH audit AS OF VERSION 1")
+    s.sql("ALTER TABLE lake_refs_t CREATE BRANCH scratch")
+    s.sql("ALTER TABLE lake_refs_t DROP BRANCH scratch")
+    // the tag keeps reading the pinned snapshot after main advanced
+    require(s.sql("SELECT * FROM lake_refs_t VERSION AS OF 'v1'")
+        .count() < t.read().count(),
+      "tag must stay pinned at its creation snapshot")
+    s.sql("""SELECT name, type, snapshot_id FROM lake_refs('lake_refs_t')
+            |ORDER BY name""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "lake_refs"             -> refsQ,
     "lake_view"             -> view,
     "lake_concurrent"       -> concurrent,
     "lake_wap"              -> wap,
@@ -1167,6 +1196,13 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The scripted ref DDL fully determines the refs table.
+    "lake_refs" ->
+      """SELECT name, type, CAST(snapshot_id AS BIGINT) AS snapshot_id
+        |FROM (VALUES ('audit', 'branch', 1), ('main', 'branch', 2),
+        |             ('v1', 'tag', 1))
+        |  AS t(name, type, snapshot_id)
+        |ORDER BY name""".stripMargin,
     // The replaced definition + nested filter, flattened: DuckDB
     // computes the same join-aggregate over the source parquet.
     "lake_view" ->
@@ -1468,8 +1504,10 @@ object LakeQueries {
         |       sum(CAST(e.o_totalprice AS DECIMAL(18,2))) AS sum_price
         |FROM (SELECT o_custkey, o_totalprice FROM orders
         |      WHERE o_orderkey % 2 = 0
-        |        AND o_orderdate >= TIMESTAMP '1997-01-01') e
-        |JOIN (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1) r
+        |        AND o_orderdate >= TIMESTAMP '2001-01-01') e
+        |JOIN (SELECT o_custkey FROM orders
+        |      WHERE o_orderkey % 2 = 1
+        |        AND o_orderdate >= TIMESTAMP '2000-01-01') r
         |  ON e.o_custkey = r.o_custkey
         |GROUP BY e.o_custkey
         |ORDER BY e.o_custkey""".stripMargin,
