@@ -567,6 +567,12 @@ object LakeDdl {
   * [[GraftTable.expireSnapshots]]. Claimed only for names this
   * engine manages. */
 object LakeMaintenance {
+  // Iceberg's branch/tag DDL (ALTER TABLE … CREATE BRANCH/TAG,
+  // SPARK-unparseable so the regex claim is the only route in)
+  private val RefCreate =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val RefDrop =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*""".r
   private val RewriteDeletes =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+REWRITE\s+DELETES\s*;?\s*""".r
   private val Binpack =
@@ -578,6 +584,14 @@ object LakeMaintenance {
 
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
+      case RefCreate(name, kind, ref, at)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftRefCreateCommand(name.toLowerCase, kind.toUpperCase,
+          ref.toLowerCase, Option(at).map(_.toLong)))
+      case RefDrop(name, kind, ref)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftRefDropCommand(name.toLowerCase, kind.toUpperCase,
+          ref.toLowerCase))
       case RewriteDeletes(name)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRewriteDeletesCommand(name.toLowerCase))
@@ -615,6 +629,40 @@ case class GraftOptimizeCommand(name: String, files: Int, mode: String,
       case "ZORDER" => t.compact(files, zorderBy = cols)
       case _        => t.compact(files)
     }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION n]` —
+  * Iceberg's ref DDL. Branch/tag creation mutates table metadata, so
+  * it rides the write-path FGAC like every other ALTER. */
+case class GraftRefCreateCommand(name: String, kind: String,
+    ref: String, at: Option[Long]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      s"ALTER (CREATE $kind)")
+    val t = LakeRegistry.get(name).get
+    if (kind == "BRANCH") t.createBranch(ref, at.getOrElse(-1L))
+    else t.createTag(ref, at.getOrElse(-1L))
+    Seq.empty
+  }
+}
+
+case class GraftRefDropCommand(name: String, kind: String, ref: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      s"ALTER (DROP $kind)")
+    val t = LakeRegistry.get(name).get
+    // DROP BRANCH on a tag (or vice versa) is a user error, not a
+    // silent drop of the other kind
+    t.refs.get(ref).foreach { case (k, _) =>
+      require(k.equalsIgnoreCase(kind),
+        s"'$ref' is a $k, not a ${kind.toLowerCase}")
+    }
+    t.dropRef(ref)
     Seq.empty
   }
 }
@@ -699,7 +747,8 @@ object LakeChanges {
       // manifest — zero data-file opens, composable anywhere a
       // relation can appear.
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
-          if Set("lake_files", "lake_partitions", "lake_history")
+          if Set("lake_files", "lake_partitions", "lake_history",
+            "lake_refs")
             .contains(tvf.name.map(_.toLowerCase).mkString(".")) =>
         val fn = tvf.name.head.toLowerCase
         val name = tvf.functionArgs match {
@@ -716,6 +765,15 @@ object LakeChanges {
         val df = fn match {
           case "lake_files"      => t.filesMetadata
           case "lake_partitions" => t.partitionsMetadata
+          // named references (Iceberg's `db.t.refs` metadata table):
+          // a ref-less table still lists its implicit `main`
+          case "lake_refs" =>
+            val r = t.refs
+            val rows =
+              if (r.isEmpty) Seq(("main", "branch", t.headOf("main")))
+              else r.toSeq.map { case (n, (k, id)) => (n, k, id) }
+            spark.createDataFrame(rows.sortBy(_._1))
+              .toDF("name", "type", "snapshot_id")
           case _                 => t.historyMetadata
         }
         SubqueryAlias(name, df.queryExecution.analyzed)

@@ -2042,6 +2042,30 @@ class LakehouseSpec extends AnyFunSuite {
     assert(evo.filter(col("tier").isNull).count() > 0)
   }
 
+  test("ref DDL: CREATE/DROP BRANCH|TAG via SQL, kind-checked, " +
+      "refs TVF lists implicit main") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    graft.lakehouse.LakeRegistry.register("refddl_t", t)
+    // ref-less table: the TVF still lists the implicit main
+    val implicitMain = spark.sql(
+      "SELECT * FROM lake_refs('refddl_t')").collect()
+    assert(implicitMain.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2))).toSeq == Seq(("main", "branch", 1L)))
+    spark.sql("ALTER TABLE refddl_t CREATE TAG snap1")
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    spark.sql("ALTER TABLE refddl_t CREATE BRANCH dev AS OF VERSION 1")
+    assert(spark.sql("SELECT * FROM refddl_t VERSION AS OF 'snap1'")
+      .count() == 2)
+    // DROP with the wrong kind refuses instead of silently dropping
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE refddl_t DROP BRANCH snap1"))
+    assert(e.getMessage.contains("is a tag"))
+    spark.sql("ALTER TABLE refddl_t DROP TAG snap1")
+    spark.sql("ALTER TABLE refddl_t DROP BRANCH dev")
+    assert(spark.sql("SELECT name FROM lake_refs('refddl_t')")
+      .collect().map(_.getString(0)).toSeq == Seq("main"))
+  }
+
   test("views expand inline: filters over a view reach the scan, " +
       "temp views are untouched, cycles and writes refuse") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0),
