@@ -108,6 +108,20 @@ object FgacQueries {
   private def causeChain(t: Throwable): List[Throwable] =
     if (t == null) Nil else t :: causeChain(t.getCause)
 
+  /** Decision-matrix probe: ALLOWED, DENIED (a policy denial anywhere
+    * in the cause chain), or REFUSED (the engine rejected the
+    * operation shape, e.g. DML against a view). Anything else
+    * propagates — a genuine failure must fail the query loudly. */
+  private def outcomeOf(body: => Unit): String =
+    try { body; "ALLOWED" }
+    catch {
+      case t: Throwable if causeChain(t)
+          .exists(_.isInstanceOf[AccessDeniedException]) => "DENIED"
+      case t: Throwable if causeChain(t)
+          .exists(_.isInstanceOf[UnsupportedOperationException]) =>
+        "REFUSED"
+    }
+
   /** The reference's consumer join (consumer_emr_on_eks_setup.sh:412)
     * through two governed tables. Catalyst broadcast-joins the
     * filtered dimension automatically at scale. */
@@ -206,16 +220,8 @@ object FgacQueries {
       "wd_customer" -> TablePolicy("wd_customer", write = true))))
     val gov = new GovernedGraftTable(t, "wd_customer", s)
     graft.lakehouse.LakeRegistry.register("wd_customer", t)
-    def attempt(who: String, op: String)(body: => Unit): (String, String, String) = {
-      val outcome =
-        try { body; "ALLOWED" }
-        catch {
-          case e: Throwable
-              if causeChain(e).exists(_.isInstanceOf[AccessDeniedException]) =>
-            "DENIED"
-        }
-      (who, op, outcome)
-    }
+    def attempt(who: String, op: String)(body: => Unit): (String, String, String) =
+      (who, op, outcomeOf(body))
     val rows = Seq(
       attempt("wd_reader", "update")(asPrincipal(s, "wd_reader")(
         gov.update(Map("c_acctbal" -> "0.0"), "c_custkey = 1"))),
@@ -239,15 +245,8 @@ object FgacQueries {
     SecureCatalog.register(Principal("gc_admin", grants = Map(
       "customer" -> TablePolicy("customer", rowFilter = Some(RowFilter),
         allowedColumns = Some(VisibleCols), grantable = true))))
-    def attempt(scenario: String)(body: => Unit): (String, String) = {
-      val outcome =
-        try { body; "ALLOWED" }
-        catch {
-          case t: Throwable if causeChain(t)
-              .exists(_.isInstanceOf[AccessDeniedException]) => "DENIED"
-        }
-      (scenario, outcome)
-    }
+    def attempt(scenario: String)(body: => Unit): (String, String) =
+      (scenario, outcomeOf(body))
     val narrowFilter = "c_nationkey % 2 = 0"
     val rows = Seq(
       attempt("1_narrowed_regrant") {
@@ -334,18 +333,8 @@ object FgacQueries {
       s.sql("""CREATE OR REPLACE VIEW fgac_v_invoker
               |AS SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
     }
-    def attempt(scenario: String)(body: => Unit): (String, String) = {
-      val outcome =
-        try { body; "ALLOWED" }
-        catch {
-          case t: Throwable if causeChain(t)
-              .exists(_.isInstanceOf[AccessDeniedException]) => "DENIED"
-          case t: Throwable if causeChain(t)
-              .exists(_.isInstanceOf[UnsupportedOperationException]) =>
-            "REFUSED"
-        }
-      (scenario, outcome)
-    }
+    def attempt(scenario: String)(body: => Unit): (String, String) =
+      (scenario, outcomeOf(body))
     val ownerView = Tables.customer(s, dir)
       .filter(org.apache.spark.sql.functions.expr(RowFilter))
       .select("c_custkey", "c_mktsegment")

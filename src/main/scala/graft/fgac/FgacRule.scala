@@ -44,12 +44,21 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // relation; no grant denies. The scan path below stays denied
       // for DESCRIBE-only principals (SecureCatalog.authorize).
       case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation
-          if describeTarget(d.relation).exists(
-            p => SecureCatalog.isVisibleName(p)) =>
+          if describeTarget(d.relation).exists(p =>
+            SecureCatalog.isVisibleName(p) ||
+              graft.lakehouse.ViewRegistry.isView(p)) =>
         val parts = describeTarget(d.relation).get.map(_.toLowerCase)
         val name = parts.mkString(".")
         val target = SecureCatalog.resolveLink(name)
-        val visible = SecureCatalog.describeColumns(who, name)
+        // an UNGOVERNED view is queryable by anyone, so its schema is
+        // too (outputColumns was captured at CREATE for this);
+        // governed names — views included — go through the
+        // column-filtered policy path
+        val visible = graft.lakehouse.ViewRegistry.get(target) match {
+          case Some(vd) if !SecureCatalog.isGoverned(target) =>
+            vd.outputColumns.map(_._1)
+          case _ => SecureCatalog.describeColumns(who, name)
+        }
         // views have no raw storage view — types come from the
         // schema captured at CREATE VIEW
         val typeOf: String => String =

@@ -105,6 +105,13 @@ object SecureCatalog {
 
   def governTable(name: String, columns: Seq[String]): Unit =
     governed.put(name.toLowerCase, columns)
+  /** Remove a name from governance (dropped views take their
+    * governance entry with them — a dangling entry would make the
+    * name un-recreatable and misroute reads). Tags go too. */
+  def ungovern(name: String): Unit = {
+    governed.remove(name.toLowerCase)
+    tableTags.remove(name.toLowerCase)
+  }
   def isGoverned(name: String): Boolean = governed.containsKey(name.toLowerCase)
   def columnsOf(name: String): Seq[String] =
     Option(governed.get(name.toLowerCase)).getOrElse(Seq.empty)

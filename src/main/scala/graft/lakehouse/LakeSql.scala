@@ -779,13 +779,28 @@ object LakeChanges {
         SubqueryAlias(name, df.queryExecution.analyzed)
 
       // view catalog listing (Iceberg's SHOW VIEWS surface, in the
-      // same TVF shape): pure registry metadata, zero data access
+      // same TVF shape): pure registry metadata, zero data access.
+      // Governed sessions see only views they may QUERY (own,
+      // ungoverned, or granted), and the stored SQL + owner identity
+      // are redacted unless they own the view — the definition text
+      // names governed tables and hidden columns, the same
+      // information DESCRIBE deliberately column-filters.
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if tvf.name.map(_.toLowerCase) == Seq("lake_views") =>
         require(tvf.functionArgs.isEmpty, "lake_views takes no arguments")
-        val rows = ViewRegistry.list.map { vd =>
+        val who = spark.conf.get(
+          graft.fgac.SecureCatalog.PrincipalConf, "")
+        def queryable(vd: ViewDef): Boolean =
+          who.isEmpty || who == vd.definer ||
+            !graft.fgac.SecureCatalog.isGoverned(vd.name) ||
+            graft.fgac.SecureCatalog.principal(who)
+              .exists(_.grants.contains(vd.name))
+        val rows = ViewRegistry.list.filter(queryable).map { vd =>
+          val owner = who.isEmpty || who == vd.definer
           (vd.name, if (vd.definerSecurity) "definer" else "invoker",
-            vd.definer, vd.outputColumns.map(_._1).mkString(","), vd.sql)
+            if (owner) vd.definer else "",
+            vd.outputColumns.map(_._1).mkString(","),
+            if (owner) vd.sql else "")
         }
         val df = spark.createDataFrame(rows)
           .toDF("name", "security", "definer", "columns", "view_sql")

@@ -57,10 +57,12 @@ object ViewRegistry {
 
   def create(vd: ViewDef, replace: Boolean): Unit = {
     val key = vd.name.toLowerCase
-    if (!replace && views.containsKey(key))
+    if (replace) views.put(key, vd.copy(name = key))
+    // atomic exists-check: two racing plain CREATEs must not both
+    // succeed with one definition silently lost
+    else if (views.putIfAbsent(key, vd.copy(name = key)) != null)
       throw new IllegalArgumentException(
         s"view '${vd.name}' already exists (use CREATE OR REPLACE VIEW)")
-    views.put(key, vd.copy(name = key))
   }
   def get(name: String): Option[ViewDef] =
     Option(views.get(name.toLowerCase))
@@ -89,10 +91,14 @@ object ViewExpansion {
     val vd = ViewRegistry.get(name).getOrElse(
       throw new IllegalArgumentException(s"'$name' is not a view"))
     // view-level policy: a governed view authorizes like a governed
-    // table (throws when governed-but-ungranted; None when the view
-    // is not a governed resource)
+    // table (throws when governed-but-ungranted). An UNGOVERNED view
+    // never calls authorize — a session principal that is not
+    // registered in SecureCatalog (e.g. set for audit tagging only)
+    // must read ungoverned views exactly as it reads ungoverned
+    // tables, not trip over the principal lookup.
     val policy =
-      if (who.isEmpty) None else SecureCatalog.authorize(who, name)
+      if (who.isEmpty || !SecureCatalog.isGoverned(name)) None
+      else SecureCatalog.authorize(who, name)
     // an ungoverned (admin) session bypasses — never downgrade admin
     // to the definer's filtered visibility
     val inner =
@@ -123,6 +129,24 @@ object ViewExpansion {
   }
 }
 
+private[lakehouse] object ViewMutation {
+  /** Who may REPLACE or DROP a view: the ungoverned (admin) session,
+    * the view's own definer, or — for a governed view — a principal
+    * holding a WRITE grant on the view resource. Without this, any
+    * principal could drop or hijack another principal's definer view
+    * (ref DDL enforces the same rule via authorizeWrite). */
+  def authorize(spark: SparkSession, vd: ViewDef, op: String): Unit = {
+    val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
+    if (who.isEmpty || who == vd.definer) return
+    if (SecureCatalog.isGoverned(vd.name))
+      SecureCatalog.authorizeWrite(who, vd.name, op)
+    else
+      throw new graft.fgac.AccessDeniedException(
+        s"principal '$who' may not $op view '${vd.name}' owned by " +
+          s"'${if (vd.definer.isEmpty) "the admin session" else vd.definer}'")
+  }
+}
+
 /** Eager CREATE VIEW. Analysis of the view query runs HERE, under the
   * creating session's principal — so a creator who cannot read the
   * underlying tables cannot create the view (SQL standard), and the
@@ -139,6 +163,11 @@ case class GraftCreateViewCommand(name: String, viewSql: String,
         s"'definer', got '$security'")
     if (ViewRegistry.get(name).isDefined && allowExisting)
       return Seq.empty
+    // replacing an existing view is a mutation of THAT view — the
+    // replacer must be its admin/definer/write-granted principal
+    if (replace)
+      ViewRegistry.get(name).foreach(
+        ViewMutation.authorize(spark, _, "REPLACE"))
     require(LakeRegistry.get(name).isEmpty,
       s"CREATE VIEW: '$name' names an existing graft table")
     require(ViewRegistry.get(name).isDefined ||
@@ -159,6 +188,9 @@ case class GraftCreateViewCommand(name: String, viewSql: String,
       require(cols.map(_.toLowerCase).distinct.size == cols.size,
         "CREATE VIEW with a column list requires distinct query " +
           "output column names")
+      require(columnAliases.map(_.toLowerCase).distinct.size ==
+          columnAliases.size,
+        "CREATE VIEW: duplicate names in the view column list")
     }
     val outNames =
       if (columnAliases.nonEmpty) columnAliases else cols
@@ -176,7 +208,14 @@ case class GraftCreateViewCommand(name: String, viewSql: String,
 case class GraftDropViewCommand(name: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    ViewRegistry.drop(name)
+    ViewRegistry.get(name).foreach { vd =>
+      ViewMutation.authorize(spark, vd, "DROP")
+      ViewRegistry.drop(name)
+      // a governed view's governance entry dies with it — leaving it
+      // would make the name un-recreatable and route later reads
+      // into the governed-TABLE branch (raw-view-not-found)
+      SecureCatalog.ungovern(name)
+    }
     Seq.empty
   }
 }

@@ -258,6 +258,57 @@ class FgacSpec extends AnyFunSuite {
       plan.contains("c_mktsegment"), s"filter not pushed:\n$plan")
   }
 
+  test("view mutation is authorized: only admin/definer/write-granted " +
+      "may replace or drop; drop ungoverns; listing redacts") {
+    FgacQueries.setup(spark, sf)
+    SecureCatalog.register(Principal("vm_owner", grants = Map(
+      "customer" -> TablePolicy("customer",
+        allowedColumns = Some(Seq("c_custkey", "c_mktsegment"))))))
+    SecureCatalog.register(Principal("vm_other"))
+    FgacQueries.asPrincipal(spark, "vm_owner")(spark.sql(
+      """CREATE OR REPLACE VIEW vm_v TBLPROPERTIES('security'='definer')
+        |AS SELECT c_custkey FROM customer""".stripMargin))
+    // a stranger can neither hijack nor drop the owner's view
+    intercept[AccessDeniedException](
+      FgacQueries.asPrincipal(spark, "vm_other")(spark.sql(
+        "CREATE OR REPLACE VIEW vm_v AS SELECT 1 AS x")))
+    intercept[AccessDeniedException](
+      FgacQueries.asPrincipal(spark, "vm_other")(
+        spark.sql("DROP VIEW vm_v")))
+    // the listing hides the owner's SQL and identity from non-owners
+    val row = FgacQueries.asPrincipal(spark, "vm_other")(
+      spark.sql("SELECT definer, view_sql FROM lake_views() " +
+        "WHERE name = 'vm_v'")).collect()
+    assert(row.length == 1 && row(0).getString(0).isEmpty &&
+      row(0).getString(1).isEmpty)
+    // DESCRIBE works on an ungoverned view from the captured schema
+    val desc = spark.sql("DESCRIBE TABLE vm_v").collect()
+    assert(desc.map(_.getString(0)).contains("c_custkey"))
+    // governed view: DROP removes the governance entry with it, so
+    // the name is re-creatable and reads say "not found", not a
+    // raw-view resolution error
+    SecureCatalog.governTable("vm_v", Seq("c_custkey"))
+    FgacQueries.asPrincipal(spark, "vm_owner")(
+      spark.sql("DROP VIEW vm_v"))
+    assert(!SecureCatalog.isGoverned("vm_v"))
+    spark.sql("CREATE VIEW vm_v AS SELECT 2 AS y") // admin re-creates
+    assert(spark.sql("SELECT y FROM vm_v").head.getInt(0) == 2)
+    spark.sql("DROP VIEW vm_v")
+    // an unregistered principal reads ungoverned views fine
+    graft.lakehouse.LakeRegistry.register("vm_t",
+      graft.lakehouse.GraftTable.create(spark,
+        java.nio.file.Files.createTempDirectory("graft_vmt").toString,
+        Tables.region(spark, sf)))
+    spark.sql("CREATE OR REPLACE VIEW vm_plain AS SELECT * FROM vm_t")
+    val n = FgacQueries.asPrincipal(spark, "never_registered")(
+      spark.sql("SELECT count(*) FROM vm_plain")).head.getLong(0)
+    assert(n == Tables.region(spark, sf).count())
+    // duplicate alias list refuses at CREATE
+    val e = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE VIEW vm_dup (a, a) AS SELECT 1 AS x, 2 AS y"))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("fgac_view decision matrix: definer allows, invoker denies, " +
       "governed views need their own grant") {
     val got = SparkEntry.queries("fgac_view")(spark, sf).collect()
