@@ -383,7 +383,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     }
 
   private[graft] def setProperties(props: Map[String, String]): Unit =
-    if (props.nonEmpty) {
+    // an empty map still truncates an EXISTING file — clearing the
+    // last property must not silently keep it
+    if (props.nonEmpty || fs.exists(propsPath)) {
       val out = fs.create(propsPath, true)
       try out.write(props.map { case (k, v) => s"$k=$v" }
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
@@ -1518,17 +1520,44 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // hot partition serializing into one task is the known tradeoff
     // (production Iceberg offers range/none modes for skew).
     // widen=false (compaction) opts out: the caller owns the layout.
+    // write.sort.order (Iceberg's SORTED BY / write.distribution-mode
+    // composition, set via ALTER TABLE … WRITE ORDERED BY): every
+    // widened write lays rows out by the order columns so per-file
+    // min/max stats carry disjoint ranges and later predicate reads
+    // prune files instead of opening them. Unpartitioned tables get a
+    // RANGE distribution + task-local sort (the global-clustering
+    // form); partitioned tables keep the hash dir-clustering (one
+    // task per partition value) and sort WITHIN it — Iceberg's
+    // hash-distribution + sort-order default. compact()'s explicit
+    // layout (widen=false) is never second-guessed.
+    val sortOrder: Seq[String] =
+      if (!widen) Nil
+      else properties.get(GraftTable.SortOrderProp)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    sortOrder.foreach { c =>
+      require(df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"${GraftTable.SortOrderProp}: '$c' is not a table column")
+    }
+    val sortCols = sortOrder.map(col)
     val w =
       if (partitionCols.isEmpty) {
         val wide =
-          if (widen && GraftTable.isNarrow(df, par)) df.repartition(par)
+          if (sortOrder.nonEmpty)
+            df.repartitionByRange(par, sortCols: _*)
+              .sortWithinPartitions(sortCols: _*)
+          else if (widen && GraftTable.isNarrow(df, par)) df.repartition(par)
           else df
         wide.write.mode("overwrite")
       } else if (PartField.allIdentity(partitionCols)) {
         val clustered =
           if (widen) df.repartition(par, partitionCols.map(col): _*)
           else df
-        clustered.write.mode("overwrite").partitionBy(partitionCols: _*)
+        val ordered =
+          if (sortOrder.isEmpty) clustered
+          else clustered.sortWithinPartitions(
+            partitionCols.map(col) ++ sortCols: _*)
+        ordered.write.mode("overwrite").partitionBy(partitionCols: _*)
       } else {
         val spec = PartField.parseAll(partitionCols)
         val derived = spec.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
@@ -1538,7 +1567,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         val dirCols = spec.indices.map(i => col(PartField.dirCol(i)))
         val clustered =
           if (widen) derived.repartition(par, dirCols: _*) else derived
-        clustered.write.mode("overwrite")
+        val ordered =
+          if (sortOrder.isEmpty) clustered
+          else clustered.sortWithinPartitions(dirCols ++ sortCols: _*)
+        ordered.write.mode("overwrite")
           .partitionBy(spec.indices.map(PartField.dirCol): _*)
       }
     w.parquet(dir.toString)
@@ -2179,6 +2211,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * At scale Catalyst/AQE picks broadcast vs shuffle join on its own.
     */
   def merge(source: DataFrame, key: String): Long = {
+    evolveForMerge(source)
     require(source.columns.sorted.toSeq ==
         currentSnapshot.schema.fieldNames.sorted.toSeq,
       s"merge source schema ${source.columns.mkString(",")} != table " +
@@ -2187,6 +2220,27 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       MergeClause.Update(None, Map.empty),
       MergeClause.Insert(None, Map.empty)))
   }
+
+  /** Schema evolution on MERGE (Delta's `schema.autoMerge`, Iceberg's
+    * mergeSchema write option, opt-in): when the table property
+    * `write.merge.schema.evolution` = 'true', source columns absent
+    * from the target are ADDED (nullable, a metadata-only commit
+    * through the same [[addColumns]] guards — retired names still
+    * refuse) before the merge plans, so star clauses propagate their
+    * values and every pre-merge row reads NULL. Without the property
+    * an unknown source column stays what it is today: usable via
+    * `__src_` references, never widening the table. */
+  private def evolveForMerge(source: DataFrame): Unit =
+    if (properties.get("write.merge.schema.evolution").contains("true")) {
+      val snap = currentSnapshot
+      val added = source.schema.fields.filterNot(f =>
+        snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        .map(_.copy(nullable = true)).toSeq
+      require(!added.exists(_.name.toLowerCase.startsWith("_graft")),
+        "merge schema evolution: source columns may not start with " +
+          "reserved prefix '_graft'")
+      if (added.nonEmpty) addColumns(added)
+    }
 
   /** Conditional multi-clause MERGE (see [[MergeClause]]): first
     * matching clause wins per row. Source need only contain the key
@@ -2197,8 +2251,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * rewrite set, so the whole MERGE is the semi-join scan + one
     * rewrite + one anti-join, no extra shuffles. */
   def merge(source: DataFrame, keys0: Seq[String],
-      clauses0: Seq[MergeClause]): Long =
+      clauses0: Seq[MergeClause]): Long = {
+    evolveForMerge(source)
     mergeAt(currentSnapshot, source, keys0, clauses0)
+  }
 
   /** [[merge]] computed against an explicit base snapshot — the
     * deterministic seam for the rebase path, like [[deleteAt]].
@@ -3577,6 +3633,10 @@ object GraftTable {
 
   /** The default branch every table is born with. */
   val MainBranch = "main"
+
+  /** Table property holding the write sort order (comma-separated
+    * column list; Iceberg's `SORTED BY`). See writeData. */
+  val SortOrderProp = "write.sort.order"
 
   /** Throwaway z-value column used during a zorder compaction. */
   private[lakehouse] val ZCol = "_graft_zvalue"

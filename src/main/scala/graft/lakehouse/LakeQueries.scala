@@ -1149,7 +1149,56 @@ object LakeQueries {
             |ORDER BY name""".stripMargin)
   }
 
+  /** MERGE schema evolution (Delta's autoMerge / Iceberg mergeSchema,
+    * opt-in via `write.merge.schema.evolution`): the source carries a
+    * column the target lacks; the MERGE adds it (nullable,
+    * metadata-only), star clauses propagate its values, and every
+    * pre-merge row reads NULL — proven by the end-state oracle. */
+  private val mergeEvolve: Q = (s, dir) => {
+    val customer = Tables.customer(s, dir)
+    val t = GraftTable.create(s, tmp("lake_me"),
+      customer.filter(col("c_custkey") % 2 === 0))
+    t.setProperties(Map("write.merge.schema.evolution" -> "true"))
+    LakeRegistry.register("lake_me_t", t)
+    customer.filter(col("c_custkey") % 3 === 0)
+      .withColumn("loyalty", col("c_custkey") % 5)
+      .createOrReplaceTempView("lake_me_src")
+    s.sql("""MERGE INTO lake_me_t t USING lake_me_src s
+            |ON t.c_custkey = s.c_custkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    t.read().orderBy("c_custkey")
+  }
+
+  /** Write sort order (Iceberg's `ALTER TABLE … WRITE ORDERED BY` +
+    * range write distribution): after the ALTER, appends lay rows
+    * out by `o_orderdate`, so each data file carries a DISJOINT
+    * min/max range and a date predicate prunes to the one or two
+    * files that overlap it — the difference between opening 8 files
+    * and opening 1 at 100 TB. Proven in-query via the stats-prune
+    * probe; `WRITE UNORDERED` clears the property. */
+  private val writeOrder: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.createEmpty(s, tmp("lake_wo"), orders.schema, Nil)
+    LakeRegistry.register("lake_wo_t", t)
+    s.sql("ALTER TABLE lake_wo_t WRITE ORDERED BY (o_orderdate)")
+    t.append(orders)
+    val snap = t.currentSnapshot
+    val pred = "o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'"
+    val pruned = t.pruneByStats(snap, pred)
+    require(pruned.nonEmpty && pruned.size <= 2 &&
+        pruned.size < snap.files.size,
+      s"range-ordered files must prune to the overlapping tail " +
+        s"(${pruned.size} of ${snap.files.size})")
+    s.sql("ALTER TABLE lake_wo_t WRITE UNORDERED")
+    require(!t.properties.contains(GraftTable.SortOrderProp),
+      "WRITE UNORDERED must clear the sort-order property")
+    t.readWhere(pred).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "lake_write_order"      -> writeOrder,
+    "lake_merge_evolve"     -> mergeEvolve,
     "lake_refs"             -> refsQ,
     "lake_view"             -> view,
     "lake_concurrent"       -> concurrent,
@@ -1196,6 +1245,29 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Sorted layout changes file boundaries, never content.
+    "lake_write_order" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    // End state: matched rows take the source's values (including the
+    // evolved column), unmatched target rows keep theirs with NULL in
+    // the evolved column, unmatched source rows insert whole.
+    "lake_merge_evolve" ->
+      """WITH base AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+        |src AS (SELECT *, c_custkey % 5 AS loyalty FROM customer
+        |        WHERE c_custkey % 3 = 0)
+        |SELECT b.c_custkey,
+        |  CASE WHEN s.c_custkey IS NULL THEN b.c_name ELSE s.c_name END AS c_name,
+        |  CASE WHEN s.c_custkey IS NULL THEN b.c_nationkey ELSE s.c_nationkey END AS c_nationkey,
+        |  CASE WHEN s.c_custkey IS NULL THEN b.c_acctbal ELSE s.c_acctbal END AS c_acctbal,
+        |  CASE WHEN s.c_custkey IS NULL THEN b.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment,
+        |  s.loyalty AS loyalty
+        |FROM base b LEFT JOIN src s ON b.c_custkey = s.c_custkey
+        |UNION ALL
+        |SELECT s.* FROM src s WHERE NOT EXISTS
+        |  (SELECT 1 FROM base b WHERE b.c_custkey = s.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     // The scripted ref DDL fully determines the refs table.
     "lake_refs" ->
       """SELECT name, type, CAST(snapshot_id AS BIGINT) AS snapshot_id

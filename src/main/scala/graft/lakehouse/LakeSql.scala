@@ -573,6 +573,11 @@ object LakeMaintenance {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val RefDrop =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*""".r
+  // Iceberg's `ALTER TABLE … WRITE ORDERED BY (…)` / `WRITE UNORDERED`
+  private val WriteOrdered =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+WRITE\s+ORDERED\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
+  private val WriteUnordered =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
   private val RewriteDeletes =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+REWRITE\s+DELETES\s*;?\s*""".r
   private val Binpack =
@@ -592,6 +597,14 @@ object LakeMaintenance {
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRefDropCommand(name.toLowerCase, kind.toUpperCase,
           ref.toLowerCase))
+      case WriteOrdered(name, cols)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        val colSeq = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(colSeq.nonEmpty, "WRITE ORDERED BY needs column names")
+        Some(GraftWriteOrderCommand(name.toLowerCase, colSeq))
+      case WriteUnordered(name)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftWriteOrderCommand(name.toLowerCase, Nil))
       case RewriteDeletes(name)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRewriteDeletesCommand(name.toLowerCase))
@@ -629,6 +642,33 @@ case class GraftOptimizeCommand(name: String, files: Int, mode: String,
       case "ZORDER" => t.compact(files, zorderBy = cols)
       case _        => t.compact(files)
     }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t WRITE ORDERED BY (c, …)` / `WRITE UNORDERED` —
+  * sets/clears the [[GraftTable.SortOrderProp]] table property that
+  * every later widened write lays data out by (file-level min/max
+  * ranges become disjoint → predicate reads prune files). Validated
+  * against the schema HERE so a typo fails the ALTER, not the next
+  * append. */
+case class GraftWriteOrderCommand(name: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "ALTER (WRITE ORDERED BY)")
+    val t = LakeRegistry.get(name).get
+    val schema = t.currentSnapshot.schema
+    val canonical = cols.map { c =>
+      schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"WRITE ORDERED BY: '$c' is not a column of '$name'"))
+    }
+    val props = t.properties
+    t.setProperties(
+      if (canonical.isEmpty) props - GraftTable.SortOrderProp
+      else props + (GraftTable.SortOrderProp -> canonical.mkString(",")))
     Seq.empty
   }
 }

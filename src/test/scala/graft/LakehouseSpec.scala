@@ -2042,6 +2042,72 @@ class LakehouseSpec extends AnyFunSuite {
     assert(evo.filter(col("tier").isNull).count() > 0)
   }
 
+  test("write sort order: ranged files prune, typo fails the ALTER, " +
+      "partitioned writes sort within dir clusters") {
+    val rows = (1L to 4000L).map(i => (i, s"t${i % 7}", i.toDouble))
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_wo").toString,
+      rows.toDF("k", "tag", "v").repartition(4)) // unsorted layout
+    graft.lakehouse.LakeRegistry.register("wo_spec_t", t)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE wo_spec_t WRITE ORDERED BY (nope)"))
+    assert(e.getMessage.contains("not a column"))
+    spark.sql("ALTER TABLE wo_spec_t WRITE ORDERED BY (k)")
+    t.append((4001L to 8000L).map(i => (i, "z", i.toDouble))
+      .toDF("k", "tag", "v").repartition(4)) // ordered append
+    val snap = t.currentSnapshot
+    // a predicate on the appended key range: the ordered files prune
+    // to their overlap; the pre-order files prune by stats anyway
+    // (their max k < 4001), so the candidate set is tiny
+    val pruned = t.pruneByStats(snap, "k >= 7500")
+    assert(pruned.nonEmpty && pruned.size <= 2,
+      s"ranged append must prune to the tail: ${pruned.size}")
+    assert(t.readWhere("k >= 7500").count() == 501)
+    // UPDATE's rewrite also honors the order property (no throw on
+    // the sort path; content stays correct)
+    t.update(Map("v" -> "v + 1"), "k = 7777")
+    assert(t.readWhere("k = 7777").head().getDouble(2) == 7778.0)
+    // partitioned table: local sort within dir clusters, content intact
+    val tp = GraftTable.create(spark,
+      Files.createTempDirectory("graft_wop").toString,
+      rows.toDF("k", "tag", "v"), partitionBy = Seq("tag"))
+    graft.lakehouse.LakeRegistry.register("wo_spec_p", tp)
+    spark.sql("ALTER TABLE wo_spec_p WRITE ORDERED BY (v)")
+    tp.append(rows.map { case (k, tag, v) => (k + 10000L, tag, v) }
+      .toDF("k", "tag", "v"))
+    assert(tp.read().count() == 8000)
+  }
+
+  test("merge schema evolution: opt-in widens from the source, " +
+      "off stays narrow, retired names refuse") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val src = Seq((2L, "B", 2.5, 7L), (3L, "c", 3.0, 9L))
+      .toDF("k", "tag", "v", "extra")
+    // property OFF: the unknown source column must not widen the table
+    t.merge(src, Seq("k"), Seq(
+      graft.lakehouse.MergeClause.Update(None, Map.empty),
+      graft.lakehouse.MergeClause.Insert(None, Map.empty)))
+    assert(t.read().columns.toSeq == Seq("k", "tag", "v"))
+    // property ON: the column is added; matched+inserted rows carry
+    // source values, untouched rows read NULL
+    t.setProperties(Map("write.merge.schema.evolution" -> "true"))
+    t.merge(src, Seq("k"), Seq(
+      graft.lakehouse.MergeClause.Update(None, Map.empty),
+      graft.lakehouse.MergeClause.Insert(None, Map.empty)))
+    val got = t.read().orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.get(3))))
+    assert(got.toSeq == Seq((1L, None), (2L, Some(7L)), (3L, Some(9L))))
+    // a retired column name cannot come back through merge evolution
+    val t2 = freshTable(Seq((1L, "a", 1.0)))
+    t2.dropColumn("v")
+    t2.setProperties(Map("write.merge.schema.evolution" -> "true"))
+    val e = intercept[Exception](
+      t2.merge(Seq((1L, "x", 9.9)).toDF("k", "tag", "v"), Seq("k"), Seq(
+        graft.lakehouse.MergeClause.Update(None, Map.empty))))
+    assert(e.getMessage.toLowerCase.contains("retired") ||
+      e.getMessage.toLowerCase.contains("dropped"))
+  }
+
   test("ref DDL: CREATE/DROP BRANCH|TAG via SQL, kind-checked, " +
       "refs TVF lists implicit main") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
