@@ -3463,7 +3463,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         if (PartField.allIdentity(snap.partitionCols)) snap.partitionCols
         else snap.partitionCols.indices.map(PartField.dirCol)
       val segs = new Path(file).toUri.getPath.split("/")
-      val parts = dirNames.flatMap(c => segs.find(_.startsWith(s"$c=")))
+      // LAST match: the layout dirs sit under the commit dir, so a
+      // table root path containing a look-alike `col=…` segment must
+      // not stand in for the file's own partition directory
+      val parts = dirNames.flatMap(c => segs.findLast(_.startsWith(s"$c=")))
       if (parts.size == dirNames.size) Some(parts.mkString("/"))
       else None
     }

@@ -69,7 +69,7 @@ sealed trait PartField {
 
 object PartField {
 
-  private def isIntegral(dt: DataType) = dt match {
+  private[lakehouse] def isIntegral(dt: DataType) = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
@@ -214,7 +214,7 @@ object PartField {
   /** Directory-column name for field `i` of a transform spec. */
   def dirCol(i: Int): String = s"_gp_$i"
 
-  private val NullDir =
+  private[lakehouse] val NullDir =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .DEFAULT_PARTITION_NAME
 
@@ -273,7 +273,10 @@ object PartField {
     files.filter { f =>
       val segs = new org.apache.hadoop.fs.Path(f).toUri.getPath.split("/")
       fields.forall { case (field, dirName, colDt, preds) =>
-        segs.find(_.startsWith(s"$dirName=")).forall { seg =>
+        // LAST match: a table root path containing a look-alike
+        // `<dir>=…` segment must not stand in for the file's own
+        // layout directory (which sits under the commit dir)
+        segs.findLast(_.startsWith(s"$dirName=")).forall { seg =>
           val dirVal = org.apache.spark.sql.catalyst.catalog
             .ExternalCatalogUtils
             .unescapePathName(seg.substring(dirName.length + 1))

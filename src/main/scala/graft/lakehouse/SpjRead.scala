@@ -112,8 +112,7 @@ object Spj {
       snap.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
     val mapped = fields.zipWithIndex.map {
       case (PartField.Bucket(n, c), i) => colType(c) match {
-        case Some(dt @ (ByteType | ShortType | IntegerType | LongType |
-            StringType)) =>
+        case Some(dt) if PartField.isIntegral(dt) || dt == StringType =>
           Right(SpjField.BucketField(n, c, i, dt))
         case Some(other) => Left(
           s"bucket over ${other.simpleString} column '$c' is not " +
@@ -146,8 +145,14 @@ object Spj {
   def shuffles(df: DataFrame): Seq[String] = SpjProbe.shuffleNames(df)
 
   /** Why `t` cannot take the SPJ path right now, or None if it can. */
-  def ineligibleReason(t: GraftTable): Option[String] = {
-    val snap = t.currentSnapshot
+  def ineligibleReason(t: GraftTable): Option[String] =
+    ineligibleReason(t.currentSnapshot)
+
+  /** Snapshot form: eligibility and the scan must be judged against
+    * the SAME snapshot — validating `currentSnapshot` and then
+    * scanning a LATER one would let a concurrent MoR delete / rename
+    * / default-ALTER land in the gap and read silently wrong. */
+  def ineligibleReason(snap: Snapshot): Option[String] = {
     spjFields(snap).left.toOption
       .orElse {
         if (snap.files.isEmpty) Some("table has no data files")
@@ -191,7 +196,6 @@ private[lakehouse] sealed trait SpjField {
   /** The raw source column. */
   def col: String
   def transform: Transform
-  def keyType: DataType
   /** Parse one unescaped directory value; null for the NULL dir. */
   def parseDir(v: String): Any
   /** The partition-key datum a raw-column literal (Catalyst internal
@@ -203,9 +207,7 @@ private[lakehouse] sealed trait SpjField {
 }
 
 private[lakehouse] object SpjField {
-  private val NullDir =
-    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .DEFAULT_PARTITION_NAME
+  private val NullDir = PartField.NullDir
 
   /** `bucket[n](col)`: dir value is the bucket ordinal. A NULL key
     * still hashes (xxhash64 of nothing = the seed), so the NULL dir
@@ -213,16 +215,12 @@ private[lakehouse] object SpjField {
   final case class BucketField(n: Int, col: String, idx: Int,
       colDt: DataType) extends SpjField {
     def transform: Transform = Expressions.bucket(n, col)
-    def keyType: DataType = IntegerType
     def parseDir(v: String): Any = {
       require(v != NullDir,
         s"bucket dir of '$col' cannot be the NULL partition")
       v.toInt
     }
-    private def integral(dt: DataType) = dt match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
+    private def integral(dt: DataType) = PartField.isIntegral(dt)
     def ofLiteral(value: Any, dt: DataType, zoneId: String): Option[Any] =
       // the literal must be in the COLUMN's type family: a string
       // literal against a BIGINT bucket column hashes differently
@@ -253,8 +251,6 @@ private[lakehouse] object SpjField {
       case "month" => Expressions.months(col)
       case "day"   => Expressions.days(col)
     }
-    def keyType: DataType =
-      if (unit == "day") DateType else IntegerType
     def parseDir(v: String): Any =
       if (v == NullDir) null
       else unit match {
@@ -291,7 +287,7 @@ object GraftBucketFunction extends UnboundFunction {
       s"bucket expects (numBuckets, value), got $inputType")
     val dt = inputType.fields(1).dataType
     dt match {
-      case ByteType | ShortType | IntegerType | LongType =>
+      case t if PartField.isIntegral(t) =>
         new BucketLong
       case StringType =>
         new BucketString
@@ -411,11 +407,18 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
     val t = LakeRegistry.get(ident.name).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, ident.name)))
-    Spj.ineligibleReason(t).foreach { why =>
-      throw new UnsupportedOperationException(
-        s"table '${ident.name}' cannot take the storage-partitioned " +
-          s"read path: $why (use GraftTable.read())")
+    // one snapshot for BOTH the eligibility check and the scan — a
+    // concurrent commit (MoR delete, rename, default ALTER) between
+    // a check and a later re-read would read silently wrong
+    def validated(s: Snapshot): Snapshot = {
+      Spj.ineligibleReason(s).foreach { why =>
+        throw new UnsupportedOperationException(
+          s"table '${ident.name}' cannot take the storage-partitioned " +
+            s"read path: $why (use GraftTable.read())")
+      }
+      s
     }
+    var snap = validated(t.currentSnapshot)
     // pre-size manifests (older format) would otherwise pay one
     // driver-side getFileStatus per file at EVERY plan — backfill the
     // sizes once (distributed pass + metadata-only commit) on first
@@ -424,11 +427,15 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
     // readers race the publish CAS (one wins, the commit exists),
     // the read proceeds on the per-file stat fallback instead of
     // failing — the backfill is an optimization, never a gate.
-    val snap = t.currentSnapshot
-    if (snap.files.exists(f => !snap.fileSizes.contains(f)))
+    if (snap.files.exists(f => !snap.fileSizes.contains(f))) {
       try t.backfillFileSizes()
       catch { case scala.util.control.NonFatal(_) => () }
-    new LakeSpjTable(ident.name, t)
+      val after = t.currentSnapshot
+      // the backfill (or a racing writer) advanced the table —
+      // re-validate the snapshot the scan will actually use
+      if (after.id != snap.id) snap = validated(after)
+    }
+    new LakeSpjTable(ident.name, t, Some(snap))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -460,10 +467,13 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
     functions.contains(ident.name.toLowerCase)
 }
 
-/** One SPJ-readable snapshot of a transform-partitioned lake table. */
-final class LakeSpjTable(tableName: String, t: GraftTable)
+/** One SPJ-readable snapshot of a transform-partitioned lake table.
+  * `snapIn` is the snapshot the catalog VALIDATED; omitting it (test
+  * seam) reads the current one unvalidated. */
+final class LakeSpjTable(tableName: String, t: GraftTable,
+    snapIn: Option[Snapshot] = None)
     extends Table with SupportsRead {
-  private val snap = t.currentSnapshot
+  private val snap = snapIn.getOrElse(t.currentSnapshot)
   private val fields = Spj.spjFields(snap)
     .fold(why => throw new IllegalStateException(why), identity)
 
@@ -553,23 +563,33 @@ object LakeSpjScanBuilder {
     // `TIMESTAMP '...'` re-parses in — the literal round-trips to the
     // same instant, so the time-range pruning the composite layout
     // exists for (month(ts) dirs) actually fires.
-    case t: java.sql.Timestamp => Some(instantSql(t.toInstant))
-    case i: java.time.Instant => Some(instantSql(i))
+    case t: java.sql.Timestamp => instantSql(t.toInstant)
+    case i: java.time.Instant => instantSql(i)
     // TIMESTAMP_NTZ filter values arrive as LocalDateTime: zone-free
-    // wall clock, renders without any zone math
-    case l: java.time.LocalDateTime =>
+    // wall clock, renders without any zone math. Pre-CE wall clocks
+    // are never pushed (see instantSql).
+    case l: java.time.LocalDateTime if l.getYear >= 1 =>
       Some(s"TIMESTAMP_NTZ '${l.format(TsFmt)}'")
     case d: java.sql.Date => Some(s"DATE '${d.toLocalDate}'")
     case d: java.time.LocalDate => Some(s"DATE '$d'")
     case _ => None // binary etc.: no exact literal form, skip
   }
 
+  // 'uuuu' = proleptic year, not 'yyyy' (year-of-era): a pre-CE
+  // timestamp formatted with yyyy drops the era and re-parses as the
+  // mirrored CE year — a DIFFERENT instant, and pruning would skip
+  // files holding matching rows
   private val TsFmt =
-    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
-  private def instantSql(i: java.time.Instant): String = {
+    java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
+  private def instantSql(i: java.time.Instant): Option[String] = {
     val zone = java.time.ZoneId.of(
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-    s"TIMESTAMP '${i.atZone(zone).toLocalDateTime.format(TsFmt)}'"
+    val l = i.atZone(zone).toLocalDateTime
+    // pre-CE wall clocks are refused rather than pushed: whether the
+    // SQL parser round-trips a '-0044'/'0000' year is parser-version
+    // territory, and a mis-parse would PRUNE files holding matching
+    // rows — conservative skip keeps only the hint, never correctness
+    if (l.getYear < 1) None else Some(s"TIMESTAMP '${l.format(TsFmt)}'")
   }
   private def colRef(name: String): Option[String] =
     if (name.contains('.') || name.contains('`')) None
@@ -709,7 +729,10 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
         val segs = f.split('/')
         val key: Seq[Any] = fields.map { fl =>
           val prefix = PartField.dirCol(fl.idx) + "="
-          val seg = segs.find(_.startsWith(prefix)).getOrElse(
+          // LAST match: the layout dir sits directly under the commit
+          // dir, so a table ROOT path that itself contains a
+          // `_gp_i=…` segment must not mis-key every file
+          val seg = segs.findLast(_.startsWith(prefix)).getOrElse(
             throw new IllegalStateException(
               s"data file $f carries no $prefix<v> layout directory"))
           fl.parseDir(org.apache.spark.sql.catalyst.catalog
