@@ -1026,11 +1026,22 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // contract copy-on-write DML already has
     require(snap.renames.isEmpty,
       "position deletes under renamed columns: compact() first")
+    // initial-DEFAULT columns apply here exactly as on the plain read
+    // path (readFilesMapped): pre-add rows must surface the DEFAULT,
+    // not NULL — MoR DML builds new row images from this view, so a
+    // miss here would MATERIALIZE the wrong NULLs into data files.
+    // Defaults apply BEFORE the equality-delete predicates evaluate,
+    // matching what the live view showed when the delete committed.
+    val defaulted = defaultedCols(snap)
     val eq = files
-      .groupBy(f => snap.dels.filter(_.seq > snap.fileSeq.getOrElse(f, 0L)))
+      .groupBy(f => (
+        snap.dels.filter(_.seq > snap.fileSeq.getOrElse(f, 0L)),
+        preAddOf(snap, defaulted, f)))
       .toSeq.sortBy(_._2.headOption.getOrElse(""))
-      .map { case (preds, fs) =>
-        preds.foldLeft(readFilesPos(snap.schema, fs, snap.partitionCols)) {
+      .map { case ((preds, pre), fs) =>
+        val base = applyDefaults(snap, defaulted,
+          readFilesPos(snap.schema, fs, snap.partitionCols), pre)
+        preds.foldLeft(base) {
           (df, p) => df.filter(not(coalesce(expr(p.pred), lit(false))))
         }
       }
@@ -1104,28 +1115,40 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * epoch — one read per distinct mapping, not per file) and aliases
     * to the current schema. Rename-free tables take the plain path
     * untouched. */
-  private def readFilesMapped(snap: Snapshot, files: Seq[String]): DataFrame = {
-    // columns with an initial default: (name, default SQL, since) —
-    // a file sequenced at or before `since` predates the column and
-    // reads the default for EVERY row (the column cannot exist in it)
-    val defaulted: Seq[(String, String, Long)] =
-      snap.schema.fields.toSeq.flatMap { f =>
-        if (f.metadata.contains(GraftTable.DefaultSqlKey) &&
-            f.metadata.contains(GraftTable.DefaultSinceKey))
-          Some((f.name, f.metadata.getString(GraftTable.DefaultSqlKey),
-            f.metadata.getLong(GraftTable.DefaultSinceKey)))
-        else None
-      }
-    // the defaulted columns that apply to a file (it predates them)
-    def preAddOf(f: String): Seq[String] = {
-      val fseq = snap.fileSeq.getOrElse(f, snap.id)
-      defaulted.filter(_._3 >= fseq).map(_._1)
+  /** Columns with an initial default: (name, default SQL, since) — a
+    * file sequenced at or before `since` predates the column and
+    * reads the default for EVERY row (the column cannot exist in it).
+    * Shared by the mapped read path and [[morReadPos]]. */
+  private def defaultedCols(snap: Snapshot): Seq[(String, String, Long)] =
+    snap.schema.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains(GraftTable.DefaultSqlKey) &&
+          f.metadata.contains(GraftTable.DefaultSinceKey))
+        Some((f.name, f.metadata.getString(GraftTable.DefaultSqlKey),
+          f.metadata.getLong(GraftTable.DefaultSinceKey)))
+      else None
     }
+
+  /** The defaulted columns that apply to a file (it predates them). */
+  private def preAddOf(snap: Snapshot,
+      defaulted: Seq[(String, String, Long)], f: String): Seq[String] = {
+    val fseq = snap.fileSeq.getOrElse(f, snap.id)
+    defaulted.filter(_._3 >= fseq).map(_._1)
+  }
+
+  private def applyDefaults(snap: Snapshot,
+      defaulted: Seq[(String, String, Long)], df: DataFrame,
+      pre: Seq[String]): DataFrame =
+    defaulted.filter(d => pre.contains(d._1))
+      .foldLeft(df) { case (d, (c, sql, _)) =>
+        d.withColumn(c, expr(sql).cast(snap.schema(c).dataType))
+      }
+
+  private def readFilesMapped(snap: Snapshot, files: Seq[String]): DataFrame = {
+    val defaulted = defaultedCols(snap)
+    def preAddOf(f: String): Seq[String] =
+      this.preAddOf(snap, defaulted, f)
     def applyDefaults(df: DataFrame, pre: Seq[String]): DataFrame =
-      defaulted.filter(d => pre.contains(d._1))
-        .foldLeft(df) { case (d, (c, sql, _)) =>
-          d.withColumn(c, expr(sql).cast(snap.schema(c).dataType))
-        }
+      this.applyDefaults(snap, defaulted, df, pre)
     if (snap.renames.isEmpty && defaulted.isEmpty)
       readFiles(snap.schema, files, snap.partitionCols)
     else if (snap.renames.isEmpty) {
@@ -1211,8 +1234,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     require(snap.partitionCols.contains(partCol),
       s"$partCol is not a partition column of ${snap.partitionCols}")
     val wanted = values.map(v => hiveSegment(partCol, v))
-    val kept = snap.files.filter(f =>
-      new Path(f).toUri.getPath.split("/").exists(wanted.contains))
+    val kept = snap.files.filter(f => layoutSegs(f).exists(wanted.contains))
     morRead(snap, kept)
   }
 
@@ -1249,6 +1271,18 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     while (p != null && !p.getName.startsWith("commit-")) p = p.getParent
     require(p != null, s"file outside a commit dir: $file")
     p.toString
+  }
+
+  /** Path segments BELOW the file's commit dir — the only segments
+    * carrying layout information. Matching against the FULL path
+    * would let a table root that itself contains a look-alike
+    * `col=v` segment stand in for the file's partition directory
+    * (readPruned would return unrequested partitions;
+    * overwritePartitions could drop the whole table). */
+  private def layoutSegs(file: String): Array[String] = {
+    val p = new Path(file).toUri.getPath
+    val base = new Path(commitDirOf(file)).toUri.getPath
+    p.stripPrefix(base).split("/").filter(_.nonEmpty)
   }
 
   /** Incremental read: rows in data files added after `fromId` up to
@@ -1395,7 +1429,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     var hd = SnapHeader(to.parent, to.ts, to.op)
     var reachedBase = false
     while (id != fromId && !reachedBase) {
-      require(hd.op == "create" || hd.op == "append",
+      // 'backfill-sizes' is file-neutral metadata (identical file
+      // list and schema; SpjRead auto-commits it on first contact
+      // with a pre-size manifest) — rejecting it would permanently
+      // wedge an append-mode stream whose range crosses it
+      require(hd.op == "create" || hd.op == "append" ||
+          hd.op == "backfill-sizes",
         s"snapshot $id is op '${hd.op}': incremental/streaming " +
           "reads are defined over append-only lineage (rewrites would " +
           "re-surface already-delivered rows)")
@@ -2212,11 +2251,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     */
   def merge(source: DataFrame, key: String): Long = {
     evolveForMerge(source)
-    require(source.columns.sorted.toSeq ==
-        currentSnapshot.schema.fieldNames.sorted.toSeq,
+    // case-insensitive, like the rest of the merge path's resolution
+    require(source.columns.map(_.toLowerCase).sorted.toSeq ==
+        currentSnapshot.schema.fieldNames.map(_.toLowerCase).sorted.toSeq,
       s"merge source schema ${source.columns.mkString(",")} != table " +
         currentSnapshot.schema.fieldNames.mkString(","))
-    merge(source, Seq(key), Seq(
+    // already evolved above — go straight to the snapshot form (the
+    // public multi-clause entry would re-run evolveForMerge)
+    mergeAt(currentSnapshot, source, Seq(key), Seq(
       MergeClause.Update(None, Map.empty),
       MergeClause.Insert(None, Map.empty)))
   }
@@ -2301,7 +2343,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // merge-on-read MERGE reads the live view and rewrites nothing, so
     // pending deletes (either shape) compose; copy-on-write must not
     // rewrite through them
-    if (mergeMode != "merge-on-read") requireNoMorDels(snap, "MERGE")
+    // bound ONCE at entry: three separate property-file reads are
+    // three metadata RPCs per MERGE, and a concurrent setProperties
+    // could flip the semantics between the guard and the write
+    val morMode = mergeMode == "merge-on-read"
+    if (!morMode) requireNoMorDels(snap, "MERGE")
     val cols = snap.schema.fieldNames.toSeq
     require(keys0.nonEmpty, "merge requires at least one key column")
     // resolve keys and clause assignment targets the way Spark SQL
@@ -2344,7 +2390,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       case _                             => false
     }
     if (bySourceClauses.nonEmpty)
-      require(mergeMode != "merge-on-read",
+      require(!morMode,
         "WHEN NOT MATCHED BY SOURCE is copy-on-write only (a " +
           "merge-on-read pass would tombstone every unmatched row's " +
           "position — run with write.merge.mode=copy-on-write)")
@@ -2352,7 +2398,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val needsStar =
       matchedClauses.exists { case MergeClause.Update(_, s) => s.isEmpty; case _ => false } ||
         insertClauses.exists(_.values.isEmpty)
-    if (needsStar) require(cols.forall(source.columns.contains),
+    // case-INSENSITIVE, like every other identifier resolution on
+    // this path (keys, assignments, evolveForMerge)
+    if (needsStar) require(cols.forall(c =>
+        source.columns.exists(_.equalsIgnoreCase(c))),
       "UPDATE SET * / INSERT * requires the source to carry every table column")
 
     // Iceberg/Delta cardinality rule: TWO SOURCE ROWS MATCHING ONE
@@ -2492,7 +2541,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         newTombs = tombs)
     }
 
-    if (mergeMode == "merge-on-read") {
+    if (morMode) {
       // ---- merge-on-read: tombstone matched rows, append images ----
       // What fine-grained MERGE at scale emits (Iceberg v2): matched
       // rows — scanned from the LIVE view with positions, candidate
@@ -2865,7 +2914,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       .map(r => dirNames.indices.map(i => hiveSegment(dirNames(i), r.get(i))))
       .toSet
     val keep = snap.files.filterNot { f =>
-      val segs = new Path(f).toUri.getPath.split("/").toSet
+      val segs = layoutSegs(f).toSet
       replaced.exists(_.forall(segs.contains))
     }
     val id = currentSnapshotId + 1
@@ -3245,7 +3294,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     }
     val mayMatch = compile(filter)
     snap.files.filter { f =>
-      mayMatch((snap.stats.getOrElse(f, Map.empty), snap.fileRows.get(f)))
+      val raw = snap.stats.getOrElse(f, Map.empty)
+      // leaf names are lowercased; harvested stat keys keep the
+      // column's original case — without normalizing, every lookup on
+      // a mixed-case column misses and skipping silently turns OFF
+      val st =
+        if (raw.isEmpty) raw
+        else raw.map { case (k, v) => k.toLowerCase -> v }
+      mayMatch((st, snap.fileRows.get(f)))
     }
   }
 

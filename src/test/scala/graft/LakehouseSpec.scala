@@ -2078,6 +2078,54 @@ class LakehouseSpec extends AnyFunSuite {
     assert(tp.read().count() == 8000)
   }
 
+  test("audit regressions: MoR-pos reads apply DEFAULTs, mixed-case " +
+      "stats prune, star merge is case-insensitive, backfill commits " +
+      "stay stream-readable") {
+    // 1. MoR position DML under an initial-DEFAULT column: pre-add
+    // rows surface the DEFAULT, never NULL (and the DML must not
+    // materialize NULLs)
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    graft.lakehouse.LakeRegistry.register("audit_def_t", t)
+    spark.sql("ALTER TABLE audit_def_t ADD COLUMNS (score INT DEFAULT 42)")
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v")
+      .withColumn("score", lit(7)))
+    t.deleteMoRPos("k = 2")
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.get(3)))
+    assert(got.toSeq == Seq((1L, 42), (3L, 7)),
+      s"MoR-pos read must apply the DEFAULT: ${got.toSeq}")
+    // 2. mixed-case column: stats skipping must still fire
+    val tc = GraftTable.create(spark,
+      Files.createTempDirectory("graft_case").toString,
+      (1L to 50L).map(i => (i, i * 10)).toDF("id", "eventTime"))
+    tc.append((51L to 100L).map(i => (i, i * 10)).toDF("id", "eventTime"))
+    val snap = tc.currentSnapshot
+    val pruned = tc.pruneByStats(snap, "eventTime > 900")
+    assert(pruned.size < snap.files.size,
+      s"mixed-case stats must prune: ${pruned.size} of ${snap.files.size}")
+    // 3. star merge with case-differing source columns
+    val tm = freshTable(Seq((1L, "a", 1.0)))
+    tm.merge(Seq((1L, "A", 9.0), (2L, "b", 2.0)).toDF("K", "TAG", "V"),
+      Seq("k"), Seq(
+        graft.lakehouse.MergeClause.Update(None, Map.empty),
+        graft.lakehouse.MergeClause.Insert(None, Map.empty)))
+    assert(tm.read().count() == 2 &&
+      tm.read().filter("k = 1").head.getString(1) == "A")
+    // 4. a backfill-sizes commit inside an append lineage is admitted
+    val tb = freshTable(Seq((1L, "a", 1.0)))
+    val dir = tb.location
+    val snapFile = new java.io.File(s"$dir/_graft_meta").listFiles
+      .filter(_.getName.startsWith("snap-")).maxBy(_.getName)
+    val stripped = scala.io.Source.fromFile(snapFile).getLines()
+      .filterNot(_.startsWith("fsize=")).mkString("\n") + "\n"
+    java.nio.file.Files.write(snapFile.toPath, stripped.getBytes("UTF-8"))
+    val tb2 = new GraftTable(spark, dir)
+    tb2.backfillFileSizes() // snap 2: op backfill-sizes
+    tb2.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v")) // snap 3
+    val (_, added) = tb2.appendedFilesBetween(1L, 3L)
+    assert(added.nonEmpty, "range across backfill must stay readable")
+  }
+
   test("merge schema evolution: opt-in widens from the source, " +
       "off stays narrow, retired names refuse") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
