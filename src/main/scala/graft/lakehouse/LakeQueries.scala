@@ -351,6 +351,44 @@ object LakeQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Storage-partitioned join on a `truncate[w](string)` layout —
+    * prefix-sharded doc/customer ids (the common string-key corpus
+    * layout when bucket counts must stay re-shardable): both sides
+    * written `truncate[4](<id>)`, the join on the full id plans with
+    * zero Exchange under AQE (require()d; the width-qualified
+    * function name keeps the transform one-leaf — see
+    * SpjField.TruncateField), and prefix range predicates prune
+    * partitions on the manifest (spec-pinned). */
+  private val spjTruncate: Q = (s, dir) => {
+    val ords = Tables.orders(s, dir).select(
+      concat(lit("C"), lpad(col("o_custkey").cast("string"), 7, "0"))
+        .as("ocust_id"),
+      col("o_orderkey"), col("o_totalprice"))
+    val cust = Tables.customer(s, dir).select(
+      concat(lit("C"), lpad(col("c_custkey").cast("string"), 7, "0"))
+        .as("cust_id"),
+      col("c_name"))
+    val t1 = GraftTable.create(s, tmp("lake_spjt_o"), ords,
+      partitionBy = Seq("truncate[4](ocust_id)"))
+    val t2 = GraftTable.create(s, tmp("lake_spjt_c"), cust,
+      partitionBy = Seq("truncate[4](cust_id)"))
+    val a = Spj.read(s, "lake_spjt_orders", t1)
+    val b = Spj.read(s, "lake_spjt_cust", t2)
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = a.join(b, col("ocust_id") === col("cust_id"))
+      probe.count()
+      require(Spj.shuffles(probe).isEmpty,
+        "truncate-keyed join must plan with zero Exchange")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+    a.join(b, col("ocust_id") === col("cust_id"))
+      .select(col("o_orderkey"), col("cust_id"), col("c_name"))
+      .orderBy("o_orderkey")
+  }
+
   /** Storage-partitioned join over a COMPOSITE spec — the production
     * Iceberg layout `month(ts), bucket(k)`: prune on time, join on
     * key. Both sides written `(month(o_orderdate), bucket[4](key))`.
@@ -1238,6 +1276,7 @@ object LakeQueries {
     "lake_spj_dpp"          -> spjDpp,
     "lake_spj_string"       -> spjString,
     "lake_spj_composite"    -> spjComposite,
+    "lake_spj_truncate"     -> spjTruncate,
     "lake_alter_nested"     -> alterNested,
     "lake_skipping_or"      -> skippingOr,
     "lake_binpack"          -> binpack,
@@ -1245,6 +1284,13 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The truncate-keyed SPJ is content-equal to the naive join.
+    "lake_spj_truncate" ->
+      """SELECT o.o_orderkey,
+        |       'C' || lpad(CAST(o.o_custkey AS VARCHAR), 7, '0') AS cust_id,
+        |       c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     // Sorted layout changes file boundaries, never content.
     "lake_write_order" ->
       """SELECT * FROM orders

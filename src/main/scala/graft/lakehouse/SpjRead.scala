@@ -127,9 +127,17 @@ object Spj {
             "SPJ-resolvable")
         case None => Left(s"$unit column '$c' missing from the schema")
       }
+      case (PartField.Truncate(w, c), i) => colType(c) match {
+        case Some(StringType) => Right(SpjField.TruncateField(w, c, i))
+        case Some(other) => Left(
+          s"truncate over ${other.simpleString} column '$c' is not " +
+            "SPJ-resolvable (string columns only)")
+        case None => Left(s"truncate column '$c' missing from the schema")
+      }
       case (f, _) => Left(
         s"partition transform ${f.render} is not SPJ-supported " +
-          "(bucket[n](col), year/month/day(col) fields only)")
+          "(bucket[n](col), year/month/day(col), truncate[w](col) " +
+          "fields only)")
     }
     mapped.collectFirst { case Left(why) => why }
       .toLeft(mapped.collect { case Right(f) => f })
@@ -237,6 +245,35 @@ private[lakehouse] object SpjField {
       }
   }
 
+  /** `truncate[w](col)` over a STRING column: dir value is the
+    * `substring(col, 1, w)` prefix the writer rendered; the
+    * partition-key datum is that prefix as UTF8String — computed
+    * through [[GraftTruncateFunction.TruncateString]] (code-point
+    * `substringSQL`, the exact law Spark's `substring` applied at
+    * write time).
+    *
+    * The width lives in the FUNCTION NAME (`truncate5(col)`), not as
+    * a literal argument: `KeyGroupedPartitioning.satisfies0` requires
+    * every partition transform to have exactly ONE leaf, and a
+    * literal child is a leaf — `truncate(5, col)` can never satisfy a
+    * clustered distribution (bucket escapes this only because Spark
+    * carries its width out-of-band in `numBucketsOpt`). A
+    * width-qualified name keeps one leaf AND makes mismatched widths
+    * incompatible by canonical name. */
+  final case class TruncateField(w: Int, col: String, idx: Int)
+      extends SpjField {
+    def transform: Transform =
+      Expressions.apply(s"truncate$w", Expressions.column(col))
+    def parseDir(v: String): Any =
+      if (v == NullDir) null else UTF8String.fromString(v)
+    def ofLiteral(value: Any, dt: DataType, zoneId: String): Option[Any] =
+      // string literals only: any other type would be truncating the
+      // CAST's rendering, not what the writer derived
+      if (dt != StringType || value == null) None
+      else Some(new GraftTruncateFunction.TruncateString(w)
+        .produceResult(InternalRow(value)))
+  }
+
   /** `year/month/day(col)`: dir value is the zero-padded
     * `yyyy[-MM[-dd]]` rendering (session zone for TIMESTAMP — the
     * writer's contract, see [[PartField.Temporal]]); the
@@ -328,6 +365,45 @@ object GraftBucketFunction extends UnboundFunction {
       val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
         .hash(s, StringType, 42L)
       java.lang.Math.floorMod(h, n.toLong).toInt
+    }
+  }
+}
+
+/** `truncate<w>(col)` as a catalog-resolvable v2 function family —
+  * the string-prefix law `substring(col, 1, w)` (code points,
+  * matching the writer's `substring` exactly; see
+  * PartitionSpec.Truncate). One named function per width (see
+  * [[SpjField.TruncateField]] for why the width cannot be a literal
+  * argument). */
+final class GraftTruncateFunction(w: Int) extends UnboundFunction {
+  override def name(): String = s"truncate$w"
+  override def description(): String =
+    s"truncate$w(col): substring(col, 1, $w) — graft-lake's prefix law"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"truncate$w expects (value), got $inputType")
+    inputType.fields(0).dataType match {
+      case StringType => new GraftTruncateFunction.TruncateString(w)
+      case other => throw new UnsupportedOperationException(
+        s"truncate over $other is not SPJ-resolvable (string columns only)")
+    }
+  }
+}
+
+object GraftTruncateFunction {
+  /** `truncate<w>` names resolvable from the SPJ catalog. */
+  private[lakehouse] val NamePattern = """^truncate(\d+)$""".r
+
+  private[lakehouse] final class TruncateString(w: Int)
+      extends ScalarFunction[UTF8String] {
+    override def inputTypes(): Array[DataType] = Array(StringType)
+    override def resultType(): DataType = StringType
+    override def name(): String = s"truncate$w"
+    override def canonicalName(): String = s"graft.truncate[$w](string)"
+    override def produceResult(input: InternalRow): UTF8String = {
+      val s: UTF8String = input.getUTF8String(0)
+      if (s == null) null else s.substringSQL(1, w)
     }
   }
 }
@@ -457,14 +533,24 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
     "months" -> GraftTemporalFunction.Months,
     "days" -> GraftTemporalFunction.Days)
 
-  override def loadFunction(ident: Identifier): UnboundFunction =
-    functions.getOrElse(ident.name.toLowerCase,
+  /** `truncate<w>` is a width-parameterized FAMILY, resolved by name
+    * pattern (see [[SpjField.TruncateField]]). */
+  private def truncateFor(name: String): Option[UnboundFunction] =
+    GraftTruncateFunction.NamePattern.findFirstMatchIn(name)
+      .map(m => new GraftTruncateFunction(m.group(1).toInt))
+
+  override def loadFunction(ident: Identifier): UnboundFunction = {
+    val n = ident.name.toLowerCase
+    functions.get(n).orElse(truncateFor(n)).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(catalogName, ident.name))
+  }
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     functions.keys.toArray.sorted.map(Identifier.of(Array.empty, _))
-  override def functionExists(ident: Identifier): Boolean =
-    functions.contains(ident.name.toLowerCase)
+  override def functionExists(ident: Identifier): Boolean = {
+    val n = ident.name.toLowerCase
+    functions.contains(n) || truncateFor(n).isDefined
+  }
 }
 
 /** One SPJ-readable snapshot of a transform-partitioned lake table.

@@ -1840,14 +1840,16 @@ class LakehouseSpec extends AnyFunSuite {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
     }
-    // unsupported transform fields refuse the SPJ path loudly
+    // unsupported transform/column combinations refuse the SPJ path
+    // loudly (truncate over a STRING column is supported since the
+    // truncate<w> function family; a non-string key is not)
     val tt = GraftTable.create(spark,
       Files.createTempDirectory("graft_spjt").toString,
       Seq((1L, "abc")).toDF("k", "tag"),
-      partitionBy = Seq("truncate[1](tag)"))
+      partitionBy = Seq("truncate[1](k)"))
     val ex = intercept[UnsupportedOperationException](
       Spj.read(spark, "spjt_trunc", tt).count())
-    assert(ex.getMessage.contains("not SPJ-supported"))
+    assert(ex.getMessage.contains("not SPJ-resolvable"))
   }
 
   test("SPJ runtime filtering: DPP-style IN predicates drop whole " +
@@ -2076,6 +2078,39 @@ class LakehouseSpec extends AnyFunSuite {
     tp.append(rows.map { case (k, tag, v) => (k + 10000L, tag, v) }
       .toDF("k", "tag", "v"))
     assert(tp.read().count() == 8000)
+  }
+
+  test("SPJ truncate[w](string): prefix-partitioned join plans " +
+      "shuffle-free and matches the naive join") {
+    import graft.lakehouse.Spj
+    val ids = (1 to 400).map(i => f"grp${i % 13}%02d_item$i")
+    val l = ids.map(id => (id, 1L)).toDF("id", "a")
+    val r = ids.filter(_.hashCode % 3 != 0).map(id => (id, 2L))
+      .toDF("rid", "b")
+    val t1 = GraftTable.create(spark,
+      Files.createTempDirectory("graft_trl").toString, l,
+      partitionBy = Seq("truncate[5](id)"))
+    val t2 = GraftTable.create(spark,
+      Files.createTempDirectory("graft_trr").toString, r,
+      partitionBy = Seq("truncate[5](rid)"))
+    val a = Spj.read(spark, "spj_tr_l", t1)
+    val b = Spj.read(spark, "spj_tr_r", t2)
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = a.join(b, col("id") === col("rid"))
+      val n = joined.count()
+      assert(Spj.shuffles(joined).isEmpty,
+        "truncate-keyed SPJ must plan with zero Exchange")
+      val naive = l.join(r, col("id") === col("rid")).count()
+      assert(n == naive, s"SPJ join rows $n != naive $naive")
+      // a prefix predicate prunes partitions on the manifest
+      val pruned = a.filter(col("id") >= "grp09")
+      assert(pruned.rdd.getNumPartitions < a.rdd.getNumPartitions,
+        "prefix range predicate must prune truncate partitions")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
   }
 
   test("audit regressions: MoR-pos reads apply DEFAULTs, mixed-case " +
