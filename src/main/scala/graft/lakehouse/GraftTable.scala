@@ -1326,11 +1326,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * `fromId = 0` means "before the first snapshot": the whole live
     * view surfaces as inserts (the streaming change feed's initial
     * batch). */
-  def changes(fromId: Long, toId: Long): DataFrame = {
-    val to = snapshot(toId)
+  def changes(fromId: Long, toId: Long): DataFrame =
+    changes(fromId, toId, _ => None)
+
+  /** [[changes]] with a pre-parsed snapshot hook (same seam as
+    * [[appendedFilesBetween]]): a long-lived caller — the streaming
+    * change feed — pays each endpoint manifest parse once, not once
+    * per micro-batch. */
+  private[graft] def changes(fromId: Long, toId: Long,
+      known: Long => Option[Snapshot]): DataFrame = {
+    val to = known(toId).getOrElse(snapshot(toId))
     val from =
       if (fromId == 0L) to.copy(files = Nil, dels = Nil, posDels = Nil)
-      else snapshot(fromId)
+      else known(fromId).getOrElse(snapshot(fromId))
     require(from.schema == to.schema,
       "changelog across a schema evolution is undefined (row identity " +
         "is the full row); read the sides separately")
@@ -1360,7 +1368,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val toT = to.posDels.toSet
     val newTFiles = to.posDels.filterNot(fromT)
     val goneTFiles = from.posDels.filterNot(toT)
-    if (newTFiles.nonEmpty || goneTFiles.nonEmpty) {
+    // tombstone diffs only matter for files CARRIED across the range
+    // (added/removed files already read under their own endpoint's
+    // tombstones in live()); with no carried files — the initial-load
+    // fromId = 0 case — the whole block would scan every tombstone
+    // file to discard everything
+    if ((newTFiles.nonEmpty || goneTFiles.nonEmpty) &&
+        (toSet intersect fromSet).nonEmpty) {
       def tombRows(fs: Seq[String]): DataFrame =
         if (fs.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -1491,7 +1505,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     var id = toId
     while (id > fromId) {
       header(id) match {
-        case Some(h) if h.op == "compact" || h.op == "rewrite-pdel" =>
+        case Some(h) if h.op == "compact" || h.op == "rewrite-pdel" ||
+            h.op == "backfill-sizes" => // file-neutral metadata: net empty
           id = h.parent
         case _ => return false
       }

@@ -66,9 +66,7 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
     * changelog. */
   override val schema: StructType =
     if (!changeFeed) pinned.schema
-    else StructType(pinned.schema.fields :+
-      org.apache.spark.sql.types.StructField("_change_type",
-        org.apache.spark.sql.types.StringType, nullable = false))
+    else GraftLakeStreamProvider.changeFeedSchema(pinned.schema)
 
   /** Manifests are immutable once published, so each parses at most
     * once per source lifetime; [[commit]] prunes delivered entries. */
@@ -133,8 +131,12 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
       // construction, no table diff read.
       if (table.rewriteOnlyRange(from, to))
         return StreamShim.emptyMicroBatch(spark, schema)
-      val chg = table.changes(from, to)
-      require(chg.schema.fieldNames.sameElements(schema.fieldNames),
+      val chg = table.changes(from, to, cached)
+      // FULL schema equality, like the append path: a names-only
+      // check would let a nested struct-field ALTER slip a batch
+      // whose real schema mismatches the declared one (wrong ordinal
+      // reads downstream instead of this restart error)
+      require(chg.schema == schema,
         s"table schema evolved within ($from, $to]: restart the " +
           "streaming query to pick up the new schema")
       StreamShim.asMicroBatch(chg)
@@ -220,6 +222,27 @@ final class GraftLakeSink(spark: SparkSession, tablePath: String,
   * tagged `_change_type` — Delta's CDF surface over this table
   * format). Sink options: `mergeKeys` (comma-separated; absent =
   * append mode), `txnAppId` (default: the checkpoint location). */
+object GraftLakeStreamProvider {
+  private[streaming] val ChangeTypeCol = "_change_type"
+
+  /** The change-feed surface of `base` — shared by the provider's
+    * advertised schema and the source's per-batch enforcement (two
+    * hand-copies would silently diverge on the next edit). A table
+    * that already carries a `_change_type` column refuses up front
+    * (Delta rejects enabling CDF on such tables the same way): the
+    * changelog's own tag column would silently REPLACE it. */
+  private[streaming] def changeFeedSchema(
+      base: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    require(!base.fieldNames.exists(_.equalsIgnoreCase(ChangeTypeCol)),
+      s"change feed over a table with its own '$ChangeTypeCol' " +
+        "column is not supported")
+    org.apache.spark.sql.types.StructType(base.fields :+
+      org.apache.spark.sql.types.StructField(ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
+  }
+}
+
 final class GraftLakeStreamProvider extends StreamSourceProvider
     with StreamSinkProvider with DataSourceRegister {
 
@@ -230,7 +253,14 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
       "graft-lake source requires a table path: .load(<table root>)"))
 
   private def isChangeFeed(parameters: Map[String, String]): Boolean =
-    parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+    parameters.get("readChangeFeed").exists { v =>
+      v.trim.toLowerCase match {
+        case "true"  => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"readChangeFeed must be true or false, got '$other'")
+      }
+    }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
@@ -239,9 +269,7 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
       val base = GraftTable.load(ctx.sparkSession, pathOf(parameters))
         .currentSnapshot.schema
       if (!isChangeFeed(parameters)) base
-      else StructType(base.fields :+
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType, nullable = false))
+      else GraftLakeStreamProvider.changeFeedSchema(base)
     })
 
   override def createSource(ctx: SQLContext, metadataPath: String,

@@ -388,7 +388,10 @@ object StreamingOps {
         |u4 AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |  WHERE o_orderkey % 10 <> 0 AND o_orderstatus = 'F'
-        |    AND o_orderkey % 7 = 0)
+        |    AND o_orderkey % 7 = 0
+        |    -- a row already at the update's target value nets OUT of
+        |    -- the changelog (identical delete+insert cancel)
+        |    AND o_totalprice <> 0.0)
         |SELECT *, 'insert' AS _change_type FROM b1
         |UNION ALL SELECT *, 'insert' AS _change_type FROM b2
         |UNION ALL SELECT *, 'delete' AS _change_type FROM d3

@@ -865,4 +865,23 @@ class StreamingSpec extends AnyFunSuite {
         b.except(a).count() == 0, s"$name disagrees under NTZ encoding")
     }
   }
+
+  test("change feed guards: _change_type-bearing tables refuse, bad " +
+      "readChangeFeed values name the option") {
+    import org.apache.spark.sql.functions.lit
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_cfg").toString,
+      spark.range(3).toDF("k").withColumn("_change_type", lit("x")))
+    val e = intercept[Exception](
+      spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true").load(t.location).schema)
+    assert(e.getMessage.contains("_change_type"))
+    val t2 = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_cfg2").toString,
+      spark.range(3).toDF("k"))
+    val e2 = intercept[IllegalArgumentException](
+      spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "yes").load(t2.location).schema)
+    assert(e2.getMessage.contains("readChangeFeed"))
+  }
 }
