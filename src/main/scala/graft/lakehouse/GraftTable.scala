@@ -2288,16 +2288,22 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * an unknown source column stays what it is today: usable via
     * `__src_` references, never widening the table. */
   private def evolveForMerge(source: DataFrame): Unit =
-    if (properties.get("write.merge.schema.evolution").contains("true")) {
-      val snap = currentSnapshot
-      val added = source.schema.fields.filterNot(f =>
-        snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-        .map(_.copy(nullable = true)).toSeq
-      require(!added.exists(_.name.toLowerCase.startsWith("_graft")),
-        "merge schema evolution: source columns may not start with " +
-          "reserved prefix '_graft'")
-      if (added.nonEmpty) addColumns(added)
-    }
+    if (properties.get("write.merge.schema.evolution").contains("true"))
+      evolveSchemaFrom(source)
+
+  /** The evolution step itself — also the `MERGE … WITH SCHEMA
+    * EVOLUTION` statement's explicit request (Spark 4 syntax), which
+    * must evolve regardless of the table property. */
+  private def evolveSchemaFrom(source: DataFrame): Unit = {
+    val snap = currentSnapshot
+    val added = source.schema.fields.filterNot(f =>
+      snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      .map(_.copy(nullable = true)).toSeq
+    require(!added.exists(_.name.toLowerCase.startsWith("_graft")),
+      "merge schema evolution: source columns may not start with " +
+        "reserved prefix '_graft'")
+    if (added.nonEmpty) addColumns(added)
+  }
 
   /** Conditional multi-clause MERGE (see [[MergeClause]]): first
     * matching clause wins per row. Source need only contain the key
@@ -2308,8 +2314,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * rewrite set, so the whole MERGE is the semi-join scan + one
     * rewrite + one anti-join, no extra shuffles. */
   def merge(source: DataFrame, keys0: Seq[String],
-      clauses0: Seq[MergeClause]): Long = {
-    evolveForMerge(source)
+      clauses0: Seq[MergeClause]): Long =
+    merge(source, keys0, clauses0, evolveSchema = false)
+
+  /** `evolveSchema = true` is the `MERGE … WITH SCHEMA EVOLUTION`
+    * form: evolve from the source regardless of the table property
+    * (which otherwise gates [[evolveForMerge]]). */
+  def merge(source: DataFrame, keys0: Seq[String],
+      clauses0: Seq[MergeClause], evolveSchema: Boolean): Long = {
+    if (evolveSchema) evolveSchemaFrom(source) else evolveForMerge(source)
     mergeAt(currentSnapshot, source, keys0, clauses0)
   }
 

@@ -114,7 +114,7 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tsMillis(e: Expression): Long = e match {
     case l: Literal
         if l.dataType == org.apache.spark.sql.types.TimestampType =>
-      l.value.asInstanceOf[Long] / 1000L
+      Math.floorDiv(l.value.asInstanceOf[Long], 1000L)
     case l: Literal
         if l.dataType == org.apache.spark.sql.types.StringType =>
       val zone = java.time.ZoneId.of(
@@ -142,7 +142,7 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       target(u.table).map { case (t, aliases, name) =>
         checkWrite(name, "UPDATE")
         val sets = u.assignments.map { a =>
-          attrName(a.key) -> unqualified(a.value, aliases).sql
+          attrName(a.key, aliases) -> unqualified(a.value, aliases).sql
         }.toMap
         val cond = u.condition.map(unqualified(_, aliases).sql).getOrElse("true")
         GraftUpdateCommand(t, sets, cond): LogicalPlan
@@ -167,16 +167,30 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           m.matchedActions.map {
             case UpdateAction(cond, assigns, _) =>
               MergeClause.Update(cond.map(flat),
-                assigns.map(a => attrName(a.key) -> flat(a.value)).toMap)
+                assigns.map(a =>
+                  attrName(a.key, targetAliases) -> flat(a.value)).toMap)
             case UpdateStarAction(cond) =>
               MergeClause.Update(cond.map(flat), Map.empty)
             case DeleteAction(cond) => MergeClause.Delete(cond.map(flat))
             case other => throw new UnsupportedOperationException(
               s"merge clause $other")
           } ++ m.notMatchedActions.map {
+            // NOT MATCHED clauses have no target row: unqualified
+            // column references resolve against the SOURCE
+            // (Spark/Iceberg/Delta semantics) — without this, the
+            // standard `INSERT (id) VALUES (id)` idiom fails as an
+            // unknown column over the source-only anti side
             case InsertAction(cond, assigns) =>
-              MergeClause.Insert(cond.map(flat),
-                assigns.map(a => attrName(a.key) -> flat(a.value)).toMap)
+              def flatSrc(e: Expression): String =
+                flatten(e, targetAliases, srcAliases).transformUp {
+                  case a: UnresolvedAttribute if a.nameParts.size == 1 &&
+                      !a.nameParts.head.startsWith(GraftTable.SrcPrefix) =>
+                    UnresolvedAttribute(
+                      Seq(GraftTable.SrcPrefix + a.nameParts.head))
+                }.sql
+              MergeClause.Insert(cond.map(flatSrc),
+                assigns.map(a =>
+                  attrName(a.key, targetAliases) -> flatSrc(a.value)).toMap)
             case InsertStarAction(cond) =>
               MergeClause.Insert(cond.map(flat), Map.empty)
             case other => throw new UnsupportedOperationException(
@@ -187,13 +201,15 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // a stray source ref fail resolution loudly)
             case UpdateAction(cond, assigns, _) =>
               MergeClause.UpdateBySource(cond.map(flat),
-                assigns.map(a => attrName(a.key) -> flat(a.value)).toMap)
+                assigns.map(a =>
+                  attrName(a.key, targetAliases) -> flat(a.value)).toMap)
             case DeleteAction(cond) =>
               MergeClause.DeleteBySource(cond.map(flat))
             case other => throw new UnsupportedOperationException(
               s"merge NOT MATCHED BY SOURCE clause $other")
           }
-        GraftMergeCommand(t, srcPlan, keys, clauses): LogicalPlan
+        GraftMergeCommand(t, srcPlan, keys, clauses,
+          m.withSchemaEvolution): LogicalPlan
       }
 
     case i: InsertIntoStatement =>
@@ -207,12 +223,24 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def attrName(e: Expression): String = e match {
-    case a: UnresolvedAttribute => a.nameParts.last
-    case a: Attribute           => a.name
-    case other => throw new UnsupportedOperationException(
-      s"assignment target $other")
-  }
+  /** Assignment-target name: strip a LEADING target alias, keep the
+    * rest of the path dotted — collapsing `address.city` to `city`
+    * would silently bind a same-named top-level column instead of
+    * the struct field (the path either resolves as a (possibly
+    * nested) column downstream, or fails loudly there). */
+  private def attrName(e: Expression, aliases: Set[String]): String =
+    e match {
+      case a: UnresolvedAttribute =>
+        val parts =
+          if (a.nameParts.size >= 2 &&
+              aliases.contains(a.nameParts.head.toLowerCase))
+            a.nameParts.tail
+          else a.nameParts
+        parts.mkString(".")
+      case a: Attribute => a.name
+      case other => throw new UnsupportedOperationException(
+        s"assignment target $other")
+    }
 
   /** Strip target-alias qualifiers: `t.c` → `c`. */
   private def unqualified(e: Expression, aliases: Set[String]): Expression =
@@ -307,9 +335,11 @@ case class GraftUpdateCommand(@transient table: GraftTable,
 
 case class GraftMergeCommand(@transient table: GraftTable,
     @transient sourcePlan: LogicalPlan, keys: Seq[String],
-    clauses: Seq[MergeClause]) extends LeafRunnableCommand {
+    clauses: Seq[MergeClause], evolveSchema: Boolean = false)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    table.merge(GraftSqlBridge.ofRows(spark, sourcePlan), keys, clauses)
+    table.merge(GraftSqlBridge.ofRows(spark, sourcePlan), keys, clauses,
+      evolveSchema)
     Seq.empty
   }
 }
@@ -328,7 +358,18 @@ case class GraftInsertCommand(@transient table: GraftTable,
           s"INSERT arity ${df0.columns.length} != table arity ${names.length}")
         df0.toDF(names.toIndexedSeq: _*)
       }
-    if (overwrite) table.overwrite(df) else table.append(df)
+    if (overwrite) {
+      // honor spark.sql.sources.partitionOverwriteMode=dynamic on a
+      // partitioned table (Iceberg semantics): replace only the
+      // partitions the new rows land in — a full-table truncate under
+      // that conf would silently drop every other partition
+      val dynamic = spark.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "static")
+        .equalsIgnoreCase("dynamic")
+      if (dynamic && table.currentSnapshot.partitionCols.nonEmpty)
+        table.overwritePartitions(df)
+      else table.overwrite(df)
+    } else table.append(df)
     Seq.empty
   }
 }
@@ -535,7 +576,9 @@ object LakeDdl {
       // GraftTable.isolationFor) — Iceberg's write.<op>.isolation-level
       "write.delete.isolation-level" -> Set("serializable", "snapshot"),
       "write.update.isolation-level" -> Set("serializable", "snapshot"),
-      "write.merge.isolation-level" -> Set("serializable", "snapshot"))
+      "write.merge.isolation-level" -> Set("serializable", "snapshot"),
+      // honored by GraftTable.evolveForMerge
+      "write.merge.schema.evolution" -> Set("true", "false"))
     spec.properties.foreach { case (k, v) =>
       known.get(k) match {
         case None => throw new UnsupportedOperationException(
@@ -591,12 +634,15 @@ object LakeMaintenance {
     sqlText match {
       case RefCreate(name, kind, ref, at)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        // ref names keep the user's case (Iceberg refs are
+        // case-sensitive) — lowercasing at create would make
+        // `VERSION AS OF '<TypedName>'` unresolvable
         Some(GraftRefCreateCommand(name.toLowerCase, kind.toUpperCase,
-          ref.toLowerCase, Option(at).map(_.toLong)))
+          ref, Option(at).map(_.toLong)))
       case RefDrop(name, kind, ref)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRefDropCommand(name.toLowerCase, kind.toUpperCase,
-          ref.toLowerCase))
+          ref))
       case WriteOrdered(name, cols)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         val colSeq = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -833,8 +879,11 @@ object LakeChanges {
         def queryable(vd: ViewDef): Boolean =
           who.isEmpty || who == vd.definer ||
             !graft.fgac.SecureCatalog.isGoverned(vd.name) ||
-            graft.fgac.SecureCatalog.principal(who)
-              .exists(_.grants.contains(vd.name))
+            graft.fgac.SecureCatalog.principal(who).exists(p =>
+              p.grants.contains(vd.name) ||
+                // tag-granted principals can query it, so they list it
+                graft.fgac.SecureCatalog.tagsOf(vd.name)
+                  .exists(p.tagGrants.contains))
         val rows = ViewRegistry.list.filter(queryable).map { vd =>
           val owner = who.isEmpty || who == vd.definer
           (vd.name, if (vd.definerSecurity) "definer" else "invoker",
@@ -957,6 +1006,10 @@ case class GraftDropTableCommand(name: String, purge: Boolean)
       spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name, "DROP")
     LakeRegistry.get(name).foreach { t =>
       LakeRegistry.unregister(name)
+      // governance dies with the table (same hazard the view drop
+      // guards): a dangling entry makes the name un-recreatable and
+      // misroutes later reads into the governed branch
+      graft.fgac.SecureCatalog.ungovern(name)
       if (purge) {
         val p = new Path(t.location)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -2080,6 +2080,59 @@ class LakehouseSpec extends AnyFunSuite {
     assert(tp.read().count() == 8000)
   }
 
+  test("SQL front-end audit: WITH SCHEMA EVOLUTION, dynamic INSERT " +
+      "OVERWRITE, drop ungoverns, ref case, source-resolved INSERT " +
+      "VALUES") {
+    import graft.lakehouse.LakeRegistry
+    // MERGE … WITH SCHEMA EVOLUTION evolves without the property;
+    // unqualified INSERT VALUES refs resolve against the SOURCE
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    LakeRegistry.register("sqlaudit_t", t)
+    Seq((1L, "A", 9.0, 5L), (2L, "b", 2.0, 7L))
+      .toDF("k", "tag", "v", "extra")
+      .createOrReplaceTempView("sqlaudit_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO sqlaudit_t t
+        |USING sqlaudit_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT (k, tag, v, extra)
+        |  VALUES (k, tag, v, extra)""".stripMargin)
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.get(3))))
+    assert(got.toSeq == Seq((1L, Some(5L)), (2L, Some(7L))),
+      s"WITH SCHEMA EVOLUTION + source-resolved VALUES: ${got.toSeq}")
+    // dynamic partition overwrite replaces only the touched partition
+    val tp = GraftTable.create(spark,
+      Files.createTempDirectory("graft_dyno").toString,
+      Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "part", "v"),
+      partitionBy = Seq("part"))
+    LakeRegistry.register("sqlaudit_p", tp)
+    Seq((9L, "x", 9.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("sqlaudit_newx")
+    val oldMode =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql("INSERT OVERWRITE sqlaudit_p SELECT * FROM sqlaudit_newx")
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", oldMode)
+    assert(tp.read().orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 9L), "dynamic overwrite must keep the untouched partition")
+    // DROP TABLE removes the governance entry with the table
+    val tg = freshTable(Seq((1L, "a", 1.0)))
+    LakeRegistry.register("sqlaudit_gov", tg)
+    graft.fgac.SecureCatalog.governTable("sqlaudit_gov",
+      Seq("k", "tag", "v"))
+    spark.sql("DROP TABLE sqlaudit_gov")
+    assert(!graft.fgac.SecureCatalog.isGoverned("sqlaudit_gov"))
+    // ref names round-trip with the user's case
+    val tr = freshTable(Seq((1L, "a", 1.0)))
+    LakeRegistry.register("sqlaudit_ref", tr)
+    spark.sql("ALTER TABLE sqlaudit_ref CREATE TAG Audit")
+    assert(spark.sql(
+      "SELECT * FROM sqlaudit_ref VERSION AS OF 'Audit'").count() == 1)
+  }
+
   test("SPJ truncate[w](string): prefix-partitioned join plans " +
       "shuffle-free and matches the naive join") {
     import graft.lakehouse.Spj
