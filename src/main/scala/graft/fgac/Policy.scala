@@ -105,12 +105,20 @@ object SecureCatalog {
 
   def governTable(name: String, columns: Seq[String]): Unit =
     governed.put(name.toLowerCase, columns)
-  /** Remove a name from governance (dropped views take their
+  /** Remove a name from governance (dropped views/tables take their
     * governance entry with them — a dangling entry would make the
-    * name un-recreatable and misroute reads). Tags go too. */
+    * name un-recreatable and misroute reads). Tags, every
+    * principal's grants on the name, and links pointing at it go
+    * too: a stale grant would silently resurrect — write and
+    * GRANT OPTION included — if a future same-named resource is
+    * governed. */
   def ungovern(name: String): Unit = {
-    governed.remove(name.toLowerCase)
-    tableTags.remove(name.toLowerCase)
+    val key = name.toLowerCase
+    governed.remove(key)
+    tableTags.remove(key)
+    principals.replaceAll((_, p) =>
+      if (p.grants.contains(key)) p.copy(grants = p.grants - key) else p)
+    links.entrySet.removeIf(e => e.getValue == key)
   }
   def isGoverned(name: String): Boolean = governed.containsKey(name.toLowerCase)
   def columnsOf(name: String): Seq[String] =
@@ -221,21 +229,33 @@ object SecureCatalog {
       throw new AccessDeniedException(s"unknown principal '$grantor'"))
     val target = resolveLink(relName)
     require(isGoverned(target), s"'$target' is not a governed table")
-    val parent = g.grants.get(target).getOrElse(
-      throw new AccessDeniedException(
-        s"principal '$grantor' has no grant on '$target' to delegate"))
+    // the delegating grant may come from a TAG grant (the LF-Tags
+    // model this file documents) — the same fallback authorize uses
+    val parent = g.grants.get(target)
+      .orElse(tagsOf(target).toSeq.sorted.flatMap(g.tagGrants.get)
+        .headOption.map(_.copy(table = target)))
+      .getOrElse(
+        throw new AccessDeniedException(
+          s"principal '$grantor' has no grant on '$target' to delegate"))
+    // canonicalize names to the governed column case ONCE: the policy
+    // is applied by exact-case Map lookups at scan time, so a
+    // case-variant column or mask key in the request would pass the
+    // case-insensitive checks here and then silently not fire (an
+    // unmasking door)
+    def canon(n: String): String =
+      columnsOf(target).find(_.equalsIgnoreCase(n)).getOrElse(n)
     if (!parent.grantable)
       throw new AccessDeniedException(
         s"grant of '$grantor' on '$target' carries no GRANT OPTION")
     val cols = (parent.allowedColumns, request.allowedColumns) match {
-      case (None, c)          => c
-      case (Some(p0), None)   => Some(p0) // child defaults to parent scope
+      case (None, c)          => c.map(_.map(canon))
+      case (Some(p0), None)   => Some(p0.map(canon)) // child defaults to parent scope
       case (Some(p0), Some(c)) =>
         val outside = c.filterNot(x => p0.exists(_.equalsIgnoreCase(x)))
         if (outside.nonEmpty) throw new AccessDeniedException(
           s"re-grant widens column scope: [${outside.mkString(", ")}] " +
             s"not in the grant delegated to '$grantor'")
-        Some(c)
+        Some(c.map(canon))
     }
     if (request.write && !parent.write)
       throw new AccessDeniedException(
@@ -283,7 +303,9 @@ object SecureCatalog {
       case (a, b)             => b.orElse(a)
     }
     val pol = TablePolicy(target, rowFilter, cols,
-      request.masks ++ parent.masks, write = request.write,
+      request.masks.map { case (k, v) => canon(k) -> v } ++
+        parent.masks.map { case (k, v) => canon(k) -> v },
+      write = request.write,
       grantable = request.grantable, selectable = request.selectable,
       grantor = Some(grantor))
     val ge = principal(grantee).getOrElse(Principal(grantee))

@@ -55,6 +55,11 @@ object ViewRegistry {
   private val views =
     new java.util.concurrent.ConcurrentHashMap[String, ViewDef]()
 
+  /** Serializes authorize-then-mutate sequences (REPLACE/DROP):
+    * authorization must be judged against the ViewDef the mutation
+    * actually displaces, not one a concurrent CREATE raced in. */
+  private[lakehouse] val mutationLock = new Object
+
   def create(vd: ViewDef, replace: Boolean): Unit = {
     val key = vd.name.toLowerCase
     if (replace) views.put(key, vd.copy(name = key))
@@ -130,17 +135,20 @@ object ViewExpansion {
 }
 
 private[lakehouse] object ViewMutation {
-  /** Who may REPLACE or DROP a view: the ungoverned (admin) session,
-    * the view's own definer, or — for a governed view — a principal
-    * holding a WRITE grant on the view resource. Without this, any
+  /** Who may REPLACE or DROP a view: the ungoverned (admin) session
+    * always; for an UNGOVERNED view also its definer; for a GOVERNED
+    * view ONLY a principal holding a WRITE grant on the view
+    * resource — the definer gets no fast-path there, because
+    * dropping (which ungoverns) or replacing would strip the
+    * admin-applied policy for every reader. Without any of this, any
     * principal could drop or hijack another principal's definer view
     * (ref DDL enforces the same rule via authorizeWrite). */
   def authorize(spark: SparkSession, vd: ViewDef, op: String): Unit = {
     val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
-    if (who.isEmpty || who == vd.definer) return
+    if (who.isEmpty) return
     if (SecureCatalog.isGoverned(vd.name))
       SecureCatalog.authorizeWrite(who, vd.name, op)
-    else
+    else if (who != vd.definer)
       throw new graft.fgac.AccessDeniedException(
         s"principal '$who' may not $op view '${vd.name}' owned by " +
           s"'${if (vd.definer.isEmpty) "the admin session" else vd.definer}'")
@@ -163,11 +171,6 @@ case class GraftCreateViewCommand(name: String, viewSql: String,
         s"'definer', got '$security'")
     if (ViewRegistry.get(name).isDefined && allowExisting)
       return Seq.empty
-    // replacing an existing view is a mutation of THAT view — the
-    // replacer must be its admin/definer/write-granted principal
-    if (replace)
-      ViewRegistry.get(name).foreach(
-        ViewMutation.authorize(spark, _, "REPLACE"))
     require(LakeRegistry.get(name).isEmpty,
       s"CREATE VIEW: '$name' names an existing graft table")
     require(ViewRegistry.get(name).isDefined ||
@@ -179,6 +182,8 @@ case class GraftCreateViewCommand(name: String, viewSql: String,
     require(!parsed.isInstanceOf[Command],
       s"CREATE VIEW: view body must be a query, got " +
         parsed.getClass.getSimpleName)
+    // the expensive part — analysis under the creating principal —
+    // runs OUTSIDE the mutation lock
     val schema = spark.sql(viewSql).schema
     val cols = schema.fields.map(_.name).toSeq
     if (columnAliases.nonEmpty) {
@@ -197,10 +202,22 @@ case class GraftCreateViewCommand(name: String, viewSql: String,
     val outputColumns = outNames.zip(
       schema.fields.map(_.dataType.simpleString).toSeq)
     val definer = spark.conf.get(SecureCatalog.PrincipalConf, "")
-    ViewRegistry.create(
-      ViewDef(name, viewSql, columnAliases, cols, outputColumns,
-        definer, security == "definer", comment, properties),
-      replace)
+    val vd = ViewDef(name, viewSql, columnAliases, cols, outputColumns,
+      definer, security == "definer", comment, properties)
+    // authorize-then-mutate is atomic under the lock: the REPLACE
+    // authorization must be judged against the ViewDef actually
+    // displaced, not one a concurrent CREATE raced in after the check
+    ViewRegistry.mutationLock.synchronized {
+      val existing = ViewRegistry.get(name)
+      if (replace)
+        existing.foreach(ViewMutation.authorize(spark, _, "REPLACE"))
+      ViewRegistry.create(vd, replace)
+      // a replaced GOVERNED view keeps its policies but the column
+      // universe must follow the new definition — stale columnsOf
+      // would brick every granted read on a removed column
+      if (existing.isDefined && SecureCatalog.isGoverned(name))
+        SecureCatalog.governTable(name, outNames)
+    }
     Seq.empty
   }
 }
@@ -208,13 +225,19 @@ case class GraftCreateViewCommand(name: String, viewSql: String,
 case class GraftDropViewCommand(name: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    ViewRegistry.get(name).foreach { vd =>
-      ViewMutation.authorize(spark, vd, "DROP")
-      ViewRegistry.drop(name)
-      // a governed view's governance entry dies with it — leaving it
-      // would make the name un-recreatable and route later reads
-      // into the governed-TABLE branch (raw-view-not-found)
-      SecureCatalog.ungovern(name)
+    // atomic under the mutation lock: authorization is judged against
+    // the exact ViewDef being removed, and ungovern only runs for a
+    // drop that actually happened
+    ViewRegistry.mutationLock.synchronized {
+      ViewRegistry.get(name).foreach { vd =>
+        ViewMutation.authorize(spark, vd, "DROP")
+        if (ViewRegistry.drop(name))
+          // a governed view's governance entry (and every stale
+          // grant on the name) dies with it — leaving it would make
+          // the name un-recreatable and route later reads into the
+          // governed-TABLE branch (raw-view-not-found)
+          SecureCatalog.ungovern(name)
+      }
     }
     Seq.empty
   }

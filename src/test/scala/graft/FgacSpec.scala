@@ -213,6 +213,28 @@ class FgacSpec extends AnyFunSuite {
     // re-running the SAME delegation refreshes it (idempotent)
     SecureCatalog.regrant("gcm_admin", "gcm_team", "customer",
       TablePolicy("customer", allowedColumns = Some(Seq("c_custkey", "c_name"))))
+    // case-variant request names canonicalize to the governed column
+    // case — the mask must actually FIRE at scan time (exact-case
+    // Map lookups), not just pass the case-insensitive checks
+    SecureCatalog.register(Principal("gcc_admin", grants = Map(
+      "customer" -> TablePolicy("customer", grantable = true))))
+    SecureCatalog.regrant("gcc_admin", "gcc_team", "customer",
+      TablePolicy("customer",
+        allowedColumns = Some(Seq("C_CUSTKEY", "C_ACCTBAL")),
+        masks = Map("C_ACCTBAL" -> "CAST(-1.0 AS DOUBLE)")))
+    val ccMasked = FgacQueries.asPrincipal(spark, "gcc_team")(
+      spark.sql("SELECT * FROM customer LIMIT 5")).collect()
+    assert(ccMasked.nonEmpty && ccMasked.forall(_.getDouble(1) == -1.0),
+      "case-variant re-grant mask must fire at scan time")
+    // a tag-granted grantable policy can delegate (the LF-Tags model)
+    SecureCatalog.register(Principal("gct_admin", tagGrants = Map(
+      "pii" -> TablePolicy("",
+        rowFilter = Some("c_mktsegment IN ('BUILDING','AUTOMOBILE')"),
+        grantable = true))))
+    SecureCatalog.regrant("gct_admin", "gct_team", "customer",
+      TablePolicy("customer", allowedColumns = Some(Seq("c_custkey"))))
+    assert(SecureCatalog.principal("gct_team")
+      .exists(_.grants.contains("customer")))
   }
 
   test("DESCRIBE permission is separate from SELECT") {
@@ -284,13 +306,26 @@ class FgacSpec extends AnyFunSuite {
     // DESCRIBE works on an ungoverned view from the captured schema
     val desc = spark.sql("DESCRIBE TABLE vm_v").collect()
     assert(desc.map(_.getString(0)).contains("c_custkey"))
-    // governed view: DROP removes the governance entry with it, so
+    // governed view: even the DEFINER needs a write grant to mutate
+    // it (dropping would strip the admin-applied policy for every
+    // reader); DROP then removes the governance entry with it, so
     // the name is re-creatable and reads say "not found", not a
     // raw-view resolution error
     SecureCatalog.governTable("vm_v", Seq("c_custkey"))
+    intercept[AccessDeniedException](
+      FgacQueries.asPrincipal(spark, "vm_owner")(
+        spark.sql("DROP VIEW vm_v")))
+    SecureCatalog.register(Principal("vm_owner", grants = Map(
+      "customer" -> TablePolicy("customer",
+        allowedColumns = Some(Seq("c_custkey", "c_mktsegment"))),
+      "vm_v" -> TablePolicy("vm_v", write = true))))
     FgacQueries.asPrincipal(spark, "vm_owner")(
       spark.sql("DROP VIEW vm_v"))
     assert(!SecureCatalog.isGoverned("vm_v"))
+    // …and every stale grant on the dropped name is revoked (a future
+    // same-named resource must not resurrect write/grant rights)
+    assert(SecureCatalog.principal("vm_owner")
+      .forall(!_.grants.contains("vm_v")))
     spark.sql("CREATE VIEW vm_v AS SELECT 2 AS y") // admin re-creates
     assert(spark.sql("SELECT y FROM vm_v").head.getInt(0) == 2)
     spark.sql("DROP VIEW vm_v")
