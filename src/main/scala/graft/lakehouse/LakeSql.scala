@@ -466,6 +466,21 @@ object LakeDdl {
           GraftAlterCommand(name, "ADD COLUMNS", _.addColumns(cols))
         }
 
+      // ALTER TABLE … SET/UNSET TBLPROPERTIES — same allowlist
+      // validation as CREATE, so SQL-only users can flip write modes
+      // (merge-on-read, schema evolution, isolation) post-create.
+      case sp: SetTableProperties =>
+        claimAlter(spark, sp.table).map { name =>
+          LakeDdl.validateProps(sp.properties)
+          GraftAlterCommand(name, "SET TBLPROPERTIES",
+            t => t.setProperties(t.properties ++ sp.properties))
+        }
+      case up: UnsetTableProperties =>
+        claimAlter(spark, up.table).map { name =>
+          GraftAlterCommand(name, "UNSET TBLPROPERTIES",
+            t => t.setProperties(t.properties -- up.propertyKeys))
+        }
+
       case rc: RenameColumn =>
         claimAlter(spark, rc.table).map { name =>
           require(rc.column.name.size <= 2,
@@ -566,6 +581,16 @@ object LakeDdl {
     * honors are accepted — silently persisting an unknown knob would
     * fake capabilities. */
   private def tableProps(spec: TableSpecBase): Map[String, String] = {
+    validateProps(spec.properties)
+    spec.properties
+  }
+
+  /** Properties the engine actually honors, with their legal values —
+    * shared by CREATE TABLE TBLPROPERTIES and ALTER … SET
+    * TBLPROPERTIES (a typo or unhonored key fails the statement,
+    * never silently no-ops). */
+  private[lakehouse] def validateProps(
+      props: Map[String, String]): Unit = {
     val known = Map(
       "write.delete.mode" -> Set("copy-on-write", "merge-on-read"),
       "write.delete.style" -> Set("equality", "position"),
@@ -579,7 +604,7 @@ object LakeDdl {
       "write.merge.isolation-level" -> Set("serializable", "snapshot"),
       // honored by GraftTable.evolveForMerge
       "write.merge.schema.evolution" -> Set("true", "false"))
-    spec.properties.foreach { case (k, v) =>
+    props.foreach { case (k, v) =>
       known.get(k) match {
         case None => throw new UnsupportedOperationException(
           s"unsupported table property '$k' " +
@@ -589,7 +614,6 @@ object LakeDdl {
             s"got '$v'")
       }
     }
-    spec.properties
   }
 }
 

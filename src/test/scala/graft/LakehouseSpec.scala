@@ -2131,6 +2131,17 @@ class LakehouseSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE sqlaudit_ref CREATE TAG Audit")
     assert(spark.sql(
       "SELECT * FROM sqlaudit_ref VERSION AS OF 'Audit'").count() == 1)
+    // SET/UNSET TBLPROPERTIES from SQL, allowlist-validated
+    spark.sql("""ALTER TABLE sqlaudit_ref SET TBLPROPERTIES
+                |('write.merge.schema.evolution'='true')""".stripMargin)
+    assert(tr.properties.get("write.merge.schema.evolution")
+      .contains("true"))
+    val pe = intercept[Exception](spark.sql(
+      "ALTER TABLE sqlaudit_ref SET TBLPROPERTIES ('nope'='1')"))
+    assert(pe.getMessage.contains("unsupported table property"))
+    spark.sql("ALTER TABLE sqlaudit_ref UNSET TBLPROPERTIES " +
+      "('write.merge.schema.evolution')")
+    assert(!tr.properties.contains("write.merge.schema.evolution"))
   }
 
   test("SPJ truncate[w](string): prefix-partitioned join plans " +
