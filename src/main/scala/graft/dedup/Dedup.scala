@@ -17,11 +17,18 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** Exact dedup: group by content hash; the shuffle key is 16 bytes
-    * regardless of document size. Keep-first = min(doc_id). */
+  /** Exact dedup: group by content hash; the shuffle key is 24 bytes
+    * regardless of document size. Keep-first = min(doc_id). The
+    * group key is md5 PLUS an independent xxhash64 — md5 collisions
+    * are practically constructible (public chosen-prefix blobs land
+    * in crawl corpora), and a collision would silently merge two
+    * distinct documents; a simultaneous collision in both hashes is
+    * not constructible. Output keeps the md5 alone (the oracle
+    * groups by the text itself, so the compare is unchanged). */
   private val exact: Q = (s, d) =>
     Tables.documents(s, d)
-      .groupBy(md5(col("text")).as("content_md5"))
+      .groupBy(md5(col("text")).as("content_md5"),
+        xxhash64(col("text")).as("h2"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("content_md5"))
       .orderBy(col("keep_id"))
@@ -69,7 +76,11 @@ object Dedup {
     // PASSES `j >= 0.8` under NaN-is-largest comparison semantics
     // and emits garbage "near-duplicates" (latent on this corpus —
     // min 10 tokens — real on any other)
-    ngramJaccardPairs(shingled(s, d, minTokens = 3), MaxBlock)
+    // persisted: sizes, both all-pairs sides, and the LSH verify
+    // joins all consume the shingle relation
+    ngramJaccardPairs(
+      OpCache.swap("ngramJaccard.sh", shingled(s, d, minTokens = 3)),
+      MaxBlock)
   }
 
   /** All-pairs exact Jaccard within blocks of ≤ `maxBlock` docs;
@@ -93,9 +104,12 @@ object Dedup {
     // Oversized blocks: LSH banding keyed by (source, band, bucket) —
     // candidates never cross a block boundary, and the bucket cap
     // bounds boilerplate inside the block too.
+    // assertExact like the minhash/simhash routes: the ngram oracle
+    // is exact all-pairs, so a capped (overflowing) bucket must log
+    // its loss loudly, never drop pairs silently
     val lshPairs = lshCandidates(
         big.select(col("doc_id"), col("source").as("block"), col("sh")),
-        MaxBucket)
+        MaxBucket, assertExact = true, site = "ngramJaccard")
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("shh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shh_a"), col("shh_b"))
@@ -134,10 +148,13 @@ object Dedup {
     * representatives, so a b-doc bucket yields O(b·cap) candidate
     * pairs, never b². */
   private val minhashLsh: Q = (s, d) => {
-    val sh = shingled(s, d, minTokens = 3)
+    // persisted: the candidate-verify joins consume sh twice beyond
+    // the signature build — unpersisted, the full-corpus shingle
+    // kernel would re-run once PER consumer
+    val sh = OpCache.swap("minhashLsh.sh", shingled(s, d, minTokens = 3))
     val candidates = lshCandidates(
       sh.select(col("doc_id"), lit("").as("block"), col("sh")), MaxBucket,
-      assertExact = true)
+      assertExact = true, site = "minhashLsh")
     val withSets = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -191,10 +208,13 @@ object Dedup {
     * overflow logs the loss loudly and continues capped
     * ([[checkBucketOverflow]]). */
   private[graft] def lshCandidates(shBlocks: DataFrame,
-      maxBucket: Int, assertExact: Boolean = false): DataFrame = {
+      maxBucket: Int, assertExact: Boolean = false,
+      site: String = "lshCandidates"): DataFrame = {
     val sigs = shBlocks.select(col("doc_id"), col("block"),
       call_function("graft_minhash128_long", col("sh")).as("sig"))
-    val bands = OpCache.swap("lshCandidates",
+    // cache key is the CALLER's site: two operators sharing this
+    // helper must not evict each other's persisted signatures
+    val bands = OpCache.swap(site,
       sigs.select(col("doc_id"), col("block"), explode(expr(
         s"""transform(sequence(0, ${Bands - 1}), b -> named_struct(
            |  'band', b,
@@ -202,7 +222,7 @@ object Dedup {
           .stripMargin)).as("bb"))
         .select(col("doc_id"), col("block"),
           col("bb.band").as("band"), col("bb.bh").as("bh")))
-    val reps = cappedElection(bands, "lshCandidates",
+    val reps = cappedElection(bands, site,
         Seq(col("block"), col("band"), col("bh")),
         Seq(col("doc_id").asc), maxBucket, col("doc_id"), assertExact)
       .select(col("block").as("r_block"), col("band").as("r_band"),
@@ -318,8 +338,11 @@ object Dedup {
     * pigeonhole, hamming ≤ 3 over 4 bands guarantees ≥ 1 identical
     * band, so banding loses nothing — the oracle is therefore the
     * brute-force hamming join over DuckDB's bit-exact FNV-1a
-    * reproduction of the same sketch; PipelineSpec additionally pins
-    * banded == brute in Spark.
+    * reproduction of the same sketch (bit-exact on ASCII text: the
+    * kernel folds UTF-8 BYTES while the oracle folds code points —
+    * identical below 0x80, divergent beyond, same caveat as
+    * polyFingerprint; the test corpus is ASCII); PipelineSpec
+    * additionally pins banded == brute in Spark.
     *
     * The band join is CAPPED like [[lshCandidates]]: each (band, bv)
     * bucket elects its [[MaxBucket]] lowest doc_ids as reps via the
@@ -377,9 +400,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (≥ 0.4), blocked by
-    * `label` (the cluster/coarse-quantizer id — at 100 TB this is
-    * the IVF cell). Norms precomputed once per vector. */
   /** The embeddings corpus with precomputed norms. */
   private def embCorpus(s: SparkSession, d: String): DataFrame =
     Tables.parallel(Tables.embeddings(s, d))
@@ -497,9 +517,11 @@ object Dedup {
     * filter whose false-positive cost is dropping one document. */
   private val decontaminate: Q = (s, d) => {
     val docs = Tables.parallel(Tables.documents(s, d))
-    val grams = docs.select(col("doc_id"), col("source"),
-      explode(wordNgrams(coalesce(col("text"), lit("")), 8)).as("g"))
-      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+    // persisted: bench + probe sides both consume the explosion
+    val grams = OpCache.swap("decontaminate.grams",
+      docs.select(col("doc_id"), col("source"),
+        explode(wordNgrams(coalesce(col("text"), lit("")), 8)).as("g"))
+        .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh")))
     val bench = grams.filter(col("source") === "src0")
       .select(col("gh")).distinct()
     val contaminated = grams.filter(col("source") =!= "src0")
@@ -530,9 +552,13 @@ object Dedup {
   private val bloomDecontaminate: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.parallel(Tables.documents(s, d))
-    val grams = docs.select(col("doc_id"), col("source"),
-      explode(wordNgrams(coalesce(col("text"), lit("")), 8)).as("g"))
-      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+    // persisted: the decision row consumes the explosion ~6 ways
+    // (driver collect, flags, exact×2, FP probe×2) — unpersisted,
+    // the corpus is tokenized+exploded once PER consumer
+    val grams = OpCache.swap("bloomDecontaminate.grams",
+      docs.select(col("doc_id"), col("source"),
+        explode(wordNgrams(coalesce(col("text"), lit("")), 8)).as("g"))
+        .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh")))
     val benchHashes = grams.filter(col("source") === "src0")
       .select(col("gh")).distinct().as[Long].collect()
     // sized from the reference set: 16 bits/element (FP ≈ 0.24% per
