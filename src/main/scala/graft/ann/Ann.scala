@@ -28,6 +28,12 @@ object Ann {
     Tables.parallel(Tables.embeddings(s, d))
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", l2norm(col("v")))
+      // a zero-norm vector has no direction: its cosines are 0/0 =
+      // NaN, which Spark's SQL ordering ranks FIRST, the typed
+      // aggregator ranks last, and decimal training casts turn into
+      // silent NULLs — drop it up front (the oracles filter the
+      // same way), never let NaN into a ranking
+      .filter(col("nrm") > 0)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
 
   private def queriesDf(c: DataFrame): DataFrame =
@@ -138,7 +144,7 @@ object Ann {
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
           .orderBy(col("c_cos").desc, col("cell").asc)))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= Probes)
       .select(col("q_id"), col("q_v"), col("q_nrm"), col("cell"))
 
   /** IVF with the dataset's `label` as the given coarse quantizer:
@@ -190,11 +196,16 @@ object Ann {
     transform(
       slice(array_sort(array(cent.map(ct => struct(
         (-(dot(qv, litVec(ct.v)) / (qnrm * lit(ct.nrm)))).as("nc"),
-        lit(ct.cell).as("cell"))): _*)), 1, 3),
+        lit(ct.cell).as("cell"))): _*)), 1, Probes),
       x => x.getField("cell"))
 
   private val KmeansCells = 10
   private val KmeansIters = 3
+  /** Cells probed per query — one knob for every IVF tier. */
+  private val Probes = 3
+  /** Lloyd rounds for the PQ-stack coarse/book training (recall is
+    * routing-dominated there; a third round measured no change). */
+  private val PqTrainRounds = 2
 
   /** Deterministic Lloyd training: init = the k lowest vec_ids; each
     * round assigns RELATIONALLY (corpus × broadcast centroid relation
@@ -258,10 +269,6 @@ object Ann {
   private val PqSub = Dim / PqM  // dims per subspace
   private val PqRerank = 100     // ADC candidates re-ranked exactly
   private val PqSalt = 32        // stage-1 fanout of the rerank cut
-
-  /** Subvector m of a (normalized) vector column (slice is 1-based). */
-  private def subCol(v: Column, m: Int): Column =
-    slice(v, m * PqSub + 1, PqSub)
 
   /** The joint codebooks as a (tiny, broadcastable) RELATION:
     * one row per (subspace, cell) with the sub-centroid vector and
@@ -360,7 +367,7 @@ object Ann {
     // two Lloyd rounds suffice for the 4-bit codebooks (recall is
     // re-rank-dominated; a third round measured no recall gain and
     // one more full-corpus pass)
-    val books = trainPqBooks(c, 2)
+    val books = trainPqBooks(c, PqTrainRounds)
     // the compression step: corpus → (vec_id, m, code) — 8 four-bit
     // codes per vector, via the relational assignment
     val codes = relationalCodes(c, codebooksDf(s, books))
@@ -413,7 +420,7 @@ object Ann {
 
   // ---- IVF-PQ composite -------------------------------------------
 
-  private val IvfPqProbes = 3
+  private val IvfPqProbes = Probes
 
   /** IVF+PQ — the two-level composite that makes 100 TB vector search
     * a pruning problem at BOTH ends (FAISS's IndexIVFPQ): the trained
@@ -445,7 +452,7 @@ object Ann {
     // for one more full-corpus pass
     val coarse = trainKmeans(
       c.select(col("vec_id"), col("vn").as("v"), lit(1.0).as("nrm")),
-      KmeansCells, 2)
+      KmeansCells, PqTrainRounds)
     val assigned = c.withColumn("cell",
       assignCellCol(col("vn"), lit(1.0), coarse))
     // residuals via a broadcast join against the tiny centroid
@@ -521,9 +528,13 @@ object Ann {
       approxTopK: DataFrame): DataFrame = {
     val approx = approxTopK.select(col("q_id"), col("neighbor_id"))
     val exact = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
-    val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-    hits.agg(count(lit(1)).as("n_hit"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+    // ONE pass over the exact subplan: a semi-join branch plus a
+    // separate count branch would embed the full brute-force scan
+    // twice in the same plan (a second whole-corpus pass at scale)
+    exact.join(approx.withColumn("hit", lit(1)),
+        Seq("q_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       .select(col("n_exact"),
         (col("n_hit") >= col("n_exact") * 0.8).as("recall_ge_080"))
   }
@@ -547,7 +558,9 @@ object Ann {
   /** The exact top-k as DuckDB CTEs, shared by the brute-force oracle
     * and the k-means decision-row oracle. */
   private def bruteforceCtes: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+       |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[])) > 0),
        | q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < $NumQueries),
        | s AS (SELECT q.q_id, e.vec_id,
        |   list_cosine_similarity(e.v, q.q_v) AS cos
@@ -576,7 +589,9 @@ object Ann {
     // hyperplanes are embedded as literals, bucket signatures and the
     // band join reproduce in SQL, candidates rank by cosine.
     "ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+         |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[])) > 0),
          | sg AS (SELECT vec_id, v,
          |   [${(0 until LshTables).map(sigSql).mkString(",")}] AS sigs FROM e),
          | cb AS (SELECT vec_id, v, UNNEST(range($LshTables)) AS t,
@@ -600,7 +615,9 @@ object Ann {
     // same top-3 probe and top-k rank.
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
-         |   FROM embeddings),
+         |   FROM embeddings
+         |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[])) > 0),
          | ex AS (SELECT label AS cell, UNNEST(v) AS x,
          |   UNNEST(range(1, len(v)+1)) AS pos FROM e),
          | cm AS (SELECT cell, pos,
