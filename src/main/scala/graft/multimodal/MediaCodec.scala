@@ -55,15 +55,19 @@ object MediaCodec {
     toPng(img)
   }
 
-  def encodeRgbPng(id: Long): Array[Byte] = {
+  /** The truecolor content formula as a BufferedImage — shared by
+    * the lossless (PNG) and lossy (JPEG) encoders. */
+  private def rgbImage(id: Long): BufferedImage = {
     val (w, h) = (widthOf(id), heightOf(id))
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) {
       val (r, g, b) = rgbAt(id, x, y)
       img.setRGB(x, y, (r << 16) | (g << 8) | b)
     }
-    toPng(img)
+    img
   }
+
+  def encodeRgbPng(id: Long): Array[Byte] = toPng(rgbImage(id))
 
   /** Encode an arbitrary channel-value matrix (the shape
     * [[decodeImage]] returns) back to PNG — the resize re-encode
@@ -85,9 +89,12 @@ object MediaCodec {
     }
   }
 
-  private def toPng(img: BufferedImage): Array[Byte] = {
+  private def toPng(img: BufferedImage): Array[Byte] =
+    toBytes(img, "png")
+
+  private def toBytes(img: BufferedImage, fmt: String): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    require(ImageIO.write(img, "png", out), "no PNG writer available")
+    require(ImageIO.write(img, fmt, out), s"no $fmt writer available")
     out.toByteArray
   }
 
@@ -97,17 +104,7 @@ object MediaCodec {
     * the decoded pixels only APPROXIMATE [[rgbAt]], so the query
     * contract is a tolerance bound, not bit-exactness
     * (see Multimodal.mm_jpeg). */
-  def encodeJpeg(id: Long): Array[Byte] = {
-    val (w, h) = (widthOf(id), heightOf(id))
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) {
-      val (r, g, b) = rgbAt(id, x, y)
-      img.setRGB(x, y, (r << 16) | (g << 8) | b)
-    }
-    val out = new ByteArrayOutputStream()
-    require(ImageIO.write(img, "jpg", out), "no JPEG writer available")
-    out.toByteArray
-  }
+  def encodeJpeg(id: Long): Array[Byte] = toBytes(rgbImage(id), "jpg")
 
   /** A canonical 44-byte-header RIFF/WAVE file: PCM16, mono,
     * [[WavSampleRate]] Hz, little-endian samples. */
@@ -144,9 +141,15 @@ object MediaCodec {
     * must terminate on any input. */
   def sniff(bytes: Array[Byte]): (String, Int, Int) =
     if (isPng(bytes)) {
-      // IHDR is mandated first: width/height big-endian at 16/20
+      // IHDR is mandated first: verify its tag before trusting the
+      // width/height big-endian at 16/20 (a PNG-prefixed garbage
+      // payload must fail fast, not return garbage dimensions)
+      require(new String(bytes, 12, 4, "US-ASCII") == "IHDR",
+        "malformed PNG: missing IHDR chunk")
       val bb = java.nio.ByteBuffer.wrap(bytes, 16, 8)
-      ("png", bb.getInt, bb.getInt)
+      val (w, h) = (bb.getInt, bb.getInt)
+      require(w > 0 && h > 0, "malformed PNG dimensions")
+      ("png", w, h)
     } else if (isJpeg(bytes)) {
       // segment walk to the first frame header (SOF0..SOF15 minus
       // the non-frame C4/C8/CC): height/width big-endian at +5/+7
@@ -155,38 +158,30 @@ object MediaCodec {
       while (dims == null) {
         require(pos + 4 <= bytes.length, "truncated JPEG header")
         require((bytes(pos) & 0xff) == 0xff, "malformed JPEG marker")
+        // spec-legal 0xFF fill bytes may pad between segments
+        // (ISO 10918-1 B.1.1.2) — skip them, don't misread one as a
+        // marker byte and misalign the walk
+        while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
+          pos += 1
+        require(pos + 4 <= bytes.length, "truncated JPEG header")
         val marker = bytes(pos + 1) & 0xff
-        val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
-        require(len >= 2, "malformed JPEG segment length")
         if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
           require(pos + 9 <= bytes.length, "truncated JPEG SOF segment")
           val h = ((bytes(pos + 5) & 0xff) << 8) | (bytes(pos + 6) & 0xff)
           val w = ((bytes(pos + 7) & 0xff) << 8) | (bytes(pos + 8) & 0xff)
           dims = (w, h)
-        } else pos += 2 + len
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          pos += 2 // standalone markers carry no length field
+        } else {
+          val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+          require(len >= 2, "malformed JPEG segment length")
+          pos += 2 + len
+        }
       }
       ("jpeg", dims._1, dims._2)
     } else if (isWav(bytes)) {
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      var pos = 12 // past RIFF....WAVE
-      var rate = 0
-      var bits = 16
-      var dataLen = -1
-      while (dataLen < 0 && pos + 8 <= bytes.length) {
-        val tag = new String(bytes, pos, 4, "US-ASCII")
-        val len = bb.getInt(pos + 4)
-        require(len >= 0, "malformed WAV chunk length")
-        if (tag == "fmt ") {
-          require(pos + 24 <= bytes.length, "truncated WAV fmt chunk")
-          rate = bb.getInt(pos + 12)
-          bits = bb.getShort(pos + 22).toInt
-          require(bits > 0 && bits % 8 == 0, "malformed WAV bit depth")
-        } else if (tag == "data") dataLen = len
-        pos += 8 + len + (len & 1) // len >= 0 ⇒ strictly monotonic
-      }
-      require(dataLen >= 0, "WAV payload has no data chunk")
+      val (rate, bits, _, dataLen) = wavChunks(bytes)
       ("wav", dataLen / (bits / 8), rate)
     } else
       throw new IllegalArgumentException(
@@ -194,7 +189,9 @@ object MediaCodec {
 
   private def isPng(b: Array[Byte]): Boolean =
     b.length > 33 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
-      b(2) == 'N' && b(3) == 'G'
+      b(2) == 'N' && b(3) == 'G' && (b(4) & 0xff) == 0x0d &&
+      (b(5) & 0xff) == 0x0a && (b(6) & 0xff) == 0x1a &&
+      (b(7) & 0xff) == 0x0a // full 8-byte signature
 
   private def isJpeg(b: Array[Byte]): Boolean =
     b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
@@ -204,6 +201,44 @@ object MediaCodec {
     b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
       b(11) == 'E'
+
+  /** The RIFF chunk walk, shared by [[sniff]] and [[decodeWav]]:
+    * `(rate, bits, dataPos, dataLen)`. Positions are LONG so a huge
+    * declared chunk length cannot wrap negative past the loop guard;
+    * the fmt chunk must declare >= 16 bytes (reading rate/bits from
+    * a following chunk's bytes is silent garbage otherwise) and the
+    * data chunk must fit inside the payload (a truncated file fails
+    * HERE, not as an index error mid-decode). */
+  private def wavChunks(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos: Long = 12 // past RIFF....WAVE
+    var rate = 0
+    var bits = 16
+    var dataPos = -1L
+    var dataLen = -1
+    while (dataLen < 0 && pos + 8 <= bytes.length) {
+      val p = pos.toInt
+      val tag = new String(bytes, p, 4, "US-ASCII")
+      val len = bb.getInt(p + 4)
+      require(len >= 0, "malformed WAV chunk length")
+      if (tag == "fmt ") {
+        require(len >= 16 && pos + 24 <= bytes.length,
+          "truncated WAV fmt chunk")
+        rate = bb.getInt(p + 12)
+        bits = bb.getShort(p + 22).toInt
+        require(bits > 0 && bits % 8 == 0, "malformed WAV bit depth")
+      } else if (tag == "data") {
+        require(pos + 8 + len <= bytes.length,
+          "truncated WAV data chunk")
+        dataPos = pos + 8
+        dataLen = len
+      }
+      pos += 8L + len + (len & 1) // len >= 0, Long pos: no wrap
+    }
+    require(dataLen >= 0, "WAV payload has no data chunk")
+    (rate, bits, dataPos.toInt, dataLen)
+  }
 
   // ---- full decode -------------------------------------------------
 
@@ -216,34 +251,33 @@ object MediaCodec {
     if (gray) {
       val raster = img.getRaster
       (img.getWidth, img.getHeight, 1, (x, y, _) => raster.getSample(x, y, 0))
-    } else
+    } else {
+      // one color-model conversion per (x, y), not one per channel:
+      // every hot loop reads all three channels of a pixel back to
+      // back, and getRGB is the expensive call. The accessor is
+      // stateful and NOT thread-safe — per-row executor use only.
+      var lastKey = Long.MinValue
+      var lastPx = 0
       (img.getWidth, img.getHeight, 3, (x, y, c) => {
-        val px = img.getRGB(x, y)
+        val key = (x.toLong << 32) | (y & 0xffffffffL)
+        if (key != lastKey) { lastPx = img.getRGB(x, y); lastKey = key }
         c match {
-          case 0 => (px >> 16) & 0xff
-          case 1 => (px >> 8) & 0xff
-          case _ => px & 0xff
+          case 0 => (lastPx >> 16) & 0xff
+          case 1 => (lastPx >> 8) & 0xff
+          case _ => lastPx & 0xff
         }
       })
+    }
   }
 
-  /** Decode a WAV payload to its PCM16 samples. */
+  /** Decode a WAV payload to its PCM16 samples (ONE chunk walk —
+    * callers that already sniffed pay no re-parse). */
   def decodeWav(bytes: Array[Byte]): Array[Int] = {
-    val (_, n, _) = sniff(bytes)
-    // data chunk offset: canonical 44-byte header for our writer, but
-    // walk the chunks so any standard PCM16 file decodes
+    require(isWav(bytes), "not a RIFF/WAVE payload")
+    val (_, bits, dataPos, dataLen) = wavChunks(bytes)
+    require(bits == 16, s"PCM decode supports 16-bit samples, got $bits")
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var pos = 12
-    var dataPos = -1
-    while (dataPos < 0) {
-      require(pos + 8 <= bytes.length, "WAV payload has no data chunk")
-      val tag = new String(bytes, pos, 4, "US-ASCII")
-      val len = bb.getInt(pos + 4)
-      require(len >= 0, "malformed WAV chunk length")
-      if (tag == "data") dataPos = pos + 8
-      else pos += 8 + len + (len & 1) // len >= 0 ⇒ strictly monotonic
-    }
-    Array.tabulate(n)(i => bb.getShort(dataPos + i * 2).toInt)
+    Array.tabulate(dataLen / 2)(i => bb.getShort(dataPos + i * 2).toInt)
   }
 }

@@ -35,6 +35,11 @@ object Multimodal {
     Tables.documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
+          // negative ids would route differently here (Scala match
+          // default) than in the oracles (SQL CASE default) and feed
+          // negative geometry into the raster fill — refuse loudly
+          // rather than diverge silently
+          require(id >= 0, s"payload synthesis requires doc_id >= 0, got $id")
           val bytes = (id % 3) match {
             case 0 => MediaCodec.encodeGrayPng(id)
             case 1 => MediaCodec.encodeRgbPng(id)
@@ -187,9 +192,13 @@ object Multimodal {
         }
       }.toDF("doc_id", "dims_ok", "mean_err")
       .agg(count(lit(1)).as("n_docs"),
-        expr("bool_and(dims_ok)").as("dims_ok"),
-        (max(col("mean_err")) <= JpegErrBound).as("err_bounded"),
-        (min(col("mean_err")) > 1.0).as("lossy"))
+        // vacuous truth on an empty cohort, matching the oracle's
+        // literal TRUE columns (bool_and/max/min over zero rows are
+        // NULL otherwise and the compare would fail on tiny corpora)
+        coalesce(expr("bool_and(dims_ok)"), lit(true)).as("dims_ok"),
+        coalesce(max(col("mean_err")) <= JpegErrBound, lit(true))
+          .as("err_bounded"),
+        coalesce(min(col("mean_err")) > 1.0, lit(true)).as("lossy"))
   }
 
   val queries: Map[String, Q] = Map(
