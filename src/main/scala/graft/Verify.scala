@@ -22,11 +22,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Output-boundary lint (SURVEY §5): the driver's hash compare is
+    // type-representation-sensitive, and Spark vs DuckDB widen decimal
+    // aggregates differently (decimal(28,2) vs DECIMAL(38,2)) — a raw
+    // decimal in an output schema hash-fails on the driver while
+    // passing every local check. Refuse it here so it can't ship.
+    def lintSchema(name: String,
+                   schema: org.apache.spark.sql.types.StructType): Unit = {
+      val decimals = schema.fields.collect {
+        case f if f.dataType.typeName.startsWith("decimal") => f.name
+      }
+      require(decimals.isEmpty,
+        s"[verify] $name output carries raw decimal column(s) " +
+          s"${decimals.mkString(", ")}; cast to double at the output " +
+          "boundary on BOTH the Spark and oracle sides (SURVEY §5)")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        lintSchema(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

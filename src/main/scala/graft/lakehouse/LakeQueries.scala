@@ -433,13 +433,18 @@ object LakeQueries {
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
     }
-    // sum over DECIMAL: exact and associative, so the result is
-    // independent of the shuffle-free plan's partial-agg order (a
-    // double sum would differ from the oracle in the last bits)
+    // sum over DECIMAL internally (exact and associative, so the
+    // result is independent of the shuffle-free plan's partial-agg
+    // order), but cast to double at the output boundary: Spark's
+    // sum(decimal(18,2)) widens to decimal(28,2) while DuckDB widens
+    // to DECIMAL(38,2), and that representation gap fails the hash
+    // compare even though the values match. Sums are ~10^7 at two
+    // decimals — five orders inside double's 2^53 exactness window.
     pruned.join(b, col("o_custkey") === col("r_custkey"))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("pairs"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
       .orderBy("o_custkey")
   }
 
@@ -1619,7 +1624,8 @@ object LakeQueries {
         |ORDER BY o.o_orderkey""".stripMargin,
     "lake_spj_composite" ->
       """SELECT e.o_custkey, count(*) AS pairs,
-        |       sum(CAST(e.o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |       CAST(sum(CAST(e.o_totalprice AS DECIMAL(18,2)))
+        |            AS DOUBLE) AS sum_price
         |FROM (SELECT o_custkey, o_totalprice FROM orders
         |      WHERE o_orderkey % 2 = 0
         |        AND o_orderdate >= TIMESTAMP '2001-01-01') e
