@@ -35,6 +35,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
 case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Fast path: every case below matches only unresolved nodes
+    // (UnresolvedRelation, DescribeRelation over an unresolved
+    // target), so a fully-resolved plan cannot match — skip the tree
+    // walk. The analyzer re-runs resolution rules to fixed point, so
+    // this rule is invoked many times per query on already-resolved
+    // plans; `resolved` is a cached lazy val, making the skip O(1).
+    if (plan.resolved) return plan
     val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
     plan.transformUp {
       // DESCRIBE TABLE on a governed name answers from the POLICY,

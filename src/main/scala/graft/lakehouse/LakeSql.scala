@@ -66,7 +66,13 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name, op)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    lowerCommand(plan).getOrElse(resolveReads(plan))
+    // Fast path: lowerCommand needs an UnresolvedRelation target and
+    // resolveReads matches only unresolved relations / time travels,
+    // so a fully-resolved plan cannot match either — skip the walk.
+    // (The analyzer re-invokes resolution rules to fixed point, so
+    // most invocations see an already-resolved plan.)
+    if (plan.resolved) plan
+    else lowerCommand(plan).getOrElse(resolveReads(plan))
 
   /** SQL reads over registered lakehouse names: an [[UnresolvedRelation]]
     * that Spark's own catalog rules left unresolved (so no temp view or

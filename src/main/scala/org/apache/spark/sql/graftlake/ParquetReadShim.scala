@@ -48,13 +48,35 @@ object ParquetReadShim {
     * would observe the flipped value and hand a row consumer a
     * ColumnarBatch iterator, or vice versa). `cloneSession` copies
     * the session state (confs included) over the same SparkContext,
-    * so the pin is invisible to every other planner. */
+    * so the pin is invisible to every other planner.
+    *
+    * CACHED per (underlying session, vectorized flag): cloning full
+    * session state per scan-factory build is measurable planner
+    * overhead, and the two pinned clones are immutable-for-purpose
+    * (nothing else writes their confs). Weak keys let a stopped
+    * session's clones be collected. */
+  private val pinnedCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.mutable.Map[Boolean, ClassicSession]]())
   private def pinnedSession(spark: SparkSession,
       vectorized: Boolean): ClassicSession = {
-    val clone = spark.asInstanceOf[ClassicSession].cloneSession()
-    clone.conf.set("spark.sql.parquet.enableVectorizedReader",
-      vectorized.toString)
-    clone
+    val perSession = pinnedCache.synchronized {
+      var m = pinnedCache.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[Boolean, ClassicSession]
+        pinnedCache.put(spark, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(vectorized, {
+        val clone = spark.asInstanceOf[ClassicSession].cloneSession()
+        clone.conf.set("spark.sql.parquet.enableVectorizedReader",
+          vectorized.toString)
+        clone
+      })
+    }
   }
 
   def rowReadFunc(spark: SparkSession, dataSchema: StructType,
