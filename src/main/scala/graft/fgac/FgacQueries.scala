@@ -308,13 +308,17 @@ object FgacQueries {
 
   /** Views × FGAC (the Lake Formation / Athena view model: consumers
     * query through a view rather than the table). Decision matrix:
-    *  - DEFINER view ('security'='definer'): a principal with NO
-    *    grant on `customer` reads through it, and sees exactly the
-    *    view OWNER's filtered visibility (captured at CREATE — the
-    *    Athena/LF semantics where the view owner's rights apply);
-    *  - INVOKER view (default, Iceberg semantics): the same
-    *    principal is denied, because underlying tables re-authorize
-    *    as the QUERYING principal;
+    *  - DEFINER view ('security'='definer'): a foreign principal reads
+    *    through it ONLY when the view is governed and granted (the
+    *    Athena/LF model: sharing goes through an admin grant on the
+    *    view); the granted reader then sees exactly the view OWNER's
+    *    filtered visibility (captured at CREATE);
+    *  - an UNGOVERNED definer view is private to its definer — a
+    *    foreign read is denied (otherwise a non-grantable grantee
+    *    could republish their slice, bypassing regrant narrowing);
+    *  - INVOKER view (default, Iceberg semantics): underlying tables
+    *    re-authorize as the QUERYING principal, so an ungranted
+    *    reader is denied;
     *  - a GOVERNED view requires its own grant (deny-by-default),
     *    and the view-level policy narrows further on the view output;
     *  - views are read-only — DML refuses;
@@ -324,15 +328,28 @@ object FgacQueries {
     setup(s, dir)
     SecureCatalog.register(Principal("vw_owner", grants = Map(
       "customer" -> TablePolicy("customer", rowFilter = Some(RowFilter),
-        allowedColumns = Some(VisibleCols)))))
-    SecureCatalog.register(Principal("vw_consumer"))
+        allowedColumns = Some(VisibleCols)),
+      // write grant on the (governed) view name: lets the owner's
+      // CREATE OR REPLACE re-run once the view is governed below
+      "fgac_v_definer" -> TablePolicy("fgac_v_definer", write = true))))
     asPrincipal(s, "vw_owner") {
       s.sql("""CREATE OR REPLACE VIEW fgac_v_definer
               |TBLPROPERTIES('security'='definer')
               |AS SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
       s.sql("""CREATE OR REPLACE VIEW fgac_v_invoker
               |AS SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
+      // an ungoverned definer view — private to its definer
+      s.sql("""CREATE OR REPLACE VIEW fgac_v_defpriv
+              |TBLPROPERTIES('security'='definer')
+              |AS SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
     }
+    // the Athena/LF sharing model: the admin governs the definer view
+    // and grants the consumer on the VIEW name — that grant, not the
+    // definer property alone, is what authorizes the foreign read
+    SecureCatalog.governTable("fgac_v_definer",
+      Seq("c_custkey", "c_mktsegment"))
+    SecureCatalog.register(Principal("vw_consumer", grants = Map(
+      "fgac_v_definer" -> TablePolicy("fgac_v_definer"))))
     def attempt(scenario: String)(body: => Unit): (String, String) =
       (scenario, outcomeOf(body))
     val ownerView = Tables.customer(s, dir)
@@ -379,6 +396,20 @@ object FgacQueries {
           """CREATE OR REPLACE VIEW fgac_v_stolen
             |TBLPROPERTIES('security'='definer')
             |AS SELECT * FROM customer""".stripMargin))
+      },
+      // an UNGOVERNED definer view republishes its creator's
+      // visibility — foreign reads refuse (the republication door
+      // ADVICE r11 flagged), while the definer reads their own view
+      attempt("7_ungoverned_definer_foreign") {
+        asPrincipal(s, "team2")(
+          s.sql("SELECT * FROM fgac_v_defpriv").collect())
+      },
+      attempt("8_ungoverned_definer_self") {
+        val got = asPrincipal(s, "vw_owner")(s.sql(
+          "SELECT * FROM fgac_v_defpriv ORDER BY c_custkey"))
+        require(got.count() == ownerView.count() &&
+            got.except(ownerView).isEmpty,
+          "the definer's own read must surface their filtered slice")
       })
     rows.toDF("scenario", "decision").orderBy("scenario")
   }
@@ -409,7 +440,9 @@ object FgacQueries {
         | ('3_governed_view_ungranted', 'DENIED'),
         | ('4_governed_view_granted_narrowed', 'ALLOWED'),
         | ('5_view_write', 'REFUSED'),
-        | ('6_create_without_read', 'DENIED'))
+        | ('6_create_without_read', 'DENIED'),
+        | ('7_ungoverned_definer_foreign', 'DENIED'),
+        | ('8_ungoverned_definer_self', 'ALLOWED'))
         | AS t(scenario, decision)
         |ORDER BY scenario""".stripMargin,
     "fgac_grant_chain" ->

@@ -298,6 +298,35 @@ object SecureCatalog {
             "the delegated set")
       }
     }
+    // the requested row filter gets the same reference check as masks:
+    // row filters evaluate against the RAW row, so a grantor could
+    // otherwise probe column values THEY never held through
+    // row-membership (grant a puppet grantee `ssn LIKE '123%'` and
+    // observe which rows survive) — the exact inference channel the
+    // mask check closes. The scope is the GRANTOR's visible set, not
+    // the narrowed child set: filtering on a column the grantor can
+    // already read leaks nothing (narrowed-column regrants routinely
+    // filter on parent-visible columns), while the PARENT's own
+    // filter is exempt for the same reason one level up.
+    request.rowFilter.foreach { rf =>
+      val visible = parent.allowedColumns.getOrElse(columnsOf(target))
+      def inScope(name: String) = visible.exists(_.equalsIgnoreCase(name))
+      val refs =
+        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(rf).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.nameParts.mkString(".")
+          }
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new AccessDeniedException(
+            s"re-grant row filter does not parse: ${e.getMessage}")
+        }
+      refs.filterNot(inScope).foreach { bad =>
+        throw new AccessDeniedException(
+          s"re-grant row filter references column '$bad' outside " +
+            "the delegated set")
+      }
+    }
     val rowFilter = (parent.rowFilter, request.rowFilter) match {
       case (Some(a), Some(b)) => Some(s"($a) AND ($b)")
       case (a, b)             => b.orElse(a)

@@ -2769,23 +2769,33 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * serializes a million `getFileStatus` calls) and publish a
     * METADATA-ONLY commit carrying the sizes; every later plan then
     * reads them from the manifest. No-op without a commit when the
-    * manifest is already complete. The SPJ read path invokes this
-    * automatically on first contact with a pre-size manifest. */
+    * manifest is already complete. Explicit maintenance only — the
+    * SPJ read path stats in memory ([[statFileSizes]]) and never
+    * commits on behalf of a reader. */
   def backfillFileSizes(): Long = {
     val snap = currentSnapshot
     val missing = snap.files.filterNot(snap.fileSizes.contains)
     if (missing.isEmpty) return snap.id
+    commit("backfill-sizes", snap.schema, snap.files, snap.partitionCols,
+      expectedParent = snap.id, sizesExtra = statFileSizes(missing))
+  }
+
+  /** The distributed stat pass alone — NO commit: executors issue the
+    * filesystem RPCs in parallel and the driver gets back a size map.
+    * The SPJ read path plans from this in memory (a pure read must
+    * not advance the table or write on a reader's behalf — that is
+    * [[backfillFileSizes]], the explicit maintenance command). */
+  def statFileSizes(paths: Seq[String]): Map[String, Long] = {
+    if (paths.isEmpty) return Map.empty
     val sconf = org.apache.spark.sql.graftlake.HadoopConfShim
       .serializable(spark.sparkContext.hadoopConfiguration)
-    val statted = spark.sparkContext
-      .parallelize(missing, math.max(1, math.min(missing.size,
+    spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size,
         spark.sparkContext.defaultParallelism)))
       .map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         f -> p.getFileSystem(sconf.value).getFileStatus(p).getLen
       }.collect().toMap
-    commit("backfill-sizes", snap.schema, snap.files, snap.partitionCols,
-      expectedParent = snap.id, sizesExtra = statted)
   }
 
   /** Tombstone maintenance (Iceberg's `rewrite_position_delete_files`):

@@ -469,6 +469,30 @@ object GraftTemporalFunction {
   }
 }
 
+object LakeSpjCatalog {
+  /** Per-table cache of the read-path size stat (location → (snapshot
+    * id, sizes)): repeated plans of the same pre-size snapshot must
+    * not re-stat. One entry per table location — a new snapshot
+    * replaces it (new-format commits carry sizes in the manifest, so
+    * the cache only ever holds legacy-table entries). */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, Long])]()
+
+  private[lakehouse] def stattedSizes(t: GraftTable, snapId: Long,
+      missing: Seq[String]): Map[String, Long] = {
+    val cached = sizeCache.get(t.location)
+    if (cached != null && cached._1 == snapId) cached._2
+    else {
+      val statted =
+        try t.statFileSizes(missing)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Long] }
+      sizeCache.put(t.location, (snapId, statted))
+      statted
+    }
+  }
+}
+
 /** The `graft_spj` catalog: resolves LakeRegistry names to SPJ-read
   * tables and the transform functions for partitioning resolution.
   * Pure read surface — DDL goes through the `USING graft` front-end. */
@@ -496,21 +520,18 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
     }
     var snap = validated(t.currentSnapshot)
     // pre-size manifests (older format) would otherwise pay one
-    // driver-side getFileStatus per file at EVERY plan — backfill the
-    // sizes once (distributed pass + metadata-only commit) on first
-    // contact and plan from the manifest ever after. BEST-EFFORT on
-    // this READ path: on read-only storage, or when concurrent first
-    // readers race the publish CAS (one wins, the commit exists),
-    // the read proceeds on the per-file stat fallback instead of
-    // failing — the backfill is an optimization, never a gate.
-    if (snap.files.exists(f => !snap.fileSizes.contains(f))) {
-      try t.backfillFileSizes()
-      catch { case scala.util.control.NonFatal(_) => () }
-      val after = t.currentSnapshot
-      // the backfill (or a racing writer) advanced the table —
-      // re-validate the snapshot the scan will actually use
-      if (after.id != snap.id) snap = validated(after)
-    }
+    // driver-side getFileStatus per file at EVERY plan — stat the
+    // missing sizes in ONE distributed pass and plan from an
+    // in-memory augmented snapshot. NO commit: a pure read must not
+    // advance snapshot ids (VERSION AS OF / WAP / time-travel
+    // observers) or perform a table write on a reader's behalf — the
+    // durable backfill is `backfillFileSizes()`, an explicit
+    // maintenance command. BEST-EFFORT: on stat failure the read
+    // proceeds on the per-file fallback instead of failing.
+    val missing = snap.files.filterNot(snap.fileSizes.contains)
+    if (missing.nonEmpty)
+      snap = snap.copy(fileSizes =
+        snap.fileSizes ++ LakeSpjCatalog.stattedSizes(t, snap.id, missing))
     new LakeSpjTable(ident.name, t, Some(snap))
   }
 

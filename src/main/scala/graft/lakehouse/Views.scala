@@ -104,6 +104,21 @@ object ViewExpansion {
     val policy =
       if (who.isEmpty || !SecureCatalog.isGoverned(name)) None
       else SecureCatalog.authorize(who, name)
+    // Definer views REPUBLISH their creator's visibility, so a foreign
+    // principal may only read one through an explicit grant: the view
+    // must be governed (the authorize above then gates every reader).
+    // Without this, a read-only grantee with no GRANT OPTION could
+    // CREATE VIEW … 'security'='definer' and hand their entire
+    // filtered slice to every principal — bypassing the regrant
+    // narrowing law. The definer reads their own view freely; the
+    // ungoverned (admin) session bypasses like everywhere else.
+    if (vd.definerSecurity && vd.definer.nonEmpty && who.nonEmpty &&
+        who != vd.definer && !SecureCatalog.isGoverned(name))
+      throw new graft.fgac.AccessDeniedException(
+        s"definer view '$name' republishes the visibility of its " +
+          s"creator '${vd.definer}'; reads by other principals " +
+          "require the view to be governed and granted " +
+          "(SecureCatalog.governTable + a grant on the view name)")
     // an ungoverned (admin) session bypasses — never downgrade admin
     // to the definer's filtered visibility
     val inner =

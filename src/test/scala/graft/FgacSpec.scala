@@ -235,6 +235,25 @@ class FgacSpec extends AnyFunSuite {
       TablePolicy("customer", allowedColumns = Some(Seq("c_custkey"))))
     assert(SecureCatalog.principal("gct_team")
       .exists(_.grants.contains("customer")))
+    // a requested ROW FILTER gets the same reference scoping as masks:
+    // it evaluates against the RAW row, so a grantor referencing a
+    // column they never held would probe its values through
+    // row-membership on a puppet grantee (the r11 ADVICE channel)
+    intercept[AccessDeniedException](
+      SecureCatalog.regrant("gce_admin", "gcrf_team", "customer",
+        TablePolicy("customer",
+          rowFilter = Some("c_acctbal > 5000"))))
+    // …an unparseable filter refuses rather than shipping
+    intercept[AccessDeniedException](
+      SecureCatalog.regrant("gce_admin", "gcrf_team", "customer",
+        TablePolicy("customer", rowFilter = Some("c_custkey >"))))
+    // …but filtering on a column the GRANTOR holds is fine even when
+    // the CHILD's column set is narrowed past it
+    SecureCatalog.regrant("gce_admin", "gcrf_team", "customer",
+      TablePolicy("customer", rowFilter = Some("c_name LIKE 'A%'"),
+        allowedColumns = Some(Seq("c_custkey"))))
+    assert(SecureCatalog.principal("gcrf_team")
+      .exists(_.grants("customer").rowFilter.exists(_.contains("c_name"))))
   }
 
   test("DESCRIBE permission is separate from SELECT") {
@@ -354,7 +373,9 @@ class FgacSpec extends AnyFunSuite {
       "3_governed_view_ungranted" -> "DENIED",
       "4_governed_view_granted_narrowed" -> "ALLOWED",
       "5_view_write" -> "REFUSED",
-      "6_create_without_read" -> "DENIED"))
+      "6_create_without_read" -> "DENIED",
+      "7_ungoverned_definer_foreign" -> "DENIED",
+      "8_ungoverned_definer_self" -> "ALLOWED"))
   }
 
   test("lake_view matches the flattened join-aggregate") {

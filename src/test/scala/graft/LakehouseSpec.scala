@@ -1915,8 +1915,8 @@ class LakehouseSpec extends AnyFunSuite {
         planStr.take(3000))
   }
 
-  test("SPJ read backfills pre-size manifests once: one metadata " +
-      "commit, then planning reads sizes from the manifest") {
+  test("SPJ read stats pre-size manifests in memory without a commit; " +
+      "explicit backfill publishes one metadata commit") {
     import graft.lakehouse.Spj
     val dir = Files.createTempDirectory("graft_bfs").toString
     val t0 = GraftTable.create(spark, dir,
@@ -1936,12 +1936,19 @@ class LakehouseSpec extends AnyFunSuite {
     val before = t.currentSnapshotId
     val df = Spj.read(spark, "spj_backfill", t)
     assert(df.count() == 100)
+    // a PURE READ must not advance the table: no snapshot-id shift
+    // under VERSION AS OF / WAP observers, no write on a reader's
+    // behalf (the r11 ADVICE defect) — sizes are statted in memory
+    assert(t.currentSnapshotId == before,
+      "SPJ read of a pre-size manifest must not commit")
+    // the durable backfill is the explicit maintenance command
+    t.backfillFileSizes()
     val snap = t.currentSnapshot
     assert(t.currentSnapshotId == before + 1 && snap.op == "backfill-sizes",
-      "first SPJ contact must publish exactly one backfill commit")
+      "explicit backfill must publish exactly one metadata commit")
     assert(snap.files.forall(snap.fileSizes.contains),
       "the backfill must record a size for every data file")
-    // second read: manifest complete, no further commits
+    // further reads: manifest complete, no further commits
     Spj.read(spark, "spj_backfill2", t).count()
     assert(t.currentSnapshotId == before + 1)
   }
