@@ -414,7 +414,94 @@ object FgacQueries {
     rows.toDF("scenario", "decision").orderBy("scenario")
   }
 
+  /** The SQL governance workflow end-to-end (the reference's grant
+    * commands as statements: producer_iceberg_datalake_setup.sh:221-306
+    * grants with a data-cells filter and grant option; the consumer
+    * admin re-scopes to team roles, consumer_emr_on_eks_setup.sh:313-335).
+    * Decision matrix:
+    *  1. admin GRANTs a filtered, grantable SELECT via SQL;
+    *  2. the grantee's read matches the filter;
+    *  3. the grantee re-GRANTs a narrowed slice (regrant law applies);
+    *  4. a widening re-GRANT refuses;
+    *  5. a re-GRANT by a principal without GRANT OPTION refuses;
+    *  6. SHOW GRANTS lists the topology (admin-only view, fields
+    *     require()d in-query);
+    *  7. REVOKE cascades and kills the delegated read. */
+  private val sqlGrants: Q = (s, dir) => {
+    import s.implicits._
+    setup(s, dir)
+    // fresh grantees each run: direct registration only of EMPTY
+    // principals (grants arrive via SQL below)
+    Seq("sg_delegate", "sg_team", "sg_team2", "sg_team3")
+      .foreach(n => SecureCatalog.register(Principal(n)))
+    def attempt(scenario: String)(body: => Unit): (String, String) =
+      (scenario, outcomeOf(body))
+    val rows = Seq(
+      attempt("1_admin_sql_grant") {
+        s.sql(s"""GRANT SELECT (${VisibleCols.mkString(", ")})
+                 |ON customer TO sg_delegate WITH GRANT OPTION
+                 |WHERE $RowFilter""".stripMargin)
+      },
+      attempt("2_granted_read_matches") {
+        val got = asPrincipal(s, "sg_delegate")(
+          s.sql("SELECT * FROM customer ORDER BY c_custkey"))
+        val expect = Tables.customer(s, dir)
+          .filter(org.apache.spark.sql.functions.expr(RowFilter))
+          .select(VisibleCols.map(org.apache.spark.sql.functions.col): _*)
+        require(got.columns.toSeq == VisibleCols &&
+            got.count() == expect.count() && got.except(expect).isEmpty,
+          "SQL-granted read must equal the filtered projection")
+      },
+      attempt("3_narrowed_sql_regrant") {
+        asPrincipal(s, "sg_delegate")(s.sql(
+          "GRANT SELECT (c_custkey, c_mktsegment) ON customer TO sg_team"))
+        val got = asPrincipal(s, "sg_team")(
+          s.sql("SELECT * FROM customer"))
+        require(got.columns.toSeq == Seq("c_custkey", "c_mktsegment"),
+          "delegated read must carry the narrowed columns")
+      },
+      attempt("4_widened_sql_regrant") {
+        asPrincipal(s, "sg_delegate")(s.sql(
+          "GRANT SELECT (c_custkey, c_acctbal) ON customer TO sg_team2"))
+      },
+      attempt("5_regrant_without_option") {
+        asPrincipal(s, "sg_team")(s.sql(
+          "GRANT SELECT (c_custkey) ON customer TO sg_team3"))
+      },
+      attempt("6_show_grants_topology") {
+        val all = s.sql("SHOW GRANTS ON customer").collect()
+          .map(r => r.getString(0) ->
+            (r.getString(2), r.getString(3), r.getBoolean(4), r.getString(5)))
+          .toMap
+        val d = all("sg_delegate")
+        require(d._3 && d._4.isEmpty && d._2 == RowFilter &&
+            d._1 == VisibleCols.mkString(", "),
+          s"sg_delegate's grant must list filter+option, got $d")
+        val t = all("sg_team")
+        require(!t._3 && t._4 == "sg_delegate" && t._2 == RowFilter,
+          s"sg_team's delegation must name its grantor and inherit " +
+            s"the parent filter, got $t")
+        // a non-admin sees only their own grant + their delegations
+        val mine = asPrincipal(s, "sg_team")(
+          s.sql("SHOW GRANTS ON customer")).collect().map(_.getString(0))
+        require(mine.toSeq == Seq("sg_team"),
+          s"a grantee must not enumerate other grants, saw " +
+            mine.mkString(", "))
+      },
+      attempt("7_revoke_kills_read") {
+        s.sql("REVOKE ALL ON customer FROM sg_delegate")
+        // the cascade severed sg_team's delegation too
+        require(SecureCatalog.principal("sg_team")
+            .forall(!_.grants.contains("customer")),
+          "revoking the grantor must cascade through their delegations")
+        asPrincipal(s, "sg_team")(
+          s.sql("SELECT * FROM customer").collect())
+      })
+    rows.toDF("scenario", "decision").orderBy("scenario")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fgac_sql_grants"    -> sqlGrants,
     "fgac_view"          -> viewDecisions,
     "fgac_grant_chain"   -> grantChain,
     "fgac_describe"      -> describeOnly,
@@ -433,6 +520,17 @@ object FgacQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "fgac_sql_grants" ->
+      """SELECT * FROM (VALUES
+        | ('1_admin_sql_grant', 'ALLOWED'),
+        | ('2_granted_read_matches', 'ALLOWED'),
+        | ('3_narrowed_sql_regrant', 'ALLOWED'),
+        | ('4_widened_sql_regrant', 'DENIED'),
+        | ('5_regrant_without_option', 'DENIED'),
+        | ('6_show_grants_topology', 'ALLOWED'),
+        | ('7_revoke_kills_read', 'DENIED'))
+        | AS t(scenario, decision)
+        |ORDER BY scenario""".stripMargin,
     "fgac_view" ->
       """SELECT * FROM (VALUES
         | ('1_definer_view_read', 'ALLOWED'),

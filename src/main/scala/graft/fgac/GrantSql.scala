@@ -1,0 +1,136 @@
+package graft.fgac
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, StringType}
+
+/** SQL governance front-end: `GRANT` / `REVOKE` / `SHOW GRANTS`, the
+  * statement surface of the reference's grant-command workflow (the
+  * producer grants the consumer account
+  * `aws lakeformation grant-permissions` with a data-cells filter and
+  * PermissionsWithGrantOption,
+  * producer_iceberg_datalake_setup.sh:221-306; the consumer admin
+  * re-scopes what it received to team roles,
+  * consumer_emr_on_eks_setup.sh:313-335). Spark has no GRANT grammar,
+  * so these are parser-level claims, same as the maintenance DDL.
+  *
+  *   GRANT perm[, perm…] [(col, …)] ON t TO p
+  *         [WITH GRANT OPTION] [WHERE predicate]
+  *   REVOKE ALL ON t FROM p
+  *   SHOW GRANTS ON t
+  *
+  * Permissions map onto [[TablePolicy]]: SELECT → selectable,
+  * INSERT/DELETE/UPDATE → write, DESCRIBE alone → schema-only; the
+  * optional column list narrows `allowedColumns` and WHERE becomes
+  * the row filter (Lake Formation's data-cells filter in SQL form).
+  *
+  * The issuing principal decides the path: the ungoverned (admin)
+  * session grants DIRECTLY; a governed principal's GRANT goes through
+  * [[SecureCatalog.regrant]] and therefore inherits the whole
+  * narrow-only law — needs GRANT OPTION, may only narrow columns,
+  * row filters AND-compose and are reference-scoped, masks inherit.
+  * REVOKE by a non-admin only removes delegations that principal
+  * made; any revoke CASCADES through delegations made by the revoked
+  * grantee (their authority dies with the grant).
+  */
+object GrantSql {
+
+  private val Grant =
+    """(?is)\s*GRANT\s+([A-Z_]+(?:\s*,\s*[A-Z_]+)*)\s*(?:\(([^)]*)\))?\s+ON\s+(\w+(?:\.\w+)*)\s+TO\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val Revoke =
+    """(?is)\s*REVOKE\s+ALL\s+ON\s+(\w+(?:\.\w+)*)\s+FROM\s+(\w+)\s*;?\s*""".r
+  private val ShowGrants =
+    """(?is)\s*SHOW\s+GRANTS\s+ON\s+(\w+(?:\.\w+)*)\s*;?\s*""".r
+
+  private val KnownPerms =
+    Set("SELECT", "DESCRIBE", "INSERT", "DELETE", "UPDATE", "ALL")
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Grant(perms, cols, table, grantee, option, where) =>
+      val permSet = perms.toUpperCase.split(",").map(_.trim).toSet
+      val unknown = permSet -- KnownPerms
+      require(unknown.isEmpty,
+        s"GRANT: unknown permission(s) ${unknown.mkString(", ")} " +
+          s"(supported: ${KnownPerms.toSeq.sorted.mkString(", ")})")
+      val colSeq = Option(cols).map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      require(!colSeq.exists(_.isEmpty),
+        "GRANT: empty column list — omit the parentheses for all columns")
+      Some(GraftGrantCommand(table.toLowerCase, permSet, colSeq,
+        grantee, option != null, Option(where).map(_.trim)))
+    case Revoke(table, grantee) =>
+      Some(GraftRevokeCommand(table.toLowerCase, grantee))
+    case ShowGrants(table) =>
+      Some(GraftShowGrantsCommand(table.toLowerCase))
+    case _ => None
+  }
+}
+
+case class GraftGrantCommand(table: String, perms: Set[String],
+    cols: Option[Seq[String]], grantee: String, grantOption: Boolean,
+    rowFilter: Option[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val target = SecureCatalog.resolveLink(table)
+    require(SecureCatalog.isGoverned(target),
+      s"GRANT: '$table' is not a governed resource")
+    val all = perms.contains("ALL")
+    val pol = TablePolicy(target,
+      rowFilter = rowFilter,
+      allowedColumns = cols,
+      write = all || perms.exists(Set("INSERT", "DELETE", "UPDATE")),
+      grantable = grantOption,
+      selectable = all || perms.contains("SELECT"))
+    val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
+    if (who.isEmpty) SecureCatalog.grantDirect(grantee, pol)
+    else SecureCatalog.regrant(who, grantee, target, pol)
+    Seq.empty
+  }
+}
+
+case class GraftRevokeCommand(table: String, grantee: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SecureCatalog.revoke(
+      spark.conf.get(SecureCatalog.PrincipalConf, ""), grantee, table)
+    Seq.empty
+  }
+}
+
+/** `SHOW GRANTS ON t` — the admin sees every grant on the table; a
+  * governed principal sees only their OWN grant and the delegations
+  * they made (a grantee must not enumerate the policy topology —
+  * who else reads the table, under which filters — from a plain
+  * read grant). */
+case class GraftShowGrantsCommand(table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("principal", StringType, nullable = false)(),
+    AttributeReference("permissions", StringType, nullable = false)(),
+    AttributeReference("columns", StringType, nullable = false)(),
+    AttributeReference("row_filter", StringType, nullable = false)(),
+    AttributeReference("grantable", BooleanType, nullable = false)(),
+    AttributeReference("grantor", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val target = SecureCatalog.resolveLink(table)
+    require(SecureCatalog.isGoverned(target),
+      s"SHOW GRANTS: '$table' is not a governed resource")
+    val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
+    SecureCatalog.grantsOn(target)
+      .filter { case (p, pol) =>
+        who.isEmpty || p == who || pol.grantor.contains(who) }
+      .sortBy(_._1)
+      .map { case (p, pol) =>
+        val perms = Seq(
+          if (pol.selectable) Some("SELECT") else Some("DESCRIBE"),
+          if (pol.write) Some("WRITE") else None).flatten.mkString(", ")
+        Row(p, perms,
+          pol.allowedColumns.map(_.mkString(", ")).getOrElse("*"),
+          pol.rowFilter.getOrElse(""),
+          pol.grantable,
+          pol.grantor.getOrElse(""))
+      }
+  }
+}

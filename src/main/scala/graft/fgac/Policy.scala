@@ -209,6 +209,51 @@ object SecureCatalog {
     pol.allowedColumns.getOrElse(columnsOf(target))
   }
 
+  /** Direct (admin) grant: registers `pol` as `grantee`'s policy on
+    * `pol.table`, displacing whatever was there — the ungoverned
+    * session is root, so no narrowing law applies. The SQL front-end
+    * ([[graft.fgac.GrantSql]]) routes admin GRANTs here and governed
+    * principals' GRANTs through [[regrant]]. */
+  def grantDirect(grantee: String, pol: TablePolicy): Unit = {
+    require(isGoverned(pol.table), s"'${pol.table}' is not governed")
+    val ge = principal(grantee).getOrElse(Principal(grantee))
+    register(ge.copy(grants =
+      ge.grants + (pol.table -> pol.copy(grantor = None))))
+  }
+
+  /** Revoke `grantee`'s grant on `relName`. The admin session revokes
+    * anything; a governed principal may only revoke delegations THEY
+    * made (anything else would be an unprivileged revocation — the
+    * same hazard [[regrant]]'s displacement rule guards). Revocation
+    * CASCADES through delegations the revoked grantee made on the
+    * same table: their authority to delegate died with the grant. */
+  def revoke(revoker: String, grantee: String, relName: String): Unit = {
+    val target = resolveLink(relName)
+    val ge = principal(grantee).getOrElse(
+      throw new AccessDeniedException(s"unknown principal '$grantee'"))
+    val existing = ge.grants.getOrElse(target,
+      throw new AccessDeniedException(
+        s"'$grantee' holds no grant on '$target'"))
+    if (revoker.nonEmpty && !existing.grantor.contains(revoker))
+      throw new AccessDeniedException(
+        s"principal '$revoker' may not revoke the grant on '$target' " +
+          s"held by '$grantee' (source: " +
+          s"${existing.grantor.getOrElse("a direct grant")})")
+    register(ge.copy(grants = ge.grants - target))
+    // cascade: admin authority ("") severs the whole chain below
+    grantsOn(target).filter(_._2.grantor.contains(grantee))
+      .foreach { case (p, _) => revoke("", p, target) }
+  }
+
+  /** Every (principal, policy) holding a DIRECT grant on `relName`
+    * (tag grants are per-tag, not per-table — `SHOW GRANTS` reports
+    * the table-name topology the reference's grant commands build). */
+  def grantsOn(relName: String): Seq[(String, TablePolicy)] = {
+    val target = resolveLink(relName)
+    principals.values.toArray(Array.empty[Principal]).toSeq
+      .flatMap(p => p.grants.get(target).map(p.name -> _))
+  }
+
   /** WITH GRANT OPTION delegation — the reference's two-hop chain
     * (producer grants the consumer account with grant option,
     * producer_iceberg_datalake_setup.sh:285-306; the consumer admin

@@ -939,7 +939,13 @@ class GraftSqlParser(spark: SparkSession,
     delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    LakeMaintenance.parse(spark, sqlText).getOrElse {
+    LakeMaintenance.parse(spark, sqlText)
+      // GRANT/REVOKE/SHOW GRANTS: Spark has no grammar for these at
+      // all, so the claim is unconditional (a non-governed target
+      // fails inside the command, loudly, rather than as a parse
+      // error pointing at the wrong token)
+      .orElse(graft.fgac.GrantSql.parse(sqlText))
+      .getOrElse {
       // resolve the table_changes TVF FIRST (a no-op without it):
       // lowered DDL embeds its query subtree verbatim, so a CTAS over
       // table_changes(...) would otherwise carry the unresolved TVF

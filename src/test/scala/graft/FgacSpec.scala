@@ -256,6 +256,38 @@ class FgacSpec extends AnyFunSuite {
       .exists(_.grants("customer").rowFilter.exists(_.contains("c_name"))))
   }
 
+  test("SQL GRANT/REVOKE/SHOW GRANTS: decision matrix, direct-grant " +
+      "permissions mapping, unknown perms refuse") {
+    val got = SparkEntry.queries("fgac_sql_grants")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      "1_admin_sql_grant" -> "ALLOWED",
+      "2_granted_read_matches" -> "ALLOWED",
+      "3_narrowed_sql_regrant" -> "ALLOWED",
+      "4_widened_sql_regrant" -> "DENIED",
+      "5_regrant_without_option" -> "DENIED",
+      "6_show_grants_topology" -> "ALLOWED",
+      "7_revoke_kills_read" -> "DENIED"))
+    // permission mapping: INSERT grants write without read; DESCRIBE
+    // alone is schema-only; unknown permission refuses at parse
+    FgacQueries.setup(spark, sf)
+    spark.sql("GRANT INSERT ON customer TO sq_writer")
+    val wpol = SecureCatalog.principal("sq_writer").get.grants("customer")
+    assert(wpol.write && !wpol.selectable)
+    spark.sql("GRANT DESCRIBE ON customer TO sq_desc")
+    val dpol = SecureCatalog.principal("sq_desc").get.grants("customer")
+    assert(!dpol.write && !dpol.selectable && !dpol.grantable)
+    intercept[Exception](spark.sql("GRANT FROBNICATE ON customer TO x"))
+    // GRANT on an ungoverned name fails loudly in the command
+    intercept[Exception](spark.sql("GRANT SELECT ON nope TO x"))
+    // a non-admin REVOKE of a grant they did not make refuses
+    intercept[AccessDeniedException](FgacQueries.asPrincipal(spark, "sq_desc")(
+      spark.sql("REVOKE ALL ON customer FROM sq_writer")))
+    spark.sql("REVOKE ALL ON customer FROM sq_writer")
+    assert(SecureCatalog.principal("sq_writer")
+      .forall(!_.grants.contains("customer")))
+  }
+
   test("DESCRIBE permission is separate from SELECT") {
     val df = SparkEntry.queries("fgac_describe")(spark, sf)
     val cols = df.collect().map(r => (r.getString(0), r.getString(1))).toMap
