@@ -293,6 +293,51 @@ object LakeQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Storage-partitioned join over a table with PENDING merge-on-read
+    * position tombstones — the shape a busy 100 TB fact table is
+    * always in (every fine-grained DML leaves tombstones until the
+    * next compaction), so the zero-Exchange path must serve it
+    * (Iceberg's SPJ readers apply delete files the same way). The MoR
+    * DELETE is require()d to rewrite no data file; the SPJ scan
+    * attaches each file's tombstoned positions to its split and the
+    * reader skips them, so the join both stays Exchange-free
+    * (require()d under AQE) and returns the LIVE view (oracled: the
+    * deleted status is absent from the join result). */
+  private val spjMor: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"))
+    val t1 = GraftTable.create(s, tmp("lake_spjm_o"), orders,
+      partitionBy = Seq("bucket[8](o_custkey)"))
+    t1.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "position"))
+    LakeRegistry.register("lake_spjm_t", t1)
+    val before = t1.currentSnapshot.files.toSet
+    s.sql("DELETE FROM lake_spjm_t WHERE o_orderstatus = 'F'")
+    require(t1.currentSnapshot.files.toSet == before,
+      "merge-on-read DELETE must not rewrite any data file")
+    require(t1.currentSnapshot.posDels.nonEmpty,
+      "the delete must land as position tombstones")
+    val t2 = GraftTable.create(s, tmp("lake_spjm_c"), cust,
+      partitionBy = Seq("bucket[8](c_custkey)"))
+    val a = Spj.read(s, "lake_spjm_orders", t1)
+    val b = Spj.read(s, "lake_spjm_cust", t2)
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = a.join(b, col("o_custkey") === col("c_custkey"))
+      probe.count() // execute so AQE finalizes its plan
+      require(Spj.shuffles(probe).isEmpty,
+        "tombstoned SPJ join must plan with zero Exchange under AQE")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+    a.join(b, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+      .orderBy("o_orderkey")
+  }
+
   /** MERGE with `WHEN NOT MATCHED BY SOURCE` (Spark 3.4+/Delta/
     * Iceberg): the synchronize-to-snapshot upsert — matched rows
     * update, UNMATCHED TARGET rows (no source row) delete or mark
@@ -1279,6 +1324,7 @@ object LakeQueries {
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_merge_source"     -> mergeBySource,
     "lake_spj_dpp"          -> spjDpp,
+    "lake_spj_mor"          -> spjMor,
     "lake_spj_string"       -> spjString,
     "lake_spj_composite"    -> spjComposite,
     "lake_spj_truncate"     -> spjTruncate,
@@ -1604,6 +1650,12 @@ object LakeQueries {
       """SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY o.o_orderkey""".stripMargin,
+    // the MoR-deleted status is absent from the zero-Exchange join
+    "lake_spj_mor" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus <> 'F'
         |ORDER BY o.o_orderkey""".stripMargin,
     // matched (%3=0): balance bumped; unmatched negatives deleted;
     // remaining unmatched marked STALE

@@ -59,7 +59,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * day field keeps serving partition pruning.
   *
   * Eligibility is strict, checked at `loadTable`: supported transform
-  * fields only, no pending equality/position deletes, no renames, no
+  * fields only, no pending equality deletes (position tombstones ARE
+  * served — per-file skip lists, gate-bounded), no renames, no
   * ALTER-added initial defaults, no partition-spec evolution —
   * anything else must take the general `GraftTable.read()` path (loud
   * error, never a silently-different result). Ref: the reference's
@@ -165,7 +166,21 @@ object Spj {
       .orElse {
         if (snap.files.isEmpty) Some("table has no data files")
         else if (snap.dels.nonEmpty) Some("pending equality deletes")
-        else if (snap.posDels.nonEmpty) Some("pending position deletes")
+        // position tombstones are SPJ-readable: the scan attaches each
+        // data file's tombstoned row positions to its split and the
+        // reader skips them (Iceberg's SPJ readers apply delete files
+        // the same way — a busy 100 TB fact table ALWAYS carries
+        // tombstones, so refusing them would turn the zero-Exchange
+        // path off exactly when the table is hottest). Bounded by the
+        // same on-disk gate as the normal path's broadcast anti-join:
+        // beyond it the skip-list would not fit driver/task memory —
+        // refuse loudly toward maintenance instead.
+        else if (snap.posDels.exists(p => !snap.posDelSizes.contains(p)))
+          Some("position tombstones without recorded sizes")
+        else if (snap.posDels.map(snap.posDelSizes).sum >
+            GraftTable.PosDelBroadcastBytes)
+          Some("position tombstones exceed the skip-list gate " +
+            "(OPTIMIZE … REWRITE DELETES, or compact() to materialize)")
         else if (snap.renames.nonEmpty) Some("column renames present")
         else if (snap.schema.fields.exists(
             _.metadata.contains(GraftTable.DefaultSinceKey)))
@@ -809,6 +824,26 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** data file (manifest path) → ASCENDING tombstoned row positions.
+    * Driver-side and bounded: eligibility admits tombstone sets only
+    * up to [[GraftTable.PosDelBroadcastBytes]] on disk — the same
+    * gate the normal read path's broadcast anti-join uses — so the
+    * grouped skip lists are broadcast-scale by construction. Tombstone
+    * `_file` values are recorded in `_metadata.file_path` (URI) form;
+    * manifest paths are raw, so the lookup keys by the URI rendering
+    * of each raw path. */
+  private lazy val tombsByFile: Map[String, Array[Long]] =
+    if (snap.posDels.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(snap.posDels: _*)
+        .select(col("_file"), col("_pos")).collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+    }
+  private def metaPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.toString
+
   override def description(): String =
     s"graft-lake SPJ scan, [${snap.partitionCols.mkString(", ")}]" +
       predSql.map(p => s", skipping: $p").getOrElse("")
@@ -872,14 +907,22 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
           key(pos) != null && allowed.contains(key(pos))
         }
       }
-    kept.map { case (key, files) => LakePartTupleSplit(key, files) }
+    kept.map { case (key, files) =>
+      LakePartTupleSplit(key, files,
+        files.map(f => tombsByFile.getOrElse(metaPath(f._1),
+          Array.empty[Long])))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // vectorized decode when the projected schema allows it (atomic
     // types — the common analytic case); the row closure is the
     // universal fallback. Decided once at plan time, driver-side.
-    val columnar = ParquetReadShim.columnarSupported(spark, required)
+    // Tombstoned snapshots take the row path uniformly: position
+    // skipping filters the row iterator, which a ColumnarBatch
+    // cannot express without batch rewriting.
+    val columnar = snap.posDels.isEmpty &&
+      ParquetReadShim.columnarSupported(spark, required)
     new LakeSpjReaderFactory(
       ParquetReadShim.rowReadFunc(spark, snap.schema, required),
       if (columnar)
@@ -889,9 +932,12 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
 }
 
 /** All files of one stored partition tuple — the planner aligns
-  * splits of equal `partitionKey` across the two join sides. */
+  * splits of equal `partitionKey` across the two join sides. `tombs`
+  * is aligned with `files`: the ascending tombstoned row positions of
+  * each file (empty = none pending). */
 final case class LakePartTupleSplit(key: Seq[Any],
-    files: Array[(String, Long)])
+    files: Array[(String, Long)],
+    tombs: Array[Array[Long]])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow.fromSeq(key)
 }
@@ -904,13 +950,8 @@ final class LakeSpjReaderFactory(
         Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
     extends PartitionReaderFactory {
 
-  private def iterate[T](split: LakePartTupleSplit,
-      f: org.apache.spark.sql.execution.datasources.PartitionedFile =>
-        Iterator[T]): PartitionReader[T] =
+  private def reader[T](it: Iterator[T]): PartitionReader[T] =
     new PartitionReader[T] {
-      private val it = split.files.iterator.flatMap { case (path, len) =>
-        f(ParquetReadShim.wholeFile(path, len))
-      }
       private var cur: T = _
       override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false
@@ -920,14 +961,43 @@ final class LakeSpjReaderFactory(
       override def close(): Unit = ()
     }
 
+  /** Drop the rows at `skips` (ascending) from an in-file-order row
+    * iterator: a pointer walk, O(1) amortized per row. The row's
+    * physical position is its sequential index — the whole-file,
+    * filterless closure yields every row in order, the same index
+    * `_metadata.row_index` recorded when the tombstone was written. */
+  private def skipPositions(rows: Iterator[InternalRow],
+      skips: Array[Long]): Iterator[InternalRow] = {
+    var pos = -1L
+    var sp = 0
+    rows.filter { _ =>
+      pos += 1
+      while (sp < skips.length && skips(sp) < pos) sp += 1
+      !(sp < skips.length && skips(sp) == pos)
+    }
+  }
+
   override def supportColumnarReads(partition: InputPartition): Boolean =
     readFileColumnar.isDefined
 
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    iterate(partition.asInstanceOf[LakePartTupleSplit], readFile)
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[LakePartTupleSplit]
+    reader(split.files.iterator.zipWithIndex.flatMap { case ((path, len), i) =>
+      val rows = readFile(ParquetReadShim.wholeFile(path, len))
+      val skips = split.tombs(i)
+      if (skips.isEmpty) rows else skipPositions(rows, skips)
+    })
+  }
 
   override def createColumnarReader(partition: InputPartition):
-      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    iterate(partition.asInstanceOf[LakePartTupleSplit], readFileColumnar.get)
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val split = partition.asInstanceOf[LakePartTupleSplit]
+    require(split.tombs.forall(_.isEmpty),
+      "columnar SPJ read planned over tombstoned files — the scan " +
+        "must route tombstoned snapshots through the row path")
+    reader(split.files.iterator.flatMap { case (path, len) =>
+      readFileColumnar.get(ParquetReadShim.wholeFile(path, len))
+    })
+  }
 }

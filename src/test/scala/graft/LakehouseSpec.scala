@@ -1915,6 +1915,63 @@ class LakehouseSpec extends AnyFunSuite {
         planStr.take(3000))
   }
 
+  test("SPJ serves MoR position tombstones: live view, zero Exchange, " +
+      "compose with pushed filters, oversized sets refuse loudly") {
+    import graft.lakehouse.{LakeRegistry, Spj}
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spjmor").toString,
+      (1L to 1000L).map(k =>
+        (k, k % 7, if (k % 3 == 0) "del" else "keep"))
+        .toDF("k", "g", "tag"),
+      partitionBy = Seq("bucket[4](g)"))
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "position"))
+    LakeRegistry.register("spjmor_t", t)
+    val files = t.currentSnapshot.files.toSet
+    spark.sql("DELETE FROM spjmor_t WHERE tag = 'del'")
+    assert(t.currentSnapshot.files.toSet == files &&
+      t.currentSnapshot.posDels.nonEmpty,
+      "the MoR delete must tombstone, not rewrite")
+    val live = Spj.read(spark, "spjmor_r", t)
+    assert(live.count() == (1L to 1000L).count(_ % 3 != 0),
+      "the SPJ read must skip tombstoned positions")
+    assert(live.filter(col("tag") === "del").count() == 0)
+    // pushed filters compose with the skip (stats keep the file, the
+    // tombstone drops the row, the residual filter re-checks)
+    assert(live.filter(col("k") <= 9).count() == 6)
+    // the join still plans Exchange-free and returns the live view
+    val dim = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spjmor_d").toString,
+      (0L to 6L).map(g => (g, s"g$g")).toDF("g2", "name"),
+      partitionBy = Seq("bucket[4](g2)"))
+    val b = Spj.read(spark, "spjmor_dim", dim)
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = live.join(b, col("g") === col("g2"))
+      assert(probe.count() == (1L to 1000L).count(_ % 3 != 0))
+      assert(Spj.shuffles(probe).isEmpty,
+        "tombstoned SPJ join must stay zero-Exchange")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+    // beyond the gate the zero-Exchange path refuses toward
+    // maintenance instead of collecting an unbounded skip list
+    sys.props("graft.posdel.broadcast.bytes") = "1"
+    try {
+      val e = intercept[Exception](Spj.read(spark, "spjmor_gate", t))
+      def msgs(x: Throwable): List[String] =
+        if (x == null) Nil else String.valueOf(x.getMessage) :: msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("skip-list gate")),
+        msgs(e).mkString(" | "))
+    } finally sys.props.remove("graft.posdel.broadcast.bytes")
+    // compaction materializes the tombstones and re-opens columnar SPJ
+    t.compact(4)
+    assert(t.currentSnapshot.posDels.isEmpty)
+    assert(Spj.read(spark, "spjmor_c", t).count() ==
+      (1L to 1000L).count(_ % 3 != 0))
+  }
+
   test("SPJ read stats pre-size manifests in memory without a commit; " +
       "explicit backfill publishes one metadata commit") {
     import graft.lakehouse.Spj
