@@ -926,12 +926,18 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * ([[header]]) — only the chosen snapshot gets a full manifest
     * parse, so a long history costs one bounded prefix read per
     * not-yet-cached step, once per JVM. */
-  def readAsOfTimestamp(millis: Long): DataFrame = {
+  def readAsOfTimestamp(millis: Long): DataFrame =
+    readAt(snapshotIdAsOfTimestamp(millis))
+
+  /** The snapshot id [[readAsOfTimestamp]] resolves — shared with
+    * planners that need the ID rather than a DataFrame (the SPJ
+    * catalog's `TIMESTAMP AS OF` path pins its scan to it). */
+  def snapshotIdAsOfTimestamp(millis: Long): Long = {
     var id = currentSnapshotId
     while (id > 0) {
       header(id) match {
         case Some(hd) =>
-          if (hd.ts > 0 && hd.ts <= millis) return readAt(id)
+          if (hd.ts > 0 && hd.ts <= millis) return id
           id = hd.parent
         case None => id = 0 // expired out from under the walk
       }

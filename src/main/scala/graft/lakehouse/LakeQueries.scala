@@ -338,6 +338,43 @@ object LakeQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Snapshot-pinned SPJ read (`VERSION AS OF` through the SPJ
+    * catalog): a TAGGED snapshot joins zero-Exchange while main has
+    * advanced past it — the audit/repro pattern (pin yesterday's
+    * tag, join it against the dim at full SPJ speed) that previously
+    * fell back to the shuffling read path. The pinned snapshot goes
+    * through the same one-snapshot eligibility validation as a
+    * current-state read. */
+  private val spjPinned: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val t1 = GraftTable.create(s, tmp("lake_spjp_o"),
+      orders.filter(col("o_orderkey") % 2 === 0),
+      partitionBy = Seq("bucket[8](o_custkey)"))
+    t1.createTag("audit", t1.currentSnapshotId)
+    t1.append(orders.filter(col("o_orderkey") % 2 === 1))
+    val t2 = GraftTable.create(s, tmp("lake_spjp_c"),
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+      partitionBy = Seq("bucket[8](c_custkey)"))
+    val a = Spj.readAt(s, "lake_spjp_orders", t1, "audit")
+    val b = Spj.read(s, "lake_spjp_cust", t2)
+    require(a.count() < Spj.read(s, "lake_spjp_orders", t1).count(),
+      "main must have advanced past the pinned tag")
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = a.join(b, col("o_custkey") === col("c_custkey"))
+      probe.count() // execute so AQE finalizes its plan
+      require(Spj.shuffles(probe).isEmpty,
+        "the pinned-snapshot SPJ join must plan with zero Exchange")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+    a.join(b, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+      .orderBy("o_orderkey")
+  }
+
   /** MERGE with `WHEN NOT MATCHED BY SOURCE` (Spark 3.4+/Delta/
     * Iceberg): the synchronize-to-snapshot upsert — matched rows
     * update, UNMATCHED TARGET rows (no source row) delete or mark
@@ -1325,6 +1362,7 @@ object LakeQueries {
     "lake_merge_source"     -> mergeBySource,
     "lake_spj_dpp"          -> spjDpp,
     "lake_spj_mor"          -> spjMor,
+    "lake_spj_pinned"       -> spjPinned,
     "lake_spj_string"       -> spjString,
     "lake_spj_composite"    -> spjComposite,
     "lake_spj_truncate"     -> spjTruncate,
@@ -1650,6 +1688,12 @@ object LakeQueries {
       """SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY o.o_orderkey""".stripMargin,
+    // the pinned tag predates the odd-key append
+    "lake_spj_pinned" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 2 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
     // the MoR-deleted status is absent from the zero-Exchange join
     "lake_spj_mor" ->

@@ -102,6 +102,23 @@ object Spj {
     spark.table(s"$CatalogName.$name")
   }
 
+  /** Snapshot-pinned SPJ read: `version` is a snapshot id (numeric)
+    * or a branch/tag name — `VERSION AS OF` through the SPJ catalog,
+    * so a time-travel or tagged read still joins zero-Exchange while
+    * main advances. */
+  def readAt(spark: SparkSession, name: String, t: GraftTable,
+      version: String): DataFrame = {
+    enable(spark)
+    LakeRegistry.register(name, t)
+    // rendered into SQL — refuse anything that could escape the
+    // literal rather than quote-escaping a name that is never legal
+    // as a ref anyway
+    require(version.matches("""[\w.\-]+"""),
+      s"version must be a snapshot id or ref name, got '$version'")
+    spark.sql(
+      s"SELECT * FROM $CatalogName.`$name` VERSION AS OF '$version'")
+  }
+
   /** The SPJ view of `snap`'s partition fields, or the reason the
     * spec cannot take the SPJ path. */
   private[lakehouse] def spjFields(
@@ -518,13 +535,17 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
       options: CaseInsensitiveStringMap): Unit = { catalogName = name }
   override def name(): String = catalogName
 
-  override def loadTable(ident: Identifier): Table = {
-    val t = LakeRegistry.get(ident.name).getOrElse(
+  private def registered(ident: Identifier): GraftTable =
+    LakeRegistry.get(ident.name).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, ident.name)))
-    // one snapshot for BOTH the eligibility check and the scan — a
-    // concurrent commit (MoR delete, rename, default ALTER) between
-    // a check and a later re-read would read silently wrong
+
+  /** Plan `snap0` as an SPJ table. One snapshot for BOTH the
+    * eligibility check and the scan — a concurrent commit (MoR
+    * delete, rename, default ALTER) between a check and a later
+    * re-read would read silently wrong. */
+  private def spjTable(ident: Identifier, t: GraftTable,
+      snap0: Snapshot): Table = {
     def validated(s: Snapshot): Snapshot = {
       Spj.ineligibleReason(s).foreach { why =>
         throw new UnsupportedOperationException(
@@ -533,7 +554,7 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
       }
       s
     }
-    var snap = validated(t.currentSnapshot)
+    var snap = validated(snap0)
     // pre-size manifests (older format) would otherwise pay one
     // driver-side getFileStatus per file at EVERY plan — stat the
     // missing sizes in ONE distributed pass and plan from an
@@ -548,6 +569,31 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
       snap = snap.copy(fileSizes =
         snap.fileSizes ++ LakeSpjCatalog.stattedSizes(t, snap.id, missing))
     new LakeSpjTable(ident.name, t, Some(snap))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = registered(ident)
+    spjTable(ident, t, t.currentSnapshot)
+  }
+
+  /** `VERSION AS OF <id|'ref'>` through the SPJ catalog: time-travel
+    * and branch/tag reads keep the zero-Exchange path (VERDICT r11
+    * gap #3 — they previously fell back to the shuffling read). A
+    * numeric version pins that snapshot id; anything else resolves as
+    * a branch/tag name (Iceberg's convention). The pinned snapshot
+    * goes through the SAME eligibility validation as a current-state
+    * read — the one-snapshot law holds per load. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = registered(ident)
+    val id = version.toLongOption.getOrElse(t.headOf(version))
+    spjTable(ident, t, t.snapshot(id))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = registered(ident)
+    spjTable(ident, t, t.snapshot(
+      t.snapshotIdAsOfTimestamp(Math.floorDiv(timestamp, 1000L))))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =

@@ -1972,6 +1972,51 @@ class LakehouseSpec extends AnyFunSuite {
       (1L to 1000L).count(_ % 3 != 0))
   }
 
+  test("snapshot-pinned SPJ reads: VERSION AS OF id/tag and TIMESTAMP " +
+      "AS OF join zero-Exchange while main advances") {
+    import graft.lakehouse.Spj
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spjpin").toString,
+      (1L to 500L).map(k => (k, k % 5)).toDF("k", "g"),
+      partitionBy = Seq("bucket[4](g)"))
+    val v1 = t.currentSnapshotId
+    t.createTag("v1", v1)
+    t.append((501L to 800L).map(k => (k, k % 5)).toDF("k", "g"))
+    assert(t.currentSnapshotId != v1, "main must have advanced")
+    // pin by tag and by numeric snapshot id; the current read still
+    // sees the advanced state
+    val pinned = Spj.readAt(spark, "spjpin_t", t, "v1")
+    assert(pinned.count() == 500)
+    assert(Spj.readAt(spark, "spjpin_t", t, v1.toString).count() == 500)
+    assert(Spj.read(spark, "spjpin_t", t).count() == 800)
+    // TIMESTAMP AS OF resolves through the same catalog (far-future
+    // wall clock = current head)
+    assert(spark.sql("SELECT * FROM graft_spj.`spjpin_t` " +
+      "TIMESTAMP AS OF '2100-01-01'").count() == 800)
+    // the tagged snapshot joins zero-Exchange against a live SPJ side
+    val dim = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spjpin_d").toString,
+      (0L to 4L).map(g => (g, s"g$g")).toDF("g2", "name"),
+      partitionBy = Seq("bucket[4](g2)"))
+    val b = Spj.read(spark, "spjpin_dim", dim)
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = pinned.join(b, col("g") === col("g2"))
+      assert(probe.count() == 500)
+      assert(Spj.shuffles(probe).isEmpty,
+        "a snapshot-pinned SPJ join must stay zero-Exchange")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+    // an unknown ref refuses loudly
+    val e = intercept[Exception](Spj.readAt(spark, "spjpin_t", t, "nope"))
+    def msgs(x: Throwable): List[String] =
+      if (x == null) Nil else String.valueOf(x.getMessage) :: msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("does not exist")),
+      msgs(e).mkString(" | "))
+  }
+
   test("SPJ read stats pre-size manifests in memory without a commit; " +
       "explicit backfill publishes one metadata commit") {
     import graft.lakehouse.Spj
