@@ -29,11 +29,21 @@ object Verify {
     // passing every local check. Refuse it here so it can't ship.
     def lintSchema(name: String,
                    schema: org.apache.spark.sql.types.StructType): Unit = {
+      import org.apache.spark.sql.types._
+      // recursive: a decimal nested in a struct/array/map hash-fails
+      // on the driver exactly like a top-level one
+      def hasDecimal(dt: DataType): Boolean = dt match {
+        case _: DecimalType     => true
+        case s: StructType      => s.fields.exists(f => hasDecimal(f.dataType))
+        case a: ArrayType       => hasDecimal(a.elementType)
+        case m: MapType         => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+        case _                  => false
+      }
       val decimals = schema.fields.collect {
-        case f if f.dataType.typeName.startsWith("decimal") => f.name
+        case f if hasDecimal(f.dataType) => f.name
       }
       require(decimals.isEmpty,
-        s"[verify] $name output carries raw decimal column(s) " +
+        s"[verify] $name output carries decimal-typed column(s) " +
           s"${decimals.mkString(", ")}; cast to double at the output " +
           "boundary on BOTH the Spark and oracle sides (SURVEY §5)")
     }

@@ -83,7 +83,24 @@ case class GraftGrantCommand(table: String, perms: Set[String],
       grantable = grantOption,
       selectable = all || perms.contains("SELECT"))
     val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
-    if (who.isEmpty) SecureCatalog.grantDirect(grantee, pol)
+    if (who.isEmpty) {
+      // the admin path must fail at GRANT time, not at every later
+      // grantee read: a typo'd column or unparseable WHERE would
+      // otherwise register silently and surface as an analysis error
+      // deep inside the grantee's query (regrant already validates
+      // its own path)
+      val governedCols = SecureCatalog.columnsOf(target)
+      cols.toSeq.flatten
+        .filterNot(c => governedCols.exists(_.equalsIgnoreCase(c)))
+        .foreach { bad =>
+          throw new IllegalArgumentException(
+            s"GRANT: column '$bad' is not a column of '$target' " +
+              s"(columns: ${governedCols.mkString(", ")})")
+        }
+      rowFilter.foreach(
+        SecureCatalog.checkExprRefs(_, governedCols, "GRANT row filter"))
+      SecureCatalog.grantDirect(grantee, pol)
+    }
     else SecureCatalog.regrant(who, grantee, target, pol)
     Seq.empty
   }
@@ -123,9 +140,17 @@ case class GraftShowGrantsCommand(table: String)
         who.isEmpty || p == who || pol.grantor.contains(who) }
       .sortBy(_._1)
       .map { case (p, pol) =>
+        // the honest capability set: SELECT and/or WRITE as held;
+        // DESCRIBE only for a grant carrying neither (every grant
+        // exposes schema, but inventing "DESCRIBE" next to WRITE
+        // would make a write-only grant indistinguishable from an
+        // explicit DESCRIBE+INSERT one)
         val perms = Seq(
-          if (pol.selectable) Some("SELECT") else Some("DESCRIBE"),
-          if (pol.write) Some("WRITE") else None).flatten.mkString(", ")
+          if (pol.selectable) Some("SELECT") else None,
+          if (pol.write) Some("WRITE") else None).flatten match {
+          case Nil => "DESCRIBE"
+          case ps  => ps.mkString(", ")
+        }
         Row(p, perms,
           pol.allowedColumns.map(_.mkString(", ")).getOrElse("*"),
           pol.rowFilter.getOrElse(""),

@@ -209,6 +209,41 @@ object SecureCatalog {
     pol.allowedColumns.getOrElse(columnsOf(target))
   }
 
+  /** Parse a policy expression (mask / row filter) and refuse any
+    * column reference outside `visible`. Both evaluate against the
+    * RAW row, so an out-of-scope reference is an exfiltration /
+    * row-membership-inference channel. SUBQUERY expressions refuse
+    * outright: attributes inside a subquery PLAN are not in the
+    * expression's children, so `EXISTS (SELECT 1 WHERE ssn LIKE …)`
+    * would smuggle references past the collect — and a policy
+    * expression has no business running a query anyway (Lake
+    * Formation filter expressions are scalar predicates). Shared by
+    * the regrant mask and row-filter checks and the SQL GRANT
+    * front-end's admin validation. */
+  private[fgac] def checkExprRefs(exprSql: String, visible: Seq[String],
+      what: String): Unit = {
+    def inScope(name: String) = visible.exists(_.equalsIgnoreCase(name))
+    val parsed =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(exprSql)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new AccessDeniedException(
+          s"$what does not parse: ${e.getMessage}")
+      }
+    if (parsed.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      throw new AccessDeniedException(
+        s"$what contains a subquery — policy expressions must be " +
+          "scalar predicates over the row")
+    parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.mkString(".")
+    }.filterNot(inScope).foreach { bad =>
+      throw new AccessDeniedException(
+        s"$what references column '$bad' outside the delegated set")
+    }
+  }
+
   /** Direct (admin) grant: registers `pol` as `grantee`'s policy on
     * `pol.table`, displacing whatever was there — the ungoverned
     * session is root, so no narrowing law applies. The SQL front-end
@@ -322,26 +357,10 @@ object SecureCatalog {
         throw new AccessDeniedException(
           s"re-grant may not replace the delegated mask on '$c'")
       val visible = cols.getOrElse(columnsOf(target))
-      def inScope(name: String) =
-        visible.exists(_.equalsIgnoreCase(name))
-      if (!inScope(c))
+      if (!visible.exists(_.equalsIgnoreCase(c)))
         throw new AccessDeniedException(
           s"re-grant masks column '$c' outside the delegated set")
-      val refs =
-        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-          .parseExpression(m).collect {
-            case a: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedAttribute => a.nameParts.mkString(".")
-          }
-        catch { case scala.util.control.NonFatal(e) =>
-          throw new AccessDeniedException(
-            s"re-grant mask on '$c' does not parse: ${e.getMessage}")
-        }
-      refs.filterNot(inScope).foreach { bad =>
-        throw new AccessDeniedException(
-          s"re-grant mask on '$c' references column '$bad' outside " +
-            "the delegated set")
-      }
+      checkExprRefs(m, visible, s"re-grant mask on '$c'")
     }
     // the requested row filter gets the same reference check as masks:
     // row filters evaluate against the RAW row, so a grantor could
@@ -353,25 +372,9 @@ object SecureCatalog {
     // already read leaks nothing (narrowed-column regrants routinely
     // filter on parent-visible columns), while the PARENT's own
     // filter is exempt for the same reason one level up.
-    request.rowFilter.foreach { rf =>
-      val visible = parent.allowedColumns.getOrElse(columnsOf(target))
-      def inScope(name: String) = visible.exists(_.equalsIgnoreCase(name))
-      val refs =
-        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-          .parseExpression(rf).collect {
-            case a: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedAttribute => a.nameParts.mkString(".")
-          }
-        catch { case scala.util.control.NonFatal(e) =>
-          throw new AccessDeniedException(
-            s"re-grant row filter does not parse: ${e.getMessage}")
-        }
-      refs.filterNot(inScope).foreach { bad =>
-        throw new AccessDeniedException(
-          s"re-grant row filter references column '$bad' outside " +
-            "the delegated set")
-      }
-    }
+    request.rowFilter.foreach(checkExprRefs(_,
+      parent.allowedColumns.getOrElse(columnsOf(target)),
+      "re-grant row filter"))
     val rowFilter = (parent.rowFilter, request.rowFilter) match {
       case (Some(a), Some(b)) => Some(s"($a) AND ($b)")
       case (a, b)             => b.orElse(a)

@@ -2048,7 +2048,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * side through THIS (the dual of [[decodeScanPath]]); comparing
     * the two raw forms silently matches nothing on any path with an
     * encodable character. */
-  private def metaPath(p: String): String = new Path(p).toUri.toString
+  private def metaPath(p: String): String = GraftTable.metaPath(p)
 
   /** The data files among `candidates` that contain at least one row
     * matching `hit` — one distributed pass, shipping only distinct
@@ -3682,6 +3682,15 @@ object GraftTable {
         "to NULL — omit the DEFAULT instead")
   }
   private[lakehouse] val PosIdxCol = "_gpd_pos"
+
+  /** The SINGLE authority for rendering a manifest path in
+    * `_metadata.file_path` form — every comparison of manifest paths
+    * against tombstone `_file` values must pass the manifest side
+    * through this (the instance method and the SPJ scan's tombstone
+    * lookup both delegate here; a second implementation could drift
+    * and silently match nothing). */
+  private[lakehouse] def metaPath(p: String): String =
+    new Path(p).toUri.toString
 
   /** On-disk tombstone bytes above which the position-delete
     * anti-join stops broadcasting (overridable for tests via

@@ -502,26 +502,34 @@ object GraftTemporalFunction {
 }
 
 object LakeSpjCatalog {
-  /** Per-table cache of the read-path size stat (location → (snapshot
-    * id, sizes)): repeated plans of the same pre-size snapshot must
-    * not re-stat. One entry per table location — a new snapshot
-    * replaces it (new-format commits carry sizes in the manifest, so
-    * the cache only ever holds legacy-table entries). */
+  /** Read-path size-stat cache, keyed (table location, snapshot id):
+    * repeated plans of the same pre-size snapshot must not re-stat,
+    * and alternating pinned/current reads of a legacy table must not
+    * thrash each other. FAILURES ARE NOT CACHED — a transient
+    * filesystem error retries the distributed pass on the next plan
+    * instead of silently demoting every later plan to the per-file
+    * fallback. Bounded (legacy pre-size snapshots only; new-format
+    * commits carry sizes in the manifest): on overflow the cache
+    * clears — worst case one redundant distributed stat, never
+    * unbounded driver memory. */
+  private val SizeCacheMax = 64
   private val sizeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, Long])]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, Long]]()
 
   private[lakehouse] def stattedSizes(t: GraftTable, snapId: Long,
       missing: Seq[String]): Map[String, Long] = {
-    val cached = sizeCache.get(t.location)
-    if (cached != null && cached._1 == snapId) cached._2
-    else {
-      val statted =
-        try t.statFileSizes(missing)
-        catch { case scala.util.control.NonFatal(_) =>
-          Map.empty[String, Long] }
-      sizeCache.put(t.location, (snapId, statted))
-      statted
-    }
+    val key = (t.location, snapId)
+    val cached = sizeCache.get(key)
+    if (cached != null) cached
+    else
+      try {
+        val statted = t.statFileSizes(missing)
+        if (sizeCache.size >= SizeCacheMax) sizeCache.clear()
+        sizeCache.put(key, statted)
+        statted
+      } catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Long] // best-effort: per-file fallback reads
+      }
   }
 }
 
@@ -887,8 +895,8 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
         .groupBy(_.getString(0))
         .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
     }
-  private def metaPath(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.toString
+  // the one metaPath authority — see GraftTable.metaPath's contract
+  private def metaPath(p: String): String = GraftTable.metaPath(p)
 
   override def description(): String =
     s"graft-lake SPJ scan, [${snap.partitionCols.mkString(", ")}]" +

@@ -52,25 +52,32 @@ object ParquetReadShim {
     *
     * CACHED per (underlying session, vectorized flag): cloning full
     * session state per scan-factory build is measurable planner
-    * overhead, and the two pinned clones are immutable-for-purpose
-    * (nothing else writes their confs). Weak keys let a stopped
-    * session's clones be collected. */
+    * overhead. The cache is NOT allowed to freeze the parent's
+    * runtime confs (timezone, rebase modes, binaryAsString — all of
+    * which steer parquet decode): each entry remembers the parent's
+    * conf map at clone time and rebuilds when it has changed, so an
+    * SPJ read always decodes under the same settings a plain read
+    * would. Weak keys let a stopped session's clones be collected. */
+  private final case class Pinned(confs: Map[String, String],
+      byVectorized: scala.collection.mutable.Map[Boolean, ClassicSession])
   private val pinnedCache =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.mutable.Map[Boolean, ClassicSession]]())
+      new java.util.WeakHashMap[SparkSession, Pinned]())
   private def pinnedSession(spark: SparkSession,
       vectorized: Boolean): ClassicSession = {
-    val perSession = pinnedCache.synchronized {
-      var m = pinnedCache.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[Boolean, ClassicSession]
-        pinnedCache.put(spark, m)
+    val parentConfs =
+      spark.asInstanceOf[ClassicSession].sessionState.conf.getAllConfs
+    val entry = pinnedCache.synchronized {
+      var p = pinnedCache.get(spark)
+      if (p == null || p.confs != parentConfs) {
+        p = Pinned(parentConfs,
+          scala.collection.mutable.Map.empty[Boolean, ClassicSession])
+        pinnedCache.put(spark, p)
       }
-      m
+      p
     }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(vectorized, {
+    entry.byVectorized.synchronized {
+      entry.byVectorized.getOrElseUpdate(vectorized, {
         val clone = spark.asInstanceOf[ClassicSession].cloneSession()
         clone.conf.set("spark.sql.parquet.enableVectorizedReader",
           vectorized.toString)

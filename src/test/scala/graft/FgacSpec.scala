@@ -254,6 +254,18 @@ class FgacSpec extends AnyFunSuite {
         allowedColumns = Some(Seq("c_custkey"))))
     assert(SecureCatalog.principal("gcrf_team")
       .exists(_.grants("customer").rowFilter.exists(_.contains("c_name"))))
+    // SUBQUERIES in policy expressions refuse outright: attributes
+    // inside the subquery PLAN escape reference collection, so
+    // `EXISTS (SELECT … WHERE ssn LIKE …)` would smuggle an
+    // undelegated reference past the scope check
+    intercept[AccessDeniedException](
+      SecureCatalog.regrant("gce_admin", "gcsq_team", "customer",
+        TablePolicy("customer", rowFilter =
+          Some("EXISTS (SELECT 1 WHERE c_acctbal > 0)"))))
+    intercept[AccessDeniedException](
+      SecureCatalog.regrant("gce_admin", "gcsq_team", "customer",
+        TablePolicy("customer", masks =
+          Map("c_name" -> "(SELECT max(c_acctbal) FROM customer)"))))
   }
 
   test("SQL GRANT/REVOKE/SHOW GRANTS: decision matrix, direct-grant " +
@@ -277,9 +289,24 @@ class FgacSpec extends AnyFunSuite {
     spark.sql("GRANT DESCRIBE ON customer TO sq_desc")
     val dpol = SecureCatalog.principal("sq_desc").get.grants("customer")
     assert(!dpol.write && !dpol.selectable && !dpol.grantable)
+    // SHOW GRANTS renders the honest capability set — a write-only
+    // grant is WRITE, not an invented DESCRIBE+WRITE
+    val shown = spark.sql("SHOW GRANTS ON customer").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown("sq_writer") == "WRITE" && shown("sq_desc") == "DESCRIBE")
     intercept[Exception](spark.sql("GRANT FROBNICATE ON customer TO x"))
     // GRANT on an ungoverned name fails loudly in the command
     intercept[Exception](spark.sql("GRANT SELECT ON nope TO x"))
+    // the ADMIN path validates at GRANT time, not at the grantee's
+    // first read: bad column, bad filter, filter subquery all refuse
+    intercept[Exception](spark.sql(
+      "GRANT SELECT (no_such_col) ON customer TO x"))
+    intercept[Exception](spark.sql(
+      "GRANT SELECT ON customer TO x WHERE c_custkey >"))
+    intercept[Exception](spark.sql(
+      "GRANT SELECT ON customer TO x WHERE EXISTS (SELECT 1)"))
+    assert(SecureCatalog.principal("x").forall(
+      !_.grants.contains("customer")))
     // a non-admin REVOKE of a grant they did not make refuses
     intercept[AccessDeniedException](FgacQueries.asPrincipal(spark, "sq_desc")(
       spark.sql("REVOKE ALL ON customer FROM sq_writer")))
