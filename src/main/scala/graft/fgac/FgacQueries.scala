@@ -414,6 +414,82 @@ object FgacQueries {
     rows.toDF("scenario", "decision").orderBy("scenario")
   }
 
+  /** Namespace (database-resource) grants — the reference's FIRST
+    * grant is database-level: the producer grants the consumer
+    * account DESCRIBE on the whole database WITH GRANT OPTION
+    * (producer_iceberg_datalake_setup.sh:259-274), then layers table
+    * grants with filters on top. Decision matrix:
+    *  1. admin grants DB-level DESCRIBE (grantable) via SQL — the
+    *     grantee can DESCRIBE any governed table under the namespace;
+    *  2. the same DB grant does NOT allow a scan (DESCRIBE-only);
+    *  3. a table-level filtered SELECT layers on top and wins
+    *     (most-specific: table > tag > namespace);
+    *  4. the DB grant re-delegates DESCRIBE (grant option);
+    *  5. a re-delegation widening DESCRIBE to SELECT refuses;
+    *  6. revoking the DB grant cascades through its delegations while
+    *     the independent table grant survives. */
+  private val nsGrants: Q = (s, dir) => {
+    import s.implicits._
+    Seq("gov", "dev").foreach(c => s.conf.set(
+      s"spark.sql.catalog.$c", classOf[GovernedCatalog].getName))
+    val patients = Tables.customer(s, dir)
+    patients.createOrReplaceTempView(
+      SecureCatalog.rawViewName("gov.healthcare_db.patients"))
+    SecureCatalog.governTable("gov.healthcare_db.patients",
+      patients.columns.toIndexedSeq)
+    Seq("nsg_consumer", "nsg_team", "nsg_analyst")
+      .foreach(n => SecureCatalog.register(Principal(n)))
+    def attempt(scenario: String)(body: => Unit): (String, String) =
+      (scenario, outcomeOf(body))
+    val rows = Seq(
+      attempt("1_db_describe_grant") {
+        s.sql("GRANT DESCRIBE ON NAMESPACE gov.healthcare_db " +
+          "TO nsg_consumer WITH GRANT OPTION")
+        val desc = asPrincipal(s, "nsg_consumer")(
+          s.sql("DESCRIBE TABLE gov.healthcare_db.patients")).collect()
+        require(desc.map(_.getString(0)).contains("c_custkey"),
+          "a DB-level DESCRIBE grant must expose the schema")
+      },
+      attempt("2_ns_scan_denied") {
+        asPrincipal(s, "nsg_consumer")(
+          s.sql("SELECT * FROM gov.healthcare_db.patients").collect())
+      },
+      attempt("3_table_grant_overrides") {
+        s.sql(s"""GRANT SELECT (c_custkey, c_mktsegment)
+                 |ON gov.healthcare_db.patients TO nsg_consumer
+                 |WHERE $RowFilter""".stripMargin)
+        val got = asPrincipal(s, "nsg_consumer")(s.sql(
+          "SELECT * FROM gov.healthcare_db.patients"))
+        require(got.columns.toSeq == Seq("c_custkey", "c_mktsegment"),
+          "the table-level grant must win over the namespace grant")
+      },
+      attempt("4_ns_regrant_describe") {
+        asPrincipal(s, "nsg_consumer")(s.sql(
+          "GRANT DESCRIBE ON NAMESPACE gov.healthcare_db TO nsg_team"))
+        val desc = asPrincipal(s, "nsg_team")(
+          s.sql("DESCRIBE TABLE gov.healthcare_db.patients")).collect()
+        require(desc.nonEmpty, "the delegated DESCRIBE must work")
+      },
+      attempt("5_ns_regrant_widen") {
+        asPrincipal(s, "nsg_consumer")(s.sql(
+          "GRANT SELECT ON NAMESPACE gov.healthcare_db TO nsg_analyst"))
+      },
+      attempt("6_ns_revoke_cascades") {
+        s.sql("REVOKE ALL ON NAMESPACE gov.healthcare_db " +
+          "FROM nsg_consumer")
+        require(SecureCatalog.principal("nsg_team")
+            .forall(_.nsGrants.isEmpty),
+          "revoking the DB grant must cascade through its delegations")
+        // the independent TABLE grant survives the namespace revoke
+        require(asPrincipal(s, "nsg_consumer")(s.sql(
+          "SELECT * FROM gov.healthcare_db.patients")).count() > 0,
+          "the table-level grant must survive the namespace revoke")
+        asPrincipal(s, "nsg_team")(
+          s.sql("DESCRIBE TABLE gov.healthcare_db.patients").collect())
+      })
+    rows.toDF("scenario", "decision").orderBy("scenario")
+  }
+
   /** The SQL governance workflow end-to-end (the reference's grant
     * commands as statements: producer_iceberg_datalake_setup.sh:221-306
     * grants with a data-cells filter and grant option; the consumer
@@ -501,6 +577,7 @@ object FgacQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "fgac_ns_grant"      -> nsGrants,
     "fgac_sql_grants"    -> sqlGrants,
     "fgac_view"          -> viewDecisions,
     "fgac_grant_chain"   -> grantChain,
@@ -520,6 +597,16 @@ object FgacQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "fgac_ns_grant" ->
+      """SELECT * FROM (VALUES
+        | ('1_db_describe_grant', 'ALLOWED'),
+        | ('2_ns_scan_denied', 'DENIED'),
+        | ('3_table_grant_overrides', 'ALLOWED'),
+        | ('4_ns_regrant_describe', 'ALLOWED'),
+        | ('5_ns_regrant_widen', 'DENIED'),
+        | ('6_ns_revoke_cascades', 'DENIED'))
+        | AS t(scenario, decision)
+        |ORDER BY scenario""".stripMargin,
     "fgac_sql_grants" ->
       """SELECT * FROM (VALUES
         | ('1_admin_sql_grant', 'ALLOWED'),

@@ -39,15 +39,36 @@ object GrantSql {
 
   private val Grant =
     """(?is)\s*GRANT\s+([A-Z_]+(?:\s*,\s*[A-Z_]+)*)\s*(?:\(([^)]*)\))?\s+ON\s+(\w+(?:\.\w+)*)\s+TO\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val NsGrant =
+    """(?is)\s*GRANT\s+([A-Z_]+(?:\s*,\s*[A-Z_]+)*)\s+ON\s+NAMESPACE\s+(\w+(?:\.\w+)*)\s+TO\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*""".r
   private val Revoke =
     """(?is)\s*REVOKE\s+ALL\s+ON\s+(\w+(?:\.\w+)*)\s+FROM\s+(\w+)\s*;?\s*""".r
+  private val NsRevoke =
+    """(?is)\s*REVOKE\s+ALL\s+ON\s+NAMESPACE\s+(\w+(?:\.\w+)*)\s+FROM\s+(\w+)\s*;?\s*""".r
   private val ShowGrants =
     """(?is)\s*SHOW\s+GRANTS\s+ON\s+(\w+(?:\.\w+)*)\s*;?\s*""".r
+  private val NsShowGrants =
+    """(?is)\s*SHOW\s+GRANTS\s+ON\s+NAMESPACE\s+(\w+(?:\.\w+)*)\s*;?\s*""".r
 
   private val KnownPerms =
     Set("SELECT", "DESCRIBE", "INSERT", "DELETE", "UPDATE", "ALL")
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    // NAMESPACE forms first — the table patterns would otherwise have
+    // to prove they cannot also match (they cannot, but order makes
+    // it structural)
+    case NsGrant(perms, ns, grantee, option) =>
+      val permSet = perms.toUpperCase.split(",").map(_.trim).toSet
+      val unknown = permSet -- KnownPerms
+      require(unknown.isEmpty,
+        s"GRANT: unknown permission(s) ${unknown.mkString(", ")} " +
+          s"(supported: ${KnownPerms.toSeq.sorted.mkString(", ")})")
+      Some(GraftNsGrantCommand(ns.toLowerCase, permSet, grantee,
+        option != null))
+    case NsRevoke(ns, grantee) =>
+      Some(GraftNsRevokeCommand(ns.toLowerCase, grantee))
+    case NsShowGrants(ns) =>
+      Some(GraftShowGrantsCommand(ns.toLowerCase, namespace = true))
     case Grant(perms, cols, table, grantee, option, where) =>
       val permSet = perms.toUpperCase.split(",").map(_.trim).toSet
       val unknown = permSet -- KnownPerms
@@ -115,12 +136,43 @@ case class GraftRevokeCommand(table: String, grantee: String)
   }
 }
 
-/** `SHOW GRANTS ON t` — the admin sees every grant on the table; a
-  * governed principal sees only their OWN grant and the delegations
-  * they made (a grantee must not enumerate the policy topology —
-  * who else reads the table, under which filters — from a plain
-  * read grant). */
-case class GraftShowGrantsCommand(table: String)
+/** `GRANT perm[, …] ON NAMESPACE ns TO p [WITH GRANT OPTION]` — the
+  * Lake Formation Database-resource grant (the reference grants the
+  * consumer account DESCRIBE on the whole database with grant option,
+  * producer_iceberg_datalake_setup.sh:259-274). Permission-only: no
+  * column list, no WHERE. Admin grants directly; a governed
+  * principal's grant delegates through the namespace narrow-only law. */
+case class GraftNsGrantCommand(ns: String, perms: Set[String],
+    grantee: String, grantOption: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val all = perms.contains("ALL")
+    val pol = TablePolicy(ns,
+      write = all || perms.exists(Set("INSERT", "DELETE", "UPDATE")),
+      grantable = grantOption,
+      selectable = all || perms.contains("SELECT"))
+    val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
+    if (who.isEmpty) SecureCatalog.nsGrantDirect(grantee, ns, pol)
+    else SecureCatalog.nsRegrant(who, grantee, ns, pol)
+    Seq.empty
+  }
+}
+
+case class GraftNsRevokeCommand(ns: String, grantee: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SecureCatalog.nsRevoke(
+      spark.conf.get(SecureCatalog.PrincipalConf, ""), grantee, ns)
+    Seq.empty
+  }
+}
+
+/** `SHOW GRANTS ON t` / `SHOW GRANTS ON NAMESPACE ns` — the admin
+  * sees every grant on the resource; a governed principal sees only
+  * their OWN grant and the delegations they made (a grantee must not
+  * enumerate the policy topology — who else reads the table, under
+  * which filters — from a plain read grant). */
+case class GraftShowGrantsCommand(table: String,
+    namespace: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("principal", StringType, nullable = false)(),
@@ -131,11 +183,16 @@ case class GraftShowGrantsCommand(table: String)
     AttributeReference("grantor", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val target = SecureCatalog.resolveLink(table)
-    require(SecureCatalog.isGoverned(target),
-      s"SHOW GRANTS: '$table' is not a governed resource")
     val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
-    SecureCatalog.grantsOn(target)
+    val entries =
+      if (namespace) SecureCatalog.nsGrantsOn(table)
+      else {
+        val target = SecureCatalog.resolveLink(table)
+        require(SecureCatalog.isGoverned(target),
+          s"SHOW GRANTS: '$table' is not a governed resource")
+        SecureCatalog.grantsOn(target)
+      }
+    entries
       .filter { case (p, pol) =>
         who.isEmpty || p == who || pol.grantor.contains(who) }
       .sortBy(_._1)

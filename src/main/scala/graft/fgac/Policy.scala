@@ -71,7 +71,18 @@ final case class Principal(
       * table carrying the tag is covered. A direct table grant wins
       * over a tag grant (most-specific). The policy's `table` field
       * is rebound to the concrete table at authorization time. */
-    tagGrants: Map[String, TablePolicy] = Map.empty)
+    tagGrants: Map[String, TablePolicy] = Map.empty,
+    /** namespace (dotted prefix) -> policy: the Lake Formation
+      * Database-resource grant (the reference grants the consumer
+      * account DESCRIBE on the whole database,
+      * producer_iceberg_datalake_setup.sh:259-274, before any table
+      * grant). Covers every governed table under the namespace —
+      * queried directly or through a resource link living in it.
+      * Weakest in the fallback chain: table grant > tag grant >
+      * namespace grant (most-specific wins). Namespace policies are
+      * PERMISSION-ONLY (no filters/columns/masks — LF database
+      * grants carry none); longest matching prefix wins. */
+    nsGrants: Map[String, TablePolicy] = Map.empty)
 
 /** Deny-by-default violation (team2 querying patients in the ref). */
 final class AccessDeniedException(msg: String)
@@ -154,15 +165,40 @@ object SecureCatalog {
     * (admin) sessions pass; everything else is deny-by-default —
     * without this, any principal that could *name* a table could
     * mutate it regardless of its read grant. */
+  /** The policy `p` holds for the queried `relName` / its resolved
+    * `target`, most-specific first: direct table grant > tag grant >
+    * namespace grant (the LF precedence). The policy's table field is
+    * rebound to the concrete target. */
+  private def effectivePolicy(p: Principal, relName: String,
+      target: String): Option[TablePolicy] =
+    p.grants.get(target)
+      .orElse(tagsOf(target).toSeq.sorted.flatMap(p.tagGrants.get)
+        .headOption.map(_.copy(table = target)))
+      .orElse(nsPolicyFor(p, relName, target).map(_.copy(table = target)))
+
+  /** The longest-prefix namespace grant covering either the QUERIED
+    * name (a resource link lives in the consumer's database — a grant
+    * on that database covers it) or the resolved target's own
+    * namespace. */
+  private def nsPolicyFor(p: Principal, relName: String,
+      target: String): Option[TablePolicy] = {
+    if (p.nsGrants.isEmpty) return None
+    def prefixes(n: String): Seq[String] = {
+      val parts = n.toLowerCase.split('.')
+      (parts.length - 1 to 1 by -1).map(k => parts.take(k).mkString("."))
+    }
+    (prefixes(relName) ++ prefixes(target))
+      .distinct.sortBy(-_.length)
+      .flatMap(p.nsGrants.get).headOption
+  }
+
   def authorizeWrite(principalName: String, relName: String, op: String): Unit = {
     if (principalName.isEmpty) return // admin / ungoverned session
     val target = resolveLink(relName)
     if (!isGoverned(target)) return
     val p = principal(principalName).getOrElse(
       throw new AccessDeniedException(s"unknown principal '$principalName'"))
-    val pol = p.grants.get(target)
-      .orElse(tagsOf(target).toSeq.sorted.flatMap(p.tagGrants.get).headOption)
-    if (!pol.exists(_.write))
+    if (!effectivePolicy(p, relName, target).exists(_.write))
       throw new AccessDeniedException(
         s"principal '${p.name}' has no write grant on governed table " +
           s"'$target' (attempted $op)")
@@ -177,12 +213,7 @@ object SecureCatalog {
       throw new AccessDeniedException(s"unknown principal '$principalName'"))
     val target = resolveLink(relName)
     if (!isGoverned(target)) None
-    else p.grants.get(target)
-      .orElse(
-        // tag grants, most specific first is table grant (above);
-        // among tags, deterministic by tag name
-        tagsOf(target).toSeq.sorted.flatMap(p.tagGrants.get).headOption
-          .map(_.copy(table = target)))
+    else effectivePolicy(p, relName, target)
       .map { pol =>
         if (!pol.selectable) throw new AccessDeniedException(
           s"principal '${p.name}' holds DESCRIBE but not SELECT on " +
@@ -202,8 +233,7 @@ object SecureCatalog {
     if (principalName.isEmpty || !isGoverned(target)) return columnsOf(target)
     val p = principal(principalName).getOrElse(
       throw new AccessDeniedException(s"unknown principal '$principalName'"))
-    val pol = p.grants.get(target)
-      .orElse(tagsOf(target).toSeq.sorted.flatMap(p.tagGrants.get).headOption)
+    val pol = effectivePolicy(p, relName, target)
       .getOrElse(throw new AccessDeniedException(
         s"principal '${p.name}' has no grant on governed table '$target'"))
     pol.allowedColumns.getOrElse(columnsOf(target))
@@ -287,6 +317,90 @@ object SecureCatalog {
     val target = resolveLink(relName)
     principals.values.toArray(Array.empty[Principal]).toSeq
       .flatMap(p => p.grants.get(target).map(p.name -> _))
+  }
+
+  // ---- namespace (database-resource) grants -----------------------
+
+  /** Namespace grants are PERMISSION-ONLY, like Lake Formation's
+    * Database-resource grants (producer:259-274 grants DESCRIBE, no
+    * filters): a filter smuggled onto a namespace grant would apply
+    * invisibly to every table under it. */
+  private def requireNsPolicy(pol: TablePolicy): Unit =
+    require(pol.rowFilter.isEmpty && pol.allowedColumns.isEmpty &&
+        pol.masks.isEmpty,
+      "namespace grants are permission-only (no filters, columns, " +
+        "or masks)")
+
+  /** Direct (admin) namespace grant. */
+  def nsGrantDirect(grantee: String, ns: String, pol: TablePolicy): Unit = {
+    requireNsPolicy(pol)
+    val key = ns.toLowerCase
+    val ge = principal(grantee).getOrElse(Principal(grantee))
+    register(ge.copy(nsGrants = ge.nsGrants +
+      (key -> pol.copy(table = key, grantor = None))))
+  }
+
+  /** Delegate a namespace grant (the reference's DB-DESCRIBE
+    * `PermissionsWithGrantOption`, producer:266-268): needs GRANT
+    * OPTION on the SAME namespace; permissions never widen. */
+  def nsRegrant(grantor: String, grantee: String, ns: String,
+      request: TablePolicy): Unit = {
+    requireNsPolicy(request)
+    val key = ns.toLowerCase
+    val g = principal(grantor).getOrElse(
+      throw new AccessDeniedException(s"unknown principal '$grantor'"))
+    val parent = g.nsGrants.getOrElse(key,
+      throw new AccessDeniedException(
+        s"principal '$grantor' has no grant on namespace '$key' " +
+          "to delegate"))
+    if (!parent.grantable)
+      throw new AccessDeniedException(
+        s"namespace grant of '$grantor' on '$key' carries no GRANT OPTION")
+    if (request.selectable && !parent.selectable)
+      throw new AccessDeniedException(
+        s"re-grant widens permissions: '$grantor' holds DESCRIBE-only " +
+          s"on namespace '$key'")
+    if (request.write && !parent.write)
+      throw new AccessDeniedException(
+        s"re-grant widens permissions: '$grantor' holds no write grant " +
+          s"on namespace '$key'")
+    val ge = principal(grantee).getOrElse(Principal(grantee))
+    ge.nsGrants.get(key).foreach { existing =>
+      if (!existing.grantor.contains(grantor))
+        throw new AccessDeniedException(
+          s"'$grantee' already holds a grant on namespace '$key' from " +
+            s"${existing.grantor.getOrElse("a direct grant")} — " +
+            "revoke it first")
+    }
+    register(ge.copy(nsGrants = ge.nsGrants +
+      (key -> request.copy(table = key, grantor = Some(grantor)))))
+  }
+
+  /** Revoke a namespace grant — admin revokes anything, a principal
+    * only delegations THEY made; cascades through the revoked
+    * grantee's own namespace delegations. */
+  def nsRevoke(revoker: String, grantee: String, ns: String): Unit = {
+    val key = ns.toLowerCase
+    val ge = principal(grantee).getOrElse(
+      throw new AccessDeniedException(s"unknown principal '$grantee'"))
+    val existing = ge.nsGrants.getOrElse(key,
+      throw new AccessDeniedException(
+        s"'$grantee' holds no grant on namespace '$key'"))
+    if (revoker.nonEmpty && !existing.grantor.contains(revoker))
+      throw new AccessDeniedException(
+        s"principal '$revoker' may not revoke the namespace grant on " +
+          s"'$key' held by '$grantee' (source: " +
+          s"${existing.grantor.getOrElse("a direct grant")})")
+    register(ge.copy(nsGrants = ge.nsGrants - key))
+    nsGrantsOn(key).filter(_._2.grantor.contains(grantee))
+      .foreach { case (p, _) => nsRevoke("", p, key) }
+  }
+
+  /** Every (principal, policy) holding a grant on namespace `ns`. */
+  def nsGrantsOn(ns: String): Seq[(String, TablePolicy)] = {
+    val key = ns.toLowerCase
+    principals.values.toArray(Array.empty[Principal]).toSeq
+      .flatMap(p => p.nsGrants.get(key).map(p.name -> _))
   }
 
   /** WITH GRANT OPTION delegation — the reference's two-hop chain

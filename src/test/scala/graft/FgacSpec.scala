@@ -315,6 +315,41 @@ class FgacSpec extends AnyFunSuite {
       .forall(!_.grants.contains("customer")))
   }
 
+  test("namespace grants: decision matrix, link-namespace coverage, " +
+      "permission-only law, SHOW GRANTS ON NAMESPACE") {
+    val got = SparkEntry.queries("fgac_ns_grant")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      "1_db_describe_grant" -> "ALLOWED",
+      "2_ns_scan_denied" -> "DENIED",
+      "3_table_grant_overrides" -> "ALLOWED",
+      "4_ns_regrant_describe" -> "ALLOWED",
+      "5_ns_regrant_widen" -> "DENIED",
+      "6_ns_revoke_cascades" -> "DENIED"))
+    // a namespace grant on the CONSUMER database covers a resource
+    // link living in it (the queried name's prefix matches, even
+    // though the resolved target lives elsewhere)
+    FgacQueries.setup(spark, sf)
+    SecureCatalog.register(Principal("nsl_user",
+      links = Map("dev.links_db.rl_customer" -> "customer")))
+    spark.sql("GRANT SELECT ON NAMESPACE dev.links_db TO nsl_user")
+    val n = FgacQueries.asPrincipal(spark, "nsl_user")(
+      spark.sql("SELECT * FROM dev.links_db.rl_customer")).count()
+    assert(n == Tables.customer(spark, sf).count(),
+      "an unfiltered namespace SELECT grant must read the full link")
+    // SHOW GRANTS ON NAMESPACE lists the topology for the admin
+    val shown = spark.sql("SHOW GRANTS ON NAMESPACE dev.links_db")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown("nsl_user") == "SELECT")
+    // namespace grants are permission-only — filters refuse
+    intercept[IllegalArgumentException](SecureCatalog.nsGrantDirect(
+      "nsl_user", "dev.links_db",
+      TablePolicy("dev.links_db", rowFilter = Some("1=1"))))
+    spark.sql("REVOKE ALL ON NAMESPACE dev.links_db FROM nsl_user")
+    assert(SecureCatalog.principal("nsl_user")
+      .forall(_.nsGrants.isEmpty))
+  }
+
   test("DESCRIBE permission is separate from SELECT") {
     val df = SparkEntry.queries("fgac_describe")(spark, sf)
     val cols = df.collect().map(r => (r.getString(0), r.getString(1))).toMap
