@@ -561,7 +561,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       renamesOverride: Option[Seq[Rename]] = None,
       specHistOverride: Option[Seq[(Long, Seq[String])]] = None,
       posDelsOverride: Option[Seq[String]] = None,
-      sizesExtra: Map[String, Long] = Map.empty): Long =
+      sizesExtra: Map[String, Long] = Map.empty,
+      idFloor: Long = 0L): Long =
     // In-process writers (multiple handles over one root) serialize
     // here, making check-then-publish a true CAS within the JVM.
     // Across processes publishNoOverwrite is the CAS — atomic
@@ -571,7 +572,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     GraftTable.commitLock(root.toString).synchronized {
       commitLocked(op, schema, files, partitionCols, expectedParent,
         delsOverride, refSnap, branch, renamesOverride, specHistOverride,
-        posDelsOverride, sizesExtra)
+        posDelsOverride, sizesExtra, idFloor)
     }
 
   private def commitLocked(op: String, schema: StructType,
@@ -581,7 +582,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       renamesOverride: Option[Seq[Rename]],
       specHistOverride: Option[Seq[(Long, Seq[String])]],
       posDelsOverride: Option[Seq[String]],
-      sizesExtra: Map[String, Long] = Map.empty): Long = {
+      sizesExtra: Map[String, Long] = Map.empty,
+      idFloor: Long = 0L): Long = {
     refs.get(branch).foreach { case (kind, _) =>
       require(kind == "branch", s"cannot commit to $kind '$branch'")
     }
@@ -590,7 +592,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       throw new CommitConflictException(
         s"commit over snapshot $expectedParent, but $branch head is " +
           s"$head: another writer committed first")
-    val id = maxSnapshotId + 1
+    // idFloor lifts the allocator (shallowClone: the clone's ids must
+    // start ABOVE every carried add-sequence, or a later MoR equality
+    // delete on the clone — seq = its commit id — would compare below
+    // carried fileSeq values and silently skip the cloned files)
+    val id = math.max(maxSnapshotId, idFloor) + 1
     // Carried-forward metadata comes from `refSnap` (rollback passes
     // the snapshot being restored) or the parent. Per-file column
     // stats are carried by reference for files already known (they
@@ -713,7 +719,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         throw new CommitConflictException(
           s"commit $attempt lost the publish race: another writer's " +
             "snapshot landed first")
-      attempt = maxSnapshotId + 1
+      attempt = math.max(maxSnapshotId, idFloor) + 1
     }
     throw new IllegalStateException(
       s"publish of snapshot $attempt failed repeatedly with no " +
@@ -2768,6 +2774,38 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       snap.partitionCols, expectedParent = snap.id)
   }
 
+  /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`,
+    * Iceberg's snapshot-ref pattern): a NEW table at `newRoot` whose
+    * first snapshot references the source's current data files,
+    * tombstones, and per-file metadata BY REFERENCE — no byte is
+    * copied and no footer is re-read (`refSnap` carries stats, rows,
+    * sizes, and add-sequences), so at 100 TB the clone is one
+    * manifest write. The clone then evolves independently: its DML
+    * writes files under ITS root; and cleanup is ownership-scoped
+    * ([[expireSnapshots]] only deletes files under the deleting
+    * table's own root), so a clone expiring its history can never
+    * reap storage the source still references — or vice versa.
+    *
+    * The Delta-documented caveat applies in the OTHER direction: the
+    * source does not know its clones, so expiring the SOURCE's
+    * history can reap files a clone still references (Delta's VACUUM
+    * has the same contract). Clones are for short-lived dev/test
+    * forks; `compact()` on the clone materializes everything under
+    * its own root and severs the dependency. */
+  def shallowClone(newRoot: String): GraftTable = {
+    val snap = currentSnapshot
+    val t2 = new GraftTable(spark, newRoot)
+    require(t2.currentSnapshotId == 0,
+      s"clone target already holds a table at $newRoot")
+    // idFloor: the clone's id space starts above the source's, so
+    // every later clone commit sequences ABOVE the carried fileSeq
+    // values (MoR delete scoping stays correct on cloned files)
+    t2.commit("clone", snap.schema, snap.files, snap.partitionCols,
+      expectedParent = 0L, refSnap = Some(snap), idFloor = snap.id)
+    t2.setProperties(properties)
+    t2
+  }
+
   /** One-time size backfill for manifests written before per-file
     * sizes were recorded: stat every data file missing a size in ONE
     * distributed pass (executors issue the filesystem RPCs in
@@ -3067,9 +3105,28 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     // accumulate forever)
     val live = (kept0 ++ protected0)
       .flatMap(s => s.files ++ s.posDels).toSet
+    // OWNERSHIP scope: only ever delete files under THIS table's
+    // root. A shallow clone's early snapshots reference the SOURCE's
+    // data files by path — expiring the clone's history must not
+    // reap storage another table still owns (and the source expiring
+    // its history must not reap files the clone rewrote under its
+    // own root — each side deletes only what it physically houses).
+    // both sides FS-qualified AND component-normalized: manifests
+    // record scheme-qualified paths (file:/…) while the root may be
+    // schemeless, and URI RENDERING differs by authority presence
+    // (file:/p vs file:///p for the same location) — compare
+    // scheme+authority+path components, never raw strings, or expiry
+    // would reclaim nothing (or, inverted, ownership would misfire)
+    def qualified(p: String): String = {
+      val u = fs.makeQualified(new Path(p)).toUri
+      Option(u.getScheme).getOrElse("") + "://" +
+        Option(u.getAuthority).getOrElse("") + u.getPath
+    }
+    val ownPrefix = qualified(root.toString).stripSuffix("/") + "/"
     val cache = GraftTable.headerCache(root.toString)
     expired.foreach { snap =>
       (snap.files ++ snap.posDels).filterNot(live)
+        .filter(f => qualified(f).startsWith(ownPrefix))
         .foreach(f => fs.delete(new Path(f), false))
       fs.delete(snapPath(snap.id), false)
       cache.remove(snap.id)

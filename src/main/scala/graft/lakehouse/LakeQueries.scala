@@ -375,6 +375,47 @@ object LakeQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW
+    * CLONE`): the clone's first snapshot references the source's
+    * data files by path — require()d identical file lists, so at
+    * 100 TB the fork costs one manifest write. Independence is
+    * proven both ways: DML on the clone (copy-on-write DELETE)
+    * leaves the source byte-identical, an append to the SOURCE
+    * leaves the clone at its fork point, and the clone EXPIRING its
+    * history does not reap shared files the source still references
+    * (ownership-scoped cleanup, require()d by re-reading the source
+    * afterwards). */
+  private val cloneQ: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_cl_src"), orders)
+    LakeRegistry.register("lake_cl_src", t)
+    if (LakeRegistry.get("lake_cl_c").isDefined)
+      s.sql("DROP TABLE lake_cl_c PURGE") // rerun-safe
+    s.sql("CREATE TABLE lake_cl_c SHALLOW CLONE lake_cl_src")
+    val c = LakeRegistry.get("lake_cl_c").get
+    require(c.currentSnapshot.files == t.currentSnapshot.files,
+      "the clone must reference the source's data files (zero copy)")
+    val srcCount = t.read().count()
+    // clone DML: copy-on-write rewrite lands under the CLONE's root
+    s.sql("DELETE FROM lake_cl_c WHERE o_orderstatus = 'F'")
+    require(t.read().count() == srcCount,
+      "clone DML must leave the source untouched")
+    // source evolution: the clone stays at its fork point
+    t.append(orders.limit(100))
+    val cloneCount = c.read().count()
+    require(t.read().count() == srcCount + 100 &&
+        cloneCount < srcCount,
+      "source and clone must evolve independently")
+    // the clone expiring its pre-delete history must not reap SHARED
+    // files (ownership-scoped cleanup) — the source must still read
+    c.expireSnapshots(1)
+    require(t.read().count() == srcCount + 100,
+      "clone expiry must never delete files the source references")
+    require(c.read().count() == cloneCount,
+      "expiry is metadata-only for the live clone view")
+    c.read().orderBy("o_orderkey")
+  }
+
   /** MERGE with `WHEN NOT MATCHED BY SOURCE` (Spark 3.4+/Delta/
     * Iceberg): the synchronize-to-snapshot upsert — matched rows
     * update, UNMATCHED TARGET rows (no source row) delete or mark
@@ -1361,6 +1402,7 @@ object LakeQueries {
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_merge_source"     -> mergeBySource,
     "lake_spj_dpp"          -> spjDpp,
+    "lake_clone"            -> cloneQ,
     "lake_spj_mor"          -> spjMor,
     "lake_spj_pinned"       -> spjPinned,
     "lake_spj_string"       -> spjString,
@@ -1689,6 +1731,10 @@ object LakeQueries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
         |ORDER BY o.o_orderkey""".stripMargin,
+    // the clone forked before the source's +100 append, then deleted F
+    "lake_clone" ->
+      """SELECT * FROM orders WHERE o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin,
     // the pinned tag predates the odd-key append
     "lake_spj_pinned" ->
       """SELECT o.o_orderkey, o.o_custkey, c.c_name

@@ -659,6 +659,9 @@ object LakeMaintenance {
     """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?(?:\s+(SORT|ZORDER)\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+SNAPSHOTS\s*;?\s*""".r
+  // Delta's zero-copy fork: CREATE TABLE c SHALLOW CLONE t
+  private val ShallowClone =
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)\s*;?\s*""".r
 
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -702,8 +705,47 @@ object LakeMaintenance {
       case Vacuum(name, keep)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftVacuumCommand(name.toLowerCase, keep.toInt))
+      case ShallowClone(target, source)
+          if LakeDdl.claimDrop(spark, source.toLowerCase) =>
+        Some(GraftShallowCloneCommand(target.toLowerCase,
+          source.toLowerCase,
+          spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+            s"/graft/${target.toLowerCase}"))
       case _ => None
     }
+}
+
+/** `CREATE TABLE c SHALLOW CLONE t` — zero-copy fork (see
+  * [[GraftTable.shallowClone]]). FGAC: cloning hands the principal
+  * the ENTIRE table through an ungoverned name, so a governed source
+  * requires an UNFILTERED read grant (a row/column/mask-scoped
+  * grantee must not launder their slice restriction away through a
+  * clone). */
+case class GraftShallowCloneCommand(target: String, source: String,
+    root: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val who = spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, "")
+    val govName = graft.fgac.SecureCatalog.resolveLink(source)
+    if (who.nonEmpty && graft.fgac.SecureCatalog.isGoverned(govName)) {
+      val pol = graft.fgac.SecureCatalog.authorize(who, source)
+      pol.foreach { p =>
+        if (p.rowFilter.nonEmpty || p.allowedColumns.nonEmpty ||
+            p.masks.nonEmpty)
+          throw new graft.fgac.AccessDeniedException(
+            s"principal '$who' holds a filtered grant on '$source'; " +
+              "SHALLOW CLONE requires unfiltered read (the clone " +
+              "escapes the policy)")
+      }
+    }
+    val t = LakeRegistry.get(source).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$source' is not a registered graft table"))
+    require(LakeRegistry.get(target).isEmpty &&
+        ViewRegistry.get(target).isEmpty,
+      s"CREATE TABLE: '$target' already exists")
+    LakeRegistry.register(target, t.shallowClone(root))
+    Seq.empty
+  }
 }
 
 case class GraftOptimizeCommand(name: String, files: Int, mode: String,

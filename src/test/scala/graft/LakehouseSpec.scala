@@ -1915,6 +1915,57 @@ class LakehouseSpec extends AnyFunSuite {
         planStr.take(3000))
   }
 
+  test("shallow clone: zero-copy fork, MoR sequencing above carried " +
+      "files, filtered principals cannot clone governed sources") {
+    import graft.lakehouse.LakeRegistry
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_sc").toString,
+      (1L to 100L).map(k => (k, s"t$k")).toDF("k", "tag"))
+    t.append((101L to 120L).map(k => (k, s"t$k")).toDF("k", "tag"))
+    LakeRegistry.register("sc_src", t)
+    if (LakeRegistry.get("sc_c").isDefined)
+      spark.sql("DROP TABLE sc_c PURGE")
+    spark.sql("CREATE TABLE sc_c SHALLOW CLONE sc_src")
+    val c = LakeRegistry.get("sc_c").get
+    assert(c.currentSnapshot.files == t.currentSnapshot.files,
+      "zero copy: identical file references")
+    assert(c.currentSnapshotId > t.currentSnapshotId,
+      "the clone's id space must start above the source's")
+    // an equality MoR DELETE on the clone sequences ABOVE the carried
+    // add-sequences — without the id floor, its seq would compare
+    // below fileSeq and silently skip every cloned file
+    c.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    spark.sql("DELETE FROM sc_c WHERE k <= 100")
+    assert(c.currentSnapshot.dels.nonEmpty,
+      "merge-on-read delete must land as a predicate, not a rewrite")
+    assert(c.read().count() == 20,
+      "the MoR delete must apply to carried (cloned) files")
+    assert(t.read().count() == 120, "the source is untouched")
+    // FGAC: a filtered grantee must not launder their slice away
+    // through an ungoverned clone; an unfiltered grantee may clone
+    import graft.fgac.{AccessDeniedException, FgacQueries, Principal,
+      SecureCatalog, TablePolicy}
+    t.read().createOrReplaceTempView(
+      SecureCatalog.rawViewName("sc_src"))
+    SecureCatalog.governTable("sc_src", Seq("k", "tag"))
+    SecureCatalog.register(Principal("sc_filtered", grants = Map(
+      "sc_src" -> TablePolicy("sc_src", rowFilter = Some("k <= 10")))))
+    SecureCatalog.register(Principal("sc_full", grants = Map(
+      "sc_src" -> TablePolicy("sc_src"))))
+    try {
+      intercept[AccessDeniedException](
+        FgacQueries.asPrincipal(spark, "sc_filtered")(
+          spark.sql("CREATE TABLE sc_c2 SHALLOW CLONE sc_src")))
+      FgacQueries.asPrincipal(spark, "sc_full")(
+        spark.sql("CREATE TABLE sc_c2 SHALLOW CLONE sc_src"))
+      assert(LakeRegistry.get("sc_c2").isDefined)
+    } finally {
+      SecureCatalog.ungovern("sc_src")
+      if (LakeRegistry.get("sc_c2").isDefined)
+        spark.sql("DROP TABLE sc_c2 PURGE")
+    }
+  }
+
   test("SPJ serves MoR position tombstones: live view, zero Exchange, " +
       "compose with pushed filters, oversized sets refuse loudly") {
     import graft.lakehouse.{LakeRegistry, Spj}
