@@ -338,6 +338,51 @@ object LakeQueries {
       .orderBy("o_orderkey")
   }
 
+  /** SPJ over PENDING merge-on-read EQUALITY deletes — the other MoR
+    * shape ([[spjMor]] covers position tombstones): the scan compiles
+    * each pending predicate against the snapshot schema, the reader
+    * widens its column-pruned decode by the predicate columns,
+    * filters row-side through codegen'd Predicates scoped by
+    * add-sequence (rows appended AFTER the delete are untouched even
+    * when they match), and projects back down — all without touching
+    * the zero-Exchange plan. The query output does NOT select the
+    * predicate column, so the widen-then-project path is what runs. */
+  private val spjEqDel: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val t1 = GraftTable.create(s, tmp("lake_spjq_o"),
+      orders.filter(col("o_orderkey") % 2 === 0),
+      partitionBy = Seq("bucket[8](o_custkey)"))
+    t1.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    LakeRegistry.register("lake_spjq_t", t1)
+    val before = t1.currentSnapshot.files.toSet
+    s.sql("DELETE FROM lake_spjq_t WHERE o_orderstatus = 'F'")
+    require(t1.currentSnapshot.files.toSet == before &&
+        t1.currentSnapshot.dels.nonEmpty,
+      "merge-on-read DELETE must land as a predicate, not a rewrite")
+    // appended after the delete: its F rows are OUT of the delete's
+    // scope (add-sequence law) and must survive the SPJ read
+    t1.append(orders.filter(col("o_orderkey") % 2 === 1))
+    val t2 = GraftTable.create(s, tmp("lake_spjq_c"),
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+      partitionBy = Seq("bucket[8](c_custkey)"))
+    val a = Spj.read(s, "lake_spjq_orders", t1)
+    val b = Spj.read(s, "lake_spjq_cust", t2)
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = a.join(b, col("o_custkey") === col("c_custkey"))
+      probe.count() // execute so AQE finalizes its plan
+      require(Spj.shuffles(probe).isEmpty,
+        "equality-delete SPJ join must plan with zero Exchange")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+    a.join(b, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+      .orderBy("o_orderkey")
+  }
+
   /** Snapshot-pinned SPJ read (`VERSION AS OF` through the SPJ
     * catalog): a TAGGED snapshot joins zero-Exchange while main has
     * advanced past it — the audit/repro pattern (pin yesterday's
@@ -1404,6 +1449,7 @@ object LakeQueries {
     "lake_spj_dpp"          -> spjDpp,
     "lake_clone"            -> cloneQ,
     "lake_spj_mor"          -> spjMor,
+    "lake_spj_eqdel"        -> spjEqDel,
     "lake_spj_pinned"       -> spjPinned,
     "lake_spj_string"       -> spjString,
     "lake_spj_composite"    -> spjComposite,
@@ -1735,6 +1781,14 @@ object LakeQueries {
     "lake_clone" ->
       """SELECT * FROM orders WHERE o_orderstatus <> 'F'
         |ORDER BY o_orderkey""".stripMargin,
+    // evens lost their F rows to the scoped equality delete; odds
+    // were appended after it and keep theirs
+    "lake_spj_eqdel" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE (o.o_orderkey % 2 = 0 AND o.o_orderstatus <> 'F')
+        |   OR o.o_orderkey % 2 = 1
+        |ORDER BY o.o_orderkey""".stripMargin,
     // the pinned tag predates the odd-key append
     "lake_spj_pinned" ->
       """SELECT o.o_orderkey, o.o_custkey, c.c_name

@@ -59,9 +59,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * day field keeps serving partition pruning.
   *
   * Eligibility is strict, checked at `loadTable`: supported transform
-  * fields only, no pending equality deletes (position tombstones ARE
-  * served — per-file skip lists, gate-bounded), no renames, no
-  * ALTER-added initial defaults, no partition-spec evolution —
+  * fields only, no renames, no ALTER-added initial defaults, no
+  * partition-spec evolution — while BOTH merge-on-read delete shapes
+  * are served (position tombstones as per-file skip lists,
+  * gate-bounded; equality deletes as compiled row predicates with
+  * add-sequence scoping) —
   * anything else must take the general `GraftTable.read()` path (loud
   * error, never a silently-different result). Ref: the reference's
   * repeated governed fact joins (consumer_emr_on_eks_setup.sh:407-412)
@@ -178,11 +180,53 @@ object Spj {
     * the SAME snapshot — validating `currentSnapshot` and then
     * scanning a LATER one would let a concurrent MoR delete / rename
     * / default-ALTER land in the gap and read silently wrong. */
+  /** Analyzed, type-coerced equality-delete predicates over
+    * `snap.schema`, plus the relation output attrs they resolve
+    * against (analysis runs over an empty LocalRelation of the
+    * snapshot schema, so the full analyzer — function resolution,
+    * implicit casts — applies, exactly as the normal MoR read path's
+    * `expr(pred)` does). Left(reason) when any predicate cannot take
+    * the SPJ path: non-deterministic, unanalyzable, or subquery-
+    * shaped predicates refuse loudly toward `GraftTable.read()`. */
+  private[lakehouse] def compiledDeletePreds(spark: SparkSession,
+      snap: Snapshot): Either[String,
+        (Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+         Seq[(Long, org.apache.spark.sql.catalyst.expressions.Expression)])] = {
+    if (snap.dels.isEmpty) return Right((Nil, Nil))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
+    val attrs = empty.queryExecution.analyzed.output
+    try {
+      val compiled = snap.dels.map { d =>
+        val analyzed = empty
+          .filter(org.apache.spark.sql.functions.expr(d.pred))
+          .queryExecution.analyzed
+        val cond = analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }.getOrElse(return Left(
+          s"equality delete predicate '${d.pred}' did not analyze " +
+            "to a filter"))
+        if (!cond.deterministic)
+          return Left("non-deterministic equality delete predicate " +
+            s"'${d.pred}'")
+        if (cond.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+          return Left(
+            s"equality delete predicate '${d.pred}' contains a subquery")
+        (d.seq, cond)
+      }
+      Right((attrs, compiled))
+    } catch {
+      case scala.util.control.NonFatal(e) => Left(
+        s"equality delete predicate does not compile: ${e.getMessage}")
+    }
+  }
+
   def ineligibleReason(snap: Snapshot): Option[String] = {
     spjFields(snap).left.toOption
       .orElse {
         if (snap.files.isEmpty) Some("table has no data files")
-        else if (snap.dels.nonEmpty) Some("pending equality deletes")
         // position tombstones are SPJ-readable: the scan attaches each
         // data file's tombstoned row positions to its split and the
         // reader skips them (Iceberg's SPJ readers apply delete files
@@ -563,6 +607,15 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
       s
     }
     var snap = validated(snap0)
+    // equality deletes must COMPILE (deterministic, no subquery,
+    // analyzable against this snapshot's schema) for the SPJ reader
+    // to apply them row-side — refuse toward GraftTable.read() at
+    // load, not deep inside a task
+    Spj.compiledDeletePreds(t.spark, snap).left.foreach { why =>
+      throw new UnsupportedOperationException(
+        s"table '${ident.name}' cannot take the storage-partitioned " +
+          s"read path: $why (use GraftTable.read())")
+    }
     // pre-size manifests (older format) would otherwise pay one
     // driver-side getFileStatus per file at EVERY plan — stat the
     // missing sizes in ONE distributed pass and plan from an
@@ -878,6 +931,44 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Equality-delete support: (widened read schema, (seq, bound
+    * predicate) per pending delete, projection widened→required).
+    * The read decodes `required` PLUS the columns the predicates
+    * reference, evaluates each file's applicable predicates (those
+    * sequenced AFTER the file's add-sequence) row-side through
+    * codegen'd `Predicate`s, and projects back down to `required` —
+    * the same set algebra as `GraftTable.morRead`'s
+    * `not(coalesce(pred, false))` (Predicate.eval treats NULL as
+    * false). None when no equality deletes are pending. */
+  private lazy val eqSpec: Option[(StructType,
+      Seq[(Long, org.apache.spark.sql.catalyst.expressions.Expression)],
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val (attrs, preds) = Spj.compiledDeletePreds(spark, snap).fold(
+      why => throw new IllegalStateException(why), identity)
+    if (preds.isEmpty) None
+    else {
+      val refNames = preds.flatMap(_._2.references.toSeq.map(_.name)).toSet
+      val widenedFields = snap.schema.fields.filter(f =>
+        required.fieldNames.exists(_.equalsIgnoreCase(f.name)) ||
+          refNames.exists(_.equalsIgnoreCase(f.name)))
+      val widened = StructType(widenedFields)
+      val widenedAttrs: Seq[Attribute] = widenedFields.toSeq.map(f =>
+        attrs.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+          throw new IllegalStateException(
+            s"delete-predicate column '${f.name}' missing from the " +
+              "snapshot relation")))
+      val bound = preds.map { case (seq, e) =>
+        (seq, BindReferences.bindReference(e, AttributeSeq(widenedAttrs)))
+      }
+      val project: Seq[Expression] = required.fields.toSeq.map { f =>
+        val i = widenedFields.indexWhere(_.name.equalsIgnoreCase(f.name))
+        BoundReference(i, f.dataType, widenedAttrs(i).nullable)
+      }
+      Some((widened, bound, project))
+    }
+  }
+
   /** data file (manifest path) → ASCENDING tombstoned row positions.
     * Driver-side and bounded: eligibility admits tombstone sets only
     * up to [[GraftTable.PosDelBroadcastBytes]] on disk — the same
@@ -962,9 +1053,20 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
         }
       }
     kept.map { case (key, files) =>
+      // per-file applicable equality deletes: only those sequenced
+      // AFTER the file's add-sequence (the MoR scoping law)
+      val eqIdx: Array[Array[Int]] = eqSpec match {
+        case None => files.map(_ => Array.empty[Int])
+        case Some((_, bound, _)) => files.map { case (f, _) =>
+          bound.zipWithIndex.collect {
+            case ((seq, _), i) if seq > snap.fileSeq.getOrElse(f, 0L) => i
+          }.toArray
+        }
+      }
       LakePartTupleSplit(key, files,
         files.map(f => tombsByFile.getOrElse(metaPath(f._1),
-          Array.empty[Long])))
+          Array.empty[Long])),
+        eqIdx)
     }
   }
 
@@ -972,26 +1074,47 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
     // vectorized decode when the projected schema allows it (atomic
     // types — the common analytic case); the row closure is the
     // universal fallback. Decided once at plan time, driver-side.
-    // Tombstoned snapshots take the row path uniformly: position
-    // skipping filters the row iterator, which a ColumnarBatch
-    // cannot express without batch rewriting.
-    val columnar = snap.posDels.isEmpty &&
+    // Tombstoned snapshots (position OR equality) take the row path
+    // uniformly: row skipping/filtering cannot be expressed on a
+    // ColumnarBatch without batch rewriting.
+    val columnar = snap.posDels.isEmpty && snap.dels.isEmpty &&
       ParquetReadShim.columnarSupported(spark, required)
-    new LakeSpjReaderFactory(
-      ParquetReadShim.rowReadFunc(spark, snap.schema, required),
-      if (columnar)
-        Some(ParquetReadShim.columnarReadFunc(spark, snap.schema, required))
-      else None)
+    eqSpec match {
+      case None =>
+        new LakeSpjReaderFactory(
+          ParquetReadShim.rowReadFunc(spark, snap.schema, required),
+          if (columnar)
+            Some(ParquetReadShim.columnarReadFunc(spark, snap.schema,
+              required))
+          else None)
+      case Some((widened, bound, project)) =>
+        new LakeSpjReaderFactory(
+          ParquetReadShim.rowReadFunc(spark, snap.schema, widened),
+          None,
+          Some(EqDelSpec(bound.map(_._2), project)))
+    }
   }
 }
+
+/** Executor-side equality-delete application: `preds` are bound to
+  * the WIDENED row layout the read closure decodes; `project` are the
+  * BoundReferences producing the scan's `required` output from it.
+  * Catalyst expressions serialize into the task; the codegen'd
+  * `Predicate`/`UnsafeProjection` objects are created per task. */
+final case class EqDelSpec(
+    preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    project: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
 
 /** All files of one stored partition tuple — the planner aligns
   * splits of equal `partitionKey` across the two join sides. `tombs`
   * is aligned with `files`: the ascending tombstoned row positions of
-  * each file (empty = none pending). */
+  * each file (empty = none pending). `eqIdx` likewise: the indices of
+  * the scan's equality-delete predicates applicable to each file
+  * (sequenced after its add-sequence). */
 final case class LakePartTupleSplit(key: Seq[Any],
     files: Array[(String, Long)],
-    tombs: Array[Array[Long]])
+    tombs: Array[Array[Long]],
+    eqIdx: Array[Array[Int]] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow.fromSeq(key)
 }
@@ -1001,7 +1124,8 @@ final class LakeSpjReaderFactory(
       Iterator[InternalRow],
     readFileColumnar: Option[
       org.apache.spark.sql.execution.datasources.PartitionedFile =>
-        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None,
+    eqDel: Option[EqDelSpec] = None)
     extends PartitionReaderFactory {
 
   private def reader[T](it: Iterator[T]): PartitionReader[T] =
@@ -1037,10 +1161,29 @@ final class LakeSpjReaderFactory(
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[LakePartTupleSplit]
+    // codegen'd evaluators are task-local (not serializable): build
+    // once per reader from the shipped Catalyst expressions
+    val predEvals = eqDel.map(_.preds.map(
+      org.apache.spark.sql.catalyst.expressions.Predicate.create).toArray)
+    val proj = eqDel.map(s =>
+      org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(s.project))
     reader(split.files.iterator.zipWithIndex.flatMap { case ((path, len), i) =>
-      val rows = readFile(ParquetReadShim.wholeFile(path, len))
+      val raw = readFile(ParquetReadShim.wholeFile(path, len))
+      // position skips key off the PHYSICAL row index — apply before
+      // any row-level filtering
       val skips = split.tombs(i)
-      if (skips.isEmpty) rows else skipPositions(rows, skips)
+      val posDone = if (skips.isEmpty) raw else skipPositions(raw, skips)
+      (predEvals, proj) match {
+        case (Some(evals), Some(p)) =>
+          val idx =
+            if (i < split.eqIdx.length) split.eqIdx(i) else Array.empty[Int]
+          val filtered =
+            if (idx.isEmpty) posDone
+            else posDone.filter(r => !idx.exists(j => evals(j).eval(r)))
+          filtered.map(p) // widened layout → the scan's required output
+        case _ => posDone
+      }
     })
   }
 

@@ -2068,6 +2068,71 @@ class LakehouseSpec extends AnyFunSuite {
       msgs(e).mkString(" | "))
   }
 
+  test("SPJ serves MoR equality deletes: scoped row predicates, " +
+      "pruned-column widening, both delete shapes compose, bad " +
+      "predicates refuse") {
+    import graft.lakehouse.{LakeRegistry, Spj}
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spjeq").toString,
+      (1L to 600L).map(k => (k, k % 7, if (k % 3 == 0) "del" else "keep"))
+        .toDF("k", "g", "tag"),
+      partitionBy = Seq("bucket[4](g)"))
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    LakeRegistry.register("spjeq_t", t)
+    val files = t.currentSnapshot.files.toSet
+    spark.sql("DELETE FROM spjeq_t WHERE tag = 'del'")
+    assert(t.currentSnapshot.files.toSet == files &&
+      t.currentSnapshot.dels.nonEmpty,
+      "merge-on-read delete must land as a predicate")
+    // rows appended AFTER the delete are out of its scope even when
+    // they match (the add-sequence law)
+    t.append(Seq((601L, 601L % 7, "del")).toDF("k", "g", "tag"))
+    val live = Spj.read(spark, "spjeq_r", t)
+    assert(live.count() == (1L to 600L).count(_ % 3 != 0) + 1)
+    // column-pruned read NOT selecting the predicate column still
+    // filters correctly (the reader widens, then projects back)
+    val ks = Spj.read(spark, "spjeq_r", t).select("k")
+    assert(ks.count() == (1L to 600L).count(_ % 3 != 0) + 1)
+    assert(ks.filter(col("k") <= 9).count() == 6 + 0)
+    // BOTH MoR shapes on one table: a position-style delete on top
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "position"))
+    spark.sql("DELETE FROM spjeq_t WHERE k <= 10")
+    assert(t.currentSnapshot.posDels.nonEmpty &&
+      t.currentSnapshot.dels.nonEmpty)
+    assert(Spj.read(spark, "spjeq_r", t).count() ==
+      (11L to 600L).count(_ % 3 != 0) + 1)
+    assert(Spj.read(spark, "spjeq_r", t).count() ==
+      t.read().count(), "SPJ live view must equal the general read")
+    // zero-Exchange under both pending shapes
+    val dim = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spjeq_d").toString,
+      (0L to 6L).map(g => (g, s"g$g")).toDF("g2", "name"),
+      partitionBy = Seq("bucket[4](g2)"))
+    val b = Spj.read(spark, "spjeq_dim", dim)
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Spj.read(spark, "spjeq_r", t)
+        .join(b, col("g") === col("g2"))
+      probe.count()
+      assert(Spj.shuffles(probe).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+    // a non-deterministic predicate refuses the SPJ path loudly
+    val t2 = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spjeq2").toString,
+      (1L to 50L).map(k => (k, k % 4)).toDF("k", "g"),
+      partitionBy = Seq("bucket[4](g)"))
+    t2.deleteMoR("rand() < 2.0") // stored as a predicate, not evaluated
+    def msgs(x: Throwable): List[String] =
+      if (x == null) Nil else String.valueOf(x.getMessage) :: msgs(x.getCause)
+    val e = intercept[Exception](Spj.read(spark, "spjeq_bad", t2))
+    assert(msgs(e).exists(_.contains("non-deterministic")),
+      msgs(e).mkString(" | "))
+  }
+
   test("SPJ read stats pre-size manifests in memory without a commit; " +
       "explicit backfill publishes one metadata commit") {
     import graft.lakehouse.Spj
