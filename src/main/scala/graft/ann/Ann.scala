@@ -519,6 +519,73 @@ object Ann {
     topK(s, rer)
   }
 
+  // ---- int8 scalar quantization -----------------------------------
+
+  /** Scalar quantization (FAISS's IndexScalarQuantizer, QT_8bit): each
+    * dimension of the NORMALIZED vector quantizes independently to an
+    * 8-bit code against per-dimension [min, max] bounds trained in one
+    * relational pass — 4 bytes/dim shrinks to 1 with no codebook
+    * training at all (the quantizer is 2×Dim doubles of driver
+    * metadata; at 100 TB the bounds train on a sample exactly like
+    * the k-means tiers). Scoring is a flat ADC scan:
+    *
+    *   dot(qn, v̂) = dot(qn, mn) + Σ_d qn_d·span_d/255 · code_d
+    *              = bias(q)     + Σ_d factor_q[d]   · code_d
+    *
+    * so the scan touches only (vec_id, codes) rows and the per-query
+    * factor arrays ride a broadcast — no full vector moves until the
+    * bounded exact re-rank. Rank determinism: the per-row zip_with
+    * sum is sequential (no shuffle-order dependence), ties break on
+    * vec_id in the salted rank. */
+  private[graft] def sqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+    // per-dimension bounds: one shuffle on pos, Dim rows back
+    val ranges = c.select(posexplode(col("vn")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().sortBy(_.getInt(0))
+    val mn = ranges.map(_.getDouble(1))
+    val span = ranges.map(r => math.max(r.getDouble(2) - r.getDouble(1),
+      java.lang.Double.MIN_NORMAL)) // degenerate dim: all codes 0
+    val mnCol = array(mn.map(lit): _*)
+    val spanCol = array(span.map(lit): _*)
+    val codedBound = c
+      .withColumn("mnA", mnCol).withColumn("spanA", spanCol)
+      .withColumn("codes",
+        expr("transform(vn, (x, i) -> CAST(floor((x - element_at(" +
+          "mnA, i + 1)) / element_at(spanA, i + 1) * 255.0 + 0.5) AS INT))"))
+      .select(col("vec_id"), col("codes"))
+    // query-side: bias + per-dim factors, driver-computed, broadcast
+    val qRows = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("vn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qMeta = qRows.toSeq.map { case (qId, qvn) =>
+      val bias = qvn.zip(mn).map { case (a, b) => a * b }.sum
+      val factors = qvn.zip(span).map { case (a, sp) => a * sp / 255.0 }
+      (qId, bias, factors)
+    }.toDF("q_id", "q_bias", "q_factors")
+    val adc = codedBound.crossJoin(broadcast(qMeta))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", col("q_bias") +
+        aggregate(zip_with(col("codes"), col("q_factors"),
+          (cc, f) => cc * f), lit(0.0), (acc, x) => acc + x))
+      .select(col("q_id"), col("vec_id"), col("adc"))
+    val ranked = graft.functions.SaltedRank.topKPerGroup(adc,
+        Seq(col("q_id")), Seq(col("adc").desc, col("vec_id").asc),
+        PqRerank, col("vec_id"), PqSalt)
+      .select(col("q_id"), col("vec_id"))
+    val rer = ranked
+      .join(c.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(c.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm"))), Seq("q_id"))
+      .withColumn("cos",
+        cosine(col("v"), col("q_v"), col("nrm"), col("q_nrm")))
+    topK(s, rer)
+  }
+
   /** Shared driver-gated decision row for the trained-quantizer
     * tiers (their Lloyd training cannot unroll into one SQL
     * statement): exact-result cardinality + a recall@5 >= 0.8
@@ -545,12 +612,15 @@ object Ann {
 
   private val ivfPq: Q = (s, d) => recallGate(s, d, ivfPqTopK(s, d))
 
+  private val sq: Q = (s, d) => recallGate(s, d, sqTopK(s, d))
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> bruteforce,
     "ann_lsh" -> lsh,
     "ann_ivf" -> ivf,
     "ann_ivf_kmeans" -> ivfKmeans,
     "ann_pq" -> pq,
+    "ann_sq" -> sq,
     "ann_ivfpq" -> ivfPq)
 
   // ---- DuckDB oracles ---------------------------------------------
@@ -654,6 +724,11 @@ object Ann {
          | true AS recall_ge_080
          |FROM r WHERE rank <= $K""".stripMargin,
     "ann_ivfpq" ->
+      s"""$bruteforceCtes
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         | true AS recall_ge_080
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "ann_sq" ->
       s"""$bruteforceCtes
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
          | true AS recall_ge_080

@@ -63,6 +63,25 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall too low: $recall%.2f")
   }
 
+  test("SQ8 recall@5 against exact top-5 (flat ADC scan + re-rank)") {
+    val got = graft.ann.Ann.sqTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"ann_sq recall@5 = $recall%.2f")
+    // 8-bit reconstruction on 64 normalized dims loses almost nothing;
+    // well above the production 0.8 gate
+    assert(recall >= 0.8, f"recall too low: $recall%.2f")
+  }
+
+  test("SQ decision row reports recall over threshold") {
+    val r = SparkEntry.queries("ann_sq")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_exact") == 10L * 5)
+    assert(r.head.getAs[Boolean]("recall_ge_080"))
+  }
+
   test("IVF-PQ decision row reports recall over threshold") {
     val r = SparkEntry.queries("ann_ivfpq")(spark, sf).collect()
     assert(r.length == 1)
