@@ -233,7 +233,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus bigram-LM fluency scoring (the CCNet/KenLM
+    * quality-filter shape with the corpus itself as the LM): each
+    * adjacent word bigram `w1 w2` scores its CONDITIONAL probability
+    * P(w2|w1) = count(w1 w2) / count(w1 ·), quantized to
+    * parts-per-million by INTEGER floor division so every per-doc
+    * aggregate is an exact integer sum (a double log-prob sum would
+    * be shuffle-order-dependent and libm-divergent vs the oracle) —
+    * doubles appear only at the final per-doc ratio. A doc of
+    * improbable transitions (low mean, zero min) is noise; one of
+    * only top transitions is boilerplate — the signal `text_rarity`'s
+    * unigram frequencies cannot see. Scale shape: both LM relations
+    * (bigram counts, head counts) are aggregates consumed through
+    * BROADCAST joins, so the Zipf-skewed gram keys never shuffle; at
+    * 100 TB the contract becomes a top-K LM broadcast with OOV
+    * scoring zero — the corpus-side plan is identical. */
+  private val lmScore: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordNgrams(col("text"), 2)).as("g"))
+      .withColumn("head", substring_index(col("g"), " ", 1))
+    val bigramLm = grams.groupBy(col("g")).agg(count(lit(1)).as("bf"))
+    val headLm = grams.groupBy(col("head")).agg(count(lit(1)).as("hf"))
+    grams
+      .join(broadcast(bigramLm), Seq("g"))
+      .join(broadcast(headLm), Seq("head"))
+      .withColumn("ppm", expr("(bf * 1000000) div hf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("ppm")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_cond_ppm"),
+        min(col("ppm")).as("min_cond_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_lm_score" -> lmScore,
     "text_repetition" -> repetition,
     "text_gopher_filter" -> gopherFilter,
     "text_rarity" -> rarity,
@@ -245,6 +280,27 @@ object TextAnalysis {
     "text_redact" -> redact)
 
   val oracles: Map[String, String] = Map(
+    // conditional bigram probabilities quantized by INTEGER floor
+    // division (ppm) — every aggregate integer-exact, one IEEE
+    // division at the doc boundary
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+        |        [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |        ELSE [] END) AS g
+        |      FROM t),
+        |gh AS (SELECT doc_id, g, string_split(g, ' ')[1] AS head FROM g),
+        |blm AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS bf FROM gh GROUP BY g),
+        |hlm AS (SELECT head, CAST(COUNT(*) AS BIGINT) AS hf
+        |        FROM gh GROUP BY head)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM((bf * 1000000) // hf) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_cond_ppm,
+        |  CAST(MIN((bf * 1000000) // hf) AS BIGINT) AS min_cond_ppm
+        |FROM gh JOIN blm USING (g) JOIN hlm USING (head)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // integer-exact frequency sums; the final ratio is the same IEEE
     // division on both engines
     "text_rarity" ->

@@ -348,6 +348,33 @@ class PipelineSpec extends AnyFunSuite {
       "the vocabulary must join by broadcast, never a token shuffle")
   }
 
+  test("lm score: conditional ppm is exact and both LM joins broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJ}
+    val df = SparkEntry.queries("text_lm_score")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // ppm values are integer-quantized probabilities in (0, 1e6]
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val mean = r.getAs[Double]("mean_cond_ppm")
+      val mn = r.getAs[Long]("min_cond_ppm")
+      n > 0 && mn >= 0 && mn <= 1000000 && mean >= mn && mean <= 1000000
+    })
+    // a bigram with a unique head has conditional probability 1 —
+    // quantized to exactly 1e6 ppm; sanity one known relation:
+    // min <= mean holds per doc (checked above), and the corpus-level
+    // mean is strictly below certainty (real text varies)
+    assert(rows.exists(_.getAs[Double]("mean_cond_ppm") < 1000000.0))
+    // both LM relations (bigram counts, head counts) join by
+    // broadcast — gram keys are Zipf-skewed, they must never shuffle
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: LJ => j }
+    assert(joins.size >= 2 && joins.forall(_.hint.rightHint.exists(
+      _.strategy.contains(org.apache.spark.sql.catalyst.plans.logical
+        .BROADCAST))),
+      "the LM aggregates must join by broadcast, never a gram shuffle")
+  }
+
   test("token budget: no window ranks the unfiltered corpus") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter,
       Aggregate, Window => LW}
