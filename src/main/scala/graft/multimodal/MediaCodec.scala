@@ -128,6 +128,155 @@ object MediaCodec {
     buf.array()
   }
 
+  // ---- video: uncompressed RIFF/AVI --------------------------------
+
+  def numFramesOf(id: Long): Int = 4 + (id % 5).toInt
+  /** 8-bit grayscale pixel of frame f — the closed-form content
+    * formula the oracle reproduces. */
+  def frameGrayAt(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 29 + x * 7 + y * 13) % 256).toInt
+  val AviFps = 10
+
+  /** A minimal, tool-openable RIFF/AVI: one 'vids' stream of
+    * UNCOMPRESSED 8-bit palettized DIB frames ('00db' chunks,
+    * identity grayscale palette, bottom-up rows, 4-byte row stride —
+    * the Windows DIB contract). Uncompressed by design: the frame
+    * bytes ARE the content formula, so decode→stats oracles exactly
+    * (the mm_jpeg pattern covers lossy; video's oracle-able form is
+    * raw DIB). */
+  def encodeAvi(id: Long): Array[Byte] = {
+    val (w, h, n) = (widthOf(id), heightOf(id), numFramesOf(id))
+    val stride = (w + 3) & ~3
+    val frameBytes = stride * h
+    val strfLen = 40 + 256 * 4
+    val strlLen = 4 + (8 + 56) + (8 + strfLen)
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
+    val moviLen = 4 + n * (8 + frameBytes)
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(t: String): Unit = buf.put(t.getBytes("US-ASCII"))
+    tag("RIFF"); buf.putInt(riffLen); tag("AVI ")
+    tag("LIST"); buf.putInt(hdrlLen); tag("hdrl")
+    tag("avih"); buf.putInt(56)
+    buf.putInt(1000000 / AviFps) // µs per frame
+      .putInt(frameBytes * AviFps).putInt(0).putInt(0)
+      .putInt(n).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); buf.putInt(strlLen); tag("strl")
+    tag("strh"); buf.putInt(56)
+    tag("vids"); tag("DIB ")
+    buf.putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(AviFps) // scale, rate → fps
+      .putInt(0).putInt(n).putInt(frameBytes).putInt(-1).putInt(0)
+      .putShort(0).putShort(0)
+      .putShort(w.toShort).putShort(h.toShort) // rcFrame
+    tag("strf"); buf.putInt(strfLen)
+    buf.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+      .putShort(1).putShort(8) // planes, bpp
+      .putInt(0) // BI_RGB
+      .putInt(frameBytes).putInt(0).putInt(0)
+      .putInt(256).putInt(256)
+    var c = 0
+    while (c < 256) { // identity grayscale palette (b, g, r, 0)
+      buf.put(c.toByte).put(c.toByte).put(c.toByte).put(0.toByte)
+      c += 1
+    }
+    tag("LIST"); buf.putInt(moviLen); tag("movi")
+    var f = 0
+    while (f < n) {
+      tag("00db"); buf.putInt(frameBytes)
+      var y = h - 1 // DIB rows are bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < w) { buf.put(frameGrayAt(id, f, x, y).toByte); x += 1 }
+        while (x < stride) { buf.put(0.toByte); x += 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  private def isAvi(b: Array[Byte]): Boolean =
+    b.length > 24 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' &&
+      b(11) == ' '
+
+  /** Bounds-checked, depth-bounded RIFF walk over an AVI payload:
+    * `(frames, w, h, bitCount, frame-data offsets)`. Media columns
+    * are UNTRUSTED corpus bytes — negative/oversized chunk lengths
+    * and hostile LIST nesting must terminate loudly, never loop or
+    * walk out of the array. */
+  private def aviChunks(bytes: Array[Byte])
+      : (Int, Int, Int, Int, Seq[Int]) = {
+    require(isAvi(bytes), "not a RIFF/AVI payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var frames = -1
+    var w = -1
+    var h = -1
+    var bitCount = -1
+    val frameOffs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      require(depth < 8, "AVI LIST nesting exceeds sane depth")
+      var pos = start
+      while (pos + 8 <= end) {
+        val p = pos.toInt
+        val t = new String(bytes, p, 4, "US-ASCII")
+        val len = bb.getInt(p + 4)
+        require(len >= 0, "malformed AVI chunk length")
+        require(pos + 8 + len <= end, s"truncated AVI chunk '$t'")
+        t match {
+          case "LIST" =>
+            require(len >= 4, "malformed AVI LIST")
+            walk(pos + 12, pos + 8 + len, depth + 1)
+          case "avih" =>
+            require(len >= 40, "truncated avih header")
+            frames = bb.getInt(p + 8 + 16)
+            w = bb.getInt(p + 8 + 32)
+            h = bb.getInt(p + 8 + 36)
+          case "strf" =>
+            require(len >= 40, "truncated strf header")
+            bitCount = bb.getShort(p + 8 + 14).toInt
+          case "00db" | "00dc" =>
+            frameOffs += (p + 8)
+          case _ => () // unknown chunks skip by length
+        }
+        pos += 8L + len + (len & 1)
+      }
+    }
+    walk(12L, math.min(bytes.length.toLong, 8L + bb.getInt(4)), 0)
+    require(frames >= 0 && w > 0 && h > 0,
+      "AVI payload carries no avih header")
+    (frames, w, h, bitCount, frameOffs.toSeq)
+  }
+
+  /** Header-only video metadata: `(n_frames, width, height)` from the
+    * avih chunk — dimension/length filters prune before any frame
+    * byte is touched. */
+  def sniffAvi(bytes: Array[Byte]): (Int, Int, Int) = {
+    val (frames, w, h, _, _) = aviChunks(bytes)
+    (frames, w, h)
+  }
+
+  /** Full frame decode: `(w, h, n_frames, value(f, x, y))` — 8-bit
+    * palettized DIB frames, bottom-up rows, 4-byte stride (the
+    * identity grayscale palette makes the index the value). */
+  def decodeAviFrames(bytes: Array[Byte])
+      : (Int, Int, Int, (Int, Int, Int) => Int) = {
+    val (frames, w, h, bitCount, offs) = aviChunks(bytes)
+    require(bitCount == 8,
+      s"AVI frame decode supports 8-bit DIB frames, got $bitCount bpp")
+    require(offs.size == frames,
+      s"AVI declares $frames frames but carries ${offs.size}")
+    val stride = (w + 3) & ~3
+    offs.foreach(o => require(o + stride * h <= bytes.length,
+      "truncated AVI frame data"))
+    (w, h, frames, (f, x, y) =>
+      bytes(offs(f) + (h - 1 - y) * stride + x) & 0xff)
+  }
+
   // ---- header-only metadata (the cheap pre-decode pass) ------------
 
   /** `(fmt, dim1, dim2)`: png/jpeg → (width, height) from the IHDR

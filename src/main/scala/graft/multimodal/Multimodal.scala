@@ -201,7 +201,46 @@ object Multimodal {
         coalesce(min(col("mean_err")) > 1.0, lit(true)).as("lossy"))
   }
 
+  /** VIDEO: container-level frame extraction over real RIFF/AVI
+    * payloads (uncompressed 8-bit DIB frames — raw is video's
+    * oracle-able form; `mm_jpeg` owns the lossy contract). Per doc:
+    * header-only metadata require()d against the avih header BEFORE
+    * any frame byte is touched (the prune-before-decode law), then
+    * every 2nd frame fully decodes to its mean pixel value — one
+    * output row per sampled frame, flat-mapped per partition. The
+    * decode walks the real container: LIST/chunk structure, bottom-up
+    * DIB rows, 4-byte stride — an off-by-one in any of them shifts
+    * every mean and fails the hash gate. */
+  private val video: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          require(id >= 0, s"payload synthesis requires doc_id >= 0, got $id")
+          val bytes = MediaCodec.encodeAvi(id)
+          val (nf, sw, sh) = MediaCodec.sniffAvi(bytes)
+          require(nf == MediaCodec.numFramesOf(id) &&
+              sw == MediaCodec.widthOf(id) &&
+              sh == MediaCodec.heightOf(id),
+            "header-only AVI metadata must match the synthesis formula")
+          val (w, h, n, v) = MediaCodec.decodeAviFrames(bytes)
+          (0 until n by 2).iterator.map { f =>
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += v(f, x, y); x += 1 }
+              y += 1
+            }
+            (id, f, sum.toDouble / (w * h))
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "frame_mean")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_video" -> video,
     "mm_metadata" -> metadata,
     "mm_features" -> features,
     "mm_resize" -> resize,
@@ -232,7 +271,25 @@ object Multimodal {
   private def wavSample(i: String) =
     s"(doc_id*131 + ($i)*17) % 65536 - 32768"
 
+  private def frameSum(f: String, x: String, y: String) =
+    s"(doc_id*31 + ($f)*29 + ($x)*7 + ($y)*13) % 256"
+
   val oracles: Map[String, String] = Map(
+    // per-sampled-frame mean of the closed-form frame formula; the
+    // Spark side must reproduce it through a REAL container decode
+    "mm_video" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h,
+         |    4 + doc_id % 5 AS nf
+         |  FROM documents),
+         |fr AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS f FROM m)
+         |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         |  CAST(list_sum(flatten(list_transform(range(h),
+         |    y -> list_transform(range(w),
+         |      x -> ${frameSum("f", "x", "y")})))) AS DOUBLE)
+         |    / (w*h) AS frame_mean
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     // Decision-row oracle: the count is exact (the truecolor cohort);
     // the three booleans are the tolerance contract the Spark side
     // must prove (dims bit-exact, error bounded, path genuinely lossy).

@@ -524,6 +524,38 @@ class PipelineSpec extends AnyFunSuite {
       ($"mean_val" < 0 || $"mean_val" > 255)).count() == 0)
   }
 
+  test("avi payloads are real RIFF containers: header sniff, frame " +
+      "decode matches the formula, hostile chunks fail fast") {
+    import graft.multimodal.MediaCodec
+    val id = 11L
+    val avi = MediaCodec.encodeAvi(id)
+    // header-only metadata from the avih chunk
+    assert(MediaCodec.sniffAvi(avi) == ((MediaCodec.numFramesOf(id),
+      MediaCodec.widthOf(id), MediaCodec.heightOf(id))))
+    // full decode: every frame/pixel equals the formula (bottom-up
+    // DIB rows + stride both exercised — widthOf(11)=18 pads to 20)
+    val (w, h, n, v) = MediaCodec.decodeAviFrames(avi)
+    assert((w, h, n) == ((MediaCodec.widthOf(id), MediaCodec.heightOf(id),
+      MediaCodec.numFramesOf(id))))
+    for (f <- 0 until n; y <- 0 until h; x <- 0 until w)
+      assert(v(f, x, y) == MediaCodec.frameGrayAt(id, f, x, y),
+        s"frame $f pixel ($x,$y)")
+    // hostile input: negative chunk length and oversized LIST refuse
+    val bad = avi.clone()
+    bad(16) = -1; bad(17) = -1; bad(18) = -1; bad(19) = -1
+    intercept[IllegalArgumentException](MediaCodec.sniffAvi(bad))
+    val bad2 = avi.clone()
+    // declare a LIST longer than the payload
+    val bb2 = java.nio.ByteBuffer.wrap(bad2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putInt(16, Int.MaxValue - 8)
+    intercept[IllegalArgumentException](MediaCodec.sniffAvi(bad2))
+    // the query surface samples every 2nd frame corpus-wide
+    val df = SparkEntry.queries("mm_video")(spark, sf)
+    assert(df.filter($"frame_idx" % 2 =!= 0).count() == 0)
+    assert(df.filter($"frame_mean" < 0 || $"frame_mean" > 255).count() == 0)
+  }
+
   test("jpeg sniffs/decodes within the lossy tolerance; malformed WAV fails fast") {
     import graft.multimodal.MediaCodec
     val id = 10L // truecolor cohort
