@@ -145,6 +145,12 @@ case class GraftRevokeCommand(table: String, grantee: String)
 case class GraftNsGrantCommand(ns: String, perms: Set[String],
     grantee: String, grantOption: Boolean) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // grant-time existence check, like the table path's "not a
+    // governed resource" refusal: a typo'd namespace must fail HERE,
+    // not as a generic no-grant denial at the grantee's first query
+    require(SecureCatalog.hasNamespace(ns),
+      s"GRANT: no governed table or resource link lives under " +
+        s"namespace '$ns'")
     val all = perms.contains("ALL")
     val pol = TablePolicy(ns,
       write = all || perms.exists(Set("INSERT", "DELETE", "UPDATE")),

@@ -331,6 +331,16 @@ object SecureCatalog {
       "namespace grants are permission-only (no filters, columns, " +
         "or masks)")
 
+  /** Whether any governed name or registered resource link lives
+    * under namespace `ns` — the grant-time existence check (a typo'd
+    * namespace must fail the GRANT, not surface as a generic
+    * no-grant denial at the grantee's first query). */
+  def hasNamespace(ns: String): Boolean = {
+    val prefix = ns.toLowerCase + "."
+    governed.keySet.stream.anyMatch(_.startsWith(prefix)) ||
+      links.keySet.stream.anyMatch(_.startsWith(prefix))
+  }
+
   /** Direct (admin) namespace grant. */
   def nsGrantDirect(grantee: String, ns: String, pol: TablePolicy): Unit = {
     requireNsPolicy(pol)

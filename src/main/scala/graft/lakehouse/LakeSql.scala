@@ -716,11 +716,14 @@ object LakeMaintenance {
 }
 
 /** `CREATE TABLE c SHALLOW CLONE t` — zero-copy fork (see
-  * [[GraftTable.shallowClone]]). FGAC: cloning hands the principal
-  * the ENTIRE table through an ungoverned name, so a governed source
-  * requires an UNFILTERED read grant (a row/column/mask-scoped
-  * grantee must not launder their slice restriction away through a
-  * clone). */
+  * [[GraftTable.shallowClone]]). FGAC: the clone is an UNGOVERNED
+  * full copy, i.e. a REPUBLICATION of the source to every principal —
+  * so a governed source may be cloned only by the admin session or by
+  * a principal holding an UNFILTERED grant WITH GRANT OPTION (readers
+  * of the clone then see no more than the cloner could have granted
+  * them anyway, the regrant narrowing law; a filtered or
+  * non-grantable grantee must not launder their restriction away
+  * through a clone). */
 case class GraftShallowCloneCommand(target: String, source: String,
     root: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -730,11 +733,12 @@ case class GraftShallowCloneCommand(target: String, source: String,
       val pol = graft.fgac.SecureCatalog.authorize(who, source)
       pol.foreach { p =>
         if (p.rowFilter.nonEmpty || p.allowedColumns.nonEmpty ||
-            p.masks.nonEmpty)
+            p.masks.nonEmpty || !p.grantable)
           throw new graft.fgac.AccessDeniedException(
-            s"principal '$who' holds a filtered grant on '$source'; " +
-              "SHALLOW CLONE requires unfiltered read (the clone " +
-              "escapes the policy)")
+            s"principal '$who' may not SHALLOW CLONE governed table " +
+              s"'$source': the ungoverned clone republishes the whole " +
+              "table, which requires an unfiltered grant WITH GRANT " +
+              "OPTION")
       }
     }
     val t = LakeRegistry.get(source).getOrElse(
@@ -743,6 +747,11 @@ case class GraftShallowCloneCommand(target: String, source: String,
     require(LakeRegistry.get(target).isEmpty &&
         ViewRegistry.get(target).isEmpty,
       s"CREATE TABLE: '$target' already exists")
+    // same guard as CREATE/CTAS: a lake table registered under a
+    // governed/visible name would shadow the governed resource and
+    // misroute reads depending on rule order
+    require(!graft.fgac.SecureCatalog.isVisibleName(Seq(target)),
+      s"CREATE TABLE: '$target' is a governed table name")
     LakeRegistry.register(target, t.shallowClone(root))
     Seq.empty
   }

@@ -1168,6 +1168,13 @@ final class LakeSpjReaderFactory(
     val proj = eqDel.map(s =>
       org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(s.project))
+    // a split whose eqIdx is not aligned with its files would SKIP
+    // delete filtering on the unaligned files and resurrect deleted
+    // rows — refuse loudly, never degrade silently
+    if (eqDel.isDefined)
+      require(split.eqIdx.length == split.files.length,
+        s"SPJ split carries ${split.files.length} files but " +
+          s"${split.eqIdx.length} equality-delete index sets")
     reader(split.files.iterator.zipWithIndex.flatMap { case ((path, len), i) =>
       val raw = readFile(ParquetReadShim.wholeFile(path, len))
       // position skips key off the PHYSICAL row index — apply before
@@ -1176,8 +1183,7 @@ final class LakeSpjReaderFactory(
       val posDone = if (skips.isEmpty) raw else skipPositions(raw, skips)
       (predEvals, proj) match {
         case (Some(evals), Some(p)) =>
-          val idx =
-            if (i < split.eqIdx.length) split.eqIdx(i) else Array.empty[Int]
+          val idx = split.eqIdx(i) // aligned: require()d above
           val filtered =
             if (idx.isEmpty) posDone
             else posDone.filter(r => !idx.exists(j => evals(j).eval(r)))

@@ -249,6 +249,11 @@ object MediaCodec {
     walk(12L, math.min(bytes.length.toLong, 8L + bb.getInt(4)), 0)
     require(frames >= 0 && w > 0 && h > 0,
       "AVI payload carries no avih header")
+    // sanity-bound hostile dimensions BEFORE any Int geometry math:
+    // w = h = 46341 makes stride*h wrap negative and a later
+    // offset + stride*h bounds check pass vacuously
+    require(w <= 32767 && h <= 32767 && frames <= (1 << 20),
+      s"implausible AVI geometry ${w}x$h x$frames frames")
     (frames, w, h, bitCount, frameOffs.toSeq)
   }
 
@@ -271,7 +276,8 @@ object MediaCodec {
     require(offs.size == frames,
       s"AVI declares $frames frames but carries ${offs.size}")
     val stride = (w + 3) & ~3
-    offs.foreach(o => require(o + stride * h <= bytes.length,
+    // Long arithmetic: bounded w/h still deserve overflow-proof math
+    offs.foreach(o => require(o + stride.toLong * h <= bytes.length,
       "truncated AVI frame data"))
     (w, h, frames, (f, x, y) =>
       bytes(offs(f) + (h - 1 - y) * stride + x) & 0xff)

@@ -253,7 +253,12 @@ object TextAnalysis {
       .select(col("doc_id"), explode(wordNgrams(col("text"), 2)).as("g"))
       .withColumn("head", substring_index(col("g"), " ", 1))
     val bigramLm = grams.groupBy(col("g")).agg(count(lit(1)).as("bf"))
-    val headLm = grams.groupBy(col("head")).agg(count(lit(1)).as("hf"))
+    // head counts DERIVE from the bigram LM (count(w1 ·) = Σ bf over
+    // bigrams headed w1) — an aggregation over the tiny LM relation,
+    // not a second full corpus explode+shuffle
+    val headLm = bigramLm
+      .groupBy(substring_index(col("g"), " ", 1).as("head"))
+      .agg(sum(col("bf")).as("hf"))
     grams
       .join(broadcast(bigramLm), Seq("g"))
       .join(broadcast(headLm), Seq("head"))

@@ -345,6 +345,9 @@ class FgacSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SecureCatalog.nsGrantDirect(
       "nsl_user", "dev.links_db",
       TablePolicy("dev.links_db", rowFilter = Some("1=1"))))
+    // a typo'd namespace fails at GRANT time, not at first query
+    intercept[Exception](spark.sql(
+      "GRANT SELECT ON NAMESPACE dev.links_bd TO nsl_user"))
     spark.sql("REVOKE ALL ON NAMESPACE dev.links_db FROM nsl_user")
     assert(SecureCatalog.principal("nsl_user")
       .forall(_.nsGrants.isEmpty))

@@ -1950,15 +1950,29 @@ class LakehouseSpec extends AnyFunSuite {
     SecureCatalog.governTable("sc_src", Seq("k", "tag"))
     SecureCatalog.register(Principal("sc_filtered", grants = Map(
       "sc_src" -> TablePolicy("sc_src", rowFilter = Some("k <= 10")))))
+    // unfiltered but WITHOUT grant option: the ungoverned clone
+    // republishes the table, which only a grantable holder may do
     SecureCatalog.register(Principal("sc_full", grants = Map(
       "sc_src" -> TablePolicy("sc_src"))))
+    SecureCatalog.register(Principal("sc_granted", grants = Map(
+      "sc_src" -> TablePolicy("sc_src", grantable = true))))
     try {
       intercept[AccessDeniedException](
         FgacQueries.asPrincipal(spark, "sc_filtered")(
           spark.sql("CREATE TABLE sc_c2 SHALLOW CLONE sc_src")))
-      FgacQueries.asPrincipal(spark, "sc_full")(
+      intercept[AccessDeniedException](
+        FgacQueries.asPrincipal(spark, "sc_full")(
+          spark.sql("CREATE TABLE sc_c2 SHALLOW CLONE sc_src")))
+      FgacQueries.asPrincipal(spark, "sc_granted")(
         spark.sql("CREATE TABLE sc_c2 SHALLOW CLONE sc_src"))
       assert(LakeRegistry.get("sc_c2").isDefined)
+      // a clone may not land on a governed name (it would shadow the
+      // governed resource)
+      SecureCatalog.governTable("sc_shadow", Seq("k"))
+      val e = intercept[Exception](spark.sql(
+        "CREATE TABLE sc_shadow SHALLOW CLONE sc_src"))
+      assert(e.getMessage.contains("governed table name"))
+      SecureCatalog.ungovern("sc_shadow")
     } finally {
       SecureCatalog.ungovern("sc_src")
       if (LakeRegistry.get("sc_c2").isDefined)
