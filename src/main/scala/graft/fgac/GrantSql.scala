@@ -49,6 +49,8 @@ object GrantSql {
     """(?is)\s*SHOW\s+GRANTS\s+ON\s+(\w+(?:\.\w+)*)\s*;?\s*""".r
   private val NsShowGrants =
     """(?is)\s*SHOW\s+GRANTS\s+ON\s+NAMESPACE\s+(\w+(?:\.\w+)*)\s*;?\s*""".r
+  private val ShowGrantsFor =
+    """(?is)\s*SHOW\s+GRANTS\s+FOR\s+(\w+)\s*;?\s*""".r
 
   private val KnownPerms =
     Set("SELECT", "DESCRIBE", "INSERT", "DELETE", "UPDATE", "ALL")
@@ -69,6 +71,8 @@ object GrantSql {
       Some(GraftNsRevokeCommand(ns.toLowerCase, grantee))
     case NsShowGrants(ns) =>
       Some(GraftShowGrantsCommand(ns.toLowerCase, namespace = true))
+    case ShowGrantsFor(principal) =>
+      Some(GraftShowGrantsForCommand(principal))
     case Grant(perms, cols, table, grantee, option, where) =>
       val permSet = perms.toUpperCase.split(",").map(_.trim).toSet
       val unknown = permSet -- KnownPerms
@@ -169,6 +173,53 @@ case class GraftNsRevokeCommand(ns: String, grantee: String)
     SecureCatalog.nsRevoke(
       spark.conf.get(SecureCatalog.PrincipalConf, ""), grantee, ns)
     Seq.empty
+  }
+}
+
+/** `SHOW GRANTS FOR p` — everything one principal holds, across
+  * tables, tags, and namespaces (the per-principal audit view an
+  * admin reaches for first). Visibility: the admin sees anyone; a
+  * principal sees ONLY themselves (someone else's grant inventory is
+  * policy topology). */
+case class GraftShowGrantsForCommand(principal: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("resource", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("permissions", StringType, nullable = false)(),
+    AttributeReference("columns", StringType, nullable = false)(),
+    AttributeReference("row_filter", StringType, nullable = false)(),
+    AttributeReference("grantable", BooleanType, nullable = false)(),
+    AttributeReference("grantor", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
+    if (who.nonEmpty && who != principal)
+      throw new AccessDeniedException(
+        s"principal '$who' may not enumerate the grants of " +
+          s"'$principal'")
+    val p = SecureCatalog.principal(principal).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown principal '$principal'"))
+    def permsOf(pol: TablePolicy): String =
+      Seq(
+        if (pol.selectable) Some("SELECT") else None,
+        if (pol.write) Some("WRITE") else None).flatten match {
+        case Nil => "DESCRIBE"
+        case ps  => ps.mkString(", ")
+      }
+    def row(res: String, kind: String, pol: TablePolicy): Row =
+      Row(res, kind, permsOf(pol),
+        pol.allowedColumns.map(_.mkString(", ")).getOrElse("*"),
+        pol.rowFilter.getOrElse(""),
+        pol.grantable,
+        pol.grantor.getOrElse(""))
+    (p.grants.toSeq.sortBy(_._1).map { case (t, pol) =>
+      row(t, "table", pol) } ++
+      p.tagGrants.toSeq.sortBy(_._1).map { case (t, pol) =>
+        row(t, "tag", pol) } ++
+      p.nsGrants.toSeq.sortBy(_._1).map { case (n, pol) =>
+        row(n, "namespace", pol) })
   }
 }
 

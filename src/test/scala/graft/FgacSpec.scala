@@ -307,6 +307,17 @@ class FgacSpec extends AnyFunSuite {
       "GRANT SELECT ON customer TO x WHERE EXISTS (SELECT 1)"))
     assert(SecureCatalog.principal("x").forall(
       !_.grants.contains("customer")))
+    // SHOW GRANTS FOR: the per-principal audit view — admin sees
+    // anyone, a principal only themselves
+    val mine = spark.sql("SHOW GRANTS FOR sq_writer").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(mine.toSeq == Seq(("customer", "table", "WRITE")))
+    val self = FgacQueries.asPrincipal(spark, "sq_writer")(
+      spark.sql("SHOW GRANTS FOR sq_writer")).collect()
+    assert(self.length == 1)
+    intercept[AccessDeniedException](
+      FgacQueries.asPrincipal(spark, "sq_desc")(
+        spark.sql("SHOW GRANTS FOR sq_writer").collect()))
     // a non-admin REVOKE of a grant they did not make refuses
     intercept[AccessDeniedException](FgacQueries.asPrincipal(spark, "sq_desc")(
       spark.sql("REVOKE ALL ON customer FROM sq_writer")))
