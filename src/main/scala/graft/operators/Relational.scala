@@ -501,7 +501,133 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** LATERAL-VIEW explode: token frequency over part names. The
+    * explode is a map-side row expansion (no shuffle of its own);
+    * the only exchange is the final group-by on the token — at
+    * 100 TB the expansion factor (~5 words/name) scales linearly
+    * and partial aggregation collapses each task's counts before
+    * the shuffle, so the exchange carries |vocab| rows per task,
+    * not |part|×5. */
+  private val q33: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("word"),
+        col("p_retailprice"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(dec4(col("p_retailprice"))).cast("double").as("price_sum"))
+      .orderBy(col("word"))
+
+  /** Higher-order array functions (transform/filter/aggregate) over
+    * per-order quantity vectors. Quantities are integral so the
+    * fold is exact integer arithmetic in both engines regardless of
+    * fold order. One shuffle builds the per-order array
+    * (collect_list under group-by); the lambda evaluation is
+    * map-side whole-stage-codegen — the 100 TB form of "array
+    * programming without a UDF". */
+  private val q34: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("int")))
+        .as("qtys"))
+      .select(
+        col("l_orderkey"),
+        size(col("qtys")).as("n_lines"),
+        aggregate(col("qtys"), lit(0),
+          (acc, x) => acc + x).as("qty_total"),
+        size(filter(col("qtys"), _ > 25)).as("n_big"),
+        aggregate(transform(col("qtys"), _ * 2), lit(0),
+          (acc, x) => greatest(acc, x)).as("doubled_max"))
+      .orderBy(col("l_orderkey"))
+
+  /** Semi-structured JSON extraction (`events.props`): from_json with
+    * an explicit schema, then a typed aggregate per event_type. The
+    * parse is per-row map-side codegen; pushing the extraction below
+    * the aggregate means the shuffle carries (type, partial-agg)
+    * not raw JSON strings — at 100 TB the difference between
+    * shuffling bytes of JSON and shuffling 5 grouped rows. */
+  private val q35: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k").cast("long")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
+  /** Explicit window frames: first/last/nth order per customer with
+    * an UNBOUNDED..UNBOUNDED rows frame (the default frame stops at
+    * CURRENT ROW for last_value — the classic trap this query pins
+    * down). Single shuffle on the partition key; frame evaluation
+    * is one sorted pass per partition. */
+  private val q36: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Gaps-and-islands sessionization in plain SQL windows: a new
+    * island starts when the gap since the customer's previous order
+    * exceeds 30 days; a running sum over the start flags numbers the
+    * islands, then a group-by aggregates each island. Two window
+    * passes share ONE shuffle (same partition key + sort), and the
+    * final aggregate reuses the same hash partitioning — Catalyst
+    * plans a single Exchange for all three. The batch twin of
+    * stream_sessionize. */
+  private val q37: Q = (s, d) => {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("prev_date",
+        lag(col("o_orderdate"), 1).over(byCust))
+      .withColumn("new_island",
+        when(col("prev_date").isNull.or(
+          datediff(col("o_orderdate").cast("date"),
+            col("prev_date").cast("date")) > 30), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderdate")).as("island_start"),
+        max(col("o_orderdate")).as("island_end"))
+      .select(col("o_custkey"), col("island").cast("int").as("island"),
+        col("n_orders"), col("island_start"), col("island_end"),
+        datediff(col("island_end").cast("date"),
+          col("island_start").cast("date")).as("span_days"))
+      .orderBy(col("o_custkey"), col("island"))
+  }
+
+  /** Regex triple (extract / replace-all / match) over part
+    * attributes — all three are per-row codegen'd expressions that
+    * ride the scan, so the aggregate's shuffle is the only
+    * exchange. Patterns are anchored and group-indexed to pin both
+    * engines to identical POSIX-ish semantics. */
+  private val q38: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("finish"),
+        regexp_replace(col("p_brand"), "[0-9]", "#").as("brand_shape"),
+        col("p_brand").rlike("#1[0-9]$").as("teen_brand"),
+        col("p_partkey"))
+      .groupBy(col("finish"), col("brand_shape"), col("teen_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("p_partkey")).as("min_partkey"))
+      .orderBy(col("finish"), col("brand_shape"), col("teen_brand"))
+
   val queries: Map[String, Q] = Map(
+    "q33_explode" -> q33, "q34_higher_order" -> q34,
+    "q35_json" -> q35, "q36_window_frames" -> q36,
+    "q37_gaps_islands" -> q37, "q38_regexp" -> q38,
     "q29_interval_window" -> q29,
     "q28_profile" -> q28,
     "q25_stats" -> q25, "q26_setops" -> q26, "q27_correlated" -> q27,
@@ -519,6 +645,64 @@ object Relational {
     "q31_recursive_cte" -> q31, "q32_lead_lag" -> q32)
 
   val oracles: Map[String, String] = Map(
+    "q33_explode" ->
+      """SELECT word, COUNT(*) AS n_parts,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+        |FROM (SELECT UNNEST(string_split(p_name, ' ')) AS word,
+        |             p_retailprice FROM part)
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "q34_higher_order" ->
+      """WITH a AS (SELECT l_orderkey,
+        |  list(CAST(l_quantity AS INT) ORDER BY CAST(l_quantity AS INT)) AS qtys
+        | FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        | CAST(len(qtys) AS INT) AS n_lines,
+        | CAST(list_sum(qtys) AS INT) AS qty_total,
+        | CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_big,
+        | CAST(list_max(list_transform(qtys, x -> x * 2)) AS INT) AS doubled_max
+        |FROM a ORDER BY l_orderkey""".stripMargin,
+    "q35_json" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        | MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+        | MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q36_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_order,
+        | last_value(o_orderkey) OVER w AS last_order,
+        | nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q37_gaps_islands" ->
+      """WITH f AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_date
+        | FROM orders),
+        | g AS (SELECT *, CASE WHEN prev_date IS NULL
+        |    OR date_diff('day', CAST(prev_date AS DATE),
+        |                 CAST(o_orderdate AS DATE)) > 30
+        |   THEN 1 ELSE 0 END AS new_island FROM f),
+        | h AS (SELECT *, SUM(new_island) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g)
+        |SELECT o_custkey, CAST(island AS INT) AS island,
+        | COUNT(*) AS n_orders,
+        | MIN(o_orderdate) AS island_start, MAX(o_orderdate) AS island_end,
+        | CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+        |                CAST(MAX(o_orderdate) AS DATE)) AS INT) AS span_days
+        |FROM h GROUP BY o_custkey, island
+        |ORDER BY o_custkey, island""".stripMargin,
+    "q38_regexp" ->
+      """SELECT regexp_extract(p_type, '([A-Z]+)$', 1) AS finish,
+        | regexp_replace(p_brand, '[0-9]', '#', 'g') AS brand_shape,
+        | regexp_matches(p_brand, '#1[0-9]$') AS teen_brand,
+        | COUNT(*) AS n_parts, MIN(p_partkey) AS min_partkey
+        |FROM part GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q32_lead_lag" ->
       """SELECT o_custkey, o_orderkey,
         | lag(o_orderkey, 1, -1) OVER w AS prev_order,

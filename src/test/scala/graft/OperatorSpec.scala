@@ -66,4 +66,83 @@ class OperatorSpec extends AnyFunSuite {
     assert(q2n >= 1 && q2n <= 5)
     assert(SparkEntry.queries("q9_topk")(spark, sf).count() == 15) // 5 segs × 3
   }
+
+  test("q33 explode conserves the total word count") {
+    val out = SparkEntry.queries("q33_explode")(spark, sf)
+    val exploded = out.agg(sum($"n_parts")).head.getLong(0)
+    val direct = Tables.part(spark, sf)
+      .select(size(split($"p_name", " ")).as("n"))
+      .agg(sum($"n")).head.getLong(0)
+    assert(exploded == direct && exploded > 0)
+  }
+
+  test("q34 higher-order array functions match per-row recomputation") {
+    val rows = SparkEntry.queries("q34_higher_order")(spark, sf).limit(50).collect()
+    val qty = Tables.lineitem(spark, sf)
+      .groupBy($"l_orderkey")
+      .agg(collect_list($"l_quantity".cast("int")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = qty(r.getAs[Long]("l_orderkey"))
+      assert(r.getAs[Int]("n_lines") == q.size)
+      assert(r.getAs[Int]("qty_total") == q.sum)
+      assert(r.getAs[Int]("n_big") == q.count(_ > 25))
+      assert(r.getAs[Int]("doubled_max") == q.max * 2)
+    }
+  }
+
+  test("q35 json extraction matches a string-parse recomputation") {
+    val out = SparkEntry.queries("q35_json")(spark, sf)
+    val total = out.agg(sum($"k_sum")).head.getLong(0)
+    val direct = Tables.events(spark, sf)
+      .select(regexp_extract($"props", "([0-9]+)", 1).cast("long").as("k"))
+      .agg(sum($"k")).head.getLong(0)
+    assert(total == direct)
+    assert(out.count() == 5) // five event types in testdata
+  }
+
+  test("q36 window frames: last_value sees the whole partition") {
+    val rows = SparkEntry.queries("q36_window_frames")(spark, sf).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.foreach { case (_, rs) =>
+      // every row in a partition agrees on first/last, and
+      // last_order is an actual member of the partition
+      assert(rs.map(_.getAs[Long]("first_order")).distinct.size == 1)
+      assert(rs.map(_.getAs[Long]("last_order")).distinct.size == 1)
+      val members = rs.map(_.getAs[Long]("o_orderkey")).toSet
+      assert(members.contains(rs.head.getAs[Long]("last_order")))
+      if (rs.length == 1)
+        assert(rs.head.isNullAt(rs.head.fieldIndex("second_order")))
+    }
+  }
+
+  test("q37 gaps-islands: islands are maximal 30-day-gap runs") {
+    val islands = SparkEntry.queries("q37_gaps_islands")(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderdate".cast("date").as("d"))
+      .collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+      .map { case (k, rs) =>
+        k -> rs.map(_.getAs[java.sql.Date]("d").toLocalDate).sorted
+      }
+    // island count per customer == number of >30-day gaps + 1
+    islands.groupBy(_.getAs[Long]("o_custkey")).foreach { case (k, isl) =>
+      val ds = orders(k)
+      val gaps = ds.zip(ds.tail).count { case (a, b) =>
+        java.time.temporal.ChronoUnit.DAYS.between(a, b) > 30
+      }
+      assert(isl.length == gaps + 1, s"customer $k")
+      // n_orders over islands conserves the customer's orders
+      assert(isl.map(_.getAs[Long]("n_orders")).sum == ds.size, s"customer $k")
+    }
+  }
+
+  test("q38 regexp groups partition the part table") {
+    val out = SparkEntry.queries("q38_regexp")(spark, sf)
+    assert(out.agg(sum($"n_parts")).head.getLong(0) ==
+      Tables.part(spark, sf).count())
+    // digit masking leaves only the Brand#… shape (1- or 2-digit ids)
+    assert(out.filter(!$"brand_shape".rlike("^Brand#{2,3}$")).count() == 0)
+  }
 }
