@@ -42,6 +42,17 @@ final case class Rename(seq: Long, from: String, to: String)
   * commit time (absent when the footer was unreadable) — the manifest
   * datum that lets metadata queries answer COUNT-shaped questions
   * with zero data-file reads. */
+/** Per-column ANALYZE result. `min`/`max` are the values' string
+  * renderings (None for an all-null column) — planner inputs, not a
+  * typed query surface. */
+final case class ColumnStats(ndv: Long, nulls: Long,
+    min: Option[String], max: Option[String])
+
+/** Snapshot-scoped table statistics ([[GraftTable.analyzeColumns]]).
+  * `exact=false` marks HLL-sketched NDVs. */
+final case class TableStats(snapshotId: Long, rows: Long,
+    exact: Boolean, cols: Map[String, ColumnStats])
+
 final case class Snapshot(
     id: Long,
     parent: Long,
@@ -2842,6 +2853,248 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       }.collect().toMap
   }
 
+  /** Remove ORPHAN files under this table's `data/` tree — files no
+    * reachable manifest references: leftovers of crashed or aborted
+    * write attempts whose commit lost the CAS race (the data was
+    * written, the manifest publish never happened). Mirrors Iceberg's
+    * `remove_orphan_files` contract:
+    *
+    *  - `olderThanMillis` (default now − 3 days) guards IN-FLIGHT
+    *    writers — a file younger than the cutoff is never touched,
+    *    even when unreferenced, because its commit may still be
+    *    racing toward publish.
+    *  - Hidden path segments (`_…`, `.…`) are skipped entirely:
+    *    `_SUCCESS` markers and `_temporary/` job-attempt dirs belong
+    *    to the write protocol, not the table, and a LIVE job's
+    *    attempt dir must survive even an aggressive cutoff.
+    *  - The referenced set spans EVERY live snapshot (history and
+    *    branches — time travel must keep working) AND every staged
+    *    WAP manifest (`staged-*.meta`): an audit-pending append is
+    *    reachable, just not published.
+    *
+    * The set diff runs driver-side: the referenced set is exactly the
+    * union of manifests the driver already materializes to plan any
+    * read, so cleanup adds no new memory bound. At 100 TB the
+    * LISTING is the bottleneck, not the diff — `data/` is listed
+    * once, streamed, and each entry probes a hash set; an object
+    * store would shard the listing by prefix across executors and
+    * anti-join against a manifest DataFrame (the [[statFileSizes]]
+    * distribution pattern), same contract.
+    *
+    * Returns the deleted paths, sorted. Deletion is file-by-file and
+    * idempotent — a concurrent cleaner racing on the same orphan just
+    * finds it already gone. */
+  def removeOrphanFiles(
+      olderThanMillis: Long =
+        System.currentTimeMillis() - 3L * 24 * 3600 * 1000): Seq[String] = {
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return Nil
+    val staged =
+      if (!fs.exists(metaDir)) Nil
+      else fs.listStatus(metaDir).map(_.getPath).toSeq
+        .filter(p => p.getName.startsWith("staged-") &&
+          p.getName.endsWith(".meta"))
+        .map(p => parseManifest(p, 0L))
+    val referenced: Set[String] = (snapshots ++ staged)
+      .flatMap(s => s.files ++ s.posDels)
+      .map(normalize).toSet
+    val dataPrefix = fs.makeQualified(dataDir).toUri.getPath
+      .stripSuffix("/") + "/"
+    def hiddenBelowData(p: Path): Boolean = {
+      val rel = p.toUri.getPath.stripPrefix(dataPrefix)
+      rel.split("/").exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+    }
+    val orphans = Seq.newBuilder[Path]
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !hiddenBelowData(st.getPath) &&
+          st.getModificationTime < olderThanMillis &&
+          !referenced(normalize(st.getPath.toString)))
+        orphans += st.getPath
+    }
+    val out = orphans.result()
+    out.foreach(p => fs.delete(p, false))
+    out.map(_.toString).sorted
+  }
+
+  /** Zero-copy ADOPTION of existing parquet (Iceberg's `add_files`
+    * procedure; [[GraftTable.adopt]] is the whole-table `migrate`
+    * form): a METADATA-ONLY commit registers `srcDir`'s parquet files
+    * in the next snapshot without rewriting a byte — on a 100 TB
+    * legacy directory the migration cost is the footer harvest
+    * ([[commit]] reads each NEW file's footer on a bounded pool for
+    * column bounds + row counts), not a 100 TB copy. Every lake
+    * semantic is live immediately: stats-based skipping, time travel,
+    * DML (copy-on-write rewrites of adopted files land under THIS
+    * table's root; the external originals are never modified), and
+    * [[expireSnapshots]]'s ownership scope already refuses to delete
+    * files outside the root — adopted storage is referenced, never
+    * owned.
+    *
+    * Refused loudly: hive-layout sources (a `col=value` segment
+    * carries partition values this table's reader would not
+    * reconstitute — Iceberg's add_files takes an explicit partition
+    * filter for those), adoption into a partitioned table (same
+    * reason, our side), and schema drift (every table column must be
+    * present in the source files with the identical type — parquet's
+    * by-name resolution would otherwise null-fill silently). */
+  def addFiles(srcDir: String): Long = {
+    val snap = currentSnapshot
+    require(snap.partitionCols.isEmpty,
+      "add_files adopts into unpartitioned tables only: a partition " +
+        "spec requires layout segments under this table's commit dirs")
+    val srcPath = fs.makeQualified(new Path(srcDir))
+    require(fs.exists(srcPath), s"add_files: no such directory: $srcDir")
+    val srcPrefix = srcPath.toUri.getPath.stripSuffix("/") + "/"
+    val found = Seq.newBuilder[String]
+    val it = fs.listFiles(srcPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(srcPrefix)
+      val segs = rel.split("/")
+      val hidden = segs.exists(s => s.startsWith("_") || s.startsWith("."))
+      if (st.isFile && !hidden && st.getPath.getName.endsWith(".parquet")) {
+        require(segs.forall(!_.contains('=')),
+          s"add_files: hive-layout segment in $rel — partition-valued " +
+            "directories cannot be adopted (values live in the path, " +
+            "not the files)")
+        found += st.getPath.toString
+      }
+    }
+    val newFiles = found.result().sorted
+    require(newFiles.nonEmpty, s"add_files: no parquet files under $srcDir")
+    val already = snap.files.map(normalize).toSet
+    require(!newFiles.exists(f => already(normalize(f))),
+      "add_files: a source file is already referenced by this table")
+    val srcSchema = spark.read.parquet(newFiles: _*).schema
+    val srcTypes = srcSchema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    snap.schema.fields.foreach { f =>
+      val t = srcTypes.get(f.name.toLowerCase)
+      require(t.contains(f.dataType),
+        s"add_files: table column ${f.name}: ${f.dataType.simpleString} " +
+          s"is ${t.map(_.simpleString).getOrElse("absent")} in the " +
+          "source files — by-name parquet resolution would null-fill " +
+          "or miscast silently")
+    }
+    commit("add-files", snap.schema, snap.files ++ newFiles,
+      snap.partitionCols, expectedParent = snap.id)
+  }
+
+  // ---- table statistics (ANALYZE) ----------------------------------
+
+  private def statsPath(snapId: Long) =
+    new Path(metaDir, f"stats-$snapId%05d.meta")
+
+  /** ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS: one distributed
+    * pass over the current snapshot computing the row count and, per
+    * requested column, distinct count / null count / min / max, then
+    * persisted as a snapshot-scoped stats file (Iceberg's Puffin
+    * sidecar model — stats name the snapshot they describe and go
+    * STALE, never wrong, when the table advances; [[tableStats]]
+    * refuses to serve stats for any other snapshot).
+    *
+    * `exact=true` (the audit form) computes exact NDVs — Catalyst
+    * plans the multi-distinct aggregate as an Expand, rows ×
+    * #columns, which is the honest cost of exactness. The 100 TB
+    * scheduled form is `exact=false`: HLL sketches, single pass, no
+    * Expand, ±5%% — the same split q22/q28 document. */
+  def analyzeColumns(cols0: Seq[String], exact: Boolean = true)
+      : TableStats = {
+    val snap = currentSnapshot
+    val cols = cols0.map { c =>
+      snap.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ANALYZE: no such column $c"))
+    }
+    require(cols.nonEmpty, "ANALYZE: no columns requested")
+    val df = read()
+    val aggs = cols.flatMap { c =>
+      Seq(
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__ndv_$c"),
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*).head()
+    val colStats = cols.map { c =>
+      c -> ColumnStats(
+        ndv = row.getAs[Long](s"__ndv_$c"),
+        nulls = row.getAs[Long](s"__nulls_$c"),
+        min = Option(row.getAs[String](s"__min_$c")),
+        max = Option(row.getAs[String](s"__max_$c")))
+    }.toMap
+    val stats = TableStats(snap.id, row.getAs[Long]("__rows"),
+      exact, colStats)
+    val b64 = java.util.Base64.getEncoder
+    def enc(v: Option[String]) = v.map(s =>
+      b64.encodeToString(s.getBytes(StandardCharsets.UTF_8)))
+      .getOrElse("-")
+    val body = new StringBuilder
+    body ++= s"snap=${stats.snapshotId}\n"
+    body ++= s"rows=${stats.rows}\n"
+    body ++= s"exact=${stats.exact}\n"
+    cols.foreach { c =>
+      require(!c.contains('\t') && !c.contains('\n'),
+        s"ANALYZE: unserializable column name: $c")
+      val cs = colStats(c)
+      body ++= s"col=$c\t${cs.ndv}\t${cs.nulls}\t${enc(cs.min)}\t${enc(cs.max)}\n"
+    }
+    val out = fs.create(statsPath(snap.id), true)
+    try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    stats
+  }
+
+  /** Stats for the CURRENT snapshot, or None when never analyzed or
+    * stale (analyzed at an earlier snapshot — serving those would
+    * report pre-DML truths as current). */
+  def tableStats: Option[TableStats] = {
+    val p = statsPath(currentSnapshotId)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    val kv = text.linesIterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      (line.substring(0, i), line.substring(i + 1))
+    }.toSeq
+    val b64 = java.util.Base64.getDecoder
+    def dec(s: String): Option[String] =
+      if (s == "-") None
+      else Some(new String(b64.decode(s), StandardCharsets.UTF_8))
+    Some(TableStats(
+      snapshotId = kv.collectFirst { case ("snap", v) => v.toLong }.get,
+      rows = kv.collectFirst { case ("rows", v) => v.toLong }.get,
+      exact = kv.collectFirst { case ("exact", v) => v.toBoolean }
+        .getOrElse(true),
+      cols = kv.collect { case ("col", v) =>
+        val p5 = v.split("\t", 4)
+        val mm = p5(3).split("\t", 2)
+        p5(0) -> ColumnStats(p5(1).toLong, p5(2).toLong,
+          dec(mm(0)), dec(if (mm.length > 1) mm(1) else "-"))
+      }.toMap))
+  }
+
+  /** Stats-driven join side: [[read]] wrapped in a broadcast hint
+    * when ANALYZEd row-count truth says the table fits — the case
+    * Catalyst's size estimation cannot see (post-MoR anti-join
+    * output, wide rows behind a selective filter, adopted files with
+    * no catalog stats). Missing or stale stats fall back to a plain
+    * read and Spark's own estimation — stats can upgrade a plan,
+    * never force one from stale truth. */
+  def readForJoin(maxBroadcastRows: Long = 500 * 1000): DataFrame = {
+    val df = read()
+    tableStats match {
+      case Some(st) if st.rows <= maxBroadcastRows => broadcast(df)
+      case _ => df
+    }
+  }
+
   /** Tombstone maintenance (Iceberg's `rewrite_position_delete_files`):
     * merges the accumulated per-DML tombstone files into a compacted,
     * `(_file, _pos)`-clustered set and drops tombstones whose data
@@ -3852,4 +4105,16 @@ object GraftTable {
 
   def load(spark: SparkSession, root: String): GraftTable =
     new GraftTable(spark, root)
+
+  /** Whole-directory migration (Iceberg's `migrate` to `add_files`'s
+    * incremental form): a new table at `root` whose first data
+    * snapshot adopts `srcDir`'s parquet in place — schema from the
+    * files, zero bytes copied. See [[GraftTable.addFiles]] for the
+    * adoption contract. */
+  def adopt(spark: SparkSession, root: String, srcDir: String)
+      : GraftTable = {
+    val t = createEmpty(spark, root, spark.read.parquet(srcDir).schema)
+    t.addFiles(srcDir)
+    t
+  }
 }

@@ -228,6 +228,102 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS
+    * ([[GraftTable.analyzeColumns]], the Iceberg Puffin-sidecar /
+    * Spark ANALYZE shape): one pass computes row count + per-column
+    * NDV/nulls/min/max, snapshot-scoped. The stats then DRIVE a plan
+    * Catalyst could not pick alone: with the size estimator disabled
+    * (threshold −1), [[GraftTable.readForJoin]]'s analyzed row count
+    * is the only broadcast signal — the in-query require proves the
+    * dim side broadcasts on stats truth. At 100 TB this is the nightly
+    * ANALYZE feeding every morning's join strategy. Output = the
+    * stats themselves, exact-oracled against DuckDB recomputation. */
+  private val analyzeQ: Q = (s, dir) => {
+    import s.implicits._
+    val t = GraftTable.create(s, tmp("lake_an"), Tables.orders(s, dir))
+    val st = t.analyzeColumns(Seq("o_orderkey", "o_custkey"))
+    require(st.snapshotId == t.currentSnapshotId,
+      "stats must name the snapshot they describe")
+    require(t.tableStats.contains(st),
+      "stats must round-trip the sidecar file")
+    val dim = GraftTable.create(s, tmp("lake_an_dim"),
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+    dim.analyzeColumns(Seq("c_custkey"))
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = t.read()
+        .join(dim.readForJoin(), col("o_custkey") === col("c_custkey"))
+      probe.count() // AQE finalizes
+      require(probe.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "analyzed row count must broadcast the dim side")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    Seq("o_custkey", "o_orderkey").map { c =>
+      val cs = st.cols(c)
+      (c, st.rows, cs.ndv, cs.nulls,
+        cs.min.map(_.toLong), cs.max.map(_.toLong))
+    }.toDF("col_name", "n_rows", "ndv", "n_nulls", "min_v", "max_v")
+      .orderBy("col_name")
+  }
+
+  /** remove_orphan_files ([[GraftTable.removeOrphanFiles]]): a crashed
+    * writer's data files — written, never referenced because the
+    * manifest publish lost the CAS — are reaped; every referenced
+    * file (both live commits) survives, hidden write-protocol files
+    * are never touched, and a re-run is a no-op. Output = the intact
+    * table, end-state-oracled. */
+  private val orphanQ: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val root = tmp("lake_orph")
+    val t = GraftTable.create(s, root,
+      orders.filter(col("o_orderkey") % 2 === 0))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1))
+    // the crashed writer: data landed under a commit dir whose
+    // manifest never published
+    orders.limit(64).write
+      .parquet(s"$root/data/commit-99999-deadbeef")
+    val future = System.currentTimeMillis() + 3600 * 1000
+    val removed = t.removeOrphanFiles(olderThanMillis = future)
+    require(removed.nonEmpty &&
+      removed.forall(_.contains("commit-99999-deadbeef")),
+      s"cleanup must reap exactly the crashed commit's files: $removed")
+    require(t.removeOrphanFiles(olderThanMillis = future).isEmpty,
+      "orphan cleanup must be idempotent")
+    t.read().orderBy("o_orderkey")
+  }
+
+  /** add_files / migrate ([[GraftTable.adopt]]): zero-copy adoption
+    * of a parquet directory another engine wrote — the commit is
+    * metadata-only (every referenced file still lives under the
+    * SOURCE dir), yet lake semantics are immediately live: the DELETE
+    * rewrites only affected files copy-on-write under the table's own
+    * root while the external originals stay untouched on disk
+    * (referenced, never owned — expiry's ownership scope). The 100 TB
+    * story is the whole point: migrating a legacy lake costs a footer
+    * harvest, not a rewrite. */
+  private val addFilesQ: Q = (s, dir) => {
+    val src = tmp("lake_adopt_src")
+    Tables.customer(s, dir).write.mode("overwrite").parquet(src)
+    val t = GraftTable.adopt(s, tmp("lake_adopt"), src)
+    val srcPrefix = new org.apache.hadoop.fs.Path(src).toUri.getPath
+      .stripSuffix("/") + "/"
+    def underSrc(f: String) =
+      new org.apache.hadoop.fs.Path(f).toUri.getPath.startsWith(srcPrefix)
+    val adopted = t.currentSnapshot.files
+    require(adopted.nonEmpty && adopted.forall(underSrc),
+      "adoption must reference the external files in place")
+    t.delete("c_custkey % 10 = 0")
+    require(adopted.forall(f =>
+      new java.io.File(new org.apache.hadoop.fs.Path(f).toUri.getPath)
+        .exists),
+      "DML must never modify the adopted originals")
+    require(t.currentSnapshot.files.exists(f => !underSrc(f)),
+      "copy-on-write rewrites must land under the table root")
+    t.read().orderBy("c_custkey")
+  }
+
   /** Hive-partitioned table; the read for one status touches only
     * that partition's files — pruned on the manifest alone. */
   /** Storage-partitioned join: both sides written `bucket[8](custkey)`,
@@ -1428,6 +1524,9 @@ object LakeQueries {
     "lake_cdc_sql"          -> cdcSql,
     "lake_cdc_mor"          -> cdcMor,
     "lake_compaction"       -> compaction,
+    "lake_analyze"          -> analyzeQ,
+    "lake_orphan_files"     -> orphanQ,
+    "lake_add_files"        -> addFilesQ,
     "lake_partitioned"      -> partitioned,
     "lake_skipping"         -> skipping,
     "lake_runtime_prune"    -> runtimePrune,
@@ -1696,6 +1795,22 @@ object LakeQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "lake_compaction" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    "lake_analyze" ->
+      """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+        | CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
+        | COUNT(*) - COUNT(o_custkey) AS n_nulls,
+        | MIN(o_custkey) AS min_v, MAX(o_custkey) AS max_v FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', COUNT(*),
+        | CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+        | COUNT(*) - COUNT(o_orderkey),
+        | MIN(o_orderkey), MAX(o_orderkey) FROM orders
+        |ORDER BY col_name""".stripMargin,
+    "lake_orphan_files" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
+    "lake_add_files" ->
+      """SELECT * FROM customer WHERE c_custkey % 10 <> 0
+        |ORDER BY c_custkey""".stripMargin,
     "lake_partitioned" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
     "lake_skipping" ->

@@ -2562,4 +2562,78 @@ class LakehouseSpec extends AnyFunSuite {
       spark.sql("CREATE VIEW vspec_t AS SELECT 1 AS x"))
     assert(e2.getMessage.contains("existing graft table"))
   }
+
+  test("orphan cleanup: cutoff guards in-flight, staged WAP protected") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val root = t.location
+    // staged (write-audit-publish) data is referenced, not published
+    val token = t.stageAppend(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    // a crashed writer's leftovers
+    Seq((9L, "x", 9.0)).toDF("k", "tag", "v")
+      .write.parquet(s"$root/data/commit-88888-cafe0000")
+    // cutoff in the PAST: the stray is younger → nothing reaped
+    assert(t.removeOrphanFiles(
+      olderThanMillis = System.currentTimeMillis() - 3600 * 1000).isEmpty)
+    // cutoff in the future: stray reaped, staged + live survive
+    val removed = t.removeOrphanFiles(
+      olderThanMillis = System.currentTimeMillis() + 3600 * 1000)
+    assert(removed.nonEmpty && removed.forall(_.contains("commit-88888")))
+    assert(t.readStaged(token).count() == 3)
+    t.publish(token)
+    assert(t.read().count() == 3)
+  }
+
+  test("add_files refuses hive layout, schema drift, partitioned target") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    // hive-layout source
+    val hive = Files.createTempDirectory("graft_hive").toString
+    Seq((2L, "b", 2.0)).toDF("k", "tag", "v")
+      .write.mode("overwrite").partitionBy("tag").parquet(hive)
+    val e1 = intercept[IllegalArgumentException](t.addFiles(hive))
+    assert(e1.getMessage.contains("hive-layout"))
+    // schema drift: v is missing
+    val drift = Files.createTempDirectory("graft_drift").toString
+    Seq((2L, "b")).toDF("k", "tag").write.mode("overwrite").parquet(drift)
+    val e2 = intercept[IllegalArgumentException](t.addFiles(drift))
+    assert(e2.getMessage.contains("absent in the source"))
+    // partitioned target refuses
+    val pt = GraftTable.create(spark,
+      Files.createTempDirectory("graft_pt").toString,
+      Seq((1L, "a", 1.0)).toDF("k", "tag", "v"), Seq("tag"))
+    val ok = Files.createTempDirectory("graft_ok").toString
+    Seq((3L, "c", 3.0)).toDF("k", "tag", "v")
+      .write.mode("overwrite").parquet(ok)
+    val e3 = intercept[IllegalArgumentException](pt.addFiles(ok))
+    assert(e3.getMessage.contains("unpartitioned"))
+    // the happy path appends incrementally to an existing table
+    t.addFiles(ok)
+    assert(t.read().count() == 2)
+    // expiry never reaps adopted storage (referenced, not owned)
+    t.append(Seq((4L, "d", 4.0)).toDF("k", "tag", "v"))
+    t.expireSnapshots(keepLast = 1)
+    assert(t.read().orderBy("k").select("k").as[Long].collect()
+      .sameElements(Array(1L, 3L, 4L)))
+    assert(new java.io.File(ok).listFiles.exists(_.getName.endsWith(".parquet")),
+      "external originals must survive expiry")
+  }
+
+  test("analyze stats: snapshot-scoped, stale after DML, approx close") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)))
+    val st = t.analyzeColumns(Seq("k", "tag"))
+    assert(st.rows == 3 && st.cols("k").ndv == 3 && st.cols("tag").ndv == 2)
+    assert(st.cols("k").min.contains("1") && st.cols("k").max.contains("3"))
+    assert(t.tableStats.contains(st))
+    // stats go stale, never wrong: any commit hides them
+    t.append(Seq((4L, "c", 4.0)).toDF("k", "tag", "v"))
+    assert(t.tableStats.isEmpty)
+    // without stats, readForJoin adds no hint (plain read)
+    assert(t.readForJoin().queryExecution.logical ==
+      t.read().queryExecution.logical)
+    // the sketched form lands within 5% on a small domain
+    val approx = t.analyzeColumns(Seq("k"), exact = false)
+    assert(math.abs(approx.cols("k").ndv - 4) <= 1)
+    // case-insensitive column resolution, unknown column refused
+    assert(t.analyzeColumns(Seq("K")).cols.contains("k"))
+    intercept[IllegalArgumentException](t.analyzeColumns(Seq("nope")))
+  }
 }
