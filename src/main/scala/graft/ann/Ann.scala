@@ -76,6 +76,27 @@ object Ann {
     topK(s, scored)
   }
 
+  /** Filtered (hybrid) search: metadata predicate ∧ vector top-k —
+    * each query's candidate set is restricted to its OWN label (the
+    * "filter by tenant/category, then rank by similarity" shape every
+    * production vector store serves). PRE-filtering, not
+    * post-filtering: the predicate rides the broadcast join as a join
+    * condition, so scoring touches |corpus ∩ filter| rows and the
+    * top-k is never starved by discarding ranked hits after the cut
+    * (post-filter k′-oversampling is the lossy workaround this
+    * avoids). At IVF scale the same predicate intersects the probed
+    * cells' posting lists before rerank — the bounded-candidate
+    * contract of [[topK]] is unchanged. */
+  private val filtered: Q = (s, d) => {
+    val c = corpus(s, d)
+    val q = queriesDf(c)
+    val scored = c.join(broadcast(q),
+      col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .withColumn("cos",
+        cosine(col("v"), col("q_v"), col("nrm"), col("q_nrm")))
+    topK(s, scored)
+  }
+
   // Deterministic random hyperplanes: Tables × Bits planes of 64 dims.
   private val Dim = 64
   private val LshTables = 16
@@ -616,6 +637,7 @@ object Ann {
 
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> bruteforce,
+    "ann_filtered" -> filtered,
     "ann_lsh" -> lsh,
     "ann_ivf" -> ivf,
     "ann_ivf_kmeans" -> ivfKmeans,
@@ -653,6 +675,24 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" ->
       s"""$bruteforceCtes
+         |SELECT q_id, vec_id AS neighbor_id, rank FROM r
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // The label predicate joins INTO the candidate generation (the
+    // pre-filter), exactly as the Spark side does.
+    "ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+         |   FROM embeddings
+         |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[])) > 0),
+         | q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_v
+         |   FROM e WHERE vec_id < $NumQueries),
+         | s AS (SELECT q.q_id, e.vec_id,
+         |   list_cosine_similarity(e.v, q.q_v) AS cos
+         |  FROM e JOIN q ON e.label = q.q_label AND e.vec_id != q.q_id),
+         | r AS (SELECT q_id, vec_id,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |     ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM s)
          |SELECT q_id, vec_id AS neighbor_id, rank FROM r
          |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
     // Bit-exact replica of the LSH pipeline: the deterministic ±1

@@ -84,6 +84,31 @@ object Sources {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Schema-drift ingest: two parquet generations under one root —
+    * v1 writes (o_orderkey, o_custkey), a later v2 adds
+    * o_totalprice — read back with `mergeSchema`, which unions the
+    * footers' schemas and null-fills the column the old files never
+    * carried. This is the multi-year data lake reality at 100 TB
+    * (schemas drift across partitions; rewriting history to add a
+    * column is exactly the cost you refuse to pay). mergeSchema's
+    * footer union is a planning-time cost per file — the lakehouse
+    * path ([[graft.lakehouse.GraftTable.addColumns]]) does the same
+    * evolution from ONE manifest, which is why it wins at scale; this
+    * query is the raw-directory form. */
+  private val schemaMerge: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val dir = tmp("src_merge")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.parquet(s"$dir/gen=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.parquet(s"$dir/gen=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** orders → parquet partitioned by o_orderstatus → filtered read.
     * The filter on the partition column is answered from directory
     * names alone (PartitionFilters in the scan; SourcesSpec asserts
@@ -136,6 +161,7 @@ object Sources {
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_partitioned_sink" -> partitionedSink,
+    "src_schema_merge" -> schemaMerge,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracles: Map[String, String] = Map(
@@ -147,6 +173,10 @@ object Sources {
       "SELECT * FROM orders ORDER BY o_orderkey",
     "src_partitioned_sink" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
+    "src_schema_merge" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "src_bucketed_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | o_custkey, o_orderstatus

@@ -272,7 +272,72 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Lexical diversity (vocabulary richness — the corpus-quality
+    * axis repetition metrics don't capture): per document, token
+    * count, type (distinct-token) count, hapax-legomenon count,
+    * type/token ratio, hapax ratio, and the top token's mass. All
+    * derived from EXACT integer run-lengths over the sorted token
+    * array — one O(n log n) array_sort + one aggregate() fold per
+    * row, zero shuffles, scan speed — and the only doubles are
+    * single divisions of exact longs (deterministic, oracle-exact).
+    * The 100 TB use is the standard one: low TTR + high top-token
+    * mass flags boilerplate/spam before it poisons training mix. */
+  private val lexicalDiversity: Q = (s, d) => {
+    val metrics = bind(
+      array_sort(filter(tokens(coalesce(col("text"), lit(""))),
+        w => w =!= lit(""))), ws => {
+        // run-length fold over the sorted tokens: a new run is a new
+        // type; a closing run of length 1 is a hapax
+        val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("types"), lit(0L).as("hapax"), lit(0L).as("maxn"))
+        val folded = aggregate(ws, zero,
+          (acc, x) => {
+            val same = x === acc.getField("prev")
+            val closedHapax = acc.getField("hapax") +
+              when(acc.getField("run") === 1L, 1L).otherwise(0L)
+            val closedMax =
+              greatest(acc.getField("maxn"), acc.getField("run"))
+            struct(x.as("prev"),
+              when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+                .as("run"),
+              when(same, acc.getField("types"))
+                .otherwise(acc.getField("types") + 1L).as("types"),
+              when(same, acc.getField("hapax")).otherwise(closedHapax)
+                .as("hapax"),
+              when(same, acc.getField("maxn")).otherwise(closedMax)
+                .as("maxn"))
+          },
+          // close the final run
+          acc => struct(
+            acc.getField("types").as("n_types"),
+            (acc.getField("hapax") +
+              when(acc.getField("run") === 1L, 1L).otherwise(0L))
+              .as("hapax"),
+            greatest(acc.getField("maxn"), acc.getField("run"))
+              .as("maxn")))
+        struct(size(ws).cast("long").as("n_tokens"),
+          folded.getField("n_types").as("n_types"),
+          folded.getField("hapax").as("hapax"),
+          folded.getField("maxn").as("maxn"))
+      })
+    Tables.documents(s, d)
+      .select(col("doc_id"), metrics.as("m"))
+      .select(col("doc_id"),
+        col("m.n_tokens").as("n_tokens"),
+        col("m.n_types").as("n_types"),
+        col("m.hapax").as("n_hapax"),
+        (col("m.n_types").cast("double") /
+          col("m.n_tokens").cast("double")).as("ttr"),
+        (col("m.hapax").cast("double") /
+          col("m.n_tokens").cast("double")).as("hapax_ratio"),
+        (col("m.maxn").cast("double") /
+          col("m.n_tokens").cast("double")).as("top_token_frac"))
+      .filter(col("n_tokens") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_lexical_diversity" -> lexicalDiversity,
     "text_lm_score" -> lmScore,
     "text_repetition" -> repetition,
     "text_gopher_filter" -> gopherFilter,
@@ -285,6 +350,25 @@ object TextAnalysis {
     "text_redact" -> redact)
 
   val oracles: Map[String, String] = Map(
+    // counts are exact integers; the three ratios are single IEEE
+    // divisions of exact longs — deterministic on both engines
+    "text_lexical_diversity" ->
+      """WITH w AS (SELECT doc_id,
+        |    UNNEST(string_split(lower(text), ' ')) AS word
+        |  FROM documents),
+        | wc AS (SELECT doc_id, word, COUNT(*) AS n FROM w
+        |  WHERE word <> '' GROUP BY doc_id, word),
+        | d AS (SELECT doc_id,
+        |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(COUNT(*) FILTER (n = 1) AS BIGINT) AS n_hapax,
+        |    CAST(MAX(n) AS BIGINT) AS max_n
+        |  FROM wc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        | CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        | CAST(n_hapax AS DOUBLE) / n_tokens AS hapax_ratio,
+        | CAST(max_n AS DOUBLE) / n_tokens AS top_token_frac
+        |FROM d WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
     // conditional bigram probabilities quantized by INTEGER floor
     // division (ppm) — every aggregate integer-exact, one IEEE
     // division at the doc boundary

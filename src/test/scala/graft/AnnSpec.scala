@@ -121,4 +121,43 @@ class AnnSpec extends AnyFunSuite {
     assert(r.head.getAs[Long]("n_exact") == 10L * 5)
     assert(r.head.getAs[Boolean]("recall_ge_080"))
   }
+
+  test("filtered search honors the label predicate exactly") {
+    val out = SparkEntry.queries("ann_filtered")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every neighbor carries its query's label (the pre-filter is
+    // a hard constraint, not a ranking preference)
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(labels(n) == labels(q), s"query $q got cross-label $n")
+      assert(n != q)
+    }
+    // per query, ranks are contiguous 1..k
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted
+        .sameElements(1 to rs.length), s"query $q ranks")
+    }
+    // filtered top-k is a subset of the same-label corpus ranking:
+    // spot-check one query against a brute-force recompute
+    import org.apache.spark.sql.functions.col
+    val c = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+      .filter { case (_, _, v) => v.exists(_ != 0.0) }
+    val (qid, qlabel, qv) = c.find(_._1 == 0L).get
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = c.filter(e => e._2 == qlabel && e._1 != qid)
+      .map(e => (e._1, cos(qv, e._3)))
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    val got = out.filter(_.getAs[Long]("q_id") == qid)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id"))
+    assert(got.sameElements(want))
+  }
 }

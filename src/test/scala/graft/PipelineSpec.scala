@@ -585,6 +585,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("dims_ok") && row.getAs[Boolean]("err_bounded")
       && row.getAs[Boolean]("lossy"))
   }
+
+  test("lexical diversity matches a per-doc recomputation") {
+    val out = SparkEntry.queries("text_lexical_diversity")(spark, sf)
+      .limit(25).collect()
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).toLowerCase
+        .split(" ", -1).filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).map(_._2.length)
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("n_types") == counts.size)
+      assert(r.getAs[Long]("n_hapax") == counts.count(_ == 1))
+      assert(r.getAs[Double]("ttr") ==
+        counts.size.toDouble / toks.length.toDouble)
+      assert(r.getAs[Double]("top_token_frac") ==
+        counts.max.toDouble / toks.length.toDouble)
+    }
+  }
 }
 
 /** Runs the streaming transformations through real streaming queries

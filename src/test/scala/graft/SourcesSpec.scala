@@ -84,4 +84,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(salted.count() == plain.count())
     assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
   }
+
+  test("schema-merge read null-fills the column old files lack") {
+    val out = SparkEntry.queries("src_schema_merge")(spark, sf)
+    val total = Tables.orders(spark, sf).count()
+    assert(out.count() == total, "no rows lost across generations")
+    // v1 rows (even keys) predate o_totalprice → null; v2 rows carry it
+    assert(out.filter(col("o_orderkey") % 2 === 0 &&
+      col("o_totalprice").isNotNull).count() == 0)
+    assert(out.filter(col("o_orderkey") % 2 === 1 &&
+      col("o_totalprice").isNull).count() == 0)
+  }
 }
