@@ -232,6 +232,59 @@ object FgacQueries {
     rows.toDF("principal", "op", "decision").orderBy("principal", "op")
   }
 
+  /** Access-audit trail (CloudTrail × Lake Formation — the
+    * reference's governance story pairs every LF decision with a
+    * CloudTrail event, and its operators debug denied jobs from that
+    * trail): every ALLOW/DENY decision at the
+    * [[SecureCatalog.authorize]] / [[SecureCatalog.authorizeWrite]]
+    * funnels lands in [[AuditLog]], so ONE instrumentation point
+    * audits every path — SQL reads, catalog reads, views, lake DML,
+    * unknown-principal probes. The scenario drives one decision of
+    * each kind under dedicated principals on a dedicated table, then
+    * runs the auditor's own query over the trail. DISTINCT because
+    * the analyzer may re-fire resolution rules: the trail is
+    * at-least-once per decision, never divergent — and the audited
+    * DETAIL row records the granted policy's shape (cols/filter/mask
+    * counts), never data. */
+  private val auditLog: Q = (s, dir) => {
+    import s.implicits._
+    val t = graft.lakehouse.GraftTable.create(s,
+      java.nio.file.Files.createTempDirectory("graft_fgac_audit").toString,
+      Tables.customer(s, dir))
+    t.read().createOrReplaceTempView(SecureCatalog.rawViewName("aud_customer"))
+    SecureCatalog.governTable("aud_customer", t.read().columns.toIndexedSeq)
+    SecureCatalog.register(Principal("aud_reader", grants = Map(
+      "aud_customer" -> TablePolicy("aud_customer",
+        rowFilter = Some(RowFilter), allowedColumns = Some(VisibleCols),
+        masks = Map("c_name" -> "md5(c_name)")))))
+    SecureCatalog.register(Principal("aud_writer", grants = Map(
+      "aud_customer" -> TablePolicy("aud_customer", write = true))))
+    SecureCatalog.register(Principal("aud_nogrants"))
+    val gov = new GovernedGraftTable(t, "aud_customer", s)
+    graft.lakehouse.LakeRegistry.register("aud_customer", t)
+    def ignoreDenied(body: => Unit): Unit = require(
+      outcomeOf(body) != "ALLOWED", "probe expected a denial")
+    // one decision of each kind
+    asPrincipal(s, "aud_reader")(
+      s.sql("SELECT * FROM aud_customer").collect())
+    ignoreDenied(asPrincipal(s, "aud_nogrants")(
+      s.sql("SELECT * FROM aud_customer").collect()))
+    ignoreDenied(asPrincipal(s, "aud_reader")(
+      gov.update(Map("c_acctbal" -> "0.0"), "c_custkey = 1")))
+    asPrincipal(s, "aud_writer")(
+      gov.update(Map("c_acctbal" -> "c_acctbal"), "c_custkey = 1"))
+    ignoreDenied(asPrincipal(s, "aud_ghost")(
+      s.sql("SELECT * FROM aud_customer").collect()))
+    // the auditor's query: this scenario's principals only
+    AuditLog.entries
+      .filter(e => e.principal.startsWith("aud_") &&
+        e.resource == "aud_customer")
+      .map(e => (e.principal, e.action, e.resource, e.outcome, e.detail))
+      .toDF("principal", "action", "resource", "outcome", "detail")
+      .distinct()
+      .orderBy("principal", "action", "outcome", "detail")
+  }
+
   /** WITH GRANT OPTION delegation — the reference's two-hop grant
     * chain as a decision matrix (see [[SecureCatalog.regrant]]):
     * the producer grants an admin a grantable filtered policy; the
@@ -578,6 +631,7 @@ object FgacQueries {
 
   val queries: Map[String, Q] = Map(
     "fgac_ns_grant"      -> nsGrants,
+    "fgac_audit_log"     -> auditLog,
     "fgac_sql_grants"    -> sqlGrants,
     "fgac_view"          -> viewDecisions,
     "fgac_grant_chain"   -> grantChain,
@@ -597,6 +651,20 @@ object FgacQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "fgac_audit_log" ->
+      """SELECT * FROM (VALUES
+        | ('aud_ghost', 'SELECT', 'aud_customer', 'DENIED',
+        |  'unknown principal'),
+        | ('aud_nogrants', 'SELECT', 'aud_customer', 'DENIED',
+        |  'no grant'),
+        | ('aud_reader', 'SELECT', 'aud_customer', 'ALLOWED',
+        |  'cols=4 filter=y masks=1'),
+        | ('aud_reader', 'UPDATE', 'aud_customer', 'DENIED',
+        |  'no write grant'),
+        | ('aud_writer', 'UPDATE', 'aud_customer', 'ALLOWED',
+        |  'write grant'))
+        | AS t(principal, action, resource, outcome, detail)
+        |ORDER BY principal, action, outcome, detail""".stripMargin,
     "fgac_ns_grant" ->
       """SELECT * FROM (VALUES
         | ('1_db_describe_grant', 'ALLOWED'),

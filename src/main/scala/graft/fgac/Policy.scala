@@ -88,6 +88,50 @@ final case class Principal(
 final class AccessDeniedException(msg: String)
     extends RuntimeException(msg)
 
+/** CloudTrail-style access audit (the reference's governance story
+  * pairs every Lake Formation decision with a CloudTrail event;
+  * consumer jobs are debugged from exactly this trail). Every
+  * ALLOW/DENY decision [[SecureCatalog.authorize]] /
+  * [[SecureCatalog.authorizeWrite]] makes over a GOVERNED resource is
+  * recorded here — reads, writes, and unknown-principal probes alike
+  * — so one funnel audits every path (SQL, catalog reads, views,
+  * lake DML) with no per-call-site wiring.
+  *
+  * Recording is O(1) on a concurrent queue; the ANALYZER may re-fire
+  * a resolution rule, so consumers must treat the trail as
+  * at-least-once per decision (the audit query projects DISTINCT
+  * decisions). Ungoverned resources and the empty admin principal are
+  * not audited — they are outside the governance boundary. In
+  * production this queue is a write-behind to its own governed lake
+  * table, partitioned by day; the in-memory form is the local-mode
+  * stand-in, same contract as [[SecureCatalog]] itself. */
+object AuditLog {
+  final case class Event(seq: Long, principal: String, action: String,
+      resource: String, outcome: String, detail: String)
+
+  private val events =
+    new java.util.concurrent.ConcurrentLinkedQueue[Event]()
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[fgac] def record(principal: String, action: String,
+      resource: String, outcome: String, detail: String): Unit =
+    events.add(Event(seqGen.incrementAndGet(), principal, action,
+      resource, outcome, detail))
+
+  /** The granted policy's shape — WHAT the principal could see, not
+    * the data: column visibility, filter presence, mask count. */
+  private[fgac] def shapeOf(pol: TablePolicy): String =
+    s"cols=${pol.allowedColumns.map(_.size.toString).getOrElse("all")}" +
+      s" filter=${if (pol.rowFilter.isDefined) "y" else "n"}" +
+      s" masks=${pol.masks.size}"
+
+  /** Snapshot of the trail, oldest first. */
+  def entries: Seq[Event] = {
+    import scala.jdk.CollectionConverters._
+    events.iterator().asScala.toSeq.sortBy(_.seq)
+  }
+}
+
 /** JVM-wide policy registry (local-mode stand-in for the Lake
   * Formation service; on a cluster this would be a driver-side
   * catalog fetched once per session). */
@@ -196,12 +240,18 @@ object SecureCatalog {
     if (principalName.isEmpty) return // admin / ungoverned session
     val target = resolveLink(relName)
     if (!isGoverned(target)) return
-    val p = principal(principalName).getOrElse(
-      throw new AccessDeniedException(s"unknown principal '$principalName'"))
-    if (!effectivePolicy(p, relName, target).exists(_.write))
+    val p = principal(principalName).getOrElse {
+      AuditLog.record(principalName, op, target, "DENIED",
+        "unknown principal")
+      throw new AccessDeniedException(s"unknown principal '$principalName'")
+    }
+    if (!effectivePolicy(p, relName, target).exists(_.write)) {
+      AuditLog.record(p.name, op, target, "DENIED", "no write grant")
       throw new AccessDeniedException(
         s"principal '${p.name}' has no write grant on governed table " +
           s"'$target' (attempted $op)")
+    }
+    AuditLog.record(p.name, op, target, "ALLOWED", "write grant")
   }
 
   /** Resolve what `principalName` may see of relation `relName`.
@@ -209,19 +259,31 @@ object SecureCatalog {
     * throws when governed but not granted, or granted DESCRIBE-only
     * (deny-by-default — SELECT is what a scan needs). */
   def authorize(principalName: String, relName: String): Option[TablePolicy] = {
-    val p = principal(principalName).getOrElse(
-      throw new AccessDeniedException(s"unknown principal '$principalName'"))
     val target = resolveLink(relName)
+    val p = principal(principalName).getOrElse {
+      if (isGoverned(target))
+        AuditLog.record(principalName, "SELECT", target, "DENIED",
+          "unknown principal")
+      throw new AccessDeniedException(s"unknown principal '$principalName'")
+    }
     if (!isGoverned(target)) None
-    else effectivePolicy(p, relName, target)
-      .map { pol =>
-        if (!pol.selectable) throw new AccessDeniedException(
+    else effectivePolicy(p, relName, target) match {
+      case Some(pol) if !pol.selectable =>
+        AuditLog.record(p.name, "SELECT", target, "DENIED",
+          "DESCRIBE-only grant")
+        throw new AccessDeniedException(
           s"principal '${p.name}' holds DESCRIBE but not SELECT on " +
             s"governed table '$target' — schema is visible, data is not")
-        pol
-      }
-      .orElse(throw new AccessDeniedException(
-        s"principal '${p.name}' has no SELECT grant on governed table '$target'"))
+      case Some(pol) =>
+        AuditLog.record(p.name, "SELECT", target, "ALLOWED",
+          AuditLog.shapeOf(pol))
+        Some(pol)
+      case None =>
+        AuditLog.record(p.name, "SELECT", target, "DENIED", "no grant")
+        throw new AccessDeniedException(
+          s"principal '${p.name}' has no SELECT grant on governed " +
+            s"table '$target'")
+    }
   }
 
   /** DESCRIBE authorization: any grant — SELECT or DESCRIBE-only —

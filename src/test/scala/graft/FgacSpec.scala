@@ -498,6 +498,27 @@ class FgacSpec extends AnyFunSuite {
         max("o_totalprice").as("max_price"))
     assert(df.count() == expect.count() && df.except(expect).isEmpty)
   }
+
+  test("audit trail records every decision once-at-least, stably") {
+    val first = SparkEntry.queries("fgac_audit_log")(spark, sf).collect()
+    assert(first.length == 5)
+    // the trail is append-only with a monotonic sequence, and a
+    // re-run of the whole scenario only appends duplicate decisions
+    // — the DISTINCT projection is stable across runs
+    val seqsBefore = AuditLog.entries.map(_.seq)
+    assert(seqsBefore == seqsBefore.sorted && seqsBefore.distinct == seqsBefore)
+    val second = SparkEntry.queries("fgac_audit_log")(spark, sf).collect()
+    assert(second.map(_.toString).sorted
+      .sameElements(first.map(_.toString).sorted))
+    assert(AuditLog.entries.size > seqsBefore.size,
+      "the second run must have appended, not cleared")
+    // denied UNKNOWN principals are in the trail (probe forensics)
+    assert(AuditLog.entries.exists(e =>
+      e.principal == "aud_ghost" && e.outcome == "DENIED"))
+    // no event ever carries row data — only policy shape
+    assert(AuditLog.entries.forall(e =>
+      !e.detail.toLowerCase.contains("building")))
+  }
 }
 
 class AnalyticsSpec extends AnyFunSuite {
