@@ -225,6 +225,58 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** Checkpointed RESTART — the operational property every streaming
+    * deployment depends on: a job stops, the source table keeps
+    * growing, and a SECOND job started on the SAME checkpoint resumes
+    * exactly after the last committed batch, replaying nothing and
+    * missing nothing. The sink runs in APPEND mode deliberately —
+    * append EXPOSES any reprocessing as duplicate rows, where a merge
+    * sink would absorb it — and both runs share one lake-to-lake
+    * pipeline (graft-lake source → graft-lake sink). Two in-query
+    * proofs: run 2's progress metrics admit ONLY the rows of the
+    * commits that landed between the runs, and the sink's row count
+    * equals the source's exactly (no duplicate, no loss). At 100 TB
+    * this is a restart planning O(new commits) from the checkpointed
+    * snapshot offset — no listing, no backfill rescan. */
+  private val lakeResumeQ: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.events(s, d)
+    val src = graft.lakehouse.GraftTable.create(s,
+      java.nio.file.Files.createTempDirectory("graft_resume_src").toString,
+      events.filter(col("event_id") % 4 === 0))
+    src.append(events.filter(col("event_id") % 4 === 1))
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_resume_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_resume_ck").toString
+    def drain(): Long = {
+      val q = s.readStream.format("graft-lake")
+        .option("maxCommitsPerTrigger", 1).load(src.location)
+        .writeStream.format("graft-lake")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(sinkDir)
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    drain() // run 1: commits 1-2
+    src.append(events.filter(col("event_id") % 4 === 2))
+    src.append(events.filter(col("event_id") % 4 === 3))
+    val run2Rows = drain() // run 2: SAME checkpoint, new commits only
+    val newRows = events.filter(col("event_id") % 4 >= 2).count()
+    require(run2Rows == newRows,
+      s"restart must admit only the new commits' rows: " +
+        s"got $run2Rows, new $newRows")
+    val sunk = graft.lakehouse.GraftTable.load(s, sinkDir).read()
+    require(sunk.count() == events.count(),
+      "append sink must hold the source exactly once (no dup, no loss)")
+    sunk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming read FROM the lakehouse (Iceberg's append-only
     * streaming read, the reverse of [[lakeSinkQ]]), through
     * [[GraftLakeSource]]: offsets are snapshot ids and each
@@ -349,6 +401,7 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "stream_lake_sink" -> lakeSinkQ,
     "stream_lake_source" -> lakeSourceQ,
+    "stream_lake_resume" -> lakeResumeQ,
     "stream_lake_cdc" -> lakeCdcQ,
     "stream_lake_pipeline" -> lakePipelineQ,
     "stream_window_agg" -> windowAggQ,
@@ -400,6 +453,11 @@ object StreamingOps {
         |UNION ALL SELECT o_orderkey, o_orderstatus, 0.0 AS o_totalprice,
         |  'insert' AS _change_type FROM u4
         |ORDER BY _change_type, o_orderkey, o_totalprice""".stripMargin,
+    // both runs together drain the whole event log, exactly once
+    "stream_lake_resume" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the three appended quarters of the event log, aggregated
     "stream_lake_source" ->
       """SELECT event_type, COUNT(*) AS n_events,

@@ -964,4 +964,28 @@ class StreamingSpec extends AnyFunSuite {
         .option("readChangeFeed", "yes").load(t2.location).schema)
     assert(e2.getMessage.contains("readChangeFeed"))
   }
+
+  test("checkpointed restart with nothing new is a zero-row no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_noop_src").toString,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "tag"))
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_noop_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_noop_ck").toString
+    def drain(): Long = {
+      val q = spark.readStream.format("graft-lake").load(src.location)
+        .writeStream.format("graft-lake")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sinkDir)
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    assert(drain() == 2)
+    assert(drain() == 0, "no new commits → restart must admit no rows")
+    assert(graft.lakehouse.GraftTable.load(spark, sinkDir)
+      .read().count() == 2)
+  }
 }
