@@ -194,10 +194,13 @@ case class GraftShowGrantsForCommand(principal: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val who = spark.conf.get(SecureCatalog.PrincipalConf, "")
-    if (who.nonEmpty && who != principal)
+    if (who.nonEmpty && who != principal) {
+      AuditLog.record(who, "SHOW_GRANTS", s"principal:$principal",
+        "DENIED", "cross-principal enumeration")
       throw new AccessDeniedException(
         s"principal '$who' may not enumerate the grants of " +
           s"'$principal'")
+    }
     val p = SecureCatalog.principal(principal).getOrElse(
       throw new IllegalArgumentException(
         s"unknown principal '$principal'"))

@@ -293,12 +293,22 @@ object SecureCatalog {
   def describeColumns(principalName: String, relName: String): Seq[String] = {
     val target = resolveLink(relName)
     if (principalName.isEmpty || !isGoverned(target)) return columnsOf(target)
-    val p = principal(principalName).getOrElse(
-      throw new AccessDeniedException(s"unknown principal '$principalName'"))
-    val pol = effectivePolicy(p, relName, target)
-      .getOrElse(throw new AccessDeniedException(
-        s"principal '${p.name}' has no grant on governed table '$target'"))
-    pol.allowedColumns.getOrElse(columnsOf(target))
+    // schema probes are the classic recon path — a denied DESCRIBE
+    // belongs in the trail as much as a denied scan
+    val p = principal(principalName).getOrElse {
+      AuditLog.record(principalName, "DESCRIBE", target, "DENIED",
+        "unknown principal")
+      throw new AccessDeniedException(s"unknown principal '$principalName'")
+    }
+    val pol = effectivePolicy(p, relName, target).getOrElse {
+      AuditLog.record(p.name, "DESCRIBE", target, "DENIED", "no grant")
+      throw new AccessDeniedException(
+        s"principal '${p.name}' has no grant on governed table '$target'")
+    }
+    val cols = pol.allowedColumns.getOrElse(columnsOf(target))
+    AuditLog.record(p.name, "DESCRIBE", target, "ALLOWED",
+      s"cols=${pol.allowedColumns.map(_.size.toString).getOrElse("all")}")
+    cols
   }
 
   /** Parse a policy expression (mask / row filter) and refuse any

@@ -2914,9 +2914,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
           !referenced(normalize(st.getPath.toString)))
         orphans += st.getPath
     }
-    val out = orphans.result()
-    out.foreach(p => fs.delete(p, false))
-    out.map(_.toString).sorted
+    // report only what the filesystem CONFIRMED deleted — a false
+    // return (transient permission, concurrent handle) must not put
+    // a still-present file in the "reaped" list, or the caller's
+    // re-run-is-a-no-op expectation breaks on the next listing
+    orphans.result().filter(p => fs.delete(p, false))
+      .map(_.toString).sorted
   }
 
   /** Zero-copy ADOPTION of existing parquet (Iceberg's `add_files`
@@ -2968,7 +2971,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     val already = snap.files.map(normalize).toSet
     require(!newFiles.exists(f => already(normalize(f))),
       "add_files: a source file is already referenced by this table")
-    val srcSchema = spark.read.parquet(newFiles: _*).schema
+    // Two-layer schema-drift refusal. Layer 1: the MERGED union of
+    // every footer (not one arbitrary file's inference — a mixed-gen
+    // directory would otherwise be judged by whichever footer Spark
+    // happened to pick) must carry each table column at the identical
+    // type; mergeSchema throws on irreconcilable types and silently
+    // WIDENS compatible ones (int→long), and a widened union ≠ table
+    // type fails here.
+    val srcSchema = spark.read.option("mergeSchema", "true")
+      .parquet(newFiles: _*).schema
     val srcTypes = srcSchema.fields
       .map(f => f.name.toLowerCase -> f.dataType).toMap
     snap.schema.fields.foreach { f =>
@@ -2978,6 +2989,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
           s"is ${t.map(_.simpleString).getOrElse("absent")} in the " +
           "source files — by-name parquet resolution would null-fill " +
           "or miscast silently")
+    }
+    // Layer 2: the union proves TYPES, not per-file PRESENCE — an
+    // old-gen file missing a column the union has from a newer file
+    // would still null-fill. One footer read per file (same bounded
+    // pool shape as commit's stats harvest) checks every table
+    // column's name appears in every file.
+    val tableCols = snap.schema.fieldNames.map(_.toLowerCase).toSet
+    footerFieldNames(newFiles).foreach { case (file, fields) =>
+      val missing = tableCols -- fields.map(_.toLowerCase)
+      require(missing.isEmpty,
+        s"add_files: $file lacks column(s) ${missing.toSeq.sorted
+          .mkString(", ")} — adopting it would silently null-fill " +
+          "those columns for its rows")
     }
     commit("add-files", snap.schema, snap.files ++ newFiles,
       snap.partitionCols, expectedParent = snap.id)
@@ -3397,6 +3421,38 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * valid bound) simply record no bound — pruning stays
     * conservative. Any footer trouble degrades to "no stats", never
     * a failed commit. */
+  /** Top-level field names from each file's parquet footer, on the
+    * same bounded pool as [[commit]]'s stats harvest. Unlike the
+    * stats harvest, a failed footer read here THROWS — this feeds
+    * [[addFiles]]'s per-file schema check, where "couldn't validate"
+    * must refuse the adoption, not degrade. */
+  private def footerFieldNames(files: Seq[String])
+      : Seq[(String, Seq[String])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def one(file: String): (String, Seq[String]) = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(file), spark.sparkContext.hadoopConfiguration))
+      try {
+        import scala.jdk.CollectionConverters._
+        file -> reader.getFooter.getFileMetaData.getSchema
+          .getFields.asScala.map(_.getName).toSeq
+      } finally reader.close()
+    }
+    if (files.sizeIs <= 1) files.map(one)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(8, files.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(files.map { f =>
+          (() => one(f)): java.util.concurrent
+            .Callable[(String, Seq[String])]
+        }.asJava).asScala.map(_.get).toSeq
+      } finally pool.shutdown()
+    }
+  }
+
   private def harvestFooter(file: String, schema: StructType)
       : (Option[Long], Map[String, ColStat], Option[Long]) =
     try {

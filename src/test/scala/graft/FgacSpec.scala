@@ -518,6 +518,17 @@ class FgacSpec extends AnyFunSuite {
     // no event ever carries row data — only policy shape
     assert(AuditLog.entries.forall(e =>
       !e.detail.toLowerCase.contains("building")))
+    // catalog reads (DESCRIBE) are audited too — the schema probe is
+    // the classic recon path, denied AND allowed
+    intercept[AccessDeniedException](
+      SecureCatalog.describeColumns("aud_nogrants", "aud_customer"))
+    assert(AuditLog.entries.exists(e =>
+      e.principal == "aud_nogrants" && e.action == "DESCRIBE" &&
+        e.outcome == "DENIED"))
+    SecureCatalog.describeColumns("aud_reader", "aud_customer")
+    assert(AuditLog.entries.exists(e =>
+      e.principal == "aud_reader" && e.action == "DESCRIBE" &&
+        e.outcome == "ALLOWED"))
   }
 }
 

@@ -2596,6 +2596,16 @@ class LakehouseSpec extends AnyFunSuite {
     Seq((2L, "b")).toDF("k", "tag").write.mode("overwrite").parquet(drift)
     val e2 = intercept[IllegalArgumentException](t.addFiles(drift))
     assert(e2.getMessage.contains("absent in the source"))
+    // MIXED-schema drift: the drifted file hides behind a complete
+    // one, so the merged union carries every column — only the
+    // per-file footer check can catch the null-fill
+    val mixed = Files.createTempDirectory("graft_mixed").toString
+    Seq((2L, "b")).toDF("k", "tag")
+      .coalesce(1).write.mode("append").parquet(mixed)
+    Seq((3L, "c", 3.0)).toDF("k", "tag", "v")
+      .coalesce(1).write.mode("append").parquet(mixed)
+    val e2b = intercept[IllegalArgumentException](t.addFiles(mixed))
+    assert(e2b.getMessage.contains("lacks column"))
     // partitioned target refuses
     val pt = GraftTable.create(spark,
       Files.createTempDirectory("graft_pt").toString,
