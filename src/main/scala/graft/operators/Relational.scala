@@ -624,7 +624,103 @@ object Relational {
         min(col("p_partkey")).as("min_partkey"))
       .orderBy(col("finish"), col("brand_shape"), col("teen_brand"))
 
+  /** UNPIVOT (wide→long melt): the per-segment stat columns become
+    * (measure, value) rows — the inverse of q24's pivot, and the
+    * reshape every metrics store needs before a union. Unpivot is a
+    * zero-shuffle Expand over the already-aggregated 5-row frame;
+    * at 100 TB the pattern holds because the melt always runs AFTER
+    * the aggregate (melting raw rows first would multiply the
+    * shuffle by the measure count for nothing). All measures cast
+    * to double: unpivot requires one common value type, and the
+    * avg is sum(decimal)-exact divided as double so both engines
+    * perform the identical IEEE division. */
+  private val q39: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).cast("double").as("n_customers"),
+        (sum(col("c_acctbal").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_bal"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .unpivot(
+        Array(col("c_mktsegment")),
+        Array(col("n_customers"), col("avg_bal"), col("min_bal"),
+          col("max_bal")),
+        "measure", "value")
+      .orderBy(col("c_mktsegment"), col("measure"))
+
+  /** LATERAL correlated subquery — top-2 customers by balance PER
+    * nation, the per-row-parameterized subquery a plain join cannot
+    * express. Catalyst decorrelates the LIMIT-under-LATERAL into a
+    * rank-window over the join (DecorrelateInnerQuery), so the plan
+    * is one shuffle on the correlation key plus a per-group sorted
+    * top-k — no per-nation re-scan of customer, which is what makes
+    * 25 nations or 25 million sellers the same plan shape at
+    * 100 TB. Deterministic tie-break on the unique custkey. */
+  private val q40: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+    Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+    s.sql(
+      """SELECT n.n_name, t.c_custkey,
+        |  CAST(t.c_acctbal AS DOUBLE) AS acctbal
+        |FROM nation_lat n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer_lat c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+  }
+
+  /** Ordered LISTAGG (string_agg): the region→nations roster as one
+    * delimited string per group, with WITHIN GROUP ordering so the
+    * concatenation is deterministic. The aggregate buffers only its
+    * own group's strings — safe exactly when group payloads are
+    * bounded (a roster, a tag list); an unbounded-payload listagg at
+    * 100 TB is a design smell the collect_list caps elsewhere in
+    * this repo guard against. One shuffle, map-side partials. */
+  private val q41: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("nation_agg")
+    Tables.region(s, d).createOrReplaceTempView("region_agg")
+    s.sql(
+      """SELECT r.r_name,
+        |  listagg(n.n_name, ', ') WITHIN GROUP (ORDER BY n.n_name)
+        |    AS nations,
+        |  count(*) AS n_nations
+        |FROM region_agg r JOIN nation_agg n
+        |  ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
+  }
+
+  /** TRY-arithmetic (null-on-error): try_divide nulls the rows whose
+    * divisor hits zero instead of failing the 100 TB job at hour
+    * nine, and try_cast turns unparseable strings into audit-able
+    * nulls instead of exceptions. The ratio is double/int — both
+    * engines perform the identical IEEE division on identical
+    * operands, so min/max are exact without any decimal detour
+    * (sums of ratios would be order-dependent; deliberately
+    * absent). All per-row codegen riding the scan; the group-by is
+    * the only exchange. */
+  private val q42: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        try_divide(col("l_extendedprice"),
+          col("l_quantity").cast("int") - lit(25)).as("ratio"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_int"),
+        expr("try_cast(CAST(l_linenumber AS STRING) AS INT)")
+          .as("line_int"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("ratio"))).as("n_zero_div"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"),
+        count(col("flag_int")).as("n_flag_int"),
+        count(col("line_int")).as("n_line_int"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
+    "q39_unpivot" -> q39, "q40_lateral" -> q40,
+    "q41_string_agg" -> q41, "q42_try_arith" -> q42,
     "q33_explode" -> q33, "q34_higher_order" -> q34,
     "q35_json" -> q35, "q36_window_frames" -> q36,
     "q37_gaps_islands" -> q37, "q38_regexp" -> q38,
@@ -645,6 +741,45 @@ object Relational {
     "q31_recursive_cte" -> q31, "q32_lead_lag" -> q32)
 
   val oracles: Map[String, String] = Map(
+    "q39_unpivot" ->
+      """WITH a AS (SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS DOUBLE) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*) AS avg_bal,
+        |  MIN(c_acctbal) AS min_bal,
+        |  MAX(c_acctbal) AS max_bal
+        | FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, measure, value FROM (
+        |  UNPIVOT a ON n_customers, avg_bal, min_bal, max_bal
+        |  INTO NAME measure VALUE value)
+        |ORDER BY c_mktsegment, measure""".stripMargin,
+    "q40_lateral" ->
+      """SELECT n.n_name, t.c_custkey,
+        |  CAST(t.c_acctbal AS DOUBLE) AS acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin,
+    "q41_string_agg" ->
+      """SELECT r.r_name,
+        |  string_agg(n.n_name, ', ' ORDER BY n.n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    "q42_try_arith" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  l_extendedprice / NULLIF(CAST(l_quantity AS INT) - 25, 0)
+        |    AS ratio,
+        |  TRY_CAST(l_returnflag AS INT) AS flag_int,
+        |  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS line_int
+        | FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(ratio) AS n_zero_div,
+        |  MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio,
+        |  COUNT(flag_int) AS n_flag_int,
+        |  COUNT(line_int) AS n_line_int
+        |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q33_explode" ->
       """SELECT word, COUNT(*) AS n_parts,
         | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum

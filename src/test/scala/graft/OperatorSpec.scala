@@ -145,4 +145,60 @@ class OperatorSpec extends AnyFunSuite {
     // digit masking leaves only the Brand#… shape (1- or 2-digit ids)
     assert(out.filter(!$"brand_shape".rlike("^Brand#{2,3}$")).count() == 0)
   }
+
+  test("q39 unpivot melts each segment row into one row per measure") {
+    val out = SparkEntry.queries("q39_unpivot")(spark, sf).collect()
+    val segs = Tables.customer(spark, sf)
+      .select($"c_mktsegment").distinct().count()
+    assert(out.length == segs * 4)
+    // every segment carries exactly the four measures
+    out.groupBy(_.getString(0)).foreach { case (seg, rows) =>
+      assert(rows.map(_.getAs[String]("measure")).sorted.toSeq ==
+        Seq("avg_bal", "max_bal", "min_bal", "n_customers"), seg)
+    }
+    // the melted n_customers conserve the table's row count
+    assert(out.filter(_.getAs[String]("measure") == "n_customers")
+      .map(_.getAs[Double]("value")).sum ==
+      Tables.customer(spark, sf).count().toDouble)
+  }
+
+  test("q40 lateral returns each nation's top-2 balances exactly") {
+    val out = SparkEntry.queries("q40_lateral")(spark, sf).collect()
+    val byNation = out.groupBy(_.getString(0))
+    assert(byNation.size == 25 && byNation.values.forall(_.length == 2))
+    // spot-check one nation against a direct sort
+    val n0 = Tables.nation(spark, sf).orderBy($"n_nationkey").head
+    val expect = Tables.customer(spark, sf)
+      .filter($"c_nationkey" === n0.getAs[Int]("n_nationkey"))
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+      .limit(2).select($"c_custkey").as[Long].collect().toSet
+    assert(byNation(n0.getAs[String]("n_name"))
+      .map(_.getAs[Long]("c_custkey")).toSet == expect)
+  }
+
+  test("q41 listagg rosters are ordered and complete") {
+    val out = SparkEntry.queries("q41_string_agg")(spark, sf).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val names = r.getAs[String]("nations").split(", ").toSeq
+      assert(names == names.sorted, r.getString(0))
+      assert(names.length == r.getAs[Long]("n_nations"), r.getString(0))
+    }
+    assert(out.map(_.getAs[Long]("n_nations")).sum == 25)
+  }
+
+  test("q42 try-arithmetic nulls exactly the zero-divisor rows") {
+    val out = SparkEntry.queries("q42_try_arith")(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    out.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getAs[Long]("n_zero_div") ==
+        li.filter($"l_returnflag" === flag &&
+          $"l_quantity".cast("int") === 25).count(), flag)
+      // alpha flags never cast to int; rendered linenumbers always do
+      assert(r.getAs[Long]("n_flag_int") == 0L, flag)
+      assert(r.getAs[Long]("n_line_int") == r.getAs[Long]("n_rows"), flag)
+    }
+    assert(out.map(_.getAs[Long]("n_rows")).sum == li.count())
+  }
 }
