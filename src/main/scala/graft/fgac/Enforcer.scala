@@ -14,12 +14,19 @@ import org.apache.spark.sql.functions.{col, expr}
   * secured view costs nothing extra at scale.
   */
 object Enforcer {
-  def secure(df: DataFrame, policy: TablePolicy): DataFrame = {
-    val filtered = policy.rowFilter.fold(df)(p => df.filter(expr(p)))
+  def secure(df: DataFrame, policy: TablePolicy,
+      who: String = ""): DataFrame = {
+    // same context-function folding as the analyzer path
+    // (FgacRule.compilePolicyExpr): graft_principal() becomes a
+    // string literal of the effective principal before analysis
+    def compile(sqlText: String) =
+      org.apache.spark.sql.GraftSqlBridge.columnOf(
+        FgacRule.compilePolicyExpr(sqlText, who))
+    val filtered = policy.rowFilter.fold(df)(p => df.filter(compile(p)))
     val masked =
       if (policy.masks.isEmpty) filtered
       else filtered.select(filtered.columns.toIndexedSeq.map { c =>
-        policy.masks.get(c).map(m => expr(m).as(c)).getOrElse(col(c))
+        policy.masks.get(c).map(m => compile(m).as(c)).getOrElse(col(c))
       }: _*)
     policy.allowedColumns.fold(masked) { cs =>
       masked.select(cs.map(col): _*)

@@ -285,6 +285,45 @@ object FgacQueries {
       .orderBy("principal", "action", "outcome", "detail")
   }
 
+  /** Principal-context row filter: ONE stored policy whose filter
+    * references `graft_principal()` serves every tenant — the
+    * Snowflake current_role()-in-row-access-policy / Postgres RLS
+    * current_user pattern, where the reference would need one LF
+    * grant per principal. [[FgacRule.compilePolicyExpr]] folds the
+    * context function to a string literal at plan time, so each
+    * tenant's scan carries a CONSTANT predicate (it lands in
+    * PushedFilters like any literal) — one policy, N tenants, zero
+    * per-row context lookup at 100 TB. Two principals named for
+    * their segment read the same governed table under the same
+    * shared policy and see disjoint slices; the in-query require
+    * pins the isolation before the per-tenant aggregate. */
+  private val contextFilter: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val customer = Tables.customer(s, dir)
+    customer.createOrReplaceTempView(
+      SecureCatalog.rawViewName("ctx_customer"))
+    SecureCatalog.governTable("ctx_customer",
+      customer.columns.toIndexedSeq)
+    val shared = TablePolicy("ctx_customer",
+      rowFilter = Some("c_mktsegment = graft_principal()"))
+    val tenants = Seq("AUTOMOBILE", "BUILDING")
+    tenants.foreach(p => SecureCatalog.register(
+      Principal(p, grants = Map("ctx_customer" -> shared))))
+    tenants.map { p =>
+      val df = asPrincipal(s, p)(s.sql("SELECT * FROM ctx_customer"))
+      require(df.filter(col("c_mktsegment") =!= p).count() == 0,
+        s"tenant $p must see only its own segment")
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        min(col("c_custkey")).as("min_custkey"),
+        max(col("c_custkey")).as("max_custkey"),
+        sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+          .as("bal_sum"))
+        .select(lit(p).as("principal"), col("n_rows"),
+          col("min_custkey"), col("max_custkey"), col("bal_sum"))
+    }.reduce(_.unionAll(_)).orderBy(col("principal"))
+  }
+
   /** WITH GRANT OPTION delegation — the reference's two-hop grant
     * chain as a decision matrix (see [[SecureCatalog.regrant]]):
     * the producer grants an admin a grantable filtered policy; the
@@ -630,6 +669,7 @@ object FgacQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "fgac_context_filter" -> contextFilter,
     "fgac_ns_grant"      -> nsGrants,
     "fgac_audit_log"     -> auditLog,
     "fgac_sql_grants"    -> sqlGrants,
@@ -651,6 +691,14 @@ object FgacQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "fgac_context_filter" ->
+      """SELECT c_mktsegment AS principal, COUNT(*) AS n_rows,
+        | MIN(c_custkey) AS min_custkey, MAX(c_custkey) AS max_custkey,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS bal_sum
+        |FROM customer
+        |WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "fgac_audit_log" ->
       """SELECT * FROM (VALUES
         | ('aud_ghost', 'SELECT', 'aud_customer', 'DENIED',

@@ -138,15 +138,38 @@ object FgacRule {
     if (who.isEmpty) SubqueryAlias(parts, raw) // admin / ungoverned session
     else SecureCatalog.authorize(who, name) match {
       case None         => SubqueryAlias(parts, raw)
-      case Some(policy) => SubqueryAlias(parts, securePlan(policy, raw))
+      case Some(policy) => SubqueryAlias(parts, securePlan(policy, raw, who))
     }
   }
 
+  /** Compile a stored policy expression for effective principal
+    * `who`: parse, then fold the context function `graft_principal()`
+    * to a string literal of the principal — the Snowflake
+    * current_role()-in-row-access-policy pattern. Substitution
+    * happens BEFORE analysis, so one stored policy text yields a
+    * per-principal constant predicate: Catalyst constant-folds it
+    * into the scan like any literal, and the 100 TB cost is
+    * identical to a hand-written per-principal filter. The function
+    * exists ONLY inside policy expressions — anywhere else it stays
+    * unresolved and fails loudly. */
+  private[fgac] def compilePolicyExpr(sql: String, who: String)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    CatalystSqlParser.parseExpression(sql).transformUp {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("graft_principal") =>
+        require(f.arguments.isEmpty,
+          "graft_principal() takes no arguments")
+        org.apache.spark.sql.catalyst.expressions.Literal(who)
+    }
+
   /** Filter (against raw row) → mask → project, matching Lake
-    * Formation data-cells-filter evaluation order. */
-  def securePlan(policy: TablePolicy, raw: LogicalPlan): LogicalPlan = {
+    * Formation data-cells-filter evaluation order. `who` is the
+    * EFFECTIVE principal the policy evaluates as (the querying
+    * principal, or a definer view's captured creator). */
+  def securePlan(policy: TablePolicy, raw: LogicalPlan,
+      who: String): LogicalPlan = {
     val filtered = policy.rowFilter match {
-      case Some(p) => Filter(CatalystSqlParser.parseExpression(p), raw)
+      case Some(p) => Filter(compilePolicyExpr(p, who), raw)
       case None    => raw
     }
     policy.allowedColumns match {
@@ -156,7 +179,7 @@ object FgacRule {
           .getOrElse(SecureCatalog.columnsOf(policy.table))
         val projList: Seq[NamedExpression] = visible.map { c =>
           policy.masks.get(c) match {
-            case Some(m) => Alias(CatalystSqlParser.parseExpression(m), c)()
+            case Some(m) => Alias(compilePolicyExpr(m, who), c)()
             case None    => UnresolvedAttribute.quoted(c)
           }
         }

@@ -36,7 +36,7 @@ final class GovernedGraftTable(
   private def secured(raw: DataFrame): DataFrame =
     if (principal.isEmpty) raw
     else SecureCatalog.authorize(principal, tableName)
-      .map(Enforcer.secure(raw, _)).getOrElse(raw)
+      .map(Enforcer.secure(raw, _, principal)).getOrElse(raw)
 
   def append(df: DataFrame): Long = { checkWrite("INSERT"); underlying.append(df) }
   def overwrite(df: DataFrame): Long = { checkWrite("OVERWRITE"); underlying.overwrite(df) }

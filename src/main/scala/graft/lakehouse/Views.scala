@@ -144,7 +144,7 @@ object ViewExpansion {
           Alias(UnresolvedAttribute.quoted(q), a)()
         }, resolved)
     val withPolicy =
-      policy.fold(aliased)(p => FgacRule.securePlan(p, aliased))
+      policy.fold(aliased)(p => FgacRule.securePlan(p, aliased, who))
     SubqueryAlias(lowerParts, withPolicy)
   }
 }

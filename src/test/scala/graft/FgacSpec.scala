@@ -530,6 +530,27 @@ class FgacSpec extends AnyFunSuite {
       e.principal == "aud_reader" && e.action == "DESCRIBE" &&
         e.outcome == "ALLOWED"))
   }
+
+  test("context filter: one policy, per-principal slices, loud outside") {
+    val out = SparkEntry.queries("fgac_context_filter")(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("AUTOMOBILE", "BUILDING"))
+    // per-tenant counts match a direct segment filter
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_rows") ==
+        Tables.customer(spark, sf)
+          .filter(col("c_mktsegment") === r.getString(0)).count(),
+        r.getString(0))
+    }
+    // the Enforcer (library API) path folds the context function too
+    val pol = TablePolicy("ctx_customer",
+      rowFilter = Some("c_mktsegment = graft_principal()"))
+    val viaEnforcer = Enforcer.secure(
+      Tables.customer(spark, sf), pol, "AUTOMOBILE")
+    assert(viaEnforcer.count() == out.head.getAs[Long]("n_rows"))
+    // outside a policy expression the function stays unresolved
+    intercept[Exception](
+      spark.sql("SELECT graft_principal()").collect())
+  }
 }
 
 class AnalyticsSpec extends AnyFunSuite {
