@@ -2922,6 +2922,31 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       .map(_.toString).sorted
   }
 
+  /** Iceberg's `partitions` metadata TVF: one row per live partition
+    * with file count, record count, and on-disk bytes — computed
+    * ENTIRELY from the current snapshot's manifest (fileRows /
+    * fileSizes are harvested at commit), so at 100 TB this answers
+    * "which partitions are hot, skewed, or fragmented" with zero
+    * data-file reads. `partition` renders the file's layout segments
+    * (`col=v/col2=v2`; empty for unpartitioned files — e.g. files
+    * written before a partition-spec evolution, which Iceberg
+    * likewise reports under their own historical spec). Record
+    * counts are DATA-file counts: pending MoR tombstones are not
+    * netted (Iceberg's TVF reports the same way); compaction
+    * materializes them. */
+  def partitionsMeta(): DataFrame = {
+    val snap = currentSnapshot
+    val rows = snap.files
+      .groupBy(f => layoutSegs(f).dropRight(1).mkString("/"))
+      .map { case (part, fs) =>
+        (part, fs.size.toLong,
+          fs.map(f => snap.fileRows.getOrElse(f, 0L)).sum,
+          fs.map(f => snap.fileSizes.getOrElse(f, 0L)).sum)
+      }.toSeq.sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("partition", "file_count", "record_count", "total_bytes")
+  }
+
   /** Zero-copy ADOPTION of existing parquet (Iceberg's `add_files`
     * procedure; [[GraftTable.adopt]] is the whole-table `migrate`
     * form): a METADATA-ONLY commit registers `srcDir`'s parquet files

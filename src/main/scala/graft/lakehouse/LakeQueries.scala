@@ -294,6 +294,38 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** `partitions` metadata TVF ([[GraftTable.partitionsMeta]]):
+    * per-partition file/row/byte summary answered from the manifest
+    * ALONE — at 100 TB the "which partitions are hot, skewed,
+    * fragmented" question costs zero data-file reads because commit
+    * already harvested per-file rows/bytes. The scenario writes a
+    * (status × month)-partitioned year of orders, requires the
+    * physical invariants the oracle cannot see (every partition ≥1
+    * file with nonzero bytes; record counts conserve the table), and
+    * outputs the logical slice DuckDB can recompute. */
+  private val partitionsQ: Q = (s, dir) => {
+    import s.implicits._
+    val orders95 = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= "1995-01-01" &&
+        col("o_orderdate") < "1996-01-01")
+      .withColumn("o_month", month(col("o_orderdate")))
+    val t = GraftTable.create(s, tmp("lake_parts"), orders95,
+      partitionBy = Seq("o_orderstatus", "o_month"))
+    val pm = t.partitionsMeta().collect() // bounded: one row/partition
+    require(pm.forall(r => r.getAs[Long]("file_count") >= 1 &&
+      r.getAs[Long]("total_bytes") > 0),
+      "every live partition must report files and bytes")
+    require(pm.map(_.getAs[Long]("record_count")).sum == orders95.count(),
+      "partition record counts must conserve the table")
+    pm.toSeq.map { r =>
+      val kv = r.getAs[String]("partition").split("/")
+        .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      (kv("o_orderstatus"), kv("o_month").toInt,
+        r.getAs[Long]("record_count"))
+    }.toDF("o_orderstatus", "o_month", "row_count")
+      .orderBy("o_orderstatus", "o_month")
+  }
+
   /** add_files / migrate ([[GraftTable.adopt]]): zero-copy adoption
     * of a parquet directory another engine wrote — the commit is
     * metadata-only (every referenced file still lives under the
@@ -1526,6 +1558,7 @@ object LakeQueries {
     "lake_compaction"       -> compaction,
     "lake_analyze"          -> analyzeQ,
     "lake_orphan_files"     -> orphanQ,
+    "lake_partitions"       -> partitionsQ,
     "lake_add_files"        -> addFilesQ,
     "lake_partitioned"      -> partitioned,
     "lake_skipping"         -> skipping,
@@ -1808,6 +1841,14 @@ object LakeQueries {
         |ORDER BY col_name""".stripMargin,
     "lake_orphan_files" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    "lake_partitions" ->
+      """SELECT o_orderstatus, CAST(month(o_orderdate) AS INT) AS o_month,
+        | COUNT(*) AS row_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderstatus, o_month
+        |ORDER BY o_orderstatus, o_month""".stripMargin,
     "lake_add_files" ->
       """SELECT * FROM customer WHERE c_custkey % 10 <> 0
         |ORDER BY c_custkey""".stripMargin,

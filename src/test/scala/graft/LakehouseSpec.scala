@@ -2627,6 +2627,31 @@ class LakehouseSpec extends AnyFunSuite {
       "external originals must survive expiry")
   }
 
+  test("partitions TVF: manifest-only counts, appends, unpartitioned") {
+    val pt = GraftTable.create(spark,
+      Files.createTempDirectory("graft_ptvf").toString,
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+        .toDF("k", "tag", "v"), Seq("tag"))
+    val pm = pt.partitionsMeta().collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(pm.keySet == Set("tag=a", "tag=b"))
+    assert(pm("tag=a").getAs[Long]("record_count") == 2 &&
+      pm("tag=b").getAs[Long]("record_count") == 1)
+    assert(pm.values.forall(_.getAs[Long]("total_bytes") > 0))
+    // an append grows the partition's file count, counts stay right
+    pt.append(Seq((4L, "a", 4.0)).toDF("k", "tag", "v"))
+    val pm2 = pt.partitionsMeta().collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(pm2("tag=a").getAs[Long]("file_count") >
+      pm("tag=a").getAs[Long]("file_count"))
+    assert(pm2("tag=a").getAs[Long]("record_count") == 3)
+    // unpartitioned table: one summary row under the empty key
+    val ut = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val um = ut.partitionsMeta().collect()
+    assert(um.length == 1 && um.head.getString(0) == "" &&
+      um.head.getAs[Long]("record_count") == 2)
+  }
+
   test("analyze stats: snapshot-scoped, stale after DML, approx close") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)))
     val st = t.analyzeColumns(Seq("k", "tag"))
