@@ -137,6 +137,60 @@ object StreamingOps {
     inner.unionByName(unmatched)
   }
 
+  /** The windowed aggregate under a late-data watermark — ONE
+    * definition for both modes: streaming applies the watermark;
+    * on a batch frame `withWatermark` is a no-op and
+    * [[lateDataBatch]] replays the drop/emission contract
+    * explicitly. */
+  def lateWindowAgg(events: DataFrame, delay: String = "1 hour")
+      : DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+
+  /** Watermark LATE-DATA DROP contract, batch replay — the third leg
+    * of the watermark matrix after emission ([[windowAgg]]) and
+    * outer-join state release ([[clickAttributionOuterBatch]]):
+    * a straggler whose window was already FINALIZED when it arrived
+    * is dropped, not aggregated (the bound that keeps state at
+    * |open windows × keys| instead of growing with stream length at
+    * 100 TB/day). Arrival is two deterministic waves: the on-time
+    * bulk (`event_id % 7 != 0`) in batch one, stragglers
+    * (`event_id % 7 == 0`) in batch two. After wave one the
+    * watermark stands at max(on-time ts) − delay, so a straggler is
+    * admitted iff its 10-minute window is still open; the final
+    * append-mode emission covers windows closed by the END watermark
+    * max(ALL ts) − delay — the watermark tracks input max event
+    * time, dropped rows included. Both fates occur (spec-pinned),
+    * and StreamingSpec proves a real two-batch watermarked query
+    * emits exactly this. */
+  def lateDataBatch(events: DataFrame, delay: String = "1 hour")
+      : DataFrame = {
+    val isLate = col("event_id") % 7 === 0
+    val win = window(col("ts"), "10 minutes")
+    val onTime = events.filter(!isLate)
+    val late = events.filter(isLate)
+    val wm1 = onTime.agg(
+      (max(col("ts")) - expr(s"INTERVAL $delay")).as("__wm1"))
+    // the TimeWindowing rule materializes an inline window() as an
+    // extra struct column — project back to the event columns
+    val admitted = late.crossJoin(broadcast(wm1))
+      .filter(win.getField("end") > col("__wm1"))
+      .select(events.columns.map(col).toIndexedSeq: _*)
+    val fwm = events.agg(
+      (max(col("ts")) - expr(s"INTERVAL $delay")).as("__fwm"))
+    lateWindowAgg(onTime.unionByName(admitted), delay)
+      .crossJoin(broadcast(fwm))
+      .filter(col("window.end") <= col("__fwm"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("v"))
+  }
+
+  private val lateDataQ: Q = (s, d) =>
+    lateDataBatch(Tables.events(s, d))
+      .orderBy(col("w_start"), col("event_type"))
+
   private val outerJoinQ: Q = (s, d) =>
     clickAttributionOuterBatch(Tables.events(s, d))
       .orderBy(col("p_id"), col("c_id"))
@@ -405,6 +459,7 @@ object StreamingOps {
     "stream_lake_cdc" -> lakeCdcQ,
     "stream_lake_pipeline" -> lakePipelineQ,
     "stream_window_agg" -> windowAggQ,
+    "stream_late_data" -> lateDataQ,
     "stream_sessionize" -> sessionizeQ,
     "stream_dedup_state" -> dedupQ,
     "stream_join" -> joinQ,
@@ -469,6 +524,25 @@ object StreamingOps {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_late_data" ->
+      """WITH on_time AS (SELECT * FROM events WHERE event_id % 7 <> 0),
+        | late AS (SELECT * FROM events WHERE event_id % 7 = 0),
+        | wm1 AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+        |           AS w FROM on_time),
+        | fwm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+        |           AS w FROM events),
+        | admitted AS (SELECT late.* FROM late, wm1
+        |  WHERE time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+        |          + INTERVAL 10 MINUTES > wm1.w),
+        | u AS (SELECT * FROM on_time UNION ALL SELECT * FROM admitted)
+        |SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+        |    AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |FROM u, fwm
+        |WHERE time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+        |        + INTERVAL 10 MINUTES <= fwm.w
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),

@@ -899,6 +899,52 @@ class StreamingSpec extends AnyFunSuite {
       "streaming emission must equal the watermark-contract replay")
   }
 
+  test("late rows beyond the watermark are dropped per the batch contract") {
+    // two arrival waves, one micro-batch each: the on-time bulk
+    // first, then the stragglers — the watermark set by wave one
+    // decides each straggler's fate
+    val events = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    events.filter(col("event_id") % 7 =!= 0)
+      .repartition(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // file-source ordering is by mod time
+    events.filter(col("event_id") % 7 === 0)
+      .repartition(1).write.mode("append").parquet(dir)
+    val src = Tables.normalizeTs(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir))
+    val q = streaming.StreamingOps.lateWindowAgg(src)
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("v"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("late_out")
+    val batch = streaming.StreamingOps.lateDataBatch(events)
+    assert(streamed.count() == batch.count(),
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0,
+      "streaming emission must equal the late-data-contract replay")
+    // both fates occurred: a no-drop replay disagrees (stragglers
+    // were dropped), and the drop was not total (some admitted)
+    val noDrop = streaming.StreamingOps.lateWindowAgg(events)
+      .crossJoin(broadcast(events.agg(
+        (max(col("ts")) - expr("INTERVAL 1 HOUR")).as("__fwm"))))
+      .filter(col("window.end") <= col("__fwm"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("v"))
+    assert(noDrop.except(batch).count() > 0,
+      "the scenario must actually drop straggler rows")
+    val admittedLate = batch.agg(sum(col("n"))).head.getLong(0) -
+      events.filter(col("event_id") % 7 =!= 0)
+        .crossJoin(broadcast(events.agg(
+          (max(col("ts")) - expr("INTERVAL 1 HOUR")).as("__fwm"))))
+        .filter(window(col("ts"), "10 minutes").getField("end") <=
+          col("__fwm")).count()
+    assert(admittedLate > 0, "some stragglers must be admitted")
+  }
+
   test("streaming dedup (dropDuplicates) agrees with batch distinct") {
     val deduped = streamEvents
       .select(col("user_id"), col("event_type"),
