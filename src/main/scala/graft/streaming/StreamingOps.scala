@@ -151,31 +151,44 @@ object StreamingOps {
 
   /** Watermark LATE-DATA DROP contract, batch replay — the third leg
     * of the watermark matrix after emission ([[windowAgg]]) and
-    * outer-join state release ([[clickAttributionOuterBatch]]):
-    * a straggler whose window was already FINALIZED when it arrived
-    * is dropped, not aggregated (the bound that keeps state at
-    * |open windows × keys| instead of growing with stream length at
-    * 100 TB/day). Arrival is two deterministic waves: the on-time
-    * bulk (`event_id % 7 != 0`) in batch one, stragglers
-    * (`event_id % 7 == 0`) in batch two. After wave one the
-    * watermark stands at max(on-time ts) − delay, so a straggler is
-    * admitted iff its 10-minute window is still open; the final
-    * append-mode emission covers windows closed by the END watermark
-    * max(ALL ts) − delay — the watermark tracks input max event
-    * time, dropped rows included. Both fates occur (spec-pinned),
-    * and StreamingSpec proves a real two-batch watermarked query
-    * emits exactly this. */
+    * outer-join state release ([[clickAttributionOuterBatch]]).
+    * Spark's actual admission law (SPARK-40925, verified empirically
+    * here on a two-wave probe): the LATE filter in micro-batch N uses
+    * the watermark that was in effect during batch N−1 — exactly the
+    * boundary the previous batch-end EVICTION already applied — while
+    * emission/eviction at the end of batch N uses the current
+    * watermark. A straggler is therefore dropped iff its window was
+    * already evicted from state, never merely because the current
+    * watermark passed it; that keeps drop-vs-admit consistent with
+    * state contents (and state bounded at |open windows × keys| at
+    * 100 TB/day). Arrival is three deterministic waves:
+    * wave 1 = on-time bulk (`event_id % 7 != 0`, ts ≤ max(ts) − 2 d),
+    * wave 2 = on-time tail (rest of the non-stragglers),
+    * wave 3 = stragglers (`event_id % 7 == 0`). The straggler batch
+    * runs its late filter against W1 = max(wave-1 ts) − delay (the
+    * watermark during the wave-2 batch, which also evicted every
+    * window ending ≤ W1), so a straggler is admitted iff its
+    * 10-minute window end > W1; the final append-mode emission covers
+    * windows closed by the END watermark max(ALL ts) − delay — the
+    * watermark tracks input max event time, dropped rows included.
+    * The 2-day tail makes all three fates non-empty (dropped;
+    * admitted-and-emitted; admitted-into-still-open windows), and
+    * PipelineSpec proves a real three-batch watermarked query emits
+    * exactly this. */
   def lateDataBatch(events: DataFrame, delay: String = "1 hour")
       : DataFrame = {
     val isLate = col("event_id") % 7 === 0
     val win = window(col("ts"), "10 minutes")
     val onTime = events.filter(!isLate)
-    val late = events.filter(isLate)
-    val wm1 = onTime.agg(
-      (max(col("ts")) - expr(s"INTERVAL $delay")).as("__wm1"))
+    // W1 = the watermark in effect during the wave-2 batch = the late
+    // filter (and already-evicted boundary) the straggler batch sees
+    val wm1 = onTime
+      .crossJoin(broadcast(events.agg(max(col("ts")).as("__mx"))))
+      .filter(col("ts") <= col("__mx") - expr("INTERVAL 2 DAYS"))
+      .agg((max(col("ts")) - expr(s"INTERVAL $delay")).as("__wm1"))
     // the TimeWindowing rule materializes an inline window() as an
     // extra struct column — project back to the event columns
-    val admitted = late.crossJoin(broadcast(wm1))
+    val admitted = events.filter(isLate).crossJoin(broadcast(wm1))
       .filter(win.getField("end") > col("__wm1"))
       .select(events.columns.map(col).toIndexedSeq: _*)
     val fwm = events.agg(
@@ -527,10 +540,11 @@ object StreamingOps {
     "stream_late_data" ->
       """WITH on_time AS (SELECT * FROM events WHERE event_id % 7 <> 0),
         | late AS (SELECT * FROM events WHERE event_id % 7 = 0),
+        | tmax AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events),
         | wm1 AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
-        |           AS w FROM on_time),
-        | fwm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
-        |           AS w FROM events),
+        |           AS w FROM on_time, tmax
+        |          WHERE CAST(ts AS TIMESTAMP) <= tmax.m - INTERVAL 2 DAYS),
+        | fwm AS (SELECT m - INTERVAL 1 HOUR AS w FROM tmax),
         | admitted AS (SELECT late.* FROM late, wm1
         |  WHERE time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
         |          + INTERVAL 10 MINUTES > wm1.w),

@@ -900,14 +900,27 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("late rows beyond the watermark are dropped per the batch contract") {
-    // two arrival waves, one micro-batch each: the on-time bulk
-    // first, then the stragglers — the watermark set by wave one
-    // decides each straggler's fate
+    // three arrival waves, one micro-batch each: the on-time bulk,
+    // the on-time 2-day tail, then the stragglers. Spark's late
+    // filter in batch N uses the watermark of batch N-1 (the exact
+    // boundary batch N-1's eviction already applied — SPARK-40925),
+    // so the straggler batch drops against W1 = max(wave-1 ts) - 1 h:
+    // the wave-2 batch in between is what makes W1 a PREVIOUS
+    // watermark by the time the stragglers arrive. A two-wave run
+    // drops nothing — the stragglers land in the same batch where the
+    // watermark first passes their windows, which are then still in
+    // state.
     val events = Tables.events(spark, sf)
+    val tmax = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val cut = java.sql.Timestamp.from(
+      tmax.toInstant.minus(java.time.Duration.ofDays(2)))
     val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
-    events.filter(col("event_id") % 7 =!= 0)
+    events.filter(col("event_id") % 7 =!= 0 && col("ts") <= lit(cut))
       .repartition(1).write.mode("append").parquet(dir)
     Thread.sleep(1100) // file-source ordering is by mod time
+    events.filter(col("event_id") % 7 =!= 0 && col("ts") > lit(cut))
+      .repartition(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
     events.filter(col("event_id") % 7 === 0)
       .repartition(1).write.mode("append").parquet(dir)
     val src = Tables.normalizeTs(
@@ -926,8 +939,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 &&
       batch.except(streamed).count() == 0,
       "streaming emission must equal the late-data-contract replay")
-    // both fates occurred: a no-drop replay disagrees (stragglers
-    // were dropped), and the drop was not total (some admitted)
+    // all fates occurred: a no-drop replay disagrees (stragglers were
+    // dropped), and admitted stragglers are visible in the emission
+    // (batch totals exceed an on-time-only replay)
     val noDrop = streaming.StreamingOps.lateWindowAgg(events)
       .crossJoin(broadcast(events.agg(
         (max(col("ts")) - expr("INTERVAL 1 HOUR")).as("__fwm"))))
@@ -942,7 +956,7 @@ class StreamingSpec extends AnyFunSuite {
           (max(col("ts")) - expr("INTERVAL 1 HOUR")).as("__fwm"))))
         .filter(window(col("ts"), "10 minutes").getField("end") <=
           col("__fwm")).count()
-    assert(admittedLate > 0, "some stragglers must be admitted")
+    assert(admittedLate > 0, "some stragglers must be admitted and emitted")
   }
 
   test("streaming dedup (dropDuplicates) agrees with batch distinct") {
