@@ -53,6 +53,19 @@ final case class ColumnStats(ndv: Long, nulls: Long,
 final case class TableStats(snapshotId: Long, rows: Long,
     exact: Boolean, cols: Map[String, ColumnStats])
 
+/** One manifest shard: an immutable sidecar file carrying the
+  * per-file manifest entries (path, add-sequence, record count, size,
+  * column bounds) for a partition-range slice of a snapshot's file
+  * list. `lo`/`hi` are the lexicographic bounds of the member files'
+  * partition-directory strings — the datum that lets a pruned read
+  * skip the shard WITHOUT parsing its entries (Iceberg's
+  * manifest-list model: partition summaries gate manifest reads).
+  * Shards are shared across snapshots by reference, exactly like data
+  * files — an append's metadata write cost is O(new files), not
+  * O(table). */
+final case class ManifestShard(path: String, lo: String, hi: String,
+    files: Seq[String])
+
 final case class Snapshot(
     id: Long,
     parent: Long,
@@ -89,7 +102,12 @@ final case class Snapshot(
     /** Streaming-sink transaction watermark carried BY this commit
       * (Delta's `txn` action): (appId, batchId) recorded atomically
       * with the data so a replayed micro-batch is detectable. */
-    txn: Option[(String, Long)] = None) {
+    txn: Option[(String, Long)] = None,
+    /** Manifest shards this snapshot's file list was read from
+      * ([[ManifestShard]]); empty when every entry is inline in the
+      * snapshot manifest (small tables) — and, for a PRUNED parse,
+      * only the shards that survived pruning. */
+    shards: Seq[ManifestShard] = Nil) {
 
   /** The physical (write-time) name of current column `name` in a
     * data file added at sequence `fseq`: renames that happened after
@@ -486,28 +504,67 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
 
   def snapshot(id: Long): Snapshot = parseManifest(snapPath(id), id)
 
-  private def parseManifest(path: Path, id: Long): Snapshot = {
+  /** Read `path` whole as UTF-8 key=value lines (manifest and shard
+    * bodies share the format). Counts one manifest read. */
+  private def readKvLines(path: Path): Seq[(String, String)] = {
     GraftTable.manifestReads.incrementAndGet()
     val in = fs.open(path)
     val text =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
-    val kv = text.linesIterator.filter(_.nonEmpty).map { line =>
+    text.linesIterator.filter(_.nonEmpty).map { line =>
       val i = line.indexOf('=')
       (line.substring(0, i), line.substring(i + 1))
     }.toSeq
+  }
+
+  /** Per-file manifest entries from one kv body (inline snapshot
+    * lines or one shard): files in declaration order plus the
+    * fseq/frows/fsize/fstat maps. */
+  private def parseFileEntries(kv: Seq[(String, String)]): (Seq[String],
+      Map[String, Long], Map[String, Long], Map[String, Long],
+      Map[String, Map[String, ColStat]]) = {
+    def tagged(key: String) = kv.collect { case (`key`, v) =>
+      val i = v.indexOf('\t')
+      v.substring(i + 1) -> v.substring(0, i).toLong
+    }.toMap
+    (kv.collect { case ("file", v) => v },
+      tagged("fseq"), tagged("frows"), tagged("fsize"),
+      kv.collect { case ("fstat", v) => FileStatsJson.parse(v) }
+        .flatten.toMap)
+  }
+
+  private def parseManifest(path: Path, id: Long,
+      keepShard: (Seq[String], String, String) => Boolean =
+        (_, _, _) => true): Snapshot = {
+    val kv = readKvLines(path)
     def one(k: String) = kv.collectFirst { case (`k`, v) => v }.get
+    val partitionCols = kv.collectFirst { case ("partcols", v) => v }
+      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
+    // manifest-list entries: count \t lo \t hi \t path (path last —
+    // the only field that could legally be long; lo/hi are escaped
+    // hive segments, tab-free by construction)
+    val shardRefs = kv.collect { case ("mshard", v) =>
+      val parts = v.split("\t", 4)
+      (parts(1), parts(2), parts(3))
+    }
+    val kept = shardRefs.filter { case (lo, hi, _) =>
+      keepShard(partitionCols, lo, hi) }
+    val shardParts = kept.map { case (lo, hi, p) =>
+      val (fs0, seq0, rows0, sizes0, stats0) =
+        parseFileEntries(readKvLines(new Path(p)))
+      (ManifestShard(p, lo, hi, fs0), seq0, rows0, sizes0, stats0)
+    }
+    val (inFiles, inSeq, inRows, inSizes, inStats) = parseFileEntries(kv)
     Snapshot(
       id = id,
       parent = one("parent").toLong,
       op = one("op"),
       ts = kv.collectFirst { case ("ts", v) => v.toLong }.getOrElse(0L),
       schema = DataType.fromJson(one("schema")).asInstanceOf[StructType],
-      files = kv.collect { case ("file", v) => v },
-      partitionCols = kv.collectFirst { case ("partcols", v) => v }
-        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
-      stats = kv.collect { case ("fstat", v) => FileStatsJson.parse(v) }
-        .flatten.toMap,
+      files = shardParts.flatMap(_._1.files) ++ inFiles,
+      partitionCols = partitionCols,
+      stats = shardParts.flatMap(_._5).toMap ++ inStats,
       dels = kv.collect { case ("dpred", v) => FileStatsJson.parseDel(v) }
         .flatten,
       posDels = kv.collect { case ("pdel", v) => v },
@@ -515,18 +572,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
         val i = v.indexOf('\t')
         v.substring(i + 1) -> v.substring(0, i).toLong
       }.toMap,
-      fileSeq = kv.collect { case ("fseq", v) =>
-        val i = v.indexOf('\t')
-        v.substring(i + 1) -> v.substring(0, i).toLong
-      }.toMap,
-      fileRows = kv.collect { case ("frows", v) =>
-        val i = v.indexOf('\t')
-        v.substring(i + 1) -> v.substring(0, i).toLong
-      }.toMap,
-      fileSizes = kv.collect { case ("fsize", v) =>
-        val i = v.indexOf('\t')
-        v.substring(i + 1) -> v.substring(0, i).toLong
-      }.toMap,
+      fileSeq = shardParts.flatMap(_._2).toMap ++ inSeq,
+      fileRows = shardParts.flatMap(_._3).toMap ++ inRows,
+      fileSizes = shardParts.flatMap(_._4).toMap ++ inSizes,
       renames = kv.collect { case ("rename", v) =>
         val parts = v.split("\t", 3)
         Rename(parts(0).toLong, parts(1), parts(2))
@@ -539,8 +587,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       txn = kv.collectFirst { case ("txn", v) =>
         val i = v.indexOf('\t')
         (v.substring(0, i), v.substring(i + 1).toLong)
-      })
+      },
+      shards = shardParts.map(_._1))
   }
+
+  /** PARTIAL parse of snapshot `id` for a partition-pruned read:
+    * manifest shards whose [lo, hi] partition range fails `keepShard`
+    * are never opened — at 10⁷ files the driver parses O(relevant
+    * shards), not O(table). The returned snapshot's `files` covers
+    * only the surviving shards (plus all inline entries), so it must
+    * feed a read path that filters further, never a writer. */
+  private def snapshotPruned(id: Long,
+      keepShard: (Seq[String], String, String) => Boolean): Snapshot =
+    parseManifest(snapPath(id), id, keepShard)
 
   def currentSnapshot: Snapshot = snapshot(currentSnapshotId)
 
@@ -573,7 +632,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       specHistOverride: Option[Seq[(Long, Seq[String])]] = None,
       posDelsOverride: Option[Seq[String]] = None,
       sizesExtra: Map[String, Long] = Map.empty,
-      idFloor: Long = 0L): Long =
+      idFloor: Long = 0L,
+      reshardManifests: Boolean = false): Long =
     // In-process writers (multiple handles over one root) serialize
     // here, making check-then-publish a true CAS within the JVM.
     // Across processes publishNoOverwrite is the CAS — atomic
@@ -583,7 +643,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     GraftTable.commitLock(root.toString).synchronized {
       commitLocked(op, schema, files, partitionCols, expectedParent,
         delsOverride, refSnap, branch, renamesOverride, specHistOverride,
-        posDelsOverride, sizesExtra, idFloor)
+        posDelsOverride, sizesExtra, idFloor, reshardManifests)
     }
 
   private def commitLocked(op: String, schema: StructType,
@@ -594,7 +654,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       specHistOverride: Option[Seq[(Long, Seq[String])]],
       posDelsOverride: Option[Seq[String]],
       sizesExtra: Map[String, Long] = Map.empty,
-      idFloor: Long = 0L): Long = {
+      idFloor: Long = 0L,
+      reshardManifests: Boolean = false): Long = {
     refs.get(branch).foreach { case (kind, _) =>
       require(kind == "branch", s"cannot commit to $kind '$branch'")
     }
@@ -673,7 +734,52 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       renamesOverride.getOrElse(ref.map(_.renames).getOrElse(Nil))
     val specHist =
       specHistOverride.getOrElse(ref.map(_.specHist).getOrElse(Nil))
-    def bodyFor(id: Long): String = {
+    def renderFileEntry(body: StringBuilder, f: String, id: Long): Unit = {
+      body ++= s"file=$f\n"
+      body ++= s"fseq=${refSeq.getOrElse(f, id)}\t$f\n"
+      rows.get(f).foreach(n => body ++= s"frows=$n\t$f\n")
+      sizes.get(f).foreach(n => body ++= s"fsize=$n\t$f\n")
+      val cs = stats.getOrElse(f, Map.empty)
+      if (cs.nonEmpty) body ++= s"fstat=${FileStatsJson.render(f, cs)}\n"
+    }
+    // ---- manifest-list planning (Iceberg's manifest-list model) ----
+    // Shards are immutable and carried ACROSS snapshots by reference
+    // exactly like data files: a parent shard survives iff every file
+    // it names is still in this commit's file set — so an append's
+    // metadata write is O(new files) and a 0.1% delete rewrites 0.1%
+    // of the manifest entries, never the whole list. Entries not
+    // covered by a carried shard stay inline in the snapshot manifest
+    // until they reach the shard threshold, then spill into new
+    // partition-sorted shards (lo/hi bounds recorded for pruned
+    // reads). `reshardManifests` (OPTIMIZE … REWRITE MANIFESTS)
+    // drops every carried shard and re-sorts the whole file list into
+    // fresh range-disjoint shards.
+    val shardThreshold = properties
+      .get(GraftTable.ShardFilesProp).map(_.toInt).getOrElse(512)
+    val fileSet = files.toSet
+    val carriedShards: Seq[ManifestShard] =
+      if (reshardManifests) Nil
+      else ref.map(_.shards).getOrElse(Nil)
+        .filter(s => s.files.forall(fileSet))
+    val coveredFiles = carriedShards.flatMap(_.files).toSet
+    val uncovered = files.filterNot(coveredFiles)
+    val makeShards = uncovered.size >= shardThreshold
+    def writeShards(id: Long): Seq[ManifestShard] =
+      if (!makeShards) Nil
+      else uncovered.sortBy(partKeyOf).grouped(shardThreshold)
+        .zipWithIndex.map { case (chunk, k) =>
+          val p = new Path(metaDir, f"mfest-$id%05d-$k-" +
+            s"${java.util.UUID.randomUUID.toString.take(8)}.meta")
+          val body = new StringBuilder
+          chunk.foreach(renderFileEntry(body, _, id))
+          val out = fs.create(p, true)
+          try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          val keys = chunk.map(partKeyOf)
+          ManifestShard(fs.makeQualified(p).toString,
+            keys.min, keys.max, chunk)
+        }.toSeq
+    def bodyFor(id: Long, newShards: Seq[ManifestShard]): String = {
       val body = new StringBuilder
       body ++= s"parent=$expectedParent\n"
       body ++= s"op=$op\n"
@@ -683,14 +789,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       pendingTxn.foreach { case (app, b) => body ++= s"txn=$app\t$b\n" }
       body ++= s"schema=${schema.json}\n"
       body ++= s"partcols=${partitionCols.mkString(",")}\n"
-      files.foreach { f =>
-        body ++= s"file=$f\n"
-        body ++= s"fseq=${refSeq.getOrElse(f, id)}\t$f\n"
-        rows.get(f).foreach(n => body ++= s"frows=$n\t$f\n")
-        sizes.get(f).foreach(n => body ++= s"fsize=$n\t$f\n")
-        val cs = stats.getOrElse(f, Map.empty)
-        if (cs.nonEmpty) body ++= s"fstat=${FileStatsJson.render(f, cs)}\n"
+      (carriedShards ++ newShards).foreach { s =>
+        body ++= s"mshard=${s.files.size}\t${s.lo}\t${s.hi}\t${s.path}\n"
       }
+      if (!makeShards) uncovered.foreach(renderFileEntry(body, _, id))
       dels.foreach(d => body ++= s"dpred=${FileStatsJson.renderDel(d)}\n")
       posDels.foreach { p =>
         body ++= s"pdel=$p\n"
@@ -716,16 +818,22 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     var remaining = 16
     while (remaining > 0) {
       remaining -= 1
+      // new shards embed fseq = the published id for files new in this
+      // commit, so they are (re)written per attempt; a lost race
+      // deletes them (they were never referenced)
+      val newShards = writeShards(attempt)
       val tmp = new Path(metaDir, f"snap-$attempt%05d.meta." +
         s"${java.util.UUID.randomUUID.toString.take(8)}.tmp")
       val out = fs.create(tmp, true)
-      try out.write(bodyFor(attempt).getBytes(StandardCharsets.UTF_8))
+      try out.write(
+        bodyFor(attempt, newShards).getBytes(StandardCharsets.UTF_8))
       finally out.close()
       if (publishNoOverwrite(tmp, snapPath(attempt))) { // atomic publish
         advanceRefHead(branch, attempt, expectedParent)
         return attempt
       }
       fs.delete(tmp, false)
+      newShards.foreach(s => fs.delete(new Path(s.path), false))
       if (headOf(branch) != expectedParent)
         throw new CommitConflictException(
           s"commit $attempt lost the publish race: another writer's " +
@@ -1250,13 +1358,25 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * metadata win this format exists for: at 100 TB a query for one
     * partition reads that partition, not the directory tree. */
   def readPruned(partCol: String, values: Set[String]): DataFrame = {
-    val snap = currentSnapshot
+    val wanted = values.map(v => hiveSegment(partCol, v))
+    // Manifest-shard pruning BEFORE entry parsing: when `partCol`
+    // leads the spec, a shard's [lo, hi] partition-key range can
+    // contain a file of partition `w` only if it overlaps the prefix
+    // interval [w, w + U+FFFF] (every partition key starting with `w`
+    // sorts there). Predicates on a non-leading partition column
+    // cannot bound the lexicographic range — every shard is parsed,
+    // pruning happens per entry as before (conservative, never
+    // wrong). Iceberg's manifest-list partition summaries gate reads
+    // the same way.
+    val snap = snapshotPruned(currentSnapshotId,
+      (partCols, lo, hi) =>
+        !partCols.headOption.contains(partCol) ||
+          wanted.exists(w => hi >= w && lo <= w + "\uffff"))
     require(PartField.allIdentity(snap.partitionCols),
       "readPruned addresses identity partitions; transform-partitioned " +
         "tables prune through readWhere on the raw column")
     require(snap.partitionCols.contains(partCol),
       s"$partCol is not a partition column of ${snap.partitionCols}")
-    val wanted = values.map(v => hiveSegment(partCol, v))
     val kept = snap.files.filter(f => layoutSegs(f).exists(wanted.contains))
     morRead(snap, kept)
   }
@@ -1289,11 +1409,26 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     s"$col=$v"
   }
 
-  private def commitDirOf(file: String): String = {
+  /** The file's partition-directory string (`col=v/col2=v2`; "" for
+    * unpartitioned or adopted files) — the manifest-shard sort and
+    * range-prune key. */
+  private def partKeyOf(file: String): String =
+    commitDirOpt(file).fold("")(_ =>
+      layoutSegs(file).dropRight(1).mkString("/"))
+
+  /** The file's `commit-*` ancestor dir, or None for files the table
+    * references but does not own (adopted via [[addFiles]]/[[adopt]] —
+    * they live under the external source dir, outside any commit). */
+  private def commitDirOpt(file: String): Option[String] = {
     var p = new Path(file).getParent
     while (p != null && !p.getName.startsWith("commit-")) p = p.getParent
-    require(p != null, s"file outside a commit dir: $file")
-    p.toString
+    Option(p).map(_.toString)
+  }
+
+  private def commitDirOf(file: String): String = {
+    val d = commitDirOpt(file)
+    require(d.isDefined, s"file outside a commit dir: $file")
+    d.get
   }
 
   /** Path segments BELOW the file's commit dir — the only segments
@@ -1988,6 +2123,59 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     commit("evolve-rename", newSchema,
       snap.files, snap.partitionCols, expectedParent = snap.id,
       renamesOverride = Some(snap.renames :+ Rename(-1L, resolved, target)))
+  }
+
+  /** ALTER TABLE … ALTER COLUMN … TYPE — Iceberg's SAFE type-promotion
+    * set (spec "Schema Evolution": int→long, float→double,
+    * decimal(P,S)→decimal(P′>P,S)), as a METADATA-ONLY commit: the
+    * schema records the widened type and no data file is touched.
+    * Old files keep their narrower physical type and widen AT SCAN —
+    * Spark 4's parquet readers widen natively per row group
+    * (ParquetVectorUpdaterFactory's IntegerToLong / FloatToDouble /
+    * *ToDecimal updaters), so the read stays ONE vectorized scan over
+    * all epochs, no per-epoch union, no cast stage in the plan.
+    * Everything else refuses loudly: narrowing or cross-family casts
+    * would misread committed bytes; scale changes rescale values;
+    * promoting a partition SOURCE column would silently re-hash
+    * transform specs (bucket[N] hashes int and long differently) —
+    * files already laid out under the old hashing would stop pruning
+    * correctly. Stats-based skipping keeps working unchanged: manifest
+    * bounds are canonical numeric strings, type-agnostic within the
+    * numeric kind. */
+  def alterColumnType(name: String, to: DataType): Long = {
+    import org.apache.spark.sql.types._
+    val snap = currentSnapshot
+    val resolved = resolvePath(snap.schema, name, mustExist = true).get
+    val parts = resolved.split('.')
+    val from =
+      if (parts.length == 1) snap.schema(parts(0)).dataType
+      else snap.schema(parts(0)).dataType.asInstanceOf[StructType]
+        .apply(parts(1)).dataType
+    val safe = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+    require(safe,
+      s"unsafe type promotion for column '$resolved': " +
+        s"${from.simpleString} -> ${to.simpleString} (safe set: " +
+        "int->bigint, float->double, decimal(P,S)->decimal(P+,S))")
+    require(!PartField.parseAll(snap.partitionCols)
+        .exists(_.col.equalsIgnoreCase(parts(0))),
+      s"cannot promote partition source column '$resolved': transform " +
+        "specs hash by type, so existing file layout would stop " +
+        "pruning correctly")
+    val newSchema =
+      if (parts.length == 1)
+        StructType(snap.schema.fields.map(f =>
+          if (f.name == resolved) f.copy(dataType = to) else f))
+      else
+        mapStruct(snap.schema, parts(0))(st => StructType(st.fields.map(f =>
+          if (f.name == parts(1)) f.copy(dataType = to) else f)))
+    commit("evolve-type", newSchema,
+      snap.files, snap.partitionCols, expectedParent = snap.id)
   }
 
   /** Partition spec evolution (Iceberg's headline "change the
@@ -2754,6 +2942,24 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * with no recorded size (pre-size manifest) is conservatively
     * treated as large. No-ops without a commit when fewer than two
     * files qualify. */
+  /** `OPTIMIZE t REWRITE MANIFESTS` (Iceberg's `rewrite_manifests`
+    * procedure): a METADATA-ONLY commit — identical file list, but
+    * every manifest entry re-sorted by partition key into fresh
+    * range-disjoint [[ManifestShard]]s of [[GraftTable.ShardFilesProp]]
+    * files each. Run after many small appends: each append's new
+    * files land in their OWN shard (append metadata cost must stay
+    * O(new files)), so shard partition ranges drift toward full
+    * overlap and pruned reads degrade to parsing everything; the
+    * rewrite restores one-partition-per-shard locality. Data files
+    * are untouched — at 100 TB this moves kilobytes of metadata, not
+    * bytes of data. */
+  def rewriteManifests(): Long = {
+    val snap = currentSnapshot
+    commit("rewrite-manifests", snap.schema, snap.files,
+      snap.partitionCols, expectedParent = snap.id,
+      reshardManifests = true)
+  }
+
   def compactSmall(smallBytes: Long): Long = {
     val snap = currentSnapshot
     require(snap.dels.isEmpty && snap.posDels.isEmpty,
@@ -2937,7 +3143,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   def partitionsMeta(): DataFrame = {
     val snap = currentSnapshot
     val rows = snap.files
-      .groupBy(f => layoutSegs(f).dropRight(1).mkString("/"))
+      // adopted files ([[addFiles]]) have no commit-dir ancestor and
+      // therefore no layout segments: render the empty partition, the
+      // same bucket as pre-spec-evolution unpartitioned files
+      .groupBy(partKeyOf)
       .map { case (part, fs) =>
         (part, fs.size.toLong,
           fs.map(f => snap.fileRows.getOrElse(f, 0L)).sum,
@@ -3426,11 +3635,23 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     }
     val ownPrefix = qualified(root.toString).stripSuffix("/") + "/"
     val cache = GraftTable.headerCache(root.toString)
+    // manifest shards are snapshot-referenced storage exactly like
+    // data files: a shard survives while any surviving snapshot
+    // still lists it
+    val liveShards = (kept0 ++ protected0)
+      .flatMap(_.shards.map(_.path)).toSet
     expired.foreach { snap =>
       (snap.files ++ snap.posDels).filterNot(live)
         .filter(f => qualified(f).startsWith(ownPrefix))
         .foreach(f => fs.delete(new Path(f), false))
+      snap.shards.map(_.path).filterNot(liveShards)
+        .filter(p => qualified(p).startsWith(ownPrefix))
+        .foreach(p => fs.delete(new Path(p), false))
       fs.delete(snapPath(snap.id), false)
+      // ANALYZE sidecars are snapshot-scoped ([[statsPath]]) and go
+      // stale-never-wrong when the table advances — but an expired
+      // snapshot's sidecar is dead weight; reap it with the manifest
+      fs.delete(statsPath(snap.id), false)
       cache.remove(snap.id)
     }
   }
@@ -4140,6 +4361,13 @@ object GraftTable {
   /** Table property holding the write sort order (comma-separated
     * column list; Iceberg's `SORTED BY`). See writeData. */
   val SortOrderProp = "write.sort.order"
+
+  /** Table property: per-commit file count at which manifest entries
+    * spill out of the snapshot manifest into partition-sorted
+    * [[ManifestShard]]s (and the target files-per-shard). Default
+    * 512 — at 10⁷ files that is ~2 × 10⁴ shards, each opened only
+    * when a pruned read's partition range overlaps it. */
+  val ShardFilesProp = "graft.manifest.shard-files"
 
   /** Throwaway z-value column used during a zorder compaction. */
   private[lakehouse] val ZCol = "_graft_zvalue"

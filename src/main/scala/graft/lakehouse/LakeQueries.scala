@@ -1099,6 +1099,59 @@ object LakeQueries {
     s.sql("SELECT * FROM lake_alt_t").orderBy("c_custkey")
   }
 
+  /** Safe type promotion (Iceberg spec "Schema Evolution":
+    * int→bigint, float→double, decimal(P,S)→decimal(P+,S)) as
+    * METADATA-ONLY ALTERs across a 3-epoch scan: epoch-1 files store
+    * int/float/decimal(12,2), two promotions land between appends,
+    * and the final read is ONE vectorized scan in which Spark's
+    * parquet updaters widen each file's physical type per row group —
+    * no epoch unions, no rewrite (file-set identity require()d around
+    * every ALTER). The refusal matrix (narrowing, cross-family,
+    * scale change) is require()d in-query; at 100 TB this is the
+    * difference between an id column outgrowing int being a 1-file
+    * metadata commit and a full-table rewrite. */
+  private val typePromotion: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val orders = Tables.orders(s, dir)
+    def epoch(m: Long, cust: String, pf: String, dp: Int): DataFrame =
+      orders.filter(col("o_orderkey") % 3 === m)
+        .select(col("o_orderkey"),
+          col("o_custkey").cast(cust).as("o_custkey"),
+          col("o_totalprice").cast(pf).as("price_f"),
+          (col("o_orderkey") % 1000).cast(DecimalType(dp, 2)).as("price_d"))
+    val t = GraftTable.create(s, tmp("lake_tp"), epoch(0, "int", "float", 12))
+    LakeRegistry.register("lake_tp_t", t)
+    def metadataOnly(alter: => Unit): Unit = {
+      val before = t.currentSnapshot.files
+      alter
+      require(t.currentSnapshot.files == before,
+        "type promotion must be metadata-only (no file rewrites)")
+    }
+    metadataOnly(s.sql("ALTER TABLE lake_tp_t ALTER COLUMN o_custkey TYPE BIGINT"))
+    metadataOnly(t.alterColumnType("price_d", DecimalType(18, 2)))
+    epoch(1, "bigint", "float", 18).createOrReplaceTempView("lake_tp_src1")
+    s.sql("INSERT INTO lake_tp_t SELECT * FROM lake_tp_src1")
+    metadataOnly(s.sql("ALTER TABLE lake_tp_t ALTER COLUMN price_f TYPE DOUBLE"))
+    epoch(2, "bigint", "double", 18).createOrReplaceTempView("lake_tp_src2")
+    s.sql("INSERT INTO lake_tp_t SELECT * FROM lake_tp_src2")
+    // refusal matrix: narrowing, cross-family, and scale changes all
+    // refuse loudly — committed bytes would be misread or rescaled
+    def refuses(frag: String)(body: => Unit): Unit = {
+      val refused =
+        try { body; false }
+        catch { case e: Throwable => GraftTable.chainContains(e, frag) }
+      require(refused, s"promotion must refuse ($frag)")
+    }
+    refuses("unsafe type promotion")(
+      t.alterColumnType("o_custkey", org.apache.spark.sql.types.IntegerType))
+    refuses("unsafe type promotion")(
+      t.alterColumnType("price_f", org.apache.spark.sql.types.StringType))
+    refuses("unsafe type promotion")(
+      t.alterColumnType("price_d", DecimalType(20, 3)))
+    s.sql("SELECT * FROM lake_tp_t").orderBy("o_orderkey")
+      .withColumn("price_d", col("price_d").cast("double"))
+  }
+
   /** Nested-type schema evolution (Iceberg evolves struct fields in
     * metadata only; this engine's sequence-scoped name mapping goes
     * one struct level deep): three epochs of files — (1) struct
@@ -1220,6 +1273,63 @@ object LakeQueries {
       "partition metadata must cover all three statuses with counts")
     parts.select(col("o_orderstatus"), col("row_count"))
       .orderBy("o_orderstatus")
+  }
+
+  /** Manifest-list scale-out (Iceberg's manifest-list + sharded
+    * manifests): with `graft.manifest.shard-files` lowered to 2, the
+    * table's manifest entries spill into partition-range-sorted
+    * shards, appends CARRY prior shards by reference (metadata write
+    * cost O(new files) — require()d on the shard-path intersection),
+    * and a partition-pruned read opens only the shards whose [lo, hi]
+    * range overlaps the wanted partition — require()d as a strict
+    * subset via the manifest-read counter, before AND after
+    * `OPTIMIZE … REWRITE MANIFESTS` re-sorts the accumulated
+    * overlapping shards into range-disjoint ones. This is the layer
+    * that turns per-table driver metadata cost from O(#files) into
+    * O(relevant shards): at 10⁷ files / 512-file shards a
+    * one-partition query parses a handful of 512-entry shards, not a
+    * multi-GB manifest. */
+  private val manifestList: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    def part(m: Long) = orders.filter(col("o_orderkey") % 4 === m)
+    val t = GraftTable.create(s, tmp("lake_ml"), part(0),
+      partitionBy = Seq("o_orderstatus"))
+    t.setProperties(t.properties + (GraftTable.ShardFilesProp -> "2"))
+    t.append(part(1)) // spills the inline entries + new files to shards
+    val snap2 = t.currentSnapshot
+    require(snap2.shards.nonEmpty, "entries must spill into shards")
+    t.append(part(2))
+    val snap3 = t.currentSnapshot
+    require(snap2.shards.map(_.path).toSet.subsetOf(
+        snap3.shards.map(_.path).toSet),
+      "an append must carry prior shards by reference (O(new files) " +
+        "metadata cost), not rewrite them")
+    t.append(part(3))
+    def prunedShardOpens(): Long = {
+      val before = GraftTable.manifestReads.get()
+      t.readPruned("o_orderstatus", Set("F"))
+      GraftTable.manifestReads.get() - before - 1 // minus the snap meta
+    }
+    val totalBefore = t.currentSnapshot.shards.size
+    val openedBefore = prunedShardOpens()
+    require(openedBefore < totalBefore,
+      s"pruned read must parse a strict shard subset " +
+        s"($openedBefore/$totalBefore)")
+    LakeRegistry.register("lake_ml_t", t)
+    s.sql("OPTIMIZE lake_ml_t REWRITE MANIFESTS")
+    val after = t.currentSnapshot
+    require(after.files.sorted == t.snapshot(after.parent).files.sorted,
+      "rewrite_manifests is metadata-only: the data file set is " +
+        "identical")
+    // re-sorted shards are range-disjoint, so the same pruned read
+    // opens no more (typically fewer) shards than the drifted layout
+    val openedAfter = prunedShardOpens()
+    require(openedAfter < after.shards.size && openedAfter <= openedBefore,
+      s"post-rewrite pruned read must stay a strict subset " +
+        s"($openedAfter/${after.shards.size} vs $openedBefore before)")
+    t.readPruned("o_orderstatus", Set("F"))
+      .select(orders.columns.map(col).toIndexedSeq: _*)
+      .orderBy("o_orderkey")
   }
 
   /** Sort-ordered compaction (Iceberg's sort-strategy
@@ -1589,7 +1699,9 @@ object LakeQueries {
     "lake_alter_nested"     -> alterNested,
     "lake_skipping_or"      -> skippingOr,
     "lake_binpack"          -> binpack,
-    "lake_add_default"      -> addDefault
+    "lake_add_default"      -> addDefault,
+    "lake_manifest_list"    -> manifestList,
+    "lake_type_promotion"   -> typePromotion
   )
 
   val oracles: Map[String, String] = Map(
@@ -1854,6 +1966,23 @@ object LakeQueries {
         |ORDER BY c_custkey""".stripMargin,
     "lake_partitioned" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
+    // four modulo-appends reassemble the whole orders table; shard
+    // pruning changes which manifests are PARSED, never the rows
+    "lake_manifest_list" ->
+      "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
+    // epochs 0/1 stored price_f as float4 (widened at scan), epoch 2
+    // as double; price_d is an exact small integer at every scale, so
+    // the decimal widening is rounding-free; double-cast at the
+    // output boundary per SURVEY §5
+    "lake_type_promotion" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice
+        |       ELSE CAST(CAST(o_totalprice AS REAL) AS DOUBLE) END
+        |    AS price_f,
+        |  CAST(CAST(o_orderkey % 1000 AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS price_d
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_skipping" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'

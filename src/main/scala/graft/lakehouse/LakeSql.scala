@@ -487,6 +487,23 @@ object LakeDdl {
             t => t.setProperties(t.properties -- up.propertyKeys))
         }
 
+      // ALTER TABLE … ALTER COLUMN c TYPE t — safe type promotion
+      // (GraftTable.alterColumnType validates the Iceberg-safe set)
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+        claimAlter(spark, ac.table).map { name =>
+          val specs = ac.specs.map { s =>
+            require(s.newDataType.isDefined && s.newNullability.isEmpty &&
+                s.newComment.isEmpty && s.newPosition.isEmpty &&
+                s.newDefaultExpression.isEmpty && !s.dropDefault,
+              "only ALTER COLUMN … TYPE is supported")
+            require(s.column.name.size <= 2,
+              "ALTER COLUMN supports one struct level (outer.inner)")
+            (s.column.name.mkString("."), s.newDataType.get)
+          }
+          GraftAlterCommand(name, "ALTER COLUMN TYPE",
+            t => specs.foreach { case (c, dt) => t.alterColumnType(c, dt) })
+        }
+
       case rc: RenameColumn =>
         claimAlter(spark, rc.table).map { name =>
           require(rc.column.name.size <= 2,
@@ -653,6 +670,8 @@ object LakeMaintenance {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
   private val RewriteDeletes =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+REWRITE\s+DELETES\s*;?\s*""".r
+  private val RewriteManifests =
+    """(?is)\s*OPTIMIZE\s+(\w+)\s+REWRITE\s+MANIFESTS\s*;?\s*""".r
   private val Binpack =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+BINPACK\s+(\d+)\s*;?\s*""".r
   private val Optimize =
@@ -687,6 +706,9 @@ object LakeMaintenance {
       case RewriteDeletes(name)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRewriteDeletesCommand(name.toLowerCase))
+      case RewriteManifests(name)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftRewriteManifestsCommand(name.toLowerCase))
       // OPTIMIZE t BINPACK <bytes>: rewrite only files smaller than
       // <bytes> (GraftTable.compactSmall) — the incremental
       // maintenance form; plain OPTIMIZE rewrites everything
@@ -852,6 +874,20 @@ case class GraftRewriteDeletesCommand(name: String)
       spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
       "OPTIMIZE")
     LakeRegistry.get(name).get.rewritePositionDeletes()
+    Seq.empty
+  }
+}
+
+/** `OPTIMIZE t REWRITE MANIFESTS` — [[GraftTable.rewriteManifests]]
+  * (Iceberg's `rewrite_manifests` procedure): metadata-only re-sort
+  * of the manifest entries into range-disjoint shards. */
+case class GraftRewriteManifestsCommand(name: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "OPTIMIZE")
+    LakeRegistry.get(name).get.rewriteManifests()
     Seq.empty
   }
 }

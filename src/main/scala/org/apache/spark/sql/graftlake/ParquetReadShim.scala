@@ -57,9 +57,14 @@ object ParquetReadShim {
     * which steer parquet decode): each entry remembers the parent's
     * conf map at clone time and rebuilds when it has changed, so an
     * SPJ read always decodes under the same settings a plain read
-    * would. Weak keys let a stopped session's clones be collected. */
+    * would. Weak keys let a stopped session's clones be collected —
+    * and the VALUES hold the clones only via SoftReference: a clone's
+    * state can transitively reference its parent session, so a strong
+    * value would pin the weak key and the cache would never release a
+    * stopped session. A collected clone just rebuilds on next use. */
   private final case class Pinned(confs: Map[String, String],
-      byVectorized: scala.collection.mutable.Map[Boolean, ClassicSession])
+      byVectorized: scala.collection.mutable.Map[
+        Boolean, java.lang.ref.SoftReference[ClassicSession]])
   private val pinnedCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, Pinned]())
@@ -71,18 +76,21 @@ object ParquetReadShim {
       var p = pinnedCache.get(spark)
       if (p == null || p.confs != parentConfs) {
         p = Pinned(parentConfs,
-          scala.collection.mutable.Map.empty[Boolean, ClassicSession])
+          scala.collection.mutable.Map.empty)
         pinnedCache.put(spark, p)
       }
       p
     }
     entry.byVectorized.synchronized {
-      entry.byVectorized.getOrElseUpdate(vectorized, {
-        val clone = spark.asInstanceOf[ClassicSession].cloneSession()
-        clone.conf.set("spark.sql.parquet.enableVectorizedReader",
-          vectorized.toString)
-        clone
-      })
+      entry.byVectorized.get(vectorized).flatMap(r => Option(r.get()))
+        .getOrElse {
+          val clone = spark.asInstanceOf[ClassicSession].cloneSession()
+          clone.conf.set("spark.sql.parquet.enableVectorizedReader",
+            vectorized.toString)
+          entry.byVectorized.update(vectorized,
+            new java.lang.ref.SoftReference(clone))
+          clone
+        }
     }
   }
 

@@ -2274,6 +2274,71 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t2.read().count() == 0)
   }
 
+  test("manifest shards: spill, carry-by-reference, pruned parse, " +
+      "rewrite, expiry reaping") {
+    import graft.lakehouse.{GraftTable, LakeQueries}
+    val orders = Tables.orders(spark, sf)
+    // the full query pins spill/carry/prune/rewrite via its own
+    // require()s; here assert it also returns the right rows
+    val out = LakeQueries.queries("lake_manifest_list")(spark, sf)
+    assert(out.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+    // expiry reaps shard files no surviving snapshot references
+    val root = Files.createTempDirectory("graft_mshard").toString
+    val t = GraftTable.create(spark, root,
+      orders.filter(col("o_orderkey") % 2 === 0),
+      partitionBy = Seq("o_orderstatus"))
+    t.setProperties(t.properties + (GraftTable.ShardFilesProp -> "2"))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1))
+    t.rewriteManifests() // supersedes the first shard generation
+    val liveShards = t.currentSnapshot.shards.map(_.path)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    assert(liveShards.nonEmpty)
+    t.expireSnapshots(1)
+    val onDisk = new java.io.File(root, "_graft_meta").list()
+      .filter(_.startsWith("mfest-")).toSet
+    assert(onDisk == liveShards,
+      s"expiry must reap superseded shards (disk=$onDisk live=$liveShards)")
+    // the pruned parse still reads every row it should
+    assert(t.readPruned("o_orderstatus", Set("F", "O")).count() ==
+      orders.filter(col("o_orderstatus").isin("F", "O")).count())
+  }
+
+  test("type promotion: widened reads, refusal matrix, partition guard") {
+    import graft.lakehouse.GraftTable
+    import org.apache.spark.sql.types._
+    val rows = (1L to 100L).map(i => (i.toInt, i.toFloat, s"g${i % 4}"))
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_tp").toString,
+      rows.toDF("id", "v", "g"))
+    t.alterColumnType("id", LongType)
+    t.alterColumnType("v", DoubleType)
+    // old int32/float files read widened, values exact
+    val got = t.read().orderBy("id").collect()
+    assert(got.head.getLong(0) == 1L && got.head.getDouble(1) == 1.0)
+    assert(got.map(_.getLong(0)).sum == 5050L)
+    // appends at the widened type coexist with old files in one scan
+    t.append(Seq((101L, 2.5d, "g1")).toDF("id", "v", "g"))
+    assert(t.read().count() == 101)
+    assert(t.read().schema("id").dataType == LongType)
+    // refusals: narrowing, cross-family, scale change, partition source
+    intercept[IllegalArgumentException](t.alterColumnType("id", IntegerType))
+    intercept[IllegalArgumentException](t.alterColumnType("g", LongType))
+    val tp = GraftTable.create(spark,
+      Files.createTempDirectory("graft_tpp").toString,
+      rows.toDF("id", "v", "g"), partitionBy = Seq("bucket[2](id)"))
+    intercept[IllegalArgumentException](tp.alterColumnType("id", LongType))
+    // nested one-level promotion rides the same path
+    val tn = GraftTable.create(spark,
+      Files.createTempDirectory("graft_tpn").toString,
+      rows.toDF("id", "v", "g").select(col("g"),
+        struct(col("id"), col("v")).as("m")))
+    tn.alterColumnType("m.id", LongType)
+    assert(tn.read().schema("m").dataType.asInstanceOf[StructType]
+      .apply("id").dataType == LongType)
+    assert(tn.read().select(sum(col("m.id"))).head.getLong(0) == 5050L)
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
