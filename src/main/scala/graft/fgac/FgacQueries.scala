@@ -668,7 +668,81 @@ object FgacQueries {
     rows.toDF("scenario", "decision").orderBy("scenario")
   }
 
+  /** Nested-field FGAC (Lake Formation nested-column data filters —
+    * LF supports dotted ColumnNames into struct columns): policies
+    * address ONE struct level, the same depth the lake side evolves
+    * (`lake_alter_nested`). Decision matrix, require()d in-query:
+    *   - a nested MASK (`info.bal`) rewrites the child IN PLACE on a
+    *     whole-struct grant (UpdateFields — sibling fields untouched),
+    *   - a nested ROW FILTER (`info.segment IN …`) evaluates against
+    *     the raw row and prunes like any nested predicate,
+    *   - a PARTIAL-STRUCT grant (`info.name`, `info.segment`, no bare
+    *     `info`) rebuilds the struct from exactly the listed children
+    *     — fail closed, `info.bal` is gone from schema AND data, and
+    *     DESCRIBE shows only the listed paths,
+    *   - re-grant narrowing: a whole-struct grantable delegates down
+    *     to children, but a re-grant mask REFERENCING an undelegated
+    *     child (`info.bal`) refuses — the nested exfiltration door.
+    * The output is the analyst's governed read (filter + in-place
+    * mask), flattened and oracled against DuckDB recomputing the
+    * policy by hand. */
+  private val nestedPolicy: Q = (s, dir) => {
+    import org.apache.spark.sql.functions.{col, struct}
+    import org.apache.spark.sql.types.StructType
+    val customer = Tables.customer(s, dir)
+    customer.select(col("c_custkey"),
+      struct(col("c_name").as("name"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("segment")).as("info"),
+      col("c_nationkey"))
+      .createOrReplaceTempView(SecureCatalog.rawViewName("nst_customer"))
+    SecureCatalog.governTable("nst_customer",
+      Seq("c_custkey", "info", "c_nationkey"))
+    SecureCatalog.register(Principal("nst_analyst", grants = Map(
+      "nst_customer" -> TablePolicy("nst_customer",
+        rowFilter = Some("info.segment IN ('BUILDING','MACHINERY')"),
+        masks = Map("info.bal" ->
+          "CAST(floor(info.bal / 1000) * 1000 AS DOUBLE)")))))
+    SecureCatalog.register(Principal("nst_steward", grants = Map(
+      "nst_customer" -> TablePolicy("nst_customer", grantable = true,
+        write = false))))
+    SecureCatalog.regrant("nst_steward", "nst_partner", "nst_customer",
+      TablePolicy("nst_customer",
+        allowedColumns = Some(Seq("c_custkey", "info.name",
+          "info.segment"))))
+    // partial struct: exactly the listed children, schema and data
+    val partner = asPrincipal(s, "nst_partner")(
+      s.sql("SELECT * FROM nst_customer"))
+    require(partner.schema("info").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq == Seq("name", "segment"),
+      "partial-struct grant must expose exactly the listed children")
+    require(partner.count() == customer.count(),
+      "partner grant carries no row filter")
+    require(SecureCatalog.describeColumns("nst_partner", "nst_customer")
+        == Seq("c_custkey", "info.name", "info.segment"),
+      "DESCRIBE must show only the granted nested paths")
+    // nested exfiltration door: a re-grant mask referencing an
+    // undelegated child refuses
+    require(outcomeOf(SecureCatalog.regrant("nst_steward", "nst_evil",
+        "nst_customer", TablePolicy("nst_customer",
+          allowedColumns = Some(Seq("c_custkey", "info.name")),
+          masks = Map("info.name" -> "CAST(info.bal AS STRING)")))
+      ) == "DENIED",
+      "mask referencing an undelegated nested child must refuse")
+    // in-place nested mask keeps siblings: analyst still sees name
+    val analyst = asPrincipal(s, "nst_analyst")(s.sql(
+      """SELECT c_custkey, info.name AS name, info.bal AS bal,
+        |       info.segment AS segment
+        |FROM nst_customer""".stripMargin))
+    require(asPrincipal(s, "nst_analyst")(
+        s.sql("SELECT * FROM nst_customer")).schema("info").dataType
+        .asInstanceOf[StructType].fieldNames.toSeq ==
+        Seq("name", "bal", "segment"),
+      "whole-struct grant with a nested mask keeps every sibling")
+    analyst.orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fgac_nested"        -> nestedPolicy,
     "fgac_context_filter" -> contextFilter,
     "fgac_ns_grant"      -> nsGrants,
     "fgac_audit_log"     -> auditLog,
@@ -691,6 +765,15 @@ object FgacQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the analyst's governed nested read, recomputed by hand: nested
+    // row filter + in-place floor-to-thousand mask on info.bal
+    "fgac_nested" ->
+      """SELECT c_custkey, c_name AS name,
+        |  CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS bal,
+        |  c_mktsegment AS segment
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+        |ORDER BY c_custkey""".stripMargin,
     "fgac_context_filter" ->
       """SELECT c_mktsegment AS principal, COUNT(*) AS n_rows,
         | MIN(c_custkey) AS min_custkey, MAX(c_custkey) AS max_custkey,

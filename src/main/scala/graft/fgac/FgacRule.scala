@@ -76,8 +76,21 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case None =>
               val rawSchema =
                 spark.table(SecureCatalog.rawViewName(target)).schema
-              c => rawSchema.fields.find(_.name.equalsIgnoreCase(c))
-                .map(_.dataType.simpleString).getOrElse("unknown")
+              c => {
+                // nested policy entries (`outer.inner`) resolve one
+                // struct level for their DESCRIBE type
+                val parts = c.split('.')
+                rawSchema.fields.find(_.name.equalsIgnoreCase(parts(0)))
+                  .flatMap { f =>
+                    if (parts.length == 1) Some(f.dataType)
+                    else f.dataType match {
+                      case st: org.apache.spark.sql.types.StructType =>
+                        st.fields.find(_.name.equalsIgnoreCase(parts(1)))
+                          .map(_.dataType)
+                      case _ => None
+                    }
+                  }.map(_.simpleString).getOrElse("unknown")
+              }
           }
         val rows = visible.map { c =>
           val dt = typeOf(c)
@@ -165,9 +178,30 @@ object FgacRule {
   /** Filter (against raw row) → mask → project, matching Lake
     * Formation data-cells-filter evaluation order. `who` is the
     * EFFECTIVE principal the policy evaluates as (the querying
-    * principal, or a definer view's captured creator). */
+    * principal, or a definer view's captured creator).
+    *
+    * NESTED fields (one struct level, `outer.inner` — the same depth
+    * the lake side evolves, and the shape Lake Formation's nested
+    * data filters address):
+    *   - `allowedColumns` entry `outer` = the whole struct;
+    *   - entries `outer.a`, `outer.b` with NO bare `outer` = the
+    *     struct REBUILT from exactly the listed children — fail
+    *     closed, an unlisted child never appears regardless of what
+    *     governance registered (null structs stay null);
+    *   - a mask keyed `outer.inner` replaces that child in place
+    *     (UpdateFields for whole-struct grants — no need to know the
+    *     sibling list — or the rebuild's child expression otherwise);
+    *   - row filters may reference nested paths (they evaluate
+    *     against the raw row and push down like any nested
+    *     predicate).
+    * All of it is still plain Column expressions, so Catalyst's
+    * nested-schema pruning keeps the scan reading only the accessed
+    * leaves. */
   def securePlan(policy: TablePolicy, raw: LogicalPlan,
       who: String): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen,
+      CreateNamedStruct, IsNull, Literal, UpdateFields}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
     val filtered = policy.rowFilter match {
       case Some(p) => Filter(compilePolicyExpr(p, who), raw)
       case None    => raw
@@ -177,10 +211,43 @@ object FgacRule {
       case _ =>
         val visible = policy.allowedColumns
           .getOrElse(SecureCatalog.columnsOf(policy.table))
-        val projList: Seq[NamedExpression] = visible.map { c =>
-          policy.masks.get(c) match {
+        def kidsOf(c: String) = visible
+          .filter(_.toLowerCase.startsWith(c.toLowerCase + "."))
+          .map(_.substring(c.length + 1))
+        def nestedMaskOf(c: String, kid: String) =
+          policy.masks.collectFirst { case (path, m)
+              if path.equalsIgnoreCase(s"$c.$kid") => m }
+        val topVisible = visible.map(_.takeWhile(_ != '.')).distinct
+        val projList: Seq[NamedExpression] = topVisible.map { c =>
+          val base = UnresolvedAttribute.quoted(c)
+          val kids = kidsOf(c)
+          policy.masks.find(_._1.equalsIgnoreCase(c)).map(_._2) match {
+            // a top-level mask replaces the whole column, nested
+            // entries notwithstanding
             case Some(m) => Alias(compilePolicyExpr(m, who), c)()
-            case None    => UnresolvedAttribute.quoted(c)
+            case None if visible.exists(_.equalsIgnoreCase(c)) =>
+              // whole struct (or scalar) visible: nested masks apply
+              // in place without enumerating siblings
+              val ops = policy.masks.toSeq.collect { case (path, m)
+                  if path.toLowerCase.startsWith(c.toLowerCase + ".") =>
+                org.apache.spark.sql.catalyst.expressions.WithField(
+                  path.substring(c.length + 1), compilePolicyExpr(m, who))
+              }
+              if (ops.isEmpty) base
+              else Alias(UpdateFields(base, ops), c)()
+            case None =>
+              // partial struct: rebuild from exactly the listed
+              // children (unlisted children never leak); a bare NULL
+              // literal in the null branch coerces to the struct type
+              // during analysis, so null structs stay null
+              val rebuilt = CreateNamedStruct(kids.flatMap { k =>
+                val child = nestedMaskOf(c, k)
+                  .map(compilePolicyExpr(_, who))
+                  .getOrElse(UnresolvedExtractValue(base, Literal(k)))
+                Seq(Literal(k), child)
+              })
+              Alias(CaseWhen(Seq((IsNull(base), Literal(null))),
+                Some(rebuilt)), c)()
           }
         }
         Project(projList, filtered)

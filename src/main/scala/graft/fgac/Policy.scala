@@ -324,7 +324,12 @@ object SecureCatalog {
     * front-end's admin validation. */
   private[fgac] def checkExprRefs(exprSql: String, visible: Seq[String],
       what: String): Unit = {
-    def inScope(name: String) = visible.exists(_.equalsIgnoreCase(name))
+    // a delegated whole struct (`info`) covers references to its
+    // children (`info.ssn`); the reverse never holds — a child grant
+    // must not license referencing the whole struct
+    def inScope(name: String) = visible.exists(v =>
+      v.equalsIgnoreCase(name) ||
+        name.toLowerCase.startsWith(v.toLowerCase + "."))
     val parsed =
       try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseExpression(exprSql)
@@ -527,7 +532,11 @@ object SecureCatalog {
       case (None, c)          => c.map(_.map(canon))
       case (Some(p0), None)   => Some(p0.map(canon)) // child defaults to parent scope
       case (Some(p0), Some(c)) =>
-        val outside = c.filterNot(x => p0.exists(_.equalsIgnoreCase(x)))
+        // a delegated whole struct covers its children: narrowing
+        // `info` to `info.city` is exactly what nested re-grants do
+        val outside = c.filterNot(x => p0.exists(p =>
+          p.equalsIgnoreCase(x) ||
+            x.toLowerCase.startsWith(p.toLowerCase + ".")))
         if (outside.nonEmpty) throw new AccessDeniedException(
           s"re-grant widens column scope: [${outside.mkString(", ")}] " +
             s"not in the grant delegated to '$grantor'")
@@ -553,7 +562,8 @@ object SecureCatalog {
         throw new AccessDeniedException(
           s"re-grant may not replace the delegated mask on '$c'")
       val visible = cols.getOrElse(columnsOf(target))
-      if (!visible.exists(_.equalsIgnoreCase(c)))
+      if (!visible.exists(v => v.equalsIgnoreCase(c) ||
+          c.toLowerCase.startsWith(v.toLowerCase + ".")))
         throw new AccessDeniedException(
           s"re-grant masks column '$c' outside the delegated set")
       checkExprRefs(m, visible, s"re-grant mask on '$c'")

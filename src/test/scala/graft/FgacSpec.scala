@@ -551,6 +551,35 @@ class FgacSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql("SELECT graft_principal()").collect())
   }
+
+  test("nested policies through Enforcer: partial rebuild is " +
+      "fail-closed and null-preserving, in-place mask keeps siblings") {
+    import org.apache.spark.sql.functions.{concat, lit, struct, when}
+    import org.apache.spark.sql.types.StructType
+    // odd ids carry a NULL struct — the rebuild must not resurrect
+    // them as rows of nulls
+    val base = spark.range(1, 9).select(col("id"),
+      when(col("id") % 2 === 0,
+        struct(concat(lit("n"), col("id")).as("name"),
+          (col("id") * 100).cast("double").as("bal"))).as("info"))
+    val partial = Enforcer.secure(base, TablePolicy("t",
+      allowedColumns = Some(Seq("id", "info.name"))))
+    assert(partial.schema("info").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("name"))
+    assert(partial.filter(col("info").isNull).count() == 4)
+    assert(partial.filter(col("info.name") === "n4").count() == 1)
+    val masked = Enforcer.secure(base, TablePolicy("t",
+      masks = Map("info.bal" -> "info.bal * 0")))
+    assert(masked.schema("info").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("name", "bal"))
+    assert(masked.filter(col("info").isNotNull)
+      .filter(col("info.bal") =!= 0.0).count() == 0)
+    assert(masked.filter(col("info.name") === "n6").count() == 1)
+    // a context-dependent policy with no principal refuses up front
+    // (row filters would fail closed but masks would compute wrong)
+    intercept[IllegalArgumentException](Enforcer.secure(base,
+      TablePolicy("t", masks = Map("id" -> "id * length(graft_principal())"))))
+  }
 }
 
 class AnalyticsSpec extends AnyFunSuite {
