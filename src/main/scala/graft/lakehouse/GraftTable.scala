@@ -189,7 +189,8 @@ final class CommitConflictException(msg: String)
   * conflict validation), raising [[CommitConflictException]] only on
   * true overlap.
   */
-final class GraftTable(val spark: SparkSession, rootStr: String) {
+final class GraftTable(val spark: SparkSession, rootStr: String,
+    private val writeBranch: String = GraftTable.MainBranch) {
   private val root = new Path(rootStr)
 
   /** The table's storage root (for DROP TABLE … PURGE and tooling). */
@@ -238,6 +239,27 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
     * unchanged). Branches are movable heads that commits advance;
     * tags are immutable bookmarks. */
   def refs: Map[String, (String, Long)] = refsWithVersion._1
+
+  /** Whether `name` exists as a BRANCH ref (not a tag). */
+  def hasBranch(name: String): Boolean =
+    refs.get(name).exists(_._1 == "branch")
+
+  /** A handle pinned to `branch` (the carrier of Iceberg's
+    * `spark.wap.branch` session pattern — see
+    * [[graft.lakehouse.LakeSqlRule]]): every read resolves the BRANCH
+    * head and every commit — append, DML, MERGE, maintenance — lands
+    * on the branch through the same refs CAS the named-branch API
+    * uses. `main` readers see nothing until [[fastForward]] publishes,
+    * which is the whole write-audit-publish point. The handle shares
+    * the table's storage, commit lock, and caches; only head
+    * resolution differs. */
+  def onBranch(branch: String): GraftTable = {
+    if (branch == writeBranch) return this
+    require(hasBranch(branch),
+      s"no branch '$branch' on this table — create it first " +
+        s"(ALTER TABLE … CREATE BRANCH $branch)")
+    new GraftTable(spark, rootStr, branch)
+  }
 
   /** (refs, version read): every mutation must use the PAIRED read so
     * its [[writeRefs]] CAS can detect a concurrent publisher. */
@@ -500,7 +522,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   /** The `main` branch head (what readers see). */
   def currentSnapshotId: Long =
     if (currentRefsVersion == 0) maxSnapshotId
-    else headOf(GraftTable.MainBranch)
+    else headOf(writeBranch)
 
   def snapshot(id: Long): Snapshot = parseManifest(snapPath(id), id)
 
@@ -627,7 +649,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
       files: Seq[String], partitionCols: Seq[String] = Nil,
       expectedParent: Long, delsOverride: Option[Seq[DeletePred]] = None,
       refSnap: Option[Snapshot] = None,
-      branch: String = GraftTable.MainBranch,
+      branch: String = writeBranch,
       renamesOverride: Option[Seq[Rename]] = None,
       specHistOverride: Option[Seq[(Long, Seq[String])]] = None,
       posDelsOverride: Option[Seq[String]] = None,
@@ -932,7 +954,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   private def commitDml(op: String, base: Snapshot,
       readSet: Set[String], dropped: Set[String], added: Seq[String],
       newTombs: Seq[String] = Nil, predSql: Option[String] = None,
-      branch: String = GraftTable.MainBranch): Long = {
+      branch: String = writeBranch): Long = {
     // bound once at entry; a concurrent setProperties cannot flip the
     // isolation semantics of an in-flight DML between retries
     val isolation = isolationFor(op)
@@ -1862,7 +1884,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String) {
   @annotation.tailrec
   private def appendCommit(newFiles: Seq[String], schema: StructType,
       parts: Seq[String], parent: Long, attempts: Int = 8,
-      branch: String = GraftTable.MainBranch): Long = {
+      branch: String = writeBranch): Long = {
     val base = if (parent == 0) Nil else snapshot(parent).files
     val res =
       try Right(commit("append", schema, base ++ newFiles, parts,
@@ -4357,6 +4379,14 @@ object GraftTable {
 
   /** The default branch every table is born with. */
   val MainBranch = "main"
+
+  /** Session conf carrying the write-audit-publish branch (Iceberg's
+    * `spark.wap.branch`): while set, SQL DML against registered lake
+    * tables commits onto the named branch, and same-session reads
+    * resolve the branch head (falling back to main when the branch
+    * does not exist, exactly Iceberg's read fallback). Writes to a
+    * missing branch refuse loudly. */
+  val WapBranchConf = "graft.wap.branch"
 
   /** Table property holding the write sort order (comma-separated
     * column list; Iceberg's `SORTED BY`). See writeData. */

@@ -1530,6 +1530,59 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** WAP via branch (Iceberg's `spark.wap.branch` writer-session
+    * pattern, the branch-granular form of [[wap]]'s staged
+    * manifests): with `graft.wap.branch` set, ORDINARY SQL
+    * INSERT/MERGE commits land on the named branch through the refs
+    * CAS — the ingest pipeline needs no API calls to target the
+    * branch — and same-session reads resolve the branch head while
+    * `main` readers see nothing (both require()d). The audit query
+    * runs against the branch; on pass, fast-forward publishes every
+    * branch commit to main atomically. A write to a missing branch
+    * refuses loudly (require()d) — it must never silently land on
+    * main. At 100 TB this is the pattern that keeps a multi-commit
+    * ingest invisible until validated, with zero data movement at
+    * publish. */
+  private val wapBranch: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    def part(m: Long) = orders.filter(col("o_orderkey") % 3 === m)
+    val t = GraftTable.create(s, tmp("lake_wapb"), part(0))
+    LakeRegistry.register("lake_wapb_t", t)
+    // writes refuse before the branch exists
+    part(1).createOrReplaceTempView("lake_wapb_src1")
+    part(2).withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .createOrReplaceTempView("lake_wapb_src2")
+    s.conf.set(GraftTable.WapBranchConf, "etl_audit")
+    try {
+      val refused =
+        try { s.sql("INSERT INTO lake_wapb_t SELECT * FROM lake_wapb_src1")
+              false }
+        catch { case e: Throwable =>
+          GraftTable.chainContains(e, "no branch 'etl_audit'") }
+      require(refused, "a write to a missing wap branch must refuse")
+      s.sql("ALTER TABLE lake_wapb_t CREATE BRANCH etl_audit")
+      // two plain SQL commits land on the branch: an append and a
+      // row-level MERGE (update images), no API routing anywhere
+      s.sql("INSERT INTO lake_wapb_t SELECT * FROM lake_wapb_src1")
+      s.sql(
+        """MERGE INTO lake_wapb_t t USING lake_wapb_src2 s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // same-session read follows the branch; main sees only part 0
+      require(s.sql("SELECT count(*) FROM lake_wapb_t").head.getLong(0)
+          == orders.count(), "session read must resolve the branch head")
+      require(t.read().count() == part(0).count(),
+        "main readers must not see unpublished branch commits")
+      // the audit: no negative prices landed on the branch
+      require(s.sql(
+          "SELECT count(*) FROM lake_wapb_t WHERE o_totalprice <= 0")
+        .head.getLong(0) == 0L, "branch audit must pass before publish")
+    } finally s.conf.unset(GraftTable.WapBranchConf)
+    t.fastForward("main", "etl_audit")
+    s.sql("SELECT * FROM lake_wapb_t").orderBy("o_orderkey")
+  }
+
   /** SQL views over lake tables (the Iceberg-view surface): CREATE
     * VIEW stores the query TEXT (late binding), CREATE OR REPLACE
     * swaps the definition, views nest, `lake_views()` lists the
@@ -1701,7 +1754,8 @@ object LakeQueries {
     "lake_binpack"          -> binpack,
     "lake_add_default"      -> addDefault,
     "lake_manifest_list"    -> manifestList,
-    "lake_type_promotion"   -> typePromotion
+    "lake_type_promotion"   -> typePromotion,
+    "lake_wap_branch"       -> wapBranch
   )
 
   val oracles: Map[String, String] = Map(
@@ -1970,6 +2024,16 @@ object LakeQueries {
     // pruning changes which manifests are PARSED, never the rows
     "lake_manifest_list" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
+    // parts 0/1 land unchanged (create + branch INSERT); part 2
+    // arrives via the branch MERGE as inserts with price bumped +1;
+    // fast-forward publishes the lot
+    "lake_wap_branch" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     // epochs 0/1 stored price_f as float4 (widened at scan), epoch 2
     // as double; price_d is an exact small integer at every scale, so
     // the decimal widening is rounding-free; double-cast at the

@@ -41,7 +41,16 @@ object LakeRegistry {
 
 case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  /** (registered table, its SQL aliases) for a DML target plan. */
+  /** The active write-audit-publish branch, "" when unset
+    * (Iceberg's `spark.wap.branch` session pattern). */
+  private def wapBranch: String =
+    spark.conf.get(GraftTable.WapBranchConf, "")
+
+  /** (registered table, its SQL aliases) for a DML target plan. Under
+    * `graft.wap.branch` the handle is PINNED to the branch, so the
+    * whole DML — snapshot capture, conflict validation, commit CAS —
+    * runs against the branch head; a missing branch refuses loudly
+    * (a write must never silently land on main). */
   private def target(plan: LogicalPlan): Option[(GraftTable, Set[String], String)] =
     plan match {
       case SubqueryAlias(ident, u: UnresolvedRelation) =>
@@ -53,7 +62,10 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (ViewRegistry.get(name).isDefined)
           throw new UnsupportedOperationException(
             s"'$name' is a view; views are read-only")
-        LakeRegistry.get(name).map((_, Set(name), name))
+        LakeRegistry.get(name).map { t =>
+          val routed = if (wapBranch.isEmpty) t else t.onBranch(wapBranch)
+          (routed, Set(name), name)
+        }
       case _ => None
     }
 
@@ -109,7 +121,12 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
           LakeRegistry.get(u.multipartIdentifier.head).isDefined =>
         val name = u.multipartIdentifier.head.toLowerCase
-        val t = LakeRegistry.get(name).get
+        val t0 = LakeRegistry.get(name).get
+        // under graft.wap.branch, same-session reads see the branch
+        // head (Iceberg's spark.wap.branch read semantics) — with the
+        // read fallback to main when the branch does not exist
+        val b = wapBranch
+        val t = if (b.nonEmpty && t0.hasBranch(b)) t0.onBranch(b) else t0
         SubqueryAlias(name, t.read().queryExecution.analyzed)
     }
 

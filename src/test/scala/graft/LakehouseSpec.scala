@@ -2339,6 +2339,28 @@ class LakehouseSpec extends AnyFunSuite {
     assert(tn.read().select(sum(col("m.id"))).head.getLong(0) == 5050L)
   }
 
+  test("onBranch handle: branch-pinned DML, isolation from main, " +
+      "missing branch refuses") {
+    import graft.lakehouse.GraftTable
+    val rows = (1L to 100L).map(i => (i, i * 2.0))
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_wapb").toString,
+      rows.toDF("id", "v"))
+    intercept[IllegalArgumentException](t.onBranch("nope"))
+    t.createBranch("b")
+    val tb = t.onBranch("b")
+    // row-level DML through the pinned handle lands on the branch only
+    tb.delete("id <= 40")
+    tb.update(Map("v" -> "v + 1000"), "id = 50")
+    assert(t.read().count() == 100 &&
+      t.read().filter(col("v") > 999).count() == 0)
+    assert(tb.read().count() == 60)
+    assert(tb.read().filter(col("id") === 50).head.getDouble(1) == 1100.0)
+    // main can advance independently; branch state is untouched
+    t.append(Seq((101L, 1.0)).toDF("id", "v"))
+    assert(t.read().count() == 101 && tb.read().count() == 60)
+  }
+
   test("lake queries run at sf0.001 with plausible shapes") {
     val n = Tables.orders(spark, sf).count()
     assert(LakeQueries.queries("lake_delete")(spark, sf).count() < n)
