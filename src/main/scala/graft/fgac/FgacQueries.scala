@@ -285,6 +285,97 @@ object FgacQueries {
       .orderBy("principal", "action", "outcome", "detail")
   }
 
+  /** Persisted audit trail — the production form
+    * [[AuditLog]]'s docstring promises: the decision queue is
+    * write-behind-flushed into a GOVERNED graft-lake table
+    * ([[AuditLog.flushTo]], one append commit per flush, O(new
+    * decisions)), so the trail gets snapshots, time travel, and
+    * STREAMING reads (require()d in-query: a graft-lake readStream
+    * over the audit table replays exactly the persisted decisions).
+    * Governing the audit table closes the loop: the auditor's own
+    * read of the trail is audited and arrives with the next flush —
+    * require()d — and a non-auditor principal is denied the trail
+    * itself. Output is the auditor's governed read of the persisted
+    * decisions (scenario principals only, DISTINCT per the
+    * at-least-once contract), oracled as its constant decision
+    * matrix. */
+  private val auditPersist: Q = (s, dir) => {
+    val customer = Tables.customer(s, dir)
+    customer.createOrReplaceTempView(SecureCatalog.rawViewName("ap_customer"))
+    SecureCatalog.governTable("ap_customer", customer.columns.toIndexedSeq)
+    SecureCatalog.register(Principal("ap_reader", grants = Map(
+      "ap_customer" -> TablePolicy("ap_customer",
+        allowedColumns = Some(Seq("c_custkey", "c_mktsegment"))))))
+    SecureCatalog.register(Principal("ap_auditor"))
+    // decisions to persist: an allowed read, two denials
+    asPrincipal(s, "ap_reader")(
+      s.sql("SELECT * FROM ap_customer").collect())
+    require(outcomeOf(asPrincipal(s, "ap_ghost")(
+      s.sql("SELECT * FROM ap_customer").collect())) == "DENIED",
+      "ghost probe must deny")
+    require(outcomeOf(asPrincipal(s, "ap_auditor")(
+      s.sql("SELECT * FROM ap_customer").collect())) == "DENIED",
+      "the auditor holds no data grant")
+    // flush #1 into a governed lake table
+    val auditT = graft.lakehouse.GraftTable.createEmpty(s,
+      java.nio.file.Files.createTempDirectory("graft_audit_trail").toString,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("principal",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("action",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("resource",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("outcome",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("detail",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    require(AuditLog.flushTo(s, auditT) > 0, "flush #1 must persist rows")
+    def regovern(): Unit = {
+      auditT.read().createOrReplaceTempView(
+        SecureCatalog.rawViewName("ap_audit_trail"))
+      SecureCatalog.governTable("ap_audit_trail",
+        Seq("seq", "principal", "action", "resource", "outcome", "detail"))
+    }
+    regovern()
+    SecureCatalog.register(Principal("ap_auditor", grants = Map(
+      "ap_audit_trail" -> TablePolicy("ap_audit_trail"))))
+    // the auditor reads the trail — audited itself, and the reader
+    // is denied the trail (auditing is not self-service)
+    asPrincipal(s, "ap_auditor")(
+      s.sql("SELECT * FROM ap_audit_trail").collect())
+    require(outcomeOf(asPrincipal(s, "ap_reader")(
+      s.sql("SELECT * FROM ap_audit_trail").collect())) == "DENIED",
+      "a data principal must not read the audit trail uninvited")
+    // flush #2 carries the auditor's own access; re-pin the raw view
+    require(AuditLog.flushTo(s, auditT) > 0,
+      "flush #2 must carry the auditor's trail access")
+    regovern()
+    require(asPrincipal(s, "ap_auditor")(s.sql(
+        """SELECT count(*) FROM ap_audit_trail
+          |WHERE principal = 'ap_auditor'
+          |  AND resource = 'ap_audit_trail'
+          |  AND outcome = 'ALLOWED'""".stripMargin).head.getLong(0)) > 0,
+      "the auditor's own trail read must be in the persisted trail")
+    // the trail streams back out through the graft-lake source
+    val qn = "ap_audit_stream"
+    val q = s.readStream.format("graft-lake")
+      .option("path", auditT.location).load()
+      .writeStream.format("memory").queryName(qn).outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    require(s.table(qn).count() == auditT.read().count(),
+      "the streamed trail must replay every persisted decision")
+    import s.implicits._
+    asPrincipal(s, "ap_auditor")(s.sql(
+      """SELECT DISTINCT principal, action, resource, outcome, detail
+        |FROM ap_audit_trail
+        |WHERE principal LIKE 'ap\\_%'""".stripMargin))
+      .orderBy("principal", "action", "resource", "outcome", "detail")
+  }
+
   /** Principal-context row filter: ONE stored policy whose filter
     * references `graft_principal()` serves every tenant — the
     * Snowflake current_role()-in-row-access-policy / Postgres RLS
@@ -742,6 +833,7 @@ object FgacQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "fgac_audit_persist" -> auditPersist,
     "fgac_nested"        -> nestedPolicy,
     "fgac_context_filter" -> contextFilter,
     "fgac_ns_grant"      -> nsGrants,
@@ -765,6 +857,20 @@ object FgacQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the persisted trail's distinct decision matrix for this
+    // scenario's principals (outcomes and policy shapes are constants)
+    "fgac_audit_persist" ->
+      """SELECT * FROM (VALUES
+        | ('ap_auditor', 'SELECT', 'ap_audit_trail', 'ALLOWED',
+        |  'cols=all filter=n masks=0'),
+        | ('ap_auditor', 'SELECT', 'ap_customer', 'DENIED', 'no grant'),
+        | ('ap_ghost', 'SELECT', 'ap_customer', 'DENIED',
+        |  'unknown principal'),
+        | ('ap_reader', 'SELECT', 'ap_audit_trail', 'DENIED', 'no grant'),
+        | ('ap_reader', 'SELECT', 'ap_customer', 'ALLOWED',
+        |  'cols=2 filter=n masks=0'))
+        | AS t(principal, action, resource, outcome, detail)
+        |ORDER BY principal, action, resource, outcome, detail""".stripMargin,
     // the analyst's governed nested read, recomputed by hand: nested
     // row filter + in-place floor-to-thousand mask on info.bal
     "fgac_nested" ->

@@ -130,6 +130,43 @@ object AuditLog {
     import scala.jdk.CollectionConverters._
     events.iterator().asScala.toSeq.sortBy(_.seq)
   }
+
+  // last flushed seq per destination table root — the write-behind
+  // high-water mark, so each flush appends exactly the new decisions
+  private val flushedTo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Write-behind persistence: append every decision since the last
+    * flush INTO a governed lake table — the production form the
+    * in-memory queue stands in for. The trail then has the lake's own
+    * guarantees (snapshots, time travel, CDC, streaming reads via the
+    * graft-lake source), and GOVERNING the audit table closes the
+    * loop: the auditor's read of the trail is itself audited and
+    * lands in the next flush. Each flush is one append commit of the
+    * delta above the per-table high-water mark (idempotent to re-run,
+    * O(new decisions)); production would run it on a timer or commit
+    * hook and partition by day. */
+  def flushTo(spark: org.apache.spark.sql.SparkSession,
+      table: graft.lakehouse.GraftTable): Long = {
+    val from: Long =
+      Option(flushedTo.get(table.location)).map(_.longValue).getOrElse(0L)
+    val batch = entries.filter(_.seq > from)
+    if (batch.isEmpty) return 0L
+    val rows = batch.map(e => org.apache.spark.sql.Row(
+      e.seq, e.principal, e.action, e.resource, e.outcome, e.detail))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("seq", LongType, nullable = false),
+      StructField("principal", StringType, nullable = false),
+      StructField("action", StringType, nullable = false),
+      StructField("resource", StringType, nullable = false),
+      StructField("outcome", StringType, nullable = false),
+      StructField("detail", StringType, nullable = false)))
+    table.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema))
+    flushedTo.put(table.location, batch.map(_.seq).max)
+    batch.size.toLong
+  }
 }
 
 /** JVM-wide policy registry (local-mode stand-in for the Lake

@@ -552,6 +552,15 @@ class FgacSpec extends AnyFunSuite {
       spark.sql("SELECT graft_principal()").collect())
   }
 
+  test("persisted audit trail is re-runnable: same decision matrix " +
+      "on a second run in the same JVM (bench reps)") {
+    val r1 = FgacQueries.queries("fgac_audit_persist")(spark, sf).collect()
+    val r2 = FgacQueries.queries("fgac_audit_persist")(spark, sf).collect()
+    assert(r1.length == 5 && r2.length == 5)
+    assert(r1.map(_.toString).sorted.sameElements(
+      r2.map(_.toString).sorted))
+  }
+
   test("nested policies through Enforcer: partial rebuild is " +
       "fail-closed and null-preserving, in-place mask keeps siblings") {
     import org.apache.spark.sql.functions.{concat, lit, struct, when}
