@@ -242,6 +242,73 @@ object NativeExprs {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** Deletion-vector membership: bit `pos` of a little-endian bitmap
+    * column (one ~N/8-byte blob per data file, joined to the scan by
+    * file — see [[graft.lakehouse.GraftTable]]'s DV read path). The
+    * O(1) probe replaces the position-tombstone anti-JOIN that made
+    * every MoR read pay a join until compaction — the economics
+    * Iceberg v3 / Delta deletion vectors exist for. */
+  case class BitsetGet(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bitset_get"
+    // any integral position works: interpreted eval widens through
+    // Number; codegen widens the int/long primitive at the call site
+    override protected def nullSafeEval(b: Any, p: Any): Any =
+      NativeKernels.bitsetGet(b.asInstanceOf[Array[Byte]],
+        p.asInstanceOf[Number].longValue)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.bitsetGet($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** Positions array → deletion-vector bitmap (the write-side dual of
+    * [[BitsetGet]]): applied over `collect_list(_pos)` per data file,
+    * so a DELETE's per-file vector builds in one aggregate pass with
+    * no sort and no driver round-trip. */
+  case class BitsetFromPositions(child: Expression)
+      extends UnaryExpression with UnaryKernelCodegen {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_bitset_from_positions"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.bitsetFromPositions(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def kernelCall(c: String): String =
+      s"$K.bitsetFromPositions($c)"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Byte-wise OR of two bitmaps — merges a new DELETE's bits into a
+    * file's existing deletion vector without expanding either side. */
+  case class BitsetOr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_bitset_or"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.bitsetOr(a.asInstanceOf[Array[Byte]],
+        b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.bitsetOr($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** Set-bit count of a bitmap — a deletion vector's deleted-row
+    * count from the blob alone, no data-file scan. */
+  case class BitsetCardinality(child: Expression)
+      extends UnaryExpression with UnaryKernelCodegen {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_bitset_cardinality"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.bitsetCardinality(input.asInstanceOf[Array[Byte]])
+    override protected def kernelCall(c: String): String =
+      s"$K.bitsetCardinality($c)"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Bloom membership against a bitset held as a SparkContext
     * BROADCAST, not a plan literal. [[BloomMightContain]] takes the
     * bitset as a column — which in practice means a byte-array
@@ -296,6 +363,20 @@ object NativeExprs {
       info("graft_minhash128_long",
         "128-wide MinHash signature over hashed shingles"),
       (args: Seq[Expression]) => MinHashFromHashes(args.head, 128)),
+    (FunctionIdentifier("graft_bitset_get"),
+      info("graft_bitset_get",
+        "bit test against a little-endian bitmap (deletion vectors)"),
+      (args: Seq[Expression]) => BitsetGet(args(0), args(1))),
+    (FunctionIdentifier("graft_bitset_from_positions"),
+      info("graft_bitset_from_positions",
+        "little-endian bitmap with the given bigint positions set"),
+      (args: Seq[Expression]) => BitsetFromPositions(args.head)),
+    (FunctionIdentifier("graft_bitset_or"),
+      info("graft_bitset_or", "byte-wise OR of two bitmaps"),
+      (args: Seq[Expression]) => BitsetOr(args(0), args(1))),
+    (FunctionIdentifier("graft_bitset_cardinality"),
+      info("graft_bitset_cardinality", "set-bit count of a bitmap"),
+      (args: Seq[Expression]) => BitsetCardinality(args.head)),
     (FunctionIdentifier("graft_jaccard_sorted"),
       info("graft_jaccard_sorted",
         "Jaccard similarity of two sorted distinct bigint arrays"),

@@ -272,4 +272,77 @@ object NativeKernels {
     }
     true
   }
+
+  /** Bit test against a little-endian bitmap (java.util.BitSet's
+    * toByteArray layout: bit n lives in byte n/8 at position n%8) —
+    * the deletion-vector membership probe: O(1), branch-light,
+    * positions beyond the bitmap read as unset. */
+  def bitsetGet(bs: Array[Byte], pos: Long): Boolean = {
+    val i = (pos >>> 3).toInt
+    pos >= 0 && i < bs.length && ((bs(i) >> (pos & 7L).toInt) & 1) == 1
+  }
+
+  /** Bitmap from a position array (any order, duplicates fine):
+    * length = highest position / 8 + 1, so a file's blob is at most
+    * rows/8 bytes no matter how many rows are deleted. */
+  def bitsetFromPositions(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    var max = -1L
+    var i = 0
+    while (i < n) { val p = arr.getLong(i); if (p > max) max = p; i += 1 }
+    if (max < 0) return Array.emptyByteArray
+    val out = new Array[Byte]((max >>> 3).toInt + 1)
+    i = 0
+    while (i < n) {
+      val p = arr.getLong(i)
+      val b = (p >>> 3).toInt
+      out(b) = (out(b) | (1 << (p & 7L).toInt)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Byte-wise OR of two bitmaps; result length = the longer input
+    * (the shorter reads as zero-padded) — how a new DELETE's bits
+    * merge into a data file's existing deletion vector. */
+  def bitsetOr(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (lo, hi) = if (a.length >= b.length) (b, a) else (a, b)
+    val out = java.util.Arrays.copyOf(hi, hi.length)
+    var i = 0
+    while (i < lo.length) { out(i) = (out(i) | lo(i)).toByte; i += 1 }
+    out
+  }
+
+  /** Number of set bits — the deleted-row count of a deletion vector,
+    * read from the blob alone (no data scan). */
+  def bitsetCardinality(bs: Array[Byte]): Long = {
+    var c = 0L
+    var i = 0
+    while (i < bs.length) {
+      c += java.lang.Integer.bitCount(bs(i) & 0xff)
+      i += 1
+    }
+    c
+  }
+
+  /** Ascending set-bit positions — expands a deletion vector into the
+    * skip-list shape the SPJ per-split reader walks. Driver-side only
+    * (plain JVM arrays), gated by the caller on blob bytes. */
+  def bitsetPositions(bs: Array[Byte]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    var i = 0
+    while (i < bs.length) {
+      val v = bs(i) & 0xff
+      if (v != 0) {
+        var j = 0
+        while (j < 8) {
+          if ((v & (1 << j)) != 0) out += (i.toLong << 3) + j
+          j += 1
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
 }

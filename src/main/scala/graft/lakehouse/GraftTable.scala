@@ -99,6 +99,18 @@ final case class Snapshot(
     fileSizes: Map[String, Long] = Map.empty,
     renames: Seq[Rename] = Nil,
     specHist: Seq[(Long, Seq[String])] = Nil,
+    /** Deletion vectors (Iceberg v3 / Delta DVs): data file → bitmap
+      * blob path, one blob per file, bit n set = row n deleted. The
+      * production form of position deletes at high DML rates: the
+      * read-side cost is an O(1) bit probe per row against a
+      * file-joined blob instead of an anti-join on a (file, pos)
+      * tombstone relation, and DELETE #k rewrites one blob per
+      * touched file instead of appending a k-th tombstone file.
+      * Cleared by compaction like every other MoR artifact. */
+    dvs: Map[String, String] = Map.empty,
+    /** On-disk byte size per DV blob — the broadcast-vs-shuffle gate
+      * datum, same contract as [[posDelSizes]]. */
+    dvSizes: Map[String, Long] = Map.empty,
     /** Streaming-sink transaction watermark carried BY this commit
       * (Delta's `txn` action): (appId, batchId) recorded atomically
       * with the data so a replayed micro-batch is detectable. */
@@ -451,7 +463,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
 
   /** Under merge-on-read: `equality` (default) commits the predicate
     * itself; `position` scans candidates once and commits (file, row)
-    * tombstones — Iceberg v2's two delete-file shapes. */
+    * tombstones — Iceberg v2's two delete-file shapes; `vector`
+    * commits per-file deletion-vector bitmaps (Iceberg v3 / Delta
+    * DVs, [[deleteMoRDv]]). */
   def deleteStyle: String =
     properties.getOrElse("write.delete.style", "equality")
 
@@ -594,6 +608,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         val i = v.indexOf('\t')
         v.substring(i + 1) -> v.substring(0, i).toLong
       }.toMap,
+      // dvf = <blob path> \t <data file>  (keyed by data file)
+      dvs = kv.collect { case ("dvf", v) =>
+        val i = v.indexOf('\t')
+        v.substring(i + 1) -> v.substring(0, i)
+      }.toMap,
+      dvSizes = kv.collect { case ("dvsz", v) =>
+        val i = v.indexOf('\t')
+        v.substring(i + 1) -> v.substring(0, i).toLong
+      }.toMap,
       fileSeq = shardParts.flatMap(_._2).toMap ++ inSeq,
       fileRows = shardParts.flatMap(_._3).toMap ++ inRows,
       fileSizes = shardParts.flatMap(_._4).toMap ++ inSizes,
@@ -655,7 +678,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       posDelsOverride: Option[Seq[String]] = None,
       sizesExtra: Map[String, Long] = Map.empty,
       idFloor: Long = 0L,
-      reshardManifests: Boolean = false): Long =
+      reshardManifests: Boolean = false,
+      dvsOverride: Option[Map[String, String]] = None): Long =
     // In-process writers (multiple handles over one root) serialize
     // here, making check-then-publish a true CAS within the JVM.
     // Across processes publishNoOverwrite is the CAS — atomic
@@ -665,7 +689,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     GraftTable.commitLock(root.toString).synchronized {
       commitLocked(op, schema, files, partitionCols, expectedParent,
         delsOverride, refSnap, branch, renamesOverride, specHistOverride,
-        posDelsOverride, sizesExtra, idFloor, reshardManifests)
+        posDelsOverride, sizesExtra, idFloor, reshardManifests,
+        dvsOverride)
     }
 
   private def commitLocked(op: String, schema: StructType,
@@ -677,7 +702,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       posDelsOverride: Option[Seq[String]],
       sizesExtra: Map[String, Long] = Map.empty,
       idFloor: Long = 0L,
-      reshardManifests: Boolean = false): Long = {
+      reshardManifests: Boolean = false,
+      dvsOverride: Option[Map[String, String]] = None): Long = {
     refs.get(branch).foreach { case (kind, _) =>
       require(kind == "branch", s"cannot commit to $kind '$branch'")
     }
@@ -752,6 +778,21 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           catch { case scala.util.control.NonFatal(_) => None })
         .map(p -> _)
     }.toMap
+    // deletion vectors: carried like posDels, except keyed by data
+    // file — a DV whose data file left the file list dies with it
+    // (compaction materialized it; a rewrite replaced the file)
+    val normFiles = files.map(normalize).toSet
+    val dvs: Map[String, String] =
+      dvsOverride.getOrElse(ref.map(_.dvs).getOrElse(Map.empty))
+        .filter { case (df, _) => normFiles(normalize(df)) }
+    val refDvSizes = ref.map(_.dvSizes).getOrElse(Map.empty)
+    val dvSizes: Map[String, Long] = dvs.values.toSeq.flatMap { b =>
+      refDvSizes.get(b)
+        .orElse(
+          try Some(fs.getFileStatus(new Path(b)).getLen)
+          catch { case scala.util.control.NonFatal(_) => None })
+        .map(b -> _)
+    }.toMap
     val renames =
       renamesOverride.getOrElse(ref.map(_.renames).getOrElse(Nil))
     val specHist =
@@ -819,6 +860,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       posDels.foreach { p =>
         body ++= s"pdel=$p\n"
         pdSizes.get(p).foreach(n => body ++= s"pdsz=$n\t$p\n")
+      }
+      dvs.foreach { case (df, blob) =>
+        body ++= s"dvf=$blob\t$df\n"
+        dvSizes.get(blob).foreach(n => body ++= s"dvsz=$n\t$blob\n")
       }
       // seq -1 marks "this commit": stamped with the id actually
       // published (branches share one id allocator, so the caller
@@ -954,7 +999,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   private def commitDml(op: String, base: Snapshot,
       readSet: Set[String], dropped: Set[String], added: Seq[String],
       newTombs: Seq[String] = Nil, predSql: Option[String] = None,
-      branch: String = writeBranch): Long = {
+      branch: String = writeBranch,
+      newDvs: Map[String, String] = Map.empty): Long = {
     // bound once at entry; a concurrent setProperties cannot flip the
     // isolation semantics of an in-flight DML between retries
     val isolation = isolationFor(op)
@@ -968,7 +1014,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           posDelsOverride =
             if (newTombs.isEmpty) None
             else Some(parent.posDels ++ newTombs),
-          branch = branch)
+          branch = branch,
+          // merged vectors were computed against base.dvs;
+          // validateRebase proves head.dvs agrees on every touched
+          // file before a retry reaches here, so parent.dvs ++ ours
+          // is the correct union on every rebase
+          dvsOverride =
+            if (newDvs.isEmpty) None
+            else Some(parent.dvs ++ newDvs))
       } catch {
         case e: CommitConflictException =>
           remaining -= 1
@@ -1016,6 +1069,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     if (!baseTombs.subsetOf(head.posDels.toSet))
       conflict("tombstones were removed concurrently (rollback or " +
         "compaction rewrote the delete files)")
+    // a deletion-vector pointer that moved on a file this operation
+    // read for write invalidates the live view it scanned (and, for a
+    // vector-style DELETE, the merged bitmap it is about to commit)
+    if (head.dvs != base.dvs && readSet.nonEmpty) {
+      def ptrs(s: Snapshot) = s.dvs.map { case (f, b) => normalize(f) -> b }
+      val (hp, bp) = (ptrs(head), ptrs(base))
+      readSet.find(f => hp.get(f) != bp.get(f)).foreach(f =>
+        conflict("a concurrent deletion vector landed on file(s) this " +
+          s"operation read for write (e.g. $f)"))
+    }
     val newTombs = head.posDels.filterNot(baseTombs)
     if (newTombs.nonEmpty && readSet.nonEmpty) {
       val hit = spark.read.parquet(newTombs: _*)
@@ -1149,9 +1212,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * appended after the delete need no scoping at all. With no
     * pending deletes this is exactly the plain scan. */
   private def morRead(snap: Snapshot, files: Seq[String]): DataFrame =
-    if (snap.dels.isEmpty && snap.posDels.isEmpty)
+    if (snap.dels.isEmpty && snap.posDels.isEmpty && snap.dvs.isEmpty)
       readFilesMapped(snap, files)
-    else if (snap.posDels.isEmpty)
+    else if (snap.posDels.isEmpty && snap.dvs.isEmpty)
       files
         .groupBy(f => snap.dels.filter(_.seq > snap.fileSeq.getOrElse(f, 0L)))
         .toSeq.sortBy(_._2.headOption.getOrElse(""))
@@ -1200,7 +1263,30 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       }
       .reduceOption(_.unionByName(_))
       .getOrElse(readFilesPos(snap.schema, Nil, snap.partitionCols))
-    if (snap.posDels.isEmpty) eq
+    val withDv = if (snap.dvs.isEmpty) eq else {
+      // deletion vectors: a LEFT join keyed by FILE ONLY (one row per
+      // vectored file — metadata-scale, vs one row per deleted row
+      // for tombstones) plus an O(1) codegen'd bit probe per row; a
+      // row from an un-vectored file sees a NULL bitmap and survives
+      // through the coalesce
+      import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
+      val dv = currentDvRelation(snap)
+        .select(col("_file").as(GraftTable.DvFileCol), col("_bitmap"))
+      val hinted =
+        if (dvBytes(snap) <= GraftTable.PosDelBroadcastBytes)
+          broadcast(dv)
+        else dv
+      eq.join(hinted,
+          col(GraftTable.PosFileCol) === col(GraftTable.DvFileCol),
+          "left")
+        .filter(not(coalesce(
+          columnOf(graft.functions.NativeExprs.BitsetGet(
+            expressionOf(col("_bitmap")),
+            expressionOf(col(GraftTable.PosIdxCol)))),
+          lit(false))))
+        .drop(GraftTable.DvFileCol, "_bitmap")
+    }
+    if (snap.posDels.isEmpty) withDv
     else {
       val tomb = spark.read.parquet(snap.posDels: _*)
         .select(col("_file"), col("_pos"))
@@ -1217,7 +1303,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       val tombHinted =
         if (tombBytes <= GraftTable.PosDelBroadcastBytes) broadcast(tomb)
         else tomb
-      eq.join(tombHinted,
+      withDv.join(tombHinted,
           col(GraftTable.PosFileCol) === col("_file") &&
             col(GraftTable.PosIdxCol) === col("_pos"),
           "left_anti")
@@ -1517,7 +1603,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       known: Long => Option[Snapshot]): DataFrame = {
     val to = known(toId).getOrElse(snapshot(toId))
     val from =
-      if (fromId == 0L) to.copy(files = Nil, dels = Nil, posDels = Nil)
+      if (fromId == 0L)
+        to.copy(files = Nil, dels = Nil, posDels = Nil, dvs = Map.empty)
       else known(fromId).getOrElse(snapshot(fromId))
     require(from.schema == to.schema,
       "changelog across a schema evolution is undefined (row identity " +
@@ -1531,6 +1618,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         "compact() first")
     val fromSet = from.files.toSet
     val toSet = to.files.toSet
+    // each endpoint's live view applies its OWN deletion vectors
+    // (files inserted or removed in-range read correctly), but a
+    // pointer that MOVED on a file carried across the range encodes
+    // in-range row deletes this diff does not expand (that needs a
+    // bitmap XOR per carried file); refuse toward maintenance
+    require(fromSet.intersect(toSet)
+        .forall(f => from.dvs.get(f) == to.dvs.get(f)),
+      "changelog over a deletion-vector change on a carried data " +
+        "file: compact() to materialize the vectors first")
     // live view of the files added (resp. removed) in-range, under the
     // owning endpoint's tombstones — a file appended then partially
     // tombstoned inside the range inserts only its surviving rows
@@ -2244,7 +2340,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       writeData(aligned(df, snap.schema), id, snap.partitionCols),
       snap.partitionCols, expectedParent = snap.id,
       delsOverride = Some(Nil), renamesOverride = Some(Nil),
-      specHistOverride = Some(Nil), posDelsOverride = Some(Nil))
+      specHistOverride = Some(Nil), posDelsOverride = Some(Nil),
+      dvsOverride = Some(Map.empty))
   }
 
   // ---- copy-on-write DML -------------------------------------------
@@ -2351,6 +2448,152 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       Nil, newTombs = tombs, predSql = Some(predSql))
   }
 
+  /** DELETE under `write.delete.style=vector`: deletion vectors
+    * (Iceberg v3 / Delta DVs — one bitmap blob per data file, bit n
+    * set = row n deleted), the production form of position deletes at
+    * high DML rates. Versus tombstones, the read side replaces the
+    * (file, pos) anti-JOIN with an O(1) bit probe per row against a
+    * file-joined blob, and the k-th DELETE merges bits into one blob
+    * per touched file instead of appending a k-th tombstone relation
+    * that every subsequent read re-joins. A file's blob is ≤ rows/8
+    * bytes regardless of how many DELETEs hit it — the artifact
+    * stops growing with DML rate, which is what makes the shape
+    * production-viable on a busy 100 TB fact table. */
+  def deleteMoRDv(predSql: String): Long =
+    deleteMoRDvAt(currentSnapshot, predSql)
+
+  /** [[deleteMoRDv]] against an explicit base snapshot — the
+    * deterministic seam for the rebase path, like [[deleteAt]]. */
+  private[graft] def deleteMoRDvAt(snap: Snapshot, predSql: String): Long = {
+    val cand = dmlCandidates(snap, predSql)
+    if (cand.isEmpty) return snap.id // stats prove nothing matches
+    // scan the LIVE view: rows already vectored out (or tombstoned,
+    // or under a pending equality delete) must not be re-deleted
+    val newDvs = writeDvs(
+      morReadPos(snap, cand).filter(expr(predSql)), snap, snap.id + 1)
+    if (newDvs.isEmpty) return snap.id // nothing matched — no commit
+    commitDml("delete-dv", snap, cand.map(normalize).toSet, Set.empty,
+      Nil, predSql = Some(predSql), newDvs = newDvs)
+  }
+
+  /** Write merged deletion-vector blobs for every data file with a
+    * row in `rows` (which must carry the [[readFilesPos]] metadata
+    * columns) and return the pointer updates (MANIFEST-form data file
+    * → manifest-form blob path). One aggregate pass builds each
+    * touched file's new bits ([[graft.functions.NativeExprs.BitsetFromPositions]]
+    * over `collect_list` — no sort, no driver round-trip of row
+    * positions), a file-keyed join ORs in each file's EXISTING vector
+    * (broadcast while the blob set is under the same gate as the
+    * tombstone anti-join), and the blob parquet writes distributed.
+    * Only the (file → blob) pointer map ships to the driver —
+    * O(#touched files) commit metadata, like every manifest. */
+  private def writeDvs(rows: DataFrame, snap: Snapshot,
+      commitId: Long): Map[String, String] = {
+    import graft.functions.NativeExprs
+    import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
+    val newBits = rows
+      .select(col(GraftTable.PosFileCol).as("_file"),
+        col(GraftTable.PosIdxCol).as("_pos"))
+      .groupBy("_file")
+      .agg(columnOf(NativeExprs.BitsetFromPositions(
+        expressionOf(collect_list(col("_pos"))))).as("_bitmap"))
+    val merged =
+      if (snap.dvs.isEmpty) newBits
+      else {
+        val old = currentDvRelation(snap)
+          .withColumnRenamed("_bitmap", "_old")
+        val hinted =
+          if (dvBytes(snap) <= GraftTable.PosDelBroadcastBytes)
+            broadcast(old)
+          else old
+        newBits.join(hinted, Seq("_file"), "left")
+          .select(col("_file"),
+            columnOf(NativeExprs.BitsetOr(
+              expressionOf(col("_bitmap")),
+              expressionOf(coalesce(col("_old"),
+                lit(Array.emptyByteArray))))).as("_bitmap"))
+      }
+    writeDvBlobs(merged, snap, commitId)
+  }
+
+  /** Write a (`_file`, `_bitmap`) relation as this commit's blob
+    * parquet and return the pointer map (manifest-form data file →
+    * manifest-form blob). The map comes from a column-pruned
+    * read-back — only (_file, file_path) are decoded, the bitmaps
+    * are never re-read — with both sides inverted to their exact
+    * manifest strings through [[metaPath]] (its documented dual), so
+    * every later comparison is exact, not re-derived. */
+  private def writeDvBlobs(rel: DataFrame, snap: Snapshot,
+      commitId: Long): Map[String, String] = {
+    val dir = new Path(root, f"data/commit-$commitId%05d-dv-" +
+      java.util.UUID.randomUUID.toString.take(8))
+    rel.write.parquet(dir.toString)
+    val blobByMeta = fs.listStatus(dir).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(p => metaPath(p) -> p).toMap
+    // candidates survived stats pruning but no ROW matched: nothing
+    // was written, nothing to commit (the empty dir is orphan-scale)
+    if (blobByMeta.isEmpty) return Map.empty
+    val fileByMeta = snap.files.map(f => metaPath(f) -> f).toMap
+    spark.read.parquet(dir.toString)
+      .select(col("_file"), col("_metadata.file_path"))
+      .collect()
+      .map { r =>
+        val df = fileByMeta.getOrElse(r.getString(0), sys.error(
+          s"deletion vector names unknown data file ${r.getString(0)}"))
+        val blob = blobByMeta.getOrElse(r.getString(1), sys.error(
+          s"deletion vector blob outside its commit dir ${r.getString(1)}"))
+        df -> blob
+      }.toMap
+  }
+
+  /** Consolidate deletion-vector blobs (the DV leg of `OPTIMIZE t
+    * REWRITE DELETES`): write each file's CURRENT bitmap into a
+    * fresh blob set and repoint everything. Superseded merges leave
+    * STALE bitmaps inside old blobs, and an old blob stays
+    * referenced — pinning its stale bytes — while ANY file still
+    * points into it; after heavy vector DML the consolidation frees
+    * them for [[expireSnapshots]]. Metadata-scale: reads and writes
+    * bitmaps only, no data file is touched. */
+  def rewriteDeletionVectors(): Long = {
+    val snap = currentSnapshot
+    if (snap.dvs.isEmpty) return snap.id
+    val repointed = writeDvBlobs(
+      currentDvRelation(snap).select(col("_file"), col("_bitmap")),
+      snap, snap.id + 1)
+    commit("rewrite-dv", snap.schema, snap.files, snap.partitionCols,
+      expectedParent = snap.id, dvsOverride = Some(repointed))
+  }
+
+  /** The CURRENT (`_file`, `_bitmap`) deletion-vector relation of
+    * `snap`: all referenced blobs, keeping only rows whose (file,
+    * blob) pair matches the snapshot's pointer map — an old blob
+    * legitimately holds STALE bitmaps for files whose pointer moved
+    * to a newer merge. `_file` stays in `_metadata.file_path` form,
+    * directly joinable against [[readFilesPos]]'s metadata column.
+    * One row per vectored file, each ≤ rows/8 bytes: broadcast-scale
+    * under the same gate as the tombstone anti-join. */
+  private def currentDvRelation(snap: Snapshot): DataFrame = {
+    val blobs = snap.dvs.values.toSeq.distinct.sorted
+    import spark.implicits._
+    val ptrs = snap.dvs.toSeq.map { case (f, b) =>
+      (metaPath(f), metaPath(b)) }.toDF("_pf", "_pb")
+    spark.read.parquet(blobs: _*)
+      .select(col("_file"), col("_bitmap"),
+        col("_metadata.file_path").as("_bp"))
+      .join(broadcast(ptrs),
+        col("_file") === col("_pf") && col("_bp") === col("_pb"),
+        "left_semi")
+  }
+
+  /** Total on-disk bytes of `snap`'s referenced DV blobs — the
+    * broadcast-vs-shuffle gate datum (stat'ed once at commit,
+    * [[Snapshot.dvSizes]]). */
+  private def dvBytes(snap: Snapshot): Long =
+    snap.dvs.values.toSeq.distinct.map(b =>
+      snap.dvSizes.getOrElse(b, fs.getFileStatus(new Path(b)).getLen))
+      .sum
+
   /** Merge-on-read UPDATE via position tombstones: the matched rows
     * (scanned from the LIVE view, stats-candidate files only)
     * tombstone their old images and append their new ones — at scale
@@ -2392,7 +2635,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * silently resurrect deleted rows through the rewrite.
     * Materialize first. */
   private def requireNoMorDels(snap: Snapshot, what: String): Unit =
-    require(snap.dels.isEmpty && snap.posDels.isEmpty,
+    require(snap.dels.isEmpty && snap.posDels.isEmpty && snap.dvs.isEmpty,
       s"$what: table has pending merge-on-read deletes; run compact() " +
         "to materialize them before copy-on-write row DML")
 
@@ -2941,7 +3184,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       writeData(arranged, id, snap.partitionCols, widen = false),
       snap.partitionCols, expectedParent = snap.id,
       delsOverride = Some(Nil), renamesOverride = Some(Nil),
-      specHistOverride = Some(Nil), posDelsOverride = Some(Nil))
+      specHistOverride = Some(Nil), posDelsOverride = Some(Nil),
+      dvsOverride = Some(Map.empty))
   }
 
   /** Binpack small-file compaction (Iceberg `rewrite_data_files`
@@ -2984,7 +3228,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
 
   def compactSmall(smallBytes: Long): Long = {
     val snap = currentSnapshot
-    require(snap.dels.isEmpty && snap.posDels.isEmpty,
+    require(snap.dels.isEmpty && snap.posDels.isEmpty && snap.dvs.isEmpty,
       "binpack with pending merge-on-read deletes would detach their " +
         "scoping; run compact() to materialize them first")
     val (small, big) = snap.files.partition(f =>
@@ -3124,7 +3368,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           p.getName.endsWith(".meta"))
         .map(p => parseManifest(p, 0L))
     val referenced: Set[String] = (snapshots ++ staged)
-      .flatMap(s => s.files ++ s.posDels)
+      .flatMap(s => s.files ++ s.posDels ++ s.dvs.values)
       .map(normalize).toSet
     val dataPrefix = fs.makeQualified(dataDir).toUri.getPath
       .stripSuffix("/") + "/"
@@ -3637,7 +3881,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // previous set, so expired pre-rewrite tombstones would otherwise
     // accumulate forever)
     val live = (kept0 ++ protected0)
-      .flatMap(s => s.files ++ s.posDels).toSet
+      .flatMap(s => s.files ++ s.posDels ++ s.dvs.values).toSet
     // OWNERSHIP scope: only ever delete files under THIS table's
     // root. A shallow clone's early snapshots reference the SOURCE's
     // data files by path — expiring the clone's history must not
@@ -3663,7 +3907,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val liveShards = (kept0 ++ protected0)
       .flatMap(_.shards.map(_.path)).toSet
     expired.foreach { snap =>
-      (snap.files ++ snap.posDels).filterNot(live)
+      (snap.files ++ snap.posDels ++ snap.dvs.values).filterNot(live)
         .filter(f => qualified(f).startsWith(ownPrefix))
         .foreach(f => fs.delete(new Path(f), false))
       snap.shards.map(_.path).filterNot(liveShards)
@@ -4263,6 +4507,9 @@ object GraftTable {
   /** Internal column names threading leaf-scan metadata (file path,
     * row index) to the position-delete anti-join. */
   private[lakehouse] val PosFileCol = "_gpd_file"
+
+  /** Join key of the deletion-vector file join on the read path. */
+  private[lakehouse] val DvFileCol = "_gdv_file"
 
   /** Schema-metadata keys of a column's initial default (Iceberg v3):
     * the default's original SQL text, and the head snapshot id when

@@ -858,6 +858,61 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Deletion-vector merge-on-read (Iceberg v3 / Delta DVs — the
+    * production form of position deletes at high DML rates): DELETEs
+    * against a `write.delete.style=vector` table land as ONE bitmap
+    * blob per touched data file (bit n set = row n deleted) — the
+    * data file set is require()d unchanged — and reads drop rows
+    * through an O(1) codegen'd bit probe behind a file-keyed
+    * broadcast join: one join row per FILE, not per deleted row, so
+    * the read-side artifact stops growing with DML rate (the
+    * executed plan is require()d anti-join-free, unlike the
+    * tombstone path). A second overlapping DELETE must MERGE bits —
+    * pointers move to a fresh blob, at most one vector per file —
+    * with superseded blobs' stale bitmaps ignored by pointer
+    * currency. A post-delete append is untouched by construction;
+    * compaction materializes and clears. DML driven via SQL. */
+  private val dvDelete: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_dv"),
+      orders.filter(col("o_orderkey") % 3 === 0))
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector"))
+    LakeRegistry.register("lake_dv_t", t)
+    val before = t.currentSnapshot.files
+    s.sql("DELETE FROM lake_dv_t WHERE o_orderstatus = 'F'")
+    require(t.currentSnapshot.files == before,
+      "vector delete must not rewrite any data file")
+    val snap1 = t.currentSnapshot
+    require(snap1.dvs.nonEmpty && snap1.posDels.isEmpty &&
+      snap1.dels.isEmpty,
+      "vector style must emit deletion vectors, not tombstones or " +
+        "predicates")
+    // second, overlapping DELETE: bits MERGE — pointers move to a
+    // fresh blob; vectors never stack per file
+    s.sql("DELETE FROM lake_dv_t WHERE o_orderkey % 5 = 0")
+    val snap2 = t.currentSnapshot
+    require(snap1.dvs.exists { case (f, b) =>
+        snap2.dvs.get(f).exists(_ != b) },
+      "an overlapping vector delete must merge bits by moving the " +
+        "file's pointer")
+    // appended after the deletes: untouched even where it matches
+    t.append(orders.filter(col("o_orderkey") % 3 === 2))
+    // the vector read is a bit probe behind a file-keyed join — no
+    // per-deleted-row anti-join anywhere in the executed plan
+    require(!t.read().queryExecution.executedPlan.toString
+        .contains("LeftAnti"),
+      "deletion-vector read must not plan a position anti-join")
+    val live = t.read().count()
+    t.compact(4) // materialize
+    require(t.currentSnapshot.dvs.isEmpty && t.read().count() == live,
+      "compaction must materialize deletion vectors without changing " +
+        "the data")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Merge-on-read UPDATE and MERGE via position tombstones — the
     * fine-grained write path at scale (Iceberg's `write.update.mode`
     * / `write.merge.mode` = merge-on-read): an UPDATE tombstones its
@@ -1735,6 +1790,7 @@ object LakeQueries {
     "lake_alter"            -> alter,
     "lake_mor_delete"       -> morDelete,
     "lake_pos_delete"       -> posDelete,
+    "lake_dv"               -> dvDelete,
     "lake_pos_merge"        -> posMerge,
     "lake_expire"           -> expire,
     "lake_overwrite_partition" -> overwritePartition,
@@ -1990,6 +2046,15 @@ object LakeQueries {
         |WHERE (o_orderkey % 3 < 2
         |       AND NOT (o_orderstatus = 'F')
         |       AND NOT (o_totalprice < 10000.0))
+        |   OR o_orderkey % 3 = 2
+        |ORDER BY o_orderkey""".stripMargin,
+    // vectored rows drop from the %3<2 cohort; the post-delete
+    // append (%3=2) survives whole even where it matches
+    "lake_dv" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE (o_orderkey % 3 < 2
+        |       AND NOT (o_orderstatus = 'F')
+        |       AND NOT (o_orderkey % 5 = 0))
         |   OR o_orderkey % 3 = 2
         |ORDER BY o_orderkey""".stripMargin,
     "lake_compaction" ->

@@ -339,6 +339,7 @@ case class GraftDeleteCommand(@transient table: GraftTable, cond: String)
     // affected files.
     if (table.deleteMode == "merge-on-read") {
       if (table.deleteStyle == "position") table.deleteMoRPos(cond)
+      else if (table.deleteStyle == "vector") table.deleteMoRDv(cond)
       else table.deleteMoR(cond)
     } else table.delete(cond)
     Seq.empty
@@ -633,7 +634,7 @@ object LakeDdl {
       props: Map[String, String]): Unit = {
     val known = Map(
       "write.delete.mode" -> Set("copy-on-write", "merge-on-read"),
-      "write.delete.style" -> Set("equality", "position"),
+      "write.delete.style" -> Set("equality", "position", "vector"),
       "write.update.mode" -> Set("copy-on-write", "merge-on-read"),
       "write.merge.mode" -> Set("copy-on-write", "merge-on-read"),
       "write.dml.isolation-level" -> Set("serializable", "snapshot"),
@@ -890,7 +891,12 @@ case class GraftRewriteDeletesCommand(name: String)
     graft.fgac.SecureCatalog.authorizeWrite(
       spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
       "OPTIMIZE")
-    LakeRegistry.get(name).get.rewritePositionDeletes()
+    // both merge-on-read artifact shapes: clustered tombstone files,
+    // then consolidated deletion-vector blobs (each a no-op commit
+    // skip when its shape is absent)
+    val t = LakeRegistry.get(name).get
+    t.rewritePositionDeletes()
+    t.rewriteDeletionVectors()
     Seq.empty
   }
 }

@@ -242,6 +242,17 @@ object Spj {
             GraftTable.PosDelBroadcastBytes)
           Some("position tombstones exceed the skip-list gate " +
             "(OPTIMIZE … REWRITE DELETES, or compact() to materialize)")
+        // deletion vectors ride the same per-split skip lists; the
+        // expansion is 8 bytes per SET BIT, so gate on blob bytes ×64
+        // (the worst case: every bit set) — beyond it, refuse toward
+        // maintenance like the tombstone leg
+        else if (snap.dvs.values.exists(b => !snap.dvSizes.contains(b)))
+          Some("deletion vectors without recorded sizes")
+        else if (snap.dvs.values.toSeq.distinct
+            .map(snap.dvSizes).sum * 64L >
+            GraftTable.PosDelBroadcastBytes)
+          Some("deletion vectors exceed the skip-list gate " +
+            "(compact() to materialize)")
         else if (snap.renames.nonEmpty) Some("column renames present")
         else if (snap.schema.fields.exists(
             _.metadata.contains(GraftTable.DefaultSinceKey)))
@@ -977,15 +988,40 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
     * `_file` values are recorded in `_metadata.file_path` (URI) form;
     * manifest paths are raw, so the lookup keys by the URI rendering
     * of each raw path. */
-  private lazy val tombsByFile: Map[String, Array[Long]] =
-    if (snap.posDels.isEmpty) Map.empty
-    else {
-      import org.apache.spark.sql.functions.col
-      spark.read.parquet(snap.posDels: _*)
+  private lazy val tombsByFile: Map[String, Array[Long]] = {
+    import org.apache.spark.sql.functions.col
+    val tomb: Map[String, Array[Long]] =
+      if (snap.posDels.isEmpty) Map.empty
+      else spark.read.parquet(snap.posDels: _*)
         .select(col("_file"), col("_pos")).collect()
         .groupBy(_.getString(0))
         .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+    if (snap.dvs.isEmpty) tomb
+    else {
+      // deletion vectors expand into the same ascending skip lists
+      // (eligibility bounds the expansion); pointer-currency keeps
+      // only each file's CURRENT bitmap — an old blob legitimately
+      // holds stale rows for files whose pointer moved
+      val ptr = snap.dvs.map { case (f, b) =>
+        (GraftTable.metaPath(f), GraftTable.metaPath(b)) }.toSet
+      val dv = spark.read
+        .parquet(snap.dvs.values.toSeq.distinct.sorted: _*)
+        .select(col("_file"), col("_bitmap"),
+          col("_metadata.file_path"))
+        .collect()
+        .filter(r => ptr((r.getString(0), r.getString(2))))
+        .map(r => r.getString(0) ->
+          graft.functions.NativeKernels.bitsetPositions(
+            r.getAs[Array[Byte]](1)))
+        .toMap
+      // a file can carry BOTH shapes (vector deletes stacked on
+      // older tombstones): merge ascending, distinct
+      (tomb.keySet ++ dv.keySet).map { f =>
+        f -> (tomb.getOrElse(f, Array.empty[Long]) ++
+          dv.getOrElse(f, Array.empty[Long])).distinct.sorted
+      }.toMap
     }
+  }
   // the one metaPath authority — see GraftTable.metaPath's contract
   private def metaPath(p: String): String = GraftTable.metaPath(p)
 
@@ -1078,6 +1114,7 @@ final class LakeSpjScan(t: GraftTable, snap: Snapshot,
     // uniformly: row skipping/filtering cannot be expressed on a
     // ColumnarBatch without batch rewriting.
     val columnar = snap.posDels.isEmpty && snap.dels.isEmpty &&
+      snap.dvs.isEmpty &&
       ParquetReadShim.columnarSupported(spark, required)
     eqSpec match {
       case None =>

@@ -2758,4 +2758,122 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.analyzeColumns(Seq("K")).cols.contains("k"))
     intercept[IllegalArgumentException](t.analyzeColumns(Seq("nope")))
   }
+
+  test("deletion vectors: bit-probe reads, overlap merges, guards compose") {
+    // one data file per commit, so the second DELETE provably
+    // re-touches the first DELETE's file (the merge leg under test)
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_dv").toString,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("k", "tag", "v").repartition(1))
+    t.append(Seq((4L, "d", 4.0), (5L, "e", 5.0))
+      .toDF("k", "tag", "v").repartition(1))
+    val before = t.currentSnapshot.files
+    t.deleteMoRDv("v <= 2.0")
+    val s1 = t.currentSnapshot
+    assert(s1.files == before, "vector delete must not rewrite data files")
+    assert(s1.dvs.nonEmpty && s1.posDels.isEmpty && s1.dels.isEmpty)
+    assert(s1.dvs.values.forall(s1.dvSizes.contains),
+      "blob sizes must be recorded at commit (the broadcast gate datum)")
+    assert(t.read().select("k").as[Long].collect().sorted
+      .sameElements(Array(3L, 4L, 5L)))
+    // overlapping second delete MERGES bits: the touched file's
+    // pointer moves to a fresh blob (k=1 already vectored — the live
+    // scan must not re-delete it); the superseded blob's stale bitmap
+    // is ignored by pointer currency
+    t.deleteMoRDv("k = 3 or k = 1")
+    val s2 = t.currentSnapshot
+    assert(t.read().select("k").as[Long].collect().sorted
+      .sameElements(Array(4L, 5L)))
+    assert(s1.dvs.exists { case (f, b) => s2.dvs.get(f).exists(_ != b) },
+      "an overlapping vector delete must move the file's pointer")
+    // a matched-nothing DELETE commits nothing
+    val id2 = t.currentSnapshotId
+    t.deleteMoRDv("k = 99")
+    assert(t.currentSnapshotId == id2)
+    // vectors COMPOSE with position tombstones (mixed shapes from a
+    // style flip mid-history): both apply on one read
+    t.deleteMoRPos("k = 4")
+    assert(t.currentSnapshot.dvs.nonEmpty &&
+      t.currentSnapshot.posDels.nonEmpty)
+    assert(t.read().select("k").as[Long].collect().sameElements(Array(5L)))
+    // copy-on-write DML refuses pending vectors (its rewrite would
+    // resurrect the deleted rows); time travel still sees them
+    intercept[IllegalArgumentException](t.delete("k = 5"))
+    assert(t.readAt(2).count() == 5)
+    // concurrent vector deletes that read the same file for write
+    // conflict loudly (a merge computed against the superseded
+    // pointer would silently lose the newer delete's bits): base s1,
+    // but the k=3 file's pointer has since moved
+    val conflict = intercept[lakehouse.CommitConflictException](
+      t.deleteMoRDvAt(s1, "k = 3"))
+    assert(conflict.getMessage.contains("deletion vector"),
+      conflict.getMessage)
+    // expire reaps the SUPERSEDED blob (referenced only by expired
+    // snapshots) and keeps the current one
+    val staleBlob = s1.dvs.values.head
+    val curBlobs = t.currentSnapshot.dvs.values.toSet
+    assert(new java.io.File(
+      new org.apache.hadoop.fs.Path(staleBlob).toUri.getPath).exists)
+    t.expireSnapshots(keepLast = 1)
+    assert(!new java.io.File(
+      new org.apache.hadoop.fs.Path(staleBlob).toUri.getPath).exists,
+      "expire must reap blobs no surviving snapshot references")
+    assert(curBlobs.forall(b => new java.io.File(
+      new org.apache.hadoop.fs.Path(b).toUri.getPath).exists),
+      "expire must keep the current pointers' blobs")
+    assert(t.read().select("k").as[Long].collect().sameElements(Array(5L)))
+    // consolidation (the DV leg of OPTIMIZE … REWRITE DELETES)
+    // repoints every vector into fresh blobs, data untouched
+    val preRw = t.currentSnapshot.dvs
+    val preFiles = t.currentSnapshot.files
+    t.rewriteDeletionVectors()
+    val postRw = t.currentSnapshot.dvs
+    assert(t.currentSnapshot.files == preFiles)
+    assert(postRw.keySet == preRw.keySet &&
+      preRw.forall { case (f, b) => postRw(f) != b },
+      "consolidation must repoint every vector into fresh blobs")
+    assert(t.read().select("k").as[Long].collect().sameElements(Array(5L)))
+    // compaction materializes: vectors clear, data stable, CoW re-opens
+    t.compact(2)
+    assert(t.currentSnapshot.dvs.isEmpty &&
+      t.currentSnapshot.posDels.isEmpty)
+    assert(t.read().select("k").as[Long].collect().sameElements(Array(5L)))
+    t.delete("k = 5")
+    assert(t.read().count() == 0)
+  }
+
+  test("deletion vectors ride the SPJ skip lists and its byte gate") {
+    import graft.lakehouse.{LakeRegistry, Spj}
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_dvspj").toString,
+      (1L to 1000L).map(k => (k, k % 7, if (k % 3 == 0) "del" else "keep"))
+        .toDF("k", "g", "tag"),
+      partitionBy = Seq("bucket[4](g)"))
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector"))
+    LakeRegistry.register("dvspj_t", t)
+    val files = t.currentSnapshot.files.toSet
+    spark.sql("DELETE FROM dvspj_t WHERE tag = 'del'")
+    assert(t.currentSnapshot.files.toSet == files &&
+      t.currentSnapshot.dvs.nonEmpty,
+      "the vector delete must write bitmaps, not rewrite files")
+    val live = Spj.read(spark, "dvspj_r", t)
+    assert(live.count() == (1L to 1000L).count(_ % 3 != 0),
+      "the SPJ read must skip vectored positions")
+    assert(live.filter(col("tag") === "del").count() == 0)
+    // the normal read path agrees with the SPJ path row for row
+    assert(live.select("k").as[Long].collect().sorted.sameElements(
+      t.read().select("k").as[Long].collect().sorted))
+    // beyond the (×64-expanded) gate the zero-Exchange path refuses
+    // toward maintenance instead of expanding unbounded bitmaps
+    sys.props("graft.posdel.broadcast.bytes") = "1"
+    try {
+      val e = intercept[Exception](Spj.read(spark, "dvspj_gate", t))
+      def msgs(x: Throwable): List[String] =
+        if (x == null) Nil else String.valueOf(x.getMessage) :: msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("skip-list gate")),
+        msgs(e).mkString(" | "))
+    } finally sys.props.remove("graft.posdel.broadcast.bytes")
+  }
 }

@@ -83,4 +83,36 @@ class NativeExprsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("e").isNaN && r.getAs[Double]("es").isNaN)
     assert(r.getAs[Double]("d") == 0.0 && r.getAs[Double]("s") == 1.0)
   }
+
+  test("bitset kernels: build/or/get/cardinality/expand round-trip") {
+    // SQL path (codegen'd expressions)
+    val r = spark.sql(
+      """SELECT graft_bitset_from_positions(
+        |         CAST(array(0, 3, 9, 63, 64) AS ARRAY<BIGINT>)) AS bm,
+        |  graft_bitset_from_positions(
+        |         CAST(array() AS ARRAY<BIGINT>)) AS empty""".stripMargin)
+      .selectExpr(
+        "graft_bitset_cardinality(bm) AS card",
+        "graft_bitset_get(bm, 3) AS hit",
+        "graft_bitset_get(bm, 4) AS miss",
+        "graft_bitset_get(bm, 1000000) AS beyond",
+        "graft_bitset_cardinality(graft_bitset_or(bm, empty)) AS orcard",
+        "graft_bitset_cardinality(graft_bitset_or(bm,\n" +
+          "  graft_bitset_from_positions(" +
+          "CAST(array(3, 100) AS ARRAY<BIGINT>))) ) AS merged")
+      .collect().head
+    assert(r.getAs[Long]("card") == 5)
+    assert(r.getAs[Boolean]("hit") && !r.getAs[Boolean]("miss") &&
+      !r.getAs[Boolean]("beyond"))
+    assert(r.getAs[Long]("orcard") == 5, "OR with empty is identity")
+    assert(r.getAs[Long]("merged") == 6, "overlapping bit merges once")
+    // driver-side expansion is the exact inverse of construction
+    val positions = Array(0L, 3L, 9L, 63L, 64L, 100L)
+    val bm = graft.functions.NativeKernels.bitsetFromPositions(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(positions))
+    assert(graft.functions.NativeKernels.bitsetPositions(bm)
+      .sameElements(positions))
+    assert(bm.length == 100 / 8 + 1,
+      "blob length tracks the highest position, not the count")
+  }
 }
