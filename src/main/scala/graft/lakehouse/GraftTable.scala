@@ -2616,7 +2616,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val cand = dmlCandidates(snap, predSql)
     val matching = morReadPos(snap, cand).filter(p)
     val id = snap.id + 1
-    val tombs = writeTombstones(matching, id)
+    // old images take the table's delete-file shape
+    // (`write.delete.style`): tombstone parquet, or merged
+    // deletion-vector bitmaps under `vector` — Iceberg v3 DVs serve
+    // every row-level operation, not just DELETE
+    val (tombs, dvs) =
+      if (deleteStyle == "vector")
+        (Nil, writeDvs(matching, snap, id))
+      else (writeTombstones(matching, id), Map.empty[String, String])
     val images = matching.select(snap.schema.fieldNames.map { c =>
       assignments.get(c) match {
         case Some(e) =>
@@ -2627,7 +2634,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     }: _*)
     commitDml("update-mor", snap, cand.map(normalize).toSet, Set.empty,
       writeData(images, id, snap.partitionCols),
-      newTombs = tombs, predSql = Some(predSql))
+      newTombs = tombs, predSql = Some(predSql), newDvs = dvs)
   }
 
   /** Copy-on-write row DML computes affected files with a plain scan;
@@ -3032,7 +3039,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
 
     def committed(matched: Option[DataFrame], ins: Option[DataFrame],
         readSet: Set[String], dropped: Set[String],
-        tombs: Seq[String]): Long = {
+        tombs: Seq[String],
+        dvs: Map[String, String] = Map.empty): Long = {
       val newData = (matched, ins) match {
         case (Some(u), Some(i)) => Some(aligned(u, snap.schema)
           .unionByName(aligned(i, snap.schema)))
@@ -3042,7 +3050,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       }
       commitDml("merge", snap, readSet, dropped,
         newData.map(writeData(_, id, snap.partitionCols)).getOrElse(Nil),
-        newTombs = tombs)
+        newTombs = tombs, newDvs = dvs)
     }
 
     if (morMode) {
@@ -3068,7 +3076,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         else Some(morReadPos(snap, cand).join(srcFlat, joinCond, "inner")
           .withColumn(GraftTable.WinnerCol, winnerOver(lit(true)))
           .filter(col(GraftTable.WinnerCol) =!= -1))
-      val tombs = touched.map(writeTombstones(_, id)).getOrElse(Nil)
+      // matched old images take the table's delete-file shape, like
+      // UPDATE: tombstones, or deletion vectors under `vector`
+      val vector = deleteStyle == "vector"
+      val tombs =
+        if (vector) Nil
+        else touched.map(writeTombstones(_, id)).getOrElse(Nil)
+      val mergeDvs =
+        if (vector) touched.map(writeDvs(_, snap, id))
+          .getOrElse(Map.empty[String, String])
+        else Map.empty[String, String]
       val images = touched.map { t =>
         postClause(
           if (deleteIdx.isEmpty) t
@@ -3079,7 +3096,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         case _                     => true
       })
       return committed(images, inserted, cand.map(normalize).toSet,
-        Set.empty, tombs)
+        Set.empty, tombs, mergeDvs)
     }
 
     // ---- copy-on-write: rewrite every file containing a match ------

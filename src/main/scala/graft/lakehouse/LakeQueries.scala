@@ -913,6 +913,64 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Merge-on-read UPDATE and MERGE via DELETION VECTORS — Iceberg
+    * v3 DVs serve every row-level operation, not just DELETE: under
+    * `write.delete.style=vector`, an UPDATE's matched old images and
+    * a MERGE's matched rows land as per-file bitmap merges (data
+    * files require()d to survive both statements; zero tombstone
+    * files anywhere), and their new images append. Same DML surface
+    * and oracle as the tombstone scenario (`lake_pos_merge`) — the
+    * style property swaps the old-image representation without
+    * touching statement semantics. Ends with maintenance: `OPTIMIZE
+    * … REWRITE DELETES` consolidates the statement-scattered blobs
+    * (every pointer require()d repointed; live view unchanged by
+    * construction — bitmaps move, bits don't). */
+  private val dvMerge: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_dvdml"),
+      orders.filter(col("o_orderkey") % 2 === 0))
+    t.setProperties(Map(
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector"))
+    LakeRegistry.register("lake_dvdml_t", t)
+    val before = t.currentSnapshot.files.toSet
+    s.sql("UPDATE lake_dvdml_t SET o_totalprice = o_totalprice * 2.0 " +
+      "WHERE o_orderstatus = 'O'")
+    require(before.subsetOf(t.currentSnapshot.files.toSet),
+      "merge-on-read UPDATE must keep every original data file")
+    require(t.currentSnapshot.dvs.nonEmpty &&
+      t.currentSnapshot.posDels.isEmpty,
+      "vector style must shape UPDATE's old images as bitmaps")
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .createOrReplaceTempView("lake_dvdml_src")
+    val files2 = t.currentSnapshot.files.toSet
+    s.sql(
+      """MERGE INTO lake_dvdml_t t USING lake_dvdml_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.o_totalprice < 100000.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
+        |  o_totalprice = s.o_totalprice
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(files2.subsetOf(t.currentSnapshot.files.toSet),
+      "merge-on-read MERGE must keep every pre-merge data file")
+    require(t.currentSnapshot.posDels.isEmpty &&
+      t.currentSnapshot.dvs.nonEmpty,
+      "vector style must shape MERGE's matched old images as bitmaps")
+    // blob maintenance: consolidate the per-statement merges into
+    // fresh blobs (metadata-scale — no data file read or written)
+    val preRw = t.currentSnapshot.dvs
+    val dataFiles = t.currentSnapshot.files
+    s.sql("OPTIMIZE lake_dvdml_t REWRITE DELETES")
+    val postRw = t.currentSnapshot.dvs
+    require(t.currentSnapshot.files == dataFiles &&
+      postRw.keySet == preRw.keySet &&
+      preRw.forall { case (f, b) => postRw(f) != b },
+      "blob consolidation must repoint every vector, touch no data")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Merge-on-read UPDATE and MERGE via position tombstones — the
     * fine-grained write path at scale (Iceberg's `write.update.mode`
     * / `write.merge.mode` = merge-on-read): an UPDATE tombstones its
@@ -1791,6 +1849,7 @@ object LakeQueries {
     "lake_mor_delete"       -> morDelete,
     "lake_pos_delete"       -> posDelete,
     "lake_dv"               -> dvDelete,
+    "lake_dv_dml"           -> dvMerge,
     "lake_pos_merge"        -> posMerge,
     "lake_expire"           -> expire,
     "lake_overwrite_partition" -> overwritePartition,
@@ -2047,6 +2106,37 @@ object LakeQueries {
         |       AND NOT (o_orderstatus = 'F')
         |       AND NOT (o_totalprice < 10000.0))
         |   OR o_orderkey % 3 = 2
+        |ORDER BY o_orderkey""".stripMargin,
+    // same statement semantics as lake_pos_merge — the vector style
+    // swaps the old-image representation, not the DML result
+    "lake_dv_dml" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base),
+        |src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |merged AS (
+        |  SELECT u.o_orderkey,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN 'M'
+        |         ELSE u.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |         ELSE u.o_totalprice END AS o_totalprice,
+        |    CASE WHEN s.o_orderkey IS NOT NULL
+        |              AND s.o_totalprice < 100000.0
+        |         THEN 1 ELSE 0 END AS del
+        |  FROM upd u LEFT JOIN src s USING (o_orderkey)),
+        |ins AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM merged WHERE del = 0
+        |UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM ins
         |ORDER BY o_orderkey""".stripMargin,
     // vectored rows drop from the %3<2 cohort; the post-delete
     // append (%3=2) survives whole even where it matches

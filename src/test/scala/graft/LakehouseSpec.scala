@@ -2843,6 +2843,39 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().count() == 0)
   }
 
+  test("vector-style UPDATE and MERGE: old images land as bitmaps") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    t.setProperties(Map(
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector"))
+    graft.lakehouse.LakeRegistry.register("dvdml_t", t)
+    val before = t.currentSnapshot.files.toSet
+    spark.sql("UPDATE dvdml_t SET v = v * 10 WHERE k = 2")
+    val s1 = t.currentSnapshot
+    assert(before.subsetOf(s1.files.toSet),
+      "merge-on-read UPDATE must keep every original data file")
+    assert(s1.dvs.nonEmpty && s1.posDels.isEmpty,
+      "vector style must shape UPDATE's old images as bitmaps")
+    assert(t.read().orderBy("k").select("v").as[Double].collect()
+      .sameElements(Array(1.0, 20.0, 3.0)))
+    // MERGE: matched old images vector too; insert appends
+    Seq((2L, "B", 200.0), (9L, "I", 9.0)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("dvdml_src")
+    spark.sql(
+      """MERGE INTO dvdml_t t USING dvdml_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET tag = s.tag, v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val s2 = t.currentSnapshot
+    assert(s1.files.toSet.subsetOf(s2.files.toSet) &&
+      s2.posDels.isEmpty && s2.dvs.nonEmpty,
+      "vector style must shape MERGE's matched old images as bitmaps")
+    assert(t.read().orderBy("k").as[(Long, String, Double)].collect()
+      .toSeq == Seq((1L, "a", 1.0), (2L, "B", 200.0), (3L, "c", 3.0),
+        (9L, "I", 9.0)))
+    graft.lakehouse.LakeRegistry.unregister("dvdml_t")
+  }
+
   test("deletion vectors ride the SPJ skip lists and its byte gate") {
     import graft.lakehouse.{LakeRegistry, Spj}
     val t = GraftTable.create(spark,
