@@ -295,6 +295,37 @@ object NativeExprs {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** a AND NOT b of two bitmaps — the deletion-vector DIFF: applied
+    * endpoint-to-endpoint, the surviving bits are exactly the rows
+    * deleted (or, flipped, un-deleted) inside a changelog range. */
+  case class BitsetAndNot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_bitset_andnot"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.bitsetAndNot(a.asInstanceOf[Array[Byte]],
+        b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.bitsetAndNot($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** Ascending set-bit positions of a bitmap as ARRAY<BIGINT> — feeds
+    * `explode` to turn a bitmap diff into (file, pos) changelog
+    * keys. */
+  case class BitsetPositions(child: Expression)
+      extends UnaryExpression with UnaryKernelCodegen {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_bitset_positions"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.bitsetPositionsData(input.asInstanceOf[Array[Byte]])
+    override protected def kernelCall(c: String): String =
+      s"$K.bitsetPositionsData($c)"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Set-bit count of a bitmap — a deletion vector's deleted-row
     * count from the blob alone, no data-file scan. */
   case class BitsetCardinality(child: Expression)
@@ -377,6 +408,13 @@ object NativeExprs {
     (FunctionIdentifier("graft_bitset_cardinality"),
       info("graft_bitset_cardinality", "set-bit count of a bitmap"),
       (args: Seq[Expression]) => BitsetCardinality(args.head)),
+    (FunctionIdentifier("graft_bitset_andnot"),
+      info("graft_bitset_andnot", "a AND NOT b of two bitmaps"),
+      (args: Seq[Expression]) => BitsetAndNot(args(0), args(1))),
+    (FunctionIdentifier("graft_bitset_positions"),
+      info("graft_bitset_positions",
+        "ascending set-bit positions of a bitmap as ARRAY<BIGINT>"),
+      (args: Seq[Expression]) => BitsetPositions(args.head)),
     (FunctionIdentifier("graft_jaccard_sorted"),
       info("graft_jaccard_sorted",
         "Jaccard similarity of two sorted distinct bigint arrays"),

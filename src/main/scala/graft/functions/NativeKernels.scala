@@ -326,6 +326,26 @@ object NativeKernels {
     c
   }
 
+  /** a AND NOT b, byte-wise; result length = a's (bits only in b
+    * cannot survive) — the deletion-vector DIFF: positions set in the
+    * newer bitmap but not the older are the rows deleted in-range. */
+  def bitsetAndNot(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) {
+      out(i) = (a(i) & ~(if (i < b.length) b(i) else 0)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** [[bitsetPositions]] in Catalyst's array format — the executor
+    * side of exploding a bitmap diff into changelog rows. */
+  def bitsetPositionsData(
+      bs: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      bitsetPositions(bs))
+
   /** Ascending set-bit positions — expands a deletion vector into the
     * skip-list shape the SPJ per-split reader walks. Driver-side only
     * (plain JVM arrays), gated by the caller on blob bytes. */

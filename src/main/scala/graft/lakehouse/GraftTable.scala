@@ -1612,26 +1612,24 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     require(from.dels.isEmpty && to.dels.isEmpty,
       "changelog endpoints must carry no pending equality deletes: " +
         "materialize them first")
-    require(from.posDels.isEmpty && to.posDels.isEmpty ||
+    require(from.posDels.isEmpty && to.posDels.isEmpty &&
+        from.dvs.isEmpty && to.dvs.isEmpty ||
         from.renames.isEmpty && to.renames.isEmpty,
       "changelog over position deletes under renamed columns: " +
         "compact() first")
     val fromSet = from.files.toSet
     val toSet = to.files.toSet
-    // each endpoint's live view applies its OWN deletion vectors
-    // (files inserted or removed in-range read correctly), but a
-    // pointer that MOVED on a file carried across the range encodes
-    // in-range row deletes this diff does not expand (that needs a
-    // bitmap XOR per carried file); refuse toward maintenance
-    require(fromSet.intersect(toSet)
-        .forall(f => from.dvs.get(f) == to.dvs.get(f)),
-      "changelog over a deletion-vector change on a carried data " +
-        "file: compact() to materialize the vectors first")
+    // deletion vectors on files carried across the range: a moved
+    // pointer encodes in-range row deletes (bits set at `to` but not
+    // `from`) or un-deletes (rollback: bits cleared) — expanded below
+    // by a bitmap diff, alongside the tombstone diff
+    val dvMovedFiles = fromSet.intersect(toSet).toSeq
+      .filter(f => from.dvs.get(f) != to.dvs.get(f)).sorted
     // live view of the files added (resp. removed) in-range, under the
     // owning endpoint's tombstones — a file appended then partially
     // tombstoned inside the range inserts only its surviving rows
     def live(s: Snapshot, fs: Seq[String]): DataFrame =
-      if (s.posDels.isEmpty) readFilesMapped(s, fs)
+      if (s.posDels.isEmpty && s.dvs.isEmpty) readFilesMapped(s, fs)
       else morReadPos(s, fs)
         .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
     var ins = live(to, to.files.filterNot(fromSet))
@@ -1649,7 +1647,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // tombstones in live()); with no carried files — the initial-load
     // fromId = 0 case — the whole block would scan every tombstone
     // file to discard everything
-    if ((newTFiles.nonEmpty || goneTFiles.nonEmpty) &&
+    if ((newTFiles.nonEmpty || goneTFiles.nonEmpty ||
+          dvMovedFiles.nonEmpty) &&
         (toSet intersect fromSet).nonEmpty) {
       def tombRows(fs: Seq[String]): DataFrame =
         if (fs.isEmpty)
@@ -1660,10 +1659,51 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
               org.apache.spark.sql.types.StructField("_pos",
                 org.apache.spark.sql.types.LongType))))
         else spark.read.parquet(fs: _*).select(col("_file"), col("_pos"))
+      // deletion-vector diff → the same (file, pos) key shape as the
+      // tombstone diff: per moved file, AND-NOT the endpoint bitmaps
+      // both ways and explode the surviving bits. A live-view DML
+      // never re-deletes a position, so the two shapes cannot emit
+      // the same key — plain unions compose them.
+      val (dvNewT, dvGoneT) = {
+        import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
+        import graft.functions.NativeExprs
+        def bits(s: Snapshot): DataFrame =
+          if (s.dvs.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(
+                org.apache.spark.sql.types.StructField("_file",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("_bitmap",
+                  org.apache.spark.sql.types.BinaryType))))
+          else currentDvRelation(s)
+            .where(col("_file")
+              .isin(dvMovedFiles.map(metaPath): _*))
+            .select(col("_file"), col("_bitmap"))
+        if (dvMovedFiles.isEmpty) (tombRows(Nil), tombRows(Nil))
+        else {
+          val joined = bits(from).withColumnRenamed("_bitmap", "_bm_from")
+            .join(bits(to).withColumnRenamed("_bitmap", "_bm_to"),
+              Seq("_file"), "full_outer")
+            .select(col("_file"),
+              coalesce(col("_bm_from"),
+                lit(Array.emptyByteArray)).as("_bm_from"),
+              coalesce(col("_bm_to"),
+                lit(Array.emptyByteArray)).as("_bm_to"))
+          def diff(a: String, b: String): DataFrame = joined.select(
+            col("_file"),
+            explode(columnOf(NativeExprs.BitsetPositions(
+              expressionOf(columnOf(NativeExprs.BitsetAndNot(
+                expressionOf(col(a)),
+                expressionOf(col(b)))))))).as("_pos"))
+          (diff("_bm_to", "_bm_from"), diff("_bm_from", "_bm_to"))
+        }
+      }
       val newT = tombRows(newTFiles)
         .join(tombRows(goneTFiles), Seq("_file", "_pos"), "left_anti")
+        .unionByName(dvNewT)
       val goneT = tombRows(goneTFiles)
         .join(tombRows(newTFiles), Seq("_file", "_pos"), "left_anti")
+        .unionByName(dvGoneT)
       // planning step: the diffed positions name exact data files —
       // collect the (bounded: one path per file the range's DML
       // touched) name set so only those files are scanned. Tombstone

@@ -215,6 +215,44 @@ object LakeQueries {
              |ORDER BY _change_type, o_orderkey""".stripMargin)
   }
 
+  /** CDC over DELETION VECTORS: the same append → MoR DELETE → MoR
+    * UPDATE history as `lake_cdc_mor`, with the old images shaped as
+    * per-file bitmaps (`write.delete.style=vector`, require()d: zero
+    * tombstone files at the endpoint). The changelog expands a moved
+    * pointer by AND-NOT-ing the endpoint bitmaps and exploding the
+    * surviving bits into (file, pos) keys — the diff reads BITMAPS
+    * (≤ rows/8 bytes per touched file), then scans only the named
+    * data files at the named positions; at 100 TB a day's DML diff
+    * costs kilobytes of bitmap I/O plus the touched rows, never a
+    * table scan. Same oracle as the tombstone scenario: the delete
+    * shape must not leak into changelog semantics. */
+  private val cdcDv: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_cdc_dv"),
+      orders.filter(col("o_orderkey") % 4 < 3))
+    t.setProperties(Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector",
+      "write.update.mode" -> "merge-on-read"))
+    LakeRegistry.register("lake_cdc_dv_t", t)
+    orders.filter(col("o_orderkey") % 4 === 3)
+      .createOrReplaceTempView("lake_cdc_dv_src")
+    s.sql("INSERT INTO lake_cdc_dv_t SELECT * FROM lake_cdc_dv_src")
+    val files2 = t.currentSnapshot.files.toSet
+    s.sql("DELETE FROM lake_cdc_dv_t WHERE o_orderkey % 10 = 0")
+    s.sql("UPDATE lake_cdc_dv_t SET o_totalprice = 0.0 " +
+      "WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    require(files2.subsetOf(t.currentSnapshot.files.toSet),
+      "MoR DML must not rewrite any data file")
+    require(t.currentSnapshot.dvs.nonEmpty &&
+      t.currentSnapshot.posDels.isEmpty,
+      "vector DML must leave pending bitmaps, not tombstones")
+    s.sql(s"""SELECT * FROM table_changes('lake_cdc_dv_t', 1,
+             |  ${t.currentSnapshotId})
+             |ORDER BY _change_type, o_orderkey""".stripMargin)
+  }
+
   /** Four small appends then compact to 4 files: data unchanged. */
   private val compaction: Q = (s, dir) => {
     val orders = Tables.orders(s, dir)
@@ -1831,6 +1869,7 @@ object LakeQueries {
     "lake_cdc"              -> cdc,
     "lake_cdc_sql"          -> cdcSql,
     "lake_cdc_mor"          -> cdcMor,
+    "lake_cdc_dv"           -> cdcDv,
     "lake_compaction"       -> compaction,
     "lake_analyze"          -> analyzeQ,
     "lake_orphan_files"     -> orphanQ,
@@ -2048,6 +2087,26 @@ object LakeQueries {
         |ORDER BY _change_type, o_orderkey""".stripMargin,
     // identical DML semantics again — merge-on-read emits tombstones
     // instead of rewrites, but the NET changelog is the same relation
+    // identical history and changelog semantics as lake_cdc_mor —
+    // the delete-file shape (bitmaps vs tombstones) must not leak
+    "lake_cdc_dv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 < 3),
+        |s2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 < 3 OR o_orderkey % 4 = 3),
+        |s3 AS (SELECT * FROM s2 WHERE NOT (o_orderkey % 10 = 0)),
+        |s4 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+        |         THEN 0.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM s3),
+        |ins AS (SELECT * FROM s4 EXCEPT ALL SELECT * FROM base),
+        |del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM s4)
+        |SELECT *, 'insert' AS _change_type FROM ins
+        |UNION ALL SELECT *, 'delete' AS _change_type FROM del
+        |ORDER BY _change_type, o_orderkey""".stripMargin,
     "lake_cdc_mor" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -2801,6 +2801,24 @@ class LakehouseSpec extends AnyFunSuite {
     // resurrect the deleted rows); time travel still sees them
     intercept[IllegalArgumentException](t.delete("k = 5"))
     assert(t.readAt(2).count() == 5)
+    // the changelog COMPOSES with vectors: across (2, now] the bitmap
+    // diff on carried files emits exactly the vectored rows as
+    // deletes (k=1,2 from the first DELETE, k=3 from the merge) plus
+    // the tombstoned k=4
+    assert(t.changes(2, t.currentSnapshotId)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet ==
+      Set(("delete", 1L), ("delete", 2L), ("delete", 3L),
+        ("delete", 4L)))
+    // and a rollback across a vector boundary reports the un-deletes
+    // as inserts (cleared bits — the flipped AND-NOT leg)
+    val preRb = t.currentSnapshotId
+    t.rollback(2)
+    assert(t.changes(preRb, t.currentSnapshotId)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet ==
+      Set(("insert", 1L), ("insert", 2L), ("insert", 3L),
+        ("insert", 4L)))
+    t.rollback(preRb)
+    assert(t.read().select("k").as[Long].collect().sameElements(Array(5L)))
     // concurrent vector deletes that read the same file for write
     // conflict loudly (a merge computed against the superseded
     // pointer would silently lose the newer delete's bits): base s1,
