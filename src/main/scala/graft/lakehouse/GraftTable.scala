@@ -786,7 +786,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       dvsOverride.getOrElse(ref.map(_.dvs).getOrElse(Map.empty))
         .filter { case (df, _) => normFiles(normalize(df)) }
     val refDvSizes = ref.map(_.dvSizes).getOrElse(Map.empty)
-    val dvSizes: Map[String, Long] = dvs.values.toSeq.flatMap { b =>
+    val dvSizes: Map[String, Long] = dvs.values.toSeq.distinct.flatMap { b =>
       refDvSizes.get(b)
         .orElse(
           try Some(fs.getFileStatus(new Path(b)).getLen)
@@ -1270,8 +1270,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       // row from an un-vectored file sees a NULL bitmap and survives
       // through the coalesce
       import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
+      // internal names under the reserved _gdv prefix: a user column
+      // named `_bitmap` must not make this join ambiguous
       val dv = currentDvRelation(snap)
-        .select(col("_file").as(GraftTable.DvFileCol), col("_bitmap"))
+        .select(col("_file").as(GraftTable.DvFileCol),
+          col("_bitmap").as(GraftTable.DvBitmapCol))
       val hinted =
         if (dvBytes(snap) <= GraftTable.PosDelBroadcastBytes)
           broadcast(dv)
@@ -1281,10 +1284,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           "left")
         .filter(not(coalesce(
           columnOf(graft.functions.NativeExprs.BitsetGet(
-            expressionOf(col("_bitmap")),
+            expressionOf(col(GraftTable.DvBitmapCol)),
             expressionOf(col(GraftTable.PosIdxCol)))),
           lit(false))))
-        .drop(GraftTable.DvFileCol, "_bitmap")
+        .drop(GraftTable.DvFileCol, GraftTable.DvBitmapCol)
     }
     if (snap.posDels.isEmpty) withDv
     else {
@@ -4567,6 +4570,10 @@ object GraftTable {
 
   /** Join key of the deletion-vector file join on the read path. */
   private[lakehouse] val DvFileCol = "_gdv_file"
+
+  /** The joined bitmap column of the read path's deletion-vector
+    * probe (reserved-prefix: user data may carry `_bitmap`). */
+  private[lakehouse] val DvBitmapCol = "_gdv_bitmap"
 
   /** Schema-metadata keys of a column's initial default (Iceberg v3):
     * the default's original SQL text, and the head snapshot id when
