@@ -111,6 +111,15 @@ final case class Snapshot(
     /** On-disk byte size per DV blob — the broadcast-vs-shuffle gate
       * datum, same contract as [[posDelSizes]]. */
     dvSizes: Map[String, Long] = Map.empty,
+    /** Deleted-row count per vectored data file (the bitmap's
+      * cardinality, computed in the write aggregate) — Iceberg
+      * records DV cardinality in its manifests the same way, so
+      * `delete_files` metadata answers without reading a blob. */
+    dvCards: Map[String, Long] = Map.empty,
+    /** Row count per position-tombstone file (footer-harvested at
+      * commit, like [[fileRows]]) — powers `delete_files` metadata
+      * with zero tombstone reads. */
+    posDelRows: Map[String, Long] = Map.empty,
     /** Streaming-sink transaction watermark carried BY this commit
       * (Delta's `txn` action): (appId, batchId) recorded atomically
       * with the data so a replayed micro-batch is detectable. */
@@ -617,6 +626,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         val i = v.indexOf('\t')
         v.substring(i + 1) -> v.substring(0, i).toLong
       }.toMap,
+      dvCards = kv.collect { case ("dvcd", v) =>
+        val i = v.indexOf('\t')
+        v.substring(i + 1) -> v.substring(0, i).toLong
+      }.toMap,
+      posDelRows = kv.collect { case ("pdrw", v) =>
+        val i = v.indexOf('\t')
+        v.substring(i + 1) -> v.substring(0, i).toLong
+      }.toMap,
       fileSeq = shardParts.flatMap(_._2).toMap ++ inSeq,
       fileRows = shardParts.flatMap(_._3).toMap ++ inRows,
       fileSizes = shardParts.flatMap(_._4).toMap ++ inSizes,
@@ -679,7 +696,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       sizesExtra: Map[String, Long] = Map.empty,
       idFloor: Long = 0L,
       reshardManifests: Boolean = false,
-      dvsOverride: Option[Map[String, String]] = None): Long =
+      dvsOverride: Option[Map[String, String]] = None,
+      dvCardsOverride: Option[Map[String, Long]] = None): Long =
     // In-process writers (multiple handles over one root) serialize
     // here, making check-then-publish a true CAS within the JVM.
     // Across processes publishNoOverwrite is the CAS — atomic
@@ -690,7 +708,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       commitLocked(op, schema, files, partitionCols, expectedParent,
         delsOverride, refSnap, branch, renamesOverride, specHistOverride,
         posDelsOverride, sizesExtra, idFloor, reshardManifests,
-        dvsOverride)
+        dvsOverride, dvCardsOverride)
     }
 
   private def commitLocked(op: String, schema: StructType,
@@ -703,7 +721,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       sizesExtra: Map[String, Long] = Map.empty,
       idFloor: Long = 0L,
       reshardManifests: Boolean = false,
-      dvsOverride: Option[Map[String, String]] = None): Long = {
+      dvsOverride: Option[Map[String, String]] = None,
+      dvCardsOverride: Option[Map[String, Long]] = None): Long = {
     refs.get(branch).foreach { case (kind, _) =>
       require(kind == "branch", s"cannot commit to $kind '$branch'")
     }
@@ -793,6 +812,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           catch { case scala.util.control.NonFatal(_) => None })
         .map(b -> _)
     }.toMap
+    // per-file deleted-row counts: scoped to live pointers like dvs
+    val dvCards: Map[String, Long] =
+      dvCardsOverride.getOrElse(ref.map(_.dvCards).getOrElse(Map.empty))
+        .filter { case (df, _) => dvs.contains(df) }
+    // tombstone row counts: carried for known files, footer-harvested
+    // ONCE for files new in this commit — `delete_files` metadata
+    // then answers with zero tombstone reads
+    val refPdRows = ref.map(_.posDelRows).getOrElse(Map.empty)
+    val pdRows: Map[String, Long] = posDels.flatMap { p =>
+      refPdRows.get(p)
+        .orElse(harvestFooter(p, schema)._1)
+        .map(p -> _)
+    }.toMap
     val renames =
       renamesOverride.getOrElse(ref.map(_.renames).getOrElse(Nil))
     val specHist =
@@ -860,10 +892,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       posDels.foreach { p =>
         body ++= s"pdel=$p\n"
         pdSizes.get(p).foreach(n => body ++= s"pdsz=$n\t$p\n")
+        pdRows.get(p).foreach(n => body ++= s"pdrw=$n\t$p\n")
       }
       dvs.foreach { case (df, blob) =>
         body ++= s"dvf=$blob\t$df\n"
         dvSizes.get(blob).foreach(n => body ++= s"dvsz=$n\t$blob\n")
+        dvCards.get(df).foreach(n => body ++= s"dvcd=$n\t$df\n")
       }
       // seq -1 marks "this commit": stamped with the id actually
       // published (branches share one id allocator, so the caller
@@ -1000,7 +1034,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       readSet: Set[String], dropped: Set[String], added: Seq[String],
       newTombs: Seq[String] = Nil, predSql: Option[String] = None,
       branch: String = writeBranch,
-      newDvs: Map[String, String] = Map.empty): Long = {
+      newDvs: Map[String, (String, Long)] = Map.empty): Long = {
     // bound once at entry; a concurrent setProperties cannot flip the
     // isolation semantics of an in-flight DML between retries
     val isolation = isolationFor(op)
@@ -1021,7 +1055,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           // is the correct union on every rebase
           dvsOverride =
             if (newDvs.isEmpty) None
-            else Some(parent.dvs ++ newDvs))
+            else Some(parent.dvs ++ newDvs.view.mapValues(_._1)),
+          dvCardsOverride =
+            if (newDvs.isEmpty) None
+            else Some(parent.dvCards ++ newDvs.view.mapValues(_._2)))
       } catch {
         case e: CommitConflictException =>
           remaining -= 1
@@ -2531,7 +2568,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * Only the (file → blob) pointer map ships to the driver —
     * O(#touched files) commit metadata, like every manifest. */
   private def writeDvs(rows: DataFrame, snap: Snapshot,
-      commitId: Long): Map[String, String] = {
+      commitId: Long): Map[String, (String, Long)] = {
     import graft.functions.NativeExprs
     import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
     val newBits = rows
@@ -2567,10 +2604,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * manifest strings through [[metaPath]] (its documented dual), so
     * every later comparison is exact, not re-derived. */
   private def writeDvBlobs(rel: DataFrame, snap: Snapshot,
-      commitId: Long): Map[String, String] = {
+      commitId: Long): Map[String, (String, Long)] = {
+    import graft.functions.NativeExprs
+    import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
     val dir = new Path(root, f"data/commit-$commitId%05d-dv-" +
       java.util.UUID.randomUUID.toString.take(8))
-    rel.write.parquet(dir.toString)
+    // the bitmap's cardinality rides the same write (one kernel pass)
+    // so the manifest can record each file's deleted-row count and
+    // `delete_files` metadata never reads a blob — Iceberg records
+    // DV cardinality in its manifests the same way
+    rel.select(col("_file"), col("_bitmap"),
+        columnOf(NativeExprs.BitsetCardinality(
+          expressionOf(col("_bitmap")))).as("_card"))
+      .write.parquet(dir.toString)
     val blobByMeta = fs.listStatus(dir).map(_.getPath.toString)
       .filter(_.endsWith(".parquet"))
       .map(p => metaPath(p) -> p).toMap
@@ -2579,14 +2625,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     if (blobByMeta.isEmpty) return Map.empty
     val fileByMeta = snap.files.map(f => metaPath(f) -> f).toMap
     spark.read.parquet(dir.toString)
-      .select(col("_file"), col("_metadata.file_path"))
+      .select(col("_file"), col("_metadata.file_path"), col("_card"))
       .collect()
       .map { r =>
         val df = fileByMeta.getOrElse(r.getString(0), sys.error(
           s"deletion vector names unknown data file ${r.getString(0)}"))
         val blob = blobByMeta.getOrElse(r.getString(1), sys.error(
           s"deletion vector blob outside its commit dir ${r.getString(1)}"))
-        df -> blob
+        df -> (blob, r.getLong(2))
       }.toMap
   }
 
@@ -2605,7 +2651,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       currentDvRelation(snap).select(col("_file"), col("_bitmap")),
       snap, snap.id + 1)
     commit("rewrite-dv", snap.schema, snap.files, snap.partitionCols,
-      expectedParent = snap.id, dvsOverride = Some(repointed))
+      expectedParent = snap.id,
+      dvsOverride = Some(repointed.view.mapValues(_._1).toMap),
+      dvCardsOverride = Some(repointed.view.mapValues(_._2).toMap))
   }
 
   /** The CURRENT (`_file`, `_bitmap`) deletion-vector relation of
@@ -2666,7 +2714,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val (tombs, dvs) =
       if (deleteStyle == "vector")
         (Nil, writeDvs(matching, snap, id))
-      else (writeTombstones(matching, id), Map.empty[String, String])
+      else (writeTombstones(matching, id),
+        Map.empty[String, (String, Long)])
     val images = matching.select(snap.schema.fieldNames.map { c =>
       assignments.get(c) match {
         case Some(e) =>
@@ -3083,7 +3132,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     def committed(matched: Option[DataFrame], ins: Option[DataFrame],
         readSet: Set[String], dropped: Set[String],
         tombs: Seq[String],
-        dvs: Map[String, String] = Map.empty): Long = {
+        dvs: Map[String, (String, Long)] = Map.empty): Long = {
       val newData = (matched, ins) match {
         case (Some(u), Some(i)) => Some(aligned(u, snap.schema)
           .unionByName(aligned(i, snap.schema)))
@@ -3127,8 +3176,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         else touched.map(writeTombstones(_, id)).getOrElse(Nil)
       val mergeDvs =
         if (vector) touched.map(writeDvs(_, snap, id))
-          .getOrElse(Map.empty[String, String])
-        else Map.empty[String, String]
+          .getOrElse(Map.empty[String, (String, Long)])
+        else Map.empty[String, (String, Long)]
       val images = touched.map { t =>
         postClause(
           if (deleteIdx.isEmpty) t
@@ -4429,6 +4478,40 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       StructField("rows", org.apache.spark.sql.types.LongType, true),
       StructField("partition", org.apache.spark.sql.types.StringType, true),
       StructField("size_bytes", org.apache.spark.sql.types.LongType, true))))
+  }
+
+  /** Iceberg's `table.delete_files` metadata table: one row per
+    * pending merge-on-read delete artifact of the current snapshot —
+    * the operator's "how much un-materialized DML is this table
+    * carrying" view, answered from the manifest alone (counts and
+    * sizes were recorded at commit; no tombstone or blob is read).
+    * `kind` is `equality` (detail = the predicate; no path/count — a
+    * predicate's row reach is unknowable without a scan), `position`
+    * (path = the tombstone parquet, rows = its footer count), or
+    * `vector` (detail = the vectored DATA file, path = its bitmap
+    * blob, rows = the bitmap's cardinality, size = the whole blob a
+    * merge may share across files). */
+  def deleteFilesMetadata: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val snap = currentSnapshot
+    def l(v: Option[Long]) = v.map(java.lang.Long.valueOf).orNull
+    val eq = snap.dels.map(d =>
+      Row("equality", d.pred, null, null, null))
+    val pos = snap.posDels.map(p =>
+      Row("position", null, p, l(snap.posDelRows.get(p)),
+        l(snap.posDelSizes.get(p))))
+    val dv = snap.dvs.toSeq.sortBy(_._1).map { case (df, blob) =>
+      Row("vector", df, blob, l(snap.dvCards.get(df)),
+        l(snap.dvSizes.get(blob)))
+    }
+    spark.createDataFrame((eq ++ pos ++ dv).asJava, StructType(Seq(
+      StructField("kind", org.apache.spark.sql.types.StringType, false),
+      StructField("detail", org.apache.spark.sql.types.StringType, true),
+      StructField("path", org.apache.spark.sql.types.StringType, true),
+      StructField("deleted_rows", org.apache.spark.sql.types.LongType,
+        true),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType,
+        true))))
   }
 
   /** Iceberg's `table.history`/`table.snapshots` metadata table: the

@@ -215,6 +215,55 @@ object LakeQueries {
              |ORDER BY _change_type, o_orderkey""".stripMargin)
   }
 
+  /** Iceberg's `delete_files` metadata table through the TVF surface
+    * (`lake_delete_files('t')`): one row per pending merge-on-read
+    * artifact — the operator's "how much un-materialized DML is this
+    * table carrying" view — answered from the MANIFEST alone. Counts
+    * and sizes were recorded at commit (tombstone footer harvest;
+    * bitmap cardinality computed inside the vector write's own
+    * aggregate), so at 100 TB the answer costs zero tombstone/blob/
+    * data reads. The scenario stacks all three delete shapes on one
+    * table (style flips between statements) and require()s each
+    * kind's shape: vector rows carry data file + blob + cardinality
+    * + size, position rows carry path + footer count + size,
+    * equality rows carry only their predicate (a predicate's row
+    * reach is honestly NULL — unknowable without a scan). Per-kind
+    * deleted-row totals oracled. */
+  private val deleteFiles: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_delfiles"),
+      orders.filter(col("o_orderkey") % 2 === 0))
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector"))
+    LakeRegistry.register("lake_delfiles_t", t)
+    s.sql("DELETE FROM lake_delfiles_t WHERE o_orderstatus = 'F'")
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "position"))
+    s.sql("DELETE FROM lake_delfiles_t WHERE o_totalprice < 10000.0")
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "equality"))
+    s.sql("DELETE FROM lake_delfiles_t WHERE o_orderkey % 1000 = 0")
+    val meta = s.sql("SELECT * FROM lake_delete_files('lake_delfiles_t')")
+    require(meta.filter(col("kind") === "vector").filter(
+        col("detail").isNull || col("path").isNull ||
+        col("deleted_rows").isNull || col("size_bytes").isNull)
+      .count() == 0,
+      "vector rows must carry data file, blob, cardinality, and size")
+    require(meta.filter(col("kind") === "position").filter(
+        col("path").isNull || col("deleted_rows").isNull ||
+        col("size_bytes").isNull || col("detail").isNotNull)
+      .count() == 0,
+      "position rows must carry path, footer count, and size")
+    require(meta.filter(col("kind") === "equality").filter(
+        col("detail").isNull || col("path").isNotNull ||
+        col("deleted_rows").isNotNull).count() == 0,
+      "equality rows carry only their predicate")
+    meta.groupBy("kind")
+      .agg(sum("deleted_rows").as("deleted_rows"))
+      .orderBy("kind")
+  }
+
   /** CDC over DELETION VECTORS: the same append → MoR DELETE → MoR
     * UPDATE history as `lake_cdc_mor`, with the old images shaped as
     * per-file bitmaps (`write.delete.style=vector`, require()d: zero
@@ -1870,6 +1919,7 @@ object LakeQueries {
     "lake_cdc_sql"          -> cdcSql,
     "lake_cdc_mor"          -> cdcMor,
     "lake_cdc_dv"           -> cdcDv,
+    "lake_delete_files"     -> deleteFiles,
     "lake_compaction"       -> compaction,
     "lake_analyze"          -> analyzeQ,
     "lake_orphan_files"     -> orphanQ,
@@ -2087,6 +2137,18 @@ object LakeQueries {
         |ORDER BY _change_type, o_orderkey""".stripMargin,
     // identical DML semantics again — merge-on-read emits tombstones
     // instead of rewrites, but the NET changelog is the same relation
+    // per-kind deleted-row totals: vector counted the F rows, the
+    // position delete counted the cheap NON-F survivors (it scanned
+    // the live view), equality is honestly NULL
+    "lake_delete_files" ->
+      """WITH base AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT 'equality' AS kind, CAST(NULL AS BIGINT) AS deleted_rows
+        |UNION ALL SELECT 'position', COUNT(*) FROM base
+        |  WHERE o_totalprice < 10000.0 AND NOT o_orderstatus = 'F'
+        |UNION ALL SELECT 'vector', COUNT(*) FROM base
+        |  WHERE o_orderstatus = 'F'
+        |ORDER BY kind""".stripMargin,
     // identical history and changelog semantics as lake_cdc_mor —
     // the delete-file shape (bitmaps vs tombstones) must not leak
     "lake_cdc_dv" ->

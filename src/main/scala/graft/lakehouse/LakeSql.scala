@@ -974,7 +974,7 @@ object LakeChanges {
       // relation can appear.
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if Set("lake_files", "lake_partitions", "lake_history",
-            "lake_refs")
+            "lake_refs", "lake_delete_files")
             .contains(tvf.name.map(_.toLowerCase).mkString(".")) =>
         val fn = tvf.name.head.toLowerCase
         val name = tvf.functionArgs match {
@@ -989,7 +989,8 @@ object LakeChanges {
           throw new IllegalArgumentException(
             s"$fn: '$name' is not a registered graft table"))
         val df = fn match {
-          case "lake_files"      => t.filesMetadata
+          case "lake_files"        => t.filesMetadata
+          case "lake_delete_files" => t.deleteFilesMetadata
           case "lake_partitions" => t.partitionsMetadata
           // named references (Iceberg's `db.t.refs` metadata table):
           // a ref-less table still lists its implicit `main`

@@ -2775,6 +2775,8 @@ class LakehouseSpec extends AnyFunSuite {
     assert(s1.dvs.nonEmpty && s1.posDels.isEmpty && s1.dels.isEmpty)
     assert(s1.dvs.values.forall(s1.dvSizes.contains),
       "blob sizes must be recorded at commit (the broadcast gate datum)")
+    assert(s1.dvCards.values.sum == 2,
+      "the manifest must record the vector's cardinality (k=1,2)")
     assert(t.read().select("k").as[Long].collect().sorted
       .sameElements(Array(3L, 4L, 5L)))
     // overlapping second delete MERGES bits: the touched file's
@@ -2787,6 +2789,8 @@ class LakehouseSpec extends AnyFunSuite {
       .sameElements(Array(4L, 5L)))
     assert(s1.dvs.exists { case (f, b) => s2.dvs.get(f).exists(_ != b) },
       "an overlapping vector delete must move the file's pointer")
+    assert(s2.dvCards.values.sum == 3,
+      "the merged vector's recorded cardinality must cover k=1,2,3")
     // a matched-nothing DELETE commits nothing
     val id2 = t.currentSnapshotId
     t.deleteMoRDv("k = 99")
@@ -2851,6 +2855,8 @@ class LakehouseSpec extends AnyFunSuite {
     assert(postRw.keySet == preRw.keySet &&
       preRw.forall { case (f, b) => postRw(f) != b },
       "consolidation must repoint every vector into fresh blobs")
+    assert(t.currentSnapshot.dvCards.values.sum == 3,
+      "consolidation moves bitmaps, not bits: cardinalities unchanged")
     assert(t.read().select("k").as[Long].collect().sameElements(Array(5L)))
     // compaction materializes: vectors clear, data stable, CoW re-opens
     t.compact(2)
