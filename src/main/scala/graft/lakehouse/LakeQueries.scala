@@ -864,9 +864,17 @@ object LakeQueries {
     val t = GraftTable.create(s, tmp("lake_rb"),
       orders.filter(col("o_orderkey") % 2 === 0))
     t.append(orders.filter(col("o_orderkey") % 2 === 1)) // the "bad" write
-    t.rollback(1)
+    // SQL surface: Delta's RESTORE / Iceberg's rollback_to_snapshot
+    LakeRegistry.register("lake_rb_t", t)
+    s.sql("RESTORE TABLE lake_rb_t TO VERSION AS OF 1")
     require(t.currentSnapshotId == 3 && t.readAt(2).count() > t.read().count(),
       "rollback must preserve history as a new commit")
+    // ...and restore-to-ref: roll FORWARD to a tag on the undone head
+    t.createTag("predrop", 2)
+    s.sql("RESTORE TABLE lake_rb_t TO VERSION AS OF 'predrop'")
+    require(t.read().count() == t.readAt(2).count(),
+      "restore to a tag must land on the tagged snapshot")
+    s.sql("RESTORE TABLE lake_rb_t TO VERSION AS OF 1")
     t.read().orderBy("o_orderkey")
   }
 

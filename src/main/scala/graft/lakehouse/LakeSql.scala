@@ -699,6 +699,11 @@ object LakeMaintenance {
   // Delta's zero-copy fork: CREATE TABLE c SHALLOW CLONE t
   private val ShallowClone =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)\s*;?\s*""".r
+  // Delta's RESTORE / Iceberg's rollback_to_snapshot procedure: move
+  // the head back to a snapshot id or a tag/branch ref — metadata
+  // only, history preserved (the restore is itself a new commit)
+  private val Restore =
+    """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*;?\s*""".r
 
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -724,6 +729,10 @@ object LakeMaintenance {
       case RewriteDeletes(name)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRewriteDeletesCommand(name.toLowerCase))
+      case Restore(name, id, ref)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftRestoreCommand(name.toLowerCase,
+          Option(id).map(_.toLong), Option(ref)))
       case RewriteManifests(name)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRewriteManifestsCommand(name.toLowerCase))
@@ -881,6 +890,23 @@ case class GraftBinpackCommand(name: String, smallBytes: Long)
       spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
       "OPTIMIZE")
     LakeRegistry.get(name).get.compactSmall(smallBytes)
+    Seq.empty
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF <id|'ref'>` (Delta's RESTORE,
+  * Iceberg's `rollback_to_snapshot` / `set_current_snapshot`
+  * procedures): a metadata-only head move — the restore commits a
+  * NEW snapshot referencing the old file set, so history (and time
+  * travel forward across the restore) is preserved. */
+case class GraftRestoreCommand(name: String, id: Option[Long],
+    ref: Option[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "RESTORE")
+    val t = LakeRegistry.get(name).get
+    t.rollback(id.getOrElse(t.headOf(ref.get)))
     Seq.empty
   }
 }
