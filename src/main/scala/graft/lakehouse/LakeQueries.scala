@@ -1787,7 +1787,8 @@ object LakeQueries {
           "SELECT count(*) FROM lake_wapb_t WHERE o_totalprice <= 0")
         .head.getLong(0) == 0L, "branch audit must pass before publish")
     } finally s.conf.unset(GraftTable.WapBranchConf)
-    t.fastForward("main", "etl_audit")
+    // publish via SQL (Iceberg's fast_forward procedure)
+    s.sql("ALTER TABLE lake_wapb_t FAST FORWARD main etl_audit")
     s.sql("SELECT * FROM lake_wapb_t").orderBy("o_orderkey")
   }
 

@@ -704,6 +704,10 @@ object LakeMaintenance {
   // only, history preserved (the restore is itself a new commit)
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*;?\s*""".r
+  // Iceberg's fast_forward procedure: publish a branch by moving
+  // `target` to `source`'s head (ancestry-checked in the table API)
+  private val FastForward =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+FAST\s+FORWARD\s+(\w+)\s+(\w+)\s*;?\s*""".r
 
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -733,6 +737,9 @@ object LakeMaintenance {
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRestoreCommand(name.toLowerCase,
           Option(id).map(_.toLong), Option(ref)))
+      case FastForward(name, target, source)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftFastForwardCommand(name.toLowerCase, target, source))
       case RewriteManifests(name)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRewriteManifestsCommand(name.toLowerCase))
@@ -907,6 +914,20 @@ case class GraftRestoreCommand(name: String, id: Option[Long],
       "RESTORE")
     val t = LakeRegistry.get(name).get
     t.rollback(id.getOrElse(t.headOf(ref.get)))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t FAST FORWARD <target> <source>` (Iceberg's
+  * `fast_forward` procedure): the publish step of branch-gated
+  * ingest — refs-file-only, ancestry require()d by the table API. */
+case class GraftFastForwardCommand(name: String, target: String,
+    source: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "FAST FORWARD")
+    LakeRegistry.get(name).get.fastForward(target, source)
     Seq.empty
   }
 }
