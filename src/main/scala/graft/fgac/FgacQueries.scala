@@ -319,19 +319,7 @@ object FgacQueries {
     // flush #1 into a governed lake table
     val auditT = graft.lakehouse.GraftTable.createEmpty(s,
       java.nio.file.Files.createTempDirectory("graft_audit_trail").toString,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("seq",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("principal",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("action",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("resource",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("outcome",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("detail",
-          org.apache.spark.sql.types.StringType, nullable = false))))
+      AuditLog.schema)
     require(AuditLog.flushTo(s, auditT) > 0, "flush #1 must persist rows")
     def regovern(): Unit = {
       auditT.read().createOrReplaceTempView(

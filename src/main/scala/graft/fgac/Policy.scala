@@ -146,6 +146,21 @@ object AuditLog {
     * delta above the per-table high-water mark (idempotent to re-run,
     * O(new decisions)); production would run it on a timer or commit
     * hook and partition by day. */
+  /** The audit-event row shape — ONE authority shared by
+    * [[flushTo]] and the trail table's DDL (a field added to
+    * [[Event]] must land here once, not be hand-synced across an
+    * inline copy). */
+  val schema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("seq", LongType, nullable = false),
+      StructField("principal", StringType, nullable = false),
+      StructField("action", StringType, nullable = false),
+      StructField("resource", StringType, nullable = false),
+      StructField("outcome", StringType, nullable = false),
+      StructField("detail", StringType, nullable = false)))
+  }
+
   def flushTo(spark: org.apache.spark.sql.SparkSession,
       table: graft.lakehouse.GraftTable): Long = {
     val from: Long =
@@ -154,14 +169,6 @@ object AuditLog {
     if (batch.isEmpty) return 0L
     val rows = batch.map(e => org.apache.spark.sql.Row(
       e.seq, e.principal, e.action, e.resource, e.outcome, e.detail))
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("seq", LongType, nullable = false),
-      StructField("principal", StringType, nullable = false),
-      StructField("action", StringType, nullable = false),
-      StructField("resource", StringType, nullable = false),
-      StructField("outcome", StringType, nullable = false),
-      StructField("detail", StringType, nullable = false)))
     table.append(spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema))
     flushedTo.put(table.location, batch.map(_.seq).max)

@@ -371,6 +371,14 @@ object NativeExprs {
       copy(child = c)
   }
 
+  private def cast(e: Expression, to: DataType): Expression =
+    if (e.dataType == to) e
+    else org.apache.spark.sql.catalyst.expressions.Cast(e, to)
+
+  /** Binary inputs pass through; anything else must already BE
+    * binary — refuse at analysis, never reinterpret bytes. */
+  private def asBin(e: Expression): Expression = cast(e, BinaryType)
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[NativeExprs.type].getName, null, name, usage, "")
 
@@ -394,27 +402,33 @@ object NativeExprs {
       info("graft_minhash128_long",
         "128-wide MinHash signature over hashed shingles"),
       (args: Seq[Expression]) => MinHashFromHashes(args.head, 128)),
+    // the SQL surface casts inputs to the kernels' exact types (an
+    // ARRAY<INT> literal read through getLong would be silently
+    // misread otherwise; ImplicitCastInputTypes is private[sql])
     (FunctionIdentifier("graft_bitset_get"),
       info("graft_bitset_get",
         "bit test against a little-endian bitmap (deletion vectors)"),
-      (args: Seq[Expression]) => BitsetGet(args(0), args(1))),
+      (args: Seq[Expression]) => BitsetGet(asBin(args(0)),
+        cast(args(1), LongType))),
     (FunctionIdentifier("graft_bitset_from_positions"),
       info("graft_bitset_from_positions",
         "little-endian bitmap with the given bigint positions set"),
-      (args: Seq[Expression]) => BitsetFromPositions(args.head)),
+      (args: Seq[Expression]) => BitsetFromPositions(
+        cast(args.head, ArrayType(LongType)))),
     (FunctionIdentifier("graft_bitset_or"),
       info("graft_bitset_or", "byte-wise OR of two bitmaps"),
-      (args: Seq[Expression]) => BitsetOr(args(0), args(1))),
+      (args: Seq[Expression]) => BitsetOr(asBin(args(0)), asBin(args(1)))),
     (FunctionIdentifier("graft_bitset_cardinality"),
       info("graft_bitset_cardinality", "set-bit count of a bitmap"),
-      (args: Seq[Expression]) => BitsetCardinality(args.head)),
+      (args: Seq[Expression]) => BitsetCardinality(asBin(args.head))),
     (FunctionIdentifier("graft_bitset_andnot"),
       info("graft_bitset_andnot", "a AND NOT b of two bitmaps"),
-      (args: Seq[Expression]) => BitsetAndNot(args(0), args(1))),
+      (args: Seq[Expression]) => BitsetAndNot(asBin(args(0)),
+        asBin(args(1)))),
     (FunctionIdentifier("graft_bitset_positions"),
       info("graft_bitset_positions",
         "ascending set-bit positions of a bitmap as ARRAY<BIGINT>"),
-      (args: Seq[Expression]) => BitsetPositions(args.head)),
+      (args: Seq[Expression]) => BitsetPositions(asBin(args.head))),
     (FunctionIdentifier("graft_jaccard_sorted"),
       info("graft_jaccard_sorted",
         "Jaccard similarity of two sorted distinct bigint arrays"),

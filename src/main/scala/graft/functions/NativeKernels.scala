@@ -290,8 +290,17 @@ object NativeKernels {
     val n = arr.numElements()
     var max = -1L
     var i = 0
-    while (i < n) { val p = arr.getLong(i); if (p > max) max = p; i += 1 }
-    if (max < 0) return Array.emptyByteArray
+    while (i < n) {
+      val p = arr.getLong(i)
+      // loud, not AIOOBE / silent Int wrap: the SQL surface accepts
+      // arbitrary bigints
+      require(p >= 0, s"bitmap position must be non-negative: $p")
+      if (p > max) max = p
+      i += 1
+    }
+    if (n == 0) return Array.emptyByteArray
+    require(max < (Int.MaxValue.toLong << 3),
+      s"bitmap position $max exceeds the 2^34-row addressable range")
     val out = new Array[Byte]((max >>> 3).toInt + 1)
     i = 0
     while (i < n) {

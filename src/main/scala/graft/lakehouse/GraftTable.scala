@@ -1313,7 +1313,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         .select(col("_file").as(GraftTable.DvFileCol),
           col("_bitmap").as(GraftTable.DvBitmapCol))
       val hinted =
-        if (dvBytes(snap) <= GraftTable.PosDelBroadcastBytes)
+        if (dvHeapBytes(snap).exists(_ <= GraftTable.PosDelBroadcastBytes))
           broadcast(dv)
         else dv
       eq.join(hinted,
@@ -1707,18 +1707,23 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       val (dvNewT, dvGoneT) = {
         import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
         import graft.functions.NativeExprs
-        def bits(s: Snapshot): DataFrame =
-          if (s.dvs.isEmpty)
+        def bits(s: Snapshot): DataFrame = {
+          // restrict the READ to the moved files' blobs (the pointer
+          // map names them exactly); reading every referenced blob
+          // and filtering after would touch the whole vector set to
+          // diff one moved pointer
+          val onlyMoved = s.dvs.view
+            .filterKeys(dvMovedFiles.toSet).toMap
+          if (onlyMoved.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
               StructType(Seq(
                 org.apache.spark.sql.types.StructField("_file",
                   org.apache.spark.sql.types.StringType),
                 org.apache.spark.sql.types.StructField("_bitmap",
                   org.apache.spark.sql.types.BinaryType))))
-          else currentDvRelation(s)
-            .where(col("_file")
-              .isin(dvMovedFiles.map(metaPath): _*))
+          else currentDvRelation(s.copy(dvs = onlyMoved))
             .select(col("_file"), col("_bitmap"))
+        }
         if (dvMovedFiles.isEmpty) (tombRows(Nil), tombRows(Nil))
         else {
           val joined = bits(from).withColumnRenamed("_bitmap", "_bm_from")
@@ -2583,7 +2588,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         val old = currentDvRelation(snap)
           .withColumnRenamed("_bitmap", "_old")
         val hinted =
-          if (dvBytes(snap) <= GraftTable.PosDelBroadcastBytes)
+          if (dvHeapBytes(snap).exists(_ <= GraftTable.PosDelBroadcastBytes))
             broadcast(old)
           else old
         newBits.join(hinted, Seq("_file"), "left")
@@ -2677,13 +2682,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         "left_semi")
   }
 
-  /** Total on-disk bytes of `snap`'s referenced DV blobs — the
-    * broadcast-vs-shuffle gate datum (stat'ed once at commit,
-    * [[Snapshot.dvSizes]]). */
-  private def dvBytes(snap: Snapshot): Long =
-    snap.dvs.values.toSeq.distinct.map(b =>
-      snap.dvSizes.getOrElse(b, fs.getFileStatus(new Path(b)).getLen))
-      .sum
+  /** Upper bound on the IN-MEMORY bytes of `snap`'s current bitmaps
+    * (a file's bitmap is ≤ rows/8 + 1 bytes, rows from the manifest's
+    * footer harvest) — the broadcast-vs-shuffle gate datum. On-disk
+    * blob size would be wrong here: parquet compresses dense 0xFF
+    * runs by orders of magnitude, so a heavily-deleted table's tiny
+    * blobs can hide a multi-GB broadcast. None when any vectored
+    * file lacks a recorded row count — the caller must not
+    * broadcast what it cannot bound. */
+  private def dvHeapBytes(snap: Snapshot): Option[Long] = {
+    val per = snap.dvs.keys.toSeq.map(f =>
+      snap.fileRows.get(f).map(_ / 8 + 1))
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
 
   /** Merge-on-read UPDATE via position tombstones: the matched rows
     * (scanned from the LIVE view, stats-candidate files only)

@@ -243,13 +243,14 @@ object Spj {
           Some("position tombstones exceed the skip-list gate " +
             "(OPTIMIZE … REWRITE DELETES, or compact() to materialize)")
         // deletion vectors ride the same per-split skip lists; the
-        // expansion is 8 bytes per SET BIT, so gate on blob bytes ×64
-        // (the worst case: every bit set) — beyond it, refuse toward
-        // maintenance like the tombstone leg
-        else if (snap.dvs.values.exists(b => !snap.dvSizes.contains(b)))
-          Some("deletion vectors without recorded sizes")
-        else if (snap.dvs.values.toSeq.distinct
-            .map(snap.dvSizes).sum * 64L >
+        // expansion is EXACTLY 8 bytes per set bit, and set-bit
+        // counts are manifest-recorded (dvCards) — gating on blob
+        // bytes would be wrong in both directions (parquet compresses
+        // dense 0xFF runs by orders of magnitude, so a 99%-deleted
+        // file's tiny blob hides an ~8×rows expansion)
+        else if (snap.dvs.keys.exists(f => !snap.dvCards.contains(f)))
+          Some("deletion vectors without recorded cardinality")
+        else if (snap.dvCards.values.sum * 8L >
             GraftTable.PosDelBroadcastBytes)
           Some("deletion vectors exceed the skip-list gate " +
             "(compact() to materialize)")

@@ -185,7 +185,12 @@ object StreamingOps {
     val wm1 = onTime
       .crossJoin(broadcast(events.agg(max(col("ts")).as("__mx"))))
       .filter(col("ts") <= col("__mx") - expr("INTERVAL 2 DAYS"))
-      .agg((max(col("ts")) - expr(s"INTERVAL $delay")).as("__wm1"))
+      // an EMPTY wave 1 (event span < 2 days) establishes no
+      // watermark, so the straggler batch admits everything — the
+      // epoch floor keeps the NULL max from silently dropping all
+      // stragglers instead (a NULL comparison filters every row)
+      .agg(coalesce(max(col("ts")) - expr(s"INTERVAL $delay"),
+        lit("1970-01-01 00:00:00").cast("timestamp")).as("__wm1"))
     // the TimeWindowing rule materializes an inline window() as an
     // extra struct column — project back to the event columns
     val admitted = events.filter(isLate).crossJoin(broadcast(wm1))

@@ -2922,7 +2922,8 @@ class LakehouseSpec extends AnyFunSuite {
     // the normal read path agrees with the SPJ path row for row
     assert(live.select("k").as[Long].collect().sorted.sameElements(
       t.read().select("k").as[Long].collect().sorted))
-    // beyond the (×64-expanded) gate the zero-Exchange path refuses
+    // beyond the cardinality gate (8 B per recorded set bit) the
+    // zero-Exchange path refuses
     // toward maintenance instead of expanding unbounded bitmaps
     sys.props("graft.posdel.broadcast.bytes") = "1"
     try {
