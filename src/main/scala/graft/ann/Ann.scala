@@ -120,7 +120,11 @@ object Ann {
     * scales linearly with tables. Deterministic planes → exact DuckDB
     * oracle (the ±1 plane literals are embedded in the generated
     * SQL); AnnSpec additionally measures recall vs [[bruteforce]]. */
-  private val lsh: Q = (s, d) => {
+  /** LSH candidate generation + exact verify, shared by the top-k
+    * ([[lsh]]) and range ([[range]]) acceptance rules: (q_id,
+    * vec_id, cos) for every bucket-colliding pair, deduped across
+    * tables, scored once. */
+  private def lshScored(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
     val sigd = c.select(
       (Seq(col("vec_id"), col("v"), col("nrm")) ++
@@ -133,15 +137,36 @@ object Ann {
     val qBuckets = cBuckets.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
         col("nrm").as("q_nrm"), col("t").as("q_t"), col("sig").as("q_sig"))
-    val cand = cBuckets.join(qBuckets,
+    cBuckets.join(qBuckets,
         col("t") === col("q_t") && col("sig") === col("q_sig") &&
           col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
         col("q_v"), col("q_nrm"))
       .dropDuplicates("q_id", "vec_id")
       .withColumn("cos", cosine(col("v"), col("q_v"), col("nrm"), col("q_nrm")))
-    topK(s, cand)
   }
+
+  private val lsh: Q = (s, d) => topK(s, lshScored(s, d))
+
+  private val RangeTau = 0.35
+
+  /** RANGE (radius) search — the threshold dual of top-k (FAISS's
+    * `range_search`; the "find ALL near-duplicates of this item"
+    * shape): every corpus vector whose cosine with the query is
+    * ≥ τ, discovered through the SAME LSH structure as [[lsh]] —
+    * the index prunes by direction, so one bucket build serves both
+    * APIs and only the acceptance rule differs (rank cut vs
+    * threshold). Candidates come only from colliding buckets, one
+    * exact cosine verifies each, and the output is bounded by the
+    * true neighborhood size, not an arbitrary k — at 100 TB the
+    * range scan touches |collisions| rows, never the corpus.
+    * Deterministic planes → the oracle reproduces buckets and
+    * verify exactly; AnnSpec gates recall vs the exact threshold
+    * scan. */
+  private val range: Q = (s, d) =>
+    lshScored(s, d).filter(col("cos") >= RangeTau)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .orderBy(col("q_id"), col("neighbor_id"))
 
   /** Element-wise decimal-exact mean vector per cell (deterministic
     * across shuffle layouts, unlike a double mean). One shuffle on
@@ -639,6 +664,7 @@ object Ann {
     "ann_bruteforce" -> bruteforce,
     "ann_filtered" -> filtered,
     "ann_lsh" -> lsh,
+    "ann_range" -> range,
     "ann_ivf" -> ivf,
     "ann_ivf_kmeans" -> ivfKmeans,
     "ann_pq" -> pq,
@@ -720,6 +746,27 @@ object Ann {
          |     ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM s)
          |SELECT q_id, vec_id AS neighbor_id, rank FROM r
          |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // same buckets + verify as ann_lsh; only the acceptance rule
+    // differs (threshold instead of rank cut)
+    "ann_range" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+         |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[])) > 0),
+         | sg AS (SELECT vec_id, v,
+         |   [${(0 until LshTables).map(sigSql).mkString(",")}] AS sigs FROM e),
+         | cb AS (SELECT vec_id, v, UNNEST(range($LshTables)) AS t,
+         |   UNNEST(sigs) AS sig FROM sg),
+         | qb AS (SELECT vec_id AS q_id, t, sig FROM cb
+         |   WHERE vec_id < $NumQueries),
+         | cand AS (SELECT DISTINCT qb.q_id, cb.vec_id
+         |  FROM cb JOIN qb ON cb.t = qb.t AND cb.sig = qb.sig
+         |    AND cb.vec_id <> qb.q_id),
+         | s AS (SELECT c.q_id, c.vec_id,
+         |   list_cosine_similarity(e1.v, e2.v) AS cos
+         |  FROM cand c JOIN e e1 ON e1.vec_id = c.vec_id
+         |   JOIN e e2 ON e2.vec_id = c.q_id)
+         |SELECT q_id, vec_id AS neighbor_id FROM s WHERE cos >= $RangeTau
+         |ORDER BY q_id, neighbor_id""".stripMargin,
     // Bit-exact replica of the label-cell IVF: decimal(28,18)-exact
     // centroid means reproduce Spark's decimal aggregation, then the
     // same top-3 probe and top-k rank.

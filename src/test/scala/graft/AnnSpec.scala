@@ -26,6 +26,32 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall too low: $recall%.2f")
   }
 
+  test("range search: exact on candidates, decent recall vs true range") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val got = pairs("ann_range")
+    // the exact τ-neighborhood via a brute-force threshold scan
+    val e = Tables.parallel(Tables.embeddings(spark, sf))
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("nrm", graft.functions.TextFunctions.l2norm(col("v")))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"))
+    val trueRange = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .filter(graft.functions.TextFunctions.cosine(
+        col("v"), col("q_v"), col("nrm"), col("q_nrm")) >= 0.35)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(trueRange),
+      "every emitted pair must truly be in range (exact verify)")
+    val recall =
+      if (trueRange.isEmpty) 1.0
+      else (got & trueRange).size.toDouble / trueRange.size
+    info(f"ann_range recall = $recall%.2f (${trueRange.size} true pairs)")
+    assert(recall >= 0.5, f"range recall too low: $recall%.2f")
+  }
+
   test("IVF recall@5 against exact top-5") {
     val got = pairs("ann_ivf")
     val recall = (got & exact).size.toDouble / exact.size
