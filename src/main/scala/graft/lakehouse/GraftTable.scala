@@ -3917,6 +3917,46 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       refSnap = Some(snap), posDelsOverride = Some(snap.posDels))
   }
 
+  /** Cherry-pick snapshot `id`'s APPEND onto the current head
+    * (Iceberg's `cherrypick_snapshot` procedure) — the recovery tool
+    * after a [[rollback]] that had to drop good commits along with a
+    * bad one: re-applies exactly the files the snapshot added, by
+    * reference, as a new commit. Metadata-only (the data files are
+    * already on storage; column stats carry from the picked
+    * snapshot's manifest). Only append/create snapshots are
+    * pickable — a rewrite or delete changes EXISTING rows, and
+    * replaying its file list against a different head would silently
+    * corrupt (Iceberg refuses the same way); schema or partition
+    * drift between the pick and the head refuses loudly, as does a
+    * pick whose files are already live (double application). */
+  def cherryPick(id: Long): Long = {
+    val snap = snapshot(id)
+    require(snap.op == "append" || snap.op == "create",
+      s"cherry-pick supports append snapshots, not '${snap.op}' " +
+        "(a rewrite/delete changes existing rows; replay the " +
+        "operation against the current head instead)")
+    val parentFiles =
+      if (snap.parent > 0) snapshot(snap.parent).files.toSet
+      else Set.empty[String]
+    val added = snap.files.filterNot(parentFiles)
+    val cur = currentSnapshot
+    require(snap.schema == cur.schema,
+      "cherry-pick across a schema change: align schemas first")
+    require(snap.partitionCols == cur.partitionCols,
+      "cherry-pick across a partition-spec change is undefined")
+    val dup = added.filter(cur.files.toSet)
+    require(dup.isEmpty,
+      s"snapshot $id is already applied (e.g. ${dup.headOption.getOrElse("")})")
+    // stats/rows/sizes for the picked files live in the PICKED
+    // snapshot's manifest — pass it as sizesExtra-equivalent via
+    // refSnap? No: refSnap would also replace the delete/rename
+    // carries. The commit's footer harvest covers files missing from
+    // the parent's stats on the bounded pool — O(picked files), the
+    // same cost an append of those files paid.
+    commit("cherry-pick", cur.schema, cur.files ++ added,
+      cur.partitionCols, expectedParent = cur.id)
+  }
+
   // ---- write-audit-publish (staged commits) ------------------------
 
   private def stagedPath(token: String) = new Path(metaDir, s"staged-$token.meta")

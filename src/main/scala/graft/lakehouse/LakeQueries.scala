@@ -878,6 +878,38 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Cherry-pick (Iceberg's `cherrypick_snapshot` procedure) — the
+    * rollback-recovery scenario: a BAD append lands between good
+    * commits, the rollback that removes it also drops the good
+    * append that followed, and `ALTER TABLE … CHERRYPICK SNAPSHOT n`
+    * re-applies exactly the good snapshot's files by reference
+    * (metadata-only; require()d: the bad rows stay gone, the good
+    * rows return, no data file is written twice). Refusal matrix in
+    * LakehouseSpec: non-append snapshots, double application, schema
+    * drift. */
+  private val cherryPick: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_cpick"),
+      orders.filter(col("o_orderkey") % 3 === 0))        // snap 1
+    t.append(orders.filter(col("o_orderkey") % 3 === 1)  // snap 2: BAD
+      .withColumn("o_totalprice", col("o_totalprice") * -1))
+    t.append(orders.filter(col("o_orderkey") % 3 === 2)) // snap 3: good
+    val goodFiles = t.currentSnapshot.files.toSet
+    LakeRegistry.register("lake_cpick_t", t)
+    s.sql("RESTORE TABLE lake_cpick_t TO VERSION AS OF 1")
+    require(t.read().count() ==
+      orders.filter(col("o_orderkey") % 3 === 0).count(),
+      "rollback must drop both appends")
+    s.sql("ALTER TABLE lake_cpick_t CHERRYPICK SNAPSHOT 3")
+    require(t.currentSnapshot.files.toSet.subsetOf(goodFiles),
+      "cherry-pick must re-apply by reference, never rewrite")
+    require(s.sql(
+        "SELECT count(*) FROM lake_cpick_t WHERE o_totalprice < 0")
+      .head.getLong(0) == 0L, "the bad append must stay gone")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Three snapshots, expire to the latest: data intact, history and
     * orphaned files physically gone. */
   private val expire: Q = (s, dir) => {
@@ -1929,6 +1961,7 @@ object LakeQueries {
     "lake_cdc_mor"          -> cdcMor,
     "lake_cdc_dv"           -> cdcDv,
     "lake_delete_files"     -> deleteFiles,
+    "lake_cherry_pick"      -> cherryPick,
     "lake_compaction"       -> compaction,
     "lake_analyze"          -> analyzeQ,
     "lake_orphan_files"     -> orphanQ,
@@ -2146,6 +2179,12 @@ object LakeQueries {
         |ORDER BY _change_type, o_orderkey""".stripMargin,
     // identical DML semantics again — merge-on-read emits tombstones
     // instead of rewrites, but the NET changelog is the same relation
+    // the %3=0 cohort plus the cherry-picked %3=2 append; the bad
+    // %3=1 append stays rolled back
+    "lake_cherry_pick" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 2
+        |ORDER BY o_orderkey""".stripMargin,
     // per-kind deleted-row totals: vector counted the F rows, the
     // position delete counted the cheap NON-F survivors (it scanned
     // the live view), equality is honestly NULL

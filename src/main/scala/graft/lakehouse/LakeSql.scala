@@ -708,6 +708,10 @@ object LakeMaintenance {
   // `target` to `source`'s head (ancestry-checked in the table API)
   private val FastForward =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+FAST\s+FORWARD\s+(\w+)\s+(\w+)\s*;?\s*""".r
+  // Iceberg's cherrypick_snapshot procedure: re-apply one append
+  // snapshot's files onto the current head (rollback recovery)
+  private val CherryPick =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CHERRYPICK\s+SNAPSHOT\s+(\d+)\s*;?\s*""".r
 
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -740,6 +744,9 @@ object LakeMaintenance {
       case FastForward(name, target, source)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftFastForwardCommand(name.toLowerCase, target, source))
+      case CherryPick(name, id)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftCherryPickCommand(name.toLowerCase, id.toLong))
       case RewriteManifests(name)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRewriteManifestsCommand(name.toLowerCase))
@@ -914,6 +921,20 @@ case class GraftRestoreCommand(name: String, id: Option[Long],
       "RESTORE")
     val t = LakeRegistry.get(name).get
     t.rollback(id.getOrElse(t.headOf(ref.get)))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t CHERRYPICK SNAPSHOT <id>` (Iceberg's
+  * `cherrypick_snapshot` procedure): re-apply one append snapshot's
+  * files onto the current head — rollback recovery, metadata-only. */
+case class GraftCherryPickCommand(name: String, id: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "CHERRYPICK")
+    LakeRegistry.get(name).get.cherryPick(id)
     Seq.empty
   }
 }

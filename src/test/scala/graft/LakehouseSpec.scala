@@ -2759,6 +2759,27 @@ class LakehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.analyzeColumns(Seq("nope")))
   }
 
+  test("cherry-pick: append-only, no double application, schema-drift refused") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0))) // snap 1
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))     // snap 2
+    t.append(Seq((4L, "d", 4.0)).toDF("k", "tag", "v"))     // snap 3
+    t.rollback(1)                                           // drops 2+3
+    assert(t.read().count() == 2)
+    t.cherryPick(3) // recover snap 3's append without snap 2's
+    assert(t.read().select("k").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 4L)))
+    // double application refused (files already live)
+    intercept[IllegalArgumentException](t.cherryPick(3))
+    // non-append snapshots refused: a delete changes existing rows
+    t.delete("k = 4")
+    intercept[IllegalArgumentException](
+      t.cherryPick(t.currentSnapshotId))
+    // schema drift refused
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("extra",
+      org.apache.spark.sql.types.StringType)))
+    intercept[IllegalArgumentException](t.cherryPick(2))
+  }
+
   test("deletion vectors: bit-probe reads, overlap merges, guards compose") {
     // one data file per commit, so the second DELETE provably
     // re-touches the first DELETE's file (the merge leg under test)
