@@ -752,7 +752,54 @@ object Relational {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** Time-series LINEAR INTERPOLATION — the bidirectional complement
+    * of [[q43]]'s LOCF: each missing hour takes the line between its
+    * nearest observed neighbors, v = prev + (next−prev)·Δt/span
+    * (leading/trailing gaps fall back to the one known side). Four
+    * ignore-nulls windows over the SAME metadata-scale grid (last/
+    * first value and their hours, forward + backward frames), each
+    * O(1) state per key — the events never re-shuffle, and the
+    * arithmetic is shaped identically to the oracle's so the
+    * interpolated doubles compare bit-exact. */
+  private val q44: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("hv"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val back = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Long.MinValue, 0)
+    val fwd = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(0, Long.MaxValue)
+    val obsH = when(col("hv").isNotNull, col("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), col("hv"),
+        last(col("hv"), ignoreNulls = true).over(back).as("pv"),
+        last(obsH, ignoreNulls = true).over(back).as("ph"),
+        first(col("hv"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsH, ignoreNulls = true).over(fwd).as("nh"))
+      .select(col("event_type"), col("h"),
+        when(col("hv").isNotNull, col("hv"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("h").cast("long") - col("ph").cast("long"))
+              .cast("double") /
+              (col("nh").cast("long") - col("ph").cast("long"))
+                .cast("double"))).as("v"),
+        col("hv").isNull.as("filled"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_interpolate" -> q44,
     "q43_resample" -> q43,
     "q39_unpivot" -> q39, "q40_lateral" -> q40,
     "q41_string_agg" -> q41, "q42_try_arith" -> q42,
@@ -802,6 +849,48 @@ object Relational {
         |  count(*) AS n_nations
         |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    // same grid; the interpolation arithmetic is shaped identically
+    // (pv + (nv-pv) * (dt/span), epoch-second casts) so the doubles
+    // compare bit-exactly
+    "q44_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hv
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |             date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (
+        |  SELECT t.event_type,
+        |    UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM events) t, b),
+        |j AS (
+        |  SELECT g.event_type, g.h, hv FROM grid g
+        |  LEFT JOIN hourly
+        |    ON hourly.event_type = g.event_type AND hourly.h = g.h),
+        |w AS (
+        |  SELECT event_type, h, hv,
+        |    LAST_VALUE(hv IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    LAST_VALUE(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    FIRST_VALUE(hv IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT event_type, h,
+        |  CASE WHEN hv IS NOT NULL THEN hv
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) *
+        |         (CAST(epoch(h) - epoch(ph) AS DOUBLE) /
+        |          CAST(epoch(nh) - epoch(ph) AS DOUBLE)) END AS v,
+        |  hv IS NULL AS filled
+        |FROM w ORDER BY event_type, h""".stripMargin,
     // same grid + LOCF; decimal-exact hourly sums make the filled
     // doubles bit-identical across engines
     "q43_resample" ->

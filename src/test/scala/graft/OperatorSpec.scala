@@ -228,4 +228,29 @@ class OperatorSpec extends AnyFunSuite {
     // observed row is ever altered by the fill
     assert(out.exists(_.getBoolean(3)))
   }
+
+  test("q44 interpolation: filled points sit on the neighbor line") {
+    val out = SparkEntry.queries("q44_interpolate")(spark, sf).collect()
+    assert(out.exists(_.getBoolean(3)), "gaps must exist to fill")
+    out.groupBy(_.getString(0)).foreach { case (t, rows0) =>
+      val rows = rows0.sortBy(_.getTimestamp(1).getTime)
+      rows.zipWithIndex.filter(_._1.getBoolean(3)).foreach { case (r, i) =>
+        val prev = rows.take(i).reverse.find(!_.getBoolean(3))
+        val next = rows.drop(i + 1).find(!_.getBoolean(3))
+        (prev, next) match {
+          case (Some(p), Some(n)) =>
+            val (t0, t1, tm) = (p.getTimestamp(1).getTime.toDouble,
+              n.getTimestamp(1).getTime.toDouble,
+              r.getTimestamp(1).getTime.toDouble)
+            val want = p.getDouble(2) +
+              (n.getDouble(2) - p.getDouble(2)) * ((tm - t0) / (t1 - t0))
+            assert(math.abs(r.getDouble(2) - want) < 1e-9,
+              s"$t@${r.getTimestamp(1)}: ${r.getDouble(2)} vs $want")
+          case (Some(p), None) => assert(r.getDouble(2) == p.getDouble(2), t)
+          case (None, Some(n)) => assert(r.getDouble(2) == n.getDouble(2), t)
+          case _ => fail(s"$t: a gap with no observation at all")
+        }
+      }
+    }
+  }
 }
