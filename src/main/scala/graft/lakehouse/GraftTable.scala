@@ -3377,6 +3377,40 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       snap.partitionCols, expectedParent = snap.id)
   }
 
+  /** Partition-scoped compaction (Iceberg's `rewrite_data_files`
+    * with a row filter; Delta's `OPTIMIZE t WHERE …`): rewrite ONLY
+    * the files the predicate's manifest pruning (column stats ∧
+    * partition values) selects, carrying every other file by
+    * reference — the routine-maintenance shape at 100 TB, where
+    * "compact yesterday's partition" must cost yesterday's bytes,
+    * not the table's. Correct for ANY candidate subset by
+    * construction (whole files rewrite; no row is ever dropped).
+    * Pending merge-on-read deletes refuse like binpack (a rewritten
+    * row's new add-sequence would detach their scoping); the rename
+    * log is RETAINED (carried files still hold old physical names).
+    * No-ops without a commit when fewer than two files match. */
+  def compactWhere(predSql: String, numFiles: Int = 1): Long = {
+    val snap = currentSnapshot
+    require(snap.dels.isEmpty && snap.posDels.isEmpty && snap.dvs.isEmpty,
+      "scoped compaction with pending merge-on-read deletes would " +
+        "detach their scoping; run compact() to materialize them first")
+    val cand = dmlCandidates(snap, predSql)
+    if (cand.size <= 1) return snap.id
+    val candSet = cand.map(normalize).toSet
+    val carried = snap.files.filterNot(f => candSet(normalize(f)))
+    val id = currentSnapshotId + 1
+    // partitioned tables pack per partition through the write path's
+    // hash clustering (same shape and tradeoff as [[compactSmall]])
+    val packed =
+      if (snap.partitionCols.isEmpty)
+        readFilesMapped(snap, cand).repartition(numFiles)
+      else readFilesMapped(snap, cand)
+    commit("compact-where", snap.schema,
+      carried ++ writeData(packed, id, snap.partitionCols,
+        widen = snap.partitionCols.nonEmpty),
+      snap.partitionCols, expectedParent = snap.id)
+  }
+
   /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`,
     * Iceberg's snapshot-ref pattern): a NEW table at `newRoot` whose
     * first snapshot references the source's current data files,

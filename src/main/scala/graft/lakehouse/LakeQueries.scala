@@ -878,6 +878,40 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Partition-scoped compaction (`OPTIMIZE t WHERE …` — Delta's
+    * filtered OPTIMIZE, Iceberg's rewrite_data_files with a row
+    * filter): three appends fragment every o_orderstatus partition,
+    * then the scoped OPTIMIZE compacts ONLY the 'F' partition —
+    * require()d: every non-F file carries by reference untouched,
+    * the F files rewrite into fewer, and the data is byte-identical
+    * (the oracle). At 100 TB this is THE maintenance economics:
+    * compacting yesterday's partition costs yesterday's bytes, and
+    * the candidate set comes from manifest pruning (partition values
+    * ∧ column stats), never a storage listing or a data scan. */
+  private val compactWhere: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_cw"),
+      orders.filter(col("o_orderkey") % 3 === 0),
+      partitionBy = Seq("o_orderstatus"))
+    (1 to 2).foreach(i =>
+      t.append(orders.filter(col("o_orderkey") % 3 === i)))
+    LakeRegistry.register("lake_cw_t", t)
+    val snap = t.currentSnapshot
+    def fPart(f: String) = f.contains("o_orderstatus=F")
+    val (fBefore, otherBefore) = snap.files.partition(fPart)
+    require(fBefore.size >= 3, "the F partition must be fragmented")
+    s.sql("OPTIMIZE lake_cw_t WHERE o_orderstatus = 'F'")
+    val after = t.currentSnapshot.files
+    val (fAfter, otherAfter) = after.partition(fPart)
+    require(otherAfter.toSet == otherBefore.toSet,
+      "scoped compaction must carry every non-matching file untouched")
+    require(fAfter.size < fBefore.size &&
+      fAfter.toSet.intersect(fBefore.toSet).isEmpty,
+      "the matching partition must rewrite into fewer, fresh files")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Cherry-pick (Iceberg's `cherrypick_snapshot` procedure) — the
     * rollback-recovery scenario: a BAD append lands between good
     * commits, the rollback that removes it also drops the good
@@ -1962,6 +1996,7 @@ object LakeQueries {
     "lake_cdc_dv"           -> cdcDv,
     "lake_delete_files"     -> deleteFiles,
     "lake_cherry_pick"      -> cherryPick,
+    "lake_compact_where"    -> compactWhere,
     "lake_compaction"       -> compaction,
     "lake_analyze"          -> analyzeQ,
     "lake_orphan_files"     -> orphanQ,
@@ -2179,6 +2214,10 @@ object LakeQueries {
         |ORDER BY _change_type, o_orderkey""".stripMargin,
     // identical DML semantics again — merge-on-read emits tombstones
     // instead of rewrites, but the NET changelog is the same relation
+    // scoped compaction never changes data
+    "lake_compact_where" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     // the %3=0 cohort plus the cherry-picked %3=2 append; the bad
     // %3=1 append stays rolled back
     "lake_cherry_pick" ->

@@ -692,6 +692,10 @@ object LakeMaintenance {
     """(?is)\s*OPTIMIZE\s+(\w+)\s+REWRITE\s+MANIFESTS\s*;?\s*""".r
   private val Binpack =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+BINPACK\s+(\d+)\s*;?\s*""".r
+  // Delta's `OPTIMIZE t WHERE <pred>` / Iceberg's filtered
+  // rewrite_data_files: compact only the predicate's pruned files
+  private val OptimizeWhere =
+    """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?(?:\s+(SORT|ZORDER)\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Vacuum =
@@ -756,6 +760,10 @@ object LakeMaintenance {
       case Binpack(name, bytes)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftBinpackCommand(name.toLowerCase, bytes.toLong))
+      case OptimizeWhere(name, files, pred)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftCompactWhereCommand(name.toLowerCase,
+          Option(files).map(_.toInt).getOrElse(1), pred))
       case Optimize(name, files, mode, cols)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         val n = Option(files).map(_.toInt).getOrElse(8)
@@ -921,6 +929,20 @@ case class GraftRestoreCommand(name: String, id: Option[Long],
       "RESTORE")
     val t = LakeRegistry.get(name).get
     t.rollback(id.getOrElse(t.headOf(ref.get)))
+    Seq.empty
+  }
+}
+
+/** `OPTIMIZE t [FILES n] WHERE <pred>` — partition/stats-scoped
+  * compaction ([[GraftTable.compactWhere]]): only the predicate's
+  * manifest-pruned files rewrite; everything else carries. */
+case class GraftCompactWhereCommand(name: String, files: Int,
+    pred: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "OPTIMIZE")
+    LakeRegistry.get(name).get.compactWhere(pred, files)
     Seq.empty
   }
 }
