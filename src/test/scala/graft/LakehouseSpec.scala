@@ -2921,6 +2921,29 @@ class LakehouseSpec extends AnyFunSuite {
     graft.lakehouse.LakeRegistry.unregister("dvdml_t")
   }
 
+  test("deletion vectors compose with branch isolation and publish") {
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_dvbr").toString,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("k", "tag", "v").repartition(1))
+    t.createBranch("etl")
+    // the vector DELETE lands ON the branch through the refs CAS
+    val dev = t.onBranch("etl")
+    dev.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector"))
+    dev.deleteMoRDv("k <= 2")
+    assert(dev.currentSnapshot.dvs.nonEmpty)
+    assert(dev.read().select("k").as[Long].collect().sameElements(Array(3L)),
+      "the branch live view must apply its vectors")
+    assert(t.read().count() == 3,
+      "main readers must not see unpublished branch vectors")
+    // publish: main fast-forwards onto the vectored head
+    t.fastForward("main", "etl")
+    assert(t.read().select("k").as[Long].collect().sameElements(Array(3L)),
+      "published main must read through the branch's vectors")
+    assert(t.currentSnapshot.dvs.nonEmpty)
+  }
+
   test("deletion vectors ride the SPJ skip lists and its byte gate") {
     import graft.lakehouse.{LakeRegistry, Spj}
     val t = GraftTable.create(spark,
