@@ -735,9 +735,11 @@ object Relational {
     val hourly = ev
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("hv"))
-    val bounds = ev.agg(
-      date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
+    // bounds derive from the hourly aggregate (min of truncated
+    // hours == truncated min ts) — Catalyst column-prunes each grid
+    // input to its own narrow scan (ts-only, type-only), so no
+    // consumer ever rereads the wide event rows
+    val bounds = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
     val grid = hourly.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
@@ -767,9 +769,11 @@ object Relational {
     val hourly = ev
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("hv"))
-    val bounds = ev.agg(
-      date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
+    // bounds derive from the hourly aggregate (min of truncated
+    // hours == truncated min ts) — Catalyst column-prunes each grid
+    // input to its own narrow scan (ts-only, type-only), so no
+    // consumer ever rereads the wide event rows
+    val bounds = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
     val grid = hourly.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
