@@ -115,11 +115,6 @@ object Ann {
     bits.reduce(_ + _)
   }
 
-  /** Sign-random-projection LSH. Recall is tuned by (tables, bits):
-    * 16×4 gives ≳0.9 recall@5 at cos≈0.4 on random data; memory
-    * scales linearly with tables. Deterministic planes → exact DuckDB
-    * oracle (the ±1 plane literals are embedded in the generated
-    * SQL); AnnSpec additionally measures recall vs [[bruteforce]]. */
   /** LSH candidate generation + exact verify, shared by the top-k
     * ([[lsh]]) and range ([[range]]) acceptance rules: (q_id,
     * vec_id, cos) for every bucket-colliding pair, deduped across
@@ -146,6 +141,12 @@ object Ann {
       .withColumn("cos", cosine(col("v"), col("q_v"), col("nrm"), col("q_nrm")))
   }
 
+  /** Sign-random-projection LSH top-k. Recall is tuned by (tables,
+    * bits): 16×4 gives ≳0.9 recall@5 at cos≈0.4 on random data;
+    * memory scales linearly with tables. Deterministic planes →
+    * exact DuckDB oracle (the ±1 plane literals are embedded in the
+    * generated SQL); AnnSpec additionally measures recall vs
+    * [[bruteforce]]. */
   private val lsh: Q = (s, d) => topK(s, lshScored(s, d))
 
   private val RangeTau = 0.35
@@ -675,6 +676,27 @@ object Ann {
 
   /** The exact top-k as DuckDB CTEs, shared by the brute-force oracle
     * and the k-means decision-row oracle. */
+  /** The LSH bucket build + exact verify as DuckDB CTEs — ONE
+    * authority shared by the `ann_lsh` and `ann_range` oracles (the
+    * two differ only in their acceptance rule). */
+  private def lshCtes: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+       |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[])) > 0),
+       | sg AS (SELECT vec_id, v,
+       |   [${(0 until LshTables).map(sigSql).mkString(",")}] AS sigs FROM e),
+       | cb AS (SELECT vec_id, v, UNNEST(range($LshTables)) AS t,
+       |   UNNEST(sigs) AS sig FROM sg),
+       | qb AS (SELECT vec_id AS q_id, t, sig FROM cb
+       |   WHERE vec_id < $NumQueries),
+       | cand AS (SELECT DISTINCT qb.q_id, cb.vec_id
+       |  FROM cb JOIN qb ON cb.t = qb.t AND cb.sig = qb.sig
+       |    AND cb.vec_id <> qb.q_id),
+       | s AS (SELECT c.q_id, c.vec_id,
+       |   list_cosine_similarity(e1.v, e2.v) AS cos
+       |  FROM cand c JOIN e e1 ON e1.vec_id = c.vec_id
+       |   JOIN e e2 ON e2.vec_id = c.q_id)""".stripMargin
+
   private def bruteforceCtes: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
        |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -725,22 +747,7 @@ object Ann {
     // hyperplanes are embedded as literals, bucket signatures and the
     // band join reproduce in SQL, candidates rank by cosine.
     "ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
-         |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
-         |                          CAST(embedding AS DOUBLE[])) > 0),
-         | sg AS (SELECT vec_id, v,
-         |   [${(0 until LshTables).map(sigSql).mkString(",")}] AS sigs FROM e),
-         | cb AS (SELECT vec_id, v, UNNEST(range($LshTables)) AS t,
-         |   UNNEST(sigs) AS sig FROM sg),
-         | qb AS (SELECT vec_id AS q_id, t, sig FROM cb
-         |   WHERE vec_id < $NumQueries),
-         | cand AS (SELECT DISTINCT qb.q_id, cb.vec_id
-         |  FROM cb JOIN qb ON cb.t = qb.t AND cb.sig = qb.sig
-         |    AND cb.vec_id <> qb.q_id),
-         | s AS (SELECT c.q_id, c.vec_id,
-         |   list_cosine_similarity(e1.v, e2.v) AS cos
-         |  FROM cand c JOIN e e1 ON e1.vec_id = c.vec_id
-         |   JOIN e e2 ON e2.vec_id = c.q_id),
+      s"""$lshCtes,
          | r AS (SELECT q_id, vec_id,
          |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
          |     ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM s)
@@ -749,22 +756,7 @@ object Ann {
     // same buckets + verify as ann_lsh; only the acceptance rule
     // differs (threshold instead of rank cut)
     "ann_range" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
-         |   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
-         |                          CAST(embedding AS DOUBLE[])) > 0),
-         | sg AS (SELECT vec_id, v,
-         |   [${(0 until LshTables).map(sigSql).mkString(",")}] AS sigs FROM e),
-         | cb AS (SELECT vec_id, v, UNNEST(range($LshTables)) AS t,
-         |   UNNEST(sigs) AS sig FROM sg),
-         | qb AS (SELECT vec_id AS q_id, t, sig FROM cb
-         |   WHERE vec_id < $NumQueries),
-         | cand AS (SELECT DISTINCT qb.q_id, cb.vec_id
-         |  FROM cb JOIN qb ON cb.t = qb.t AND cb.sig = qb.sig
-         |    AND cb.vec_id <> qb.q_id),
-         | s AS (SELECT c.q_id, c.vec_id,
-         |   list_cosine_similarity(e1.v, e2.v) AS cos
-         |  FROM cand c JOIN e e1 ON e1.vec_id = c.vec_id
-         |   JOIN e e2 ON e2.vec_id = c.q_id)
+      s"""$lshCtes
          |SELECT q_id, vec_id AS neighbor_id FROM s WHERE cos >= $RangeTau
          |ORDER BY q_id, neighbor_id""".stripMargin,
     // Bit-exact replica of the label-cell IVF: decimal(28,18)-exact

@@ -3394,6 +3394,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     require(snap.dels.isEmpty && snap.posDels.isEmpty && snap.dvs.isEmpty,
       "scoped compaction with pending merge-on-read deletes would " +
         "detach their scoping; run compact() to materialize them first")
+    // resolve the predicate against the schema NOW (same contract as
+    // DELETE): a typo'd column would otherwise prune NOTHING — both
+    // pruners conservatively keep unknown columns — and the "scoped"
+    // maintenance would silently rewrite the whole table
+    readFiles(snap.schema, Nil, snap.partitionCols).filter(expr(predSql))
     val cand = dmlCandidates(snap, predSql)
     if (cand.size <= 1) return snap.id
     val candSet = cand.map(normalize).toSet
@@ -3981,6 +3986,29 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val dup = added.filter(cur.files.toSet)
     require(dup.isEmpty,
       s"snapshot $id is already applied (e.g. ${dup.headOption.getOrElse("")})")
+    // The dup check sees only file IDENTITY — a commit between the
+    // pick and the head that REWRITES rows (compaction, copy-on-write
+    // DML, overwrite) can have moved the picked rows into files the
+    // check cannot see, so re-adding the old list would duplicate or
+    // resurrect them; merge-on-read deletes can hold stale tombstones
+    // naming the picked files. Only lineages composed of commits
+    // that never relocate or delete existing rows are provably safe;
+    // anything else (or an expired intermediate) refuses loudly.
+    val safeOps = Set("create", "append", "rollback", "cherry-pick",
+      "rewrite-manifests", "backfill-sizes", "add-files")
+    var cur0 = cur.id
+    while (cur0 > id && cur0 > 0) {
+      val hd = header(cur0).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot cherry-pick $id: snapshot $cur0 between it and " +
+            "the head has been expired, safety cannot be proven"))
+      require(safeOps(hd.op),
+        s"cannot cherry-pick $id across snapshot $cur0 " +
+          s"('${hd.op}'): a commit that rewrites or deletes rows may " +
+          "have relocated the picked rows, and re-adding their old " +
+          "files would duplicate or resurrect them")
+      cur0 = hd.parent
+    }
     // stats/rows/sizes for the picked files live in the PICKED
     // snapshot's manifest — pass it as sizesExtra-equivalent via
     // refSnap? No: refSnap would also replace the delete/rename

@@ -718,6 +718,27 @@ object Relational {
         count(col("line_int")).as("n_line_int"))
       .orderBy(col("l_returnflag"))
 
+  /** (hourly sums, complete hour grid) — the shared substrate of the
+    * resample family ([[q43]] LOCF, [[q44]] interpolation): per-type
+    * hourly decimal-exact sums, and every (type, hour) cell of the
+    * data's global span. Bounds derive from the hourly aggregate
+    * (min of truncated hours == truncated min ts); Catalyst
+    * column-prunes each grid input to its own narrow scan, so no
+    * consumer rereads the wide event rows. */
+  private def hourlyGrid(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("hv"))
+    val bounds = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    (hourly, grid)
+  }
+
   /** Time-series RESAMPLE + gap fill (the "regularize an event stream
     * onto a fixed grid" shape every metrics/feature pipeline needs):
     * hourly sums per event type land on a COMPLETE hour grid spanning
@@ -731,19 +752,7 @@ object Relational {
     * decimal(18,6) so the filled values are shuffle-order-exact
     * (double summation would drift between engines). */
   private val q43: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-    val hourly = ev
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("hv"))
-    // bounds derive from the hourly aggregate (min of truncated
-    // hours == truncated min ts) — Catalyst column-prunes each grid
-    // input to its own narrow scan (ts-only, type-only), so no
-    // consumer ever rereads the wide event rows
-    val bounds = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-    val grid = hourly.select(col("event_type")).distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("event_type"),
-        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val (hourly, grid) = hourlyGrid(s, d)
     grid.join(hourly, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"),
         last(col("hv"), ignoreNulls = true).over(
@@ -765,19 +774,7 @@ object Relational {
     * interpolated doubles compare bit-exact. */
   private val q44: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d)
-    val hourly = ev
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("hv"))
-    // bounds derive from the hourly aggregate (min of truncated
-    // hours == truncated min ts) — Catalyst column-prunes each grid
-    // input to its own narrow scan (ts-only, type-only), so no
-    // consumer ever rereads the wide event rows
-    val bounds = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-    val grid = hourly.select(col("event_type")).distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("event_type"),
-        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val (hourly, grid) = hourlyGrid(s, d)
     val back = Window.partitionBy(col("event_type")).orderBy(col("h"))
       .rowsBetween(Long.MinValue, 0)
     val fwd = Window.partitionBy(col("event_type")).orderBy(col("h"))
@@ -826,6 +823,19 @@ object Relational {
     "q24_pivot" -> q24, "q30_sketch_union" -> q30,
     "q31_recursive_cte" -> q31, "q32_lead_lag" -> q32)
 
+  /** The hourly/bounds/grid CTEs as DuckDB SQL — one authority for
+    * both resample oracles (they differ only in the fill rule). */
+  private val resampleCtes: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hv
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+      |grid AS (
+      |  SELECT t.event_type,
+      |    UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t, b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q39_unpivot" ->
       """WITH a AS (SELECT c_mktsegment,
@@ -857,16 +867,7 @@ object Relational {
     // (pv + (nv-pv) * (dt/span), epoch-second casts) so the doubles
     // compare bit-exactly
     "q44_interpolate" ->
-      """WITH hourly AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS h,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hv
-        |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
-        |             date_trunc('hour', max(ts)) AS hi FROM events),
-        |grid AS (
-        |  SELECT t.event_type,
-        |    UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
-        |  FROM (SELECT DISTINCT event_type FROM events) t, b),
+      s"""$resampleCtes,
         |j AS (
         |  SELECT g.event_type, g.h, hv FROM grid g
         |  LEFT JOIN hourly
@@ -898,16 +899,7 @@ object Relational {
     // same grid + LOCF; decimal-exact hourly sums make the filled
     // doubles bit-identical across engines
     "q43_resample" ->
-      """WITH hourly AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS h,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hv
-        |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
-        |             date_trunc('hour', max(ts)) AS hi FROM events),
-        |grid AS (
-        |  SELECT t.event_type,
-        |    UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
-        |  FROM (SELECT DISTINCT event_type FROM events) t, b),
+      s"""$resampleCtes,
         |filled AS (
         |  SELECT g.event_type, g.h,
         |    LAST_VALUE(hv IGNORE NULLS) OVER (
