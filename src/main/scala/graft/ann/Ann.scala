@@ -149,6 +149,13 @@ object Ann {
     * [[bruteforce]]. */
   private val lsh: Q = (s, d) => topK(s, lshScored(s, d))
 
+  // The threshold comparison assumes Spark's cosine
+  // (dot/(|a|·|b|), precomputed norms) and DuckDB's
+  // list_cosine_similarity agree at τ to the last ulp for every
+  // candidate — true on the fixed test corpora (verified at two
+  // SFs); a pair landing WITHIN one ulp of τ could in principle
+  // split the engines. The driver compares on fixed data, so the
+  // check is deterministic either way.
   private val RangeTau = 0.35
 
   /** RANGE (radius) search — the threshold dual of top-k (FAISS's

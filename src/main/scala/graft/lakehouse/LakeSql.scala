@@ -935,7 +935,12 @@ case class GraftRestoreCommand(name: String, id: Option[Long],
 
 /** `OPTIMIZE t [FILES n] WHERE <pred>` — partition/stats-scoped
   * compaction ([[GraftTable.compactWhere]]): only the predicate's
-  * manifest-pruned files rewrite; everything else carries. */
+  * manifest-pruned files rewrite; everything else carries. FILES n
+  * applies to UNPARTITIONED tables; a partitioned table packs per
+  * partition through the write path's hash clustering (same
+  * documented tradeoff as binpack — a hot partition packs into one
+  * task/file, and an n-way round-robin would spray every partition
+  * across n tasks and emit n×P files). */
 case class GraftCompactWhereCommand(name: String, files: Int,
     pred: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
