@@ -720,6 +720,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.lastTxn("appA").contains(1L) && t.lastTxn("appB").contains(0L))
   }
 
+  test("streaming MERGE sink composes with deletion-vector tables") {
+    import spark.implicits._
+    // an upsert sink against a vector-style MoR table: matched old
+    // images land as bitmaps (never tombstone files), replay stays
+    // exactly-once, and every original data file survives
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_sinkdv").toString,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").repartition(1))
+    t.setProperties(Map("write.merge.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector"))
+    val before = t.currentSnapshot.files.toSet
+    val sink = new graft.streaming.GraftLakeSink(spark, t.location,
+      Seq("k"), "appDv")
+    sink.addBatch(0, Seq((2L, 20.0), (3L, 3.0)).toDF("k", "v"))
+    val s1 = t.currentSnapshot
+    assert(before.subsetOf(s1.files.toSet),
+      "the MoR merge sink must keep every original data file")
+    assert(s1.dvs.nonEmpty && s1.posDels.isEmpty,
+      "vector style must shape the sink's matched old images as bitmaps")
+    sink.addBatch(0, Seq((2L, 20.0), (3L, 3.0)).toDF("k", "v")) // replay
+    assert(t.currentSnapshot.id == s1.id, "replay must be exactly-once")
+    assert(t.read().orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+  }
+
   test("writeStream format graft-lake merges batches through the sink") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
