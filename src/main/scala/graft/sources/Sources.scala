@@ -84,6 +84,25 @@ object Sources {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** documents.text → raw line-oriented TEXT → back — the most common
+    * raw-corpus dump format an LLM-data pipeline ingests (one
+    * document per line: the Common-Crawl/WET-style shape). Egress
+    * writes one `value` column, ingest reads line-split with NO
+    * parsing cost (the cheapest possible scan: splittable,
+    * per-partition, zero schema machinery), and the roundtrip is
+    * require()d lossless for newline-free documents — documents WITH
+    * newlines must move via parquet/JSONL, which is exactly why those
+    * roundtrips sit alongside this one. */
+  private val textRoundtrip: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(coalesce(col("text"), lit("")).as("value"))
+    require(docs.filter(col("value").contains("\n")).count() == 0,
+      "line-oriented text cannot carry embedded newlines: use parquet")
+    val dir = tmp("src_text")
+    docs.write.mode("overwrite").text(dir)
+    s.read.text(dir).orderBy("value")
+  }
+
   /** Schema-drift ingest: two parquet generations under one root —
     * v1 writes (o_orderkey, o_custkey), a later v2 adds
     * o_totalprice — read back with `mergeSchema`, which unions the
@@ -160,6 +179,7 @@ object Sources {
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
+    "src_text_roundtrip" -> textRoundtrip,
     "src_partitioned_sink" -> partitionedSink,
     "src_schema_merge" -> schemaMerge,
     "src_bucketed_join" -> bucketedJoin)
@@ -169,6 +189,8 @@ object Sources {
       "SELECT * FROM customer ORDER BY c_custkey",
     "src_orc_roundtrip" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "src_text_roundtrip" ->
+      "SELECT coalesce(text, '') AS value FROM documents ORDER BY value",
     "src_json_roundtrip" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "src_partitioned_sink" ->
