@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions.{col, lit, struct, when}
   * secured view costs nothing extra at scale.
   */
 object Enforcer {
+  /** `who` is the effective principal and has NO default: an omitted
+    * principal would silently enforce a context-free policy as
+    * "nobody" — call sites must name the principal (or pass ""
+    * deliberately for a context-free policy). */
   def secure(df: DataFrame, policy: TablePolicy,
-      who: String = ""): DataFrame = {
+      who: String): DataFrame = {
     // A context-dependent policy with no context must refuse, not
     // fold graft_principal() to "": row filters would fail closed
     // (acceptable) but masks would compute silently WRONG values.

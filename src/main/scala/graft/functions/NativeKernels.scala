@@ -278,8 +278,10 @@ object NativeKernels {
     * the deletion-vector membership probe: O(1), branch-light,
     * positions beyond the bitmap read as unset. */
   def bitsetGet(bs: Array[Byte], pos: Long): Boolean = {
-    val i = (pos >>> 3).toInt
-    pos >= 0 && i < bs.length && ((bs(i) >> (pos & 7L).toInt) & 1) == 1
+    // bound-check in Long space: (pos >>> 3).toInt wraps negative for
+    // pos >= 2^34 and would pass an Int-space guard, then AIOOBE
+    val i = pos >>> 3
+    pos >= 0 && i < bs.length && ((bs(i.toInt) >> (pos & 7L).toInt) & 1) == 1
   }
 
   /** Bitmap from a position array (any order, duplicates fine):

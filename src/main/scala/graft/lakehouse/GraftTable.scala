@@ -3974,9 +3974,18 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       s"cherry-pick supports append snapshots, not '${snap.op}' " +
         "(a rewrite/delete changes existing rows; replay the " +
         "operation against the current head instead)")
+    // guard the parent read like the safety walk below: an expired
+    // parent means the pick's added-file set cannot be derived —
+    // refuse loudly instead of surfacing a raw missing-file IO error
     val parentFiles =
-      if (snap.parent > 0) snapshot(snap.parent).files.toSet
-      else Set.empty[String]
+      if (snap.parent > 0) {
+        if (header(snap.parent).isEmpty)
+          throw new IllegalArgumentException(
+            s"cannot cherry-pick $id: its parent snapshot " +
+              s"${snap.parent} has been expired, so the set of files " +
+              "the pick added cannot be derived")
+        snapshot(snap.parent).files.toSet
+      } else Set.empty[String]
     val added = snap.files.filterNot(parentFiles)
     val cur = currentSnapshot
     require(snap.schema == cur.schema,

@@ -93,13 +93,23 @@ object Sources {
     * require()d lossless for newline-free documents — documents WITH
     * newlines must move via parquet/JSONL, which is exactly why those
     * roundtrips sit alongside this one. */
+  /** Line-oriented text egress with the lossless-roundtrip guard.
+    * Hadoop's line reader splits on \n, \r, AND \r\n — a bare
+    * carriage return would pass a newline-only guard yet split into
+    * two rows on read, silently breaking the roundtrip. */
+  def writeText(docs: DataFrame, dir: String): Unit = {
+    require(docs.filter(col("value").contains("\n")
+        .or(col("value").contains("\r"))).count() == 0,
+      "line-oriented text cannot carry embedded line terminators " +
+        "(\\n or \\r): use parquet")
+    docs.write.mode("overwrite").text(dir)
+  }
+
   private val textRoundtrip: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(coalesce(col("text"), lit("")).as("value"))
-    require(docs.filter(col("value").contains("\n")).count() == 0,
-      "line-oriented text cannot carry embedded newlines: use parquet")
     val dir = tmp("src_text")
-    docs.write.mode("overwrite").text(dir)
+    writeText(docs, dir)
     s.read.text(dir).orderBy("value")
   }
 

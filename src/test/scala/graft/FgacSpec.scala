@@ -46,7 +46,8 @@ class FgacSpec extends AnyFunSuite {
       val c = Enforcer.secure(
         Tables.customer(spark, sf),
         TablePolicy("customer",
-          rowFilter = Some("c_mktsegment IN ('BUILDING','AUTOMOBILE')")))
+          rowFilter = Some("c_mktsegment IN ('BUILDING','AUTOMOBILE')")),
+        "team1")
       val o = Tables.orders(spark, sf)
       o.join(c, o("o_custkey") === c("c_custkey")).count()
     }
@@ -572,13 +573,13 @@ class FgacSpec extends AnyFunSuite {
         struct(concat(lit("n"), col("id")).as("name"),
           (col("id") * 100).cast("double").as("bal"))).as("info"))
     val partial = Enforcer.secure(base, TablePolicy("t",
-      allowedColumns = Some(Seq("id", "info.name"))))
+      allowedColumns = Some(Seq("id", "info.name"))), "team1")
     assert(partial.schema("info").dataType.asInstanceOf[StructType]
       .fieldNames.toSeq == Seq("name"))
     assert(partial.filter(col("info").isNull).count() == 4)
     assert(partial.filter(col("info.name") === "n4").count() == 1)
     val masked = Enforcer.secure(base, TablePolicy("t",
-      masks = Map("info.bal" -> "info.bal * 0")))
+      masks = Map("info.bal" -> "info.bal * 0")), "team1")
     assert(masked.schema("info").dataType.asInstanceOf[StructType]
       .fieldNames.toSeq == Seq("name", "bal"))
     assert(masked.filter(col("info").isNotNull)
@@ -587,7 +588,8 @@ class FgacSpec extends AnyFunSuite {
     // a context-dependent policy with no principal refuses up front
     // (row filters would fail closed but masks would compute wrong)
     intercept[IllegalArgumentException](Enforcer.secure(base,
-      TablePolicy("t", masks = Map("id" -> "id * length(graft_principal())"))))
+      TablePolicy("t", masks = Map("id" -> "id * length(graft_principal())")),
+      ""))
   }
 }
 

@@ -524,7 +524,8 @@ class LakehouseSpec extends AnyFunSuite {
       graft.lakehouse.Spj.read(spark, "spj_gov_cust", t),
       fgac.TablePolicy("spj_gov_cust",
         rowFilter = Some("c_acctbal > 5000"),
-        allowedColumns = Some(Seq("c_custkey", "c_acctbal"))))
+        allowedColumns = Some(Seq("c_custkey", "c_acctbal"))),
+      "team1")
     assert(secured.columns.toSeq == Seq("c_custkey", "c_acctbal"))
     assert(secured.count() ==
       cust.filter(col("c_acctbal") > 5000).count() && secured.count() > 0)
@@ -2778,6 +2779,15 @@ class LakehouseSpec extends AnyFunSuite {
     t.addColumns(Seq(org.apache.spark.sql.types.StructField("extra",
       org.apache.spark.sql.types.StringType)))
     intercept[IllegalArgumentException](t.cherryPick(2))
+    // expired PARENT refuses loudly (the pick's added-file set is
+    // parent-minus-pick; without the parent manifest it is
+    // underivable) instead of a raw missing-file IO error
+    val t2 = freshTable(Seq((1L, "a", 1.0)))                 // snap 1
+    t2.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))     // snap 2
+    t2.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))     // snap 3
+    t2.expireSnapshots(keepLast = 1)
+    val e = intercept[IllegalArgumentException](t2.cherryPick(3))
+    assert(e.getMessage.contains("expired"))
   }
 
   test("deletion vectors: bit-probe reads, overlap merges, guards compose") {

@@ -104,6 +104,19 @@ class NativeExprsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("card") == 5)
     assert(r.getAs[Boolean]("hit") && !r.getAs[Boolean]("miss") &&
       !r.getAs[Boolean]("beyond"))
+    // positions past 2^34 (where pos/8 overflows Int) and negatives
+    // read as unset, never AIOOBE — SQL accepts arbitrary bigints
+    val huge = spark.sql(
+      """SELECT graft_bitset_get(
+        |         graft_bitset_from_positions(
+        |           CAST(array(0) AS ARRAY<BIGINT>)),
+        |         CAST(17179869184 AS BIGINT)) AS big,
+        |       graft_bitset_get(
+        |         graft_bitset_from_positions(
+        |           CAST(array(0) AS ARRAY<BIGINT>)),
+        |         CAST(-1 AS BIGINT)) AS neg""".stripMargin)
+      .collect().head
+    assert(!huge.getAs[Boolean]("big") && !huge.getAs[Boolean]("neg"))
     assert(r.getAs[Long]("orcard") == 5, "OR with empty is identity")
     assert(r.getAs[Long]("merged") == 6, "overlapping bit merges once")
     // driver-side expansion is the exact inverse of construction

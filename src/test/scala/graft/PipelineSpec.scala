@@ -791,7 +791,8 @@ class StreamingSpec extends AnyFunSuite {
       allowedColumns = Some(Seq("k", "v")),
       masks = Map("v" -> "CAST(-1.0 AS DOUBLE)"))
     val q = fgac.Enforcer.secure(
-        spark.readStream.format("graft-lake").load(t.location), policy)
+        spark.readStream.format("graft-lake").load(t.location), policy,
+        "team1")
       .writeStream.format("memory").queryName("gov_lake_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -871,7 +872,7 @@ class StreamingSpec extends AnyFunSuite {
     val policy = fgac.TablePolicy("events",
       rowFilter = Some("event_type = 'click'"),
       allowedColumns = Some(Seq("event_id", "user_id", "event_type")))
-    val q = fgac.Enforcer.secure(streamEvents, policy)
+    val q = fgac.Enforcer.secure(streamEvents, policy, "team1")
       .writeStream.outputMode("append")
       .format("memory").queryName("gov_stream").start()
     q.processAllAvailable(); q.stop()

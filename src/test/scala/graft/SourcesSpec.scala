@@ -85,6 +85,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
   }
 
+  test("text egress refuses every line terminator, not just \\n") {
+    import spark.implicits._
+    // Hadoop's line reader splits on \n, \r and \r\n: a bare \r that
+    // slipped past the guard would silently split one doc into two
+    for (bad <- Seq("a\nb", "a\rb", "a\r\nb")) {
+      val e = intercept[IllegalArgumentException] {
+        Sources.writeText(Seq(bad).toDF("value"),
+          Files.createTempDirectory("graft_text_guard").toString)
+      }
+      assert(e.getMessage.contains("line terminators"))
+    }
+    // terminator-free docs pass
+    Sources.writeText(Seq("plain doc").toDF("value"),
+      Files.createTempDirectory("graft_text_ok").toString)
+  }
+
   test("schema-merge read null-fills the column old files lack") {
     val out = SparkEntry.queries("src_schema_merge")(spark, sf)
     val total = Tables.orders(spark, sf).count()
