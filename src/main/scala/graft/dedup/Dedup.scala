@@ -33,6 +33,67 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"), col("content_md5"))
       .orderBy(col("keep_id"))
 
+  /** Substring-dedup window width in tokens. Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * use 50 BPE tokens; the test corpus runs 10–200 words per doc,
+    * so 16 keeps spans observable while the algorithm is
+    * width-agnostic. */
+  private val SpanW = 16
+
+  /** Substring-level exact dedup: maximal duplicated token spans of
+    * ≥ `w` tokens per document — the standard LLM-corpus complement
+    * to document-level MinHash (Lee et al. find 50-token duplicated
+    * spans inside otherwise-distinct documents). Every dedup here
+    * operated on whole documents until round 14; this is the
+    * below-document granularity.
+    *
+    * Spark-native shape (vs the paper's single-machine suffix
+    * array): ONE native pass turns each document into positional
+    * w-token window hashes ([[graft.functions.NativeExprs.SpanHashes]]),
+    * so only (doc_id, pos, hash8) rows — ~20 bytes per corpus
+    * token — ever leave the scan; document text never shuffles.
+    * A window duplicated anywhere in the corpus (cross-doc or
+    * within-doc, the paper's definition) marks its position; marked
+    * positions merge into maximal spans per doc via gaps-and-islands
+    * (two windows p < p' continue one duplicated region iff
+    * p' ≤ p + w, i.e. their token ranges overlap or touch). Three
+    * shuffles total — window-hash groupBy, the flagged-position
+    * re-key, the per-doc island window — all on hashes/ids. At
+    * 100 TB the (hash, doc, pos) relation is ~1.6× the token count
+    * in bytes, the honest cost of the one-shuffle formulation; the
+    * groupBy is a partial-aggregating count so boilerplate windows
+    * (the skew risk) reduce map-side. 64-bit window-hash collisions
+    * (~n²/2⁶⁵) mark false duplicates; at corpus scales where that
+    * bites, verify flagged spans exactly like the LSH route does. */
+  private[graft] def substringSpans(docs: DataFrame, w: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    // coalesce keeps the kernel non-nullable (see [[shingled]]: a
+    // nullable kernel gets re-evaluated by inferred isnotnull)
+    val wins = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(call_function("graft_span_hashes",
+          coalesce(col("text"), lit("")), lit(w))))
+      .toDF("doc_id", "pos", "wh")
+    val dupHashes = wins.groupBy("wh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("wh")
+    val marked = wins.join(dupHashes, "wh").select("doc_id", "pos")
+    marked
+      .withColumn("new_span",
+        when(col("pos") - lag("pos", 1).over(win) <= w, 0).otherwise(1))
+      .withColumn("island", sum("new_span").over(win))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("s"), max("pos").as("e"))
+      .select(col("doc_id"),
+        col("s").cast("int").as("span_start"),
+        (col("e") + lit(w - 1)).cast("int").as("span_end"),
+        (col("e") - col("s") + lit(w)).cast("int").as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val substringQ: Q = (s, d) =>
+    substringSpans(Tables.parallel(Tables.documents(s, d)), SpanW)
+
   /** doc_id, source, sorted distinct hashed 3-gram shingle set —
     * one native pass over the text ([[graft.functions.NativeExprs.ShingleHashes]]);
     * shingle strings are never materialized.
@@ -940,6 +1001,7 @@ object Dedup {
     "pipeline_pack" -> pack,
     "pipeline_source_cap" -> sourceCapQ,
     "dedup_exact" -> exact,
+    "dedup_substring" -> substringQ,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
@@ -1056,6 +1118,34 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | md5(text) AS content_md5
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // window strings stand in for the Spark side's window hashes
+    // (equal token sequences ⇔ equal joined strings); islands merge
+    // when positions are within W of each other, same as the plan
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w
+        |           FROM documents WHERE text IS NOT NULL),
+        |wn AS (SELECT doc_id,
+        |         unnest(generate_series(0, len(w) - 16)) AS pos, w
+        |       FROM t WHERE len(w) >= 16),
+        |wh AS (SELECT doc_id, pos,
+        |         array_to_string(w[pos+1:pos+16], ' ') AS win FROM wn),
+        |dup AS (SELECT win FROM wh GROUP BY win HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM wh
+        |      WHERE win IN (SELECT win FROM dup)),
+        |g AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER
+        |               (PARTITION BY doc_id ORDER BY pos) <= 16
+        |             THEN 0 ELSE 1 END AS ns FROM m),
+        |i AS (SELECT doc_id, pos,
+        |        SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM g)
+        |SELECT doc_id,
+        |  CAST(MIN(pos) AS INT) AS span_start,
+        |  CAST(MAX(pos) + 15 AS INT) AS span_end,
+        |  CAST(MAX(pos) - MIN(pos) + 16 AS INT) AS span_tokens
+        |FROM i GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$ShingleCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

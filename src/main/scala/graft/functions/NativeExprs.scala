@@ -58,6 +58,23 @@ object NativeExprs {
       copy(child = c)
   }
 
+  /** Positional hashed w-token windows of a text column (substring
+    * -level dedup primitive) — see [[NativeKernels.spanHashes]]:
+    * element i = hash of tokens [i, i+w), position preserved so
+    * shared hashes expand back into span coordinates. */
+  case class SpanHashes(child: Expression, w: Int)
+      extends UnaryExpression with UnaryKernelCodegen {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_span_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.spanHashes(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+    override protected def kernelCall(c: String): String =
+      s"$K.spanHashes($c, $w)"
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 128-wide MinHash signature over already-hashed shingles: element
     * k is min over the array of xxhash64(h, seed = k). Pairs with
     * [[ShingleHashes]]. */
@@ -398,6 +415,16 @@ object NativeExprs {
       info("graft_shingle_hashes",
         "sorted distinct hashed word-3-gram shingles of a text column"),
       (args: Seq[Expression]) => ShingleHashes(args.head)),
+    (FunctionIdentifier("graft_span_hashes"),
+      info("graft_span_hashes",
+        "positional hashed w-token windows of a text column"),
+      // w must be a foldable int literal: the window width is plan
+      // metadata (it shapes the kernel), not per-row data
+      (args: Seq[Expression]) => SpanHashes(args(0), {
+        require(args(1).foldable,
+          "graft_span_hashes: window width must be a literal")
+        args(1).eval().asInstanceOf[Number].intValue()
+      })),
     (FunctionIdentifier("graft_minhash128_long"),
       info("graft_minhash128_long",
         "128-wide MinHash signature over hashed shingles"),

@@ -46,6 +46,40 @@ object NativeKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, n))
   }
 
+  /** Positional hashed w-token windows: element i = chained xxhash64
+    * over tokens [i, i+w) of `split(lower(text), " ")` (empties
+    * kept, matching [[shingleHashes]]' tokenizer). NOT deduped or
+    * sorted — position is the payload: substring-level dedup expands
+    * shared window hashes back into maximal duplicated spans, so the
+    * index into this array IS the span coordinate. One native pass;
+    * window strings are never materialized, so only fixed-size longs
+    * leave the scan. The per-window chain is w hashLong steps — a
+    * fixed small constant; a O(1)-per-step rolling polynomial would
+    * shave it but weakens collision behavior for no measured need. */
+  def spanHashes(input: UTF8String, w: Int): ArrayData = {
+    require(w >= 2, s"span window must be >= 2 tokens, got $w")
+    val toks = input.toLowerCase.toString.split(" ", -1)
+    if (toks.length < w) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val u = UTF8String.fromString(toks(i))
+      th(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+        u.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Long](toks.length - w + 1)
+    i = 0
+    while (i < out.length) {
+      var h = th(i)
+      var j = 1
+      while (j < w) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over already-hashed shingles. */
   def minHashFromHashes(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()

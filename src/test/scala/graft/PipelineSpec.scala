@@ -42,6 +42,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "corpus should contain near-duplicates")
   }
 
+  test("substring dedup: sub-threshold overlaps survive, maximal " +
+      "spans merge, within-doc repeats count") {
+    import graft.dedup.Dedup
+    def doc(id: Long, text: String) = (id, text)
+    val w = 8
+    val shared = (1 to w).map(i => s"dup$i").mkString(" ")   // w tokens
+    val short = (1 to w - 1).map(i => s"sub$i").mkString(" ") // w-1 tokens
+    val docs = Seq(
+      // docs 1/2 share EXACTLY w tokens → one span each, length w
+      doc(1, s"alpha beta $shared gamma delta epsilon zeta eta theta"),
+      doc(2, s"one two three $shared four five six seven eight nine"),
+      // docs 3/4 share only w-1 tokens → NO span (below threshold)
+      doc(3, s"p q r $short s t u v w x y z aa bb cc"),
+      doc(4, s"k l m $short n o pp qq rr ss tt uu vv ww"),
+      // doc 5 repeats a w-token phrase WITHIN itself → spans from
+      // within-doc duplication alone (Lee et al.'s definition)
+      doc(5, s"$shared filler1 filler2 filler3 $shared"),
+      // unrelated noise
+      doc(6, (1 to 40).map(i => s"n$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList
+    val byDoc = spans.groupBy(_._1)
+    assert(!byDoc.contains(3) && !byDoc.contains(4) && !byDoc.contains(6),
+      s"sub-threshold (w-1 token) overlap must NOT produce spans: $spans")
+    // doc 1: shared starts at token 2, exactly one maximal span of w
+    assert(byDoc(1) == List((1L, 2, 2 + w - 1)))
+    assert(byDoc(2) == List((2L, 3, 3 + w - 1)))
+    // doc 5: two dup regions (positions 0 and w+3 > 0+w apart)
+    assert(byDoc(5).map(s => (s._2, s._3)).sorted ==
+      List((0, w - 1), (w + 3, 2 * w + 2)))
+    // adjacency law: two dup windows ≤ w apart merge into ONE span
+    val merged = Dedup.substringSpans(Seq(
+      doc(10, s"$shared x $shared"),
+      doc(11, s"$shared y $shared"),
+      doc(12, "zz " + (1 to 30).map(i => s"m$i").mkString(" "))
+    ).toDF("doc_id", "text"), w)
+      .filter($"doc_id" === 10).collect()
+    // doc 10/11: windows at 0 and w+1 are dup (shared w-gram), the
+    // full strings differ (x vs y) — spans [0, w-1+?]: positions 0
+    // and w+1 are w+1 > w apart? no: (w+1) - 0 = w+1 > w → separate
+    assert(merged.map(r => (r.getInt(1), r.getInt(2))).sorted.toList ==
+      List((0, w - 1), (w + 1, 2 * w)))
+  }
+
   test("LSH bucket cap bounds a boilerplate bucket's candidates " +
       "while keeping the cluster connected") {
     // 1000 identical docs: every band hashes them into ONE bucket, so
