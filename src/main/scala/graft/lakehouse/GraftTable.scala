@@ -4101,10 +4101,32 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   def expireSnapshots(keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = snapshots // only manifests that still exist
+    reapExpired(all, all.splitAt(math.max(0, all.size - keepLast))._1)
+  }
+
+  /** Age-based retention (Iceberg's `expire_snapshots(older_than =>
+    * ts)`; SQL surface `VACUUM t OLDER THAN INTERVAL n HOURS|DAYS`):
+    * expire every snapshot whose commit timestamp is strictly before
+    * `cutoffMs` — EXCEPT the current head (retain-last ≥ 1, Iceberg's
+    * floor) and ref-pinned snapshots (branches/tags protect theirs,
+    * same as count-based expiry). Pre-timestamp manifests (ts = 0)
+    * read as infinitely old and expire under any positive cutoff —
+    * the honest reading of "older than". Production retention policy
+    * is expressed in wall-clock age, not snapshot counts; commit
+    * timestamps already ride in every manifest (the
+    * `lake_time_travel_ts` plumbing), so this costs nothing new. */
+  def expireSnapshotsOlderThan(cutoffMs: Long): Unit = {
+    val all = snapshots
+    if (all.sizeIs <= 1) return
+    reapExpired(all, all.init.filter(_.ts < cutoffMs))
+  }
+
+  private def reapExpired(all: Seq[Snapshot], old: Seq[Snapshot]): Unit = {
     // snapshots a branch or tag points at are retained regardless of
     // age (Iceberg's rule: refs protect their snapshots from expiry)
     val pinned = refs.values.map(_._2).toSet
-    val (old, kept0) = all.splitAt(math.max(0, all.size - keepLast))
+    val oldIds = old.map(_.id).toSet
+    val kept0 = all.filterNot(s => oldIds(s.id))
     val (protected0, expired) = old.partition(s => pinned(s.id))
     if (expired.isEmpty) return
     // tombstone files are snapshot-referenced storage exactly like

@@ -957,6 +957,49 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Age-based snapshot expiry (Iceberg's `expire_snapshots(
+    * older_than => ts)`; SQL `VACUUM t OLDER THAN INTERVAL …`) — the
+    * form production retention policy actually takes (hours/days,
+    * not snapshot counts). Scenario: four commits with strictly
+    * separated wall-clock timestamps, a tag pinning snap 2; expiry
+    * at snap 3's commit instant drops snap 1 (older, unpinned),
+    * KEEPS snap 2 (older but tag-pinned — refs protect their
+    * snapshots from age exactly as from counts), and keeps 3/4.
+    * Time travel to the expired snapshot refuses; the tag still
+    * reads. The SQL interval form then proves the safety direction:
+    * a 1-hour retention window expires nothing committed seconds
+    * ago. Deterministic content: the API takes an ABSOLUTE cutoff
+    * read from the manifest's recorded commit ts, so which snapshots
+    * expire never depends on the run's wall clock. */
+  private val expireAge: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_expage"),
+      orders.filter(col("o_orderkey") % 4 === 0))            // snap 1
+    Thread.sleep(3) // separate commit timestamps (ms clock)
+    t.append(orders.filter(col("o_orderkey") % 4 === 1))     // snap 2
+    t.createTag("audit", 2)
+    Thread.sleep(3)
+    t.append(orders.filter(col("o_orderkey") % 4 === 2))     // snap 3
+    Thread.sleep(3)
+    t.append(orders.filter(col("o_orderkey") % 4 === 3))     // snap 4
+    val taggedRows = t.readAt(2).count()
+    t.expireSnapshotsOlderThan(t.snapshot(3).ts)
+    require(t.snapshots.map(_.id) == Seq(2L, 3L, 4L),
+      "age expiry must drop snap 1, keep the tag-pinned snap 2, " +
+        "the at-cutoff snap 3, and the head")
+    require(t.readAt(t.refs("audit")._2).count() == taggedRows,
+      "a tag must still time-travel after age-based expiry")
+    require(scala.util.Try(t.readAt(1).count()).isFailure,
+      "the expired snapshot must refuse time travel")
+    // SQL surface: a 1-hour retention window is a no-op on
+    // seconds-old commits (the guard that makes scheduled VACUUM safe)
+    LakeRegistry.register("lake_expage_t", t)
+    s.sql("VACUUM lake_expage_t OLDER THAN INTERVAL 1 HOURS")
+    require(t.snapshots.map(_.id) == Seq(2L, 3L, 4L),
+      "an interval retention window must not expire recent snapshots")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Merge-on-read DELETE (Iceberg's equality-delete path): the
     * delete is an O(1) metadata commit — NO data files are rewritten
     * (require()d below) — and reads anti-filter the scoped files.
@@ -2018,6 +2061,7 @@ object LakeQueries {
     "lake_dv_dml"           -> dvMerge,
     "lake_pos_merge"        -> posMerge,
     "lake_expire"           -> expire,
+    "lake_expire_age"       -> expireAge,
     "lake_overwrite_partition" -> overwritePartition,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
@@ -2472,6 +2516,8 @@ object LakeQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "lake_expire" ->
       "SELECT * FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey",
+    "lake_expire_age" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_overwrite_partition" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0

@@ -666,6 +666,7 @@ object LakeDdl {
   *   OPTIMIZE t [FILES n] [SORT BY (c, …) | ZORDER BY (c, …)]
   *   OPTIMIZE t REWRITE DELETES
   *   VACUUM t RETAIN n SNAPSHOTS
+  *   VACUUM t OLDER THAN INTERVAL n HOURS|DAYS|MINUTES
   * }}}
   *
   * OPTIMIZE is [[GraftTable.compact]] (bin-pack / sort / z-order
@@ -700,6 +701,10 @@ object LakeMaintenance {
     """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?(?:\s+(SORT|ZORDER)\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+SNAPSHOTS\s*;?\s*""".r
+  // age-based retention (Iceberg expire_snapshots(older_than => ts)):
+  // production policy is wall-clock age, not snapshot counts
+  private val VacuumAge =
+    """(?is)\s*VACUUM\s+(\w+)\s+OLDER\s+THAN\s+INTERVAL\s+(\d+)\s+(HOURS?|DAYS?|MINUTES?)\s*;?\s*""".r
   // Delta's zero-copy fork: CREATE TABLE c SHALLOW CLONE t
   private val ShallowClone =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)\s*;?\s*""".r
@@ -776,6 +781,14 @@ object LakeMaintenance {
       case Vacuum(name, keep)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftVacuumCommand(name.toLowerCase, keep.toInt))
+      case VacuumAge(name, n, unit)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        val ms = unit.toUpperCase.charAt(0) match {
+          case 'H' => n.toLong * 3600000L
+          case 'D' => n.toLong * 86400000L
+          case 'M' => n.toLong * 60000L
+        }
+        Some(GraftVacuumAgeCommand(name.toLowerCase, ms))
       case ShallowClone(target, source)
           if LakeDdl.claimDrop(spark, source.toLowerCase) =>
         Some(GraftShallowCloneCommand(target.toLowerCase,
@@ -1017,6 +1030,23 @@ case class GraftVacuumCommand(name: String, keep: Int)
       spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
       "VACUUM")
     LakeRegistry.get(name).get.expireSnapshots(keep)
+    Seq.empty
+  }
+}
+
+/** `VACUUM t OLDER THAN INTERVAL n HOURS|DAYS|MINUTES` — cutoff is
+  * wall-clock now minus the interval, resolved at RUN time (retention
+  * is a property of when maintenance runs, which is why the
+  * deterministic scenario queries use the API's absolute-cutoff form
+  * instead). Head and ref-pinned snapshots always survive. */
+case class GraftVacuumAgeCommand(name: String, ageMs: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "VACUUM")
+    LakeRegistry.get(name).get
+      .expireSnapshotsOlderThan(System.currentTimeMillis() - ageMs)
     Seq.empty
   }
 }

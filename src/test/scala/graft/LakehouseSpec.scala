@@ -973,6 +973,33 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.snapshots.map(_.id) == Seq(3L))
   }
 
+  test("age-based expiry: refs and head survive, SQL interval form") {
+    val t = freshTable(Seq((1L, "a", 1.0)))                 // snap 1
+    Thread.sleep(3)
+    t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))     // snap 2
+    t.createTag("keepme", 1)
+    Thread.sleep(3)
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))     // snap 3
+    // cutoff AFTER every commit: only the pin and the head survive
+    t.expireSnapshotsOlderThan(t.snapshot(3).ts + 1)
+    assert(t.snapshots.map(_.id) == Seq(1L, 3L),
+      "tag-pinned snap 1 and the head must survive any cutoff")
+    assert(t.readAt(t.refs("keepme")._2).count() == 1)
+    // a cutoff below every ts expires nothing
+    t.expireSnapshotsOlderThan(0L)
+    assert(t.snapshots.map(_.id) == Seq(1L, 3L))
+    // SQL interval form with a zero window = expire all eligible —
+    // here a no-op since only pinned+head remain; then drop the tag
+    // and the zero window reaps snap 1 through SQL
+    graft.lakehouse.LakeRegistry.register("exp_age_t", t)
+    t.dropRef("keepme")
+    Thread.sleep(3)
+    spark.sql("VACUUM exp_age_t OLDER THAN INTERVAL 0 MINUTES")
+    assert(t.snapshots.map(_.id) == Seq(3L),
+      "unpinned old snapshot must expire through the SQL form")
+    assert(t.read().count() == 3)
+  }
+
   test("metadata tables answer from the manifest: files, partitions") {
     val dir = Files.createTempDirectory("graft_meta").toString
     val t = GraftTable.create(spark, dir,
