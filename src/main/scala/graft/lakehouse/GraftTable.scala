@@ -2429,6 +2429,32 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       dvsOverride = Some(Map.empty))
   }
 
+  /** Atomic table REPLACE (Iceberg RTAS / `CREATE OR REPLACE TABLE …
+    * AS SELECT`): ONE swap commit through the same CAS publish as
+    * every other commit, so readers either see the old table or the
+    * complete new one — never a half-built rebuild (the
+    * scheduled-job idiom: drop+recreate has a visible gap and loses
+    * history; RTAS has neither). Schema, partition spec, and file
+    * set are the new query's; pending MoR artifacts, the rename log,
+    * and spec history have nothing left to apply to and reset.
+    * HISTORY IS PRESERVED — every snapshot carries its own schema,
+    * so time travel across the replace boundary reads the
+    * pre-replace world unchanged, and age/count expiry reaps it on
+    * the normal schedule. */
+  def replaceWith(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    PartField.parseAll(partitionBy).foreach(f =>
+      require(df.schema.fieldNames.contains(f.col),
+        s"partition source column ${f.col} is not in the new schema"))
+    val snap = currentSnapshot
+    val id = currentSnapshotId + 1
+    commit("replace", df.schema,
+      writeData(df, id, partitionBy), partitionBy,
+      expectedParent = snap.id,
+      delsOverride = Some(Nil), renamesOverride = Some(Nil),
+      specHistOverride = Some(Nil), posDelsOverride = Some(Nil),
+      dvsOverride = Some(Map.empty))
+  }
+
   // ---- copy-on-write DML -------------------------------------------
 
   /** `file:/x` vs `file:///x` vs plain `/x` all normalize to `/x`.

@@ -1000,6 +1000,49 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** `CREATE OR REPLACE TABLE … AS SELECT` (Iceberg RTAS) — the
+    * scheduled-rebuild idiom: ONE atomic swap commit replaces
+    * schema, partition spec, and data (readers see old-or-new,
+    * never a gap, unlike DROP+CREATE), while HISTORY SURVIVES —
+    * time travel across the replace boundary reads the pre-replace
+    * snapshot under its own schema. The swap rides the normal CAS
+    * publish; nothing is special-cased. A bare REPLACE TABLE on a
+    * missing name refuses (SQL contract: only OR CREATE creates). */
+  private val replaceQ: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_replace"),
+      orders.select(col("o_orderkey"), col("o_orderstatus"))
+        .filter(col("o_orderkey") % 2 === 0))
+    LakeRegistry.register("lake_repl_t", t)
+    val preFiles = t.currentSnapshot.files.toSet
+    val preRows = t.read().count()
+    orders.createOrReplaceTempView("lake_repl_src")
+    s.sql("""CREATE OR REPLACE TABLE lake_repl_t USING graft AS
+            |SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM lake_repl_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    val snap = t.currentSnapshot
+    require(snap.op == "replace" && snap.id == 2L,
+      "RTAS must be ONE commit on the existing table's history")
+    require(snap.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      "RTAS must replace the schema with the query's")
+    require(snap.files.forall(f => !preFiles(f)),
+      "the replaced file set is entirely the new query's")
+    // time travel across the boundary: old snapshot, old schema
+    val pre = t.readAt(1)
+    require(pre.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_orderstatus") && pre.count() == preRows,
+      "pre-replace snapshot must read unchanged under its own schema")
+    require(scala.util.Try(s.sql(
+      """REPLACE TABLE lake_repl_missing USING graft AS
+        |SELECT 1 AS x""".stripMargin)).isFailure,
+      "bare REPLACE TABLE on a missing name must refuse")
+    t.read()
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Merge-on-read DELETE (Iceberg's equality-delete path): the
     * delete is an O(1) metadata commit — NO data files are rewritten
     * (require()d below) — and reads anti-filter the scoped files.
@@ -2062,6 +2105,7 @@ object LakeQueries {
     "lake_pos_merge"        -> posMerge,
     "lake_expire"           -> expire,
     "lake_expire_age"       -> expireAge,
+    "lake_replace"          -> replaceQ,
     "lake_overwrite_partition" -> overwritePartition,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
@@ -2518,6 +2562,11 @@ object LakeQueries {
       "SELECT * FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey",
     "lake_expire_age" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    "lake_replace" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_overwrite_partition" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0

@@ -462,6 +462,31 @@ object LakeDdl {
           partitionCols(cta.partitioning), location(spark, cta.tableSpec, name),
           cta.ignoreIfExists, tableProps(cta.tableSpec)))
 
+      // CREATE OR REPLACE TABLE … AS SELECT (Iceberg RTAS): one
+      // atomic swap commit on the existing table — history preserved,
+      // schema/spec/data replaced. Plain REPLACE TABLE (no OR CREATE)
+      // refuses when the table is missing, per the SQL contract.
+      case rta: ReplaceTableAsSelect
+          if rta.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) =>
+        val name = rta.name match {
+          case id: UnresolvedIdentifier if id.nameParts.size == 1 =>
+            id.nameParts.head.toLowerCase
+          case other => throw new UnsupportedOperationException(
+            s"REPLACE TABLE USING graft requires a single-part name, got $other")
+        }
+        // identName's governed-name refusal is about CREATE shadowing;
+        // REPLACE of an EXISTING registered table is a write and defers
+        // to authorizeWrite at run time — but a governed name with no
+        // lake table behind it still may not be created/shadowed here
+        require(LakeRegistry.get(name).isDefined ||
+            !graft.fgac.SecureCatalog.isVisibleName(Seq(name)),
+          s"REPLACE TABLE: '$name' is a governed name with no lake " +
+            "table behind it; create governed tables through " +
+            "SecureCatalog, not SQL DDL")
+        Some(GraftRtasCommand(name, rta.query,
+          partitionCols(rta.partitioning), location(spark, rta.tableSpec, name),
+          rta.orCreate, tableProps(rta.tableSpec)))
+
       case DropTable(id: UnresolvedIdentifier, _, purge)
           if id.nameParts.size == 1 &&
             claimDrop(spark, id.nameParts.head.toLowerCase) =>
@@ -1246,6 +1271,41 @@ case class GraftCtasCommand(name: String, @transient query: LogicalPlan,
       val t = GraftTable.create(spark, root, df, partitionBy)
       t.setProperties(props)
       LakeRegistry.register(name, t)
+    }
+    Seq.empty
+  }
+}
+
+/** `[CREATE OR] REPLACE TABLE … AS SELECT` — Iceberg RTAS. On an
+  * existing table this is ONE swap commit ([[GraftTable.replaceWith]]
+  * — same CAS publish as any commit, history preserved); on a missing
+  * one it degrades to CTAS iff OR CREATE was written. Replacing is a
+  * write, so it rides the same FGAC write gate as DML — and a
+  * GOVERNED name may not be replaced out from under its policies by
+  * an ungoverned principal. */
+case class GraftRtasCommand(name: String, @transient query: LogicalPlan,
+    partitionBy: Seq[String], root: String, orCreate: Boolean,
+    props: Map[String, String] = Map.empty)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftSqlBridge.ofRows(spark, query)
+    LakeRegistry.get(name) match {
+      case Some(t) =>
+        graft.fgac.SecureCatalog.authorizeWrite(
+          spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""),
+          name, "REPLACE TABLE")
+        t.replaceWith(df, partitionBy)
+        if (props.nonEmpty) t.setProperties(props)
+      case None =>
+        if (!orCreate) throw new IllegalArgumentException(
+          s"REPLACE TABLE: '$name' does not exist " +
+            "(use CREATE OR REPLACE TABLE to create it)")
+        if (CreateGuard.shouldCreate(spark, name, root,
+            ignoreIfExists = false)) {
+          val t = GraftTable.create(spark, root, df, partitionBy)
+          t.setProperties(props)
+          LakeRegistry.register(name, t)
+        }
     }
     Seq.empty
   }

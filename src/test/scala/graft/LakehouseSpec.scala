@@ -1000,6 +1000,40 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().count() == 3)
   }
 
+  test("RTAS: atomic replace preserves history, gates writes, " +
+      "OR CREATE creates") {
+    import graft.fgac.{AccessDeniedException, FgacQueries, Principal,
+      SecureCatalog, TablePolicy}
+    import graft.lakehouse.LakeRegistry
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    LakeRegistry.register("rtas_t", t)
+    // replace: ONE commit, new schema, history reads the old world
+    spark.sql("""CREATE OR REPLACE TABLE rtas_t USING graft AS
+                |SELECT 1 AS n UNION ALL SELECT 2 AS n""".stripMargin)
+    assert(t.currentSnapshot.op == "replace" &&
+      t.currentSnapshot.id == 2L)
+    assert(t.read().schema.fieldNames.toSeq == Seq("n") &&
+      t.read().count() == 2)
+    assert(t.readAt(1).schema.fieldNames.toSeq == Seq("k", "tag", "v") &&
+      t.readAt(1).count() == 2,
+      "time travel across the replace boundary reads the old schema")
+    // OR CREATE on a missing name degrades to CTAS
+    spark.sql("CREATE OR REPLACE TABLE rtas_new USING graft AS SELECT 7 AS x")
+    assert(LakeRegistry.get("rtas_new").exists(_.read().count() == 1))
+    spark.sql("DROP TABLE rtas_new PURGE")
+    // a read-only principal may not replace a governed table
+    SecureCatalog.governTable("rtas_t", Seq("n"))
+    SecureCatalog.register(Principal("rtas_reader", grants = Map(
+      "rtas_t" -> TablePolicy("rtas_t"))))
+    try {
+      intercept[AccessDeniedException](
+        FgacQueries.asPrincipal(spark, "rtas_reader")(
+          spark.sql("""CREATE OR REPLACE TABLE rtas_t USING graft AS
+                      |SELECT 9 AS n""".stripMargin)))
+      assert(t.read().count() == 2, "denied replace must not commit")
+    } finally SecureCatalog.ungovern("rtas_t")
+  }
+
   test("metadata tables answer from the manifest: files, partitions") {
     val dir = Files.createTempDirectory("graft_meta").toString
     val t = GraftTable.create(spark, dir,
