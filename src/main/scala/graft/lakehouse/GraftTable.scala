@@ -97,6 +97,16 @@ final case class Snapshot(
       * plan time. Absent for files committed by pre-size manifests
       * (readers fall back to a live stat). */
     fileSizes: Map[String, Long] = Map.empty,
+    /** Row lineage (Iceberg v3): first row id per data file. A row's
+      * `_row_id` derives as firstRowId + row position unless the file
+      * carries a materialized id column (rewrites preserve ids that
+      * way); ids in a range skipped by materialized rows are simply
+      * never used. Populated once `row.lineage` is on (assignment
+      * catches up for pre-existing files at the next commit). */
+    firstRowIds: Map[String, Long] = Map.empty,
+    /** Next unassigned row id — monotonic along the lineage, never
+      * reused (a rollback resumes from the PARENT's counter). */
+    nextRowId: Long = 0L,
     renames: Seq[Rename] = Nil,
     specHist: Seq[(Long, Seq[String])] = Nil,
     /** Deletion vectors (Iceberg v3 / Delta DVs): data file → bitmap
@@ -568,7 +578,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * fseq/frows/fsize/fstat maps. */
   private def parseFileEntries(kv: Seq[(String, String)]): (Seq[String],
       Map[String, Long], Map[String, Long], Map[String, Long],
-      Map[String, Map[String, ColStat]]) = {
+      Map[String, Map[String, ColStat]], Map[String, Long]) = {
     def tagged(key: String) = kv.collect { case (`key`, v) =>
       val i = v.indexOf('\t')
       v.substring(i + 1) -> v.substring(0, i).toLong
@@ -576,7 +586,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     (kv.collect { case ("file", v) => v },
       tagged("fseq"), tagged("frows"), tagged("fsize"),
       kv.collect { case ("fstat", v) => FileStatsJson.parse(v) }
-        .flatten.toMap)
+        .flatten.toMap,
+      tagged("frid"))
   }
 
   private def parseManifest(path: Path, id: Long,
@@ -596,11 +607,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val kept = shardRefs.filter { case (lo, hi, _) =>
       keepShard(partitionCols, lo, hi) }
     val shardParts = kept.map { case (lo, hi, p) =>
-      val (fs0, seq0, rows0, sizes0, stats0) =
+      val (fs0, seq0, rows0, sizes0, stats0, frid0) =
         parseFileEntries(readKvLines(new Path(p)))
-      (ManifestShard(p, lo, hi, fs0), seq0, rows0, sizes0, stats0)
+      (ManifestShard(p, lo, hi, fs0), seq0, rows0, sizes0, stats0, frid0)
     }
-    val (inFiles, inSeq, inRows, inSizes, inStats) = parseFileEntries(kv)
+    val (inFiles, inSeq, inRows, inSizes, inStats, inFrid) =
+      parseFileEntries(kv)
     Snapshot(
       id = id,
       parent = one("parent").toLong,
@@ -637,6 +649,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       fileSeq = shardParts.flatMap(_._2).toMap ++ inSeq,
       fileRows = shardParts.flatMap(_._3).toMap ++ inRows,
       fileSizes = shardParts.flatMap(_._4).toMap ++ inSizes,
+      firstRowIds = shardParts.flatMap(_._6).toMap ++ inFrid,
+      nextRowId = kv.collectFirst { case ("nextrowid", v) => v.toLong }
+        .getOrElse(0L),
       renames = kv.collect { case ("rename", v) =>
         val parts = v.split("\t", 3)
         Rename(parts(0).toLong, parts(1), parts(2))
@@ -829,11 +844,44 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       renamesOverride.getOrElse(ref.map(_.renames).getOrElse(Nil))
     val specHist =
       specHistOverride.getOrElse(ref.map(_.specHist).getOrElse(Nil))
+    // ---- row lineage (Iceberg v3): first_row_id assignment --------
+    // Every file new to the lineage gets a first-row-id range sized
+    // by its record count (already footer-harvested above); carried
+    // files keep theirs by reference. Rows materialized by a rewrite
+    // carry their own ids and simply never use the file's range.
+    // The counter is the PARENT head's (monotonic — a rollback's
+    // refSnap may carry an older, smaller counter, and row id ranges
+    // must never be reused).
+    val lineageOn =
+      properties.get(GraftTable.RowLineageProp).contains("true")
+    val lineageFiles = files.toSet
+    val refFirst = ref.map(_.firstRowIds).getOrElse(Map.empty)
+    val baseNextRowId = math.max(
+      ref.map(_.nextRowId).getOrElse(0L),
+      if (refSnap.isDefined && expectedParent > 0)
+        snapshot(expectedParent).nextRowId
+      else 0L)
+    val (firstRowIds: Map[String, Long], nextRowId: Long) =
+      if (!lineageOn)
+        (refFirst.filter { case (f, _) => lineageFiles(f) }, baseNextRowId)
+      else {
+        var ctr = baseNextRowId
+        val fresh = files.filterNot(refFirst.contains).sorted.map { f =>
+          val n = rows.getOrElse(f, throw new IllegalStateException(
+            s"row lineage requires a record count for $f " +
+              "(unreadable parquet footer)"))
+          val e = f -> ctr
+          ctr += n
+          e
+        }
+        (refFirst.filter { case (f, _) => lineageFiles(f) } ++ fresh, ctr)
+      }
     def renderFileEntry(body: StringBuilder, f: String, id: Long): Unit = {
       body ++= s"file=$f\n"
       body ++= s"fseq=${refSeq.getOrElse(f, id)}\t$f\n"
       rows.get(f).foreach(n => body ++= s"frows=$n\t$f\n")
       sizes.get(f).foreach(n => body ++= s"fsize=$n\t$f\n")
+      firstRowIds.get(f).foreach(n => body ++= s"frid=$n\t$f\n")
       val cs = stats.getOrElse(f, Map.empty)
       if (cs.nonEmpty) body ++= s"fstat=${FileStatsJson.render(f, cs)}\n"
     }
@@ -884,6 +932,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       pendingTxn.foreach { case (app, b) => body ++= s"txn=$app\t$b\n" }
       body ++= s"schema=${schema.json}\n"
       body ++= s"partcols=${partitionCols.mkString(",")}\n"
+      if (lineageOn || nextRowId > 0) body ++= s"nextrowid=$nextRowId\n"
       (carriedShards ++ newShards).foreach { s =>
         body ++= s"mshard=${s.files.size}\t${s.lo}\t${s.hi}\t${s.path}\n"
       }
@@ -2429,6 +2478,102 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       dvsOverride = Some(Map.empty))
   }
 
+  // ---- row lineage (Iceberg v3) -----------------------------------
+
+  /** True when the `row.lineage` table property is on. */
+  def lineageEnabled: Boolean =
+    properties.get(GraftTable.RowLineageProp).contains("true")
+
+  /** The current snapshot with Iceberg v3 row-lineage metadata
+    * columns: `_row_id` (unique, immutable per row — assigned at the
+    * row's first commit, preserved through copy-on-write rewrites
+    * and compaction) and `_last_updated_sequence_number` (the commit
+    * that last MODIFIED the row; carries unchanged through rewrites
+    * that only relocate it). Derivation is Iceberg's inheritance
+    * model: a row's id is the file's manifest-recorded first_row_id
+    * plus its position unless the file materializes an id column
+    * (what lineage-preserving rewrites write), so appends pay ZERO
+    * extra bytes and no global ordering ever computes — at 100 TB
+    * the lineage read adds one broadcast of (file → first_row_id,
+    * seq) commit metadata and two codegen'd coalesces per row. */
+  def readLineage(): DataFrame = {
+    val snap = currentSnapshot
+    require(lineageEnabled,
+      s"row lineage: set table property ${GraftTable.RowLineageProp}=true")
+    require(snap.files.forall(snap.firstRowIds.contains),
+      "row lineage metadata is incomplete: commit once (any append or " +
+        "DML) after enabling row.lineage so first row ids assign")
+    val src = lineageSource(snap, snap.files)
+    src.select(snap.schema.fieldNames.map(col) ++ Seq(
+      col(GraftTable.RowIdColName).as("_row_id"),
+      col(GraftTable.LastSeqColName)
+        .as("_last_updated_sequence_number")): _*)
+  }
+
+  /** `files` under `snap` with the two lineage columns resolved to
+    * CONCRETE values — materialized-or-inherited row id, and the
+    * last-updated sequence with the -1 "this commit" sentinel
+    * translated through the file's own add-sequence (rewrites cannot
+    * know their publish id up front; their files' fseq IS it). The
+    * COW-rewrite source and the [[readLineage]] body. */
+  private def lineageSource(snap: Snapshot, files: Seq[String])
+      : DataFrame = {
+    require(snap.dels.isEmpty && snap.posDels.isEmpty && snap.dvs.isEmpty,
+      "row lineage over pending merge-on-read artifacts is not " +
+        "supported: compact() to materialize them first")
+    require(snap.renames.isEmpty,
+      "row lineage across a pending column rename is not supported: " +
+        "compact() to clear the rename log first")
+    require(defaultedCols(snap).isEmpty,
+      "row lineage with initial-default columns is not supported")
+    require(files.forall(snap.firstRowIds.contains),
+      "row lineage metadata is incomplete for this file set")
+    val ext = StructType(snap.schema.fields ++ Seq(
+      StructField(GraftTable.RowIdColName, org.apache.spark.sql.types.LongType),
+      StructField(GraftTable.LastSeqColName, org.apache.spark.sql.types.LongType)))
+    def withMeta(df: DataFrame) = df
+      .withColumn("_g_file", col("_metadata.file_path"))
+      .withColumn("_g_idx", col("_metadata.row_index"))
+    // same per-commit basePath grouping as [[readFiles]] (identity
+    // partition values live in dir names); _metadata must be bound
+    // per scan, before any union
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(ext.fields ++ Seq(
+            StructField("_g_file", org.apache.spark.sql.types.StringType),
+            StructField("_g_idx", org.apache.spark.sql.types.LongType))))
+      else if (snap.partitionCols.isEmpty ||
+          !PartField.allIdentity(snap.partitionCols))
+        withMeta(spark.read.schema(ext).parquet(files: _*))
+      else files.groupBy(commitDirOf).toSeq.sortBy(_._1).map {
+        case (bp, fs) => withMeta(spark.read.option("basePath", bp)
+          .schema(ext).parquet(fs: _*))
+      }.reduce(_.unionByName(_))
+    import spark.implicits._
+    val meta = broadcast(files.map(f => (metaPath(f),
+        snap.firstRowIds(f), snap.fileSeq.getOrElse(f, snap.id)))
+      .toDF("_g_file", "_g_first", "_g_fseq"))
+    base.join(meta, "_g_file")
+      .withColumn(GraftTable.RowIdColName,
+        coalesce(col(GraftTable.RowIdColName),
+          col("_g_first") + col("_g_idx")))
+      .withColumn(GraftTable.LastSeqColName,
+        when(col(GraftTable.LastSeqColName).isNull ||
+            col(GraftTable.LastSeqColName) === -1L, col("_g_fseq"))
+          .otherwise(col(GraftTable.LastSeqColName)))
+      .drop("_g_file", "_g_idx", "_g_first", "_g_fseq")
+  }
+
+  /** The copy-on-write rewrite source: the plain mapped read, or —
+    * on a row-lineage table — the read WITH concrete lineage columns
+    * so the rewritten files materialize every carried row's id and
+    * last-update (Iceberg v3: "writers must preserve row ids when
+    * rewriting"). */
+  private def cowSource(snap: Snapshot, files: Seq[String]): DataFrame =
+    if (!lineageEnabled) readFilesMapped(snap, files)
+    else lineageSource(snap, files)
+
   /** Atomic table REPLACE (Iceberg RTAS / `CREATE OR REPLACE TABLE …
     * AS SELECT`): ONE swap commit through the same CAS publish as
     * every other commit, so readers either see the old table or the
@@ -2520,7 +2665,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * between a metadata commit and rewriting terabytes for a
     * predicate touching most files. Rows appended AFTER the delete
     * are out of scope even when they match (sequence rule). */
+  /** Row-lineage tables take copy-on-write DML only (MoR artifacts
+    * would need id-preserving composition on every read path — not
+    * landed); refuse at WRITE time so no lineage read ever faces
+    * pending tombstones. */
+  private def requireNoLineage(what: String): Unit =
+    if (lineageEnabled) throw new UnsupportedOperationException(
+      s"$what on a row-lineage table is not supported: " +
+        "row.lineage tables take copy-on-write DML")
+
   def deleteMoR(predSql: String): Long = {
+    requireNoLineage("merge-on-read DELETE")
     val snap = currentSnapshot
     // resolve the predicate against the snapshot schema NOW — a typo
     // must fail this commit, not some future read
@@ -2550,6 +2705,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   /** [[deleteMoRPos]] against an explicit base snapshot — the
     * deterministic seam for the rebase path, like [[deleteAt]]. */
   private[graft] def deleteMoRPosAt(snap: Snapshot, predSql: String): Long = {
+    requireNoLineage("merge-on-read position DELETE")
     val cand = dmlCandidates(snap, predSql)
     // scan the LIVE view: rows already tombstoned (or under a pending
     // equality delete) must not be re-tombstoned
@@ -2576,6 +2732,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   /** [[deleteMoRDv]] against an explicit base snapshot — the
     * deterministic seam for the rebase path, like [[deleteAt]]. */
   private[graft] def deleteMoRDvAt(snap: Snapshot, predSql: String): Long = {
+    requireNoLineage("deletion-vector DELETE")
     val cand = dmlCandidates(snap, predSql)
     if (cand.isEmpty) return snap.id // stats prove nothing matches
     // scan the LIVE view: rows already vectored out (or tombstoned,
@@ -2792,8 +2949,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       else writeData(
         // NULL-predicate rows must survive a DELETE (SQL semantics):
         // not(NULL) is NULL and would silently drop them from
-        // rewritten files only.
-        readFilesMapped(snap, rewrite)
+        // rewritten files only. cowSource materializes row lineage
+        // into the survivors when row.lineage is on.
+        cowSource(snap, rewrite)
           .filter(not(coalesce(p, lit(false)))),
         id, snap.partitionCols)
     val touched = rewrite.map(normalize).toSet
@@ -2850,9 +3008,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val newFiles =
       if (rewrite.isEmpty) Nil
       else {
-        val base = readFilesMapped(snap, rewrite)
+        val base = cowSource(snap, rewrite)
+        // row lineage: an updated row keeps its _row_id and bumps its
+        // last-updated to THIS commit (the -1 sentinel — the publish
+        // id is unknowable pre-CAS; readers translate it through the
+        // rewritten file's own add-sequence); carried rows keep both
+        val lineageCols =
+          if (!lineageEnabled) Nil
+          else Seq(col(GraftTable.RowIdColName),
+            when(p, lit(-1L))
+              .otherwise(col(GraftTable.LastSeqColName))
+              .as(GraftTable.LastSeqColName))
         val updated = base.select(
-          snap.schema.fieldNames.map { c =>
+          snap.schema.fieldNames.toSeq.map { c =>
             assignments.get(c) match {
               case Some(e) =>
                 val v = checkedCast(expr(e), resolvedType(base, expr(e)),
@@ -2860,7 +3028,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
                 when(p, v).otherwise(col(c)).as(c)
               case None    => col(c)
             }
-          }: _*)
+          } ++ lineageCols: _*)
         writeData(updated, id, snap.partitionCols)
       }
     val touched = rewrite.map(normalize).toSet
@@ -2946,7 +3114,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * (the raise aborts the write before any manifest publish). */
   private[graft] def mergeAt(snap: Snapshot, source: DataFrame,
       keys0: Seq[String], clauses0: Seq[MergeClause]): Long =
-    try mergeAtImpl(snap, source, keys0, clauses0)
+    // honest refusal, not silent id churn: MERGE's rewrite replaces
+    // matched rows from the JOINED relation, and threading each
+    // matched target row's lineage through the clause machinery has
+    // not landed — rewritten rows would silently inherit FRESH ids,
+    // breaking the row-id stability law
+    if (lineageEnabled)
+      throw new UnsupportedOperationException(
+        "MERGE on a row-lineage table is not yet supported " +
+          "(UPDATE/DELETE preserve lineage; disable row.lineage or " +
+          "express the merge as UPDATE + INSERT)")
+    else try mergeAtImpl(snap, source, keys0, clauses0)
     catch {
       case e: Throwable
           if GraftTable.chainContains(e, GraftTable.MergeDupMarker) =>
@@ -3310,7 +3488,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // compaction also MATERIALIZES pending merge-on-read deletes:
     // the rewrite reads through morRead, so deleted rows drop out of
     // the new files and the delete predicates clear
-    val base = morRead(snap, snap.files)
+    // a lineage table's compaction must carry every row's id and
+    // last-update into the fresh files (MoR artifacts are refused at
+    // write time on lineage tables, so morRead degenerates anyway)
+    val base =
+      if (lineageEnabled) lineageSource(snap, snap.files)
+      else morRead(snap, snap.files)
     val arranged =
       if (zorderBy.nonEmpty && snap.files.nonEmpty) {
         val z = zValue(snap, base, zorderBy)
@@ -3395,8 +3578,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // Unpartitioned tables keep the size-derived n-way split.
     val packed =
       if (snap.partitionCols.isEmpty)
-        readFilesMapped(snap, small).repartition(n)
-      else readFilesMapped(snap, small)
+        cowSource(snap, small).repartition(n)
+      else cowSource(snap, small)
     commit("binpack", snap.schema,
       big ++ writeData(packed, id, snap.partitionCols,
         widen = snap.partitionCols.nonEmpty),
@@ -3434,8 +3617,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // hash clustering (same shape and tradeoff as [[compactSmall]])
     val packed =
       if (snap.partitionCols.isEmpty)
-        readFilesMapped(snap, cand).repartition(numFiles)
-      else readFilesMapped(snap, cand)
+        cowSource(snap, cand).repartition(numFiles)
+      else cowSource(snap, cand)
     commit("compact-where", snap.schema,
       carried ++ writeData(packed, id, snap.partitionCols,
         widen = snap.partitionCols.nonEmpty),
@@ -4955,6 +5138,17 @@ object GraftTable {
   /** Table property holding the write sort order (comma-separated
     * column list; Iceberg's `SORTED BY`). See writeData. */
   val SortOrderProp = "write.sort.order"
+
+  /** Row lineage (Iceberg v3 `_row_id` / `_last_updated_sequence_
+    * number`) — "true" enables per-commit first-row-id assignment,
+    * lineage-preserving rewrites, and [[GraftTable.readLineage]]. */
+  val RowLineageProp = "row.lineage"
+
+  /** Hidden lineage columns materialized into REWRITTEN data files
+    * (appends never carry them — their rows inherit file-range ids);
+    * invisible to normal reads, which project the table schema. */
+  val RowIdColName = "_g_row_id"
+  val LastSeqColName = "_g_last_seq"
 
   /** Table property: per-commit file count at which manifest entries
     * spill out of the snapshot manifest into partition-sorted

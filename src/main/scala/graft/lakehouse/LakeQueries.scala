@@ -1000,6 +1000,65 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** ROW LINEAGE (Iceberg v3 `_row_id` /
+    * `_last_updated_sequence_number`): every row gets a unique,
+    * immutable id at its first commit and a last-modified sequence —
+    * what changelog consumers and incremental ML-feature jobs key
+    * on. Derivation is Iceberg's inheritance model (file
+    * first_row_id + position unless a rewrite materialized the id),
+    * so appends pay zero extra bytes and nothing ever computes a
+    * global ordering. The scripted scenario drives every lineage
+    * law in-query: UPDATE preserves ids and bumps exactly the
+    * matched rows' sequence, DELETE leaves survivors' lineage
+    * untouched (even survivors sharing a rewritten file),
+    * compaction relocates every row without changing either value,
+    * ids stay unique. The oracle recomputes the per-sequence row
+    * cohorts from the DML script — which keys were last touched by
+    * which statement is pure content, so the (seq → count, key-sum)
+    * matrix is exact; raw id VALUES are file-layout-dependent and
+    * stay in-query. */
+  private val rowLineage: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"))
+    val t = GraftTable.createEmpty(s, tmp("lake_rowlin"),
+      orders.schema)                                         // snap 1
+    t.setProperties(Map(GraftTable.RowLineageProp -> "true"))
+    t.append(orders.filter(col("o_orderkey") % 3 === 0))     // snap 2
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))     // snap 3
+    val preIds = t.readLineage()
+      .select(col("o_orderkey").as("k0"), col("_row_id").as("r0"))
+    LakeRegistry.register("lake_rowlin_t", t)
+    s.sql("UPDATE lake_rowlin_t SET price = price * 2 " +
+      "WHERE o_orderstatus = 'F'")                           // snap 4
+    val after = t.readLineage()
+    require(after.join(preIds, col("o_orderkey") === col("k0"))
+      .filter(col("_row_id") =!= col("r0")).count() == 0,
+      "UPDATE must preserve every row's _row_id")
+    require(after.filter(col("_last_updated_sequence_number") === 4L)
+      .count() == after.filter(col("o_orderstatus") === "F").count(),
+      "exactly the matched rows carry the UPDATE's sequence")
+    s.sql("DELETE FROM lake_rowlin_t WHERE o_orderkey % 30 = 0") // snap 5
+    val pre = t.readLineage().select("o_orderkey", "_row_id",
+      "_last_updated_sequence_number")
+    require(pre.filter(col("_last_updated_sequence_number") === 5L)
+      .count() == 0,
+      "DELETE must not bump surviving rows' last-updated sequence")
+    t.compact(2)                                             // snap 6
+    val post = t.readLineage().select("o_orderkey", "_row_id",
+      "_last_updated_sequence_number")
+    require(pre.exceptAll(post).count() == 0 &&
+      post.exceptAll(pre).count() == 0,
+      "compaction must relocate rows with lineage bit-unchanged")
+    require(post.select("_row_id").distinct().count() == post.count(),
+      "row ids must be unique")
+    t.readLineage()
+      .groupBy(col("_last_updated_sequence_number").as("last_seq"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("last_seq")
+  }
+
   /** `CREATE OR REPLACE TABLE … AS SELECT` (Iceberg RTAS) — the
     * scheduled-rebuild idiom: ONE atomic swap commit replaces
     * schema, partition spec, and data (readers see old-or-new,
@@ -2106,6 +2165,7 @@ object LakeQueries {
     "lake_expire"           -> expire,
     "lake_expire_age"       -> expireAge,
     "lake_replace"          -> replaceQ,
+    "lake_row_lineage"      -> rowLineage,
     "lake_overwrite_partition" -> overwritePartition,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
@@ -2567,6 +2627,21 @@ object LakeQueries {
         | CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey % 2 = 1
         |ORDER BY o_orderkey""".stripMargin,
+    // which keys were last touched by which statement is pure
+    // content: F rows were UPDATEd (seq 4), the rest keep their
+    // insert sequence (2 or 3); %30 rows were DELETEd
+    "lake_row_lineage" ->
+      """WITH live AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN 4
+        |         WHEN o_orderkey % 3 = 0 THEN 2
+        |         ELSE 3 END AS seq
+        |  FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 30 <> 0)
+        |SELECT CAST(seq AS BIGINT) AS last_seq,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM live GROUP BY seq ORDER BY last_seq""".stripMargin,
     "lake_overwrite_partition" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0

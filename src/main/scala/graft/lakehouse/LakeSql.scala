@@ -669,7 +669,9 @@ object LakeDdl {
       "write.update.isolation-level" -> Set("serializable", "snapshot"),
       "write.merge.isolation-level" -> Set("serializable", "snapshot"),
       // honored by GraftTable.evolveForMerge
-      "write.merge.schema.evolution" -> Set("true", "false"))
+      "write.merge.schema.evolution" -> Set("true", "false"),
+      // Iceberg v3 row lineage (GraftTable.readLineage)
+      "row.lineage" -> Set("true", "false"))
     props.foreach { case (k, v) =>
       known.get(k) match {
         case None => throw new UnsupportedOperationException(

@@ -1034,6 +1034,46 @@ class LakehouseSpec extends AnyFunSuite {
     } finally SecureCatalog.ungovern("rtas_t")
   }
 
+  test("row lineage: ids never reused after rollback, hidden columns " +
+      "stay hidden, refusals are loud") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))    // snap 1
+    t.setProperties(Map(GraftTable.RowLineageProp -> "true"))
+    // pre-enable files have no ids yet: refuse with the catch-up hint
+    val e0 = intercept[IllegalArgumentException](t.readLineage())
+    assert(e0.getMessage.contains("commit once"))
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))        // snap 2
+    val lin = t.readLineage()
+    assert(lin.columns.takeRight(2).toSeq ==
+      Seq("_row_id", "_last_updated_sequence_number"))
+    assert(lin.select("_row_id").distinct().count() == 3)
+    // snap-1 rows read their ORIGINAL add-sequence even though their
+    // ids were assigned late (seq comes from fseq, not assignment time)
+    assert(lin.filter(col("k") <= 2)
+      .filter(col("_last_updated_sequence_number") === 1L).count() == 2)
+    val maxId = lin.agg(max("_row_id")).head.getLong(0)
+    // COW update preserves ids; the rewritten file's carried rows too
+    t.update(Map("v" -> "v + 10"), "k = 1")                    // snap 3
+    val lin3 = t.readLineage()
+    assert(lin3.filter(col("k") === 1)
+      .head.getAs[Long]("_last_updated_sequence_number") == 3L)
+    assert(lin3.select("_row_id").as[Long].collect().toSet ==
+      lin.select("_row_id").as[Long].collect().toSet,
+      "update must not mint or lose row ids")
+    // the hidden materialized columns never leak into a normal read
+    assert(t.read().columns.toSeq == Seq("k", "tag", "v"))
+    // rollback then append: the id counter never reuses ranges
+    t.rollback(2)                                              // snap 4
+    t.append(Seq((9L, "z", 9.0)).toDF("k", "tag", "v"))        // snap 5
+    val lin5 = t.readLineage()
+    assert(lin5.filter(col("k") === 9)
+      .head.getAs[Long]("_row_id") > maxId,
+      "rolled-back id ranges must never be reused")
+    // MoR DML and MERGE refuse loudly on lineage tables
+    intercept[UnsupportedOperationException](t.deleteMoR("k = 3"))
+    intercept[UnsupportedOperationException](
+      t.merge(Seq((3L, "c2", 30.0)).toDF("k", "tag", "v"), "k"))
+  }
+
   test("metadata tables answer from the manifest: files, partitions") {
     val dir = Files.createTempDirectory("graft_meta").toString
     val t = GraftTable.create(spark, dir,
