@@ -75,6 +75,31 @@ object NativeExprs {
       copy(child = c)
   }
 
+  /** BPE encoding under a trained merge list (rank order, each entry
+    * "a\u0000b") — see [[NativeKernels.bpeTokens]]. The merges are
+    * PLAN metadata (a trained artifact, like the PQ codebooks), held
+    * as a codegen reference object so the per-row cost is the encode
+    * loop alone. */
+  case class BpeTokens(child: Expression, merges: Seq[String])
+      extends UnaryExpression {
+    @transient private lazy val ranks =
+      NativeKernels.bpeRanks(merges.toArray)
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_bpe_tokens"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.bpeTokens(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ranks)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val r = ctx.addReferenceObj("bpeRanks", ranks,
+        "java.util.HashMap<String, Integer>")
+      defineCodeGen(ctx, ev, c => s"$K.bpeTokens($c, $r)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 128-wide MinHash signature over already-hashed shingles: element
     * k is min over the array of xxhash64(h, seed = k). Pairs with
     * [[ShingleHashes]]. */
@@ -424,6 +449,19 @@ object NativeExprs {
         require(args(1).foldable,
           "graft_span_hashes: window width must be a literal")
         args(1).eval().asInstanceOf[Number].intValue()
+      })),
+    (FunctionIdentifier("graft_bpe_tokens"),
+      info("graft_bpe_tokens",
+        "BPE tokens of a text column under a literal merge list"),
+      (args: Seq[Expression]) => BpeTokens(args(0), {
+        require(args(1).foldable,
+          "graft_bpe_tokens: the merge list must be a literal array")
+        args(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).map(a.getUTF8String(_).toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_tokens: unexpected merge list $other")
+        }
       })),
     (FunctionIdentifier("graft_minhash128_long"),
       info("graft_minhash128_long",

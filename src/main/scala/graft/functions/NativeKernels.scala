@@ -80,6 +80,81 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Merge-rank lookup for [[bpeTokens]]: pair "a\u0000b" -> rank.
+    * Built once per plan (the expression holds it as a reference
+    * object), probed per adjacent symbol pair. */
+  def bpeRanks(merges: Array[String]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+
+  /** BPE-encode a text column under a trained merge list: lowercase →
+    * split(" ") → per word, start from CODE-POINT symbols and
+    * repeatedly merge the adjacent pair with the LOWEST rank (all its
+    * occurrences, left to right) until no adjacent pair is ranked —
+    * the standard deterministic BPE encoder. Returns the full token
+    * array so the lossless-roundtrip law (concat(tokens) ==
+    * text-without-spaces) is checkable; by construction no merge
+    * loses a character. Code points (not UTF-16 units) keep
+    * token-count ≤ char-count sound for astral-plane text. */
+  def bpeTokens(input: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val words = input.toLowerCase.toString.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var syms = {
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < w.length) {
+            val cp = w.codePointAt(i)
+            b += new String(Character.toChars(cp))
+            i += Character.charCount(cp)
+          }
+          b
+        }
+        var done = syms.length < 2
+        while (!done) {
+          // lowest-ranked adjacent pair present in this word
+          var best = Int.MaxValue
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = ranks.get(syms(i) + "\u0000" + syms(i + 1))
+            if (r != null && r.intValue() < best) best = r.intValue()
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            // merge ALL occurrences of the best pair, left to right
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && {
+                val r = ranks.get(syms(j) + "\u0000" + syms(j + 1))
+                r != null && r.intValue() == best
+              }) {
+                merged += syms(j) + syms(j + 1)
+                j += 2
+              } else {
+                merged += syms(j)
+                j += 1
+              }
+            }
+            syms = merged
+            if (syms.length < 2) done = true
+          }
+        }
+        syms.foreach(t => out += UTF8String.fromString(t))
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   /** MinHash signature over already-hashed shingles. */
   def minHashFromHashes(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()

@@ -336,7 +336,119 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merges and vocabulary-cap constants for [[bpeQ]]. */
+  private val BpeMerges = 64
+  private val BpeVocabCap = 8192
+
+  /** Train `n` BPE merges on a (word → count) vocabulary —
+    * deterministic: the highest-count adjacent pair wins each round,
+    * ties break lexicographically (left symbol, then right). Standard
+    * BPE training operates on exactly this dictionary, never the raw
+    * corpus, so the driver-side fold is over the BOUNDED top-K
+    * vocabulary aggregate (the same contract as `text_rarity`'s
+    * broadcast vocabulary) — at 100 TB the train input is one small
+    * shuffle result, and the trained merges are plan metadata like
+    * the IVF/PQ codebooks. */
+  private[graft] def trainBpe(vocab: Seq[(String, Long)], n: Int)
+      : Seq[(String, String)] = {
+    var words: Seq[(Array[String], Long)] = vocab.map { case (w, c) =>
+      val b = Seq.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (b.result().toArray, c)
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < n && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) =>
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 &&
+                syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += syms(i) + syms(i + 1); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result().toArray, c)
+        }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Trained-BPE tokenization (`text_bpe`): train merges on the
+    * corpus vocabulary, apply as the native `graft_bpe_tokens`
+    * expression, and prove the tokenizer's laws in one aggregate —
+    * lossless roundtrip (concat(tokens) == text minus spaces, every
+    * doc), token count bounded by [words, codepoints], and genuine
+    * compression (the merges fired). Training is require()d
+    * deterministic (two runs, identical merges). The oracle replays
+    * the SQL-computable facts (doc/word/char totals) and pins the
+    * verdicts — the merge list itself is a trained artifact like the
+    * k-means centroids, so its values live in the spec, not SQL. */
+  private val bpeQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val vocab: Seq[(String, Long)] = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(BpeVocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = trainBpe(vocab, BpeMerges)
+    require(merges == trainBpe(vocab, BpeMerges),
+      "BPE training must be deterministic")
+    require(merges.size == BpeMerges,
+      s"corpus too small to train $BpeMerges merges")
+    val mergeLits = merges.map { case (a, b) => s"$a\u0000$b" }
+    val toks = docs.select(lower(col("text")).as("lt"),
+      call_function("graft_bpe_tokens", col("text"),
+        array(mergeLits.map(lit): _*)).as("tk"))
+    val r = toks.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("tk"))).as("nb"),
+      sum(when(concat_ws("", col("tk")) ===
+        regexp_replace(col("lt"), " ", ""), 0L).otherwise(1L)).as("bad"),
+      sum(size(filter(split(col("lt"), " "),
+        w => w =!= ""))).as("n_ws_tokens"),
+      sum(length(regexp_replace(col("lt"), " ", ""))).as("n_chars"))
+      .head()
+    require(r.getAs[Long]("bad") == 0L,
+      "BPE roundtrip must be lossless for every document")
+    val nb = r.getAs[Long]("nb")
+    require(nb >= r.getAs[Long]("n_ws_tokens") &&
+      nb < r.getAs[Long]("n_chars"),
+      s"BPE token count $nb must sit in [words, chars)")
+    import s.implicits._
+    Seq((r.getAs[Long]("n_docs"), r.getAs[Long]("n_ws_tokens"),
+      r.getAs[Long]("n_chars"), true, true, BpeMerges))
+      .toDF("n_docs", "n_ws_tokens", "n_chars", "roundtrip_ok",
+        "bpe_in_bounds", "merges_trained")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bpe" -> bpeQ,
     "text_lexical_diversity" -> lexicalDiversity,
     "text_lm_score" -> lmScore,
     "text_repetition" -> repetition,
@@ -350,6 +462,20 @@ object TextAnalysis {
     "text_redact" -> redact)
 
   val oracles: Map[String, String] = Map(
+    // trained-artifact decision row (the merge list is plan metadata,
+    // like the k-means centroids -- ann_ivf_kmeans precedent): the SQL
+    // side recomputes every SQL-expressible fact, the verdicts are
+    // require()d in-query and spec-pinned
+    "text_bpe" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+        |    w -> w <> ''))) AS BIGINT) AS n_ws_tokens,
+        |  CAST(SUM(length(replace(lower(text), ' ', ''))) AS BIGINT)
+        |    AS n_chars,
+        |  TRUE AS roundtrip_ok,
+        |  TRUE AS bpe_in_bounds,
+        |  CAST(64 AS INT) AS merges_trained
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // counts are exact integers; the three ratios are single IEEE
     // divisions of exact longs — deterministic on both engines
     "text_lexical_diversity" ->

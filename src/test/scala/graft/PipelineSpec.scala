@@ -87,6 +87,35 @@ class PipelineSpec extends AnyFunSuite {
       List((0, w - 1), (w + 1, 2 * w)))
   }
 
+  test("BPE: classic training order, exact greedy encode, tie-break, " +
+      "astral-plane roundtrip") {
+    import graft.text.TextAnalysis
+    // the canonical BPE walkthrough vocabulary: merges must come out
+    // (u,g) [count 20], then (u,n) [16], then (h,ug) [15]
+    val vocab = Seq("hug" -> 10L, "pug" -> 5L, "pun" -> 12L,
+      "bun" -> 4L, "hugs" -> 5L)
+    val merges = TextAnalysis.trainBpe(vocab, 3)
+    assert(merges == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    def encode(text: String, ms: Seq[(String, String)]): Seq[String] =
+      Seq(text).toDF("text").select(
+        call_function("graft_bpe_tokens", col("text"),
+          array(ms.map { case (a, b) => lit(a + "\u0000" + b) }: _*))
+          .as("tk")).head.getSeq[String](0)
+    // greedy lowest-rank-first: hugs -> (u,g) fires before (h,ug)
+    assert(encode("hugs bun x", merges) ==
+      Seq("hug", "s", "b", "un", "x"))
+    // rank order matters, not pair order in the word
+    assert(encode("pun pug", merges) == Seq("p", "un", "p", "ug"))
+    // equal counts tie-break lexicographically
+    assert(TextAnalysis.trainBpe(Seq("ab" -> 2L, "cd" -> 2L), 1) ==
+      Seq(("a", "b")))
+    // code-point symbols: an astral char is ONE symbol, roundtrip holds
+    assert(encode("a😀b", Nil) ==
+      Seq("a", "😀", "b"))
+    // exhausted vocab stops early instead of looping
+    assert(TextAnalysis.trainBpe(Seq("ab" -> 1L), 10).size == 1)
+  }
+
   test("LSH bucket cap bounds a boilerplate bucket's candidates " +
       "while keeping the cluster connected") {
     // 1000 identical docs: every band hashes them into ONE bucket, so
