@@ -558,6 +558,47 @@ object Relational {
         max(col("k")).as("k_max"))
       .orderBy(col("event_type"))
 
+  /** Shredded VARIANT column (`q45_variant`; Iceberg v3 variant /
+    * Delta shredding — see [[graft.sources.Variant]]): a
+    * variant-shaped nested JSON ingests as typed-struct + residual,
+    * and the proof of the layout is in the PLAN — the predicate on
+    * the shredded path `v_typed.k` is require()d to land in the
+    * parquet scan's PushedFilters (no JSON parse anywhere on the hot
+    * path), while the long-tail path reads from the residual with
+    * `get_json_object`. The variant JSON is BUILT from base columns
+    * so the DuckDB oracle replays the whole pipeline relationally. */
+  private val q45: Q = (s, d) => {
+    import org.apache.spark.sql.types.StructType
+    val ev = Tables.events(s, d)
+    val raw = ev.select(col("event_id"),
+      to_json(struct(
+        from_json(col("props"), StructType.fromDDL("k INT"))
+          .getField("k").as("k"),
+        col("event_type").as("lvl"),
+        struct((col("user_id") % 7).as("bucket")).as("meta"))).as("v"))
+    val shredSchema =
+      StructType.fromDDL("k INT, meta STRUCT<bucket: BIGINT>")
+    val (typed, residual) = graft.sources.Variant.shred(col("v"), shredSchema)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_variant").toString
+    raw.select(col("event_id"), typed.as("v_typed"),
+      residual.as("v_residual")).write.mode("overwrite").parquet(dir)
+    val t = s.read.parquet(dir)
+    val get = (p: String) => graft.sources.Variant.variantGet(
+      col("v_typed"), col("v_residual"), shredSchema, p)
+    val q = t.filter(get("k") >= 50 && get("lvl") === "error")
+      .select(col("event_id"), get("k").as("k"),
+        get("meta.bucket").as("bucket"), get("lvl").as("lvl"))
+      .orderBy("event_id")
+    // the whole point of shredding: the hot-path predicate reaches
+    // the parquet scan as a NESTED pushed filter, zero JSON parsing
+    val scanText = q.queryExecution.executedPlan.toString()
+    require(scanText.contains("v_typed.k"),
+      "the shredded path must appear in the scan's pushed filters:\n" +
+        scanText)
+    q
+  }
+
   /** Explicit window frames: first/last/nth order per customer with
     * an UNBOUNDED..UNBOUNDED rows frame (the default frame stops at
     * CURRENT ROW for last_value — the classic trap this query pins
@@ -800,6 +841,7 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "q45_variant" -> q45,
     "q44_interpolate" -> q44,
     "q43_resample" -> q43,
     "q39_unpivot" -> q39, "q40_lateral" -> q40,
@@ -939,6 +981,15 @@ object Relational {
         | CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_big,
         | CAST(list_max(list_transform(qtys, x -> x * 2)) AS INT) AS doubled_max
         |FROM a ORDER BY l_orderkey""".stripMargin,
+    "q45_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract(props, '$.k') AS INT) AS k,
+        | user_id % 7 AS bucket,
+        | event_type AS lvl
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS INT) >= 50
+        |  AND event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
     "q35_json" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,

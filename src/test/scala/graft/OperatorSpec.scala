@@ -92,6 +92,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("variant shredding: typed paths push down, residual keeps " +
+      "the unshredded tail, routing picks the right column") {
+    import org.apache.spark.sql.types.StructType
+    import graft.sources.Variant
+    val schema = StructType.fromDDL("k INT, meta STRUCT<bucket: BIGINT>")
+    val (typed, residual) = Variant.shred(col("j"), schema)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_var_spec").toString
+    Seq(
+      (1L, """{"k": 7, "lvl": "error", "meta": {"bucket": 3}, "extra": "x"}"""),
+      (2L, """{"k": 99, "lvl": "ok", "meta": {"bucket": 1}}"""),
+      (3L, """{"lvl": "ok"}"""))
+      .toDF("id", "j")
+      .select(col("id"), typed.as("v_typed"), residual.as("v_residual"))
+      .write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    // the residual holds EXACTLY the unshredded top-level keys
+    val res1 = t.filter(col("id") === 1).head.getString(2)
+    assert(res1.contains("lvl") && res1.contains("extra") &&
+      !res1.contains("\"k\"") && !res1.contains("bucket"))
+    // a filter on a shredded path reaches the parquet scan's
+    // PushedFilters as a NESTED predicate — no JSON parse on the
+    // hot path (the point of shredding)
+    val q = t.filter(Variant.variantGet(col("v_typed"),
+      col("v_residual"), schema, "k") >= 50)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("v_typed.k"),
+      s"shredded path must be pushed:\n$plan")
+    assert(q.select("id").as[Long].collect().toSeq == Seq(2L))
+    // residual routing: an unshredded path reads via JSON probe
+    assert(t.orderBy("id").select(Variant.variantGet(col("v_typed"),
+      col("v_residual"), schema, "lvl")).as[String].collect().toSeq ==
+      Seq("error", "ok", "ok"))
+    // a doc missing the shredded struct reads null, never errors
+    assert(t.filter(col("id") === 3)
+      .select(Variant.variantGet(col("v_typed"), col("v_residual"),
+        schema, "meta.bucket")).head.isNullAt(0))
+  }
+
   test("q35 json extraction matches a string-parse recomputation") {
     val out = SparkEntry.queries("q35_json")(spark, sf)
     val total = out.agg(sum($"k_sum")).head.getLong(0)
