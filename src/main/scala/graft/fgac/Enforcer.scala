@@ -1,6 +1,6 @@
 package graft.fgac
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{col, lit, struct, when}
 
 /** Library-level enforcement: produce the secured view of a DataFrame
@@ -40,33 +40,38 @@ object Enforcer {
     val filtered = policy.rowFilter.fold(df)(p => df.filter(compile(p)))
     if (policy.allowedColumns.isEmpty && policy.masks.isEmpty)
       return filtered
-    // same nested semantics as the analyzer path (FgacRule.securePlan):
-    // `outer` = whole struct, nested masks in place via withField;
-    // `outer.a` without bare `outer` = struct rebuilt from exactly
-    // the listed children, null-preserving and fail-closed
+    // same nested semantics as the analyzer path (FgacRule.securePlan),
+    // at ANY depth: a bare path = that whole subtree, with deeper
+    // masks applied in place (withField parses dotted paths and
+    // nests, siblings untouched); a path listed only through
+    // descendants = the struct rebuilt from exactly the listed
+    // children, recursively, null-preserving and fail-closed
     val visible = policy.allowedColumns
       .getOrElse(filtered.columns.toIndexedSeq)
-    val topVisible = visible.map(_.takeWhile(_ != '.')).distinct
-    filtered.select(topVisible.map { c =>
-      val nested = policy.masks.collect { case (path, m)
-          if path.toLowerCase.startsWith(c.toLowerCase + ".") =>
-        path.substring(c.length + 1) -> m }
-      policy.masks.find(_._1.equalsIgnoreCase(c)).map(_._2) match {
-        case Some(m) => compile(m).as(c)
-        case None if visible.exists(_.equalsIgnoreCase(c)) =>
-          nested.foldLeft(col(c)) { case (acc, (k, m)) =>
-            acc.withField(k, compile(m)) }.as(c)
-        case None =>
-          val kids = visible
-            .filter(_.toLowerCase.startsWith(c.toLowerCase + "."))
-            .map(_.substring(c.length + 1))
-          val rebuilt = struct(kids.map { k =>
-            nested.collectFirst { case (nk, m)
-                if nk.equalsIgnoreCase(k) => compile(m) }
-              .getOrElse(col(c).getField(k)).as(k)
+    def maskAt(abs: String): Option[Column] =
+      policy.masks.collectFirst { case (path, m)
+          if path.equalsIgnoreCase(abs) => compile(m) }
+    def kidHeads(paths: Iterable[String], abs: String): Seq[String] =
+      paths.toSeq.filter(_.toLowerCase.startsWith(abs.toLowerCase + "."))
+        .map(_.substring(abs.length + 1).takeWhile(_ != '.'))
+        .distinct
+    def secureValue(abs: String, base: Column): Column =
+      maskAt(abs).getOrElse {
+        if (visible.exists(_.equalsIgnoreCase(abs)))
+          policy.masks.collect { case (path, m)
+              if path.toLowerCase.startsWith(abs.toLowerCase + ".") =>
+            path.substring(abs.length + 1) -> m
+          }.foldLeft(base) { case (acc, (k, m)) =>
+            acc.withField(k, compile(m)) }
+        else {
+          val rebuilt = struct(kidHeads(visible, abs).map { h =>
+            secureValue(s"$abs.$h", base.getField(h)).as(h)
           }.toIndexedSeq: _*)
-          when(col(c).isNull, lit(null)).otherwise(rebuilt).as(c)
+          when(base.isNull, lit(null)).otherwise(rebuilt)
+        }
       }
-    }.toIndexedSeq: _*)
+    val topVisible = visible.map(_.takeWhile(_ != '.')).distinct
+    filtered.select(topVisible.map(c =>
+      secureValue(c, col(c)).as(c)).toIndexedSeq: _*)
   }
 }

@@ -766,12 +766,17 @@ object FgacQueries {
     * mask), flattened and oracled against DuckDB recomputing the
     * policy by hand. */
   private val nestedPolicy: Q = (s, dir) => {
-    import org.apache.spark.sql.functions.{col, struct}
+    import org.apache.spark.sql.functions.{col, concat, lit, struct}
     import org.apache.spark.sql.types.StructType
     val customer = Tables.customer(s, dir)
     customer.select(col("c_custkey"),
       struct(col("c_name").as("name"), col("c_acctbal").as("bal"),
-        col("c_mktsegment").as("segment")).as("info"),
+        col("c_mktsegment").as("segment"),
+        struct(
+          concat(lit("P-"), (col("c_custkey") % 1000).cast("string"))
+            .as("phone"),
+          concat(lit("A-"), col("c_nationkey").cast("string"))
+            .as("addr")).as("contact")).as("info"),
       col("c_nationkey"))
       .createOrReplaceTempView(SecureCatalog.rawViewName("nst_customer"))
     SecureCatalog.governTable("nst_customer",
@@ -779,44 +784,65 @@ object FgacQueries {
     SecureCatalog.register(Principal("nst_analyst", grants = Map(
       "nst_customer" -> TablePolicy("nst_customer",
         rowFilter = Some("info.segment IN ('BUILDING','MACHINERY')"),
-        masks = Map("info.bal" ->
-          "CAST(floor(info.bal / 1000) * 1000 AS DOUBLE)")))))
+        masks = Map(
+          "info.bal" -> "CAST(floor(info.bal / 1000) * 1000 AS DOUBLE)",
+          // DEPTH-2 in-place mask: area code survives, number redacts;
+          // the sibling leaf (contact.addr) and every depth-1 sibling
+          // stay untouched without being enumerated
+          "info.contact.phone" ->
+            "concat(substr(info.contact.phone, 1, 3), '-***')")))))
     SecureCatalog.register(Principal("nst_steward", grants = Map(
       "nst_customer" -> TablePolicy("nst_customer", grantable = true,
         write = false))))
     SecureCatalog.regrant("nst_steward", "nst_partner", "nst_customer",
       TablePolicy("nst_customer",
         allowedColumns = Some(Seq("c_custkey", "info.name",
-          "info.segment"))))
-    // partial struct: exactly the listed children, schema and data
+          "info.segment", "info.contact.addr"))))
+    // partial struct at BOTH levels: exactly the listed paths exist
     val partner = asPrincipal(s, "nst_partner")(
       s.sql("SELECT * FROM nst_customer"))
-    require(partner.schema("info").dataType.asInstanceOf[StructType]
-        .fieldNames.toSeq == Seq("name", "segment"),
+    val infoT = partner.schema("info").dataType.asInstanceOf[StructType]
+    require(infoT.fieldNames.toSeq == Seq("name", "segment", "contact"),
       "partial-struct grant must expose exactly the listed children")
+    require(infoT("contact").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq == Seq("addr"),
+      "depth-2 partial grant must expose exactly the listed grandchild")
     require(partner.count() == customer.count(),
       "partner grant carries no row filter")
     require(SecureCatalog.describeColumns("nst_partner", "nst_customer")
-        == Seq("c_custkey", "info.name", "info.segment"),
+        == Seq("c_custkey", "info.name", "info.segment",
+          "info.contact.addr"),
       "DESCRIBE must show only the granted nested paths")
-    // nested exfiltration door: a re-grant mask referencing an
-    // undelegated child refuses
+    // nested exfiltration door, both depths: a re-grant mask
+    // referencing an undelegated child refuses
     require(outcomeOf(SecureCatalog.regrant("nst_steward", "nst_evil",
         "nst_customer", TablePolicy("nst_customer",
           allowedColumns = Some(Seq("c_custkey", "info.name")),
           masks = Map("info.name" -> "CAST(info.bal AS STRING)")))
       ) == "DENIED",
       "mask referencing an undelegated nested child must refuse")
-    // in-place nested mask keeps siblings: analyst still sees name
+    require(outcomeOf(SecureCatalog.regrant("nst_steward", "nst_evil",
+        "nst_customer", TablePolicy("nst_customer",
+          allowedColumns = Some(Seq("c_custkey", "info.contact.addr")),
+          masks = Map("info.contact.addr" ->
+            "concat(info.contact.phone, '')")))
+      ) == "DENIED",
+      "mask referencing an undelegated GRANDCHILD must refuse")
+    // in-place masks keep siblings at every depth
     val analyst = asPrincipal(s, "nst_analyst")(s.sql(
       """SELECT c_custkey, info.name AS name, info.bal AS bal,
-        |       info.segment AS segment
+        |       info.segment AS segment,
+        |       info.contact.phone AS phone, info.contact.addr AS addr
         |FROM nst_customer""".stripMargin))
-    require(asPrincipal(s, "nst_analyst")(
-        s.sql("SELECT * FROM nst_customer")).schema("info").dataType
-        .asInstanceOf[StructType].fieldNames.toSeq ==
-        Seq("name", "bal", "segment"),
-      "whole-struct grant with a nested mask keeps every sibling")
+    val aInfo = asPrincipal(s, "nst_analyst")(
+      s.sql("SELECT * FROM nst_customer")).schema("info").dataType
+      .asInstanceOf[StructType]
+    require(aInfo.fieldNames.toSeq ==
+        Seq("name", "bal", "segment", "contact") &&
+      aInfo("contact").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq == Seq("phone", "addr"),
+      "whole-struct grant with nested masks keeps every sibling at " +
+        "every depth")
     analyst.orderBy("c_custkey")
   }
 
@@ -864,7 +890,10 @@ object FgacQueries {
     "fgac_nested" ->
       """SELECT c_custkey, c_name AS name,
         |  CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS bal,
-        |  c_mktsegment AS segment
+        |  c_mktsegment AS segment,
+        |  substr('P-' || CAST(c_custkey % 1000 AS VARCHAR), 1, 3)
+        |    || '-***' AS phone,
+        |  'A-' || CAST(c_nationkey AS VARCHAR) AS addr
         |FROM customer
         |WHERE c_mktsegment IN ('BUILDING','MACHINERY')
         |ORDER BY c_custkey""".stripMargin,

@@ -2,7 +2,7 @@ package graft.fgac
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -211,44 +211,52 @@ object FgacRule {
       case _ =>
         val visible = policy.allowedColumns
           .getOrElse(SecureCatalog.columnsOf(policy.table))
-        def kidsOf(c: String) = visible
-          .filter(_.toLowerCase.startsWith(c.toLowerCase + "."))
-          .map(_.substring(c.length + 1))
-        def nestedMaskOf(c: String, kid: String) =
+        def maskAt(abs: String): Option[Expression] =
           policy.masks.collectFirst { case (path, m)
-              if path.equalsIgnoreCase(s"$c.$kid") => m }
+              if path.equalsIgnoreCase(abs) => compilePolicyExpr(m, who) }
+        def wholeVisible(abs: String): Boolean =
+          visible.exists(_.equalsIgnoreCase(abs))
+        def kidHeads(paths: Seq[String], abs: String): Seq[String] =
+          paths.filter(_.toLowerCase.startsWith(abs.toLowerCase + "."))
+            .map(_.substring(abs.length + 1).takeWhile(_ != '.'))
+            .distinct
+        // Whole node visible: deeper masks apply IN PLACE — recursive
+        // UpdateFields, one hop per path segment, so siblings are
+        // never enumerated at ANY depth and null intermediate structs
+        // stay null (UpdateFields is null-propagating).
+        def inPlace(abs: String, base: Expression): Expression = {
+          val heads = kidHeads(policy.masks.keys.toSeq, abs)
+          if (heads.isEmpty) base
+          else UpdateFields(base, heads.map { h =>
+            val childAbs = s"$abs.$h"
+            org.apache.spark.sql.catalyst.expressions.WithField(h,
+              maskAt(childAbs).getOrElse(inPlace(childAbs,
+                UnresolvedExtractValue(base, Literal(h)))))
+          })
+        }
+        // The value of node `abs` under this policy: an exact mask
+        // replaces it outright (deeper entries notwithstanding); a
+        // bare grant keeps it whole with in-place masks; otherwise
+        // only LISTED descendants exist — rebuild from exactly them,
+        // recursively, fail closed (an unlisted child never appears
+        // at any depth; a bare NULL in the null branch coerces to the
+        // struct type during analysis, so null structs stay null).
+        def secureValue(abs: String, base: Expression): Expression =
+          maskAt(abs).getOrElse {
+            if (wholeVisible(abs)) inPlace(abs, base)
+            else {
+              val rebuilt = CreateNamedStruct(
+                kidHeads(visible, abs).flatMap { h =>
+                  val childAbs = s"$abs.$h"
+                  Seq(Literal(h), secureValue(childAbs,
+                    UnresolvedExtractValue(base, Literal(h))))
+                })
+              CaseWhen(Seq((IsNull(base), Literal(null))), Some(rebuilt))
+            }
+          }
         val topVisible = visible.map(_.takeWhile(_ != '.')).distinct
         val projList: Seq[NamedExpression] = topVisible.map { c =>
-          val base = UnresolvedAttribute.quoted(c)
-          val kids = kidsOf(c)
-          policy.masks.find(_._1.equalsIgnoreCase(c)).map(_._2) match {
-            // a top-level mask replaces the whole column, nested
-            // entries notwithstanding
-            case Some(m) => Alias(compilePolicyExpr(m, who), c)()
-            case None if visible.exists(_.equalsIgnoreCase(c)) =>
-              // whole struct (or scalar) visible: nested masks apply
-              // in place without enumerating siblings
-              val ops = policy.masks.toSeq.collect { case (path, m)
-                  if path.toLowerCase.startsWith(c.toLowerCase + ".") =>
-                org.apache.spark.sql.catalyst.expressions.WithField(
-                  path.substring(c.length + 1), compilePolicyExpr(m, who))
-              }
-              if (ops.isEmpty) base
-              else Alias(UpdateFields(base, ops), c)()
-            case None =>
-              // partial struct: rebuild from exactly the listed
-              // children (unlisted children never leak); a bare NULL
-              // literal in the null branch coerces to the struct type
-              // during analysis, so null structs stay null
-              val rebuilt = CreateNamedStruct(kids.flatMap { k =>
-                val child = nestedMaskOf(c, k)
-                  .map(compilePolicyExpr(_, who))
-                  .getOrElse(UnresolvedExtractValue(base, Literal(k)))
-                Seq(Literal(k), child)
-              })
-              Alias(CaseWhen(Seq((IsNull(base), Literal(null))),
-                Some(rebuilt)), c)()
-          }
+          Alias(secureValue(c, UnresolvedAttribute.quoted(c)), c)()
         }
         Project(projList, filtered)
     }

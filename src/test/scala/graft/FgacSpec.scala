@@ -591,6 +591,60 @@ class FgacSpec extends AnyFunSuite {
       TablePolicy("t", masks = Map("id" -> "id * length(graft_principal())")),
       ""))
   }
+
+  test("depth-2 nested policies: rebuild and in-place masks recurse, " +
+      "regrant narrows prefix-wise at depth 2") {
+    import org.apache.spark.sql.functions.{concat, lit, struct, when}
+    import org.apache.spark.sql.types.StructType
+    // even ids: full struct; id 5: NULL inner struct; odd: NULL outer
+    val base = spark.range(1, 9).select(col("id"),
+      when(col("id") % 2 === 0 || col("id") === 5,
+        struct(concat(lit("n"), col("id")).as("name"),
+          when(col("id") =!= 5,
+            struct(concat(lit("p"), col("id")).as("phone"),
+              concat(lit("a"), col("id")).as("addr"))).as("contact")))
+        .as("info"))
+    // partial at both levels: info rebuilt from (name, contact),
+    // contact rebuilt from (addr) alone — phone never appears
+    val partial = Enforcer.secure(base, TablePolicy("t",
+      allowedColumns = Some(Seq("id", "info.name", "info.contact.addr"))),
+      "team1")
+    val it = partial.schema("info").dataType.asInstanceOf[StructType]
+    assert(it.fieldNames.toSeq == Seq("name", "contact"))
+    assert(it("contact").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("addr"))
+    assert(partial.filter(col("info").isNull).count() == 3,
+      "null outer structs stay null through a depth-2 rebuild")
+    assert(partial.filter(col("id") === 5)
+      .filter(col("info.contact").isNull).count() == 1,
+      "null INNER structs stay null through a depth-2 rebuild")
+    assert(partial.filter(col("info.contact.addr") === "a4").count() == 1)
+    // whole-struct grant, depth-2 in-place mask: every sibling at
+    // every depth survives unenumerated
+    val masked = Enforcer.secure(base, TablePolicy("t",
+      masks = Map("info.contact.phone" -> "'***'")), "team1")
+    val mt = masked.schema("info").dataType.asInstanceOf[StructType]
+    assert(mt.fieldNames.toSeq == Seq("name", "contact") &&
+      mt("contact").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq == Seq("phone", "addr"))
+    assert(masked.filter(col("info.contact").isNotNull)
+      .filter(col("info.contact.phone") =!= "***").count() == 0)
+    assert(masked.filter(col("info.contact.addr") === "a6").count() == 1)
+    // regrant narrowing law, prefix-wise at depth 2
+    SecureCatalog.governTable("d2_t", Seq("id", "info"))
+    SecureCatalog.register(Principal("d2_admin", grants = Map(
+      "d2_t" -> TablePolicy("d2_t", grantable = true))))
+    // a delegated whole struct covers a grandchild grant
+    SecureCatalog.regrant("d2_admin", "d2_leaf", "d2_t",
+      TablePolicy("d2_t", allowedColumns =
+        Some(Seq("id", "info.contact.addr")), grantable = true))
+    // but the grandchild holder may NOT re-widen to its parent
+    intercept[AccessDeniedException](
+      SecureCatalog.regrant("d2_leaf", "d2_evil", "d2_t",
+        TablePolicy("d2_t", allowedColumns =
+          Some(Seq("id", "info.contact")))))
+    SecureCatalog.ungovern("d2_t")
+  }
 }
 
 class AnalyticsSpec extends AnyFunSuite {
