@@ -1052,11 +1052,12 @@ object LakeQueries {
       "compaction must relocate rows with lineage bit-unchanged")
     require(post.select("_row_id").distinct().count() == post.count(),
       "row ids must be unique")
-    t.readLineage()
-      .groupBy(col("_last_updated_sequence_number").as("last_seq"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("o_orderkey")).as("key_sum"))
-      .orderBy("last_seq")
+    // final read through the SQL surface (lake_lineage TVF), so the
+    // metadata columns are reachable without the Scala API
+    s.sql("""SELECT _last_updated_sequence_number AS last_seq,
+            |  count(*) AS n_rows, sum(o_orderkey) AS key_sum
+            |FROM lake_lineage('lake_rowlin_t')
+            |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
   /** `CREATE OR REPLACE TABLE … AS SELECT` (Iceberg RTAS) — the

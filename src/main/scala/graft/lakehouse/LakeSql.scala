@@ -1126,7 +1126,7 @@ object LakeChanges {
       // relation can appear.
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if Set("lake_files", "lake_partitions", "lake_history",
-            "lake_refs", "lake_delete_files")
+            "lake_refs", "lake_delete_files", "lake_lineage")
             .contains(tvf.name.map(_.toLowerCase).mkString(".")) =>
         val fn = tvf.name.head.toLowerCase
         val name = tvf.functionArgs match {
@@ -1146,6 +1146,10 @@ object LakeChanges {
           case "lake_partitions" => t.partitionsMetadata
           // named references (Iceberg's `db.t.refs` metadata table):
           // a ref-less table still lists its implicit `main`
+          // Iceberg v3 row lineage as a relation: the table's rows
+          // with _row_id / _last_updated_sequence_number appended
+          // (see GraftTable.readLineage; requires row.lineage=true)
+          case "lake_lineage"      => t.readLineage()
           case "lake_refs" =>
             val r = t.refs
             val rows =

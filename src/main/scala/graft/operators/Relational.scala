@@ -599,6 +599,40 @@ object Relational {
     q
   }
 
+  /** NATIVE VariantType (`q46_variant_native`; Spark 4's VARIANT —
+    * the in-memory/binary-encoded complement of `q45_variant`'s
+    * shredded storage): `parse_json` ingests the props column ONCE
+    * into the binary variant encoding, the variant column round-trips
+    * through parquet (typed_value/metadata physical layout), and
+    * `variant_get` extracts paths at read time without re-parsing
+    * text JSON per access — the schemaless-event-props surface when
+    * paths are too ad hoc to shred. Typed extraction, missing-path
+    * null semantics, and the parquet roundtrip are all require()d;
+    * output is the same typed aggregate DuckDB replays from the raw
+    * JSON. */
+  private val q46: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_variant_nat").toString
+    ev.select(col("event_id"), col("event_type"),
+      expr("parse_json(props)").as("v"))
+      .write.mode("overwrite").parquet(dir)
+    val t = s.read.parquet(dir)
+    require(t.schema("v").dataType.typeName == "variant",
+      "the variant column must round-trip parquet AS a variant")
+    val typed = t.select(col("event_type"),
+      expr("variant_get(v, '$.k', 'int')").as("k"),
+      expr("variant_get(v, '$.missing', 'string')").as("gone"))
+    require(typed.filter(col("gone").isNotNull).count() == 0,
+      "a missing variant path must read null, never error")
+    typed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k").cast("long")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+  }
+
   /** Explicit window frames: first/last/nth order per customer with
     * an UNBOUNDED..UNBOUNDED rows frame (the default frame stops at
     * CURRENT ROW for last_value — the classic trap this query pins
@@ -841,6 +875,7 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "q46_variant_native" -> q46,
     "q45_variant" -> q45,
     "q44_interpolate" -> q44,
     "q43_resample" -> q43,
@@ -981,6 +1016,13 @@ object Relational {
         | CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_big,
         | CAST(list_max(list_transform(qtys, x -> x * 2)) AS INT) AS doubled_max
         |FROM a ORDER BY l_orderkey""".stripMargin,
+    "q46_variant_native" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+        |   AS k_sum,
+        | MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+        | MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q45_variant" ->
       """SELECT event_id,
         | CAST(json_extract(props, '$.k') AS INT) AS k,
