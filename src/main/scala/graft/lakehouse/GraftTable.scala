@@ -2886,8 +2886,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * appended images), not a rewrite of every affected FILE the way
     * copy-on-write does. Routed from SQL UPDATE when
     * `write.update.mode=merge-on-read`. */
-  def updateMoRPos(assignments0: Map[String, String], predSql: String): Long =
+  def updateMoRPos(assignments0: Map[String, String], predSql: String): Long = {
+    requireNoLineage("merge-on-read UPDATE")
     updateMoRPosAt(currentSnapshot, assignments0, predSql)
+  }
 
   /** [[updateMoRPos]] against an explicit base snapshot — the
     * deterministic seam for the rebase path, like [[deleteAt]]: a
@@ -3114,17 +3116,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * (the raise aborts the write before any manifest publish). */
   private[graft] def mergeAt(snap: Snapshot, source: DataFrame,
       keys0: Seq[String], clauses0: Seq[MergeClause]): Long =
-    // honest refusal, not silent id churn: MERGE's rewrite replaces
-    // matched rows from the JOINED relation, and threading each
-    // matched target row's lineage through the clause machinery has
-    // not landed — rewritten rows would silently inherit FRESH ids,
-    // breaking the row-id stability law
-    if (lineageEnabled)
-      throw new UnsupportedOperationException(
-        "MERGE on a row-lineage table is not yet supported " +
-          "(UPDATE/DELETE preserve lineage; disable row.lineage or " +
-          "express the merge as UPDATE + INSERT)")
-    else try mergeAtImpl(snap, source, keys0, clauses0)
+    try mergeAtImpl(snap, source, keys0, clauses0)
     catch {
       case e: Throwable
           if GraftTable.chainContains(e, GraftTable.MergeDupMarker) =>
@@ -3165,6 +3157,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // three metadata RPCs per MERGE, and a concurrent setProperties
     // could flip the semantics between the guard and the write
     val morMode = mergeMode == "merge-on-read"
+    if (morMode) requireNoLineage("merge-on-read MERGE")
     if (!morMode) requireNoMorDels(snap, "MERGE")
     val cols = snap.schema.fieldNames.toSeq
     require(keys0.nonEmpty, "merge requires at least one key column")
@@ -3297,7 +3290,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     }
     // post-clause image of each row (WinnerCol already attached);
     // winner -1 falls through to the row's own columns
-    def postClause(df: DataFrame): DataFrame =
+    def postClause(df: DataFrame): DataFrame = postClause2(df, Nil)
+    def postClause2(df: DataFrame, extras: Seq[Column]): DataFrame =
       df.select(cols.map { c =>
         (matchedClauses.zipWithIndex.collect {
           case (MergeClause.Update(_, set), i) =>
@@ -3311,7 +3305,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         }).foldRight(col(c)) { case ((i, v), els) =>
           when(col(GraftTable.WinnerCol) === i, v).otherwise(els)
         }.as(c)
-      }: _*)
+      } ++ extras: _*)
 
     val inserted: Option[DataFrame] =
       if (insertClauses.isEmpty) None
@@ -3348,11 +3342,26 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         readSet: Set[String], dropped: Set[String],
         tombs: Seq[String],
         dvs: Map[String, (String, Long)] = Map.empty): Long = {
+      // lineage tables align to schema + the two lineage columns
+      // (null on the insert side: fresh rows inherit file-range ids)
+      val outSchema =
+        if (!lineageEnabled) snap.schema
+        else StructType(snap.schema.fields ++ Seq(
+          StructField(GraftTable.RowIdColName,
+            org.apache.spark.sql.types.LongType),
+          StructField(GraftTable.LastSeqColName,
+            org.apache.spark.sql.types.LongType)))
+      def prep(df: DataFrame): DataFrame =
+        if (!lineageEnabled ||
+            df.columns.contains(GraftTable.RowIdColName)) df
+        else df
+          .withColumn(GraftTable.RowIdColName, lit(null).cast("long"))
+          .withColumn(GraftTable.LastSeqColName, lit(null).cast("long"))
       val newData = (matched, ins) match {
-        case (Some(u), Some(i)) => Some(aligned(u, snap.schema)
-          .unionByName(aligned(i, snap.schema)))
-        case (Some(u), None)    => Some(aligned(u, snap.schema))
-        case (None, Some(i))    => Some(aligned(i, snap.schema))
+        case (Some(u), Some(i)) => Some(aligned(prep(u), outSchema)
+          .unionByName(aligned(prep(i), outSchema)))
+        case (Some(u), None)    => Some(aligned(prep(u), outSchema))
+        case (None, Some(i))    => Some(aligned(prep(i), outSchema))
         case (None, None)       => None
       }
       commitDml("merge", snap, readSet, dropped,
@@ -3442,7 +3451,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           else srcKeys.select(keys.map(k =>
             col(k).as(GraftTable.SrcPrefix + k)): _*)
             .withColumn(GraftTable.MatchMarker, lit(true))
-        val joined = readFilesMapped(snap, rewrite)
+        // row lineage: the rewrite source carries each target row's
+        // concrete lineage; a row REWRITTEN BY A CLAUSE (winner >= 0)
+        // keeps its id and bumps last-updated to this commit (the -1
+        // publish sentinel, as in UPDATE); carried rows (winner -1)
+        // keep both. Inserted rows enter without lineage and inherit
+        // fresh ids from their new file's range.
+        val joined = cowSource(snap, rewrite)
           .join(right, joinCond, "left")
         val marked = joined.withColumn(GraftTable.WinnerCol,
           winnerOver(col(GraftTable.MatchMarker).isNotNull))
@@ -3450,7 +3465,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           if (deleteIdx.isEmpty) marked
           else marked.filter(
             !col(GraftTable.WinnerCol).isin(deleteIdx.map(Integer.valueOf): _*))
-        Some(postClause(kept))
+        if (!lineageEnabled) Some(postClause(kept))
+        else Some(postClause2(kept, Seq(
+          col(GraftTable.RowIdColName),
+          when(col(GraftTable.WinnerCol) >= 0, lit(-1L))
+            .otherwise(col(GraftTable.LastSeqColName))
+            .as(GraftTable.LastSeqColName))))
       }
 
     committed(rewritten, inserted, rewrite.map(normalize).toSet,

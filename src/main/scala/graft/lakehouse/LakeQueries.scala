@@ -1039,12 +1039,27 @@ object LakeQueries {
       .count() == after.filter(col("o_orderstatus") === "F").count(),
       "exactly the matched rows carry the UPDATE's sequence")
     s.sql("DELETE FROM lake_rowlin_t WHERE o_orderkey % 30 = 0") // snap 5
+    require(t.readLineage()
+      .filter(col("_last_updated_sequence_number") === 5L).count() == 0,
+      "DELETE must not bump surviving rows' last-updated sequence")
+    // MERGE preserves lineage too: matched rows keep ids and take
+    // the merge's sequence, inserts (including re-inserts of deleted
+    // keys) mint fresh ids
+    val preMerge = t.readLineage()
+      .select(col("o_orderkey").as("mk"), col("_row_id").as("mr"))
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .createOrReplaceTempView("lake_rowlin_src")
+    s.sql("""MERGE INTO lake_rowlin_t USING lake_rowlin_src s
+            |ON lake_rowlin_t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)   // snap 6
+    require(t.readLineage()
+      .join(preMerge, col("o_orderkey") === col("mk"))
+      .filter(col("_row_id") =!= col("mr")).count() == 0,
+      "MERGE must preserve every matched/carried row's _row_id")
     val pre = t.readLineage().select("o_orderkey", "_row_id",
       "_last_updated_sequence_number")
-    require(pre.filter(col("_last_updated_sequence_number") === 5L)
-      .count() == 0,
-      "DELETE must not bump surviving rows' last-updated sequence")
-    t.compact(2)                                             // snap 6
+    t.compact(2)                                             // snap 7
     val post = t.readLineage().select("o_orderkey", "_row_id",
       "_last_updated_sequence_number")
     require(pre.exceptAll(post).count() == 0 &&
@@ -2634,11 +2649,13 @@ object LakeQueries {
     "lake_row_lineage" ->
       """WITH live AS (
         |  SELECT o_orderkey,
-        |    CASE WHEN o_orderstatus = 'F' THEN 4
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 6
+        |         WHEN o_orderstatus = 'F' THEN 4
         |         WHEN o_orderkey % 3 = 0 THEN 2
         |         ELSE 3 END AS seq
         |  FROM orders
-        |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 30 <> 0)
+        |  WHERE (o_orderkey % 3 IN (0, 1) AND o_orderkey % 30 <> 0)
+        |     OR o_orderkey % 7 = 0)
         |SELECT CAST(seq AS BIGINT) AS last_seq,
         |  COUNT(*) AS n_rows,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum

@@ -1068,10 +1068,26 @@ class LakehouseSpec extends AnyFunSuite {
     assert(lin5.filter(col("k") === 9)
       .head.getAs[Long]("_row_id") > maxId,
       "rolled-back id ranges must never be reused")
-    // MoR DML and MERGE refuse loudly on lineage tables
+    // MoR DML refuses loudly on lineage tables (COW only)
     intercept[UnsupportedOperationException](t.deleteMoR("k = 3"))
-    intercept[UnsupportedOperationException](
-      t.merge(Seq((3L, "c2", 30.0)).toDF("k", "tag", "v"), "k"))
+    // COW MERGE preserves lineage: matched rows keep ids and bump
+    // their sequence, inserts mint fresh ids, carried rows untouched
+    val pre = t.readLineage().select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    t.merge(Seq((3L, "c2", 30.0), (77L, "new", 7.0))
+      .toDF("k", "tag", "v"), "k")                           // snap 6
+    val lm = t.readLineage()
+    def of(k: Long) = lm.filter(col("k") === k).head
+    assert(of(3).getAs[Long]("_row_id") == pre(3L),
+      "MERGE-updated row must keep its _row_id")
+    assert(of(3).getAs[Long]("_last_updated_sequence_number") == 6L,
+      "MERGE-updated row must carry the merge's sequence")
+    assert(of(1).getAs[Long]("_row_id") == pre(1L) &&
+      of(1).getAs[Long]("_last_updated_sequence_number") == 1L,
+      "rows the MERGE never touched keep id AND sequence")
+    assert(of(77).getAs[Long]("_row_id") > pre.values.max,
+      "MERGE-inserted row must mint a fresh id")
+    assert(lm.select("_row_id").distinct().count() == lm.count())
   }
 
   test("metadata tables answer from the manifest: files, partitions") {
