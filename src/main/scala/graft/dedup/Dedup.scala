@@ -69,12 +69,17 @@ object Dedup {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     // coalesce keeps the kernel non-nullable (see [[shingled]]: a
-    // nullable kernel gets re-evaluated by inferred isnotnull)
-    val wins = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        posexplode(call_function("graft_span_hashes",
-          coalesce(col("text"), lit("")), lit(w))))
-      .toDF("doc_id", "pos", "wh")
+    // nullable kernel gets re-evaluated by inferred isnotnull).
+    // PERSISTED: the dup-hash aggregate and the flagged-position
+    // probe both consume this relation — without the cache the
+    // corpus is scanned and span-hashed TWICE (plan-audited; the
+    // kernel is ~w hashLongs per token, real CPU at 100 TB)
+    val wins = OpCache.swap("substring.wins",
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(call_function("graft_span_hashes",
+            coalesce(col("text"), lit("")), lit(w))))
+        .toDF("doc_id", "pos", "wh"))
     val dupHashes = wins.groupBy("wh").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("wh")
     val marked = wins.join(dupHashes, "wh").select("doc_id", "pos")

@@ -3157,7 +3157,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // three metadata RPCs per MERGE, and a concurrent setProperties
     // could flip the semantics between the guard and the write
     val morMode = mergeMode == "merge-on-read"
-    if (morMode) requireNoLineage("merge-on-read MERGE")
+    // one property read for the whole MERGE (same reasoning as
+    // morMode above): lineage gates the source, the post-clause
+    // projection, and the alignment — five separate reads otherwise
+    val lineageOn = lineageEnabled
+    if (morMode && lineageOn) requireNoLineage("merge-on-read MERGE")
     if (!morMode) requireNoMorDels(snap, "MERGE")
     val cols = snap.schema.fieldNames.toSeq
     require(keys0.nonEmpty, "merge requires at least one key column")
@@ -3345,14 +3349,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       // lineage tables align to schema + the two lineage columns
       // (null on the insert side: fresh rows inherit file-range ids)
       val outSchema =
-        if (!lineageEnabled) snap.schema
+        if (!lineageOn) snap.schema
         else StructType(snap.schema.fields ++ Seq(
           StructField(GraftTable.RowIdColName,
             org.apache.spark.sql.types.LongType),
           StructField(GraftTable.LastSeqColName,
             org.apache.spark.sql.types.LongType)))
       def prep(df: DataFrame): DataFrame =
-        if (!lineageEnabled ||
+        if (!lineageOn ||
             df.columns.contains(GraftTable.RowIdColName)) df
         else df
           .withColumn(GraftTable.RowIdColName, lit(null).cast("long"))
@@ -3457,7 +3461,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         // publish sentinel, as in UPDATE); carried rows (winner -1)
         // keep both. Inserted rows enter without lineage and inherit
         // fresh ids from their new file's range.
-        val joined = cowSource(snap, rewrite)
+        val joined = (if (lineageOn) lineageSource(snap, rewrite)
+          else readFilesMapped(snap, rewrite))
           .join(right, joinCond, "left")
         val marked = joined.withColumn(GraftTable.WinnerCol,
           winnerOver(col(GraftTable.MatchMarker).isNotNull))
@@ -3465,7 +3470,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           if (deleteIdx.isEmpty) marked
           else marked.filter(
             !col(GraftTable.WinnerCol).isin(deleteIdx.map(Integer.valueOf): _*))
-        if (!lineageEnabled) Some(postClause(kept))
+        if (!lineageOn) Some(postClause(kept))
         else Some(postClause2(kept, Seq(
           col(GraftTable.RowIdColName),
           when(col(GraftTable.WinnerCol) >= 0, lit(-1L))
