@@ -99,6 +99,75 @@ object Dedup {
   private val substringQ: Q = (s, d) =>
     substringSpans(Tables.parallel(Tables.documents(s, d)), SpanW)
 
+  /** Substring-level dedup, the REMOVAL half (Lee et al. rewrite the
+    * corpus, they don't just report): every duplicated w-token window
+    * keeps exactly ONE canonical occurrence corpus-wide (the smallest
+    * (doc_id, pos) — deterministic), and every token covered by a
+    * NON-canonical duplicated window is stripped from its document.
+    * Unique text is untouched; a fully-boilerplate doc strips to
+    * empty rather than disappearing (the caller decides whether empty
+    * docs drop — that is a filtering policy, not dedup).
+    *
+    * Plan shape: the cached window relation feeds (a) the dup-hash
+    * aggregate and (b) a per-hash rank (one shuffle on wh — smallest
+    * occurrence wins) marking non-canonical occurrences; tokens strip
+    * via a LEFT ANTI range join (doc equi-key + pos-in-window
+    * residual — each token matches ≤ w windows, and anti-join stops
+    * at the first, so boilerplate can't blow the join up); the
+    * cleaned text reassembles from an order-restoring sorted
+    * collect per doc. Document text shuffles exactly once (the
+    * reassembly) — the marking side moves only (hash8, doc, pos). */
+  private[graft] def substringStrip(docs: DataFrame, w: Int): DataFrame = {
+    val wins = OpCache.swap("substrip.wins",
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(call_function("graft_span_hashes",
+            coalesce(col("text"), lit("")), lit(w))))
+        .toDF("doc_id", "pos", "wh"))
+    // ONE aggregate elects the canonical occurrence AND counts: both
+    // min(struct) and count partial-combine map-side, so a
+    // boilerplate window repeated 10⁶ times collapses before the
+    // shuffle instead of sorting one hot key in one task (the
+    // row_number-over-wh formulation's skew cliff)
+    val canon = wins.groupBy("wh")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("c"))
+      .filter(col("n") >= 2)
+      .select(col("wh"), col("c"))
+    // non-canonical occurrences of duplicated windows: removal ranges
+    val removal = wins.join(canon, "wh")
+      .filter(!(col("doc_id") === col("c.doc_id") &&
+        col("pos") === col("c.pos")))
+      .select(col("doc_id").as("rdoc"), col("pos").as("rs"),
+        (col("pos") + lit(w - 1)).as("re"))
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")))
+      .toDF("doc_id", "idx", "tok")
+    val kept = toks.join(removal,
+      col("doc_id") === col("rdoc") &&
+        col("idx") >= col("rs") && col("idx") <= col("re"),
+      "left_anti")
+    val total = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"))
+    kept.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          e => e.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(total, Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  private val substringStripQ: Q = (s, d) =>
+    substringStrip(Tables.parallel(Tables.documents(s, d)), SpanW)
+
   /** doc_id, source, sorted distinct hashed 3-gram shingle set —
     * one native pass over the text ([[graft.functions.NativeExprs.ShingleHashes]]);
     * shingle strings are never materialized.
@@ -1007,6 +1076,7 @@ object Dedup {
     "pipeline_source_cap" -> sourceCapQ,
     "dedup_exact" -> exact,
     "dedup_substring" -> substringQ,
+    "dedup_substring_strip" -> substringStripQ,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
@@ -1151,6 +1221,43 @@ object Dedup {
         |  CAST(MAX(pos) - MIN(pos) + 16 AS INT) AS span_tokens
         |FROM i GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substring_strip" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w
+        |           FROM documents WHERE text IS NOT NULL),
+        |wn AS (SELECT doc_id,
+        |         unnest(generate_series(0, len(w) - 16)) AS pos, w
+        |       FROM t WHERE len(w) >= 16),
+        |wh AS (SELECT doc_id, pos,
+        |         array_to_string(w[pos+1:pos+16], ' ') AS win FROM wn),
+        |dup AS (SELECT win FROM wh GROUP BY win HAVING count(*) >= 2),
+        |canon AS (SELECT win, doc_id AS cd, pos AS cp FROM (
+        |  SELECT win, doc_id, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY win
+        |                       ORDER BY doc_id, pos) AS rk
+        |  FROM wh WHERE win IN (SELECT win FROM dup)) WHERE rk = 1),
+        |rem AS (SELECT h.doc_id, h.pos AS rs, h.pos + 15 AS re
+        |        FROM wh h JOIN canon c ON h.win = c.win
+        |        WHERE NOT (h.doc_id = c.cd AND h.pos = c.cp)),
+        |ti AS (SELECT doc_id,
+        |         unnest(generate_series(1, len(w))) AS i, w FROM t),
+        |tk AS (SELECT doc_id, i - 1 AS idx, w[i] AS tok FROM ti),
+        |keep AS (SELECT tk.doc_id, tk.idx, tk.tok FROM tk
+        |         WHERE NOT EXISTS (SELECT 1 FROM rem r
+        |           WHERE r.doc_id = tk.doc_id
+        |             AND tk.idx BETWEEN r.rs AND r.re)),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_tokens
+        |        FROM tk GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(k.clean_text, '') AS clean_text,
+        |  COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |  t.n_tokens - COALESCE(k.n_kept, CAST(0 AS BIGINT))
+        |    AS n_removed
+        |FROM tot t LEFT JOIN (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx)
+        |           AS clean_text,
+        |         COUNT(*) AS n_kept
+        |  FROM keep GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$ShingleCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

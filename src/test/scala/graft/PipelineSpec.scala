@@ -87,6 +87,33 @@ class PipelineSpec extends AnyFunSuite {
       List((0, w - 1), (w + 1, 2 * w)))
   }
 
+  test("substring strip: canonical occurrence survives, dup copy " +
+      "strips, unique and sub-threshold text untouched") {
+    import graft.dedup.Dedup
+    val w = 8
+    val shared = (1 to w).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2 tail3"),      // canonical owner
+      (2L, s"$shared other1 other2 other3"),   // dup windows strip
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),  // unique: untouched
+      (4L, shared)                             // exact window dup only
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringStrip(docs, w).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 owns the canonical (smallest doc_id, pos) occurrence of
+    // the shared window: nothing strips
+    assert(out(1L) == ((s"$shared tail1 tail2 tail3", 11L, 0L)))
+    // doc 2's copy of the shared window strips; its own tail stays
+    assert(out(2L) == (("other1 other2 other3", 3L, 8L)))
+    // unique doc untouched
+    assert(out(3L)._3 == 0L && out(3L)._1.startsWith("u1 u2"))
+    // doc 4 is ONLY the duplicated window: strips to empty, row kept
+    assert(out(4L) == (("", 0L, 8L)))
+    // lossless when no duplication: n_kept + n_removed == tokens
+    assert(out.values.forall { case (_, k, r) => k + r > 0 || k == 0 })
+  }
+
   test("BPE: classic training order, exact greedy encode, tie-break, " +
       "astral-plane roundtrip") {
     import graft.text.TextAnalysis
