@@ -2518,9 +2518,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * COW-rewrite source and the [[readLineage]] body. */
   private def lineageSource(snap: Snapshot, files: Seq[String])
       : DataFrame = {
-    require(snap.dels.isEmpty && snap.posDels.isEmpty && snap.dvs.isEmpty,
-      "row lineage over pending merge-on-read artifacts is not " +
-        "supported: compact() to materialize them first")
+    require(snap.dels.isEmpty && snap.posDels.isEmpty,
+      "row lineage over pending equality/position tombstones is not " +
+        "supported: compact() to materialize them first " +
+        "(deletion vectors compose — the v3 pairing)")
     require(snap.renames.isEmpty,
       "row lineage across a pending column rename is not supported: " +
         "compact() to clear the rename log first")
@@ -2554,7 +2555,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val meta = broadcast(files.map(f => (metaPath(f),
         snap.firstRowIds(f), snap.fileSeq.getOrElse(f, snap.id)))
       .toDF("_g_file", "_g_first", "_g_fseq"))
-    base.join(meta, "_g_file")
+    val derived = base.join(meta, "_g_file")
       .withColumn(GraftTable.RowIdColName,
         coalesce(col(GraftTable.RowIdColName),
           col("_g_first") + col("_g_idx")))
@@ -2562,7 +2563,32 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         when(col(GraftTable.LastSeqColName).isNull ||
             col(GraftTable.LastSeqColName) === -1L, col("_g_fseq"))
           .otherwise(col(GraftTable.LastSeqColName)))
-      .drop("_g_file", "_g_idx", "_g_first", "_g_fseq")
+    // DELETION VECTORS compose with lineage (Iceberg v3 ships them
+    // together, and the math says why: a DV delete touches no data
+    // file, so every surviving row's (file, idx) — and therefore its
+    // id and last-update — is untouched). Same file-keyed probe as
+    // morReadPos, riding the (file, idx) this read already carries.
+    val live =
+      if (snap.dvs.isEmpty) derived
+      else {
+        import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
+        val dv = currentDvRelation(snap)
+          .select(col("_file").as(GraftTable.DvFileCol),
+            col("_bitmap").as(GraftTable.DvBitmapCol))
+        val hinted =
+          if (dvHeapBytes(snap).exists(_ <= GraftTable.PosDelBroadcastBytes))
+            broadcast(dv)
+          else dv
+        derived.join(hinted,
+            col("_g_file") === col(GraftTable.DvFileCol), "left")
+          .filter(not(coalesce(
+            columnOf(graft.functions.NativeExprs.BitsetGet(
+              expressionOf(col(GraftTable.DvBitmapCol)),
+              expressionOf(col("_g_idx")))),
+            lit(false))))
+          .drop(GraftTable.DvFileCol, GraftTable.DvBitmapCol)
+      }
+    live.drop("_g_file", "_g_idx", "_g_first", "_g_fseq")
   }
 
   /** The copy-on-write rewrite source: the plain mapped read, or —
@@ -2732,7 +2758,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   /** [[deleteMoRDv]] against an explicit base snapshot — the
     * deterministic seam for the rebase path, like [[deleteAt]]. */
   private[graft] def deleteMoRDvAt(snap: Snapshot, predSql: String): Long = {
-    requireNoLineage("deletion-vector DELETE")
+    // DV DELETE composes with row lineage (no data file is touched,
+    // so ids and last-updates of survivors are untouched by
+    // construction) — the one MoR shape lineage tables accept
     val cand = dmlCandidates(snap, predSql)
     if (cand.isEmpty) return snap.id // stats prove nothing matches
     // scan the LIVE view: rows already vectored out (or tombstoned,

@@ -1090,6 +1090,39 @@ class LakehouseSpec extends AnyFunSuite {
     assert(lm.select("_row_id").distinct().count() == lm.count())
   }
 
+  test("row lineage composes with deletion vectors: survivors keep " +
+      "ids, compaction materializes, tombstone shapes still refuse") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))    // snap 1
+    t.setProperties(Map(GraftTable.RowLineageProp -> "true",
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector"))
+    t.append(Seq((3L, "c", 3.0), (4L, "d", 4.0))
+      .toDF("k", "tag", "v"))                                  // snap 2
+    val pre = t.readLineage()
+      .select("k", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet
+    val files = t.currentSnapshot.files
+    t.deleteMoRDv("k = 2")                                     // snap 3
+    assert(t.currentSnapshot.files == files &&
+      t.currentSnapshot.dvs.nonEmpty,
+      "the vector delete must not rewrite data files")
+    val lin = t.readLineage()
+      .select("k", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(lin == pre.filterNot(_._1 == 2L),
+      "DV-deleted rows vanish; every survivor keeps id AND sequence")
+    // compaction materializes the vectors; lineage bit-unchanged
+    t.compact(1)                                               // snap 4
+    assert(t.currentSnapshot.dvs.isEmpty)
+    assert(t.readLineage()
+      .select("k", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet == lin)
+    // the other MoR shapes still refuse on lineage tables
+    intercept[UnsupportedOperationException](t.deleteMoR("k = 3"))
+    intercept[UnsupportedOperationException](
+      t.deleteMoRPos("k = 3"))
+  }
+
   test("metadata tables answer from the manifest: files, partitions") {
     val dir = Files.createTempDirectory("graft_meta").toString
     val t = GraftTable.create(spark, dir,
