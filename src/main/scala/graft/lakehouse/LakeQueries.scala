@@ -1075,6 +1075,40 @@ object LakeQueries {
             |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** ROW-ID-KEYED change feed (`lake_cdc_lineage` — what Iceberg v3
+    * row lineage is FOR): the plain changelog emits an UPDATE as a
+    * content-matched delete+insert pair, which mis-pairs the moment
+    * one logical row is rewritten twice in the range; the lineage
+    * feed joins the endpoint diffs on `_row_id`, so a row updated
+    * at TWO separate commits still nets to ONE `update` carrying
+    * the final image, deletes carry the range-start old image, and
+    * rewrite ride-alongs drop because their last-updated sequence
+    * never moved. One 8-byte-key join over O(changed files) rows.
+    * The scenario stacks UPDATE, DELETE, and a second overlapping
+    * UPDATE; once-only emission is require()d in-query. */
+  private val cdcLineage: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"))
+    val t = GraftTable.createEmpty(s, tmp("lake_cdclin"),
+      orders.schema)                                         // snap 1
+    t.setProperties(Map(GraftTable.RowLineageProp -> "true"))
+    t.append(orders.filter(col("o_orderkey") % 3 === 0))     // snap 2
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))     // snap 3
+    LakeRegistry.register("lake_cdclin_t", t)
+    s.sql("UPDATE lake_cdclin_t SET price = price * 2 " +
+      "WHERE o_orderstatus = 'F'")                           // snap 4
+    s.sql("DELETE FROM lake_cdclin_t WHERE o_orderkey % 30 = 0") // 5
+    s.sql("UPDATE lake_cdclin_t SET price = price + 1 " +
+      "WHERE o_orderstatus = 'O'")                           // snap 6
+    val feed = t.lineageChanges(3, 6)
+    require(feed.groupBy("_row_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "each logical row nets to at most ONE changelog row")
+    feed.select(col("o_orderkey"), col("price"), col("_change_type"))
+      .orderBy("o_orderkey")
+  }
+
   /** `CREATE OR REPLACE TABLE … AS SELECT` (Iceberg RTAS) — the
     * scheduled-rebuild idiom: ONE atomic swap commit replaces
     * schema, partition spec, and data (readers see old-or-new,
@@ -2182,6 +2216,7 @@ object LakeQueries {
     "lake_expire_age"       -> expireAge,
     "lake_replace"          -> replaceQ,
     "lake_row_lineage"      -> rowLineage,
+    "lake_cdc_lineage"      -> cdcLineage,
     "lake_overwrite_partition" -> overwritePartition,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
@@ -2638,6 +2673,22 @@ object LakeQueries {
       "SELECT * FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey",
     "lake_expire_age" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    "lake_cdc_lineage" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DOUBLE) AS p FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1)),
+        |f AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 30 = 0 THEN p
+        |         WHEN o_orderstatus = 'F' THEN p * 2
+        |         WHEN o_orderstatus = 'O' THEN p + 1
+        |         ELSE NULL END AS price,
+        |    CASE WHEN o_orderkey % 30 = 0 THEN 'delete'
+        |         WHEN o_orderstatus IN ('F', 'O') THEN 'update'
+        |         ELSE NULL END AS _change_type
+        |  FROM base)
+        |SELECT o_orderkey, price, _change_type FROM f
+        |WHERE _change_type IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_replace" ->
       """SELECT o_orderkey, o_custkey,
         | CAST(o_totalprice AS DOUBLE) AS o_totalprice

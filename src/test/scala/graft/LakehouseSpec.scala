@@ -1123,6 +1123,32 @@ class LakehouseSpec extends AnyFunSuite {
       t.deleteMoRPos("k = 3"))
   }
 
+  test("lineage changelog: value swaps and double rewrites pair by " +
+      "id, in-range insert+delete nets to zero") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))    // snap 1
+    t.setProperties(Map(GraftTable.RowLineageProp -> "true"))
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))        // snap 2
+    // VALUE SWAP: rows 1 and 2 exchange v — a content-matched
+    // changelog would cancel them (old 1.0 pairs with new 1.0 from
+    // the OTHER row); the id-keyed feed reports both updates
+    t.update(Map("v" -> ("CASE WHEN k = 1 THEN 2.0 " +
+      "WHEN k = 2 THEN 1.0 ELSE v END")), "k IN (1, 2)")       // snap 3
+    // double rewrite of one logical row: must net to ONE update
+    // carrying the final image
+    t.update(Map("v" -> "v + 10"), "k = 3")                    // snap 4
+    t.update(Map("v" -> "v * 2"), "k = 3")                     // snap 5
+    // inserted then deleted inside the range: net zero
+    t.append(Seq((9L, "z", 9.0)).toDF("k", "tag", "v"))        // snap 6
+    t.delete("k = 9")                                          // snap 7
+    val feed = t.lineageChanges(2, t.currentSnapshotId)
+      .select("k", "_change_type", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(feed == Set(
+      (1L, "update", 2.0), (2L, "update", 1.0),
+      (3L, "update", 26.0)),
+      s"got $feed")
+  }
+
   test("metadata tables answer from the manifest: files, partitions") {
     val dir = Files.createTempDirectory("graft_meta").toString
     val t = GraftTable.create(spark, dir,
