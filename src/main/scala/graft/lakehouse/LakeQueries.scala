@@ -1101,7 +1101,9 @@ object LakeQueries {
     s.sql("DELETE FROM lake_cdclin_t WHERE o_orderkey % 30 = 0") // 5
     s.sql("UPDATE lake_cdclin_t SET price = price + 1 " +
       "WHERE o_orderstatus = 'O'")                           // snap 6
-    val feed = t.lineageChanges(3, 6)
+    // SQL surface: the TVF form of the lineage feed
+    val feed = s.sql(
+      "SELECT * FROM table_changes_lineage('lake_cdclin_t', 3, 6)")
     require(feed.groupBy("_row_id").count()
       .filter(col("count") > 1).count() == 0,
       "each logical row nets to at most ONE changelog row")

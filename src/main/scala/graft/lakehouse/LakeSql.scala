@@ -1098,7 +1098,9 @@ object LakeChanges {
   def resolve(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
-          if tvf.name.map(_.toLowerCase) == Seq("table_changes") =>
+          if Set("table_changes", "table_changes_lineage")
+            .contains(tvf.name.map(_.toLowerCase).mkString(".")) =>
+        val fn = tvf.name.head.toLowerCase
         val (name, from, to) = tvf.functionArgs match {
           case Seq(Literal(n, org.apache.spark.sql.types.StringType),
               f: Literal, t: Literal)
@@ -1116,8 +1118,13 @@ object LakeChanges {
             "read the governed table, not its changelog")
         val t = LakeRegistry.get(name).getOrElse(
           throw new IllegalArgumentException(
-            s"table_changes: '$name' is not a registered graft table"))
-        SubqueryAlias(name, t.changes(from, to).queryExecution.analyzed)
+            s"$fn: '$name' is not a registered graft table"))
+        // the lineage variant keys the feed on _row_id (Iceberg v3);
+        // see GraftTable.lineageChanges for the pairing law
+        val df =
+          if (fn == "table_changes_lineage") t.lineageChanges(from, to)
+          else t.changes(from, to)
+        SubqueryAlias(name, df.queryExecution.analyzed)
 
       // metadata tables as TVFs (Iceberg's `db.t.files` /
       // `db.t.partitions` surface, in the TVF shape this engine
