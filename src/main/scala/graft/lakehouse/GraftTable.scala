@@ -2611,9 +2611,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           .schema(ext).parquet(fs: _*))
       }.reduce(_.unionByName(_))
     import spark.implicits._
-    val meta = broadcast(files.map(f => (metaPath(f),
+    // one row per file — commit metadata. Broadcast while that is
+    // demonstrably driver-friendly (~150 B/row → ~15 MB at the gate);
+    // past it fall back to a shuffle join rather than force a
+    // multi-GB broadcast build on every executor (10⁷-file tables)
+    val meta0 = files.map(f => (metaPath(f),
         snap.firstRowIds(f), snap.fileSeq.getOrElse(f, snap.id)))
-      .toDF("_g_file", "_g_first", "_g_fseq"))
+      .toDF("_g_file", "_g_first", "_g_fseq")
+    val meta = if (files.sizeIs <= 100000) broadcast(meta0) else meta0
     val derived = base.join(meta, "_g_file")
       .withColumn(GraftTable.RowIdColName,
         coalesce(col(GraftTable.RowIdColName),
