@@ -1699,21 +1699,32 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * Endpoints must be tombstone- and vector-free (a pointer move on
     * a CARRIED file is invisible to the file diff; compact first —
     * the [[changes]] DV leg handles that shape for the plain feed). */
-  def lineageChanges(fromId: Long, toId: Long): DataFrame = {
-    val from = snapshot(fromId)
-    val to = snapshot(toId)
-    Seq(from, to).foreach { s =>
+  def lineageChanges(fromId: Long, toId: Long): DataFrame =
+    lineageChanges(fromId, toId, id => snapshot(id))
+
+  /** [[lineageChanges]] with a caller-supplied snapshot lookup — the
+    * streaming source passes its per-stream manifest cache, so each
+    * endpoint parses once per stream, not once per batch. `fromId`
+    * 0 = "before the table existed": everything in `toId` is an
+    * insert (the stream's first batch). */
+  private[graft] def lineageChanges(fromId: Long, toId: Long,
+      snapOf: Long => Snapshot): DataFrame = {
+    val to = snapOf(toId)
+    val fromOpt = if (fromId == 0L) None else Some(snapOf(fromId))
+    (fromOpt.toSeq :+ to).foreach { s =>
       require(s.dels.isEmpty && s.posDels.isEmpty && s.dvs.isEmpty,
         s"lineage changelog endpoint ${s.id} carries merge-on-read " +
           "artifacts: compact() first")
     }
-    val fromSet = from.files.toSet
+    val fromFiles = fromOpt.map(_.files).getOrElse(Nil)
+    val fromSet = fromFiles.toSet
     val toSet = to.files.toSet
     val added = to.files.filterNot(fromSet)
-    val removed = from.files.filterNot(toSet)
+    val removed = fromFiles.filterNot(toSet)
     val cols = to.schema.fieldNames.toSeq
-    require(from.schema == to.schema,
-      "lineage changelog across a schema change: split the range")
+    fromOpt.foreach(f => require(f.schema == to.schema,
+      "lineage changelog across a schema change: split the range"))
+    val from = fromOpt.getOrElse(to)
     def side(snap: Snapshot, files: Seq[String], tag: String) =
       lineageSource(snap, files).select(
         (cols.map(c => col(c).as(s"$tag$c")) ++ Seq(

@@ -54,8 +54,10 @@ import graft.lakehouse.{GraftTable, Snapshot}
   * `isStreaming = true` stamp ([[StreamShim]]).
   */
 final class GraftLakeSource(spark: SparkSession, tablePath: String,
-    maxCommitsPerTrigger: Long, changeFeed: Boolean = false) extends Source
+    maxCommitsPerTrigger: Long, feedMode: String = "") extends Source
     with SupportsTriggerAvailableNow {
+
+  private def changeFeed: Boolean = feedMode.nonEmpty
 
   private val table = GraftTable.load(spark, tablePath)
   private val pinned: Snapshot = table.currentSnapshot
@@ -64,9 +66,13 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
     * schema the same way); [[getBatch]] re-checks per batch. In
     * change-feed mode the rows carry `_change_type` like the batch
     * changelog. */
-  override val schema: StructType =
-    if (!changeFeed) pinned.schema
-    else GraftLakeStreamProvider.changeFeedSchema(pinned.schema)
+  override val schema: StructType = feedMode match {
+    case ""        => pinned.schema
+    case "lineage" =>
+      GraftLakeStreamProvider.lineageFeedSchema(pinned.schema)
+    case _         =>
+      GraftLakeStreamProvider.changeFeedSchema(pinned.schema)
+  }
 
   /** Manifests are immutable once published, so each parses at most
     * once per source lifetime; [[commit]] prunes delivered entries. */
@@ -131,12 +137,21 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
       // construction, no table diff read.
       if (table.rewriteOnlyRange(from, to))
         return StreamShim.emptyMicroBatch(spark, schema)
-      val chg = table.changes(from, to, cached)
+      // lineage mode: the same endpoint-diff feed, keyed on _row_id —
+      // updates arrive as ONE row however many rewrites the range
+      // holds (see GraftTable.lineageChanges); the cache contract is
+      // identical (endpoints parse once per stream)
+      val chg =
+        if (feedMode == "lineage")
+          table.lineageChanges(from, to,
+            id => cached(id).getOrElse(table.snapshot(id)))
+        else table.changes(from, to, cached)
       // FULL schema equality, like the append path: a names-only
       // check would let a nested struct-field ALTER slip a batch
       // whose real schema mismatches the declared one (wrong ordinal
       // reads downstream instead of this restart error)
-      require(chg.schema == schema,
+      require(GraftLakeStreamProvider.relaxed(chg.schema) ==
+          GraftLakeStreamProvider.relaxed(schema),
         s"table schema evolved within ($from, $to]: restart the " +
           "streaming query to pick up the new schema")
       StreamShim.asMicroBatch(chg)
@@ -225,6 +240,54 @@ final class GraftLakeSink(spark: SparkSession, tablePath: String,
 object GraftLakeStreamProvider {
   private[streaming] val ChangeTypeCol = "_change_type"
 
+  /** Deep nullable relaxation — the change-feed schema COMPARATOR:
+    * the changelog builders (unions, when/otherwise side selection)
+    * produce NULLABLE columns even where the table schema declares
+    * non-null, so [[GraftLakeSource.getBatch]]'s per-batch equality
+    * compares both sides through this (names/types/order/nesting
+    * strict, nullability normalized). Without it, any table created
+    * from a non-null DataFrame schema wedges its change feed on the
+    * first real batch (latent until round 14: the test tables all
+    * came from all-nullable parquet reads). */
+  private def relax(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(st.fields.map(f =>
+        f.copy(dataType = relax(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = relax(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = relax(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+  private[streaming] def relaxed(
+      base: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    relax(base).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** The LINEAGE feed surface: base + `_row_id` + `_change_type`
+    * (the row-id-keyed changelog — [[graft.lakehouse.GraftTable
+    * .lineageChanges]]); same own-column refusal as the plain feed. */
+  private[streaming] def lineageFeedSchema(
+      base: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    require(!base.fieldNames.exists(n =>
+        n.equalsIgnoreCase("_row_id") ||
+          n.equalsIgnoreCase(ChangeTypeCol)),
+      "lineage feed over a table with its own '_row_id' or " +
+        s"'$ChangeTypeCol' column is not supported")
+    // nullability mirrors what lineageChanges actually produces —
+    // getBatch enforces FULL schema equality per batch, so a cosmetic
+    // non-null declaration would wedge every batch: the feed's
+    // side-selection (old-image vs new-image when/otherwise) makes
+    // EVERY column nullable, including base ones
+    org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_row_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField(ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+  }
+
   /** The change-feed surface of `base` — shared by the provider's
     * advertised schema and the source's per-batch enforcement (two
     * hand-copies would silently diverge on the next edit). A table
@@ -252,15 +315,18 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-lake source requires a table path: .load(<table root>)"))
 
-  private def isChangeFeed(parameters: Map[String, String]): Boolean =
-    parameters.get("readChangeFeed").exists { v =>
+  /** "" = plain rows, "plain" = net changelog, "lineage" =
+    * row-id-keyed changelog (Iceberg v3). */
+  private def feedMode(parameters: Map[String, String]): String =
+    parameters.get("readChangeFeed").map { v =>
       v.trim.toLowerCase match {
-        case "true"  => true
-        case "false" => false
+        case "true"    => "plain"
+        case "false"   => ""
+        case "lineage" => "lineage"
         case other => throw new IllegalArgumentException(
-          s"readChangeFeed must be true or false, got '$other'")
+          s"readChangeFeed must be true, false, or lineage — got '$other'")
       }
-    }
+    }.getOrElse("")
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
@@ -268,8 +334,12 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
     (shortName(), schema.getOrElse {
       val base = GraftTable.load(ctx.sparkSession, pathOf(parameters))
         .currentSnapshot.schema
-      if (!isChangeFeed(parameters)) base
-      else GraftLakeStreamProvider.changeFeedSchema(base)
+      feedMode(parameters) match {
+        case ""        => base
+        case "plain"   => GraftLakeStreamProvider.changeFeedSchema(base)
+        case "lineage" =>
+          GraftLakeStreamProvider.lineageFeedSchema(base)
+      }
     })
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -278,7 +348,7 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
     new GraftLakeSource(ctx.sparkSession, pathOf(parameters),
       parameters.get("maxCommitsPerTrigger").map(_.toLong)
         .getOrElse(Long.MaxValue >> 1),
-      changeFeed = isChangeFeed(parameters))
+      feedMode = feedMode(parameters))
 
   override def createSink(ctx: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],

@@ -470,11 +470,53 @@ object StreamingOps {
       .orderBy(col("_change_type"), col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** Streaming ROW-ID-KEYED change feed (`readChangeFeed=lineage` —
+    * the streaming form of the v3 lineage changelog): each
+    * micro-batch is the endpoint diff keyed on `_row_id`, so an
+    * UPDATE arrives as ONE row (the plain feed ships delete+insert
+    * pairs the consumer must re-match), deletes carry old images,
+    * and a mid-stream COMPACTION batch is delivered EMPTY from
+    * cached headers (rewrite-only range — no byte read, and the
+    * ride-alongs would net out by sequence anyway). Replayed per
+    * commit (maxCommitsPerTrigger=1) over append+append+UPDATE+
+    * DELETE+compact on a lineage table. */
+  private val lakeLineageQ: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"))
+    val t = graft.lakehouse.GraftTable.createEmpty(s,
+      java.nio.file.Files.createTempDirectory("graft_stream_lin")
+        .toString, orders.schema)                                // 1
+    t.setProperties(Map(
+      graft.lakehouse.GraftTable.RowLineageProp -> "true"))
+    t.append(orders.filter(col("o_orderkey") % 3 === 0))         // 2
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))         // 3
+    t.update(Map("price" -> "price * 2"), "o_orderstatus = 'F'") // 4
+    t.delete("o_orderkey % 30 = 0")                              // 5
+    t.compact(2)                                                 // 6
+    val qn = "lake_lin_feed_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val q = s.readStream.format("graft-lake")
+      .option("readChangeFeed", "lineage")
+      .option("maxCommitsPerTrigger", 1)
+      .load(t.location)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val feed = s.table(qn)
+    require(feed.filter(col("_row_id").isNull).count() == 0,
+      "every feed row carries its row id")
+    feed.select(col("o_orderkey"), col("price"), col("_change_type"))
+      .orderBy(col("o_orderkey"), col("_change_type"), col("price"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_lake_sink" -> lakeSinkQ,
     "stream_lake_source" -> lakeSourceQ,
     "stream_lake_resume" -> lakeResumeQ,
     "stream_lake_cdc" -> lakeCdcQ,
+    "stream_lake_lineage" -> lakeLineageQ,
     "stream_lake_pipeline" -> lakePipelineQ,
     "stream_window_agg" -> windowAggQ,
     "stream_late_data" -> lateDataQ,
@@ -501,6 +543,26 @@ object StreamingOps {
     // the MoR delete's victims as deletes, the MoR update as old-image
     // delete + new-image insert; the maintenance commit contributes
     // nothing
+    // the per-commit LINEAGE feed: inserts for both appends, ONE
+    // update row per matched F row (the pairing dividend), deletes
+    // with the post-update old image; the compaction batch is empty
+    "stream_lake_lineage" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DOUBLE) AS p FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1)),
+        |ev AS (
+        |  SELECT o_orderkey, p AS price,
+        |    'insert' AS _change_type FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, p * 2, 'update' FROM base
+        |  WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN p * 2 ELSE p END,
+        |    'delete'
+        |  FROM base WHERE o_orderkey % 30 = 0)
+        |SELECT o_orderkey, price, _change_type FROM ev
+        |ORDER BY o_orderkey, _change_type, price""".stripMargin,
     "stream_lake_cdc" ->
       """WITH b1 AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -1152,6 +1152,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("readChangeFeed"))
   }
 
+  test("lineage stream feed: one row per update (vs the plain feed's " +
+      "pair), empty compaction batch, per-batch row ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // lineage must be on BEFORE the first data commit: a feed batch
+    // whose endpoint predates enablement refuses (its manifest holds
+    // no row ids — history cannot be retro-keyed)
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "tag", "v")
+    val t = graft.lakehouse.GraftTable.createEmpty(spark,
+      java.nio.file.Files.createTempDirectory("graft_linfeed").toString,
+      base.schema)                                             // snap 0'
+    t.setProperties(Map(
+      graft.lakehouse.GraftTable.RowLineageProp -> "true"))
+    t.append(base)                                             // snap 1'
+    t.append(Seq((4L, "d", 4.0)).toDF("k", "tag", "v"))        // snap 2
+    t.update(Map("v" -> "v * 10"), "k <= 2")                   // snap 3
+    t.compact(1)                                               // snap 4
+    def drain(mode: String, qn: String) = {
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", mode)
+        .option("maxCommitsPerTrigger", 1).load(t.location)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(qn)
+    }
+    val lin = drain("lineage", "lin_feed_spec")
+    val plain = drain("true", "plain_feed_spec")
+    // the pairing dividend: each of the 2 updates is ONE lineage row
+    // but a delete+insert PAIR on the plain feed
+    assert(lin.filter(col("_change_type") === "update").count() == 2)
+    assert(plain.count() == lin.count() + 2,
+      "plain feed ships one extra row per update (the old image)")
+    // snapshot-1 rows' ids assigned at snap 2 still stream correctly
+    assert(lin.filter(col("_row_id").isNull).count() == 0)
+    assert(lin.select("_row_id").distinct().count() == 4,
+      "4 logical rows → 4 distinct ids across the whole feed " +
+        "(insert + update of one row share its id)")
+    // the compaction batch arrived empty: total = 4 inserts + 2 updates
+    assert(lin.count() == 6)
+  }
+
   test("checkpointed restart with nothing new is a zero-row no-op") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
