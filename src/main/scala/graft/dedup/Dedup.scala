@@ -140,10 +140,13 @@ object Dedup {
         col("pos") === col("c.pos")))
       .select(col("doc_id").as("rdoc"), col("pos").as("rs"),
         (col("pos") + lit(w - 1)).as("re"))
-    val toks = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ")))
-      .toDF("doc_id", "idx", "tok")
+    // persisted like wins: the anti-join and the per-doc total both
+    // consume this — uncached, the corpus tokenizes twice
+    val toks = OpCache.swap("substrip.toks",
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")))
+        .toDF("doc_id", "idx", "tok"))
     val kept = toks.join(removal,
       col("doc_id") === col("rdoc") &&
         col("idx") >= col("rs") && col("idx") <= col("re"),

@@ -876,6 +876,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         }
         (refFirst.filter { case (f, _) => lineageFiles(f) } ++ fresh, ctr)
       }
+    // files whose first-row-id was assigned THIS commit: any carried
+    // manifest shard covering one must re-render (shards are immutable
+    // and the carried copy has no frid line — without this, enabling
+    // lineage on a sharded table never persists the assignment, the
+    // coverage require never clears, and every commit re-assigns and
+    // inflates the counter)
+    val lineageFresh: Set[String] =
+      if (!lineageOn) Set.empty
+      else firstRowIds.keySet -- refFirst.keySet
     def renderFileEntry(body: StringBuilder, f: String, id: Long): Unit = {
       body ++= s"file=$f\n"
       body ++= s"fseq=${refSeq.getOrElse(f, id)}\t$f\n"
@@ -903,7 +912,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val carriedShards: Seq[ManifestShard] =
       if (reshardManifests) Nil
       else ref.map(_.shards).getOrElse(Nil)
-        .filter(s => s.files.forall(fileSet))
+        .filter(s => s.files.forall(fileSet) &&
+          !s.files.exists(lineageFresh))
     val coveredFiles = carriedShards.flatMap(_.files).toSet
     val uncovered = files.filterNot(coveredFiles)
     val makeShards = uncovered.size >= shardThreshold
@@ -1716,6 +1726,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         s"lineage changelog endpoint ${s.id} carries merge-on-read " +
           "artifacts: compact() first")
     }
+    require(!to.schema.fieldNames.exists(n =>
+        n.equalsIgnoreCase("_row_id") || n.equalsIgnoreCase("_change_type")),
+      "lineage changelog over a table with its own '_row_id' or " +
+        "'_change_type' column is not supported (the feed's tag " +
+        "columns would collide)")
     val fromFiles = fromOpt.map(_.files).getOrElse(Nil)
     val fromSet = fromFiles.toSet
     val toSet = to.files.toSet
@@ -2339,6 +2354,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val cols = cols0.map { f =>
       if (!f.metadata.contains(GraftTable.DefaultSqlKey)) f
       else {
+        // initial-default columns would wedge a lineage table: every
+        // lineage read and every lineage-preserving rewrite —
+        // INCLUDING compact(), the remedy the refusal would name —
+        // reads through lineageSource, which cannot apply the
+        // sequence-scoped default boundary. Plain (NULL-backfilled)
+        // adds compose fine.
+        requireNoLineage("ADD COLUMN with DEFAULT")
         require(!f.name.contains('.'),
           s"DEFAULT on nested field '${f.name}' is not supported")
         val sql = f.metadata.getString(GraftTable.DefaultSqlKey)
@@ -2418,6 +2440,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   def renameColumn(from: String, to: String): Long = {
     val snap = currentSnapshot
     requireNoMorDels(snap, "RENAME COLUMN")
+    // the rename log would wedge a lineage table (lineageSource reads
+    // raw write-time names and compact() — the usual remedy — is
+    // itself a lineage-preserving rewrite); refuse loudly instead
+    requireNoLineage("RENAME COLUMN")
     require(!to.contains('.'),
       s"rename target '$to' must be a bare name (the field stays in " +
         "its struct)")
@@ -2989,10 +3015,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * appended images), not a rewrite of every affected FILE the way
     * copy-on-write does. Routed from SQL UPDATE when
     * `write.update.mode=merge-on-read`. */
-  def updateMoRPos(assignments0: Map[String, String], predSql: String): Long = {
-    requireNoLineage("merge-on-read UPDATE")
+  def updateMoRPos(assignments0: Map[String, String], predSql: String): Long =
     updateMoRPosAt(currentSnapshot, assignments0, predSql)
-  }
 
   /** [[updateMoRPos]] against an explicit base snapshot — the
     * deterministic seam for the rebase path, like [[deleteAt]]: a
@@ -3000,6 +3024,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * while this UPDATE scanned" without thread-timing luck. */
   private[graft] def updateMoRPosAt(snap: Snapshot,
       assignments0: Map[String, String], predSql: String): Long = {
+    // guard at the seam, like deleteMoRPosAt: the rebase path replays
+    // through here and must refuse on lineage tables too
+    requireNoLineage("merge-on-read UPDATE")
     val p = expr(predSql)
     val assignments = resolveAssignments(assignments0,
       snap.schema.fieldNames.toSeq, "UPDATE SET")
@@ -3617,10 +3644,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // the rewrite reads through morRead, so deleted rows drop out of
     // the new files and the delete predicates clear
     // a lineage table's compaction must carry every row's id and
-    // last-update into the fresh files (MoR artifacts are refused at
-    // write time on lineage tables, so morRead degenerates anyway)
+    // last-update into the fresh files. States lineageSource cannot
+    // serve — pending renames, initial-default columns, or equality/
+    // position tombstones — can only PREDATE enablement (the DDL and
+    // MoR guards refuse creating them afterwards); for those, compact
+    // is the cleanup that makes lineage serviceable, so it falls back
+    // to the plain live view and the rewritten rows take fresh ids
+    // (lineage "starts" once the table is clean — anything else would
+    // wedge: the refusals name compact() as the remedy).
+    val lineageServable = lineageEnabled &&
+      snap.renames.isEmpty && defaultedCols(snap).isEmpty &&
+      snap.dels.isEmpty && snap.posDels.isEmpty &&
+      snap.files.forall(snap.firstRowIds.contains)
     val base =
-      if (lineageEnabled) lineageSource(snap, snap.files)
+      if (lineageServable) lineageSource(snap, snap.files)
       else morRead(snap, snap.files)
     val arranged =
       if (zorderBy.nonEmpty && snap.files.nonEmpty) {

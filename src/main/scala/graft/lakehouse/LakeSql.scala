@@ -1308,7 +1308,12 @@ case class GraftRtasCommand(name: String, @transient query: LogicalPlan,
           spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""),
           name, "REPLACE TABLE")
         t.replaceWith(df, partitionBy)
-        if (props.nonEmpty) t.setProperties(props)
+        // REPLACE semantics cover table metadata: properties reset to
+        // exactly the statement's TBLPROPERTIES (none = none — the old
+        // write modes / lineage flags do not silently survive a
+        // rebuild). The props file is not snapshot-versioned, so this
+        // lands just after the swap commit, like every setProperties.
+        t.setProperties(props)
       case None =>
         if (!orCreate) throw new IllegalArgumentException(
           s"REPLACE TABLE: '$name' does not exist " +

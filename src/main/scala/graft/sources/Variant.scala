@@ -55,6 +55,15 @@ object Variant {
     val head = path.takeWhile(_ != '.')
     if (shredSchema.fieldNames.contains(head))
       path.split('.').foldLeft(typedCol)(_.getField(_))
-    else get_json_object(residualCol, "$." + path)
+    else {
+      // the residual re-renders nested objects as QUOTED JSON strings
+      // (the map<string,string> round-trip), so a single dotted probe
+      // would silently return null for data that exists — extract the
+      // head's string value first, then probe INTO it
+      val rest = path.drop(head.length + 1)
+      val headVal = get_json_object(residualCol, "$." + head)
+      if (rest.isEmpty) headVal
+      else get_json_object(headVal, "$." + rest)
+    }
   }
 }

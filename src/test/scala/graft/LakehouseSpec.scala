@@ -1017,6 +1017,13 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.readAt(1).schema.fieldNames.toSeq == Seq("k", "tag", "v") &&
       t.readAt(1).count() == 2,
       "time travel across the replace boundary reads the old schema")
+    // REPLACE covers table metadata: properties reset to exactly the
+    // statement's TBLPROPERTIES — none were written, so none survive
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    spark.sql("""CREATE OR REPLACE TABLE rtas_t USING graft AS
+                |SELECT 5 AS n""".stripMargin)
+    assert(t.properties.isEmpty,
+      "a replace without TBLPROPERTIES must not inherit old properties")
     // OR CREATE on a missing name degrades to CTAS
     spark.sql("CREATE OR REPLACE TABLE rtas_new USING graft AS SELECT 7 AS x")
     assert(LakeRegistry.get("rtas_new").exists(_.read().count() == 1))
@@ -1030,7 +1037,7 @@ class LakehouseSpec extends AnyFunSuite {
         FgacQueries.asPrincipal(spark, "rtas_reader")(
           spark.sql("""CREATE OR REPLACE TABLE rtas_t USING graft AS
                       |SELECT 9 AS n""".stripMargin)))
-      assert(t.read().count() == 2, "denied replace must not commit")
+      assert(t.read().count() == 1, "denied replace must not commit")
     } finally SecureCatalog.ungovern("rtas_t")
   }
 
@@ -1147,6 +1154,47 @@ class LakehouseSpec extends AnyFunSuite {
       (1L, "update", 2.0), (2L, "update", 1.0),
       (3L, "update", 26.0)),
       s"got $feed")
+  }
+
+  test("lineage on a SHARDED manifest: enablement persists through " +
+      "shard re-render, counter stays put, wedge states resolve") {
+    val dir = Files.createTempDirectory("graft_linshard").toString
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "tag", "v")
+        .repartition(2))
+    // shard threshold 2: the next append spills entries into shards
+    t.setProperties(Map(GraftTable.ShardFilesProp -> "2"))
+    t.append(Seq((3L, "c", 3.0), (4L, "d", 4.0)).toDF("k", "tag", "v")
+      .repartition(2))
+    assert(t.currentSnapshot.shards.nonEmpty,
+      "precondition: the manifest must actually be sharded")
+    // enable lineage AFTER sharding — the catch-up assignment must
+    // re-render carried shards (immutable copies hold no frid lines)
+    t.setProperties(Map(GraftTable.ShardFilesProp -> "2",
+      GraftTable.RowLineageProp -> "true"))
+    t.append(Seq((5L, "e", 5.0)).toDF("k", "tag", "v"))
+    val lin = t.readLineage()
+    assert(lin.count() == 5 &&
+      lin.select("_row_id").distinct().count() == 5)
+    val ctr = t.currentSnapshot.nextRowId
+    t.append(Seq((6L, "f", 6.0)).toDF("k", "tag", "v"))
+    assert(t.currentSnapshot.nextRowId == ctr + 1,
+      "a settled table's counter advances by exactly the new rows " +
+        "(re-assignment would inflate it by the whole table)")
+    // wedge states resolve: rename/DEFAULT refuse on lineage tables…
+    intercept[UnsupportedOperationException](t.renameColumn("tag", "t2"))
+    intercept[UnsupportedOperationException](t.addColumns(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(GraftTable.DefaultSqlKey, "'x'").build()))))
+    // …and a PRE-enable rename compacts its way out (fresh ids)
+    val t2 = freshTable(Seq((1L, "a", 1.0)))
+    t2.renameColumn("tag", "label")
+    t2.setProperties(Map(GraftTable.RowLineageProp -> "true"))
+    t2.append(Seq((2L, "b", 2.0)).toDF("k", "label", "v"))
+    t2.compact(1) // the remedy must not self-refuse
+    assert(t2.readLineage().count() == 2)
   }
 
   test("metadata tables answer from the manifest: files, partitions") {

@@ -129,6 +129,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(t.filter(col("id") === 3)
       .select(Variant.variantGet(col("v_typed"), col("v_residual"),
         schema, "meta.bucket")).head.isNullAt(0))
+    // nested path under a RESIDUAL head: the residual stores nested
+    // objects as quoted JSON strings, so the probe must go through
+    // the head's string value, not a single dotted path
+    val schema2 = StructType.fromDDL("k INT")
+    val (ty2, re2) = Variant.shred(col("j"), schema2)
+    val t2 = Seq((1L, """{"k": 1, "meta": {"bucket": 7}}"""))
+      .toDF("id", "j")
+      .select(col("id"), ty2.as("v_typed"), re2.as("v_residual"))
+    assert(t2.select(Variant.variantGet(col("v_typed"),
+      col("v_residual"), schema2, "meta.bucket")).head.getString(0)
+      == "7", "residual nested paths must resolve, not read null")
   }
 
   test("q35 json extraction matches a string-parse recomputation") {
