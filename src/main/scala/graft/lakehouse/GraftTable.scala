@@ -1721,10 +1721,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       snapOf: Long => Snapshot): DataFrame = {
     val to = snapOf(toId)
     val fromOpt = if (fromId == 0L) None else Some(snapOf(fromId))
+    // tombstone shapes refuse (they only predate lineage enablement);
+    // DELETION VECTORS compose — the legs below read each endpoint's
+    // live view, and pointer moves on CARRIED files expand through a
+    // bitmap diff (a feed that refused DVs would wedge permanently on
+    // the one MoR shape lineage tables accept: the endpoint snapshot
+    // is immutable, so no later compaction could ever unwedge it)
     (fromOpt.toSeq :+ to).foreach { s =>
-      require(s.dels.isEmpty && s.posDels.isEmpty && s.dvs.isEmpty,
-        s"lineage changelog endpoint ${s.id} carries merge-on-read " +
-          "artifacts: compact() first")
+      require(s.dels.isEmpty && s.posDels.isEmpty,
+        s"lineage changelog endpoint ${s.id} carries tombstones: " +
+          "compact() first")
     }
     require(!to.schema.fieldNames.exists(n =>
         n.equalsIgnoreCase("_row_id") || n.equalsIgnoreCase("_change_type")),
@@ -1740,13 +1746,68 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     fromOpt.foreach(f => require(f.schema == to.schema,
       "lineage changelog across a schema change: split the range"))
     val from = fromOpt.getOrElse(to)
-    def side(snap: Snapshot, files: Seq[String], tag: String) =
-      lineageSource(snap, files).select(
+    def tagged(df: DataFrame, tag: String) =
+      df.select(
         (cols.map(c => col(c).as(s"$tag$c")) ++ Seq(
           col(GraftTable.RowIdColName).as(s"${tag}_rid"),
           col(GraftTable.LastSeqColName).as(s"${tag}_seq"))): _*)
-    val d = side(from, removed, "_d_")
-    val i = side(to, added, "_i_")
+    def side(snap: Snapshot, files: Seq[String], tag: String) =
+      tagged(lineageSource(snap, files), tag)
+    // DV pointer moves on carried files: bits set at `to` but not
+    // `from` are in-range deletes (old image read from the FROM view,
+    // where those rows are still live); bits cleared are un-deletes
+    // (rollback — new image from the TO view). Only the moved files'
+    // blobs are read, and only the named rows scan.
+    val dvMoved = to.files.filter(f => fromSet(f) &&
+      fromOpt.exists(_.dvs.get(f) != to.dvs.get(f))).sorted
+    val (dvDel, dvIns): (Option[DataFrame], Option[DataFrame]) =
+      if (dvMoved.isEmpty) (None, None)
+      else {
+        import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
+        import graft.functions.NativeExprs
+        val from0 = fromOpt.get
+        def bits(s: Snapshot): DataFrame = {
+          val onlyMoved = s.dvs.view.filterKeys(dvMoved.toSet).toMap
+          if (onlyMoved.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(
+                org.apache.spark.sql.types.StructField("_file",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("_bitmap",
+                  org.apache.spark.sql.types.BinaryType))))
+          else currentDvRelation(s.copy(dvs = onlyMoved))
+            .select(col("_file"), col("_bitmap"))
+        }
+        val joined = bits(from0)
+          .withColumnRenamed("_bitmap", "_bm_from")
+          .join(bits(to).withColumnRenamed("_bitmap", "_bm_to"),
+            Seq("_file"), "full_outer")
+          .select(col("_file"),
+            coalesce(col("_bm_from"),
+              lit(Array.emptyByteArray)).as("_bm_from"),
+            coalesce(col("_bm_to"),
+              lit(Array.emptyByteArray)).as("_bm_to"))
+        def diff(a: String, b: String): DataFrame = joined.select(
+          col("_file"),
+          explode(columnOf(NativeExprs.BitsetPositions(
+            expressionOf(columnOf(NativeExprs.BitsetAndNot(
+              expressionOf(col(a)),
+              expressionOf(col(b)))))))).as("_pos"))
+        def at(snap: Snapshot, pos: DataFrame): DataFrame = {
+          val rows = lineageSource(snap, dvMoved, keepMeta = true)
+          rows.join(pos, rows("_g_file") === pos("_file") &&
+              rows("_g_idx") === pos("_pos"), "left_semi")
+            .drop("_g_file", "_g_idx")
+        }
+        (Some(at(from0, diff("_bm_to", "_bm_from"))),
+          Some(at(to, diff("_bm_from", "_bm_to"))))
+      }
+    val d = dvDel.map(x => side(from, removed, "_d_")
+        .unionByName(tagged(x, "_d_")))
+      .getOrElse(side(from, removed, "_d_"))
+    val i = dvIns.map(x => side(to, added, "_i_")
+        .unionByName(tagged(x, "_i_")))
+      .getOrElse(side(to, added, "_i_"))
     val joined = d.join(i, col("_d__rid") === col("_i__rid"), "full_outer")
     joined
       .withColumn("_change_type",
@@ -2612,8 +2673,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * translated through the file's own add-sequence (rewrites cannot
     * know their publish id up front; their files' fseq IS it). The
     * COW-rewrite source and the [[readLineage]] body. */
-  private def lineageSource(snap: Snapshot, files: Seq[String])
-      : DataFrame = {
+  private def lineageSource(snap: Snapshot, files: Seq[String],
+      keepMeta: Boolean = false): DataFrame = {
     require(snap.dels.isEmpty && snap.posDels.isEmpty,
       "row lineage over pending equality/position tombstones is not " +
         "supported: compact() to materialize them first " +
@@ -2689,7 +2750,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
             lit(false))))
           .drop(GraftTable.DvFileCol, GraftTable.DvBitmapCol)
       }
-    live.drop("_g_file", "_g_idx", "_g_first", "_g_fseq")
+    if (keepMeta) live.drop("_g_first", "_g_fseq")
+    else live.drop("_g_file", "_g_idx", "_g_first", "_g_fseq")
   }
 
   /** The copy-on-write rewrite source: the plain mapped read, or —

@@ -1197,6 +1197,50 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t2.readLineage().count() == 2)
   }
 
+  test("lineage changelog composes with deletion vectors: pointer " +
+      "moves emit keyed deletes, rollback emits un-deletes, the " +
+      "stream never wedges") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "c", 3.0), (4L, "d", 4.0)).toDF("k", "tag", "v")
+    val t = GraftTable.createEmpty(spark,
+      Files.createTempDirectory("graft_lincdcdv").toString, base.schema)
+    t.setProperties(Map(GraftTable.RowLineageProp -> "true",
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector"))
+    t.append(base.repartition(1))                              // snap 2
+    val ids = t.readLineage().select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    t.deleteMoRDv("k = 2")                                     // snap 3
+    t.deleteMoRDv("k = 3")                                     // snap 4 (same file!)
+    val feed = t.lineageChanges(2, 4).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_row_id"))).toSet
+    assert(feed == Set((2L, "delete", ids(2L)), (3L, "delete", ids(3L))),
+      s"DV pointer moves must emit keyed deletes with TRUE row ids: $feed")
+    // rollback clears the bits: the range emits keyed UN-deletes
+    t.rollback(2)                                              // snap 5
+    val undel = t.lineageChanges(4, 5).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_row_id"))).toSet
+    assert(undel == Set((2L, "insert", ids(2L)), (3L, "insert", ids(3L))))
+    // the streaming feed advances THROUGH the DV commits (this is the
+    // wedge the composition exists to prevent: endpoint snapshots are
+    // immutable, so no later compaction could ever unwedge a refusal)
+    val qn = "lin_dv_feed_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "lineage")
+      .option("maxCommitsPerTrigger", 1).load(t.location)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val events = spark.table(qn).groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    // 4 inserts, 2 dv deletes, 2 un-deletes — no batch wedged
+    assert(events == Map("insert" -> 6L, "delete" -> 2L), s"got $events")
+  }
+
   test("metadata tables answer from the manifest: files, partitions") {
     val dir = Files.createTempDirectory("graft_meta").toString
     val t = GraftTable.create(spark, dir,
