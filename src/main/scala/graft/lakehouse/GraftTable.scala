@@ -3086,14 +3086,26 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * while this UPDATE scanned" without thread-timing luck. */
   private[graft] def updateMoRPosAt(snap: Snapshot,
       assignments0: Map[String, String], predSql: String): Long = {
-    // guard at the seam, like deleteMoRPosAt: the rebase path replays
-    // through here and must refuse on lineage tables too
-    requireNoLineage("merge-on-read UPDATE")
+    // Row lineage composes with the VECTOR shape only (Iceberg v3
+    // pairs them): the matched rows read with their lineage, the old
+    // images become bitmap bits, and the new images MATERIALIZE the
+    // carried ids with the -1 "this commit" sentinel — so even a
+    // MoR update preserves row identity. Tombstone styles refuse at
+    // the seam (the rebase path replays through here too).
+    val lineageOn = lineageEnabled
+    if (lineageOn && deleteStyle != "vector")
+      requireNoLineage("merge-on-read (tombstone-style) UPDATE")
     val p = expr(predSql)
     val assignments = resolveAssignments(assignments0,
       snap.schema.fieldNames.toSeq, "UPDATE SET")
     val cand = dmlCandidates(snap, predSql)
-    val matching = morReadPos(snap, cand).filter(p)
+    val matching =
+      if (!lineageOn) morReadPos(snap, cand).filter(p)
+      else lineageSource(snap, cand, keepMeta = true)
+        .withColumn(GraftTable.PosFileCol, col("_g_file"))
+        .withColumn(GraftTable.PosIdxCol, col("_g_idx"))
+        .drop("_g_file", "_g_idx")
+        .filter(p)
     val id = snap.id + 1
     // old images take the table's delete-file shape
     // (`write.delete.style`): tombstone parquet, or merged
@@ -3104,14 +3116,18 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         (Nil, writeDvs(matching, snap, id))
       else (writeTombstones(matching, id),
         Map.empty[String, (String, Long)])
-    val images = matching.select(snap.schema.fieldNames.map { c =>
+    val lineageCols =
+      if (!lineageOn) Nil
+      else Seq(col(GraftTable.RowIdColName),
+        lit(-1L).as(GraftTable.LastSeqColName))
+    val images = matching.select(snap.schema.fieldNames.toSeq.map { c =>
       assignments.get(c) match {
         case Some(e) =>
           checkedCast(expr(e), resolvedType(matching, expr(e)),
             snap.schema(c).dataType, s"UPDATE SET $c").as(c)
         case None => col(c)
       }
-    }: _*)
+    } ++ lineageCols: _*)
     commitDml("update-mor", snap, cand.map(normalize).toSet, Set.empty,
       writeData(images, id, snap.partitionCols),
       newTombs = tombs, predSql = Some(predSql), newDvs = dvs)
@@ -3353,7 +3369,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // morMode above): lineage gates the source, the post-clause
     // projection, and the alignment — five separate reads otherwise
     val lineageOn = lineageEnabled
-    if (morMode && lineageOn) requireNoLineage("merge-on-read MERGE")
+    // MoR MERGE composes with lineage under the VECTOR shape only
+    // (like UPDATE: matched old images become bits, new images
+    // materialize the carried ids); tombstone styles refuse
+    if (morMode && lineageOn && deleteStyle != "vector")
+      requireNoLineage("merge-on-read (tombstone-style) MERGE")
     if (!morMode) requireNoMorDels(snap, "MERGE")
     val cols = snap.schema.fieldNames.toSeq
     require(keys0.nonEmpty, "merge requires at least one key column")
@@ -3583,9 +3603,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
             _.join(srcKeys, keys, "left_semi"))
           snap.files.filter(f => affected(normalize(f)))
         }
+      val morSrc =
+        if (!lineageOn) (fs: Seq[String]) => morReadPos(snap, fs)
+        else (fs: Seq[String]) => lineageSource(snap, fs, keepMeta = true)
+          .withColumn(GraftTable.PosFileCol, col("_g_file"))
+          .withColumn(GraftTable.PosIdxCol, col("_g_idx"))
+          .drop("_g_file", "_g_idx")
       val touched =
         if (cand.isEmpty) None
-        else Some(morReadPos(snap, cand).join(srcFlat, joinCond, "inner")
+        else Some(morSrc(cand).join(srcFlat, joinCond, "inner")
           .withColumn(GraftTable.WinnerCol, winnerOver(lit(true)))
           .filter(col(GraftTable.WinnerCol) =!= -1))
       // matched old images take the table's delete-file shape, like
@@ -3599,10 +3625,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           .getOrElse(Map.empty[String, (String, Long)])
         else Map.empty[String, (String, Long)]
       val images = touched.map { t =>
-        postClause(
+        val kept =
           if (deleteIdx.isEmpty) t
           else t.filter(
-            !col(GraftTable.WinnerCol).isin(deleteIdx.map(Integer.valueOf): _*)))
+            !col(GraftTable.WinnerCol).isin(deleteIdx.map(Integer.valueOf): _*))
+        if (!lineageOn) postClause(kept)
+        // every surviving matched row was rewritten by a clause:
+        // keep its id, stamp the -1 sentinel
+        else postClause2(kept, Seq(col(GraftTable.RowIdColName),
+          lit(-1L).as(GraftTable.LastSeqColName)))
       }.filter(_ => matchedClauses.exists {
         case _: MergeClause.Delete => false
         case _                     => true

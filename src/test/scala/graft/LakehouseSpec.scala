@@ -1241,6 +1241,52 @@ class LakehouseSpec extends AnyFunSuite {
     assert(events == Map("insert" -> 6L, "delete" -> 2L), s"got $events")
   }
 
+  test("MoR UPDATE and MERGE via deletion vectors preserve row " +
+      "lineage, and the changelog nets each to one keyed update") {
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "c", 3.0), (4L, "d", 4.0)).toDF("k", "tag", "v")
+    val t = GraftTable.createEmpty(spark,
+      Files.createTempDirectory("graft_lindvdml").toString, base.schema)
+    t.setProperties(Map(GraftTable.RowLineageProp -> "true",
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector"))
+    t.append(base.repartition(1))                              // snap 2
+    val ids = t.readLineage().select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    val files = t.currentSnapshot.files
+    t.updateMoRPos(Map("v" -> "v * 10"), "k <= 2")             // snap 3
+    assert(t.currentSnapshot.files.toSet.subsetOf(
+      t.currentSnapshot.files.toSet) &&
+      files.forall(t.currentSnapshot.files.contains) &&
+      t.currentSnapshot.dvs.nonEmpty,
+      "the MoR update must vector the old images, not rewrite")
+    val lin3 = t.readLineage()
+    def row(df: org.apache.spark.sql.DataFrame, k: Long) =
+      df.filter(col("k") === k).head
+    assert(row(lin3, 1).getAs[Long]("_row_id") == ids(1L) &&
+      row(lin3, 1).getAs[Long]("_last_updated_sequence_number") == 3L &&
+      row(lin3, 1).getAs[Double]("v") == 10.0,
+      "a DV update must keep the row id and bump the sequence")
+    assert(row(lin3, 4).getAs[Long]("_last_updated_sequence_number") == 2L,
+      "unmatched rows keep their sequence")
+    // MoR MERGE via DVs: matched row keeps its id, insert mints one
+    t.merge(Seq((3L, "c2", 99.0), (9L, "z", 9.0))
+      .toDF("k", "tag", "v"), "k")                             // snap 4
+    val lin4 = t.readLineage()
+    assert(row(lin4, 3).getAs[Long]("_row_id") == ids(3L) &&
+      row(lin4, 3).getAs[Long]("_last_updated_sequence_number") == 4L)
+    assert(row(lin4, 9).getAs[Long]("_row_id") > ids.values.max)
+    assert(lin4.select("_row_id").distinct().count() == 5)
+    // the lineage changelog nets every DV update to ONE keyed row
+    val feed = t.lineageChanges(2, 4).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type")))
+      .sorted.toList
+    assert(feed == List((1L, "update"), (2L, "update"),
+      (3L, "update"), (9L, "insert")), s"got $feed")
+  }
+
   test("metadata tables answer from the manifest: files, partitions") {
     val dir = Files.createTempDirectory("graft_meta").toString
     val t = GraftTable.create(spark, dir,
