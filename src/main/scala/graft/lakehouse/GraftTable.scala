@@ -1706,9 +1706,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * the from side is a `delete` (old image), only on the to side an
     * `insert`. Cost is O(changed files) rows through one join on an
     * 8-byte key — the text/content never drives the netting.
-    * Endpoints must be tombstone- and vector-free (a pointer move on
-    * a CARRIED file is invisible to the file diff; compact first —
-    * the [[changes]] DV leg handles that shape for the plain feed). */
+    * DELETION VECTORS compose: pointer moves on carried files
+    * expand through the endpoint bitmap diff into keyed deletes
+    * (old image from the from-side live view) and rollback
+    * un-deletes, reading only the moved blobs and the named rows.
+    * Tombstone-bearing endpoints refuse (they can only predate
+    * lineage enablement — compact first). */
   def lineageChanges(fromId: Long, toId: Long): DataFrame =
     lineageChanges(fromId, toId, id => snapshot(id))
 
@@ -1763,44 +1766,28 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val (dvDel, dvIns): (Option[DataFrame], Option[DataFrame]) =
       if (dvMoved.isEmpty) (None, None)
       else {
-        import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
-        import graft.functions.NativeExprs
         val from0 = fromOpt.get
-        def bits(s: Snapshot): DataFrame = {
-          val onlyMoved = s.dvs.view.filterKeys(dvMoved.toSet).toMap
-          if (onlyMoved.isEmpty)
-            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-              StructType(Seq(
-                org.apache.spark.sql.types.StructField("_file",
-                  org.apache.spark.sql.types.StringType),
-                org.apache.spark.sql.types.StructField("_bitmap",
-                  org.apache.spark.sql.types.BinaryType))))
-          else currentDvRelation(s.copy(dvs = onlyMoved))
-            .select(col("_file"), col("_bitmap"))
+        val (newBits, goneBits) = dvPositionDiff(from0, to, dvMoved)
+        // planning prune, same as the plain feed: the diffed
+        // positions name exact files — collect that (bounded: one
+        // path per file the range's DV DML touched) set and scan
+        // ONLY those. Without it a DV-consolidation rewrite (every
+        // pointer moved, identical bits, empty diff) would cost the
+        // feed a scan of every vectored data file to net zero rows.
+        val rawByEnc = dvMoved.map(p => metaPath(p) -> p).toMap
+        def at(snap: Snapshot, pos: DataFrame): Option[DataFrame] = {
+          val touched = pos.select("_file").distinct()
+            .collect().map(_.getString(0)).toSeq
+            .flatMap(rawByEnc.get).sorted
+          if (touched.isEmpty) None
+          else {
+            val rows = lineageSource(snap, touched, keepMeta = true)
+            Some(rows.join(pos, rows("_g_file") === pos("_file") &&
+                rows("_g_idx") === pos("_pos"), "left_semi")
+              .drop("_g_file", "_g_idx"))
+          }
         }
-        val joined = bits(from0)
-          .withColumnRenamed("_bitmap", "_bm_from")
-          .join(bits(to).withColumnRenamed("_bitmap", "_bm_to"),
-            Seq("_file"), "full_outer")
-          .select(col("_file"),
-            coalesce(col("_bm_from"),
-              lit(Array.emptyByteArray)).as("_bm_from"),
-            coalesce(col("_bm_to"),
-              lit(Array.emptyByteArray)).as("_bm_to"))
-        def diff(a: String, b: String): DataFrame = joined.select(
-          col("_file"),
-          explode(columnOf(NativeExprs.BitsetPositions(
-            expressionOf(columnOf(NativeExprs.BitsetAndNot(
-              expressionOf(col(a)),
-              expressionOf(col(b)))))))).as("_pos"))
-        def at(snap: Snapshot, pos: DataFrame): DataFrame = {
-          val rows = lineageSource(snap, dvMoved, keepMeta = true)
-          rows.join(pos, rows("_g_file") === pos("_file") &&
-              rows("_g_idx") === pos("_pos"), "left_semi")
-            .drop("_g_file", "_g_idx")
-        }
-        (Some(at(from0, diff("_bm_to", "_bm_from"))),
-          Some(at(to, diff("_bm_from", "_bm_to"))))
+        (at(from0, newBits), at(to, goneBits))
       }
     val d = dvDel.map(x => side(from, removed, "_d_")
         .unionByName(tagged(x, "_d_")))
@@ -1825,6 +1812,54 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         when(col("_change_type") === "delete", col("_d__rid"))
           .otherwise(col("_i__rid")).as("_row_id") :+
         col("_change_type"): _*)
+  }
+
+  /** Bitmap diff of DV pointer moves on `moved` carried files, the
+    * shared kernel of BOTH changelogs: per moved file, AND-NOT the
+    * endpoint bitmaps both ways and explode the surviving bits into
+    * (_file, _pos) frames — (newly set = in-range deletes, cleared =
+    * rollback un-deletes). Only the moved files' blobs are read (the
+    * pointer map names them exactly); reading every referenced blob
+    * and filtering after would touch the whole vector set to diff
+    * one moved pointer. */
+  private def dvPositionDiff(from: Snapshot, to: Snapshot,
+      moved: Seq[String]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
+    import graft.functions.NativeExprs
+    def emptyPos = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("_file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_pos",
+          org.apache.spark.sql.types.LongType))))
+    if (moved.isEmpty) return (emptyPos, emptyPos)
+    def bits(s: Snapshot): DataFrame = {
+      val onlyMoved = s.dvs.view.filterKeys(moved.toSet).toMap
+      if (onlyMoved.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField("_file",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("_bitmap",
+              org.apache.spark.sql.types.BinaryType))))
+      else currentDvRelation(s.copy(dvs = onlyMoved))
+        .select(col("_file"), col("_bitmap"))
+    }
+    val joined = bits(from).withColumnRenamed("_bitmap", "_bm_from")
+      .join(bits(to).withColumnRenamed("_bitmap", "_bm_to"),
+        Seq("_file"), "full_outer")
+      .select(col("_file"),
+        coalesce(col("_bm_from"),
+          lit(Array.emptyByteArray)).as("_bm_from"),
+        coalesce(col("_bm_to"),
+          lit(Array.emptyByteArray)).as("_bm_to"))
+    def diff(a: String, b: String): DataFrame = joined.select(
+      col("_file"),
+      explode(columnOf(NativeExprs.BitsetPositions(
+        expressionOf(columnOf(NativeExprs.BitsetAndNot(
+          expressionOf(col(a)),
+          expressionOf(col(b)))))))).as("_pos"))
+    (diff("_bm_to", "_bm_from"), diff("_bm_from", "_bm_to"))
   }
 
   def changes(fromId: Long, toId: Long): DataFrame =
@@ -1895,49 +1930,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
                 org.apache.spark.sql.types.LongType))))
         else spark.read.parquet(fs: _*).select(col("_file"), col("_pos"))
       // deletion-vector diff → the same (file, pos) key shape as the
-      // tombstone diff: per moved file, AND-NOT the endpoint bitmaps
-      // both ways and explode the surviving bits. A live-view DML
-      // never re-deletes a position, so the two shapes cannot emit
-      // the same key — plain unions compose them.
-      val (dvNewT, dvGoneT) = {
-        import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
-        import graft.functions.NativeExprs
-        def bits(s: Snapshot): DataFrame = {
-          // restrict the READ to the moved files' blobs (the pointer
-          // map names them exactly); reading every referenced blob
-          // and filtering after would touch the whole vector set to
-          // diff one moved pointer
-          val onlyMoved = s.dvs.view
-            .filterKeys(dvMovedFiles.toSet).toMap
-          if (onlyMoved.isEmpty)
-            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-              StructType(Seq(
-                org.apache.spark.sql.types.StructField("_file",
-                  org.apache.spark.sql.types.StringType),
-                org.apache.spark.sql.types.StructField("_bitmap",
-                  org.apache.spark.sql.types.BinaryType))))
-          else currentDvRelation(s.copy(dvs = onlyMoved))
-            .select(col("_file"), col("_bitmap"))
-        }
-        if (dvMovedFiles.isEmpty) (tombRows(Nil), tombRows(Nil))
-        else {
-          val joined = bits(from).withColumnRenamed("_bitmap", "_bm_from")
-            .join(bits(to).withColumnRenamed("_bitmap", "_bm_to"),
-              Seq("_file"), "full_outer")
-            .select(col("_file"),
-              coalesce(col("_bm_from"),
-                lit(Array.emptyByteArray)).as("_bm_from"),
-              coalesce(col("_bm_to"),
-                lit(Array.emptyByteArray)).as("_bm_to"))
-          def diff(a: String, b: String): DataFrame = joined.select(
-            col("_file"),
-            explode(columnOf(NativeExprs.BitsetPositions(
-              expressionOf(columnOf(NativeExprs.BitsetAndNot(
-                expressionOf(col(a)),
-                expressionOf(col(b)))))))).as("_pos"))
-          (diff("_bm_to", "_bm_from"), diff("_bm_from", "_bm_to"))
-        }
-      }
+      // tombstone diff. A live-view DML never re-deletes a position,
+      // so the two shapes cannot emit the same key — plain unions
+      // compose them.
+      val (dvNewT, dvGoneT) = dvPositionDiff(from, to, dvMovedFiles)
       val newT = tombRows(newTFiles)
         .join(tombRows(goneTFiles), Seq("_file", "_pos"), "left_anti")
         .unionByName(dvNewT)
@@ -2062,7 +2058,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     while (id > fromId) {
       header(id) match {
         case Some(h) if h.op == "compact" || h.op == "rewrite-pdel" ||
-            h.op == "backfill-sizes" => // file-neutral metadata: net empty
+            h.op == "rewrite-dv" ||
+            h.op == "backfill-sizes" => // live-multiset-preserving
           id = h.parent
         case _ => return false
       }
@@ -2854,14 +2851,16 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * between a metadata commit and rewriting terabytes for a
     * predicate touching most files. Rows appended AFTER the delete
     * are out of scope even when they match (sequence rule). */
-  /** Row-lineage tables take copy-on-write DML only (MoR artifacts
-    * would need id-preserving composition on every read path — not
-    * landed); refuse at WRITE time so no lineage read ever faces
+  /** Row-lineage tables take copy-on-write DML plus the VECTOR
+    * merge-on-read shape (DV DELETE/UPDATE/MERGE preserve ids); the
+    * TOMBSTONE shapes would need id-preserving composition on every
+    * read path — refuse at WRITE time so no lineage read ever faces
     * pending tombstones. */
   private def requireNoLineage(what: String): Unit =
     if (lineageEnabled) throw new UnsupportedOperationException(
       s"$what on a row-lineage table is not supported: " +
-        "row.lineage tables take copy-on-write DML")
+        "row.lineage tables take copy-on-write DML or vector-style " +
+        "merge-on-read (write.delete.style=vector)")
 
   def deleteMoR(predSql: String): Long = {
     requireNoLineage("merge-on-read DELETE")
@@ -3092,8 +3091,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // carried ids with the -1 "this commit" sentinel — so even a
     // MoR update preserves row identity. Tombstone styles refuse at
     // the seam (the rebase path replays through here too).
+    // bound ONCE (the convention this file documents for MERGE): a
+    // concurrent setProperties must not flip the shape between the
+    // lineage guard and the write branch
+    val vector = deleteStyle == "vector"
     val lineageOn = lineageEnabled
-    if (lineageOn && deleteStyle != "vector")
+    if (lineageOn && !vector)
       requireNoLineage("merge-on-read (tombstone-style) UPDATE")
     val p = expr(predSql)
     val assignments = resolveAssignments(assignments0,
@@ -3112,7 +3115,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // deletion-vector bitmaps under `vector` — Iceberg v3 DVs serve
     // every row-level operation, not just DELETE
     val (tombs, dvs) =
-      if (deleteStyle == "vector")
+      if (vector)
         (Nil, writeDvs(matching, snap, id))
       else (writeTombstones(matching, id),
         Map.empty[String, (String, Long)])
@@ -3369,10 +3372,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // morMode above): lineage gates the source, the post-clause
     // projection, and the alignment — five separate reads otherwise
     val lineageOn = lineageEnabled
+    val vectorStyle = deleteStyle == "vector"
     // MoR MERGE composes with lineage under the VECTOR shape only
     // (like UPDATE: matched old images become bits, new images
     // materialize the carried ids); tombstone styles refuse
-    if (morMode && lineageOn && deleteStyle != "vector")
+    if (morMode && lineageOn && !vectorStyle)
       requireNoLineage("merge-on-read (tombstone-style) MERGE")
     if (!morMode) requireNoMorDels(snap, "MERGE")
     val cols = snap.schema.fieldNames.toSeq
@@ -3616,7 +3620,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           .filter(col(GraftTable.WinnerCol) =!= -1))
       // matched old images take the table's delete-file shape, like
       // UPDATE: tombstones, or deletion vectors under `vector`
-      val vector = deleteStyle == "vector"
+      val vector = vectorStyle
       val tombs =
         if (vector) Nil
         else touched.map(writeTombstones(_, id)).getOrElse(Nil)
