@@ -101,20 +101,31 @@ object Dedup {
 
   /** Substring-level dedup, the REMOVAL half (Lee et al. rewrite the
     * corpus, they don't just report): every duplicated w-token window
-    * keeps exactly ONE canonical occurrence corpus-wide (the smallest
+    * keeps its canonical occurrence corpus-wide INTACT (the smallest
     * (doc_id, pos) — deterministic), and every token covered by a
-    * NON-canonical duplicated window is stripped from its document.
-    * Unique text is untouched; a fully-boilerplate doc strips to
-    * empty rather than disappearing (the caller decides whether empty
-    * docs drop — that is a filtering policy, not dedup).
+    * NON-canonical duplicated window strips from its document —
+    * UNLESS that token also lies inside some window's canonical
+    * occurrence (canonical ranges are protected, so overlapping
+    * duplicated windows can never strip each other's canonical copy
+    * down to zero intact occurrences). Matching is CASE-INSENSITIVE
+    * (the window hashes lowercase), but the rewritten text preserves
+    * the original bytes — an untouched document round-trips
+    * byte-identical (token boundaries are spaces, which lowercasing
+    * never moves, so positions agree between the hash and reassembly
+    * tokenizations). Unique text is untouched; a fully-boilerplate
+    * doc strips to empty rather than disappearing (the caller decides
+    * whether empty docs drop — that is a filtering policy, not
+    * dedup).
     *
     * Plan shape: the cached window relation feeds (a) the dup-hash
     * aggregate and (b) a per-hash rank (one shuffle on wh — smallest
     * occurrence wins) marking non-canonical occurrences; tokens strip
     * via a LEFT ANTI range join (doc equi-key + pos-in-window
     * residual — each token matches ≤ w windows, and anti-join stops
-    * at the first, so boilerplate can't blow the join up); the
-    * cleaned text reassembles from an order-restoring sorted
+    * at the first, so boilerplate can't blow the join up) plus a
+    * disjoint protected leg (semi canonical ∩ semi removal — only
+    * tokens under BOTH a canonical and a removal range re-enter);
+    * the cleaned text reassembles from an order-restoring sorted
     * collect per doc. Document text shuffles exactly once (the
     * reassembly) — the marking side moves only (hash8, doc, pos). */
   private[graft] def substringStrip(docs: DataFrame, w: Int): DataFrame = {
@@ -140,17 +151,37 @@ object Dedup {
         col("pos") === col("c.pos")))
       .select(col("doc_id").as("rdoc"), col("pos").as("rs"),
         (col("pos") + lit(w - 1)).as("re"))
-    // persisted like wins: the anti-join and the per-doc total both
-    // consume this — uncached, the corpus tokenizes twice
+    // canonical occurrences' token ranges: PROTECTED from removal
+    // (same row count as `canon` — one range per duplicated window)
+    val protect = canon
+      .select(col("c.doc_id").as("cdoc"), col("c.pos").as("cs"),
+        (col("c.pos") + lit(w - 1)).as("ce"))
+    // persisted like wins: the anti-join legs and the per-doc total
+    // all consume this — uncached, the corpus tokenizes repeatedly.
+    // ORIGINAL case: the rewrite must preserve the source bytes (the
+    // hashes lowercase for matching; split boundaries agree).
     val toks = OpCache.swap("substrip.toks",
       docs.filter(col("text").isNotNull)
         .select(col("doc_id"),
-          posexplode(split(lower(col("text")), " ")))
+          posexplode(split(col("text"), " ")))
         .toDF("doc_id", "idx", "tok"))
-    val kept = toks.join(removal,
+    val untouched = toks.join(removal,
       col("doc_id") === col("rdoc") &&
         col("idx") >= col("rs") && col("idx") <= col("re"),
       "left_anti")
+    // tokens under a removal range AND a canonical range survive —
+    // disjoint from `untouched` by construction (both semi-join legs
+    // require a removal hit), so the union needs no dedup
+    val protectedToks = toks
+      .join(removal,
+        col("doc_id") === col("rdoc") &&
+          col("idx") >= col("rs") && col("idx") <= col("re"),
+        "left_semi")
+      .join(protect,
+        col("doc_id") === col("cdoc") &&
+          col("idx") >= col("cs") && col("idx") <= col("ce"),
+        "left_semi")
+    val kept = untouched.unionByName(protectedToks)
     val total = toks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"))
     kept.groupBy("doc_id")
@@ -1225,7 +1256,8 @@ object Dedup {
         |FROM i GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
     "dedup_substring_strip" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w,
+        |             string_split(text, ' ') wo
         |           FROM documents WHERE text IS NOT NULL),
         |wn AS (SELECT doc_id,
         |         unnest(generate_series(0, len(w) - 16)) AS pos, w
@@ -1242,12 +1274,15 @@ object Dedup {
         |        FROM wh h JOIN canon c ON h.win = c.win
         |        WHERE NOT (h.doc_id = c.cd AND h.pos = c.cp)),
         |ti AS (SELECT doc_id,
-        |         unnest(generate_series(1, len(w))) AS i, w FROM t),
-        |tk AS (SELECT doc_id, i - 1 AS idx, w[i] AS tok FROM ti),
+        |         unnest(generate_series(1, len(wo))) AS i, wo FROM t),
+        |tk AS (SELECT doc_id, i - 1 AS idx, wo[i] AS tok FROM ti),
         |keep AS (SELECT tk.doc_id, tk.idx, tk.tok FROM tk
         |         WHERE NOT EXISTS (SELECT 1 FROM rem r
         |           WHERE r.doc_id = tk.doc_id
-        |             AND tk.idx BETWEEN r.rs AND r.re)),
+        |             AND tk.idx BETWEEN r.rs AND r.re)
+        |            OR EXISTS (SELECT 1 FROM canon c
+        |           WHERE c.cd = tk.doc_id
+        |             AND tk.idx BETWEEN c.cp AND c.cp + 15)),
         |tot AS (SELECT doc_id, COUNT(*) AS n_tokens
         |        FROM tk GROUP BY doc_id)
         |SELECT t.doc_id,

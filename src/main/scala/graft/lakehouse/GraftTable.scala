@@ -856,11 +856,23 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       properties.get(GraftTable.RowLineageProp).contains("true")
     val lineageFiles = files.toSet
     val refFirst = ref.map(_.firstRowIds).getOrElse(Map.empty)
-    val baseNextRowId = math.max(
+    // The allocator is TABLE-wide, not branch-wide (Iceberg v3 keeps
+    // next-row-id in table-level metadata): concurrent commits on
+    // divergent branches each base on their own head, so taking only
+    // the parent's counter would hand both branches the same id range
+    // and lineageChanges would mis-pair unrelated rows as updates.
+    // Max over every live ref head's counter closes that — O(#refs)
+    // cached lookups per lineage commit ([[GraftTable.nextRowIdOf]]).
+    val localNextRowId = math.max(
       ref.map(_.nextRowId).getOrElse(0L),
       if (refSnap.isDefined && expectedParent > 0)
         snapshot(expectedParent).nextRowId
       else 0L)
+    val baseNextRowId =
+      if (!lineageOn) localNextRowId
+      else refs.values.foldLeft(localNextRowId) { case (m, (_, sid)) =>
+        math.max(m, nextRowIdOf(sid))
+      }
     val (firstRowIds: Map[String, Long], nextRowId: Long) =
       if (!lineageOn)
         (refFirst.filter { case (f, _) => lineageFiles(f) }, baseNextRowId)
@@ -1252,6 +1264,26 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       s"no live snapshot committed at or before epoch-millis $millis " +
         "(expired or pre-timestamp history cannot time-travel by " +
         "wall clock)")
+  }
+
+  /** The row-id counter (`nextrowid`) of snapshot `id` — 0 when the
+    * manifest is gone (an expired ref target contributes nothing to
+    * the table-wide allocator) or predates lineage. Cache-first: the
+    * counter sits inline in the snapshot body (never in shards), so a
+    * miss costs one manifest read WITHOUT shard fan-out, then the
+    * immutable value serves every later commit from memory. */
+  private def nextRowIdOf(id: Long): Long = {
+    if (id <= 0) return 0L
+    val cache = GraftTable.nextRowIdCache(root.toString)
+    Option(cache.get(id)).map(_.longValue).getOrElse {
+      val v =
+        if (!fs.exists(snapPath(id))) 0L
+        else readKvLines(snapPath(id))
+          .collectFirst { case ("nextrowid", s) => s.toLong }
+          .getOrElse(0L)
+      cache.put(id, v)
+      v
+    }
   }
 
   /** The (parent, ts, op) header of snapshot `id`, None if its
@@ -1746,14 +1778,36 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val added = to.files.filterNot(fromSet)
     val removed = fromFiles.filterNot(toSet)
     val cols = to.schema.fieldNames.toSeq
-    fromOpt.foreach(f => require(f.schema == to.schema,
-      "lineage changelog across a schema change: split the range"))
+    // Null-backfilled ADD COLUMN is handled IN-RANGE (the from side
+    // projects up to the to schema with null fills — exactly the
+    // value those rows read as at `to`): a checkpointed lineage
+    // stream would otherwise wedge PERMANENTLY at the ADD COLUMN
+    // commit, since the straddling (from, to] batch refuses on every
+    // retry and endpoint snapshots are immutable. Every other shape
+    // (drop/rename/type change, incl. nested adds — those change a
+    // top-level struct TYPE) still refuses: there is no sound
+    // up-projection for them.
+    fromOpt.foreach { f =>
+      val compatible = f.schema.fields.forall(ff =>
+        to.schema.fields.exists(tf =>
+          tf.name == ff.name && tf.dataType == ff.dataType)) &&
+        to.schema.fields.filterNot(tf =>
+          f.schema.fieldNames.contains(tf.name)).forall(_.nullable)
+      require(compatible,
+        "lineage changelog across a schema change (other than " +
+          "null-backfilled ADD COLUMN): split the range")
+    }
     val from = fromOpt.getOrElse(to)
-    def tagged(df: DataFrame, tag: String) =
-      df.select(
+    def tagged(df: DataFrame, tag: String) = {
+      val have = df.columns.toSet
+      val filled = to.schema.fields.filterNot(f => have(f.name))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      filled.select(
         (cols.map(c => col(c).as(s"$tag$c")) ++ Seq(
           col(GraftTable.RowIdColName).as(s"${tag}_rid"),
           col(GraftTable.LastSeqColName).as(s"${tag}_seq"))): _*)
+    }
     def side(snap: Snapshot, files: Seq[String], tag: String) =
       tagged(lineageSource(snap, files), tag)
     // DV pointer moves on carried files: bits set at `to` but not
@@ -2758,6 +2812,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * rewriting"). */
   private def cowSource(snap: Snapshot, files: Seq[String]): DataFrame =
     if (!lineageEnabled) readFilesMapped(snap, files)
+    // first post-enable commit: no file has a first-row-id range yet,
+    // so there are no ids to preserve — rewrite from the plain read
+    // and let THIS commit's manifest assign ranges to the new files
+    // (mirrors compact()'s lineageServable fallback; without it a COW
+    // UPDATE/DELETE/MERGE as the very first post-enable commit would
+    // refuse on lineageSource's completeness require, and only an
+    // append or compact() could unwedge the table)
+    else if (!files.forall(snap.firstRowIds.contains))
+      readFilesMapped(snap, files)
     else lineageSource(snap, files)
 
   /** Atomic table REPLACE (Iceberg RTAS / `CREATE OR REPLACE TABLE …
@@ -4643,6 +4706,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       // snapshot's sidecar is dead weight; reap it with the manifest
       fs.delete(statsPath(snap.id), false)
       cache.remove(snap.id)
+      GraftTable.nextRowIdCache(root.toString).remove(snap.id)
     }
   }
 
@@ -5362,6 +5426,16 @@ object GraftTable {
       root: String): java.util.concurrent.ConcurrentHashMap[Long, SnapHeader] =
     headerCaches.computeIfAbsent(root,
       _ => new java.util.concurrent.ConcurrentHashMap[Long, SnapHeader]())
+
+  /** Per-root cache of each snapshot's immutable `nextrowid` counter
+    * — backs the table-wide row-id allocator ([[nextRowIdOf]]).
+    * Evicted alongside [[headerCache]] on snapshot expiry. */
+  private val nextRowIdCaches = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]]()
+  private[lakehouse] def nextRowIdCache(root: String)
+      : java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long] =
+    nextRowIdCaches.computeIfAbsent(root,
+      _ => new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]())
 
   /** Manifest-open counter (full parses + header prefix reads) —
     * lets specs assert the I/O shape of metadata walks. */

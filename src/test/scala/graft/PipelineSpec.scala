@@ -114,6 +114,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.forall { case (_, k, r) => k + r > 0 || k == 0 })
   }
 
+  test("substring strip: canonical ranges protected under overlap, " +
+      "case-insensitive matching, original-case rewrite") {
+    import graft.dedup.Dedup
+    val w = 8
+    val ps = (1 to 7).map(i => s"p$i").mkString(" ") // 7 tokens
+    val xs = (1 to 8).map(i => s"x$i").mkString(" ") // 8 tokens = X
+    val mixed = "Mixed CASE untouched doc " +
+      (1 to 10).map(i => s"Z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$ps x1 u1 u2 u3 u4 u5 u6 u7 u8"), // Y canonical at (1,0)
+      (2L, s"$ps $xs"),            // Y dup at (2,0); X canonical (2,7)
+      (3L, s"$xs v1 v2 v3"),       // X dup at (3,0)
+      (4L, mixed),                 // unique, mixed case
+      (5L, (1 to w).map(i => s"CC$i").mkString(" ") + " tail5a tail5b"),
+      (6L, (1 to w).map(i => s"cc$i").mkString(" ") + " tail6a tail6b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringStrip(docs, w).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // Y's non-canonical occurrence in doc 2 covers token 7 (= x1),
+    // which is ALSO inside X's canonical range [7,14]: protection
+    // keeps x1, so X survives intact exactly once corpus-wide
+    assert(out(2L) == ((xs, 8L, 7L)))
+    assert(out(1L)._3 == 0L) // Y's canonical side untouched
+    assert(out(3L) == (("v1 v2 v3", 3L, 8L))) // X's dup strips
+    // untouched document round-trips byte-identical (original case)
+    assert(out(4L) == ((mixed, 14L, 0L)))
+    // case-insensitive matching: CC≡cc windows are dups; the
+    // canonical (doc 5) keeps its ORIGINAL uppercase bytes, doc 6's
+    // copy strips
+    assert(out(5L)._1.startsWith("CC1 CC2") && out(5L)._3 == 0L)
+    assert(out(6L) == (("tail6a tail6b", 2L, 8L)))
+  }
+
   test("BPE: classic training order, exact greedy encode, tie-break, " +
       "astral-plane roundtrip") {
     import graft.text.TextAnalysis
