@@ -355,28 +355,50 @@ object LakeQueries {
       .orderBy("col_name")
   }
 
-  /** remove_orphan_files ([[GraftTable.removeOrphanFiles]]): a crashed
-    * writer's data files — written, never referenced because the
-    * manifest publish lost the CAS — are reaped; every referenced
-    * file (both live commits) survives, hidden write-protocol files
-    * are never touched, and a re-run is a no-op. Output = the intact
-    * table, end-state-oracled. */
+  /** remove_orphan_files ([[GraftTable.removeOrphanFiles]]), driven
+    * through its operator-facing SQL (`VACUUM t ORPHANS [OLDER THAN
+    * INTERVAL …]` — Iceberg's remove_orphan_files procedure, the
+    * orphan half of Delta's VACUUM): a crashed writer's data files —
+    * written, never referenced because the manifest publish lost the
+    * CAS — are reaped; the 3-day default cutoff protects them while
+    * "in flight" (require()d: the fresh orphans survive a plain
+    * `VACUUM … ORPHANS`), an explicit interval reaps once they age
+    * past it (mtimes aged via the filesystem, so the SQL path's
+    * deletion is deterministic); every referenced file survives,
+    * hidden write-protocol files are never touched, and a re-run is
+    * a no-op. Output = the intact table, end-state-oracled. */
   private val orphanQ: Q = (s, dir) => {
     val orders = Tables.orders(s, dir)
     val root = tmp("lake_orph")
     val t = GraftTable.create(s, root,
       orders.filter(col("o_orderkey") % 2 === 0))
     t.append(orders.filter(col("o_orderkey") % 2 === 1))
+    LakeRegistry.unregister("lake_orph_t")
+    LakeRegistry.register("lake_orph_t", t)
     // the crashed writer: data landed under a commit dir whose
     // manifest never published
     orders.limit(64).write
       .parquet(s"$root/data/commit-99999-deadbeef")
-    val future = System.currentTimeMillis() + 3600 * 1000
-    val removed = t.removeOrphanFiles(olderThanMillis = future)
-    require(removed.nonEmpty &&
-      removed.forall(_.contains("commit-99999-deadbeef")),
-      s"cleanup must reap exactly the crashed commit's files: $removed")
-    require(t.removeOrphanFiles(olderThanMillis = future).isEmpty,
+    val crashed = new org.apache.hadoop.fs.Path(
+      s"$root/data/commit-99999-deadbeef")
+    val fs = crashed.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def crashedParquet() = fs.listStatus(crashed)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    // seconds-old orphans are "in flight": the default cutoff keeps
+    // them even though no manifest references them
+    s.sql("VACUUM lake_orph_t ORPHANS")
+    require(crashedParquet().nonEmpty,
+      "the 3-day guard must keep fresh unreferenced files")
+    // age the crash 4 days; an explicit 72h interval then reaps it
+    fs.listStatus(crashed).foreach(st => fs.setTimes(st.getPath,
+      System.currentTimeMillis() - 4L * 24 * 3600 * 1000, -1))
+    s.sql("VACUUM lake_orph_t ORPHANS OLDER THAN INTERVAL 72 HOURS")
+    require(crashedParquet().isEmpty,
+      "the aged crashed commit's files must be reaped via SQL")
+    // idempotent — and the API agrees nothing is left to reap
+    s.sql("VACUUM lake_orph_t ORPHANS OLDER THAN INTERVAL 72 HOURS")
+    require(t.removeOrphanFiles(
+      olderThanMillis = System.currentTimeMillis() + 3600000L).isEmpty,
       "orphan cleanup must be idempotent")
     t.read().orderBy("o_orderkey")
   }
@@ -1690,6 +1712,40 @@ object LakeQueries {
     t.readWhere(datePred).orderBy("o_orderkey")
   }
 
+  /** `hour(ts)` hidden partitioning (Iceberg's `hours()` — the
+    * granularity streaming-ingest tables actually land at), driven
+    * through the SQL DDL surface (`PARTITIONED BY (hours(ts))`): two
+    * days of events land in per-hour directories, a 6-hour raw-column
+    * window prunes to a require()d STRICT file subset on the manifest
+    * alone, and pruning is require()d lossless against the source.
+    * The zero-padded `yyyy-MM-dd-HH` rendering keeps lexicographic =
+    * chronological, so range predicates prune with string compares —
+    * same law as year/month/day. */
+  private val hourPartition: Q = (s, dir) => {
+    val events = Tables.events(s, dir)
+      .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+    LakeRegistry.unregister("lake_hr_t")
+    events.createOrReplaceTempView("lake_hr_src")
+    s.sql(
+      s"""CREATE TABLE lake_hr_t (
+         |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+         |  event_type STRING, value DOUBLE, props STRING)
+         |USING graft PARTITIONED BY (hours(ts))
+         |LOCATION '${tmp("lake_hr")}'""".stripMargin)
+    s.sql("INSERT INTO lake_hr_t SELECT * FROM lake_hr_src")
+    val t = LakeRegistry.get("lake_hr_t").get
+    val snap = t.currentSnapshot
+    val pred = "ts >= TIMESTAMP '2024-01-01 06:00:00' AND " +
+      "ts < TIMESTAMP '2024-01-01 12:00:00'"
+    val pruned = t.prunePartitions(snap, pred)
+    require(pruned.nonEmpty && pruned.size < snap.files.size,
+      s"hour transform must prune (${pruned.size}/${snap.files.size})")
+    require(t.readWhere(pred).count() ==
+      events.filter(expr(pred)).count(),
+      "hour pruning must not lose rows")
+    t.readWhere(pred).orderBy("event_id")
+  }
+
   /** Branches and tags (Iceberg refs): the initial load is tagged
     * `v1` (immutable bookmark); an `ingest` branch takes two appends
     * that `main` readers never see (require()d); fast-forward then
@@ -1887,6 +1943,53 @@ object LakeQueries {
         |       h.c_acctbal
         |FROM lake_ddl_t t JOIN lake_ddl_hi h ON t.c_custkey = h.c_custkey
         |ORDER BY t.c_custkey""".stripMargin)
+  }
+
+  /** The reference's workflow is DATABASE-QUALIFIED end to end
+    * (`lf_datalake_db.patients` at creation,
+    * producer_iceberg_datalake_setup.sh:118-150; the consumer queries
+    * `db.rl_patients`, consumer_emr_on_eks_setup.sh:407-412) — this
+    * drives that exact shape through the SQL front-end: CREATE TABLE
+    * db.t, INSERT, UPDATE, CTAS a second db-qualified table, MERGE
+    * db.t USING db.s, DELETE with a fully-qualified `db.t.c` column
+    * reference, OPTIMIZE + VACUUM maintenance, then a db-qualified
+    * read back. Namespaces are registry keys (dotted lowercase) and
+    * directory levels on the warehouse — metadata-only, zero extra
+    * cost at any scale. */
+  private val namespaceDdl: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("lake_ns_src")
+    LakeRegistry.unregister("lake_ns_db.patients")
+    LakeRegistry.unregister("lake_ns_db.claims")
+    s.sql(
+      s"""CREATE TABLE lake_ns_db.patients (
+         |  c_custkey BIGINT, c_name STRING, c_nationkey INT,
+         |  c_acctbal DOUBLE, c_mktsegment STRING)
+         |USING graft PARTITIONED BY (c_mktsegment)
+         |LOCATION '${tmp("lake_ns_p")}'""".stripMargin)
+    s.sql("INSERT INTO lake_ns_db.patients SELECT * FROM lake_ns_src")
+    s.sql(
+      """UPDATE lake_ns_db.patients
+        |SET c_acctbal = c_acctbal + 100.0
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    s.sql(
+      s"""CREATE TABLE lake_ns_db.claims USING graft
+         |LOCATION '${tmp("lake_ns_c")}'
+         |AS SELECT c_custkey, c_acctbal FROM lake_ns_db.patients
+         |WHERE c_acctbal > 5000""".stripMargin)
+    s.sql(
+      """MERGE INTO lake_ns_db.patients p
+        |USING lake_ns_db.claims c ON p.c_custkey = c.c_custkey
+        |WHEN MATCHED THEN UPDATE SET c_mktsegment = 'RICH'""".stripMargin)
+    // fully-qualified column reference strips like an alias
+    s.sql(
+      """DELETE FROM lake_ns_db.patients
+        |WHERE lake_ns_db.patients.c_acctbal < 0""".stripMargin)
+    s.sql("OPTIMIZE lake_ns_db.patients")
+    s.sql("VACUUM lake_ns_db.patients RETAIN 5 SNAPSHOTS")
+    s.sql(
+      """SELECT p.c_custkey, p.c_name, p.c_mktsegment, p.c_acctbal
+        |FROM lake_ns_db.patients p
+        |ORDER BY p.c_custkey""".stripMargin)
   }
 
   /** Snapshot-history metadata surface (Iceberg's `table.snapshots` /
@@ -2178,6 +2281,7 @@ object LakeQueries {
     "lake_concurrent"       -> concurrent,
     "lake_wap"              -> wap,
     "lake_sql_ddl"          -> sqlDdl,
+    "lake_namespace_ddl"    -> namespaceDdl,
     "lake_history"          -> history,
     "lake_merge"            -> merge,
     "lake_merge_clauses"    -> mergeClauses,
@@ -2207,6 +2311,7 @@ object LakeQueries {
     "lake_zorder"           -> zorder,
     "lake_branch"           -> branch,
     "lake_hidden_partition" -> hiddenPartition,
+    "lake_hour_partition"   -> hourPartition,
     "lake_partition_evolution" -> partitionEvolution,
     "lake_alter"            -> alter,
     "lake_mor_delete"       -> morDelete,
@@ -2316,6 +2421,24 @@ object LakeQueries {
         |       h.c_acctbal
         |FROM customer c JOIN hi h ON c.c_custkey = h.c_custkey
         |ORDER BY c.c_custkey""".stripMargin,
+    // Replays the namespace-qualified DML sequence relationally:
+    // UPDATE bump, MERGE re-segment against the >5000 CTAS, DELETE
+    // negatives. OPTIMIZE/VACUUM are data-invariant.
+    "lake_namespace_ddl" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_mktsegment = 'BUILDING'
+        |         THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer),
+        |merged AS (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    CASE WHEN c_acctbal > 5000 THEN 'RICH'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM upd)
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM merged WHERE c_acctbal >= 0
+        |ORDER BY c_custkey""".stripMargin,
     "lake_merge" ->
       """WITH base AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
         |src AS (SELECT c_custkey, c_name, c_nationkey,
@@ -2642,6 +2765,12 @@ object LakeQueries {
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
         |ORDER BY o_orderkey""".stripMargin,
+    "lake_hour_partition" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 06:00:00'
+        |  AND ts < TIMESTAMP '2024-01-01 12:00:00'
+        |ORDER BY event_id""".stripMargin,
     "lake_partition_evolution" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1999-01-01'

@@ -31,12 +31,23 @@ object LakeRegistry {
     new java.util.concurrent.ConcurrentHashMap[String, GraftTable]()
 
   /** Make `table` addressable from SQL DML as `name` (session-global,
-    * like a temp view; the local-mode analog of a catalog entry). */
+    * like a temp view; the local-mode analog of a catalog entry).
+    * Names may be namespace-qualified (`db.t`) — the registry key is
+    * the dotted lowercase form, the same canonicalization
+    * [[graft.fgac.SecureCatalog.isVisibleName]] uses, so governed
+    * and lake resolution agree on what a name IS. */
   def register(name: String, table: GraftTable): Unit =
     tables.put(name.toLowerCase, table)
   def get(name: String): Option[GraftTable] =
     Option(tables.get(name.toLowerCase))
   def unregister(name: String): Unit = tables.remove(name.toLowerCase)
+
+  /** Canonical registry key of a multi-part SQL identifier:
+    * `Seq("Db","T")` → `"db.t"`. One or two parts — the engine models
+    * a single catalog, so `cat.db.t` is out of scope and refuses at
+    * the claim sites. */
+  def nameOf(parts: Seq[String]): String =
+    parts.map(_.toLowerCase).mkString(".")
 }
 
 case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -55,8 +66,13 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     plan match {
       case SubqueryAlias(ident, u: UnresolvedRelation) =>
         target(u).map { case (t, as, n) => (t, as + ident.name.toLowerCase, n) }
-      case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
-        val name = u.multipartIdentifier.head.toLowerCase
+      case u: UnresolvedRelation if u.multipartIdentifier.size <= 2 =>
+        // db-qualified targets claim under their dotted registry key
+        // (the reference's whole workflow is `db.t`-addressed:
+        // producer_iceberg_datalake_setup.sh:118-150). Both the full
+        // dotted name and the bare table part serve as SQL aliases,
+        // so `WHERE t.c = …` and `WHERE db.t.c = …` both strip.
+        val name = LakeRegistry.nameOf(u.multipartIdentifier)
         // DML addressed to a view must refuse crisply, not fall into
         // relation resolution and fail as an unwritable subquery
         if (ViewRegistry.get(name).isDefined)
@@ -64,7 +80,7 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"'$name' is a view; views are read-only")
         LakeRegistry.get(name).map { t =>
           val routed = if (wapBranch.isEmpty) t else t.onBranch(wapBranch)
-          (routed, Set(name), name)
+          (routed, Set(name, u.multipartIdentifier.last.toLowerCase), name)
         }
       case _ => None
     }
@@ -100,10 +116,11 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // <literal> — Iceberg-style SQL time travel.
       case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
           u: UnresolvedRelation, ts, version)
-          if u.multipartIdentifier.size == 1 &&
+          if u.multipartIdentifier.size <= 2 &&
             !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
-            LakeRegistry.get(u.multipartIdentifier.head).isDefined =>
-        val name = u.multipartIdentifier.head.toLowerCase
+            LakeRegistry.get(
+              LakeRegistry.nameOf(u.multipartIdentifier)).isDefined =>
+        val name = LakeRegistry.nameOf(u.multipartIdentifier)
         val t = LakeRegistry.get(name).get
         val df = (version, ts) match {
           case (Some(v), _) =>
@@ -115,19 +132,23 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => throw new UnsupportedOperationException(
             s"time travel on $name needs VERSION AS OF or TIMESTAMP AS OF")
         }
-        SubqueryAlias(name, df.queryExecution.analyzed)
+        // multi-part alias: `t.c` AND `db.t.c` qualifiers both resolve
+        SubqueryAlias(u.multipartIdentifier.map(_.toLowerCase),
+          df.queryExecution.analyzed)
 
-      case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
+      case u: UnresolvedRelation if u.multipartIdentifier.size <= 2 &&
           !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
-          LakeRegistry.get(u.multipartIdentifier.head).isDefined =>
-        val name = u.multipartIdentifier.head.toLowerCase
+          LakeRegistry.get(
+            LakeRegistry.nameOf(u.multipartIdentifier)).isDefined =>
+        val name = LakeRegistry.nameOf(u.multipartIdentifier)
         val t0 = LakeRegistry.get(name).get
         // under graft.wap.branch, same-session reads see the branch
         // head (Iceberg's spark.wap.branch read semantics) — with the
         // read fallback to main when the branch does not exist
         val b = wapBranch
         val t = if (b.nonEmpty && t0.hasBranch(b)) t0.onBranch(b) else t0
-        SubqueryAlias(name, t.read().queryExecution.analyzed)
+        SubqueryAlias(u.multipartIdentifier.map(_.toLowerCase),
+          t.read().queryExecution.analyzed)
     }
 
   /** Epoch millis of a `TIMESTAMP AS OF` literal: TIMESTAMP literals
@@ -178,9 +199,11 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case SubqueryAlias(ident, child) =>
             (m.sourceTable, Set(ident.name.toLowerCase))
           // unaliased `USING src_tbl`: SQL addresses source columns as
-          // `src_tbl.c`, so the table name itself is the alias
+          // `src_tbl.c` (or `db.src_tbl.c` when qualified), so the
+          // table name itself — bare and dotted — is the alias
           case u: UnresolvedRelation =>
-            (u: LogicalPlan, Set(u.multipartIdentifier.last.toLowerCase))
+            (u: LogicalPlan, Set(u.multipartIdentifier.last.toLowerCase,
+              LakeRegistry.nameOf(u.multipartIdentifier)))
           case other => (other, Set.empty[String])
         }
         val keys = equiKeys(m.mergeCondition, name, targetAliases, srcAliases)
@@ -251,25 +274,32 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * would silently bind a same-named top-level column instead of
     * the struct field (the path either resolves as a (possibly
     * nested) column downstream, or fails loudly there). */
+  /** Leading-alias prefix length of an attribute path, 0 when none:
+    * `t.c` → 1 when "t" is an alias; `db.t.c` → 2 when "db.t" is (the
+    * namespace-qualified target's dotted alias). Two-part prefixes
+    * are tried FIRST so `db.t.c` strips the whole qualifier rather
+    * than leaving `t.c` behind via a one-part "db" miss. */
+  private def aliasPrefix(parts: Seq[String], aliases: Set[String]): Int =
+    if (parts.size >= 3 &&
+        aliases.contains(parts.take(2).map(_.toLowerCase).mkString(".")))
+      2
+    else if (parts.size >= 2 && aliases.contains(parts.head.toLowerCase)) 1
+    else 0
+
   private def attrName(e: Expression, aliases: Set[String]): String =
     e match {
       case a: UnresolvedAttribute =>
-        val parts =
-          if (a.nameParts.size >= 2 &&
-              aliases.contains(a.nameParts.head.toLowerCase))
-            a.nameParts.tail
-          else a.nameParts
-        parts.mkString(".")
+        a.nameParts.drop(aliasPrefix(a.nameParts, aliases)).mkString(".")
       case a: Attribute => a.name
       case other => throw new UnsupportedOperationException(
         s"assignment target $other")
     }
 
-  /** Strip target-alias qualifiers: `t.c` → `c`. */
+  /** Strip target-alias qualifiers: `t.c` / `db.t.c` → `c`. */
   private def unqualified(e: Expression, aliases: Set[String]): Expression =
     e.transformUp {
-      case a: UnresolvedAttribute if a.nameParts.size == 2 &&
-          aliases.contains(a.nameParts.head.toLowerCase) =>
+      case a: UnresolvedAttribute
+          if aliasPrefix(a.nameParts, aliases) == a.nameParts.size - 1 =>
         UnresolvedAttribute(Seq(a.nameParts.last))
     }
 
@@ -280,13 +310,13 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def flatten(e: Expression, targetAliases: Set[String],
       srcAliases: Set[String]): Expression =
     e.transformUp {
-      case a: UnresolvedAttribute if a.nameParts.size == 2 =>
-        val q = a.nameParts.head.toLowerCase
-        if (srcAliases.contains(q))
+      case a: UnresolvedAttribute if a.nameParts.size >= 2 &&
+          (aliasPrefix(a.nameParts, srcAliases) == a.nameParts.size - 1 ||
+            aliasPrefix(a.nameParts, targetAliases) == a.nameParts.size - 1) =>
+        if (aliasPrefix(a.nameParts, srcAliases) == a.nameParts.size - 1)
           UnresolvedAttribute(Seq(GraftTable.SrcPrefix + a.nameParts.last))
-        else if (targetAliases.contains(q))
+        else
           UnresolvedAttribute(Seq(a.nameParts.last))
-        else a
     }
 
   /** Extract equi-join key columns from the ON condition: a
@@ -415,10 +445,10 @@ object LakeDdl {
       // are graft views ([[ViewRegistry]]); TEMPORARY views parse to
       // a different node and keep Spark's session-catalog behavior.
       case cv: CreateView if cv.child.isInstanceOf[UnresolvedIdentifier] &&
-          cv.child.asInstanceOf[UnresolvedIdentifier].nameParts.size == 1 &&
+          cv.child.asInstanceOf[UnresolvedIdentifier].nameParts.size <= 2 &&
           cv.originalText.isDefined =>
-        val name = cv.child.asInstanceOf[UnresolvedIdentifier]
-          .nameParts.head.toLowerCase
+        val name = LakeRegistry.nameOf(
+          cv.child.asInstanceOf[UnresolvedIdentifier].nameParts)
         Some(GraftCreateViewCommand(name, cv.originalText.get,
           cv.userSpecifiedColumns.map(_._1), cv.comment,
           cv.properties, cv.replace, cv.allowExisting))
@@ -469,17 +499,18 @@ object LakeDdl {
       case rta: ReplaceTableAsSelect
           if rta.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) =>
         val name = rta.name match {
-          case id: UnresolvedIdentifier if id.nameParts.size == 1 =>
-            id.nameParts.head.toLowerCase
+          case id: UnresolvedIdentifier if id.nameParts.size <= 2 =>
+            LakeRegistry.nameOf(id.nameParts)
           case other => throw new UnsupportedOperationException(
-            s"REPLACE TABLE USING graft requires a single-part name, got $other")
+            "REPLACE TABLE USING graft requires a one- or two-part " +
+              s"name, got $other")
         }
         // identName's governed-name refusal is about CREATE shadowing;
         // REPLACE of an EXISTING registered table is a write and defers
         // to authorizeWrite at run time — but a governed name with no
         // lake table behind it still may not be created/shadowed here
         require(LakeRegistry.get(name).isDefined ||
-            !graft.fgac.SecureCatalog.isVisibleName(Seq(name)),
+            !graft.fgac.SecureCatalog.isVisibleName(name.split('.').toSeq),
           s"REPLACE TABLE: '$name' is a governed name with no lake " +
             "table behind it; create governed tables through " +
             "SecureCatalog, not SQL DDL")
@@ -488,9 +519,9 @@ object LakeDdl {
           rta.orCreate, tableProps(rta.tableSpec)))
 
       case DropTable(id: UnresolvedIdentifier, _, purge)
-          if id.nameParts.size == 1 &&
-            claimDrop(spark, id.nameParts.head.toLowerCase) =>
-        Some(GraftDropTableCommand(id.nameParts.head.toLowerCase, purge))
+          if id.nameParts.size <= 2 &&
+            claimDrop(spark, LakeRegistry.nameOf(id.nameParts)) =>
+        Some(GraftDropTableCommand(LakeRegistry.nameOf(id.nameParts), purge))
 
       // ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN —
       // schema evolution as SQL (Iceberg's ALTER TABLE surface).
@@ -569,14 +600,15 @@ object LakeDdl {
       case _ => None
     }
 
-  /** Claim an ALTER target: a single-part name that is registered (or
-    * probes as an on-disk managed table, mirroring [[claimDrop]]). */
+  /** Claim an ALTER target: a one- or two-part name that is
+    * registered (or probes as an on-disk managed table, mirroring
+    * [[claimDrop]]). */
   private def claimAlter(spark: SparkSession,
       table: LogicalPlan): Option[String] = table match {
     case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-        if ut.multipartIdentifier.size == 1 &&
-          claimDrop(spark, ut.multipartIdentifier.head.toLowerCase) =>
-      Some(ut.multipartIdentifier.head.toLowerCase)
+        if ut.multipartIdentifier.size <= 2 &&
+          claimDrop(spark, LakeRegistry.nameOf(ut.multipartIdentifier)) =>
+      Some(LakeRegistry.nameOf(ut.multipartIdentifier))
     case _ => None
   }
 
@@ -587,23 +619,31 @@ object LakeDdl {
     * catalog and errors with table-not-found (round-3 ADVICE). */
   private[lakehouse] def claimDrop(spark: SparkSession, name: String): Boolean =
     LakeRegistry.get(name).isDefined || {
-      val root = spark.conf.get("spark.sql.warehouse.dir")
-        .stripSuffix("/") + s"/graft/$name"
-      val onDisk = GraftTable.load(spark, root)
+      val onDisk = GraftTable.load(spark, managedRoot(spark, name))
       onDisk.currentSnapshotId > 0 &&
         { LakeRegistry.register(name, onDisk); true }
     }
 
-  /** Single-part table name from a DDL identifier plan. */
+  /** Managed storage root of `name` under the session warehouse dir —
+    * a namespace qualifier becomes a directory level (`db.t` →
+    * `warehouse/graft/db/t`), so namespaces lay out exactly like
+    * catalog databases do on a real warehouse. */
+  private[lakehouse] def managedRoot(spark: SparkSession,
+      name: String): String =
+    spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/graft/${name.replace('.', '/')}"
+
+  /** One- or two-part table name from a DDL identifier plan. */
   private def identName(name: LogicalPlan, stmt: String): String = name match {
-    case id: UnresolvedIdentifier if id.nameParts.size == 1 =>
-      val n = id.nameParts.head.toLowerCase
-      require(!graft.fgac.SecureCatalog.isVisibleName(Seq(n)),
+    case id: UnresolvedIdentifier if id.nameParts.size <= 2 =>
+      val n = LakeRegistry.nameOf(id.nameParts)
+      require(!graft.fgac.SecureCatalog.isVisibleName(id.nameParts),
         s"$stmt: '$n' is a governed name; create governed tables " +
           "through SecureCatalog, not SQL DDL")
       n
     case other => throw new UnsupportedOperationException(
-      s"$stmt USING graft requires a single-part table name, got $other")
+      s"$stmt USING graft requires a one- or two-part table name, " +
+        s"got $other")
   }
 
   /** Partition spec from `PARTITIONED BY (…)`: identity columns plus
@@ -627,11 +667,13 @@ object LakeDdl {
         case "years"  | "year"   => s"year($ref)"
         case "months" | "month"  => s"month($ref)"
         case "days"   | "day"    => s"day($ref)"
+        case "hours"  | "hour"   => s"hour($ref)"
         case "bucket"            => s"bucket[$param]($ref)"
         case "truncate"          => s"truncate[$param]($ref)"
         case other => throw new UnsupportedOperationException(
           s"unsupported partition transform $other (supported: identity, " +
-            "years, months, days, bucket(n, col), truncate(w, col))")
+            "years, months, days, hours, bucket(n, col), " +
+            "truncate(w, col))")
       }
     }
 
@@ -639,9 +681,7 @@ object LakeDdl {
     * warehouse dir (pid-isolated in this repo's entry points). */
   private def location(spark: SparkSession, spec: TableSpecBase,
       name: String): String =
-    spec.location.getOrElse(
-      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        s"/graft/$name")
+    spec.location.getOrElse(managedRoot(spark, name))
 
   /** TBLPROPERTIES, validated: only properties the engine actually
     * honors are accepted — silently persisting an unknown knob would
@@ -705,49 +745,59 @@ object LakeDdl {
 object LakeMaintenance {
   // Iceberg's branch/tag DDL (ALTER TABLE … CREATE BRANCH/TAG,
   // SPARK-unparseable so the regex claim is the only route in)
+  // table names in every maintenance statement accept an optional
+  // namespace qualifier (`db.t`) — the registry key is the dotted
+  // lowercase form, same as the DDL/DML paths
+  private val T = """(\w+(?:\.\w+)?)"""
   private val RefCreate =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
   private val RefDrop =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*""").r
   // Iceberg's `ALTER TABLE … WRITE ORDERED BY (…)` / `WRITE UNORDERED`
   private val WriteOrdered =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+WRITE\s+ORDERED\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+WRITE\s+ORDERED\s+BY\s*\(([^)]*)\)\s*;?\s*""").r
   private val WriteUnordered =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+WRITE\s+UNORDERED\s*;?\s*""").r
   private val RewriteDeletes =
-    """(?is)\s*OPTIMIZE\s+(\w+)\s+REWRITE\s+DELETES\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+""" + T + """\s+REWRITE\s+DELETES\s*;?\s*""").r
   private val RewriteManifests =
-    """(?is)\s*OPTIMIZE\s+(\w+)\s+REWRITE\s+MANIFESTS\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+""" + T + """\s+REWRITE\s+MANIFESTS\s*;?\s*""").r
   private val Binpack =
-    """(?is)\s*OPTIMIZE\s+(\w+)\s+BINPACK\s+(\d+)\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+""" + T + """\s+BINPACK\s+(\d+)\s*;?\s*""").r
   // Delta's `OPTIMIZE t WHERE <pred>` / Iceberg's filtered
   // rewrite_data_files: compact only the predicate's pruned files
   private val OptimizeWhere =
-    """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?\s+WHERE\s+(.+?)\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+""" + T + """(?:\s+FILES\s+(\d+))?\s+WHERE\s+(.+?)\s*;?\s*""").r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?(?:\s+(SORT|ZORDER)\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+""" + T + """(?:\s+FILES\s+(\d+))?(?:\s+(SORT|ZORDER)\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+SNAPSHOTS\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+""" + T + """\s+RETAIN\s+(\d+)\s+SNAPSHOTS\s*;?\s*""").r
   // age-based retention (Iceberg expire_snapshots(older_than => ts)):
   // production policy is wall-clock age, not snapshot counts
   private val VacuumAge =
-    """(?is)\s*VACUUM\s+(\w+)\s+OLDER\s+THAN\s+INTERVAL\s+(\d+)\s+(HOURS?|DAYS?|MINUTES?)\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+""" + T + """\s+OLDER\s+THAN\s+INTERVAL\s+(\d+)\s+(HOURS?|DAYS?|MINUTES?)\s*;?\s*""").r
+  // orphan-file removal as operator-facing SQL (Iceberg's
+  // remove_orphan_files procedure / the orphan half of Delta's
+  // VACUUM); the optional interval overrides the 3-day in-flight
+  // writer guard, never disables it below the explicit value
+  private val VacuumOrphans =
+    ("""(?is)\s*VACUUM\s+""" + T + """\s+ORPHANS(?:\s+OLDER\s+THAN\s+INTERVAL\s+(\d+)\s+(HOURS?|DAYS?|MINUTES?))?\s*;?\s*""").r
   // Delta's zero-copy fork: CREATE TABLE c SHALLOW CLONE t
   private val ShallowClone =
-    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)\s*;?\s*""".r
+    ("""(?is)\s*CREATE\s+TABLE\s+""" + T + """\s+SHALLOW\s+CLONE\s+""" + T + """\s*;?\s*""").r
   // Delta's RESTORE / Iceberg's rollback_to_snapshot procedure: move
   // the head back to a snapshot id or a tag/branch ref — metadata
   // only, history preserved (the restore is itself a new commit)
   private val Restore =
-    """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*;?\s*""".r
+    ("""(?is)\s*RESTORE\s+TABLE\s+""" + T + """\s+TO\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*;?\s*""").r
   // Iceberg's fast_forward procedure: publish a branch by moving
   // `target` to `source`'s head (ancestry-checked in the table API)
   private val FastForward =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+FAST\s+FORWARD\s+(\w+)\s+(\w+)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+FAST\s+FORWARD\s+(\w+)\s+(\w+)\s*;?\s*""").r
   // Iceberg's cherrypick_snapshot procedure: re-apply one append
   // snapshot's files onto the current head (rollback recovery)
   private val CherryPick =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CHERRYPICK\s+SNAPSHOT\s+(\d+)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+CHERRYPICK\s+SNAPSHOT\s+(\d+)\s*;?\s*""").r
 
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -805,6 +855,19 @@ object LakeMaintenance {
           "SORT BY / ZORDER BY needs a non-empty column list")
         Some(GraftOptimizeCommand(name.toLowerCase, n,
           Option(mode).map(_.toUpperCase).getOrElse(""), colSeq))
+      // ORPHANS before the RETAIN/AGE forms: its regex is the only
+      // one with the ORPHANS keyword, but match order documents the
+      // precedence explicitly
+      case VacuumOrphans(name, n, unit)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        val ageMs = Option(n).map { v =>
+          unit.toUpperCase.charAt(0) match {
+            case 'H' => v.toLong * 3600000L
+            case 'D' => v.toLong * 86400000L
+            case 'M' => v.toLong * 60000L
+          }
+        }
+        Some(GraftVacuumOrphansCommand(name.toLowerCase, ageMs))
       case Vacuum(name, keep)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftVacuumCommand(name.toLowerCase, keep.toInt))
@@ -820,8 +883,7 @@ object LakeMaintenance {
           if LakeDdl.claimDrop(spark, source.toLowerCase) =>
         Some(GraftShallowCloneCommand(target.toLowerCase,
           source.toLowerCase,
-          spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-            s"/graft/${target.toLowerCase}"))
+          LakeDdl.managedRoot(spark, target.toLowerCase)))
       case _ => None
     }
 }
@@ -1078,6 +1140,28 @@ case class GraftVacuumAgeCommand(name: String, ageMs: Long)
   }
 }
 
+/** `VACUUM t ORPHANS [OLDER THAN INTERVAL n …]` —
+  * [[GraftTable.removeOrphanFiles]] as operator-facing SQL (Iceberg
+  * ships this as the `remove_orphan_files` procedure; Delta folds it
+  * into VACUUM). No interval = the API's 3-day default; an explicit
+  * interval moves the cutoff but the in-flight-writer guard semantics
+  * are identical — a file younger than the cutoff is never touched. */
+case class GraftVacuumOrphansCommand(name: String, ageMs: Option[Long])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "VACUUM")
+    val t = LakeRegistry.get(name).get
+    ageMs match {
+      case Some(ms) =>
+        t.removeOrphanFiles(System.currentTimeMillis() - ms)
+      case None => t.removeOrphanFiles()
+    }
+    Seq.empty
+  }
+}
+
 /** SQL surface for the net changelog — the `table_changes` table-
   * valued function, composable anywhere a relation can appear:
   *
@@ -1307,13 +1391,23 @@ case class GraftRtasCommand(name: String, @transient query: LogicalPlan,
         graft.fgac.SecureCatalog.authorizeWrite(
           spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""),
           name, "REPLACE TABLE")
-        t.replaceWith(df, partitionBy)
         // REPLACE semantics cover table metadata: properties reset to
         // exactly the statement's TBLPROPERTIES (none = none — the old
         // write modes / lineage flags do not silently survive a
-        // rebuild). The props file is not snapshot-versioned, so this
-        // lands just after the swap commit, like every setProperties.
+        // rebuild). The props file is not snapshot-versioned, so the
+        // two writes cannot be one atomic publish; ordering decides
+        // which half-state a crash can leave. Props-FIRST is the safe
+        // direction: the swap commit then runs under the NEW props
+        // (row.lineage in the statement assigns ids to the rebuilt
+        // data in the swap itself), and a crash between the two
+        // leaves the OLD data with NEW props — a metadata-only state
+        // that re-running the statement converges, never the old
+        // props silently governing the rebuilt data. A plain failure
+        // (not a crash) restores the old props before rethrowing.
+        val oldProps = t.properties
         t.setProperties(props)
+        try t.replaceWith(df, partitionBy)
+        catch { case e: Throwable => t.setProperties(oldProps); throw e }
       case None =>
         if (!orCreate) throw new IllegalArgumentException(
           s"REPLACE TABLE: '$name' does not exist " +

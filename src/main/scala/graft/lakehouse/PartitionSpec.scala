@@ -101,23 +101,35 @@ object PartField {
       }
   }
 
-  /** year/month/day truncation of a DATE/TIMESTAMP column. */
+  /** year/month/day/hour truncation of a DATE/TIMESTAMP column
+    * (hour refuses DATE columns — a date has no hour, Iceberg's
+    * `hours` carries the same restriction; it is the granularity
+    * streaming-ingest tables actually land at). All four render
+    * zero-padded, so lexicographic order stays chronological and
+    * range predicates prune with string compares. */
   final case class Temporal(unit: String, col: String) extends PartField {
     private val pattern = unit match {
       case "year"  => "yyyy"
       case "month" => "yyyy-MM"
       case "day"   => "yyyy-MM-dd"
+      case "hour"  => "yyyy-MM-dd-HH"
     }
     def render = s"$unit($col)"
     def displayName = s"${unit}_$col"
-    def toColumn(dt: DataType) =
+    def toColumn(dt: DataType) = {
+      require(!(unit == "hour" && dt == DateType),
+        s"hour($col): a DATE column has no hour — partition by " +
+          "day($col) instead (Iceberg's hours() carries the same " +
+          "restriction)")
       date_format(org.apache.spark.sql.functions.col(col), pattern)
+    }
     def monotonic = true
 
     def ofLiteral(value: Any, dt: DataType, colDt: DataType,
         zone: java.time.ZoneId): Option[(String, String)] = {
       val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern)
       dt match {
+        case DateType if unit == "hour" => None // un-placeable: no hour
         case DateType => // days since epoch, zone-free
           Some((java.time.LocalDate.ofEpochDay(
             value.asInstanceOf[Number].longValue).format(fmt), "s"))
@@ -187,7 +199,7 @@ object PartField {
   }
 
   private val WithParam = """^(bucket|truncate)\[(\d+)\]\((\w+)\)$""".r
-  private val Plain     = """^(year|month|day)\((\w+)\)$""".r
+  private val Plain     = """^(year|month|day|hour)\((\w+)\)$""".r
 
   /** Parse one `partcols` manifest entry / `partitionBy` argument. */
   def parse(s: String): PartField = s.trim match {
@@ -197,7 +209,7 @@ object PartField {
     case name =>
       require(!name.contains("(") && name.nonEmpty,
         s"unsupported partition transform '$s' (supported: identity, " +
-          "year(col), month(col), day(col), bucket[n](col), " +
+          "year(col), month(col), day(col), hour(col), bucket[n](col), " +
           "truncate[w](col))")
       Identity(name)
   }

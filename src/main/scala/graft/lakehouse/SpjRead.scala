@@ -140,6 +140,9 @@ object Spj {
         case None => Left(s"bucket column '$c' missing from the schema")
       }
       case (PartField.Temporal(unit, c), i) => colType(c) match {
+        case Some(DateType) if unit == "hour" => Left(
+          s"hour() over a DATE column '$c' is not SPJ-resolvable " +
+            "(a date has no hour)")
         case Some(dt @ (DateType | TimestampType | TimestampNTZType)) =>
           Right(SpjField.TemporalField(unit, c, i, dt))
         case Some(other) => Left(
@@ -375,6 +378,7 @@ private[lakehouse] object SpjField {
       case "year"  => Expressions.years(col)
       case "month" => Expressions.months(col)
       case "day"   => Expressions.days(col)
+      case "hour"  => Expressions.hours(col)
     }
     def parseDir(v: String): Any =
       if (v == NullDir) null
@@ -384,6 +388,13 @@ private[lakehouse] object SpjField {
           val Array(y, m) = v.split('-')
           (y.toInt - 1970) * 12 + (m.toInt - 1)
         case "day" => java.time.LocalDate.parse(v).toEpochDay.toInt
+        case "hour" => // `yyyy-MM-dd-HH` → wall-clock hours since
+          // epoch in the writer's rendering frame (session zone for
+          // TIMESTAMP) — the same naive frame TemporalOrdinal uses,
+          // so dir datum and literal datum always agree
+          val Array(y, m, d, h) = v.split('-')
+          (java.time.LocalDate.of(y.toInt, m.toInt, d.toInt)
+            .toEpochDay * 24L + h.toInt).toInt
       }
     def ofLiteral(value: Any, dt: DataType, zoneId: String): Option[Any] =
       // exact column-type match only: a DATE literal against a
@@ -516,6 +527,10 @@ final class GraftTemporalFunction(unit: String) extends UnboundFunction {
     require(inputType.fields.length == 1,
       s"${unit}s expects (value), got $inputType")
     inputType.fields(0).dataType match {
+      case DateType if unit == "hour" =>
+        throw new UnsupportedOperationException(
+          "hours over a DATE column is not SPJ-resolvable " +
+            "(a date has no hour)")
       case dt @ (DateType | TimestampType | TimestampNTZType) =>
         new GraftTemporalFunction.TemporalOrdinal(unit, dt,
           org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
@@ -529,6 +544,7 @@ object GraftTemporalFunction {
   val Years = new GraftTemporalFunction("year")
   val Months = new GraftTemporalFunction("month")
   val Days = new GraftTemporalFunction("day")
+  val Hours = new GraftTemporalFunction("hour")
 
   private[lakehouse] final class TemporalOrdinal(unit: String,
       inputDt: DataType, zoneId: String) extends ScalarFunction[Integer] {
@@ -538,20 +554,24 @@ object GraftTemporalFunction {
     override def name(): String = unit + "s"
     override def canonicalName(): String = s"graft.${unit}s"
     override def produceResult(input: InternalRow): Integer = {
-      val d: java.time.LocalDate = inputDt match {
+      val ldt: java.time.LocalDateTime = inputDt match {
         case DateType => java.time.LocalDate.ofEpochDay(input.getInt(0))
-        case TimestampType => // instant micros: SESSION-zone local date
+          .atStartOfDay
+        case TimestampType => // instant micros: SESSION-zone wall clock
           java.time.Instant
             .ofEpochSecond(Math.floorDiv(input.getLong(0), 1000000L))
-            .atZone(java.time.ZoneId.of(zoneId)).toLocalDate
+            .atZone(java.time.ZoneId.of(zoneId)).toLocalDateTime
         case TimestampNTZType => // wall-clock micros, zone-free
-          java.time.LocalDate.ofEpochDay(Math.floorDiv(
-            Math.floorDiv(input.getLong(0), 1000000L), 86400L))
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(input.getLong(0), 1000000L), 0,
+            java.time.ZoneOffset.UTC)
       }
+      val d = ldt.toLocalDate
       unit match {
         case "year"  => d.getYear - 1970
         case "month" => (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
         case "day"   => d.toEpochDay.toInt
+        case "hour"  => (d.toEpochDay * 24L + ldt.getHour).toInt
       }
     }
   }
@@ -686,7 +706,8 @@ class LakeSpjCatalog extends TableCatalog with FunctionCatalog {
     "bucket" -> GraftBucketFunction,
     "years" -> GraftTemporalFunction.Years,
     "months" -> GraftTemporalFunction.Months,
-    "days" -> GraftTemporalFunction.Days)
+    "days" -> GraftTemporalFunction.Days,
+    "hours" -> GraftTemporalFunction.Hours)
 
   /** `truncate<w>` is a width-parameterized FAMILY, resolved by name
     * pattern (see [[SpjField.TruncateField]]). */

@@ -2816,6 +2816,52 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("hour(ts) transform: prune strict subset + lossless, SPJ " +
+      "hour-keyed join plans shuffle-free, DATE columns refuse") {
+    import graft.lakehouse.{PartField, Spj}
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(h: Int, m: Int) =
+      new java.sql.Timestamp(base.getTime + h * 3600000L + m * 60000L)
+    val rows = (0 until 12).flatMap(h =>
+      (0 until 5).map(m => (at(h, m * 7), h.toLong * 5 + m)))
+    val l = rows.toDF("ts", "a")
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_hrl").toString, l,
+      partitionBy = Seq("hour(ts)"))
+    val snap = t.currentSnapshot
+    // 12 hour-dirs; a 3-hour window keeps a strict subset
+    val pred = "ts >= TIMESTAMP '2024-03-01 04:00:00' AND " +
+      "ts < TIMESTAMP '2024-03-01 07:00:00'"
+    val pruned = t.prunePartitions(snap, pred)
+    assert(pruned.nonEmpty && pruned.size < snap.files.size)
+    assert(t.readWhere(pred).count() == 15, "3 hours x 5 rows")
+    // SPJ: two hour-partitioned tables join with zero Exchange
+    val r = rows.filter(_._2 % 2 == 0).map { case (ts, k) => (ts, k * 10) }
+      .toDF("rts", "b")
+    val t2 = GraftTable.create(spark,
+      Files.createTempDirectory("graft_hrr").toString, r,
+      partitionBy = Seq("hour(rts)"))
+    val a = Spj.read(spark, "spj_hr_l", t)
+    val b = Spj.read(spark, "spj_hr_r", t2)
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = a.join(b, col("ts") === col("rts"))
+      val n = joined.count()
+      assert(Spj.shuffles(joined).isEmpty,
+        "hour-keyed SPJ must plan with zero Exchange")
+      assert(n == l.join(r, col("ts") === col("rts")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+    // a DATE column has no hour: refuse loudly at write planning
+    val e = intercept[IllegalArgumentException] {
+      PartField.Temporal("hour", "d")
+        .toColumn(org.apache.spark.sql.types.DateType)
+    }
+    assert(e.getMessage.contains("no hour"))
+  }
+
   test("audit regressions: MoR-pos reads apply DEFAULTs, mixed-case " +
       "stats prune, star merge is case-insensitive, backfill commits " +
       "stay stream-readable") {
@@ -3299,5 +3345,66 @@ class LakehouseSpec extends AnyFunSuite {
       assert(msgs(e).exists(_.contains("skip-list gate")),
         msgs(e).mkString(" | "))
     } finally sys.props.remove("graft.posdel.broadcast.bytes")
+  }
+
+  test("namespace-qualified SQL: DDL/DML/maintenance/time-travel on " +
+      "db.t, qualified column refs, governed names still win") {
+    import graft.lakehouse.{LakeRegistry, ViewRegistry}
+    LakeRegistry.unregister("nsdb.evt")
+    spark.sql(
+      s"""CREATE TABLE nsdb.evt (k BIGINT, tag STRING, v DOUBLE)
+         |USING graft
+         |LOCATION '${Files.createTempDirectory("graft_ns").toString}'"""
+        .stripMargin)
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "tag", "v").createOrReplaceTempView("ns_src")
+    spark.sql("INSERT INTO nsdb.evt SELECT * FROM ns_src")
+    // fully-qualified (db.t.c) and bare-table (evt.c / t-alias)
+    // column references all strip against the dotted target
+    spark.sql("UPDATE nsdb.evt SET v = v * 10 WHERE nsdb.evt.k = 2")
+    spark.sql("DELETE FROM nsdb.evt WHERE evt.k = 3")
+    spark.sql(
+      """MERGE INTO nsdb.evt t USING ns_src s ON t.k = s.k
+        |WHEN MATCHED AND t.k = 1 THEN UPDATE SET tag = 'merged'
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, tag, v FROM nsdb.evt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "merged", 1.0), (2L, "b", 20.0),
+      (3L, "c", 3.0)))
+    // maintenance + ref DDL + time travel through the dotted name
+    spark.sql("ALTER TABLE nsdb.evt CREATE TAG stable")
+    spark.sql("UPDATE nsdb.evt SET tag = 'later' WHERE k = 1")
+    spark.sql("OPTIMIZE nsdb.evt")
+    assert(spark.sql("SELECT tag FROM nsdb.evt VERSION AS OF 'stable' " +
+        "WHERE k = 1").head.getString(0) == "merged")
+    // ALTER evolves through the dotted claim; DESCRIBE-free check
+    spark.sql("ALTER TABLE nsdb.evt ADD COLUMNS (note STRING)")
+    assert(spark.sql("SELECT note FROM nsdb.evt").count() == 3)
+    // a governed name ALWAYS outranks a same-named lake registration
+    // (LakeSqlRule skips visible names, so FgacRule owns the read)
+    import graft.fgac.{Principal, SecureCatalog, TablePolicy}
+    val raw = Seq((1L, "TX"), (2L, "CA")).toDF("id", "state")
+    raw.createOrReplaceTempView(SecureCatalog.rawViewName("nsg.pat"))
+    SecureCatalog.governTable("nsg.pat", Seq("id", "state"))
+    SecureCatalog.register(Principal("ns_t1", grants = Map(
+      "nsg.pat" -> TablePolicy("nsg.pat",
+        rowFilter = Some("state = 'TX'")))))
+    val shadow = GraftTable.create(spark,
+      Files.createTempDirectory("graft_ns_shadow").toString, raw)
+    LakeRegistry.register("nsg.pat", shadow)
+    try {
+      spark.conf.set(SecureCatalog.PrincipalConf, "ns_t1")
+      assert(spark.sql("SELECT id FROM nsg.pat").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L),
+        "the governed policy must filter even with a lake shadow")
+    } finally {
+      spark.conf.unset(SecureCatalog.PrincipalConf)
+      SecureCatalog.ungovern("nsg.pat")
+      LakeRegistry.unregister("nsg.pat")
+    }
+    // DROP releases the dotted name
+    spark.sql("DROP TABLE nsdb.evt")
+    assert(LakeRegistry.get("nsdb.evt").isEmpty &&
+      ViewRegistry.get("nsdb.evt").isEmpty)
   }
 }
