@@ -1531,58 +1531,73 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         .reduceOption(_.unionByName(_))
         .getOrElse(readFiles(snap.schema, Nil, snap.partitionCols))
     } else {
-      // the mapped name tree is one level deep: every top-level field,
-      // plus each struct field's immediate children (Iceberg evolves
-      // arbitrary depth via field ids; one level covers the dominant
-      // metadata-shape case and the recursion point is marked here)
-      val names: Seq[String] = snap.schema.fields.toSeq.flatMap { f =>
-        f.name +: (f.dataType match {
-          case st: StructType => st.fieldNames.toSeq.map(c => s"${f.name}.$c")
-          case _ => Nil
-        })
-      }
+      // the mapped name tree covers EVERY depth (renames may touch a
+      // field at any level — the name-mapping analog of Iceberg's
+      // field ids): enumerate all dotted paths of the current schema,
+      // unwind each through the rename log per file epoch, and
+      // rebuild structs recursively on read.
+      def allPaths(st: StructType, prefix: String): Seq[String] =
+        st.fields.toSeq.flatMap { f =>
+          val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+          p +: (f.dataType match {
+            case s: StructType => allPaths(s, p)
+            case _ => Nil
+          })
+        }
+      val names: Seq[String] = allPaths(snap.schema, "")
       files.groupBy { f =>
         val fseq = snap.fileSeq.getOrElse(f, snap.id)
         (names.map(n => snap.physicalName(n, fseq)), preAddOf(f))
       }.toSeq.sortBy(_._2.headOption.getOrElse("")).map {
         case ((physNames, pre), fs) =>
           val phys = names.zip(physNames).toMap
+          def leafOf(p: String) = p.substring(p.lastIndexOf('.') + 1)
           // write-time schema of this epoch's files: rename every
-          // mapped name (outer and nested) back to its physical form
-          val physSchema = StructType(snap.schema.fields.map { fld =>
-            val pTop = phys(fld.name).takeWhile(_ != '.')
+          // mapped path back to its physical form, at every depth
+          // (prefix consistency holds because every rename record
+          // rewrites an exact path or a path prefix, so a child's
+          // physical parent is exactly the parent's physical path)
+          def physField(fld: StructField, path: String): StructField = {
+            val leaf = leafOf(phys(path))
             fld.dataType match {
-              case st: StructType =>
-                fld.copy(name = pTop, dataType = StructType(st.fields.map {
-                  c =>
-                    val pc = phys(s"${fld.name}.${c.name}")
-                    c.copy(name = pc.substring(pc.indexOf('.') + 1))
-                }))
-              case _ => fld.copy(name = pTop)
+              case st: StructType => fld.copy(name = leaf,
+                dataType = StructType(st.fields.map(c =>
+                  physField(c, s"$path.${c.name}"))))
+              case _ => fld.copy(name = leaf)
             }
-          })
+          }
+          val physSchema = StructType(
+            snap.schema.fields.map(f => physField(f, f.name)))
+          // does any field anywhere below `path` read under a
+          // different physical leaf in this epoch?
+          def renamedBelow(fld: StructField, path: String): Boolean =
+            fld.dataType match {
+              case st: StructType => st.fields.exists { c =>
+                val cp = s"$path.${c.name}"
+                leafOf(phys(cp)) != c.name || renamedBelow(c, cp)
+              }
+              case _ => false
+            }
+          // current-name column over the physical scan: structs with
+          // renames below rebuild with children aliased to current
+          // names, preserving NULL structs at EVERY level (a bare
+          // struct() of null children would resurrect a null struct
+          // as a row of nulls)
+          def currentCol(fld: StructField, path: String,
+              physCol: Column): Column = fld.dataType match {
+            case st: StructType if renamedBelow(fld, path) =>
+              val rebuilt = struct(st.fields.map { c =>
+                val cp = s"$path.${c.name}"
+                currentCol(c, cp, physCol.getField(leafOf(phys(cp))))
+                  .as(c.name)
+              }.toIndexedSeq: _*)
+              when(physCol.isNull, lit(null).cast(st)).otherwise(rebuilt)
+            case _ => physCol
+          }
           readFiles(physSchema, fs, snap.partitionCols)
             .select(snap.schema.fields.map { fld =>
-              val pTop = phys(fld.name).takeWhile(_ != '.')
-              fld.dataType match {
-                case st: StructType
-                    if st.fieldNames.exists { c =>
-                      val pc = phys(s"${fld.name}.$c")
-                      pc.substring(pc.indexOf('.') + 1) != c
-                    } =>
-                  // nested rename in this epoch: rebuild the struct
-                  // with children aliased to current names, preserving
-                  // outer NULLs (a bare struct() of null children would
-                  // resurrect a null struct as a row of nulls)
-                  val rebuilt = struct(st.fields.map { c =>
-                    val pc = phys(s"${fld.name}.${c.name}")
-                    col(s"`$pTop`.`${pc.substring(pc.indexOf('.') + 1)}`")
-                      .as(c.name)
-                  }.toIndexedSeq: _*)
-                  when(col(s"`$pTop`").isNull, lit(null).cast(st))
-                    .otherwise(rebuilt).as(fld.name)
-                case _ => col(s"`$pTop`").as(fld.name)
-              }
+              currentCol(fld, fld.name, col(s"`${leafOf(phys(fld.name))}`"))
+                .as(fld.name)
             }.toIndexedSeq: _*)
             .transform(applyDefaults(_, pre))
       }.reduceOption(_.unionByName(_))
@@ -1757,15 +1772,18 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val to = snapOf(toId)
     val fromOpt = if (fromId == 0L) None else Some(snapOf(fromId))
     // tombstone shapes refuse (they only predate lineage enablement);
-    // DELETION VECTORS compose — the legs below read each endpoint's
-    // live view, and pointer moves on CARRIED files expand through a
-    // bitmap diff (a feed that refused DVs would wedge permanently on
-    // the one MoR shape lineage tables accept: the endpoint snapshot
-    // is immutable, so no later compaction could ever unwedge it)
+    // BOTH MoR delete shapes compose — the legs below read each
+    // endpoint's live view; DV pointer moves expand through a bitmap
+    // diff and position-tombstone set diffs expand through the
+    // immutable tombstone files, each on CARRIED files only (a feed
+    // that refused either shape would wedge permanently on the MoR
+    // DML lineage tables accept: the endpoint snapshot is immutable,
+    // so no later compaction could ever unwedge it). Only equality
+    // deletes refuse (no row-position identity to diff).
     (fromOpt.toSeq :+ to).foreach { s =>
-      require(s.dels.isEmpty && s.posDels.isEmpty,
-        s"lineage changelog endpoint ${s.id} carries tombstones: " +
-          "compact() first")
+      require(s.dels.isEmpty,
+        s"lineage changelog endpoint ${s.id} carries equality " +
+          "deletes: compact() first")
     }
     require(!to.schema.fieldNames.exists(n =>
         n.equalsIgnoreCase("_row_id") || n.equalsIgnoreCase("_change_type")),
@@ -1810,25 +1828,57 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     }
     def side(snap: Snapshot, files: Seq[String], tag: String) =
       tagged(lineageSource(snap, files), tag)
-    // DV pointer moves on carried files: bits set at `to` but not
-    // `from` are in-range deletes (old image read from the FROM view,
-    // where those rows are still live); bits cleared are un-deletes
-    // (rollback — new image from the TO view). Only the moved files'
-    // blobs are read, and only the named rows scan.
+    // DV pointer moves and position-tombstone set diffs on carried
+    // files: positions deleted in-range are keyed deletes (old image
+    // read from the FROM view, where those rows are still live);
+    // positions un-deleted (rollback) are keyed inserts (new image
+    // from the TO view). DV diffs read only the moved files' blobs;
+    // tombstone diffs read only the tombstone files NEW on one side
+    // (they are immutable and carried by reference, so shared files
+    // cancel without a read). A live-view DML never re-deletes a
+    // position, so the two shapes cannot emit the same key — plain
+    // unions compose them, and ONE probe per side scans only the
+    // named data files.
     val dvMoved = to.files.filter(f => fromSet(f) &&
       fromOpt.exists(_.dvs.get(f) != to.dvs.get(f))).sorted
-    val (dvDel, dvIns): (Option[DataFrame], Option[DataFrame]) =
-      if (dvMoved.isEmpty) (None, None)
+    val fromTSet = fromOpt.map(_.posDels.toSet).getOrElse(Set.empty)
+    val newTFiles =
+      if (fromOpt.isEmpty) Nil else to.posDels.filterNot(fromTSet)
+    val goneTFiles =
+      fromOpt.map(_.posDels.filterNot(to.posDels.toSet)).getOrElse(Nil)
+    def tombRows(fs: Seq[String]): DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("_file", org.apache.spark.sql.types.StringType),
+            StructField("_pos", org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(fs: _*).select(col("_file"), col("_pos"))
+    val (posDel, posIns): (Option[DataFrame], Option[DataFrame]) =
+      if (dvMoved.isEmpty && newTFiles.isEmpty && goneTFiles.isEmpty)
+        (None, None)
       else {
         val from0 = fromOpt.get
         val (newBits, goneBits) = dvPositionDiff(from0, to, dvMoved)
+        // a (file, pos) re-tombstoned through a different tombstone
+        // file (rollback then re-delete) cancels bidirectionally
+        val newPos = tombRows(newTFiles)
+          .join(tombRows(goneTFiles), Seq("_file", "_pos"), "left_anti")
+          .unionByName(newBits)
+        val gonePos = tombRows(goneTFiles)
+          .join(tombRows(newTFiles), Seq("_file", "_pos"), "left_anti")
+          .unionByName(goneBits)
         // planning prune, same as the plain feed: the diffed
         // positions name exact files — collect that (bounded: one
-        // path per file the range's DV DML touched) set and scan
-        // ONLY those. Without it a DV-consolidation rewrite (every
-        // pointer moved, identical bits, empty diff) would cost the
-        // feed a scan of every vectored data file to net zero rows.
-        val rawByEnc = dvMoved.map(p => metaPath(p) -> p).toMap
+        // path per file the range's MoR DML touched) set and scan
+        // ONLY those, restricted to files CARRIED across the range
+        // (added/removed files already surface through the file-diff
+        // legs; counting a tombstoned row of a removed file here too
+        // would double-emit its delete). Without the prune a
+        // DV-consolidation rewrite (every pointer moved, identical
+        // bits, empty diff) would cost the feed a scan of every
+        // vectored data file to net zero rows.
+        val rawByEnc = to.files.filter(fromSet)
+          .map(p => metaPath(p) -> p).toMap
         def at(snap: Snapshot, pos: DataFrame): Option[DataFrame] = {
           val touched = pos.select("_file").distinct()
             .collect().map(_.getString(0)).toSeq
@@ -1841,12 +1891,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
               .drop("_g_file", "_g_idx"))
           }
         }
-        (at(from0, newBits), at(to, goneBits))
+        (at(from0, newPos), at(to, gonePos))
       }
-    val d = dvDel.map(x => side(from, removed, "_d_")
+    val d = posDel.map(x => side(from, removed, "_d_")
         .unionByName(tagged(x, "_d_")))
       .getOrElse(side(from, removed, "_d_"))
-    val i = dvIns.map(x => side(to, added, "_i_")
+    val i = posIns.map(x => side(to, added, "_i_")
         .unionByName(tagged(x, "_i_")))
       .getOrElse(side(to, added, "_i_"))
     val joined = d.join(i, col("_d__rid") === col("_i__rid"), "full_outer")
@@ -2371,45 +2421,58 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
 
   // ---- schema evolution (ALTER TABLE) -------------------------------
 
-  /** Resolve a possibly one-level-dotted column path against
-    * `schema`, case-insensitively, returning the CANONICAL dotted
-    * name. Throws when the outer part is not a struct or either part
-    * does not exist. */
+  /** Resolve a dotted column path of ANY depth against `schema`,
+    * case-insensitively, returning the CANONICAL dotted name (the
+    * same recursion round 14 proved on nested FGAC — Iceberg
+    * addresses any depth via field ids; the name mapping recurses the
+    * path instead). A missing or non-struct INTERMEDIATE segment
+    * always throws; only the leaf respects `mustExist`. */
   private def resolvePath(schema: StructType, name: String,
       mustExist: Boolean): Option[String] = {
     val parts = name.split('.')
-    require(parts.length <= 2,
-      s"column path '$name' is too deep (one struct level supported)")
-    if (parts.length == 1) {
-      val found = schema.fieldNames.find(_.equalsIgnoreCase(name))
-      if (mustExist)
-        Some(found.getOrElse(throw new IllegalArgumentException(
-          s"column '$name' does not exist")))
-      else found
-    } else {
-      val outer = schema.fields.find(_.name.equalsIgnoreCase(parts(0)))
-        .getOrElse(throw new IllegalArgumentException(
-          s"struct column '${parts(0)}' does not exist"))
-      val st = outer.dataType match {
-        case s: StructType => s
-        case other => throw new IllegalArgumentException(
-          s"column '${outer.name}' is $other, not a struct")
-      }
-      val inner = st.fieldNames.find(_.equalsIgnoreCase(parts(1)))
-      if (mustExist)
-        Some(s"${outer.name}.${inner.getOrElse(
+    def walk(st: StructType, idx: Int,
+        acc: List[String]): Option[String] =
+      st.fields.find(_.name.equalsIgnoreCase(parts(idx))) match {
+        case None if idx < parts.length - 1 =>
           throw new IllegalArgumentException(
-            s"field '${parts(1)}' does not exist in struct '${outer.name}'"))}")
-      else inner.map(i => s"${outer.name}.$i")
-    }
+            s"struct column '${parts.take(idx + 1).mkString(".")}' " +
+              "does not exist")
+        case None if mustExist =>
+          throw new IllegalArgumentException(
+            if (acc.isEmpty) s"column '$name' does not exist"
+            else s"field '${parts(idx)}' does not exist in struct " +
+              s"'${acc.reverse.mkString(".")}'")
+        case None => None
+        case Some(f) if idx == parts.length - 1 =>
+          Some((f.name :: acc).reverse.mkString("."))
+        case Some(f) => f.dataType match {
+          case s: StructType => walk(s, idx + 1, f.name :: acc)
+          case other => throw new IllegalArgumentException(
+            s"column '${(f.name :: acc).reverse.mkString(".")}' is " +
+              s"$other, not a struct")
+        }
+      }
+    walk(schema, 0, Nil)
   }
 
-  /** `schema` with struct column `outer`'s fields transformed. */
-  private def mapStruct(schema: StructType, outer: String)(
+  /** The type at an already-CANONICAL dotted path. */
+  private def typeAt(schema: StructType, path: Seq[String]): DataType =
+    path.foldLeft(schema: DataType) {
+      case (st: StructType, p) => st(p).dataType
+      case (other, p) => throw new IllegalArgumentException(
+        s"'$p' addressed inside non-struct $other")
+    }
+
+  /** `schema` with the struct at canonical `path` transformed —
+    * `Nil` = the top level (so every ALTER shape shares one rewrite
+    * regardless of depth). */
+  private def mapStructAt(schema: StructType, path: Seq[String])(
       f: StructType => StructType): StructType =
-    StructType(schema.fields.map { fld =>
-      if (fld.name == outer)
-        fld.copy(dataType = f(fld.dataType.asInstanceOf[StructType]))
+    if (path.isEmpty) f(schema)
+    else StructType(schema.fields.map { fld =>
+      if (fld.name == path.head)
+        fld.copy(dataType = mapStructAt(
+          fld.dataType.asInstanceOf[StructType], path.tail)(f))
       else fld
     })
 
@@ -2491,14 +2554,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       if (parts.length == 1)
         StructType(schema.fields :+ f.copy(nullable = true))
       else {
-        // resolve the OUTER part only (inner is the new name)
-        val outer = schema.fields.find(_.name.equalsIgnoreCase(parts(0)))
-          .getOrElse(throw new IllegalArgumentException(
-            s"struct column '${parts(0)}' does not exist"))
-        require(outer.dataType.isInstanceOf[StructType],
-          s"column '${outer.name}' is not a struct")
-        mapStruct(schema, outer.name)(st => StructType(st.fields :+
-          StructField(parts(1), f.dataType, nullable = true)))
+        // resolve the PARENT path (any depth; leaf is the new name)
+        val parent = resolvePath(schema, parts.init.mkString("."),
+          mustExist = true).get.split('.').toSeq
+        require(typeAt(schema, parent).isInstanceOf[StructType],
+          s"column '${parent.mkString(".")}' is not a struct")
+        mapStructAt(schema, parent)(st => StructType(st.fields :+
+          StructField(parts.last, f.dataType, nullable = true)))
       }
     }
     commit("evolve-add", newSchema,
@@ -2523,18 +2585,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           s"cannot drop partition source column '$resolved'")
         StructType(snap.schema.fields.filterNot(_.name == resolved))
       } else {
-        val st = snap.schema(parts(0)).dataType.asInstanceOf[StructType]
+        val parent = parts.init.toSeq
+        val st = typeAt(snap.schema, parent).asInstanceOf[StructType]
         require(st.fields.length > 1,
-          s"cannot drop the only field of struct '${parts(0)}' " +
-            "(drop the struct column instead)")
-        mapStruct(snap.schema, parts(0))(s =>
-          StructType(s.fields.filterNot(_.name == parts(1))))
+          s"cannot drop the only field of struct " +
+            s"'${parent.mkString(".")}' (drop the struct itself " +
+            "instead)")
+        mapStructAt(snap.schema, parent)(s =>
+          StructType(s.fields.filterNot(_.name == parts.last)))
       }
     // a tombstone rename retires the name: its bytes remain in old
     // files, and addColumns refuses to reuse the name until a rewrite
     val tombstone =
       if (parts.length == 1) s"__graft_dropped_$resolved"
-      else s"${parts(0)}.__graft_dropped_${parts(1)}"
+      else (parts.init :+ s"__graft_dropped_${parts.last}").mkString(".")
     commit("evolve-drop", newSchema,
       snap.files, snap.partitionCols, expectedParent = snap.id,
       renamesOverride = Some(snap.renames :+
@@ -2563,7 +2627,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val parts = resolved.split('.')
     // the full dotted name the field will carry after the rename —
     // collision and retirement checks run on that form
-    val target = if (parts.length == 1) to else s"${parts(0)}.$to"
+    val target = (parts.init :+ to).mkString(".")
     require(resolvePath(snap.schema, target, mustExist = false).isEmpty,
       s"column '$target' already exists")
     // same retirement rule as addColumns: renaming INTO a name that
@@ -2574,12 +2638,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         .exists(_.col.equalsIgnoreCase(resolved)),
       s"cannot rename partition source column '$resolved'")
     val newSchema =
-      if (parts.length == 1)
-        StructType(snap.schema.fields.map(f =>
-          if (f.name == resolved) f.copy(name = to) else f))
-      else
-        mapStruct(snap.schema, parts(0))(st => StructType(st.fields.map(f =>
-          if (f.name == parts(1)) f.copy(name = to) else f)))
+      mapStructAt(snap.schema, parts.init.toSeq)(st =>
+        StructType(st.fields.map(f =>
+          if (f.name == parts.last) f.copy(name = to) else f)))
     commit("evolve-rename", newSchema,
       snap.files, snap.partitionCols, expectedParent = snap.id,
       renamesOverride = Some(snap.renames :+ Rename(-1L, resolved, target)))
@@ -2607,10 +2668,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val snap = currentSnapshot
     val resolved = resolvePath(snap.schema, name, mustExist = true).get
     val parts = resolved.split('.')
-    val from =
-      if (parts.length == 1) snap.schema(parts(0)).dataType
-      else snap.schema(parts(0)).dataType.asInstanceOf[StructType]
-        .apply(parts(1)).dataType
+    val from = typeAt(snap.schema, parts.toSeq)
     val safe = (from, to) match {
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
@@ -2628,12 +2686,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         "specs hash by type, so existing file layout would stop " +
         "pruning correctly")
     val newSchema =
-      if (parts.length == 1)
-        StructType(snap.schema.fields.map(f =>
-          if (f.name == resolved) f.copy(dataType = to) else f))
-      else
-        mapStruct(snap.schema, parts(0))(st => StructType(st.fields.map(f =>
-          if (f.name == parts(1)) f.copy(dataType = to) else f)))
+      mapStructAt(snap.schema, parts.init.toSeq)(st =>
+        StructType(st.fields.map(f =>
+          if (f.name == parts.last) f.copy(dataType = to) else f)))
     commit("evolve-type", newSchema,
       snap.files, snap.partitionCols, expectedParent = snap.id)
   }
@@ -2726,10 +2781,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * COW-rewrite source and the [[readLineage]] body. */
   private def lineageSource(snap: Snapshot, files: Seq[String],
       keepMeta: Boolean = false): DataFrame = {
-    require(snap.dels.isEmpty && snap.posDels.isEmpty,
-      "row lineage over pending equality/position tombstones is not " +
-        "supported: compact() to materialize them first " +
-        "(deletion vectors compose — the v3 pairing)")
+    require(snap.dels.isEmpty,
+      "row lineage over pending EQUALITY deletes is not supported: " +
+        "compact() to materialize them first (position tombstones " +
+        "and deletion vectors compose — both Iceberg v3 delete " +
+        "shapes)")
     require(snap.renames.isEmpty,
       "row lineage across a pending column rename is not supported: " +
         "compact() to clear the rename log first")
@@ -2801,8 +2857,31 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
             lit(false))))
           .drop(GraftTable.DvFileCol, GraftTable.DvBitmapCol)
       }
-    if (keepMeta) live.drop("_g_first", "_g_fseq")
-    else live.drop("_g_file", "_g_idx", "_g_first", "_g_fseq")
+    // POSITION TOMBSTONES compose with lineage by the same argument
+    // as DVs (Iceberg v3 pairs lineage with BOTH delete shapes): a
+    // tombstone touches no data file, so every survivor's (file, idx)
+    // — and therefore its id and last-update — is untouched. Same
+    // (file, pos) anti-join as morReadPos, riding the (_g_file,
+    // _g_idx) this read already carries, under the same broadcast
+    // byte gate.
+    val live2 =
+      if (snap.posDels.isEmpty) live
+      else {
+        val tomb = spark.read.parquet(snap.posDels: _*)
+          .select(col("_file"), col("_pos"))
+        val tombBytes = snap.posDels
+          .map(p => snap.posDelSizes.getOrElse(p,
+            fs.getFileStatus(new Path(p)).getLen)).sum
+        val tombHinted =
+          if (tombBytes <= GraftTable.PosDelBroadcastBytes)
+            broadcast(tomb)
+          else tomb
+        live.join(tombHinted,
+          col("_g_file") === col("_file") &&
+            col("_g_idx") === col("_pos"), "left_anti")
+      }
+    if (keepMeta) live2.drop("_g_first", "_g_fseq")
+    else live2.drop("_g_file", "_g_idx", "_g_first", "_g_fseq")
   }
 
   /** The copy-on-write rewrite source: the plain mapped read, or —
@@ -2922,8 +3001,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   private def requireNoLineage(what: String): Unit =
     if (lineageEnabled) throw new UnsupportedOperationException(
       s"$what on a row-lineage table is not supported: " +
-        "row.lineage tables take copy-on-write DML or vector-style " +
-        "merge-on-read (write.delete.style=vector)")
+        "row.lineage tables take copy-on-write DML or position/" +
+        "vector-style merge-on-read (equality predicates have no row " +
+        "identity to preserve)")
 
   def deleteMoR(predSql: String): Long = {
     requireNoLineage("merge-on-read DELETE")
@@ -2956,7 +3036,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   /** [[deleteMoRPos]] against an explicit base snapshot — the
     * deterministic seam for the rebase path, like [[deleteAt]]. */
   private[graft] def deleteMoRPosAt(snap: Snapshot, predSql: String): Long = {
-    requireNoLineage("merge-on-read position DELETE")
+    // position DELETE composes with row lineage (like DV DELETE: no
+    // data file is touched, so survivors' ids and last-updates are
+    // untouched by construction — Iceberg v3 pairs lineage with both
+    // delete shapes)
     val cand = dmlCandidates(snap, predSql)
     // scan the LIVE view: rows already tombstoned (or under a pending
     // equality delete) must not be re-tombstoned
@@ -3148,19 +3231,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * while this UPDATE scanned" without thread-timing luck. */
   private[graft] def updateMoRPosAt(snap: Snapshot,
       assignments0: Map[String, String], predSql: String): Long = {
-    // Row lineage composes with the VECTOR shape only (Iceberg v3
-    // pairs them): the matched rows read with their lineage, the old
-    // images become bitmap bits, and the new images MATERIALIZE the
-    // carried ids with the -1 "this commit" sentinel — so even a
-    // MoR update preserves row identity. Tombstone styles refuse at
-    // the seam (the rebase path replays through here too).
-    // bound ONCE (the convention this file documents for MERGE): a
-    // concurrent setProperties must not flip the shape between the
-    // lineage guard and the write branch
+    // Row lineage composes with BOTH delete-file shapes (Iceberg v3
+    // pairs lineage with position tombstones AND deletion vectors):
+    // the matched rows read with their lineage, the old images
+    // become tombstone rows or bitmap bits — neither touches a data
+    // file — and the new images MATERIALIZE the carried ids with the
+    // -1 "this commit" sentinel, so even a MoR update preserves row
+    // identity. Style bound ONCE (the convention this file documents
+    // for MERGE): a concurrent setProperties must not flip the shape
+    // between read and write branches.
     val vector = deleteStyle == "vector"
     val lineageOn = lineageEnabled
-    if (lineageOn && !vector)
-      requireNoLineage("merge-on-read (tombstone-style) UPDATE")
     val p = expr(predSql)
     val assignments = resolveAssignments(assignments0,
       snap.schema.fieldNames.toSeq, "UPDATE SET")
@@ -3436,11 +3517,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // projection, and the alignment — five separate reads otherwise
     val lineageOn = lineageEnabled
     val vectorStyle = deleteStyle == "vector"
-    // MoR MERGE composes with lineage under the VECTOR shape only
-    // (like UPDATE: matched old images become bits, new images
-    // materialize the carried ids); tombstone styles refuse
-    if (morMode && lineageOn && !vectorStyle)
-      requireNoLineage("merge-on-read (tombstone-style) MERGE")
+    // MoR MERGE composes with lineage under BOTH delete-file shapes
+    // (like UPDATE: matched old images become tombstone rows or
+    // bitmap bits — no data file touched — and new images
+    // materialize the carried ids)
     if (!morMode) requireNoMorDels(snap, "MERGE")
     val cols = snap.schema.fieldNames.toSeq
     require(keys0.nonEmpty, "merge requires at least one key column")
@@ -3805,16 +3885,18 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // the new files and the delete predicates clear
     // a lineage table's compaction must carry every row's id and
     // last-update into the fresh files. States lineageSource cannot
-    // serve — pending renames, initial-default columns, or equality/
-    // position tombstones — can only PREDATE enablement (the DDL and
-    // MoR guards refuse creating them afterwards); for those, compact
-    // is the cleanup that makes lineage serviceable, so it falls back
-    // to the plain live view and the rewritten rows take fresh ids
-    // (lineage "starts" once the table is clean — anything else would
-    // wedge: the refusals name compact() as the remedy).
+    // serve — pending renames, initial-default columns, or equality
+    // deletes — can only PREDATE enablement (the DDL and MoR guards
+    // refuse creating them afterwards); for those, compact is the
+    // cleanup that makes lineage serviceable, so it falls back to
+    // the plain live view and the rewritten rows take fresh ids
+    // (lineage "starts" once the table is clean — anything else
+    // would wedge: the refusals name compact() as the remedy).
+    // Position tombstones and DVs COMPOSE: lineage-preserving
+    // compaction materializes them while carrying ids.
     val lineageServable = lineageEnabled &&
       snap.renames.isEmpty && defaultedCols(snap).isEmpty &&
-      snap.dels.isEmpty && snap.posDels.isEmpty &&
+      snap.dels.isEmpty &&
       snap.files.forall(snap.firstRowIds.contains)
     val base =
       if (lineageServable) lineageSource(snap, snap.files)

@@ -1089,6 +1089,32 @@ object LakeQueries {
       "compaction must relocate rows with lineage bit-unchanged")
     require(post.select("_row_id").distinct().count() == post.count(),
       "row ids must be unique")
+    // POSITION-TOMBSTONE MoR DML composes (Iceberg v3 pairs lineage
+    // with both delete shapes): flip the write modes and keep going —
+    // the tombstone DELETE removes rows without rewriting a data
+    // file, the tombstone UPDATE keeps ids and bumps exactly the
+    // matched rows, and reads serve through the tombstone anti-join
+    t.setProperties(Map(GraftTable.RowLineageProp -> "true",
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read",
+      "write.delete.style" -> "position"))
+    val preP = t.readLineage()
+      .select(col("o_orderkey").as("pk"), col("_row_id").as("pr"))
+    val filesP = t.currentSnapshot.files
+    s.sql("DELETE FROM lake_rowlin_t WHERE o_orderkey % 50 = 3") // 8
+    s.sql("UPDATE lake_rowlin_t SET price = price + 5 " +
+      "WHERE o_orderstatus = 'P'")                             // snap 9
+    require(t.currentSnapshot.posDels.nonEmpty &&
+      t.currentSnapshot.files.toSet.intersect(filesP.toSet)
+        == filesP.toSet,
+      "position DML must tombstone, never rewrite existing files")
+    val afterP = t.readLineage()
+    require(afterP.join(preP, col("o_orderkey") === col("pk"))
+      .filter(col("_row_id") =!= col("pr")).count() == 0,
+      "position-MoR DML must preserve every surviving row's _row_id")
+    require(afterP.filter(col("_last_updated_sequence_number") === 9L)
+      .count() == afterP.filter(col("o_orderstatus") === "P").count(),
+      "exactly the tombstone-UPDATE's rows carry its sequence")
     // final read through the SQL surface (lake_lineage TVF), so the
     // metadata columns are reachable without the Scala API
     s.sql("""SELECT _last_updated_sequence_number AS last_seq,
@@ -1123,9 +1149,20 @@ object LakeQueries {
     s.sql("DELETE FROM lake_cdclin_t WHERE o_orderkey % 30 = 0") // 5
     s.sql("UPDATE lake_cdclin_t SET price = price + 1 " +
       "WHERE o_orderstatus = 'O'")                           // snap 6
+    // position-style MoR joins the same range (Iceberg v3 pairs
+    // lineage with both delete shapes): the tombstone set diff feeds
+    // the id-keyed netting — deletes of carried rows probe only the
+    // named positions, rows COW-rewritten earlier in the range net
+    // through the file diff as before
+    t.setProperties(Map(GraftTable.RowLineageProp -> "true",
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "position"))
+    s.sql("DELETE FROM lake_cdclin_t WHERE o_orderkey % 12 = 6") // 7
+    require(t.currentSnapshot.posDels.nonEmpty,
+      "the range must actually end on a tombstone-bearing snapshot")
     // SQL surface: the TVF form of the lineage feed
     val feed = s.sql(
-      "SELECT * FROM table_changes_lineage('lake_cdclin_t', 3, 6)")
+      "SELECT * FROM table_changes_lineage('lake_cdclin_t', 3, 7)")
     require(feed.groupBy("_row_id").count()
       .filter(col("count") > 1).count() == 0,
       "each logical row nets to at most ONE changelog row")
@@ -1645,43 +1682,64 @@ object LakeQueries {
       .withColumn("price_d", col("price_d").cast("double"))
   }
 
-  /** Nested-type schema evolution (Iceberg evolves struct fields in
-    * metadata only; this engine's sequence-scoped name mapping goes
-    * one struct level deep): three epochs of files — (1) struct
-    * `info{segment, bal}`, (2) after `ADD COLUMNS (info.tier)`, old
-    * files read NULL tier, (3) after `RENAME COLUMN info.bal TO
-    * balance` + `DROP COLUMN info.segment`, every epoch reads through
-    * the rename/drop without a byte rewritten. The final scan unions
-    * all three epochs under the current shape. */
+  /** Nested-type schema evolution at ARBITRARY depth (Iceberg
+    * evolves struct fields in metadata only via field ids; this
+    * engine's sequence-scoped name mapping recurses the path — round
+    * 15 closed the depth-1 limit): three epochs of files over
+    * `info{segment, bal, geo{city, zip}}` — (1) the original shape,
+    * (2) after `ADD COLUMNS (info.tier, info.geo.region)` (child AND
+    * grandchild in one statement; old files read NULL for both), (3)
+    * after grandchild `RENAME info.geo.zip TO postal` + `DROP
+    * info.geo.city` and child `RENAME info.bal TO balance` + `DROP
+    * info.segment`, every epoch reads through the mapping without a
+    * byte rewritten. NULL inner structs (geo on c_custkey % 7 == 0)
+    * stay NULL through every epoch's rebuild — a struct() of null
+    * children must not resurrect them as rows of nulls. */
   private val alterNested: Q = (s, dir) => {
     val customer = Tables.customer(s, dir)
     def shaped(pred: org.apache.spark.sql.Column): DataFrame =
       customer.filter(pred)
       .select(col("c_custkey"),
         struct(col("c_mktsegment").as("segment"),
-          col("c_acctbal").as("bal")).as("info"))
+          col("c_acctbal").as("bal"),
+          when(col("c_custkey") % 7 === 0, lit(null)).otherwise(
+            struct(col("c_nationkey").cast("string").as("city"),
+              (col("c_custkey") % 1000).cast("int").as("zip")))
+            .as("geo")).as("info"))
     val t = GraftTable.create(s, tmp("lake_altn"),
       shaped(col("c_custkey") % 3 === 0))
     LakeRegistry.register("lake_altn_t", t)
-    s.sql("ALTER TABLE lake_altn_t ADD COLUMNS (info.tier STRING)")
+    s.sql("ALTER TABLE lake_altn_t ADD COLUMNS " +
+      "(info.tier STRING, info.geo.region STRING)")
     shaped(col("c_custkey") % 3 === 1)
       .withColumn("info", struct(col("info.segment"), col("info.bal"),
+        when(col("info.geo").isNull, lit(null)).otherwise(
+          struct(col("info.geo.city"), col("info.geo.zip"),
+            concat(lit("R"), (col("c_custkey") % 2).cast("string"))
+              .as("region"))).as("geo"),
         concat(lit("T"), (col("c_custkey") % 3).cast("string")).as("tier")))
       .createOrReplaceTempView("lake_altn_src1")
     s.sql("INSERT INTO lake_altn_t SELECT * FROM lake_altn_src1")
+    s.sql("ALTER TABLE lake_altn_t RENAME COLUMN info.geo.zip TO postal")
+    s.sql("ALTER TABLE lake_altn_t DROP COLUMN info.geo.city")
     s.sql("ALTER TABLE lake_altn_t RENAME COLUMN info.bal TO balance")
     s.sql("ALTER TABLE lake_altn_t DROP COLUMN info.segment")
-    // epoch 3 writes under the final shape: info{balance, tier}
+    // epoch 3 writes under the final shape:
+    // info{balance, geo{postal, region}, tier}
     customer.filter(col("c_custkey") % 3 === 2)
       .select(col("c_custkey"),
         struct(col("c_acctbal").as("balance"),
+          when(col("c_custkey") % 7 === 0, lit(null)).otherwise(
+            struct((col("c_custkey") % 1000).cast("int").as("postal"),
+              lit("R9").as("region"))).as("geo"),
           lit("T9").as("tier")).as("info"))
       .createOrReplaceTempView("lake_altn_src2")
     s.sql("INSERT INTO lake_altn_t SELECT * FROM lake_altn_src2")
-    require(t.snapshots.size == 6,
-      "create + 3 ALTERs + 2 inserts = six commits")
+    require(t.snapshots.size == 8,
+      "create + 5 ALTER commits + 2 inserts = eight commits")
     s.sql(
-      """SELECT c_custkey, info.balance AS balance, info.tier AS tier
+      """SELECT c_custkey, info.balance AS balance, info.tier AS tier,
+        |       info.geo.postal AS postal, info.geo.region AS region
         |FROM lake_altn_t""".stripMargin).orderBy("c_custkey")
   }
 
@@ -2804,16 +2862,21 @@ object LakeQueries {
       "SELECT * FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey",
     "lake_expire_age" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    // deletes (COW %30 at snap 5, position-tombstone %12==6 at snap
+    // 7) carry the RANGE-START old image p; updates carry the final
+    // image
     "lake_cdc_lineage" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus,
         |    CAST(o_totalprice AS DOUBLE) AS p FROM orders
         |  WHERE o_orderkey % 3 IN (0, 1)),
         |f AS (SELECT o_orderkey,
         |    CASE WHEN o_orderkey % 30 = 0 THEN p
+        |         WHEN o_orderkey % 12 = 6 THEN p
         |         WHEN o_orderstatus = 'F' THEN p * 2
         |         WHEN o_orderstatus = 'O' THEN p + 1
         |         ELSE NULL END AS price,
         |    CASE WHEN o_orderkey % 30 = 0 THEN 'delete'
+        |         WHEN o_orderkey % 12 = 6 THEN 'delete'
         |         WHEN o_orderstatus IN ('F', 'O') THEN 'update'
         |         ELSE NULL END AS _change_type
         |  FROM base)
@@ -2828,16 +2891,20 @@ object LakeQueries {
     // which keys were last touched by which statement is pure
     // content: F rows were UPDATEd (seq 4), the rest keep their
     // insert sequence (2 or 3); %30 rows were DELETEd
+    // snap 8 position-DELETEs key%50==3; snap 9 position-UPDATEs
+    // status P — the tombstone DML cohorts stack on the COW ones
     "lake_row_lineage" ->
       """WITH live AS (
         |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 7 = 0 THEN 6
+        |    CASE WHEN o_orderstatus = 'P' THEN 9
+        |         WHEN o_orderkey % 7 = 0 THEN 6
         |         WHEN o_orderstatus = 'F' THEN 4
         |         WHEN o_orderkey % 3 = 0 THEN 2
         |         ELSE 3 END AS seq
         |  FROM orders
-        |  WHERE (o_orderkey % 3 IN (0, 1) AND o_orderkey % 30 <> 0)
+        |  WHERE ((o_orderkey % 3 IN (0, 1) AND o_orderkey % 30 <> 0)
         |     OR o_orderkey % 7 = 0)
+        |    AND o_orderkey % 50 <> 3)
         |SELECT CAST(seq AS BIGINT) AS last_seq,
         |  COUNT(*) AS n_rows,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
@@ -2937,16 +3004,30 @@ object LakeQueries {
     // epoch 2 (%3=1): tier = 'T1' (custkey%3 of that epoch); epoch 3
     // (%3=2): written post-rename/drop with constant tier 'T9'. bal
     // reads as balance across all epochs via the nested name mapping.
+    // per epoch: postal = zip bytes read through the grandchild
+    // rename (NULL when geo was born NULL: c_custkey % 7 = 0);
+    // region NULL for epoch-1 files (added later), 'R'||(k%2) for
+    // epoch 2, 'R9' for epoch 3 — all NULL when geo is NULL
     "lake_alter_nested" ->
       """SELECT c_custkey, c_acctbal AS balance,
-        |       CAST(NULL AS VARCHAR) AS tier
+        |       CAST(NULL AS VARCHAR) AS tier,
+        |       CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |            ELSE CAST(c_custkey % 1000 AS INT) END AS postal,
+        |       CAST(NULL AS VARCHAR) AS region
         |FROM customer WHERE c_custkey % 3 = 0
         |UNION ALL
-        |SELECT c_custkey, c_acctbal, 'T1' FROM customer
-        |WHERE c_custkey % 3 = 1
+        |SELECT c_custkey, c_acctbal, 'T1',
+        |       CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |            ELSE CAST(c_custkey % 1000 AS INT) END,
+        |       CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |            ELSE 'R' || CAST(c_custkey % 2 AS VARCHAR) END
+        |FROM customer WHERE c_custkey % 3 = 1
         |UNION ALL
-        |SELECT c_custkey, c_acctbal, 'T9' FROM customer
-        |WHERE c_custkey % 3 = 2
+        |SELECT c_custkey, c_acctbal, 'T9',
+        |       CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |            ELSE CAST(c_custkey % 1000 AS INT) END,
+        |       CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE 'R9' END
+        |FROM customer WHERE c_custkey % 3 = 2
         |ORDER BY c_custkey""".stripMargin
   )
 }

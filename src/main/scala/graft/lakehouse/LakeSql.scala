@@ -530,9 +530,8 @@ object LakeDdl {
       case ac: AddColumns =>
         claimAlter(spark, ac.table).map { name =>
           val cols = ac.columnsToAdd.map { c =>
+            // any struct depth: the table API recurses the path
             val path = c.path.map(_.name).getOrElse(Nil)
-            require(path.size <= 1,
-              "ADD COLUMNS supports one struct level (outer.inner)")
             // DEFAULT <expr> → Iceberg-v3-style initial default,
             // carried in field metadata (GraftTable validates and
             // scopes it to pre-add files)
@@ -570,8 +569,6 @@ object LakeDdl {
                 s.newComment.isEmpty && s.newPosition.isEmpty &&
                 s.newDefaultExpression.isEmpty && !s.dropDefault,
               "only ALTER COLUMN … TYPE is supported")
-            require(s.column.name.size <= 2,
-              "ALTER COLUMN supports one struct level (outer.inner)")
             (s.column.name.mkString("."), s.newDataType.get)
           }
           GraftAlterCommand(name, "ALTER COLUMN TYPE",
@@ -580,19 +577,13 @@ object LakeDdl {
 
       case rc: RenameColumn =>
         claimAlter(spark, rc.table).map { name =>
-          require(rc.column.name.size <= 2,
-            "RENAME COLUMN supports one struct level (outer.inner)")
           GraftAlterCommand(name, "RENAME COLUMN",
             _.renameColumn(rc.column.name.mkString("."), rc.newName))
         }
 
       case dc: DropColumns =>
         claimAlter(spark, dc.table).map { name =>
-          val cols = dc.columnsToDrop.map { c =>
-            require(c.name.size <= 2,
-              "DROP COLUMN supports one struct level (outer.inner)")
-            c.name.mkString(".")
-          }
+          val cols = dc.columnsToDrop.map(_.name.mkString("."))
           GraftAlterCommand(name, "DROP COLUMN",
             t => cols.foreach(t.dropColumn))
         }

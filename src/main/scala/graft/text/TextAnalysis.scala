@@ -110,6 +110,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Structured PII detection (the production pre-training scrub:
+    * Dolma/CCNet-style pattern classes, not a denylist): emails,
+    * phone numbers, SSN-shaped ids, IPv4 addresses — each class its
+    * own regex, its own per-doc COUNT column, and its own tag in the
+    * redacted text, plus a `has_pii` verdict conjunction, mirroring
+    * `text_gopher_filter`'s auditable per-rule shape (per-class hit
+    * rates are a one-line aggregate downstream). The corpus carries
+    * no real PII, so deterministic synthetic PII derived from doc_id
+    * is appended to 4 of 5 docs first — the oracle replays the same
+    * synthesis, making detection exactly checkable. Pure map-side:
+    * regexes compile once per codegen'd task, zero shuffles, scan
+    * speed at 100 TB. */
+  private val pii: Q = (s, d) => {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val synthetic = concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit(" id 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" on file")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") / 256).cast("long") % 256)
+              .cast("string"),
+            lit(" logged")))
+        .otherwise(lit("")))
+    // the enriched text feeds four counters and a four-stage replace
+    // chain: let-bind it once (CollapseProject would otherwise inline
+    // the synthesis per use)
+    val out = bind(synthetic, t =>
+      array(
+        size(regexp_extract_all(t, lit(email), lit(0))).cast("string"),
+        size(regexp_extract_all(t, lit(phone), lit(0))).cast("string"),
+        size(regexp_extract_all(t, lit(ssn), lit(0))).cast("string"),
+        size(regexp_extract_all(t, lit(ip), lit(0))).cast("string"),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+          email, "[EMAIL]"), phone, "[PHONE]"), ssn, "[SSN]"),
+          ip, "[IP]")))
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), out.as("m"))
+      .select(
+        col("doc_id"),
+        element_at(col("m"), 1).cast("int").as("n_email"),
+        element_at(col("m"), 2).cast("int").as("n_phone"),
+        element_at(col("m"), 3).cast("int").as("n_ssn"),
+        element_at(col("m"), 4).cast("int").as("n_ip"),
+        element_at(col("m"), 5).as("redacted"))
+      .withColumn("has_pii",
+        col("n_email") + col("n_phone") + col("n_ssn") + col("n_ip") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary: top-100 word bigrams by frequency. The
     * explode→count shape is the vocabulary/BPE-training primitive; at
     * 100 TB the groupBy is the only shuffle and partial aggregation
@@ -459,7 +523,8 @@ object TextAnalysis {
     "text_quality" -> quality,
     "text_langid" -> langid,
     "text_fingerprint" -> fingerprint,
-    "text_redact" -> redact)
+    "text_redact" -> redact,
+    "text_pii" -> pii)
 
   val oracles: Map[String, String] = Map(
     // trained-artifact decision row (the merge list is plan metadata,
@@ -620,6 +685,44 @@ object TextAnalysis {
         | CAST(len(regexp_extract_all(text, '\b(customer|key)\b')) AS INT)
         |   AS n_redactions
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same synthesis, same four class regexes, same replace order
+    // (DuckDB regexp_replace needs the explicit 'g' flag; Spark's is
+    // global by default)
+    "text_pii" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || CASE
+        |    WHEN doc_id % 5 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com now'
+        |    WHEN doc_id % 5 = 1 THEN ' call 555-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+        |    WHEN doc_id % 5 = 2 THEN ' id 123-45-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' on file'
+        |    WHEN doc_id % 5 = 3 THEN ' from 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |      CAST((doc_id // 256) % 256 AS VARCHAR) || ' logged'
+        |    ELSE '' END AS et
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, et,
+        |    CAST(len(regexp_extract_all(et,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+        |    CAST(len(regexp_extract_all(et,
+        |      '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+        |    CAST(len(regexp_extract_all(et,
+        |      '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+        |    CAST(len(regexp_extract_all(et,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip
+        |  FROM t)
+        |SELECT doc_id, n_email, n_phone, n_ssn, n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(et,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+        |    AS redacted,
+        |  (n_email + n_phone + n_ssn + n_ip > 0) AS has_pii
+        |FROM c ORDER BY doc_id""".stripMargin,
     // The polynomial fold (seed 7, base 31, mod 1e9+7) is reproduced
     // exactly: DuckDB ascii() == code point == what the native kernel
     // folds (corpus is ASCII; both engines agree on any BMP text).

@@ -1098,7 +1098,7 @@ class LakehouseSpec extends AnyFunSuite {
   }
 
   test("row lineage composes with deletion vectors: survivors keep " +
-      "ids, compaction materializes, tombstone shapes still refuse") {
+      "ids, compaction materializes, equality deletes still refuse") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))    // snap 1
     t.setProperties(Map(GraftTable.RowLineageProp -> "true",
       "write.delete.mode" -> "merge-on-read",
@@ -1124,10 +1124,58 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.readLineage()
       .select("k", "_row_id", "_last_updated_sequence_number")
       .as[(Long, Long, Long)].collect().toSet == lin)
-    // the other MoR shapes still refuse on lineage tables
+    // equality deletes still refuse (no row-position identity);
+    // POSITION tombstones now COMPOSE — Iceberg v3 pairs lineage
+    // with both delete shapes
     intercept[UnsupportedOperationException](t.deleteMoR("k = 3"))
-    intercept[UnsupportedOperationException](
-      t.deleteMoRPos("k = 3"))
+    val files4 = t.currentSnapshot.files
+    val pre4 = t.readLineage()
+      .select("k", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet
+    t.deleteMoRPos("k = 3")                                    // snap 5
+    assert(t.currentSnapshot.files == files4 &&
+      t.currentSnapshot.posDels.nonEmpty,
+      "the position delete must tombstone, not rewrite data files")
+    assert(t.readLineage()
+      .select("k", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet ==
+      pre4.filterNot(_._1 == 3L),
+      "tombstoned rows vanish; every survivor keeps id AND sequence")
+    // compaction materializes the tombstones, lineage bit-unchanged
+    t.compact(1)                                               // snap 6
+    assert(t.currentSnapshot.posDels.isEmpty)
+    assert(t.readLineage()
+      .select("k", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet ==
+      pre4.filterNot(_._1 == 3L))
+    // position-style MoR UPDATE preserves identity: old image
+    // tombstones, new image materializes the carried id with this
+    // commit's sequence
+    val df2 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "tag", "v")
+    val t2 = GraftTable.createEmpty(spark,
+      Files.createTempDirectory("graft_linpos").toString,
+      df2.schema)                                              // snap 1
+    t2.setProperties(Map(GraftTable.RowLineageProp -> "true",
+      "write.update.mode" -> "merge-on-read",
+      "write.delete.style" -> "position"))
+    t2.append(df2)                                             // snap 2
+    val preU = t2.readLineage().select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    t2.updateMoRPos(Map("v" -> "v * 10"), "k = 2")             // snap 3
+    val postU = t2.readLineage()
+    assert(postU.filter(col("k") === 2).head.getAs[Long]("_row_id")
+      == preU(2L), "position-MoR UPDATE must keep the row's id")
+    assert(postU.filter(col("k") === 2)
+      .head.getAs[Long]("_last_updated_sequence_number") == 3L)
+    assert(postU.filter(col("k") === 1)
+      .head.getAs[Long]("_last_updated_sequence_number") == 2L,
+      "untouched rows keep their sequence under tombstones")
+    // the tombstone-diff changelog leg: one keyed update, final image
+    val feed = t2.lineageChanges(2, 3).select("k", "_change_type", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(feed == Set((2L, "update", 20.0)),
+      s"position-MoR UPDATE must net to one keyed update: $feed")
   }
 
   test("lineage changelog: value swaps and double rewrites pair by " +
@@ -2814,6 +2862,66 @@ class LakehouseSpec extends AnyFunSuite {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
     }
+  }
+
+  test("depth-3 nested schema evolution: add/rename/drop a " +
+      "great-grandchild, null structs preserved at every level, " +
+      "retired deep names refuse reuse") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a{x, b{y, c{z}}} with NULLs at every struct level:
+    // k=1 full, k=2 a.b.c null, k=3 a.b null, k=4 a null
+    val t3 = StructType(Seq(StructField("z", LongType)))
+    val t2 = StructType(Seq(StructField("y", StringType),
+      StructField("c", t3)))
+    val t1 = StructType(Seq(StructField("x", StringType),
+      StructField("b", t2)))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("a", t1)))
+    val rows = Seq(
+      Row(1L, Row("x1", Row("y1", Row(10L)))),
+      Row(2L, Row("x2", Row("y2", null))),
+      Row(3L, Row("x3", null)),
+      Row(4L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_d3").toString, df)
+    // great-grandchild ADD: old rows read NULL w at every level
+    t.addColumns(Seq(StructField("a.b.c.w", StringType)))
+    // great-grandchild RENAME + epoch-2 rows under the new shape
+    t.renameColumn("a.b.c.z", "zz")
+    val s2 = StructType(Seq(StructField("k", LongType),
+      StructField("a", StructType(Seq(StructField("x", StringType),
+        StructField("b", StructType(Seq(StructField("y", StringType),
+          StructField("c", StructType(Seq(StructField("zz", LongType),
+            StructField("w", StringType))))))))))))
+    t.append(spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(5L, Row("x5", Row("y5", Row(50L, "w5"))))), 1), s2))
+    // great-grandchild DROP
+    t.dropColumn("a.b.c.w")
+    val got = t.read().orderBy("k").collect()
+    assert(got.length == 5)
+    def cOf(r: Row): Row = Option(r.getStruct(1))
+      .flatMap(a => Option(a.getStruct(1)))
+      .flatMap(b => Option(b.getStruct(1))).orNull
+    assert(cOf(got(0)) == Row(10L), "epoch-1 z reads through the rename")
+    assert(cOf(got(1)) == null && got(1).getStruct(1).getStruct(1)
+      .getString(0) == "y2", "null a.b.c stays null; siblings intact")
+    assert(got(2).getStruct(1).getStruct(1) == null, "null a.b stays null")
+    assert(got(3).getStruct(1) == null, "null a stays null")
+    assert(cOf(got(4)) == Row(50L), "epoch-2 zz reads in place")
+    // dropped deep name refuses resurrection until a rewrite
+    val e = intercept[IllegalArgumentException](
+      t.addColumns(Seq(StructField("a.b.c.w", StringType))))
+    assert(e.getMessage.contains("renamed or dropped"))
+    // deep type promotion widens in place (int would be unsafe here;
+    // long already — promote a fresh deep int instead)
+    t.addColumns(Seq(StructField("a.b.c.n", IntegerType)))
+    t.alterColumnType("a.b.c.n", LongType)
+    assert(t.currentSnapshot.schema("a").dataType
+      .asInstanceOf[StructType]("b").dataType.asInstanceOf[StructType]("c")
+      .dataType.asInstanceOf[StructType]("n").dataType == LongType)
   }
 
   test("hour(ts) transform: prune strict subset + lossless, SPJ " +
