@@ -1879,10 +1879,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         // vectored data file to net zero rows.
         val rawByEnc = to.files.filter(fromSet)
           .map(p => metaPath(p) -> p).toMap
-        def at(snap: Snapshot, pos: DataFrame): Option[DataFrame] = {
-          val touched = pos.select("_file").distinct()
-            .collect().map(_.getString(0)).toSeq
-            .flatMap(rawByEnc.get).sorted
+        // ONE driver action computes both sides' touched-file sets
+        // (the plain changelog's shape) — per-side collects would
+        // re-execute the tombstone/bitmap diff plans twice
+        val touched = newPos.select("_file")
+          .unionByName(gonePos.select("_file"))
+          .distinct().collect().map(_.getString(0)).toSeq
+          .flatMap(rawByEnc.get).sorted
+        def at(snap: Snapshot, pos: DataFrame): Option[DataFrame] =
           if (touched.isEmpty) None
           else {
             val rows = lineageSource(snap, touched, keepMeta = true)
@@ -1890,7 +1894,6 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
                 rows("_g_idx") === pos("_pos"), "left_semi")
               .drop("_g_file", "_g_idx"))
           }
-        }
         (at(from0, newPos), at(to, gonePos))
       }
     val d = posDel.map(x => side(from, removed, "_d_")
@@ -2889,18 +2892,26 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * so the rewritten files materialize every carried row's id and
     * last-update (Iceberg v3: "writers must preserve row ids when
     * rewriting"). */
+  /** Whether a COW rewrite of `files` can (and must) carry lineage:
+    * lineage is on AND every file already has a first-row-id range.
+    * The first post-enable commit fails the second clause — no file
+    * has a range yet, so there are no ids to preserve; the rewrite
+    * reads plain and THIS commit's manifest assigns ranges to the
+    * new files (mirrors compact()'s lineageServable fallback;
+    * without it a COW UPDATE/DELETE/MERGE as the very first
+    * post-enable commit would refuse on lineageSource's completeness
+    * require, and only an append or compact() could unwedge the
+    * table). UPDATE/MERGE consult this SAME predicate to decide
+    * whether their projections may reference the lineage columns —
+    * gating them on lineageEnabled alone would select _g_row_id from
+    * a plain fallback frame and fail analysis. */
+  private def cowLineageServable(snap: Snapshot,
+      files: Seq[String]): Boolean =
+    lineageEnabled && files.forall(snap.firstRowIds.contains)
+
   private def cowSource(snap: Snapshot, files: Seq[String]): DataFrame =
-    if (!lineageEnabled) readFilesMapped(snap, files)
-    // first post-enable commit: no file has a first-row-id range yet,
-    // so there are no ids to preserve — rewrite from the plain read
-    // and let THIS commit's manifest assign ranges to the new files
-    // (mirrors compact()'s lineageServable fallback; without it a COW
-    // UPDATE/DELETE/MERGE as the very first post-enable commit would
-    // refuse on lineageSource's completeness require, and only an
-    // append or compact() could unwedge the table)
-    else if (!files.forall(snap.firstRowIds.contains))
-      readFilesMapped(snap, files)
-    else lineageSource(snap, files)
+    if (cowLineageServable(snap, files)) lineageSource(snap, files)
+    else readFilesMapped(snap, files)
 
   /** Atomic table REPLACE (Iceberg RTAS / `CREATE OR REPLACE TABLE …
     * AS SELECT`): ONE swap commit through the same CAS publish as
@@ -3241,11 +3252,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // for MERGE): a concurrent setProperties must not flip the shape
     // between read and write branches.
     val vector = deleteStyle == "vector"
-    val lineageOn = lineageEnabled
     val p = expr(predSql)
     val assignments = resolveAssignments(assignments0,
       snap.schema.fieldNames.toSeq, "UPDATE SET")
     val cand = dmlCandidates(snap, predSql)
+    // same first-post-enable fallback as cowSource: before any file
+    // has a first-row-id range there are no ids to preserve — scan
+    // plain, and this very commit's manifest assigns ranges
+    val lineageOn = cowLineageServable(snap, cand)
     val matching =
       if (!lineageOn) morReadPos(snap, cand).filter(p)
       else lineageSource(snap, cand, keepMeta = true)
@@ -3369,9 +3383,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         // row lineage: an updated row keeps its _row_id and bumps its
         // last-updated to THIS commit (the -1 sentinel — the publish
         // id is unknowable pre-CAS; readers translate it through the
-        // rewritten file's own add-sequence); carried rows keep both
+        // rewritten file's own add-sequence); carried rows keep both.
+        // Gated on the SAME predicate as cowSource's fallback: the
+        // first post-enable commit reads plain and must not select
+        // the absent lineage columns.
         val lineageCols =
-          if (!lineageEnabled) Nil
+          if (!cowLineageServable(snap, rewrite)) Nil
           else Seq(col(GraftTable.RowIdColName),
             when(p, lit(-1L))
               .otherwise(col(GraftTable.LastSeqColName))
@@ -3750,8 +3767,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
             _.join(srcKeys, keys, "left_semi"))
           snap.files.filter(f => affected(normalize(f)))
         }
+      // same first-post-enable fallback as cowSource (see
+      // cowLineageServable): scan plain when no ids exist yet
+      val morLineage = lineageOn && cowLineageServable(snap, cand)
       val morSrc =
-        if (!lineageOn) (fs: Seq[String]) => morReadPos(snap, fs)
+        if (!morLineage) (fs: Seq[String]) => morReadPos(snap, fs)
         else (fs: Seq[String]) => lineageSource(snap, fs, keepMeta = true)
           .withColumn(GraftTable.PosFileCol, col("_g_file"))
           .withColumn(GraftTable.PosIdxCol, col("_g_idx"))
@@ -3776,7 +3796,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           if (deleteIdx.isEmpty) t
           else t.filter(
             !col(GraftTable.WinnerCol).isin(deleteIdx.map(Integer.valueOf): _*))
-        if (!lineageOn) postClause(kept)
+        if (!morLineage) postClause(kept)
         // every surviving matched row was rewritten by a clause:
         // keep its id, stamp the -1 sentinel
         else postClause2(kept, Seq(col(GraftTable.RowIdColName),
@@ -3830,8 +3850,12 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         // keeps its id and bumps last-updated to this commit (the -1
         // publish sentinel, as in UPDATE); carried rows (winner -1)
         // keep both. Inserted rows enter without lineage and inherit
-        // fresh ids from their new file's range.
-        val joined = (if (lineageOn) lineageSource(snap, rewrite)
+        // fresh ids from their new file's range. Gated on the same
+        // servability predicate as cowSource: the first post-enable
+        // commit reads plain (no ids exist yet to preserve) and the
+        // rewritten rows take fresh ids from this commit.
+        val cowLineage = cowLineageServable(snap, rewrite)
+        val joined = (if (cowLineage) lineageSource(snap, rewrite)
           else readFilesMapped(snap, rewrite))
           .join(right, joinCond, "left")
         val marked = joined.withColumn(GraftTable.WinnerCol,
@@ -3840,7 +3864,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           if (deleteIdx.isEmpty) marked
           else marked.filter(
             !col(GraftTable.WinnerCol).isin(deleteIdx.map(Integer.valueOf): _*))
-        if (!lineageOn) Some(postClause(kept))
+        if (!cowLineage) Some(postClause(kept))
         else Some(postClause2(kept, Seq(
           col(GraftTable.RowIdColName),
           when(col(GraftTable.WinnerCol) >= 0, lit(-1L))

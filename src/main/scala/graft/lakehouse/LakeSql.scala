@@ -72,6 +72,11 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // producer_iceberg_datalake_setup.sh:118-150). Both the full
         // dotted name and the bare table part serve as SQL aliases,
         // so `WHERE t.c = …` and `WHERE db.t.c = …` both strip.
+        // Qualifier-over-field precedence is the SQL rule: for a
+        // table `db.t` that ALSO has a struct column named `t`,
+        // `t.x` binds the table qualifier (write `db.t.t.x` to
+        // address the struct's field — the 2-part prefix strips,
+        // leaving `t.x` to resolve as the struct path).
         val name = LakeRegistry.nameOf(u.multipartIdentifier)
         // DML addressed to a view must refuse crisply, not fall into
         // relation resolution and fail as an unwritable subquery

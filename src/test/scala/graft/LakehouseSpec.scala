@@ -1178,6 +1178,34 @@ class LakehouseSpec extends AnyFunSuite {
       s"position-MoR UPDATE must net to one keyed update: $feed")
   }
 
+  test("first post-enable commit: COW UPDATE/MERGE and MoR position " +
+      "UPDATE assign ids instead of wedging") {
+    // no file has a first-row-id range between enable and the first
+    // commit — every DML shape must read plain and let its own
+    // commit assign ranges, not refuse on the completeness require
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.setProperties(Map(GraftTable.RowLineageProp -> "true"))
+    t.update(Map("v" -> "v + 1"), "k = 1") // first post-enable commit
+    val lin = t.readLineage()
+    assert(lin.count() == 2 &&
+      lin.select("_row_id").distinct().count() == 2)
+    assert(lin.filter(col("k") === 1).head.getAs[Double]("v") == 2.0)
+    val t2 = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t2.setProperties(Map(GraftTable.RowLineageProp -> "true"))
+    t2.merge(Seq((2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("k", "tag", "v"), "k") // first post-enable commit
+    assert(t2.readLineage().select("_row_id").distinct().count() == 3)
+    val t3 = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t3.setProperties(Map(GraftTable.RowLineageProp -> "true",
+      "write.update.mode" -> "merge-on-read",
+      "write.delete.style" -> "position"))
+    t3.updateMoRPos(Map("v" -> "v * 2"), "k = 2") // first post-enable
+    val l3 = t3.readLineage()
+    assert(l3.count() == 2 &&
+      l3.select("_row_id").distinct().count() == 2)
+    assert(l3.filter(col("k") === 2).head.getAs[Double]("v") == 4.0)
+  }
+
   test("lineage changelog: value swaps and double rewrites pair by " +
       "id, in-range insert+delete nets to zero") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))    // snap 1
