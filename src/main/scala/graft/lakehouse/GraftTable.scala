@@ -2744,6 +2744,46 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       dvsOverride = Some(Map.empty))
   }
 
+  /** SQL `TRUNCATE TABLE`: drop every live row in one METADATA-ONLY
+    * commit — no data file is read, written, or deleted; the old
+    * files stay on storage for time travel until snapshot expiry
+    * (Iceberg/Delta truncate semantics). Same state resets as
+    * [[overwrite]] (pending MoR deletes, DVs, and the rename log
+    * have nothing left to apply to). */
+  def truncate(): Long = {
+    val snap = currentSnapshot
+    commit("truncate", snap.schema, Nil, snap.partitionCols,
+      expectedParent = snap.id,
+      delsOverride = Some(Nil), renamesOverride = Some(Nil),
+      specHistOverride = Some(Nil), posDelsOverride = Some(Nil),
+      dvsOverride = Some(Map.empty))
+  }
+
+  /** SQL `TRUNCATE TABLE … PARTITION (p='v', …)`: drop exactly the
+    * named partition's rows, metadata-only; every other partition's
+    * files carry forward by reference. The spec must name EVERY
+    * partition source column — a partial spec with an empty source
+    * would silently no-op through row-derived discovery, so it
+    * refuses instead (same literal-derived replaced set as the
+    * static-overwrite truncate in [[overwritePartitions]]). */
+  def truncatePartition(staticSpec: Map[String, String]): Long = {
+    val snap = currentSnapshot
+    require(snap.partitionCols.nonEmpty, "table is not partitioned")
+    val resolved = staticSpec.map { case (k, v) =>
+      snap.schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITION ($k): no such column")) -> v
+    }
+    val sources = PartField.parseAll(snap.partitionCols).map(_.col)
+    require(sources.forall(resolved.contains) &&
+        resolved.keys.forall(sources.contains),
+      s"TRUNCATE PARTITION must name exactly the partition source " +
+        s"columns (${sources.mkString(", ")})")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    overwritePartitions(empty, resolved)
+  }
+
   // ---- row lineage (Iceberg v3) -----------------------------------
 
   /** True when the `row.lineage` table property is on. */
@@ -4544,8 +4584,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * forward by reference. The replaced-partition set is discovered
     * from `df` itself with one distinct on the (tiny) partition
     * columns. Partition values must be hive-path-representable
-    * (string/integral — true of any sane partition scheme). */
-  def overwritePartitions(df: DataFrame): Long = {
+    * (string/integral — true of any sane partition scheme).
+    *
+    * `staticSpec` (SQL `INSERT OVERWRITE … PARTITION (p='v')`): when
+    * it names EVERY partition source column, the replaced set is
+    * computed from the spec's literals instead of the rows — so an
+    * empty source TRUNCATES the named partition (the Hive/Iceberg
+    * static-overwrite contract; row-derived discovery would silently
+    * no-op). Transforms apply to the literals the same way they
+    * apply to rows, so `PARTITION (ts='2024-01-01 03:00:00')` under
+    * `hours(ts)` names the one hour cell. A PARTIAL static spec
+    * falls back to row discovery (all rows carry the static constant
+    * anyway, so non-empty sources behave identically). */
+  def overwritePartitions(df: DataFrame,
+      staticSpec: Map[String, String] = Map.empty): Long = {
     val snap = currentSnapshot
     require(snap.partitionCols.nonEmpty, "table is not partitioned")
     // replaced-partition matching is by current-spec directory
@@ -4565,9 +4617,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val dirNames =
       if (PartField.allIdentity(parts)) parts
       else spec.indices.map(PartField.dirCol)
-    val replaced: Set[Seq[String]] = df
+    val fullyStatic =
+      spec.map(_.col).forall(c => staticSpec.contains(c))
+    val specSource: DataFrame =
+      if (fullyStatic)
+        // one literal row — the transforms evaluate on the spec's
+        // values exactly as they would on data rows, so an empty
+        // source still names (and truncates) the right partition
+        spark.range(1).select(spec.map(f => lit(staticSpec(f.col))
+          .cast(snap.schema(f.col).dataType).as(f.col)): _*)
+      else df
+    val replaced: Set[Seq[String]] = specSource
       .select(spec.map(f =>
-        f.toColumn(df.schema(f.col).dataType).cast("string")): _*)
+        f.toColumn(specSource.schema(f.col).dataType).cast("string")): _*)
       .distinct().collect()
       .map(r => dirNames.indices.map(i => hiveSegment(dirNames(i), r.get(i))))
       .toSet

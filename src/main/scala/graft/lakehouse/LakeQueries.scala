@@ -879,6 +879,150 @@ object LakeQueries {
     t.read().select(orders.columns.map(col): _*).orderBy("o_orderkey")
   }
 
+  /** The full SQL INSERT surface beyond the bare positional form
+    * (ref: producer_iceberg_datalake_setup.sh:143's Athena
+    * `INSERT INTO db.t VALUES …` is the plain case; Hive/Iceberg/
+    * Spark all extend it with these): a COLUMN LIST whose omitted
+    * columns fill from write-DEFAULT or NULL, a STATIC `PARTITION
+    * (p='v')` spec that rides in as a typed constant, and `INSERT
+    * OVERWRITE … PARTITION (p='v')` replacing exactly the named
+    * partition while every other partition's files carry forward BY
+    * REFERENCE (require()d). At 100 TB the by-reference carry is the
+    * whole point: reloading today's partition costs today's bytes. */
+  private val insertSpec: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_ins"),
+      orders.filter(col("o_orderstatus").isin("O", "P")),
+      partitionBy = Seq("o_orderstatus"))
+    LakeRegistry.register("lake_ins_t", t)
+    s.sql("ALTER TABLE lake_ins_t ADD COLUMNS (src STRING DEFAULT 'seed')")
+    orders.createOrReplaceTempView("lake_ins_src")
+    // 1. column list: omitted o_totalprice (nullable) fills NULL,
+    //    omitted src takes its declared write-DEFAULT
+    s.sql("""INSERT INTO lake_ins_t (o_orderkey, o_orderstatus)
+            |SELECT o_orderkey, o_orderstatus FROM lake_ins_src
+            |WHERE o_orderstatus = 'F'""".stripMargin)
+    // 2. static PARTITION spec: the constant is cast to the source
+    //    column's type and may name a brand-new partition value
+    s.sql("""INSERT INTO lake_ins_t PARTITION (o_orderstatus = 'X')
+            |SELECT o_orderkey, o_totalprice, 'staged' FROM lake_ins_src
+            |WHERE o_orderstatus = 'P'""".stripMargin)
+    val before = t.currentSnapshot.files.toSet
+    // 3. OVERWRITE with a static spec replaces ONLY that partition
+    s.sql("""INSERT OVERWRITE lake_ins_t PARTITION (o_orderstatus = 'O')
+            |SELECT o_orderkey, o_totalprice * 2, 'replaced'
+            |FROM lake_ins_src WHERE o_orderstatus = 'O'""".stripMargin)
+    val after = t.currentSnapshot.files.toSet
+    require(before.filterNot(_.contains("o_orderstatus=O"))
+        .forall(after.contains),
+      "every partition outside the static spec must carry by reference")
+    require(!after.exists(f =>
+        f.contains("o_orderstatus=O") && before.contains(f)),
+      "the named partition must be fully replaced")
+    s.sql("SELECT * FROM lake_ins_t")
+      .orderBy("o_orderkey", "o_orderstatus")
+  }
+
+  /** `TRUNCATE TABLE` as SQL — whole-table and `PARTITION (p='v')`
+    * forms, both METADATA-ONLY (no data file read, written, or
+    * deleted; history stays time-travelable until snapshot expiry —
+    * the Iceberg/Delta contract). At 100 TB this is the difference
+    * between an O(1) manifest commit and a storage-scale delete
+    * job; partition truncate's survivors carry BY REFERENCE
+    * (require()d), and the full truncate is require()d to leave
+    * zero files while snapshot 1 still reads whole. */
+  private val truncateQ: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_trunc"), orders,
+      partitionBy = Seq("o_orderstatus"))
+    LakeRegistry.register("lake_trunc_t", t)
+    val before = t.currentSnapshot.files.toSet
+    s.sql("TRUNCATE TABLE lake_trunc_t PARTITION (o_orderstatus = 'F')")
+    val after = t.currentSnapshot.files.toSet
+    require(after.subsetOf(before) && after.nonEmpty &&
+      after.forall(!_.contains("o_orderstatus=F")),
+      "partition truncate must carry survivors by reference only")
+    val t2 = GraftTable.create(s, tmp("lake_trunc2"), orders.limit(100))
+    LakeRegistry.register("lake_trunc2_t", t2)
+    s.sql("TRUNCATE TABLE lake_trunc2_t")
+    require(t2.read().count() == 0 && t2.currentSnapshot.files.isEmpty &&
+      t2.readAt(1).count() == 100,
+      "full truncate is metadata-only with time travel intact")
+    s.sql("SELECT * FROM lake_trunc_t").orderBy("o_orderkey")
+  }
+
+  /** Partition spec evolution as SQL (Iceberg's `ALTER TABLE …
+    * ADD/REPLACE/DROP PARTITION FIELD`): three spec epochs —
+    * unpartitioned → `year(o_orderdate)` → `month(o_orderdate)` —
+    * each a metadata-only commit (require()d: no file rewrite), with
+    * the spec HISTORY scoping pruning per epoch: a 1999 predicate
+    * prunes year- and month-partitioned files while epoch-1 files
+    * (no dirs) are kept conservatively. The final DROP returns the
+    * spec to unpartitioned and must also rewrite nothing. */
+  private val partitionFieldDdl: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    val t = GraftTable.create(s, tmp("lake_pfd"),
+      orders.filter(upTo("1997-01-01")))
+    LakeRegistry.register("lake_pfd_t", t)
+    val files1 = t.currentSnapshot.files
+    s.sql("ALTER TABLE lake_pfd_t ADD PARTITION FIELD year(o_orderdate)")
+    require(t.currentSnapshot.files == files1 &&
+      t.currentSnapshot.partitionCols == Seq("year(o_orderdate)"),
+      "ADD PARTITION FIELD must be metadata-only")
+    t.append(orders.filter(!upTo("1997-01-01") && upTo("1999-01-01")))
+    s.sql("ALTER TABLE lake_pfd_t REPLACE PARTITION FIELD " +
+      "year(o_orderdate) WITH month(o_orderdate)")
+    t.append(orders.filter(!upTo("1999-01-01")))
+    val snap = t.currentSnapshot
+    require(snap.partitionCols == Seq("month(o_orderdate)"),
+      "REPLACE PARTITION FIELD must swap the field in place")
+    val pred = "o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'"
+    val pruned = t.prunePartitions(snap, pred)
+    require(pruned.size < snap.files.size && pruned.size >= files1.size,
+      s"epoch-scoped pruning: old files keep (no dirs), evolved " +
+        s"epochs prune (${pruned.size} of ${snap.files.size})")
+    s.sql("ALTER TABLE lake_pfd_t DROP PARTITION FIELD month(o_orderdate)")
+    require(t.currentSnapshot.partitionCols.isEmpty &&
+      t.currentSnapshot.files == snap.files,
+      "DROP PARTITION FIELD must be metadata-only")
+    t.read().orderBy("o_orderkey")
+  }
+
+  /** DML with subqueries (`DELETE/UPDATE … WHERE col [NOT] IN
+    * (SELECT …)`) — Iceberg/Delta both support this; the engine
+    * lowers it onto the MERGE path, so the subquery is evaluated
+    * ONCE as a distinct-projected join source (a broadcast-able
+    * relation of keys) instead of per-row — the only shape that
+    * survives 100 TB. ANSI NOT IN null semantics and residual
+    * plain conjuncts are covered; EXISTS/scalar shapes refuse
+    * loudly (spec-pinned). */
+  private val dmlSubquery: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_dmlsub"), orders)
+    LakeRegistry.register("lake_dmlsub_t", t)
+    Tables.customer(s, dir).createOrReplaceTempView("lake_dmlsub_cust")
+    s.sql(
+      """DELETE FROM lake_dmlsub_t WHERE o_custkey IN
+        |(SELECT c_custkey FROM lake_dmlsub_cust
+        | WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+    // a plain residual conjunct rides the merge clause's condition
+    s.sql(
+      """UPDATE lake_dmlsub_t SET o_totalprice = o_totalprice * 2
+        |WHERE o_custkey IN (SELECT c_custkey FROM lake_dmlsub_cust
+        |  WHERE c_mktsegment = 'AUTOMOBILE')
+        |  AND o_totalprice > 100000""".stripMargin)
+    s.sql(
+      """DELETE FROM lake_dmlsub_t WHERE o_custkey NOT IN
+        |(SELECT c_custkey FROM lake_dmlsub_cust
+        | WHERE c_mktsegment IN ('AUTOMOBILE','HOUSEHOLD','FURNITURE'))
+        |""".stripMargin)
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Bad write then rollback: current state equals snapshot 1, and
     * the rolled-back commit stays in history for inspection. */
   private val rollback: Q = (s, dir) => {
@@ -2383,6 +2527,10 @@ object LakeQueries {
     "lake_row_lineage"      -> rowLineage,
     "lake_cdc_lineage"      -> cdcLineage,
     "lake_overwrite_partition" -> overwritePartition,
+    "lake_insert_spec"      -> insertSpec,
+    "lake_truncate"         -> truncateQ,
+    "lake_partition_field_ddl" -> partitionFieldDdl,
+    "lake_dml_subquery"     -> dmlSubquery,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_merge_source"     -> mergeBySource,
@@ -2915,6 +3063,40 @@ object LakeQueries {
         |      ELSE o_totalprice END AS o_totalprice,
         | o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // O overwritten via static-spec OVERWRITE, P = seed (src
+    // backfilled by the ADD COLUMN initial-default), F = column-list
+    // INSERT (NULL price, write-DEFAULT src), X = static-spec INSERT
+    "lake_insert_spec" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, 'O' AS o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice, 'replaced' AS src
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'seed'
+        |  FROM orders WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE), 'seed'
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', o_totalprice, 'staged'
+        |  FROM orders WHERE o_orderstatus = 'P'
+        |) ORDER BY o_orderkey, o_orderstatus""".stripMargin,
+    "lake_truncate" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""".stripMargin,
+    // BUILDING deleted (IN), AUTOMOBILE >100k doubled (IN + residual),
+    // then everything outside the three segments deleted (NOT IN)
+    "lake_dml_subquery" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+        |        AND o.o_totalprice > 100000
+        |       THEN o.o_totalprice * 2 ELSE o.o_totalprice
+        |  END AS o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment IN ('AUTOMOBILE','HOUSEHOLD','FURNITURE')
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "lake_partition_field_ddl" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_rollback" ->
       "SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey",
     "lake_bucketed_join" ->

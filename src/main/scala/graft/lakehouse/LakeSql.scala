@@ -177,13 +177,56 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       s"TIMESTAMP AS OF requires a timestamp or string literal, got $other")
   }
 
+  /** `col [NOT] IN (subquery)` among the WHERE conjuncts of a
+    * DELETE/UPDATE → [[GraftSubqueryDmlCommand]]; None when the
+    * condition is subquery-free (the plain string-predicate path);
+    * every OTHER subquery shape (EXISTS, scalar, disjunctive) refuses
+    * loudly — the string path would degrade it to an unparseable
+    * predicate. */
+  private def subqueryDml(t: GraftTable, aliases: Set[String],
+      cond: Expression, sets: Option[Map[String, String]])
+      : Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Not, InSubquery,
+      ListQuery, SubqueryExpression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x         => Seq(x)
+    }
+    def hasSub(e: Expression) =
+      e.exists(_.isInstanceOf[SubqueryExpression])
+    val (subs, plain) = conjuncts(cond).partition(hasSub)
+    if (subs.isEmpty) return None
+    require(subs.size == 1,
+      "at most one [NOT] IN (subquery) conjunct per DELETE/UPDATE")
+    val residual =
+      if (plain.isEmpty) None
+      else Some(plain.map(p => unqualified(p, aliases).sql)
+        .mkString("(", ") AND (", ")"))
+    val (value, subPlan, negated) = subs.head match {
+      case InSubquery(values, lq: ListQuery) =>
+        require(values.size == 1,
+          "IN (subquery) supports a single value expression")
+        (values.head, lq.plan, false)
+      case Not(InSubquery(values, lq: ListQuery)) =>
+        require(values.size == 1,
+          "NOT IN (subquery) supports a single value expression")
+        (values.head, lq.plan, true)
+      case other => throw new UnsupportedOperationException(
+        "only `col [NOT] IN (subquery)` is supported in DELETE/UPDATE " +
+          s"WHERE; got: ${other.sql}")
+    }
+    Some(GraftSubqueryDmlCommand(t, subPlan, attrName(value, aliases),
+      negated, residual, sets))
+  }
+
   /** DDL/DML statements addressed to a graft table, lowered to eager
     * commands. None = not ours; fall through to [[resolveReads]]. */
   private def lowerCommand(plan: LogicalPlan): Option[LogicalPlan] = plan match {
     case d: DeleteFromTable =>
       target(d.table).map { case (t, aliases, name) =>
         checkWrite(name, "DELETE")
-        GraftDeleteCommand(t, unqualified(d.condition, aliases).sql)
+        subqueryDml(t, aliases, d.condition, None).getOrElse(
+          GraftDeleteCommand(t, unqualified(d.condition, aliases).sql))
           : LogicalPlan
       }
 
@@ -191,10 +234,18 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       target(u.table).map { case (t, aliases, name) =>
         checkWrite(name, "UPDATE")
         val sets = u.assignments.map { a =>
+          require(!a.value.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+                .SubqueryExpression]),
+            "subqueries in UPDATE SET values are not supported")
           attrName(a.key, aliases) -> unqualified(a.value, aliases).sql
         }.toMap
-        val cond = u.condition.map(unqualified(_, aliases).sql).getOrElse("true")
-        GraftUpdateCommand(t, sets, cond): LogicalPlan
+        u.condition.flatMap(subqueryDml(t, aliases, _, Some(sets)))
+          .getOrElse {
+            val cond =
+              u.condition.map(unqualified(_, aliases).sql).getOrElse("true")
+            GraftUpdateCommand(t, sets, cond): LogicalPlan
+          }
       }
 
     case m: MergeIntoTable =>
@@ -266,9 +317,8 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case i: InsertIntoStatement =>
       target(i.table).map { case (t, _, name) =>
         checkWrite(name, "INSERT")
-        require(i.partitionSpec.isEmpty && i.userSpecifiedCols.isEmpty,
-          "INSERT with a partition spec or column list is not supported")
-        GraftInsertCommand(t, i.query, i.overwrite, i.byName): LogicalPlan
+        GraftInsertCommand(t, i.query, i.overwrite, i.byName,
+          i.userSpecifiedCols, i.partitionSpec): LogicalPlan
       }
 
     case _ => None
@@ -381,6 +431,47 @@ case class GraftDeleteCommand(@transient table: GraftTable, cond: String)
   }
 }
 
+/** `DELETE/UPDATE … WHERE col [NOT] IN (subquery)` — the subquery
+  * becomes a MERGE source (distinct-projected to the key, so the
+  * cardinality check can never fire) and the DML lowers to the
+  * matching merge clause: `IN` → WHEN MATCHED, `NOT IN` → WHEN NOT
+  * MATCHED BY SOURCE. ANSI `NOT IN` null semantics hold: a NULL in
+  * the subquery result makes the predicate unknowable for every row,
+  * so the statement commits nothing (checked eagerly, one LIMIT-1
+  * probe); target rows with a NULL key are excluded from the
+  * NOT-MATCHED side by an implicit `key IS NOT NULL` residual. */
+case class GraftSubqueryDmlCommand(@transient table: GraftTable,
+    @transient src: LogicalPlan, key: String, negated: Boolean,
+    residual: Option[String], sets: Option[Map[String, String]])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSqlBridge.ofRows(spark, src)
+    require(df.columns.length == 1,
+      s"IN (subquery) must select exactly one column, got " +
+        s"${df.columns.length}")
+    val srcDf = df.toDF(key).distinct()
+    if (negated) {
+      // ANSI NOT IN: one NULL in the list makes every row's
+      // predicate UNKNOWN — the whole statement is a no-op
+      if (srcDf.filter(col(key).isNull).limit(1).count() > 0)
+        return Seq.empty
+      val cond = Some((residual.toSeq :+ s"$key IS NOT NULL")
+        .mkString("(", ") AND (", ")"))
+      table.merge(srcDf, Seq(key), Seq(sets match {
+        case Some(ss) => MergeClause.UpdateBySource(cond, ss)
+        case None     => MergeClause.DeleteBySource(cond)
+      }))
+    } else {
+      table.merge(srcDf, Seq(key), Seq(sets match {
+        case Some(ss) => MergeClause.Update(residual, ss)
+        case None     => MergeClause.Delete(residual)
+      }))
+    }
+    Seq.empty
+  }
+}
+
 case class GraftUpdateCommand(@transient table: GraftTable,
     sets: Map[String, String], cond: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -403,32 +494,106 @@ case class GraftMergeCommand(@transient table: GraftTable,
   }
 }
 
+/** INSERT [OVERWRITE] INTO t [(col list)] [PARTITION (p='v'[, …])]
+  * [BY NAME] <query> — the full Spark/Iceberg INSERT surface:
+  *
+  *  - a COLUMN LIST matches the query positionally onto the listed
+  *    columns; unlisted columns take their declared write-DEFAULT,
+  *    else NULL when nullable, else refuse loudly (never a silent
+  *    positional shift);
+  *  - a STATIC partition spec (`PARTITION (p='v')`) becomes a
+  *    constant column cast to the partition source's type (the Hive
+  *    form Iceberg also accepts); a dynamic entry (`PARTITION (p)`)
+  *    just asserts the column is a partition source;
+  *  - OVERWRITE with a static spec (or under
+  *    partitionOverwriteMode=dynamic) replaces exactly the
+  *    partitions the written rows land in, never the whole table;
+  *    a FULL static spec with an empty source truncates the named
+  *    partition (the Hive/Iceberg static-overwrite contract —
+  *    GraftTable.overwritePartitions derives the replaced set from
+  *    the spec's literals in that case, not the rows). */
 case class GraftInsertCommand(@transient table: GraftTable,
-    @transient query: LogicalPlan, overwrite: Boolean, byName: Boolean)
+    @transient query: LogicalPlan, overwrite: Boolean, byName: Boolean,
+    cols: Seq[String] = Nil,
+    partitionSpec: Map[String, Option[String]] = Map.empty)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
     val df0 = GraftSqlBridge.ofRows(spark, query)
+    val snap = table.currentSnapshot
+    val schema = snap.schema
+    require(cols.isEmpty || !byName,
+      "INSERT: a column list and BY NAME are mutually exclusive")
+    partitionSpec.keys.foreach { k =>
+      require(PartField.parseAll(snap.partitionCols)
+          .exists(_.col.equalsIgnoreCase(k)),
+        s"PARTITION ($k): '$k' is not a partition source column of " +
+          s"(${snap.partitionCols.mkString(", ")})")
+    }
+    val static = partitionSpec.collect { case (k, Some(v)) =>
+      schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITION ($k): no such column")) -> v
+    }
     // plain SQL INSERT matches columns by position (BY NAME opts out)
     val df =
       if (byName) df0
-      else {
-        val names = table.currentSnapshot.schema.fieldNames
+      else if (cols.nonEmpty) {
+        val resolved = cols.map(c =>
+          schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"INSERT column list names unknown column '$c'")))
+        require(resolved.distinct.size == resolved.size,
+          "INSERT column list repeats a column")
+        require(!resolved.exists(static.contains),
+          "a column may not appear in BOTH the column list and a " +
+            "static PARTITION spec")
+        require(df0.columns.length == resolved.length,
+          s"INSERT arity ${df0.columns.length} != column list " +
+            s"arity ${resolved.length}")
+        val named = df0.toDF(resolved.toIndexedSeq: _*)
+        schema.fields
+          .filterNot(f => resolved.contains(f.name) ||
+            static.contains(f.name))
+          .foldLeft(named) { (d, f) =>
+            // declared write-DEFAULTs fill in aligned(); bare
+            // nullable columns take NULL (the SQL contract)
+            if (f.metadata.contains(GraftTable.DefaultSqlKey)) d
+            else if (f.nullable)
+              d.withColumn(f.name, lit(null).cast(f.dataType))
+            else throw new IllegalArgumentException(
+              s"column '${f.name}' is not in the INSERT column " +
+                "list, is not nullable, and has no DEFAULT")
+          }
+      } else {
+        val names =
+          schema.fieldNames.filterNot(static.contains).toIndexedSeq
         require(df0.columns.length == names.length,
-          s"INSERT arity ${df0.columns.length} != table arity ${names.length}")
-        df0.toDF(names.toIndexedSeq: _*)
+          s"INSERT arity ${df0.columns.length} != expected arity " +
+            s"${names.length}" +
+            (if (static.nonEmpty)
+              s" (table minus static PARTITION columns)" else ""))
+        df0.toDF(names: _*)
       }
+    val withStatic = static.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, lit(v).cast(schema(c).dataType))
+    }
     if (overwrite) {
       // honor spark.sql.sources.partitionOverwriteMode=dynamic on a
       // partitioned table (Iceberg semantics): replace only the
       // partitions the new rows land in — a full-table truncate under
-      // that conf would silently drop every other partition
+      // that conf would silently drop every other partition. A
+      // STATIC spec forces the same per-partition replacement
+      // regardless of the conf (Hive's INSERT OVERWRITE … PARTITION
+      // (p='v') contract: only the named partition is replaced).
       val dynamic = spark.conf
         .get("spark.sql.sources.partitionOverwriteMode", "static")
         .equalsIgnoreCase("dynamic")
-      if (dynamic && table.currentSnapshot.partitionCols.nonEmpty)
-        table.overwritePartitions(df)
-      else table.overwrite(df)
-    } else table.append(df)
+      if ((dynamic || static.nonEmpty) &&
+          snap.partitionCols.nonEmpty)
+        table.overwritePartitions(withStatic, staticSpec = static)
+      else table.overwrite(withStatic)
+    } else table.append(withStatic)
     Seq.empty
   }
 }
@@ -563,6 +728,25 @@ object LakeDdl {
         claimAlter(spark, up.table).map { name =>
           GraftAlterCommand(name, "UNSET TBLPROPERTIES",
             t => t.setProperties(t.properties -- up.propertyKeys))
+        }
+
+      // TRUNCATE TABLE t [PARTITION (p='v', …)] — metadata-only row
+      // drop; old files stay for time travel until snapshot expiry
+      case tt: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
+        claimAlter(spark, tt.table).map { name =>
+          GraftAlterCommand(name, "TRUNCATE", _.truncate())
+        }
+      case tp: org.apache.spark.sql.catalyst.plans.logical
+          .TruncatePartition =>
+        claimAlter(spark, tp.table).map { name =>
+          val spec = tp.partitionSpec match {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedPartitionSpec => u.spec
+            case other => throw new IllegalArgumentException(
+              s"unsupported partition spec shape: $other")
+          }
+          GraftAlterCommand(name, "TRUNCATE PARTITION",
+            _.truncatePartition(spec))
         }
 
       // ALTER TABLE … ALTER COLUMN c TYPE t — safe type promotion
@@ -794,6 +978,23 @@ object LakeMaintenance {
   // snapshot's files onto the current head (rollback recovery)
   private val CherryPick =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+CHERRYPICK\s+SNAPSHOT\s+(\d+)\s*;?\s*""").r
+  // Iceberg's partition spec evolution DDL (ALTER TABLE … ADD/DROP/
+  // REPLACE PARTITION FIELD): metadata-only commits; existing files
+  // keep their layout and the spec history scopes pruning per epoch
+  // lazy so the REPLACE form's first field stops before WITH; spaces
+  // allowed inside transform parens (`day( ts )`)
+  private val F = """([\w().\s]+?)"""
+  private val AddPartField =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+ADD\s+PARTITION\s+FIELD\s+""" + F + """\s*;?\s*""").r
+  private val DropPartField =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+DROP\s+PARTITION\s+FIELD\s+""" + F + """\s*;?\s*""").r
+  private val ReplacePartField =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+REPLACE\s+PARTITION\s+FIELD\s+""" + F + """\s+WITH\s+""" + F + """\s*;?\s*""").r
+
+  /** Case/whitespace-insensitive partition-field equality:
+    * `year( o_orderdate )` names the same field as `YEAR(o_orderdate)`. */
+  private def normField(f: String): String =
+    f.replaceAll("\\s+", "").toLowerCase
 
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -829,6 +1030,34 @@ object LakeMaintenance {
       case CherryPick(name, id)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftCherryPickCommand(name.toLowerCase, id.toLong))
+      case AddPartField(name, field)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftAlterCommand(name.toLowerCase, "ADD PARTITION FIELD",
+          t => t.updatePartitionSpec(t.currentSnapshot.partitionCols :+
+            field.replaceAll("\\s+", ""))))
+      case DropPartField(name, field)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftAlterCommand(name.toLowerCase, "DROP PARTITION FIELD",
+          t => {
+            val cur = t.currentSnapshot.partitionCols
+            val f = normField(field)
+            require(cur.exists(c => normField(c) == f),
+              s"'$field' is not a partition field of " +
+                s"(${cur.mkString(", ")})")
+            t.updatePartitionSpec(cur.filterNot(c => normField(c) == f))
+          }))
+      case ReplacePartField(name, oldF, newF)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftAlterCommand(name.toLowerCase, "REPLACE PARTITION FIELD",
+          t => {
+            val cur = t.currentSnapshot.partitionCols
+            val o = normField(oldF)
+            require(cur.exists(c => normField(c) == o),
+              s"'$oldF' is not a partition field of " +
+                s"(${cur.mkString(", ")})")
+            t.updatePartitionSpec(cur.map(c =>
+              if (normField(c) == o) newF.replaceAll("\\s+", "") else c))
+          }))
       case RewriteManifests(name)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftRewriteManifestsCommand(name.toLowerCase))

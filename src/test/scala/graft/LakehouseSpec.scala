@@ -92,6 +92,150 @@ class LakehouseSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, "B", 20.0), (3L, "c", 3.0), (4L, "d", 4.0)))
   }
 
+  test("INSERT column lists, static PARTITION specs, and the " +
+      "empty-source static OVERWRITE truncate") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("p", StringType, nullable = false),
+      StructField("v", DoubleType, nullable = true),
+      StructField("note", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "a", 1.0, "r1"), Row(2L, "b", 2.0, "r2")), schema)
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString, df,
+      partitionBy = Seq("p"))
+    graft.lakehouse.LakeRegistry.register("inscols_t", t)
+    spark.sql("ALTER TABLE inscols_t ADD COLUMNS (src STRING DEFAULT 'd')")
+    // column list: omitted nullable v/note fill NULL, omitted src
+    // fills its declared write-DEFAULT
+    spark.sql("INSERT INTO inscols_t (k, p) VALUES (3, 'a')")
+    val r3 = t.read().filter(col("k") === 3).collect().head
+    assert(r3.getAs[String]("p") == "a" && r3.isNullAt(r3.fieldIndex("v"))
+      && r3.isNullAt(r3.fieldIndex("note"))
+      && r3.getAs[String]("src") == "d")
+    // static PARTITION spec composes with a column list; the
+    // constant may name a brand-new partition value
+    spark.sql("INSERT INTO inscols_t PARTITION (p = 'c') (k) VALUES (10)")
+    assert(t.read().filter(col("p") === "c").count() == 1)
+    // refusal matrix — and no refused statement may commit
+    val snaps = t.currentSnapshotId
+    intercept[IllegalArgumentException](spark.sql(
+      "INSERT INTO inscols_t (p) VALUES ('a')")) // k !null, no default
+    intercept[IllegalArgumentException](spark.sql(
+      "INSERT INTO inscols_t (k, zzz) VALUES (4, 'a')")) // unknown
+    intercept[IllegalArgumentException](spark.sql(
+      "INSERT INTO inscols_t (k, k) VALUES (4, 5)")) // repeated
+    intercept[IllegalArgumentException](spark.sql(
+      // p in BOTH the list and the static spec
+      "INSERT INTO inscols_t PARTITION (p = 'a') (k, p) VALUES (4, 'a')"))
+    intercept[IllegalArgumentException](spark.sql(
+      // v is not a partition source column
+      "INSERT INTO inscols_t PARTITION (v = 1.0) (k, p) VALUES (4, 'a')"))
+    intercept[IllegalArgumentException](spark.sql(
+      // arity: table minus static = (k, v, note, src) = 4, given 2
+      "INSERT INTO inscols_t PARTITION (p = 'c') VALUES (11, 11.0)"))
+    assert(t.currentSnapshotId == snaps, "refused INSERTs must not commit")
+    // static OVERWRITE with an EMPTY source truncates the named
+    // partition (row-derived discovery would silently no-op) and
+    // carries every other partition's files by reference
+    val before = t.currentSnapshot.files.toSet
+    spark.sql("""INSERT OVERWRITE inscols_t PARTITION (p = 'b')
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT),
+                |  CAST(NULL AS DOUBLE), 'n', 's') AS e(a, b, c, d)
+                |LIMIT 0""".stripMargin)
+    assert(t.read().filter(col("p") === "b").count() == 0,
+      "empty-source static OVERWRITE must truncate the named partition")
+    assert(before.filterNot(_.contains("p=b"))
+        .forall(t.currentSnapshot.files.toSet.contains),
+      "partitions outside the static spec must carry by reference")
+    assert(t.read().count() == 3) // a:2 rows, c:1 row survive
+  }
+
+  test("TRUNCATE and PARTITION FIELD DDL refusal matrix") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("p", StringType, nullable = false),
+      StructField("q", StringType, nullable = false)))
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString,
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row(1L, "a", "x"), Row(2L, "b", "y")), schema),
+      partitionBy = Seq("p", "q"))
+    graft.lakehouse.LakeRegistry.register("truncref_t", t)
+    val snaps = t.currentSnapshotId
+    // partial partition spec would silently no-op via row-derived
+    // discovery on an empty source — refuse instead
+    intercept[IllegalArgumentException](spark.sql(
+      "TRUNCATE TABLE truncref_t PARTITION (p = 'a')"))
+    // a non-partition-source column refuses
+    intercept[IllegalArgumentException](spark.sql(
+      "TRUNCATE TABLE truncref_t PARTITION (p = 'a', k = '1')"))
+    assert(t.currentSnapshotId == snaps, "refusals must not commit")
+    spark.sql("TRUNCATE TABLE truncref_t PARTITION (p = 'a', q = 'x')")
+    assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // unpartitioned table: PARTITION form refuses, full form works
+    val t2 = freshTable(Seq((1L, "a", 1.0)))
+    graft.lakehouse.LakeRegistry.register("truncref2_t", t2)
+    intercept[IllegalArgumentException](spark.sql(
+      "TRUNCATE TABLE truncref2_t PARTITION (k = '1')"))
+    spark.sql("TRUNCATE TABLE truncref2_t")
+    assert(t2.read().count() == 0)
+    // PARTITION FIELD DDL: identity fields are not data-complete
+    // (hive layout strips the column from data files) — refuse
+    intercept[IllegalArgumentException](spark.sql(
+      "ALTER TABLE truncref2_t ADD PARTITION FIELD tag"))
+    // unknown field refuses on DROP; case/space-insensitive match
+    val t3 = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString,
+      spark.range(3).select(col("id"),
+        lit("2024-05-01 10:00:00").cast("timestamp").as("ts")))
+    graft.lakehouse.LakeRegistry.register("truncref3_t", t3)
+    spark.sql("ALTER TABLE truncref3_t ADD PARTITION FIELD day(ts)")
+    intercept[IllegalArgumentException](spark.sql(
+      "ALTER TABLE truncref3_t DROP PARTITION FIELD month(ts)"))
+    spark.sql("ALTER TABLE truncref3_t DROP PARTITION FIELD DAY( ts )")
+    assert(t3.currentSnapshot.partitionCols.isEmpty,
+      "DROP PARTITION FIELD must match case/whitespace-insensitively")
+  }
+
+  test("DML subqueries: NOT IN null no-op, refusal shapes") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    graft.lakehouse.LakeRegistry.register("dmlsub_t", t)
+    Seq(Some(1L), None).toDF("x").createOrReplaceTempView("dmlsub_null")
+    Seq(2L, 2L).toDF("x").createOrReplaceTempView("dmlsub_dup")
+    // ANSI NOT IN: a NULL in the list makes the predicate UNKNOWN
+    // for every row — the statement must commit nothing
+    val snaps = t.currentSnapshotId
+    spark.sql(
+      "DELETE FROM dmlsub_t WHERE k NOT IN (SELECT x FROM dmlsub_null)")
+    assert(t.read().count() == 3 && t.currentSnapshotId == snaps,
+      "NOT IN with a NULL list must be a no-op")
+    // duplicate source keys must not trip the merge cardinality check
+    spark.sql(
+      "UPDATE dmlsub_t SET v = v * 10 WHERE k IN (SELECT x FROM dmlsub_dup)")
+    assert(t.read().filter(col("k") === 2).select("v")
+      .as[Double].head() == 20.0)
+    // IN with a residual conjunct, and IN against the null view
+    // (nulls in an IN list never match — only k=1 deletes)
+    spark.sql(
+      "DELETE FROM dmlsub_t WHERE k IN (SELECT x FROM dmlsub_null) AND v < 5")
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+    // refusals: EXISTS, scalar subquery in SET, two IN conjuncts
+    intercept[UnsupportedOperationException](spark.sql(
+      "DELETE FROM dmlsub_t WHERE EXISTS (SELECT 1 FROM dmlsub_dup)"))
+    intercept[IllegalArgumentException](spark.sql(
+      "UPDATE dmlsub_t SET v = (SELECT max(x) FROM dmlsub_dup) WHERE k = 2"))
+    intercept[IllegalArgumentException](spark.sql(
+      """DELETE FROM dmlsub_t WHERE k IN (SELECT x FROM dmlsub_dup)
+        |AND k IN (SELECT x FROM dmlsub_null)""".stripMargin))
+  }
+
   test("conditional MERGE clauses: AND conditions, partial SET, DELETE") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", -5.0), (3L, "c", 3.0)))
     graft.lakehouse.LakeRegistry.register("sqlmc_t", t)
