@@ -1050,6 +1050,94 @@ object Dedup {
     * The kept SET is bit-identical to the naive global greedy (the
     * oracle replays exactly that with one SUM OVER), but no stage
     * sorts more than a bucket. */
+  /** BPE-DENOMINATED token budget (`pipeline_bpe_budget`): the
+    * budget [[tokenBudgetQ]] cuts in chars/4 proxy tokens, cut in
+    * REAL trained-tokenizer tokens — what an LLM data mix actually
+    * buys. Train the corpus BPE (the bounded-vocabulary driver fold
+    * shared with `text_bpe`), count each doc's tokens with the
+    * native `graft_bpe_tokens` expression (one map-side pass, no
+    * shuffle of text), then greedy-keep by quality until the budget
+    * is spent — the same histogram-cut shape as [[tokenBudgetQ]]
+    * (bounded bucket aggregate + one ranked prefix over ONLY the
+    * boundary bucket), so no global sort of the corpus exists at
+    * any scale. The kept set depends on the trained artifact, so —
+    * like `text_bpe` — the output is a decision row whose laws
+    * (fits, greedy-maximal, non-trivial) are require()d in-query and
+    * whose SQL-computable facts the oracle replays. */
+  private val bpeBudgetQ: Q = (s, d) => {
+    val BpeBudget = 4000L
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .withColumn("w", split(lower(col("text")), " "))
+      .withColumn("w", expr("filter(w, t -> t != '')"))
+      .filter(size(col("w")) >= 1)
+    val vocab: Seq[(String, Long)] = docs
+      .select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(8192)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.text.TextAnalysis.trainBpe(vocab, 64)
+    val sep = new String(Array(0.toChar))
+    val mergeLits = merges.map { case (a, b) => s"$a$sep$b" }
+    val inList = Seq("the", "a", "of", "and", "to")
+      .map(w => s"'$w'").mkString(", ")
+    val scored = docs
+      .withColumn("tok", size(call_function("graft_bpe_tokens",
+        col("text"), array(mergeLits.map(lit): _*))).cast("long"))
+      .withColumn("q",
+        size(expr(s"filter(w, t -> t IN ($inList))")).cast("double") /
+          size(col("w")).cast("double") * 0.5 +
+        least(lit(1.0), size(col("w")).cast("double") / 100.0) * 0.5)
+      .select(col("doc_id"), col("tok"), col("q"),
+        least(floor(col("q") * BudgetBuckets),
+          lit(BudgetBuckets - 1)).cast("int").as("bkt"))
+    val cached = OpCache.swap("bpe_budget_scored", scored)
+    val hist = cached.groupBy(col("bkt"))
+      .agg(sum(col("tok")).as("btok"))
+      .withColumn("cum_incl", sum(col("btok")).over(
+        W.orderBy(col("bkt").desc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val cut = hist.filter(col("cum_incl") > BpeBudget)
+      .agg(max(struct(col("bkt"),
+        (col("cum_incl") - col("btok")).as("cum_before"))).as("c"))
+      .select(col("c.bkt").as("cut_bkt"),
+        (lit(BpeBudget) - col("c.cum_before")).as("remaining"))
+    // left join on a constant key: an empty `cut` (corpus fits the
+    // budget whole) must keep every row, not drop them all
+    val tagged = cached.withColumn("one", lit(1))
+      .join(broadcast(cut.withColumn("one", lit(1))), Seq("one"), "left")
+    val kept = tagged
+      .filter(col("cut_bkt").isNull || col("bkt") > col("cut_bkt"))
+      .select(col("doc_id"), col("tok"), col("q"))
+      .unionAll(tagged.filter(col("bkt") === col("cut_bkt"))
+        .withColumn("cum_in_bkt", sum(col("tok")).over(
+          W.orderBy(col("q").desc, col("doc_id").asc)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .filter(col("cum_in_bkt") <= col("remaining"))
+        .select(col("doc_id"), col("tok"), col("q")))
+    val keptAgg = kept.agg(count(lit(1)).as("n_kept"),
+      coalesce(sum(col("tok")), lit(0L)).as("kept_tok")).head()
+    val (nKept, keptTok) =
+      (keptAgg.getAs[Long]("n_kept"), keptAgg.getAs[Long]("kept_tok"))
+    val nDocs = cached.count()
+    require(keptTok <= BpeBudget, s"kept $keptTok exceeds $BpeBudget")
+    require(nKept > 0 && nKept < nDocs,
+      s"budget cut must be non-trivial ($nKept of $nDocs)")
+    // greedy maximality: the best-ranked EXCLUDED doc must overflow
+    val firstExcluded = cached.join(kept.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .orderBy(col("q").desc, col("doc_id").asc).limit(1)
+      .select(col("tok")).collect().map(_.getLong(0))
+    require(firstExcluded.isEmpty ||
+      keptTok + firstExcluded.head > BpeBudget,
+      "greedy prefix must be maximal: the next-ranked doc overflows")
+    import s.implicits._
+    Seq((nDocs, BpeBudget, true, true, true))
+      .toDF("n_docs", "budget", "kept_fits", "greedy_maximal",
+        "non_trivial")
+  }
+
   private val tokenBudgetQ: Q = (s, d) => {
     val inList = Seq("the", "a", "of", "and", "to")
       .map(w => s"'$w'").mkString(", ")
@@ -1102,6 +1190,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "pipeline_token_budget" -> tokenBudgetQ,
+    "pipeline_bpe_budget" -> bpeBudgetQ,
     "pipeline_shuffle" -> shuffleQ,
     "pipeline_clean_corpus" -> cleanCorpus,
     "pipeline_stratified_sample" -> stratifiedSample,
@@ -1134,6 +1223,17 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     // the NAIVE global greedy (one SUM OVER per source) — the
     // histogram-cut plan must reproduce its kept set exactly
+    // trained-artifact decision row (text_bpe's contract): the kept
+    // set depends on the trained merges, so the oracle pins the
+    // SQL-computable facts and the in-query require()s carry the laws
+    "pipeline_bpe_budget" ->
+      """SELECT COUNT(*) AS n_docs, CAST(4000 AS BIGINT) AS budget,
+        |  true AS kept_fits, true AS greedy_maximal,
+        |  true AS non_trivial
+        |FROM documents
+        |WHERE text IS NOT NULL
+        |  AND len(list_filter(string_split(lower(text), ' '),
+        |          t -> t != '')) >= 1""".stripMargin,
     "pipeline_token_budget" ->
       """WITH t AS (SELECT source, doc_id, text,
         |             string_split(lower(text), ' ') w FROM documents

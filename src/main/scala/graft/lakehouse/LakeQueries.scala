@@ -1023,6 +1023,46 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** VARIANT shredding INSIDE the lakehouse format (`lake_variant`;
+    * the managed-table half of `q45_variant`'s bare-parquet proof):
+    * the shredded pair (typed struct + JSON residual) lives in a
+    * graft table, row-level COW DML runs against BOTH halves — a
+    * DELETE on the shredded hot path (`v_typed.k`) and one on the
+    * residual long tail (`get_json_object`) — and the post-DML read
+    * still pushes the shredded predicate into the parquet scan
+    * (require()d). At 100 TB that composition is the point: DML
+    * rewrites never de-shred, so the hot path stays a native column
+    * scan forever. */
+  private val variantLake: Q = (s, dir) => {
+    import org.apache.spark.sql.types.StructType
+    val ev = Tables.events(s, dir)
+    val raw = ev.select(col("event_id"),
+      to_json(struct(
+        from_json(col("props"), StructType.fromDDL("k INT"))
+          .getField("k").as("k"),
+        col("event_type").as("lvl"))).as("v"))
+    val shredSchema = StructType.fromDDL("k INT")
+    val (typed, residual) =
+      graft.sources.Variant.shred(col("v"), shredSchema)
+    val t = GraftTable.create(s, tmp("lake_var"),
+      raw.select(col("event_id"), typed.as("v_typed"),
+        residual.as("v_residual")))
+    LakeRegistry.register("lake_var_t", t)
+    s.sql("DELETE FROM lake_var_t WHERE v_typed.k < 10")
+    s.sql("DELETE FROM lake_var_t WHERE " +
+      "get_json_object(v_residual, '$.lvl') = 'view'")
+    val get = (p: String) => graft.sources.Variant.variantGet(
+      col("v_typed"), col("v_residual"), shredSchema, p)
+    val q = t.read().filter(get("k") >= 50)
+      .select(col("event_id"), get("k").as("k"), get("lvl").as("lvl"))
+      .orderBy("event_id")
+    val scanText = q.queryExecution.executedPlan.toString()
+    require(scanText.contains("v_typed.k"),
+      "the shredded path must push into the managed table's scan:\n" +
+        scanText)
+    q
+  }
+
   /** Bad write then rollback: current state equals snapshot 1, and
     * the rolled-back commit stays in history for inspection. */
   private val rollback: Q = (s, dir) => {
@@ -2531,6 +2571,7 @@ object LakeQueries {
     "lake_truncate"         -> truncateQ,
     "lake_partition_field_ddl" -> partitionFieldDdl,
     "lake_dml_subquery"     -> dmlSubquery,
+    "lake_variant"          -> variantLake,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_merge_source"     -> mergeBySource,
@@ -3084,6 +3125,16 @@ object LakeQueries {
     "lake_truncate" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""".stripMargin,
+    // k<10 COW-deleted on the shredded path, 'view' deleted on the
+    // residual path, final read filters the shredded hot path
+    "lake_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k,
+        |  event_type AS lvl
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS INT) >= 50
+        |  AND event_type <> 'view'
+        |ORDER BY event_id""".stripMargin,
     // BUILDING deleted (IN), AUTOMOBILE >100k doubled (IN + residual),
     // then everything outside the three segments deleted (NOT IN)
     "lake_dml_subquery" ->
