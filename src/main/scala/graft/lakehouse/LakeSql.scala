@@ -537,7 +537,16 @@ case class GraftInsertCommand(@transient table: GraftTable,
     }
     // plain SQL INSERT matches columns by position (BY NAME opts out)
     val df =
-      if (byName) df0
+      if (byName) {
+        // a BY NAME query may not also provide a statically-spec'd
+        // partition column — silently overwriting it would hide a
+        // contradiction between the two (Hive refuses the same way)
+        static.keys.foreach(k => require(
+          !df0.columns.exists(_.equalsIgnoreCase(k)),
+          s"BY NAME query provides '$k', which the static PARTITION " +
+            "spec also sets"))
+        df0
+      }
       else if (cols.nonEmpty) {
         val resolved = cols.map(c =>
           schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(

@@ -113,6 +113,22 @@ object Sources {
     s.read.text(dir).orderBy("value")
   }
 
+  /** customer → XML → back, schema-enforced (Spark 4 ships the XML
+    * datasource built in — the spark-xml donation): `rowTag` scoping
+    * on read, explicit schema (same no-inference rule as CSV/JSON —
+    * XML inference is an extra full pass), lossless for this corpus's
+    * types. XML is strictly an INGEST format (row-oriented, verbose,
+    * unsplittable under gzip): the roundtrip proves third-party feed
+    * ingest, after which data lives in parquet. */
+  private val xmlRoundtrip: Q = (s, d) => {
+    val customer = Tables.customer(s, d)
+    val dir = tmp("src_xml")
+    customer.write.mode("overwrite").option("rowTag", "row")
+      .format("xml").save(dir)
+    s.read.schema(customer.schema).option("rowTag", "row")
+      .format("xml").load(dir).orderBy("c_custkey")
+  }
+
   /** Schema-drift ingest: two parquet generations under one root —
     * v1 writes (o_orderkey, o_custkey), a later v2 adds
     * o_totalprice — read back with `mergeSchema`, which unions the
@@ -190,12 +206,15 @@ object Sources {
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_text_roundtrip" -> textRoundtrip,
+    "src_xml_roundtrip" -> xmlRoundtrip,
     "src_partitioned_sink" -> partitionedSink,
     "src_schema_merge" -> schemaMerge,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracles: Map[String, String] = Map(
     "src_csv_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+    "src_xml_roundtrip" ->
       "SELECT * FROM customer ORDER BY c_custkey",
     "src_orc_roundtrip" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",

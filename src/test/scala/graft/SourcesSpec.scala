@@ -17,6 +17,13 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.except(orig).count() == 0 && orig.except(back).count() == 0)
   }
 
+  test("xml roundtrip is lossless and schema-enforced") {
+    val orig = Tables.customer(spark, sf)
+    val back = SparkEntry.queries("src_xml_roundtrip")(spark, sf)
+    assert(back.schema == orig.schema)
+    assert(back.except(orig).count() == 0 && orig.except(back).count() == 0)
+  }
+
   test("jsonl roundtrip is lossless including timestamps") {
     val orig = Tables.orders(spark, sf)
     val back = SparkEntry.queries("src_json_roundtrip")(spark, sf)
