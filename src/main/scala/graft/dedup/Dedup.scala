@@ -1070,25 +1070,14 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .filter(col("text").isNotNull)
       .withColumn("w", split(lower(col("text")), " "))
-      .withColumn("w", expr("filter(w, t -> t != '')"))
-      .filter(size(col("w")) >= 1)
-    val vocab: Seq[(String, Long)] = docs
-      .select(explode(col("w")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("t").asc).limit(8192)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val merges = graft.text.TextAnalysis.trainBpe(vocab, 64)
-    val sep = new String(Array(0.toChar))
-    val mergeLits = merges.map { case (a, b) => s"$a$sep$b" }
-    val inList = Seq("the", "a", "of", "and", "to")
-      .map(w => s"'$w'").mkString(", ")
+      .filter(size(expr("filter(w, t -> t != '')")) >= 1)
+    // shared trained-artifact path with text_bpe (vocab fold, merges,
+    // and the NUL merge-literal contract live in ONE place)
+    val mergeLits = graft.text.TextAnalysis.corpusBpeMergeLits(docs)
     val scored = docs
       .withColumn("tok", size(call_function("graft_bpe_tokens",
         col("text"), array(mergeLits.map(lit): _*))).cast("long"))
-      .withColumn("q",
-        size(expr(s"filter(w, t -> t IN ($inList))")).cast("double") /
-          size(col("w")).cast("double") * 0.5 +
-        least(lit(1.0), size(col("w")).cast("double") / 100.0) * 0.5)
+      .withColumn("q", qualityCol)
       .select(col("doc_id"), col("tok"), col("q"),
         least(floor(col("q") * BudgetBuckets),
           lit(BudgetBuckets - 1)).cast("int").as("bkt"))
@@ -1138,9 +1127,20 @@ object Dedup {
         "non_trivial")
   }
 
-  private val tokenBudgetQ: Q = (s, d) => {
+  /** The composite [0,1] quality score the budget cuts rank by
+    * (stop-ratio half + capped-length half), over a `w` token-array
+    * column — ONE definition for `pipeline_token_budget` and
+    * `pipeline_bpe_budget`, so the cut ordering can never drift
+    * between the proxy-token and trained-token denominations. */
+  private def qualityCol: Column = {
     val inList = Seq("the", "a", "of", "and", "to")
       .map(w => s"'$w'").mkString(", ")
+    size(expr(s"filter(w, t -> t IN ($inList))")).cast("double") /
+      size(col("w")).cast("double") * 0.5 +
+      least(lit(1.0), size(col("w")).cast("double") / 100.0) * 0.5
+  }
+
+  private val tokenBudgetQ: Q = (s, d) => {
     val W = org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(s, d)
       // same degenerate-input guard as sourceCapQ: a 0-token doc
@@ -1148,14 +1148,9 @@ object Dedup {
       .filter(col("text").isNotNull)
       .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
       .filter(size(col("w")) >= 1)
-      .withColumn("n_tokens", size(col("w")))
-      .withColumn("n_stop",
-        size(expr(s"filter(w, t -> t IN ($inList))")))
       .select(col("source"), col("doc_id"),
         ceil(length(col("text")) / 4.0).cast("long").as("tok"),
-        (col("n_stop").cast("double") / col("n_tokens").cast("double") * 0.5 +
-          least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5)
-          .as("q"))
+        qualityCol.as("q"))
       // score ∈ [0,1]: stop_ratio ≤ 1 and the length term caps at 1
       .withColumn("bkt", least(floor(col("q") * BudgetBuckets),
         lit(BudgetBuckets - 1)).cast("int"))

@@ -2759,26 +2759,27 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       dvsOverride = Some(Map.empty))
   }
 
-  /** SQL `TRUNCATE TABLE … PARTITION (p='v', …)`: drop exactly the
-    * named partition's rows, metadata-only; every other partition's
-    * files carry forward by reference. The spec must name EVERY
-    * partition source column — a partial spec with an empty source
-    * would silently no-op through row-derived discovery, so it
-    * refuses instead (same literal-derived replaced set as the
-    * static-overwrite truncate in [[overwritePartitions]]). */
+  /** SQL `TRUNCATE TABLE … PARTITION (p='v', …)`: drop every file
+    * matching the spec'd fields' literal segments, metadata-only;
+    * everything else carries forward by reference. A PARTIAL spec is
+    * a PREFIX truncate (Hive's contract: `PARTITION (a='1')` on an
+    * (a,b)-partitioned table drops all of `a=1`) — the replaced set
+    * derives from the spec's literals via [[overwritePartitions]],
+    * never from (empty) rows. Every spec'd key must be a partition
+    * source column. */
   def truncatePartition(staticSpec: Map[String, String]): Long = {
     val snap = currentSnapshot
     require(snap.partitionCols.nonEmpty, "table is not partitioned")
+    require(staticSpec.nonEmpty, "TRUNCATE PARTITION needs a spec")
     val resolved = staticSpec.map { case (k, v) =>
       snap.schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
         throw new IllegalArgumentException(
           s"PARTITION ($k): no such column")) -> v
     }
     val sources = PartField.parseAll(snap.partitionCols).map(_.col)
-    require(sources.forall(resolved.contains) &&
-        resolved.keys.forall(sources.contains),
-      s"TRUNCATE PARTITION must name exactly the partition source " +
-        s"columns (${sources.mkString(", ")})")
+    require(resolved.keys.forall(sources.contains),
+      s"TRUNCATE PARTITION keys must be partition source columns " +
+        s"(${sources.mkString(", ")})")
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     overwritePartitions(empty, resolved)
@@ -4586,16 +4587,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * columns. Partition values must be hive-path-representable
     * (string/integral — true of any sane partition scheme).
     *
-    * `staticSpec` (SQL `INSERT OVERWRITE … PARTITION (p='v')`): when
-    * it names EVERY partition source column, the replaced set is
-    * computed from the spec's literals instead of the rows — so an
-    * empty source TRUNCATES the named partition (the Hive/Iceberg
-    * static-overwrite contract; row-derived discovery would silently
-    * no-op). Transforms apply to the literals the same way they
-    * apply to rows, so `PARTITION (ts='2024-01-01 03:00:00')` under
-    * `hours(ts)` names the one hour cell. A PARTIAL static spec
-    * falls back to row discovery (all rows carry the static constant
-    * anyway, so non-empty sources behave identically). */
+    * `staticSpec` (SQL `INSERT OVERWRITE … PARTITION (p='v')` under
+    * `partitionOverwriteMode=static`, Hive's contract): the replaced
+    * set is every file matching the spec'd fields' literal segments —
+    * a PREFIX drop, so a PARTIAL spec (`PARTITION (a='1', b)`) drops
+    * ALL of `a=1` before writing, and an empty source TRUNCATES the
+    * named prefix (row-derived discovery would silently no-op and
+    * keep sibling cells). Transforms apply to the literals the same
+    * way they apply to rows, so `PARTITION (ts='2024-01-01
+    * 03:00:00')` under `hours(ts)` names the one hour cell. */
   def overwritePartitions(df: DataFrame,
       staticSpec: Map[String, String] = Map.empty): Long = {
     val snap = currentSnapshot
@@ -4617,22 +4617,30 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val dirNames =
       if (PartField.allIdentity(parts)) parts
       else spec.indices.map(PartField.dirCol)
-    val fullyStatic =
-      spec.map(_.col).forall(c => staticSpec.contains(c))
-    val specSource: DataFrame =
-      if (fullyStatic)
-        // one literal row — the transforms evaluate on the spec's
-        // values exactly as they would on data rows, so an empty
-        // source still names (and truncates) the right partition
-        spark.range(1).select(spec.map(f => lit(staticSpec(f.col))
-          .cast(snap.schema(f.col).dataType).as(f.col)): _*)
-      else df
-    val replaced: Set[Seq[String]] = specSource
-      .select(spec.map(f =>
-        f.toColumn(specSource.schema(f.col).dataType).cast("string")): _*)
-      .distinct().collect()
-      .map(r => dirNames.indices.map(i => hiveSegment(dirNames(i), r.get(i))))
-      .toSet
+    val replaced: Set[Seq[String]] =
+      if (staticSpec.nonEmpty) {
+        // the spec'd fields' segments only — one literal row; the
+        // transforms evaluate on the spec's values exactly as they
+        // would on data rows, so an empty source still names (and
+        // truncates) the right prefix; un-spec'd fields are left out
+        // of the match, which is exactly the Hive prefix-drop
+        val specd = spec.zipWithIndex
+          .filter { case (f, _) => staticSpec.contains(f.col) }
+        val one = spark.range(1).select(specd.map { case (f, _) =>
+          lit(staticSpec(f.col))
+            .cast(snap.schema(f.col).dataType).as(f.col) }: _*)
+        val r = one.select(specd.map { case (f, _) =>
+          f.toColumn(one.schema(f.col).dataType).cast("string") }: _*)
+          .head()
+        Set(specd.indices.map(j =>
+          hiveSegment(dirNames(specd(j)._2), r.get(j))))
+      } else df
+        .select(spec.map(f =>
+          f.toColumn(df.schema(f.col).dataType).cast("string")): _*)
+        .distinct().collect()
+        .map(r => dirNames.indices.map(i =>
+          hiveSegment(dirNames(i), r.get(i))))
+        .toSet
     val keep = snap.files.filterNot { f =>
       val segs = layoutSegs(f).toSet
       replaced.exists(_.forall(segs.contains))

@@ -432,14 +432,20 @@ case class GraftDeleteCommand(@transient table: GraftTable, cond: String)
 }
 
 /** `DELETE/UPDATE … WHERE col [NOT] IN (subquery)` — the subquery
-  * becomes a MERGE source (distinct-projected to the key, so the
-  * cardinality check can never fire) and the DML lowers to the
-  * matching merge clause: `IN` → WHEN MATCHED, `NOT IN` → WHEN NOT
-  * MATCHED BY SOURCE. ANSI `NOT IN` null semantics hold: a NULL in
-  * the subquery result makes the predicate unknowable for every row,
-  * so the statement commits nothing (checked eagerly, one LIMIT-1
-  * probe); target rows with a NULL key are excluded from the
-  * NOT-MATCHED side by an implicit `key IS NOT NULL` residual. */
+  * becomes a MERGE source (distinct-projected to the key and
+  * PERSISTED once, so the cardinality check can never fire and the
+  * probes don't re-run it) and the DML lowers to the matching merge
+  * clause: `IN` → WHEN MATCHED, `NOT IN` → WHEN NOT MATCHED BY
+  * SOURCE. ANSI `NOT IN` null semantics hold: a NULL in the subquery
+  * result makes the predicate unknowable for every row, so the
+  * statement commits nothing; an EMPTY result makes `NOT IN` true
+  * for every row (including NULL-keyed ones — it degrades to the
+  * plain DML on just the residual) and `IN` false for every row
+  * (no-op); with a non-empty list, NULL-keyed target rows are
+  * excluded from the NOT-MATCHED side by an implicit `key IS NOT
+  * NULL` residual. The merge engine's own capability limits (pending
+  * MoR tombstones, BySource COW-only) apply and are surfaced with a
+  * subquery-DML context prefix. */
 case class GraftSubqueryDmlCommand(@transient table: GraftTable,
     @transient src: LogicalPlan, key: String, negated: Boolean,
     residual: Option[String], sets: Option[Map[String, String]])
@@ -450,25 +456,73 @@ case class GraftSubqueryDmlCommand(@transient table: GraftTable,
     require(df.columns.length == 1,
       s"IN (subquery) must select exactly one column, got " +
         s"${df.columns.length}")
+    // one computed copy: the null/empty probes AND the merge's own
+    // consumptions would otherwise each re-run the subquery (Spark
+    // does not CSE across actions)
     val srcDf = df.toDF(key).distinct()
-    if (negated) {
-      // ANSI NOT IN: one NULL in the list makes every row's
-      // predicate UNKNOWN — the whole statement is a no-op
-      if (srcDf.filter(col(key).isNull).limit(1).count() > 0)
-        return Seq.empty
-      val cond = Some((residual.toSeq :+ s"$key IS NOT NULL")
-        .mkString("(", ") AND (", ")"))
-      table.merge(srcDf, Seq(key), Seq(sets match {
-        case Some(ss) => MergeClause.UpdateBySource(cond, ss)
-        case None     => MergeClause.DeleteBySource(cond)
-      }))
-    } else {
-      table.merge(srcDf, Seq(key), Seq(sets match {
-        case Some(ss) => MergeClause.Update(residual, ss)
-        case None     => MergeClause.Delete(residual)
-      }))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = srcDf.select(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col(key).isNull, 1L)
+            .otherwise(0L)).as("nulls")).head()
+      val (nRows, nNulls) =
+        (probe.getAs[Long]("n"),
+          Option(probe.getAs[Any]("nulls")).fold(0L)(
+            _.asInstanceOf[Long]))
+      // the merge engine inherits its own capability limits (pending
+      // MoR deletes, BySource COW-only); surface them AS that, not
+      // as a bare MERGE error on a DELETE/UPDATE statement
+      def mergeCtx(clause: MergeClause): Unit =
+        try { table.merge(srcDf, Seq(key), Seq(clause)); () }
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              "DELETE/UPDATE … [NOT] IN (subquery) runs on the " +
+                s"MERGE engine: ${e.getMessage}", e)
+          case e: UnsupportedOperationException =>
+            throw new UnsupportedOperationException(
+              "DELETE/UPDATE … [NOT] IN (subquery) runs on the " +
+                s"MERGE engine: ${e.getMessage}", e)
+        }
+      if (negated) {
+        // ANSI NOT IN: one NULL in the list makes every row's
+        // predicate UNKNOWN — the whole statement is a no-op
+        if (nNulls > 0) return Seq.empty
+        if (nRows == 0) {
+          // `x NOT IN (empty)` is TRUE for EVERY row — including
+          // NULL-keyed ones — so this is the PLAIN DML with only the
+          // residual condition (which also honors the table's
+          // merge-on-read write modes)
+          sets match {
+            case Some(ss) =>
+              GraftUpdateCommand(table, ss,
+                residual.getOrElse("true")).run(spark)
+            case None =>
+              GraftDeleteCommand(table,
+                residual.getOrElse("true")).run(spark)
+          }
+          return Seq.empty
+        }
+        val cond = Some((residual.toSeq :+ s"$key IS NOT NULL")
+          .mkString("(", ") AND (", ")"))
+        mergeCtx(sets match {
+          case Some(ss) => MergeClause.UpdateBySource(cond, ss)
+          case None     => MergeClause.DeleteBySource(cond)
+        })
+      } else {
+        if (nRows == 0) return Seq.empty // `x IN (empty)` is FALSE
+        mergeCtx(sets match {
+          case Some(ss) => MergeClause.Update(residual, ss)
+          case None     => MergeClause.Delete(residual)
+        })
+      }
+      Seq.empty
+    } finally {
+      srcDf.unpersist(blocking = false); ()
     }
-    Seq.empty
   }
 }
 
@@ -505,13 +559,14 @@ case class GraftMergeCommand(@transient table: GraftTable,
   *    constant column cast to the partition source's type (the Hive
   *    form Iceberg also accepts); a dynamic entry (`PARTITION (p)`)
   *    just asserts the column is a partition source;
-  *  - OVERWRITE with a static spec (or under
-  *    partitionOverwriteMode=dynamic) replaces exactly the
-  *    partitions the written rows land in, never the whole table;
-  *    a FULL static spec with an empty source truncates the named
-  *    partition (the Hive/Iceberg static-overwrite contract —
-  *    GraftTable.overwritePartitions derives the replaced set from
-  *    the spec's literals in that case, not the rows). */
+  *  - OVERWRITE under partitionOverwriteMode=dynamic replaces
+  *    exactly the partitions the written rows land in (even with a
+  *    static spec — Spark's dynamic mode stays row-scoped); under
+  *    static mode a PARTITION clause drops the spec'd literal PREFIX
+  *    first (Hive's contract: a partial spec replaces every cell
+  *    under it, an empty source truncates it — GraftTable
+  *    .overwritePartitions derives the replaced set from the spec's
+  *    literals then, not the rows). */
 case class GraftInsertCommand(@transient table: GraftTable,
     @transient query: LogicalPlan, overwrite: Boolean, byName: Boolean,
     cols: Seq[String] = Nil,
@@ -575,8 +630,18 @@ case class GraftInsertCommand(@transient table: GraftTable,
                 "list, is not nullable, and has no DEFAULT")
           }
       } else {
+        // positional contract (Spark/Hive): non-partition-spec'd
+        // columns in table order, then any DYNAMIC spec entries
+        // (`PARTITION (a='1', b)`) LAST, in spec order — mapping
+        // them in schema order instead would silently swap columns
+        val dynamicKeys = partitionSpec.collect { case (k, None) =>
+          schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+            throw new IllegalArgumentException(
+              s"PARTITION ($k): no such column")) }.toIndexedSeq
         val names =
-          schema.fieldNames.filterNot(static.contains).toIndexedSeq
+          schema.fieldNames
+            .filterNot(c => static.contains(c) || dynamicKeys.contains(c))
+            .toIndexedSeq ++ dynamicKeys
         require(df0.columns.length == names.length,
           s"INSERT arity ${df0.columns.length} != expected arity " +
             s"${names.length}" +
@@ -588,19 +653,21 @@ case class GraftInsertCommand(@transient table: GraftTable,
       d.withColumn(c, lit(v).cast(schema(c).dataType))
     }
     if (overwrite) {
-      // honor spark.sql.sources.partitionOverwriteMode=dynamic on a
-      // partitioned table (Iceberg semantics): replace only the
-      // partitions the new rows land in — a full-table truncate under
-      // that conf would silently drop every other partition. A
-      // STATIC spec forces the same per-partition replacement
-      // regardless of the conf (Hive's INSERT OVERWRITE … PARTITION
-      // (p='v') contract: only the named partition is replaced).
+      // honor spark.sql.sources.partitionOverwriteMode on a
+      // partitioned table: DYNAMIC replaces only the partitions the
+      // written rows land in (Spark/Iceberg semantics — even when a
+      // static spec is present, Spark's dynamic mode stays
+      // row-scoped); STATIC with a PARTITION clause drops the spec'd
+      // literal PREFIX first (Hive's contract: a partial spec
+      // replaces every cell under it, an empty source truncates it);
+      // STATIC without a clause replaces the whole table.
       val dynamic = spark.conf
         .get("spark.sql.sources.partitionOverwriteMode", "static")
         .equalsIgnoreCase("dynamic")
       if ((dynamic || static.nonEmpty) &&
           snap.partitionCols.nonEmpty)
-        table.overwritePartitions(withStatic, staticSpec = static)
+        table.overwritePartitions(withStatic,
+          staticSpec = if (dynamic) Map.empty else static)
       else table.overwrite(withStatic)
     } else table.append(withStatic)
     Seq.empty
@@ -1005,6 +1072,16 @@ object LakeMaintenance {
   private def normField(f: String): String =
     f.replaceAll("\\s+", "").toLowerCase
 
+  /** Canonical stored form of a partition field: whitespace stripped
+    * and the TRANSFORM keyword lowercased (PartField.parse matches
+    * lowercase transforms), but the source COLUMN case preserved —
+    * `YEAR( Ts )` → `year(Ts)`. */
+  private def canonField(f: String): String = {
+    val c = f.replaceAll("\\s+", "")
+    val i = c.indexOf('(')
+    if (i < 0) c else c.substring(0, i).toLowerCase + c.substring(i)
+  }
+
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case RefCreate(name, kind, ref, at)
@@ -1042,8 +1119,13 @@ object LakeMaintenance {
       case AddPartField(name, field)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftAlterCommand(name.toLowerCase, "ADD PARTITION FIELD",
-          t => t.updatePartitionSpec(t.currentSnapshot.partitionCols :+
-            field.replaceAll("\\s+", ""))))
+          t => {
+            val cur = t.currentSnapshot.partitionCols
+            require(!cur.exists(c => normField(c) == normField(field)),
+              s"'$field' is already a partition field of " +
+                s"(${cur.mkString(", ")})")
+            t.updatePartitionSpec(cur :+ canonField(field))
+          }))
       case DropPartField(name, field)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
         Some(GraftAlterCommand(name.toLowerCase, "DROP PARTITION FIELD",
@@ -1064,8 +1146,12 @@ object LakeMaintenance {
             require(cur.exists(c => normField(c) == o),
               s"'$oldF' is not a partition field of " +
                 s"(${cur.mkString(", ")})")
+            require(normField(newF) == o ||
+                !cur.exists(c => normField(c) == normField(newF)),
+              s"'$newF' is already a partition field of " +
+                s"(${cur.mkString(", ")})")
             t.updatePartitionSpec(cur.map(c =>
-              if (normField(c) == o) newF.replaceAll("\\s+", "") else c))
+              if (normField(c) == o) canonField(newF) else c))
           }))
       case RewriteManifests(name)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>

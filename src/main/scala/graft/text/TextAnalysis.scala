@@ -461,18 +461,15 @@ object TextAnalysis {
     merges.result()
   }
 
-  /** Trained-BPE tokenization (`text_bpe`): train merges on the
-    * corpus vocabulary, apply as the native `graft_bpe_tokens`
-    * expression, and prove the tokenizer's laws in one aggregate —
-    * lossless roundtrip (concat(tokens) == text minus spaces, every
-    * doc), token count bounded by [words, codepoints], and genuine
-    * compression (the merges fired). Training is require()d
-    * deterministic (two runs, identical merges). The oracle replays
-    * the SQL-computable facts (doc/word/char totals) and pins the
-    * verdicts — the merge list itself is a trained artifact like the
-    * k-means centroids, so its values live in the spec, not SQL. */
-  private val bpeQ: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+  /** Bounded corpus vocabulary → trained merges → the NUL-joined
+    * merge literals the native `graft_bpe_tokens` expression
+    * consumes — the shared trained-artifact path of `text_bpe` and
+    * `pipeline_bpe_budget`. Determinism and the full merge count are
+    * require()d HERE so every caller gets the checks; a change to
+    * the literal contract (the NUL separator the kernel splits on)
+    * has exactly one home. */
+  private[graft] def corpusBpeMergeLits(
+      docs: org.apache.spark.sql.DataFrame): Seq[String] = {
     val vocab: Seq[(String, Long)] = docs
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -485,7 +482,23 @@ object TextAnalysis {
       "BPE training must be deterministic")
     require(merges.size == BpeMerges,
       s"corpus too small to train $BpeMerges merges")
-    val mergeLits = merges.map { case (a, b) => s"$a\u0000$b" }
+    val sep = new String(Array(0.toChar))
+    merges.map { case (a, b) => a + sep + b }
+  }
+
+  /** Trained-BPE tokenization (`text_bpe`): train merges on the
+    * corpus vocabulary, apply as the native `graft_bpe_tokens`
+    * expression, and prove the tokenizer's laws in one aggregate —
+    * lossless roundtrip (concat(tokens) == text minus spaces, every
+    * doc), token count bounded by [words, codepoints], and genuine
+    * compression (the merges fired). Training is require()d
+    * deterministic (two runs, identical merges). The oracle replays
+    * the SQL-computable facts (doc/word/char totals) and pins the
+    * verdicts — the merge list itself is a trained artifact like the
+    * k-means centroids, so its values live in the spec, not SQL. */
+  private val bpeQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val mergeLits = corpusBpeMergeLits(docs)
     val toks = docs.select(lower(col("text")).as("lt"),
       call_function("graft_bpe_tokens", col("text"),
         array(mergeLits.map(lit): _*)).as("tk"))

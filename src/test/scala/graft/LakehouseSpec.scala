@@ -154,6 +154,63 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.read().count() == 3) // a:2 rows, c:1 row survive
   }
 
+  test("dynamic PARTITION (p) maps query columns with partition " +
+      "columns LAST (the Spark/Hive contract)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("p", StringType, nullable = false),
+      StructField("b", StringType, nullable = false)))
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString,
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row("a0", "p0", "b0")), schema), partitionBy = Seq("p"))
+    graft.lakehouse.LakeRegistry.register("dynord_t", t)
+    // SELECT order is (a, b, p): p is dynamic-spec'd so it comes LAST
+    // — schema-order mapping would silently write b0<->p1 swapped
+    spark.sql(
+      "INSERT INTO dynord_t PARTITION (p) VALUES ('a1', 'b1', 'p1')")
+    val r = t.read().filter(col("a") === "a1").collect().head
+    assert(r.getAs[String]("p") == "p1" && r.getAs[String]("b") == "b1",
+      "dynamic partition columns must map from the SELECT's tail")
+  }
+
+  test("INSERT OVERWRITE with a PARTIAL static spec drops the whole " +
+      "literal prefix (Hive static mode)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("p", StringType, nullable = false),
+      StructField("q", StringType, nullable = false)))
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString,
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row(1L, "a", "x"), Row(2L, "a", "y"), Row(3L, "b", "x")),
+        schema), partitionBy = Seq("p", "q"))
+    graft.lakehouse.LakeRegistry.register("prefow_t", t)
+    // writes only (a,x) but static mode must drop ALL of p=a first —
+    // row-derived discovery would keep the sibling (a,y) cell
+    spark.sql("""INSERT OVERWRITE prefow_t PARTITION (p = 'a')
+                |SELECT 10, 'x' """.stripMargin)
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((3L, "b", "x"), (10L, "a", "x")),
+      s"prefix drop must remove the unwritten sibling cell, got $got")
+    // under partitionOverwriteMode=dynamic the SAME statement stays
+    // row-scoped (Spark's dynamic mode contract)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("""INSERT OVERWRITE prefow_t PARTITION (p = 'b')
+                  |SELECT 20, 'z' """.stripMargin)
+      assert(t.read().count() == 3,
+        "dynamic mode replaces only written partitions: (b,x) survives")
+      assert(t.read().filter(col("p") === "b").count() == 2)
+    } finally spark.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "static")
+  }
+
   test("TRUNCATE and PARTITION FIELD DDL refusal matrix") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -168,16 +225,17 @@ class LakehouseSpec extends AnyFunSuite {
       partitionBy = Seq("p", "q"))
     graft.lakehouse.LakeRegistry.register("truncref_t", t)
     val snaps = t.currentSnapshotId
-    // partial partition spec would silently no-op via row-derived
-    // discovery on an empty source — refuse instead
-    intercept[IllegalArgumentException](spark.sql(
-      "TRUNCATE TABLE truncref_t PARTITION (p = 'a')"))
-    // a non-partition-source column refuses
+    // a non-partition-source column refuses, and refusals never commit
     intercept[IllegalArgumentException](spark.sql(
       "TRUNCATE TABLE truncref_t PARTITION (p = 'a', k = '1')"))
     assert(t.currentSnapshotId == snaps, "refusals must not commit")
+    // full spec names one cell
     spark.sql("TRUNCATE TABLE truncref_t PARTITION (p = 'a', q = 'x')")
     assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // PARTIAL spec is a PREFIX truncate (Hive): drops all of p='b'
+    spark.sql("TRUNCATE TABLE truncref_t PARTITION (p = 'b')")
+    assert(t.read().count() == 0,
+      "a partial spec must truncate the whole prefix")
     // unpartitioned table: PARTITION form refuses, full form works
     val t2 = freshTable(Seq((1L, "a", 1.0)))
     graft.lakehouse.LakeRegistry.register("truncref2_t", t2)
@@ -195,7 +253,21 @@ class LakehouseSpec extends AnyFunSuite {
       spark.range(3).select(col("id"),
         lit("2024-05-01 10:00:00").cast("timestamp").as("ts")))
     graft.lakehouse.LakeRegistry.register("truncref3_t", t3)
-    spark.sql("ALTER TABLE truncref3_t ADD PARTITION FIELD day(ts)")
+    // UPPERCASE transform keyword stores canonically (column case
+    // preserved) — PartField.parse only accepts lowercase transforms
+    spark.sql("ALTER TABLE truncref3_t ADD PARTITION FIELD DAY( ts )")
+    assert(t3.currentSnapshot.partitionCols == Seq("day(ts)"),
+      "the transform keyword must canonicalize to lowercase")
+    // re-adding the same field (any case) refuses; replacing one
+    // field with another ALREADY-PRESENT field refuses too
+    intercept[IllegalArgumentException](spark.sql(
+      "ALTER TABLE truncref3_t ADD PARTITION FIELD day(ts)"))
+    spark.sql("ALTER TABLE truncref3_t ADD PARTITION FIELD hour(ts)")
+    intercept[IllegalArgumentException](spark.sql(
+      "ALTER TABLE truncref3_t REPLACE PARTITION FIELD hour(ts) " +
+        "WITH DAY(ts)"))
+    spark.sql("ALTER TABLE truncref3_t DROP PARTITION FIELD hour(ts)")
+    assert(t3.currentSnapshot.partitionCols == Seq("day(ts)"))
     intercept[IllegalArgumentException](spark.sql(
       "ALTER TABLE truncref3_t DROP PARTITION FIELD month(ts)"))
     spark.sql("ALTER TABLE truncref3_t DROP PARTITION FIELD DAY( ts )")
@@ -226,6 +298,27 @@ class LakehouseSpec extends AnyFunSuite {
       "DELETE FROM dmlsub_t WHERE k IN (SELECT x FROM dmlsub_null) AND v < 5")
     assert(t.read().select("k").as[Long].collect().sorted.toSeq ==
       Seq(2L, 3L))
+    // ANSI empty-list: `IN (empty)` is FALSE for every row (no-op,
+    // no commit); `NOT IN (empty)` is TRUE for EVERY row — including
+    // NULL-keyed ones, which the non-empty path's implicit
+    // `key IS NOT NULL` residual would wrongly spare
+    val snaps2 = t.currentSnapshotId
+    spark.sql(
+      "DELETE FROM dmlsub_t WHERE k IN (SELECT x FROM dmlsub_dup WHERE x > 100)")
+    assert(t.currentSnapshotId == snaps2, "IN (empty) must not commit")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tn = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString,
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row(java.lang.Long.valueOf(1L), "a"), Row(null, "b")),
+        StructType(Seq(StructField("k", LongType, nullable = true),
+          StructField("tag", StringType, nullable = true)))))
+    graft.lakehouse.LakeRegistry.register("dmlsubn_t", tn)
+    spark.sql("DELETE FROM dmlsubn_t WHERE k NOT IN " +
+      "(SELECT x FROM dmlsub_dup WHERE x > 100)")
+    assert(tn.read().count() == 0,
+      "NOT IN (empty) must delete every row, NULL keys included")
     // refusals: EXISTS, scalar subquery in SET, two IN conjuncts
     intercept[UnsupportedOperationException](spark.sql(
       "DELETE FROM dmlsub_t WHERE EXISTS (SELECT 1 FROM dmlsub_dup)"))
