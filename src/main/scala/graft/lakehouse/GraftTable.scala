@@ -4626,6 +4626,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         // of the match, which is exactly the Hive prefix-drop
         val specd = spec.zipWithIndex
           .filter { case (f, _) => staticSpec.contains(f.col) }
+        // an empty match would make the prefix vacuous and replace
+        // EVERY file — callers must pass partition-source keys only
+        require(specd.nonEmpty,
+          s"static spec keys (${staticSpec.keys.mkString(", ")}) name " +
+            s"no partition source of (${parts.mkString(", ")})")
         val one = spark.range(1).select(specd.map { case (f, _) =>
           lit(staticSpec(f.col))
             .cast(snap.schema(f.col).dataType).as(f.col) }: _*)
