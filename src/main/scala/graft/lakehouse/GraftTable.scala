@@ -2295,8 +2295,40 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       if (p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
         out += p.toString
     }
-    out.result().sorted
+    val written = out.result().sorted
+    // CHECK constraints (Delta's `ALTER TABLE … ADD CONSTRAINT name
+    // CHECK (expr)`, stored as graft.constraint.* properties):
+    // validate the NEW files before they can commit — one columnar
+    // scan of just-written data, NEVER the table; zero cost without
+    // constraints. A violation aborts before any manifest publish,
+    // so the stray files are ordinary failed-write orphans (VACUUM
+    // ORPHANS reclaims them). Rewrite-only maintenance (widen=false:
+    // compact/binpack/zorder) skips — it re-arranges rows that were
+    // validated when first written. SQL semantics: a CHECK passes on
+    // TRUE or NULL, violates only on FALSE.
+    if (widen && written.nonEmpty && checkConstraints.nonEmpty) {
+      // basePath re-derives identity-partition columns from the dirs
+      val back = spark.read.option("basePath", dir.toString)
+        .parquet(dir.toString)
+      val bad = checkConstraints.find { case (_, sql) =>
+        back.filter(expr(s"NOT coalesce(($sql), true)"))
+          .limit(1).count() > 0
+      }
+      bad.foreach { case (n, sql) =>
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($sql) violated by written rows; " +
+            "nothing was committed") }
+    }
+    written
   }
+
+  /** Declared CHECK constraints: (name, sql expr) from the
+    * `graft.constraint.*` table properties. */
+  private[lakehouse] def checkConstraints: Seq[(String, String)] =
+    properties.toSeq.collect {
+      case (k, v) if k.startsWith(GraftTable.ConstraintPrefix) =>
+        (k.stripPrefix(GraftTable.ConstraintPrefix), v)
+    }.sortBy(_._1)
 
   /** Align `df` to `schema` by name AND type: identical types pass
     * through, ANSI-store-assignable ones (INT→BIGINT, FLOAT→DOUBLE,
@@ -5523,6 +5555,13 @@ object GraftTable {
     * the column was added — files sequenced at or before it read the
     * default. */
   val DefaultSqlKey = "graft.initial-default"
+
+  /** Property-key prefix for CHECK constraints (`graft.constraint.
+    * <name>` → the CHECK's sql text). Set via `ALTER TABLE … ADD
+    * CONSTRAINT`, which validates existing data first — never via
+    * raw TBLPROPERTIES (LakeDdl.validateProps refuses the prefix so
+    * an unvalidated constraint can't ride in past the scan). */
+  val ConstraintPrefix = "graft.constraint."
   private[lakehouse] val DefaultSinceKey = "graft.default-since"
 
   /** Validate a DEFAULT expression at DDL time: it must analyze, be

@@ -1063,6 +1063,48 @@ object LakeQueries {
     q
   }
 
+  /** CHECK constraints (Delta's `ALTER TABLE … ADD CONSTRAINT name
+    * CHECK (expr)`): declaring one validates EXISTING rows first
+    * (one scan — a constraint the data already violates refuses);
+    * after that every write validates ITS OWN new files before the
+    * commit publishes (one columnar scan of just-written data, never
+    * the table — the 100 TB-honest cost), so a violating INSERT or
+    * UPDATE aborts with nothing committed. DROP CONSTRAINT reopens
+    * the gate. All four paths require()d in-query. */
+  private val constraintQ: Q = (s, dir) => {
+    def refused(frag: String)(body: => Unit): Boolean =
+      try { body; false }
+      catch { case e: Throwable =>
+        Option(e.getMessage).exists(_.contains(frag)) }
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_con"),
+      orders.filter(col("o_orderkey") % 2 === 0))
+    LakeRegistry.register("lake_con_t", t)
+    s.sql("ALTER TABLE lake_con_t ADD CONSTRAINT pos_price " +
+      "CHECK (o_totalprice > 0)")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .createOrReplaceTempView("lake_con_src")
+    s.sql("INSERT INTO lake_con_t SELECT * FROM lake_con_src")
+    val snaps = t.currentSnapshotId
+    require(refused("CHECK constraint")(
+      s.sql("INSERT INTO lake_con_t VALUES (9999991, -5.0)")),
+      "a violating INSERT must refuse")
+    require(refused("CHECK constraint")(
+      s.sql("UPDATE lake_con_t SET o_totalprice = -o_totalprice " +
+        "WHERE o_orderkey <= 10")),
+      "a violating UPDATE must refuse")
+    require(t.currentSnapshotId == snaps,
+      "refused writes must not commit")
+    require(refused("existing rows violate")(
+      s.sql("ALTER TABLE lake_con_t ADD CONSTRAINT big " +
+        "CHECK (o_totalprice > 100000)")),
+      "a constraint existing data violates must refuse")
+    s.sql("ALTER TABLE lake_con_t DROP CONSTRAINT pos_price")
+    s.sql("INSERT INTO lake_con_t VALUES (9999991, -5.0)")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Bad write then rollback: current state equals snapshot 1, and
     * the rolled-back commit stays in history for inspection. */
   private val rollback: Q = (s, dir) => {
@@ -2572,6 +2614,7 @@ object LakeQueries {
     "lake_partition_field_ddl" -> partitionFieldDdl,
     "lake_dml_subquery"     -> dmlSubquery,
     "lake_variant"          -> variantLake,
+    "lake_constraint"       -> constraintQ,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_merge_source"     -> mergeBySource,
@@ -3125,6 +3168,13 @@ object LakeQueries {
     "lake_truncate" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""".stripMargin,
+    // even seed + odd insert under the constraint, violating writes
+    // refused (no commit), then the post-DROP violating row lands
+    "lake_constraint" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  UNION ALL SELECT CAST(9999991 AS BIGINT), -5.0
+        |) ORDER BY o_orderkey""".stripMargin,
     // k<10 COW-deleted on the shredded path, 'view' deleted on the
     // residual path, final read filters the shredded hot path
     "lake_variant" ->

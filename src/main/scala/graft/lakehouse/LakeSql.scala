@@ -969,6 +969,13 @@ object LakeDdl {
       // Iceberg v3 row lineage (GraftTable.readLineage)
       "row.lineage" -> Set("true", "false"))
     props.foreach { case (k, v) =>
+      // constraints must come in through ALTER TABLE ADD CONSTRAINT,
+      // which validates existing rows first — a raw property would
+      // skip that scan and declare a constraint the data violates
+      if (k.startsWith(GraftTable.ConstraintPrefix))
+        throw new UnsupportedOperationException(
+          s"'$k': declare CHECK constraints via ALTER TABLE … ADD " +
+            "CONSTRAINT <name> CHECK (<expr>), not TBLPROPERTIES")
       known.get(k) match {
         case None => throw new UnsupportedOperationException(
           s"unsupported table property '$k' " +
@@ -1066,6 +1073,13 @@ object LakeMaintenance {
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+DROP\s+PARTITION\s+FIELD\s+""" + F + """\s*;?\s*""").r
   private val ReplacePartField =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+REPLACE\s+PARTITION\s+FIELD\s+""" + F + """\s+WITH\s+""" + F + """\s*;?\s*""").r
+  // Delta's CHECK constraints: ADD validates EXISTING data first
+  // (one scan, Delta's contract), then every later write validates
+  // its own new files before commit (GraftTable.writeData)
+  private val AddConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""").r
 
   /** Case/whitespace-insensitive partition-field equality:
     * `year( o_orderdate )` names the same field as `YEAR(o_orderdate)`. */
@@ -1136,6 +1150,32 @@ object LakeMaintenance {
               s"'$field' is not a partition field of " +
                 s"(${cur.mkString(", ")})")
             t.updatePartitionSpec(cur.filterNot(c => normField(c) == f))
+          }))
+      case AddConstraint(name, cname, sql)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftAlterCommand(name.toLowerCase, "ADD CONSTRAINT",
+          t => {
+            import org.apache.spark.sql.functions.{expr => fexpr}
+            val key = GraftTable.ConstraintPrefix + cname.toLowerCase
+            require(!t.properties.contains(key),
+              s"constraint '$cname' already exists")
+            // Delta's contract: the constraint must hold on EXISTING
+            // rows before it can be declared — one validating scan
+            require(t.read()
+                .filter(fexpr(s"NOT coalesce(($sql), true)"))
+                .limit(1).count() == 0,
+              s"existing rows violate CHECK ($sql); constraint not added")
+            t.setProperties(t.properties + (key -> sql.trim))
+          }))
+      case DropConstraint(name, cname)
+          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+        Some(GraftAlterCommand(name.toLowerCase, "DROP CONSTRAINT",
+          t => {
+            val key = GraftTable.ConstraintPrefix + cname.toLowerCase
+            require(t.properties.contains(key),
+              s"no constraint named '$cname' " +
+                s"(declared: ${t.checkConstraints.map(_._1).mkString(", ")})")
+            t.setProperties(t.properties - key)
           }))
       case ReplacePartField(name, oldF, newF)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>

@@ -329,6 +329,48 @@ class LakehouseSpec extends AnyFunSuite {
         |AND k IN (SELECT x FROM dmlsub_null)""".stripMargin))
   }
 
+  test("CHECK constraints: NULL passes, MoR/MERGE writes validate, " +
+      "TBLPROPERTIES route refused, persists across reload") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_spec").toString
+    val t = GraftTable.create(spark, root,
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row(1L, java.lang.Double.valueOf(1.0)), Row(2L, null)),
+        StructType(Seq(StructField("k", LongType, nullable = false),
+          StructField("v", DoubleType, nullable = true)))))
+    graft.lakehouse.LakeRegistry.register("conref_t", t)
+    // SQL CHECK semantics: NULL is not a violation — declaring over
+    // the existing NULL row succeeds
+    spark.sql("ALTER TABLE conref_t ADD CONSTRAINT pos CHECK (v > 0)")
+    spark.sql("INSERT INTO conref_t VALUES (3, CAST(NULL AS DOUBLE))")
+    assert(t.read().count() == 3, "NULL must pass a CHECK")
+    // MERGE-written rows validate too (one new-file scan, pre-commit)
+    Seq((1L, -9.0), (4L, 4.0)).toDF("k", "v")
+      .createOrReplaceTempView("conref_src")
+    val snaps = t.currentSnapshotId
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO conref_t t USING conref_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin))
+    assert(e.getMessage.contains("CHECK constraint"))
+    assert(t.currentSnapshotId == snaps, "violating MERGE must not commit")
+    // the unvalidated TBLPROPERTIES route refuses
+    intercept[UnsupportedOperationException](spark.sql(
+      "ALTER TABLE conref_t SET TBLPROPERTIES " +
+        "('graft.constraint.neg' = 'v < 0')"))
+    // constraints ride the manifest: a fresh handle still enforces
+    val t2 = GraftTable.load(spark, root)
+    intercept[Exception](t2.append(Seq((9L, -1.0)).toDF("k", "v")))
+    assert(t2.read().count() == 3)
+    // duplicate name refuses; unknown DROP refuses
+    intercept[IllegalArgumentException](spark.sql(
+      "ALTER TABLE conref_t ADD CONSTRAINT pos CHECK (v > 1)"))
+    intercept[IllegalArgumentException](spark.sql(
+      "ALTER TABLE conref_t DROP CONSTRAINT nope"))
+  }
+
   test("conditional MERGE clauses: AND conditions, partial SET, DELETE") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", -5.0), (3L, "c", 3.0)))
     graft.lakehouse.LakeRegistry.register("sqlmc_t", t)
