@@ -539,6 +539,39 @@ object Relational {
           (acc, x) => greatest(acc, x)).as("doubled_max"))
       .orderBy(col("l_orderkey"))
 
+  /** Map-typed higher-order functions (`q47_map_funcs`) — the HOF
+    * family q34's array coverage misses: `map_from_entries`,
+    * `transform_values`, `map_filter`, `map_zip_with`, `element_at`,
+    * `map_values`. Two partial-aggregated shuffles build the
+    * per-order maps (the first collapses duplicate line numbers so
+    * map keys are unique); everything after is map-side codegen over
+    * the grouped rows. Money rides as integer CENTS through the
+    * zip — a double product summed in two engines' different orders
+    * would drift in the last ULP and fail the exact hash compare. */
+  private val q47: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      // map keys must be unique: collapse per (order, linenumber)
+      // first (this corpus repeats linenumbers within an order)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("c"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        map_from_entries(sort_array(collect_list(struct(
+          col("l_linenumber"), col("q"))))).as("qty_m"),
+        map_from_entries(sort_array(collect_list(struct(
+          col("l_linenumber"), col("c"))))).as("cents_m"))
+      .select(col("l_orderkey"),
+        size(col("qty_m")).as("n_lines"),
+        aggregate(map_values(transform_values(col("qty_m"),
+          (_, v) => v * 2)), lit(0L), (a, x) => a + x).as("qty2_sum"),
+        size(map_filter(col("qty_m"), (_, v) => v > 25)).as("n_big"),
+        element_at(col("qty_m"), lit(1)).as("first_line_qty"),
+        aggregate(map_values(map_zip_with(col("qty_m"), col("cents_m"),
+          (_, q, c) => q * c)), lit(0L), (a, x) => a + x)
+          .as("revenue_cents"))
+      .orderBy(col("l_orderkey"))
+
   /** Semi-structured JSON extraction (`events.props`): from_json with
     * an explicit schema, then a typed aggregate per event_type. The
     * parse is per-row map-side codegen; pushing the extraction below
@@ -882,6 +915,7 @@ object Relational {
     "q39_unpivot" -> q39, "q40_lateral" -> q40,
     "q41_string_agg" -> q41, "q42_try_arith" -> q42,
     "q33_explode" -> q33, "q34_higher_order" -> q34,
+    "q47_map_funcs" -> q47,
     "q35_json" -> q35, "q36_window_frames" -> q36,
     "q37_gaps_islands" -> q37, "q38_regexp" -> q38,
     "q29_interval_window" -> q29,
@@ -1032,6 +1066,20 @@ object Relational {
         |WHERE CAST(json_extract(props, '$.k') AS INT) >= 50
         |  AND event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+    "q47_map_funcs" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |       AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey,
+        | CAST(COUNT(*) AS INT) AS n_lines,
+        | CAST(SUM(q * 2) AS BIGINT) AS qty2_sum,
+        | CAST(COUNT(*) FILTER (WHERE q > 25) AS INT) AS n_big,
+        | CAST(MAX(CASE WHEN l_linenumber = 1 THEN q END) AS BIGINT)
+        |   AS first_line_qty,
+        | CAST(SUM(q * c) AS BIGINT) AS revenue_cents
+        |FROM l GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q35_json" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
