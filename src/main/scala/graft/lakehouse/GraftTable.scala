@@ -2201,7 +2201,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   // ---- writes ------------------------------------------------------
 
   private def writeData(df: DataFrame, commitId: Long,
-      partitionCols: Seq[String] = Nil, widen: Boolean = true): Seq[String] = {
+      partitionCols: Seq[String] = Nil, widen: Boolean = true,
+      validate: Boolean = true): Seq[String] = {
     // per-attempt-unique dir: two concurrent writers aiming at the
     // same commit id must never share (and mode=overwrite-clobber)
     // one directory; manifests reference absolute file paths, so the
@@ -2302,13 +2303,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // scan of just-written data, NEVER the table; zero cost without
     // constraints. A violation aborts before any manifest publish,
     // so the stray files are ordinary failed-write orphans (VACUUM
-    // ORPHANS reclaims them). Rewrite-only maintenance (widen=false:
-    // compact/binpack/zorder) skips — it re-arranges rows that were
-    // validated when first written. SQL semantics: a CHECK passes on
-    // TRUE or NULL, violates only on FALSE.
-    if (widen && written.nonEmpty && checkConstraints.nonEmpty) {
-      // basePath re-derives identity-partition columns from the dirs
+    // ORPHANS reclaims them). Rewrite-only maintenance
+    // (compact/binpack/zorder) passes validate=false — it
+    // re-arranges rows that were validated when first written. SQL
+    // semantics: a CHECK passes on TRUE or NULL, violates only on
+    // FALSE. The read-back carries the WRITTEN schema explicitly —
+    // identity-partition values live in the hive dirs, and Spark's
+    // partition type INFERENCE would re-type them ('007' → int 7)
+    // and mis-evaluate the predicate.
+    if (validate && written.nonEmpty && checkConstraints.nonEmpty) {
       val back = spark.read.option("basePath", dir.toString)
+        .schema(df.schema)
         .parquet(dir.toString)
       val bad = checkConstraints.find { case (_, sql) =>
         back.filter(expr(s"NOT coalesce(($sql), true)"))
@@ -2606,9 +2611,28 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * field; by-name reads simply stop projecting it (the bytes stay
     * in old files until compaction rewrites them, exactly Iceberg).
     * Partition source columns cannot be dropped. */
+  /** Refuse schema DDL that would orphan a CHECK constraint: a
+    * rename/drop of a referenced column would wedge EVERY later
+    * write with a raw unresolved-column error that never mentions
+    * the constraint (Delta refuses the same way). */
+  private def requireNoConstraintRef(colPath: String, op: String): Unit = {
+    val root = colPath.split('.').head.toLowerCase
+    checkConstraints.foreach { case (n, sql) =>
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.nameParts.head.toLowerCase
+        }
+      require(!refs.contains(root),
+        s"$op '$colPath': CHECK constraint '$n' ($sql) references " +
+          "it; DROP CONSTRAINT first")
+    }
+  }
+
   def dropColumn(name: String): Long = {
     val snap = currentSnapshot
     requireNoMorDels(snap, "DROP COLUMN")
+    requireNoConstraintRef(name, "DROP COLUMN")
     val resolved = resolvePath(snap.schema, name, mustExist = true).get
     val parts = resolved.split('.')
     val newSchema =
@@ -2651,6 +2675,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   def renameColumn(from: String, to: String): Long = {
     val snap = currentSnapshot
     requireNoMorDels(snap, "RENAME COLUMN")
+    requireNoConstraintRef(from, "RENAME COLUMN")
     // the rename log would wedge a lineage table (lineageSource reads
     // raw write-time names and compact() — the usual remedy — is
     // itself a lineage-preserving rewrite); refuse loudly instead
@@ -2808,6 +2833,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         throw new IllegalArgumentException(
           s"PARTITION ($k): no such column")) -> v
     }
+    // two case-variant keys (p='a', P='b') resolve to one column —
+    // the map would silently keep last-wins and drop the other value
+    require(resolved.size == staticSpec.size,
+      s"PARTITION spec names a column twice " +
+        s"(${staticSpec.keys.mkString(", ")})")
     val sources = PartField.parseAll(snap.partitionCols).map(_.col)
     require(resolved.keys.forall(sources.contains),
       s"TRUNCATE PARTITION keys must be partition source columns " +
@@ -4014,7 +4044,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // names, so the rename log clears too (retired names are reusable
     // again — no live file carries their bytes)
     commit("compact", snap.schema,
-      writeData(arranged, id, snap.partitionCols, widen = false),
+      writeData(arranged, id, snap.partitionCols, widen = false,
+        validate = false),
       snap.partitionCols, expectedParent = snap.id,
       delsOverride = Some(Nil), renamesOverride = Some(Nil),
       specHistOverride = Some(Nil), posDelsOverride = Some(Nil),
@@ -4086,7 +4117,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       else cowSource(snap, small)
     commit("binpack", snap.schema,
       big ++ writeData(packed, id, snap.partitionCols,
-        widen = snap.partitionCols.nonEmpty),
+        widen = snap.partitionCols.nonEmpty, validate = false),
       snap.partitionCols, expectedParent = snap.id)
   }
 
@@ -4125,7 +4156,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       else cowSource(snap, cand)
     commit("compact-where", snap.schema,
       carried ++ writeData(packed, id, snap.partitionCols,
-        widen = snap.partitionCols.nonEmpty),
+        widen = snap.partitionCols.nonEmpty, validate = false),
       snap.partitionCols, expectedParent = snap.id)
   }
 

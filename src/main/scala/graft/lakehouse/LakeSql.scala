@@ -632,12 +632,23 @@ case class GraftInsertCommand(@transient table: GraftTable,
       } else {
         // positional contract (Spark/Hive): non-partition-spec'd
         // columns in table order, then any DYNAMIC spec entries
-        // (`PARTITION (a='1', b)`) LAST, in spec order — mapping
-        // them in schema order instead would silently swap columns
-        val dynamicKeys = partitionSpec.collect { case (k, None) =>
+        // (`PARTITION (a='1', b)`) LAST — ordered by the TABLE's
+        // partition order, never Map iteration order (hash order at
+        // 5+ entries) or the user's spec order (Spark normalizes
+        // dynamic columns to partition order); either alternative
+        // silently swaps same-typed columns
+        val dynSet = partitionSpec.collect { case (k, None) =>
           schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
             throw new IllegalArgumentException(
-              s"PARTITION ($k): no such column")) }.toIndexedSeq
+              s"PARTITION ($k): no such column")) }.toSet
+        val dynamicKeys = PartField.parseAll(snap.partitionCols)
+          .map(_.col).filter(c => dynSet.exists(_.equalsIgnoreCase(c)))
+          .map(c => schema.fieldNames.find(_.equalsIgnoreCase(c))
+            .getOrElse(c))
+          .distinct.toIndexedSeq
+        require(dynamicKeys.size == dynSet.size,
+          s"dynamic PARTITION keys (${dynSet.mkString(", ")}) must " +
+            "each be a distinct partition source column")
         val names =
           schema.fieldNames
             .filterNot(c => static.contains(c) || dynamicKeys.contains(c))
@@ -1086,14 +1097,22 @@ object LakeMaintenance {
   private def normField(f: String): String =
     f.replaceAll("\\s+", "").toLowerCase
 
-  /** Canonical stored form of a partition field: whitespace stripped
-    * and the TRANSFORM keyword lowercased (PartField.parse matches
-    * lowercase transforms), but the source COLUMN case preserved —
-    * `YEAR( Ts )` → `year(Ts)`. */
-  private def canonField(f: String): String = {
-    val c = f.replaceAll("\\s+", "")
-    val i = c.indexOf('(')
-    if (i < 0) c else c.substring(0, i).toLowerCase + c.substring(i)
+  /** Canonical stored form of a partition field: whitespace stripped,
+    * the TRANSFORM keyword lowercased (PartField.parse matches
+    * lowercase transforms), and the source COLUMN rewritten to the
+    * table schema's exact case — `DAY( TS )` over column `ts` stores
+    * as `day(ts)` (updatePartitionSpec's schema check is
+    * case-exact, while SQL identifiers are case-insensitive). */
+  private def canonField(t: GraftTable, f: String): String = {
+    val stripped = f.replaceAll("\\s+", "")
+    val i = stripped.indexOf('(')
+    val c =
+      if (i < 0) stripped
+      else stripped.substring(0, i).toLowerCase + stripped.substring(i)
+    t.currentSnapshot.schema.fieldNames.foldLeft(c) { (acc, n) =>
+      acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(n) +
+        "\\b", java.util.regex.Matcher.quoteReplacement(n))
+    }
   }
 
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
@@ -1138,7 +1157,7 @@ object LakeMaintenance {
             require(!cur.exists(c => normField(c) == normField(field)),
               s"'$field' is already a partition field of " +
                 s"(${cur.mkString(", ")})")
-            t.updatePartitionSpec(cur :+ canonField(field))
+            t.updatePartitionSpec(cur :+ canonField(t, field))
           }))
       case DropPartField(name, field)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
@@ -1159,13 +1178,23 @@ object LakeMaintenance {
             val key = GraftTable.ConstraintPrefix + cname.toLowerCase
             require(!t.properties.contains(key),
               s"constraint '$cname' already exists")
+            // the properties file is line-oriented, so a raw newline
+            // in the expr would be silently truncated on read-back
+            // and WEAKEN every later write's validation; refuse
+            // loudly (normalizing would corrupt string literals)
+            require(!sql.exists(c => c == '\n' || c == '\r'),
+              "CHECK expression must be single-line (the constraint " +
+                "store is line-oriented); rewrite without raw newlines")
+            val canon = sql.trim
             // Delta's contract: the constraint must hold on EXISTING
             // rows before it can be declared — one validating scan
+            // (of exactly the canonical text later writes enforce)
             require(t.read()
-                .filter(fexpr(s"NOT coalesce(($sql), true)"))
+                .filter(fexpr(s"NOT coalesce(($canon), true)"))
                 .limit(1).count() == 0,
-              s"existing rows violate CHECK ($sql); constraint not added")
-            t.setProperties(t.properties + (key -> sql.trim))
+              s"existing rows violate CHECK ($canon); constraint " +
+                "not added")
+            t.setProperties(t.properties + (key -> canon))
           }))
       case DropConstraint(name, cname)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>
@@ -1191,7 +1220,7 @@ object LakeMaintenance {
               s"'$newF' is already a partition field of " +
                 s"(${cur.mkString(", ")})")
             t.updatePartitionSpec(cur.map(c =>
-              if (normField(c) == o) canonField(newF) else c))
+              if (normField(c) == o) canonField(t, newF) else c))
           }))
       case RewriteManifests(name)
           if LakeDdl.claimDrop(spark, name.toLowerCase) =>

@@ -228,6 +228,9 @@ class LakehouseSpec extends AnyFunSuite {
     // a non-partition-source column refuses, and refusals never commit
     intercept[IllegalArgumentException](spark.sql(
       "TRUNCATE TABLE truncref_t PARTITION (p = 'a', k = '1')"))
+    // case-variant duplicate keys would silently collapse last-wins
+    intercept[IllegalArgumentException](
+      t.truncatePartition(Map("p" -> "a", "P" -> "b")))
     assert(t.currentSnapshotId == snaps, "refusals must not commit")
     // full spec names one cell
     spark.sql("TRUNCATE TABLE truncref_t PARTITION (p = 'a', q = 'x')")
@@ -253,11 +256,13 @@ class LakehouseSpec extends AnyFunSuite {
       spark.range(3).select(col("id"),
         lit("2024-05-01 10:00:00").cast("timestamp").as("ts")))
     graft.lakehouse.LakeRegistry.register("truncref3_t", t3)
-    // UPPERCASE transform keyword stores canonically (column case
-    // preserved) — PartField.parse only accepts lowercase transforms
-    spark.sql("ALTER TABLE truncref3_t ADD PARTITION FIELD DAY( ts )")
+    // UPPERCASE transform keyword AND column store canonically
+    // (keyword lowercased, column rewritten to schema case) —
+    // PartField.parse matches lowercase transforms, and
+    // updatePartitionSpec's schema check is case-exact
+    spark.sql("ALTER TABLE truncref3_t ADD PARTITION FIELD DAY( TS )")
     assert(t3.currentSnapshot.partitionCols == Seq("day(ts)"),
-      "the transform keyword must canonicalize to lowercase")
+      "transform keyword and source column must canonicalize")
     // re-adding the same field (any case) refuses; replacing one
     // field with another ALREADY-PRESENT field refuses too
     intercept[IllegalArgumentException](spark.sql(
@@ -369,6 +374,48 @@ class LakehouseSpec extends AnyFunSuite {
       "ALTER TABLE conref_t ADD CONSTRAINT pos CHECK (v > 1)"))
     intercept[IllegalArgumentException](spark.sql(
       "ALTER TABLE conref_t DROP CONSTRAINT nope"))
+    // a raw newline would truncate in the line-oriented store and
+    // silently weaken enforcement — refuse at declare time
+    intercept[IllegalArgumentException](spark.sql(
+      "ALTER TABLE conref_t ADD CONSTRAINT ml CHECK (v > 0\n AND k < 5)"))
+    // renaming/dropping a referenced column would wedge every later
+    // write with a raw unresolved-column error — refuse with the
+    // constraint named
+    val er = intercept[IllegalArgumentException](
+      t.renameColumn("v", "w"))
+    assert(er.getMessage.contains("pos"))
+    intercept[IllegalArgumentException](t.dropColumn("v"))
+    // constraints over identity-partition columns evaluate against
+    // the DECLARED type: '007' must stay the string '007' on the
+    // validation read-back, not partition-infer to int 7
+    val tp = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString,
+      spark.createDataFrame(java.util.Arrays.asList(Row(1L, "007")),
+        StructType(Seq(StructField("k", LongType, nullable = false),
+          StructField("p", StringType, nullable = false)))),
+      partitionBy = Seq("p"))
+    graft.lakehouse.LakeRegistry.register("conref_p", tp)
+    spark.sql("ALTER TABLE conref_p ADD CONSTRAINT len3 " +
+      "CHECK (length(p) = 3)")
+    spark.sql("INSERT INTO conref_p VALUES (2, '042')") // must pass
+    assert(tp.read().count() == 2)
+    intercept[Exception](spark.sql(
+      "INSERT INTO conref_p VALUES (3, 'toolong')"))
+    // transform-partitioned (hidden) layout: the validation read-back
+    // with the declared schema must tolerate the derived _gp_0 dirs
+    val tt = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString,
+      Seq((1L, "2024-03-01 00:00:00")).toDF("k", "s")
+        .select(col("k"), col("s").cast("timestamp").as("ts")),
+      partitionBy = Seq("year(ts)"))
+    graft.lakehouse.LakeRegistry.register("conref_h", tt)
+    spark.sql("ALTER TABLE conref_h ADD CONSTRAINT kpos CHECK (k > 0)")
+    spark.sql("INSERT INTO conref_h VALUES " +
+      "(2, CAST('2025-07-01 00:00:00' AS TIMESTAMP))")
+    assert(tt.read().count() == 2)
+    intercept[Exception](spark.sql("INSERT INTO conref_h VALUES " +
+      "(-1, CAST('2025-07-01 00:00:00' AS TIMESTAMP))"))
+    assert(tt.read().count() == 2)
   }
 
   test("conditional MERGE clauses: AND conditions, partial SET, DELETE") {
