@@ -137,6 +137,11 @@ class LakehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](spark.sql(
       // arity: table minus static = (k, v, note, src) = 4, given 2
       "INSERT INTO inscols_t PARTITION (p = 'c') VALUES (11, 11.0)"))
+    intercept[IllegalArgumentException](spark.sql(
+      // BY NAME query also provides the statically-spec'd column —
+      // silently overwriting it would hide the contradiction
+      """INSERT INTO inscols_t PARTITION (p = 'c') BY NAME
+        |SELECT 12 AS k, 'z' AS p""".stripMargin))
     assert(t.currentSnapshotId == snaps, "refused INSERTs must not commit")
     // static OVERWRITE with an EMPTY source truncates the named
     // partition (row-derived discovery would silently no-op) and
