@@ -1023,6 +1023,59 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Correlated-subquery DML (`DELETE/UPDATE … WHERE [NOT] EXISTS
+    * (SELECT … WHERE s.k = t.k)`) — the most common row-level DML
+    * shape after IN; Spark/Iceberg rewrite it onto a semi/anti join
+    * and so does this engine: the subquery DECORRELATES (correlated
+    * equalities → the merge keys, local predicates stay inside) into
+    * a distinct-key relation evaluated ONCE, and the statement lowers
+    * to WHEN MATCHED (EXISTS) / WHEN NOT MATCHED BY SOURCE (NOT
+    * EXISTS). EXISTS needs none of NOT IN's null poison — the join's
+    * own null semantics ARE ANSI EXISTS semantics. Non-equi
+    * correlation refuses loudly (require()d here; matrix in
+    * LakehouseSpec). */
+  private val dmlExists: Q = (s, dir) => {
+    def refused(frag: String)(body: => Unit): Boolean =
+      try { body; false }
+      catch { case e: Throwable =>
+        Option(e.getMessage).exists(_.contains(frag)) }
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_dmlex"), orders)
+    LakeRegistry.register("lake_dmlex_t", t)
+    Tables.customer(s, dir).createOrReplaceTempView("lake_dmlex_cust")
+    s.sql(
+      """DELETE FROM lake_dmlex_t WHERE EXISTS
+        |(SELECT 1 FROM lake_dmlex_cust c
+        | WHERE c.c_custkey = lake_dmlex_t.o_custkey
+        |   AND c.c_mktsegment = 'BUILDING')""".stripMargin)
+    // correlated UPDATE with a plain residual conjunct outside
+    s.sql(
+      """UPDATE lake_dmlex_t SET o_totalprice = o_totalprice * 2
+        |WHERE EXISTS (SELECT 1 FROM lake_dmlex_cust c
+        |  WHERE c.c_custkey = lake_dmlex_t.o_custkey
+        |    AND c.c_mktsegment = 'AUTOMOBILE')
+        |  AND o_totalprice > 100000""".stripMargin)
+    s.sql(
+      """DELETE FROM lake_dmlex_t WHERE NOT EXISTS
+        |(SELECT 1 FROM lake_dmlex_cust c
+        | WHERE c.c_custkey = lake_dmlex_t.o_custkey
+        |   AND c.c_mktsegment IN
+        |     ('AUTOMOBILE','HOUSEHOLD','FURNITURE'))""".stripMargin)
+    // no merge-key lowering exists for a non-equi correlation — it
+    // must refuse loudly, never silently read as local-only
+    require(refused("conjunction of equalities")(s.sql(
+      """DELETE FROM lake_dmlex_t WHERE EXISTS
+        |(SELECT 1 FROM lake_dmlex_cust c
+        | WHERE c.c_custkey > lake_dmlex_t.o_custkey)""".stripMargin)),
+      "non-equi EXISTS correlation must refuse")
+    require(refused("correlated WHERE")(s.sql(
+      """DELETE FROM lake_dmlex_t WHERE EXISTS
+        |(SELECT 1 FROM lake_dmlex_cust c)""".stripMargin)),
+      "uncorrelated EXISTS must refuse")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** VARIANT shredding INSIDE the lakehouse format (`lake_variant`;
     * the managed-table half of `q45_variant`'s bare-parquet proof):
     * the shredded pair (typed struct + JSON residual) lives in a
@@ -2613,6 +2666,7 @@ object LakeQueries {
     "lake_truncate"         -> truncateQ,
     "lake_partition_field_ddl" -> partitionFieldDdl,
     "lake_dml_subquery"     -> dmlSubquery,
+    "lake_dml_exists"       -> dmlExists,
     "lake_variant"          -> variantLake,
     "lake_constraint"       -> constraintQ,
     "lake_rollback"         -> rollback,
@@ -3185,6 +3239,18 @@ object LakeQueries {
         |WHERE CAST(json_extract(props, '$.k') AS INT) >= 50
         |  AND event_type <> 'view'
         |ORDER BY event_id""".stripMargin,
+    // same end state as lake_dml_subquery: every order's custkey has
+    // a customer row, so EXISTS(seg) ≡ IN(seg keys) on this data —
+    // BUILDING deleted, AUTOMOBILE >100k doubled, non-3-segment gone
+    "lake_dml_exists" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+        |        AND o.o_totalprice > 100000
+        |       THEN o.o_totalprice * 2 ELSE o.o_totalprice
+        |  END AS o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment IN ('AUTOMOBILE','HOUSEHOLD','FURNITURE')
+        |ORDER BY o.o_orderkey""".stripMargin,
     // BUILDING deleted (IN), AUTOMOBILE >100k doubled (IN + residual),
     // then everything outside the three segments deleted (NOT IN)
     "lake_dml_subquery" ->

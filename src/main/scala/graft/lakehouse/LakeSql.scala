@@ -177,17 +177,18 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       s"TIMESTAMP AS OF requires a timestamp or string literal, got $other")
   }
 
-  /** `col [NOT] IN (subquery)` among the WHERE conjuncts of a
-    * DELETE/UPDATE → [[GraftSubqueryDmlCommand]]; None when the
-    * condition is subquery-free (the plain string-predicate path);
-    * every OTHER subquery shape (EXISTS, scalar, disjunctive) refuses
-    * loudly — the string path would degrade it to an unparseable
-    * predicate. */
+  /** `col [NOT] IN (subquery)` or `[NOT] EXISTS (correlated
+    * subquery)` among the WHERE conjuncts of a DELETE/UPDATE →
+    * [[GraftSubqueryDmlCommand]] / [[GraftExistsDmlCommand]]; None
+    * when the condition is subquery-free (the plain string-predicate
+    * path); every OTHER subquery shape (scalar, disjunctive,
+    * non-equi-correlated EXISTS) refuses loudly — the string path
+    * would degrade it to an unparseable predicate. */
   private def subqueryDml(t: GraftTable, aliases: Set[String],
       cond: Expression, sets: Option[Map[String, String]])
       : Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{And, Not, InSubquery,
-      ListQuery, SubqueryExpression}
+      ListQuery, Exists, SubqueryExpression}
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x         => Seq(x)
@@ -197,26 +198,101 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (subs, plain) = conjuncts(cond).partition(hasSub)
     if (subs.isEmpty) return None
     require(subs.size == 1,
-      "at most one [NOT] IN (subquery) conjunct per DELETE/UPDATE")
+      "at most one [NOT] IN / [NOT] EXISTS (subquery) conjunct per " +
+        "DELETE/UPDATE")
     val residual =
       if (plain.isEmpty) None
       else Some(plain.map(p => unqualified(p, aliases).sql)
         .mkString("(", ") AND (", ")"))
-    val (value, subPlan, negated) = subs.head match {
+    subs.head match {
       case InSubquery(values, lq: ListQuery) =>
         require(values.size == 1,
           "IN (subquery) supports a single value expression")
-        (values.head, lq.plan, false)
+        Some(GraftSubqueryDmlCommand(t, lq.plan,
+          attrName(values.head, aliases), negated = false, residual, sets))
       case Not(InSubquery(values, lq: ListQuery)) =>
         require(values.size == 1,
           "NOT IN (subquery) supports a single value expression")
-        (values.head, lq.plan, true)
+        Some(GraftSubqueryDmlCommand(t, lq.plan,
+          attrName(values.head, aliases), negated = true, residual, sets))
+      case e: Exists =>
+        val (src, keys) = decorrelateExists(e.plan, aliases)
+        Some(GraftExistsDmlCommand(t, src, keys, negated = false,
+          residual, sets))
+      case Not(e: Exists) =>
+        val (src, keys) = decorrelateExists(e.plan, aliases)
+        Some(GraftExistsDmlCommand(t, src, keys, negated = true,
+          residual, sets))
       case other => throw new UnsupportedOperationException(
-        "only `col [NOT] IN (subquery)` is supported in DELETE/UPDATE " +
-          s"WHERE; got: ${other.sql}")
+        "only `col [NOT] IN (subquery)` or `[NOT] EXISTS (subquery)` " +
+          s"is supported in DELETE/UPDATE WHERE; got: ${other.sql}")
     }
-    Some(GraftSubqueryDmlCommand(t, subPlan, attrName(value, aliases),
-      negated, residual, sets))
+  }
+
+  /** Decorrelate a `[NOT] EXISTS (SELECT … FROM s WHERE s.k = t.k
+    * [AND local …])` subquery: the correlated equalities (one side a
+    * target-alias-qualified column, the other a subquery-local
+    * expression) become the MERGE key columns — the inner side
+    * projects each local expression AS its target column name, local
+    * conjuncts stay a subquery-side filter, and the SELECT list is
+    * discarded (EXISTS only tests emptiness). Returns (the
+    * decorrelated source plan, the target key column names). Any
+    * non-equality correlation (`s.k > t.k`, disjunctions, outer refs
+    * outside the WHERE) refuses loudly — there is no merge-key
+    * lowering for those, and a silent local-only reading would
+    * DML-affect the wrong rows. */
+  private def decorrelateExists(sub: LogicalPlan, aliases: Set[String])
+      : (LogicalPlan, Seq[String]) = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And,
+      EqualTo => Eq, NamedExpression}
+    def isOuter(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute =>
+        aliasPrefix(a.nameParts, aliases) == a.nameParts.size - 1 &&
+          a.nameParts.size >= 2
+      case _ => false
+    }
+    def hasOuter(e: Expression): Boolean = e.exists(isOuter)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x         => Seq(x)
+    }
+    // the parsed shape is Project(selectList, Filter(where, rel)) —
+    // EXISTS without a correlating WHERE has no rows to key a merge on
+    val (selectList, where, child) = sub match {
+      case Project(p, Filter(c, ch)) => (p, c, ch)
+      case Filter(c, ch) => (Seq.empty[NamedExpression], c, ch)
+      case _ => throw new UnsupportedOperationException(
+        "[NOT] EXISTS in DELETE/UPDATE requires a correlated WHERE " +
+          "clause (`… WHERE s.k = t.k`); an uncorrelated EXISTS is a " +
+          "constant predicate — evaluate it outside the statement")
+    }
+    require(!selectList.exists(hasOuter),
+      "[NOT] EXISTS: outer (target) references are supported only in " +
+        "the subquery's WHERE clause")
+    val (correlated, local) = conjuncts(where).partition(hasOuter)
+    require(correlated.nonEmpty,
+      "[NOT] EXISTS in DELETE/UPDATE requires at least one correlated " +
+        "equality (`s.k = t.k`) in the subquery's WHERE clause")
+    val keyed: Seq[(String, Expression)] = correlated.map {
+      case Eq(o, inner) if isOuter(o) && !hasOuter(inner) =>
+        attrName(o, aliases) -> inner
+      case Eq(inner, o) if isOuter(o) && !hasOuter(inner) =>
+        attrName(o, aliases) -> inner
+      case other => throw new UnsupportedOperationException(
+        "[NOT] EXISTS correlation must be a conjunction of equalities " +
+          "between a target column and a subquery expression; got: " +
+          other.sql)
+    }
+    require(keyed.map(_._1.toLowerCase).distinct.size == keyed.size,
+      "[NOT] EXISTS correlates the same target column more than once")
+    // nested-path targets have no single merge-key column to join on
+    keyed.foreach { case (k, _) => require(!k.contains("."),
+      s"[NOT] EXISTS correlation on nested field '$k' is not supported") }
+    val filtered =
+      if (local.isEmpty) child
+      else Filter(local.reduce(And), child)
+    val src = Project(keyed.map { case (k, e) => Alias(e, k)() }, filtered)
+    (src, keyed.map(_._1))
   }
 
   /** DDL/DML statements addressed to a graft table, lowered to eager
@@ -519,6 +595,72 @@ case class GraftSubqueryDmlCommand(@transient table: GraftTable,
           case None     => MergeClause.Delete(residual)
         })
       }
+      Seq.empty
+    } finally {
+      srcDf.unpersist(blocking = false); ()
+    }
+  }
+}
+
+/** `DELETE/UPDATE … WHERE [NOT] EXISTS (SELECT … WHERE s.k = t.k)` —
+  * the decorrelated subquery (local filters kept, correlated
+  * equalities projected AS the target key columns) becomes a MERGE
+  * source, distinct-projected and PERSISTED once, and the DML lowers
+  * to the matching clause: EXISTS → WHEN MATCHED, NOT EXISTS → WHEN
+  * NOT MATCHED BY SOURCE. EXISTS null semantics are the JOIN's own —
+  * no probes needed: a NULL target key never equates, so EXISTS
+  * leaves it alone and NOT EXISTS affects it (both exactly ANSI),
+  * and NULL subquery keys simply never match. An EMPTY subquery makes
+  * EXISTS a no-op and NOT EXISTS the plain DML on just the residual
+  * (both short-circuited off one count of the persisted key
+  * relation). Same 100 TB shape as the IN lowering: the subquery
+  * evaluates ONCE into a broadcastable distinct-key relation, never
+  * per-row. */
+case class GraftExistsDmlCommand(@transient table: GraftTable,
+    @transient src: LogicalPlan, keys: Seq[String], negated: Boolean,
+    residual: Option[String], sets: Option[Map[String, String]])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDf = GraftSqlBridge.ofRows(spark, src).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // same capability-context wrapper as the IN path: merge-engine
+      // limits surface as subquery-DML errors, not bare MERGE ones
+      def mergeCtx(clause: MergeClause): Unit =
+        try { table.merge(srcDf, keys, Seq(clause)); () }
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              "DELETE/UPDATE … [NOT] EXISTS (subquery) runs on the " +
+                s"MERGE engine: ${e.getMessage}", e)
+          case e: UnsupportedOperationException =>
+            throw new UnsupportedOperationException(
+              "DELETE/UPDATE … [NOT] EXISTS (subquery) runs on the " +
+                s"MERGE engine: ${e.getMessage}", e)
+        }
+      val empty = srcDf.isEmpty
+      if (negated) {
+        if (empty) {
+          // NOT EXISTS over an empty subquery is TRUE for every row
+          // (NULL-keyed ones included): the plain DML on the residual
+          sets match {
+            case Some(ss) =>
+              GraftUpdateCommand(table, ss,
+                residual.getOrElse("true")).run(spark)
+            case None =>
+              GraftDeleteCommand(table,
+                residual.getOrElse("true")).run(spark)
+          }
+        } else mergeCtx(sets match {
+          case Some(ss) => MergeClause.UpdateBySource(residual, ss)
+          case None     => MergeClause.DeleteBySource(residual)
+        })
+      } else if (!empty) {
+        mergeCtx(sets match {
+          case Some(ss) => MergeClause.Update(residual, ss)
+          case None     => MergeClause.Delete(residual)
+        })
+      } // EXISTS over an empty subquery affects nothing
       Seq.empty
     } finally {
       srcDf.unpersist(blocking = false); ()

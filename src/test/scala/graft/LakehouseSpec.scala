@@ -329,7 +329,8 @@ class LakehouseSpec extends AnyFunSuite {
       "(SELECT x FROM dmlsub_dup WHERE x > 100)")
     assert(tn.read().count() == 0,
       "NOT IN (empty) must delete every row, NULL keys included")
-    // refusals: EXISTS, scalar subquery in SET, two IN conjuncts
+    // refusals: uncorrelated EXISTS (a constant predicate), scalar
+    // subquery in SET, two IN conjuncts
     intercept[UnsupportedOperationException](spark.sql(
       "DELETE FROM dmlsub_t WHERE EXISTS (SELECT 1 FROM dmlsub_dup)"))
     intercept[IllegalArgumentException](spark.sql(
@@ -337,6 +338,82 @@ class LakehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](spark.sql(
       """DELETE FROM dmlsub_t WHERE k IN (SELECT x FROM dmlsub_dup)
         |AND k IN (SELECT x FROM dmlsub_null)""".stripMargin))
+  }
+
+  test("DML EXISTS: ANSI null semantics, multi-key correlation, " +
+      "empty subquery, refusal shapes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def fresh(): GraftTable = {
+      val t = GraftTable.create(spark,
+        Files.createTempDirectory("graft_spec").toString,
+        spark.createDataFrame(java.util.Arrays.asList(
+          Row(java.lang.Long.valueOf(1L), "a", 1.0),
+          Row(java.lang.Long.valueOf(2L), "b", 2.0),
+          Row(null, "n", 3.0)),
+          StructType(Seq(StructField("k", LongType, nullable = true),
+            StructField("tag", StringType, nullable = true),
+            StructField("v", DoubleType, nullable = false)))))
+      graft.lakehouse.LakeRegistry.register("dmlex_t", t)
+      t
+    }
+    // source carries a NULL key too: EXISTS needs none of NOT IN's
+    // null poison — NULL keys just never equate, on either side
+    Seq(Some(1L), None).toDF("x").createOrReplaceTempView("dmlex_src")
+    val t1 = fresh()
+    spark.sql("DELETE FROM dmlex_t WHERE EXISTS " +
+      "(SELECT 1 FROM dmlex_src s WHERE s.x = dmlex_t.k)")
+    assert(t1.read().select("tag").as[String].collect().sorted.toSeq ==
+      Seq("b", "n"),
+      "EXISTS deletes only equated keys; NULL target keys survive")
+    // NOT EXISTS affects rows with NO match — NULL-keyed rows included
+    // (s.x = NULL is never true, so the subquery is empty for them)
+    val t2 = fresh()
+    spark.sql("DELETE FROM dmlex_t WHERE NOT EXISTS " +
+      "(SELECT 1 FROM dmlex_src s WHERE s.x = dmlex_t.k)")
+    assert(t2.read().select("tag").as[String].collect().toSeq == Seq("a"),
+      "NOT EXISTS deletes unmatched rows, NULL target keys included")
+    // empty subquery: EXISTS is a no-op (no commit); NOT EXISTS is
+    // TRUE for every row and degrades to the plain DML on the residual
+    val t3 = fresh()
+    val snaps = t3.currentSnapshotId
+    spark.sql("DELETE FROM dmlex_t WHERE EXISTS " +
+      "(SELECT 1 FROM dmlex_src s WHERE s.x = dmlex_t.k AND s.x > 100)")
+    assert(t3.currentSnapshotId == snaps, "EXISTS (empty) must not commit")
+    spark.sql("UPDATE dmlex_t SET v = v * 10 WHERE NOT EXISTS " +
+      "(SELECT 1 FROM dmlex_src s WHERE s.x = dmlex_t.k AND s.x > 100) " +
+      "AND v < 2")
+    assert(t3.read().orderBy("tag").select("v").as[Double]
+      .collect().toSeq == Seq(10.0, 2.0, 3.0),
+      "NOT EXISTS (empty) must run the plain DML on the residual")
+    // multi-key correlation (k AND tag) with flipped operand order
+    // and a subquery-local predicate
+    Seq((1L, "a", true), (2L, "zzz", true), (2L, "b", false))
+      .toDF("x", "y", "ok").createOrReplaceTempView("dmlex_src2")
+    val t4 = fresh()
+    spark.sql("DELETE FROM dmlex_t WHERE EXISTS " +
+      "(SELECT 1 FROM dmlex_src2 s WHERE s.x = dmlex_t.k " +
+      "AND dmlex_t.tag = s.y AND s.ok)")
+    assert(t4.read().select("tag").as[String].collect().sorted.toSeq ==
+      Seq("b", "n"),
+      "multi-key correlation must match on ALL keys; local predicates " +
+        "stay subquery-side")
+    // refusal matrix: non-equi correlation, outer ref in the SELECT
+    // list, duplicate correlation on one column, EXISTS + IN together
+    intercept[UnsupportedOperationException](spark.sql(
+      "DELETE FROM dmlex_t WHERE EXISTS " +
+        "(SELECT 1 FROM dmlex_src s WHERE s.x > dmlex_t.k)"))
+    intercept[IllegalArgumentException](spark.sql(
+      "DELETE FROM dmlex_t WHERE EXISTS " +
+        "(SELECT dmlex_t.k FROM dmlex_src s WHERE s.x = dmlex_t.k)"))
+    intercept[IllegalArgumentException](spark.sql(
+      "DELETE FROM dmlex_t WHERE EXISTS " +
+        "(SELECT 1 FROM dmlex_src s WHERE s.x = dmlex_t.k " +
+        "AND dmlex_t.k = s.x + 1)"))
+    intercept[IllegalArgumentException](spark.sql(
+      "DELETE FROM dmlex_t WHERE EXISTS " +
+        "(SELECT 1 FROM dmlex_src s WHERE s.x = dmlex_t.k) " +
+        "AND k IN (SELECT x FROM dmlex_src)"))
   }
 
   test("CHECK constraints: NULL passes, MoR/MERGE writes validate, " +
