@@ -2311,18 +2311,49 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // identity-partition values live in the hive dirs, and Spark's
     // partition type INFERENCE would re-type them ('007' → int 7)
     // and mis-evaluate the predicate.
-    if (validate && written.nonEmpty && checkConstraints.nonEmpty) {
-      val back = spark.read.option("basePath", dir.toString)
-        .schema(df.schema)
-        .parquet(dir.toString)
-      val bad = checkConstraints.find { case (_, sql) =>
-        back.filter(expr(s"NOT coalesce(($sql), true)"))
-          .limit(1).count() > 0
+    if (validate && written.nonEmpty) {
+      // ALL verdicts in ONE aggregate pass (k constraints used to
+      // cost k scans of the new files): NOT NULL flags and CHECK
+      // exprs each become a `max(violated)` column over one read of
+      // the just-written bytes, and the FIRST violated entry (NOT
+      // NULLs first, then CHECKs name-sorted) names the error.
+      // NOT NULL enforcement keys off the EXPLICIT declaration flag
+      // ([[setNotNull]] stamps NotNullKey field metadata), never the
+      // schema's incidental nullable bits: a table created from a
+      // case-class frame carries nullable=false on every primitive
+      // column, and silently taxing (or refusing) every later write
+      // on that accident would change behavior the user never asked
+      // for. The declaration lives in the PARENT snapshot's schema (a
+      // create has no parent); only columns the written frame carries
+      // can be probed (MoR tombstone/DV artifact writes carry none of
+      // them; missing data columns refuse in aligned() regardless).
+      val declared =
+        if (currentSnapshotId > 0) currentSnapshot.schema.fields.toSeq
+        else Nil
+      val notNull = declared
+        .filter(f => !f.nullable &&
+          f.metadata.contains(GraftTable.NotNullKey) &&
+          df.schema.fieldNames.contains(f.name))
+        .map(f => s"NOT NULL constraint on '${f.name}'" ->
+          s"(${f.name}) IS NULL")
+      val checks = checkConstraints.map { case (n, sql) =>
+        s"CHECK constraint '$n'" -> s"NOT coalesce(($sql), true)"
       }
-      bad.foreach { case (n, sql) =>
-        throw new IllegalArgumentException(
-          s"CHECK constraint '$n' ($sql) violated by written rows; " +
-            "nothing was committed") }
+      val all = notNull.toSeq ++ checks
+      if (all.nonEmpty) {
+        val back = spark.read.option("basePath", dir.toString)
+          .schema(df.schema)
+          .parquet(dir.toString)
+        val verdicts = back.select(all.zipWithIndex.map {
+          case ((_, violated), i) =>
+            coalesce(max(expr(violated)), lit(false)).as(s"_v$i")
+        }: _*).head()
+        all.zipWithIndex.find { case (_, i) => verdicts.getBoolean(i) }
+          .foreach { case ((what, violated), _) =>
+            throw new IllegalArgumentException(
+              s"$what ($violated) violated by written rows; " +
+                "nothing was committed") }
+      }
     }
     written
   }
@@ -2750,6 +2781,60 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         StructType(st.fields.map(f =>
           if (f.name == parts.last) f.copy(dataType = to) else f)))
     commit("evolve-type", newSchema,
+      snap.files, snap.partitionCols, expectedParent = snap.id)
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c SET NOT NULL` (Delta pairs this
+    * with CHECK constraints): declaring validates EXISTING live rows
+    * first — one columnar scan of just that column, refused if any
+    * NULL — then flips the schema field to nullable=false (downstream
+    * plans benefit: null-checks fold away) and stamps the EXPLICIT
+    * declaration flag ([[GraftTable.NotNullKey]] field metadata) that
+    * [[writeData]]'s single validation pass enforces on every later
+    * write's new files. The flag — not the schema's incidental
+    * nullable bit — is the enforcement key: tables created from
+    * case-class frames carry nullable=false accidentally and must not
+    * start paying (or refusing) for it. Top-level columns only; a
+    * metadata-only commit either way. */
+  def setNotNull(name: String): Long = {
+    val snap = currentSnapshot
+    val resolved = resolvePath(snap.schema, name, mustExist = true).get
+    require(!resolved.contains('.'),
+      s"SET NOT NULL on nested field '$resolved' is not supported")
+    require(!snap.schema(resolved).metadata
+        .contains(GraftTable.NotNullKey),
+      s"column '$resolved' is already declared NOT NULL")
+    require(read().filter(col(resolved).isNull).limit(1).count() == 0,
+      s"existing rows hold NULL in '$resolved'; NOT NULL not declared")
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == resolved)
+        f.copy(nullable = false,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putBoolean(GraftTable.NotNullKey, true).build())
+      else f))
+    commit("evolve-notnull", newSchema,
+      snap.files, snap.partitionCols, expectedParent = snap.id)
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c DROP NOT NULL` — reopens the gate:
+    * clears the declaration flag and flips nullable back. Refuses on
+    * a column that was never DECLARED (an accidental nullable=false
+    * from the creating frame is not a constraint to drop). */
+  def dropNotNull(name: String): Long = {
+    val snap = currentSnapshot
+    val resolved = resolvePath(snap.schema, name, mustExist = true).get
+    require(!resolved.contains('.') &&
+        snap.schema(resolved).metadata.contains(GraftTable.NotNullKey),
+      s"column '$resolved' carries no declared NOT NULL constraint")
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == resolved) {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        mb.remove(GraftTable.NotNullKey)
+        f.copy(nullable = true, metadata = mb.build())
+      } else f))
+    commit("evolve-notnull", newSchema,
       snap.files, snap.partitionCols, expectedParent = snap.id)
   }
 
@@ -5593,6 +5678,12 @@ object GraftTable {
     * raw TBLPROPERTIES (LakeDdl.validateProps refuses the prefix so
     * an unvalidated constraint can't ride in past the scan). */
   val ConstraintPrefix = "graft.constraint."
+
+  /** Field-metadata flag stamped by [[GraftTable.setNotNull]]: marks a
+    * nullable=false that was EXPLICITLY declared (and is therefore
+    * write-enforced), as opposed to inherited from the creating
+    * frame's incidental schema. */
+  val NotNullKey = "graft.not-null"
   private[lakehouse] val DefaultSinceKey = "graft.default-since"
 
   /** Validate a DEFAULT expression at DDL time: it must analyze, be

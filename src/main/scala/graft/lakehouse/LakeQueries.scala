@@ -1158,6 +1158,50 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** NOT NULL constraints (`ALTER TABLE t ALTER COLUMN c SET/DROP
+    * NOT NULL` — Delta's nullability half of the constraint surface):
+    * declaring validates EXISTING rows (one columnar scan of that
+    * column; NULLs refuse), then every write validates its new files
+    * through the SAME single-pass writeData funnel as CHECK
+    * constraints — a violating INSERT or UPDATE aborts with nothing
+    * committed — and the schema flips nullable=false so downstream
+    * plans fold null-checks away. DROP NOT NULL reopens the gate
+    * (and a later declare over data holding NULLs refuses). */
+  private val notNullQ: Q = (s, dir) => {
+    def refused(frag: String)(body: => Unit): Boolean =
+      try { body; false }
+      catch { case e: Throwable =>
+        Option(e.getMessage).exists(_.contains(frag)) }
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_nn"), orders)
+    LakeRegistry.register("lake_nn_t", t)
+    s.sql("ALTER TABLE lake_nn_t ALTER COLUMN o_totalprice SET NOT NULL")
+    require(!t.currentSnapshot.schema("o_totalprice").nullable,
+      "SET NOT NULL must flip the schema field")
+    val snaps = t.currentSnapshotId
+    require(refused("NOT NULL constraint")(s.sql(
+      "INSERT INTO lake_nn_t VALUES (9999991, 'X', CAST(NULL AS DOUBLE))")),
+      "a NULL-writing INSERT must refuse")
+    require(refused("NOT NULL constraint")(s.sql(
+      "UPDATE lake_nn_t SET o_totalprice = CAST(NULL AS DOUBLE) " +
+        "WHERE o_orderkey <= 5")),
+      "a NULL-writing UPDATE must refuse")
+    require(t.currentSnapshotId == snaps,
+      "refused writes must not commit")
+    s.sql("ALTER TABLE lake_nn_t ALTER COLUMN o_totalprice DROP NOT NULL")
+    s.sql(
+      "INSERT INTO lake_nn_t VALUES (9999991, 'X', CAST(NULL AS DOUBLE))")
+    require(refused("existing rows hold NULL")(s.sql(
+      "ALTER TABLE lake_nn_t ALTER COLUMN o_totalprice SET NOT NULL")),
+      "declaring over NULL-holding data must refuse")
+    // an independent column still declares fine, and a conforming
+    // write under it lands
+    s.sql("ALTER TABLE lake_nn_t ALTER COLUMN o_orderstatus SET NOT NULL")
+    s.sql("INSERT INTO lake_nn_t VALUES (9999992, 'X', 1.0)")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Bad write then rollback: current state equals snapshot 1, and
     * the rolled-back commit stays in history for inspection. */
   private val rollback: Q = (s, dir) => {
@@ -2669,6 +2713,7 @@ object LakeQueries {
     "lake_dml_exists"       -> dmlExists,
     "lake_variant"          -> variantLake,
     "lake_constraint"       -> constraintQ,
+    "lake_not_null"         -> notNullQ,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_merge_source"     -> mergeBySource,
@@ -3222,6 +3267,15 @@ object LakeQueries {
     "lake_truncate" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""".stripMargin,
+    // violating writes refused (no commit); the NULL row lands only
+    // after DROP NOT NULL, plus one conforming insert at the end
+    "lake_not_null" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL SELECT CAST(9999991 AS BIGINT), 'X',
+        |    CAST(NULL AS DOUBLE)
+        |  UNION ALL SELECT CAST(9999992 AS BIGINT), 'X', 1.0
+        |) ORDER BY o_orderkey""".stripMargin,
     // even seed + odd insert under the constraint, violating writes
     // refused (no commit), then the post-DROP violating row lands
     "lake_constraint" ->

@@ -979,18 +979,28 @@ object LakeDdl {
         }
 
       // ALTER TABLE … ALTER COLUMN c TYPE t — safe type promotion
-      // (GraftTable.alterColumnType validates the Iceberg-safe set)
+      // (GraftTable.alterColumnType validates the Iceberg-safe set) —
+      // and … ALTER COLUMN c SET/DROP NOT NULL (Delta's nullability
+      // constraint; GraftTable.setNotNull validates existing rows,
+      // writeData's single pass enforces new ones)
       case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
         claimAlter(spark, ac.table).map { name =>
-          val specs = ac.specs.map { s =>
-            require(s.newDataType.isDefined && s.newNullability.isEmpty &&
-                s.newComment.isEmpty && s.newPosition.isEmpty &&
-                s.newDefaultExpression.isEmpty && !s.dropDefault,
-              "only ALTER COLUMN … TYPE is supported")
-            (s.column.name.mkString("."), s.newDataType.get)
+          val actions = ac.specs.map { s =>
+            require(s.newComment.isEmpty && s.newPosition.isEmpty &&
+                s.newDefaultExpression.isEmpty && !s.dropDefault &&
+                (s.newDataType.isDefined != s.newNullability.isDefined),
+              "only ALTER COLUMN … TYPE or … SET/DROP NOT NULL is " +
+                "supported")
+            val c = s.column.name.mkString(".")
+            s.newNullability match {
+              case Some(nullable) => (t: GraftTable) =>
+                if (nullable) t.dropNotNull(c) else t.setNotNull(c)
+              case None => (t: GraftTable) =>
+                t.alterColumnType(c, s.newDataType.get)
+            }
           }
-          GraftAlterCommand(name, "ALTER COLUMN TYPE",
-            t => specs.foreach { case (c, dt) => t.alterColumnType(c, dt) })
+          GraftAlterCommand(name, "ALTER COLUMN",
+            t => actions.foreach(_(t)))
         }
 
       case rc: RenameColumn =>

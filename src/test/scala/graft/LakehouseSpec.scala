@@ -500,6 +500,88 @@ class LakehouseSpec extends AnyFunSuite {
     assert(tt.read().count() == 2)
   }
 
+  test("multi-constraint writes validate in ONE pass and name the " +
+      "first violated entry; NOT NULL rides the same pass") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString,
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row(1L, java.lang.Double.valueOf(1.0), "x")),
+        StructType(Seq(StructField("k", LongType, nullable = true),
+          StructField("v", DoubleType, nullable = true),
+          StructField("tag", StringType, nullable = true)))))
+    graft.lakehouse.LakeRegistry.register("multicon_t", t)
+    spark.sql("ALTER TABLE multicon_t ADD CONSTRAINT b_small CHECK (k < 100)")
+    spark.sql("ALTER TABLE multicon_t ADD CONSTRAINT a_pos CHECK (v > 0)")
+    spark.sql("ALTER TABLE multicon_t ALTER COLUMN tag SET NOT NULL")
+    // a row violating BOTH checks names the FIRST (NOT NULLs, then
+    // CHECKs name-sorted: a_pos before b_small)
+    val e1 = intercept[Exception](spark.sql(
+      "INSERT INTO multicon_t VALUES (200, -1.0, 'y')"))
+    assert(e1.getMessage.contains("a_pos"),
+      s"first violated CHECK must be named, got: ${e1.getMessage}")
+    // a row violating the NOT NULL and a CHECK names the NOT NULL
+    val e2 = intercept[Exception](spark.sql(
+      "INSERT INTO multicon_t VALUES (200, 1.0, CAST(NULL AS STRING))"))
+    assert(e2.getMessage.contains("NOT NULL constraint on 'tag'"),
+      s"NOT NULL must be named before CHECKs, got: ${e2.getMessage}")
+    // a conforming write under all three lands
+    spark.sql("INSERT INTO multicon_t VALUES (2, 2.0, 'z')")
+    assert(t.read().count() == 2)
+  }
+
+  test("NOT NULL: declare validates existing, MoR writes validate, " +
+      "accidental nullable=false is not enforced, flag persists") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_spec").toString
+    val t = GraftTable.create(spark, root,
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row(1L, java.lang.Double.valueOf(1.0)), Row(2L, null)),
+        StructType(Seq(StructField("k", LongType, nullable = false),
+          StructField("v", DoubleType, nullable = true)))))
+    graft.lakehouse.LakeRegistry.register("nnref_t", t)
+    // the creating frame's nullable=false on k is NOT a declared
+    // constraint: writes of NULL k are not validated against it…
+    spark.sql("INSERT INTO nnref_t VALUES (CAST(NULL AS BIGINT), 9.0)")
+    assert(t.read().count() == 3)
+    // …and it is not a constraint one can DROP
+    intercept[IllegalArgumentException](spark.sql(
+      "ALTER TABLE nnref_t ALTER COLUMN k DROP NOT NULL"))
+    // declaring over existing NULLs refuses (v holds one)
+    intercept[IllegalArgumentException](spark.sql(
+      "ALTER TABLE nnref_t ALTER COLUMN v SET NOT NULL"))
+    // clean the NULLs, declare, and the flag persists across reload
+    spark.sql("DELETE FROM nnref_t WHERE v IS NULL OR k IS NULL")
+    spark.sql("ALTER TABLE nnref_t ALTER COLUMN v SET NOT NULL")
+    val t2 = GraftTable.load(spark, root)
+    assert(!t2.currentSnapshot.schema("v").nullable)
+    intercept[Exception](t2.append(
+      spark.createDataFrame(java.util.Arrays.asList(Row(9L, null)),
+        StructType(Seq(StructField("k", LongType, nullable = false),
+          StructField("v", DoubleType, nullable = true))))))
+    // MoR interplay: a merge-on-read UPDATE writing NULL new images
+    // refuses pre-commit through the same funnel
+    t2.setProperties(t2.properties +
+      ("write.update.mode" -> "merge-on-read",
+        "write.delete.style" -> "position"))
+    val snaps = t2.currentSnapshotId
+    val em = intercept[Exception](spark.sql(
+      "UPDATE nnref_t SET v = CAST(NULL AS DOUBLE) WHERE k = 1"))
+    assert(em.getMessage.contains("NOT NULL constraint on 'v'"))
+    assert(t2.currentSnapshotId == snaps,
+      "violating MoR UPDATE must not commit")
+    // …and a conforming MoR UPDATE still lands
+    spark.sql("UPDATE nnref_t SET v = 42.0 WHERE k = 1")
+    assert(t2.read().filter(col("k") === 1).select("v")
+      .as[Double].head() == 42.0)
+    // DROP NOT NULL reopens
+    spark.sql("ALTER TABLE nnref_t ALTER COLUMN v DROP NOT NULL")
+    spark.sql("UPDATE nnref_t SET v = CAST(NULL AS DOUBLE) WHERE k = 1")
+    assert(t2.read().filter(col("v").isNull).count() == 1)
+  }
+
   test("conditional MERGE clauses: AND conditions, partial SET, DELETE") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", -5.0), (3L, "c", 3.0)))
     graft.lakehouse.LakeRegistry.register("sqlmc_t", t)
