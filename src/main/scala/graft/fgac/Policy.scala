@@ -355,6 +355,32 @@ object SecureCatalog {
     cols
   }
 
+  /** Existence listing for SHOW TABLES: governed names under `ns`
+    * (None = bare, un-namespaced names) visible to `who` — the admin
+    * session sees all, a principal sees exactly the names it holds
+    * SOME effective grant on (direct, tag, or namespace — the same
+    * precedence chain every other decision uses). Deliberately
+    * AUDIT-FREE, unlike [[describeColumns]]: a listing probes every
+    * governed name, and a name simply not appearing IS the policy
+    * answer — recording a DENIED row per invisible table would bury
+    * the trail's real recon signal under catalog browsing. */
+  def governedNamesIn(who: String, ns: Option[String]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val names = governed.keySet.asScala.toSeq.filter { n =>
+      ns match {
+        case Some(d) =>
+          n.startsWith(d + ".") && !n.drop(d.length + 1).contains('.')
+        case None => !n.contains('.')
+      }
+    }
+    (if (who.isEmpty) names
+     else principal(who) match {
+       case None => Nil
+       case Some(p) =>
+         names.filter(n => effectivePolicy(p, n, resolveLink(n)).isDefined)
+     }).sorted
+  }
+
   /** Parse a policy expression (mask / row filter) and refuse any
     * column reference outside `visible`. Both evaluate against the
     * RAW row, so an out-of-scope reference is an exfiltration /

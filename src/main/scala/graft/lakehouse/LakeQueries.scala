@@ -1202,6 +1202,50 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** Operator-facing catalog SQL ([[LakeCatalogSql]]): `DESCRIBE
+    * TABLE` answers schema + partition spec, `SHOW TABLES IN db`
+    * lists the namespace, `SHOW PARTITIONS` lists live partitions —
+    * all from the driver-side manifest, ZERO data reads (the
+    * reference workflow inspects tables between every step:
+    * consumer_emr_on_eks_setup.sh's validation browses Glue/Athena
+    * schemas and partitions constantly). The result pins the exact
+    * row text of all three statements; EXTENDED, LIKE-pattern, and
+    * the unpartitioned refusal are require()d in-query (their rows
+    * are machine-specific or empty). */
+  private val describeQ: Q = (s, dir) => {
+    def refused(frag: String)(body: => Unit): Boolean =
+      try { body; false }
+      catch { case e: Throwable =>
+        Option(e.getMessage).exists(_.contains(frag)) }
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_desc"), orders,
+      partitionBy = Seq("o_orderstatus"))
+    LakeRegistry.register("descdb.orders_d", t)
+    val n = GraftTable.create(s, tmp("lake_desc_n"), Tables.nation(s, dir))
+    LakeRegistry.register("descdb.nation_d", n)
+
+    val desc = s.sql("DESCRIBE TABLE descdb.orders_d").collect()
+    val ext = s.sql("DESCRIBE EXTENDED descdb.orders_d").collect()
+    require(ext.exists(_.getString(0) == "Location") &&
+      ext.exists(_.getString(0) == "Snapshot"),
+      "EXTENDED must expose location and current snapshot")
+    val tabs = s.sql("SHOW TABLES IN descdb").collect()
+    require(s.sql("SHOW TABLES IN descdb LIKE 'orders*'").count() == 1,
+      "the LIKE pattern must narrow the listing")
+    val parts = s.sql("SHOW PARTITIONS descdb.orders_d").collect()
+    require(refused("not partitioned")(
+      s.sql("SHOW PARTITIONS descdb.nation_d")),
+      "SHOW PARTITIONS on an unpartitioned table must refuse")
+
+    import s.implicits._
+    (desc.toSeq.map(r => ("describe", r.getString(0), r.getString(1))) ++
+      tabs.toSeq.map(r => ("show_tables", r.getString(1), r.getString(0))) ++
+      parts.toSeq.map(r => ("show_partitions", r.getString(0), "")))
+      .toDF("stmt", "item", "detail")
+      .orderBy("stmt", "item", "detail")
+  }
+
   /** Bad write then rollback: current state equals snapshot 1, and
     * the rolled-back commit stays in history for inspection. */
   private val rollback: Q = (s, dir) => {
@@ -2714,6 +2758,7 @@ object LakeQueries {
     "lake_variant"          -> variantLake,
     "lake_constraint"       -> constraintQ,
     "lake_not_null"         -> notNullQ,
+    "lake_describe"         -> describeQ,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_merge_source"     -> mergeBySource,
@@ -3267,6 +3312,26 @@ object LakeQueries {
     "lake_truncate" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""".stripMargin,
+    // the exact row text of DESCRIBE / SHOW TABLES / SHOW PARTITIONS
+    // over a status-partitioned 3-column orders table — schema rows,
+    // the partition-information block (the partition column repeats
+    // there, as in Spark's own DESCRIBE), the two-table namespace
+    // listing, and the three live status partitions
+    "lake_describe" ->
+      """SELECT * FROM (VALUES
+        |  ('describe', '# Partition Information', ''),
+        |  ('describe', '# col_name', 'data_type'),
+        |  ('describe', 'o_orderkey', 'bigint'),
+        |  ('describe', 'o_orderstatus', 'string'),
+        |  ('describe', 'o_orderstatus', 'string'),
+        |  ('describe', 'o_totalprice', 'double'),
+        |  ('show_partitions', 'o_orderstatus=F', ''),
+        |  ('show_partitions', 'o_orderstatus=O', ''),
+        |  ('show_partitions', 'o_orderstatus=P', ''),
+        |  ('show_tables', 'nation_d', 'descdb'),
+        |  ('show_tables', 'orders_d', 'descdb')
+        |) AS t(stmt, item, detail)
+        |ORDER BY stmt, item, detail""".stripMargin,
     // violating writes refused (no commit); the NULL row lands only
     // after DROP NOT NULL, plus one conforming insert at the end
     "lake_not_null" ->

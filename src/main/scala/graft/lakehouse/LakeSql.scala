@@ -42,6 +42,12 @@ object LakeRegistry {
     Option(tables.get(name.toLowerCase))
   def unregister(name: String): Unit = tables.remove(name.toLowerCase)
 
+  /** All registered names, sorted (SHOW TABLES' listing source). */
+  def list: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.keySet.asScala.toSeq.sorted
+  }
+
   /** Canonical registry key of a multi-part SQL identifier:
     * `Seq("Db","T")` → `"db.t"`. One or two parts — the engine models
     * a single catalog, so `cat.db.t` is out of scope and refuses at
@@ -1839,6 +1845,11 @@ class GraftSqlParser(spark: SparkSession,
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     LakeMaintenance.parse(spark, sqlText)
+      // DESCRIBE / SHOW TABLES / SHOW PARTITIONS over lake names —
+      // parser-level for the same reason as LakeMaintenance (the
+      // analyzer's ResolveSessionCatalog would claim them first);
+      // governed names defer to the policy-filtered FgacRule path
+      .orElse(LakeCatalogSql.parse(spark, sqlText))
       // GRANT/REVOKE/SHOW GRANTS: Spark has no grammar for these at
       // all, so the claim is unconditional (a non-governed target
       // fails inside the command, loudly, rather than as a parse

@@ -388,6 +388,40 @@ class FgacSpec extends AnyFunSuite {
     assert(denied, "ungranted DESCRIBE must deny")
   }
 
+  test("catalog SQL never leaks a governed name: DESCRIBE stays " +
+      "policy-filtered under lake registration, SHOW PARTITIONS " +
+      "refuses, SHOW TABLES gates the listing per grant") {
+    FgacQueries.setup(spark, sf)
+    // register a lake table UNDER the governed name — the worst case:
+    // the lake DESCRIBE path must still defer to the policy
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_govcat").toString,
+      Tables.customer(spark, sf))
+    graft.lakehouse.LakeRegistry.register("customer", t)
+    try {
+      val cols = FgacQueries.asPrincipal(spark, "analyst_col")(
+        spark.sql("DESCRIBE TABLE customer").collect())
+        .map(_.getString(0))
+      assert(!cols.contains("c_acctbal"),
+        "lake registration must not leak the ungoverned schema")
+      // partition values are data: refuse for any principal
+      val e = intercept[AccessDeniedException](
+        spark.sql("SHOW PARTITIONS customer"))
+      assert(e.getMessage.contains("governed"))
+      // listing is grant-gated: no grant = the name simply absent;
+      // a granted principal sees it; the suppressed lake row never
+      // reappears as an ungoverned entry
+      val ungranted = FgacQueries.asPrincipal(spark, "team2")(
+        spark.sql("SHOW TABLES").collect()).map(_.getString(1))
+      assert(!ungranted.contains("customer"))
+      val granted = FgacQueries.asPrincipal(spark, "analyst_col")(
+        spark.sql("SHOW TABLES").collect())
+        .filter(_.getString(1) == "customer")
+      assert(granted.size == 1,
+        "a granted principal must see the governed name exactly once")
+    } finally graft.lakehouse.LakeRegistry.unregister("customer")
+  }
+
   test("stats-pruned lakehouse read pushes the residual filter") {
     val t = graft.lakehouse.GraftTable.create(spark,
       java.nio.file.Files.createTempDirectory("graft_rw_plan").toString,

@@ -638,6 +638,71 @@ class LakehouseSpec extends AnyFunSuite {
     assert(t.currentSnapshotId == 1)
   }
 
+  test("catalog SQL: DESCRIBE schema/partitions/extended, SHOW TABLES " +
+      "merges temp views, SHOW PARTITIONS values and refusals") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString,
+      Seq((1L, "a", ts("2024-01-01 10:00:00")),
+        (2L, "b", ts("2024-01-02 11:00:00")),
+        (3L, "c", ts("2024-01-02 12:00:00"))).toDF("k", "tag", "ts"),
+      partitionBy = Seq("day(ts)"))
+    graft.lakehouse.LakeRegistry.register("catdb.events_c", t)
+    spark.sql("ALTER TABLE catdb.events_c ALTER COLUMN tag SET NOT NULL")
+    spark.sql("ALTER TABLE catdb.events_c ADD CONSTRAINT kpos CHECK (k > 0)")
+
+    // DESCRIBE: schema rows typed, not-null marked, transform field
+    // under the partition block with its SOURCE column's type
+    val desc = spark.sql("DESCRIBE TABLE catdb.events_c").collect()
+    val byName = desc.map(r =>
+      r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byName("k") == ("bigint", null))
+    assert(byName("tag") == ("string", "not null"))
+    assert(byName("ts")._1 == "timestamp")
+    assert(byName.contains("# Partition Information"))
+    assert(byName("day(ts)") == ("timestamp", null))
+    // EXTENDED adds location, snapshot, and the declared constraint
+    val ext = spark.sql("DESCRIBE EXTENDED catdb.events_c").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ext("Location") == t.location)
+    assert(ext("Snapshot") == t.currentSnapshotId.toString)
+    assert(ext("Constraint kpos") == "CHECK (k > 0)")
+    assert(ext("Provider") == "graft")
+
+    // SHOW TABLES merges the session catalog (temp views) with lake
+    // names: bare lake names list under the empty namespace
+    val bare = GraftTable.create(spark,
+      Files.createTempDirectory("graft_spec").toString,
+      Seq((1L, "x", 1.0)).toDF("k", "tag", "v"))
+    graft.lakehouse.LakeRegistry.register("catbare_t", bare)
+    Seq(1).toDF("x").createOrReplaceTempView("cattv_v")
+    val all = spark.sql("SHOW TABLES").collect()
+      .map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(all.get("catbare_t").contains(false),
+      "bare lake names must list")
+    assert(all.get("cattv_v").contains(true),
+      "temp views must survive the merged listing")
+    val inDb = spark.sql("SHOW TABLES IN catdb").collect()
+    assert(inDb.map(_.getString(1)).toSeq == Seq("events_c") &&
+      inDb.head.getString(0) == "catdb")
+    assert(spark.sql("SHOW TABLES IN catdb LIKE 'nomatch*'").count() == 0)
+    assert(spark.sql("SHOW TABLES LIKE 'catbare*'").collect()
+      .map(_.getString(1)).toSeq == Seq("catbare_t"))
+
+    // SHOW PARTITIONS: one row per live day, layout-rendered
+    val parts = spark.sql("SHOW PARTITIONS catdb.events_c").collect()
+      .map(_.getString(0)).toSeq
+    assert(parts.size == 2 && parts.forall(_.contains("=")) &&
+      parts == parts.sorted, s"got $parts")
+    // refusals: unpartitioned table, PARTITION(spec) filter
+    val e1 = intercept[Exception](
+      spark.sql("SHOW PARTITIONS catbare_t"))
+    assert(e1.getMessage.contains("not partitioned"))
+    val e2 = intercept[Exception](
+      spark.sql("SHOW PARTITIONS catdb.events_c PARTITION (x=1)"))
+    assert(e2.getMessage.contains("not supported"))
+  }
+
   test("DROP TABLE claims an on-disk table unknown to the registry") {
     val name = "dropprobe_t"
     val root = spark.conf.get("spark.sql.warehouse.dir")
