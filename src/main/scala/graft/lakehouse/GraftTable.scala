@@ -1983,9 +1983,23 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       if (fromId == 0L)
         to.copy(files = Nil, dels = Nil, posDels = Nil, dvs = Map.empty)
       else known(fromId).getOrElse(snapshot(fromId))
-    require(from.schema == to.schema,
-      "changelog across a schema evolution is undefined (row identity " +
-        "is the full row); read the sides separately")
+    // Null-backfilled ADD COLUMN composes IN-RANGE, like the lineage
+    // feed: the from side up-projects to the to schema (null fill, or
+    // the declared initial DEFAULT — exactly what a to-reader
+    // surfaces for pre-add files), so a checkpointed CDC stream
+    // restarted after the evolution drains through it instead of
+    // wedging at an immutable endpoint pair. Every other shape
+    // (drop/rename/type change) still refuses: row identity is the
+    // full row and those have no sound up-projection.
+    val addOnly = from.schema == to.schema ||
+      (from.schema.fields.forall(ff => to.schema.fields.exists(tf =>
+        tf.name == ff.name && tf.dataType == ff.dataType)) &&
+        to.schema.fields.filterNot(tf =>
+          from.schema.fieldNames.contains(tf.name)).forall(_.nullable))
+    require(addOnly,
+      "changelog across a schema evolution other than null-backfilled " +
+        "ADD COLUMN is undefined (row identity is the full row); read " +
+        "the sides separately")
     require(from.dels.isEmpty && to.dels.isEmpty,
       "changelog endpoints must carry no pending equality deletes: " +
         "materialize them first")
@@ -2010,7 +2024,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       else morReadPos(s, fs)
         .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
     var ins = live(to, to.files.filterNot(fromSet))
-    var del = live(from, from.files.filterNot(toSet))
+    // the from side reads at the FROM schema and up-projects (the
+    // addOnly gate above guarantees this succeeds)
+    var del = GraftTable.upProject(
+      live(from, from.files.filterNot(toSet)), to.schema).get
     // carried files change their live set only through the tombstone
     // diff; tombstone files shared by both endpoints cancel without a
     // read, and a (file, pos) re-tombstoned through a different file
@@ -2062,7 +2079,22 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         .distinct().collect().map(_.getString(0)).toSeq
         .flatMap(rawByEnc.get).sorted
       if (touched.nonEmpty) {
-        val rowsPos = readFilesPos(to.schema, touched, to.partitionCols)
+        // initial-DEFAULT columns surface per file epoch, exactly as
+        // on the plain read path (readFilesMapped) — the touched
+        // files predate any in-range add, so a bare positional read
+        // would emit NULL images where every live read shows the
+        // DEFAULT
+        val rowsPos = {
+          val defaulted = defaultedCols(to)
+          if (defaulted.isEmpty)
+            readFilesPos(to.schema, touched, to.partitionCols)
+          else touched.groupBy(f => preAddOf(to, defaulted, f)).toSeq
+            .sortBy(_._2.headOption.getOrElse(""))
+            .map { case (pre, fs) => applyDefaults(to, defaulted,
+              readFilesPos(to.schema, fs, to.partitionCols), pre) }
+            .reduceOption(_.unionByName(_))
+            .getOrElse(readFilesPos(to.schema, Nil, to.partitionCols))
+        }
         def at(t: DataFrame): DataFrame = rowsPos.join(t,
             rowsPos(GraftTable.PosFileCol) === t("_file") &&
               rowsPos(GraftTable.PosIdxCol) === t("_pos"), "left_semi")
@@ -5685,6 +5717,58 @@ object GraftTable {
     * frame's incidental schema. */
   val NotNullKey = "graft.not-null"
   private[lakehouse] val DefaultSinceKey = "graft.default-since"
+
+  /** Deep type normalization for add-only schema compatibility:
+    * nullability and field metadata are presentation, not shape (the
+    * changelog builders produce all-nullable, metadata-free columns
+    * whatever the table declares). */
+  private def normType(dt: DataType): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.map(f => StructField(f.name,
+        normType(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = normType(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = normType(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** `df` up-projected to `target`'s column set: columns `target`
+    * declares that `df` lacks fill with NULL — or with the column's
+    * declared initial DEFAULT, matching exactly what the table's own
+    * read path surfaces for pre-add files — and the result selects
+    * `target`'s column order (extra non-target columns — feed tags —
+    * pass through at the end). None when the shapes differ by
+    * anything other than nullable ADD COLUMN (drop/rename/type
+    * change have no sound up-projection). Shared by the plain batch
+    * changelog ([[GraftTable.changes]]) and the streaming change
+    * feed, so a checkpointed CDC stream SURVIVES a null-backfilled
+    * ADD COLUMN — restart picks up the new schema and every pending
+    * range up-projects — instead of wedging permanently at the
+    * evolution commit. */
+  private[graft] def upProject(df: org.apache.spark.sql.DataFrame,
+      target: StructType): Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val have = df.schema
+    val extra = have.fields.filterNot(f =>
+      target.fieldNames.contains(f.name)).toSeq
+    val shared = have.fields.filterNot(extra.contains)
+    val missing = target.fields.filterNot(f =>
+      have.fieldNames.contains(f.name)).toSeq
+    val compatible = shared.forall(hf => target.fields.exists(tf =>
+        tf.name == hf.name &&
+          normType(tf.dataType) == normType(hf.dataType))) &&
+      missing.forall(_.nullable)
+    if (!compatible) None
+    else {
+      val filled = missing.foldLeft(df)((d, f) => d.withColumn(f.name,
+        (if (f.metadata.contains(DefaultSqlKey))
+           expr(f.metadata.getString(DefaultSqlKey))
+         else lit(null)).cast(f.dataType)))
+      Some(filled.select((target.fieldNames.toSeq ++
+        extra.map(_.name)).map(col): _*))
+    }
+  }
 
   /** Validate a DEFAULT expression at DDL time: it must analyze, be
     * FOLDABLE and DETERMINISTIC (Iceberg v3 restricts defaults to

@@ -150,11 +150,27 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
       // check would let a nested struct-field ALTER slip a batch
       // whose real schema mismatches the declared one (wrong ordinal
       // reads downstream instead of this restart error)
-      require(GraftLakeStreamProvider.relaxed(chg.schema) ==
-          GraftLakeStreamProvider.relaxed(schema),
-        s"table schema evolved within ($from, $to]: restart the " +
-          "streaming query to pick up the new schema")
-      StreamShim.asMicroBatch(chg)
+      val aligned =
+        if (GraftLakeStreamProvider.relaxed(chg.schema) ==
+            GraftLakeStreamProvider.relaxed(schema)) chg
+        else {
+          // a pending range from BEFORE a null-backfilled ADD COLUMN
+          // delivers at the stream's declared (post-evolution) schema
+          // via the shared up-projection — so a checkpointed stream
+          // RESTARTED after the evolution drains through it. A WIDER
+          // batch (the stream is still running on the pre-evolution
+          // schema) or any non-add shape keeps the restart refusal,
+          // and that restart now actually succeeds.
+          val up =
+            if (chg.schema.fieldNames.forall(schema.fieldNames.contains))
+              GraftTable.upProject(chg, schema)
+            else None
+          require(up.isDefined,
+            s"table schema evolved within ($from, $to]: restart the " +
+              "streaming query to pick up the new schema")
+          up.get
+        }
+      StreamShim.asMicroBatch(aligned)
     } else {
       val (toSnap, files) = table.appendedFilesBetween(from, to, cached)
       require(toSnap.schema == schema,

@@ -457,6 +457,15 @@ object StreamingOps {
     t.updateMoRPos(Map("o_totalprice" -> "0.0"),
       "o_orderstatus = 'F' AND o_orderkey % 7 = 0")                // 4
     t.rewritePositionDeletes()                                     // 5
+    // a null-backfilled ADD COLUMN mid-history: the feed must drain
+    // THROUGH it — the evolution batch nets empty, every pre-add
+    // range up-projects to the declared post-evolution schema (NULL
+    // for the new column, exactly what a reader at head sees for
+    // pre-add files) instead of wedging with "restart"
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("o_note",
+      org.apache.spark.sql.types.StringType)))                     // 6
+    t.append(orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_note", lit("late")))                          // 7
     val qn = "lake_cdc_feed_" +
       java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val q = s.readStream.format("graft-lake")
@@ -466,8 +475,13 @@ object StreamingOps {
       .writeStream.format("memory").queryName(qn)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(qn)
-      .orderBy(col("_change_type"), col("o_orderkey"), col("o_totalprice"))
+    val feed = s.table(qn)
+    require(feed.filter(col("o_note") === "late").count() > 0 &&
+      feed.filter(col("o_note").isNull).count() > 0,
+      "the feed must deliver both pre-add (NULL-filled) and post-add " +
+        "batches across the ADD COLUMN commit")
+    feed.orderBy(col("_change_type"), col("o_orderkey"),
+      col("o_totalprice"), col("o_note"))
   }
 
   /** Streaming ROW-ID-KEYED change feed (`readChangeFeed=lineage` —
@@ -580,14 +594,18 @@ object StreamingOps {
         |    -- a row already at the update's target value nets OUT of
         |    -- the changelog (identical delete+insert cancel)
         |    AND o_totalprice <> 0.0)
-        |SELECT *, 'insert' AS _change_type FROM b1
-        |UNION ALL SELECT *, 'insert' AS _change_type FROM b2
-        |UNION ALL SELECT *, 'delete' AS _change_type FROM d3
+        |SELECT *, CAST(NULL AS VARCHAR) AS o_note,
+        |  'insert' AS _change_type FROM b1
+        |UNION ALL SELECT *, CAST(NULL AS VARCHAR), 'insert' FROM b2
+        |UNION ALL SELECT *, CAST(NULL AS VARCHAR), 'delete' FROM d3
         |UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice,
-        |  'delete' AS _change_type FROM u4
+        |  CAST(NULL AS VARCHAR), 'delete' FROM u4
         |UNION ALL SELECT o_orderkey, o_orderstatus, 0.0 AS o_totalprice,
-        |  'insert' AS _change_type FROM u4
-        |ORDER BY _change_type, o_orderkey, o_totalprice""".stripMargin,
+        |  CAST(NULL AS VARCHAR), 'insert' FROM u4
+        |-- the post-ADD-COLUMN append delivers with the new column set
+        |UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  'late', 'insert' FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY _change_type, o_orderkey, o_totalprice, o_note""".stripMargin,
     // both runs together drain the whole event log, exactly once
     "stream_lake_resume" ->
       """SELECT event_type, COUNT(*) AS n_events,

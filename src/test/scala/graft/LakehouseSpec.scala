@@ -1916,6 +1916,77 @@ class LakehouseSpec extends AnyFunSuite {
       (3L, "update"), (9L, "insert")), s"got $feed")
   }
 
+  test("plain change feed survives a null-backfilled ADD COLUMN: the " +
+      "batch changelog up-projects, a checkpointed stream restart " +
+      "drains through, other shapes still refuse") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_addcol_cdc").toString,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "tag", "v")) // 1
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))          // 2
+    val ck = Files.createTempDirectory("graft_addcol_ck").toString
+    val out = Files.createTempDirectory("graft_addcol_out").toString
+    def drain(): Unit = {
+      // a FILE sink: the one built-in sink that recovers from a
+      // checkpoint, so the restart is a real offset resume
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("maxCommitsPerTrigger", 1).load(t.location)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sunk() = spark.read.option("mergeSchema", "true").parquet(out)
+    drain() // run A: delivers snaps 1-2 at the pre-evolution schema
+    assert(sunk().count() == 3)
+
+    t.addColumns(Seq(StructField("note", StringType)))           // 3
+    t.append(Seq((4L, "d", 4.0, "n4")).toDF("k", "tag", "v", "note")) // 4
+    t.delete("k = 1")                                            // 5
+
+    // the BATCH changelog up-projects across the add: old images
+    // carry NULL for the new column, exactly what a reader at `to`
+    // sees for pre-add files
+    val full = t.changes(0, 5).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+        Option(r.getAs[String]("note")))).toSet
+    assert(full == Set((2L, "insert", None), (3L, "insert", None),
+      (4L, "insert", Some("n4"))), s"got $full")
+
+    // run B: the SAME checkpoint drains THROUGH the evolution — the
+    // add commit nets empty, the post-add commits deliver (this is
+    // the wedge being fixed: every batch here refused before)
+    drain()
+    val runB = sunk().collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+        Option(r.getAs[String]("note")))).toSet
+    assert(runB == Set((1L, "insert", None), (2L, "insert", None),
+      (3L, "insert", None), (4L, "insert", Some("n4")),
+      (1L, "delete", None)), s"got $runB")
+
+    // a FRESH stream at the post-add schema up-projects the pre-add
+    // data ranges too (the pending-range half of a restart)
+    val qn2 = "addcol_feed_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val q2 = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .option("maxCommitsPerTrigger", 1).load(t.location)
+      .writeStream.format("memory").queryName(qn2)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val fresh = spark.table(qn2)
+    assert(fresh.count() == 5 &&
+      fresh.filter(col("note").isNull).count() == 4, "pre-add rows " +
+        "must deliver with a NULL-filled new column")
+
+    // every other shape still refuses (rename has no up-projection)
+    t.renameColumn("tag", "label")                               // 6
+    val e = intercept[IllegalArgumentException](t.changes(5, 6).collect())
+    assert(e.getMessage.contains("read the sides separately"))
+  }
+
   test("metadata tables answer from the manifest: files, partitions") {
     val dir = Files.createTempDirectory("graft_meta").toString
     val t = GraftTable.create(spark, dir,
