@@ -272,7 +272,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relation has to be lowered to a table command (with its write
     // authorization) before the read-path rule rewrites the name into
     // a secured scan.
-    e.injectResolutionRule(graft.lakehouse.LakeSqlRule(_))
+    e.injectResolutionRule { session =>
+      // three-part lake addressing needs the catalog name CLAIMED
+      // before any analysis runs (spark_catalog errors multi-part
+      // namespaces eagerly, ahead of every resolution rule)
+      graft.lakehouse.LakeRegistry.ensureCatalog(session)
+      graft.lakehouse.LakeSqlRule(session)
+    }
     e.injectResolutionRule(FgacRule(_))
     // DDL must be claimed before analysis (ResolveSessionCatalog would
     // otherwise grab CREATE TABLE … USING graft) — parser-level, the

@@ -55,15 +55,21 @@ object LakeCatalogSql {
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case Describe(ext, name) =>
-        val n = name.toLowerCase
+        val full = name.toLowerCase
         // governed names and views stay on the policy-filtered
-        // FgacRule path (fgac_describe); only plain lake tables
-        // resolve to the full manifest schema here
-        if (graft.fgac.SecureCatalog.isVisibleName(n) ||
-            ViewRegistry.get(n).isDefined) None
-        else if (LakeDdl.claimDrop(spark, n))
-          Some(GraftDescribeCommand(n, ext != null))
-        else None
+        // FgacRule path (fgac_describe) — checked on BOTH the full
+        // (possibly catalog-qualified) form and the stripped key;
+        // only plain lake tables resolve to the manifest schema here
+        LakeRegistry.keyOf(spark, full.split('.').toSeq) match {
+          case Some(n)
+              if !graft.fgac.SecureCatalog.isVisibleName(full) &&
+                !graft.fgac.SecureCatalog.isVisibleName(n) &&
+                ViewRegistry.get(full).isEmpty &&
+                ViewRegistry.get(n).isEmpty &&
+                LakeDdl.claimDrop(spark, n) =>
+            Some(GraftDescribeCommand(n, ext != null))
+          case _ => None
+        }
       case ShowTablesRe(db, pat) =>
         // claimed unconditionally: the command MERGES the session
         // catalog's own listing (temp views included), so the claim
@@ -71,21 +77,77 @@ object LakeCatalogSql {
         Some(GraftShowTablesCommand(
           Option(db).map(_.toLowerCase), Option(pat)))
       case ShowPartitionsRe(name, spec) =>
-        val n = name.toLowerCase
-        if (graft.fgac.SecureCatalog.isVisibleName(n))
+        val full = name.toLowerCase
+        val key = LakeRegistry.keyOf(spark, full.split('.').toSeq)
+        if (graft.fgac.SecureCatalog.isVisibleName(full) ||
+            key.exists(graft.fgac.SecureCatalog.isVisibleName))
           throw new graft.fgac.AccessDeniedException(
-            s"SHOW PARTITIONS on governed table '$n': partition " +
+            s"SHOW PARTITIONS on governed table '$full': partition " +
               "values are data; scan the table under your grant " +
               "instead")
-        else if (LakeDdl.claimDrop(spark, n)) {
-          require(spec == null,
-            "SHOW PARTITIONS … PARTITION(spec) is not supported on " +
-              "lake tables; filter the lake_partitions('t') TVF " +
-              "instead")
-          Some(GraftShowPartitionsCommand(n))
-        } else None
+        else key.filter(LakeDdl.claimDrop(spark, _)) match {
+          case Some(n) =>
+            require(spec == null,
+              "SHOW PARTITIONS … PARTITION(spec) is not supported on " +
+                "lake tables; filter the lake_partitions('t') TVF " +
+                "instead")
+            Some(GraftShowPartitionsCommand(n))
+          case None => None
+        }
       case _ => None
     }
+}
+
+/** Catalog plugin claiming the configured lake catalog name
+  * ([[LakeRegistry.catalogOf]], default "graft") so the analyzer
+  * routes three-part `graft.db.t` names HERE instead of erroring on
+  * spark_catalog's single-part-namespace rule. Every lookup defers
+  * (`NoSuchTableException` → the analyzer leaves the relation
+  * unresolved), handing the name to [[LakeSqlRule]] in the same
+  * resolution batch — the identification/enforcement split
+  * [[graft.fgac.GovernedCatalog]] uses for governed names, and the
+  * same wiring the reference's consumer uses for its `dev` catalog
+  * (consumer_emr_on_eks_setup.sh:438-447). DDL (CREATE/DROP/ALTER)
+  * never reaches these methods: [[GraftSqlParser]] claims it at
+  * parse time. Registered once per session by
+  * [[graft.fgac.GraftExtensions]] via [[LakeRegistry.ensureCatalog]]
+  * unless the user bound the name to another plugin. */
+class GraftLakeCatalog
+    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, Table,
+    TableChange}
+  private var catalogName: String = _
+
+  override def initialize(name: String,
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  /** Always defers: the analyzer treats NoSuchTableException as
+    * "leave unresolved", which hands the name to [[LakeSqlRule]]. */
+  override def loadTable(ident: Identifier): Table =
+    throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException(ident)
+
+  override def createTable(ident: Identifier,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"catalog '$catalogName' tables are managed by the graft SQL " +
+        "front-end (CREATE TABLE … USING graft)")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"catalog '$catalogName' tables are managed by the graft SQL " +
+        "front-end")
+  override def dropTable(ident: Identifier): Boolean = false
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog '$catalogName' tables are managed by the graft SQL " +
+        "front-end")
 }
 
 /** `DESCRIBE [EXTENDED] t` for a lake table: columns with types (a
@@ -166,7 +228,19 @@ case class GraftShowTablesCommand(db: Option[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = spark.sessionState.catalog
+    // a namespace under the configured graft catalog (`IN graft.db`,
+    // or `IN graft` for the bare keys) addresses the registry only —
+    // session-catalog rows would be a different catalog's tables
+    val graftCat = LakeRegistry.catalogOf(spark)
+    val catQualified = db.exists(d =>
+      d == graftCat || d.startsWith(graftCat + "."))
+    val nsKey: Option[String] = db.map { d =>
+      if (d == graftCat) ""
+      else if (d.startsWith(graftCat + ".")) d.drop(graftCat.length + 1)
+      else d
+    }
     val sessionRows: Seq[Row] = db match {
+      case Some(_) if catQualified => Nil
       case Some(d) if cat.databaseExists(d) =>
         cat.listTables(d, pattern.getOrElse("*")).map(ti =>
           Row(ti.database.getOrElse(""), ti.table, cat.isTempView(ti)))
@@ -177,12 +251,13 @@ case class GraftShowTablesCommand(db: Option[String],
             Row(ti.database.getOrElse(""), ti.table, cat.isTempView(ti)))
     }
     // bare registry keys list under the empty namespace (the temp-view
-    // convention); `db.t` keys list under `db`
-    def inNs(n: String): Option[String] = db match {
+    // convention) — also what `IN graft` addresses; `db.t` keys list
+    // under `db` (addressed bare or as `graft.db`)
+    def inNs(n: String): Option[String] = nsKey match {
+      case Some("") | None => Some(n).filterNot(_.contains('.'))
       case Some(d) if n.startsWith(d + ".") =>
         Some(n.drop(d.length + 1)).filterNot(_.contains('.'))
       case Some(_) => None
-      case None => Some(n).filterNot(_.contains('.'))
     }
     def matches(bare: String): Boolean = pattern.forall(p =>
       StringUtils.filterPattern(Seq(bare), p).nonEmpty)
@@ -194,7 +269,8 @@ case class GraftShowTablesCommand(db: Option[String],
       .filterNot(graft.fgac.SecureCatalog.isGoverned)
       .flatMap(inNs).filter(matches).map(Row(ns, _, false))
     val who = spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, "")
-    val govRows = graft.fgac.SecureCatalog.governedNamesIn(who, db)
+    val govRows = graft.fgac.SecureCatalog
+      .governedNamesIn(who, nsKey.filter(_.nonEmpty))
       .flatMap(inNs).filter(matches).map(Row(ns, _, false))
     (sessionRows ++ lakeRows ++ viewRows ++ govRows).distinct
       .sortBy(r => (r.getString(0), r.getString(1)))

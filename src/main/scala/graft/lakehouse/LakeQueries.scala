@@ -1246,6 +1246,69 @@ object LakeQueries {
       .orderBy("stmt", "item", "detail")
   }
 
+  /** Three-part `cat.db.t` addressing (round 16): the reference's
+    * consumer addresses EVERYTHING through its configured catalog
+    * name — reads AND writes (`dev.consumer_db.rl_patients`,
+    * consumer_emr_on_eks_setup.sh:407-412). The configured graft
+    * catalog (`spark.graft.catalog`, default "graft") strips as an
+    * addressing prefix everywhere the lake SQL front-end claims
+    * names — CREATE/CTAS, INSERT, UPDATE, MERGE, DELETE (with
+    * `cat.db.t.c` fully-qualified column references), OPTIMIZE /
+    * VACUUM maintenance, DESCRIBE, reads, time travel — and
+    * `cat.db.t` / `db.t` address ONE table interchangeably
+    * (require()d by writing through one form and reading through the
+    * other). Governed names keep precedence: a 3-part name whose
+    * full dotted form is governed is never claimed (FgacSpec pins
+    * it). Metadata-only — the catalog segment is an alias, not a
+    * directory level, so nothing changes at any scale. */
+  private val catalogDdl: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("lake_cat_src")
+    LakeRegistry.unregister("lake_cat_db.patients")
+    LakeRegistry.unregister("lake_cat_db.claims")
+    s.sql(
+      s"""CREATE TABLE graft.lake_cat_db.patients (
+         |  c_custkey BIGINT, c_name STRING, c_nationkey INT,
+         |  c_acctbal DOUBLE, c_mktsegment STRING)
+         |USING graft PARTITIONED BY (c_mktsegment)
+         |LOCATION '${tmp("lake_cat_p")}'""".stripMargin)
+    s.sql("INSERT INTO graft.lake_cat_db.patients " +
+      "SELECT * FROM lake_cat_src")
+    require(s.sql("SELECT * FROM lake_cat_db.patients").count() ==
+      s.sql("SELECT * FROM graft.lake_cat_db.patients").count(),
+      "the 2-part and 3-part forms must address the same table")
+    s.sql(
+      """UPDATE graft.lake_cat_db.patients
+        |SET c_acctbal = c_acctbal + 100.0
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    s.sql(
+      s"""CREATE TABLE graft.lake_cat_db.claims USING graft
+         |LOCATION '${tmp("lake_cat_c")}'
+         |AS SELECT c_custkey, c_acctbal FROM graft.lake_cat_db.patients
+         |WHERE c_acctbal > 5000""".stripMargin)
+    s.sql(
+      """MERGE INTO graft.lake_cat_db.patients p
+        |USING graft.lake_cat_db.claims c ON p.c_custkey = c.c_custkey
+        |WHEN MATCHED THEN UPDATE SET c_mktsegment = 'RICH'""".stripMargin)
+    // a fully-qualified catalog.db.t.c column reference strips whole
+    s.sql(
+      """DELETE FROM graft.lake_cat_db.patients
+        |WHERE graft.lake_cat_db.patients.c_acctbal < 0""".stripMargin)
+    s.sql("OPTIMIZE graft.lake_cat_db.patients")
+    s.sql("VACUUM graft.lake_cat_db.patients RETAIN 5 SNAPSHOTS")
+    require(s.sql("DESCRIBE TABLE graft.lake_cat_db.patients").collect()
+      .exists(r => r.getString(0) == "c_custkey" &&
+        r.getString(1) == "bigint"),
+      "DESCRIBE must answer through the catalog-qualified name")
+    require(s.sql(
+        "SELECT * FROM graft.lake_cat_db.patients VERSION AS OF 2")
+      .count() > 0,
+      "time travel must resolve through the catalog-qualified name")
+    s.sql(
+      """SELECT p.c_custkey, p.c_name, p.c_mktsegment, p.c_acctbal
+        |FROM graft.lake_cat_db.patients p
+        |ORDER BY p.c_custkey""".stripMargin)
+  }
+
   /** Bad write then rollback: current state equals snapshot 1, and
     * the rolled-back commit stays in history for inspection. */
   private val rollback: Q = (s, dir) => {
@@ -2759,6 +2822,7 @@ object LakeQueries {
     "lake_constraint"       -> constraintQ,
     "lake_not_null"         -> notNullQ,
     "lake_describe"         -> describeQ,
+    "lake_catalog_ddl"      -> catalogDdl,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_merge_source"     -> mergeBySource,
@@ -2858,6 +2922,23 @@ object LakeQueries {
     // Replays the namespace-qualified DML sequence relationally:
     // UPDATE bump, MERGE re-segment against the >5000 CTAS, DELETE
     // negatives. OPTIMIZE/VACUUM are data-invariant.
+    // same end state as lake_namespace_ddl: the catalog segment is
+    // an addressing alias, every statement lands on the same table
+    "lake_catalog_ddl" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_mktsegment = 'BUILDING'
+        |         THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer),
+        |merged AS (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    CASE WHEN c_acctbal > 5000 THEN 'RICH'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM upd)
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM merged WHERE c_acctbal >= 0
+        |ORDER BY c_custkey""".stripMargin,
     "lake_namespace_ddl" ->
       """WITH upd AS (
         |  SELECT c_custkey, c_name,

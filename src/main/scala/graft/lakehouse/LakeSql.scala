@@ -49,11 +49,45 @@ object LakeRegistry {
   }
 
   /** Canonical registry key of a multi-part SQL identifier:
-    * `Seq("Db","T")` → `"db.t"`. One or two parts — the engine models
-    * a single catalog, so `cat.db.t` is out of scope and refuses at
-    * the claim sites. */
+    * `Seq("Db","T")` → `"db.t"` (no catalog stripping — use
+    * [[keyOf]] where three-part addressing applies). */
   def nameOf(parts: Seq[String]): String =
     parts.map(_.toLowerCase).mkString(".")
+
+  /** The session's configured catalog name for THREE-part lake
+    * addressing (the reference's consumer scripts address everything
+    * through a configured catalog — `dev.consumer_db.rl_patients`,
+    * consumer_emr_on_eks_setup.sh:407-412 — and write through the
+    * same prefix). Default "graft". */
+  val CatalogConf = "spark.graft.catalog"
+  def catalogOf(spark: SparkSession): String =
+    spark.conf.get(CatalogConf, "graft").toLowerCase
+
+  /** Registry key of a 1-3 part identifier: a leading segment equal
+    * to the configured catalog name STRIPS — `graft.db.t` and `db.t`
+    * (and, as a DML alias, bare `t`) address the same table. None
+    * for a 3-part name under any OTHER catalog (out of claim scope —
+    * the statement falls through to Spark) and for >3 parts. */
+  def keyOf(spark: SparkSession, parts: Seq[String]): Option[String] = {
+    val p = parts.map(_.toLowerCase)
+    if (p.size <= 2) Some(p.mkString("."))
+    else if (p.size == 3 && p.head == catalogOf(spark))
+      Some(p.tail.mkString("."))
+    else None
+  }
+
+  /** Bind the configured catalog name to the deferring
+    * [[GraftLakeCatalog]] plugin unless the user bound it elsewhere —
+    * without a registered catalog the analyzer errors three-part
+    * names on spark_catalog's single-part-namespace rule BEFORE any
+    * resolution rule runs. Called once per session by
+    * [[graft.fgac.GraftExtensions]]; call it again after changing
+    * `spark.graft.catalog` mid-session. */
+  def ensureCatalog(spark: SparkSession): Unit = {
+    val key = s"spark.sql.catalog.${catalogOf(spark)}"
+    if (spark.conf.getOption(key).isEmpty)
+      spark.conf.set(key, classOf[GraftLakeCatalog].getName)
+  }
 }
 
 case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -72,18 +106,31 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     plan match {
       case SubqueryAlias(ident, u: UnresolvedRelation) =>
         target(u).map { case (t, as, n) => (t, as + ident.name.toLowerCase, n) }
-      case u: UnresolvedRelation if u.multipartIdentifier.size <= 2 =>
+      case u: UnresolvedRelation
+          if LakeRegistry.keyOf(spark, u.multipartIdentifier).isDefined &&
+            // a THREE-part name whose FULL dotted form is governed
+            // belongs to FgacRule — claiming it here would bypass the
+            // policy registered on the catalog-qualified name (which
+            // may be a link carrying a different grant than `db.t`).
+            // Two-part governed-AND-registered names keep claiming:
+            // checkWrite below enforces their write grants.
+            (u.multipartIdentifier.size <= 2 ||
+              !graft.fgac.SecureCatalog.isVisibleName(
+                u.multipartIdentifier)) =>
         // db-qualified targets claim under their dotted registry key
         // (the reference's whole workflow is `db.t`-addressed:
-        // producer_iceberg_datalake_setup.sh:118-150). Both the full
-        // dotted name and the bare table part serve as SQL aliases,
-        // so `WHERE t.c = …` and `WHERE db.t.c = …` both strip.
+        // producer_iceberg_datalake_setup.sh:118-150); a leading
+        // configured-catalog segment strips (`graft.db.t`, the
+        // consumer's `dev.…` write shape). The full dotted name, the
+        // stripped key, and the bare table part all serve as SQL
+        // aliases, so `WHERE t.c = …`, `WHERE db.t.c = …` and
+        // `WHERE graft.db.t.c = …` all strip.
         // Qualifier-over-field precedence is the SQL rule: for a
         // table `db.t` that ALSO has a struct column named `t`,
         // `t.x` binds the table qualifier (write `db.t.t.x` to
         // address the struct's field — the 2-part prefix strips,
         // leaving `t.x` to resolve as the struct path).
-        val name = LakeRegistry.nameOf(u.multipartIdentifier)
+        val name = LakeRegistry.keyOf(spark, u.multipartIdentifier).get
         // DML addressed to a view must refuse crisply, not fall into
         // relation resolution and fail as an unwritable subquery
         if (ViewRegistry.get(name).isDefined)
@@ -91,7 +138,8 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"'$name' is a view; views are read-only")
         LakeRegistry.get(name).map { t =>
           val routed = if (wapBranch.isEmpty) t else t.onBranch(wapBranch)
-          (routed, Set(name, u.multipartIdentifier.last.toLowerCase), name)
+          (routed, Set(name, LakeRegistry.nameOf(u.multipartIdentifier),
+            u.multipartIdentifier.last.toLowerCase), name)
         }
       case _ => None
     }
@@ -127,11 +175,10 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // <literal> — Iceberg-style SQL time travel.
       case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
           u: UnresolvedRelation, ts, version)
-          if u.multipartIdentifier.size <= 2 &&
-            !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
-            LakeRegistry.get(
-              LakeRegistry.nameOf(u.multipartIdentifier)).isDefined =>
-        val name = LakeRegistry.nameOf(u.multipartIdentifier)
+          if !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
+            LakeRegistry.keyOf(spark, u.multipartIdentifier).exists(
+              LakeRegistry.get(_).isDefined) =>
+        val name = LakeRegistry.keyOf(spark, u.multipartIdentifier).get
         val t = LakeRegistry.get(name).get
         val df = (version, ts) match {
           case (Some(v), _) =>
@@ -147,11 +194,11 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         SubqueryAlias(u.multipartIdentifier.map(_.toLowerCase),
           df.queryExecution.analyzed)
 
-      case u: UnresolvedRelation if u.multipartIdentifier.size <= 2 &&
-          !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
-          LakeRegistry.get(
-            LakeRegistry.nameOf(u.multipartIdentifier)).isDefined =>
-        val name = LakeRegistry.nameOf(u.multipartIdentifier)
+      case u: UnresolvedRelation
+          if !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
+            LakeRegistry.keyOf(spark, u.multipartIdentifier).exists(
+              LakeRegistry.get(_).isDefined) =>
+        val name = LakeRegistry.keyOf(spark, u.multipartIdentifier).get
         val t0 = LakeRegistry.get(name).get
         // under graft.wap.branch, same-session reads see the branch
         // head (Iceberg's spark.wap.branch read semantics) — with the
@@ -341,7 +388,8 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // table name itself — bare and dotted — is the alias
           case u: UnresolvedRelation =>
             (u: LogicalPlan, Set(u.multipartIdentifier.last.toLowerCase,
-              LakeRegistry.nameOf(u.multipartIdentifier)))
+              LakeRegistry.nameOf(u.multipartIdentifier)) ++
+              LakeRegistry.keyOf(spark, u.multipartIdentifier))
           case other => (other, Set.empty[String])
         }
         val keys = equiKeys(m.mergeCondition, name, targetAliases, srcAliases)
@@ -413,11 +461,15 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * nested) column downstream, or fails loudly there). */
   /** Leading-alias prefix length of an attribute path, 0 when none:
     * `t.c` → 1 when "t" is an alias; `db.t.c` → 2 when "db.t" is (the
-    * namespace-qualified target's dotted alias). Two-part prefixes
-    * are tried FIRST so `db.t.c` strips the whole qualifier rather
-    * than leaving `t.c` behind via a one-part "db" miss. */
+    * namespace-qualified target's dotted alias); `graft.db.t.c` → 3
+    * when the catalog-qualified dotted name is. Longer prefixes are
+    * tried FIRST so a full qualifier strips whole rather than leaving
+    * a partial path behind via a shorter miss. */
   private def aliasPrefix(parts: Seq[String], aliases: Set[String]): Int =
-    if (parts.size >= 3 &&
+    if (parts.size >= 4 &&
+        aliases.contains(parts.take(3).map(_.toLowerCase).mkString(".")))
+      3
+    else if (parts.size >= 3 &&
         aliases.contains(parts.take(2).map(_.toLowerCase).mkString(".")))
       2
     else if (parts.size >= 2 && aliases.contains(parts.head.toLowerCase)) 1
@@ -871,7 +923,7 @@ object LakeDdl {
       // producer_iceberg_datalake_setup.sh:117-131).
       case ct: CreateTable
           if ct.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) =>
-        val name = identName(ct.name, "CREATE TABLE")
+        val name = identName(spark, ct.name, "CREATE TABLE")
         val schema = StructType(ct.columns.map { c =>
           // DEFAULT <expr> at CREATE: pure write-default (every file
           // postdates the column, so the initial-default boundary of
@@ -892,7 +944,7 @@ object LakeDdl {
 
       case cta: CreateTableAsSelect
           if cta.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) =>
-        val name = identName(cta.name, "CREATE TABLE AS SELECT")
+        val name = identName(spark, cta.name, "CREATE TABLE AS SELECT")
         Some(GraftCtasCommand(name, cta.query,
           partitionCols(cta.partitioning), location(spark, cta.tableSpec, name),
           cta.ignoreIfExists, tableProps(cta.tableSpec)))
@@ -904,11 +956,12 @@ object LakeDdl {
       case rta: ReplaceTableAsSelect
           if rta.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) =>
         val name = rta.name match {
-          case id: UnresolvedIdentifier if id.nameParts.size <= 2 =>
-            LakeRegistry.nameOf(id.nameParts)
+          case id: UnresolvedIdentifier
+              if LakeRegistry.keyOf(spark, id.nameParts).isDefined =>
+            LakeRegistry.keyOf(spark, id.nameParts).get
           case other => throw new UnsupportedOperationException(
             "REPLACE TABLE USING graft requires a one- or two-part " +
-              s"name, got $other")
+              s"name (or three under the configured catalog), got $other")
         }
         // identName's governed-name refusal is about CREATE shadowing;
         // REPLACE of an EXISTING registered table is a write and defers
@@ -924,9 +977,10 @@ object LakeDdl {
           rta.orCreate, tableProps(rta.tableSpec)))
 
       case DropTable(id: UnresolvedIdentifier, _, purge)
-          if id.nameParts.size <= 2 &&
-            claimDrop(spark, LakeRegistry.nameOf(id.nameParts)) =>
-        Some(GraftDropTableCommand(LakeRegistry.nameOf(id.nameParts), purge))
+          if LakeRegistry.keyOf(spark, id.nameParts).exists(
+            claimDrop(spark, _)) =>
+        Some(GraftDropTableCommand(
+          LakeRegistry.keyOf(spark, id.nameParts).get, purge))
 
       // ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN —
       // schema evolution as SQL (Iceberg's ALTER TABLE surface).
@@ -1031,9 +1085,9 @@ object LakeDdl {
   private def claimAlter(spark: SparkSession,
       table: LogicalPlan): Option[String] = table match {
     case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-        if ut.multipartIdentifier.size <= 2 &&
-          claimDrop(spark, LakeRegistry.nameOf(ut.multipartIdentifier)) =>
-      Some(LakeRegistry.nameOf(ut.multipartIdentifier))
+        if LakeRegistry.keyOf(spark, ut.multipartIdentifier).exists(
+          claimDrop(spark, _)) =>
+      Some(LakeRegistry.keyOf(spark, ut.multipartIdentifier).get)
     case _ => None
   }
 
@@ -1058,16 +1112,25 @@ object LakeDdl {
     spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
       s"/graft/${name.replace('.', '/')}"
 
-  /** One- or two-part table name from a DDL identifier plan. */
-  private def identName(name: LogicalPlan, stmt: String): String = name match {
-    case id: UnresolvedIdentifier if id.nameParts.size <= 2 =>
-      val n = LakeRegistry.nameOf(id.nameParts)
-      require(!graft.fgac.SecureCatalog.isVisibleName(id.nameParts),
-        s"$stmt: '$n' is a governed name; create governed tables " +
-          "through SecureCatalog, not SQL DDL")
+  /** Registry key from a DDL identifier plan: one or two parts, or
+    * three under the configured catalog name ([[LakeRegistry.keyOf]]).
+    * The governed-name refusal checks the FULL identifier — a policy
+    * registered on `graft.db.t` must not be shadowed by DDL on the
+    * stripped key. */
+  private def identName(spark: SparkSession, name: LogicalPlan,
+      stmt: String): String = name match {
+    case id: UnresolvedIdentifier
+        if LakeRegistry.keyOf(spark, id.nameParts).isDefined =>
+      val n = LakeRegistry.keyOf(spark, id.nameParts).get
+      require(!graft.fgac.SecureCatalog.isVisibleName(id.nameParts) &&
+          !graft.fgac.SecureCatalog.isVisibleName(n),
+        s"$stmt: '${LakeRegistry.nameOf(id.nameParts)}' is a governed " +
+          "name; create governed tables through SecureCatalog, not " +
+          "SQL DDL")
       n
     case other => throw new UnsupportedOperationException(
-      s"$stmt USING graft requires a one- or two-part table name, " +
+      s"$stmt USING graft requires a one- or two-part table name " +
+        "(or three under the configured catalog), " +
         s"got $other")
   }
 
@@ -1180,7 +1243,7 @@ object LakeMaintenance {
   // table names in every maintenance statement accept an optional
   // namespace qualifier (`db.t`) — the registry key is the dotted
   // lowercase form, same as the DDL/DML paths
-  private val T = """(\w+(?:\.\w+)?)"""
+  private val T = """(\w+(?:\.\w+){0,2})"""
   private val RefCreate =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
   private val RefDrop =
@@ -1273,43 +1336,52 @@ object LakeMaintenance {
     }
   }
 
+  /** Registry key of a maintenance-statement table name: lowercase,
+    * a leading configured-catalog segment stripped (`graft.db.t` →
+    * `db.t`). A 3-part name under another catalog keeps its
+    * lowercase form — the claimDrop guard then misses and the
+    * statement falls through to Spark. */
+  private def norm(spark: SparkSession, n: String): String =
+    LakeRegistry.keyOf(spark, n.split('.').toSeq)
+      .getOrElse(n.toLowerCase)
+
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case RefCreate(name, kind, ref, at)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
         // ref names keep the user's case (Iceberg refs are
         // case-sensitive) — lowercasing at create would make
         // `VERSION AS OF '<TypedName>'` unresolvable
-        Some(GraftRefCreateCommand(name.toLowerCase, kind.toUpperCase,
+        Some(GraftRefCreateCommand(norm(spark, name), kind.toUpperCase,
           ref, Option(at).map(_.toLong)))
       case RefDrop(name, kind, ref)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftRefDropCommand(name.toLowerCase, kind.toUpperCase,
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftRefDropCommand(norm(spark, name), kind.toUpperCase,
           ref))
       case WriteOrdered(name, cols)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
         val colSeq = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(colSeq.nonEmpty, "WRITE ORDERED BY needs column names")
-        Some(GraftWriteOrderCommand(name.toLowerCase, colSeq))
+        Some(GraftWriteOrderCommand(norm(spark, name), colSeq))
       case WriteUnordered(name)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftWriteOrderCommand(name.toLowerCase, Nil))
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftWriteOrderCommand(norm(spark, name), Nil))
       case RewriteDeletes(name)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftRewriteDeletesCommand(name.toLowerCase))
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftRewriteDeletesCommand(norm(spark, name)))
       case Restore(name, id, ref)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftRestoreCommand(name.toLowerCase,
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftRestoreCommand(norm(spark, name),
           Option(id).map(_.toLong), Option(ref)))
       case FastForward(name, target, source)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftFastForwardCommand(name.toLowerCase, target, source))
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftFastForwardCommand(norm(spark, name), target, source))
       case CherryPick(name, id)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftCherryPickCommand(name.toLowerCase, id.toLong))
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftCherryPickCommand(norm(spark, name), id.toLong))
       case AddPartField(name, field)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftAlterCommand(name.toLowerCase, "ADD PARTITION FIELD",
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftAlterCommand(norm(spark, name), "ADD PARTITION FIELD",
           t => {
             val cur = t.currentSnapshot.partitionCols
             require(!cur.exists(c => normField(c) == normField(field)),
@@ -1318,8 +1390,8 @@ object LakeMaintenance {
             t.updatePartitionSpec(cur :+ canonField(t, field))
           }))
       case DropPartField(name, field)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftAlterCommand(name.toLowerCase, "DROP PARTITION FIELD",
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftAlterCommand(norm(spark, name), "DROP PARTITION FIELD",
           t => {
             val cur = t.currentSnapshot.partitionCols
             val f = normField(field)
@@ -1329,8 +1401,8 @@ object LakeMaintenance {
             t.updatePartitionSpec(cur.filterNot(c => normField(c) == f))
           }))
       case AddConstraint(name, cname, sql)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftAlterCommand(name.toLowerCase, "ADD CONSTRAINT",
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftAlterCommand(norm(spark, name), "ADD CONSTRAINT",
           t => {
             import org.apache.spark.sql.functions.{expr => fexpr}
             val key = GraftTable.ConstraintPrefix + cname.toLowerCase
@@ -1355,8 +1427,8 @@ object LakeMaintenance {
             t.setProperties(t.properties + (key -> canon))
           }))
       case DropConstraint(name, cname)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftAlterCommand(name.toLowerCase, "DROP CONSTRAINT",
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftAlterCommand(norm(spark, name), "DROP CONSTRAINT",
           t => {
             val key = GraftTable.ConstraintPrefix + cname.toLowerCase
             require(t.properties.contains(key),
@@ -1365,8 +1437,8 @@ object LakeMaintenance {
             t.setProperties(t.properties - key)
           }))
       case ReplacePartField(name, oldF, newF)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftAlterCommand(name.toLowerCase, "REPLACE PARTITION FIELD",
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftAlterCommand(norm(spark, name), "REPLACE PARTITION FIELD",
           t => {
             val cur = t.currentSnapshot.partitionCols
             val o = normField(oldF)
@@ -1381,32 +1453,32 @@ object LakeMaintenance {
               if (normField(c) == o) canonField(t, newF) else c))
           }))
       case RewriteManifests(name)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftRewriteManifestsCommand(name.toLowerCase))
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftRewriteManifestsCommand(norm(spark, name)))
       // OPTIMIZE t BINPACK <bytes>: rewrite only files smaller than
       // <bytes> (GraftTable.compactSmall) — the incremental
       // maintenance form; plain OPTIMIZE rewrites everything
       case Binpack(name, bytes)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftBinpackCommand(name.toLowerCase, bytes.toLong))
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftBinpackCommand(norm(spark, name), bytes.toLong))
       case OptimizeWhere(name, files, pred)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftCompactWhereCommand(name.toLowerCase,
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftCompactWhereCommand(norm(spark, name),
           Option(files).map(_.toInt).getOrElse(1), pred))
       case Optimize(name, files, mode, cols)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
         val n = Option(files).map(_.toInt).getOrElse(8)
         val colSeq = Option(cols).toSeq.flatMap(
           _.split(",").map(_.trim).filter(_.nonEmpty))
         require(colSeq.nonEmpty == (mode != null),
           "SORT BY / ZORDER BY needs a non-empty column list")
-        Some(GraftOptimizeCommand(name.toLowerCase, n,
+        Some(GraftOptimizeCommand(norm(spark, name), n,
           Option(mode).map(_.toUpperCase).getOrElse(""), colSeq))
       // ORPHANS before the RETAIN/AGE forms: its regex is the only
       // one with the ORPHANS keyword, but match order documents the
       // precedence explicitly
       case VacuumOrphans(name, n, unit)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
         val ageMs = Option(n).map { v =>
           unit.toUpperCase.charAt(0) match {
             case 'H' => v.toLong * 3600000L
@@ -1414,23 +1486,23 @@ object LakeMaintenance {
             case 'M' => v.toLong * 60000L
           }
         }
-        Some(GraftVacuumOrphansCommand(name.toLowerCase, ageMs))
+        Some(GraftVacuumOrphansCommand(norm(spark, name), ageMs))
       case Vacuum(name, keep)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
-        Some(GraftVacuumCommand(name.toLowerCase, keep.toInt))
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftVacuumCommand(norm(spark, name), keep.toInt))
       case VacuumAge(name, n, unit)
-          if LakeDdl.claimDrop(spark, name.toLowerCase) =>
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
         val ms = unit.toUpperCase.charAt(0) match {
           case 'H' => n.toLong * 3600000L
           case 'D' => n.toLong * 86400000L
           case 'M' => n.toLong * 60000L
         }
-        Some(GraftVacuumAgeCommand(name.toLowerCase, ms))
+        Some(GraftVacuumAgeCommand(norm(spark, name), ms))
       case ShallowClone(target, source)
-          if LakeDdl.claimDrop(spark, source.toLowerCase) =>
-        Some(GraftShallowCloneCommand(target.toLowerCase,
-          source.toLowerCase,
-          LakeDdl.managedRoot(spark, target.toLowerCase)))
+          if LakeDdl.claimDrop(spark, norm(spark, source)) =>
+        Some(GraftShallowCloneCommand(norm(spark, target),
+          norm(spark, source),
+          LakeDdl.managedRoot(spark, norm(spark, target))))
       case _ => None
     }
 }

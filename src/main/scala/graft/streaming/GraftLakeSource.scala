@@ -173,11 +173,24 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
       StreamShim.asMicroBatch(aligned)
     } else {
       val (toSnap, files) = table.appendedFilesBetween(from, to, cached)
-      require(toSnap.schema == schema,
-        s"table schema evolved at snapshot ${toSnap.id}: restart the " +
-          "streaming query to pick up the new schema")
       if (files.isEmpty) StreamShim.emptyMicroBatch(spark, schema)
-      else StreamShim.asMicroBatch(table.readCommitted(toSnap, files))
+      else if (toSnap.schema == schema)
+        StreamShim.asMicroBatch(table.readCommitted(toSnap, files))
+      else {
+        // same restart contract as the change feed: a pending range
+        // from BEFORE a null-backfilled ADD COLUMN presents at the
+        // declared (post-evolution) schema; anything else refuses —
+        // and the restart that refusal demands now actually works
+        val df = table.readCommitted(toSnap, files)
+        val up =
+          if (toSnap.schema.fieldNames.forall(schema.fieldNames.contains))
+            GraftTable.upProject(df, schema)
+          else None
+        require(up.isDefined,
+          s"table schema evolved at snapshot ${toSnap.id}: restart " +
+            "the streaming query to pick up the new schema")
+        StreamShim.asMicroBatch(up.get)
+      }
     }
   }
 

@@ -422,6 +422,41 @@ class FgacSpec extends AnyFunSuite {
     } finally graft.lakehouse.LakeRegistry.unregister("customer")
   }
 
+  test("three-part addressing keeps governed precedence: a governed " +
+      "cat.db.t is never claimed by the lake front-end, read or write") {
+    FgacQueries.setup(spark, sf)
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_gov3").toString,
+      Tables.nation(spark, sf))
+    graft.lakehouse.LakeRegistry.register("gsec.t", t)
+    try {
+      SecureCatalog.governTable("graft.gsec.t",
+        Seq("n_nationkey", "n_name"))
+      // the ungoverned 2-part form still reads the lake table
+      assert(spark.sql("SELECT * FROM gsec.t").count() == t.read().count())
+      // the governed 3-part form routes to FGAC: deny-by-default for
+      // an ungranted principal, never a leak of the lake table
+      val denied = try {
+        FgacQueries.asPrincipal(spark, "team2")(
+          spark.sql("SELECT * FROM graft.gsec.t").collect()); false
+      } catch { case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .exists(_.isInstanceOf[AccessDeniedException]) }
+      assert(denied,
+        "a governed cat.db.t read must deny, not hit the lake table")
+      // a write through the governed 3-part name refuses too — the
+      // lake claim skipping it means NO path lands on the lake table
+      val snaps = t.currentSnapshotId
+      intercept[Exception](FgacQueries.asPrincipal(spark, "team2")(
+        spark.sql("INSERT INTO graft.gsec.t VALUES (99, 'X', 0)")))
+      assert(t.currentSnapshotId == snaps,
+        "the refused governed write must not commit to the lake table")
+    } finally {
+      graft.lakehouse.LakeRegistry.unregister("gsec.t")
+      SecureCatalog.ungovern("graft.gsec.t")
+    }
+  }
+
   test("stats-pruned lakehouse read pushes the residual filter") {
     val t = graft.lakehouse.GraftTable.create(spark,
       java.nio.file.Files.createTempDirectory("graft_rw_plan").toString,

@@ -703,6 +703,35 @@ class LakehouseSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not supported"))
   }
 
+  test("three-part addressing: the configured catalog prefix strips " +
+      "across maintenance, refs, time travel, catalog SQL, schema DDL " +
+      "and DROP; other catalogs and >3 parts fall through") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    graft.lakehouse.LakeRegistry.register("c3db.t3", t)
+    spark.sql("OPTIMIZE graft.c3db.t3")
+    spark.sql("ALTER TABLE graft.c3db.t3 CREATE TAG v1")
+    assert(spark.sql("SELECT * FROM graft.c3db.t3 VERSION AS OF 'v1'")
+      .count() == 1)
+    assert(spark.sql("DESCRIBE TABLE graft.c3db.t3").collect()
+      .map(_.getString(0)).contains("k"))
+    assert(spark.sql("SHOW TABLES IN graft.c3db").collect()
+      .map(_.getString(1)).toSeq == Seq("t3"))
+    spark.sql("ALTER TABLE graft.c3db.t3 ADD COLUMNS (note STRING)")
+    assert(t.currentSnapshot.schema.fieldNames.contains("note"))
+    // catalog-qualified column references strip whole in DML
+    spark.sql("UPDATE graft.c3db.t3 SET note = 'x' " +
+      "WHERE graft.c3db.t3.k = 1")
+    assert(t.read().filter(col("note") === "x").count() == 1)
+    // an unconfigured catalog never claims (falls through to Spark's
+    // table-not-found), and a 4-part name is out of scope
+    intercept[Exception](spark.sql("SELECT * FROM other.c3db.t3").collect())
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.x.c3db.t3").collect())
+    assert(graft.lakehouse.LakeRegistry.get("c3db.t3").isDefined)
+    spark.sql("DROP TABLE graft.c3db.t3")
+    assert(graft.lakehouse.LakeRegistry.get("c3db.t3").isEmpty)
+  }
+
   test("DROP TABLE claims an on-disk table unknown to the registry") {
     val name = "dropprobe_t"
     val root = spark.conf.get("spark.sql.warehouse.dir")
@@ -1987,6 +2016,48 @@ class LakehouseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("read the sides separately"))
   }
 
+  test("append-mode stream survives a null-backfilled ADD COLUMN on " +
+      "restart; rename still wedges with the restart refusal") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_addcol_app").toString,
+      Seq((1L, "a")).toDF("k", "tag"))                           // 1
+    val ck = Files.createTempDirectory("graft_addcol_app_ck").toString
+    val out = Files.createTempDirectory("graft_addcol_app_out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-lake")
+        .option("maxCommitsPerTrigger", 1).load(t.location)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    t.addColumns(Seq(StructField("note", StringType)))           // 2
+    t.append(Seq((2L, "b", "n2")).toDF("k", "tag", "note"))      // 3
+    drain() // restart: the evolve-add batch is empty, snap 3 delivers
+    val rows = spark.read.option("mergeSchema", "true").parquet(out)
+      .collect().map(r => (r.getAs[Long]("k"),
+        Option(r.getAs[String]("note")))).toSet
+    assert(rows == Set((1L, None), (2L, Some("n2"))), s"got $rows")
+    // a non-add evolution keeps the wedge: no batch delivers past it
+    // (the engine's restart re-init of the last committed batch dies
+    // first — a renamed column is unpresentable under ANY declared
+    // schema, so the refusal may name either the schema or the op)
+    t.renameColumn("tag", "label")                               // 4
+    t.append(Seq((9L, "z", "n9")).toDF("k", "label", "note"))    // 5
+    val before = spark.read.option("mergeSchema", "true").parquet(out)
+      .count()
+    val e = intercept[Exception](drain())
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(x =>
+        String.valueOf(x.getMessage).contains("restart the streaming") ||
+          String.valueOf(x.getMessage).contains("evolve-rename")))
+    assert(spark.read.option("mergeSchema", "true").parquet(out)
+      .count() == before, "no rows may deliver past a rename")
+  }
+
   test("metadata tables answer from the manifest: files, partitions") {
     val dir = Files.createTempDirectory("graft_meta").toString
     val t = GraftTable.create(spark, dir,
@@ -2436,9 +2507,15 @@ class LakehouseSpec extends AnyFunSuite {
     }.flatten.toSet
     assert(scanned.nonEmpty && scanned.intersect(carried).isEmpty,
       s"changelog scanned carried files: ${scanned.intersect(carried)}")
-    // schema evolution across the range is refused, not misreported
+    // a null-backfilled ADD COLUMN across the range UP-PROJECTS
+    // (round 16): the same net changelog, old images NULL-filled
     t.addColumns(Seq(org.apache.spark.sql.types.StructField(
       "note", org.apache.spark.sql.types.StringType)))
+    val across = t.changes(1, t.currentSnapshotId).collect()
+    assert(across.length == 2 &&
+      across.forall(_.getAs[String]("note") == null))
+    // every other schema shape is refused, not misreported
+    t.renameColumn("tag", "label")
     intercept[IllegalArgumentException](
       t.changes(1, t.currentSnapshotId).collect())
   }
