@@ -51,10 +51,11 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // relation; no grant denies. The scan path below stays denied
       // for DESCRIBE-only principals (SecureCatalog.authorize).
       case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation
-          if describeTarget(d.relation).exists(p =>
+          if describeTarget(d.relation).map(stripCat).exists(p =>
             SecureCatalog.isVisibleName(p) ||
               graft.lakehouse.ViewRegistry.isView(p)) =>
-        val parts = describeTarget(d.relation).get.map(_.toLowerCase)
+        val parts =
+          stripCat(describeTarget(d.relation).get).map(_.toLowerCase)
         val name = parts.mkString(".")
         val target = SecureCatalog.resolveLink(name)
         // an UNGOVERNED view is queryable by anyone, so its schema is
@@ -119,8 +120,34 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case u: UnresolvedRelation
           if SecureCatalog.isVisibleName(u.multipartIdentifier) =>
         FgacRule.resolveGoverned(u, who)
+      // Alias coherence with the lake's three-part addressing: a
+      // `graft.db.t` read whose STRIPPED key is governed resolves
+      // through the SAME policy as `db.t` — the lake rule refuses to
+      // claim it (ungovernedKey checks both forms), and without this
+      // case the catalog-qualified alias of a governed table would
+      // error "not found" while the bare form answers.
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size == 3 &&
+            u.multipartIdentifier.head.equalsIgnoreCase(
+              graft.lakehouse.LakeRegistry.catalogOf(spark)) &&
+            SecureCatalog.isVisibleName(u.multipartIdentifier.tail) =>
+        FgacRule.resolveGoverned(
+          u.copy(multipartIdentifier = u.multipartIdentifier.tail), who)
     }
   }
+
+  /** A leading configured-catalog segment strips when the STRIPPED
+    * name is the governed/view one (alias coherence with the lake's
+    * three-part addressing); a full 3-part governed name keeps its
+    * own registration. */
+  private def stripCat(parts: Seq[String]): Seq[String] =
+    if (parts.size == 3 && !SecureCatalog.isVisibleName(parts) &&
+        parts.head.equalsIgnoreCase(
+          graft.lakehouse.LakeRegistry.catalogOf(spark)) &&
+        (SecureCatalog.isVisibleName(parts.tail) ||
+          graft.lakehouse.ViewRegistry.isView(parts.tail)))
+      parts.tail
+    else parts
 
   /** The multipart name under a DESCRIBE target, whatever unresolved
     * shape the parser produced for it. */

@@ -2138,16 +2138,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       // list and schema; SpjRead auto-commits it on first contact
       // with a pre-size manifest) — rejecting it would permanently
       // wedge an append-mode stream whose range crosses it.
-      // 'evolve-add' is file-neutral too (a null-backfilled ADD
-      // COLUMN commits the SAME file list), and the batch-level
-      // schema check in the source decides whether the stream can
-      // present it (up-projection after a restart) — the op-level
-      // refusal would wedge the checkpoint FOREVER, since the range
-      // containing the evolution commit never changes. Every other
-      // evolve op stays refused here: drop/rename/type have no sound
-      // presentation under any declared schema.
+      // 'evolve-add' and 'evolve-notnull' are file-neutral too (a
+      // null-backfilled ADD COLUMN or a nullability flip commits the
+      // SAME file list), and the batch-level schema check in the
+      // source decides whether the stream can present them
+      // (up-projection after a restart; nullability normalizes) —
+      // the op-level refusal would wedge the checkpoint FOREVER,
+      // since the range containing the evolution commit never
+      // changes. Every other evolve op stays refused here:
+      // drop/rename/type have no sound presentation under any
+      // declared schema, and a partition-spec evolution changes how
+      // carried files' directory values reconstitute.
       require(hd.op == "create" || hd.op == "append" ||
-          hd.op == "backfill-sizes" || hd.op == "evolve-add",
+          hd.op == "backfill-sizes" || hd.op == "evolve-add" ||
+          hd.op == "evolve-notnull",
         s"snapshot $id is op '${hd.op}': incremental/streaming " +
           "reads are defined over append-only lineage (rewrites would " +
           "re-surface already-delivered rows)")

@@ -52,6 +52,20 @@ object LakeCatalogSql {
     ("""(?is)\s*SHOW\s+PARTITIONS\s+""" + N +
       """(\s+PARTITION\s*\([^)]*\))?\s*;?\s*""").r
 
+  /** Whether the session catalog already owns this name (temp view,
+    * global temp view, or a real catalog table): built-in resolution
+    * wins those for READS, so the metadata claims must defer too — a
+    * DESCRIBE answering the lake schema while SELECT reads a
+    * shadowing temp view would describe a different table than the
+    * data. */
+  private def sessionShadowed(spark: SparkSession, name: String): Boolean = {
+    val parts = name.split('.').toSeq
+    val cat = spark.sessionState.catalog
+    cat.isTempView(parts) || (parts.size <= 2 && cat.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last, parts.init.headOption)))
+  }
+
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case Describe(ext, name) =>
@@ -66,6 +80,7 @@ object LakeCatalogSql {
                 !graft.fgac.SecureCatalog.isVisibleName(n) &&
                 ViewRegistry.get(full).isEmpty &&
                 ViewRegistry.get(n).isEmpty &&
+                !sessionShadowed(spark, full) &&
                 LakeDdl.claimDrop(spark, n) =>
             Some(GraftDescribeCommand(n, ext != null))
           case _ => None
@@ -85,7 +100,8 @@ object LakeCatalogSql {
             s"SHOW PARTITIONS on governed table '$full': partition " +
               "values are data; scan the table under your grant " +
               "instead")
-        else key.filter(LakeDdl.claimDrop(spark, _)) match {
+        else key.filterNot(_ => sessionShadowed(spark, full))
+          .filter(LakeDdl.claimDrop(spark, _)) match {
           case Some(n) =>
             require(spec == null,
               "SHOW PARTITIONS … PARTITION(spec) is not supported on " +
@@ -269,11 +285,30 @@ case class GraftShowTablesCommand(db: Option[String],
       .filterNot(graft.fgac.SecureCatalog.isGoverned)
       .flatMap(inNs).filter(matches).map(Row(ns, _, false))
     val who = spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, "")
-    val govRows = graft.fgac.SecureCatalog
-      .governedNamesIn(who, nsKey.filter(_.nonEmpty))
-      .flatMap(inNs).filter(matches).map(Row(ns, _, false))
-    (sessionRows ++ lakeRows ++ viewRows ++ govRows).distinct
+    // governed names may be registered under the catalog-qualified
+    // form (`graft.db.t` — the canonical governed shape) OR the
+    // stripped one; list both namespaces, bare display name either
+    // way (governedNamesIn returns names exactly one segment deeper)
+    val govNamespaces: Seq[Option[String]] = nsKey match {
+      case Some("") | None => Seq(None, Some(graftCat))
+      case Some(d) => Seq(Some(d), Some(s"$graftCat.$d"))
+    }
+    val govRows = govNamespaces
+      .flatMap(g => graft.fgac.SecureCatalog.governedNamesIn(who, g))
+      .distinct.map(_.split('.').last)
+      .filter(matches).map(Row(ns, _, false))
+    val rows = (sessionRows ++ lakeRows ++ viewRows ++ govRows).distinct
       .sortBy(r => (r.getString(0), r.getString(1)))
+    // an empty result for a namespace NOTHING knows is Spark's
+    // SCHEMA_NOT_FOUND, not a silent zero-row success — the claim
+    // must stay a superset of Spark's behavior, not a replacement
+    if (rows.isEmpty && db.isDefined && !catQualified &&
+        !cat.databaseExists(db.get) &&
+        !LakeRegistry.list.exists(_.startsWith(db.get + ".")) &&
+        ViewRegistry.list.map(_.name).forall(!_.startsWith(db.get + ".")))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(Seq(db.get))
+    rows
   }
 }
 

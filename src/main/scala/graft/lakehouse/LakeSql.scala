@@ -70,7 +70,15 @@ object LakeRegistry {
     * the statement falls through to Spark) and for >3 parts. */
   def keyOf(spark: SparkSession, parts: Seq[String]): Option[String] = {
     val p = parts.map(_.toLowerCase)
-    if (p.size <= 2) Some(p.mkString("."))
+    // `graft.t` (catalog + bare name) strips to `t` UNLESS a table is
+    // actually registered under a namespace literally named like the
+    // catalog — the registered name wins, so existing `graft.t`
+    // tables keep resolving while the catalog-qualified bare form
+    // (which SHOW TABLES IN graft advertises) resolves too
+    if (p.size == 2 && p.head == catalogOf(spark) &&
+        get(p.mkString(".")).isEmpty)
+      Some(p(1))
+    else if (p.size <= 2) Some(p.mkString("."))
     else if (p.size == 3 && p.head == catalogOf(spark))
       Some(p.tail.mkString("."))
     else None
@@ -169,16 +177,26 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * registering a governed table here cannot bypass its read policy.
     * Resolution-time snapshot capture gives SQL reads the same snapshot
     * isolation as [[GraftTable.read]]. */
+  /** The registry key of an identifier READS may claim: governed
+    * names belong to FgacRule, and governance must be checked on
+    * BOTH the full (possibly catalog-qualified) form AND the
+    * stripped key — a table governed as `db.t` would otherwise leak
+    * raw through its `graft.db.t` alias (the write path's checkWrite
+    * runs on the stripped key, so writes were never exposed). */
+  private def ungovernedKey(parts: Seq[String]): Option[String] =
+    if (graft.fgac.SecureCatalog.isVisibleName(parts)) None
+    else LakeRegistry.keyOf(spark, parts)
+      .filterNot(graft.fgac.SecureCatalog.isVisibleName)
+
   private def resolveReads(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       // SELECT … FROM t VERSION AS OF <id|'ref'> / TIMESTAMP AS OF
       // <literal> — Iceberg-style SQL time travel.
       case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
           u: UnresolvedRelation, ts, version)
-          if !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
-            LakeRegistry.keyOf(spark, u.multipartIdentifier).exists(
-              LakeRegistry.get(_).isDefined) =>
-        val name = LakeRegistry.keyOf(spark, u.multipartIdentifier).get
+          if ungovernedKey(u.multipartIdentifier).exists(
+            LakeRegistry.get(_).isDefined) =>
+        val name = ungovernedKey(u.multipartIdentifier).get
         val t = LakeRegistry.get(name).get
         val df = (version, ts) match {
           case (Some(v), _) =>
@@ -195,10 +213,9 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           df.queryExecution.analyzed)
 
       case u: UnresolvedRelation
-          if !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
-            LakeRegistry.keyOf(spark, u.multipartIdentifier).exists(
-              LakeRegistry.get(_).isDefined) =>
-        val name = LakeRegistry.keyOf(spark, u.multipartIdentifier).get
+          if ungovernedKey(u.multipartIdentifier).exists(
+            LakeRegistry.get(_).isDefined) =>
+        val name = ungovernedKey(u.multipartIdentifier).get
         val t0 = LakeRegistry.get(name).get
         // under graft.wap.branch, same-session reads see the branch
         // head (Iceberg's spark.wap.branch read semantics) — with the
@@ -237,15 +254,19 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * path); every OTHER subquery shape (scalar, disjunctive,
     * non-equi-correlated EXISTS) refuses loudly — the string path
     * would degrade it to an unparseable predicate. */
+  /** AND-flattened conjuncts of a predicate (shared by the IN- and
+    * EXISTS-subquery DML decompositions). */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
   private def subqueryDml(t: GraftTable, aliases: Set[String],
       cond: Expression, sets: Option[Map[String, String]])
       : Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{And, Not, InSubquery,
       ListQuery, Exists, SubqueryExpression}
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x         => Seq(x)
-    }
     def hasSub(e: Expression) =
       e.exists(_.isInstanceOf[SubqueryExpression])
     val (subs, plain) = conjuncts(cond).partition(hasSub)
@@ -305,10 +326,6 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     def hasOuter(e: Expression): Boolean = e.exists(isOuter)
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x         => Seq(x)
-    }
     // the parsed shape is Project(selectList, Filter(where, rel)) —
     // EXISTS without a correlating WHERE has no rows to key a merge on
     val (selectList, where, child) = sub match {
@@ -902,21 +919,23 @@ object LakeDdl {
       // are graft views ([[ViewRegistry]]); TEMPORARY views parse to
       // a different node and keep Spark's session-catalog behavior.
       case cv: CreateView if cv.child.isInstanceOf[UnresolvedIdentifier] &&
-          cv.child.asInstanceOf[UnresolvedIdentifier].nameParts.size <= 2 &&
+          LakeRegistry.keyOf(spark,
+            cv.child.asInstanceOf[UnresolvedIdentifier].nameParts)
+            .isDefined &&
           cv.originalText.isDefined =>
-        val name = LakeRegistry.nameOf(
-          cv.child.asInstanceOf[UnresolvedIdentifier].nameParts)
+        val name = LakeRegistry.keyOf(spark,
+          cv.child.asInstanceOf[UnresolvedIdentifier].nameParts).get
         Some(GraftCreateViewCommand(name, cv.originalText.get,
           cv.userSpecifiedColumns.map(_._1), cv.comment,
           cv.properties, cv.replace, cv.allowExisting))
       // DROP VIEW on a registered graft view; anything else (temp
       // views, IF EXISTS on an absent name) keeps Spark's behavior
       case dv: DropView if dv.child.isInstanceOf[UnresolvedIdentifier] &&
-          ViewRegistry.isView(
-            dv.child.asInstanceOf[UnresolvedIdentifier].nameParts) =>
-        Some(GraftDropViewCommand(
-          dv.child.asInstanceOf[UnresolvedIdentifier]
-            .nameParts.map(_.toLowerCase).mkString(".")))
+          LakeRegistry.keyOf(spark,
+            dv.child.asInstanceOf[UnresolvedIdentifier].nameParts)
+            .exists(k => ViewRegistry.isView(k.split('.').toSeq)) =>
+        Some(GraftDropViewCommand(LakeRegistry.keyOf(spark,
+          dv.child.asInstanceOf[UnresolvedIdentifier].nameParts).get))
       // CREATE TABLE … USING graft — the reference's producer flow is
       // exactly this shape (`CREATE TABLE … PARTITIONED BY (city) …
       // TBLPROPERTIES ('table_type'='ICEBERG')`,

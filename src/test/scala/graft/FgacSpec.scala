@@ -451,9 +451,28 @@ class FgacSpec extends AnyFunSuite {
         spark.sql("INSERT INTO graft.gsec.t VALUES (99, 'X', 0)")))
       assert(t.currentSnapshotId == snaps,
         "the refused governed write must not commit to the lake table")
+      // the admin listing surfaces the catalog-qualified governed
+      // name under its stripped namespace, bare display name
+      assert(spark.sql("SHOW TABLES IN gsec").collect()
+        .map(_.getString(1)).contains("t"),
+        "a graft-prefixed governed name must list under gsec")
+      // the MIRROR hole: governance on the STRIPPED key alone must
+      // gate the catalog-qualified read alias too (a table governed
+      // as db.t must not leak raw through graft.db.t)
+      SecureCatalog.ungovern("graft.gsec.t")
+      SecureCatalog.governTable("gsec.t", Seq("n_nationkey"))
+      val denied2 = try {
+        FgacQueries.asPrincipal(spark, "team2")(
+          spark.sql("SELECT * FROM graft.gsec.t").collect()); false
+      } catch { case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .exists(_.isInstanceOf[AccessDeniedException]) }
+      assert(denied2,
+        "stripped-key governance must gate the catalog-qualified alias")
     } finally {
       graft.lakehouse.LakeRegistry.unregister("gsec.t")
       SecureCatalog.ungovern("graft.gsec.t")
+      SecureCatalog.ungovern("gsec.t")
     }
   }
 

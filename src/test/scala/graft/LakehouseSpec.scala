@@ -701,6 +701,24 @@ class LakehouseSpec extends AnyFunSuite {
     val e2 = intercept[Exception](
       spark.sql("SHOW PARTITIONS catdb.events_c PARTITION (x=1)"))
     assert(e2.getMessage.contains("not supported"))
+    // a shadowing temp view wins DESCRIBE too — the metadata claims
+    // must describe the same table reads resolve
+    Seq((1, "z")).toDF("a", "b").createOrReplaceTempView("catshadow_t")
+    graft.lakehouse.LakeRegistry.register("catshadow_t", bare)
+    try {
+      val dsh = spark.sql("DESCRIBE TABLE catshadow_t").collect()
+        .map(_.getString(0))
+      assert(dsh.contains("a") && !dsh.contains("k"),
+        s"DESCRIBE must answer the shadowing temp view, got " +
+          dsh.mkString(","))
+    } finally {
+      spark.catalog.dropTempView("catshadow_t")
+      graft.lakehouse.LakeRegistry.unregister("catshadow_t")
+    }
+    // a namespace NOTHING knows errors like Spark, not empty success
+    val e3 = intercept[Exception](
+      spark.sql("SHOW TABLES IN no_such_db_xyz").collect())
+    assert(e3.getMessage.contains("no_such_db_xyz"))
   }
 
   test("three-part addressing: the configured catalog prefix strips " +
@@ -722,6 +740,23 @@ class LakehouseSpec extends AnyFunSuite {
     spark.sql("UPDATE graft.c3db.t3 SET note = 'x' " +
       "WHERE graft.c3db.t3.k = 1")
     assert(t.read().filter(col("note") === "x").count() == 1)
+    // catalog + BARE name resolves (SHOW TABLES IN graft advertises
+    // that address) …
+    val tb = freshTable(Seq((7L, "g", 7.0)))
+    graft.lakehouse.LakeRegistry.register("t3bare", tb)
+    assert(spark.sql("SELECT * FROM graft.t3bare").count() == 1)
+    // … unless a table is REGISTERED under a namespace literally
+    // named like the catalog — the registered name wins
+    val ts2 = freshTable(Seq((8L, "h", 8.0), (9L, "i", 9.0)))
+    graft.lakehouse.LakeRegistry.register("graft.shadow", ts2)
+    assert(spark.sql("SELECT * FROM graft.shadow").count() == 2)
+    graft.lakehouse.LakeRegistry.unregister("graft.shadow")
+    graft.lakehouse.LakeRegistry.unregister("t3bare")
+    // views create and drop under the catalog prefix too
+    spark.sql("CREATE VIEW graft.c3db.v3 AS " +
+      "SELECT k FROM graft.c3db.t3 WHERE k = 1")
+    assert(spark.sql("SELECT * FROM c3db.v3").count() == 1)
+    spark.sql("DROP VIEW graft.c3db.v3")
     // an unconfigured catalog never claims (falls through to Spark's
     // table-not-found), and a 4-part name is out of scope
     intercept[Exception](spark.sql("SELECT * FROM other.c3db.t3").collect())
@@ -2036,17 +2071,22 @@ class LakehouseSpec extends AnyFunSuite {
     drain()
     t.addColumns(Seq(StructField("note", StringType)))           // 2
     t.append(Seq((2L, "b", "n2")).toDF("k", "tag", "note"))      // 3
-    drain() // restart: the evolve-add batch is empty, snap 3 delivers
+    t.setNotNull("tag")                                          // 4
+    t.append(Seq((3L, "c", "n3")).toDF("k", "tag", "note"))      // 5
+    // restart: the evolve-add and evolve-notnull batches are empty
+    // (file-neutral), snaps 3 and 5 deliver
+    drain()
     val rows = spark.read.option("mergeSchema", "true").parquet(out)
       .collect().map(r => (r.getAs[Long]("k"),
         Option(r.getAs[String]("note")))).toSet
-    assert(rows == Set((1L, None), (2L, Some("n2"))), s"got $rows")
+    assert(rows == Set((1L, None), (2L, Some("n2")), (3L, Some("n3"))),
+      s"got $rows")
     // a non-add evolution keeps the wedge: no batch delivers past it
     // (the engine's restart re-init of the last committed batch dies
     // first — a renamed column is unpresentable under ANY declared
     // schema, so the refusal may name either the schema or the op)
-    t.renameColumn("tag", "label")                               // 4
-    t.append(Seq((9L, "z", "n9")).toDF("k", "label", "note"))    // 5
+    t.renameColumn("tag", "label")                               // 6
+    t.append(Seq((9L, "z", "n9")).toDF("k", "label", "note"))    // 7
     val before = spark.read.option("mergeSchema", "true").parquet(out)
       .count()
     val e = intercept[Exception](drain())
