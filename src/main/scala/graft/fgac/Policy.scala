@@ -381,6 +381,25 @@ object SecureCatalog {
      }).sorted
   }
 
+  /** Namespace prefixes (every depth) of the governed names visible
+    * to `who` — SHOW NAMESPACES' gated listing; audit-free for the
+    * same reason as [[governedNamesIn]]. */
+  def governedNamespacesFor(who: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val names = governed.keySet.asScala.toSeq.filter(_.contains('.'))
+    val visible =
+      if (who.isEmpty) names
+      else principal(who) match {
+        case None => Nil
+        case Some(p) =>
+          names.filter(n => effectivePolicy(p, n, resolveLink(n)).isDefined)
+      }
+    visible.flatMap { n =>
+      val parts = n.split('.')
+      (1 until parts.length).map(k => parts.take(k).mkString("."))
+    }.distinct.sorted
+  }
+
   /** Parse a policy expression (mask / row filter) and refuse any
     * column reference outside `visible`. Both evaluate against the
     * RAW row, so an out-of-scope reference is an exfiltration /

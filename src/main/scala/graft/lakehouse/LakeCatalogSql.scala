@@ -51,6 +51,31 @@ object LakeCatalogSql {
   private val ShowPartitionsRe =
     ("""(?is)\s*SHOW\s+PARTITIONS\s+""" + N +
       """(\s+PARTITION\s*\([^)]*\))?\s*;?\s*""").r
+  private val ShowCreateRe =
+    ("""(?is)\s*SHOW\s+CREATE\s+TABLE\s+""" + N + """\s*;?\s*""").r
+  private val ShowPropsRe =
+    ("""(?is)\s*SHOW\s+TBLPROPERTIES\s+""" + N +
+      """(?:\s*\(\s*'([^']*)'\s*\))?\s*;?\s*""").r
+  private val ShowViewsRe =
+    ("""(?is)\s*SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+""" + N +
+      """)?(?:\s+LIKE\s+'([^']*)')?\s*;?\s*""").r
+  private val ShowNsRe =
+    ("""(?is)\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)(?:\s+(?:IN|FROM)\s+""" +
+      N + """)?(?:\s+LIKE\s+'([^']*)')?\s*;?\s*""").r
+
+  /** Shared guard for per-table metadata claims (DESCRIBE, SHOW
+    * CREATE TABLE, SHOW TBLPROPERTIES): the ungoverned, unshadowed
+    * lake key, or None → fall through. */
+  private def claimTable(spark: SparkSession, full: String): Option[String] =
+    LakeRegistry.keyOf(spark, full.split('.').toSeq) match {
+      case Some(n)
+          if !graft.fgac.SecureCatalog.isVisibleName(full) &&
+            !graft.fgac.SecureCatalog.isVisibleName(n) &&
+            ViewRegistry.get(full).isEmpty && ViewRegistry.get(n).isEmpty &&
+            !sessionShadowed(spark, full) &&
+            LakeDdl.claimDrop(spark, n) => Some(n)
+      case _ => None
+    }
 
   /** Whether the session catalog already owns this name (temp view,
     * global temp view, or a real catalog table): built-in resolution
@@ -69,22 +94,23 @@ object LakeCatalogSql {
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case Describe(ext, name) =>
-        val full = name.toLowerCase
         // governed names and views stay on the policy-filtered
-        // FgacRule path (fgac_describe) — checked on BOTH the full
-        // (possibly catalog-qualified) form and the stripped key;
-        // only plain lake tables resolve to the manifest schema here
-        LakeRegistry.keyOf(spark, full.split('.').toSeq) match {
-          case Some(n)
-              if !graft.fgac.SecureCatalog.isVisibleName(full) &&
-                !graft.fgac.SecureCatalog.isVisibleName(n) &&
-                ViewRegistry.get(full).isEmpty &&
-                ViewRegistry.get(n).isEmpty &&
-                !sessionShadowed(spark, full) &&
-                LakeDdl.claimDrop(spark, n) =>
-            Some(GraftDescribeCommand(n, ext != null))
-          case _ => None
-        }
+        // FgacRule path (fgac_describe) — claimTable checks BOTH the
+        // full (possibly catalog-qualified) form and the stripped
+        // key; only plain lake tables resolve to the manifest schema
+        claimTable(spark, name.toLowerCase)
+          .map(GraftDescribeCommand(_, ext != null))
+      case ShowCreateRe(name) =>
+        claimTable(spark, name.toLowerCase).map(GraftShowCreateCommand)
+      case ShowPropsRe(name, key) =>
+        claimTable(spark, name.toLowerCase)
+          .map(GraftShowPropsCommand(_, Option(key)))
+      case ShowViewsRe(db, pat) =>
+        Some(GraftShowViewsCommand(
+          Option(db).map(_.toLowerCase), Option(pat)))
+      case ShowNsRe(parent, pat) =>
+        Some(GraftShowNamespacesCommand(
+          Option(parent).map(_.toLowerCase), Option(pat)))
       case ShowTablesRe(db, pat) =>
         // claimed unconditionally: the command MERGES the session
         // catalog's own listing (temp views included), so the claim
@@ -309,6 +335,151 @@ case class GraftShowTablesCommand(db: Option[String],
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(Seq(db.get))
     rows
+  }
+}
+
+/** `SHOW CREATE TABLE t`: the reproducing DDL, rendered from the
+  * manifest — columns with declared NOT NULL markers, provider,
+  * partition spec, location, and table properties (CHECK constraints
+  * ride in their property form, so the statement round-trips through
+  * the ADD CONSTRAINT surface). One row, Spark's column name. */
+case class GraftShowCreateCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = LakeRegistry.get(name).getOrElse(
+      throw new IllegalArgumentException(s"no lake table '$name'"))
+    val snap = t.currentSnapshot
+    val cols = snap.schema.fields.map { f =>
+      val nn =
+        if (f.metadata.contains(GraftTable.NotNullKey)) " NOT NULL" else ""
+      s"  ${f.name} ${f.dataType.sql}$nn"
+    }.mkString(",\n")
+    val parts =
+      if (snap.partitionCols.isEmpty) ""
+      else s"\nPARTITIONED BY (${snap.partitionCols.mkString(", ")})"
+    val props = t.properties.toSeq.sortBy(_._1)
+    val propsTxt =
+      if (props.isEmpty) ""
+      else props.map { case (k, v) => s"  '$k' = '$v'" }
+        .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
+    Seq(Row(s"CREATE TABLE $name (\n$cols)\nUSING graft$parts" +
+      s"\nLOCATION '${t.location}'$propsTxt"))
+  }
+}
+
+/** `SHOW TBLPROPERTIES t [('key')]`: the property map from the
+  * table's metadata, optionally narrowed to one key (absent key →
+  * zero rows). Driver-side metadata only. */
+case class GraftShowPropsCommand(name: String, key: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = LakeRegistry.get(name).getOrElse(
+      throw new IllegalArgumentException(s"no lake table '$name'"))
+    val props = t.properties
+    key match {
+      case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** `SHOW VIEWS [IN db] [LIKE 'pat']`: the session catalog's views
+  * (temp views included) merged with lake views — same namespace and
+  * governance conventions as [[GraftShowTablesCommand]] (governed
+  * view names appear only when the principal holds a grant). */
+case class GraftShowViewsCommand(db: Option[String],
+    pattern: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("viewName", StringType, nullable = false)(),
+    AttributeReference("isTemporary", BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = spark.sessionState.catalog
+    val graftCat = LakeRegistry.catalogOf(spark)
+    val catQualified = db.exists(d =>
+      d == graftCat || d.startsWith(graftCat + "."))
+    val nsKey: Option[String] = db.map { d =>
+      if (d == graftCat) ""
+      else if (d.startsWith(graftCat + ".")) d.drop(graftCat.length + 1)
+      else d
+    }
+    val sessionRows: Seq[Row] = db match {
+      case Some(_) if catQualified => Nil
+      case Some(d) if cat.databaseExists(d) =>
+        cat.listViews(d, pattern.getOrElse("*")).map(ti =>
+          Row(ti.database.getOrElse(""), ti.table, cat.isTempView(ti)))
+      case Some(_) => Nil
+      case None =>
+        cat.listViews(cat.getCurrentDatabase, pattern.getOrElse("*"))
+          .map(ti =>
+            Row(ti.database.getOrElse(""), ti.table, cat.isTempView(ti)))
+    }
+    def inNs(n: String): Option[String] = nsKey match {
+      case Some("") | None => Some(n).filterNot(_.contains('.'))
+      case Some(d) if n.startsWith(d + ".") =>
+        Some(n.drop(d.length + 1)).filterNot(_.contains('.'))
+      case Some(_) => None
+    }
+    def matches(bare: String): Boolean = pattern.forall(p =>
+      StringUtils.filterPattern(Seq(bare), p).nonEmpty)
+    val ns = db.getOrElse("")
+    val who = spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, "")
+    val lakeViews = ViewRegistry.list.map(_.name).filter { n =>
+      !graft.fgac.SecureCatalog.isGoverned(n) ||
+        graft.fgac.SecureCatalog
+          .governedNamesIn(who, Some(n).filter(_.contains('.'))
+            .map(_.split('.').init.mkString(".")))
+          .contains(n)
+    }.flatMap(inNs).filter(matches).map(Row(ns, _, false))
+    (sessionRows ++ lakeViews).distinct
+      .sortBy(r => (r.getString(0), r.getString(1)))
+  }
+}
+
+/** `SHOW NAMESPACES [IN cat] [LIKE 'pat']`: session-catalog
+  * databases merged with lake namespaces (distinct `db` prefixes of
+  * registry keys) and the governed namespaces the principal can see
+  * into ([[graft.fgac.SecureCatalog.governedNamespacesFor]] —
+  * audit-free gated listing). `IN graft` narrows to the lake's own
+  * namespaces. */
+case class GraftShowNamespacesCommand(parent: Option[String],
+    pattern: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = spark.sessionState.catalog
+    val graftCat = LakeRegistry.catalogOf(spark)
+    def matches(n: String): Boolean = pattern.forall(p =>
+      StringUtils.filterPattern(Seq(n), p).nonEmpty)
+    val who = spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, "")
+    val lakeNs = (LakeRegistry.list ++ ViewRegistry.list.map(_.name))
+      .filter(_.contains('.')).map(_.split('.').init.mkString("."))
+    val govNs = graft.fgac.SecureCatalog.governedNamespacesFor(who)
+    val rows = parent match {
+      case None =>
+        cat.listDatabases() ++ lakeNs ++ govNs
+      case Some(p) if p == graftCat => lakeNs
+      case Some(p) =>
+        // namespaces one level under `p` (a governed catalog like
+        // `gov`, or a deeper lake namespace)
+        val under = (lakeNs ++ govNs).filter(_.startsWith(p + "."))
+          .map(_.drop(p.length + 1))
+        if (under.isEmpty && !cat.databaseExists(p) &&
+            !lakeNs.contains(p) && !govNs.contains(p))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchNamespaceException(Seq(p))
+        under
+    }
+    rows.distinct.filter(matches).sorted.map(Row(_))
   }
 }
 

@@ -1246,6 +1246,59 @@ object LakeQueries {
       .orderBy("stmt", "item", "detail")
   }
 
+  /** The rest of the operator-facing catalog SQL (round 16,
+    * completing [[LakeCatalogSql]]): `SHOW CREATE TABLE` renders the
+    * reproducing DDL from the manifest (typed columns with declared
+    * NOT NULL, partition spec, location, properties — CHECK
+    * constraints ride in property form), `SHOW TBLPROPERTIES [('k')]`
+    * answers the property map, `SHOW VIEWS IN db` and
+    * `SHOW NAMESPACES [IN graft]` list the lake's views and
+    * namespaces merged with the session catalog's. All driver-side
+    * metadata, zero data reads. The pinned output filters to this
+    * query's own namespace (global listings vary with session
+    * history) and drops the machine-specific LOCATION line
+    * (require()d to match the table's real root instead). */
+  private val showDdlQ: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_sddl"), orders,
+      partitionBy = Seq("o_orderstatus"))
+    LakeRegistry.register("sddldb.orders_s", t)
+    s.sql("ALTER TABLE sddldb.orders_s ALTER COLUMN o_orderkey " +
+      "SET NOT NULL")
+    s.sql("ALTER TABLE sddldb.orders_s ADD CONSTRAINT pos " +
+      "CHECK (o_totalprice > 0)")
+    t.setProperties(t.properties + ("write.delete.mode" -> "merge-on-read"))
+
+    val create = s.sql("SHOW CREATE TABLE sddldb.orders_s")
+      .head.getString(0)
+    require(create.contains(s"LOCATION '${t.location}'"),
+      "SHOW CREATE TABLE must carry the real storage root")
+    val createLines = create.split('\n').toSeq
+      .filterNot(_.startsWith("LOCATION"))
+    val props = s.sql("SHOW TBLPROPERTIES sddldb.orders_s").collect()
+    require(s.sql(
+        "SHOW TBLPROPERTIES sddldb.orders_s ('write.delete.mode')")
+      .head.getString(1) == "merge-on-read",
+      "the single-key TBLPROPERTIES form must answer the value")
+    s.sql("CREATE OR REPLACE VIEW sddldb.v_s AS " +
+      "SELECT o_orderkey FROM sddldb.orders_s WHERE o_totalprice > 100")
+    val views = s.sql("SHOW VIEWS IN sddldb").collect()
+    require(s.sql("SHOW NAMESPACES").collect()
+      .exists(_.getString(0) == "sddldb") &&
+      s.sql("SHOW NAMESPACES IN graft").collect()
+        .exists(_.getString(0) == "sddldb"),
+      "the lake namespace must list bare and under the graft catalog")
+
+    import s.implicits._
+    (createLines.map(("create", _)) ++
+      props.toSeq.map(r =>
+        ("props", s"${r.getString(0)}=${r.getString(1)}")) ++
+      views.toSeq.map(r => ("views", r.getString(1))) ++
+      Seq(("namespaces", "sddldb")))
+      .toDF("stmt", "item").orderBy("stmt", "item")
+  }
+
   /** Three-part `cat.db.t` addressing (round 16): the reference's
     * consumer addresses EVERYTHING through its configured catalog
     * name — reads AND writes (`dev.consumer_db.rl_patients`,
@@ -2823,6 +2876,7 @@ object LakeQueries {
     "lake_not_null"         -> notNullQ,
     "lake_describe"         -> describeQ,
     "lake_catalog_ddl"      -> catalogDdl,
+    "lake_show_ddl"         -> showDdlQ,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_merge_source"     -> mergeBySource,
@@ -2922,6 +2976,26 @@ object LakeQueries {
     // Replays the namespace-qualified DML sequence relationally:
     // UPDATE bump, MERGE re-segment against the >5000 CTAS, DELETE
     // negatives. OPTIMIZE/VACUUM are data-invariant.
+    // the exact rendered text of SHOW CREATE TABLE (location line
+    // dropped — machine-specific, require()d in-query), the property
+    // map, the namespace's one view, and the namespace row
+    "lake_show_ddl" ->
+      """SELECT * FROM (VALUES
+        |  ('create', 'CREATE TABLE sddldb.orders_s ('),
+        |  ('create', '  o_orderkey BIGINT NOT NULL,'),
+        |  ('create', '  o_orderstatus STRING,'),
+        |  ('create', '  o_totalprice DOUBLE)'),
+        |  ('create', 'USING graft'),
+        |  ('create', 'PARTITIONED BY (o_orderstatus)'),
+        |  ('create', 'TBLPROPERTIES ('),
+        |  ('create', '  ''graft.constraint.pos'' = ''o_totalprice > 0'','),
+        |  ('create', '  ''write.delete.mode'' = ''merge-on-read'')'),
+        |  ('props', 'graft.constraint.pos=o_totalprice > 0'),
+        |  ('props', 'write.delete.mode=merge-on-read'),
+        |  ('views', 'v_s'),
+        |  ('namespaces', 'sddldb')
+        |) AS t(stmt, item)
+        |ORDER BY stmt, item""".stripMargin,
     // same end state as lake_namespace_ddl: the catalog segment is
     // an addressing alias, every statement lands on the same table
     "lake_catalog_ddl" ->

@@ -767,6 +767,36 @@ class LakehouseSpec extends AnyFunSuite {
     assert(graft.lakehouse.LakeRegistry.get("c3db.t3").isEmpty)
   }
 
+  test("SHOW CREATE / TBLPROPERTIES / VIEWS / NAMESPACES edges: bare " +
+      "unpartitioned table, missing key, temp-view merge, unknown " +
+      "namespace error") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    graft.lakehouse.LakeRegistry.register("sddl_bare", t)
+    // minimal table: no partition spec, no properties → two-section
+    // statement only
+    val create = spark.sql("SHOW CREATE TABLE sddl_bare").head.getString(0)
+    assert(create.startsWith("CREATE TABLE sddl_bare (") &&
+      !create.contains("PARTITIONED BY") &&
+      !create.contains("TBLPROPERTIES") &&
+      create.contains("USING graft") && create.contains(t.location),
+      s"got:\n$create")
+    assert(spark.sql("SHOW TBLPROPERTIES sddl_bare").count() == 0)
+    assert(spark.sql("SHOW TBLPROPERTIES sddl_bare ('nope')").count() == 0)
+    // SHOW VIEWS merges session temp views with lake views
+    Seq(1).toDF("x").createOrReplaceTempView("sddl_tv")
+    val views = spark.sql("SHOW VIEWS").collect()
+      .map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(views.get("sddl_tv").contains(true))
+    spark.catalog.dropTempView("sddl_tv")
+    // namespaces: the session db lists; an unknown parent errors
+    assert(spark.sql("SHOW NAMESPACES").collect()
+      .exists(_.getString(0) == "default"))
+    val e = intercept[Exception](
+      spark.sql("SHOW NAMESPACES IN no_such_cat_xyz").collect())
+    assert(e.getMessage.contains("no_such_cat_xyz"))
+    graft.lakehouse.LakeRegistry.unregister("sddl_bare")
+  }
+
   test("DROP TABLE claims an on-disk table unknown to the registry") {
     val name = "dropprobe_t"
     val root = spark.conf.get("spark.sql.warehouse.dir")
