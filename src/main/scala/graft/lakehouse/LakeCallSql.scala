@@ -1,0 +1,234 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+/** Iceberg's stored-procedure surface — `CALL cat.system.proc(...)` —
+  * mapped onto the SAME commands the OPTIMIZE / VACUUM / ALTER /
+  * RESTORE statements lower to. Iceberg documents procedures as THE
+  * maintenance idiom (expire_snapshots, rewrite_data_files,
+  * rollback_to_snapshot, …), so a user porting reference-style
+  * maintenance scripts can keep their CALL statements verbatim.
+  *
+  * Parser-level claim like [[LakeMaintenance]]: Spark's own grammar
+  * has no CALL without a procedure plugin. The catalog segment must
+  * be the CONFIGURED one ([[LakeRegistry.catalogOf]]); any other
+  * catalog falls through (and fails in Spark's parser, loudly).
+  * Named (`arg => 'v'`) and positional arguments both parse; an
+  * unknown procedure refuses with the known list — silently falling
+  * through would error as a syntax problem pointing nowhere.
+  *
+  * Everything is metadata-scale at any table size: each procedure
+  * delegates to the corresponding command, whose cost model is
+  * documented at its own definition.
+  */
+object LakeCallSql {
+
+  private val CallRe =
+    """(?is)\s*CALL\s+(\w+)\s*\.\s*system\s*\.\s*(\w+)\s*\((.*)\)\s*;?\s*""".r
+
+  /** Top-level comma split honoring single-quoted strings (a `where`
+    * predicate may contain commas). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var q = false
+    var depth = 0
+    for (c <- s) c match {
+      case '\'' => q = !q; sb += c
+      case '(' if !q => depth += 1; sb += c
+      case ')' if !q => depth -= 1; sb += c
+      case ',' if !q && depth == 0 => out += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    if (sb.toString.trim.nonEmpty) out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val Named = """(?s)(\w+)\s*=>\s*(.*)""".r
+
+  /** Resolve positional + named args against `params` (the
+    * procedure's declared parameter order). */
+  private def bind(proc: String, params: Seq[String],
+      raw: Seq[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var pos = 0
+    raw.foreach {
+      case Named(k, v) =>
+        val key = k.toLowerCase
+        require(params.contains(key),
+          s"$proc: unknown argument '$k' (takes ${params.mkString(", ")})")
+        out(key) = v.trim
+      case v =>
+        require(out.isEmpty || pos < params.size,
+          s"$proc: positional argument after named ones")
+        require(pos < params.size,
+          s"$proc: too many arguments (takes ${params.mkString(", ")})")
+        out(params(pos)) = v.trim
+        pos += 1
+    }
+    out.toMap
+  }
+
+  private def str(v: String): String = {
+    require(v.length >= 2 && v.head == '\'' && v.last == '\'',
+      s"expected a quoted string, got $v")
+    // SQL escaping: a doubled quote inside the literal is one quote
+    // (a `where` predicate carries its own string literals)
+    v.substring(1, v.length - 1).replace("''", "'")
+  }
+
+  /** Epoch millis of a `TIMESTAMP '…'` (or bare quoted) literal,
+    * interpreted in the session zone like the VACUUM forms. */
+  private def tsMillis(spark: SparkSession, v: String): Long = {
+    val s0 = str(v.replaceAll("(?i)^TIMESTAMP\\s+", "")).replace(' ', 'T')
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val ldt =
+      if (s0.contains('T')) java.time.LocalDateTime.parse(s0)
+      else java.time.LocalDate.parse(s0).atStartOfDay()
+    ldt.atZone(zone).toInstant.toEpochMilli
+  }
+
+  def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case CallRe(cat, proc0, argsRaw)
+          if cat.toLowerCase == LakeRegistry.catalogOf(spark) =>
+        val proc = proc0.toLowerCase
+        def args(params: String*): Map[String, String] =
+          bind(proc, params, splitTop(argsRaw))
+        def table(a: Map[String, String]): String = {
+          val n = LakeRegistry.keyOf(spark,
+            str(a("table")).toLowerCase.split('.').toSeq).getOrElse(
+            throw new IllegalArgumentException(
+              s"$proc: bad table name ${a("table")}"))
+          require(LakeDdl.claimDrop(spark, n), s"no lake table '$n'")
+          n
+        }
+        Some(proc match {
+          case "rollback_to_snapshot" =>
+            val a = args("table", "snapshot_id")
+            GraftRestoreCommand(table(a), Some(a("snapshot_id").toLong),
+              None)
+          case "set_current_snapshot" =>
+            val a = args("table", "snapshot_id")
+            GraftRestoreCommand(table(a), Some(a("snapshot_id").toLong),
+              None)
+          case "rollback_to_timestamp" =>
+            val a = args("table", "timestamp")
+            GraftRollbackTsCommand(table(a),
+              tsMillis(spark, a("timestamp")))
+          case "cherrypick_snapshot" =>
+            val a = args("table", "snapshot_id")
+            GraftCherryPickCommand(table(a), a("snapshot_id").toLong)
+          case "fast_forward" =>
+            val a = args("table", "branch", "to")
+            GraftFastForwardCommand(table(a), str(a("branch")),
+              str(a("to")))
+          case "expire_snapshots" =>
+            val a = args("table", "older_than", "retain_last")
+            require(a.contains("older_than") != a.contains("retain_last"),
+              "expire_snapshots takes exactly one of older_than / " +
+                "retain_last (the composed form is not supported)")
+            if (a.contains("retain_last"))
+              GraftVacuumCommand(table(a), a("retain_last").toInt)
+            else {
+              // absolute cutoff → the age form the VACUUM command
+              // takes; run follows parse immediately, so now-anchored
+              // conversion preserves the cutoff
+              val age = math.max(0L, System.currentTimeMillis() -
+                tsMillis(spark, a("older_than")))
+              GraftVacuumAgeCommand(table(a), age)
+            }
+          case "remove_orphan_files" =>
+            val a = args("table", "older_than")
+            GraftVacuumOrphansCommand(table(a),
+              a.get("older_than").map(v => math.max(0L,
+                System.currentTimeMillis() - tsMillis(spark, v))))
+          case "rewrite_data_files" =>
+            val a = args("table", "strategy", "sort_order", "where")
+            val n = table(a)
+            val strategy = a.get("strategy").map(str).map(_.toLowerCase)
+              .getOrElse("binpack")
+            require(strategy == "binpack" || strategy == "sort",
+              s"rewrite_data_files: unknown strategy '$strategy'")
+            a.get("where").map(w => GraftCompactWhereCommand(n, 1,
+                str(w)): LogicalPlan).getOrElse {
+              a.get("sort_order").map(str) match {
+                case Some(so) if so.toLowerCase.startsWith("zorder") =>
+                  val cols = so.substring(so.indexOf('(') + 1,
+                    so.lastIndexOf(')')).split(',').map(_.trim).toSeq
+                  GraftOptimizeCommand(n, 8, "ZORDER", cols)
+                case Some(so) =>
+                  // Iceberg sort orders carry ASC/DESC NULLS …
+                  // qualifiers; the engine's sort compaction is
+                  // ascending-nulls-first, so only that form maps
+                  val cols = so.split(',').map(_.trim).map { c =>
+                    val base = c.split("\\s+").head
+                    require(c.equalsIgnoreCase(base) ||
+                        c.toUpperCase.endsWith("ASC") ||
+                        c.toUpperCase.endsWith("NULLS FIRST"),
+                      s"rewrite_data_files: unsupported sort " +
+                        s"qualifier in '$c' (ascending only)")
+                    base
+                  }.toSeq
+                  GraftOptimizeCommand(n, 8, "SORT", cols)
+                case None => GraftOptimizeCommand(n, 8, "", Nil)
+              }
+            }
+          case "rewrite_manifests" =>
+            GraftRewriteManifestsCommand(table(args("table")))
+          case "rewrite_position_delete_files" =>
+            GraftRewriteDeletesCommand(table(args("table")))
+          case "create_changelog_view" =>
+            val a = args("table", "changelog_view", "start_snapshot_id",
+              "end_snapshot_id")
+            val n = table(a)
+            GraftChangelogViewCommand(n,
+              a.get("changelog_view").map(str)
+                .getOrElse(s"${n.split('.').last}_changes"),
+              a.get("start_snapshot_id").map(_.toLong),
+              a.get("end_snapshot_id").map(_.toLong))
+          case other => throw new UnsupportedOperationException(
+            s"unknown procedure '$other' (supported: " +
+              "rollback_to_snapshot, rollback_to_timestamp, " +
+              "set_current_snapshot, cherrypick_snapshot, " +
+              "fast_forward, expire_snapshots, remove_orphan_files, " +
+              "rewrite_data_files, rewrite_manifests, " +
+              "rewrite_position_delete_files, create_changelog_view)")
+        })
+      case _ => None
+    }
+}
+
+/** `rollback_to_timestamp`: the snapshot current AS OF the timestamp
+  * becomes the head again (resolved at RUN time from the manifest
+  * log, like every other time-travel read). */
+case class GraftRollbackTsCommand(name: String, millis: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "RESTORE")
+    val t = LakeRegistry.get(name).get
+    t.rollback(t.snapshotIdAsOfTimestamp(millis))
+    Seq.empty
+  }
+}
+
+/** `create_changelog_view`: registers a session temp view over the
+  * table's net changelog for the snapshot range (default: everything
+  * up to the CURRENT head, resolved at run time) — Iceberg's
+  * procedure of the same name, backed by [[GraftTable.changes]]. */
+case class GraftChangelogViewCommand(name: String, view: String,
+    fromId: Option[Long], toId: Option[Long])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = LakeRegistry.get(name).get
+    t.changes(fromId.getOrElse(0L),
+        toId.getOrElse(t.currentSnapshotId))
+      .createOrReplaceTempView(view)
+    Seq.empty
+  }
+}

@@ -1299,6 +1299,45 @@ object LakeQueries {
       .toDF("stmt", "item").orderBy("stmt", "item")
   }
 
+  /** Iceberg's stored-procedure surface ([[LakeCallSql]], round 16):
+    * `CALL graft.system.proc(...)` with named or positional
+    * arguments, mapped onto the same lowered commands as the
+    * statement forms — so Iceberg-style maintenance scripts port
+    * verbatim. The scenario drives rollback_to_snapshot (undoing a
+    * bad append), a sort-ordered rewrite_data_files,
+    * rewrite_manifests, expire_snapshots(retain_last),
+    * remove_orphan_files, and create_changelog_view (require()d to
+    * net the whole table as inserts); the refusal matrix (unknown
+    * procedure, composed expire args, descending sort qualifiers)
+    * is spec-pinned. End state = the full orders table, oracled. */
+  private val callProcs: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable.create(s, tmp("lake_call"),
+      orders.filter(col("o_orderkey") % 2 === 0))                  // 1
+    LakeRegistry.register("calldb.orders_c", t)
+    t.append(orders.filter(col("o_orderkey") % 2 === 1))           // 2
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))          // 3 bad
+    s.sql("CALL graft.system.rollback_to_snapshot('calldb.orders_c', 2)")
+    require(t.read().count() == orders.count(),
+      "rollback_to_snapshot must undo the bad append")
+    s.sql("CALL graft.system.rewrite_data_files(" +
+      "table => 'calldb.orders_c', strategy => 'sort', " +
+      "sort_order => 'o_orderkey ASC')")
+    s.sql("CALL graft.system.rewrite_manifests('calldb.orders_c')")
+    s.sql("CALL graft.system.expire_snapshots(" +
+      "table => 'calldb.orders_c', retain_last => 2)")
+    s.sql("CALL graft.system.remove_orphan_files(" +
+      "table => 'calldb.orders_c')")
+    s.sql("CALL graft.system.create_changelog_view(" +
+      "table => 'calldb.orders_c', changelog_view => 'call_chg')")
+    require(s.table("call_chg")
+        .filter(col("_change_type") === "insert").count() ==
+      orders.count(),
+      "the changelog view must net the whole table as inserts")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Three-part `cat.db.t` addressing (round 16): the reference's
     * consumer addresses EVERYTHING through its configured catalog
     * name — reads AND writes (`dev.consumer_db.rl_patients`,
@@ -2877,6 +2916,7 @@ object LakeQueries {
     "lake_describe"         -> describeQ,
     "lake_catalog_ddl"      -> catalogDdl,
     "lake_show_ddl"         -> showDdlQ,
+    "lake_call_procs"       -> callProcs,
     "lake_rollback"         -> rollback,
     "lake_bucketed_join"    -> bucketedJoin,
     "lake_merge_source"     -> mergeBySource,
@@ -2976,6 +3016,11 @@ object LakeQueries {
     // Replays the namespace-qualified DML sequence relationally:
     // UPDATE bump, MERGE re-segment against the >5000 CTAS, DELETE
     // negatives. OPTIMIZE/VACUUM are data-invariant.
+    // rollback undoes the duplicate-append; the maintenance
+    // procedures are content-neutral — end state is the whole table
+    "lake_call_procs" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     // the exact rendered text of SHOW CREATE TABLE (location line
     // dropped — machine-specific, require()d in-query), the property
     // map, the namespace's one view, and the namespace row

@@ -1941,6 +1941,9 @@ class GraftSqlParser(spark: SparkSession,
       // analyzer's ResolveSessionCatalog would claim them first);
       // governed names defer to the policy-filtered FgacRule path
       .orElse(LakeCatalogSql.parse(spark, sqlText))
+      // CALL cat.system.proc(...) — Iceberg's stored-procedure
+      // maintenance idiom, mapped onto the same lowered commands
+      .orElse(LakeCallSql.parse(spark, sqlText))
       // GRANT/REVOKE/SHOW GRANTS: Spark has no grammar for these at
       // all, so the claim is unconditional (a non-governed target
       // fails inside the command, loudly, rather than as a parse

@@ -797,6 +797,50 @@ class LakehouseSpec extends AnyFunSuite {
     graft.lakehouse.LakeRegistry.unregister("sddl_bare")
   }
 
+  test("CALL procedures: set_current_snapshot, fast_forward, " +
+      "rollback_to_timestamp, and the refusal matrix") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    graft.lakehouse.LakeRegistry.register("callspec.t", t)
+    t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))            // 2
+    spark.sql(
+      "CALL graft.system.set_current_snapshot('callspec.t', 1)")   // 3
+    assert(t.read().count() == 1)
+    // timestamp rollback: anything in the future lands on the head
+    spark.sql("CALL graft.system.rollback_to_timestamp(" +
+      "table => 'callspec.t', timestamp => TIMESTAMP '2099-01-01 00:00:00')")
+    assert(t.currentSnapshotId == 4)
+    // branch publish through the procedure form: stage a write on a
+    // branch ahead of main, then fast-forward main to it
+    t.createBranch("audit")
+    t.onBranch("audit").append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    spark.sql("CALL graft.system.fast_forward(" +
+      "table => 'callspec.t', branch => 'main', to => 'audit')")
+    // rolled-back content (1 row) + the branch-staged append
+    assert(t.read().count() == 2,
+      "fast_forward must publish the branch head")
+    // refusals: unknown procedure, composed expire args, descending
+    // sort qualifier, unknown argument
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft.system.bogus('callspec.t')"))
+    assert(e1.getMessage.contains("unknown procedure"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.system.expire_snapshots(table => 'callspec.t', " +
+        "older_than => TIMESTAMP '2020-01-01', retain_last => 2)"))
+    assert(e2.getMessage.contains("exactly one"))
+    val e3 = intercept[Exception](spark.sql(
+      "CALL graft.system.rewrite_data_files(table => 'callspec.t', " +
+        "strategy => 'sort', sort_order => 'k DESC')"))
+    assert(e3.getMessage.contains("ascending only"))
+    val e4 = intercept[Exception](spark.sql(
+      "CALL graft.system.rewrite_manifests(nope => 'callspec.t')"))
+    assert(e4.getMessage.contains("unknown argument"))
+    // a CALL under another catalog falls through to Spark (parse
+    // error there, never claimed here)
+    intercept[Exception](spark.sql(
+      "CALL other.system.rewrite_manifests('callspec.t')"))
+    graft.lakehouse.LakeRegistry.unregister("callspec.t")
+  }
+
   test("DROP TABLE claims an on-disk table unknown to the registry") {
     val name = "dropprobe_t"
     val root = spark.conf.get("spark.sql.warehouse.dir")
