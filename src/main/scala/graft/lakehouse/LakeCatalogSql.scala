@@ -83,7 +83,7 @@ object LakeCatalogSql {
     * DESCRIBE answering the lake schema while SELECT reads a
     * shadowing temp view would describe a different table than the
     * data. */
-  private def sessionShadowed(spark: SparkSession, name: String): Boolean = {
+  private[lakehouse] def sessionShadowed(spark: SparkSession, name: String): Boolean = {
     val parts = name.split('.').toSeq
     val cat = spark.sessionState.catalog
     cat.isTempView(parts) || (parts.size <= 2 && cat.tableExists(

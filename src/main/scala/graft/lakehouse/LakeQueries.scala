@@ -2378,6 +2378,13 @@ object LakeQueries {
     require(parts.count() == 3 &&
       parts.filter(col("row_count").isNull).count() == 0,
       "partition metadata must cover all three statuses with counts")
+    // the Iceberg-style dotted SUFFIX forms answer the same frames
+    require(s.sql("SELECT * FROM lake_meta_t.files").count() ==
+      files.count() &&
+      s.sql("SELECT * FROM lake_meta_t.partitions").count() == 3 &&
+      s.sql("SELECT * FROM lake_meta_t.snapshots").count() ==
+        s.sql("SELECT * FROM lake_meta_t.history").count(),
+      "db.t.files / .partitions / .snapshots must mirror the TVFs")
     parts.select(col("o_orderstatus"), col("row_count"))
       .orderBy("o_orderstatus")
   }

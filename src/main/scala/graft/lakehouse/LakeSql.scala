@@ -224,6 +224,7 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val t = if (b.nonEmpty && t0.hasBranch(b)) t0.onBranch(b) else t0
         SubqueryAlias(u.multipartIdentifier.map(_.toLowerCase),
           t.read().queryExecution.analyzed)
+
     }
 
   /** Epoch millis of a `TIMESTAMP AS OF` literal: TIMESTAMP literals
@@ -1304,6 +1305,10 @@ object LakeMaintenance {
   // only, history preserved (the restore is itself a new commit)
   private val Restore =
     ("""(?is)\s*RESTORE\s+TABLE\s+""" + T + """\s+TO\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*;?\s*""").r
+  // Delta's timestamp form: the snapshot current AS OF the literal
+  // becomes the head again (same resolution as TIMESTAMP AS OF reads)
+  private val RestoreTs =
+    ("""(?is)\s*RESTORE\s+TABLE\s+""" + T + """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('[^']+')\s*;?\s*""").r
   // Iceberg's fast_forward procedure: publish a branch by moving
   // `target` to `source`'s head (ancestry-checked in the table API)
   private val FastForward =
@@ -1392,6 +1397,10 @@ object LakeMaintenance {
           if LakeDdl.claimDrop(spark, norm(spark, name)) =>
         Some(GraftRestoreCommand(norm(spark, name),
           Option(id).map(_.toLong), Option(ref)))
+      case RestoreTs(name, ts)
+          if LakeDdl.claimDrop(spark, norm(spark, name)) =>
+        Some(GraftRollbackTsCommand(norm(spark, name),
+          LakeCallSql.tsMillis(spark, ts)))
       case FastForward(name, target, source)
           if LakeDdl.claimDrop(spark, norm(spark, name)) =>
         Some(GraftFastForwardCommand(norm(spark, name), target, source))
@@ -1817,8 +1826,67 @@ case class GraftVacuumOrphansCommand(name: String, ageMs: Option[Long])
   * analyzer rule never gets the chance to claim it. Args must be
   * literals (a changelog endpoint is metadata, not data). */
 object LakeChanges {
+
+  /** Metadata relations addressable as the Iceberg-style dotted
+    * suffix (`db.t.files`) AND as the lake_* TVFs — one frame
+    * factory serves both. `snapshots` is Iceberg's other name for
+    * the history listing. */
+  private[lakehouse] val MetaSuffixes = Set("files", "delete_files",
+    "partitions", "history", "snapshots", "refs", "lineage")
+
+  private[lakehouse] def metaFrame(spark: SparkSession, t: GraftTable,
+      kind: String): org.apache.spark.sql.DataFrame = kind match {
+    case "files"        => t.filesMetadata
+    case "delete_files" => t.deleteFilesMetadata
+    case "partitions"   => t.partitionsMetadata
+    // Iceberg v3 row lineage as a relation: the table's rows with
+    // _row_id / _last_updated_sequence_number appended (see
+    // GraftTable.readLineage; requires row.lineage=true)
+    case "lineage"      => t.readLineage()
+    // named references (Iceberg's `db.t.refs` metadata table): a
+    // ref-less table still lists its implicit `main`
+    case "refs" =>
+      val r = t.refs
+      val rows =
+        if (r.isEmpty) Seq(("main", "branch", t.headOf("main")))
+        else r.toSeq.map { case (n, (k, id)) => (n, k, id) }
+      spark.createDataFrame(rows.sortBy(_._1))
+        .toDF("name", "type", "snapshot_id")
+    case _              => t.historyMetadata // history | snapshots
+  }
+
   def resolve(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
+      // Iceberg's metadata-table SUFFIX form (`db.t.files`,
+      // `t.history`, `graft.db.t.partitions`, …): the table prefix
+      // resolves like a plain read (catalog stripping + governance
+      // gates on both name forms), the last segment selects the
+      // metadata relation — the SAME manifest-backed frames as the
+      // lake_* TVFs, zero data reads. Claimed at PARSE time: a
+      // 3-part name under spark_catalog errors its multi-part
+      // namespace before any resolution rule runs. A REGISTERED
+      // table of the full name, a session-catalog shadow, or a
+      // governed prefix (either form) always wins / refuses.
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size >= 2 &&
+            MetaSuffixes.contains(u.multipartIdentifier.last.toLowerCase) &&
+            LakeRegistry.keyOf(spark, u.multipartIdentifier)
+              .forall(k => LakeRegistry.get(k).isEmpty) &&
+            !LakeCatalogSql.sessionShadowed(spark,
+              u.multipartIdentifier.map(_.toLowerCase).mkString(".")) &&
+            !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
+            !graft.fgac.SecureCatalog.isVisibleName(
+              u.multipartIdentifier.init) &&
+            LakeRegistry.keyOf(spark, u.multipartIdentifier.init)
+              .filterNot(graft.fgac.SecureCatalog.isVisibleName)
+              .exists(LakeRegistry.get(_).isDefined) =>
+        val t = LakeRegistry.get(LakeRegistry.keyOf(spark,
+          u.multipartIdentifier.init).get).get
+        val df = metaFrame(spark, t,
+          u.multipartIdentifier.last.toLowerCase)
+        SubqueryAlias(u.multipartIdentifier.map(_.toLowerCase),
+          df.queryExecution.analyzed)
+
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if Set("table_changes", "table_changes_lineage")
             .contains(tvf.name.map(_.toLowerCase).mkString(".")) =>
@@ -1869,25 +1937,7 @@ object LakeChanges {
         val t = LakeRegistry.get(name).getOrElse(
           throw new IllegalArgumentException(
             s"$fn: '$name' is not a registered graft table"))
-        val df = fn match {
-          case "lake_files"        => t.filesMetadata
-          case "lake_delete_files" => t.deleteFilesMetadata
-          case "lake_partitions" => t.partitionsMetadata
-          // named references (Iceberg's `db.t.refs` metadata table):
-          // a ref-less table still lists its implicit `main`
-          // Iceberg v3 row lineage as a relation: the table's rows
-          // with _row_id / _last_updated_sequence_number appended
-          // (see GraftTable.readLineage; requires row.lineage=true)
-          case "lake_lineage"      => t.readLineage()
-          case "lake_refs" =>
-            val r = t.refs
-            val rows =
-              if (r.isEmpty) Seq(("main", "branch", t.headOf("main")))
-              else r.toSeq.map { case (n, (k, id)) => (n, k, id) }
-            spark.createDataFrame(rows.sortBy(_._1))
-              .toDF("name", "type", "snapshot_id")
-          case _                 => t.historyMetadata
-        }
+        val df = metaFrame(spark, t, fn.stripPrefix("lake_"))
         SubqueryAlias(name, df.queryExecution.analyzed)
 
       // view catalog listing (Iceberg's SHOW VIEWS surface, in the

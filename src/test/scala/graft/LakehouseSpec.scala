@@ -805,10 +805,14 @@ class LakehouseSpec extends AnyFunSuite {
     spark.sql(
       "CALL graft.system.set_current_snapshot('callspec.t', 1)")   // 3
     assert(t.read().count() == 1)
-    // timestamp rollback: anything in the future lands on the head
+    // timestamp rollback: anything in the future lands on the head —
+    // both the procedure and Delta's RESTORE statement form
     spark.sql("CALL graft.system.rollback_to_timestamp(" +
       "table => 'callspec.t', timestamp => TIMESTAMP '2099-01-01 00:00:00')")
     assert(t.currentSnapshotId == 4)
+    spark.sql("RESTORE TABLE callspec.t TO TIMESTAMP AS OF " +
+      "'2099-01-01 00:00:00'")
+    assert(t.currentSnapshotId == 5 && t.read().count() == 1)
     // branch publish through the procedure form: stage a write on a
     // branch ahead of main, then fast-forward main to it
     t.createBranch("audit")
@@ -839,6 +843,40 @@ class LakehouseSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       "CALL other.system.rewrite_manifests('callspec.t')"))
     graft.lakehouse.LakeRegistry.unregister("callspec.t")
+  }
+
+  test("metadata suffix relations: db.t.files et al., registered " +
+      "tables win, governed prefixes refuse") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    graft.lakehouse.LakeRegistry.register("msfx.t", t)
+    assert(spark.sql("SELECT * FROM msfx.t.files").count() ==
+      t.currentSnapshot.files.size)
+    assert(spark.sql("SELECT * FROM msfx.t.history").count() == 1)
+    assert(spark.sql("SELECT * FROM msfx.t.refs").head.getString(0) ==
+      "main")
+    // catalog-qualified prefix composes: graft.msfx.t.partitions
+    // (4 parts, table prefix strips the catalog)
+    intercept[Exception]( // unpartitioned → partitions frame is empty,
+      // but a WRONG suffix never claims: falls through to not-found
+      spark.sql("SELECT * FROM msfx.t.nonsuffix").collect())
+    assert(spark.sql("SELECT * FROM graft.msfx.t.files").count() ==
+      t.currentSnapshot.files.size)
+    // a REGISTERED table named like a suffix wins over the metadata
+    // interpretation
+    val shadow = freshTable(Seq((9L, "z", 9.0)))
+    graft.lakehouse.LakeRegistry.register("msfx.history", shadow)
+    assert(spark.sql("SELECT * FROM msfx.history").count() == 1 &&
+      spark.sql("SELECT k FROM msfx.history").head.getLong(0) == 9L,
+      "a real table must never be shadowed by the suffix form")
+    graft.lakehouse.LakeRegistry.unregister("msfx.history")
+    // a governed prefix never leaks metadata
+    graft.fgac.SecureCatalog.governTable("msfx.t", Seq("k"))
+    try intercept[Exception](
+      spark.sql("SELECT * FROM msfx.t.files").collect())
+    finally {
+      graft.fgac.SecureCatalog.ungovern("msfx.t")
+      graft.lakehouse.LakeRegistry.unregister("msfx.t")
+    }
   }
 
   test("DROP TABLE claims an on-disk table unknown to the registry") {
