@@ -373,13 +373,19 @@ object SecureCatalog {
         case None => !n.contains('.')
       }
     }
-    (if (who.isEmpty) names
-     else principal(who) match {
-       case None => Nil
-       case Some(p) =>
-         names.filter(n => effectivePolicy(p, n, resolveLink(n)).isDefined)
-     }).sorted
+    visibleTo(who, names).sorted
   }
+
+  /** The subset of governed `names` the principal holds SOME
+    * effective grant on (admin sees all) — the shared, audit-free
+    * gate behind every catalog listing. */
+  private def visibleTo(who: String, names: Seq[String]): Seq[String] =
+    if (who.isEmpty) names
+    else principal(who) match {
+      case None => Nil
+      case Some(p) =>
+        names.filter(n => effectivePolicy(p, n, resolveLink(n)).isDefined)
+    }
 
   /** Namespace prefixes (every depth) of the governed names visible
     * to `who` — SHOW NAMESPACES' gated listing; audit-free for the
@@ -387,14 +393,7 @@ object SecureCatalog {
   def governedNamespacesFor(who: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val names = governed.keySet.asScala.toSeq.filter(_.contains('.'))
-    val visible =
-      if (who.isEmpty) names
-      else principal(who) match {
-        case None => Nil
-        case Some(p) =>
-          names.filter(n => effectivePolicy(p, n, resolveLink(n)).isDefined)
-      }
-    visible.flatMap { n =>
+    visibleTo(who, names).flatMap { n =>
       val parts = n.split('.')
       (1 until parts.length).map(k => parts.take(k).mkString("."))
     }.distinct.sorted

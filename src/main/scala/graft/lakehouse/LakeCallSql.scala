@@ -49,19 +49,24 @@ object LakeCallSql {
   private val Named = """(?s)(\w+)\s*=>\s*(.*)""".r
 
   /** Resolve positional + named args against `params` (the
-    * procedure's declared parameter order). */
+    * procedure's declared parameter order). Positional args may not
+    * follow named ones (they would bind ambiguously), and a
+    * parameter bound twice refuses rather than last-wins. */
   private def bind(proc: String, params: Seq[String],
       raw: Seq[String]): Map[String, String] = {
     val out = scala.collection.mutable.Map.empty[String, String]
     var pos = 0
+    var namedSeen = false
     raw.foreach {
       case Named(k, v) =>
         val key = k.toLowerCase
         require(params.contains(key),
           s"$proc: unknown argument '$k' (takes ${params.mkString(", ")})")
+        require(!out.contains(key), s"$proc: duplicate argument '$k'")
+        namedSeen = true
         out(key) = v.trim
       case v =>
-        require(out.isEmpty || pos < params.size,
+        require(!namedSeen,
           s"$proc: positional argument after named ones")
         require(pos < params.size,
           s"$proc: too many arguments (takes ${params.mkString(", ")})")
@@ -156,19 +161,29 @@ object LakeCallSql {
             a.get("where").map(w => GraftCompactWhereCommand(n, 1,
                 str(w)): LogicalPlan).getOrElse {
               a.get("sort_order").map(str) match {
-                case Some(so) if so.toLowerCase.startsWith("zorder") =>
-                  val cols = so.substring(so.indexOf('(') + 1,
-                    so.lastIndexOf(')')).split(',').map(_.trim).toSeq
+                case Some(so)
+                    if so.toLowerCase.takeWhile(_ != '(').trim
+                      == "zorder" =>
+                  val i = so.indexOf('(')
+                  val j = so.lastIndexOf(')')
+                  require(i >= 0 && j > i,
+                    "rewrite_data_files: zorder sort_order needs " +
+                      "'zorder(col, …)'")
+                  val cols = so.substring(i + 1, j)
+                    .split(',').map(_.trim).toSeq
                   GraftOptimizeCommand(n, 8, "ZORDER", cols)
                 case Some(so) =>
                   // Iceberg sort orders carry ASC/DESC NULLS …
                   // qualifiers; the engine's sort compaction is
-                  // ascending-nulls-first, so only that form maps
+                  // ascending-nulls-first, so ONLY that form maps —
+                  // anything mentioning DESC or NULLS LAST refuses
+                  // rather than silently compacting the other way
                   val cols = so.split(',').map(_.trim).map { c =>
                     val base = c.split("\\s+").head
-                    require(c.equalsIgnoreCase(base) ||
-                        c.toUpperCase.endsWith("ASC") ||
-                        c.toUpperCase.endsWith("NULLS FIRST"),
+                    val qual = c.drop(base.length).trim.toUpperCase
+                      .replaceAll("\\s+", " ")
+                    require(Set("", "ASC", "ASC NULLS FIRST",
+                        "NULLS FIRST")(qual),
                       s"rewrite_data_files: unsupported sort " +
                         s"qualifier in '$c' (ascending only)")
                     base
@@ -185,6 +200,14 @@ object LakeCallSql {
             val a = args("table", "changelog_view", "start_snapshot_id",
               "end_snapshot_id")
             val n = table(a)
+            // a READ with no policy seam: the temp view would hand
+            // every principal the raw changelog — refuse governed
+            // names on BOTH forms, exactly like the table_changes TVF
+            require(!graft.fgac.SecureCatalog.isVisibleName(n) &&
+              !graft.fgac.SecureCatalog.isVisibleName(
+                str(a("table")).toLowerCase),
+              s"create_changelog_view on governed name '$n' is not " +
+                "supported: read the governed table, not its changelog")
             GraftChangelogViewCommand(n,
               a.get("changelog_view").map(str)
                 .getOrElse(s"${n.split('.').last}_changes"),

@@ -77,6 +77,19 @@ object LakeCatalogSql {
       case _ => None
     }
 
+  /** Session-catalog-qualified namespaces normalize to the bare
+    * database (`spark_catalog.default` → `default`; bare
+    * `spark_catalog` → the current database) so the built-in
+    * addressing forms keep working through the merged listings. */
+  private def normDb(spark: SparkSession, db: String): String = {
+    val d = db.toLowerCase
+    if (d == "spark_catalog")
+      spark.sessionState.catalog.getCurrentDatabase
+    else if (d.startsWith("spark_catalog."))
+      d.drop("spark_catalog.".length)
+    else d
+  }
+
   /** Whether the session catalog already owns this name (temp view,
     * global temp view, or a real catalog table): built-in resolution
     * wins those for READS, so the metadata claims must defer too — a
@@ -107,16 +120,22 @@ object LakeCatalogSql {
           .map(GraftShowPropsCommand(_, Option(key)))
       case ShowViewsRe(db, pat) =>
         Some(GraftShowViewsCommand(
-          Option(db).map(_.toLowerCase), Option(pat)))
+          Option(db).map(normDb(spark, _)), Option(pat)))
       case ShowNsRe(parent, pat) =>
-        Some(GraftShowNamespacesCommand(
-          Option(parent).map(_.toLowerCase), Option(pat)))
+        val p = Option(parent).map(_.toLowerCase)
+        // another REGISTERED catalog plugin owns its own namespace
+        // listing — never claim it (Spark routes to the plugin)
+        if (p.exists(x => x != LakeRegistry.catalogOf(spark) &&
+            x != "spark_catalog" &&
+            spark.conf.getOption(s"spark.sql.catalog.$x").isDefined))
+          None
+        else Some(GraftShowNamespacesCommand(p, Option(pat)))
       case ShowTablesRe(db, pat) =>
         // claimed unconditionally: the command MERGES the session
         // catalog's own listing (temp views included), so the claim
         // is a superset of Spark's behavior, never a replacement
         Some(GraftShowTablesCommand(
-          Option(db).map(_.toLowerCase), Option(pat)))
+          Option(db).map(normDb(spark, _)), Option(pat)))
       case ShowPartitionsRe(name, spec) =>
         val full = name.toLowerCase
         val key = LakeRegistry.keyOf(spark, full.split('.').toSeq)
@@ -361,9 +380,12 @@ case class GraftShowCreateCommand(name: String)
       if (snap.partitionCols.isEmpty) ""
       else s"\nPARTITIONED BY (${snap.partitionCols.mkString(", ")})"
     val props = t.properties.toSeq.sortBy(_._1)
+    // SQL escaping — a constraint expression may carry string
+    // literals; unescaped quotes would break the promised round-trip
+    def esc(s: String): String = s.replace("'", "''")
     val propsTxt =
       if (props.isEmpty) ""
-      else props.map { case (k, v) => s"  '$k' = '$v'" }
+      else props.map { case (k, v) => s"  '${esc(k)}' = '${esc(v)}'" }
         .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
     Seq(Row(s"CREATE TABLE $name (\n$cols)\nUSING graft$parts" +
       s"\nLOCATION '${t.location}'$propsTxt"))
@@ -411,9 +433,11 @@ case class GraftShowViewsCommand(db: Option[String],
       else if (d.startsWith(graftCat + ".")) d.drop(graftCat.length + 1)
       else d
     }
+    val globalTempDb =
+      spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
     val sessionRows: Seq[Row] = db match {
       case Some(_) if catQualified => Nil
-      case Some(d) if cat.databaseExists(d) =>
+      case Some(d) if cat.databaseExists(d) || d == globalTempDb =>
         cat.listViews(d, pattern.getOrElse("*")).map(ti =>
           Row(ti.database.getOrElse(""), ti.table, cat.isTempView(ti)))
       case Some(_) => Nil
@@ -439,8 +463,18 @@ case class GraftShowViewsCommand(db: Option[String],
             .map(_.split('.').init.mkString(".")))
           .contains(n)
     }.flatMap(inNs).filter(matches).map(Row(ns, _, false))
-    (sessionRows ++ lakeViews).distinct
+    val rows = (sessionRows ++ lakeViews).distinct
       .sortBy(r => (r.getString(0), r.getString(1)))
+    // an unknown namespace errors like Spark, not empty success
+    // (same contract as the merged SHOW TABLES)
+    if (rows.isEmpty && db.isDefined && !catQualified &&
+        !cat.databaseExists(db.get) && db.get != globalTempDb &&
+        !ViewRegistry.list.map(_.name)
+          .exists(_.startsWith(db.get + ".")) &&
+        !LakeRegistry.list.exists(_.startsWith(db.get + ".")))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(Seq(db.get))
+    rows
   }
 }
 
@@ -467,6 +501,7 @@ case class GraftShowNamespacesCommand(parent: Option[String],
     val rows = parent match {
       case None =>
         cat.listDatabases() ++ lakeNs ++ govNs
+      case Some("spark_catalog") => cat.listDatabases()
       case Some(p) if p == graftCat => lakeNs
       case Some(p) =>
         // namespaces one level under `p` (a governed catalog like

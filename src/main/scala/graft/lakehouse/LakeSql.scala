@@ -1872,8 +1872,16 @@ object LakeChanges {
             MetaSuffixes.contains(u.multipartIdentifier.last.toLowerCase) &&
             LakeRegistry.keyOf(spark, u.multipartIdentifier)
               .forall(k => LakeRegistry.get(k).isEmpty) &&
+            // the FULL name and the TABLE PREFIX must both be free of
+            // session-catalog shadows and lake views: whatever wins
+            // the prefix's READS owns its metadata too
             !LakeCatalogSql.sessionShadowed(spark,
               u.multipartIdentifier.map(_.toLowerCase).mkString(".")) &&
+            !LakeCatalogSql.sessionShadowed(spark,
+              u.multipartIdentifier.init.map(_.toLowerCase)
+                .mkString(".")) &&
+            !ViewRegistry.isView(u.multipartIdentifier) &&
+            !ViewRegistry.isView(u.multipartIdentifier.init) &&
             !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
             !graft.fgac.SecureCatalog.isVisibleName(
               u.multipartIdentifier.init) &&

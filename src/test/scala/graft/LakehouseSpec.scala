@@ -788,12 +788,27 @@ class LakehouseSpec extends AnyFunSuite {
       .map(r => r.getString(1) -> r.getBoolean(2)).toMap
     assert(views.get("sddl_tv").contains(true))
     spark.catalog.dropTempView("sddl_tv")
-    // namespaces: the session db lists; an unknown parent errors
+    // namespaces: the session db lists — bare AND through the
+    // built-in spark_catalog addressing; an unknown parent errors,
+    // while another REGISTERED catalog plugin is never claimed
     assert(spark.sql("SHOW NAMESPACES").collect()
       .exists(_.getString(0) == "default"))
+    assert(spark.sql("SHOW NAMESPACES IN spark_catalog").collect()
+      .exists(_.getString(0) == "default"))
+    assert(spark.sql("SHOW TABLES IN spark_catalog.default")
+      .collect() != null)
     val e = intercept[Exception](
       spark.sql("SHOW NAMESPACES IN no_such_cat_xyz").collect())
     assert(e.getMessage.contains("no_such_cat_xyz"))
+    val ev = intercept[Exception](
+      spark.sql("SHOW VIEWS IN no_such_db_xyz").collect())
+    assert(ev.getMessage.contains("no_such_db_xyz"))
+    // SHOW CREATE escapes quotes inside property values: the
+    // statement round-trips through ADD CONSTRAINT
+    spark.sql("ALTER TABLE sddl_bare ADD CONSTRAINT st " +
+      "CHECK (tag IN ('a', 'b'))")
+    val c2 = spark.sql("SHOW CREATE TABLE sddl_bare").head.getString(0)
+    assert(c2.contains("'tag IN (''a'', ''b'')'"), s"got:\n$c2")
     graft.lakehouse.LakeRegistry.unregister("sddl_bare")
   }
 
@@ -835,9 +850,34 @@ class LakehouseSpec extends AnyFunSuite {
       "CALL graft.system.rewrite_data_files(table => 'callspec.t', " +
         "strategy => 'sort', sort_order => 'k DESC')"))
     assert(e3.getMessage.contains("ascending only"))
+    // …including the qualified descending and nulls-last forms
+    for (so <- Seq("k DESC NULLS FIRST", "k ASC NULLS LAST"))
+      assert(intercept[Exception](spark.sql(
+        "CALL graft.system.rewrite_data_files(table => 'callspec.t', " +
+          s"strategy => 'sort', sort_order => '$so')"))
+        .getMessage.contains("ascending only"), so)
+    assert(intercept[Exception](spark.sql(
+      "CALL graft.system.rewrite_data_files(table => 'callspec.t', " +
+        "sort_order => 'zorder')"))
+      .getMessage.contains("zorder(col"))
     val e4 = intercept[Exception](spark.sql(
       "CALL graft.system.rewrite_manifests(nope => 'callspec.t')"))
     assert(e4.getMessage.contains("unknown argument"))
+    // argument-binding refusals: positional after named, duplicates
+    assert(intercept[Exception](spark.sql(
+      "CALL graft.system.rollback_to_snapshot(table => 'callspec.t', 5)"))
+      .getMessage.contains("positional argument after named"))
+    assert(intercept[Exception](spark.sql(
+      "CALL graft.system.rollback_to_snapshot('callspec.t', " +
+        "table => 'callspec.t')"))
+      .getMessage.contains("duplicate argument"))
+    // create_changelog_view refuses governed names like the TVF
+    graft.fgac.SecureCatalog.governTable("callspec.t", Seq("k"))
+    try assert(intercept[Exception](spark.sql(
+        "CALL graft.system.create_changelog_view(" +
+          "table => 'callspec.t', changelog_view => 'leak_v')"))
+      .getMessage.contains("governed"))
+    finally graft.fgac.SecureCatalog.ungovern("callspec.t")
     // a CALL under another catalog falls through to Spark (parse
     // error there, never claimed here)
     intercept[Exception](spark.sql(
@@ -869,6 +909,16 @@ class LakehouseSpec extends AnyFunSuite {
       spark.sql("SELECT k FROM msfx.history").head.getLong(0) == 9L,
       "a real table must never be shadowed by the suffix form")
     graft.lakehouse.LakeRegistry.unregister("msfx.history")
+    // a temp view shadowing the PREFIX owns its metadata address too
+    // (whatever wins the reads wins .files)
+    Seq(1).toDF("x").createOrReplaceTempView("msfxshadow")
+    graft.lakehouse.LakeRegistry.register("msfxshadow", shadow)
+    try intercept[Exception](
+      spark.sql("SELECT * FROM msfxshadow.files").collect())
+    finally {
+      spark.catalog.dropTempView("msfxshadow")
+      graft.lakehouse.LakeRegistry.unregister("msfxshadow")
+    }
     // a governed prefix never leaks metadata
     graft.fgac.SecureCatalog.governTable("msfx.t", Seq("k"))
     try intercept[Exception](
