@@ -949,18 +949,29 @@ object LakeDdl {
           // postdates the column, so the initial-default boundary of
           // ALTER-time defaults never applies). Validated here —
           // parse/fold/cast — so a bad DEFAULT fails the CREATE.
-          val meta = c.defaultValue.fold(
+          val meta0 = c.defaultValue.fold(
             org.apache.spark.sql.types.Metadata.empty) { d =>
             val sql = d.originalSQL
             GraftTable.validateDefault(spark, sql, c.dataType, c.name)
             new org.apache.spark.sql.types.MetadataBuilder()
               .putString(GraftTable.DefaultSqlKey, sql).build()
           }
+          // `col TYPE NOT NULL` in DDL is an EXPLICIT declaration —
+          // stamp the enforcement flag (setNotNull's key), unlike a
+          // creating FRAME's incidental nullable=false, which stays
+          // cosmetic. This is also what makes SHOW CREATE TABLE
+          // output replay with its constraints intact.
+          val meta =
+            if (c.nullable) meta0
+            else new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(meta0)
+              .putBoolean(GraftTable.NotNullKey, true).build()
           StructField(c.name, c.dataType, c.nullable, metadata = meta)
         })
         Some(GraftCreateTableCommand(name, schema,
           partitionCols(ct.partitioning), location(spark, ct.tableSpec, name),
-          ct.ignoreIfExists, tableProps(ct.tableSpec)))
+          ct.ignoreIfExists, tableProps(ct.tableSpec,
+            allowConstraints = true)))
 
       case cta: CreateTableAsSelect
           if cta.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) =>
@@ -1194,8 +1205,9 @@ object LakeDdl {
   /** TBLPROPERTIES, validated: only properties the engine actually
     * honors are accepted — silently persisting an unknown knob would
     * fake capabilities. */
-  private def tableProps(spec: TableSpecBase): Map[String, String] = {
-    validateProps(spec.properties)
+  private def tableProps(spec: TableSpecBase,
+      allowConstraints: Boolean = false): Map[String, String] = {
+    validateProps(spec.properties, allowConstraints)
     spec.properties
   }
 
@@ -1204,7 +1216,8 @@ object LakeDdl {
     * TBLPROPERTIES (a typo or unhonored key fails the statement,
     * never silently no-ops). */
   private[lakehouse] def validateProps(
-      props: Map[String, String]): Unit = {
+      props: Map[String, String],
+      allowConstraints: Boolean = false): Unit = {
     val known = Map(
       "write.delete.mode" -> Set("copy-on-write", "merge-on-read"),
       "write.delete.style" -> Set("equality", "position", "vector"),
@@ -1221,14 +1234,24 @@ object LakeDdl {
       // Iceberg v3 row lineage (GraftTable.readLineage)
       "row.lineage" -> Set("true", "false"))
     props.foreach { case (k, v) =>
-      // constraints must come in through ALTER TABLE ADD CONSTRAINT,
-      // which validates existing rows first — a raw property would
-      // skip that scan and declare a constraint the data violates
-      if (k.startsWith(GraftTable.ConstraintPrefix))
+      // constraints normally come in through ALTER TABLE ADD
+      // CONSTRAINT, which validates EXISTING rows first — a raw
+      // property would skip that scan and declare a constraint the
+      // data violates. The one sound exception is a PLAIN (empty)
+      // CREATE TABLE: there are no rows to validate, so SHOW CREATE
+      // TABLE output replays verbatim; the expression itself is
+      // validated against the schema at create ([[GraftCreateTableCommand]]).
+      if (k.startsWith(GraftTable.ConstraintPrefix) && !allowConstraints)
         throw new UnsupportedOperationException(
           s"'$k': declare CHECK constraints via ALTER TABLE … ADD " +
-            "CONSTRAINT <name> CHECK (<expr>), not TBLPROPERTIES")
-      known.get(k) match {
+            "CONSTRAINT <name> CHECK (<expr>), not TBLPROPERTIES " +
+            "(a plain CREATE TABLE — no rows to validate — is the " +
+            "one statement that accepts them)")
+      else if (k.startsWith(GraftTable.ConstraintPrefix)) {
+        require(!v.exists(c => c == '\n' || c == '\r'),
+          "CHECK expression must be single-line (the constraint " +
+            "store is line-oriented)")
+      } else known.get(k) match {
         case None => throw new UnsupportedOperationException(
           s"unsupported table property '$k' " +
             s"(supported: ${known.keys.mkString(", ")})")
@@ -2054,6 +2077,26 @@ case class GraftCreateTableCommand(name: String, tableSchema: StructType,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (CreateGuard.shouldCreate(spark, name, root, ignoreIfExists)) {
+      // CHECK constraints arriving as CREATE properties (the SHOW
+      // CREATE TABLE replay path — the table is empty, so the
+      // existing-rows scan is vacuous): the EXPRESSION must still
+      // analyze against the schema NOW — a typo'd column fails the
+      // CREATE, not every later write
+      props.foreach { case (k, v)
+          if k.startsWith(GraftTable.ConstraintPrefix) =>
+        try spark.createDataFrame(
+            java.util.Collections.emptyList[Row](), tableSchema)
+          .filter(org.apache.spark.sql.functions
+            .expr(s"NOT coalesce(($v), true)"))
+          .queryExecution.analyzed
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"CHECK ($v) does not analyze against the table schema: " +
+              String.valueOf(e.getMessage).linesIterator.take(1)
+                .mkString)
+        }
+        case _ => ()
+      }
       val t = GraftTable.createEmpty(spark, root, tableSchema, partitionBy)
       t.setProperties(props)
       LakeRegistry.register(name, t)

@@ -929,6 +929,53 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW CREATE TABLE output REPLAYS: CHECK constraints and DDL " +
+      "NOT NULL enforce on the recreated table") {
+    def refused(frag: String)(body: => Unit): Boolean =
+      try { body; false }
+      catch { case e: Throwable =>
+        Option(e.getMessage).exists(_.contains(frag)) }
+    spark.sql(s"""CREATE TABLE rt_src (
+      k BIGINT NOT NULL, tag STRING, v DOUBLE)
+      USING graft PARTITIONED BY (tag)
+      LOCATION '${Files.createTempDirectory("graft_rt_src")}'""")
+    spark.sql("ALTER TABLE rt_src ADD CONSTRAINT pos CHECK (v > 0)")
+    spark.sql("INSERT INTO rt_src VALUES (1, 'a', 1.0)")
+    val stmt = spark.sql("SHOW CREATE TABLE rt_src").head.getString(0)
+    val replay = stmt
+      .replace("CREATE TABLE rt_src", "CREATE TABLE rt_copy")
+      .replaceAll("LOCATION '[^']*'",
+        s"LOCATION '${Files.createTempDirectory("graft_rt_copy")}'")
+    spark.sql(replay)
+    // both declared constraints ENFORCE on the recreated table
+    assert(refused("NOT NULL constraint")(spark.sql(
+      "INSERT INTO rt_copy VALUES (CAST(NULL AS BIGINT), 'a', 1.0)")))
+    assert(refused("CHECK constraint")(spark.sql(
+      "INSERT INTO rt_copy VALUES (2, 'a', -1.0)")))
+    spark.sql("INSERT INTO rt_copy VALUES (2, 'a', 2.0)")
+    assert(spark.sql("SELECT * FROM rt_copy").count() == 1)
+    // the copy's own SHOW CREATE matches modulo name and location
+    val stmt2 = spark.sql("SHOW CREATE TABLE rt_copy").head.getString(0)
+      .replace("rt_copy", "rt_src")
+      .replaceAll("LOCATION '[^']*'", "L")
+    assert(stmt2 == stmt.replaceAll("LOCATION '[^']*'", "L"),
+      s"round-trip drift:\n$stmt2\nvs\n$stmt")
+    // a typo'd constraint column still fails the CREATE loudly
+    assert(refused("does not analyze")(spark.sql(
+      s"""CREATE TABLE rt_bad (k BIGINT) USING graft
+        LOCATION '${Files.createTempDirectory("graft_rt_bad")}'
+        TBLPROPERTIES ('graft.constraint.x' = 'nope > 0')""")))
+    // CTAS keeps refusing the property route (rows WOULD need the
+    // validating scan)
+    assert(refused("ADD CONSTRAINT")(spark.sql(
+      s"""CREATE TABLE rt_ctas USING graft
+        LOCATION '${Files.createTempDirectory("graft_rt_ctas")}'
+        TBLPROPERTIES ('graft.constraint.x' = 'k > 0')
+        AS SELECT * FROM rt_copy""")))
+    spark.sql("DROP TABLE rt_src PURGE")
+    spark.sql("DROP TABLE rt_copy PURGE")
+  }
+
   test("DROP TABLE claims an on-disk table unknown to the registry") {
     val name = "dropprobe_t"
     val root = spark.conf.get("spark.sql.warehouse.dir")
