@@ -476,6 +476,50 @@ class FgacSpec extends AnyFunSuite {
     }
   }
 
+  test("the consumer's configured catalog name serves BOTH governed " +
+      "and lake names: spark.graft.catalog=dev composes with the " +
+      "governed 'dev' catalog plugin") {
+    FgacQueries.setup(spark, sf)
+    val prev = spark.conf.getOption(
+      graft.lakehouse.LakeRegistry.CatalogConf)
+    // the reference's consumer catalog name — ALREADY registered as
+    // the governed plugin; ensureCatalog must not displace it, and
+    // the lake front-end strips it as an addressing prefix anyway
+    spark.conf.set(graft.lakehouse.LakeRegistry.CatalogConf, "dev")
+    graft.lakehouse.LakeRegistry.ensureCatalog(spark)
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_devcat").toString,
+      Tables.nation(spark, sf))
+    graft.lakehouse.LakeRegistry.register("devdb.t", t)
+    try {
+      assert(spark.conf.get("spark.sql.catalog.dev")
+        .contains("GovernedCatalog"),
+        "ensureCatalog must not displace the governed plugin")
+      // ungoverned lake names under dev.* resolve to the lake table
+      assert(spark.sql("SELECT * FROM dev.devdb.t").count() ==
+        t.read().count())
+      spark.sql("INSERT INTO dev.devdb.t VALUES (99, 'X', 0)")
+      assert(t.read().count() == Tables.nation(spark, sf).count() + 1)
+      // governed names through the SAME catalog stay policy-routed
+      // (the reference's consumer read shape — fgac_namespace sets up
+      // the ns_consumer principal and the dev.consumer_db link, and
+      // must still pass end-to-end under the shared catalog name)
+      assert(SparkEntry.queries("fgac_namespace")(spark, sf)
+        .count() > 0)
+      // the default name no longer claims under the new config
+      intercept[Exception](
+        spark.sql("SELECT * FROM graft.devdb.t").collect())
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          graft.lakehouse.LakeRegistry.CatalogConf, v)
+        case None => spark.conf.unset(
+          graft.lakehouse.LakeRegistry.CatalogConf)
+      }
+      graft.lakehouse.LakeRegistry.unregister("devdb.t")
+    }
+  }
+
   test("stats-pruned lakehouse read pushes the residual filter") {
     val t = graft.lakehouse.GraftTable.create(spark,
       java.nio.file.Files.createTempDirectory("graft_rw_plan").toString,
