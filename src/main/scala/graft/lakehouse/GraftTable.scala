@@ -5626,6 +5626,95 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         StructField("row_count", org.apache.spark.sql.types.LongType, true))))
   }
 
+  /** Iceberg's `table.entries` metadata table: the CURRENT snapshot's
+    * manifest entries — per data file, whether this snapshot ADDED it
+    * or carries it EXISTING by reference from an earlier commit
+    * (Iceberg's entry status), the adding commit's sequence, and the
+    * footer-harvested row count / size. The operator's "what did the
+    * last commit actually touch" view. Driver-side manifest only,
+    * O(#files), zero data reads. */
+  def entriesMetadata: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val snap = currentSnapshot
+    val rows = snap.files.map { f =>
+      val seq = snap.fileSeq.getOrElse(f, snap.id)
+      Row(if (seq == snap.id) "ADDED" else "EXISTING", seq, f,
+        snap.fileRows.get(f).map(java.lang.Long.valueOf).orNull,
+        snap.fileSizes.get(f).map(java.lang.Long.valueOf).orNull)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("status", org.apache.spark.sql.types.StringType, false),
+      StructField("snapshot_id", org.apache.spark.sql.types.LongType, false),
+      StructField("file", org.apache.spark.sql.types.StringType, false),
+      StructField("rows", org.apache.spark.sql.types.LongType, true),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType,
+        true))))
+  }
+
+  /** Iceberg's `table.all_files` / `all_data_files` metadata table:
+    * every data file referenced by ANY live snapshot — the
+    * snapshot-pile-up debugging view. Per file: the commit that added
+    * it, its footer stats (harvested from the manifest that first
+    * referenced it), and whether the CURRENT snapshot still carries
+    * it (`in_current = false` means history-only: reclaimable by
+    * snapshot expiry, exactly the files VACUUM would delete).
+    * Driver-side manifests only — O(#snapshots) manifest parses, the
+    * same cost shape as Iceberg's all_files walk over all manifest
+    * lists; zero storage listing, zero data reads. */
+  def allFilesMetadata: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val cur = currentSnapshot
+    val live = cur.files.toSet
+    // first-seen wins: the manifest that introduced the file carries
+    // its add-sequence and footer stats
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Option[Long], Option[Long])]
+    snapshots.foreach { sn =>
+      sn.files.foreach { f =>
+        if (!seen.contains(f))
+          seen(f) = (sn.fileSeq.getOrElse(f, sn.id),
+            sn.fileRows.get(f), sn.fileSizes.get(f))
+      }
+    }
+    val rows = seen.toSeq.sortBy(_._1).map { case (f, (seq, nr, sz)) =>
+      Row(f, seq, live.contains(f),
+        nr.map(java.lang.Long.valueOf).orNull,
+        sz.map(java.lang.Long.valueOf).orNull)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("file", org.apache.spark.sql.types.StringType, false),
+      StructField("added_snapshot_id", org.apache.spark.sql.types.LongType,
+        false),
+      StructField("in_current", org.apache.spark.sql.types.BooleanType,
+        false),
+      StructField("rows", org.apache.spark.sql.types.LongType, true),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType,
+        true))))
+  }
+
+  /** Iceberg's `table.metadata_log_entries` metadata table: one row
+    * per manifest file in the metadata log — commit wall-clock, the
+    * manifest's own path, its snapshot id, and the current flag. The
+    * operator's "which metadata file describes which state" view
+    * (time-travel debugging, disaster recovery). Driver-side listing
+    * of the meta directory only. */
+  def metadataLogEntriesMetadata: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val cur = currentSnapshotId
+    val rows = snapshots.map { sn =>
+      Row(if (sn.ts > 0) java.lang.Long.valueOf(sn.ts) else null,
+        snapPath(sn.id).toString, sn.id, sn.id == cur)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("committed_at_ms", org.apache.spark.sql.types.LongType,
+        true),
+      StructField("file", org.apache.spark.sql.types.StringType, false),
+      StructField("snapshot_id", org.apache.spark.sql.types.LongType,
+        false),
+      StructField("is_current", org.apache.spark.sql.types.BooleanType,
+        false))))
+  }
+
   /** The hive-style `col=v[/col2=v2…]` segment of a data file's path
     * (derived `_gp_i=` dirs for transform specs), None for an
     * unpartitioned table. */
@@ -5758,6 +5847,70 @@ object GraftTable {
     * ADD COLUMN — restart picks up the new schema and every pending
     * range up-projects — instead of wedging permanently at the
     * evolution commit. */
+  /** The Iceberg-safe type promotion set ([[GraftTable.alterColumnType]]
+    * validates DDL against it; the streaming/changelog alignment
+    * relies on every member being VALUE-PRESERVING — an up-cast of
+    * old data reads exactly what a post-promotion scan of the same
+    * file surfaces). */
+  private[graft] def safePromotion(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** Evolution-aware up-projection for ranges that PREDATE schema
+    * evolution: `df` (produced at snapshot sequence `batchSeq`)
+    * aligned to `target` — the consumer's declared schema, pinned at
+    * `head` — by replaying the engine's own evolution records:
+    *
+    *  1. RENAME COLUMN — `head`'s rename log replays FORWARD from
+    *     `batchSeq` (column identity is the log's, not the name's),
+    *     so a pre-rename batch delivers under the post-rename names;
+    *     top-level renames only (a nested rename has no sound
+    *     frame-level mapping here);
+    *  2. type promotion — a target column declared WIDER than the
+    *     batch carries up-casts exactly (the [[safePromotion]] set is
+    *     value-preserving);
+    *  3. null/DEFAULT backfill for ADD COLUMN ([[upProject]]).
+    *
+    * None when any residual difference remains (drop, nested rename,
+    * unsafe type change, or a batch column the target never declared
+    * — which is the MID-STREAM evolution signature: the consumer must
+    * restart to pick up the new schema, and with this alignment that
+    * restart actually drains the pending ranges). */
+  private[graft] def alignEvolved(df: org.apache.spark.sql.DataFrame,
+      batchSeq: Long, head: Snapshot, target: StructType)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val later = head.renames.filter(_.seq > batchSeq)
+    if (later.exists(r => r.from.contains(".") || r.to.contains(".")))
+      return None
+    val renamed = later.foldLeft(df)((d, r) =>
+      if (d.columns.contains(r.from)) d.withColumnRenamed(r.from, r.to)
+      else d)
+    val promoted = target.fields.foldLeft(renamed) { (d, tf) =>
+      d.schema.fields.find(_.name == tf.name) match {
+        case Some(hf) if hf.dataType != tf.dataType &&
+            safePromotion(hf.dataType, tf.dataType) =>
+          d.withColumn(tf.name, col(tf.name).cast(tf.dataType))
+        case _ => d
+      }
+    }
+    // a batch column the target never declared is NOT an "extra" to
+    // pass through — it is a schema the consumer has not seen (the
+    // mid-stream evolution case); silently null-filling the declared
+    // column while the data rides an unknown one would deliver wrong
+    // rows, so refuse → the caller's restart message
+    if (!promoted.schema.fieldNames.forall(target.fieldNames.contains))
+      None
+    else upProject(promoted, target)
+  }
+
   private[graft] def upProject(df: org.apache.spark.sql.DataFrame,
       target: StructType): Option[org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions.{col, expr, lit}

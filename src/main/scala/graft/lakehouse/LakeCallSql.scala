@@ -103,47 +103,55 @@ object LakeCallSql {
         val proc = proc0.toLowerCase
         def args(params: String*): Map[String, String] =
           bind(proc, params, splitTop(argsRaw))
+        // a missing REQUIRED argument names the procedure and the
+        // argument (not a bare key-not-found), like every other
+        // refusal in this file
+        def req(a: Map[String, String], k: String): String =
+          a.getOrElse(k, throw new IllegalArgumentException(
+            s"$proc: missing required argument '$k'"))
         def table(a: Map[String, String]): String = {
+          val raw = req(a, "table")
           val n = LakeRegistry.keyOf(spark,
-            str(a("table")).toLowerCase.split('.').toSeq).getOrElse(
+            str(raw).toLowerCase.split('.').toSeq).getOrElse(
             throw new IllegalArgumentException(
-              s"$proc: bad table name ${a("table")}"))
+              s"$proc: bad table name $raw"))
           require(LakeDdl.claimDrop(spark, n), s"no lake table '$n'")
           n
         }
         Some(proc match {
           case "rollback_to_snapshot" =>
             val a = args("table", "snapshot_id")
-            GraftRestoreCommand(table(a), Some(a("snapshot_id").toLong),
-              None)
+            GraftRestoreCommand(table(a),
+              Some(req(a, "snapshot_id").toLong), None)
           case "set_current_snapshot" =>
             val a = args("table", "snapshot_id")
-            GraftRestoreCommand(table(a), Some(a("snapshot_id").toLong),
-              None)
+            GraftRestoreCommand(table(a),
+              Some(req(a, "snapshot_id").toLong), None)
           case "rollback_to_timestamp" =>
             val a = args("table", "timestamp")
             GraftRollbackTsCommand(table(a),
-              tsMillis(spark, a("timestamp")))
+              tsMillis(spark, req(a, "timestamp")))
           case "cherrypick_snapshot" =>
             val a = args("table", "snapshot_id")
-            GraftCherryPickCommand(table(a), a("snapshot_id").toLong)
+            GraftCherryPickCommand(table(a),
+              req(a, "snapshot_id").toLong)
           case "fast_forward" =>
             val a = args("table", "branch", "to")
-            GraftFastForwardCommand(table(a), str(a("branch")),
-              str(a("to")))
+            GraftFastForwardCommand(table(a), str(req(a, "branch")),
+              str(req(a, "to")))
           case "expire_snapshots" =>
             val a = args("table", "older_than", "retain_last")
             require(a.contains("older_than") != a.contains("retain_last"),
               "expire_snapshots takes exactly one of older_than / " +
                 "retain_last (the composed form is not supported)")
             if (a.contains("retain_last"))
-              GraftVacuumCommand(table(a), a("retain_last").toInt)
+              GraftVacuumCommand(table(a), req(a, "retain_last").toInt)
             else {
               // absolute cutoff → the age form the VACUUM command
               // takes; run follows parse immediately, so now-anchored
               // conversion preserves the cutoff
               val age = math.max(0L, System.currentTimeMillis() -
-                tsMillis(spark, a("older_than")))
+                tsMillis(spark, req(a, "older_than")))
               GraftVacuumAgeCommand(table(a), age)
             }
           case "remove_orphan_files" =>
@@ -158,9 +166,30 @@ object LakeCallSql {
               .getOrElse("binpack")
             require(strategy == "binpack" || strategy == "sort",
               s"rewrite_data_files: unknown strategy '$strategy'")
+            // where-scoped rewrites are binpack-only: silently
+            // dropping a requested sort order would compact the
+            // other way (the loud-refusal convention of this file)
+            if (a.contains("where"))
+              require(strategy == "binpack" && !a.contains("sort_order"),
+                "rewrite_data_files: where is supported only with the " +
+                  "binpack strategy (a filtered sort/zorder rewrite is " +
+                  "not; drop the where or the sort_order)")
             a.get("where").map(w => GraftCompactWhereCommand(n, 1,
                 str(w)): LogicalPlan).getOrElse {
-              a.get("sort_order").map(str) match {
+              // Iceberg's contract: strategy=>'sort' with no explicit
+              // sort_order sorts by the table's declared write order
+              // (ALTER TABLE … WRITE ORDERED BY); a table without one
+              // refuses rather than silently bin-packing unsorted
+              val sortOrder = a.get("sort_order").map(str).orElse {
+                if (strategy != "sort") None
+                else Some(LakeRegistry.get(n).get.properties
+                  .getOrElse(GraftTable.SortOrderProp,
+                    throw new IllegalArgumentException(
+                      "rewrite_data_files: strategy=>'sort' needs a " +
+                        "sort_order, or a table write order declared " +
+                        "via ALTER TABLE … WRITE ORDERED BY")))
+              }
+              sortOrder match {
                 case Some(so)
                     if so.toLowerCase.takeWhile(_ != '(').trim
                       == "zorder" =>

@@ -77,6 +77,58 @@ object LakeCatalogSql {
       case _ => None
     }
 
+  /** The governed-name counterpart of [[claimTable]] for SHOW CREATE
+    * TABLE / SHOW TBLPROPERTIES: the canonical governed name when the
+    * identifier — full form or catalog-stripped key — is governed and
+    * unshadowed. The metadata decision matrix must be COMPLETE: a
+    * governed name answers policy-shaped (grant-holder) or refuses
+    * loudly and audited (no grant) — never Spark's cold "not found"
+    * (which would also leak that the name is special). Governed VIEWS
+    * refuse crisply here: SHOW CREATE TABLE on a view is a category
+    * error, and the view SQL may embed names the principal cannot
+    * see. */
+  private def governedMetaTarget(spark: SparkSession,
+      full: String): Option[String] = {
+    val key = LakeRegistry.keyOf(spark, full.split('.').toSeq)
+    val gov =
+      if (graft.fgac.SecureCatalog.isVisibleName(full)) Some(full)
+      else key.filter(graft.fgac.SecureCatalog.isVisibleName)
+    gov.filterNot(_ => sessionShadowed(spark, full)).map { n =>
+      if (ViewRegistry.get(n).isDefined ||
+          ViewRegistry.get(
+            graft.fgac.SecureCatalog.resolveLink(n)).isDefined)
+        throw new UnsupportedOperationException(
+          s"'$n' is a view; SHOW CREATE TABLE / SHOW TBLPROPERTIES " +
+            "apply to tables (DESCRIBE answers the view's visible " +
+            "schema)")
+      n
+    }
+  }
+
+  /** Whether a SHOW TABLES/VIEWS/NAMESPACES statement belongs to
+    * ANOTHER registered catalog plugin — then Spark must route it
+    * there, so the claim falls through (the merged listing only knows
+    * the session catalog, the lake registry, and governed names). A
+    * qualified namespace is foreign when its leading segment names a
+    * catalog bound via `spark.sql.catalog.<x>` other than the graft
+    * catalog / spark_catalog; an unqualified (or relative) one is
+    * foreign when the session's CURRENT catalog is such a plugin. */
+  private def foreignCatalog(spark: SparkSession,
+      db: Option[String]): Boolean = {
+    val graftCat = LakeRegistry.catalogOf(spark)
+    def other(c: String): Boolean =
+      c != graftCat && c != "spark_catalog" &&
+        spark.conf.getOption(s"spark.sql.catalog.$c").isDefined
+    db.map(_.split('.').head.toLowerCase) match {
+      case Some(h) if h == graftCat || h == "spark_catalog" => false
+      case Some(h) if other(h) => true
+      case _ =>
+        // unqualified names live in the CURRENT catalog
+        other(spark.sessionState.catalogManager.currentCatalog
+          .name.toLowerCase)
+    }
+  }
+
   /** Session-catalog-qualified namespaces normalize to the bare
     * database (`spark_catalog.default` → `default`; bare
     * `spark_catalog` → the current database) so the built-in
@@ -114,26 +166,31 @@ object LakeCatalogSql {
         claimTable(spark, name.toLowerCase)
           .map(GraftDescribeCommand(_, ext != null))
       case ShowCreateRe(name) =>
-        claimTable(spark, name.toLowerCase).map(GraftShowCreateCommand)
+        claimTable(spark, name.toLowerCase)
+          .map(GraftShowCreateCommand(_): LogicalPlan)
+          .orElse(governedMetaTarget(spark, name.toLowerCase)
+            .map(GraftGovernedShowCreateCommand(_)))
       case ShowPropsRe(name, key) =>
         claimTable(spark, name.toLowerCase)
-          .map(GraftShowPropsCommand(_, Option(key)))
-      case ShowViewsRe(db, pat) =>
+          .map(GraftShowPropsCommand(_, Option(key)): LogicalPlan)
+          .orElse(governedMetaTarget(spark, name.toLowerCase)
+            .map(GraftGovernedShowPropsCommand(_, Option(key))))
+      case ShowViewsRe(db, pat) if !foreignCatalog(spark, Option(db)) =>
         Some(GraftShowViewsCommand(
           Option(db).map(normDb(spark, _)), Option(pat)))
       case ShowNsRe(parent, pat) =>
         val p = Option(parent).map(_.toLowerCase)
         // another REGISTERED catalog plugin owns its own namespace
-        // listing — never claim it (Spark routes to the plugin)
-        if (p.exists(x => x != LakeRegistry.catalogOf(spark) &&
-            x != "spark_catalog" &&
-            spark.conf.getOption(s"spark.sql.catalog.$x").isDefined))
-          None
+        // listing — never claim it (Spark routes to the plugin);
+        // same for an unqualified listing while the session's
+        // current catalog IS such a plugin
+        if (foreignCatalog(spark, p)) None
         else Some(GraftShowNamespacesCommand(p, Option(pat)))
-      case ShowTablesRe(db, pat) =>
-        // claimed unconditionally: the command MERGES the session
-        // catalog's own listing (temp views included), so the claim
-        // is a superset of Spark's behavior, never a replacement
+      case ShowTablesRe(db, pat) if !foreignCatalog(spark, Option(db)) =>
+        // claimed for every non-foreign namespace: the command MERGES
+        // the session catalog's own listing (temp views included), so
+        // the claim is a superset of Spark's behavior, never a
+        // replacement
         Some(GraftShowTablesCommand(
           Option(db).map(normDb(spark, _)), Option(pat)))
       case ShowPartitionsRe(name, spec) =>
@@ -346,11 +403,16 @@ case class GraftShowTablesCommand(db: Option[String],
       .sortBy(r => (r.getString(0), r.getString(1)))
     // an empty result for a namespace NOTHING knows is Spark's
     // SCHEMA_NOT_FOUND, not a silent zero-row success — the claim
-    // must stay a superset of Spark's behavior, not a replacement
+    // must stay a superset of Spark's behavior, not a replacement.
+    // A namespace whose only contents are governed tables EXISTS for
+    // the principals that can see into it (a non-matching LIKE must
+    // return zero rows there, not error).
     if (rows.isEmpty && db.isDefined && !catQualified &&
         !cat.databaseExists(db.get) &&
         !LakeRegistry.list.exists(_.startsWith(db.get + ".")) &&
-        ViewRegistry.list.map(_.name).forall(!_.startsWith(db.get + ".")))
+        ViewRegistry.list.map(_.name).forall(!_.startsWith(db.get + ".")) &&
+        govNamespaces.flatMap(g =>
+          graft.fgac.SecureCatalog.governedNamesIn(who, g)).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(Seq(db.get))
     rows
@@ -466,12 +528,15 @@ case class GraftShowViewsCommand(db: Option[String],
     val rows = (sessionRows ++ lakeViews).distinct
       .sortBy(r => (r.getString(0), r.getString(1)))
     // an unknown namespace errors like Spark, not empty success
-    // (same contract as the merged SHOW TABLES)
+    // (same contract as the merged SHOW TABLES — and, like there, a
+    // namespace holding only governed names the principal can see
+    // EXISTS, so a non-matching LIKE is a zero-row success)
     if (rows.isEmpty && db.isDefined && !catQualified &&
         !cat.databaseExists(db.get) && db.get != globalTempDb &&
         !ViewRegistry.list.map(_.name)
           .exists(_.startsWith(db.get + ".")) &&
-        !LakeRegistry.list.exists(_.startsWith(db.get + ".")))
+        !LakeRegistry.list.exists(_.startsWith(db.get + ".")) &&
+        graft.fgac.SecureCatalog.governedNamesIn(who, db).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(Seq(db.get))
     rows
@@ -515,6 +580,83 @@ case class GraftShowNamespacesCommand(parent: Option[String],
         under
     }
     rows.distinct.filter(matches).sorted.map(Row(_))
+  }
+}
+
+/** `SHOW CREATE TABLE t` on a GOVERNED name: the policy-shaped DDL —
+  * exactly the columns the session principal's grant exposes
+  * ([[graft.fgac.SecureCatalog.describeColumns]], which also audits
+  * the probe and denies a grantless principal loudly), types from the
+  * raw relation's schema (same resolution as the policy-filtered
+  * DESCRIBE). Storage details — location, partition layout, table
+  * properties — are deliberately OMITTED: the statement describes
+  * what the principal may address, not how the producer stores it
+  * (partition values are data, and the raw location is the
+  * credential-holding role's business). Row filters and masks are
+  * not disclosed either — a filtered principal learning the filter
+  * text would learn the distribution it hides. */
+case class GraftGovernedShowCreateCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val who = spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, "")
+    // audited + deny-by-default: the same gate as fgac_describe
+    val visible = graft.fgac.SecureCatalog.describeColumns(who, name)
+    val target = graft.fgac.SecureCatalog.resolveLink(name)
+    val typeOf = GovernedMeta.typeOf(spark, target)
+    val cols = visible.map(c => s"  $c ${typeOf(c)}").mkString(",\n")
+    Seq(Row(s"CREATE TABLE $name (\n$cols)\nUSING graft"))
+  }
+}
+
+/** `SHOW TBLPROPERTIES t [('key')]` on a GOVERNED name: gated by the
+  * same audited any-grant check as the policy-filtered DESCRIBE, then
+  * answers the lake table's property map when one backs the governed
+  * name (resource links resolve first) — a raw-view-only governed
+  * table legitimately has none (zero rows, a valid answer, not a
+  * cold miss). */
+case class GraftGovernedShowPropsCommand(name: String, key: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val who = spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, "")
+    graft.fgac.SecureCatalog.describeColumns(who, name)
+    val target = graft.fgac.SecureCatalog.resolveLink(name)
+    val props = LakeRegistry.get(target).map(_.properties)
+      .getOrElse(Map.empty[String, String])
+    key match {
+      case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+private[lakehouse] object GovernedMeta {
+  /** Column → rendered type for a governed relation, answered from
+    * the raw relation's schema (nested policy entries `outer.inner`
+    * resolve one struct level, matching the policy-filtered
+    * DESCRIBE's resolution). */
+  def typeOf(spark: SparkSession, target: String): String => String = {
+    val schema =
+      spark.table(graft.fgac.SecureCatalog.rawViewName(target)).schema
+    c => {
+      val parts = c.split('.')
+      schema.fields.find(_.name.equalsIgnoreCase(parts(0)))
+        .flatMap { f =>
+          if (parts.length == 1) Some(f.dataType)
+          else f.dataType match {
+            case st: StructType =>
+              st.fields.find(_.name.equalsIgnoreCase(parts(1)))
+                .map(_.dataType)
+            case _ => None
+          }
+        }.map(_.sql).getOrElse("STRING")
+    }
   }
 }
 

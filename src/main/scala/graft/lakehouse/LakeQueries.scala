@@ -1401,6 +1401,62 @@ object LakeQueries {
         |ORDER BY p.c_custkey""".stripMargin)
   }
 
+  /** `ALTER TABLE … RENAME TO …` — the metadata-only registry re-key
+    * (r16 verdict item 2): create → append → CROSS-NAMESPACE rename →
+    * the old name goes cold, the new name reads the SAME table —
+    * history intact, time travel ACROSS the rename resolves, SHOW
+    * CREATE TABLE reflects the new name — then DML through the new
+    * name and a second, catalog-qualified (3-part) rename. Zero data
+    * movement at any table size: a rename never touches a data file
+    * or the manifest (Iceberg's rename contract — the location stays;
+    * only the catalog entry moves). The refusal matrix (governed
+    * source/target, existing target, views) is spec-pinned in
+    * LakehouseSpec. */
+  private val rename: Q = (s, dir) => {
+    val customer = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+    LakeRegistry.unregister("lake_rn_orders")
+    LakeRegistry.unregister("lake_rn_db.accounts")
+    LakeRegistry.unregister("lake_rn_db.accounts_final")
+    val t = GraftTable.create(s, tmp("lake_rn"),
+      customer.filter(col("c_custkey") % 2 === 0))        // snap 1
+    t.append(customer.filter(col("c_custkey") % 2 === 1)) // snap 2
+    LakeRegistry.register("lake_rn_orders", t)
+    s.sql("ALTER TABLE lake_rn_orders RENAME TO lake_rn_db.accounts")
+    // the old name is COLD everywhere after the rename
+    val oldCold =
+      try { s.sql("SELECT * FROM lake_rn_orders").collect(); false }
+      catch { case _: org.apache.spark.sql.AnalysisException => true }
+    require(oldCold && LakeRegistry.get("lake_rn_orders").isEmpty,
+      "the old name must stop resolving after a rename")
+    // the new name reads the SAME table, history intact
+    require(s.sql("SELECT count(*) FROM lake_rn_db.accounts")
+        .head.getLong(0) == customer.count(),
+      "the new name must read the whole table")
+    // time travel ACROSS the rename: snapshot 1 predates the new name
+    require(s.sql(
+        "SELECT count(*) FROM lake_rn_db.accounts VERSION AS OF 1")
+        .head.getLong(0) ==
+        customer.filter(col("c_custkey") % 2 === 0).count(),
+      "time travel across the rename must resolve")
+    require(s.sql("SHOW CREATE TABLE lake_rn_db.accounts")
+        .head.getString(0)
+        .contains("CREATE TABLE lake_rn_db.accounts"),
+      "SHOW CREATE TABLE must reflect the new name")
+    // DML through the new name lands on the same storage
+    s.sql("UPDATE lake_rn_db.accounts SET c_acctbal = c_acctbal + 50.0 " +
+      "WHERE c_mktsegment = 'BUILDING'")
+    // the catalog-qualified 3-part form renames too (the consumer's
+    // `dev.db.t` addressing shape)
+    s.sql("ALTER TABLE graft.lake_rn_db.accounts RENAME TO " +
+      "graft.lake_rn_db.accounts_final")
+    s.sql(
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM lake_rn_db.accounts_final
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Bad write then rollback: current state equals snapshot 1, and
     * the rolled-back commit stays in history for inspection. */
   private val rollback: Q = (s, dir) => {
@@ -2389,6 +2445,77 @@ object LakeQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** The remaining Iceberg metadata tables (r16 verdict item 5):
+    * `.entries` (manifest entries of the CURRENT snapshot — ADDED by
+    * this commit vs EXISTING carried by reference), `.all_files` /
+    * `.all_data_files` (every file ANY live snapshot references —
+    * `in_current = false` marks history-only files, exactly what
+    * snapshot expiry would reclaim), and `.metadata_log_entries`
+    * (one row per manifest in the metadata log). All through the
+    * SAME frame factory as the existing TVFs + dotted suffixes, all
+    * manifest-answered — zero data reads at any table size. The
+    * scenario walks the operator's snapshot-pile-up debugging flow:
+    * append (entries split ADDED/EXISTING) → compaction (everything
+    * re-ADDED; the old files turn history-only in all_files) →
+    * expiry (all_files collapses to the live set, the log to the
+    * retained manifests). */
+  private val entriesQ: Q = (s, dir) => {
+    import org.apache.spark.sql.functions.sum
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val total = orders.count()
+    val evens = orders.filter(col("o_orderkey") % 2 === 0).count()
+    val t = GraftTable.create(s, tmp("lake_ent"),
+      orders.filter(col("o_orderkey") % 2 === 0))            // snap 1
+    t.append(orders.filter(col("o_orderkey") % 2 === 1))     // snap 2
+    LakeRegistry.register("lake_ent_t", t)
+    val ent = s.sql("SELECT * FROM lake_entries('lake_ent_t')")
+    // the append ADDED its own files; snap-1 files carry EXISTING
+    require(ent.filter(col("status") === "EXISTING")
+        .agg(sum("rows")).head.getLong(0) == evens &&
+      ent.filter(col("status") === "ADDED")
+        .agg(sum("rows")).head.getLong(0) == total - evens,
+      "entry status must split the append from the carried files")
+    require(ent.filter(col("status") === "EXISTING")
+        .select("snapshot_id").distinct().collect()
+        .map(_.getLong(0)).toSeq == Seq(1L),
+      "EXISTING entries must carry their ADDING commit's sequence")
+    s.sql("OPTIMIZE lake_ent_t")                             // snap 3
+    // dotted-suffix addressing mirrors the TVF (spec-pinned shape)
+    val ent3 = s.sql("SELECT * FROM lake_ent_t.entries")
+    require(ent3.filter(col("status") === "EXISTING").count() == 0,
+      "a full compaction re-adds every row under the new commit")
+    val all = s.sql("SELECT * FROM lake_ent_t.all_files")
+    val live = t.currentSnapshot.files.toSet
+    require(all.filter(col("in_current")).count() == live.size &&
+        all.count() > live.size,
+      "all_files must list the pre-compaction files as history-only")
+    require(all.filter(!col("in_current"))
+        .filter(col("rows").isNull).count() == 0,
+      "history-only files keep the footer stats their manifest carried")
+    require(s.sql("SELECT * FROM lake_all_data_files('lake_ent_t')")
+        .count() == all.count() &&
+      s.sql("SELECT * FROM lake_ent_t.all_data_files").count() ==
+        all.count(),
+      "all_data_files is an alias of all_files (both surfaces)")
+    val log = s.sql("SELECT * FROM lake_ent_t.metadata_log_entries")
+    require(log.count() == 3 &&
+        log.filter(col("is_current")).select("snapshot_id")
+          .head.getLong(0) == 3L,
+      "the metadata log lists one row per manifest, head flagged")
+    // expiry reclaims: history-only files leave all_files, the log
+    // shrinks to the retained manifests
+    s.sql("VACUUM lake_ent_t RETAIN 1 SNAPSHOTS")
+    require(s.sql("SELECT * FROM lake_ent_t.all_files")
+        .filter(!col("in_current")).count() == 0 &&
+      s.sql("SELECT * FROM lake_ent_t.metadata_log_entries").count() == 1,
+      "expiry must collapse all_files to the live set")
+    // end state: everything ADDED by the compaction, rows intact
+    s.sql(
+      """SELECT status, sum(rows) AS n_rows
+        |FROM lake_ent_t.entries GROUP BY status ORDER BY status""".stripMargin)
+  }
+
   /** Manifest-list scale-out (Iceberg's manifest-list + sharded
     * manifests): with `graft.manifest.shard-files` lowered to 2, the
     * table's manifest entries spill into partition-range-sorted
@@ -2894,6 +3021,7 @@ object LakeQueries {
     "lake_skipping"         -> skipping,
     "lake_runtime_prune"    -> runtimePrune,
     "lake_metadata"         -> metadata,
+    "lake_entries"          -> entriesQ,
     "lake_sort_compact"     -> sortCompact,
     "lake_zorder"           -> zorder,
     "lake_branch"           -> branch,
@@ -2908,6 +3036,7 @@ object LakeQueries {
     "lake_pos_merge"        -> posMerge,
     "lake_expire"           -> expire,
     "lake_expire_age"       -> expireAge,
+    "lake_rename"           -> rename,
     "lake_replace"          -> replaceQ,
     "lake_row_lineage"      -> rowLineage,
     "lake_cdc_lineage"      -> cdcLineage,
@@ -3426,6 +3555,10 @@ object LakeQueries {
       """SELECT o_orderstatus, count(*) AS row_count
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // post-compaction the whole table is ADDED by the rewrite; the
+    // manifest row counts must sum to the data
+    "lake_entries" ->
+      """SELECT 'ADDED' AS status, count(*) AS n_rows FROM orders""",
     "lake_sort_compact" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-06-01'
@@ -3466,6 +3599,14 @@ object LakeQueries {
         |SELECT o_orderkey, price, _change_type FROM f
         |WHERE _change_type IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
+    // the rename is metadata-only, so the end state is exactly the
+    // created+appended+updated data, whatever the table is named
+    "lake_rename" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 50.0
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "lake_replace" ->
       """SELECT o_orderkey, o_custkey,
         | CAST(o_totalprice AS DOUBLE) AS o_totalprice

@@ -1107,8 +1107,49 @@ object LakeDdl {
             t => cols.foreach(t.dropColumn))
         }
 
+      // ALTER TABLE old RENAME TO new — a metadata-only registry
+      // re-key: the manifest, location, and snapshot history are all
+      // name-independent, so history (and time travel across the
+      // rename) survive; cross-namespace renames just move the
+      // dotted key. Governed names refuse LOUDLY on both ends — a
+      // rename must neither detach a policy from its table (old
+      // name) nor shadow one (new name).
+      case rt: RenameTable if !rt.isView =>
+        renameSource(spark, rt.child).map(
+          GraftRenameTableCommand(_, rt.newName))
+
       case _ => None
     }
+
+  /** The registry key an ALTER TABLE … RENAME TO may move, or None →
+    * fall through to Spark (a session-catalog table). Governed names
+    * and views refuse loudly rather than falling through cold. */
+  private def renameSource(spark: SparkSession,
+      table: LogicalPlan): Option[String] = {
+    val parts = table match {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        Some(t.multipartIdentifier)
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        Some(t.multipartIdentifier)
+      case _ => None
+    }
+    parts.flatMap { p =>
+      val key = LakeRegistry.keyOf(spark, p)
+      if (graft.fgac.SecureCatalog.isVisibleName(p) ||
+          key.exists(graft.fgac.SecureCatalog.isVisibleName))
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ${LakeRegistry.nameOf(p)} RENAME TO: renaming " +
+            "a governed table is not supported — a rename must not " +
+            "detach its policies; re-register the governed name " +
+            "through SecureCatalog instead")
+      key.filter { k =>
+        if (ViewRegistry.get(k).isDefined)
+          throw new UnsupportedOperationException(
+            s"'$k' is a view; ALTER TABLE … RENAME TO applies to tables")
+        claimDrop(spark, k)
+      }
+    }
+  }
 
   /** Claim an ALTER target: a one- or two-part name that is
     * registered (or probes as an on-disk managed table, mirroring
@@ -1855,13 +1896,19 @@ object LakeChanges {
     * factory serves both. `snapshots` is Iceberg's other name for
     * the history listing. */
   private[lakehouse] val MetaSuffixes = Set("files", "delete_files",
-    "partitions", "history", "snapshots", "refs", "lineage")
+    "partitions", "history", "snapshots", "refs", "lineage",
+    "entries", "all_files", "all_data_files", "metadata_log_entries")
 
   private[lakehouse] def metaFrame(spark: SparkSession, t: GraftTable,
       kind: String): org.apache.spark.sql.DataFrame = kind match {
     case "files"        => t.filesMetadata
     case "delete_files" => t.deleteFilesMetadata
     case "partitions"   => t.partitionsMetadata
+    // manifest-entry / all-snapshots / metadata-log views (Iceberg's
+    // .entries, .all_files / .all_data_files, .metadata_log_entries)
+    case "entries"      => t.entriesMetadata
+    case "all_files" | "all_data_files" => t.allFilesMetadata
+    case "metadata_log_entries"         => t.metadataLogEntriesMetadata
     // Iceberg v3 row lineage as a relation: the table's rows with
     // _row_id / _last_updated_sequence_number appended (see
     // GraftTable.readLineage; requires row.lineage=true)
@@ -1954,7 +2001,9 @@ object LakeChanges {
       // relation can appear.
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if Set("lake_files", "lake_partitions", "lake_history",
-            "lake_refs", "lake_delete_files", "lake_lineage")
+            "lake_refs", "lake_delete_files", "lake_lineage",
+            "lake_entries", "lake_all_files", "lake_all_data_files",
+            "lake_metadata_log_entries")
             .contains(tvf.name.map(_.toLowerCase).mkString(".")) =>
         val fn = tvf.name.head.toLowerCase
         val name = tvf.functionArgs match {
@@ -2012,24 +2061,66 @@ object LakeChanges {
 
 /** Delegating parser that lowers graft DDL straight out of the
   * parser; everything else passes through untouched. */
+object GraftSqlParser {
+  /** Leading `--` line comments and `/* */` block comments (nesting
+    * honored, like Spark's lexer) stripped, so the regex-level claims
+    * below see the STATEMENT — ported maintenance scripts habitually
+    * carry header comments, and without this a `-- header\nDESCRIBE t`
+    * would fall through to Spark's cold "table not found". Only the
+    * claim matching uses the stripped text; the delegate always
+    * parses the ORIGINAL (Spark's lexer owns comments there). An
+    * unterminated block comment stops the strip — the delegate then
+    * reports it as the syntax error it is. */
+  private[graft] def stripLeadingComments(s: String): String = {
+    val n = s.length
+    var i = 0
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i < n && Character.isWhitespace(s.charAt(i))) { i += 1; moved = true }
+      if (i + 1 < n && s.charAt(i) == '-' && s.charAt(i + 1) == '-') {
+        val nl = s.indexOf('\n', i)
+        i = if (nl < 0) n else nl + 1
+        moved = true
+      } else if (i + 1 < n && s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
+        var depth = 1
+        var j = i + 2
+        while (j < n && depth > 0) {
+          if (j + 1 < n && s.charAt(j) == '/' && s.charAt(j + 1) == '*') {
+            depth += 1; j += 2
+          } else if (j + 1 < n && s.charAt(j) == '*' &&
+              s.charAt(j + 1) == '/') {
+            depth -= 1; j += 2
+          } else j += 1
+        }
+        if (depth == 0) { i = j; moved = true }
+      }
+    }
+    s.substring(i)
+  }
+}
+
 class GraftSqlParser(spark: SparkSession,
     delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan =
-    LakeMaintenance.parse(spark, sqlText)
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    // the regex claims match on comment-stripped text; claim
+    // precedence and the delegate's input are unchanged
+    val claimText = GraftSqlParser.stripLeadingComments(sqlText)
+    LakeMaintenance.parse(spark, claimText)
       // DESCRIBE / SHOW TABLES / SHOW PARTITIONS over lake names —
       // parser-level for the same reason as LakeMaintenance (the
       // analyzer's ResolveSessionCatalog would claim them first);
       // governed names defer to the policy-filtered FgacRule path
-      .orElse(LakeCatalogSql.parse(spark, sqlText))
+      .orElse(LakeCatalogSql.parse(spark, claimText))
       // CALL cat.system.proc(...) — Iceberg's stored-procedure
       // maintenance idiom, mapped onto the same lowered commands
-      .orElse(LakeCallSql.parse(spark, sqlText))
+      .orElse(LakeCallSql.parse(spark, claimText))
       // GRANT/REVOKE/SHOW GRANTS: Spark has no grammar for these at
       // all, so the claim is unconditional (a non-governed target
       // fails inside the command, loudly, rather than as a parse
       // error pointing at the wrong token)
-      .orElse(graft.fgac.GrantSql.parse(sqlText))
+      .orElse(graft.fgac.GrantSql.parse(claimText))
       .getOrElse {
       // resolve the table_changes TVF FIRST (a no-op without it):
       // lowered DDL embeds its query subtree verbatim, so a CTAS over
@@ -2038,6 +2129,7 @@ class GraftSqlParser(spark: SparkSession,
       val plan = LakeChanges.resolve(spark, delegate.parsePlan(sqlText))
       LakeDdl.lower(spark, plan).getOrElse(plan)
     }
+  }
   override def parseExpression(s: String) = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)
   override def parseFunctionIdentifier(s: String) =
@@ -2186,6 +2278,47 @@ case class GraftAlterCommand(name: String, op: String,
       s"ALTER ($op)")
     alter(LakeRegistry.get(name).getOrElse(throw new IllegalStateException(
       s"table $name vanished from the registry")))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE old RENAME TO new` — the registry re-key. All the
+  * name-derived state is the registry entry itself: the manifest log
+  * and data files live under the table's LOCATION (unchanged — like
+  * Iceberg, a rename never moves storage), snapshots/branches/tags
+  * are keyed by id/ref, and SHOW CREATE TABLE renders from the
+  * registry name, so it reflects the new name immediately. The
+  * registry is session-global (the local-mode stand-in for a catalog
+  * service), so like CREATE, the re-key is visible session-wide. */
+case class GraftRenameTableCommand(name: String, newParts: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "ALTER (RENAME TO)")
+    val newKey = LakeRegistry.keyOf(spark, newParts).getOrElse(
+      throw new UnsupportedOperationException(
+        "RENAME TO requires a one- or two-part name (or three under " +
+          s"the configured catalog), got ${LakeRegistry.nameOf(newParts)}"))
+    require(newKey != name, s"RENAME TO: '$newKey' is the current name")
+    // renaming ONTO a governed name would shadow its policy — the
+    // same guard as CREATE/CTAS/CLONE
+    require(!graft.fgac.SecureCatalog.isVisibleName(newParts) &&
+        !graft.fgac.SecureCatalog.isVisibleName(newKey),
+      s"RENAME TO: '$newKey' is a governed table name")
+    require(LakeRegistry.get(newKey).isEmpty &&
+        ViewRegistry.get(newKey).isEmpty,
+      s"RENAME TO: '$newKey' already exists")
+    // an on-disk managed table at the new name's root would collide
+    // when a fresh session re-probes the name (claimDrop's contract)
+    require(GraftTable.load(spark,
+        LakeDdl.managedRoot(spark, newKey)).currentSnapshotId == 0,
+      s"RENAME TO: an on-disk managed table already exists at the " +
+        s"new name's managed location")
+    val t = LakeRegistry.get(name).getOrElse(throw new IllegalStateException(
+      s"table $name vanished from the registry"))
+    LakeRegistry.register(newKey, t)
+    LakeRegistry.unregister(name)
     Seq.empty
   }
 }

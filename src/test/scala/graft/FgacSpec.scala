@@ -777,6 +777,42 @@ class FgacSpec extends AnyFunSuite {
           Some(Seq("id", "info.contact")))))
     SecureCatalog.ungovern("d2_t")
   }
+
+  test("governed SHOW CREATE TABLE / SHOW TBLPROPERTIES: policy-shaped " +
+      "answer or loud audited denial, never a cold miss") {
+    val raw = spark.range(3).selectExpr("id", "'x' AS secret", "'y' AS ok")
+    raw.createOrReplaceTempView(SecureCatalog.rawViewName("sddl_t"))
+    SecureCatalog.governTable("sddl_t", Seq("id", "secret", "ok"))
+    SecureCatalog.register(Principal("sddl_reader", grants = Map(
+      "sddl_t" -> TablePolicy("sddl_t",
+        allowedColumns = Some(Seq("id", "ok"))))))
+    SecureCatalog.register(Principal("sddl_none"))
+    try {
+      spark.conf.set(SecureCatalog.PrincipalConf, "sddl_reader")
+      val ddl = spark.sql("SHOW CREATE TABLE sddl_t").head.getString(0)
+      assert(ddl.contains("id") && ddl.contains("ok") &&
+        !ddl.contains("secret"),
+        s"the DDL must be column-filtered per grant: $ddl")
+      assert(ddl.contains("BIGINT"),
+        "types come from the raw relation's schema")
+      // TBLPROPERTIES answers (zero rows — raw-view-backed) under a grant
+      assert(spark.sql("SHOW TBLPROPERTIES sddl_t").collect().isEmpty)
+      // no grant → AccessDenied, and the denial lands in the trail
+      spark.conf.set(SecureCatalog.PrincipalConf, "sddl_none")
+      val before = AuditLog.entries.size
+      intercept[AccessDeniedException](
+        spark.sql("SHOW CREATE TABLE sddl_t").collect())
+      assert(AuditLog.entries.drop(before).exists(e =>
+        e.principal == "sddl_none" && e.resource == "sddl_t" &&
+          e.outcome == "DENIED"),
+        "the denied metadata probe must be audited")
+      intercept[AccessDeniedException](
+        spark.sql("SHOW TBLPROPERTIES sddl_t").collect())
+    } finally {
+      spark.conf.unset(SecureCatalog.PrincipalConf)
+      SecureCatalog.ungovern("sddl_t")
+    }
+  }
 }
 
 class AnalyticsSpec extends AnyFunSuite {

@@ -4495,4 +4495,120 @@ class LakehouseSpec extends AnyFunSuite {
     assert(LakeRegistry.get("nsdb.evt").isEmpty &&
       ViewRegistry.get("nsdb.evt").isEmpty)
   }
+
+  test("ALTER TABLE … RENAME TO: re-key + refusal matrix") {
+    import graft.lakehouse.{LakeRegistry, ViewRegistry}
+    import graft.fgac.{Principal, SecureCatalog, TablePolicy}
+    Seq("rn_a", "rn_b", "rndb.rn_c", "rn_taken", "rn_gov")
+      .foreach(LakeRegistry.unregister)
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))
+    LakeRegistry.register("rn_a", t)
+    // happy path: history and time travel survive, old name is cold
+    spark.sql("ALTER TABLE rn_a RENAME TO rndb.rn_c")
+    assert(LakeRegistry.get("rn_a").isEmpty)
+    assert(spark.sql("SELECT count(*) FROM rndb.rn_c").head.getLong(0) == 3)
+    assert(spark.sql(
+      "SELECT count(*) FROM rndb.rn_c VERSION AS OF 1").head.getLong(0) == 2)
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM rn_a").collect())
+    assert(spark.sql("SHOW CREATE TABLE rndb.rn_c").head.getString(0)
+      .contains("CREATE TABLE rndb.rn_c"))
+    // an existing target refuses
+    val taken = freshTable(Seq((9L, "x", 9.0)))
+    LakeRegistry.register("rn_taken", taken)
+    val e1 = intercept[IllegalArgumentException](
+      spark.sql("ALTER TABLE rndb.rn_c RENAME TO rn_taken"))
+    assert(e1.getMessage.contains("already exists"))
+    // a governed TARGET refuses (renaming onto a policy would shadow it)
+    val rawGov = Seq((1L, "TX")).toDF("id", "state")
+    rawGov.createOrReplaceTempView(SecureCatalog.rawViewName("rn_gov"))
+    SecureCatalog.governTable("rn_gov", Seq("id", "state"))
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql("ALTER TABLE rndb.rn_c RENAME TO rn_gov"))
+    assert(e2.getMessage.contains("governed"))
+    // a governed SOURCE refuses loudly (never a cold miss)
+    val e3 = intercept[UnsupportedOperationException](
+      spark.sql("ALTER TABLE rn_gov RENAME TO rn_elsewhere"))
+    assert(e3.getMessage.contains("governed"))
+    SecureCatalog.ungovern("rn_gov")
+    // a view refuses crisply
+    spark.sql("CREATE OR REPLACE VIEW rn_view AS SELECT 1 AS one")
+    val e4 = intercept[UnsupportedOperationException](
+      spark.sql("ALTER TABLE rn_view RENAME TO rn_view2"))
+    assert(e4.getMessage.contains("view"))
+    spark.sql("DROP VIEW rn_view")
+    // rename is a WRITE: a read-only principal may not re-key
+    SecureCatalog.governTable("rndb.rn_c", Seq("k", "tag", "v"))
+    SecureCatalog.register(Principal("rn_reader", grants = Map(
+      "rndb.rn_c" -> TablePolicy("rndb.rn_c"))))
+    try {
+      spark.conf.set(SecureCatalog.PrincipalConf, "rn_reader")
+      // governed-source refusal outranks even the write check
+      intercept[UnsupportedOperationException](
+        spark.sql("ALTER TABLE rndb.rn_c RENAME TO rn_z"))
+    } finally {
+      spark.conf.unset(SecureCatalog.PrincipalConf)
+      SecureCatalog.ungovern("rndb.rn_c")
+    }
+    spark.sql("DROP TABLE rndb.rn_c")
+    LakeRegistry.unregister("rn_taken")
+  }
+
+  test("leading SQL comments: the parser-level claims still resolve") {
+    import graft.lakehouse.LakeRegistry
+    LakeRegistry.unregister("cmt_t")
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    LakeRegistry.register("cmt_t", t)
+    // line comment before DESCRIBE (the ported-script shape)
+    val desc = spark.sql("-- maintenance header\nDESCRIBE TABLE cmt_t")
+      .collect()
+    assert(desc.exists(r => r.getString(0) == "k" &&
+      r.getString(1) == "bigint"))
+    // block comment (nested, like Spark's lexer) before CALL
+    spark.sql("/* outer /* inner */ still comment */ " +
+      "CALL graft.system.rewrite_manifests(table => 'cmt_t')")
+    // comment + whitespace before OPTIMIZE
+    spark.sql("  /* compact */\n  -- then\nOPTIMIZE cmt_t")
+    // an unterminated block comment still errors through the delegate
+    intercept[Exception](spark.sql("/* open DESCRIBE TABLE cmt_t"))
+    // plain statements are untouched (claim precedence unchanged)
+    assert(spark.sql("-- c\nSELECT count(*) FROM cmt_t").head.getLong(0) == 2)
+    LakeRegistry.unregister("cmt_t")
+  }
+
+  test("CALL argument rigor: missing args name the argument; sort " +
+      "strategy uses the table write order or refuses") {
+    import graft.lakehouse.LakeRegistry
+    LakeRegistry.unregister("callr_t")
+    val t = freshTable(Seq((3L, "c", 3.0), (1L, "a", 1.0)))
+    t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))
+    LakeRegistry.register("callr_t", t)
+    val e1 = intercept[IllegalArgumentException](spark.sql(
+      "CALL graft.system.expire_snapshots(retain_last => 2)"))
+    assert(e1.getMessage.contains("missing required argument 'table'"))
+    val e2 = intercept[IllegalArgumentException](spark.sql(
+      "CALL graft.system.rollback_to_snapshot(table => 'callr_t')"))
+    assert(e2.getMessage.contains("snapshot_id"))
+    // strategy=>'sort' with NO sort_order and NO write order refuses
+    val e3 = intercept[IllegalArgumentException](spark.sql(
+      "CALL graft.system.rewrite_data_files(table => 'callr_t', " +
+        "strategy => 'sort')"))
+    assert(e3.getMessage.contains("WRITE ORDERED BY"))
+    // …but with a declared write order it sorts by it (the rewrite
+    // commits and the data survives byte-identical)
+    spark.sql("ALTER TABLE callr_t WRITE ORDERED BY (k)")
+    val beforeId = t.currentSnapshotId
+    spark.sql("CALL graft.system.rewrite_data_files(" +
+      "table => 'callr_t', strategy => 'sort')")
+    assert(t.currentSnapshotId > beforeId, "the sort rewrite must commit")
+    assert(spark.sql("SELECT k FROM callr_t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // where + sort_order refuses rather than silently ignoring one
+    val e4 = intercept[IllegalArgumentException](spark.sql(
+      "CALL graft.system.rewrite_data_files(table => 'callr_t', " +
+        "strategy => 'sort', where => 'k > 0')"))
+    assert(e4.getMessage.contains("binpack"))
+    LakeRegistry.unregister("callr_t")
+  }
 }
