@@ -1983,31 +1983,48 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       if (fromId == 0L)
         to.copy(files = Nil, dels = Nil, posDels = Nil, dvs = Map.empty)
       else known(fromId).getOrElse(snapshot(fromId))
-    // Null-backfilled ADD COLUMN composes IN-RANGE, like the lineage
-    // feed: the from side up-projects to the to schema (null fill, or
-    // the declared initial DEFAULT — exactly what a to-reader
-    // surfaces for pre-add files), so a checkpointed CDC stream
-    // restarted after the evolution drains through it instead of
-    // wedging at an immutable endpoint pair. Every other shape
-    // (drop/rename/type change) still refuses: row identity is the
-    // full row and those have no sound up-projection.
-    val addOnly = from.schema == to.schema ||
-      (from.schema.fields.forall(ff => to.schema.fields.exists(tf =>
-        tf.name == ff.name && tf.dataType == ff.dataType)) &&
-        to.schema.fields.filterNot(tf =>
-          from.schema.fieldNames.contains(tf.name)).forall(_.nullable))
-    require(addOnly,
+    // Null-backfilled ADD COLUMN, top-level RENAME COLUMN, and safe
+    // type promotion all compose IN-RANGE, like the lineage feed: the
+    // from side aligns to the to schema through the engine's own
+    // evolution records ([[GraftTable.alignEvolved]] — null/DEFAULT
+    // fill for adds, the rename log replayed forward for renames
+    // (column identity is the log's, not the name's), value-preserving
+    // up-casts for promotions — exactly what a to-reader surfaces for
+    // pre-evolution files), so a checkpointed CDC stream restarted
+    // after any of those drains through instead of wedging at an
+    // immutable endpoint pair. DROP (and nested renames / unsafe type
+    // changes) still refuse: old files carry a column the schema
+    // retired, and row identity is the full row.
+    val alignableSchemas = from.schema == to.schema || {
+      val later = to.renames.filter(_.seq > from.id)
+      !later.exists(r => r.from.contains(".") || r.to.contains(".")) && {
+        def fwd(n: String): String =
+          later.foldLeft(n)((x, r) => if (r.from == x) r.to else x)
+        val mapped = from.schema.fields.map(f => fwd(f.name) -> f.dataType)
+        mapped.forall { case (n, dt) => to.schema.fields.exists(tf =>
+          tf.name == n && (tf.dataType == dt ||
+            GraftTable.safePromotion(dt, tf.dataType))) } &&
+          to.schema.fields.filterNot(tf => mapped.exists(_._1 == tf.name))
+            .forall(_.nullable)
+      }
+    }
+    require(alignableSchemas,
       "changelog across a schema evolution other than null-backfilled " +
-        "ADD COLUMN is undefined (row identity is the full row); read " +
-        "the sides separately")
+        "ADD COLUMN / RENAME COLUMN / safe type promotion is undefined " +
+        "(row identity is the full row); read the sides separately")
     require(from.dels.isEmpty && to.dels.isEmpty,
       "changelog endpoints must carry no pending equality deletes: " +
         "materialize them first")
+    // the carried-file tombstone/DV diff below reads positionally at
+    // the TO schema — sound only when no rename OR promotion touches
+    // the shared columns (nullable adds per-file-epoch-default fine)
     require(from.posDels.isEmpty && to.posDels.isEmpty &&
         from.dvs.isEmpty && to.dvs.isEmpty ||
-        from.renames.isEmpty && to.renames.isEmpty,
-      "changelog over position deletes under renamed columns: " +
-        "compact() first")
+        (from.renames.isEmpty && to.renames.isEmpty &&
+          from.schema.fields.forall(ff => to.schema.fields.forall(tf =>
+            tf.name != ff.name || tf.dataType == ff.dataType))),
+      "changelog over position deletes under renamed or promoted " +
+        "columns: compact() first")
     val fromSet = from.files.toSet
     val toSet = to.files.toSet
     // deletion vectors on files carried across the range: a moved
@@ -2024,10 +2041,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       else morReadPos(s, fs)
         .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
     var ins = live(to, to.files.filterNot(fromSet))
-    // the from side reads at the FROM schema and up-projects (the
-    // addOnly gate above guarantees this succeeds)
-    var del = GraftTable.upProject(
-      live(from, from.files.filterNot(toSet)), to.schema).get
+    // the from side reads at the FROM schema and aligns forward
+    // (the alignableSchemas gate above guarantees this succeeds)
+    var del = GraftTable.alignEvolved(
+      live(from, from.files.filterNot(toSet)), from.id, to, to.schema).get
     // carried files change their live set only through the tombstone
     // diff; tombstone files shared by both endpoints cancel without a
     // read, and a (file, pos) re-tombstoned through a different file
@@ -2138,20 +2155,23 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       // list and schema; SpjRead auto-commits it on first contact
       // with a pre-size manifest) — rejecting it would permanently
       // wedge an append-mode stream whose range crosses it.
-      // 'evolve-add' and 'evolve-notnull' are file-neutral too (a
-      // null-backfilled ADD COLUMN or a nullability flip commits the
-      // SAME file list), and the batch-level schema check in the
-      // source decides whether the stream can present them
-      // (up-projection after a restart; nullability normalizes) —
-      // the op-level refusal would wedge the checkpoint FOREVER,
-      // since the range containing the evolution commit never
-      // changes. Every other evolve op stays refused here:
-      // drop/rename/type have no sound presentation under any
-      // declared schema, and a partition-spec evolution changes how
-      // carried files' directory values reconstitute.
+      // 'evolve-add' / 'evolve-notnull' / 'evolve-rename' /
+      // 'evolve-type' are file-neutral too (each commits the SAME
+      // file list under an evolved schema), and the batch-level
+      // schema check in the source decides whether the stream can
+      // present them (alignEvolved after a restart: null/DEFAULT
+      // backfill, forward rename replay, value-preserving up-cast;
+      // nullability normalizes) — the op-level refusal would wedge
+      // the checkpoint FOREVER, since the range containing the
+      // evolution commit never changes. Every other evolve op stays
+      // refused here: a DROP has no sound presentation under any
+      // declared schema (old files carry a column the schema
+      // retired), and a partition-spec evolution changes how carried
+      // files' directory values reconstitute.
       require(hd.op == "create" || hd.op == "append" ||
           hd.op == "backfill-sizes" || hd.op == "evolve-add" ||
-          hd.op == "evolve-notnull",
+          hd.op == "evolve-notnull" || hd.op == "evolve-rename" ||
+          hd.op == "evolve-type",
         s"snapshot $id is op '${hd.op}': incremental/streaming " +
           "reads are defined over append-only lineage (rewrites would " +
           "re-surface already-delivered rows)")

@@ -154,17 +154,18 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
         if (GraftLakeStreamProvider.relaxed(chg.schema) ==
             GraftLakeStreamProvider.relaxed(schema)) chg
         else {
-          // a pending range from BEFORE a null-backfilled ADD COLUMN
-          // delivers at the stream's declared (post-evolution) schema
-          // via the shared up-projection — so a checkpointed stream
-          // RESTARTED after the evolution drains through it. A WIDER
-          // batch (the stream is still running on the pre-evolution
-          // schema) or any non-add shape keeps the restart refusal,
-          // and that restart now actually succeeds.
-          val up =
-            if (chg.schema.fieldNames.forall(schema.fieldNames.contains))
-              GraftTable.upProject(chg, schema)
-            else None
+          // a pending range from BEFORE a schema evolution delivers
+          // at the stream's declared (post-evolution) schema via the
+          // engine's own evolution records ([[GraftTable
+          // .alignEvolved]]): null/DEFAULT backfill for ADD COLUMN,
+          // the rename log replayed forward for RENAME COLUMN, a
+          // value-preserving up-cast for safe type promotion — so a
+          // checkpointed stream RESTARTED after any of those drains
+          // through. A WIDER batch (the stream is still running on
+          // the pre-evolution schema) or a non-mappable shape
+          // (drop, nested rename, unsafe type) keeps the restart
+          // refusal, and that restart now actually succeeds.
+          val up = GraftTable.alignEvolved(chg, to, pinned, schema)
           require(up.isDefined,
             s"table schema evolved within ($from, $to]: restart the " +
               "streaming query to pick up the new schema")
@@ -178,14 +179,13 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
         StreamShim.asMicroBatch(table.readCommitted(toSnap, files))
       else {
         // same restart contract as the change feed: a pending range
-        // from BEFORE a null-backfilled ADD COLUMN presents at the
-        // declared (post-evolution) schema; anything else refuses —
-        // and the restart that refusal demands now actually works
+        // from BEFORE an ADD COLUMN / RENAME COLUMN / safe type
+        // promotion presents at the declared (post-evolution) schema
+        // through the engine's evolution records; anything else
+        // refuses — and the restart that refusal demands now
+        // actually works
         val df = table.readCommitted(toSnap, files)
-        val up =
-          if (toSnap.schema.fieldNames.forall(schema.fieldNames.contains))
-            GraftTable.upProject(df, schema)
-          else None
+        val up = GraftTable.alignEvolved(df, toSnap.id, pinned, schema)
         require(up.isDefined,
           s"table schema evolved at snapshot ${toSnap.id}: restart " +
             "the streaming query to pick up the new schema")

@@ -349,6 +349,88 @@ object StreamingOps {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming schema tracking BEYOND add-column (r16 verdict item
+    * 6 — Delta's schema-tracking precedent): a checkpointed stream
+    * drains THROUGH a RENAME COLUMN, an int→bigint type promotion,
+    * and an ADD COLUMN, because per-batch alignment routes through
+    * the engine's own evolution records ([[graft.lakehouse.GraftTable
+    * .alignEvolved]]): the rename log replays forward (column
+    * identity is the log's, not the name's), safe promotions up-cast
+    * value-preservingly, adds backfill null/DEFAULT. The scenario:
+    * two pre-evolution commits → rename + promotion + add (three
+    * file-neutral evolution commits) → a post-evolution append → ONE
+    * stream drain (its first two batches predate every evolution and
+    * deliver at the declared post-evolution schema) → another append
+    * → a RESTART from the same checkpoint that admits exactly the new
+    * commit. Non-mappable shapes (DROP, mid-stream evolution) still
+    * refuse — spec-pinned in LakehouseSpec. */
+  private val schemaTrackQ: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val orders = Tables.orders(s, d)
+    val base = orders.select(
+      col("o_orderkey").as("id"),
+      (col("o_orderkey") % 100).cast("int").as("qty"),
+      col("o_orderstatus").as("status"))
+    def quarter(m: Long) = base.filter(col("id") % 4 === m)
+    val src = graft.lakehouse.GraftTable.create(s,
+      java.nio.file.Files.createTempDirectory("graft_strack_src").toString,
+      quarter(0))                                          // snap 1
+    src.append(quarter(1))                                 // snap 2
+    graft.lakehouse.LakeRegistry.register("strack_src", src)
+    s.sql("ALTER TABLE strack_src RENAME COLUMN qty TO quantity") // 3
+    s.sql("ALTER TABLE strack_src ALTER COLUMN quantity TYPE BIGINT") // 4
+    s.sql("ALTER TABLE strack_src ADD COLUMNS (note STRING)") // snap 5
+    src.append(quarter(2)
+      .withColumnRenamed("qty", "quantity")
+      .withColumn("quantity", col("quantity").cast("bigint"))
+      .withColumn("note", lit("tracked")))                 // snap 6
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_strack_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_strack_ck").toString
+    def drain(): Long = {
+      val q = s.readStream.format("graft-lake")
+        .option("maxCommitsPerTrigger", 1).load(src.location)
+        .writeStream.format("graft-lake")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(sinkDir)
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    // run 1 starts AFTER the evolutions: its first two batches
+    // predate the rename/promotion/add and must deliver at the
+    // declared (post-evolution) schema
+    val run1 = drain()
+    val preCount = base.filter(col("id") % 4 <= 2).count()
+    require(run1 == preCount,
+      s"the drain must deliver every pre- and post-evolution row: " +
+        s"got $run1, want $preCount")
+    val sunk1 = graft.lakehouse.GraftTable.load(s, sinkDir).read()
+    require(sunk1.schema.fieldNames.toSeq ==
+        Seq("id", "quantity", "status", "note") &&
+      sunk1.schema("quantity").dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"batches must align to the evolved schema: ${sunk1.schema}")
+    require(sunk1.filter(col("note").isNull).count() ==
+        base.filter(col("id") % 4 <= 1).count(),
+      "pre-add rows carry the null backfill")
+    // restart from the same checkpoint admits exactly the new commit
+    src.append(quarter(3)
+      .withColumnRenamed("qty", "quantity")
+      .withColumn("quantity", col("quantity").cast("bigint"))
+      .withColumn("note", lit("tracked")))                 // snap 7
+    val run2 = drain()
+    require(run2 == base.filter(col("id") % 4 === 3).count(),
+      s"the restart must admit only the new commit's rows: $run2")
+    graft.lakehouse.GraftTable.load(s, sinkDir).read()
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("quantity")).as("sum_qty"),
+        count(col("note")).as("n_notes"))
+      .orderBy("status")
+  }
+
   /** Streaming read FROM the lakehouse (Iceberg's append-only
     * streaming read, the reverse of [[lakeSinkQ]]), through
     * [[GraftLakeSource]]: offsets are snapshot ids and each
@@ -529,6 +611,7 @@ object StreamingOps {
     "stream_lake_sink" -> lakeSinkQ,
     "stream_lake_source" -> lakeSourceQ,
     "stream_lake_resume" -> lakeResumeQ,
+    "stream_schema_track" -> schemaTrackQ,
     "stream_lake_cdc" -> lakeCdcQ,
     "stream_lake_lineage" -> lakeLineageQ,
     "stream_lake_pipeline" -> lakePipelineQ,
@@ -611,6 +694,16 @@ object StreamingOps {
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the whole table drained through the rename/promotion/add:
+    // quantity is o_orderkey % 100 under its post-evolution name and
+    // BIGINT type; note is non-null only for the post-add quarters
+    "stream_schema_track" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+        | CAST(SUM(o_orderkey % 100) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CASE WHEN o_orderkey % 4 >= 2 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_notes
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // the three appended quarters of the event log, aggregated
     "stream_lake_source" ->
       """SELECT event_type, COUNT(*) AS n_events,

@@ -2254,9 +2254,17 @@ class LakehouseSpec extends AnyFunSuite {
       fresh.filter(col("note").isNull).count() == 4, "pre-add rows " +
         "must deliver with a NULL-filled new column")
 
-    // every other shape still refuses (rename has no up-projection)
+    // a RENAME now composes too (the rename log carries column
+    // identity): the rename-only range nets empty, and a range
+    // spanning it delivers under the post-rename names
     t.renameColumn("tag", "label")                               // 6
-    val e = intercept[IllegalArgumentException](t.changes(5, 6).collect())
+    assert(t.changes(5, 6).isEmpty,
+      "a file-neutral rename commit nets an empty changelog")
+    assert(t.changes(4, 6).columns.contains("label"),
+      "a spanning range delivers under the post-rename name")
+    // a DROP whose from-side carries the column still refuses
+    t.dropColumn("note")                                         // 7
+    val e = intercept[IllegalArgumentException](t.changes(5, 7).collect())
     assert(e.getMessage.contains("read the sides separately"))
   }
 
@@ -2290,21 +2298,36 @@ class LakehouseSpec extends AnyFunSuite {
         Option(r.getAs[String]("note")))).toSet
     assert(rows == Set((1L, None), (2L, Some("n2")), (3L, Some("n3"))),
       s"got $rows")
-    // a non-add evolution keeps the wedge: no batch delivers past it
-    // (the engine's restart re-init of the last committed batch dies
-    // first — a renamed column is unpresentable under ANY declared
-    // schema, so the refusal may name either the schema or the op)
+    // a RENAME now drains through on restart too (the rename log
+    // carries column identity; the restarted stream declares the
+    // post-rename schema and the new commit delivers under it)
     t.renameColumn("tag", "label")                               // 6
     t.append(Seq((9L, "z", "n9")).toDF("k", "label", "note"))    // 7
+    drain()
+    val postRename = spark.read.option("mergeSchema", "true")
+      .parquet(out)
+    assert(postRename.count() == 4 &&
+      postRename.filter(col("k") === 9L)
+        .select("label").head.getString(0) == "z",
+      "the restarted stream must deliver the post-rename commit")
+    // a DROP keeps the wedge: old files carry a column the schema
+    // retired — no sound presentation, no batch delivers past it
+    t.dropColumn("note")                                         // 8
+    t.append(Seq((10L, "y")).toDF("k", "label"))                 // 9
     val before = spark.read.option("mergeSchema", "true").parquet(out)
       .count()
     val e = intercept[Exception](drain())
+    // the refusal surfaces either at the op gate (evolve-drop /
+    // append-only lineage) or at the batch-level alignment (a
+    // pre-drop batch carries the retired column, unpresentable under
+    // the post-drop declared schema) — both are the same wedge
     assert(Iterator.iterate(e: Throwable)(_.getCause)
       .takeWhile(_ != null).exists(x =>
-        String.valueOf(x.getMessage).contains("restart the streaming") ||
-          String.valueOf(x.getMessage).contains("evolve-rename")))
+        String.valueOf(x.getMessage).contains("append-only lineage") ||
+          String.valueOf(x.getMessage).contains("evolve-drop") ||
+          String.valueOf(x.getMessage).contains("schema evolved")))
     assert(spark.read.option("mergeSchema", "true").parquet(out)
-      .count() == before, "no rows may deliver past a rename")
+      .count() == before, "no rows may deliver past a drop")
   }
 
   test("metadata tables answer from the manifest: files, partitions") {
@@ -2763,10 +2786,17 @@ class LakehouseSpec extends AnyFunSuite {
     val across = t.changes(1, t.currentSnapshotId).collect()
     assert(across.length == 2 &&
       across.forall(_.getAs[String]("note") == null))
-    // every other schema shape is refused, not misreported
+    // a RENAME across the range now aligns through the rename log
+    // (round 17) — same net changelog under the post-rename name
     t.renameColumn("tag", "label")
+    val renamedAcross = t.changes(1, t.currentSnapshotId)
+    assert(renamedAcross.columns.contains("label") &&
+      renamedAcross.count() == 2)
+    // a DROP whose from-side carries the column is refused, not
+    // misreported
+    t.dropColumn("note")
     intercept[IllegalArgumentException](
-      t.changes(1, t.currentSnapshotId).collect())
+      t.changes(t.currentSnapshotId - 2, t.currentSnapshotId).collect())
   }
 
   test("temporal pruning renders TIMESTAMP literals in the session zone") {
@@ -4610,5 +4640,57 @@ class LakehouseSpec extends AnyFunSuite {
         "strategy => 'sort', where => 'k > 0')"))
     assert(e4.getMessage.contains("binpack"))
     LakeRegistry.unregister("callr_t")
+  }
+
+  test("schema tracking: changelog + stream batches align across " +
+      "RENAME COLUMN and type promotion; DROP and mid-stream refuse") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    def intDf(rows: Seq[(Int, String)]) =
+      rows.toDF("k", "tag").withColumn("k", col("k").cast("int"))
+    val dir = Files.createTempDirectory("graft_evo").toString
+    val t = GraftTable.create(spark, dir, intDf(Seq((1, "a"), (2, "b"))))
+    t.append(intDf(Seq((3, "c"))))                          // snap 2
+    t.renameColumn("k", "key")                              // snap 3
+    t.alterColumnType("key", LongType)                      // snap 4
+    t.addColumns(Seq(StructField("note", StringType, nullable = true)))
+    t.append(Seq((4L, "d", "n")).toDF("key", "tag", "note")) // snap 6
+    // the batch changelog spans the whole evolution: the from side
+    // aligns forward through the rename log + safe up-cast
+    val chg = t.changes(1, 6)
+    assert(chg.schema("key").dataType == LongType)
+    val ins = chg.filter(col("_change_type") === "insert")
+    assert(ins.select("key").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(3L, 4L)))
+    assert(chg.filter(col("_change_type") === "delete").count() == 0)
+    // a RESTARTED stream's pending pre-evolution range delivers at
+    // the declared (post-evolution) schema — unit-level via the
+    // source's own batch builder
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val post = new graft.streaming.GraftLakeSource(spark, dir, 10)
+    val b = post.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    assert(b.schema.fieldNames.toSeq == Seq("key", "tag", "note") &&
+      b.schema("key").dataType == LongType,
+      s"pre-evolution batch must align to the evolved schema: ${b.schema}")
+    // MID-STREAM evolution (source pinned BEFORE it) still refuses
+    // with the restart message — never a silently renamed batch
+    val dir2 = Files.createTempDirectory("graft_evo2").toString
+    val t2 = GraftTable.create(spark, dir2, intDf(Seq((1, "a"))))
+    val mid = new graft.streaming.GraftLakeSource(spark, dir2, 10)
+    t2.renameColumn("k", "key")
+    t2.append(Seq(2).toDF("key")
+      .withColumn("key", col("key").cast("int"))
+      .withColumn("tag", lit("b")).select("key", "tag"))
+    val e = intercept[IllegalArgumentException](
+      mid.getBatch(Some(LongOffset(1L)), LongOffset(3L)))
+    assert(e.getMessage.contains("restart"))
+    // DROP has no sound alignment when the FROM side carries the
+    // column: the changelog refuses. (A from-side that PREDATES the
+    // add maps cleanly — the drop never concerns it.)
+    t.dropColumn("note")                                    // snap 7
+    val e2 = intercept[IllegalArgumentException](t.changes(6, 7))
+    assert(e2.getMessage.contains("schema evolution"))
+    assert(t.changes(1, 7).filter(col("_change_type") === "insert")
+      .count() == 2,
+      "a from-side predating the dropped column's add still aligns")
   }
 }
