@@ -2012,9 +2012,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       "changelog across a schema evolution other than null-backfilled " +
         "ADD COLUMN / RENAME COLUMN / safe type promotion is undefined " +
         "(row identity is the full row); read the sides separately")
-    require(from.dels.isEmpty && to.dels.isEmpty,
-      "changelog endpoints must carry no pending equality deletes: " +
-        "materialize them first")
+    // equality deletes at the endpoints EXPAND (r16 verdict item 4):
+    // a predicate added in-range deletes exactly the carried rows it
+    // scopes and matches, a predicate removed (rollback) restores
+    // its — both emitted as keyed row images like the tombstone diff
+    // below, with candidates add-sequence-scoped and STATS-PRUNED, so
+    // a table under write.delete.style=equality can turn on CDC
+    // without wedging at an immutable endpoint pair. Files added or
+    // removed in-range read through the owning endpoint's LIVE view
+    // (morRead), which already applies its scoped predicates.
     // the carried-file tombstone/DV diff below reads positionally at
     // the TO schema — sound only when no rename OR promotion touches
     // the shared columns (nullable adds per-file-epoch-default fine)
@@ -2033,18 +2039,62 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // by a bitmap diff, alongside the tombstone diff
     val dvMovedFiles = fromSet.intersect(toSet).toSeq
       .filter(f => from.dvs.get(f) != to.dvs.get(f)).sorted
-    // live view of the files added (resp. removed) in-range, under the
-    // owning endpoint's tombstones — a file appended then partially
-    // tombstoned inside the range inserts only its surviving rows
-    def live(s: Snapshot, fs: Seq[String]): DataFrame =
-      if (s.posDels.isEmpty && s.dvs.isEmpty) readFilesMapped(s, fs)
-      else morReadPos(s, fs)
-        .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
+    // live view of the files added (resp. removed) in-range, under
+    // the owning endpoint's tombstones AND scoped equality predicates
+    // (morRead) — a file appended then partially deleted inside the
+    // range inserts only its surviving rows
+    def live(s: Snapshot, fs: Seq[String]): DataFrame = morRead(s, fs)
     var ins = live(to, to.files.filterNot(fromSet))
     // the from side reads at the FROM schema and aligns forward
     // (the alignableSchemas gate above guarantees this succeeds)
     var del = GraftTable.alignEvolved(
       live(from, from.files.filterNot(toSet)), from.id, to, to.schema).get
+    // equality-predicate diff on CARRIED files: rows live at `from`
+    // that a predicate added in-range scopes and matches are the
+    // range's deletes; rows live at `to` that a removed predicate
+    // used to kill are its restores. Scan cost is bounded by the
+    // stats-pruned candidate files per predicate, never the carried
+    // set — the same economics as the equality-delete read path.
+    val newPreds = to.dels.filterNot(from.dels.toSet)
+    val gonePreds = from.dels.filterNot(to.dels.toSet)
+    if ((newPreds.nonEmpty || gonePreds.nonEmpty) &&
+        (toSet intersect fromSet).nonEmpty) {
+      // an equality-predicate diff and a tombstone/DV diff in the SAME
+      // range could both claim one row (a predicate may match rows a
+      // tombstone already killed — the predicate commits without a
+      // scan), which would double-emit its delete image. A single
+      // commit is always one style, so per-commit streaming ranges
+      // never mix; batch callers split at the boundary.
+      require(from.posDels.toSet == to.posDels.toSet &&
+          from.dvs == to.dvs,
+        "changelog range mixes an equality-delete diff with a " +
+          "position-tombstone/DV diff: split the range at the " +
+          "delete-style boundary")
+      val carried = (toSet intersect fromSet).toSeq.sorted
+      def matching(owner: Snapshot,
+          preds: Seq[DeletePred]): Option[DataFrame] =
+        carried
+          .map(f => f -> preds.filter(_.seq >
+            owner.fileSeq.getOrElse(f, 0L)))
+          .filter(_._2.nonEmpty)
+          .groupBy(_._2).toSeq
+          .sortBy(_._2.head._1)
+          .flatMap { case (ps, scopedPairs) =>
+            val scoped = owner.copy(files = scopedPairs.map(_._1))
+            val cand = ps.flatMap(p => pruneByStats(scoped, p.pred))
+              .distinct.sorted
+            if (cand.isEmpty) None
+            else Some(morRead(owner, cand).filter(
+              ps.map(p => coalesce(expr(p.pred), lit(false)))
+                .reduce(_ || _)))
+          }
+          .reduceOption(_.unionByName(_))
+      matching(from, newPreds).foreach { d =>
+        del = del.unionByName(
+          GraftTable.alignEvolved(d, from.id, to, to.schema).get)
+      }
+      matching(to, gonePreds).foreach(i => ins = ins.unionByName(i))
+    }
     // carried files change their live set only through the tombstone
     // diff; tombstone files shared by both endpoints cancel without a
     // read, and a (file, pos) re-tombstoned through a different file

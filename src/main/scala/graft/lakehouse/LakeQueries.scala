@@ -156,6 +156,60 @@ object LakeQueries {
       .orderBy(col("_change_type"), col("o_orderkey"))
   }
 
+  /** Equality-delete CHANGE FEED (r16 verdict item 4): a table under
+    * `write.delete.mode=merge-on-read` + `write.delete.style=equality`
+    * turns on CDC and does NOT wedge at the equality DELETE commit —
+    * the predicate EXPANDS at the endpoints: rows live at `from` that
+    * an in-range predicate scopes (add-sequence) and matches emit as
+    * keyed delete images, exactly like the tombstone diff; files
+    * appended AFTER the predicate are out of its scope and insert in
+    * full (their matching rows included). Candidates are stats-pruned
+    * per predicate, so the expansion scans the files the predicate
+    * could touch — the same economics as the equality-delete read
+    * path. require()d in-query: the DELETE commits a predicate (no
+    * file rewritten, no tombstone), the per-commit range is
+    * all-deletes, and scoping holds. The streaming drain through the
+    * same commit is spec-pinned in LakehouseSpec. */
+  private val cdcEqDel: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def third(m: Long) = orders.filter(col("o_orderkey") % 3 === m)
+    val t = GraftTable.create(s, tmp("lake_cdc_eq"), third(0)) // snap 1
+    t.setProperties(Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "equality"))
+    LakeRegistry.register("lake_cdc_eq_t", t)
+    t.append(third(1))                                        // snap 2
+    val filesBefore = t.currentSnapshot.files.toSet
+    s.sql("DELETE FROM lake_cdc_eq_t WHERE o_orderstatus = 'F'") // 3
+    val snap3 = t.currentSnapshot
+    require(snap3.dels.nonEmpty && snap3.posDels.isEmpty &&
+        snap3.files.toSet == filesBefore,
+      "the DELETE must commit an equality predicate: no rewrite, " +
+        "no tombstone")
+    t.append(third(2))                                        // snap 4
+    // per-commit replay through the eq-delete commit (the exact range
+    // a maxCommitsPerTrigger=1 stream drains): all deletes, exactly
+    // the scoped F rows
+    val delBatch = s.sql("SELECT * FROM table_changes('lake_cdc_eq_t', 2, 3)")
+    require(delBatch.filter(col("_change_type") =!= "delete").count() == 0 &&
+        delBatch.count() ==
+          orders.filter(col("o_orderkey") % 3 < 2 &&
+            col("o_orderstatus") === "F").count(),
+      "the eq-delete commit's range must emit exactly the scoped " +
+        "F rows as deletes")
+    // scoping: the post-predicate append inserts IN FULL — its F rows
+    // are outside the predicate's add-sequence scope
+    val insBatch = s.sql("SELECT * FROM table_changes('lake_cdc_eq_t', 3, 4)")
+    require(insBatch.filter(col("_change_type") =!= "insert").count() == 0 &&
+        insBatch.filter(col("o_orderstatus") === "F").count() ==
+          third(2).filter(col("o_orderstatus") === "F").count(),
+      "files appended after the predicate are out of its scope")
+    s.sql(s"""SELECT * FROM table_changes('lake_cdc_eq_t', 1,
+             |  ${t.currentSnapshotId})
+             |ORDER BY _change_type, o_orderkey""".stripMargin)
+  }
+
   /** The same CDC scenario driven ENTIRELY through SQL: DML via
     * [[LakeSqlRule]], changelog via the `table_changes` TVF
     * ([[LakeChanges]]) composed under an ordinary ORDER BY — proving
@@ -3009,6 +3063,7 @@ object LakeQueries {
     "lake_cdc_sql"          -> cdcSql,
     "lake_cdc_mor"          -> cdcMor,
     "lake_cdc_dv"           -> cdcDv,
+    "lake_cdc_eqdel"        -> cdcEqDel,
     "lake_delete_files"     -> deleteFiles,
     "lake_cherry_pick"      -> cherryPick,
     "lake_compact_where"    -> compactWhere,
@@ -3268,6 +3323,27 @@ object LakeQueries {
         |ORDER BY c_custkey""".stripMargin,
     "lake_incremental" ->
       "SELECT * FROM orders WHERE o_orderkey % 3 = 2 ORDER BY o_orderkey",
+    // the equality-delete feed, replayed: base = the create batch;
+    // final = both pre-predicate batches minus their F rows, plus the
+    // post-predicate batch IN FULL (out of the predicate's scope);
+    // net changelog = symmetric EXCEPT ALL
+    "lake_cdc_eqdel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |ab AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 < 2),
+        |final AS (
+        |  SELECT * FROM ab WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2),
+        |ins AS (SELECT * FROM final EXCEPT ALL SELECT * FROM base),
+        |del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM final)
+        |SELECT *, 'insert' AS _change_type FROM ins
+        |UNION ALL SELECT *, 'delete' AS _change_type FROM del
+        |ORDER BY _change_type, o_orderkey""".stripMargin,
     // replay the DML in SQL; net changelog = symmetric EXCEPT ALL
     "lake_cdc" ->
       """WITH base AS (
