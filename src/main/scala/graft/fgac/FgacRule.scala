@@ -77,21 +77,11 @@ case class FgacRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case None =>
               val rawSchema =
                 spark.table(SecureCatalog.rawViewName(target)).schema
-              c => {
-                // nested policy entries (`outer.inner`) resolve one
-                // struct level for their DESCRIBE type
-                val parts = c.split('.')
-                rawSchema.fields.find(_.name.equalsIgnoreCase(parts(0)))
-                  .flatMap { f =>
-                    if (parts.length == 1) Some(f.dataType)
-                    else f.dataType match {
-                      case st: org.apache.spark.sql.types.StructType =>
-                        st.fields.find(_.name.equalsIgnoreCase(parts(1)))
-                          .map(_.dataType)
-                      case _ => None
-                    }
-                  }.map(_.simpleString).getOrElse("unknown")
-              }
+              // nested policy entries (`outer.inner`) resolve one
+              // struct level — the SAME resolver the governed SHOW
+              // CREATE TABLE uses, so the two never disagree
+              c => graft.lakehouse.GovernedMeta.resolveType(rawSchema, c)
+                .map(_.simpleString).getOrElse("unknown")
           }
         val rows = visible.map { c =>
           val dt = typeOf(c)

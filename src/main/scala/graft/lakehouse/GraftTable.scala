@@ -2070,7 +2070,18 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         "changelog range mixes an equality-delete diff with a " +
           "position-tombstone/DV diff: split the range at the " +
           "delete-style boundary")
+      // predicate TEXT binds names of its own commit's era; a rename
+      // inside the range would make it unresolvable (or worse,
+      // mis-bound) against either endpoint's frame — refuse like the
+      // tombstone/rename interplay does, with the same remedy
+      require(to.renames.forall(_.seq <= from.id),
+        "changelog range mixes an equality-delete diff with a column " +
+          "rename: split the range at the evolution boundary")
       val carried = (toSet intersect fromSet).toSeq.sorted
+      // predicates evaluate over the owner's live view ALIGNED to the
+      // `to` schema (an in-range ADD COLUMN backfills before the
+      // predicate sees the row — exactly what a to-reader surfaces,
+      // so `note IS NULL` kills pre-add rows here as it does there)
       def matching(owner: Snapshot,
           preds: Seq[DeletePred]): Option[DataFrame] =
         carried
@@ -2084,15 +2095,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
             val cand = ps.flatMap(p => pruneByStats(scoped, p.pred))
               .distinct.sorted
             if (cand.isEmpty) None
-            else Some(morRead(owner, cand).filter(
-              ps.map(p => coalesce(expr(p.pred), lit(false)))
+            else Some(GraftTable.alignEvolved(
+              morRead(owner, cand), owner.id, to, to.schema).get
+              .filter(ps.map(p => coalesce(expr(p.pred), lit(false)))
                 .reduce(_ || _)))
           }
           .reduceOption(_.unionByName(_))
-      matching(from, newPreds).foreach { d =>
-        del = del.unionByName(
-          GraftTable.alignEvolved(d, from.id, to, to.schema).get)
-      }
+      matching(from, newPreds).foreach(d => del = del.unionByName(d))
       matching(to, gonePreds).foreach(i => ins = ins.unionByName(i))
     }
     // carried files change their live set only through the tombstone
@@ -2874,14 +2883,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val resolved = resolvePath(snap.schema, name, mustExist = true).get
     val parts = resolved.split('.')
     val from = typeAt(snap.schema, parts.toSeq)
-    val safe = (from, to) match {
-      case (IntegerType, LongType) => true
-      case (FloatType, DoubleType) => true
-      case (f: DecimalType, t: DecimalType) =>
-        t.scale == f.scale && t.precision > f.precision
-      case _ => false
-    }
-    require(safe,
+    // the ONE definition of the safe set: the streaming/changelog
+    // alignment (alignEvolved) widens by exactly what this DDL can
+    // commit, so the two can never drift apart
+    require(GraftTable.safePromotion(from, to),
       s"unsafe type promotion for column '$resolved': " +
         s"${from.simpleString} -> ${to.simpleString} (safe set: " +
         "int->bigint, float->double, decimal(P,S)->decimal(P+,S))")
@@ -3324,9 +3329,36 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // resolve the predicate against the snapshot schema NOW — a typo
     // must fail this commit, not some future read
     readFiles(snap.schema, Nil, snap.partitionCols).filter(expr(predSql))
-    commit("delete-mor", snap.schema, snap.files, snap.partitionCols,
+    // own op string ("delete-eq", vs the tombstone path's
+    // "delete-mor"): the streaming change feed clamps its admission
+    // at the eq/tombstone style boundary from commit HEADERS alone
+    // ([[GraftLakeSource]] via [[styleBoundary]]), which needs the
+    // two styles distinguishable without a manifest parse
+    commit("delete-eq", snap.schema, snap.files, snap.partitionCols,
       expectedParent = snap.id,
       delsOverride = Some(snap.dels :+ DeletePred(snap.id + 1, predSql)))
+  }
+
+  /** Admission clamp for the streaming change feed: the largest `to`
+    * in `(from, proposed]` such that the range never mixes an
+    * equality-delete commit with any other commit — an eq-delete
+    * commit always gets its OWN single-commit batch, so the
+    * changelog's "split the range at the delete-style boundary"
+    * refusal is unreachable from a stream at ANY
+    * maxCommitsPerTrigger (the r17 review's default-drain-all wedge).
+    * Header-cached walk: O(range) 4 KB prefix reads, once per JVM. */
+  private[graft] def styleBoundary(from: Long, proposed: Long): Long = {
+    var id = from + 1
+    while (id <= proposed) {
+      // rollbacks batch alone too: a rollback can REMOVE an equality
+      // predicate (restoring its rows), which is the same
+      // predicate-diff shape as adding one
+      if (header(id).exists(h =>
+          h.op == "delete-eq" || h.op == "rollback"))
+        return if (id == from + 1) id else id - 1
+      id += 1
+    }
+    proposed
   }
 
   /** Merge-on-read DELETE with POSITION tombstones (Iceberg v2's
@@ -5771,9 +5803,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   def metadataLogEntriesMetadata: DataFrame = {
     import scala.jdk.CollectionConverters._
     val cur = currentSnapshotId
-    val rows = snapshots.map { sn =>
-      Row(if (sn.ts > 0) java.lang.Long.valueOf(sn.ts) else null,
-        snapPath(sn.id).toString, sn.id, sn.id == cur)
+    // the listing needs only (ts, path, id): the bounded HEADER read
+    // (~4 KB prefix, cached per JVM) serves ts — a full manifest
+    // parse per snapshot would cost O(history × manifest size) on a
+    // long-lived table for fields the header already carries
+    val ids =
+      if (!fs.exists(metaDir)) Seq.empty[Long]
+      else fs.listStatus(metaDir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("snap-") && n.endsWith(".meta") =>
+          n.stripPrefix("snap-").stripSuffix(".meta").toLong
+        }.sorted.toSeq
+    val rows = ids.map { id =>
+      val ts = header(id).map(_.ts).getOrElse(0L)
+      Row(if (ts > 0) java.lang.Long.valueOf(ts) else null,
+        snapPath(id).toString, id, id == cur)
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("committed_at_ms", org.apache.spark.sql.types.LongType,

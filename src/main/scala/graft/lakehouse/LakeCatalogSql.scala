@@ -536,7 +536,10 @@ case class GraftShowViewsCommand(db: Option[String],
         !ViewRegistry.list.map(_.name)
           .exists(_.startsWith(db.get + ".")) &&
         !LakeRegistry.list.exists(_.startsWith(db.get + ".")) &&
-        graft.fgac.SecureCatalog.governedNamesIn(who, db).isEmpty)
+        // both registration shapes, like the merged SHOW TABLES:
+        // bare and catalog-qualified governed names
+        Seq(db, db.map(d => s"$graftCat.$d")).flatMap(g =>
+          graft.fgac.SecureCatalog.governedNamesIn(who, g)).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(Seq(db.get))
     rows
@@ -636,27 +639,34 @@ case class GraftGovernedShowPropsCommand(name: String, key: Option[String])
   }
 }
 
-private[lakehouse] object GovernedMeta {
+private[graft] object GovernedMeta {
+  /** THE nested-type resolver for governed metadata answers (one
+    * struct level, `outer.inner` — the depth policies address):
+    * shared by the policy-filtered DESCRIBE ([[graft.fgac.FgacRule]])
+    * and the governed SHOW CREATE TABLE, so the two surfaces can
+    * never disagree about a column's type. None — a policy column
+    * the raw relation no longer carries — renders "unknown" on BOTH,
+    * never a fabricated type. */
+  def resolveType(schema: StructType,
+      path: String): Option[org.apache.spark.sql.types.DataType] = {
+    val parts = path.split('.')
+    schema.fields.find(_.name.equalsIgnoreCase(parts(0))).flatMap { f =>
+      if (parts.length == 1) Some(f.dataType)
+      else f.dataType match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(parts(1)))
+            .map(_.dataType)
+        case _ => None
+      }
+    }
+  }
+
   /** Column → rendered type for a governed relation, answered from
-    * the raw relation's schema (nested policy entries `outer.inner`
-    * resolve one struct level, matching the policy-filtered
-    * DESCRIBE's resolution). */
+    * the raw relation's schema. */
   def typeOf(spark: SparkSession, target: String): String => String = {
     val schema =
       spark.table(graft.fgac.SecureCatalog.rawViewName(target)).schema
-    c => {
-      val parts = c.split('.')
-      schema.fields.find(_.name.equalsIgnoreCase(parts(0)))
-        .flatMap { f =>
-          if (parts.length == 1) Some(f.dataType)
-          else f.dataType match {
-            case st: StructType =>
-              st.fields.find(_.name.equalsIgnoreCase(parts(1)))
-                .map(_.dataType)
-            case _ => None
-          }
-        }.map(_.sql).getOrElse("STRING")
-    }
+    c => resolveType(schema, c).map(_.sql).getOrElse("unknown")
   }
 }
 

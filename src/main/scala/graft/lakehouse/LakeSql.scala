@@ -2317,6 +2317,20 @@ case class GraftRenameTableCommand(name: String, newParts: Seq[String])
         s"new name's managed location")
     val t = LakeRegistry.get(name).getOrElse(throw new IllegalStateException(
       s"table $name vanished from the registry"))
+    // a table whose storage root IS its name-derived managed path
+    // cannot soundly re-key: the old root stays on disk, so the next
+    // probe of the OLD name (claimDrop's fresh-session contract)
+    // would resurrect it over the renamed table's storage — DROP
+    // PURGE on the stale name would then destroy the renamed data.
+    // Iceberg's HadoopCatalog refuses renameTable for exactly this
+    // reason (path-derived tables have name-coupled storage); tables
+    // created with an explicit LOCATION rename freely.
+    def norm(p: String) = new Path(p).toUri.getPath
+    require(norm(t.location) != norm(LakeDdl.managedRoot(spark, name)),
+      s"RENAME TO: '$name' is a path-managed table (its storage root " +
+        "is derived from its name, so the old name would re-probe " +
+        "onto the renamed storage); CREATE TABLE with an explicit " +
+        "LOCATION to make a table renameable")
     LakeRegistry.register(newKey, t)
     LakeRegistry.unregister(name)
     Seq.empty

@@ -4568,6 +4568,16 @@ class LakehouseSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE rn_view RENAME TO rn_view2"))
     assert(e4.getMessage.contains("view"))
     spark.sql("DROP VIEW rn_view")
+    // a PATH-managed table (no explicit LOCATION — storage root
+    // derived from the name) refuses: the old root would re-probe
+    // onto the renamed storage (the HadoopCatalog refusal)
+    LakeRegistry.unregister("rn_managed")
+    spark.sql("CREATE TABLE rn_managed (k BIGINT) USING graft")
+    spark.sql("INSERT INTO rn_managed VALUES (1)")
+    val eM = intercept[IllegalArgumentException](
+      spark.sql("ALTER TABLE rn_managed RENAME TO rn_managed2"))
+    assert(eM.getMessage.contains("explicit LOCATION"))
+    spark.sql("DROP TABLE rn_managed PURGE")
     // rename is a WRITE: a read-only principal may not re-key
     SecureCatalog.governTable("rndb.rn_c", Seq("k", "tag", "v"))
     SecureCatalog.register(Principal("rn_reader", grants = Map(
@@ -4759,5 +4769,62 @@ class LakehouseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("split the range"))
     // …and the per-commit sub-ranges each compose fine
     assert(t.changes(5, 6).count() == 1 && t.changes(6, 7).count() >= 1)
+    // a DEFAULT (drain-all) CDC stream over the same mixed history
+    // still drains: latestOffset clamps admission at eq/rollback
+    // boundaries, so the refusal above is unreachable from a stream
+    val qn2 = "eqdel_mixed_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val q2 = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true").load(t.location)
+      .writeStream.format("memory").queryName(qn2)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val net2 = spark.table(qn2).select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, evs) =>
+        k -> (evs.count(_._2 == "insert") - evs.count(_._2 == "delete"))
+      }
+    assert(net2.filter(_._2 > 0).keys.toSeq.sorted ==
+      t.read().select("k").collect().map(_.getLong(0)).sorted.toSeq,
+      "the default-admission stream must drain the mixed history")
+  }
+
+  test("equality-delete feed × schema evolution: in-range ADD COLUMN " +
+      "aligns before the predicate; in-range RENAME refuses") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))   // snap 1
+    t.setProperties(Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "equality"))
+    t.addColumns(Seq(StructField("note", StringType)))        // snap 2
+    t.append(Seq((3L, "c", 3.0, "n3")).toDF("k", "tag", "v", "note")) // 3
+    // predicate on the ADDED column: pre-add rows surface NULL, so
+    // `note IS NULL` kills exactly them — and the changelog range
+    // spanning the add must agree
+    t.deleteMoR("note IS NULL")                               // snap 4
+    assert(t.read().select("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L))
+    val d = t.changes(1, 4)
+    assert(d.filter(col("_change_type") === "delete")
+      .select("k").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)),
+      "the aligned pre-add rows must match the predicate")
+    assert(d.filter(col("_change_type") === "insert")
+      .select("k").head.getLong(0) == 3L)
+    // an in-range RENAME with a predicate diff refuses loudly (the
+    // predicate text binds names of its own era)
+    val t2 = freshTable(Seq((1L, "a", 1.0)))                  // snap 1
+    t2.setProperties(Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "equality"))
+    t2.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))      // snap 2
+    t2.renameColumn("tag", "label")                           // snap 3
+    t2.deleteMoR("label = 'b'")                               // snap 4
+    val e = intercept[IllegalArgumentException](t2.changes(2, 4))
+    assert(e.getMessage.contains("evolution boundary"))
+    // …the per-commit sub-ranges compose (rename nets empty, the
+    // predicate commit emits its delete)
+    assert(t2.changes(2, 3).isEmpty)
+    assert(t2.changes(3, 4).select("k").head.getLong(0) == 2L)
   }
 }
