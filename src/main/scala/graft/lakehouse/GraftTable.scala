@@ -680,8 +680,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
 
   def currentSnapshot: Snapshot = snapshot(currentSnapshotId)
 
-  /** All live snapshots, oldest first. */
-  def snapshots: Seq[Snapshot] =
+  /** Ids of all live snapshot manifests, oldest first — THE one
+    * parse of the `snap-<id>.meta` naming convention (shared by
+    * [[snapshots]] and the metadata-log listing, which must never
+    * drift apart on what counts as a manifest file). */
+  private def snapshotIds: Seq[Long] =
     if (!fs.exists(metaDir)) Nil
     else fs.listStatus(metaDir)
       .map(_.getPath.getName)
@@ -689,8 +692,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         n.stripPrefix("snap-").stripSuffix(".meta").toLong
       }
       .sorted
-      .map(snapshot)
       .toSeq
+
+  /** All live snapshots, oldest first. */
+  def snapshots: Seq[Snapshot] = snapshotIds.map(snapshot)
 
   /** Publish snapshot `expectedParent + 1` — optimistic concurrency:
     * the publish is a compare-and-swap (no-overwrite `rename` on
@@ -2049,69 +2054,24 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // (the alignableSchemas gate above guarantees this succeeds)
     var del = GraftTable.alignEvolved(
       live(from, from.files.filterNot(toSet)), from.id, to, to.schema).get
-    // equality-predicate diff on CARRIED files: rows live at `from`
-    // that a predicate added in-range scopes and matches are the
-    // range's deletes; rows live at `to` that a removed predicate
-    // used to kill are its restores. Scan cost is bounded by the
-    // stats-pruned candidate files per predicate, never the carried
-    // set — the same economics as the equality-delete read path.
-    val newPreds = to.dels.filterNot(from.dels.toSet)
-    val gonePreds = from.dels.filterNot(to.dels.toSet)
-    if ((newPreds.nonEmpty || gonePreds.nonEmpty) &&
-        (toSet intersect fromSet).nonEmpty) {
-      // an equality-predicate diff and a tombstone/DV diff in the SAME
-      // range could both claim one row (a predicate may match rows a
-      // tombstone already killed — the predicate commits without a
-      // scan), which would double-emit its delete image. A single
-      // commit is always one style, so per-commit streaming ranges
-      // never mix; batch callers split at the boundary.
-      require(from.posDels.toSet == to.posDels.toSet &&
-          from.dvs == to.dvs,
-        "changelog range mixes an equality-delete diff with a " +
-          "position-tombstone/DV diff: split the range at the " +
-          "delete-style boundary")
-      // predicate TEXT binds names of its own commit's era; a rename
-      // inside the range would make it unresolvable (or worse,
-      // mis-bound) against either endpoint's frame — refuse like the
-      // tombstone/rename interplay does, with the same remedy
-      require(to.renames.forall(_.seq <= from.id),
-        "changelog range mixes an equality-delete diff with a column " +
-          "rename: split the range at the evolution boundary")
-      val carried = (toSet intersect fromSet).toSeq.sorted
-      // predicates evaluate over the owner's live view ALIGNED to the
-      // `to` schema (an in-range ADD COLUMN backfills before the
-      // predicate sees the row — exactly what a to-reader surfaces,
-      // so `note IS NULL` kills pre-add rows here as it does there)
-      def matching(owner: Snapshot,
-          preds: Seq[DeletePred]): Option[DataFrame] =
-        carried
-          .map(f => f -> preds.filter(_.seq >
-            owner.fileSeq.getOrElse(f, 0L)))
-          .filter(_._2.nonEmpty)
-          .groupBy(_._2).toSeq
-          .sortBy(_._2.head._1)
-          .flatMap { case (ps, scopedPairs) =>
-            val scoped = owner.copy(files = scopedPairs.map(_._1))
-            val cand = ps.flatMap(p => pruneByStats(scoped, p.pred))
-              .distinct.sorted
-            if (cand.isEmpty) None
-            else Some(GraftTable.alignEvolved(
-              morRead(owner, cand), owner.id, to, to.schema).get
-              .filter(ps.map(p => coalesce(expr(p.pred), lit(false)))
-                .reduce(_ || _)))
-          }
-          .reduceOption(_.unionByName(_))
-      matching(from, newPreds).foreach(d => del = del.unionByName(d))
-      matching(to, gonePreds).foreach(i => ins = ins.unionByName(i))
-    }
-    // carried files change their live set only through the tombstone
-    // diff; tombstone files shared by both endpoints cancel without a
+    // carried files change their live set through the TOMBSTONE/DV
+    // diff and the EQUALITY-PREDICATE diff. The tombstone diff runs
+    // first so the predicate diff can multiset-dedupe against it: a
+    // predicate commits without a scan, so it may match rows a
+    // tombstone (or DV) in the same range already killed — per row
+    // VALUE the true delete count is max(predicate-killed,
+    // tombstone-killed), which `eq EXCEPT ALL tombstone` + union
+    // computes exactly (and symmetrically for rollback restores).
+    // Tombstone files shared by both endpoints cancel without a
     // read, and a (file, pos) re-tombstoned through a different file
-    // (rollback then re-delete) cancels in the bidirectional anti-join
+    // (rollback then re-delete) cancels in the bidirectional
+    // anti-join.
     val fromT = from.posDels.toSet
     val toT = to.posDels.toSet
     val newTFiles = to.posDels.filterNot(fromT)
     val goneTFiles = from.posDels.filterNot(toT)
+    var tDel: Option[DataFrame] = None
+    var tIns: Option[DataFrame] = None
     // tombstone diffs only matter for files CARRIED across the range
     // (added/removed files already read under their own endpoint's
     // tombstones in live()); with no carried files — the initial-load
@@ -2175,8 +2135,63 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
             rowsPos(GraftTable.PosFileCol) === t("_file") &&
               rowsPos(GraftTable.PosIdxCol) === t("_pos"), "left_semi")
           .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
-        del = del.unionByName(at(newT))
-        ins = ins.unionByName(at(goneT))
+        tDel = Some(at(newT))
+        tIns = Some(at(goneT))
+        del = del.unionByName(tDel.get)
+        ins = ins.unionByName(tIns.get)
+      }
+    }
+    // equality-predicate diff on CARRIED files: rows live at `from`
+    // that a predicate added in-range scopes and matches are the
+    // range's deletes; rows live at `to` that a removed predicate
+    // used to kill are its restores. Scan cost is bounded by the
+    // stats-pruned candidate files per predicate, never the carried
+    // set — the same economics as the equality-delete read path.
+    val newPreds = to.dels.filterNot(from.dels.toSet)
+    val gonePreds = from.dels.filterNot(to.dels.toSet)
+    if ((newPreds.nonEmpty || gonePreds.nonEmpty) &&
+        (toSet intersect fromSet).nonEmpty) {
+      // predicate TEXT binds names of its own commit's era; a rename
+      // inside the range would make it unresolvable (or worse,
+      // mis-bound) against either endpoint's frame — refuse like the
+      // tombstone/rename interplay does, with the same remedy
+      require(to.renames.forall(_.seq <= from.id),
+        "changelog range mixes an equality-delete diff with a column " +
+          "rename: split the range at the evolution boundary")
+      val carried = (toSet intersect fromSet).toSeq.sorted
+      // predicates evaluate over the owner's live view ALIGNED to the
+      // `to` schema (an in-range ADD COLUMN backfills before the
+      // predicate sees the row — exactly what a to-reader surfaces,
+      // so `note IS NULL` kills pre-add rows here as it does there)
+      def matching(owner: Snapshot,
+          preds: Seq[DeletePred]): Option[DataFrame] =
+        carried
+          .map(f => f -> preds.filter(_.seq >
+            owner.fileSeq.getOrElse(f, 0L)))
+          .filter(_._2.nonEmpty)
+          .groupBy(_._2).toSeq
+          .sortBy(_._2.head._1)
+          .flatMap { case (ps, scopedPairs) =>
+            val scoped = owner.copy(files = scopedPairs.map(_._1))
+            val cand = ps.flatMap(p => pruneByStats(scoped, p.pred))
+              .distinct.sorted
+            if (cand.isEmpty) None
+            else Some(GraftTable.alignEvolved(
+              morRead(owner, cand), owner.id, to, to.schema).get
+              .filter(ps.map(p => coalesce(expr(p.pred), lit(false)))
+                .reduce(_ || _)))
+          }
+          .reduceOption(_.unionByName(_))
+      // per row VALUE, the predicate kills every copy it matches —
+      // tombstoned-in-range copies included — so the true delete
+      // multiplicity is max(predicate-matched, tombstoned), i.e. the
+      // tombstone contribution plus the predicate EXCESS over it
+      // (multiset EXCEPT ALL); same law on the restore side
+      matching(from, newPreds).foreach { d =>
+        del = del.unionByName(tDel.fold(d)(d.exceptAll(_)))
+      }
+      matching(to, gonePreds).foreach { i =>
+        ins = ins.unionByName(tIns.fold(i)(i.exceptAll(_)))
       }
     }
     ins.exceptAll(del).withColumn("_change_type", lit("insert"))
@@ -3330,35 +3345,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // must fail this commit, not some future read
     readFiles(snap.schema, Nil, snap.partitionCols).filter(expr(predSql))
     // own op string ("delete-eq", vs the tombstone path's
-    // "delete-mor"): the streaming change feed clamps its admission
-    // at the eq/tombstone style boundary from commit HEADERS alone
-    // ([[GraftLakeSource]] via [[styleBoundary]]), which needs the
-    // two styles distinguishable without a manifest parse
+    // "delete-mor"): operators reading `history`/`snapshots` metadata
+    // can tell the two delete styles apart without a manifest parse
     commit("delete-eq", snap.schema, snap.files, snap.partitionCols,
       expectedParent = snap.id,
       delsOverride = Some(snap.dels :+ DeletePred(snap.id + 1, predSql)))
-  }
-
-  /** Admission clamp for the streaming change feed: the largest `to`
-    * in `(from, proposed]` such that the range never mixes an
-    * equality-delete commit with any other commit — an eq-delete
-    * commit always gets its OWN single-commit batch, so the
-    * changelog's "split the range at the delete-style boundary"
-    * refusal is unreachable from a stream at ANY
-    * maxCommitsPerTrigger (the r17 review's default-drain-all wedge).
-    * Header-cached walk: O(range) 4 KB prefix reads, once per JVM. */
-  private[graft] def styleBoundary(from: Long, proposed: Long): Long = {
-    var id = from + 1
-    while (id <= proposed) {
-      // rollbacks batch alone too: a rollback can REMOVE an equality
-      // predicate (restoring its rows), which is the same
-      // predicate-diff shape as adding one
-      if (header(id).exists(h =>
-          h.op == "delete-eq" || h.op == "rollback"))
-        return if (id == from + 1) id else id - 1
-      id += 1
-    }
-    proposed
   }
 
   /** Merge-on-read DELETE with POSITION tombstones (Iceberg v2's
@@ -5807,13 +5798,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // (~4 KB prefix, cached per JVM) serves ts — a full manifest
     // parse per snapshot would cost O(history × manifest size) on a
     // long-lived table for fields the header already carries
-    val ids =
-      if (!fs.exists(metaDir)) Seq.empty[Long]
-      else fs.listStatus(metaDir).map(_.getPath.getName)
-        .collect { case n if n.startsWith("snap-") && n.endsWith(".meta") =>
-          n.stripPrefix("snap-").stripSuffix(".meta").toLong
-        }.sorted.toSeq
-    val rows = ids.map { id =>
+    val rows = snapshotIds.map { id =>
       val ts = header(id).map(_.ts).getOrElse(0L)
       Row(if (ts > 0) java.lang.Long.valueOf(ts) else null,
         snapPath(id).toString, id, id == cur)

@@ -113,16 +113,7 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
     * listing, no manifest opens. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = valueOf(start)
-    val proposed = math.min(head, from + maxCommitsPerTrigger)
-    // change-feed ranges must not mix an equality-delete commit with
-    // any other commit (the changelog's delete-style-boundary
-    // refusal): clamp admission so the eq commit batches alone —
-    // correct at ANY maxCommitsPerTrigger, including the drain-all
-    // default. Header-cached walk, no manifest parse.
-    LongOffset(
-      if (changeFeed && proposed > from)
-        table.styleBoundary(from, proposed)
-      else proposed)
+    LongOffset(math.min(head, from + maxCommitsPerTrigger))
   }
 
   /** Non-admission-control engines poll this instead. */

@@ -4759,19 +4759,35 @@ class LakehouseSpec extends AnyFunSuite {
     assert(net.filter(_._2 > 0).keys.toSeq.sorted ==
       t.read().select("k").collect().map(_.getLong(0)).sorted.toSeq,
       s"the drained feed must replay to the live state: ${feed.toSeq}")
-    // a range mixing an eq-predicate diff with a tombstone diff
-    // refuses (a predicate can match rows a tombstone already killed)
+    // a range MIXING an eq-predicate diff with a tombstone diff
+    // composes by multiset dedupe: the predicate (tag='a') ALSO
+    // matches the tombstoned row 5 — one delete image, never two
     t.setProperties(t.properties + ("write.delete.style" -> "position"))
     t.deleteMoRPos("k = 5")                                  // snap 6
     t.setProperties(t.properties + ("write.delete.style" -> "equality"))
     t.deleteMoR("tag = 'a'")                                 // snap 7
-    val e = intercept[IllegalArgumentException](t.changes(5, 7))
-    assert(e.getMessage.contains("split the range"))
-    // …and the per-commit sub-ranges each compose fine
-    assert(t.changes(5, 6).count() == 1 && t.changes(6, 7).count() >= 1)
-    // a DEFAULT (drain-all) CDC stream over the same mixed history
-    // still drains: latestOffset clamps admission at eq/rollback
-    // boundaries, so the refusal above is unreachable from a stream
+    val mixed = t.changes(5, 7)
+    assert(mixed.filter(col("_change_type") =!= "delete").count() == 0 &&
+      mixed.select("k").collect().map(_.getLong(0)).sorted
+        .sameElements(Array(1L, 5L)),
+      s"a mixed eq+tombstone range must emit each dead row ONCE")
+    // …and the per-commit sub-ranges agree: (5,6] the tombstone on
+    // row 5, (6,7] the predicate's OTHER victim only (5 was already
+    // dead at the from endpoint)
+    assert(t.changes(5, 6).count() == 1 &&
+      t.changes(6, 7).select("k").head.getLong(0) == 1L)
+    // a single ROLLBACK reverting across BOTH delete styles composes
+    // the same way on the restore side (the r17 review's unsplittable
+    // one-commit range): each restored row inserts exactly once
+    t.rollback(5)                                            // snap 8
+    val restored2 = t.changes(7, 8)
+    assert(restored2.filter(col("_change_type") =!= "insert").count() == 0 &&
+      restored2.select("k").collect().map(_.getLong(0)).sorted
+        .sameElements(Array(1L, 5L)),
+      "a rollback across both delete styles restores each row once")
+    // a DEFAULT (drain-all) CDC stream over the full mixed history
+    // (eq deletes, tombstones, rollbacks) drains and replays to the
+    // live state
     val qn2 = "eqdel_mixed_" +
       java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val q2 = spark.readStream.format("graft-lake")
