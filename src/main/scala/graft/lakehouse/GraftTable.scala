@@ -2066,6 +2066,30 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // read, and a (file, pos) re-tombstoned through a different file
     // (rollback then re-delete) cancels in the bidirectional
     // anti-join.
+    // equality predicates rendered ERA-CORRECT: a predicate's column
+    // references bind the names current at its own commit. Renames
+    // committed after it are possible only for a predicate REMOVED by
+    // an in-range rollback (renameColumn refuses while predicates are
+    // pending), and replay forward onto the text's references so it
+    // evaluates against frames at the `to` schema. Nested renames
+    // have no sound text rewrite and refuse loudly.
+    def predCond(p: DeletePred): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.GraftSqlBridge.columnOf
+      val later = to.renames.filter(_.seq > p.seq)
+      require(later.forall(r =>
+          !r.from.contains(".") && !r.to.contains(".")),
+        "changelog range renames a nested column after an equality " +
+          "predicate in its diff committed: compact() first")
+      val e = spark.sessionState.sqlParser.parseExpression(p.pred)
+        .transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute if a.nameParts.size == 1 =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+              Seq(later.foldLeft(a.nameParts.head)((n, r) =>
+                if (r.from.equalsIgnoreCase(n)) r.to else n)))
+        }
+      coalesce(columnOf(e), lit(false))
+    }
     val fromT = from.posDels.toSet
     val toT = to.posDels.toSet
     val newTFiles = to.posDels.filterNot(fromT)
@@ -2131,12 +2155,38 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
             .reduceOption(_.unionByName(_))
             .getOrElse(readFilesPos(to.schema, Nil, to.partitionCols))
         }
-        def at(t: DataFrame): DataFrame = rowsPos.join(t,
-            rowsPos(GraftTable.PosFileCol) === t("_file") &&
-              rowsPos(GraftTable.PosIdxCol) === t("_pos"), "left_semi")
-          .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
-        tDel = Some(at(newT))
-        tIns = Some(at(goneT))
+        // the cross-direction rollback law: a positionally-named row
+        // is a DELETE only if it was LIVE at `from` (a rollback can
+        // flip a row's death from predicate to tombstone inside one
+        // range — the row was never alive to delete), and a restored
+        // row an INSERT only if it is LIVE at `to` (not re-killed by
+        // a predicate the range added). The filter applies the
+        // endpoint's SCOPED predicates per file group on the
+        // position-carrying frame.
+        def at(t: DataFrame, liveAt: Snapshot): DataFrame = {
+          val named = rowsPos.join(t,
+              rowsPos(GraftTable.PosFileCol) === t("_file") &&
+                rowsPos(GraftTable.PosIdxCol) === t("_pos"), "left_semi")
+          val alive =
+            if (liveAt.dels.isEmpty) named
+            else {
+              val cond = touched
+                .groupBy(f => liveAt.dels.filter(_.seq >
+                  liveAt.fileSeq.getOrElse(f, 0L)))
+                .toSeq.sortBy(_._2.headOption.getOrElse(""))
+                .map { case (ps, fs) =>
+                  val member = col(GraftTable.PosFileCol)
+                    .isin(fs.map(metaPath): _*)
+                  if (ps.isEmpty) member
+                  else member && ps.map(p => not(predCond(p))).reduce(_ && _)
+                }
+                .reduce(_ || _)
+              named.filter(cond)
+            }
+          alive.drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
+        }
+        tDel = Some(at(newT, from))
+        tIns = Some(at(goneT, to))
         del = del.unionByName(tDel.get)
         ins = ins.unionByName(tIns.get)
       }
@@ -2151,13 +2201,6 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val gonePreds = from.dels.filterNot(to.dels.toSet)
     if ((newPreds.nonEmpty || gonePreds.nonEmpty) &&
         (toSet intersect fromSet).nonEmpty) {
-      // predicate TEXT binds names of its own commit's era; a rename
-      // inside the range would make it unresolvable (or worse,
-      // mis-bound) against either endpoint's frame — refuse like the
-      // tombstone/rename interplay does, with the same remedy
-      require(to.renames.forall(_.seq <= from.id),
-        "changelog range mixes an equality-delete diff with a column " +
-          "rename: split the range at the evolution boundary")
       val carried = (toSet intersect fromSet).toSeq.sorted
       // predicates evaluate over the owner's live view ALIGNED to the
       // `to` schema (an in-range ADD COLUMN backfills before the
@@ -2178,15 +2221,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
             if (cand.isEmpty) None
             else Some(GraftTable.alignEvolved(
               morRead(owner, cand), owner.id, to, to.schema).get
-              .filter(ps.map(p => coalesce(expr(p.pred), lit(false)))
-                .reduce(_ || _)))
+              .filter(ps.map(predCond).reduce(_ || _)))
           }
           .reduceOption(_.unionByName(_))
       // per row VALUE, the predicate kills every copy it matches —
       // tombstoned-in-range copies included — so the true delete
       // multiplicity is max(predicate-matched, tombstoned), i.e. the
       // tombstone contribution plus the predicate EXCESS over it
-      // (multiset EXCEPT ALL); same law on the restore side
+      // (multiset EXCEPT ALL); same law on the restore side.
+      // tDel/tIns appear twice in the final plan (the union above and
+      // this EXCEPT ALL's right side) — a CONSCIOUS cost, paid only
+      // on genuinely-mixed ranges: the frame is a positional read of
+      // the range's DML-touched files, there is no sound lifecycle
+      // hook to cache it inside a lazily-consumed DataFrame, and
+      // correctness of the dedupe is worth two bounded scans
       matching(from, newPreds).foreach { d =>
         del = del.unionByName(tDel.fold(d)(d.exceptAll(_)))
       }

@@ -4785,13 +4785,17 @@ class LakehouseSpec extends AnyFunSuite {
       restored2.select("k").collect().map(_.getLong(0)).sorted
         .sameElements(Array(1L, 5L)),
       "a rollback across both delete styles restores each row once")
-    // a DEFAULT (drain-all) CDC stream over the full mixed history
-    // (eq deletes, tombstones, rollbacks) drains and replays to the
-    // live state
+    // a CDC stream over the full mixed history (eq deletes,
+    // tombstones, rollbacks) drains and replays to the live state —
+    // maxCommitsPerTrigger=2 makes the batches land MID-history
+    // ranges like (4,6] (rollback + tombstone: a predicate diff and
+    // a tombstone diff in one batch), so the composed mixed path is
+    // exercised by the stream, not just the batch API
     val qn2 = "eqdel_mixed_" +
       java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val q2 = spark.readStream.format("graft-lake")
-      .option("readChangeFeed", "true").load(t.location)
+      .option("readChangeFeed", "true")
+      .option("maxCommitsPerTrigger", 2).load(t.location)
       .writeStream.format("memory").queryName(qn2)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
@@ -4827,8 +4831,10 @@ class LakehouseSpec extends AnyFunSuite {
       "the aligned pre-add rows must match the predicate")
     assert(d.filter(col("_change_type") === "insert")
       .select("k").head.getLong(0) == 3L)
-    // an in-range RENAME with a predicate diff refuses loudly (the
-    // predicate text binds names of its own era)
+    // an in-range RENAME followed by a predicate (the only legal
+    // order — renameColumn refuses while predicates are pending)
+    // COMPOSES: the predicate's text already binds the post-rename
+    // names, and the frames align to the `to` schema
     val t2 = freshTable(Seq((1L, "a", 1.0)))                  // snap 1
     t2.setProperties(Map(
       "write.delete.mode" -> "merge-on-read",
@@ -4836,11 +4842,51 @@ class LakehouseSpec extends AnyFunSuite {
     t2.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))      // snap 2
     t2.renameColumn("tag", "label")                           // snap 3
     t2.deleteMoR("label = 'b'")                               // snap 4
-    val e = intercept[IllegalArgumentException](t2.changes(2, 4))
-    assert(e.getMessage.contains("evolution boundary"))
-    // …the per-commit sub-ranges compose (rename nets empty, the
-    // predicate commit emits its delete)
+    val spanned = t2.changes(2, 4)
+    assert(spanned.columns.contains("label") &&
+      spanned.filter(col("_change_type") === "delete")
+        .select("k").head.getLong(0) == 2L,
+      "a rename+predicate range delivers under the post-rename name")
     assert(t2.changes(2, 3).isEmpty)
     assert(t2.changes(3, 4).select("k").head.getLong(0) == 2L)
+  }
+
+  test("equality-delete feed: cross-direction rollbacks emit no " +
+      "phantom rows (a row dead at both endpoints nets to nothing)") {
+    // tombstone → rollback → predicate: the row's death flips style
+    // across the range; the restored-tombstone side must not emit an
+    // insert for a row the predicate re-killed
+    val t = freshTable(Seq((1L, "a", 1.0), (5L, "b", 5.0)))   // snap 1
+    t.setProperties(Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "position"))
+    t.deleteMoRPos("k = 5")                                   // snap 2
+    t.rollback(1)                                             // snap 3
+    t.setProperties(t.properties + ("write.delete.style" -> "equality"))
+    t.deleteMoR("k = 5")                                      // snap 4
+    assert(t.read().select("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L))
+    val f1 = t.changes(2, 4)
+    assert(f1.count() == 0,
+      s"dead at both endpoints must net to NOTHING: " +
+        s"${f1.collect().toSeq}")
+    // predicate → rollback → tombstone: the mirror image; the newly
+    // tombstoned row was never alive at `from`, so no delete image
+    val t2 = freshTable(Seq((1L, "a", 1.0), (5L, "b", 5.0)))  // snap 1
+    t2.setProperties(Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "equality"))
+    t2.deleteMoR("k = 5")                                     // snap 2
+    t2.rollback(1)                                            // snap 3
+    t2.setProperties(t2.properties +
+      ("write.delete.style" -> "position"))
+    t2.deleteMoRPos("k = 5")                                  // snap 4
+    val f2 = t2.changes(2, 4)
+    assert(f2.count() == 0,
+      s"the mirror case must also net to nothing: " +
+        s"${f2.collect().toSeq}")
+    // sanity: the same ranges against a LIVE endpoint still emit
+    assert(t2.changes(3, 4).filter(col("_change_type") === "delete")
+      .select("k").head.getLong(0) == 5L)
   }
 }
