@@ -280,6 +280,39 @@ object SecureCatalog {
       .flatMap(p.nsGrants.get).headOption
   }
 
+  /** PATH-ACCESS boundary (round 18, spec-pinned): a PRINCIPAL-BEARING
+    * session's path-addressed stream (`format("graft-lake")
+    * .load(<storage root>)`) of a root that a registry reverse lookup
+    * maps to a GOVERNED lake name refuses — every NAMED surface (SQL
+    * reads, TVFs, DESCRIBE/SHOW, DML) enforces policy, so an open
+    * path door through the streaming provider would be governance
+    * bypass. Sessions WITHOUT a principal are the storage-credential
+    * holder (the Lakeguard boundary: raw path access is the storage
+    * layer's to control — same convention as [[authorizeWrite]]'s
+    * admin pass), and batch `GraftTable.load` stays on that
+    * credential-holder side of the line by design: it is the
+    * engine-internal/owner API, not a policy surface. O(#registered
+    * names) driver-side per stream START — loads are rare. */
+  def authorizePathLoad(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    val who = spark.conf.get(PrincipalConf, "")
+    if (who.isEmpty) return
+    def norm(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toString
+    val target = norm(root)
+    val hit = graft.lakehouse.LakeRegistry.list.find { n =>
+      isVisibleName(n) && graft.lakehouse.LakeRegistry.get(n)
+        .exists(t => norm(t.location) == target)
+    }
+    hit.foreach { n =>
+      AuditLog.record(who, "PATH_LOAD", n, "DENIED",
+        "path-addressed stream over a governed root")
+      throw new AccessDeniedException(
+        s"principal '$who' may not address governed table '$n' by " +
+          "storage path; use the governed name")
+    }
+  }
+
   def authorizeWrite(principalName: String, relName: String, op: String): Unit = {
     if (principalName.isEmpty) return // admin / ungoverned session
     val target = resolveLink(relName)

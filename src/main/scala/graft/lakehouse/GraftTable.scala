@@ -697,6 +697,25 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   /** All live snapshots, oldest first. */
   def snapshots: Seq[Snapshot] = snapshotIds.map(snapshot)
 
+  /** The parent chain of `from` (default: the current head), newest
+    * first, as (snapshot_id, commit wall-clock millis) — Iceberg's
+    * `ancestors_of` procedure. Answered from cached HEADERS (bounded
+    * ~4 KB prefix reads, once per JVM) — never a full manifest parse,
+    * so the walk costs O(chain length) at any table size. An expired
+    * ancestor ends the walk (its lineage is no longer provable). */
+  def ancestorsOf(from: Long = -1L): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    var id = if (from > 0) from else currentSnapshotId
+    var done = false
+    while (!done && id > 0) {
+      header(id) match {
+        case Some(hd) => out += ((id, hd.ts)); id = hd.parent
+        case None     => done = true
+      }
+    }
+    out.result()
+  }
+
   /** Publish snapshot `expectedParent + 1` — optimistic concurrency:
     * the publish is a compare-and-swap (no-overwrite `rename` on
     * HDFS; atomic `link(2)` on local FS, where rename silently
@@ -1758,12 +1777,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * the from side is a `delete` (old image), only on the to side an
     * `insert`. Cost is O(changed files) rows through one join on an
     * 8-byte key — the text/content never drives the netting.
-    * DELETION VECTORS compose: pointer moves on carried files
-    * expand through the endpoint bitmap diff into keyed deletes
-    * (old image from the from-side live view) and rollback
-    * un-deletes, reading only the moved blobs and the named rows.
-    * Tombstone-bearing endpoints refuse (they can only predate
-    * lineage enablement — compact first). */
+    * ALL THREE MoR delete shapes compose: DV pointer moves and
+    * position-tombstone set diffs on carried files expand into keyed
+    * deletes (old image from the from-side live view) and rollback
+    * un-deletes, reading only the moved blobs and the named rows;
+    * EQUALITY predicates shared by both endpoints cancel through the
+    * live-view reads, and predicates that differ in-range expand
+    * over stats-pruned carried candidates into keyed deletes and
+    * restores. */
   def lineageChanges(fromId: Long, toId: Long): DataFrame =
     lineageChanges(fromId, toId, id => snapshot(id))
 
@@ -1776,20 +1797,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       snapOf: Long => Snapshot): DataFrame = {
     val to = snapOf(toId)
     val fromOpt = if (fromId == 0L) None else Some(snapOf(fromId))
-    // tombstone shapes refuse (they only predate lineage enablement);
-    // BOTH MoR delete shapes compose — the legs below read each
+    // ALL THREE MoR delete shapes compose — the legs below read each
     // endpoint's live view; DV pointer moves expand through a bitmap
     // diff and position-tombstone set diffs expand through the
     // immutable tombstone files, each on CARRIED files only (a feed
-    // that refused either shape would wedge permanently on the MoR
-    // DML lineage tables accept: the endpoint snapshot is immutable,
-    // so no later compaction could ever unwedge it). Only equality
-    // deletes refuse (no row-position identity to diff).
-    (fromOpt.toSeq :+ to).foreach { s =>
-      require(s.dels.isEmpty,
-        s"lineage changelog endpoint ${s.id} carries equality " +
-          "deletes: compact() first")
-    }
+    // that refused any shape would wedge permanently on the tables
+    // that accept it: the endpoint snapshot is immutable, so no later
+    // compaction could ever unwedge it). EQUALITY predicates — which
+    // can only predate enablement or a lineage-off window — apply
+    // inside every live-view read (lineageSource), so predicates
+    // SHARED by both endpoints cancel without any extra work, and
+    // predicates that DIFFER expand below into keyed deletes/restores
+    // over stats-pruned carried candidates, the r17 plain-feed
+    // expansion carried onto the rid-keyed join.
     require(!to.schema.fieldNames.exists(n =>
         n.equalsIgnoreCase("_row_id") || n.equalsIgnoreCase("_change_type")),
       "lineage changelog over a table with its own '_row_id' or " +
@@ -1800,6 +1820,24 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val toSet = to.files.toSet
     val added = to.files.filterNot(fromSet)
     val removed = fromFiles.filterNot(toSet)
+    // carried files must agree on their first-row-id at BOTH
+    // endpoints: a rollback to a PRE-ENABLEMENT snapshot re-assigns
+    // fresh id ranges to the files it restores (the target had none
+    // to carry), so a carried row would read DIFFERENT ids at the two
+    // endpoints and the keyed join would mis-pair every one of its
+    // rows as a phantom delete+insert. Refuse loudly, fail closed —
+    // rows that MATERIALIZE their id in-file would still pair, but
+    // the manifest cannot see which rows those are.
+    fromOpt.foreach { f =>
+      val unstable = to.files.filter(fromSet)
+        .filter(p => f.firstRowIds.get(p) != to.firstRowIds.get(p))
+      require(unstable.isEmpty,
+        s"lineage changelog endpoints ($fromId, $toId] disagree on " +
+          s"the first row id of ${unstable.size} carried file(s) " +
+          s"(e.g. ${unstable.head}) — the range crosses a rollback " +
+          "to a pre-lineage snapshot, which re-assigned row ids; " +
+          "restart the feed from the re-assignment")
+    }
     val cols = to.schema.fieldNames.toSeq
     // Null-backfilled ADD COLUMN is handled IN-RANGE (the from side
     // projects up to the to schema with null fills — exactly the
@@ -1901,12 +1939,74 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           }
         (at(from0, newPos), at(to, gonePos))
       }
-    val d = posDel.map(x => side(from, removed, "_d_")
+    var d = posDel.map(x => side(from, removed, "_d_")
         .unionByName(tagged(x, "_d_")))
       .getOrElse(side(from, removed, "_d_"))
-    val i = posIns.map(x => side(to, added, "_i_")
+    var i = posIns.map(x => side(to, added, "_i_")
         .unionByName(tagged(x, "_i_")))
       .getOrElse(side(to, added, "_i_"))
+    // EQUALITY-PREDICATE diff on CARRIED files, keyed (the r17
+    // plain-feed expansion with `_row_id` carried through): a
+    // predicate NEW in-range — reachable via a lineage-off window or
+    // a rollback re-applying one — kills exactly the carried rows it
+    // scopes and matches, emitted as keyed deletes with the from-side
+    // image; a predicate REMOVED in-range (rollback) restores its
+    // rows as keyed inserts from the to side. Candidates are
+    // add-sequence-scoped and STATS-PRUNED (the eq-read economics);
+    // each leg reads the OWNER's live view (lineageSource applies the
+    // owner's own predicates/tombstones/DVs), so the cross-direction
+    // liveness law falls out: a row dead at the owner never emits.
+    // Rows the range ALSO tombstone/DV-killed dedupe by rid against
+    // the positional legs — a rid must appear at most once per side
+    // or the keyed join would fan out.
+    val newPreds = to.dels.filterNot(from.dels.toSet)
+    val gonePreds = from.dels.filterNot(to.dels.toSet)
+    if ((newPreds.nonEmpty || gonePreds.nonEmpty) &&
+        (toSet intersect fromSet).nonEmpty) {
+      val carried = (toSet intersect fromSet).toSeq.sorted
+      def predMatched(owner: Snapshot,
+          preds: Seq[DeletePred]): Option[DataFrame] =
+        carried
+          .map(f => f -> preds.filter(_.seq >
+            owner.fileSeq.getOrElse(f, 0L)))
+          .filter(_._2.nonEmpty)
+          .groupBy(_._2).toSeq
+          .sortBy(_._2.head._1)
+          .flatMap { case (ps, scopedPairs) =>
+            val scoped = owner.copy(files = scopedPairs.map(_._1))
+            val cand = ps.flatMap(p => pruneByStats(scoped, p.pred))
+              .distinct.sorted
+            if (cand.isEmpty) None
+            else {
+              val rows = lineageSource(owner, cand)
+              // in-range ADD COLUMN: the predicate may reference a
+              // column the owner's schema lacks — null-backfill first
+              // (a pre-add row reads NULL there, exactly what a
+              // to-reader surfaces). No rename replay needed: the
+              // pending-rename refusal in lineageSource and the
+              // schema-compat gate above leave no reachable rename.
+              val have = rows.columns.toSet
+              val filled = to.schema.fields.filterNot(f => have(f.name))
+                .foldLeft(rows)((df, f) =>
+                  df.withColumn(f.name, lit(null).cast(f.dataType)))
+              Some(filled.filter(ps.map(p =>
+                coalesce(expr(p.pred), lit(false))).reduce(_ || _)))
+            }
+          }
+          .reduceOption(_.unionByName(_))
+      predMatched(from, newPreds).foreach { m =>
+        val deduped = posDel.fold(m)(t => m.join(
+          t.select(col(GraftTable.RowIdColName)),
+          Seq(GraftTable.RowIdColName), "left_anti"))
+        d = d.unionByName(tagged(deduped, "_d_"))
+      }
+      predMatched(to, gonePreds).foreach { m =>
+        val deduped = posIns.fold(m)(t => m.join(
+          t.select(col(GraftTable.RowIdColName)),
+          Seq(GraftTable.RowIdColName), "left_anti"))
+        i = i.unionByName(tagged(deduped, "_i_"))
+      }
+    }
     val joined = d.join(i, col("_d__rid") === col("_i__rid"), "full_outer")
     joined
       .withColumn("_change_type",
@@ -2278,22 +2378,25 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       // with a pre-size manifest) — rejecting it would permanently
       // wedge an append-mode stream whose range crosses it.
       // 'evolve-add' / 'evolve-notnull' / 'evolve-rename' /
-      // 'evolve-type' are file-neutral too (each commits the SAME
-      // file list under an evolved schema), and the batch-level
-      // schema check in the source decides whether the stream can
-      // present them (alignEvolved after a restart: null/DEFAULT
-      // backfill, forward rename replay, value-preserving up-cast;
-      // nullability normalizes) — the op-level refusal would wedge
-      // the checkpoint FOREVER, since the range containing the
-      // evolution commit never changes. Every other evolve op stays
-      // refused here: a DROP has no sound presentation under any
-      // declared schema (old files carry a column the schema
-      // retired), and a partition-spec evolution changes how carried
-      // files' directory values reconstitute.
+      // 'evolve-type' / 'evolve-drop' are file-neutral too (each
+      // commits the SAME file list under an evolved schema), and the
+      // batch-level schema check in the source decides whether the
+      // stream can present them (alignEvolved after a restart:
+      // null/DEFAULT backfill, forward rename replay,
+      // value-preserving up-cast, dropped columns PROJECTED AWAY via
+      // the retire log — exactly what a to-reader does for old
+      // files; nullability normalizes) — the op-level refusal would
+      // wedge the checkpoint FOREVER, since the range containing the
+      // evolution commit never changes. A RUNNING stream (declared
+      // schema predating the drop) still refuses at the batch level:
+      // alignEvolved never backfills a batch NEWER than the pinned
+      // head. Every other evolve op stays refused here: a
+      // partition-spec evolution changes how carried files'
+      // directory values reconstitute.
       require(hd.op == "create" || hd.op == "append" ||
           hd.op == "backfill-sizes" || hd.op == "evolve-add" ||
           hd.op == "evolve-notnull" || hd.op == "evolve-rename" ||
-          hd.op == "evolve-type",
+          hd.op == "evolve-type" || hd.op == "evolve-drop",
         s"snapshot $id is op '${hd.op}': incremental/streaming " +
           "reads are defined over append-only lineage (rewrites would " +
           "re-surface already-delivered rows)")
@@ -2873,8 +2976,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // a tombstone rename retires the name: its bytes remain in old
     // files, and addColumns refuses to reuse the name until a rewrite
     val tombstone =
-      if (parts.length == 1) s"__graft_dropped_$resolved"
-      else (parts.init :+ s"__graft_dropped_${parts.last}").mkString(".")
+      if (parts.length == 1) s"${GraftTable.DroppedPrefix}$resolved"
+      else (parts.init :+
+        s"${GraftTable.DroppedPrefix}${parts.last}").mkString(".")
     commit("evolve-drop", newSchema,
       snap.files, snap.partitionCols, expectedParent = snap.id,
       renamesOverride = Some(snap.renames :+
@@ -3154,11 +3258,6 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * COW-rewrite source and the [[readLineage]] body. */
   private def lineageSource(snap: Snapshot, files: Seq[String],
       keepMeta: Boolean = false): DataFrame = {
-    require(snap.dels.isEmpty,
-      "row lineage over pending EQUALITY deletes is not supported: " +
-        "compact() to materialize them first (position tombstones " +
-        "and deletion vectors compose — both Iceberg v3 delete " +
-        "shapes)")
     require(snap.renames.isEmpty,
       "row lineage across a pending column rename is not supported: " +
         "compact() to clear the rename log first")
@@ -3197,7 +3296,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         snap.firstRowIds(f), snap.fileSeq.getOrElse(f, snap.id)))
       .toDF("_g_file", "_g_first", "_g_fseq")
     val meta = if (files.sizeIs <= 100000) broadcast(meta0) else meta0
-    val derived = base.join(meta, "_g_file")
+    val derived0 = base.join(meta, "_g_file")
       .withColumn(GraftTable.RowIdColName,
         coalesce(col(GraftTable.RowIdColName),
           col("_g_first") + col("_g_idx")))
@@ -3205,6 +3304,21 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         when(col(GraftTable.LastSeqColName).isNull ||
             col(GraftTable.LastSeqColName) === -1L, col("_g_fseq"))
           .otherwise(col(GraftTable.LastSeqColName)))
+    // EQUALITY-DELETE predicates compose with lineage by the same
+    // argument as DVs and tombstones below (a predicate touches no
+    // data file, so every survivor's (file, idx) — and therefore its
+    // id and last-update — is untouched; the killed rows simply stop
+    // surfacing): each pending predicate kills rows of files with a
+    // LOWER add-sequence that match it (the sequence rule), evaluated
+    // as one codegen'd null-rejecting filter riding the _g_fseq this
+    // read already carries — no per-group unions. Predicates can only
+    // PREDATE enablement or a lineage-off window (the MoR guard
+    // refuses committing them while lineage is on, Iceberg v3's
+    // contract), and the pending-rename refusal above means their
+    // text binds the current column names.
+    val derived = snap.dels.foldLeft(derived0)((df, p) =>
+      df.filter(not(coalesce(expr(p.pred), lit(false)) &&
+        col("_g_fseq") < lit(p.seq))))
     // DELETION VECTORS compose with lineage (Iceberg v3 ships them
     // together, and the math says why: a DV delete touches no data
     // file, so every surviving row's (file, idx) — and therefore its
@@ -3392,6 +3506,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // resolve the predicate against the snapshot schema NOW — a typo
     // must fail this commit, not some future read
     readFiles(snap.schema, Nil, snap.partitionCols).filter(expr(predSql))
+    // pin the changelog's rename-replay invariant AT THE COMMIT
+    // BOUNDARY: predCond rewrites only single-part attribute
+    // references, so a stored predicate must never carry a qualified
+    // or multi-part reference (today unreachable — the unaliased
+    // resolve above refuses qualified refs — but the replay's
+    // assumption deserves an explicit guard where the text persists)
+    spark.sessionState.sqlParser.parseExpression(predSql).foreach {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        require(a.nameParts.size == 1,
+          s"equality-delete predicate may only reference top-level " +
+            s"columns by bare name, got '${a.name}'")
+      case _ => ()
+    }
     // own op string ("delete-eq", vs the tombstone path's
     // "delete-mor"): operators reading `history`/`snapshots` metadata
     // can tell the two delete styles apart without a manifest parse
@@ -4282,18 +4409,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // the new files and the delete predicates clear
     // a lineage table's compaction must carry every row's id and
     // last-update into the fresh files. States lineageSource cannot
-    // serve — pending renames, initial-default columns, or equality
-    // deletes — can only PREDATE enablement (the DDL and MoR guards
-    // refuse creating them afterwards); for those, compact is the
-    // cleanup that makes lineage serviceable, so it falls back to
-    // the plain live view and the rewritten rows take fresh ids
-    // (lineage "starts" once the table is clean — anything else
-    // would wedge: the refusals name compact() as the remedy).
-    // Position tombstones and DVs COMPOSE: lineage-preserving
-    // compaction materializes them while carrying ids.
+    // serve — pending renames or initial-default columns — can only
+    // PREDATE enablement (the DDL guards refuse creating them
+    // afterwards); for those, compact is the cleanup that makes
+    // lineage serviceable, so it falls back to the plain live view
+    // and the rewritten rows take fresh ids (lineage "starts" once
+    // the table is clean — anything else would wedge: the refusals
+    // name compact() as the remedy). ALL THREE MoR delete shapes
+    // COMPOSE: lineage-preserving compaction materializes equality
+    // predicates, tombstones, and DVs while carrying survivor ids.
     val lineageServable = lineageEnabled &&
       snap.renames.isEmpty && defaultedCols(snap).isEmpty &&
-      snap.dels.isEmpty &&
       snap.files.forall(snap.firstRowIds.contains)
     val base =
       if (lineageServable) lineageSource(snap, snap.files)
@@ -5778,14 +5904,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     import scala.jdk.CollectionConverters._
     val snap = currentSnapshot
     val rows = snap.files.map { f =>
-      val seq = snap.fileSeq.getOrElse(f, snap.id)
-      Row(if (seq == snap.id) "ADDED" else "EXISTING", seq, f,
+      // a file with NO fileSeq entry has an unknown adding commit —
+      // surface status UNKNOWN with a null snapshot_id (the same
+      // null convention as the missing rows/size stats) instead of
+      // silently misattributing it as ADDED by the current snapshot
+      val seq = snap.fileSeq.get(f)
+      Row(seq.map(s => if (s == snap.id) "ADDED" else "EXISTING")
+          .getOrElse("UNKNOWN"),
+        seq.map(java.lang.Long.valueOf).orNull, f,
         snap.fileRows.get(f).map(java.lang.Long.valueOf).orNull,
         snap.fileSizes.get(f).map(java.lang.Long.valueOf).orNull)
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("status", org.apache.spark.sql.types.StringType, false),
-      StructField("snapshot_id", org.apache.spark.sql.types.LongType, false),
+      StructField("snapshot_id", org.apache.spark.sql.types.LongType, true),
       StructField("file", org.apache.spark.sql.types.StringType, false),
       StructField("rows", org.apache.spark.sql.types.LongType, true),
       StructField("size_bytes", org.apache.spark.sql.types.LongType,
@@ -5809,23 +5941,26 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // first-seen wins: the manifest that introduced the file carries
     // its add-sequence and footer stats
     val seen = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Long, Option[Long], Option[Long])]
+      .empty[String, (Option[Long], Option[Long], Option[Long])]
     snapshots.foreach { sn =>
       sn.files.foreach { f =>
+        // a missing fileSeq entry surfaces as a null
+        // added_snapshot_id (the stats' null convention), not a
+        // misattribution to whichever snapshot listed it first
         if (!seen.contains(f))
-          seen(f) = (sn.fileSeq.getOrElse(f, sn.id),
+          seen(f) = (sn.fileSeq.get(f),
             sn.fileRows.get(f), sn.fileSizes.get(f))
       }
     }
     val rows = seen.toSeq.sortBy(_._1).map { case (f, (seq, nr, sz)) =>
-      Row(f, seq, live.contains(f),
+      Row(f, seq.map(java.lang.Long.valueOf).orNull, live.contains(f),
         nr.map(java.lang.Long.valueOf).orNull,
         sz.map(java.lang.Long.valueOf).orNull)
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("file", org.apache.spark.sql.types.StringType, false),
       StructField("added_snapshot_id", org.apache.spark.sql.types.LongType,
-        false),
+        true),
       StructField("in_current", org.apache.spark.sql.types.BooleanType,
         false),
       StructField("rows", org.apache.spark.sql.types.LongType, true),
@@ -5859,6 +5994,122 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         false),
       StructField("is_current", org.apache.spark.sql.types.BooleanType,
         false))))
+  }
+
+  /** Iceberg's `table.all_manifests` metadata table: every manifest
+    * file any LIVE snapshot references — the per-snapshot manifest
+    * plus the shard files it carries (shards are immutable and carried
+    * by reference, so one shard path can serve many snapshots; like
+    * [[allFilesMetadata]], first-seen wins and carries the earliest
+    * referencing snapshot). `entries` counts the file entries each
+    * manifest holds inline (shards list their own). O(#snapshots)
+    * manifest parses, zero data reads — the maintenance-dashboard
+    * view behind "how much metadata is this table carrying". */
+  def allManifestsMetadata: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val cur = currentSnapshotId
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, Long, Long)] // path -> (kind, snap, entries)
+    snapshots.foreach { sn =>
+      val sharded = sn.shards.map(_.files.size.toLong).sum
+      if (!seen.contains(snapPath(sn.id).toString))
+        seen(snapPath(sn.id).toString) =
+          ("manifest", sn.id, sn.files.size.toLong - sharded)
+      sn.shards.foreach { sh =>
+        if (!seen.contains(sh.path))
+          seen(sh.path) = ("shard", sn.id, sh.files.size.toLong)
+      }
+    }
+    val rows = seen.toSeq.map { case (p, (kind, id, n)) =>
+      Row(p, kind, id, id == cur, n)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("path", org.apache.spark.sql.types.StringType, false),
+      StructField("kind", org.apache.spark.sql.types.StringType, false),
+      StructField("snapshot_id", org.apache.spark.sql.types.LongType,
+        false),
+      StructField("is_current", org.apache.spark.sql.types.BooleanType,
+        false),
+      StructField("entries", org.apache.spark.sql.types.LongType,
+        false))))
+  }
+
+  /** Iceberg's `table.all_entries` metadata table: the manifest
+    * entries of EVERY live snapshot — per (listing snapshot, data
+    * file): the entry's status AT that snapshot (ADDED by it vs
+    * EXISTING carried by reference, UNKNOWN when the adding commit
+    * was not recorded), the adding commit, and the footer stats. The
+    * audit view behind "which snapshot first carried this file, and
+    * when did it leave". O(#snapshots) manifest parses, zero data
+    * reads. */
+  def allEntriesMetadata: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = snapshots.flatMap { sn =>
+      sn.files.map { f =>
+        val seq = sn.fileSeq.get(f)
+        Row(sn.id,
+          seq.map(s => if (s == sn.id) "ADDED" else "EXISTING")
+            .getOrElse("UNKNOWN"),
+          seq.map(java.lang.Long.valueOf).orNull, f,
+          sn.fileRows.get(f).map(java.lang.Long.valueOf).orNull,
+          sn.fileSizes.get(f).map(java.lang.Long.valueOf).orNull)
+      }
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("snapshot_id", org.apache.spark.sql.types.LongType,
+        false),
+      StructField("status", org.apache.spark.sql.types.StringType, false),
+      StructField("added_snapshot_id",
+        org.apache.spark.sql.types.LongType, true),
+      StructField("file", org.apache.spark.sql.types.StringType, false),
+      StructField("rows", org.apache.spark.sql.types.LongType, true),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType,
+        true))))
+  }
+
+  /** Iceberg's `table.position_deletes` metadata table: the CONTENT
+    * of the current snapshot's pending position-delete artifacts —
+    * one row per tombstoned (data file, row position) with the
+    * artifact that carries it. Tombstone parquet reads directly;
+    * deletion-vector bitmaps expand through the same native
+    * bitset-positions expression the read path probes. Reads ONLY
+    * delete artifacts — never a data file — so the operator's "what
+    * un-materialized DML is pending, row by row" view costs the
+    * artifacts' own size at any table size. `file_path` is in
+    * `_metadata.file_path` (URL-encoded) form, the form the
+    * artifacts themselves store. */
+  def positionDeletesMetadata: DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf}
+    val snap = currentSnapshot
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("file_path", org.apache.spark.sql.types.StringType,
+          true),
+        StructField("pos", org.apache.spark.sql.types.LongType, true),
+        StructField("delete_file", org.apache.spark.sql.types.StringType,
+          true))))
+    val tomb =
+      if (snap.posDels.isEmpty) None
+      else Some(snap.posDels.sorted.map { p =>
+        spark.read.parquet(p).select(col("_file").as("file_path"),
+          col("_pos").as("pos"), lit(p).as("delete_file"))
+      }.reduce(_.unionByName(_)))
+    val dv =
+      if (snap.dvs.isEmpty) None
+      else {
+        import spark.implicits._
+        val blobOf = snap.dvs.toSeq
+          .map { case (f, b) => (metaPath(f), b) }
+          .toDF("file_path", "delete_file")
+        Some(currentDvRelation(snap)
+          .select(col("_file").as("file_path"),
+            explode(columnOf(graft.functions.NativeExprs.BitsetPositions(
+              expressionOf(col("_bitmap"))))).as("pos"))
+          .join(broadcast(blobOf), "file_path")
+          .select(col("file_path"), col("pos"), col("delete_file")))
+      }
+    (tomb ++ dv).reduceOption(_.unionByName(_)).getOrElse(empty)
   }
 
   /** The hive-style `col=v[/col2=v2…]` segment of a data file's path
@@ -5958,6 +6209,13 @@ object GraftTable {
     * an unvalidated constraint can't ride in past the scan). */
   val ConstraintPrefix = "graft.constraint."
 
+  /** Leaf-name prefix of the tombstone rename [[GraftTable.dropColumn]]
+    * records in the rename log: retires the dropped name (old files
+    * still carry its bytes) and marks the drop's sequence, which is
+    * what lets [[alignEvolved]] PROJECT a dropped column away for a
+    * restarted stream's pre-drop backlog. */
+  val DroppedPrefix = "__graft_dropped_"
+
   /** Field-metadata flag stamped by [[GraftTable.setNotNull]]: marks a
     * nullable=false that was EXPLICITLY declared (and is therefore
     * write-enforced), as opposed to inherited from the creating
@@ -6039,7 +6297,18 @@ object GraftTable {
     val renamed = later.foldLeft(df)((d, r) =>
       if (d.columns.contains(r.from)) d.withColumnRenamed(r.from, r.to)
       else d)
-    val promoted = target.fields.foldLeft(renamed) { (d, tf) =>
+    // DROP COLUMN records a tombstone rename in the retire log; the
+    // replay above just renamed any dropped column the batch still
+    // carries to its tombstone name — PROJECT it away (exactly what
+    // a to-reader does for old files), so a restarted stream's
+    // pre-drop backlog drains instead of wedging forever. (Nested
+    // drops carry a '.' in the tombstone and refused above, like
+    // every nested rename.)
+    val cleaned = later.filter(_.to.startsWith(DroppedPrefix))
+      .map(_.to).distinct
+      .foldLeft(renamed)((d, c) =>
+        if (d.columns.contains(c)) d.drop(c) else d)
+    val promoted = target.fields.foldLeft(cleaned) { (d, tf) =>
       d.schema.fields.find(_.name == tf.name) match {
         case Some(hf) if hf.dataType != tf.dataType &&
             safePromotion(hf.dataType, tf.dataType) =>
@@ -6053,6 +6322,16 @@ object GraftTable {
     // column while the data rides an unknown one would deliver wrong
     // rows, so refuse → the caller's restart message
     if (!promoted.schema.fieldNames.forall(target.fieldNames.contains))
+      None
+    // a batch NEWER than the consumer's pinned head must never be
+    // "aligned" by backfill: a target column the batch lacks is then
+    // a MID-STREAM DROP (the pinned head cannot know it — its retire
+    // log predates the commit), and null-filling it would deliver
+    // wrong rows where the column had real values. Refuse → restart,
+    // after which the drop is in the head's retire log and the
+    // projection above handles every pending range.
+    else if (batchSeq > head.id &&
+        !target.fieldNames.forall(promoted.schema.fieldNames.contains))
       None
     else upProject(promoted, target)
   }

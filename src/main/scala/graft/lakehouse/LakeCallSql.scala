@@ -242,16 +242,122 @@ object LakeCallSql {
                 .getOrElse(s"${n.split('.').last}_changes"),
               a.get("start_snapshot_id").map(_.toLong),
               a.get("end_snapshot_id").map(_.toLong))
+          // ---- table-adoption procedures (round 18) ----------------
+          // these CREATE catalog entries, so the name must be FRESH —
+          // the `table(a)` helper (which requires existence) is wrong
+          // for them
+          case "register_table" =>
+            val a = args("table", "location")
+            GraftRegisterTableCommand(freshName(spark, proc, req(a,
+              "table")), str(req(a, "location")))
+          case "migrate" =>
+            val a = args("table", "source_dir")
+            GraftMigrateCommand(freshName(spark, proc, req(a, "table")),
+              str(req(a, "source_dir")))
+          case "snapshot" =>
+            val a = args("source_table", "table", "location")
+            val srcRaw = req(a, "source_table")
+            val src = LakeRegistry.keyOf(spark,
+              str(srcRaw).toLowerCase.split('.').toSeq).getOrElse(
+              throw new IllegalArgumentException(
+                s"$proc: bad table name $srcRaw"))
+            require(LakeDdl.claimDrop(spark, src), s"no lake table '$src'")
+            val dst = freshName(spark, proc, req(a, "table"))
+            GraftShallowCloneCommand(dst, src,
+              a.get("location").map(str)
+                .getOrElse(LakeDdl.managedRoot(spark, dst)))
+          case "ancestors_of" =>
+            val a = args("table", "snapshot_id")
+            GraftAncestorsCommand(table(a),
+              a.get("snapshot_id").map(_.toLong))
           case other => throw new UnsupportedOperationException(
             s"unknown procedure '$other' (supported: " +
               "rollback_to_snapshot, rollback_to_timestamp, " +
               "set_current_snapshot, cherrypick_snapshot, " +
               "fast_forward, expire_snapshots, remove_orphan_files, " +
               "rewrite_data_files, rewrite_manifests, " +
-              "rewrite_position_delete_files, create_changelog_view)")
+              "rewrite_position_delete_files, create_changelog_view, " +
+              "register_table, migrate, snapshot, ancestors_of)")
         })
       case _ => None
     }
+
+  /** Canonicalize a CREATE-shaped procedure's target name — the name
+    * must parse, but existence is checked (and refused) by the
+    * command itself so the refusal carries the procedure's wording. */
+  private def freshName(spark: SparkSession, proc: String,
+      raw: String): String =
+    LakeRegistry.keyOf(spark,
+      str(raw).toLowerCase.split('.').toSeq).getOrElse(
+      throw new IllegalArgumentException(s"$proc: bad table name $raw"))
+}
+
+/** `CALL cat.system.register_table(table, location)` — adopt an
+  * EXISTING graft table root into the catalog under a fresh name:
+  * metadata-only (the root's manifest IS the table state — Iceberg's
+  * register_table points at a metadata file the same way; this
+  * engine's root-addressed manifest dir is that pointer). Refuses an
+  * empty/fresh root (nothing to register — use CREATE TABLE), an
+  * existing name, and governed-name shadowing. */
+case class GraftRegisterTableCommand(name: String, root: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(LakeRegistry.get(name).isEmpty &&
+        ViewRegistry.get(name).isEmpty,
+      s"register_table: '$name' already exists")
+    require(!graft.fgac.SecureCatalog.isVisibleName(Seq(name)),
+      s"register_table: '$name' is a governed table name")
+    val t = GraftTable.load(spark, root)
+    require(t.currentSnapshotId > 0,
+      s"register_table: no graft table at '$root' (an empty root has " +
+        "nothing to register — CREATE TABLE instead)")
+    LakeRegistry.register(name, t)
+    Seq.empty
+  }
+}
+
+/** `CALL cat.system.migrate(table, source_dir)` — whole-directory
+  * migration of plain parquet into a NEW managed graft table whose
+  * first data snapshot adopts the files IN PLACE (zero bytes copied;
+  * [[GraftTable.adopt]] / the add_files contract). Iceberg's
+  * `migrate` procedure with the source named explicitly — this
+  * engine has no Hive metastore to resolve a bare name against. */
+case class GraftMigrateCommand(name: String, srcDir: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(LakeRegistry.get(name).isEmpty &&
+        ViewRegistry.get(name).isEmpty,
+      s"migrate: '$name' already exists")
+    require(!graft.fgac.SecureCatalog.isVisibleName(Seq(name)),
+      s"migrate: '$name' is a governed table name")
+    LakeRegistry.register(name,
+      GraftTable.adopt(spark, LakeDdl.managedRoot(spark, name), srcDir))
+    Seq.empty
+  }
+}
+
+/** `CALL cat.system.ancestors_of(table[, snapshot_id])` — the parent
+  * chain of the named snapshot (default: the head), newest first,
+  * answered from cached headers ([[GraftTable.ancestorsOf]]): which
+  * commits produced this state, without a single manifest parse. */
+case class GraftAncestorsCommand(name: String, from: Option[Long])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute,
+    AttributeReference}
+  import org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("snapshot_id", LongType, nullable = false)(),
+    AttributeReference("timestamp_ms", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = LakeRegistry.get(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ancestors_of: no lake table '$name'"))
+    val chain = t.ancestorsOf(from.getOrElse(-1L))
+    require(chain.nonEmpty,
+      s"ancestors_of: snapshot ${from.getOrElse(-1L)} not found in " +
+        s"'$name'")
+    chain.map { case (id, ts) => Row(id, ts) }
+  }
 }
 
 /** `rollback_to_timestamp`: the snapshot current AS OF the timestamp

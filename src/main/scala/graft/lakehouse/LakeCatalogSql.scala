@@ -628,10 +628,30 @@ case class GraftGovernedShowPropsCommand(name: String, key: Option[String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     val who = spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, "")
-    graft.fgac.SecureCatalog.describeColumns(who, name)
+    val visible = graft.fgac.SecureCatalog.describeColumns(who, name)
     val target = graft.fgac.SecureCatalog.resolveLink(name)
-    val props = LakeRegistry.get(target).map(_.properties)
+    val allProps = LakeRegistry.get(target).map(_.properties)
       .getOrElse(Map.empty[String, String])
+    // graft.constraint.* values are CHECK expressions over raw
+    // columns — a constraint referencing a column OUTSIDE the
+    // principal's grant would leak the hidden column's name and its
+    // value domain, contradicting the governed SHOW CREATE TABLE one
+    // screen up (which withholds exactly this class of detail: a
+    // filtered principal learning the text would learn the
+    // distribution it hides). Withhold those entries; constraints
+    // entirely over granted columns stay visible. Unparseable
+    // expressions withhold too — fail closed.
+    val visibleSet = visible.map(_.toLowerCase).toSet
+    val props = allProps.filter { case (k, v) =>
+      !k.startsWith(GraftTable.ConstraintPrefix) || {
+        try {
+          spark.sessionState.sqlParser.parseExpression(v).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => a.nameParts.mkString(".")
+          }.forall(c => visibleSet(c.toLowerCase))
+        } catch { case _: Exception => false }
+      }
+    }
     key match {
       case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
       case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }

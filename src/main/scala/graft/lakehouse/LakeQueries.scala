@@ -1389,6 +1389,62 @@ object LakeQueries {
         .filter(col("_change_type") === "insert").count() ==
       orders.count(),
       "the changelog view must net the whole table as inserts")
+    // ---- adoption procedures (round 18): register_table / migrate /
+    // snapshot / ancestors_of — Iceberg's runbook entry points for
+    // bringing existing storage under the catalog ----
+    LakeRegistry.unregister("calldb.orders_r")
+    s.sql("CALL graft.system.register_table(" +
+      s"table => 'calldb.orders_r', location => '${t.location}')")
+    require(s.sql("SELECT count(*) FROM calldb.orders_r")
+        .head.getLong(0) == orders.count(),
+      "register_table must adopt the existing root metadata-only")
+    // refusal matrix: an existing name refuses; an empty root refuses
+    require(
+      try { s.sql("CALL graft.system.register_table(" +
+        s"table => 'calldb.orders_r', location => '${t.location}')")
+        false }
+      catch { case e: Exception =>
+        e.getMessage.contains("already exists") },
+      "register_table on an existing name must refuse")
+    require(
+      try { LakeRegistry.unregister("calldb.orders_x")
+        s.sql("CALL graft.system.register_table(" +
+          s"table => 'calldb.orders_x', location => '${tmp("lake_call_e")}')")
+        false }
+      catch { case e: Exception =>
+        e.getMessage.contains("nothing to register") },
+      "register_table on an empty root must refuse")
+    // migrate: plain parquet adopted IN PLACE under a fresh managed
+    // table — zero bytes copied (the add_files contract). Fresh names
+    // per run: both procedures CREATE at the name-derived managed
+    // root, so a bench rep reusing the name would collide on disk.
+    val runId = java.util.UUID.randomUUID.toString
+      .replace("-", "").take(8)
+    val rawDir = tmp("lake_call_raw")
+    orders.filter(col("o_orderkey") % 5 === 0).write
+      .mode("overwrite").parquet(rawDir)
+    s.sql("CALL graft.system.migrate(" +
+      s"table => 'calldb.orders_m_$runId', source_dir => '$rawDir')")
+    val m = LakeRegistry.get(s"calldb.orders_m_$runId").get
+    require(s.sql(s"SELECT count(*) FROM calldb.orders_m_$runId")
+        .head.getLong(0) ==
+        orders.filter(col("o_orderkey") % 5 === 0).count() &&
+      m.currentSnapshot.files.forall(_.contains(rawDir)),
+      "migrate must adopt the source parquet in place, zero copy")
+    // snapshot: the zero-copy clone through the procedure surface
+    s.sql("CALL graft.system.snapshot(" +
+      "source_table => 'calldb.orders_c', " +
+      s"table => 'calldb.orders_s_$runId')")
+    require(LakeRegistry.get(s"calldb.orders_s_$runId").get
+        .currentSnapshot.files == t.currentSnapshot.files,
+      "snapshot must reference the source's files (zero copy)")
+    // ancestors_of: the head's parent chain from cached headers —
+    // newest first, ending at the oldest RETAINED snapshot
+    val anc = s.sql("CALL graft.system.ancestors_of('calldb.orders_c')")
+      .collect().map(_.getLong(0)).toSeq
+    require(anc.head == t.currentSnapshotId &&
+        anc == anc.sorted.reverse && anc.size >= 2,
+      s"ancestors_of must walk the parent chain newest-first: $anc")
     t.read().orderBy("o_orderkey")
   }
 
@@ -1795,6 +1851,89 @@ object LakeQueries {
     // SQL surface: the TVF form of the lineage feed
     val feed = s.sql(
       "SELECT * FROM table_changes_lineage('lake_cdclin_t', 3, 7)")
+    require(feed.groupBy("_row_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "each logical row nets to at most ONE changelog row")
+    feed.select(col("o_orderkey"), col("price"), col("_change_type"))
+      .orderBy("o_orderkey")
+  }
+
+  /** EQUALITY deletes through the ROW-ID-KEYED feed
+    * (`lake_cdc_eqdel_lineage` — the r17 plain-feed expansion carried
+    * onto `table_changes_lineage`): the lineage feed refused
+    * eq-delete endpoints until round 18, which wedged any
+    * `write.delete.style=equality` table's lineage CDC permanently
+    * (endpoints are immutable; compact() creates NEW snapshots but
+    * cannot fix a checkpointed stream's pending range). Equality
+    * predicates can only postdate enablement through a lineage-off
+    * window (the MoR guard refuses them while lineage is on,
+    * Iceberg v3's contract) — first-row-ids are CARRIED across the
+    * window, so the keyed netting stays sound. The scenario drives
+    * the eq-delete commit through a per-commit replay (keyed deletes,
+    * one per scoped F row), a MERGE-ON-READ UPDATE over the pending
+    * predicate (its tombstone diff and new-image files net through
+    * the keyed join while the predicate-diff leg handles the carried
+    * files, the rid anti-join keeping each side duplicate-free), and
+    * a rollback ACROSS the delete commit
+    * (gonePred restores: the SAME rids the delete batch carried,
+    * require()d in-query — the id-preservation law). */
+  private val cdcEqDelLineage: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"))
+    def third(m: Long) = orders.filter(col("o_orderkey") % 3 === m)
+    val morEq = Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "equality",
+      "write.update.mode" -> "merge-on-read")
+    val t = GraftTable.createEmpty(s, tmp("lake_cdceql"),
+      orders.schema)                                         // snap 1
+    t.setProperties(morEq + (GraftTable.RowLineageProp -> "true"))
+    t.append(third(0))                     // snap 2 (first-row-ids)
+    LakeRegistry.register("lake_cdceql_t", t)
+    // the lineage-off window: the only way an equality predicate can
+    // POSTDATE enablement (deleteMoR refuses while lineage is on);
+    // ids persist across it — firstRowIds carry by reference
+    // regardless of the flag
+    t.setProperties(morEq + (GraftTable.RowLineageProp -> "false"))
+    s.sql("DELETE FROM lake_cdceql_t WHERE o_orderstatus = 'F'") // 3
+    val snap3 = t.currentSnapshot
+    require(snap3.dels.nonEmpty && snap3.posDels.isEmpty &&
+        snap3.files.toSet == t.snapshot(2).files.toSet,
+      "the DELETE must commit an equality predicate: no rewrite, " +
+        "no tombstone")
+    t.setProperties(morEq + (GraftTable.RowLineageProp -> "true"))
+    t.append(third(1))                                       // snap 4
+    s.sql("UPDATE lake_cdceql_t SET price = price * 2 " +
+      "WHERE o_orderkey % 30 = 3")                       // snap 5, MoR
+    // per-commit replay of the eq-delete commit: keyed deletes only,
+    // exactly the scoped F rows, each with a concrete row id
+    val delBatch = s.sql(
+      "SELECT * FROM table_changes_lineage('lake_cdceql_t', 2, 3)")
+    val expectDel = third(0).filter(col("o_orderstatus") === "F").count()
+    require(delBatch.filter(col("_change_type") =!= "delete").count() == 0
+        && delBatch.count() == expectDel
+        && delBatch.filter(col("_row_id").isNull).count() == 0
+        && delBatch.select("_row_id").distinct().count() == expectDel,
+      "the eq-delete commit's range must emit exactly the scoped F " +
+        "rows as keyed deletes")
+    val delRids = delBatch.select("_row_id")
+    // rollback ACROSS the delete commit: the removed predicate
+    // restores its rows as keyed inserts carrying the SAME rids the
+    // delete batch did (id preservation), alongside the batch-2
+    // removal deletes and the update reversal
+    t.rollback(2)                                            // snap 6
+    val restores = s.sql(
+      "SELECT * FROM table_changes_lineage('lake_cdceql_t', 5, 6)")
+      .filter(col("_change_type") === "insert" &&
+        col("o_orderstatus") === "F")
+    require(restores.select("_row_id").exceptAll(delRids).count() == 0
+        && delRids.exceptAll(restores.select("_row_id")).count() == 0,
+      "rollback across the equality delete must restore exactly the " +
+        "rids the delete batch emitted")
+    t.rollback(5)            // snap 7: back to the pre-rollback head
+    val feed = s.sql(
+      "SELECT * FROM table_changes_lineage('lake_cdceql_t', 2, 5)")
     require(feed.groupBy("_row_id").count()
       .filter(col("count") > 1).count() == 0,
       "each logical row nets to at most ONE changelog row")
@@ -2564,6 +2703,54 @@ object LakeQueries {
         .filter(!col("in_current")).count() == 0 &&
       s.sql("SELECT * FROM lake_ent_t.metadata_log_entries").count() == 1,
       "expiry must collapse all_files to the live set")
+    // ---- the remaining metadata tables (round 18): all_manifests /
+    // all_entries walk every live snapshot's manifest;
+    // position_deletes expands the pending artifacts' CONTENT
+    // (tombstone rows AND deletion-vector bits), reading only the
+    // delete artifacts themselves ----
+    val optId = t.currentSnapshotId // the compaction snapshot
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "position"))
+    s.sql("DELETE FROM lake_ent_t WHERE o_orderkey % 10 = 1")
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "vector"))
+    s.sql("DELETE FROM lake_ent_t WHERE o_orderkey % 10 = 2")
+    val snapNow = t.currentSnapshot
+    require(snapNow.posDels.nonEmpty && snapNow.dvs.nonEmpty,
+      "both pending artifact shapes must be present")
+    val pd = s.sql("SELECT * FROM lake_ent_t.position_deletes")
+    val dead = orders.filter(col("o_orderkey") % 10 === 1).count() +
+      orders.filter(col("o_orderkey") % 10 === 2).count()
+    require(pd.count() == dead &&
+        pd.filter(col("delete_file").isNull).count() == 0,
+      "position_deletes must expand both artifact shapes row-exactly")
+    require(pd.select("delete_file").distinct().collect()
+        .map(_.getString(0)).toSet ==
+        (snapNow.posDels.toSet ++ snapNow.dvs.values.toSet),
+      "each row must name the artifact that carries it")
+    val am = s.sql("SELECT * FROM lake_ent_t.all_manifests")
+    require(am.count() == 3 &&
+        am.filter(col("is_current")).count() == 1 &&
+        am.filter(col("kind") =!= "manifest").count() == 0,
+      "all_manifests must list one manifest per retained snapshot")
+    val ae = s.sql("SELECT * FROM lake_ent_t.all_entries")
+    require(ae.select("snapshot_id").distinct().count() == 3 &&
+        ae.filter(col("snapshot_id") === optId)
+          .filter(col("status") =!= "ADDED").count() == 0 &&
+        ae.filter(col("snapshot_id") === snapNow.id)
+          .filter(col("status") === "EXISTING").count() ==
+          snapNow.files.size,
+      "all_entries must carry per-snapshot entry status (the " +
+        "compaction ADDED everything; the delete commits carry all " +
+        "files EXISTING)")
+    // restore the pre-delete state so the oracle stays the compacted
+    // end state (rollback restores files AND clears the artifacts)
+    s.sql(s"CALL graft.system.rollback_to_snapshot('lake_ent_t', $optId)")
+    require(t.currentSnapshot.posDels.isEmpty &&
+      t.currentSnapshot.dvs.isEmpty, "rollback must clear artifacts")
+    require(s.sql("SELECT * FROM lake_ent_t.position_deletes")
+        .count() == 0,
+      "no pending artifacts → an empty position_deletes table")
     // end state: everything ADDED by the compaction, rows intact
     s.sql(
       """SELECT status, sum(rows) AS n_rows
@@ -3095,6 +3282,7 @@ object LakeQueries {
     "lake_replace"          -> replaceQ,
     "lake_row_lineage"      -> rowLineage,
     "lake_cdc_lineage"      -> cdcLineage,
+    "lake_cdc_eqdel_lineage" -> cdcEqDelLineage,
     "lake_overwrite_partition" -> overwritePartition,
     "lake_insert_spec"      -> insertSpec,
     "lake_truncate"         -> truncateQ,
@@ -3633,8 +3821,12 @@ object LakeQueries {
         |ORDER BY o_orderstatus""".stripMargin,
     // post-compaction the whole table is ADDED by the rewrite; the
     // manifest row counts must sum to the data
+    // the end state is the post-rollback head: a rollback commit
+    // CARRIES the compaction's files by reference, so every entry is
+    // EXISTING (added by the compaction snapshot, listed by the
+    // rollback's)
     "lake_entries" ->
-      """SELECT 'ADDED' AS status, count(*) AS n_rows FROM orders""",
+      """SELECT 'EXISTING' AS status, count(*) AS n_rows FROM orders""",
     "lake_sort_compact" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-06-01'
@@ -3674,6 +3866,25 @@ object LakeQueries {
         |  FROM base)
         |SELECT o_orderkey, price, _change_type FROM f
         |WHERE _change_type IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    // the keyed eq-delete feed, replayed: deletes = batch-1 F rows
+    // (range-start image); updates = the %30==3 survivors (doubled
+    // price — final image); inserts = batch 2 IN FULL (the predicate
+    // scopes only files with a lower add-sequence)
+    "lake_cdc_eqdel_lineage" ->
+      """WITH b0 AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DOUBLE) AS p FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |b1 AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) AS p FROM orders
+        |  WHERE o_orderkey % 3 = 1)
+        |SELECT o_orderkey, p AS price, 'delete' AS _change_type
+        |FROM b0 WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, p * 2, 'update' FROM b0
+        |WHERE o_orderkey % 30 = 3 AND o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT o_orderkey, p, 'insert' FROM b1
         |ORDER BY o_orderkey""".stripMargin,
     // the rename is metadata-only, so the end state is exactly the
     // created+appended+updated data, whatever the table is named

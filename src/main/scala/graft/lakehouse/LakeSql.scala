@@ -1897,7 +1897,8 @@ object LakeChanges {
     * the history listing. */
   private[lakehouse] val MetaSuffixes = Set("files", "delete_files",
     "partitions", "history", "snapshots", "refs", "lineage",
-    "entries", "all_files", "all_data_files", "metadata_log_entries")
+    "entries", "all_files", "all_data_files", "metadata_log_entries",
+    "all_manifests", "all_entries", "position_deletes")
 
   private[lakehouse] def metaFrame(spark: SparkSession, t: GraftTable,
       kind: String): org.apache.spark.sql.DataFrame = kind match {
@@ -1909,6 +1910,12 @@ object LakeChanges {
     case "entries"      => t.entriesMetadata
     case "all_files" | "all_data_files" => t.allFilesMetadata
     case "metadata_log_entries"         => t.metadataLogEntriesMetadata
+    // the remaining Iceberg metadata tables (round 18): every live
+    // manifest/shard, every live snapshot's entries, and the pending
+    // position-delete artifacts' CONTENT
+    case "all_manifests"    => t.allManifestsMetadata
+    case "all_entries"      => t.allEntriesMetadata
+    case "position_deletes" => t.positionDeletesMetadata
     // Iceberg v3 row lineage as a relation: the table's rows with
     // _row_id / _last_updated_sequence_number appended (see
     // GraftTable.readLineage; requires row.lineage=true)
@@ -2003,7 +2010,8 @@ object LakeChanges {
           if Set("lake_files", "lake_partitions", "lake_history",
             "lake_refs", "lake_delete_files", "lake_lineage",
             "lake_entries", "lake_all_files", "lake_all_data_files",
-            "lake_metadata_log_entries")
+            "lake_metadata_log_entries", "lake_all_manifests",
+            "lake_all_entries", "lake_position_deletes")
             .contains(tvf.name.map(_.toLowerCase).mkString(".")) =>
         val fn = tvf.name.head.toLowerCase
         val name = tvf.functionArgs match {

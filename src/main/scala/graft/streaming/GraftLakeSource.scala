@@ -361,6 +361,10 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse {
+      // the schema probe discloses structure — same boundary as the
+      // source/sink constructions below
+      graft.fgac.SecureCatalog.authorizePathLoad(
+        ctx.sparkSession, pathOf(parameters))
       val base = GraftTable.load(ctx.sparkSession, pathOf(parameters))
         .currentSnapshot.schema
       feedMode(parameters) match {
@@ -373,15 +377,24 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    // the path-access governance boundary: a principal-bearing
+    // session must address a governed table by its governed NAME
+    // (see SecureCatalog.authorizePathLoad)
+    graft.fgac.SecureCatalog.authorizePathLoad(
+      ctx.sparkSession, pathOf(parameters))
     new GraftLakeSource(ctx.sparkSession, pathOf(parameters),
       parameters.get("maxCommitsPerTrigger").map(_.toLong)
         .getOrElse(Long.MaxValue >> 1),
       feedMode = feedMode(parameters))
+  }
 
   override def createSink(ctx: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
-      outputMode: OutputMode): Sink =
+      outputMode: OutputMode): Sink = {
+    // writes bypass checkWrite if path-addressed — same boundary
+    graft.fgac.SecureCatalog.authorizePathLoad(
+      ctx.sparkSession, pathOf(parameters))
     new GraftLakeSink(ctx.sparkSession, pathOf(parameters),
       parameters.get("mergeKeys").map(_.split(",").toSeq
         .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
@@ -408,4 +421,5 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
           // one shared watermark (which would silently drop batches)
           "anon:" + java.util.UUID.randomUUID
         })
+  }
 }

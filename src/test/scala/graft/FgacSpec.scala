@@ -422,6 +422,63 @@ class FgacSpec extends AnyFunSuite {
     } finally graft.lakehouse.LakeRegistry.unregister("customer")
   }
 
+  test("path-access boundary: a principal-bearing session cannot " +
+      "stream a governed root by storage path (read, write, or " +
+      "schema probe); principal-less sessions and ungoverned roots " +
+      "pass") {
+    import org.apache.spark.sql.streaming.Trigger
+    FgacQueries.setup(spark, sf)
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_pathgov").toString,
+      Tables.customer(spark, sf))
+    graft.lakehouse.LakeRegistry.register("customer", t)
+    try {
+      // source side: the denial fires at the schema probe — before
+      // any stream exists, nothing about the table is disclosed
+      val e = intercept[AccessDeniedException](
+        FgacQueries.asPrincipal(spark, "analyst_col") {
+          spark.readStream.format("graft-lake").load(t.location)
+        })
+      assert(e.getMessage.contains("by storage path"), e.getMessage)
+      // sink side: path-addressed writes bypass checkWrite — denied
+      // at stream construction, wrapped or not
+      val src = graft.lakehouse.GraftTable.create(spark,
+        java.nio.file.Files.createTempDirectory("graft_pathsrc").toString,
+        Tables.customer(spark, sf))
+      val eo = intercept[Exception](
+        FgacQueries.asPrincipal(spark, "analyst_col") {
+          val q = spark.readStream.format("graft-lake")
+            .load(src.location)
+            .writeStream.format("graft-lake")
+            .option("checkpointLocation", java.nio.file.Files
+              .createTempDirectory("graft_pathgov_ck").toString)
+            .trigger(Trigger.AvailableNow())
+            .start(t.location)
+          q.awaitTermination()
+        })
+      assert(Iterator.iterate(eo: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(x =>
+          String.valueOf(x.getMessage).contains("by storage path")),
+        s"got: $eo")
+      // the denials are in the audit trail
+      assert(AuditLog.entries.exists(d => d.principal == "analyst_col"
+        && d.action == "PATH_LOAD" && d.outcome == "DENIED"))
+      // an UNGOVERNED root passes for the same principal (nothing to
+      // bypass), and a PRINCIPAL-LESS session — the
+      // storage-credential holder — passes on the governed root (the
+      // Lakeguard boundary: raw path access belongs to storage ACLs)
+      FgacQueries.asPrincipal(spark, "analyst_col") {
+        spark.readStream.format("graft-lake").load(src.location)
+      }
+      val qn = "pathgov_admin"
+      val q = spark.readStream.format("graft-lake").load(t.location)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(spark.table(qn).count() == t.read().count())
+    } finally graft.lakehouse.LakeRegistry.unregister("customer")
+  }
+
   test("three-part addressing keeps governed precedence: a governed " +
       "cat.db.t is never claimed by the lake front-end, read or write") {
     FgacQueries.setup(spark, sf)
