@@ -297,8 +297,14 @@ object SecureCatalog {
       root: String): Unit = {
     val who = spark.conf.get(PrincipalConf, "")
     if (who.isEmpty) return
-    def norm(p: String): String =
-      new org.apache.hadoop.fs.Path(p).toString
+    // compare the PATH component only: `file:/x` and `/x` name the
+    // same local root, and a scheme-qualified spelling must not
+    // slip past the deny (fail closed — two filesystems sharing a
+    // path string deny together, which only ever over-refuses)
+    def norm(p: String): String = {
+      val u = new org.apache.hadoop.fs.Path(p).toUri
+      if (u.getPath == null || u.getPath.isEmpty) p else u.getPath
+    }
     val target = norm(root)
     val hit = graft.lakehouse.LakeRegistry.list.find { n =>
       isVisibleName(n) && graft.lakehouse.LakeRegistry.get(n)

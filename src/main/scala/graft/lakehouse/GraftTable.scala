@@ -5249,6 +5249,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * stage are fine — the publish rebases like any append. Aborts if
     * the schema or partition spec changed since staging. */
   def publish(token: String): Long = {
+    require(fs.exists(stagedPath(token)),
+      s"no staged commit '$token' on this table (already published, " +
+        "abandoned, or never staged here)")
     val st = stagedSnapshot(token)
     val cur = currentSnapshot
     if (cur.schema != st.schema || cur.partitionCols != st.partitionCols)
@@ -6041,7 +6044,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     * was not recorded), the adding commit, and the footer stats. The
     * audit view behind "which snapshot first carried this file, and
     * when did it leave". O(#snapshots) manifest parses, zero data
-    * reads. */
+    * reads; the frame materializes Σ|snapshot file list| driver rows
+    * — exactly the entries the retained manifests themselves hold,
+    * so snapshot EXPIRY is what bounds it (the same policy that
+    * bounds the manifests' own footprint). An operator audit view,
+    * not a hot path. */
   def allEntriesMetadata: DataFrame = {
     import scala.jdk.CollectionConverters._
     val rows = snapshots.flatMap { sn =>

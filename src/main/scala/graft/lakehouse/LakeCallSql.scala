@@ -242,6 +242,9 @@ object LakeCallSql {
                 .getOrElse(s"${n.split('.').last}_changes"),
               a.get("start_snapshot_id").map(_.toLong),
               a.get("end_snapshot_id").map(_.toLong))
+          case "publish_changes" =>
+            val a = args("table", "wap_id")
+            GraftPublishChangesCommand(table(a), str(req(a, "wap_id")))
           // ---- table-adoption procedures (round 18) ----------------
           // these CREATE catalog entries, so the name must be FRESH —
           // the `table(a)` helper (which requires existence) is wrong
@@ -277,7 +280,8 @@ object LakeCallSql {
               "fast_forward, expire_snapshots, remove_orphan_files, " +
               "rewrite_data_files, rewrite_manifests, " +
               "rewrite_position_delete_files, create_changelog_view, " +
-              "register_table, migrate, snapshot, ancestors_of)")
+              "publish_changes, register_table, migrate, snapshot, " +
+              "ancestors_of)")
         })
       case _ => None
     }
@@ -290,6 +294,26 @@ object LakeCallSql {
     LakeRegistry.keyOf(spark,
       str(raw).toLowerCase.split('.').toSeq).getOrElse(
       throw new IllegalArgumentException(s"$proc: bad table name $raw"))
+}
+
+/** `CALL cat.system.publish_changes(table, wap_id)` — publish a
+  * staged write-audit-publish commit by its id (Iceberg's
+  * publish_changes / the cherry-pick end of the `spark.wap.id`
+  * workflow; this engine's stage token IS the wap id,
+  * [[GraftTable.stageAppend]]). Write-gated like every other
+  * table-mutating procedure; an unknown/spent id refuses loudly. */
+case class GraftPublishChangesCommand(name: String, wapId: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "publish_changes")
+    val t = LakeRegistry.get(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"publish_changes: no lake table '$name'"))
+    t.publish(wapId)
+    Seq.empty
+  }
 }
 
 /** `CALL cat.system.register_table(table, location)` — adopt an

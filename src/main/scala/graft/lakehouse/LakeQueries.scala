@@ -1445,6 +1445,27 @@ object LakeQueries {
     require(anc.head == t.currentSnapshotId &&
         anc == anc.sorted.reverse && anc.size >= 2,
       s"ancestors_of must walk the parent chain newest-first: $anc")
+    // publish_changes: the WAP publish through the procedure surface
+    // — stage on the SNAPSHOT clone (so this table's oracle state is
+    // untouched), audit, publish by wap id; a spent id refuses
+    val sTbl = LakeRegistry.get(s"calldb.orders_s_$runId").get
+    val preS = sTbl.read().count()
+    val wapId = sTbl.stageAppend(
+      orders.filter(col("o_orderkey") % 7 === 0))
+    require(sTbl.read().count() == preS,
+      "staged rows must stay invisible before publish")
+    s.sql("CALL graft.system.publish_changes(" +
+      s"table => 'calldb.orders_s_$runId', wap_id => '$wapId')")
+    require(sTbl.read().count() ==
+        preS + orders.filter(col("o_orderkey") % 7 === 0).count(),
+      "publish_changes must land the staged batch")
+    require(
+      try { s.sql("CALL graft.system.publish_changes(" +
+        s"table => 'calldb.orders_s_$runId', wap_id => '$wapId')")
+        false }
+      catch { case e: Exception =>
+        e.getMessage.contains("no staged commit") },
+      "a spent wap id must refuse loudly")
     t.read().orderBy("o_orderkey")
   }
 

@@ -423,11 +423,45 @@ object StreamingOps {
     val run2 = drain()
     require(run2 == base.filter(col("id") % 4 === 3).count(),
       s"the restart must admit only the new commit's rows: $run2")
-    graft.lakehouse.GraftTable.load(s, sinkDir).read()
+    require(graft.lakehouse.GraftTable.load(s, sinkDir).read()
+        .filter(col("note") === "tracked").count() ==
+        base.filter(col("id") % 4 >= 2).count(),
+      "post-add rows carry their written note")
+    // round 18: DROP COLUMN joins the tracked set — a pre-drop
+    // straggler commit is staged but NOT drained, the column drops,
+    // a post-drop commit lands, and ONE restart drains both: the
+    // straggler delivers with the dropped column PROJECTED AWAY
+    // (the retire log's tombstone rename — exactly what a to-reader
+    // does for old files), never a wedge, never a silent null-fill.
+    // The sink follows the evolution like any consumer. Negated ids
+    // keep the new batches disjoint from the original quarters.
+    // -(id+1): strictly negative (the synthetic orders include key 0)
+    val late = quarter(0).select((-(col("id") + 1)).as("id"),
+      col("qty").cast("bigint").as("quantity"), col("status"))
+      .withColumn("note", lit("late"))
+    src.append(late)                                       // snap 8
+    s.sql("ALTER TABLE strack_src DROP COLUMN note")       // snap 9
+    val post = quarter(1).select((-(col("id") + 1)).as("id"),
+      col("qty").cast("bigint").as("quantity"), col("status"))
+    src.append(post)                                       // snap 10
+    graft.lakehouse.GraftTable.load(s, sinkDir).dropColumn("note")
+    val run3 = drain()
+    require(run3 == late.count() + post.count(),
+      s"the restart must drain the pre-drop straggler AND the " +
+        s"post-drop commit: $run3")
+    val sunk3 = graft.lakehouse.GraftTable.load(s, sinkDir).read()
+    require(sunk3.schema.fieldNames.toSeq ==
+        Seq("id", "quantity", "status"),
+      s"the sink tracks the drop: ${sunk3.schema}")
+    require(sunk3.filter(col("id") < 0)
+        .exceptAll(late.drop("note").unionByName(post)).count() == 0 &&
+      late.drop("note").unionByName(post)
+        .exceptAll(sunk3.filter(col("id") < 0)).count() == 0,
+      "both straggler batches must land row-exactly, once each")
+    sunk3
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("quantity")).as("sum_qty"),
-        count(col("note")).as("n_notes"))
+        sum(col("quantity")).as("sum_qty"))
       .orderBy("status")
   }
 
@@ -697,13 +731,23 @@ object StreamingOps {
     // the whole table drained through the rename/promotion/add:
     // quantity is o_orderkey % 100 under its post-evolution name and
     // BIGINT type; note is non-null only for the post-add quarters
+    // all four quarters, plus the straggler (quarter 0, negated ids)
+    // and the post-drop batch (quarter 1, negated ids) — quantity is
+    // derived from the ORIGINAL key, status rides along
     "stream_schema_track" ->
-      """SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
-        | CAST(SUM(o_orderkey % 100) AS BIGINT) AS sum_qty,
-        | CAST(SUM(CASE WHEN o_orderkey % 4 >= 2 THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS n_notes
-        |FROM orders GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
+      """WITH r AS (
+        |  SELECT o_orderstatus AS status, o_orderkey % 100 AS q
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey % 100 FROM orders
+        |  WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey % 100 FROM orders
+        |  WHERE o_orderkey % 4 = 1)
+        |SELECT status, COUNT(*) AS n_rows,
+        | CAST(SUM(q) AS BIGINT) AS sum_qty
+        |FROM r GROUP BY status
+        |ORDER BY status""".stripMargin,
     // the three appended quarters of the event log, aggregated
     "stream_lake_source" ->
       """SELECT event_type, COUNT(*) AS n_events,

@@ -440,6 +440,17 @@ class FgacSpec extends AnyFunSuite {
           spark.readStream.format("graft-lake").load(t.location)
         })
       assert(e.getMessage.contains("by storage path"), e.getMessage)
+      // scheme aliasing must not slip past the deny: file:/x and /x
+      // name the same local root (the comparison is path-component)
+      val bare = new org.apache.hadoop.fs.Path(t.location).toUri.getPath
+      for (alias <- Seq(s"file:$bare", bare, s"file://$bare")) {
+        val ea = intercept[AccessDeniedException](
+          FgacQueries.asPrincipal(spark, "analyst_col") {
+            spark.readStream.format("graft-lake").load(alias)
+          })
+        assert(ea.getMessage.contains("by storage path"),
+          s"alias '$alias' must deny: ${ea.getMessage}")
+      }
       // sink side: path-addressed writes bypass checkWrite — denied
       // at stream construction, wrapped or not
       val src = graft.lakehouse.GraftTable.create(spark,

@@ -2229,6 +2229,59 @@ class LakehouseSpec extends AnyFunSuite {
     assert(events == Map("insert" -> 7L, "delete" -> 5L), s"got $events")
   }
 
+  test("lineage eq-predicate diff: a predicate referencing a column " +
+      "ADDED in-range backfills before it filters, and a row killed " +
+      "by BOTH a tombstone and a predicate emits once") {
+    // (a) pred over an in-range ADD COLUMN: pre-add rows read NULL
+    // for the new column, exactly what a to-reader surfaces, so
+    // `note IS NULL` kills every pre-add carried row
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "tag", "v")
+    val t = GraftTable.createEmpty(spark,
+      Files.createTempDirectory("graft_lineqadd").toString, base.schema)
+    val morEq = Map(GraftTable.RowLineageProp -> "true",
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.style" -> "equality")
+    t.setProperties(morEq)
+    t.append(base.repartition(1))                            // snap 2
+    val ids = t.readLineage().select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    t.setProperties(morEq + (GraftTable.RowLineageProp -> "false"))
+    import org.apache.spark.sql.types.{StringType, StructField}
+    t.addColumns(Seq(StructField("note", StringType)))       // snap 3
+    t.deleteMoR("note IS NULL")                              // snap 4
+    t.setProperties(morEq)
+    assert(t.read().count() == 0,
+      "the predicate must kill every pre-add row on the live read")
+    val feed = t.lineageChanges(2, 4).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_row_id"))).toSet
+    assert(feed == Set((1L, "delete", ids(1L)), (2L, "delete", ids(2L))),
+      s"the pred-diff leg must backfill the added column before " +
+        s"filtering: $feed")
+    // (b) double-kill dedupe: one row tombstoned AND predicate-killed
+    // inside one range must net to ONE keyed delete (the rid
+    // anti-join between the positional and predicate legs)
+    val t2 = GraftTable.createEmpty(spark,
+      Files.createTempDirectory("graft_lineqdup").toString, base.schema)
+    t2.setProperties(morEq + ("write.delete.style" -> "position"))
+    t2.append(base.repartition(1))                           // snap 2
+    val ids2 = t2.readLineage().select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    t2.deleteMoRPos("k = 1")              // snap 3: tombstone row 1
+    t2.setProperties(morEq +
+      (GraftTable.RowLineageProp -> "false",
+        "write.delete.style" -> "equality"))
+    t2.deleteMoR("tag = 'a'")             // snap 4: pred ALSO names row 1
+    t2.setProperties(morEq)
+    val feed2 = t2.lineageChanges(2, 4).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_row_id")))
+    assert(feed2.toSet == Set((1L, "delete", ids2(1L))) &&
+        feed2.length == 1,
+      s"a tombstone+predicate double kill must emit exactly once: " +
+        s"${feed2.toSeq}")
+  }
+
   test("lineage changelog refuses a range whose carried files were " +
       "re-assigned ids by a rollback to a pre-lineage snapshot") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))  // snap 1
