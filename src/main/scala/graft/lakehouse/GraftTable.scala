@@ -2103,8 +2103,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val alignableSchemas = from.schema == to.schema || {
       val later = to.renames.filter(_.seq > from.id)
       !later.exists(r => r.from.contains(".") || r.to.contains(".")) && {
+        // case-insensitive fold, matching predCond and alignEvolved
         def fwd(n: String): String =
-          later.foldLeft(n)((x, r) => if (r.from == x) r.to else x)
+          later.foldLeft(n)((x, r) =>
+            if (r.from.equalsIgnoreCase(x)) r.to else x)
         val mapped = from.schema.fields.map(f => fwd(f.name) -> f.dataType)
         mapped.forall { case (n, dt) => to.schema.fields.exists(tf =>
           tf.name == n && (tf.dataType == dt ||
@@ -6301,8 +6303,14 @@ object GraftTable {
     val later = head.renames.filter(_.seq > batchSeq)
     if (later.exists(r => r.from.contains(".") || r.to.contains(".")))
       return None
+    // case-insensitive like predCond's replay (the changelog's other
+    // rename consumer) — the engine stores exact names so both
+    // agree today, but the two replays must not diverge on a
+    // case-mismatched record; withColumnRenamed resolves with the
+    // session's (case-insensitive) resolver either way
     val renamed = later.foldLeft(df)((d, r) =>
-      if (d.columns.contains(r.from)) d.withColumnRenamed(r.from, r.to)
+      if (d.columns.exists(_.equalsIgnoreCase(r.from)))
+        d.withColumnRenamed(r.from, r.to)
       else d)
     // DROP COLUMN records a tombstone rename in the retire log; the
     // replay above just renamed any dropped column the batch still

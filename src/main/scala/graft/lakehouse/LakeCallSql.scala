@@ -85,8 +85,9 @@ object LakeCallSql {
   }
 
   /** Epoch millis of a `TIMESTAMP '…'` (or bare quoted) literal,
-    * interpreted in the session zone like the VACUUM forms. */
-  private[lakehouse] def tsMillis(spark: SparkSession, v: String): Long = {
+    * interpreted in the session zone like the VACUUM forms. Also the
+    * streaming source's `startingTimestamp` parser. */
+  private[graft] def tsMillis(spark: SparkSession, v: String): Long = {
     val s0 = str(v.replaceAll("(?i)^TIMESTAMP\\s+", "")).replace(' ', 'T')
     val zone = java.time.ZoneId.of(
       spark.sessionState.conf.sessionLocalTimeZone)

@@ -54,13 +54,25 @@ import graft.lakehouse.{GraftTable, Snapshot}
   * `isStreaming = true` stamp ([[StreamShim]]).
   */
 final class GraftLakeSource(spark: SparkSession, tablePath: String,
-    maxCommitsPerTrigger: Long, feedMode: String = "") extends Source
+    maxCommitsPerTrigger: Long, feedMode: String = "",
+    startFrom: Long = 0L) extends Source
     with SupportsTriggerAvailableNow {
 
   private def changeFeed: Boolean = feedMode.nonEmpty
 
   private val table = GraftTable.load(spark, tablePath)
   private val pinned: Snapshot = table.currentSnapshot
+
+  // start-offset validation happens ONCE, at stream construction —
+  // a bad id must fail the start, not some later batch. 0 = replay
+  // everything (the initial-load contract); a positive id must name
+  // a live snapshot, since the first batch range (startFrom, x]
+  // parses it as an endpoint.
+  require(startFrom == 0L ||
+      (try { table.snapshot(startFrom); true }
+       catch { case _: Exception => false }),
+    s"startingSnapshotId $startFrom is not a live snapshot of " +
+      s"$tablePath")
 
   /** Schema is pinned at stream start (Iceberg pins the snapshot
     * schema the same way); [[getBatch]] re-checks per batch. In
@@ -98,13 +110,17 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
     knownHead
   }
 
+  // a missing/zero engine offset means "from the configured start":
+  // every entry point clamps to `startFrom`, so no admission path
+  // can ever log or deliver a range below it (the engine probes
+  // latestOffset with a null start BEFORE any offset is logged)
   private def valueOf(o: OffsetV2): Long = o match {
-    case null => 0L
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
+    case null => startFrom
+    case l: LongOffset => math.max(l.offset, startFrom)
+    case other => math.max(other.json.trim.toLong, startFrom)
   }
 
-  override def initialOffset(): OffsetV2 = LongOffset(0L)
+  override def initialOffset(): OffsetV2 = LongOffset(startFrom)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -123,7 +139,7 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(o => valueOf(o)).getOrElse(0L)
+    val from = start.map(o => valueOf(o)).getOrElse(startFrom)
     val to = valueOf(end)
     if (to <= from) StreamShim.emptyMicroBatch(spark, schema)
     else if (changeFeed) {
@@ -365,6 +381,9 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
       // source/sink constructions below
       graft.fgac.SecureCatalog.authorizePathLoad(
         ctx.sparkSession, pathOf(parameters))
+      // a contradictory start-offset spec refuses here, before any
+      // stream exists
+      startFromOf(ctx, parameters)
       val base = GraftTable.load(ctx.sparkSession, pathOf(parameters))
         .currentSnapshot.schema
       feedMode(parameters) match {
@@ -386,8 +405,36 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
     new GraftLakeSource(ctx.sparkSession, pathOf(parameters),
       parameters.get("maxCommitsPerTrigger").map(_.toLong)
         .getOrElse(Long.MaxValue >> 1),
-      feedMode = feedMode(parameters))
+      feedMode = feedMode(parameters),
+      startFrom = startFromOf(ctx, parameters))
   }
+
+  /** Start offsets (Delta's `startingVersion` / Iceberg's
+    * stream-from-timestamp): a NEW stream on a long-lived table must
+    * not be forced to replay its entire history — at 100 TB the
+    * initial load is the expensive part, and a CDC consumer that
+    * only wants changes FROM NOW passes the head snapshot (or a
+    * wall-clock instant, resolved through the same header walk as
+    * TIMESTAMP AS OF). The stream delivers commits strictly AFTER
+    * the named snapshot. Checkpointed restarts ignore it (offsets
+    * win) — standard Delta semantics. Validated from BOTH
+    * [[sourceSchema]] (so `.load()` refuses a contradictory spec
+    * before any stream exists) and [[createSource]]. */
+  private def startFromOf(ctx: SQLContext,
+      parameters: Map[String, String]): Long =
+    (parameters.get("startingSnapshotId"),
+        parameters.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft-lake source: startingSnapshotId and startingTimestamp " +
+          "are mutually exclusive")
+      case (Some(id), None) => id.trim.toLong
+      case (None, Some(ts)) =>
+        GraftTable.load(ctx.sparkSession, pathOf(parameters))
+          .snapshotIdAsOfTimestamp(
+            graft.lakehouse.LakeCallSql.tsMillis(ctx.sparkSession,
+              s"'${ts.trim.replace("'", "''")}'"))
+      case _ => 0L
+    }
 
   override def createSink(ctx: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],

@@ -504,6 +504,72 @@ object StreamingOps {
     s.table(qn).orderBy(col("event_type"))
   }
 
+  /** START-OFFSET streaming (Delta's `startingVersion` / Iceberg's
+    * stream-from-timestamp): a NEW stream on a long-lived table must
+    * not be forced to replay its whole history — at 100 TB the
+    * initial load IS the expensive part, and a CDC consumer that
+    * wants changes FROM NOW passes the current head. The stream
+    * delivers commits strictly AFTER `startingSnapshotId` (or after
+    * the snapshot a `startingTimestamp` resolves to through the same
+    * header walk as TIMESTAMP AS OF); checkpointed restarts ignore
+    * it — offsets win. In-query requires pin: the plain stream from
+    * the marked snapshot delivers ONLY the post-mark commit; the CDC
+    * feed from the same mark opens with the post-mark inserts, not
+    * an initial-load batch; an unknown id refuses at stream
+    * CONSTRUCTION, before any offset is logged. */
+  private val streamFromSnapshotQ: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.events(s, d).select(col("event_id"),
+      col("event_type"), col("value").cast("double").as("v"))
+    def third(m: Long) = events.filter(col("event_id") % 3 === m)
+    val t = graft.lakehouse.GraftTable.create(s,
+      java.nio.file.Files.createTempDirectory("graft_startoff").toString,
+      third(0))                                              // snap 1
+    t.append(third(1))                                       // snap 2
+    val mark = t.currentSnapshotId
+    t.append(third(2))                                       // snap 3
+    def drainTo(opts: Map[String, String]): org.apache.spark.sql.DataFrame = {
+      val qn = "startoff_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val reader = opts.foldLeft(s.readStream.format("graft-lake")
+        .option("maxCommitsPerTrigger", 1)) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(t.location)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+    }
+    // plain mode from the mark: ONLY the post-mark commit's rows
+    val plain = drainTo(Map("startingSnapshotId" -> mark.toString))
+    require(plain.count() == third(2).count() &&
+        plain.select("event_id").exceptAll(third(2).select("event_id"))
+          .count() == 0,
+      "the stream must deliver exactly the commits after the mark")
+    // CDC mode from the mark: the feed opens with the post-mark
+    // inserts — no initial-load batch of the pre-mark table
+    val cdc = drainTo(Map("startingSnapshotId" -> mark.toString,
+      "readChangeFeed" -> "true"))
+    require(cdc.count() == third(2).count() &&
+        cdc.filter(col("_change_type") =!= "insert").count() == 0,
+      "the CDC feed must open after the mark, not with an initial load")
+    // an unknown starting id refuses at construction
+    require(
+      try { drainTo(Map("startingSnapshotId" -> "999999")); false }
+      catch {
+        case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(x => String.valueOf(x.getMessage)
+              .contains("not a live snapshot"))
+      },
+      "an unknown startingSnapshotId must refuse loudly")
+    plain.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v").cast("decimal(18,6)")).cast("double").as("total_v"))
+      .orderBy("event_type")
+  }
+
   /** Lake-to-lake streaming pipeline — source AND sink halves of the
     * `graft-lake` format in one continuous dataflow (the production
     * medallion shape: bronze table → transform → silver table).
@@ -644,6 +710,7 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "stream_lake_sink" -> lakeSinkQ,
     "stream_lake_source" -> lakeSourceQ,
+    "stream_from_snapshot" -> streamFromSnapshotQ,
     "stream_lake_resume" -> lakeResumeQ,
     "stream_schema_track" -> schemaTrackQ,
     "stream_lake_cdc" -> lakeCdcQ,
@@ -748,6 +815,12 @@ object StreamingOps {
         | CAST(SUM(q) AS BIGINT) AS sum_qty
         |FROM r GROUP BY status
         |ORDER BY status""".stripMargin,
+    // only the third appended after the marked snapshot streams
+    "stream_from_snapshot" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_v
+        |FROM events WHERE event_id % 3 = 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the three appended quarters of the event log, aggregated
     "stream_lake_source" ->
       """SELECT event_type, COUNT(*) AS n_events,

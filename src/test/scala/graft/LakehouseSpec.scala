@@ -2229,6 +2229,58 @@ class LakehouseSpec extends AnyFunSuite {
     assert(events == Map("insert" -> 7L, "delete" -> 5L), s"got $events")
   }
 
+  test("streaming start offsets: startingTimestamp resolves through " +
+      "the as-of walk; a checkpointed restart ignores the option " +
+      "(offsets win)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = freshTable(Seq((1L, "a", 1.0)))                  // snap 1
+    Thread.sleep(5) // commit timestamps must be distinguishable
+    t.append(Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))      // snap 2
+    val ts2 = t.ancestorsOf().find(_._1 == 2L).get._2
+    Thread.sleep(5)
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))      // snap 3
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val tsStr = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .format(java.time.Instant.ofEpochMilli(ts2).atZone(zone))
+    val qn1 = "startts_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val q1 = spark.readStream.format("graft-lake")
+      .option("startingTimestamp", tsStr).load(t.location)
+      .writeStream.format("memory").queryName(qn1)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    assert(spark.table(qn1).select("k").as[Long].collect().toSeq ==
+      Seq(3L),
+      "startingTimestamp must stream only commits after the instant")
+    // checkpointed restart: the logged offsets win over ANY start
+    // option (Delta's startingVersion semantics) — a restart with a
+    // DIFFERENT option must not replay or skip
+    val ck = Files.createTempDirectory("graft_startoff_ck").toString
+    val out = Files.createTempDirectory("graft_startoff_out").toString
+    def drain(startId: Long): Unit = {
+      val q = spark.readStream.format("graft-lake")
+        .option("startingSnapshotId", startId).load(t.location)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(2L)                 // delivers snap 3 only
+    t.append(Seq((4L, "d", 4.0)).toDF("k", "tag", "v"))      // snap 4
+    drain(0L)                 // offsets win: ONLY snap 4 delivers
+    assert(spark.read.parquet(out).select("k").as[Long].collect()
+        .sorted.toSeq == Seq(3L, 4L),
+      "a restart must resume from the checkpoint, ignoring the option")
+    // mutually-exclusive options refuse
+    val e = intercept[IllegalArgumentException](
+      spark.readStream.format("graft-lake")
+        .option("startingSnapshotId", 2)
+        .option("startingTimestamp", tsStr).load(t.location))
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("lineage eq-predicate diff: a predicate referencing a column " +
       "ADDED in-range backfills before it filters, and a row killed " +
       "by BOTH a tombstone and a predicate emits once") {
