@@ -292,9 +292,18 @@ object SecureCatalog {
     * admin pass), and batch `GraftTable.load` stays on that
     * credential-holder side of the line by design: it is the
     * engine-internal/owner API, not a policy surface. O(#registered
-    * names) driver-side per stream START — loads are rare. */
+    * names) driver-side per stream START — loads are rare.
+    *
+    * Round 19: the SAME boundary guards the table-adoption
+    * procedures (`CALL register_table(location => <governed root>)`
+    * would alias a governed table under a fresh ungoverned name and
+    * read it policy-free; `migrate(source_dir => <governed data
+    * dir>)` has the equivalent hole) — callers pass `op` so the
+    * audit row names the surface. Matching is PREFIX-based on the
+    * normalized path: a SUBPATH of a governed root (`<root>/data`)
+    * is the same storage and denies with it. */
   def authorizePathLoad(spark: org.apache.spark.sql.SparkSession,
-      root: String): Unit = {
+      root: String, op: String = "PATH_LOAD"): Unit = {
     val who = spark.conf.get(PrincipalConf, "")
     if (who.isEmpty) return
     // compare the PATH component only: `file:/x` and `/x` name the
@@ -303,16 +312,20 @@ object SecureCatalog {
     // path string deny together, which only ever over-refuses)
     def norm(p: String): String = {
       val u = new org.apache.hadoop.fs.Path(p).toUri
-      if (u.getPath == null || u.getPath.isEmpty) p else u.getPath
+      val q = if (u.getPath == null || u.getPath.isEmpty) p else u.getPath
+      if (q.length > 1) q.stripSuffix("/") else q
     }
     val target = norm(root)
     val hit = graft.lakehouse.LakeRegistry.list.find { n =>
       isVisibleName(n) && graft.lakehouse.LakeRegistry.get(n)
-        .exists(t => norm(t.location) == target)
+        .exists { t =>
+          val loc = norm(t.location)
+          target == loc || target.startsWith(loc + "/")
+        }
     }
     hit.foreach { n =>
-      AuditLog.record(who, "PATH_LOAD", n, "DENIED",
-        "path-addressed stream over a governed root")
+      AuditLog.record(who, op, n, "DENIED",
+        "path-addressed access to a governed root")
       throw new AccessDeniedException(
         s"principal '$who' may not address governed table '$n' by " +
           "storage path; use the governed name")

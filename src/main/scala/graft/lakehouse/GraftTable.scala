@@ -4834,7 +4834,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         throw new IllegalArgumentException(
           s"ANALYZE: no such column $c"))
     }
-    require(cols.nonEmpty, "ANALYZE: no columns requested")
+    // EMPTY cols = table-level stats only (Spark's bare `ANALYZE
+    // TABLE t COMPUTE STATISTICS`): one count pass, no per-column
+    // aggregates, same snapshot-scoped sidecar
     val df = read()
     val aggs = cols.flatMap { c =>
       Seq(
@@ -5298,6 +5300,20 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val all = snapshots
     if (all.sizeIs <= 1) return
     reapExpired(all, all.init.filter(_.ts < cutoffMs))
+  }
+
+  /** The COMPOSED retention form (Iceberg's `expire_snapshots(
+    * older_than => ts, retain_last => n)`): expire only snapshots
+    * that are BOTH older than the cutoff AND not among the `keepLast`
+    * newest — i.e. keep max(n newest, everything at-or-after ts).
+    * Production retention policies routinely state both ("30 days,
+    * but never fewer than 10 snapshots"); each clause alone is the
+    * two methods above. Ref-pinned snapshots survive regardless,
+    * like both single forms. */
+  def expireSnapshots(keepLast: Int, cutoffMs: Long): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val all = snapshots
+    reapExpired(all, all.dropRight(keepLast).filter(_.ts < cutoffMs))
   }
 
   private def reapExpired(all: Seq[Snapshot], old: Seq[Snapshot]): Unit = {
@@ -5845,10 +5861,17 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
   def historyMetadata: DataFrame = {
     import scala.jdk.CollectionConverters._
     val cur = currentSnapshotId
-    val rows = snapshots.map { sn =>
-      Row(sn.id, sn.parent, sn.op,
-        if (sn.ts > 0) java.lang.Long.valueOf(sn.ts) else null,
-        sn.id == cur)
+    // bounded HEADER reads (~4 KB prefix, cached per JVM), not full
+    // manifest parses: every column here (parent/op/ts) sits in the
+    // header, so listing a year of hourly commits costs O(history)
+    // small reads instead of O(history × manifest size) — the same
+    // reasoning as metadataLogEntriesMetadata below
+    val rows = snapshotIds.map { id =>
+      val hd = header(id).getOrElse(throw new IllegalStateException(
+        s"snapshot $id expired out from under the history listing"))
+      Row(id, hd.parent, hd.op,
+        if (hd.ts > 0) java.lang.Long.valueOf(hd.ts) else null,
+        id == cur)
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("snapshot_id", org.apache.spark.sql.types.LongType, false),
@@ -6039,32 +6062,112 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         false))))
   }
 
+  /** Iceberg's `table.manifests` metadata table: the CURRENT
+    * snapshot's manifest listing — the per-shard analog of
+    * [[allManifestsMetadata]] filtered to head, with the on-disk
+    * length and the added/existing entry split Iceberg surfaces
+    * (added = entries this commit wrote; existing = carried by
+    * reference from earlier commits — an entry with no recorded
+    * adding commit counts as existing, never misattributed as
+    * added). The operator's second debugging view after `.files`:
+    * "is my metadata sharded sanely, and what did the last commit
+    * actually write". O(1 + #shards) driver-side file stats, zero
+    * data reads. */
+  def manifestsMetadata: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val snap = currentSnapshot
+    def counts(fls: Seq[String]): (Long, Long) = {
+      val added = fls.count(f => snap.fileSeq.get(f).contains(snap.id))
+      (added.toLong, (fls.size - added).toLong)
+    }
+    def lenOf(p: Path): Long = fs.getFileStatus(p).getLen
+    val shardFiles = snap.shards.flatMap(_.files).toSet
+    val (ia, ie) = counts(snap.files.filterNot(shardFiles))
+    val rows = Row(snapPath(snap.id).toString, "manifest",
+      lenOf(snapPath(snap.id)), ia, ie) +:
+      snap.shards.map { sh =>
+        val (a, e) = counts(sh.files)
+        Row(sh.path, "shard", lenOf(new Path(sh.path)), a, e)
+      }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("path", org.apache.spark.sql.types.StringType, false),
+      StructField("kind", org.apache.spark.sql.types.StringType, false),
+      StructField("length", org.apache.spark.sql.types.LongType, false),
+      StructField("added_entries", org.apache.spark.sql.types.LongType,
+        false),
+      StructField("existing_entries",
+        org.apache.spark.sql.types.LongType, false))))
+  }
+
+  /** Iceberg's `table.all_delete_files` metadata table: every
+    * merge-on-read delete ARTIFACT any live snapshot references —
+    * the delete-side completion of the all_* family ([[
+    * allFilesMetadata]] lists data files; this is the MoR-debt audit
+    * across history). Same row shape as [[deleteFilesMetadata]] plus
+    * the first referencing snapshot and an `in_current` flag
+    * (false = pending debt a PAST state carried that rollback could
+    * resurrect and expiry reclaims). First-seen dedup like all_files
+    * — artifacts are immutable and carried by reference, so one
+    * tombstone/blob/predicate appears once however many snapshots
+    * hold it. O(#snapshots) manifest parses, zero artifact reads. */
+  def allDeleteFilesMetadata: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val cur = currentSnapshot
+    def l(v: Option[Long]) = v.map(java.lang.Long.valueOf).orNull
+    val curKeys = scala.collection.mutable.Set.empty[String]
+    def keysOf(sn: Snapshot): Seq[(String, Row)] = {
+      val eq = sn.dels.map(d => (s"eq ${d.seq} ${d.pred}",
+        Row("equality", d.pred, null, null, null, sn.id, false)))
+      val pos = sn.posDels.map(p => (s"pos $p",
+        Row("position", null, p, l(sn.posDelRows.get(p)),
+          l(sn.posDelSizes.get(p)), sn.id, false)))
+      val dv = sn.dvs.toSeq.sortBy(_._1).map { case (df, blob) =>
+        (s"dv $df $blob",
+          Row("vector", df, blob, l(sn.dvCards.get(df)),
+            l(sn.dvSizes.get(blob)), sn.id, false))
+      }
+      eq ++ pos ++ dv
+    }
+    keysOf(cur).foreach { case (k, _) => curKeys += k }
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, Row]
+    snapshots.foreach { sn =>
+      keysOf(sn).foreach { case (k, r) =>
+        if (!seen.contains(k))
+          seen(k) = Row.fromSeq(r.toSeq.init :+ curKeys.contains(k))
+      }
+    }
+    spark.createDataFrame(seen.values.toSeq.asJava, StructType(Seq(
+      StructField("kind", org.apache.spark.sql.types.StringType, false),
+      StructField("detail", org.apache.spark.sql.types.StringType, true),
+      StructField("path", org.apache.spark.sql.types.StringType, true),
+      StructField("deleted_rows", org.apache.spark.sql.types.LongType,
+        true),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType,
+        true),
+      StructField("added_snapshot_id",
+        org.apache.spark.sql.types.LongType, false),
+      StructField("in_current", org.apache.spark.sql.types.BooleanType,
+        false))))
+  }
+
   /** Iceberg's `table.all_entries` metadata table: the manifest
     * entries of EVERY live snapshot — per (listing snapshot, data
     * file): the entry's status AT that snapshot (ADDED by it vs
     * EXISTING carried by reference, UNKNOWN when the adding commit
     * was not recorded), the adding commit, and the footer stats. The
     * audit view behind "which snapshot first carried this file, and
-    * when did it leave". O(#snapshots) manifest parses, zero data
-    * reads; the frame materializes Σ|snapshot file list| driver rows
-    * — exactly the entries the retained manifests themselves hold,
-    * so snapshot EXPIRY is what bounds it (the same policy that
-    * bounds the manifests' own footprint). An operator audit view,
-    * not a hot path. */
+    * when did it leave". This is the one MULTIPLICATIVE metadata
+    * table — Σ|snapshot file list| rows, O(snapshots × files) on a
+    * long-history table — so unlike the O(files) tables it does NOT
+    * build driver Rows: the driver contributes only the snapshot-id
+    * list; each executor task parses its snapshot's manifest (shards
+    * are independently readable files) and expands entries locally
+    * ([[GraftTable.entryRowsOf]]). A year of hourly commits on a
+    * 10⁶-file table is ~10⁴ tasks of ~10⁶ rows each — never a
+    * gigabyte of driver heap. Zero data reads either way. */
   def allEntriesMetadata: DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val rows = snapshots.flatMap { sn =>
-      sn.files.map { f =>
-        val seq = sn.fileSeq.get(f)
-        Row(sn.id,
-          seq.map(s => if (s == sn.id) "ADDED" else "EXISTING")
-            .getOrElse("UNKNOWN"),
-          seq.map(java.lang.Long.valueOf).orNull, f,
-          sn.fileRows.get(f).map(java.lang.Long.valueOf).orNull,
-          sn.fileSizes.get(f).map(java.lang.Long.valueOf).orNull)
-      }
-    }
-    spark.createDataFrame(rows.asJava, StructType(Seq(
+    val schema = StructType(Seq(
       StructField("snapshot_id", org.apache.spark.sql.types.LongType,
         false),
       StructField("status", org.apache.spark.sql.types.StringType, false),
@@ -6073,7 +6176,19 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       StructField("file", org.apache.spark.sql.types.StringType, false),
       StructField("rows", org.apache.spark.sql.types.LongType, true),
       StructField("size_bytes", org.apache.spark.sql.types.LongType,
-        true))))
+        true)))
+    val ids = snapshotIds
+    if (ids.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val rootStr = location
+    val rdd = spark.sparkContext
+      .parallelize(ids, math.min(ids.size,
+        spark.sparkContext.defaultParallelism))
+      .flatMap(id => GraftTable.entryRowsOf(conf.value, rootStr, id))
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Iceberg's `table.position_deletes` metadata table: the CONTENT
@@ -6194,6 +6309,51 @@ private[lakehouse] object FileStatsJson {
 }
 
 object GraftTable {
+  /** Executor-side manifest→entry expansion for
+    * [[GraftTable#allEntriesMetadata]]: spark-free (plain Hadoop FS
+    * opens against the task-local configuration), serializable by
+    * construction, parsing ONLY the entry fields (file/fseq/frows/
+    * fsize plus manifest-list shard refs) — none of the full
+    * [[Snapshot]] machinery. Ordering and map precedence mirror
+    * [[GraftTable#parseManifest]] exactly (shard entries first,
+    * inline entries win map conflicts) so the distributed frame is
+    * row-identical to the old driver-built one. */
+  private[lakehouse] def entryRowsOf(
+      conf: org.apache.hadoop.conf.Configuration, root: String,
+      id: Long): Iterator[Row] = {
+    def kvLines(p: Path): Seq[(String, String)] = {
+      val in = p.getFileSystem(conf).open(p)
+      val text =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('=')
+        (line.substring(0, i), line.substring(i + 1))
+      }.toSeq
+    }
+    val kv = kvLines(new Path(new Path(root, "_graft_meta"),
+      f"snap-$id%05d.meta"))
+    val shardKv = kv.collect { case ("mshard", v) =>
+      v.split("\t", 4)(3) }.flatMap(p => kvLines(new Path(p)))
+    val all = shardKv ++ kv
+    def tagged(key: String) = all.collect { case (`key`, v) =>
+      val i = v.indexOf('\t')
+      v.substring(i + 1) -> v.substring(0, i).toLong
+    }.toMap
+    val seqs = tagged("fseq")
+    val rows = tagged("frows")
+    val sizes = tagged("fsize")
+    all.iterator.collect { case ("file", f) =>
+      val seq = seqs.get(f)
+      Row(id,
+        seq.map(s => if (s == id) "ADDED" else "EXISTING")
+          .getOrElse("UNKNOWN"),
+        seq.map(java.lang.Long.valueOf).orNull, f,
+        rows.get(f).map(java.lang.Long.valueOf).orNull,
+        sizes.get(f).map(java.lang.Long.valueOf).orNull)
+    }
+  }
+
   /** Internal column names threading leaf-scan metadata (file path,
     * row index) to the position-delete anti-join. */
   private[lakehouse] val PosFileCol = "_gpd_file"

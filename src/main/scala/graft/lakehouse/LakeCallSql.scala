@@ -142,19 +142,24 @@ object LakeCallSql {
               str(req(a, "to")))
           case "expire_snapshots" =>
             val a = args("table", "older_than", "retain_last")
-            require(a.contains("older_than") != a.contains("retain_last"),
-              "expire_snapshots takes exactly one of older_than / " +
-                "retain_last (the composed form is not supported)")
-            if (a.contains("retain_last"))
+            require(a.contains("older_than") || a.contains("retain_last"),
+              "expire_snapshots needs older_than and/or retain_last")
+            // absolute cutoff → the age form the VACUUM commands
+            // take; run follows parse immediately, so now-anchored
+            // conversion preserves the cutoff. NOTE: a FUTURE
+            // older_than clamps to age 0 ("older than now") — the
+            // retain_last floor is then the only protection, exactly
+            // Iceberg's composed semantics.
+            def age = math.max(0L, System.currentTimeMillis() -
+              tsMillis(spark, req(a, "older_than")))
+            if (a.contains("older_than") && a.contains("retain_last"))
+              // composed (Iceberg supports both together): keep
+              // max(n newest, everything younger than the cutoff)
+              GraftVacuumComposedCommand(table(a),
+                req(a, "retain_last").toInt, age)
+            else if (a.contains("retain_last"))
               GraftVacuumCommand(table(a), req(a, "retain_last").toInt)
-            else {
-              // absolute cutoff → the age form the VACUUM command
-              // takes; run follows parse immediately, so now-anchored
-              // conversion preserves the cutoff
-              val age = math.max(0L, System.currentTimeMillis() -
-                tsMillis(spark, req(a, "older_than")))
-              GraftVacuumAgeCommand(table(a), age)
-            }
+            else GraftVacuumAgeCommand(table(a), age)
           case "remove_orphan_files" =>
             val a = args("table", "older_than")
             GraftVacuumOrphansCommand(table(a),
@@ -258,6 +263,13 @@ object LakeCallSql {
             val a = args("table", "source_dir")
             GraftMigrateCommand(freshName(spark, proc, req(a, "table")),
               str(req(a, "source_dir")))
+          case "add_files" =>
+            // zero-copy import into an EXISTING table (Iceberg's
+            // add_files; `migrate` above is the fresh-adoption form)
+            // — the table must exist, so the `table(a)` helper IS
+            // right here, unlike the two adoption procedures
+            val a = args("table", "source_dir")
+            GraftAddFilesCommand(table(a), str(req(a, "source_dir")))
           case "snapshot" =>
             val a = args("source_table", "table", "location")
             val srcRaw = req(a, "source_table")
@@ -272,8 +284,29 @@ object LakeCallSql {
                 .getOrElse(LakeDdl.managedRoot(spark, dst)))
           case "ancestors_of" =>
             val a = args("table", "snapshot_id")
-            GraftAncestorsCommand(table(a),
-              a.get("snapshot_id").map(_.toLong))
+            val n = table(a)
+            // a metadata READ with no policy seam: snapshot ids and
+            // commit timestamps of a governed table are commit-rate
+            // disclosure — refuse governed names on both forms,
+            // exactly like create_changelog_view above (DESCRIBE on
+            // the same table is policy-gated and audited; this must
+            // not be the unaudited side door)
+            require(!graft.fgac.SecureCatalog.isVisibleName(n) &&
+              !graft.fgac.SecureCatalog.isVisibleName(
+                str(a("table")).toLowerCase),
+              s"ancestors_of on governed name '$n' is not supported: " +
+                "use DESCRIBE HISTORY through the governed surface")
+            GraftAncestorsCommand(n, a.get("snapshot_id").map(_.toLong))
+          case "compute_table_stats" =>
+            // Iceberg's stats procedure, same machinery as the
+            // `ANALYZE TABLE … COMPUTE STATISTICS` statement form
+            val a = args("table", "columns")
+            // Iceberg's default: no columns argument = every
+            // (scalar) column, resolved at run time
+            GraftAnalyzeCommand(table(a),
+              a.get("columns").map(str(_).split(',').toSeq
+                .map(_.trim.toLowerCase).filter(_.nonEmpty))
+                .getOrElse(Seq("*")))
           case other => throw new UnsupportedOperationException(
             s"unknown procedure '$other' (supported: " +
               "rollback_to_snapshot, rollback_to_timestamp, " +
@@ -282,7 +315,7 @@ object LakeCallSql {
               "rewrite_data_files, rewrite_manifests, " +
               "rewrite_position_delete_files, create_changelog_view, " +
               "publish_changes, register_table, migrate, snapshot, " +
-              "ancestors_of)")
+              "ancestors_of, add_files, compute_table_stats)")
         })
       case _ => None
     }
@@ -332,6 +365,11 @@ case class GraftRegisterTableCommand(name: String, root: String)
       s"register_table: '$name' already exists")
     require(!graft.fgac.SecureCatalog.isVisibleName(Seq(name)),
       s"register_table: '$name' is a governed table name")
+    // the path door: registering a GOVERNED table's storage root
+    // under a fresh ungoverned name would alias it policy-free —
+    // the same boundary as the streaming provider's path deny
+    graft.fgac.SecureCatalog.authorizePathLoad(spark, root,
+      "REGISTER_TABLE")
     val t = GraftTable.load(spark, root)
     require(t.currentSnapshotId > 0,
       s"register_table: no graft table at '$root' (an empty root has " +
@@ -355,8 +393,40 @@ case class GraftMigrateCommand(name: String, srcDir: String)
       s"migrate: '$name' already exists")
     require(!graft.fgac.SecureCatalog.isVisibleName(Seq(name)),
       s"migrate: '$name' is a governed table name")
+    // source_dir pointed at (or under) a governed table's storage is
+    // the same path-door bypass register_table closes above — a
+    // migrate of `<governed root>/data` would adopt the governed
+    // bytes into an ungoverned table
+    graft.fgac.SecureCatalog.authorizePathLoad(spark, srcDir, "MIGRATE")
     LakeRegistry.register(name,
       GraftTable.adopt(spark, LakeDdl.managedRoot(spark, name), srcDir))
+    Seq.empty
+  }
+}
+
+/** `CALL cat.system.add_files(table, source_dir)` — zero-copy import
+  * of a parquet directory into an EXISTING table (Iceberg's
+  * `add_files`; [[GraftMigrateCommand]] is the fresh-adoption form):
+  * a metadata-only commit over [[GraftTable.addFiles]], which
+  * refuses hive-layout sources, partitioned targets, schema drift
+  * (merged-union type check + per-file presence check), and
+  * already-referenced files — migration scripts call this
+  * constantly, so every refusal names its cause. Write-gated like
+  * every table-mutating procedure; a source_dir at or under a
+  * governed table's storage refuses through the same path-door
+  * boundary as register_table/migrate. */
+case class GraftAddFilesCommand(name: String, srcDir: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "add_files")
+    graft.fgac.SecureCatalog.authorizePathLoad(spark, srcDir,
+      "ADD_FILES")
+    val t = LakeRegistry.get(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"add_files: no lake table '$name'"))
+    t.addFiles(srcDir)
     Seq.empty
   }
 }

@@ -62,6 +62,10 @@ object LakeCatalogSql {
   private val ShowNsRe =
     ("""(?is)\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)(?:\s+(?:IN|FROM)\s+""" +
       N + """)?(?:\s+LIKE\s+'([^']*)')?\s*;?\s*""").r
+  private val AnalyzeRe =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+""" + N +
+      """\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+[\w\s,]+?))?\s*;?\s*""").r
 
   /** Shared guard for per-table metadata claims (DESCRIBE, SHOW
     * CREATE TABLE, SHOW TBLPROPERTIES): the ungoverned, unshadowed
@@ -193,6 +197,27 @@ object LakeCatalogSql {
         // replacement
         Some(GraftShowTablesCommand(
           Option(db).map(normDb(spark, _)), Option(pat)))
+      case AnalyzeRe(name, forCols) =>
+        // the scheduled stats job in a real deployment is this
+        // STATEMENT, not an API call — routed to the same
+        // snapshot-scoped sidecar machinery as [[GraftTable
+        // .analyzeColumns]] (`lake_analyze`). Only ungoverned,
+        // unshadowed lake keys claim; session-catalog tables keep
+        // Spark's own ANALYZE. `FOR ALL COLUMNS` resolves the
+        // snapshot schema at RUN time (the statement may precede an
+        // evolution); no FOR clause = row count only, Spark's bare
+        // form.
+        claimTable(spark, name.toLowerCase).map { n =>
+          val cols = Option(forCols).map(_.trim) match {
+            case None => Nil
+            case Some(f) if f.toUpperCase.replaceAll("\\s+", " ")
+                .startsWith("ALL") => Seq("*")
+            case Some(f) => f.replaceAll("(?i)^COLUMNS\\s+", "")
+              .split(',').toSeq.map(_.trim.toLowerCase)
+              .filter(_.nonEmpty)
+          }
+          GraftAnalyzeCommand(n, cols): LogicalPlan
+        }
       case ShowPartitionsRe(name, spec) =>
         val full = name.toLowerCase
         val key = LakeRegistry.keyOf(spark, full.split('.').toSeq)
@@ -696,6 +721,42 @@ private[graft] object GovernedMeta {
   * [[GraftTable.partitionsMeta]] serves). Files written before a
   * partition-spec evolution report under the empty spec, which this
   * listing elides (Spark's output has no row shape for them). */
+/** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS …|FOR ALL
+  * COLUMNS]` (and `CALL compute_table_stats`): the statement surface
+  * over [[GraftTable.analyzeColumns]]'s snapshot-scoped stats
+  * sidecar. `cols == Seq("*")` is the ALL-COLUMNS sentinel, resolved
+  * against the CURRENT snapshot schema at run time; empty = row
+  * count only (Spark's bare form). Write-gated: the sidecar is table
+  * metadata, and its min/max/NDV values are data disclosure a read
+  * grant alone must not produce. */
+case class GraftAnalyzeCommand(name: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "ANALYZE")
+    val t = LakeRegistry.get(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ANALYZE: no lake table '$name'"))
+    val resolved =
+      if (cols == Seq("*"))
+        t.currentSnapshot.schema.fields.toSeq
+          // stats aggregate only over orderable scalar shapes; a
+          // struct/map/array/variant column has no min/max to compute
+          .filter(f => f.dataType match {
+            case _: org.apache.spark.sql.types.StructType |
+                 _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.VariantType => false
+            case _ => true
+          })
+          .map(_.name)
+      else cols
+    t.analyzeColumns(resolved)
+    Seq.empty
+  }
+}
+
 case class GraftShowPartitionsCommand(name: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

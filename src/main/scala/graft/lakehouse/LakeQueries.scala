@@ -401,6 +401,28 @@ object LakeQueries {
         .contains("BroadcastHashJoin"),
         "analyzed row count must broadcast the dim side")
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    // the STATEMENT form (round 19): the scheduled stats job in a
+    // real deployment is `ANALYZE TABLE …` SQL, not an API call —
+    // routed to the same snapshot-scoped sidecar
+    LakeRegistry.unregister("lake_an_t")
+    LakeRegistry.register("lake_an_t", t)
+    s.sql("ANALYZE TABLE lake_an_t COMPUTE STATISTICS " +
+      "FOR COLUMNS o_orderkey, o_custkey")
+    require(t.tableStats.contains(st),
+      "the ANALYZE statement must write the same stats as the API")
+    // the bare form computes table-level stats only (Spark's shape);
+    // FOR ALL COLUMNS covers every scalar column of the snapshot
+    s.sql("ANALYZE TABLE lake_an_t COMPUTE STATISTICS")
+    require(t.tableStats.exists(x => x.rows == st.rows &&
+        x.cols.isEmpty),
+      "the bare statement computes the row count only")
+    s.sql("ANALYZE TABLE lake_an_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    require(t.tableStats.exists(_.cols.size ==
+        t.currentSnapshot.schema.size),
+      "FOR ALL COLUMNS must cover every scalar column")
+    // restore the two-column stats the oracle frame reports
+    s.sql("ANALYZE TABLE lake_an_t COMPUTE STATISTICS " +
+      "FOR COLUMNS o_orderkey, o_custkey")
     Seq("o_custkey", "o_orderkey").map { c =>
       val cs = st.cols(c)
       (c, st.rows, cs.ndv, cs.nulls,
@@ -1466,6 +1488,47 @@ object LakeQueries {
       catch { case e: Exception =>
         e.getMessage.contains("no staged commit") },
       "a spent wap id must refuse loudly")
+    // ---- add_files (round 19): zero-copy import into the EXISTING
+    // migrated table — the runbook step Iceberg migration scripts
+    // call constantly (migrate above is the fresh-adoption form) ----
+    val rawDir2 = tmp("lake_call_raw2")
+    orders.filter(col("o_orderkey") % 5 === 1).write
+      .mode("overwrite").parquet(rawDir2)
+    val preM = m.read().count()
+    s.sql("CALL graft.system.add_files(" +
+      s"table => 'calldb.orders_m_$runId', source_dir => '$rawDir2')")
+    require(m.read().count() == preM +
+        orders.filter(col("o_orderkey") % 5 === 1).count() &&
+      m.currentSnapshot.files.exists(_.contains(rawDir2)) &&
+      m.currentSnapshot.files.exists(_.contains(rawDir)),
+      "add_files must adopt the second directory in place, zero copy")
+    // refusal matrix: a missing directory; schema drift (narrower
+    // type in the source footers)
+    require(
+      try { s.sql("CALL graft.system.add_files(" +
+        s"table => 'calldb.orders_m_$runId', " +
+        s"source_dir => '${rawDir2}_nope')"); false }
+      catch { case e: Exception =>
+        e.getMessage.contains("no such directory") },
+      "add_files on a missing source_dir must refuse")
+    val driftDir = tmp("lake_call_drift")
+    orders.select(col("o_orderkey").cast("int").as("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice")).limit(5).write
+      .mode("overwrite").parquet(driftDir)
+    require(
+      try { s.sql("CALL graft.system.add_files(" +
+        s"table => 'calldb.orders_m_$runId', " +
+        s"source_dir => '$driftDir')"); false }
+      catch { case e: Exception =>
+        e.getMessage.contains("source files") },
+      "add_files with drifted source schema must refuse")
+    // compute_table_stats: the Iceberg stats procedure — same
+    // snapshot-scoped sidecar as ANALYZE; default = every scalar col
+    s.sql("CALL graft.system.compute_table_stats(" +
+      s"table => 'calldb.orders_m_$runId')")
+    require(m.tableStats.exists(st => st.rows == m.read().count() &&
+        st.cols.keySet.map(_.toLowerCase).contains("o_orderkey")),
+      "compute_table_stats must persist head-snapshot stats")
     t.read().orderBy("o_orderkey")
   }
 
@@ -1728,6 +1791,50 @@ object LakeQueries {
     s.sql("VACUUM lake_expage_t OLDER THAN INTERVAL 1 HOURS")
     require(t.snapshots.map(_.id) == Seq(2L, 3L, 4L),
       "an interval retention window must not expire recent snapshots")
+    t.read().orderBy("o_orderkey")
+  }
+
+  /** COMPOSED retention (round 19, r18 verdict item 7 — Iceberg's
+    * `expire_snapshots(older_than => ts, retain_last => n)` with
+    * BOTH arguments): keep max(n newest, everything younger than
+    * the cutoff) — the shape production policy actually states
+    * ("30 days, but never fewer than 2 snapshots"). Scenario: five
+    * commits, a tag pinning snap 2; a composed CALL with a cutoff
+    * beyond every commit and retain_last=2 keeps exactly the newest
+    * two PLUS the tag-pinned snapshot (refs protect from the
+    * composed form exactly as from each single form); the tag still
+    * time-travels, the expired snapshots refuse; a second composed
+    * CALL with a PAST cutoff expires nothing however small the
+    * floor (the older_than clause gates). Metadata-only here (every
+    * expired snapshot's files are carried by the head), so the end
+    * state is the intact table — oracled. */
+  private val expireComposedQ: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val t = GraftTable.create(s, tmp("lake_expcomp"),
+      orders.filter(col("o_orderkey") % 5 === 0))            // snap 1
+    for (i <- 1 to 4)                                        // 2..5
+      t.append(orders.filter(col("o_orderkey") % 5 === i))
+    LakeRegistry.register("lake_expcomp_t", t)
+    s.sql("ALTER TABLE lake_expcomp_t CREATE TAG keep AS OF VERSION 2")
+    val taggedRows = t.readAt(2).count()
+    s.sql("CALL graft.system.expire_snapshots(" +
+      "table => 'lake_expcomp_t', " +
+      "older_than => TIMESTAMP '2099-01-01', retain_last => 2)")
+    require(t.snapshots.map(_.id) == Seq(2L, 4L, 5L),
+      "composed expiry must keep the newest 2 + the tag-pinned snap: " +
+        t.snapshots.map(_.id).mkString(","))
+    require(s.sql(
+        "SELECT count(*) FROM lake_expcomp_t VERSION AS OF 'keep'")
+        .head.getLong(0) == taggedRows,
+      "the tag must still time-travel after composed expiry")
+    require(scala.util.Try(t.readAt(3).count()).isFailure,
+      "an expired snapshot must refuse time travel")
+    // the older_than clause GATES: a past cutoff expires nothing
+    s.sql("CALL graft.system.expire_snapshots(" +
+      "table => 'lake_expcomp_t', " +
+      "older_than => TIMESTAMP '2020-01-01', retain_last => 1)")
+    require(t.snapshots.map(_.id) == Seq(2L, 4L, 5L),
+      "a past cutoff must compose to a no-op")
     t.read().orderBy("o_orderkey")
   }
 
@@ -2622,6 +2729,81 @@ object LakeQueries {
     t.read().orderBy("o_orderkey")
   }
 
+  /** REF-ADDRESSED identifiers (round 19 — Iceberg's `db.t.branch_b`
+    * / `db.t.tag_v` SQL surface): the suffix pins reads to the ref's
+    * head and DML to the branch, making the whole WAP workflow plain
+    * SQL — `INSERT INTO t.branch_etl`, `UPDATE/DELETE
+    * t.branch_etl …`, audit reads on `t.branch_etl`, pinned reads on
+    * `t.tag_v1`, publish via fast_forward. Main stays isolated until
+    * publish (require()d after every branch mutation); tag WRITES
+    * refuse (immutable pins), wrong-kind addressing (`branch_v1`
+    * naming a tag) refuses, a missing ref refuses with the live ref
+    * list. Claimed through the same suffix guard stack as the
+    * metadata tables (registered full names, shadows, views, and
+    * governed names all win first), and the DML target survives to
+    * the write claim un-rewritten (the read claim skips DML
+    * targets). Scale: addressing only — a branch commit costs
+    * exactly its main-branch equivalent (same refs CAS, same
+    * manifest carry-by-reference). Oracle = the published end state
+    * recomputed relationally. */
+  private val branchSqlQ: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def part(m: Long) = orders.filter(col("o_orderkey") % 4 === m)
+    val t = GraftTable.create(s, tmp("lake_brsql"), part(0))  // snap 1
+    LakeRegistry.unregister("lake_brsql_t")
+    LakeRegistry.register("lake_brsql_t", t)
+    s.sql("ALTER TABLE lake_brsql_t CREATE TAG v1")
+    s.sql("ALTER TABLE lake_brsql_t CREATE BRANCH etl")
+    part(1).createOrReplaceTempView("lake_brsql_src")
+    // branch-addressed INSERT: lands on the branch, main unchanged
+    s.sql("INSERT INTO lake_brsql_t.branch_etl " +
+      "SELECT * FROM lake_brsql_src")
+    require(t.read().count() == part(0).count(),
+      "main must not see the branch-addressed insert")
+    require(s.sql("SELECT count(*) FROM lake_brsql_t.branch_etl")
+        .head.getLong(0) == part(0).count() + part(1).count(),
+      "the branch read must see its own append")
+    // branch-addressed UPDATE then DELETE compose on the branch
+    s.sql("UPDATE lake_brsql_t.branch_etl " +
+      "SET o_totalprice = o_totalprice + 1 WHERE o_orderkey % 4 = 1")
+    s.sql("DELETE FROM lake_brsql_t.branch_etl WHERE o_orderkey % 8 = 1")
+    require(t.read().count() == part(0).count(),
+      "main must stay isolated through branch DML")
+    // tag reads pin the initial load; implicit main addresses head
+    require(s.sql("SELECT count(*) FROM lake_brsql_t.tag_v1")
+        .head.getLong(0) == part(0).count(),
+      "the tag identifier must pin its snapshot")
+    require(s.sql("SELECT count(*) FROM lake_brsql_t.branch_main")
+        .head.getLong(0) == part(0).count(),
+      "branch_main must address the main head")
+    // refusal matrix: tag writes, wrong-kind addressing, missing ref
+    require(
+      try { s.sql("INSERT INTO lake_brsql_t.tag_v1 " +
+        "SELECT * FROM lake_brsql_src"); false }
+      catch { case e: Exception => e.getMessage.contains("immutable") },
+      "tag-addressed writes must refuse")
+    require(
+      try { s.sql("SELECT * FROM lake_brsql_t.branch_v1").collect()
+        false }
+      catch { case e: Exception =>
+        e.getMessage.contains("is a tag, not a branch") },
+      "wrong-kind ref addressing must refuse")
+    require(
+      try { s.sql("SELECT * FROM lake_brsql_t.branch_nope").collect()
+        false }
+      catch { case e: Exception =>
+        e.getMessage.contains("does not exist") },
+      "a missing ref must refuse with the live ref list")
+    // publish, then the tag still pins the initial load
+    s.sql("CALL graft.system.fast_forward(table => 'lake_brsql_t', " +
+      "branch => 'main', to => 'etl')")
+    require(s.sql("SELECT count(*) FROM lake_brsql_t.tag_v1")
+        .head.getLong(0) == part(0).count(),
+      "the tag must survive the publish")
+    t.read().orderBy("o_orderkey")
+  }
+
   /** Metadata tables (Iceberg's `table.files` / `table.partitions`):
     * per-partition file and record counts answered from the
     * DRIVER-SIDE MANIFEST ALONE — the footer-harvested record counts
@@ -2655,6 +2837,14 @@ object LakeQueries {
       s.sql("SELECT * FROM lake_meta_t.snapshots").count() ==
         s.sql("SELECT * FROM lake_meta_t.history").count(),
       "db.t.files / .partitions / .snapshots must mirror the TVFs")
+    // `.data_files` (round 19): Iceberg's data-only name — this
+    // engine's files table IS data-only, so the alias serves the
+    // same frame (both surfaces)
+    require(s.sql("SELECT * FROM lake_meta_t.data_files").count() ==
+      files.count() &&
+      s.sql("SELECT * FROM lake_data_files('lake_meta_t')").count() ==
+        files.count(),
+      ".data_files must alias .files on both surfaces")
     parts.select(col("o_orderstatus"), col("row_count"))
       .orderBy("o_orderstatus")
   }
@@ -2764,6 +2954,35 @@ object LakeQueries {
       "all_entries must carry per-snapshot entry status (the " +
         "compaction ADDED everything; the delete commits carry all " +
         "files EXISTING)")
+    // round 19: `.manifests` — the HEAD snapshot's manifest listing
+    // (the per-shard analog of all_manifests filtered to head) with
+    // on-disk lengths and the added/existing entry split; the delete
+    // commit carried every data file by reference → 0 added
+    val mf = s.sql("SELECT * FROM lake_ent_t.manifests")
+    require(mf.count() == 1 + snapNow.shards.size &&
+        mf.filter(col("kind") === "manifest").count() == 1 &&
+        mf.filter(col("length") <= 0).count() == 0,
+      "manifests must list the head manifest (+shards) with lengths")
+    require(mf.agg(sum("existing_entries")).head.getLong(0) ==
+        snapNow.files.size &&
+      mf.agg(sum("added_entries")).head.getLong(0) == 0,
+      "a delete commit carries every data file EXISTING")
+    // `.all_delete_files` — the delete-side all_* view: every MoR
+    // artifact any live snapshot references, in_current-flagged
+    val adf = s.sql("SELECT * FROM lake_ent_t.all_delete_files")
+    val adfN = adf.count()
+    require(adf.filter(col("in_current")).count() == adfN &&
+        adf.filter(col("kind") === "position").count() ==
+          snapNow.posDels.size &&
+        adf.filter(col("kind") === "vector").count() ==
+          snapNow.dvs.size,
+      "all_delete_files must list both pending artifact shapes " +
+        "as current")
+    require(s.sql("SELECT * FROM lake_all_delete_files('lake_ent_t')")
+        .count() == adfN &&
+      s.sql("SELECT * FROM lake_manifests('lake_ent_t')").count() ==
+        mf.count(),
+      "the TVF forms mirror the dotted suffixes")
     // restore the pre-delete state so the oracle stays the compacted
     // end state (rollback restores files AND clears the artifacts)
     s.sql(s"CALL graft.system.rollback_to_snapshot('lake_ent_t', $optId)")
@@ -2772,6 +2991,12 @@ object LakeQueries {
     require(s.sql("SELECT * FROM lake_ent_t.position_deletes")
         .count() == 0,
       "no pending artifacts → an empty position_deletes table")
+    // the rolled-back artifacts stay listed as HISTORY-ONLY MoR debt
+    // (rollback could resurrect them; expiry is what reclaims)
+    val adfPost = s.sql("SELECT * FROM lake_ent_t.all_delete_files")
+    require(adfPost.count() == adfN &&
+        adfPost.filter(col("in_current")).count() == 0,
+      "all_delete_files must keep rolled-back artifacts history-only")
     // end state: everything ADDED by the compaction, rows intact
     s.sql(
       """SELECT status, sum(rows) AS n_rows
@@ -3288,6 +3513,7 @@ object LakeQueries {
     "lake_sort_compact"     -> sortCompact,
     "lake_zorder"           -> zorder,
     "lake_branch"           -> branch,
+    "lake_branch_sql"       -> branchSqlQ,
     "lake_hidden_partition" -> hiddenPartition,
     "lake_hour_partition"   -> hourPartition,
     "lake_partition_evolution" -> partitionEvolution,
@@ -3299,6 +3525,7 @@ object LakeQueries {
     "lake_pos_merge"        -> posMerge,
     "lake_expire"           -> expire,
     "lake_expire_age"       -> expireAge,
+    "lake_expire_composed"  -> expireComposedQ,
     "lake_rename"           -> rename,
     "lake_replace"          -> replaceQ,
     "lake_row_lineage"      -> rowLineage,
@@ -3834,6 +4061,17 @@ object LakeQueries {
     "lake_branch" ->
       """SELECT * FROM orders WHERE o_orderkey % 4 <= 2
         |ORDER BY o_orderkey""".stripMargin,
+    // published end state: slices 0-1, the branch UPDATE (+1 on the
+    // %4=1 survivors) applied, the %8=1 rows branch-DELETEd. The
+    // UPDATE ran before the DELETE, so every surviving %4=1 row
+    // (⇔ %8=5) carries the bump.
+    "lake_branch_sql" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice + 1
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 8 <> 1
+        |ORDER BY o_orderkey""".stripMargin,
     // the manifest's per-partition record counts must equal the
     // GROUP BY recomputed from the actual rows
     "lake_metadata" ->
@@ -3866,6 +4104,10 @@ object LakeQueries {
     "lake_expire" ->
       "SELECT * FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey",
     "lake_expire_age" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
+    // composed expiry is metadata-only here (the head carries every
+    // file): end state = the intact five-slice table
+    "lake_expire_composed" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     // deletes (COW %30 at snap 5, position-tombstone %12==6 at snap
     // 7) carry the RANGE-START old image p; updates carry the final

@@ -114,6 +114,40 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     plan match {
       case SubqueryAlias(ident, u: UnresolvedRelation) =>
         target(u).map { case (t, as, n) => (t, as + ident.name.toLowerCase, n) }
+      // REF-addressed DML (Iceberg's `INSERT INTO db.t.branch_b1` /
+      // `UPDATE db.t.branch_b1 …`): the suffix pins the write to the
+      // named branch — every commit lands through the branch handle's
+      // refs CAS, main unchanged until fast_forward publishes. An
+      // explicit suffix OVERRIDES the session wap branch (the more
+      // specific spelling wins). Tag-addressed writes refuse (tags
+      // are immutable pins); governed full names fall through to the
+      // policy layer; checkWrite runs on the TABLE key below, so a
+      // branch write needs exactly the table's write grant.
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size >= 2 &&
+            LakeChanges.refSuffix(u.multipartIdentifier.last).isDefined &&
+            LakeRegistry.keyOf(spark, u.multipartIdentifier)
+              .forall(k => LakeRegistry.get(k).isEmpty) &&
+            !graft.fgac.SecureCatalog.isVisibleName(
+              u.multipartIdentifier) &&
+            LakeRegistry.keyOf(spark, u.multipartIdentifier.init)
+              .exists(k => LakeRegistry.get(k).isDefined) =>
+        val name = LakeRegistry.keyOf(spark,
+          u.multipartIdentifier.init).get
+        val (wantKind, ref) =
+          LakeChanges.refSuffix(u.multipartIdentifier.last).get
+        if (wantKind == "tag")
+          throw new UnsupportedOperationException(
+            s"cannot write to tag-addressed '$name.tag_$ref': tags " +
+              "are immutable — write to a branch, or re-tag after")
+        val t0 = LakeRegistry.get(name).get
+        val exact = t0.refs.find(_._1.equalsIgnoreCase(ref))
+          .map(_._1).getOrElse(ref) // onBranch refuses a miss loudly
+        Some((t0.onBranch(exact),
+          Set(name, LakeRegistry.nameOf(u.multipartIdentifier.init),
+            u.multipartIdentifier.init.last.toLowerCase,
+            u.multipartIdentifier.map(_.toLowerCase).mkString("."),
+            u.multipartIdentifier.last.toLowerCase), name))
       case u: UnresolvedRelation
           if LakeRegistry.keyOf(spark, u.multipartIdentifier).isDefined &&
             // a THREE-part name whose FULL dotted form is governed
@@ -1851,6 +1885,24 @@ case class GraftVacuumAgeCommand(name: String, ageMs: Long)
   }
 }
 
+/** The composed retention form (`CALL expire_snapshots(older_than,
+  * retain_last)` with BOTH arguments — Iceberg composes them): keep
+  * max(`keep` newest, everything younger than now − `ageMs`). Age-
+  * anchored like [[GraftVacuumAgeCommand]] (run follows parse
+  * immediately in the CALL surface, so the absolute cutoff is
+  * preserved). */
+case class GraftVacuumComposedCommand(name: String, keep: Int,
+    ageMs: Long) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "VACUUM")
+    LakeRegistry.get(name).get
+      .expireSnapshots(keep, System.currentTimeMillis() - ageMs)
+    Seq.empty
+  }
+}
+
 /** `VACUUM t ORPHANS [OLDER THAN INTERVAL n …]` —
   * [[GraftTable.removeOrphanFiles]] as operator-facing SQL (Iceberg
   * ships this as the `remove_orphan_files` procedure; Delta folds it
@@ -1898,11 +1950,16 @@ object LakeChanges {
   private[lakehouse] val MetaSuffixes = Set("files", "delete_files",
     "partitions", "history", "snapshots", "refs", "lineage",
     "entries", "all_files", "all_data_files", "metadata_log_entries",
-    "all_manifests", "all_entries", "position_deletes")
+    "all_manifests", "all_entries", "position_deletes", "manifests",
+    "all_delete_files", "data_files")
 
   private[lakehouse] def metaFrame(spark: SparkSession, t: GraftTable,
       kind: String): org.apache.spark.sql.DataFrame = kind match {
-    case "files"        => t.filesMetadata
+    // `data_files` is Iceberg's data-only view of `.files`; this
+    // engine's files table lists only data files (delete artifacts
+    // have `.delete_files`), so the two names serve one frame —
+    // completing the Iceberg metadata-table name family
+    case "files" | "data_files" => t.filesMetadata
     case "delete_files" => t.deleteFilesMetadata
     case "partitions"   => t.partitionsMetadata
     // manifest-entry / all-snapshots / metadata-log views (Iceberg's
@@ -1916,6 +1973,10 @@ object LakeChanges {
     case "all_manifests"    => t.allManifestsMetadata
     case "all_entries"      => t.allEntriesMetadata
     case "position_deletes" => t.positionDeletesMetadata
+    // round 19: the head-snapshot manifest listing and the
+    // delete-side completion of the all_* family
+    case "manifests"        => t.manifestsMetadata
+    case "all_delete_files" => t.allDeleteFilesMetadata
     // Iceberg v3 row lineage as a relation: the table's rows with
     // _row_id / _last_updated_sequence_number appended (see
     // GraftTable.readLineage; requires row.lineage=true)
@@ -1932,7 +1993,60 @@ object LakeChanges {
     case _              => t.historyMetadata // history | snapshots
   }
 
-  def resolve(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+  /** Shared eligibility guard for dotted-SUFFIX claims over a
+    * registered table prefix (`db.t.<suffix>`): the FULL name must
+    * not itself be a registered table, session-catalog shadow, lake
+    * view, or governed name — and neither may the TABLE PREFIX be
+    * shadowed/viewed/governed. Whatever wins the prefix's READS owns
+    * its suffixes too; governed prefixes always refuse by falling
+    * through to the policy layer. */
+  private def suffixClaimable(spark: SparkSession,
+      parts: Seq[String]): Boolean =
+    parts.size >= 2 &&
+      LakeRegistry.keyOf(spark, parts)
+        .forall(k => LakeRegistry.get(k).isEmpty) &&
+      !LakeCatalogSql.sessionShadowed(spark,
+        parts.map(_.toLowerCase).mkString(".")) &&
+      !LakeCatalogSql.sessionShadowed(spark,
+        parts.init.map(_.toLowerCase).mkString(".")) &&
+      !ViewRegistry.isView(parts) &&
+      !ViewRegistry.isView(parts.init) &&
+      !graft.fgac.SecureCatalog.isVisibleName(parts) &&
+      !graft.fgac.SecureCatalog.isVisibleName(parts.init) &&
+      LakeRegistry.keyOf(spark, parts.init)
+        .filterNot(graft.fgac.SecureCatalog.isVisibleName)
+        .exists(LakeRegistry.get(_).isDefined)
+
+  /** The `branch_<name>` / `tag_<name>` ref suffix, when `last` is
+    * one (Iceberg's ref-addressed identifiers): (wanted kind, ref). */
+  private[lakehouse] def refSuffix(last: String): Option[(String, String)] = {
+    val l = last.toLowerCase
+    if (l.startsWith("branch_") && last.length > 7)
+      Some(("branch", last.substring(7)))
+    else if (l.startsWith("tag_") && last.length > 4)
+      Some(("tag", last.substring(4)))
+    else None
+  }
+
+  def resolve(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    // a DML statement's TARGET relation must survive to
+    // [[LakeSqlRule]] as an UnresolvedRelation — rewriting
+    // `INSERT INTO db.t.branch_b1`'s target into a read frame here
+    // would turn branch-addressed DML into an unwritable subquery.
+    // (Metadata suffixes stay un-skipped: writing `db.t.files` is a
+    // user error that should fail as an unwritable relation.)
+    def unwrap(p: LogicalPlan): Option[UnresolvedRelation] = p match {
+      case SubqueryAlias(_, c) => unwrap(c)
+      case u: UnresolvedRelation => Some(u)
+      case _ => None
+    }
+    val dmlTargets: Set[UnresolvedRelation] = (plan match {
+      case i: InsertIntoStatement => unwrap(i.table)
+      case u: UpdateTable => unwrap(u.table)
+      case d: DeleteFromTable => unwrap(d.table)
+      case m: MergeIntoTable => unwrap(m.targetTable)
+      case _ => None
+    }).toSet
     plan.transformUp {
       // Iceberg's metadata-table SUFFIX form (`db.t.files`,
       // `t.history`, `graft.db.t.partitions`, …): the table prefix
@@ -1947,30 +2061,48 @@ object LakeChanges {
       case u: UnresolvedRelation
           if u.multipartIdentifier.size >= 2 &&
             MetaSuffixes.contains(u.multipartIdentifier.last.toLowerCase) &&
-            LakeRegistry.keyOf(spark, u.multipartIdentifier)
-              .forall(k => LakeRegistry.get(k).isEmpty) &&
-            // the FULL name and the TABLE PREFIX must both be free of
-            // session-catalog shadows and lake views: whatever wins
-            // the prefix's READS owns its metadata too
-            !LakeCatalogSql.sessionShadowed(spark,
-              u.multipartIdentifier.map(_.toLowerCase).mkString(".")) &&
-            !LakeCatalogSql.sessionShadowed(spark,
-              u.multipartIdentifier.init.map(_.toLowerCase)
-                .mkString(".")) &&
-            !ViewRegistry.isView(u.multipartIdentifier) &&
-            !ViewRegistry.isView(u.multipartIdentifier.init) &&
-            !graft.fgac.SecureCatalog.isVisibleName(u.multipartIdentifier) &&
-            !graft.fgac.SecureCatalog.isVisibleName(
-              u.multipartIdentifier.init) &&
-            LakeRegistry.keyOf(spark, u.multipartIdentifier.init)
-              .filterNot(graft.fgac.SecureCatalog.isVisibleName)
-              .exists(LakeRegistry.get(_).isDefined) =>
+            suffixClaimable(spark, u.multipartIdentifier) =>
         val t = LakeRegistry.get(LakeRegistry.keyOf(spark,
           u.multipartIdentifier.init).get).get
         val df = metaFrame(spark, t,
           u.multipartIdentifier.last.toLowerCase)
         SubqueryAlias(u.multipartIdentifier.map(_.toLowerCase),
           df.queryExecution.analyzed)
+
+      // Iceberg's REF-addressed identifiers (`db.t.branch_b1`,
+      // `db.t.tag_v1`): the suffix names a ref of the prefix table;
+      // the read resolves the ref's head snapshot — the identifier
+      // form of `VERSION AS OF 'ref'`, and the read half of
+      // branch-addressed DML ([[LakeSqlRule]] claims the write
+      // half). Wrong-kind addressing (`branch_x` naming a tag, or
+      // vice versa) refuses loudly like Iceberg — a tag read through
+      // a branch identifier would invite a later write to it.
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size >= 2 &&
+            !dmlTargets.exists(_ eq u) &&
+            refSuffix(u.multipartIdentifier.last).isDefined &&
+            suffixClaimable(spark, u.multipartIdentifier) =>
+        val t = LakeRegistry.get(LakeRegistry.keyOf(spark,
+          u.multipartIdentifier.init).get).get
+        val (wantKind, ref) = refSuffix(u.multipartIdentifier.last).get
+        // identifier case travels as typed; ref names match
+        // case-insensitively like every other SQL identifier. A
+        // ref-less table still answers `branch_main` (every table
+        // has an implicit main, like Iceberg).
+        val hit = t.refs.find(_._1.equalsIgnoreCase(ref))
+          .orElse(
+            if (t.refs.isEmpty && ref.equalsIgnoreCase("main"))
+              Some("main" -> ("branch", t.headOf("main")))
+            else None)
+          .getOrElse(throw new IllegalArgumentException(
+            s"ref '$ref' does not exist on " +
+              s"'${u.multipartIdentifier.init.mkString(".")}' " +
+              s"(refs: ${t.refs.keys.toSeq.sorted.mkString(", ")})"))
+        require(hit._2._1 == wantKind,
+          s"'${hit._1}' is a ${hit._2._1}, not a $wantKind — address " +
+            s"it as ${hit._2._1}_${hit._1}")
+        SubqueryAlias(u.multipartIdentifier.map(_.toLowerCase),
+          t.readAt(hit._2._2).queryExecution.analyzed)
 
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if Set("table_changes", "table_changes_lineage")
@@ -2011,7 +2143,9 @@ object LakeChanges {
             "lake_refs", "lake_delete_files", "lake_lineage",
             "lake_entries", "lake_all_files", "lake_all_data_files",
             "lake_metadata_log_entries", "lake_all_manifests",
-            "lake_all_entries", "lake_position_deletes")
+            "lake_all_entries", "lake_position_deletes",
+            "lake_manifests", "lake_all_delete_files",
+            "lake_data_files")
             .contains(tvf.name.map(_.toLowerCase).mkString(".")) =>
         val fn = tvf.name.head.toLowerCase
         val name = tvf.functionArgs match {
@@ -2059,6 +2193,7 @@ object LakeChanges {
           .toDF("name", "security", "definer", "columns", "view_sql")
         SubqueryAlias("lake_views", df.queryExecution.analyzed)
     }
+  }
 
   private def integral(l: Literal): Boolean = l.dataType match {
     case org.apache.spark.sql.types.IntegerType |

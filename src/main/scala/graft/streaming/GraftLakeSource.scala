@@ -110,14 +110,20 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
     knownHead
   }
 
-  // a missing/zero engine offset means "from the configured start":
-  // every entry point clamps to `startFrom`, so no admission path
-  // can ever log or deliver a range below it (the engine probes
-  // latestOffset with a null start BEFORE any offset is logged)
+  // a MISSING engine offset means "from the configured start" (the
+  // engine probes latestOffset with a null start BEFORE any offset is
+  // logged, so the null arm is where startingSnapshotId takes effect).
+  // A NON-NULL offset came from the checkpoint log (or from this
+  // source's own earlier return values, which are already >= the
+  // start by construction) and passes through UNCHANGED: clamping a
+  // logged offset upward to a LATER start option would silently skip
+  // the undelivered (logged, startFrom] range on restart — data loss.
+  // Checkpoint offsets win over ANY start option, exactly like
+  // Delta's startingVersion.
   private def valueOf(o: OffsetV2): Long = o match {
     case null => startFrom
-    case l: LongOffset => math.max(l.offset, startFrom)
-    case other => math.max(other.json.trim.toLong, startFrom)
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
   }
 
   override def initialOffset(): OffsetV2 = LongOffset(startFrom)
@@ -129,7 +135,13 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
     * listing, no manifest opens. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = valueOf(start)
-    LongOffset(math.min(head, from + maxCommitsPerTrigger))
+    val hi = math.min(head, from + maxCommitsPerTrigger)
+    // a FRESH stream (null start — nothing logged yet) never logs an
+    // offset BELOW the configured start: with a startingSnapshotId
+    // beyond the current head, the stream stays pending at startFrom
+    // until the table reaches it (strictly-after-start preserved).
+    // A logged offset passes through unclamped — offsets win.
+    LongOffset(if (start == null) math.max(hi, startFrom) else hi)
   }
 
   /** Non-admission-control engines poll this instead. */
@@ -416,10 +428,15 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
     * only wants changes FROM NOW passes the head snapshot (or a
     * wall-clock instant, resolved through the same header walk as
     * TIMESTAMP AS OF). The stream delivers commits strictly AFTER
-    * the named snapshot. Checkpointed restarts ignore it (offsets
-    * win) — standard Delta semantics. Validated from BOTH
-    * [[sourceSchema]] (so `.load()` refuses a contradictory spec
-    * before any stream exists) and [[createSource]]. */
+    * the named snapshot; `startingTimestamp` therefore resolves to
+    * the latest snapshot strictly BEFORE the instant, so a commit
+    * landing exactly AT the named timestamp streams — Delta's
+    * at-or-after-inclusive convention. An instant predating every
+    * live commit means "from the beginning" (full replay), again
+    * like Delta. Checkpointed restarts ignore it (offsets win) —
+    * standard Delta semantics. Validated from BOTH [[sourceSchema]]
+    * (so `.load()` refuses a contradictory spec before any stream
+    * exists) and [[createSource]]. */
   private def startFromOf(ctx: SQLContext,
       parameters: Map[String, String]): Long =
     (parameters.get("startingSnapshotId"),
@@ -429,10 +446,18 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
           "are mutually exclusive")
       case (Some(id), None) => id.trim.toLong
       case (None, Some(ts)) =>
-        GraftTable.load(ctx.sparkSession, pathOf(parameters))
-          .snapshotIdAsOfTimestamp(
-            graft.lakehouse.LakeCallSql.tsMillis(ctx.sparkSession,
-              s"'${ts.trim.replace("'", "''")}'"))
+        val ms = graft.lakehouse.LakeCallSql.tsMillis(ctx.sparkSession,
+          s"'${ts.trim.replace("'", "''")}'")
+        // strictly-before resolution (at-or-before of the preceding
+        // millisecond): an exactly-at commit lands AFTER the resolved
+        // snapshot and streams. Nothing strictly before the instant
+        // (table younger than the timestamp) = full replay; an
+        // EXPIRED pre-instant history also lands here and fails
+        // loudly downstream when the range's manifests are gone —
+        // never a silent skip.
+        try GraftTable.load(ctx.sparkSession, pathOf(parameters))
+          .snapshotIdAsOfTimestamp(ms - 1)
+        catch { case _: IllegalArgumentException => 0L }
       case _ => 0L
     }
 

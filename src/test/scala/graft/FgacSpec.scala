@@ -451,6 +451,26 @@ class FgacSpec extends AnyFunSuite {
         assert(ea.getMessage.contains("by storage path"),
           s"alias '$alias' must deny: ${ea.getMessage}")
       }
+      // a SUBPATH of the governed root is the same storage (round
+      // 19: prefix matching on the normalized path) — `<root>/data`
+      // must not slip the deny, nor a trailing-slash spelling
+      for (sub <- Seq(s"$bare/data", s"file:$bare/data", s"$bare/")) {
+        val es = intercept[AccessDeniedException](
+          FgacQueries.asPrincipal(spark, "analyst_col") {
+            spark.readStream.format("graft-lake").load(sub)
+          })
+        assert(es.getMessage.contains("by storage path"),
+          s"subpath '$sub' must deny: ${es.getMessage}")
+      }
+      // …but a SIBLING sharing the prefix as a string (not as a path
+      // component) is different storage: no deny from this boundary
+      // (it fails later as "no graft table", never as access denied)
+      val sib = intercept[Exception](
+        FgacQueries.asPrincipal(spark, "analyst_col") {
+          spark.readStream.format("graft-lake").load(bare + "2")
+        })
+      assert(!sib.isInstanceOf[AccessDeniedException],
+        s"a sibling root must not be denied: $sib")
       // sink side: path-addressed writes bypass checkWrite — denied
       // at stream construction, wrapped or not
       val src = graft.lakehouse.GraftTable.create(spark,
@@ -488,6 +508,69 @@ class FgacSpec extends AnyFunSuite {
       q.awaitTermination()
       assert(spark.table(qn).count() == t.read().count())
     } finally graft.lakehouse.LakeRegistry.unregister("customer")
+  }
+
+  test("path-door adoption: register_table/migrate/add_files cannot " +
+      "alias a governed root (or its data dir) under a fresh " +
+      "ungoverned name; ancestors_of refuses governed names") {
+    FgacQueries.setup(spark, sf)
+    val t = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_pathdoor").toString,
+      Tables.customer(spark, sf))
+    graft.lakehouse.LakeRegistry.register("customer", t)
+    val fresh = graft.lakehouse.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_pathdoor2").toString,
+      Tables.nation(spark, sf))
+    try {
+      val root = t.location
+      // a principal-bearing session CALLing the adoption procedures
+      // at a governed root (or a subpath of it) is the path-door
+      // bypass: the fresh ungoverned name would read policy-free
+      for ((sql, op) <- Seq(
+          ("CALL graft.system.register_table(table => 'pd.alias1', " +
+            s"location => '$root')", "REGISTER_TABLE"),
+          ("CALL graft.system.migrate(table => 'pd.alias2', " +
+            s"source_dir => '$root/data')", "MIGRATE"),
+          ("CALL graft.system.add_files(table => 'pd.sink', " +
+            s"source_dir => '$root/data')", "ADD_FILES"))) {
+        graft.lakehouse.LakeRegistry.unregister("pd.alias1")
+        graft.lakehouse.LakeRegistry.unregister("pd.alias2")
+        graft.lakehouse.LakeRegistry.unregister("pd.sink")
+        if (op == "ADD_FILES")
+          graft.lakehouse.LakeRegistry.register("pd.sink", fresh)
+        val e = intercept[Exception](
+          FgacQueries.asPrincipal(spark, "analyst_col") {
+            spark.sql(sql)
+          })
+        assert(Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).exists(x =>
+            String.valueOf(x.getMessage).contains("by storage path")),
+          s"$op must deny the governed root: $e")
+        assert(AuditLog.entries.exists(d =>
+            d.principal == "analyst_col" && d.action == op &&
+            d.outcome == "DENIED"),
+          s"$op denial must land in the audit trail")
+      }
+      // the PRINCIPAL-LESS credential holder may still register the
+      // same root under a fresh name (the Lakeguard boundary —
+      // storage ACLs own raw path access)
+      graft.lakehouse.LakeRegistry.unregister("pd.alias3")
+      spark.sql("CALL graft.system.register_table(" +
+        s"table => 'pd.alias3', location => '$root')")
+      assert(spark.sql("SELECT count(*) FROM pd.alias3")
+        .head.getLong(0) == t.read().count())
+      graft.lakehouse.LakeRegistry.unregister("pd.alias3")
+      // ancestors_of: snapshot ids + commit timestamps of a governed
+      // table are commit-rate disclosure with no policy seam —
+      // refused like create_changelog_view (DESCRIBE is the audited
+      // surface)
+      val ea = intercept[Exception](spark.sql(
+        "CALL graft.system.ancestors_of('customer')"))
+      assert(ea.getMessage.contains("governed"), ea.getMessage)
+    } finally {
+      graft.lakehouse.LakeRegistry.unregister("customer")
+      graft.lakehouse.LakeRegistry.unregister("pd.sink")
+    }
   }
 
   test("three-part addressing keeps governed precedence: a governed " +

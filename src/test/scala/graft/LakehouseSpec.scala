@@ -842,10 +842,28 @@ class LakehouseSpec extends AnyFunSuite {
     val e1 = intercept[Exception](spark.sql(
       "CALL graft.system.bogus('callspec.t')"))
     assert(e1.getMessage.contains("unknown procedure"))
+    // composed expire (round 19 — Iceberg composes both args): keep
+    // max(n newest, everything younger than the cutoff). A PAST
+    // cutoff expires nothing however small retain_last…
+    val nSnaps = t.snapshots.size
+    spark.sql("CALL graft.system.expire_snapshots(" +
+      "table => 'callspec.t', " +
+      "older_than => TIMESTAMP '2020-01-01', retain_last => 1)")
+    assert(t.snapshots.size == nSnaps,
+      "a past cutoff composes to expire nothing")
+    // …and a cutoff at/after NOW leaves exactly the retain_last
+    // floor (plus ref pins), never fewer
+    spark.sql("CALL graft.system.expire_snapshots(" +
+      "table => 'callspec.t', " +
+      "older_than => TIMESTAMP '2099-01-01', retain_last => 2)")
+    val left = t.snapshots.map(_.id)
+    assert(left.size >= 2 && left.size < nSnaps &&
+        left.contains(t.currentSnapshotId) && t.read().count() == 2,
+      s"the composed form must keep the retain_last floor: $left")
+    // both arguments missing still refuses
     val e2 = intercept[Exception](spark.sql(
-      "CALL graft.system.expire_snapshots(table => 'callspec.t', " +
-        "older_than => TIMESTAMP '2020-01-01', retain_last => 2)"))
-    assert(e2.getMessage.contains("exactly one"))
+      "CALL graft.system.expire_snapshots(table => 'callspec.t')"))
+    assert(e2.getMessage.contains("older_than and/or retain_last"))
     val e3 = intercept[Exception](spark.sql(
       "CALL graft.system.rewrite_data_files(table => 'callspec.t', " +
         "strategy => 'sort', sort_order => 'k DESC')"))
@@ -2251,9 +2269,23 @@ class LakehouseSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName(qn1)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q1.awaitTermination()
-    assert(spark.table(qn1).select("k").as[Long].collect().toSeq ==
-      Seq(3L),
-      "startingTimestamp must stream only commits after the instant")
+    // Delta's convention: commits AT or AFTER the instant stream —
+    // snap 2 committed exactly at ts2, so it must be included
+    assert(spark.table(qn1).select("k").as[Long].collect()
+        .sorted.toSeq == Seq(2L, 3L),
+      "startingTimestamp must stream commits at-or-after the instant")
+    // an instant predating every commit = full replay (Delta again)
+    val qn0 = "startts0_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val q0 = spark.readStream.format("graft-lake")
+      .option("startingTimestamp", "1990-01-01 00:00:00")
+      .load(t.location)
+      .writeStream.format("memory").queryName(qn0)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q0.awaitTermination()
+    assert(spark.table(qn0).select("k").as[Long].collect()
+        .sorted.toSeq == Seq(1L, 2L, 3L),
+      "a pre-history startingTimestamp must replay from the beginning")
     // checkpointed restart: the logged offsets win over ANY start
     // option (Delta's startingVersion semantics) — a restart with a
     // DIFFERENT option must not replay or skip
@@ -2273,6 +2305,15 @@ class LakehouseSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).select("k").as[Long].collect()
         .sorted.toSeq == Seq(3L, 4L),
       "a restart must resume from the checkpoint, ignoring the option")
+    // the DATA-LOSS direction: a restart with a start option LATER
+    // than the logged offset must NOT skip the undelivered
+    // (checkpoint, option] range — logged offsets win upward too
+    t.append(Seq((5L, "e", 5.0)).toDF("k", "tag", "v"))      // snap 5
+    drain(t.currentSnapshot.id)  // option points AT the new head
+    assert(spark.read.parquet(out).select("k").as[Long].collect()
+        .sorted.toSeq == Seq(3L, 4L, 5L),
+      "a later start option on an existing checkpoint must not skip " +
+        "the undelivered range (checkpoint offsets win over ANY option)")
     // mutually-exclusive options refuse
     val e = intercept[IllegalArgumentException](
       spark.readStream.format("graft-lake")
@@ -3873,6 +3914,19 @@ class LakehouseSpec extends AnyFunSuite {
     // the pruned parse still reads every row it should
     assert(t.readPruned("o_orderstatus", Set("F", "O")).count() ==
       orders.filter(col("o_orderstatus").isin("F", "O")).count())
+    // `.manifests` on a SHARDED head (round 19): one manifest row +
+    // one per live shard, every on-disk length positive, and the
+    // added/existing split covering exactly the head's file set
+    val mf = t.manifestsMetadata.collect()
+    assert(mf.count(_.getString(1) == "manifest") == 1 &&
+        mf.count(_.getString(1) == "shard") ==
+          t.currentSnapshot.shards.size &&
+        mf.forall(_.getLong(2) > 0),
+      s"manifests must list the head manifest + live shards: " +
+        mf.mkString(", "))
+    assert(mf.map(r => r.getLong(3) + r.getLong(4)).sum ==
+      t.currentSnapshot.files.size,
+      "added+existing across all pieces must cover the head file set")
   }
 
   test("type promotion: widened reads, refusal matrix, partition guard") {
@@ -5151,5 +5205,42 @@ class LakehouseSpec extends AnyFunSuite {
     // sanity: the same ranges against a LIVE endpoint still emit
     assert(t2.changes(3, 4).filter(col("_change_type") === "delete")
       .select("k").head.getLong(0) == 5L)
+  }
+
+  test("all_entries expands executor-side: the multi-snapshot frame " +
+      "is a distributed scan (no driver LocalRelation), row-identical " +
+      "to the per-snapshot manifest entries") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))   // snap 1
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))       // snap 2
+    t.append(Seq((4L, "d", 4.0)).toDF("k", "tag", "v"))       // snap 3
+    val ae = t.allEntriesMetadata
+    // the O(snapshots × files) cross product must NOT be a
+    // driver-built local relation — the expansion belongs on
+    // executors (the whole point of the distributed build)
+    val leaves = ae.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(l =>
+        !l.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"all_entries must not materialize on the driver: $leaves")
+    // row-exactness vs the driver-parsed snapshots: same
+    // (snapshot, status, file) triples, same stats
+    val got = ae.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(3), r.get(4), r.get(5))).toSet
+    val want = t.snapshots.flatMap { sn =>
+      sn.files.map { f =>
+        val seq = sn.fileSeq.get(f)
+        (sn.id,
+          seq.map(s => if (s == sn.id) "ADDED" else "EXISTING")
+            .getOrElse("UNKNOWN"), f,
+          sn.fileRows.get(f).map(java.lang.Long.valueOf).orNull,
+          sn.fileSizes.get(f).map(java.lang.Long.valueOf).orNull)
+      }
+    }.toSet
+    assert(got == want, s"distributed all_entries diverged:\n$got\nvs\n$want")
+    // snapshot 3 carries EXACTLY snapshot 2's files by reference
+    // (its own append is the ADDED set)
+    assert(ae.filter(col("snapshot_id") === 3 &&
+      col("status") === "EXISTING").count() ==
+      t.snapshots.find(_.id == 2).get.files.size)
   }
 }
