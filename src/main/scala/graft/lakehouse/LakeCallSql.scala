@@ -142,8 +142,6 @@ object LakeCallSql {
               str(req(a, "to")))
           case "expire_snapshots" =>
             val a = args("table", "older_than", "retain_last")
-            require(a.contains("older_than") || a.contains("retain_last"),
-              "expire_snapshots needs older_than and/or retain_last")
             // absolute cutoff → the age form the VACUUM commands
             // take; run follows parse immediately, so now-anchored
             // conversion preserves the cutoff. NOTE: a FUTURE
@@ -152,7 +150,14 @@ object LakeCallSql {
             // Iceberg's composed semantics.
             def age = math.max(0L, System.currentTimeMillis() -
               tsMillis(spark, req(a, "older_than")))
-            if (a.contains("older_than") && a.contains("retain_last"))
+            if (!a.contains("older_than") && !a.contains("retain_last"))
+              // NO retention args = table-property-driven (Iceberg's
+              // history.expire.max-snapshot-age-ms /
+              // min-snapshots-to-keep, with Iceberg's own defaults:
+              // 5 days, keep 1) — the shape a scheduled maintenance
+              // job actually calls; props resolve at RUN time
+              GraftVacuumPropsCommand(table(a))
+            else if (a.contains("older_than") && a.contains("retain_last"))
               // composed (Iceberg supports both together): keep
               // max(n newest, everything younger than the cutoff)
               GraftVacuumComposedCommand(table(a),
@@ -295,7 +300,8 @@ object LakeCallSql {
               !graft.fgac.SecureCatalog.isVisibleName(
                 str(a("table")).toLowerCase),
               s"ancestors_of on governed name '$n' is not supported: " +
-                "use DESCRIBE HISTORY through the governed surface")
+                "snapshot history is not exposed through the governed " +
+                "surface")
             GraftAncestorsCommand(n, a.get("snapshot_id").map(_.toLong))
           case "compute_table_stats" =>
             // Iceberg's stats procedure, same machinery as the

@@ -1903,6 +1903,30 @@ case class GraftVacuumComposedCommand(name: String, keep: Int,
   }
 }
 
+/** Table-property-driven retention (`CALL expire_snapshots(table)`
+  * with NO retention args — the scheduled-job shape): the composed
+  * form with `history.expire.max-snapshot-age-ms` /
+  * `history.expire.min-snapshots-to-keep` read from the table's OWN
+  * properties at run time, defaulting to Iceberg's 5 days / keep 1.
+  * A table owner states retention policy once, next to the data it
+  * governs; every scheduled caller stays a one-liner. */
+case class GraftVacuumPropsCommand(name: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.fgac.SecureCatalog.authorizeWrite(
+      spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
+      "VACUUM")
+    val t = LakeRegistry.get(name).get
+    val props = t.properties
+    val ageMs = props.get("history.expire.max-snapshot-age-ms")
+      .map(_.trim.toLong).getOrElse(5L * 24 * 60 * 60 * 1000)
+    val keep = props.get("history.expire.min-snapshots-to-keep")
+      .map(_.trim.toInt).getOrElse(1)
+    t.expireSnapshots(keep, System.currentTimeMillis() - ageMs)
+    Seq.empty
+  }
+}
+
 /** `VACUUM t ORPHANS [OLDER THAN INTERVAL n …]` —
   * [[GraftTable.removeOrphanFiles]] as operator-facing SQL (Iceberg
   * ships this as the `remove_orphan_files` procedure; Delta folds it

@@ -860,10 +860,27 @@ class LakehouseSpec extends AnyFunSuite {
     assert(left.size >= 2 && left.size < nSnaps &&
         left.contains(t.currentSnapshotId) && t.read().count() == 2,
       s"the composed form must keep the retain_last floor: $left")
-    // both arguments missing still refuses
-    val e2 = intercept[Exception](spark.sql(
-      "CALL graft.system.expire_snapshots(table => 'callspec.t')"))
-    assert(e2.getMessage.contains("older_than and/or retain_last"))
+    // NO retention args = the table's own properties decide
+    // (Iceberg's history.expire.* with 5-day/keep-1 defaults)
+    t.append(Seq((4L, "d", 4.0)).toDF("k", "tag", "v"))
+    t.append(Seq((5L, "e", 5.0)).toDF("k", "tag", "v"))
+    val preProps = t.snapshots.size
+    t.setProperties(t.properties ++ Map(
+      "history.expire.max-snapshot-age-ms" -> "0",
+      "history.expire.min-snapshots-to-keep" -> "2"))
+    spark.sql("CALL graft.system.expire_snapshots('callspec.t')")
+    val after = t.snapshots.map(_.id)
+    assert(after.size < preProps && after.size >= 2 &&
+        after.contains(t.currentSnapshotId),
+      s"property-driven expire must apply the table's own floor: $after")
+    // without the props, Iceberg's 5-day default is a no-op on
+    // seconds-old commits — the safety direction
+    t.setProperties(t.properties -- Seq(
+      "history.expire.max-snapshot-age-ms",
+      "history.expire.min-snapshots-to-keep"))
+    spark.sql("CALL graft.system.expire_snapshots('callspec.t')")
+    assert(t.snapshots.map(_.id) == after,
+      "default 5-day retention must not expire fresh commits")
     val e3 = intercept[Exception](spark.sql(
       "CALL graft.system.rewrite_data_files(table => 'callspec.t', " +
         "strategy => 'sort', sort_order => 'k DESC')"))
@@ -5205,6 +5222,39 @@ class LakehouseSpec extends AnyFunSuite {
     // sanity: the same ranges against a LIVE endpoint still emit
     assert(t2.changes(3, 4).filter(col("_change_type") === "delete")
       .select("k").head.getLong(0) == 5L)
+  }
+
+  test("ref-addressed MERGE: MERGE INTO db.t.branch_b lands on the " +
+      "branch through the same clause engine; main stays isolated " +
+      "until fast-forward") {
+    import graft.lakehouse.LakeRegistry
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    LakeRegistry.unregister("refmerge.t")
+    LakeRegistry.register("refmerge.t", t)
+    // a BARE db-qualified `db.t.branch_x` is a 3-part name under
+    // spark_catalog — the analyzer errors its namespace before any
+    // rule runs (the standard claim-layer seam), so db-qualified
+    // branch DML addresses through the graft catalog plugin exactly
+    // like every other 3-part lake name
+    LakeRegistry.ensureCatalog(spark)
+    t.createBranch("etl")
+    Seq((2L, "B", 20.0), (3L, "c", 3.0)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("refmerge_src")
+    spark.sql(
+      """MERGE INTO graft.refmerge.t.branch_etl tgt USING refmerge_src s
+        |ON tgt.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.read().count() == 2 &&
+        t.read().filter(col("v") === 20.0).count() == 0,
+      "main must not see the branch-addressed MERGE")
+    val branchRows = t.readRef("etl").select("k", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(branchRows == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0),
+      s"the branch must carry the merged state: $branchRows")
+    t.fastForward("main", "etl")
+    assert(t.read().count() == 3, "fast-forward publishes the merge")
+    LakeRegistry.unregister("refmerge.t")
   }
 
   test("all_entries expands executor-side: the multi-snapshot frame " +
