@@ -128,6 +128,11 @@ case class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             LakeChanges.refSuffix(u.multipartIdentifier.last).isDefined &&
             LakeRegistry.keyOf(spark, u.multipartIdentifier)
               .forall(k => LakeRegistry.get(k).isEmpty) &&
+            // a lake VIEW registered under the full suffixed name
+            // owns it (views are read-only — the view machinery
+            // answers reads; a write fails unresolved, never lands
+            // on the table's branch), mirroring suffixClaimable
+            !ViewRegistry.isView(u.multipartIdentifier) &&
             !graft.fgac.SecureCatalog.isVisibleName(
               u.multipartIdentifier) &&
             LakeRegistry.keyOf(spark, u.multipartIdentifier.init)

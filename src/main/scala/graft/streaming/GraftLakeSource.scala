@@ -43,7 +43,14 @@ import graft.lakehouse.{GraftTable, Snapshot}
   *    batch with "restart the stream";
   *  - exactly-once via checkpointed snapshot-id offsets (replaying a
   *    batch re-reads the same immutable files);
-  *  - `maxCommitsPerTrigger` (option) rate-limits admission, and
+  *  - `maxCommitsPerTrigger` (option) rate-limits admission by
+  *    commit count; `maxFilesPerTrigger` / `maxBytesPerTrigger`
+  *    (options, Delta/Iceberg's file- and byte-based rate limits)
+  *    bound a batch by the data files / bytes the admitted commits
+  *    ADDED — the natural knobs when commit sizes vary wildly (one
+  *    bulk backfill vs thousands of trickle appends). A single
+  *    commit larger than the budget still admits alone (progress
+  *    over stall). All limits compose (the tightest bound wins), and
   *    Trigger.AvailableNow drains to the head pinned at start
   *    ([[prepareForTriggerAvailableNow]]).
   *
@@ -55,7 +62,9 @@ import graft.lakehouse.{GraftTable, Snapshot}
   */
 final class GraftLakeSource(spark: SparkSession, tablePath: String,
     maxCommitsPerTrigger: Long, feedMode: String = "",
-    startFrom: Long = 0L) extends Source
+    startFrom: Long = 0L, maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends Source
     with SupportsTriggerAvailableNow {
 
   private def changeFeed: Boolean = feedMode.nonEmpty
@@ -135,7 +144,39 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
     * listing, no manifest opens. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = valueOf(start)
-    val hi = math.min(head, from + maxCommitsPerTrigger)
+    val cap = math.min(head, from + maxCommitsPerTrigger)
+    val hi =
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) cap
+      else {
+        // the chain (from, cap], OLDEST first: commit ids share one
+        // sequence with branch commits, so id arithmetic would admit
+        // foreign snapshots — the parent walk (cached ~4 KB headers)
+        // is the lineage truth. Per admitted commit the ADDED-file
+        // count/bytes come from the snapshot parse the batch needs
+        // anyway (shared [[snapCache]] — one parse per stream
+        // lifetime). A commit larger than the whole budget still
+        // admits ALONE: refusing it would wedge the stream forever.
+        // With both budgets set the TIGHTER one stops admission.
+        val chain = table.ancestorsOf(cap).map(_._1)
+          .takeWhile(_ != from).reverse
+        var files = 0L
+        var bytes = 0L
+        var last = from
+        var stop = false
+        for (id <- chain if !stop) {
+          val sn = cached(id).getOrElse(table.snapshot(id))
+          val addedF = sn.files.filter(f =>
+            sn.fileSeq.get(f).contains(id))
+          val addedB = addedF.map(f =>
+            sn.fileSizes.getOrElse(f, 0L)).sum
+          val over =
+            maxFilesPerTrigger.exists(b => files + addedF.size > b) ||
+            maxBytesPerTrigger.exists(b => bytes + addedB > b)
+          if (last != from && over) stop = true
+          else { files += addedF.size; bytes += addedB; last = id }
+        }
+        last
+      }
     // a FRESH stream (null start — nothing logged yet) never logs an
     // offset BELOW the configured start: with a startingSnapshotId
     // beyond the current head, the stream stays pending at startFrom
@@ -393,9 +434,11 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
       // source/sink constructions below
       graft.fgac.SecureCatalog.authorizePathLoad(
         ctx.sparkSession, pathOf(parameters))
-      // a contradictory start-offset spec refuses here, before any
-      // stream exists
+      // a contradictory start-offset or rate-limit spec refuses
+      // here, before any stream exists
       startFromOf(ctx, parameters)
+      budgetOf(parameters, "maxFilesPerTrigger")
+      budgetOf(parameters, "maxBytesPerTrigger")
       val base = GraftTable.load(ctx.sparkSession, pathOf(parameters))
         .currentSnapshot.schema
       feedMode(parameters) match {
@@ -418,8 +461,24 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
       parameters.get("maxCommitsPerTrigger").map(_.toLong)
         .getOrElse(Long.MaxValue >> 1),
       feedMode = feedMode(parameters),
-      startFrom = startFromOf(ctx, parameters))
+      startFrom = startFromOf(ctx, parameters),
+      maxFilesPerTrigger = budgetOf(parameters, "maxFilesPerTrigger"),
+      maxBytesPerTrigger = budgetOf(parameters, "maxBytesPerTrigger"))
   }
+
+  /** `maxFilesPerTrigger` / `maxBytesPerTrigger` (Delta/Iceberg's
+    * file- and byte-based rate limits), validated from BOTH
+    * [[sourceSchema]] and [[createSource]] like the start offsets —
+    * a non-positive budget refuses at `.load()`, before any stream
+    * exists. */
+  private def budgetOf(parameters: Map[String, String],
+      key: String): Option[Long] =
+    parameters.get(key).map { v =>
+      val n = v.trim.toLong
+      require(n > 0,
+        s"graft-lake source: $key must be positive, got $n")
+      n
+    }
 
   /** Start offsets (Delta's `startingVersion` / Iceberg's
     * stream-from-timestamp): a NEW stream on a long-lived table must

@@ -5224,6 +5224,66 @@ class LakehouseSpec extends AnyFunSuite {
       .select("k").head.getLong(0) == 5L)
   }
 
+  test("maxFilesPerTrigger: batches admit by ADDED-file budget, an " +
+      "oversized commit still admits alone, delivery is lossless") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_mft").toString,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "tag", "v")
+        .repartition(2))                                     // 2 files
+    t.append(Seq((3L, "c", 3.0), (4L, "d", 4.0)).toDF("k", "tag", "v")
+      .repartition(2))                                       // 2 files
+    t.append(Seq((5L, "e", 5.0), (6L, "f", 6.0), (7L, "g", 7.0),
+        (8L, "h", 8.0)).toDF("k", "tag", "v")
+      .repartition(4))                                       // 4 files
+    def drain(opts: Map[String, String]): (Long, Int) = {
+      val qn = "mft_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      var r = spark.readStream.format("graft-lake")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(t.location)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (spark.table(qn).count(),
+        q.recentProgress.count(_.numInputRows > 0))
+    }
+    // budget 2: commits admit one at a time (2, 2, 4 files) — the
+    // 4-file commit EXCEEDS the budget but still admits alone
+    val (rows2, batches2) = drain(Map("maxFilesPerTrigger" -> "2"))
+    assert(rows2 == 8 && batches2 == 3,
+      s"budget 2 must deliver all rows in 3 single-commit batches: " +
+        s"$rows2 rows / $batches2 batches")
+    // budget 4: commits 1+2 coalesce (4 files), commit 3 alone
+    val (rows4, batches4) = drain(Map("maxFilesPerTrigger" -> "4"))
+    assert(rows4 == 8 && batches4 == 2,
+      s"budget 4 must coalesce the first two commits: " +
+        s"$rows4 rows / $batches4 batches")
+    // a huge budget = one batch; both limits compose (tighter wins)
+    val (rowsAll, batchesAll) = drain(Map("maxFilesPerTrigger" -> "100"))
+    assert(rowsAll == 8 && batchesAll == 1)
+    val (rowsBoth, batchesBoth) = drain(Map(
+      "maxFilesPerTrigger" -> "100", "maxCommitsPerTrigger" -> "1"))
+    assert(rowsBoth == 8 && batchesBoth == 3,
+      s"maxCommitsPerTrigger must still bound: $batchesBoth")
+    // byte budget: 1 byte/trigger degenerates to one commit per
+    // batch (every commit exceeds it → admits alone)
+    val (rowsB, batchesB) = drain(Map("maxBytesPerTrigger" -> "1"))
+    assert(rowsB == 8 && batchesB == 3,
+      s"a 1-byte budget must admit one commit per batch: $batchesB")
+    // and a huge byte budget coalesces everything
+    val (rowsBig, batchesBig) =
+      drain(Map("maxBytesPerTrigger" -> "1000000000"))
+    assert(rowsBig == 8 && batchesBig == 1)
+    // a non-positive budget refuses at .load(), before any stream
+    for (k <- Seq("maxFilesPerTrigger", "maxBytesPerTrigger")) {
+      val e = intercept[IllegalArgumentException](
+        spark.readStream.format("graft-lake")
+          .option(k, "0").load(t.location))
+      assert(e.getMessage.contains("must be positive"), k)
+    }
+  }
+
   test("ref-addressed MERGE: MERGE INTO db.t.branch_b lands on the " +
       "branch through the same clause engine; main stays isolated " +
       "until fast-forward") {
