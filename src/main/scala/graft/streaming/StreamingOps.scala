@@ -527,6 +527,7 @@ object StreamingOps {
       third(0))                                              // snap 1
     t.append(third(1))                                       // snap 2
     val mark = t.currentSnapshotId
+    Thread.sleep(3) // the timestamp leg needs distinguishable commits
     t.append(third(2))                                       // snap 3
     def drainTo(opts: Map[String, String]): org.apache.spark.sql.DataFrame = {
       val qn = "startoff_" +
@@ -554,6 +555,21 @@ object StreamingOps {
     require(cdc.count() == third(2).count() &&
         cdc.filter(col("_change_type") =!= "insert").count() == 0,
       "the CDC feed must open after the mark, not with an initial load")
+    // the TIMESTAMP form (round 19, at-or-after-inclusive like
+    // Delta): an instant equal to snap 3's commit streams exactly
+    // snap 3; a pre-history instant means full replay
+    val ts3 = t.ancestorsOf().find(_._1 == t.currentSnapshotId).get._2
+    val zone = java.time.ZoneId.of(
+      s.sessionState.conf.sessionLocalTimeZone)
+    val ts3Str = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .format(java.time.Instant.ofEpochMilli(ts3).atZone(zone))
+    require(drainTo(Map("startingTimestamp" -> ts3Str)).count() ==
+        third(2).count(),
+      "startingTimestamp must stream commits at-or-after the instant")
+    require(drainTo(Map("startingTimestamp" -> "1990-01-01 00:00:00"))
+        .count() == events.count(),
+      "a pre-history startingTimestamp must replay everything")
     // an unknown starting id refuses at construction
     require(
       try { drainTo(Map("startingSnapshotId" -> "999999")); false }
