@@ -567,6 +567,17 @@ class FgacSpec extends AnyFunSuite {
       val ea = intercept[Exception](spark.sql(
         "CALL graft.system.ancestors_of('customer')"))
       assert(ea.getMessage.contains("governed"), ea.getMessage)
+      // ref-suffixed identifiers never claim a governed prefix:
+      // the probe dies in resolution (name unknown), it does NOT
+      // hand a principal the branch head policy-free
+      for (sfx <- Seq("branch_main", "tag_v1")) {
+        val er = intercept[Exception](
+          FgacQueries.asPrincipal(spark, "analyst_col") {
+            spark.sql(s"SELECT * FROM customer.$sfx").collect()
+          })
+        assert(er.isInstanceOf[org.apache.spark.sql.AnalysisException],
+          s"a governed prefix must fall through unresolved: $er")
+      }
     } finally {
       graft.lakehouse.LakeRegistry.unregister("customer")
       graft.lakehouse.LakeRegistry.unregister("pd.sink")

@@ -5284,6 +5284,29 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("ref-addressed DML: an explicit branch suffix OVERRIDES the " +
+      "session wap branch (the more specific spelling wins)") {
+    import graft.lakehouse.{GraftTable, LakeRegistry}
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    LakeRegistry.unregister("refwap_t")
+    LakeRegistry.register("refwap_t", t)
+    t.createBranch("etl")
+    t.createBranch("other")
+    spark.conf.set(GraftTable.WapBranchConf, "other")
+    try {
+      spark.sql("INSERT INTO refwap_t.branch_etl VALUES (2, 'b', 2.0)")
+      assert(t.readRef("etl").count() == 2 &&
+          t.readRef("other").count() == 1 && t.read().count() == 1,
+        "the explicit suffix must win over the session wap branch")
+      // an UNSUFFIXED write still routes to the session wap branch
+      spark.sql("INSERT INTO refwap_t VALUES (3, 'c', 3.0)")
+      assert(t.readRef("other").count() == 2 && t.read().count() == 1)
+    } finally {
+      spark.conf.unset(GraftTable.WapBranchConf)
+      LakeRegistry.unregister("refwap_t")
+    }
+  }
+
   test("ref-addressed MERGE: MERGE INTO db.t.branch_b lands on the " +
       "branch through the same clause engine; main stays isolated " +
       "until fast-forward") {
