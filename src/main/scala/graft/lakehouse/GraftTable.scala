@@ -405,6 +405,39 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     createRef("tag", name,
       if (at < 0) headOf(GraftTable.MainBranch) else at)
 
+  /** Point an EXISTING ref at snapshot `at` (default: current main
+    * head) — Iceberg's `[CREATE OR] REPLACE BRANCH|TAG`. The kind
+    * must match (silently turning a tag into a branch would change
+    * immutability semantics under the reader's feet); with
+    * `orCreate` a missing ref is created instead (CREATE OR
+    * REPLACE), without it a missing ref refuses (plain REPLACE).
+    * CAS-versioned like every ref mutation — a concurrent publisher
+    * surfaces as a retryable conflict, never a lost update. */
+  def replaceRef(kind: String, name: String, at: Long = -1L,
+      orCreate: Boolean = false): Unit =
+    GraftTable.commitLock(root.toString).synchronized {
+      require(name != GraftTable.MainBranch,
+        "main cannot be replaced (use RESTORE or fast-forward)")
+      val target = if (at < 0) headOf(GraftTable.MainBranch) else at
+      require(fs.exists(snapPath(target)),
+        s"snapshot $target does not exist")
+      val (r, v) = refsWithVersion
+      r.get(name) match {
+        case Some((k, _)) =>
+          require(k == kind, s"'$name' is a $k, not a $kind")
+          writeRefs(r + (name -> (kind, target)), v)
+        case None =>
+          require(orCreate,
+            s"ref '$name' does not exist (REPLACE requires an " +
+              "existing ref; use CREATE OR REPLACE)")
+          val base =
+            if (r.isEmpty)
+              Map(GraftTable.MainBranch -> ("branch", maxSnapshotId))
+            else r
+          writeRefs(base + (name -> (kind, target)), v)
+      }
+    }
+
   /** Drop a branch or tag. `main` cannot be dropped. */
   def dropRef(name: String): Unit =
     GraftTable.commitLock(root.toString).synchronized {

@@ -3423,6 +3423,41 @@ object LakeQueries {
     require(s.sql("SELECT * FROM lake_refs_t VERSION AS OF 'v1'")
         .count() < t.read().count(),
       "tag must stay pinned at its creation snapshot")
+    // round 19: the REPLACE / IF NOT EXISTS forms (Iceberg's full
+    // ref DDL). REPLACE re-pins an existing ref; CREATE OR REPLACE
+    // is replace-or-create; IF NOT EXISTS no-ops on a same-kind dup;
+    // plain REPLACE of a missing ref and a kind-mismatched replace
+    // both refuse; DROP ... IF EXISTS no-ops on a miss.
+    s.sql("ALTER TABLE lake_refs_t REPLACE TAG v1 AS OF VERSION 2")
+    require(s.sql("SELECT * FROM lake_refs_t VERSION AS OF 'v1'")
+        .count() == t.read().count(),
+      "REPLACE TAG must re-pin the tag at the named snapshot")
+    s.sql("ALTER TABLE lake_refs_t REPLACE TAG v1 AS OF VERSION 1")
+    s.sql(
+      "ALTER TABLE lake_refs_t CREATE OR REPLACE BRANCH audit")
+    require(t.refs("audit")._2 == t.currentSnapshotId,
+      "CREATE OR REPLACE BRANCH must move the branch to the head")
+    // restore the oracle's end state (audit pinned at snap 1)
+    s.sql("ALTER TABLE lake_refs_t REPLACE BRANCH audit AS OF VERSION 1")
+    s.sql("ALTER TABLE lake_refs_t CREATE OR REPLACE BRANCH hotfix " +
+      "AS OF VERSION 1") // missing → created
+    s.sql("ALTER TABLE lake_refs_t CREATE TAG IF NOT EXISTS v1")
+    require(t.refs("v1")._2 == 1L,
+      "CREATE TAG IF NOT EXISTS must no-op on an existing tag")
+    require(
+      try { s.sql(
+        "ALTER TABLE lake_refs_t REPLACE BRANCH nope"); false }
+      catch { case e: Exception =>
+        e.getMessage.contains("does not exist") },
+      "plain REPLACE of a missing ref must refuse")
+    require(
+      try { s.sql(
+        "ALTER TABLE lake_refs_t REPLACE BRANCH v1"); false }
+      catch { case e: Exception =>
+        e.getMessage.contains("is a tag") },
+      "a kind-mismatched REPLACE must refuse")
+    s.sql("ALTER TABLE lake_refs_t DROP BRANCH IF EXISTS ghost")
+    s.sql("ALTER TABLE lake_refs_t DROP BRANCH hotfix")
     s.sql("""SELECT name, type, snapshot_id FROM lake_refs('lake_refs_t')
             |ORDER BY name""".stripMargin)
   }

@@ -1368,9 +1368,13 @@ object LakeMaintenance {
   // lowercase form, same as the DDL/DML paths
   private val T = """(\w+(?:\.\w+){0,2})"""
   private val RefCreate =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
+      """\s+(CREATE\s+OR\s+REPLACE|CREATE|REPLACE)\s+(BRANCH|TAG)\s+""" +
+      """(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
   private val RefDrop =
-    ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*""").r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
+      """\s+DROP\s+(BRANCH|TAG)\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*""").r
   // Iceberg's `ALTER TABLE … WRITE ORDERED BY (…)` / `WRITE UNORDERED`
   private val WriteOrdered =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T + """\s+WRITE\s+ORDERED\s+BY\s*\(([^)]*)\)\s*;?\s*""").r
@@ -1474,17 +1478,28 @@ object LakeMaintenance {
 
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case RefCreate(name, kind, ref, at)
+      case RefCreate(name, verb, kind, ine, ref, at)
           if LakeDdl.claimDrop(spark, norm(spark, name)) =>
         // ref names keep the user's case (Iceberg refs are
         // case-sensitive) — lowercasing at create would make
         // `VERSION AS OF '<TypedName>'` unresolvable
+        val mode = verb.toUpperCase.replaceAll("\\s+", " ") match {
+          case "CREATE" if ine != null => "CREATE_IF_NOT_EXISTS"
+          case "CREATE" => "CREATE"
+          case "CREATE OR REPLACE" => "CREATE_OR_REPLACE"
+          case _ => "REPLACE"
+        }
+        // IF NOT EXISTS composes with plain CREATE only — pairing it
+        // with a REPLACE form is contradictory ("replace it, unless
+        // it exists"?) and Iceberg's grammar refuses it too
+        require(ine == null || mode == "CREATE_IF_NOT_EXISTS",
+          "IF NOT EXISTS is only valid with plain CREATE BRANCH|TAG")
         Some(GraftRefCreateCommand(norm(spark, name), kind.toUpperCase,
-          ref, Option(at).map(_.toLong)))
-      case RefDrop(name, kind, ref)
+          ref, Option(at).map(_.toLong), mode))
+      case RefDrop(name, kind, ie, ref)
           if LakeDdl.claimDrop(spark, norm(spark, name)) =>
         Some(GraftRefDropCommand(norm(spark, name), kind.toUpperCase,
-          ref))
+          ref, ifExists = ie != null))
       case WriteOrdered(name, cols)
           if LakeDdl.claimDrop(spark, norm(spark, name)) =>
         val colSeq = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -1723,24 +1738,49 @@ case class GraftWriteOrderCommand(name: String, cols: Seq[String])
   }
 }
 
-/** `ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION n]` —
-  * Iceberg's ref DDL. Branch/tag creation mutates table metadata, so
-  * it rides the write-path FGAC like every other ALTER. */
+/** `ALTER TABLE t [CREATE [OR REPLACE]|REPLACE] BRANCH|TAG
+  * [IF NOT EXISTS] name [AS OF VERSION n]` — Iceberg's full ref DDL
+  * (round 19 added the REPLACE and IF NOT EXISTS forms). `mode`:
+  * CREATE refuses duplicates; CREATE_IF_NOT_EXISTS no-ops on an
+  * existing SAME-KIND ref (a different kind still refuses — the
+  * no-op must not paper over a tag/branch mixup); REPLACE moves an
+  * EXISTING same-kind ref (a tag replace is the re-pin Iceberg
+  * allows — tags are immutable to WRITES, not to re-tagging);
+  * CREATE_OR_REPLACE is replace-or-create. Branch/tag mutation is
+  * table metadata, so it rides the write-path FGAC like every
+  * other ALTER. */
 case class GraftRefCreateCommand(name: String, kind: String,
-    ref: String, at: Option[Long]) extends LeafRunnableCommand {
+    ref: String, at: Option[Long], mode: String = "CREATE")
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     graft.fgac.SecureCatalog.authorizeWrite(
       spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
-      s"ALTER (CREATE $kind)")
+      s"ALTER (${mode.replace('_', ' ')} $kind)")
     val t = LakeRegistry.get(name).get
-    if (kind == "BRANCH") t.createBranch(ref, at.getOrElse(-1L))
-    else t.createTag(ref, at.getOrElse(-1L))
+    def create(): Unit =
+      if (kind == "BRANCH") t.createBranch(ref, at.getOrElse(-1L))
+      else t.createTag(ref, at.getOrElse(-1L))
+    mode match {
+      case "CREATE" => create()
+      case "CREATE_IF_NOT_EXISTS" => t.refs.get(ref) match {
+        case Some((k, _)) =>
+          require(k.equalsIgnoreCase(kind),
+            s"'$ref' is a $k, not a ${kind.toLowerCase} — IF NOT " +
+              "EXISTS does not paper over a kind mismatch")
+        case None => create()
+      }
+      case "REPLACE" =>
+        t.replaceRef(kind.toLowerCase, ref, at.getOrElse(-1L))
+      case _ => // CREATE_OR_REPLACE
+        t.replaceRef(kind.toLowerCase, ref, at.getOrElse(-1L),
+          orCreate = true)
+    }
     Seq.empty
   }
 }
 
-case class GraftRefDropCommand(name: String, kind: String, ref: String)
-    extends LeafRunnableCommand {
+case class GraftRefDropCommand(name: String, kind: String, ref: String,
+    ifExists: Boolean = false) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     graft.fgac.SecureCatalog.authorizeWrite(
       spark.conf.get(graft.fgac.SecureCatalog.PrincipalConf, ""), name,
@@ -1748,11 +1788,15 @@ case class GraftRefDropCommand(name: String, kind: String, ref: String)
     val t = LakeRegistry.get(name).get
     // DROP BRANCH on a tag (or vice versa) is a user error, not a
     // silent drop of the other kind
-    t.refs.get(ref).foreach { case (k, _) =>
-      require(k.equalsIgnoreCase(kind),
-        s"'$ref' is a $k, not a ${kind.toLowerCase}")
+    t.refs.get(ref) match {
+      case Some((k, _)) =>
+        require(k.equalsIgnoreCase(kind),
+          s"'$ref' is a $k, not a ${kind.toLowerCase}")
+        t.dropRef(ref)
+      case None =>
+        // IF EXISTS: a missing ref is the declared no-op
+        if (!ifExists) t.dropRef(ref) // refuses with the ref list
     }
-    t.dropRef(ref)
     Seq.empty
   }
 }
