@@ -63,14 +63,26 @@ import graft.lakehouse.{GraftTable, Snapshot}
 final class GraftLakeSource(spark: SparkSession, tablePath: String,
     maxCommitsPerTrigger: Long, feedMode: String = "",
     startFrom: Long = 0L, maxFilesPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    branch: Option[String] = None)
     extends Source
     with SupportsTriggerAvailableNow {
 
   private def changeFeed: Boolean = feedMode.nonEmpty
 
   private val table = GraftTable.load(spark, tablePath)
-  private val pinned: Snapshot = table.currentSnapshot
+  // `option("branch", b)` (Iceberg's stream-from-branch): the stream
+  // follows the BRANCH lineage — schema pins at the branch head,
+  // every head poll re-resolves the ref (one small refs-file read),
+  // and the range walks (parent-chain based throughout) stay on the
+  // branch by construction. A tag or missing ref refuses at stream
+  // construction: streaming an immutable pin is a contradiction.
+  branch.foreach(b => require(table.hasBranch(b),
+    s"graft-lake source: '$b' is not a branch of $tablePath"))
+  private val pinned: Snapshot = branch match {
+    case Some(b) => table.snapshot(table.headOf(b))
+    case None => table.currentSnapshot
+  }
 
   // start-offset validation happens ONCE, at stream construction —
   // a bad id must fail the start, not some later batch. 0 = replay
@@ -115,8 +127,12 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
     availableNowHead = Some(head)
 
   private def head: Long = availableNowHead.getOrElse {
-    knownHead = table.streamHead(knownHead)
-    knownHead
+    branch match {
+      case Some(b) => table.headOf(b) // the branch ref IS the head
+      case None =>
+        knownHead = table.streamHead(knownHead)
+        knownHead
+    }
   }
 
   // a MISSING engine offset means "from the configured start" (the
@@ -298,10 +314,19 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
   * re-wrapped as a batch plan and persisted across MERGE's multiple
   * actions, then unpersisted. */
 final class GraftLakeSink(spark: SparkSession, tablePath: String,
-    mergeKeys: Seq[String], appId: String) extends Sink {
+    mergeKeys: Seq[String], appId: String,
+    branch: Option[String] = None) extends Sink {
 
-  // dedicated handle: pendingTxn must never leak onto other writers
-  private val table = GraftTable.load(spark, tablePath)
+  // dedicated handle: pendingTxn must never leak onto other writers.
+  // `option("branch", b)` routes every micro-batch commit — MERGE or
+  // append, txn watermark included — through the branch handle
+  // (Iceberg's stream-into-branch / the WAP shape for streams: land
+  // on an audit branch, fast_forward publishes); a missing branch
+  // refuses at sink construction via onBranch.
+  private val table = {
+    val t0 = GraftTable.load(spark, tablePath)
+    branch.map(t0.onBranch).getOrElse(t0)
+  }
   private var watermark: Option[Long] = None
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -439,8 +464,19 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
       startFromOf(ctx, parameters)
       budgetOf(parameters, "maxFilesPerTrigger")
       budgetOf(parameters, "maxBytesPerTrigger")
-      val base = GraftTable.load(ctx.sparkSession, pathOf(parameters))
-        .currentSnapshot.schema
+      val t = GraftTable.load(ctx.sparkSession, pathOf(parameters))
+      // branch mode pins the BRANCH head's schema (it may have
+      // evolved ahead of — or behind — main); a tag or missing ref
+      // refuses here, before any stream exists
+      val base = parameters.get("branch").map(_.trim)
+          .filter(_.nonEmpty) match {
+        case Some(b) =>
+          require(t.hasBranch(b),
+            s"graft-lake source: '$b' is not a branch of " +
+              pathOf(parameters))
+          t.snapshot(t.headOf(b)).schema
+        case None => t.currentSnapshot.schema
+      }
       feedMode(parameters) match {
         case ""        => base
         case "plain"   => GraftLakeStreamProvider.changeFeedSchema(base)
@@ -463,7 +499,8 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
       feedMode = feedMode(parameters),
       startFrom = startFromOf(ctx, parameters),
       maxFilesPerTrigger = budgetOf(parameters, "maxFilesPerTrigger"),
-      maxBytesPerTrigger = budgetOf(parameters, "maxBytesPerTrigger"))
+      maxBytesPerTrigger = budgetOf(parameters, "maxBytesPerTrigger"),
+      branch = parameters.get("branch").map(_.trim).filter(_.nonEmpty))
   }
 
   /** `maxFilesPerTrigger` / `maxBytesPerTrigger` (Delta/Iceberg's
@@ -551,6 +588,7 @@ final class GraftLakeStreamProvider extends StreamSourceProvider
           // a per-sink id avoids two anonymous queries colliding on
           // one shared watermark (which would silently drop batches)
           "anon:" + java.util.UUID.randomUUID
-        })
+        },
+      branch = parameters.get("branch").map(_.trim).filter(_.nonEmpty))
   }
 }

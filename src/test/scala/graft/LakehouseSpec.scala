@@ -5224,6 +5224,56 @@ class LakehouseSpec extends AnyFunSuite {
       .select("k").head.getLong(0) == 5L)
   }
 
+  test("streaming from and into a BRANCH: option(branch) pins the " +
+      "source to the branch lineage and routes the sink commits " +
+      "through the branch head; main stays isolated") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = freshTable(Seq((1L, "a", 1.0)))                  // snap 1
+    t.createBranch("etl")
+    t.onBranch("etl").append(
+      Seq((2L, "b", 2.0)).toDF("k", "tag", "v"))             // snap 2 (etl)
+    t.append(Seq((9L, "z", 9.0)).toDF("k", "tag", "v"))      // snap 3 (main)
+    def drain(opts: Map[String, String]): Set[Long] = {
+      val qn = "brstream_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      var r = spark.readStream.format("graft-lake")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(t.location)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(qn).select("k").as[Long].collect().toSet
+    }
+    // the branch source follows the BRANCH lineage — snap 3 (a
+    // main-only commit sharing the id sequence) never appears
+    assert(drain(Map("branch" -> "etl")) == Set(1L, 2L),
+      "the branch stream must deliver exactly the branch lineage")
+    assert(drain(Map.empty) == Set(1L, 9L),
+      "the default stream must deliver exactly the main lineage")
+    // sink side: a lake-to-lake stream lands on the branch; main
+    // unchanged until fast-forward
+    val src = freshTable(Seq((10L, "s", 10.0)))
+    val q = spark.readStream.format("graft-lake").load(src.location)
+      .writeStream.format("graft-lake")
+      .option("branch", "etl")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_brsink_ck").toString)
+      .trigger(Trigger.AvailableNow()).start(t.location)
+    q.awaitTermination()
+    assert(t.readRef("etl").select("k").as[Long].collect().toSet ==
+        Set(1L, 2L, 10L) &&
+      t.read().select("k").as[Long].collect().toSet == Set(1L, 9L),
+      "the branch sink must commit to the branch only")
+    // a tag or missing ref refuses at .load(), before any stream
+    t.createTag("pin")
+    for (bad <- Seq("pin", "ghost")) {
+      val e = intercept[IllegalArgumentException](
+        spark.readStream.format("graft-lake")
+          .option("branch", bad).load(t.location))
+      assert(e.getMessage.contains("is not a branch"), bad)
+    }
+  }
+
   test("maxFilesPerTrigger: batches admit by ADDED-file budget, an " +
       "oversized commit still admits alone, delivery is lossless") {
     import org.apache.spark.sql.streaming.Trigger
