@@ -83,6 +83,50 @@ object Bench {
     val loadStart = loadavg
     val wall0 = System.nanoTime()
 
+    // SPARK_GRAFT_JOBLOG=1: per-Spark-job breakdown on stderr (guide
+    // §1.1/§1.5 — find where a scenario query's wall time goes before
+    // optimizing it). Off by default; adds nothing to the metric line.
+    if (sys.env.contains("SPARK_GRAFT_JOBLOG"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            // attribute through the SQL execution id — the execution
+            // start event (below) carries the action's call site
+            val exec = Option(j.properties)
+              .map(_.getProperty("spark.sql.execution.id", "-"))
+              .getOrElse("-")
+            // jobs outside any SQL execution (RDD actions, streaming
+            // bookkeeping) fall back to the result stage's call site
+            val site =
+              if (exec == "-")
+                j.stageInfos.lastOption.map(_.name).getOrElse("")
+              else ""
+            starts.put(j.jobId, (System.nanoTime(), s"exec=$exec $site"))
+          }
+          override def onOtherEvent(
+              e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+            e match {
+              case s: org.apache.spark.sql.execution.ui
+                  .SparkListenerSQLExecutionStart =>
+                System.err.println(
+                  s"[joblog] execStart=${s.executionId} ${s.description}")
+              case s: org.apache.spark.sql.execution.ui
+                  .SparkListenerSQLExecutionEnd =>
+                System.err.println(
+                  s"[joblog] execEnd=${s.executionId}")
+              case _ => ()
+            }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.remove(j.jobId)
+            if (s != null) System.err.println(
+              f"[joblog] job=${j.jobId}%d ${(System.nanoTime() - s._1) / 1e9}%.3fs ${s._2}")
+          }
+        })
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // (time, succeeded) per rep: a partially-failing query reports
@@ -96,7 +140,9 @@ object Bench {
       // it isn't billed to this query (see scaladoc).
       System.gc()
       Thread.sleep(100)
-      for (_ <- 1 to reps) {
+      for (rep <- 1 to reps) {
+        if (sys.env.contains("SPARK_GRAFT_JOBLOG"))
+          System.err.println(s"[joblog] === $name rep $rep ===")
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(name)(spark, sfDir).count(); true }

@@ -2377,9 +2377,28 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         ins = ins.unionByName(tIns.fold(i)(i.exceptAll(_)))
       }
     }
-    ins.exceptAll(del).withColumn("_change_type", lit("insert"))
-      .unionByName(
-        del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+    // ONE pass over both legs (round 19, guide §2.4 — duplicated
+    // subtrees): the previous `ins EXCEPT ALL del` unioned with
+    // `del EXCEPT ALL ins` planned each leg TWICE (Spark rewrites
+    // each EXCEPT ALL as tag/group/replicate over BOTH inputs), so
+    // every changelog — the batch TVF and every streaming CDC
+    // micro-batch — paid two full scans of every union leg plus two
+    // full-row shuffles. The symmetric multiset difference is ONE
+    // such pass: tag insert legs +1 / delete legs −1, group on the
+    // full row, re-expand |net| copies. Result multiset identical
+    // (for each row value: max(ins−del, 0) inserts and
+    // max(del−ins, 0) deletes — exactly the EXCEPT ALL pair).
+    val dataCols = ins.columns.toSeq
+    val net = ins.withColumn("_cnt", lit(1L))
+      .unionByName(del.withColumn("_cnt", lit(-1L)))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("_cnt")).as("_net"))
+      .filter(col("_net") =!= 0L)
+    net
+      .withColumn("_change_type",
+        when(col("_net") > 0L, lit("insert")).otherwise(lit("delete")))
+      .withColumn("_rep", explode(sequence(lit(1L), abs(col("_net")))))
+      .select(dataCols.map(col) :+ col("_change_type"): _*)
   }
 
   /** The data files added on `(fromId, toId]`, enumerated from the
@@ -2536,17 +2555,36 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // A rewrite sourced from one or two input files would otherwise
     // serialize the whole write on one core (local small-file reads
     // arrive as a single split); on a cluster the input is already
-    // wide and this is a no-op. Capped at 8-way: full session
-    // parallelism just multiplies manifest entries and small files
-    // for the write sizes a single commit sees. compact() opts out —
-    // its output file count is the caller's explicit choice. The
-    // narrowness probe is plan-shaped (driver-side, no execution):
-    // a frame that already went through a shuffle sits at
-    // spark.sql.shuffle.partitions and needs no widening; a pure
-    // scan's width is its input file count. The previous
-    // `rdd.getNumPartitions` probe answered the same question by
-    // executing every upstream stage under AQE.
-    val par = math.min(8, df.sparkSession.sparkContext.defaultParallelism)
+    // wide and this is a no-op. compact() opts out — its output file
+    // count is the caller's explicit choice. The narrowness probe is
+    // plan-shaped (driver-side, no execution): a frame that already
+    // went through a shuffle sits at spark.sql.shuffle.partitions and
+    // needs no widening; a pure scan's width is its input file count.
+    //
+    // The width itself is SIZE-ADAPTIVE (round 19, guide §2.2/§6):
+    // target ~128 MB output files from the optimizer's driver-side
+    // size estimate instead of a fixed 8-way fan-out. A small commit
+    // (KBs-MBs — every trickle append, micro-batch and DML rewrite at
+    // test scale, and most streaming batches in production) widens to
+    // ONE task: no exchange, one data file, one footer harvest, one
+    // manifest entry — where the fixed width paid a shuffle plus 8
+    // tiny files per commit, and every later scan of them 8 splits.
+    // Estimates only OVERSHOOT without CBO (filters keep their
+    // child's size, joins multiply), which fails safe: overshoot
+    // keeps the old width, never serializes a genuinely large write.
+    // Estimate-less or huge plans fall back to the previous
+    // min(8, session parallelism) cap.
+    val sessionPar = df.sparkSession.sparkContext.defaultParallelism
+    val fallbackPar = math.min(8, sessionPar)
+    val targetFileBytes = 128L << 20
+    val par = {
+      val est =
+        try df.queryExecution.optimizedPlan.stats.sizeInBytes
+        catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
+      if (est > 0 && est < BigInt(targetFileBytes) * fallbackPar)
+        math.max(1, ((est + targetFileBytes - 1) / targetFileBytes).toInt)
+      else fallbackPar
+    }
     // identity specs lay out hive-style (partition values live in the
     // dirs, reads reconstitute via basePath); transform specs derive
     // throwaway _gp_i dir columns and keep every raw column in the
@@ -2583,7 +2621,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       if (partitionCols.isEmpty) {
         val wide =
           if (sortOrder.nonEmpty)
-            df.repartitionByRange(par, sortCols: _*)
+            // a DECLARED sort order exists to lay out range-DISJOINT
+            // files for stats pruning — collapsing a small sorted
+            // write to one file would defeat the declared intent, so
+            // sorted writes keep the session floor
+            df.repartitionByRange(math.max(par, fallbackPar), sortCols: _*)
               .sortWithinPartitions(sortCols: _*)
           else if (widen && GraftTable.isNarrow(df, par)) df.repartition(par)
           else df
