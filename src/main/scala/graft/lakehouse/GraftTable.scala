@@ -1246,7 +1246,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     }
     val newTombs = head.posDels.filterNot(baseTombs)
     if (newTombs.nonEmpty && readSet.nonEmpty) {
-      val hit = spark.read.parquet(newTombs: _*)
+      val hit = spark.read.schema(GraftTable.TombSchema).parquet(newTombs: _*)
         .select(col("_file")).distinct()
         .collect().map(r => decodeScanPath(r.getString(0)))
         .filter(readSet)
@@ -1476,7 +1476,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     }
     if (snap.posDels.isEmpty) withDv
     else {
-      val tomb = spark.read.parquet(snap.posDels: _*)
+      val tomb = spark.read.schema(GraftTable.TombSchema)
+        .parquet(snap.posDels: _*)
         .select(col("_file"), col("_pos"))
       // broadcast only while the tombstone set is demonstrably small:
       // a table that has absorbed heavy MoR DML can hold billions of
@@ -1928,7 +1929,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           StructType(Seq(
             StructField("_file", org.apache.spark.sql.types.StringType),
             StructField("_pos", org.apache.spark.sql.types.LongType))))
-      else spark.read.parquet(fs: _*).select(col("_file"), col("_pos"))
+      else spark.read.schema(GraftTable.TombSchema).parquet(fs: _*)
+        .select(col("_file"), col("_pos"))
     val (posDel, posIns): (Option[DataFrame], Option[DataFrame]) =
       if (dvMoved.isEmpty && newTFiles.isEmpty && goneTFiles.isEmpty)
         (None, None)
@@ -1978,6 +1980,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     var i = posIns.map(x => side(to, added, "_i_")
         .unionByName(tagged(x, "_i_")))
       .getOrElse(side(to, added, "_i_"))
+    // structural-emptiness tracking (round 19): a side that never
+    // receives a potentially-nonempty leg lets the tail skip the
+    // full-outer rid join — see below
+    var dTrivial = removed.isEmpty && posDel.isEmpty
+    var iTrivial = added.isEmpty && posIns.isEmpty
     // EQUALITY-PREDICATE diff on CARRIED files, keyed (the r17
     // plain-feed expansion with `_row_id` carried through): a
     // predicate NEW in-range — reachable via a lineage-off window or
@@ -2032,14 +2039,32 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           t.select(col(GraftTable.RowIdColName)),
           Seq(GraftTable.RowIdColName), "left_anti"))
         d = d.unionByName(tagged(deduped, "_d_"))
+        dTrivial = false
       }
       predMatched(to, gonePreds).foreach { m =>
         val deduped = posIns.fold(m)(t => m.join(
           t.select(col(GraftTable.RowIdColName)),
           Seq(GraftTable.RowIdColName), "left_anti"))
         i = i.unionByName(tagged(deduped, "_i_"))
+        iTrivial = false
       }
     }
+    // FAST PATH (round 19, guide §2.4): the full-outer rid join below
+    // exists to pair a logical row's old and new images when BOTH
+    // sides can hold rows. On an append-only range (incl. the initial
+    // load, fromId = 0) the delete side is structurally empty — every
+    // to-side row would join to nothing and tag `insert` — and on a
+    // delete-only range symmetrically `delete`; emitting the live side
+    // directly is row-identical and drops the join's full-row shuffle
+    // from every such micro-batch.
+    if (dTrivial)
+      return i.select(cols.map(c => col(s"_i_$c").as(c)) :+
+        col("_i__rid").as("_row_id") :+
+        lit("insert").as("_change_type"): _*)
+    if (iTrivial)
+      return d.select(cols.map(c => col(s"_d_$c").as(c)) :+
+        col("_d__rid").as("_row_id") :+
+        lit("delete").as("_change_type"): _*)
     val joined = d.join(i, col("_d__rid") === col("_i__rid"), "full_outer")
     joined
       .withColumn("_change_type",
@@ -2189,6 +2214,11 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // (the alignableSchemas gate above guarantees this succeeds)
     var del = GraftTable.alignEvolved(
       live(from, from.files.filterNot(toSet)), from.id, to, to.schema).get
+    // structural-emptiness tracking (round 19): a leg that never
+    // receives a potentially-nonempty contribution lets the tail skip
+    // the net-tag/group/expand pass entirely — see below
+    var insTrivial = to.files.forall(fromSet)
+    var delTrivial = from.files.forall(toSet)
     // carried files change their live set through the TOMBSTONE/DV
     // diff and the EQUALITY-PREDICATE diff. The tombstone diff runs
     // first so the predicate diff can multiset-dedupe against it: a
@@ -2247,7 +2277,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
                 org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("_pos",
                 org.apache.spark.sql.types.LongType))))
-        else spark.read.parquet(fs: _*).select(col("_file"), col("_pos"))
+        else spark.read.schema(GraftTable.TombSchema).parquet(fs: _*)
+        .select(col("_file"), col("_pos"))
       // deletion-vector diff → the same (file, pos) key shape as the
       // tombstone diff. A live-view DML never re-deletes a position,
       // so the two shapes cannot emit the same key — plain unions
@@ -2324,6 +2355,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         tIns = Some(at(goneT, to))
         del = del.unionByName(tDel.get)
         ins = ins.unionByName(tIns.get)
+        // the two frames filter at runtime; either may still be empty,
+        // but structurally both legs are now live
+        insTrivial = false
+        delTrivial = false
       }
     }
     // equality-predicate diff on CARRIED files: rows live at `from`
@@ -2372,11 +2407,28 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       // correctness of the dedupe is worth two bounded scans
       matching(from, newPreds).foreach { d =>
         del = del.unionByName(tDel.fold(d)(d.exceptAll(_)))
+        delTrivial = false
       }
       matching(to, gonePreds).foreach { i =>
         ins = ins.unionByName(tIns.fold(i)(i.exceptAll(_)))
+        insTrivial = false
       }
     }
+    // FAST PATH (round 19, guide §2.4): the net-tag/group/expand tail
+    // below exists to cancel row values appearing on BOTH legs (an
+    // in-range rewrite). When either leg is STRUCTURALLY empty — every
+    // append-only and every delete-only range, i.e. the overwhelming
+    // majority of streaming micro-batches — grouping is an identity
+    // (for each value: net = ±count, re-expanded to the same
+    // multiset), so the other leg ships tagged directly: one full-row
+    // shuffle and the whole aggregate subtree gone from the plan.
+    val dataColsFast = ins.columns.toSeq
+    if (delTrivial)
+      return ins.withColumn("_change_type", lit("insert"))
+        .select(dataColsFast.map(col) :+ col("_change_type"): _*)
+    if (insTrivial)
+      return del.withColumn("_change_type", lit("delete"))
+        .select(dataColsFast.map(col) :+ col("_change_type"): _*)
     // ONE pass over both legs (round 19, guide §2.4 — duplicated
     // subtrees): the previous `ins EXCEPT ALL del` unioned with
     // `del EXCEPT ALL ins` planned each leg TWICE (Spark rewrites
@@ -3431,7 +3483,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val live2 =
       if (snap.posDels.isEmpty) live
       else {
-        val tomb = spark.read.parquet(snap.posDels: _*)
+        val tomb = spark.read.schema(GraftTable.TombSchema)
+          .parquet(snap.posDels: _*)
           .select(col("_file"), col("_pos"))
         val tombBytes = snap.posDels
           .map(p => snap.posDelSizes.getOrElse(p,
@@ -3781,7 +3834,7 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     import spark.implicits._
     val ptrs = snap.dvs.toSeq.map { case (f, b) =>
       (metaPath(f), metaPath(b)) }.toDF("_pf", "_pb")
-    spark.read.parquet(blobs: _*)
+    spark.read.schema(GraftTable.DvBlobSchema).parquet(blobs: _*)
       .select(col("_file"), col("_bitmap"),
         col("_metadata.file_path").as("_bp"))
       .join(broadcast(ptrs),
@@ -5027,7 +5080,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val liveDf = broadcast(
       spark.createDataset(live.toSeq.map(metaPath).sorted)(
         org.apache.spark.sql.Encoders.STRING).toDF("_live_file"))
-    val kept = spark.read.parquet(snap.posDels: _*)
+    val kept = spark.read.schema(GraftTable.TombSchema)
+      .parquet(snap.posDels: _*)
       .select(col("_file"), col("_pos"))
       .join(liveDf, col("_file") === col("_live_file"), "left_semi")
       .repartition(parts, col("_file"))
@@ -6291,7 +6345,8 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     val tomb =
       if (snap.posDels.isEmpty) None
       else Some(snap.posDels.sorted.map { p =>
-        spark.read.parquet(p).select(col("_file").as("file_path"),
+        spark.read.schema(GraftTable.TombSchema).parquet(p)
+          .select(col("_file").as("file_path"),
           col("_pos").as("pos"), lit(p).as("delete_file"))
       }.reduce(_.unionByName(_)))
     val dv =
@@ -6428,6 +6483,24 @@ object GraftTable {
         sizes.get(f).map(java.lang.Long.valueOf).orNull)
     }
   }
+
+  /** Fixed artifact schemas (round 19, guide §6): every position
+    * tombstone file is exactly (_file STRING, _pos LONG) and every
+    * deletion-vector blob (_file STRING, _bitmap BINARY) — both
+    * written by this engine. Passing the schema explicitly skips the
+    * driver-side footer-inference round `spark.read.parquet` pays at
+    * PLAN time, which the streaming change feed's per-micro-batch
+    * getBatch was measured paying several times per batch. */
+  private[lakehouse] val TombSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("_file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_pos",
+      org.apache.spark.sql.types.LongType)))
+  private[lakehouse] val DvBlobSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("_file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_bitmap",
+      org.apache.spark.sql.types.BinaryType)))
 
   /** Internal column names threading leaf-scan metadata (file path,
     * row index) to the position-delete anti-join. */

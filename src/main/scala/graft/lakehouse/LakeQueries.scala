@@ -1900,8 +1900,11 @@ object LakeQueries {
     t.compact(2)                                             // snap 7
     val post = t.readLineage().select("o_orderkey", "_row_id",
       "_last_updated_sequence_number")
-    require(pre.exceptAll(post).count() == 0 &&
-      post.exceptAll(pre).count() == 0,
+    // one tag/group pass instead of the 2-scan-per-side exceptAll
+    // pair (guide §2.4); the frames here are cheap to re-plan, so
+    // NO localCheckpoint — measured: materialization cost more than
+    // the recompute it saved on these manifest-planned small scans
+    require(graft.Registry.sameMultiset(pre, post),
       "compaction must relocate rows with lineage bit-unchanged")
     require(post.select("_row_id").distinct().count() == post.count(),
       "row ids must be unique")
@@ -1977,8 +1980,11 @@ object LakeQueries {
     require(t.currentSnapshot.posDels.nonEmpty,
       "the range must actually end on a tombstone-bearing snapshot")
     // SQL surface: the TVF form of the lineage feed
+    // the feed backs TWO actions (the once-only probe and the final
+    // projection); checkpoint so the endpoint diff runs once (§5)
     val feed = s.sql(
       "SELECT * FROM table_changes_lineage('lake_cdclin_t', 3, 7)")
+      .localCheckpoint()
     require(feed.groupBy("_row_id").count()
       .filter(col("count") > 1).count() == 0,
       "each logical row nets to at most ONE changelog row")
@@ -2036,8 +2042,12 @@ object LakeQueries {
       "WHERE o_orderkey % 30 = 3")                       // snap 5, MoR
     // per-commit replay of the eq-delete commit: keyed deletes only,
     // exactly the scoped F rows, each with a concrete row id
+    // checkpoint: FIVE downstream actions (four probe legs + the
+    // rid multiset compare) would otherwise re-run the full
+    // two-endpoint lineage diff each (guide §5)
     val delBatch = s.sql(
       "SELECT * FROM table_changes_lineage('lake_cdceql_t', 2, 3)")
+      .localCheckpoint()
     val expectDel = third(0).filter(col("o_orderstatus") === "F").count()
     require(delBatch.filter(col("_change_type") =!= "delete").count() == 0
         && delBatch.count() == expectDel
@@ -2055,13 +2065,14 @@ object LakeQueries {
       "SELECT * FROM table_changes_lineage('lake_cdceql_t', 5, 6)")
       .filter(col("_change_type") === "insert" &&
         col("o_orderstatus") === "F")
-    require(restores.select("_row_id").exceptAll(delRids).count() == 0
-        && delRids.exceptAll(restores.select("_row_id")).count() == 0,
+    require(graft.Registry.sameMultiset(
+        restores.select("_row_id"), delRids),
       "rollback across the equality delete must restore exactly the " +
         "rids the delete batch emitted")
     t.rollback(5)            // snap 7: back to the pre-rollback head
     val feed = s.sql(
       "SELECT * FROM table_changes_lineage('lake_cdceql_t', 2, 5)")
+      .localCheckpoint()
     require(feed.groupBy("_row_id").count()
       .filter(col("count") > 1).count() == 0,
       "each logical row nets to at most ONE changelog row")
