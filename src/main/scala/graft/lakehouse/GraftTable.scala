@@ -4966,24 +4966,67 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // TABLE t COMPUTE STATISTICS`): one count pass, no per-column
     // aggregates, same snapshot-scoped sidecar
     val df = read()
-    val aggs = cols.flatMap { c =>
-      Seq(
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__ndv_$c"),
-        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*).head()
-    val colStats = cols.map { c =>
-      c -> ColumnStats(
-        ndv = row.getAs[Long](s"__ndv_$c"),
-        nulls = row.getAs[Long](s"__nulls_$c"),
-        min = Option(row.getAs[String](s"__min_$c")),
-        max = Option(row.getAs[String](s"__max_$c")))
-    }.toMap
-    val stats = TableStats(snap.id, row.getAs[Long]("__rows"),
-      exact, colStats)
+    // Exact multi-column NDVs in ONE agg plan Catalyst's
+    // RewriteDistinctAggregates Expand: rows × (#cols+1) replicas
+    // grouped on ALL analyzed columns at once — measured 3.8 s for
+    // FOR ALL COLUMNS at sf0.1 vs 0.2-0.5 s for narrow column sets
+    // (wide string grouping keys dominate). Per-column jobs submitted
+    // CONCURRENTLY (guide §2.6 — actions are only sequential because
+    // the driver calls them sequentially) avoid the Expand
+    // completely: each job is a plain two-phase aggregate whose scan
+    // column-prunes to exactly its own column, so total I/O matches
+    // the single columnar pass and the jobs overlap. Values are
+    // bit-identical — the same aggregate functions, just one column
+    // per plan. The approx (100 TB scheduled) form keeps the true
+    // single pass: HLL sketches compose in one agg with no Expand.
+    val (rowsOut, colStats): (Long, Map[String, ColumnStats]) =
+      if (exact && cols.size >= 2) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(cols.size, 8))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val jobs = cols.map { c =>
+            c -> scala.concurrent.Future {
+              df.agg(count(lit(1)).as("__rows"),
+                countDistinct(col(c)).as("__ndv"),
+                (count(lit(1)) - count(col(c))).as("__nulls"),
+                min(col(c)).cast("string").as("__min"),
+                max(col(c)).cast("string").as("__max")).head()
+            }
+          }
+          val rows = jobs.map { case (c, f) =>
+            c -> scala.concurrent.Await.result(f,
+              scala.concurrent.duration.Duration.Inf)
+          }
+          (rows.head._2.getAs[Long]("__rows"),
+            rows.map { case (c, r) => c -> ColumnStats(
+              ndv = r.getAs[Long]("__ndv"),
+              nulls = r.getAs[Long]("__nulls"),
+              min = Option(r.getAs[String]("__min")),
+              max = Option(r.getAs[String]("__max")))
+            }.toMap)
+        } finally pool.shutdown()
+      } else {
+        val aggs = cols.flatMap { c =>
+          Seq(
+            (if (exact) countDistinct(col(c))
+             else approx_count_distinct(col(c))).as(s"__ndv_$c"),
+            (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
+            min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
+        }
+        val row = df.agg(count(lit(1)).as("__rows"), aggs: _*).head()
+        (row.getAs[Long]("__rows"),
+          cols.map { c =>
+            c -> ColumnStats(
+              ndv = row.getAs[Long](s"__ndv_$c"),
+              nulls = row.getAs[Long](s"__nulls_$c"),
+              min = Option(row.getAs[String](s"__min_$c")),
+              max = Option(row.getAs[String](s"__max_$c")))
+          }.toMap)
+      }
+    val stats = TableStats(snap.id, rowsOut, exact, colStats)
     val b64 = java.util.Base64.getEncoder
     def enc(v: Option[String]) = v.map(s =>
       b64.encodeToString(s.getBytes(StandardCharsets.UTF_8)))

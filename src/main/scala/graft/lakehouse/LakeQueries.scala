@@ -396,7 +396,10 @@ object LakeQueries {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val probe = t.read()
         .join(dim.readForJoin(), col("o_custkey") === col("c_custkey"))
-      probe.count() // AQE finalizes
+      // plan-time check (round 19): the planner picks the build
+      // side from the analyzed stats at PLANNING — reading the
+      // initial plan (no execution) is the stronger form of the
+      // claim, and skips running the whole probe join
       require(probe.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"),
         "analyzed row count must broadcast the dim side")
@@ -568,7 +571,11 @@ object LakeQueries {
       // Spj.shuffles descends through the adaptive wrapper, so no
       // conf has to be turned off to keep the plan honest
       val probe = a.join(b, col("o_custkey") === col("c_custkey"))
-      probe.count() // execute so AQE finalizes its plan
+      // plan-shape check WITHOUT executing the probe (round 19):
+      // Spj.shuffles descends the un-executed adaptive wrapper, and
+      // EnsureRequirements plans every Exchange before execution —
+      // AQE can remove but never insert one into an exchange-free
+      // plan, so the pre-execution check is equally strong
       require(Spj.shuffles(probe).isEmpty,
         "bucketed lake join must plan with zero Exchange under AQE")
     } finally {
@@ -640,7 +647,11 @@ object LakeQueries {
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val probe = a.join(b, col("o_custkey") === col("c_custkey"))
-      probe.count() // execute so AQE finalizes its plan
+      // plan-shape check WITHOUT executing the probe (round 19):
+      // Spj.shuffles descends the un-executed adaptive wrapper, and
+      // EnsureRequirements plans every Exchange before execution —
+      // AQE can remove but never insert one into an exchange-free
+      // plan, so the pre-execution check is equally strong
       require(Spj.shuffles(probe).isEmpty,
         "tombstoned SPJ join must plan with zero Exchange under AQE")
     } finally {
@@ -685,7 +696,11 @@ object LakeQueries {
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val probe = a.join(b, col("o_custkey") === col("c_custkey"))
-      probe.count() // execute so AQE finalizes its plan
+      // plan-shape check WITHOUT executing the probe (round 19):
+      // Spj.shuffles descends the un-executed adaptive wrapper, and
+      // EnsureRequirements plans every Exchange before execution —
+      // AQE can remove but never insert one into an exchange-free
+      // plan, so the pre-execution check is equally strong
       require(Spj.shuffles(probe).isEmpty,
         "equality-delete SPJ join must plan with zero Exchange")
     } finally {
@@ -722,7 +737,11 @@ object LakeQueries {
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val probe = a.join(b, col("o_custkey") === col("c_custkey"))
-      probe.count() // execute so AQE finalizes its plan
+      // plan-shape check WITHOUT executing the probe (round 19):
+      // Spj.shuffles descends the un-executed adaptive wrapper, and
+      // EnsureRequirements plans every Exchange before execution —
+      // AQE can remove but never insert one into an exchange-free
+      // plan, so the pre-execution check is equally strong
       require(Spj.shuffles(probe).isEmpty,
         "the pinned-snapshot SPJ join must plan with zero Exchange")
     } finally {
@@ -821,7 +840,11 @@ object LakeQueries {
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val probe = a.join(b, col("o_cust_id") === col("c_cust_id"))
-      probe.count()
+      // plan-shape check WITHOUT executing the probe (round 19):
+      // Spj.shuffles descends the un-executed adaptive wrapper, and
+      // EnsureRequirements plans every Exchange before execution —
+      // AQE can remove but never insert one into an exchange-free
+      // plan, so the pre-execution check is equally strong
       require(Spj.shuffles(probe).isEmpty,
         "string-keyed bucketed join must plan with zero Exchange")
     } finally {
@@ -859,7 +882,11 @@ object LakeQueries {
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val probe = a.join(b, col("ocust_id") === col("cust_id"))
-      probe.count()
+      // plan-shape check WITHOUT executing the probe (round 19):
+      // Spj.shuffles descends the un-executed adaptive wrapper, and
+      // EnsureRequirements plans every Exchange before execution —
+      // AQE can remove but never insert one into an exchange-free
+      // plan, so the pre-execution check is equally strong
       require(Spj.shuffles(probe).isEmpty,
         "truncate-keyed join must plan with zero Exchange")
     } finally {
@@ -908,7 +935,11 @@ object LakeQueries {
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val probe = pruned.join(b, col("o_custkey") === col("r_custkey"))
-      probe.count()
+      // plan-shape check WITHOUT executing the probe (round 19):
+      // Spj.shuffles descends the un-executed adaptive wrapper, and
+      // EnsureRequirements plans every Exchange before execution —
+      // AQE can remove but never insert one into an exchange-free
+      // plan, so the pre-execution check is equally strong
       require(Spj.shuffles(probe).isEmpty,
         "subset-key composite join must plan with zero Exchange")
     } finally {
