@@ -339,19 +339,32 @@ object Ann {
     }.toDF("m", "cell", "c_v", "half")
   }
 
-  /** Relational argmin-L2 PQ assignment: corpus × broadcast codebooks
-    * (M×K = 128 rows per vector), score = dot(subvec, c) − ||c||²/2
-    * (minimizing ||x−c||² over fixed x is maximizing that), argmax
-    * per (vec_id, m) via lexicographic max(struct(score, −cell)) —
-    * highest score wins, ties to the LOWEST cell, exactly the
-    * semantics of the previous first-index-of-max literal form, so
-    * codes are bit-identical. Two small shuffles, all codegen'd. */
+  /** (vec_id, m, sub) — each vector exploded into its [[PqM]]
+    * sub-vectors ONCE (round 19): the previous assignment shape
+    * crossJoined the raw vector against all M×K codebook rows and
+    * re-sliced the sub-vector per candidate row (K redundant slices
+    * per (vector, subspace)); slicing before the join computes each
+    * slice once and the broadcast join on `m` fans out to the K
+    * candidates. Score math is unchanged (same slice, same dot), so
+    * codes stay bit-identical. */
+  private def subVectors(c: DataFrame): DataFrame =
+    c.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), mi -> " +
+        s"struct(mi AS m, slice(vn, mi * $PqSub + 1, $PqSub) AS sub))"))
+        .as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+
+  /** Relational argmin-L2 PQ assignment: sub-vectors × broadcast
+    * codebooks (K rows per (vector, subspace)), score = dot(sub, c) −
+    * ||c||²/2 (minimizing ||x−c||² over fixed x is maximizing that),
+    * argmax per (vec_id, m) via lexicographic max(struct(score,
+    * −cell)) — highest score wins, ties to the LOWEST cell, exactly
+    * the semantics of the previous first-index-of-max literal form,
+    * so codes are bit-identical. Two small shuffles, all codegen'd. */
   private def relationalCodes(c: DataFrame, centDf: DataFrame): DataFrame =
-    c.select(col("vec_id"), col("vn"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("score",
-        dot(slice(col("vn"), col("m") * PqSub + 1, lit(PqSub)), col("c_v"))
-          - col("half"))
+    subVectors(c)
+      .join(broadcast(centDf), Seq("m"))
+      .withColumn("score", dot(col("sub"), col("c_v")) - col("half"))
       .groupBy(col("vec_id"), col("m"))
       .agg(max(struct(col("score"), (-col("cell")).as("negc"))).as("best"))
       .select(col("vec_id"), col("m"),
@@ -373,22 +386,24 @@ object Ann {
         .toSeq.sortBy(_.cell)
     }
     for (_ <- 1 to iters) {
-      // (vec_id, m, code) joins the exploded sub-values on
-      // (vec_id, m): same decimal sums per (m, cell, pos) as the old
-      // single-projection form — order-independent, bit-identical
-      val perSub = relationalCodes(c, codebooksDf(c.sparkSession, books))
-      val rows = c.select(col("vec_id"),
-          posexplode(col("vn")).as(Seq("gpos", "x")))
-        .select(col("vec_id"),
-          expr(s"CAST(gpos DIV $PqSub AS INT)").as("m"),
-          pmod(col("gpos"), lit(PqSub)).as("pos"),
-          col("x"))
-        // plain equi-join: perSub is CORPUS-sized (N×M rows) — a
-        // broadcast hint here would collect it to the driver every
-        // round and cliff at the broadcast limit; the shuffle join is
-        // the scalable shape (and AQE may still elect to broadcast
-        // when it is actually small)
-        .join(perSub, Seq("vec_id", "m"))
+      // ONE pass per round (round 19, guide §2.3/§2.4): the argmax
+      // aggregate CARRIES each (vector, subspace)'s sub-vector — it
+      // is constant within the group, so first() is deterministic —
+      // and the mean update explodes the carried sub directly. The
+      // previous shape re-scanned the corpus (posexplode × Dim) and
+      // shuffled the exploded rows through a (vec_id, m) equi-join
+      // against the codes: one full corpus scan and the round's
+      // biggest shuffle, both gone. Same decimal sums per
+      // (m, cell, pos) over the same x values — order-independent,
+      // bit-identical books.
+      val rows = subVectors(c)
+        .join(broadcast(codebooksDf(c.sparkSession, books)), Seq("m"))
+        .withColumn("score", dot(col("sub"), col("c_v")) - col("half"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(max(struct(col("score"), (-col("cell")).as("negc"))).as("best"),
+          first(col("sub")).as("sub"))
+        .select(col("m"), (-col("best.negc")).cast("int").as("code"),
+          posexplode(col("sub")).as(Seq("pos", "x")))
         .groupBy(col("m"), col("code"), col("pos"))
         .agg((sum(col("x").cast("decimal(28,18)")).cast("double") /
           count(lit(1)).cast("double")).as("mean"))

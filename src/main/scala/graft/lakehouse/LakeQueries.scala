@@ -1904,8 +1904,11 @@ object LakeQueries {
     require(after.join(preIds, col("o_orderkey") === col("k0"))
       .filter(col("_row_id") =!= col("r0")).count() == 0,
       "UPDATE must preserve every row's _row_id")
-    require(after.filter(col("_last_updated_sequence_number") === 4L)
-      .count() == after.filter(col("o_orderstatus") === "F").count(),
+    // one pass for the two cohort counts (they read the same frame)
+    val seq4 = after.agg(
+      count(when(col("_last_updated_sequence_number") === 4L, 1)),
+      count(when(col("o_orderstatus") === "F", 1))).head()
+    require(seq4.getLong(0) == seq4.getLong(1),
       "exactly the matched rows carry the UPDATE's sequence")
     s.sql("DELETE FROM lake_rowlin_t WHERE o_orderkey % 30 = 0") // snap 5
     require(t.readLineage()
@@ -1962,8 +1965,10 @@ object LakeQueries {
     require(afterP.join(preP, col("o_orderkey") === col("pk"))
       .filter(col("_row_id") =!= col("pr")).count() == 0,
       "position-MoR DML must preserve every surviving row's _row_id")
-    require(afterP.filter(col("_last_updated_sequence_number") === 9L)
-      .count() == afterP.filter(col("o_orderstatus") === "P").count(),
+    val seq9 = afterP.agg(
+      count(when(col("_last_updated_sequence_number") === 9L, 1)),
+      count(when(col("o_orderstatus") === "P", 1))).head()
+    require(seq9.getLong(0) == seq9.getLong(1),
       "exactly the tombstone-UPDATE's rows carry its sequence")
     // final read through the SQL surface (lake_lineage TVF), so the
     // metadata columns are reachable without the Scala API

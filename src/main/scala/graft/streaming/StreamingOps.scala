@@ -453,10 +453,8 @@ object StreamingOps {
     require(sunk3.schema.fieldNames.toSeq ==
         Seq("id", "quantity", "status"),
       s"the sink tracks the drop: ${sunk3.schema}")
-    require(sunk3.filter(col("id") < 0)
-        .exceptAll(late.drop("note").unionByName(post)).count() == 0 &&
-      late.drop("note").unionByName(post)
-        .exceptAll(sunk3.filter(col("id") < 0)).count() == 0,
+    require(graft.Registry.sameMultiset(sunk3.filter(col("id") < 0),
+        late.drop("note").unionByName(post)),
       "both straggler batches must land row-exactly, once each")
     sunk3
       .groupBy(col("status"))
