@@ -38,8 +38,22 @@ object Tables {
     spark
   }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema per test-table path, inferred once per JVM (round 19,
+    * guide §6): the inputs are read-only, so every later load passes
+    * the schema explicitly and skips the per-plan footer-inference
+    * round `spark.read.parquet` otherwise pays — hundreds of loader
+    * calls per bench run. Metadata caching only (the analog of
+    * Spark's own FileStatusCache): every invocation still scans the
+    * parquet itself. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -1982,9 +1982,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
       .getOrElse(side(to, added, "_i_"))
     // structural-emptiness tracking (round 19): a side that never
     // receives a potentially-nonempty leg lets the tail skip the
-    // full-outer rid join — see below
-    var dTrivial = removed.isEmpty && posDel.isEmpty
-    var iTrivial = added.isEmpty && posIns.isEmpty
+    // full-outer rid join — see below. posIns can only hold rows when
+    // a tombstone set was DROPPED or a DV pointer moved (rollback
+    // territory); a pure tombstone-ADD range keeps the insert side
+    // trivial.
+    var dTrivial = removed.isEmpty &&
+      (newTFiles.isEmpty && dvMoved.isEmpty)
+    var iTrivial = added.isEmpty &&
+      (goneTFiles.isEmpty && dvMoved.isEmpty)
     // EQUALITY-PREDICATE diff on CARRIED files, keyed (the r17
     // plain-feed expansion with `_row_id` carried through): a
     // predicate NEW in-range — reachable via a lineage-off window or
@@ -2355,10 +2360,14 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         tIns = Some(at(goneT, to))
         del = del.unionByName(tDel.get)
         ins = ins.unionByName(tIns.get)
-        // the two frames filter at runtime; either may still be empty,
-        // but structurally both legs are now live
-        insTrivial = false
-        delTrivial = false
+        // per-side structural emptiness: a pure tombstone-ADD range
+        // (the common MoR DELETE commit) can only contribute deletes —
+        // goneT is the anti-join of an EMPTY tombstone set (plus an
+        // empty DV diff), so the insert side stays trivial and the
+        // delete-only fast path below still applies (symmetrically
+        // for a pure tombstone-DROP/rollback range)
+        if (newTFiles.nonEmpty || dvMovedFiles.nonEmpty) delTrivial = false
+        if (goneTFiles.nonEmpty || dvMovedFiles.nonEmpty) insTrivial = false
       }
     }
     // equality-predicate diff on CARRIED files: rows live at `from`
