@@ -2692,8 +2692,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
           else df
         wide.write.mode("overwrite")
       } else if (PartField.allIdentity(partitionCols)) {
+        // PARTITIONED writes: file count = #partition dirs regardless
+        // of task width (each dir's rows hash to exactly one task), so
+        // the size-adaptive collapse to 1 task would only SERIALIZE a
+        // many-dir write (measured: bucket[64] create +0.5 s) without
+        // saving a single file — keep the session floor and let size
+        // raise the width beyond it for genuinely large commits
         val clustered =
-          if (widen) df.repartition(par, partitionCols.map(col): _*)
+          if (widen) df.repartition(math.max(par, fallbackPar),
+            partitionCols.map(col): _*)
           else df
         val ordered =
           if (sortOrder.isEmpty) clustered
@@ -2708,7 +2715,9 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
         }
         val dirCols = spec.indices.map(i => col(PartField.dirCol(i)))
         val clustered =
-          if (widen) derived.repartition(par, dirCols: _*) else derived
+          if (widen) derived.repartition(math.max(par, fallbackPar),
+            dirCols: _*)
+          else derived
         val ordered =
           if (sortOrder.isEmpty) clustered
           else clustered.sortWithinPartitions(dirCols ++ sortCols: _*)
