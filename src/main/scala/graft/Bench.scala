@@ -42,6 +42,11 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.sql.adaptive.enabled", "true")
+      // guide §9/§3.1: let the planner pick shuffled-hash join when
+      // its size conditions are met (sort-merge stays available and
+      // is still chosen when the build side is too big) — a
+      // scale-neutral planner freedom, not a local[32] tune
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.fgac.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

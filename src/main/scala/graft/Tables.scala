@@ -17,6 +17,7 @@ object Tables {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")

@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
+      // keep join-planner freedom identical to Bench (§9): results
+      // are strategy-independent, but verifying under the same plans
+      // the bench times keeps the two surfaces honest
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.extensions", "graft.fgac.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

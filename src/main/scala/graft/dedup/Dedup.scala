@@ -828,20 +828,31 @@ object Dedup {
         least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint() // canonical undirected; cuts pair-gen lineage
-    var signature = (-1L, -1L)
     var rounds = 0
     var stable = false
     while (!stable) {
       rounds += 1
       require(rounds <= 40, "componentLabels failed to converge")
       e = star(star(e, large = true), large = false).localCheckpoint()
-      val row = e.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(a, b))")).head() // xor: ANSI-overflow-safe
-      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      // Fixpoint test WITHOUT another contraction (round 19): the
+      // loop previously compared (count, hash) signatures across
+      // rounds, which pays one extra full double-star round just to
+      // OBSERVE the fixpoint. e is a fixpoint iff it is STAR-SHAPED —
+      // no vertex appears on both the a (root, canonical min) and b
+      // (member) side: each e-component is then one star, its root is
+      // the component min (any smaller vertex in the component would
+      // be a member below the root, contradicting a < b on every
+      // edge), and both star rounds map a star to itself. The check
+      // is one semi-join that EARLY-EXITS on the first
+      // member-that-is-also-root, so pre-fixpoint rounds pay almost
+      // nothing and only the final round scans the (shrunken) edge
+      // set.
+      stable = e.select(col("a"))
+        .join(e.select(col("b").as("a")), Seq("a"), "left_semi")
+        .isEmpty
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] round=$rounds edges=${sig._1} t=${System.nanoTime() / 1e9}")
-      stable = sig == signature
-      signature = sig
+        println(s"[cc] round=$rounds stable=$stable " +
+          s"t=${System.nanoTime() / 1e9}")
     }
     // At the star fixpoint every remaining edge is (member, root), so
     // a vertex's component is its min neighbor (or itself if isolated).

@@ -2688,7 +2688,13 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
             // sorted writes keep the session floor
             df.repartitionByRange(math.max(par, fallbackPar), sortCols: _*)
               .sortWithinPartitions(sortCols: _*)
-          else if (widen && GraftTable.isNarrow(df, par)) df.repartition(par)
+          // par <= 1 can never widen, so skip the isNarrow probe: its
+          // df.rdd partition count materializes the plan's broadcast
+          // subqueries as an extra pre-write job (measured 0.3-0.5 s
+          // on MoR-read inputs), and that cost is pure waste when the
+          // answer cannot change the plan
+          else if (widen && par > 1 && GraftTable.isNarrow(df, par))
+            df.repartition(par)
           else df
         wide.write.mode("overwrite")
       } else if (PartField.allIdentity(partitionCols)) {
