@@ -3813,7 +3813,10 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // was written, nothing to commit (the empty dir is orphan-scale)
     if (blobByMeta.isEmpty) return Map.empty
     val fileByMeta = snap.files.map(f => metaPath(f) -> f).toMap
-    spark.read.parquet(dir.toString)
+    spark.read.schema(StructType(GraftTable.DvBlobSchema.fields :+
+        org.apache.spark.sql.types.StructField("_card",
+          org.apache.spark.sql.types.LongType)))
+      .parquet(dir.toString)
       .select(col("_file"), col("_metadata.file_path"), col("_card"))
       .collect()
       .map { r =>

@@ -1901,14 +1901,18 @@ object LakeQueries {
     s.sql("UPDATE lake_rowlin_t SET price = price * 2 " +
       "WHERE o_orderstatus = 'F'")                           // snap 4
     val after = t.readLineage()
-    require(after.join(preIds, col("o_orderkey") === col("k0"))
-      .filter(col("_row_id") =!= col("r0")).count() == 0,
+    // ONE pass for all three probes (guide §1.4): the left join keeps
+    // every `after` row exactly once (keys unique), an unmatched row's
+    // null r0 makes `=!=` null which count(when) skips — exactly the
+    // inner-join-filter-count semantics — and the two cohort counts
+    // ride the same aggregate instead of two more scans
+    val seq4 = after.join(preIds, col("o_orderkey") === col("k0"), "left")
+      .agg(count(when(col("_row_id") =!= col("r0"), 1)),
+        count(when(col("_last_updated_sequence_number") === 4L, 1)),
+        count(when(col("o_orderstatus") === "F", 1))).head()
+    require(seq4.getLong(0) == 0,
       "UPDATE must preserve every row's _row_id")
-    // one pass for the two cohort counts (they read the same frame)
-    val seq4 = after.agg(
-      count(when(col("_last_updated_sequence_number") === 4L, 1)),
-      count(when(col("o_orderstatus") === "F", 1))).head()
-    require(seq4.getLong(0) == seq4.getLong(1),
+    require(seq4.getLong(1) == seq4.getLong(2),
       "exactly the matched rows carry the UPDATE's sequence")
     s.sql("DELETE FROM lake_rowlin_t WHERE o_orderkey % 30 = 0") // snap 5
     require(t.readLineage()
@@ -1962,13 +1966,14 @@ object LakeQueries {
         == filesP.toSet,
       "position DML must tombstone, never rewrite existing files")
     val afterP = t.readLineage()
-    require(afterP.join(preP, col("o_orderkey") === col("pk"))
-      .filter(col("_row_id") =!= col("pr")).count() == 0,
+    // same one-pass consolidation as the seq-4 probe above
+    val seq9 = afterP.join(preP, col("o_orderkey") === col("pk"), "left")
+      .agg(count(when(col("_row_id") =!= col("pr"), 1)),
+        count(when(col("_last_updated_sequence_number") === 9L, 1)),
+        count(when(col("o_orderstatus") === "P", 1))).head()
+    require(seq9.getLong(0) == 0,
       "position-MoR DML must preserve every surviving row's _row_id")
-    val seq9 = afterP.agg(
-      count(when(col("_last_updated_sequence_number") === 9L, 1)),
-      count(when(col("o_orderstatus") === "P", 1))).head()
-    require(seq9.getLong(0) == seq9.getLong(1),
+    require(seq9.getLong(1) == seq9.getLong(2),
       "exactly the tombstone-UPDATE's rows carry its sequence")
     // final read through the SQL surface (lake_lineage TVF), so the
     // metadata columns are reachable without the Scala API
