@@ -3,9 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch measurement main (NOT part of the surface; deleted after
-  * the round's attribution work). Replays the stream_lake_cdc
-  * scenario and dumps per-batch durationMs from recentProgress. */
+/** Dev measurement main (not part of the query surface): replays the
+  * stream_lake_cdc scenario and dumps per-batch durationMs from
+  * recentProgress — the tool behind the getBatch/addBatch attribution
+  * in OPTIMIZATION_r19.md. Kept alongside PlanDump so later rounds
+  * can re-measure the streaming per-batch breakdown. */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
