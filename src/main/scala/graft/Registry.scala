@@ -15,9 +15,20 @@ object Registry {
     * Tagging the sides ±1 and grouping once answers the same
     * question (∀ row value: count_a == count_b) with each side
     * scanned once and one shuffle. Columns compared by a's order;
-    * b must carry the same names. */
+    * b must carry the same names.
+    *
+    * Guards (round 20, advice): the name-based select would silently
+    * DROP extra b columns where `exceptAll` failed loudly on arity
+    * mismatch, and an input already carrying `_cnt` would be
+    * silently replaced and excluded from the compared key — both
+    * refuse instead. */
   def sameMultiset(a: DataFrame, b: DataFrame): Boolean = {
     val cols = a.columns.toSeq
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"sameMultiset: column sets differ — [${a.columns.mkString(",")}]" +
+        s" vs [${b.columns.mkString(",")}]")
+    require(!cols.exists(c => c == "_cnt" || c == "_net"),
+      "sameMultiset: inputs must not carry reserved columns _cnt/_net")
     a.select(cols.map(col): _*).withColumn("_cnt", lit(1L))
       .unionByName(
         b.select(cols.map(col): _*).withColumn("_cnt", lit(-1L)))

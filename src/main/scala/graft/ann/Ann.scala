@@ -279,23 +279,39 @@ object Ann {
     // id distribution, unlike a `vec_id < k` filter)
     var cent = fromRows(c.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cell"), col("v")).collect())
+    // one-row centroid relation + per-row HOF argmax (round 20, guide
+    // §2.4): assignment is per-vector, so the r19 groupBy(vec_id)
+    // exchange of the whole corpus existed only to fold the k
+    // candidate rows of the broadcast fan-out back together — the
+    // fold now happens in place, zero shuffles per round before the
+    // (tiny, partially-aggregated) cell-mean exchange. Scoring is the
+    // same cosine kernel; the fold keeps the first strict maximum
+    // over the cell-ascending array with Spark's NaN-greatest
+    // ordering — exactly max(struct(a_cos, −cell)).
     for (_ <- 1 to iters) {
-      val centDf = cent.map(ct => (ct.cell, ct.v, ct.nrm))
-        .toDF("cent_cell", "cent_v", "cent_nrm")
-      val assigned = c.crossJoin(broadcast(centDf))
-        .withColumn("a_cos",
-          cosine(col("v"), col("cent_v"), col("nrm"), col("cent_nrm")))
-        .groupBy(col("vec_id"))
-        // v is identical across a vector's k candidate rows, so
-        // first(v) is deterministic
-        .agg(max(struct(col("a_cos"), (-col("cent_cell")).as("negc")))
-          .as("best"), first(col("v")).as("v"))
-        .select((-col("best.negc")).cast("int").as("cell"), col("v"))
+      val centRow = Seq(cent.map(ct =>
+        CentVal(ct.cell, ct.v.toSeq, ct.nrm)).toSeq).toDF("cents")
+      val assigned = c.crossJoin(broadcast(centRow))
+        .select(aggregate(col("cents"),
+          struct(lit(Double.NegativeInfinity).as("score"),
+            lit(-1).as("cell")),
+          (acc, ct) => {
+            val sc = cosine(col("v"), ct.getField("c_v"), col("nrm"),
+              ct.getField("c_nrm"))
+            when(sc > acc.getField("score") ||
+                (isnan(sc) && !isnan(acc.getField("score"))),
+              struct(sc.as("score"), ct.getField("cell").as("cell")))
+              .otherwise(acc)
+          }).getField("cell").as("cell"), col("v"))
       cent = fromRows(cellMeans(assigned)
         .select(col("cell").cast("int"), col("c_v")).collect())
     }
     cent
   }
+
+  /** One trained centroid as a VALUE for the single-row broadcast
+    * relation in [[trainKmeans]]. */
+  private case class CentVal(cell: Int, c_v: Seq[Double], c_nrm: Double)
 
   /** IVF with a trained coarse quantizer - the honest version of
     * [[ivf]]. Search: assignment and probe-selection are projections
@@ -324,51 +340,68 @@ object Ann {
   private val PqRerank = 100     // ADC candidates re-ranked exactly
   private val PqSalt = 32        // stage-1 fanout of the rerank cut
 
-  /** The joint codebooks as a (tiny, broadcastable) RELATION:
-    * one row per (subspace, cell) with the sub-centroid vector and
-    * its ||c||²/2. Assignment and training join against THIS instead
-    * of unrolling M×K literal arrays into expressions — the previous
-    * literal form spent ~5 s per invocation in ANALYSIS AND CODEGEN
-    * alone (measured flat from sf0.001 to sf0.1: plan cost, not data
-    * cost) — the same lesson as round 4's relational ADC. */
-  private def codebooksDf(s: SparkSession,
+  /** One codebook centroid as a VALUE (for the single-row broadcast
+    * frame below): the sub-centroid vector and its ||c||²/2. */
+  private case class BookCent(cell: Int, c_v: Seq[Double], half: Double)
+
+  /** The joint codebooks as ONE broadcastable ROW —
+    * `books[m+1]` = subspace m's K centroids, cell-ascending.
+    * Round 20 (guide §2.4): carrying the books as a nested-array
+    * VALUE (not M×K join rows, and still not plan literals — the
+    * literal form spent ~5 s/invocation in analysis+codegen, the
+    * round-4 lesson) lets assignment run as a ZERO-SHUFFLE
+    * projection: the r19 join form fanned every (vector, subspace)
+    * out to K candidate rows and paid a corpus-wide
+    * groupBy(vec_id, m) exchange to argmax them back together —
+    * rows that never needed to leave their partition, since the
+    * argmax is per-vector. The HOF argmax visits the same K
+    * candidates per (vector, subspace) inside one row instead. */
+  private def booksRowDf(s: SparkSession,
       books: Seq[Seq[Centroid]]): DataFrame = {
     import s.implicits._
-    books.zipWithIndex.flatMap { case (bk, m) =>
-      bk.map(ct => (m, ct.cell, ct.v, ct.nrm * ct.nrm / 2))
-    }.toDF("m", "cell", "c_v", "half")
+    Seq(books.map(_.map(ct =>
+      BookCent(ct.cell, ct.v.toSeq, ct.nrm * ct.nrm / 2)).toSeq).toSeq)
+      .toDF("books")
   }
 
-  /** (vec_id, m, sub) — each vector exploded into its [[PqM]]
-    * sub-vectors ONCE (round 19): the previous assignment shape
-    * crossJoined the raw vector against all M×K codebook rows and
-    * re-sliced the sub-vector per candidate row (K redundant slices
-    * per (vector, subspace)); slicing before the join computes each
-    * slice once and the broadcast join on `m` fans out to the K
-    * candidates. Score math is unchanged (same slice, same dot), so
-    * codes stay bit-identical. */
-  private def subVectors(c: DataFrame): DataFrame =
-    c.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${PqM - 1}), mi -> " +
-        s"struct(mi AS m, slice(vn, mi * $PqSub + 1, $PqSub) AS sub))"))
-        .as("e"))
-      .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+  /** The [[PqM]] sub-vector slices of `vn`, computed once per row —
+    * the same slice expression the r19 subVectors explode used, so
+    * slice values are bit-identical. */
+  private def subsCol: Column = expr(
+    s"transform(sequence(0, ${PqM - 1}), mi -> " +
+      s"slice(vn, mi * $PqSub + 1, $PqSub))")
 
-  /** Relational argmin-L2 PQ assignment: sub-vectors × broadcast
-    * codebooks (K rows per (vector, subspace)), score = dot(sub, c) −
-    * ||c||²/2 (minimizing ||x−c||² over fixed x is maximizing that),
-    * argmax per (vec_id, m) via lexicographic max(struct(score,
-    * −cell)) — highest score wins, ties to the LOWEST cell, exactly
-    * the semantics of the previous first-index-of-max literal form,
-    * so codes are bit-identical. Two small shuffles, all codegen'd. */
-  private def relationalCodes(c: DataFrame, centDf: DataFrame): DataFrame =
-    subVectors(c)
-      .join(broadcast(centDf), Seq("m"))
-      .withColumn("score", dot(col("sub"), col("c_v")) - col("half"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(max(struct(col("score"), (-col("cell")).as("negc"))).as("best"))
-      .select(col("vec_id"), col("m"),
-        (-col("best.negc")).cast("int").as("code"))
+  /** HOF argmin-L2 over one subspace's codebook array: score =
+    * dot(sub, c) − ||c||²/2 (minimizing ||x−c||² over fixed x is
+    * maximizing that — same kernel, same values as the r19 join
+    * form), fold keeps the FIRST strict maximum over the
+    * cell-ascending array — highest score wins, ties to the LOWEST
+    * cell, exactly `max(struct(score, −cell))`. The isnan clause
+    * replicates Spark's NaN-is-greatest aggregate ordering (a NaN
+    * score wins over any non-NaN, first NaN wins among NaNs) so the
+    * fold can never silently diverge from the old argmax. */
+  private def bestCell(sub: Column, bk: Column): Column =
+    aggregate(bk,
+      struct(lit(Double.NegativeInfinity).as("score"),
+        lit(-1).as("cell")),
+      (acc, b) => {
+        val sc = dot(sub, b.getField("c_v")) - b.getField("half")
+        when(sc > acc.getField("score") ||
+            (isnan(sc) && !isnan(acc.getField("score"))),
+          struct(sc.as("score"), b.getField("cell").as("cell")))
+          .otherwise(acc)
+      }).getField("cell")
+
+  /** PQ assignment: corpus → (vec_id, m, code), zero shuffles — one
+    * single-row codebook broadcast, per-row HOF argmax per subspace,
+    * narrow posexplode. Codes bit-identical to the r19 join form
+    * (see [[bestCell]]); oracle-confirmed at both SFs. */
+  private def relationalCodes(c: DataFrame,
+      books: Seq[Seq[Centroid]]): DataFrame =
+    c.crossJoin(broadcast(booksRowDf(c.sparkSession, books)))
+      .select(col("vec_id"),
+        posexplode(zip_with(subsCol, col("books"),
+          (sub, bk) => bestCell(sub, bk))).as(Seq("m", "code")))
 
   /** Deterministic Lloyd training of ALL [[PqM]] per-subspace
     * codebooks jointly (L2, the PQ metric): each round is ONE
@@ -386,24 +419,22 @@ object Ann {
         .toSeq.sortBy(_.cell)
     }
     for (_ <- 1 to iters) {
-      // ONE pass per round (round 19, guide §2.3/§2.4): the argmax
-      // aggregate CARRIES each (vector, subspace)'s sub-vector — it
-      // is constant within the group, so first() is deterministic —
-      // and the mean update explodes the carried sub directly. The
-      // previous shape re-scanned the corpus (posexplode × Dim) and
-      // shuffled the exploded rows through a (vec_id, m) equi-join
-      // against the codes: one full corpus scan and the round's
-      // biggest shuffle, both gone. Same decimal sums per
-      // (m, cell, pos) over the same x values — order-independent,
-      // bit-identical books.
-      val rows = subVectors(c)
-        .join(broadcast(codebooksDf(c.sparkSession, books)), Seq("m"))
-        .withColumn("score", dot(col("sub"), col("c_v")) - col("half"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(max(struct(col("score"), (-col("cell")).as("negc"))).as("best"),
-          first(col("sub")).as("sub"))
-        .select(col("m"), (-col("best.negc")).cast("int").as("code"),
-          posexplode(col("sub")).as(Seq("pos", "x")))
+      // ONE pass per round with ZERO wide shuffles of corpus rows
+      // (round 19 carried the sub through the argmax group; round 20
+      // removes the corpus-wide groupBy(vec_id, m) exchange entirely
+      // — assignment is per-row, so the HOF argmax computes each
+      // (vector, subspace)'s code in place and posexplode feeds the
+      // mean update narrowly; the only remaining exchange is the
+      // M×K×PqSub-group mean aggregate, tiny after map-side partial
+      // aggregation). Same (m, code, pos, x) multiset, same decimal
+      // sums — order-independent, bit-identical books.
+      val rows = c
+        .crossJoin(broadcast(booksRowDf(c.sparkSession, books)))
+        .select(posexplode(zip_with(subsCol, col("books"), (sub, bk) =>
+          struct(bestCell(sub, bk).as("code"), sub.as("sub"))))
+          .as(Seq("m", "e")))
+        .select(col("m"), col("e.code").as("code"),
+          posexplode(col("e.sub")).as(Seq("pos", "x")))
         .groupBy(col("m"), col("code"), col("pos"))
         .agg((sum(col("x").cast("decimal(28,18)")).cast("double") /
           count(lit(1)).cast("double")).as("mean"))
@@ -439,7 +470,7 @@ object Ann {
     val books = trainPqBooks(c, PqTrainRounds)
     // the compression step: corpus → (vec_id, m, code) — 8 four-bit
     // codes per vector, via the relational assignment
-    val codes = relationalCodes(c, codebooksDf(s, books))
+    val codes = relationalCodes(c, books)
     // ADC lookup table, computed driver-side from the (tiny, by
     // definition) query set: Q × M × K partial dot products. The
     // corpus side of the join carries ONLY codes — this join + sum
@@ -533,7 +564,7 @@ object Ann {
       .select(col("vec_id"),
         zip_with(col("vn"), col("cent_v"), (a, b) => a - b).as("vn"))
     val books = trainPqBooks(resid, 2)
-    val codes = relationalCodes(resid, codebooksDf(s, books))
+    val codes = relationalCodes(resid, books)
     // query-side metadata, all driver-computed from the (tiny by
     // definition) query set: probed cells with their coarse-dot bias,
     // and the residual-codebook ADC LUT — Q×probes + Q×M×K rows

@@ -834,21 +834,34 @@ object Dedup {
       rounds += 1
       require(rounds <= 40, "componentLabels failed to converge")
       e = star(star(e, large = true), large = false).localCheckpoint()
-      // Fixpoint test WITHOUT another contraction (round 19): the
-      // loop previously compared (count, hash) signatures across
-      // rounds, which pays one extra full double-star round just to
-      // OBSERVE the fixpoint. e is a fixpoint iff it is STAR-SHAPED —
-      // no vertex appears on both the a (root, canonical min) and b
-      // (member) side: each e-component is then one star, its root is
-      // the component min (any smaller vertex in the component would
-      // be a member below the root, contradicting a < b on every
-      // edge), and both star rounds map a star to itself. The check
-      // is one semi-join that EARLY-EXITS on the first
-      // member-that-is-also-root, so pre-fixpoint rounds pay almost
-      // nothing and only the final round scans the (shrunken) edge
-      // set.
-      stable = e.select(col("a"))
-        .join(e.select(col("b").as("a")), Seq("a"), "left_semi")
+      // Fixpoint test WITHOUT another contraction (round 19, FIXED in
+      // round 20): the loop previously compared (count, hash)
+      // signatures across rounds, which pays one extra full
+      // double-star round just to OBSERVE the fixpoint. e is a
+      // fixpoint iff it is a disjoint union of MIN-ROOTED STARS, i.e.
+      //  (1) no vertex appears on both the a (root, canonical min)
+      //      and b (member) side, AND
+      //  (2) every member carries exactly ONE root.
+      // Round 19 tested (1) alone, which is NOT sufficient (advice
+      // r19): edges {(1,5),(1,6),(2,5),(2,7)} have disjoint sides yet
+      // member 5 carries two roots — stopping there splits the
+      // component {1,2,5,6,7} into {1,5,6}/{2,7}. With both
+      // conditions, e is a union of stars (root < members by the
+      // a < b canonicalization), each star is mapped to itself by
+      // both star rounds (a genuine fixpoint), and since every
+      // contraction round preserves connectivity the stars ARE the
+      // components. Both conditions in ONE aggregation pass: tag each
+      // directed appearance (root side r = null, member side r = its
+      // root), group by vertex, violation = root-and-member or
+      // two distinct roots.
+      val rType = e.schema("a").dataType
+      stable = e.select(col("a").as("v"), lit(null).cast(rType).as("r"))
+        .union(e.select(col("b").as("v"), col("a").as("r")))
+        .groupBy(col("v"))
+        .agg(max(col("r").isNull).as("isRoot"),
+          min(col("r")).as("rLo"), max(col("r")).as("rHi"))
+        .filter((col("isRoot") && col("rHi").isNotNull) ||
+          col("rLo") =!= col("rHi"))
         .isEmpty
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round=$rounds stable=$stable " +

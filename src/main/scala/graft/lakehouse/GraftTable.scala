@@ -2450,6 +2450,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // (for each row value: max(ins−del, 0) inserts and
     // max(del−ins, 0) deletes — exactly the EXCEPT ALL pair).
     val dataCols = ins.columns.toSeq
+    // reserved-name guard (round 20, advice): a user column named
+    // _cnt/_net/_rep would be silently replaced by the tag columns
+    // below and excluded from the grouping key, mis-grouping where
+    // the old EXCEPT ALL pair would not — refuse loudly instead
+    // (change-feed tables already refuse _change_type upstream)
+    require(!dataCols.exists(c =>
+        c == "_cnt" || c == "_net" || c == "_rep"),
+      "table_changes over a table with its own _cnt/_net/_rep " +
+        "column is not supported")
     val net = ins.withColumn("_cnt", lit(1L))
       .unionByName(del.withColumn("_cnt", lit(-1L)))
       .groupBy(dataCols.map(col): _*)
@@ -2622,30 +2631,15 @@ final class GraftTable(val spark: SparkSession, rootStr: String,
     // went through a shuffle sits at spark.sql.shuffle.partitions and
     // needs no widening; a pure scan's width is its input file count.
     //
-    // The width itself is SIZE-ADAPTIVE (round 19, guide §2.2/§6):
+    // The width itself is SIZE-ADAPTIVE (round 19/20, guide §2.2/§6):
     // target ~128 MB output files from the optimizer's driver-side
-    // size estimate instead of a fixed 8-way fan-out. A small commit
-    // (KBs-MBs — every trickle append, micro-batch and DML rewrite at
-    // test scale, and most streaming batches in production) widens to
-    // ONE task: no exchange, one data file, one footer harvest, one
-    // manifest entry — where the fixed width paid a shuffle plus 8
-    // tiny files per commit, and every later scan of them 8 splits.
-    // Estimates only OVERSHOOT without CBO (filters keep their
-    // child's size, joins multiply), which fails safe: overshoot
-    // keeps the old width, never serializes a genuinely large write.
-    // Estimate-less or huge plans fall back to the previous
-    // min(8, session parallelism) cap.
+    // size estimate instead of a fixed 8-way fan-out — see
+    // [[GraftTable.writeWidth]] for the decision rule (collapse for
+    // small commits, a size-raised width above the session floor for
+    // genuinely large narrow commits, Generate-guarded).
     val sessionPar = df.sparkSession.sparkContext.defaultParallelism
     val fallbackPar = math.min(8, sessionPar)
-    val targetFileBytes = 128L << 20
-    val par = {
-      val est =
-        try df.queryExecution.optimizedPlan.stats.sizeInBytes
-        catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
-      if (est > 0 && est < BigInt(targetFileBytes) * fallbackPar)
-        math.max(1, ((est + targetFileBytes - 1) / targetFileBytes).toInt)
-      else fallbackPar
-    }
+    val par = GraftTable.writeWidth(df)
     // identity specs lay out hive-style (partition values live in the
     // dirs, reads reconstitute via basePath); transform specs derive
     // throwaway _gp_i dir columns and keep every raw column in the
@@ -6867,6 +6861,50 @@ object GraftTable {
       case _ => false
     }
     !exchanged && df.rdd.getNumPartitions < target
+  }
+
+  /** Size-adaptive write task width (guide §2.2/§6): the number of
+    * write tasks that lays `df` out in ~128 MB files, from the
+    * optimizer's driver-side size estimate (no execution).
+    *
+    *  - estimate-less plans keep the session floor
+    *    `min(8, defaultParallelism)` (the pre-r19 width);
+    *  - a SMALL commit (est under floor×128 MB — every trickle
+    *    append, micro-batch and DML rewrite at test scale) collapses
+    *    to ceil(est/128 MB), usually ONE task: no exchange, one data
+    *    file, one footer harvest, one manifest entry. Size-only
+    *    estimation keeps the CHILD's size through row-expanding
+    *    operators, so a plan containing a Generate (explode) can
+    *    undershoot by the fan-out factor — those keep the floor
+    *    instead of risking a serialized giant write (r19 advice);
+    *  - a LARGE commit fans out by SIZE: ceil(est/128 MB) may exceed
+    *    the floor (round 20 — the r19 form capped at the floor, so a
+    *    narrow TB-scale frame would have written ≤8 multi-GB files),
+    *    bounded by 2×defaultParallelism so a wildly overshooting
+    *    join estimate cannot explode the task count. Already-wide
+    *    (post-shuffle) frames skip forced widening entirely via
+    *    [[isNarrow]], so the raise only reaches narrow frames, whose
+    *    scan-based estimates are the reliable ones. */
+  private[graft] def writeWidth(df: DataFrame): Int = {
+    val sessionPar = df.sparkSession.sparkContext.defaultParallelism
+    val fallbackPar = math.min(8, sessionPar)
+    val targetFileBytes = 128L << 20
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
+    if (est <= 0) fallbackPar
+    else {
+      val bySize = ((est + targetFileBytes - 1) / targetFileBytes)
+        .max(BigInt(1))
+      if (bySize <= fallbackPar) {
+        val expanding = df.queryExecution.optimizedPlan.exists {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+            true
+          case _ => false
+        }
+        if (expanding) fallbackPar else bySize.toInt
+      } else bySize.min(BigInt(math.max(2 * sessionPar, fallbackPar))).toInt
+    }
   }
 
   /** The default branch every table is born with. */

@@ -1915,9 +1915,13 @@ object LakeQueries {
     require(seq4.getLong(1) == seq4.getLong(2),
       "exactly the matched rows carry the UPDATE's sequence")
     s.sql("DELETE FROM lake_rowlin_t WHERE o_orderkey % 30 = 0") // snap 5
-    require(t.readLineage()
-      .filter(col("_last_updated_sequence_number") === 5L).count() == 0,
-      "DELETE must not bump surviving rows' last-updated sequence")
+    // the snap-5 probe frame is CONSTRUCTED here (it must observe the
+    // post-DELETE state) but its action is DEFERRED into the one-pass
+    // post-MERGE probe below — the files it plans over are immutable,
+    // so executing it after snap 6 reads the same bytes (round 20,
+    // guide §1.4: one action per epoch, not per probe)
+    val del5 = t.readLineage()
+      .filter(col("_last_updated_sequence_number") === 5L)
     // MERGE preserves lineage too: matched rows keep ids and take
     // the merge's sequence, inserts (including re-inserts of deleted
     // keys) mint fresh ids
@@ -1929,22 +1933,38 @@ object LakeQueries {
             |ON lake_rowlin_t.o_orderkey = s.o_orderkey
             |WHEN MATCHED THEN UPDATE SET *
             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)   // snap 6
-    require(t.readLineage()
+    val seq6 = t.readLineage()
       .join(preMerge, col("o_orderkey") === col("mk"))
-      .filter(col("_row_id") =!= col("mr")).count() == 0,
+      .agg(count(when(col("_row_id") =!= col("mr"), 1)).as("mergeBad"))
+      .crossJoin(del5.agg(count(lit(1)).as("del5N")))
+      .head
+    require(seq6.getLong(1) == 0,
+      "DELETE must not bump surviving rows' last-updated sequence")
+    require(seq6.getLong(0) == 0,
       "MERGE must preserve every matched/carried row's _row_id")
     val pre = t.readLineage().select("o_orderkey", "_row_id",
       "_last_updated_sequence_number")
     t.compact(2)                                             // snap 7
     val post = t.readLineage().select("o_orderkey", "_row_id",
       "_last_updated_sequence_number")
-    // one tag/group pass instead of the 2-scan-per-side exceptAll
-    // pair (guide §2.4); the frames here are cheap to re-plan, so
-    // NO localCheckpoint — measured: materialization cost more than
-    // the recompute it saved on these manifest-planned small scans
-    require(graft.Registry.sameMultiset(pre, post),
+    // the sameMultiset tag/group pass (guide §2.4) INLINED so the
+    // id-uniqueness probe rides the same action (3 actions → 1); the
+    // frames are cheap to re-plan, so NO localCheckpoint — measured
+    // in r19: materialization cost more than the recompute it saved
+    // on these manifest-planned small scans
+    val cols = pre.columns.toSeq
+    val seq7 = pre.withColumn("_cnt", lit(1L))
+      .unionByName(post.withColumn("_cnt", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_cnt")).as("_net"))
+      .filter(col("_net") =!= 0L)
+      .agg(count(lit(1)).as("nDiff"))
+      .crossJoin(post.agg(countDistinct(col("_row_id")).as("uIds"),
+        count(lit(1)).as("nRows")))
+      .head
+    require(seq7.getLong(0) == 0,
       "compaction must relocate rows with lineage bit-unchanged")
-    require(post.select("_row_id").distinct().count() == post.count(),
+    require(seq7.getLong(1) == seq7.getLong(2),
       "row ids must be unique")
     // POSITION-TOMBSTONE MoR DML composes (Iceberg v3 pairs lineage
     // with both delete shapes): flip the write modes and keep going —
@@ -2919,52 +2939,80 @@ object LakeQueries {
     import org.apache.spark.sql.functions.sum
     val orders = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val total = orders.count()
-    val evens = orders.filter(col("o_orderkey") % 2 === 0).count()
+    // Round 20 (guide §1.4/§2.6, the r19 row-lineage fold): this
+    // scenario's cost was ~25 sequential driver actions over small
+    // metadata frames — each epoch's probes now fold into ONE action
+    // (multi-`when` aggregates, cross-joined single-row aggregates
+    // across frames). Every require keeps its exact semantics and
+    // message; only the action count changes.
+    val cohorts = orders.agg(
+      count(lit(1)).as("total"),
+      count(when(col("o_orderkey") % 2 === 0, 1)).as("evens"),
+      count(when(col("o_orderkey") % 10 === 1, 1)).as("dead1"),
+      count(when(col("o_orderkey") % 10 === 2, 1)).as("dead2")).head
+    val total = cohorts.getLong(0)
+    val evens = cohorts.getLong(1)
+    val dead = cohorts.getLong(2) + cohorts.getLong(3)
     val t = GraftTable.create(s, tmp("lake_ent"),
       orders.filter(col("o_orderkey") % 2 === 0))            // snap 1
     t.append(orders.filter(col("o_orderkey") % 2 === 1))     // snap 2
     LakeRegistry.register("lake_ent_t", t)
     val ent = s.sql("SELECT * FROM lake_entries('lake_ent_t')")
     // the append ADDED its own files; snap-1 files carry EXISTING
-    require(ent.filter(col("status") === "EXISTING")
-        .agg(sum("rows")).head.getLong(0) == evens &&
-      ent.filter(col("status") === "ADDED")
-        .agg(sum("rows")).head.getLong(0) == total - evens,
+    val entRow = ent.agg(
+      sum(when(col("status") === "EXISTING", col("rows"))).as("exR"),
+      sum(when(col("status") === "ADDED", col("rows"))).as("adR"),
+      countDistinct(when(col("status") === "EXISTING",
+        col("snapshot_id"))).as("exSnapN"),
+      max(when(col("status") === "EXISTING", col("snapshot_id")))
+        .as("exSnapMax")).head
+    require(entRow.getLong(0) == evens &&
+        entRow.getLong(1) == total - evens,
       "entry status must split the append from the carried files")
-    require(ent.filter(col("status") === "EXISTING")
-        .select("snapshot_id").distinct().collect()
-        .map(_.getLong(0)).toSeq == Seq(1L),
+    require(entRow.getLong(2) == 1L && entRow.getLong(3) == 1L,
       "EXISTING entries must carry their ADDING commit's sequence")
     s.sql("OPTIMIZE lake_ent_t")                             // snap 3
     // dotted-suffix addressing mirrors the TVF (spec-pinned shape)
     val ent3 = s.sql("SELECT * FROM lake_ent_t.entries")
-    require(ent3.filter(col("status") === "EXISTING").count() == 0,
-      "a full compaction re-adds every row under the new commit")
     val all = s.sql("SELECT * FROM lake_ent_t.all_files")
     val live = t.currentSnapshot.files.toSet
-    require(all.filter(col("in_current")).count() == live.size &&
-        all.count() > live.size,
-      "all_files must list the pre-compaction files as history-only")
-    require(all.filter(!col("in_current"))
-        .filter(col("rows").isNull).count() == 0,
-      "history-only files keep the footer stats their manifest carried")
-    require(s.sql("SELECT * FROM lake_all_data_files('lake_ent_t')")
-        .count() == all.count() &&
-      s.sql("SELECT * FROM lake_ent_t.all_data_files").count() ==
-        all.count(),
-      "all_data_files is an alias of all_files (both surfaces)")
     val log = s.sql("SELECT * FROM lake_ent_t.metadata_log_entries")
-    require(log.count() == 3 &&
-        log.filter(col("is_current")).select("snapshot_id")
-          .head.getLong(0) == 3L,
+    val b = ent3.agg(
+        count(when(col("status") === "EXISTING", 1)).as("exN"))
+      .crossJoin(all.agg(
+        count(when(col("in_current"), 1)).as("curN"),
+        count(lit(1)).as("allN"),
+        count(when(!col("in_current") && col("rows").isNull, 1))
+          .as("histNullN")))
+      .crossJoin(s.sql("SELECT * FROM lake_all_data_files('lake_ent_t')")
+        .agg(count(lit(1)).as("tvfN")))
+      .crossJoin(s.sql("SELECT * FROM lake_ent_t.all_data_files")
+        .agg(count(lit(1)).as("dotN")))
+      .crossJoin(log.agg(count(lit(1)).as("logN"),
+        max(when(col("is_current"), col("snapshot_id"))).as("logCur")))
+      .head
+    require(b.getAs[Long]("exN") == 0,
+      "a full compaction re-adds every row under the new commit")
+    require(b.getAs[Long]("curN") == live.size &&
+        b.getAs[Long]("allN") > live.size,
+      "all_files must list the pre-compaction files as history-only")
+    require(b.getAs[Long]("histNullN") == 0,
+      "history-only files keep the footer stats their manifest carried")
+    require(b.getAs[Long]("tvfN") == b.getAs[Long]("allN") &&
+        b.getAs[Long]("dotN") == b.getAs[Long]("allN"),
+      "all_data_files is an alias of all_files (both surfaces)")
+    require(b.getAs[Long]("logN") == 3 && b.getAs[Long]("logCur") == 3L,
       "the metadata log lists one row per manifest, head flagged")
     // expiry reclaims: history-only files leave all_files, the log
     // shrinks to the retained manifests
     s.sql("VACUUM lake_ent_t RETAIN 1 SNAPSHOTS")
-    require(s.sql("SELECT * FROM lake_ent_t.all_files")
-        .filter(!col("in_current")).count() == 0 &&
-      s.sql("SELECT * FROM lake_ent_t.metadata_log_entries").count() == 1,
+    val cRow = s.sql("SELECT * FROM lake_ent_t.all_files")
+      .agg(count(when(!col("in_current"), 1)).as("histN"))
+      .crossJoin(s.sql("SELECT * FROM lake_ent_t.metadata_log_entries")
+        .agg(count(lit(1)).as("logN")))
+      .head
+    require(cRow.getAs[Long]("histN") == 0 &&
+        cRow.getAs[Long]("logN") == 1,
       "expiry must collapse all_files to the live set")
     // ---- the remaining metadata tables (round 18): all_manifests /
     // all_entries walk every live snapshot's manifest;
@@ -2982,27 +3030,33 @@ object LakeQueries {
     require(snapNow.posDels.nonEmpty && snapNow.dvs.nonEmpty,
       "both pending artifact shapes must be present")
     val pd = s.sql("SELECT * FROM lake_ent_t.position_deletes")
-    val dead = orders.filter(col("o_orderkey") % 10 === 1).count() +
-      orders.filter(col("o_orderkey") % 10 === 2).count()
-    require(pd.count() == dead &&
-        pd.filter(col("delete_file").isNull).count() == 0,
+    val am = s.sql("SELECT * FROM lake_ent_t.all_manifests")
+    val ae = s.sql("SELECT * FROM lake_ent_t.all_entries")
+    val dRow = pd.agg(count(lit(1)).as("pdN"),
+        count(when(col("delete_file").isNull, 1)).as("pdNullN"),
+        collect_set(col("delete_file")).as("pdFiles"))
+      .crossJoin(am.agg(count(lit(1)).as("amN"),
+        count(when(col("is_current"), 1)).as("amCurN"),
+        count(when(col("kind") =!= "manifest", 1)).as("amBadN")))
+      .crossJoin(ae.agg(countDistinct(col("snapshot_id")).as("aeSnapN"),
+        count(when(col("snapshot_id") === optId &&
+          col("status") =!= "ADDED", 1)).as("aeOptBadN"),
+        count(when(col("snapshot_id") === snapNow.id &&
+          col("status") === "EXISTING", 1)).as("aeExistN")))
+      .head
+    require(dRow.getAs[Long]("pdN") == dead &&
+        dRow.getAs[Long]("pdNullN") == 0,
       "position_deletes must expand both artifact shapes row-exactly")
-    require(pd.select("delete_file").distinct().collect()
-        .map(_.getString(0)).toSet ==
+    require(dRow.getAs[Seq[String]]("pdFiles").toSet ==
         (snapNow.posDels.toSet ++ snapNow.dvs.values.toSet),
       "each row must name the artifact that carries it")
-    val am = s.sql("SELECT * FROM lake_ent_t.all_manifests")
-    require(am.count() == 3 &&
-        am.filter(col("is_current")).count() == 1 &&
-        am.filter(col("kind") =!= "manifest").count() == 0,
+    require(dRow.getAs[Long]("amN") == 3 &&
+        dRow.getAs[Long]("amCurN") == 1 &&
+        dRow.getAs[Long]("amBadN") == 0,
       "all_manifests must list one manifest per retained snapshot")
-    val ae = s.sql("SELECT * FROM lake_ent_t.all_entries")
-    require(ae.select("snapshot_id").distinct().count() == 3 &&
-        ae.filter(col("snapshot_id") === optId)
-          .filter(col("status") =!= "ADDED").count() == 0 &&
-        ae.filter(col("snapshot_id") === snapNow.id)
-          .filter(col("status") === "EXISTING").count() ==
-          snapNow.files.size,
+    require(dRow.getAs[Long]("aeSnapN") == 3 &&
+        dRow.getAs[Long]("aeOptBadN") == 0 &&
+        dRow.getAs[Long]("aeExistN") == snapNow.files.size,
       "all_entries must carry per-snapshot entry status (the " +
         "compaction ADDED everything; the delete commits carry all " +
         "files EXISTING)")
@@ -3011,43 +3065,56 @@ object LakeQueries {
     // on-disk lengths and the added/existing entry split; the delete
     // commit carried every data file by reference → 0 added
     val mf = s.sql("SELECT * FROM lake_ent_t.manifests")
-    require(mf.count() == 1 + snapNow.shards.size &&
-        mf.filter(col("kind") === "manifest").count() == 1 &&
-        mf.filter(col("length") <= 0).count() == 0,
-      "manifests must list the head manifest (+shards) with lengths")
-    require(mf.agg(sum("existing_entries")).head.getLong(0) ==
-        snapNow.files.size &&
-      mf.agg(sum("added_entries")).head.getLong(0) == 0,
-      "a delete commit carries every data file EXISTING")
     // `.all_delete_files` — the delete-side all_* view: every MoR
     // artifact any live snapshot references, in_current-flagged
     val adf = s.sql("SELECT * FROM lake_ent_t.all_delete_files")
-    val adfN = adf.count()
-    require(adf.filter(col("in_current")).count() == adfN &&
-        adf.filter(col("kind") === "position").count() ==
-          snapNow.posDels.size &&
-        adf.filter(col("kind") === "vector").count() ==
-          snapNow.dvs.size,
+    val eRow = mf.agg(count(lit(1)).as("mfN"),
+        count(when(col("kind") === "manifest", 1)).as("mfManN"),
+        count(when(col("length") <= 0, 1)).as("mfBadLenN"),
+        sum("existing_entries").as("mfExist"),
+        sum("added_entries").as("mfAdded"))
+      .crossJoin(adf.agg(count(lit(1)).as("adfN"),
+        count(when(col("in_current"), 1)).as("adfCurN"),
+        count(when(col("kind") === "position", 1)).as("adfPosN"),
+        count(when(col("kind") === "vector", 1)).as("adfVecN")))
+      .crossJoin(s.sql("SELECT * FROM lake_all_delete_files('lake_ent_t')")
+        .agg(count(lit(1)).as("adfTvfN")))
+      .crossJoin(s.sql("SELECT * FROM lake_manifests('lake_ent_t')")
+        .agg(count(lit(1)).as("mfTvfN")))
+      .head
+    require(eRow.getAs[Long]("mfN") == 1 + snapNow.shards.size &&
+        eRow.getAs[Long]("mfManN") == 1 &&
+        eRow.getAs[Long]("mfBadLenN") == 0,
+      "manifests must list the head manifest (+shards) with lengths")
+    require(eRow.getAs[Long]("mfExist") == snapNow.files.size &&
+        eRow.getAs[Long]("mfAdded") == 0,
+      "a delete commit carries every data file EXISTING")
+    val adfN = eRow.getAs[Long]("adfN")
+    require(eRow.getAs[Long]("adfCurN") == adfN &&
+        eRow.getAs[Long]("adfPosN") == snapNow.posDels.size &&
+        eRow.getAs[Long]("adfVecN") == snapNow.dvs.size,
       "all_delete_files must list both pending artifact shapes " +
         "as current")
-    require(s.sql("SELECT * FROM lake_all_delete_files('lake_ent_t')")
-        .count() == adfN &&
-      s.sql("SELECT * FROM lake_manifests('lake_ent_t')").count() ==
-        mf.count(),
+    require(eRow.getAs[Long]("adfTvfN") == adfN &&
+        eRow.getAs[Long]("mfTvfN") == eRow.getAs[Long]("mfN"),
       "the TVF forms mirror the dotted suffixes")
     // restore the pre-delete state so the oracle stays the compacted
     // end state (rollback restores files AND clears the artifacts)
     s.sql(s"CALL graft.system.rollback_to_snapshot('lake_ent_t', $optId)")
     require(t.currentSnapshot.posDels.isEmpty &&
       t.currentSnapshot.dvs.isEmpty, "rollback must clear artifacts")
-    require(s.sql("SELECT * FROM lake_ent_t.position_deletes")
-        .count() == 0,
-      "no pending artifacts → an empty position_deletes table")
     // the rolled-back artifacts stay listed as HISTORY-ONLY MoR debt
     // (rollback could resurrect them; expiry is what reclaims)
-    val adfPost = s.sql("SELECT * FROM lake_ent_t.all_delete_files")
-    require(adfPost.count() == adfN &&
-        adfPost.filter(col("in_current")).count() == 0,
+    val fRow = s.sql("SELECT * FROM lake_ent_t.position_deletes")
+      .agg(count(lit(1)).as("pdPostN"))
+      .crossJoin(s.sql("SELECT * FROM lake_ent_t.all_delete_files")
+        .agg(count(lit(1)).as("adfPostN"),
+          count(when(col("in_current"), 1)).as("adfPostCurN")))
+      .head
+    require(fRow.getAs[Long]("pdPostN") == 0,
+      "no pending artifacts → an empty position_deletes table")
+    require(fRow.getAs[Long]("adfPostN") == adfN &&
+        fRow.getAs[Long]("adfPostCurN") == 0,
       "all_delete_files must keep rolled-back artifacts history-only")
     // end state: everything ADDED by the compaction, rows intact
     s.sql(

@@ -311,8 +311,11 @@ final class GraftLakeSource(spark: SparkSession, tablePath: String,
   * idempotent by key on TOP of the txn guard, so even cross-query
   * duplicate events converge. Without, each batch appends (txn guard
   * alone carries exactly-once). The incoming micro-batch frame is
-  * re-wrapped as a batch plan and persisted across MERGE's multiple
-  * actions, then unpersisted. */
+  * re-wrapped as a batch plan and, in MERGE mode only, persisted
+  * across MERGE's multiple actions, then unpersisted — an APPEND
+  * batch is consumed exactly once by the write, so persisting it
+  * would be a pure extra materialization pass per micro-batch
+  * (round 20, guide §5). */
 final class GraftLakeSink(spark: SparkSession, tablePath: String,
     mergeKeys: Seq[String], appId: String,
     branch: Option[String] = None) extends Sink {
@@ -332,11 +335,18 @@ final class GraftLakeSink(spark: SparkSession, tablePath: String,
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (watermark.isEmpty) watermark = table.lastTxn(appId)
     if (watermark.exists(_ >= batchId)) return // replayed: already durable
-    val batch = StreamShim.asBatch(data)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merging = mergeKeys.nonEmpty
+    val batch0 = StreamShim.asBatch(data)
+    // MERGE consumes the batch through several actions — persist it;
+    // an append consumes it ONCE, so the persist would only add a
+    // materialization pass to every micro-batch
+    val batch =
+      if (merging) batch0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else batch0
     try {
       table.pendingTxn = Some((appId, batchId))
-      if (mergeKeys.nonEmpty)
+      if (merging)
         table.merge(batch.dropDuplicates(mergeKeys), mergeKeys,
           Seq(graft.lakehouse.MergeClause.Update(None, Map.empty),
             graft.lakehouse.MergeClause.Insert(None, Map.empty)))
@@ -344,7 +354,7 @@ final class GraftLakeSink(spark: SparkSession, tablePath: String,
       watermark = Some(batchId)
     } finally {
       table.pendingTxn = None
-      batch.unpersist()
+      if (merging) batch.unpersist()
     }
   }
 

@@ -335,12 +335,15 @@ object StreamingOps {
     src.append(events.filter(col("event_id") % 4 === 2))
     src.append(events.filter(col("event_id") % 4 === 3))
     val run2Rows = drain() // run 2: SAME checkpoint, new commits only
-    val newRows = events.filter(col("event_id") % 4 >= 2).count()
+    // both cohort counts in one pass over events (round 20, §1.4)
+    val evRow = events.agg(count(lit(1)).as("n"),
+      count(when(col("event_id") % 4 >= 2, 1)).as("newN")).head
+    val newRows = evRow.getLong(1)
     require(run2Rows == newRows,
       s"restart must admit only the new commits' rows: " +
         s"got $run2Rows, new $newRows")
     val sunk = graft.lakehouse.GraftTable.load(s, sinkDir).read()
-    require(sunk.count() == events.count(),
+    require(sunk.count() == evRow.getLong(0),
       "append sink must hold the source exactly once (no dup, no loss)")
     sunk.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -372,6 +375,15 @@ object StreamingOps {
       (col("o_orderkey") % 100).cast("int").as("qty"),
       col("o_orderstatus").as("status"))
     def quarter(m: Long) = base.filter(col("id") % 4 === m)
+    // every base cohort count in ONE pass (round 20, guide §1.4) —
+    // the probes below used to re-scan `base` once per count
+    val qN = base.agg(
+      count(when(col("id") % 4 === 0, 1)).as("q0"),
+      count(when(col("id") % 4 === 1, 1)).as("q1"),
+      count(when(col("id") % 4 === 2, 1)).as("q2"),
+      count(when(col("id") % 4 === 3, 1)).as("q3")).head
+    val (q0N, q1N, q2N, q3N) =
+      (qN.getLong(0), qN.getLong(1), qN.getLong(2), qN.getLong(3))
     val src = graft.lakehouse.GraftTable.create(s,
       java.nio.file.Files.createTempDirectory("graft_strack_src").toString,
       quarter(0))                                          // snap 1
@@ -402,7 +414,7 @@ object StreamingOps {
     // predate the rename/promotion/add and must deliver at the
     // declared (post-evolution) schema
     val run1 = drain()
-    val preCount = base.filter(col("id") % 4 <= 2).count()
+    val preCount = q0N + q1N + q2N
     require(run1 == preCount,
       s"the drain must deliver every pre- and post-evolution row: " +
         s"got $run1, want $preCount")
@@ -412,8 +424,7 @@ object StreamingOps {
       sunk1.schema("quantity").dataType ==
         org.apache.spark.sql.types.LongType,
       s"batches must align to the evolved schema: ${sunk1.schema}")
-    require(sunk1.filter(col("note").isNull).count() ==
-        base.filter(col("id") % 4 <= 1).count(),
+    require(sunk1.filter(col("note").isNull).count() == q0N + q1N,
       "pre-add rows carry the null backfill")
     // restart from the same checkpoint admits exactly the new commit
     src.append(quarter(3)
@@ -421,11 +432,10 @@ object StreamingOps {
       .withColumn("quantity", col("quantity").cast("bigint"))
       .withColumn("note", lit("tracked")))                 // snap 7
     val run2 = drain()
-    require(run2 == base.filter(col("id") % 4 === 3).count(),
+    require(run2 == q3N,
       s"the restart must admit only the new commit's rows: $run2")
     require(graft.lakehouse.GraftTable.load(s, sinkDir).read()
-        .filter(col("note") === "tracked").count() ==
-        base.filter(col("id") % 4 >= 2).count(),
+        .filter(col("note") === "tracked").count() == q2N + q3N,
       "post-add rows carry their written note")
     // round 18: DROP COLUMN joins the tracked set — a pre-drop
     // straggler commit is staged but NOT drained, the column drops,
@@ -446,7 +456,9 @@ object StreamingOps {
     src.append(post)                                       // snap 10
     graft.lakehouse.GraftTable.load(s, sinkDir).dropColumn("note")
     val run3 = drain()
-    require(run3 == late.count() + post.count(),
+    // late ≡ quarter(0) re-keyed, post ≡ quarter(1) re-keyed, so the
+    // folded cohort counts stand in for two more scans
+    require(run3 == q0N + q1N,
       s"the restart must drain the pre-drop straggler AND the " +
         s"post-drop commit: $run3")
     val sunk3 = graft.lakehouse.GraftTable.load(s, sinkDir).read()
@@ -540,18 +552,27 @@ object StreamingOps {
       q.awaitTermination()
       s.table(qn)
     }
-    // plain mode from the mark: ONLY the post-mark commit's rows
+    // plain mode from the mark: ONLY the post-mark commit's rows.
+    // Each mode's probes fold into ONE action (round 20, guide §1.4):
+    // counts and the excess check ride cross-joined single-row
+    // aggregates instead of one job per count
     val plain = drainTo(Map("startingSnapshotId" -> mark.toString))
-    require(plain.count() == third(2).count() &&
-        plain.select("event_id").exceptAll(third(2).select("event_id"))
-          .count() == 0,
+    val third2N = third(2).count()
+    val pRow = plain.agg(count(lit(1)).as("n"))
+      .crossJoin(plain.select("event_id")
+        .exceptAll(third(2).select("event_id"))
+        .agg(count(lit(1)).as("excess")))
+      .head
+    require(pRow.getLong(0) == third2N && pRow.getLong(1) == 0,
       "the stream must deliver exactly the commits after the mark")
     // CDC mode from the mark: the feed opens with the post-mark
     // inserts — no initial-load batch of the pre-mark table
     val cdc = drainTo(Map("startingSnapshotId" -> mark.toString,
       "readChangeFeed" -> "true"))
-    require(cdc.count() == third(2).count() &&
-        cdc.filter(col("_change_type") =!= "insert").count() == 0,
+    val cRow = cdc.agg(count(lit(1)).as("n"),
+      count(when(col("_change_type") =!= "insert", 1)).as("nonIns"))
+      .head
+    require(cRow.getLong(0) == third2N && cRow.getLong(1) == 0,
       "the CDC feed must open after the mark, not with an initial load")
     // the TIMESTAMP form (round 19, at-or-after-inclusive like
     // Delta): an instant equal to snap 3's commit streams exactly
@@ -672,8 +693,11 @@ object StreamingOps {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val feed = s.table(qn)
-    require(feed.filter(col("o_note") === "late").count() > 0 &&
-      feed.filter(col("o_note").isNull).count() > 0,
+    // both presence probes in one pass (round 20, guide §1.4)
+    val fRow = feed.agg(
+      count(when(col("o_note") === "late", 1)).as("lateN"),
+      count(when(col("o_note").isNull, 1)).as("nullN")).head
+    require(fRow.getLong(0) > 0 && fRow.getLong(1) > 0,
       "the feed must deliver both pre-add (NULL-filled) and post-add " +
         "batches across the ADD COLUMN commit")
     feed.orderBy(col("_change_type"), col("o_orderkey"),

@@ -26,6 +26,10 @@ object PlanDump {
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.sql.adaptive.enabled", "true")
+      // mirror Bench's join-planner config (round 20, advice): the
+      // dumped evidence plans must show the same join strategies the
+      // bench actually executes
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.fgac.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -19,6 +19,9 @@ object StreamProbe {
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.sql.adaptive.enabled", "true")
+      // mirror Bench's join-planner config so probe timings reflect
+      // the benchmarked plans (round 20, advice)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.fgac.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

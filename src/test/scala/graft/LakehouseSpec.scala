@@ -15,6 +15,25 @@ class LakehouseSpec extends AnyFunSuite {
       Files.createTempDirectory("graft_spec").toString,
       rows.toDF("k", "tag", "v"))
 
+  test("writeWidth: small commits collapse to one task, large narrow " +
+      "estimates raise above the floor, Generate keeps the floor") {
+    val dp = spark.sparkContext.defaultParallelism
+    val floor = math.min(8, dp)
+    // a few-KB estimate collapses to ONE task
+    assert(GraftTable.writeWidth(spark.range(10).toDF("id")) == 1)
+    // 2^28 longs estimate ≈ 2 GiB → ceil(est/128MB) = 16, above the
+    // floor (the r19 form dead-coded this raise at the floor) and
+    // within the 2×parallelism bound
+    val wide = GraftTable.writeWidth(spark.range(1L << 28).toDF("id"))
+    assert(wide > floor, s"wide estimate must raise above $floor: $wide")
+    assert(wide <= math.max(2 * dp, floor), s"bounded: $wide")
+    // a row-expanding plan (Generate) can undershoot the estimate by
+    // its fan-out — small estimates there keep the session floor
+    val g = spark.range(10)
+      .select(explode(sequence(lit(1), lit(5))).as("x"))
+    assert(GraftTable.writeWidth(g) == floor)
+  }
+
   test("append accumulates and snapshots are immutable") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
     t.append(Seq((3L, "c", 3.0)).toDF("k", "tag", "v"))

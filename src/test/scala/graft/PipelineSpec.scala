@@ -396,6 +396,23 @@ class PipelineSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("fixpoint test keeps iterating while a member has two roots " +
+      "(the r19 early-stop counterexample)") {
+    // Path 1-6-5-7-2 is ONE component (min 1). Its canonical edge set
+    // {(5,6),(5,7),(1,6),(2,7)} is a large-star fixpoint, and one
+    // small-star round yields {(1,5),(1,6),(2,5),(2,7)} whose a-side
+    // {1,2} and b-side {5,6,7} are disjoint — the round-19 test
+    // stopped there and split the component into {1,5,6}/{2,7}.
+    // Member 5 still carries two roots; the fixed test must keep
+    // contracting until everything roots at 1.
+    val vertices = Seq(1L, 2L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((5L, 6L), (5L, 7L), (1L, 6L), (2L, 7L)).toDF("a", "b")
+    val got = graft.dedup.Dedup.componentLabels(vertices, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 5 && got.forall(_._2 == 1L),
+      s"split component: ${got.sortBy(_._1).mkString(",")}")
+  }
+
   test("star contraction collapses a long path to one component") {
     // a 64-chain is the adversarial diameter case for label
     // propagation; star contraction must still converge (round cap
