@@ -6903,7 +6903,37 @@ object GraftTable {
           case _ => false
         }
         if (expanding) fallbackPar else bySize.toInt
-      } else bySize.min(BigInt(math.max(2 * sessionPar, fallbackPar))).toInt
+      } else {
+        // the RAISE direction trusts the estimate only when it is
+        // scan-anchored (measured in-round: the first raise form
+        // doubled every streaming-sink micro-batch and lake_merge):
+        //  - a leaf without real stats reports the defaultSizeInBytes
+        //    sentinel (Long.MaxValue; streaming-rewrapped batch plans
+        //    do this) and poisons everything above it — projections
+        //    scale it below the sentinel, so the check must be at the
+        //    LEAVES, not on est;
+        //  - size-only Join stats MULTIPLY (a 5 MB x 5 MB merge
+        //    "estimates" terabytes) and Generate keeps the child's
+        //    size — both make est meaningless in this direction.
+        // A big SCAN-shaped narrow frame (the verdict's case: CTAS or
+        // rewrite from a few-file TB-scale input) raises for real;
+        // everything else keeps the r18/r19 session floor.
+        val plan = df.queryExecution.optimizedPlan
+        val sentinel =
+          df.sparkSession.sessionState.conf.defaultSizeInBytes
+        val untrusted = plan.collectLeaves().exists(
+            _.stats.sizeInBytes >= sentinel) ||
+          plan.exists {
+            case _: org.apache.spark.sql.catalyst.plans.logical.Join =>
+              true
+            case _: org.apache.spark.sql.catalyst.plans.logical
+                .Generate => true
+            case _ => false
+          }
+        if (untrusted) fallbackPar
+        else bySize.min(BigInt(math.max(2 * sessionPar, fallbackPar)))
+          .toInt
+      }
     }
   }
 
