@@ -3345,12 +3345,18 @@ object LakeQueries {
     import s.implicits._
     val orders = Tables.orders(s, dir)
     def part(m: Long) = orders.filter(col("o_orderkey") % 8 === m)
+    // every part-cohort count in ONE pass over orders (round 20,
+    // guide §1.4 — this used to rescan orders once per cohort)
+    val partCols = (0L to 5L).map(m =>
+      count(when(col("o_orderkey") % 8 === m, 1)).as(s"p$m"))
+    val partRow = orders.agg(partCols.head, partCols.tail: _*).head
+    def partN(m: Int): Long = partRow.getLong(m)
     val t1 = GraftTable.create(s, tmp("lake_conc"), part(0)) // snap 1
     val t2 = GraftTable.load(s, t1.location) // second writer handle
     t1.append(part(1)) // snap 2
     // t2 based its work on snapshot 1; t1 already advanced → rebase
     t2.appendFrom(part(2), parent = 1L) // snap 3
-    val counts03 = (0L to 2L).map(part(_).count()).sum
+    val counts03 = (0 to 2).map(partN).sum
     val rebased =
       if (t2.currentSnapshotId == 3 && t2.read().count() == counts03)
         "REBASED" else "LOST_UPDATE"
@@ -3358,7 +3364,7 @@ object LakeQueries {
     t1.appendFrom(part(3), parent = 3L) // no conflict  → snap 4
     t2.appendFrom(part(4), parent = 3L) // one rebase   → snap 5
     t1.appendFrom(part(5), parent = 3L) // two rebases  → snap 6
-    val counts06 = (0L to 5L).map(part(_).count()).sum
+    val counts06 = (0 to 5).map(partN).sum
     val allIn =
       if (t1.currentSnapshotId == 6 && t1.read().count() == counts06)
         "ALL_COMMITTED" else "LOST_UPDATE"
@@ -3389,9 +3395,11 @@ object LakeQueries {
     val dmlBase = d1.currentSnapshot
     val n1 = d1.delete(s"shard = 'true' AND $cut")  // writer 1 lands
     val n2 = d2.deleteAt(dmlBase, s"shard = 'false' AND $cut") // stale
+    val dRow = d1.read().agg(count(lit(1)).as("liveN"))
+      .crossJoin(shard.agg(count(when(not(expr(cut)), 1)).as("keptN")))
+      .head
     val disjointDml =
-      if (n2 > n1 && d1.read().count() ==
-          shard.filter(not(expr(cut))).count())
+      if (n2 > n1 && dRow.getLong(0) == dRow.getLong(1))
         "BOTH_COMMITTED" else "LOST_DELETE"
     Seq(("concurrent_appends", allIn), ("stale_append", rebased),
       ("stale_dml", staleDml), ("disjoint_dml", disjointDml))
@@ -3409,9 +3417,14 @@ object LakeQueries {
     val t = GraftTable.create(s, tmp("lake_wap"),
       orders.filter(col("o_orderstatus") === "O"))
     val tok1 = t.stageAppend(orders.filter(col("o_orderstatus") === "F"))
-    require(t.read().count() < t.readStaged(tok1).count(),
+    // both pre-publish probes in one action (round 20, guide §1.4)
+    val stg = t.read().agg(count(lit(1)).as("liveN"))
+      .crossJoin(t.readStaged(tok1).agg(count(lit(1)).as("stagedN"),
+        count(when(col("o_totalprice") <= 0, 1)).as("badN")))
+      .head
+    require(stg.getLong(0) < stg.getLong(1),
       "staged rows must be invisible before publish")
-    require(t.readStaged(tok1).filter(col("o_totalprice") <= 0).count() == 0,
+    require(stg.getLong(2) == 0,
       "audit of the good batch must pass")
     t.publish(tok1)
     val tok2 = t.stageAppend(orders.filter(col("o_orderstatus") === "P")
